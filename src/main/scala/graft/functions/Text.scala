@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  * All pure `Column` expressions (codegen'd, no UDFs) so they survive
+  * 100 TB scans inside whole-stage codegen.
+  */
+object Text {
+
+  /** ASCII punctuation char class, valid in both Java regex (Spark) and
+    * RE2 (DuckDB oracle) — deliberately not \p{Punct} for parity. */
+  val PunctClass = "[!-/:-@\\[-`{-~]"
+
+  /** Whitespace-token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * non-alphanumeric glyphs each count as one token — a cheap proxy for
+    * subword tokenizers' behavior on ASCII text. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Lower-cased whitespace tokens (building block). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PunctClass), lit(0)))
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(punctCount(text) / length(text))
+
+  /** Small multilingual stopword lists (public common-words lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as", "was", "at", "by", "be", "this"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "du", "et", "ou", "un", "une",
+      "est", "que", "qui", "dans", "pour", "sur", "avec", "au", "ce", "pas"),
+    "de" -> Seq("der", "die", "das", "und", "oder", "ein", "eine", "ist",
+      "zu", "den", "von", "mit", "auf", "für", "im", "nicht", "sich", "dem",
+      "sie", "werden"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "o", "un", "una", "es",
+      "que", "en", "por", "para", "con", "no", "se", "del", "al", "como"))
+
+  private def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords(lang))))
+
+  /** Fraction of tokens that are (English) stopwords; 0 for empty text. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise(stopwordHits(text, lang).cast("double") / n)
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Heuristic document-quality score in [0,1] — the classic cheap filters
+    * (length band, punctuation ratio, stopword presence, mean word length)
+    * combined with equal weights. Deterministic, codegen-friendly.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    // length: 0 below 5 tokens, ramps to 1 at 50+, capped
+    val lengthScore = least(n.cast("double") / 50.0, lit(1.0))
+    // punctuation: penalize > 10% punct chars
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 10.0)
+    // stopwords: having 2%+ English stopwords is a naturalness signal
+    val swScore = least(stopwordRatio(text) * 50.0, lit(1.0))
+    // word length: natural text averages 3-10 chars/word
+    val mwl = meanWordLength(text)
+    val wordLenScore = when(mwl >= 3.0 && mwl <= 10.0, 1.0)
+      .when(mwl > 0.0, 0.5).otherwise(0.0)
+    when(text.isNull, lit(null).cast("double"))
+      .when(n === 0, 0.0)
+      .otherwise(round((lengthScore + punctScore + swScore + wordLenScore) / 4.0, 4))
+  }
+
+  /** N-gram-free language ID: stopword-hit argmax over the supported
+    * languages; ties break by the declared order (en first); "und"
+    * (undetermined) when no stopword of any language appears. */
+  def langId(text: Column): Column = {
+    val langs = Seq("en", "fr", "de", "es")
+    val hits = langs.map(l => stopwordHits(text, l))
+    val best = greatest(hits: _*)
+    val choice = langs.zip(hits).foldRight(lit("und")) { case ((l, h), rest) =>
+      when(h === best, lit(l)).otherwise(rest)
+    }
+    when(best === 0, "und").otherwise(choice)
+  }
+
+  /** Canonical text normalization for fingerprinting/dedup: lowercase,
+    * strip ASCII punctuation, collapse whitespace runs, trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), PunctClass, ""), "\\s+", " "))
+
+  /** 64-bit content fingerprint of normalized text (xxhash64 — stable
+    * across Spark versions; for cross-engine oracle checks use
+    * `fingerprintMd5`). */
+  def fingerprint(text: Column): Column = xxhash64(normalizeText(text))
+
+  /** MD5 fingerprint of normalized text — identical in DuckDB. */
+  def fingerprintMd5(text: Column): Column = md5(normalizeText(text))
+
+  /** Character k-shingles of normalized text (building block for MinHash /
+    * Jaccard). Returns distinct shingles. */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val norm = normalizeText(text)
+    val n = length(norm)
+    array_distinct(
+      when(n < k, array(norm)).otherwise(
+        transform(sequence(lit(1), n - k + 1), i => norm.substr(i, lit(k)))))
+  }
+
+  /** Word n-grams of normalized text (for n-gram Jaccard dedup). */
+  def wordNgrams(text: Column, n: Int = 3): Column = {
+    val ts = split(normalizeText(text), " ")
+    val cnt = size(ts)
+    array_distinct(
+      when(cnt < n, array(concat_ws(" ", ts))).otherwise(
+        transform(sequence(lit(0), cnt - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+  }
+}

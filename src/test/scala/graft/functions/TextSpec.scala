@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val rows = Seq(
+      ("hello world", 2, 2),
+      ("  padded   tokens  ", 2, 2),
+      ("", 0, 0),
+      ("   ", 0, 0),
+      ("don't stop-me now!", 3, 8), // don ' t stop - me now !
+      ("abc123 x", 2, 3))           // abc 123 x
+    val got = rows.map(_._1).toDF("t")
+      .select(Text.tokenCount($"t"), Text.tokenCountBpe($"t")).collect()
+    rows.zip(got).foreach { case ((t, ws, bpe), r) =>
+      assert(r.getInt(0) == ws, s"ws('$t')")
+      assert(r.getInt(1) == bpe, s"bpe('$t')")
+    }
+  }
+
+  test("punct ratio and mean word length") {
+    val r = Seq("ab, cd!").toDF("t")
+      .select(Text.punctRatio($"t"), Text.meanWordLength($"t")).collect().head
+    assert(math.abs(r.getDouble(0) - 2.0 / 7.0) < 1e-12)
+    assert(r.getDouble(1) == 3.0) // "ab," (3) + "cd!" (3)
+  }
+
+  test("stopword ratio") {
+    val r = Seq("the cat sat on the mat").toDF("t")
+      .select(Text.stopwordRatio($"t")).collect().head.getDouble(0)
+    assert(math.abs(r - 3.0 / 6.0) < 1e-12) // the, on, the
+  }
+
+  test("langId picks the dominant stopword language") {
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog" -> "en",
+      "le chat est sur la table avec le chien" -> "fr",
+      "der hund und die katze sind nicht im haus" -> "de",
+      "el perro y el gato en la casa como siempre" -> "es",
+      "zzz qqq xxx" -> "und",
+      "" -> "und")
+    val got = cases.map(_._1).toDF("t").select(Text.langId($"t")).collect()
+    cases.zip(got).foreach { case ((t, exp), r) =>
+      assert(r.getString(0) == exp, s"langId('$t')")
+    }
+  }
+
+  test("quality score ranks natural text above junk") {
+    val natural = "the cat sat on the mat and looked at the dog for a while " * 3
+    val junk = "@@@@ #### !!!! %%%% ^^^^ &&&&"
+    val got = Seq(natural, junk, "").toDF("t")
+      .select(Text.qualityScore($"t")).collect().map(_.getDouble(0))
+    assert(got(0) > 0.8, s"natural=${got(0)}")
+    assert(got(1) < 0.4, s"junk=${got(1)}")
+    assert(got(2) == 0.0)
+    val nullRow = Seq[Option[String]](None).toDF("t")
+      .select(Text.qualityScore($"t")).collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("normalization + fingerprint stability") {
+    val got = Seq("Hello,  World!", "hello world", "other").toDF("t")
+      .select(Text.fingerprint($"t"), Text.fingerprintMd5($"t")).collect()
+    assert(got(0).getLong(0) == got(1).getLong(0))   // same after normalize
+    assert(got(0).getString(1) == got(1).getString(1))
+    assert(got(0).getLong(0) != got(2).getLong(0))
+  }
+
+  test("shingles and word n-grams") {
+    val r = Seq("abcdef").toDF("t").select(Text.shingles($"t", 5)).collect().head
+    assert(r.getSeq[String](0).toSet == Set("abcde", "bcdef"))
+    val shortr = Seq("abc").toDF("t").select(Text.shingles($"t", 5)).collect().head
+    assert(shortr.getSeq[String](0) == Seq("abc"))
+    val ng = Seq("a b c d").toDF("t").select(Text.wordNgrams($"t", 3)).collect().head
+    assert(ng.getSeq[String](0).toSet == Set("a b c", "b c d"))
+  }
+}
