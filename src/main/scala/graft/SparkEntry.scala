@@ -1,13 +1,419 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{City, Text}
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` (column names
+  * and types aligned on both sides; doubles rounded to 4 dp so the
+  * hash compare is robust to accumulation order).
+  *
+  * Design notes for 100 TB scale are on each query; all plans are
+  * declarative DataFrame trees so Catalyst handles pushdown/pruning,
+  * and dimension joins are explicitly broadcast.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Zone-style congestion report: events bucketed by hour + type with
+    * congestion classification — the reference batch job's A1 shape. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = t(spark, dir, "events")
+    ev.withColumn("congestion", City.congestionOccupancy(col("value") / 100.0))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"), col("congestion"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+  }
+
+  // ------------------------------------------------------------------
+  // Query battery. Each is (SparkSession, sfDir) => DataFrame.
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/P1: projection + casts + filter, pushed to parquet scan.
+    "q01_scan_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+          col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P2/F3: CASE WHEN congestion derivation + count per level.
+    "q02_congestion_case" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("congestion_level", City.congestionOccupancy(col("value") / 100.0))
+        .groupBy("congestion_level")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("congestion_level")
+    }),
+
+    // A1: zone-style hash aggregation (partial+final, map-side combine).
+    "q03_zone_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(round(avg("value"), 4).as("avg_value"),
+          round(sum("value"), 4).as("total_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // A2/TPC-H Q1 shape: multi-aggregate over two group keys.
+    "q04_lineitem_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A3: exact distinct counts (expand at scale: approx_count_distinct).
+    "q05_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"))
+    }),
+
+    // A4/A5: global min/max/count; timestamps emitted at second
+    // granularity as strings for cross-engine schema parity.
+    "q06_minmax" -> ((s, dir) => {
+      t(s, dir, "events")
+        .agg(date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("max_ts"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A6/W2: tumbling 1-minute buckets per type: count, exact distinct
+    // users, avg — the continuous-aggregate shape.
+    "q07_window_1min" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(avg("value"), 4).as("avg_value"))
+        .orderBy("bucket", "event_type")
+    }),
+
+    // A7: hourly rollup with peak (max) — the declared-but-never-written
+    // hourly_traffic_stats job.
+    "q08_hourly_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(round(sum("value"), 4).as("total_value"),
+          round(avg("value"), 4).as("avg_value"),
+          round(max("value"), 4).as("peak_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // A8/O1: the README SQL report through the spark.sql surface.
+    "q09_sql_report" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""SELECT event_type, round(avg(value), 4) AS avg_value, count(1) AS n
+               FROM events
+               WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+               GROUP BY event_type
+               ORDER BY avg_value DESC, event_type""")
+    }),
+
+    // A9/F12: per-group breakdown keyed by a JSON-extracted property
+    // (vehicle_breakdown analog: map modeled as rows, merged by re-agg).
+    "q10_breakdown" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("vclass",
+          when(col("k") % 4 === 0, "car").when(col("k") % 4 === 1, "truck")
+            .when(col("k") % 4 === 2, "bus").otherwise("bike"))
+        .groupBy("event_type", "vclass")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "vclass")
+    }),
+
+    // J1/J2: dimension joins — both small dims explicitly broadcast; no
+    // shuffle of the fact side at scale.
+    "q11_broadcast_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"), round(avg("c_acctbal"), 4).as("avg_acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Fact-fact equi-join (shuffle join, AQE-planned) + rollup.
+    "q12_join_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // O2: latest-N (TakeOrderedAndProject — no global sort at scale).
+    "q13_topk" -> ((s, dir) => {
+      t(s, dir, "events")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(10)
+        .select(col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("value"))
+    }),
+
+    // F1: EPA AQI piecewise mapping, aggregated per category.
+    "q14_aqi" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("aqi", City.aqiValue(col("value")))
+        .withColumn("category", City.aqiCategory(col("value")))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), round(avg("aqi"), 4).as("avg_aqi"))
+        .orderBy("category")
+    }),
+
+    // F9: event-time partition key derivation (lake layout columns).
+    "q15_partition_keys" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.select(City.partitionCols(col("ts")) :+ col("event_id"): _*)
+        .groupBy("year", "month", "day", "hour")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("year", "month", "day", "hour")
+    }),
+
+    // F15: ordered prefix-match topic routing.
+    "q16_route_topic" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("mqtt_topic",
+          when(col("event_type") === "click", concat(lit("air_quality/AQ_"), col("user_id"), lit("/data")))
+            .when(col("event_type") === "view", concat(lit("parking/P_"), col("user_id"), lit("/status")))
+            .when(col("event_type") === "purchase", concat(lit("traffic/sumo/edges/e"), col("user_id")))
+            .when(col("event_type") === "signup", concat(lit("traffic/sumo/vehicles/v"), col("user_id")))
+            .otherwise(concat(lit("debug/"), col("user_id"))))
+        .withColumn("kafka_topic", City.routeTopic(col("mqtt_topic")))
+        .groupBy("kafka_topic")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("kafka_topic")
+    }),
+
+    // Text: token counting per document (whitespace tokenizer).
+    "q17_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Text: corpus stats per source — mean word length + token totals.
+    "q18_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          round(avg(Text.meanWordLength(col("text"))), 4).as("avg_word_len"))
+        .orderBy("source")
+    }),
+
+    // Dedup: exact (hash-groupBy on content digest).
+    "q19_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("digest")
+    }),
+
+    // Dedup: normalization-based (case/punct/whitespace-insensitive).
+    "q20_norm_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(Text.fingerprintMd5(col("text")).as("digest"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("digest")
+    }),
+
+    // U6: generator/explode — word frequency via explode + re-agg.
+    "q21_word_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles. Column names/types match the Spark side exactly.
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, CAST(trunc(l_quantity) AS INTEGER) AS qty,
+                round(l_extendedprice * (1.0 - l_discount), 4) AS revenue, l_returnflag
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q02_congestion_case" ->
+      """SELECT CASE WHEN value/100.0 > 0.8 THEN 'high'
+                     WHEN value/100.0 > 0.5 THEN 'medium'
+                     ELSE 'low' END AS congestion_level,
+                count(1) AS n, round(avg(value), 4) AS avg_value
+         FROM events GROUP BY 1 ORDER BY congestion_level""",
+
+    "q03_zone_agg" ->
+      """SELECT event_type, round(avg(value), 4) AS avg_value,
+                round(sum(value), 4) AS total_value, count(1) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q04_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                round(avg(l_extendedprice), 4) AS avg_price, count(1) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q05_distinct" ->
+      """SELECT count(DISTINCT user_id) AS n_users,
+                count(DISTINCT event_type) AS n_types FROM events""",
+
+    "q06_minmax" ->
+      """SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+                count(1) AS n FROM events""",
+
+    "q07_window_1min" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                event_type, count(1) AS n, count(DISTINCT user_id) AS n_users,
+                round(avg(value), 4) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    "q08_hourly_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                event_type, round(sum(value), 4) AS total_value,
+                round(avg(value), 4) AS avg_value, round(max(value), 4) AS peak_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "q09_sql_report" ->
+      """SELECT event_type, round(avg(value), 4) AS avg_value, count(1) AS n
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+         GROUP BY event_type ORDER BY avg_value DESC, event_type""",
+
+    "q10_breakdown" ->
+      """SELECT event_type,
+                CASE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 4
+                     WHEN 0 THEN 'car' WHEN 1 THEN 'truck'
+                     WHEN 2 THEN 'bus' ELSE 'bike' END AS vclass,
+                count(1) AS n
+         FROM events GROUP BY 1, 2 ORDER BY event_type, vclass""",
+
+    "q11_broadcast_join" ->
+      """SELECT r_name, n_name, count(1) AS n_customers,
+                round(avg(c_acctbal), 4) AS avg_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q12_join_revenue" ->
+      """SELECT o_orderpriority,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                count(1) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q13_topk" ->
+      """SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+         FROM events ORDER BY ts DESC, event_id DESC LIMIT 10""",
+
+    "q14_aqi" ->
+      """WITH aqi AS (
+           SELECT value AS pm25,
+             CASE WHEN value <= 12.0 THEN CAST(trunc((50.0/12.0) * value) AS INTEGER)
+                  WHEN value <= 35.4 THEN CAST(trunc(50 + (50.0/23.4) * (value - 12.0)) AS INTEGER)
+                  WHEN value <= 55.4 THEN CAST(trunc(100 + (50.0/20.0) * (value - 35.4)) AS INTEGER)
+                  WHEN value <= 150.4 THEN CAST(trunc(150 + (50.0/95.0) * (value - 55.4)) AS INTEGER)
+                  WHEN value <= 250.4 THEN CAST(trunc(200 + (100.0/100.0) * (value - 150.4)) AS INTEGER)
+                  ELSE CAST(trunc(300 + (200.0/249.6) * least(value - 250.4, 249.6)) AS INTEGER) END AS aqi,
+             CASE WHEN value <= 12.0 THEN 'Good'
+                  WHEN value <= 35.4 THEN 'Moderate'
+                  WHEN value <= 55.4 THEN 'Unhealthy for Sensitive Groups'
+                  WHEN value <= 150.4 THEN 'Unhealthy'
+                  WHEN value <= 250.4 THEN 'Very Unhealthy'
+                  ELSE 'Hazardous' END AS category
+           FROM events)
+         SELECT category, count(1) AS n, round(avg(aqi), 4) AS avg_aqi
+         FROM aqi GROUP BY category ORDER BY category""",
+
+    "q15_partition_keys" ->
+      """SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+                strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour,
+                count(1) AS n
+         FROM events GROUP BY 1, 2, 3, 4 ORDER BY year, month, day, hour""",
+
+    "q16_route_topic" ->
+      """WITH topics AS (
+           SELECT CASE event_type
+                    WHEN 'click' THEN 'air_quality/AQ_' || user_id || '/data'
+                    WHEN 'view' THEN 'parking/P_' || user_id || '/status'
+                    WHEN 'purchase' THEN 'traffic/sumo/edges/e' || user_id
+                    WHEN 'signup' THEN 'traffic/sumo/vehicles/v' || user_id
+                    ELSE 'debug/' || user_id END AS mqtt_topic
+           FROM events)
+         SELECT CASE WHEN starts_with(mqtt_topic, 'air_quality') THEN 'smart-city-air-quality'
+                     WHEN starts_with(mqtt_topic, 'parking') THEN 'smart-city-parking'
+                     WHEN starts_with(mqtt_topic, 'traffic/sumo/edges') THEN 'smart-city-traffic-edges'
+                     WHEN starts_with(mqtt_topic, 'traffic/sumo/vehicles') THEN 'smart-city-traffic-vehicles'
+                     WHEN starts_with(mqtt_topic, 'traffic/sumo/traffic_lights') THEN 'smart-city-traffic-lights'
+                     WHEN starts_with(mqtt_topic, 'traffic/sumo/simulation') THEN 'smart-city-simulation-stats'
+                     ELSE 'smart-city-raw-data' END AS kafka_topic,
+                count(1) AS n
+         FROM topics GROUP BY 1 ORDER BY kafka_topic""",
+
+    "q17_token_count" ->
+      """SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE CAST(array_length(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_tokens,
+                n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "q18_text_stats" ->
+      """WITH toks AS (
+           SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             CASE WHEN length(trim(text)) = 0 THEN 0.0
+                  ELSE CAST(list_aggregate(list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> length(x)), 'sum') AS DOUBLE)
+                       / array_length(string_split_regex(trim(text), '\s+')) END AS mwl
+           FROM documents)
+         SELECT source, count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                round(avg(mwl), 4) AS avg_word_len
+         FROM toks GROUP BY source ORDER BY source""",
+
+    "q19_exact_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keeper, count(1) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY digest""",
+
+    "q20_norm_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'))) AS digest,
+                min(doc_id) AS keeper, count(1) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY digest""",
+
+    "q21_word_freq" ->
+      """SELECT word, count(1) AS n FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> length(x) > 0)) AS word
+           FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 20"""
+  )
 }
