@@ -1,0 +1,69 @@
+package graft.batch
+
+import graft.SparkSpec
+import graft.generator.Generator
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class TrafficBatchJobSpec extends SparkSpec {
+
+  private lazy val raw = Generator.trafficEvents(spark, 400)
+  private lazy val traffic = TrafficBatchJob.transform(raw).cache()
+
+  test("transform: casts, timestamp parse, congestion derivation") {
+    import org.apache.spark.sql.types._
+    val sch = traffic.schema
+    assert(sch("vehicle_count").dataType == IntegerType)
+    assert(sch("average_speed").dataType == FloatType)
+    assert(sch("timestamp").dataType == TimestampType)
+    // congestion matches an independent re-derivation from occupancy
+    val mismatches = traffic.withColumn("expected",
+      when(col("occupancy_rate") > 0.8, "high")
+        .when(col("occupancy_rate") > 0.5, "medium").otherwise("low"))
+      .filter(col("congestion_level") =!= col("expected")).count()
+    assert(mismatches == 0)
+    assert(traffic.count() == 400)
+  }
+
+  test("zone analytics: totals reconcile with input") {
+    val za = TrafficBatchJob.zoneAnalytics(traffic)
+    val fromAgg = za.agg(sum("total_vehicles")).collect().head.getLong(0)
+    val fromRaw = traffic.agg(sum("vehicle_count")).collect().head.getLong(0)
+    assert(fromAgg == fromRaw)
+    assert(za.columns.toSeq == Seq("zone", "timestamp", "avg_speed", "total_vehicles", "avg_occupancy"))
+  }
+
+  test("road analytics: event counts reconcile; windowed variant coarsens") {
+    val ra = TrafficBatchJob.roadAnalytics(traffic)
+    assert(ra.agg(sum("event_count")).collect().head.getLong(0) == 400)
+    val windowed = TrafficBatchJob.roadAnalytics(traffic, windowed = true)
+    assert(windowed.count() <= ra.count())
+    assert(windowed.agg(sum("event_count")).collect().head.getLong(0) == 400)
+  }
+
+  test("summary: counts and time range") {
+    val s = TrafficBatchJob.summary(traffic).collect().head
+    assert(s.getLong(0) == 400)
+    assert(s.getLong(1) == 4)  // 4 zones
+    assert(s.getLong(2) == 25) // 25 roads
+    assert(!s.isNullAt(3) && !s.isNullAt(4))
+  }
+
+  test("end-to-end run: jsonl in, zone-partitioned parquet out") {
+    val in = Files.createTempDirectory("graft_batch_in").toString
+    val out = Files.createTempDirectory("graft_batch_out").toString
+    raw.write.mode("overwrite").json(in)
+    val t = TrafficBatchJob.run(spark, in, out)
+    assert(t.count() == 400)
+    val zones = new java.io.File(s"$out/traffic_events").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(zones.toSeq == Seq("zone=commercial", "zone=downtown",
+      "zone=industrial", "zone=residential"))
+    val back = spark.read.parquet(s"$out/traffic_events")
+    assert(back.count() == 400)
+    // reference-compat inference mode reads the same data
+    val t2 = TrafficBatchJob.run(spark, in,
+      Files.createTempDirectory("graft_batch_out2").toString, inferSchema = true)
+    assert(t2.count() == 400)
+  }
+}

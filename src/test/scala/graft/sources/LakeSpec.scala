@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.generator.Generator
+import graft.schemas.Schemas
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class LakeSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_lake").toString
+
+  test("bronze write partitions by zero-padded event-time keys") {
+    val dir = tmp()
+    val fallback = to_timestamp(lit("1999-01-01 00:00:00"))
+    val aq = Generator.airQuality(spark, 24)
+    Lake.writeBronze(aq, dir, "json", fallback)
+
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.matches("year=\\d{4}")), dirs.mkString(","))
+    // base instant 2025-12-30T14:00Z, 24 records at 5-min cadence → hours 14,15
+    val hourDirs = new java.io.File(s"$dir/year=2025/month=12/day=30")
+      .listFiles().map(_.getName).sorted
+    assert(hourDirs.contains("hour=14") && hourDirs.contains("hour=15"), hourDirs.mkString(","))
+    // garbage timestamps (every 11th record) land in the fallback partition
+    assert(new java.io.File(s"$dir/year=1999/month=01/day=01/hour=00").exists())
+  }
+
+  test("bronze read-back: schema, count, partition pruning") {
+    val dir = tmp()
+    val fallback = to_timestamp(lit("1999-01-01 00:00:00"))
+    Lake.writeBronze(Generator.airQuality(spark, 24), dir, "json", fallback)
+    val back = Lake.readBronze(spark, dir, Schemas.airQuality)
+    assert(back.count() == 24)
+    assert(back.schema.fieldNames.toSeq.takeRight(4) == Seq("year", "month", "day", "hour"))
+    // nested struct fields survive the roundtrip
+    val pm = back.filter(col("year") === "2025")
+      .select(col("data.measurements.pm25")).na.drop().count()
+    assert(pm > 0)
+    // partition pruning: only the fallback partition's files are read
+    val pruned = back.filter(col("year") === "1999")
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(pruned.count() == 2) // records 10 and 21 have garbage ts
+  }
+
+  test("catalog registration + MSCK + SQL over the lake (S12)") {
+    val dir = tmp()
+    val fallback = to_timestamp(lit("1999-01-01 00:00:00"))
+    Lake.writeBronze(Generator.trafficEdges(spark, 40), dir, "json", fallback)
+    Lake.registerTable(spark, "bronze_traffic_edges", dir, Schemas.trafficEdges)
+    val n = spark.sql("SELECT count(1) FROM bronze_traffic_edges").collect().head.getLong(0)
+    assert(n == 40)
+    val byLevel = spark.sql(
+      """SELECT data.traffic_data.congestion_level AS lvl, count(1) AS n
+         FROM bronze_traffic_edges GROUP BY 1 ORDER BY 1""").collect()
+    assert(byLevel.map(_.getString(0)).toSet.subsetOf(Set("high", "medium", "low")))
+    assert(byLevel.map(_.getLong(1)).sum == 40)
+    spark.sql("DROP TABLE bronze_traffic_edges")
+  }
+
+  test("map-typed vehicle breakdown merges via explode + re-agg (A9)") {
+    val p = Generator.parking(spark, 30)
+    val merged = p.select(explode(col("data.vehicle_breakdown")))
+      .groupBy("key").agg(sum("value").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == Set("car", "motorcycle"))
+    assert(merged("car") > merged("motorcycle")) // 80/20 split by construction
+  }
+}
