@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** S8/W9: one processed stream fanned to a warehouse table and a
+  * partitioned lake — a single `foreachBatch` writing both (exactly
+  * the shape SURVEY prescribes for the reference's DualStorageWriter,
+  * minus its dead-code HDFS mock). The JDBC leg is pluggable; with no
+  * JDBC URL the warehouse leg writes parquet (the local stand-in).
+  *
+  * foreachBatch is at-least-once into external sinks; the batch id is
+  * recorded in a `_batch_id` column so a downstream MERGE/dedup can
+  * make the JDBC leg idempotent (SURVEY §7.4 risk 6).
+  */
+object DualSink {
+
+  /** Flatten tracked output to warehouse rows (one row per detection —
+    * the reference's per-detection INSERT fan-out, :363-384). */
+  def toWarehouseRows(tracked: DataFrame): DataFrame =
+    tracked
+      .withColumn("time", timestamp_millis(col("event_ms")))
+      .withColumn("det", explode(col("detections")))
+      .select(col("camera_id"), col("time"),
+        col("det.object_id").as("object_id"),
+        col("det.detection_type").as("object_type"),
+        col("det.centroid.x").as("centroid_x"),
+        col("det.centroid.y").as("centroid_y"),
+        col("det.tracking_duration_seconds").as("tracking_duration"))
+
+  def writeBatch(batch: DataFrame, batchId: Long,
+                 warehousePath: String, lakePath: String,
+                 jdbcUrl: Option[String] = None,
+                 jdbcProps: Map[String, String] = Map.empty): Unit = {
+    val cached = batch.persist()
+    try {
+      val rows = toWarehouseRows(cached).withColumn("_batch_id", lit(batchId))
+      jdbcUrl match {
+        case Some(url) =>
+          val props = new java.util.Properties()
+          jdbcProps.foreach { case (k, v) => props.setProperty(k, v) }
+          rows.write.mode("append").jdbc(url, "vision_detections", props)
+        case None =>
+          rows.write.mode("append").parquet(warehousePath)
+      }
+      // lake leg: vision partitions by year/month/day only (:427-438)
+      cached
+        .withColumn("time", timestamp_millis(col("event_ms")))
+        .withColumn("year", date_format(col("time"), "yyyy"))
+        .withColumn("month", date_format(col("time"), "MM"))
+        .withColumn("day", date_format(col("time"), "dd"))
+        .drop("time")
+        .write.mode("append").partitionBy("year", "month", "day").json(lakePath)
+    } finally cached.unpersist()
+  }
+
+  /** Wire a tracked stream into the dual sink with a processing-time
+    * trigger (W1's 60 s flush analog; tests use shorter). */
+  def start(tracked: Dataset[VisionOut], checkpoint: String,
+            warehousePath: String, lakePath: String,
+            triggerMs: Long = 60000): StreamingQuery =
+    tracked.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch((b: DataFrame, id: Long) => writeBatch(b, id, warehousePath, lakePath))
+      .start()
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Vision stream pipeline (SURVEY §3.2), Spark-first:
+  * frames → synthetic detector (U1) → per-camera stateful tracking
+  * (W4, `flatMapGroupsWithState`) → windowed continuous aggregate (W2)
+  * and dual sink (S8/W9, `foreachBatch`).
+  *
+  * The reference keys by camera and re-parses JSON per record
+  * (flink_vision_job_proper.py:520); here the schema rides in the
+  * Dataset so there's no re-parse, and state is an encodable case class
+  * instead of a pickled Python object.
+  */
+// ---- typed rows ----
+case class DetRaw(detType: String, x1: Int, y1: Int, x2: Int, y2: Int,
+                  age: Option[String] = None, gender: Option[String] = None,
+                  ageConf: Double = 0.0, genderConf: Double = 0.0)
+
+case class FrameDets(cameraId: String, eventMs: Long, detections: Seq[DetRaw])
+
+case class Centroid(x: Int, y: Int)
+
+case class DetOut(object_id: Int, detection_type: String,
+                  x1: Int, y1: Int, x2: Int, y2: Int,
+                  centroid: Centroid, tracking_duration_seconds: Double,
+                  gender: Option[String], gender_confidence: Option[Double],
+                  age: Option[String], age_confidence: Option[Double])
+
+case class VisionOut(camera_id: String, event_ms: Long, total_objects: Int,
+                     detections: Seq[DetOut])
+
+object VisionStreamJob {
+
+  /** W4: the per-camera stateful tracking function. Frames inside a
+    * micro-batch are processed in event-time order (the reference relies
+    * on Kafka per-key arrival order; Spark's group iterator has no
+    * order guarantee, so we sort — deterministic under replay). */
+  def trackFn(cameraId: String, frames: Iterator[FrameDets],
+              state: GroupState[TrackerState]): Iterator[VisionOut] = {
+    var st = state.getOption.getOrElse(TrackerState.empty)
+    val out = frames.toSeq.sortBy(_.eventMs).map { frame =>
+      val dets = frame.detections.toIndexedSeq.map(d =>
+        DetectionIn((d.x1 + d.x2) / 2.0, (d.y1 + d.y2) / 2.0, d.detType,
+          BBox(d.x1, d.y1, d.x2, d.y2), d.age, d.gender, d.ageConf, d.genderConf))
+      st = Tracker.update(st, dets, frame.eventMs)
+      // reference: empty frame → `update` returns {} → emit 0 objects
+      val visible = if (dets.isEmpty) Vector.empty else st.objects
+      val outDets = visible.map { o =>
+        val isPerson = o.objType == "Person"
+        DetOut(o.id, o.objType, o.bbox.x1, o.bbox.y1, o.bbox.x2, o.bbox.y2,
+          Centroid(o.cx.toInt, o.cy.toInt),
+          math.rint((frame.eventMs - o.firstSeenMs) / 100.0) / 10.0,
+          if (isPerson) Some(o.gender.getOrElse("Unknown")) else None,
+          if (isPerson) Some(math.rint(o.genderConf * 100) / 100.0) else None,
+          if (isPerson) Some(o.age.getOrElse("Unknown")) else None,
+          if (isPerson) Some(math.rint(o.ageConf * 100) / 100.0) else None)
+      }
+      VisionOut(cameraId, frame.eventMs, outDets.size, outDets)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Apply tracking to a (streaming or batch) typed Dataset. */
+  def track(frames: Dataset[FrameDets]): Dataset[VisionOut] = {
+    import frames.sparkSession.implicits._
+    frames.groupByKey(_.cameraId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(trackFn)
+  }
+
+  /** U1: deterministic synthetic detector standing in for YOLO (the
+    * image libs aren't shipped; decode is stubbed). Detection count and
+    * positions derive from a hash of (camera, frame) — stable across
+    * runs. Heavy init would go in the mapPartitions setup (open()
+    * analog). */
+  def syntheticDetect(frames: DataFrame): Dataset[FrameDets] = {
+    import frames.sparkSession.implicits._
+    frames.select(col("camera_id"), col("timestamp"), col("frame_number"),
+        col("frame_data"))
+      .as[(String, String, Long, String)]
+      .mapPartitions { it =>
+        // per-partition "model load" happens here (amortized, like open())
+        it.map { case (cam, ts, frameNo, frameData) =>
+          val eventMs = java.time.LocalDateTime.parse(ts)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          val valid = frameData != null && frameData.nonEmpty
+          val n = if (!valid) 0 else (math.abs((cam + frameNo).hashCode) % 4)
+          val dets = (0 until n).map { d =>
+            val x = 50 + d * 150 + (frameNo % 50).toInt * 8
+            val y = 80 + d * 90 + (frameNo % 50).toInt * 5
+            DetRaw(if (d % 2 == 0) "Person" else "Car", x, y, x + 60, y + 120)
+          }
+          FrameDets(cam, eventMs, dets)
+        }
+      }
+  }
+
+  /** W2: the 1-minute continuous aggregate (traffic_1min analog,
+    * init-timescaledb.sql:50-68) with the ~2-minute lateness the
+    * refresh policy implies. Works on the tracked output. */
+  def continuousAgg(tracked: Dataset[VisionOut], withWatermark: Boolean = true): DataFrame = {
+    val d0 = tracked.toDF()
+      .withColumn("time", timestamp_millis(col("event_ms")))
+      .withColumn("det", explode_outer(col("detections")))
+    val d = if (withWatermark) d0.withWatermark("time", "2 minutes") else d0
+    d.groupBy(window(col("time"), "1 minute").as("bucket"), col("camera_id"))
+      .agg(count(col("det")).as("detection_count"),
+        approx_count_distinct(col("det.object_id")).as("unique_objects"),
+        avg(col("det.tracking_duration_seconds")).as("avg_duration"))
+      .select(col("bucket.start").as("bucket"), col("camera_id"),
+        col("detection_count"), col("unique_objects"), col("avg_duration"))
+  }
+}

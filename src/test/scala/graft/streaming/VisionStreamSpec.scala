@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class VisionStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two cameras, objects drifting 8px/frame rightward — always within
+    * the 50px gate, so each camera keeps stable ids. */
+  private def mkFrames(n: Int): Seq[FrameDets] =
+    (0 until n).flatMap { i =>
+      Seq("CAM_01", "CAM_02").map { cam =>
+        val base = if (cam == "CAM_01") 0 else 300
+        val dets = Seq(
+          DetRaw("Person", base + i * 8, 80 + i * 5, base + i * 8 + 60, 200 + i * 5),
+          DetRaw("Car", base + 150 + i * 8, 170 + i * 5, base + 210 + i * 8, 290 + i * 5))
+        FrameDets(cam, 1700000000000L + i * 500L, dets)
+      }
+    }
+
+  test("batch track: stable ids per camera, durations grow with event time") {
+    val out = VisionStreamJob.track(mkFrames(10).toDS()).collect()
+      .sortBy(o => (o.camera_id, o.event_ms))
+    assert(out.length == 20)
+    val cam1 = out.filter(_.camera_id == "CAM_01")
+    // same two ids across all frames (tracked, not re-registered)
+    assert(cam1.flatMap(_.detections.map(_.object_id)).toSet == Set(0, 1))
+    // duration of last frame = 9 * 0.5s = 4.5s
+    assert(cam1.last.detections.map(_.tracking_duration_seconds).toSet == Set(4.5))
+    // Person rows carry demographics defaults; Car rows don't
+    val person = cam1.head.detections.find(_.detection_type == "Person").get
+    assert(person.gender.contains("Unknown") && person.age.contains("Unknown"))
+    val car = cam1.head.detections.find(_.detection_type == "Car").get
+    assert(car.gender.isEmpty && car.age.isEmpty)
+  }
+
+  test("streaming track over MemoryStream: state persists across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FrameDets]
+    val q = VisionStreamJob.track(mem.toDS()).writeStream
+      .format("memory").queryName("tracked").outputMode("append").start()
+    try {
+      val frames = mkFrames(10)
+      mem.addData(frames.take(8): _*)  // frames 0-3 of each camera
+      q.processAllAvailable()
+      mem.addData(frames.drop(8): _*)  // frames 4-9 — state must carry
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT camera_id, event_ms, total_objects FROM tracked").collect()
+      assert(rows.length == 20)
+      // ids survived the batch boundary: no re-registration (ids stay 0/1)
+      val ids = spark.sql("SELECT explode(detections.object_id) FROM tracked WHERE camera_id='CAM_01'")
+        .collect().map(_.getInt(0)).toSet
+      assert(ids == Set(0, 1), s"ids=$ids")
+    } finally q.stop()
+  }
+
+  test("streaming equals batch on the same input") {
+    implicit val sqlCtx = spark.sqlContext
+    val frames = mkFrames(6)
+    val batch = VisionStreamJob.track(frames.toDS()).collect().toSet
+    val mem = MemoryStream[FrameDets]
+    val q = VisionStreamJob.track(mem.toDS()).writeStream
+      .format("memory").queryName("tracked_eq").outputMode("append").start()
+    try {
+      frames.grouped(5).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      val streamed = spark.table("tracked_eq").as[VisionOut].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("synthetic detector: deterministic, guards missing frame_data") {
+    import graft.generator.Generator
+    val frames = Seq(
+      ("CAM_01", "2025-12-30T14:00:00", 1L, "b64data"),
+      ("CAM_01", "2025-12-30T14:00:01", 2L, ""),
+      ("CAM_02", "2025-12-30T14:00:00", 1L, "b64data"))
+      .toDF("camera_id", "timestamp", "frame_number", "frame_data")
+    val a = VisionStreamJob.syntheticDetect(frames).collect()
+    val b = VisionStreamJob.syntheticDetect(frames).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.find(_.eventMs == 1767103201000L).get.detections.isEmpty) // empty frame_data -> no dets
+  }
+
+  test("continuous 1-min aggregate (batch mode) counts per bucket/camera") {
+    // 10 frames at 0.5s cadence => all in one minute bucket
+    val tracked = VisionStreamJob.track(mkFrames(10).toDS())
+    val agg = VisionStreamJob.continuousAgg(tracked, withWatermark = false)
+      .orderBy("bucket", "camera_id").collect()
+    assert(agg.length == 2)
+    agg.foreach { r =>
+      assert(r.getLong(2) == 20)      // 2 dets * 10 frames
+      assert(r.getLong(3) == 2)       // 2 unique objects (approx, exact at this card.)
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
+  test("dual sink: warehouse parquet + y/m/d lake from one stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("dualsink").toString
+    val mem = MemoryStream[FrameDets]
+    val q = DualSink.start(VisionStreamJob.track(mem.toDS()),
+      s"$root/ckpt", s"$root/warehouse", s"$root/lake", triggerMs = 100)
+    try {
+      mem.addData(mkFrames(6): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val wh = spark.read.parquet(s"$root/warehouse")
+    assert(wh.count() == 24) // 6 frames * 2 cams * 2 dets
+    assert(wh.columns.contains("_batch_id"))
+    assert(new java.io.File(s"$root/lake/year=2023/month=11/day=14").exists()
+      || new java.io.File(s"$root/lake").listFiles().exists(_.getName.startsWith("year=")))
+    val lake = spark.read.json(s"$root/lake")
+    assert(lake.count() == 12)
+  }
+}
