@@ -248,6 +248,79 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(20)
+    }),
+
+    // Dedup: MinHash+LSH near-dup pairs at the production threshold.
+    // The synthetic corpus has no real near-dups, so the query injects
+    // deterministic ones (docs 0-4 cloned at id+100000 with two words
+    // appended) — the detector must find exactly those five pairs.
+    // Rows-only check: xxhash64 is Spark-specific.
+    "q22_minhash_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val clones = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" appended words")).as("text"))
+      graft.operators.Dedup.minhashDedup(docs.union(clones),
+          "doc_id", "text", threshold = 0.8, numHashes = 128, bands = 16)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Dedup: per-document 64-bit SimHash fingerprints (rows-only).
+    "q23_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.operators.Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Similarity: exact brute-force cosine top-k against vec 0's
+    // embedding (oracle via DuckDB list_cosine_similarity).
+    "q24_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect().head.getSeq[Float](0)
+      graft.operators.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 10)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
+    // Similarity: k-NN join, 5 query vectors × top-5 neighbors.
+    "q25_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.knnJoin(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Text: stopword-argmax language ID distribution.
+    "q26_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(Text.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")
+    }),
+
+    // Text: quality-score distribution per source.
+    "q27_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(round(avg(Text.qualityScore(col("text"))), 4).as("avg_quality"),
+          round(min(Text.qualityScore(col("text"))), 4).as("min_quality"),
+          count(lit(1)).as("n"))
+        .orderBy("source")
+    }),
+
+    // Multimodal: magic-byte format sniffing over binary media columns
+    // (JPEG/PNG headers synthesized deterministically from doc parity).
+    "q28_media_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("content", concat(
+          when(col("doc_id") % 2 === 0, unhex(lit("FFD8FFE0")))
+            .otherwise(unhex(lit("89504E470D0A1A0A"))),
+          encode(col("text"), "UTF-8")))
+        .select(col("doc_id").as("media_id"),
+          length(col("content")).as("n_bytes"),
+          graft.operators.Multimodal.sniffFormat(col("content")).as("format"))
+        .orderBy("media_id")
     })
   )
 
@@ -414,6 +487,48 @@ object SparkEntry {
            SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
                                      x -> length(x) > 0)) AS word
            FROM documents)
-         GROUP BY word ORDER BY n DESC, word LIMIT 20"""
+         GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+
+    "q24_knn_brute" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, round(CAST(list_cosine_similarity(embedding, qv) AS DOUBLE), 4) AS cosine
+         FROM embeddings, q
+         ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id LIMIT 10""",
+
+    "q25_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS corpus_id,
+                  round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS cosine,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 6) DESC, e.vec_id)
+                    AS rank
+           FROM embeddings e JOIN q ON e.vec_id != q.query_id)
+         SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
+         FROM scored WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q26_langid" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS tk
+           FROM documents),
+         hits AS (
+           SELECT
+             length(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS en,
+             length(list_filter(tk, x -> x IN ('le','la','les','de','des','du','et','ou','un','une','est','que','qui','dans','pour','sur','avec','au','ce','pas'))) AS fr,
+             length(list_filter(tk, x -> x IN ('der','die','das','und','oder','ein','eine','ist','zu','den','von','mit','auf','für','im','nicht','sich','dem','sie','werden'))) AS de,
+             length(list_filter(tk, x -> x IN ('el','la','los','las','de','y','o','un','una','es','que','en','por','para','con','no','se','del','al','como'))) AS es
+           FROM toks)
+         SELECT CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+                     WHEN en = greatest(en, fr, de, es) THEN 'en'
+                     WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+                     WHEN de = greatest(en, fr, de, es) THEN 'de'
+                     ELSE 'es' END AS lang_pred, count(1) AS n
+         FROM hits GROUP BY 1 ORDER BY lang_pred""",
+
+    "q28_media_meta" ->
+      """SELECT doc_id AS media_id,
+                CAST(4 * (1 - (doc_id % 2)) + 8 * (doc_id % 2) + octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS format
+         FROM documents ORDER BY media_id"""
   )
 }

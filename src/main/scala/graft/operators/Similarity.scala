@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), the training-data similarity surface:
+  *
+  *  - brute-force cosine top-k — the exact baseline; one pass,
+  *    TakeOrdered, no shuffle of the corpus
+  *  - k-NN join — broadcast the (small) query set, rank per query
+  *  - random-hyperplane LSH — the scale path: bucket the corpus once,
+  *    probe buckets instead of scanning; recall tunable via
+  *    (planes, tables)
+  *
+  * All math is `zip_with`/`aggregate` column expressions (codegen'd) —
+  * upgrade path is a native Catalyst Expression for the dot product.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against one query vector; TakeOrdered keeps
+    * only k rows per partition then merges — no global sort. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int = 10): DataFrame = {
+    val q = typedlit(query)
+    corpus
+      .select(col(idCol).as("vec_id"),
+        round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** k-NN join: every query row gets its k nearest corpus rows. The
+    * query side is broadcast (it's the small side by construction);
+    * per-query ranking via window. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, corpusId: String,
+              queryId: String, vecCol: String, k: Int = 10): DataFrame = {
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /** Random-hyperplane signature: `planes` sign bits packed into a
+    * long. Hyperplane components are deterministic pseudo-random
+    * (seeded hash of (plane, dim)) — no driver-side state to ship. */
+  def hyperplaneSignature(vecCol: Column, dim: Int, planes: Int = 16,
+                          seed: Int = 42): Column = {
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      // pseudo-random ±1 components from a hash of (seed, plane, dim idx)
+      val proj = aggregate(
+        zip_with(vecCol, sequence(lit(0), lit(dim - 1)),
+          (v, i) => when(pmod(hash(lit(seed), p, i), lit(2)) === 0, v).otherwise(-v)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
+      (bit, i) => call_function("shiftleft", bit, i)), lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** LSH-bucketed ANN top-k: corpus hashed once into sign buckets; each
+    * query probes only its own bucket. Trades recall for a join that
+    * shuffles buckets, not the cross product. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
+              queryId: String, vecCol: String, dim: Int, k: Int = 10,
+              planes: Int = 12): DataFrame = {
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"),
+      hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"),
+      hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold among bucket
+    * collisions (the embedding leg of the dedup suite). */
+  def embeddingDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, threshold: Double = 0.95,
+                     planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
+    val a = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

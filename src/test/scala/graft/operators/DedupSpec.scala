@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 20 real docs + injected duplicates:
+    * 1000 = near-copy of doc 0 (2 words changed)
+    * 1001 = exact copy of doc 1
+    * 1002 = case/punctuation variant of doc 2
+    */
+  private lazy val corpus = {
+    val base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text").filter($"doc_id" < 20)
+    val rows = base.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val words = rows(0).split(" ")
+    val nearDup = (words.take(words.length - 2) :+ "changed" :+ "words").mkString(" ")
+    val injected = Seq(
+      (1000L, nearDup),
+      (1001L, rows(1)),
+      (1002L, rows(2).toUpperCase + "!!!")).toDF("doc_id", "text")
+    base.union(injected).cache()
+  }
+
+  test("exact dedup finds the verbatim copy only") {
+    val d = Dedup.exact(corpus, "doc_id", "text").filter($"n_copies" > 1).collect()
+    assert(d.length == 1)
+    assert(d.head.getLong(1) == 1L && d.head.getLong(2) == 2L) // keeper=1, copies=2
+  }
+
+  test("normalized dedup additionally catches the case/punct variant") {
+    val d = Dedup.normalized(corpus, "doc_id", "text").filter($"n_copies" > 1)
+      .orderBy("keeper").collect()
+    assert(d.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash signature estimates true shingle jaccard within 0.15") {
+    val est = corpus.filter($"doc_id".isin(0, 1000))
+      .agg(collect_list(struct($"doc_id", Dedup.minhashSignature($"text"))))
+      .collect() // just force compute; real check below via similarity column
+    val pair = corpus.filter($"doc_id" === 0).select($"text".as("ta"))
+      .crossJoin(corpus.filter($"doc_id" === 1000).select($"text".as("tb")))
+      .select(
+        Dedup.minhashSimilarity(
+          Dedup.minhashSignature($"ta"), Dedup.minhashSignature($"tb")).as("est"),
+        (size(array_intersect(graft.functions.Text.shingles($"ta", 5),
+          graft.functions.Text.shingles($"tb", 5))).cast("double") /
+          size(array_union(graft.functions.Text.shingles($"ta", 5),
+            graft.functions.Text.shingles($"tb", 5)))).as("true_j"))
+      .collect().head
+    val (est2, truth) = (pair.getDouble(0), pair.getDouble(1))
+    assert(truth > 0.8, s"fixture near-dup jaccard=$truth")
+    assert(math.abs(est2 - truth) < 0.15, s"est=$est2 true=$truth")
+  }
+
+  test("minhash+LSH dedup finds near-dup and exact pairs, no false positives") {
+    val pairs = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.8)
+      .orderBy("doc_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // shingles are over NORMALIZED text, so the case/punct variant of
+    // doc 2 is a (full-jaccard) near-dup too
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((0L, 1000L), (1L, 1001L), (2L, 1002L)))
+    assert(pairs.find(_._1 == 1).get._3 == 1.0) // exact copy: jaccard 1
+  }
+
+  test("simhash: exact copy distance 0, near-dup within radius, others far") {
+    val sigs = corpus.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(1001L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1000L)) <= 6, s"near-dup hamming=${ham(sigs(0L), sigs(1000L))}")
+    // unrelated docs are far apart
+    assert(ham(sigs(3L), sigs(4L)) > 10)
+  }
+
+  test("simhash LSH pair search finds the exact copy via pigeonhole bands") {
+    val pairs = Dedup.simhashDedup(corpus, "doc_id", "text", radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 1001L)))
+  }
+
+  test("ngram jaccard catches near-dup; plans contain no cartesian product") {
+    val pairs = Dedup.ngramJaccard(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1000L)) && pairs.contains((1L, 1001L)))
+    val plan = Dedup.ngramJaccard(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "ngram join must be an equi-join")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+  private lazy val dim = 64
+
+  private def vecOf(id: Long): Seq[Float] =
+    emb.filter($"vec_id" === id).select("embedding")
+      .collect().head.getSeq[Float](0)
+
+  test("brute-force top-k: query vector ranks itself first with cosine 1") {
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", vecOf(0), k = 10)
+      .collect()
+    assert(top.length == 10)
+    assert(top.head.getLong(0) == 0L && math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sliding(2).forall(p => p(0) >= p(1)), "descending order")
+  }
+
+  test("brute-force matches a driver-side exact computation") {
+    val q = vecOf(0).map(_.toDouble).toArray
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = all.map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding", vecOf(0), k = 5)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("knn join: every query gets k ranked neighbors, self excluded") {
+    val queries = emb.filter($"vec_id".isin(0, 1, 2))
+    val knn = Similarity.knnJoin(emb, queries, "vec_id", "vec_id", "embedding", k = 5)
+      .collect()
+    assert(knn.length == 15)
+    assert(!knn.exists(r => r.getLong(0) == r.getLong(1)), "self excluded")
+    val byQuery = knn.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val ranked = rows.sortBy(_.getInt(3))
+      assert(ranked.map(_.getInt(3)).toSeq == (1 to 5))
+      val sims = ranked.map(_.getDouble(2))
+      assert(sims.sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("knn join broadcast: plan broadcasts the query side") {
+    val queries = emb.filter($"vec_id".isin(0, 1, 2))
+    val plan = Similarity.knnJoin(emb, queries, "vec_id", "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "query side must broadcast")
+  }
+
+  test("LSH top-k: results agree with direct cosine; candidates share buckets") {
+    val queries = emb.filter($"vec_id".isin(0, 1, 2, 3, 4))
+    val got = Similarity.lshTopK(emb, queries, "vec_id", "vec_id", "embedding",
+      dim, k = 5, planes = 4).collect()
+    assert(got.nonEmpty, "4 planes / 16 buckets over 500 vectors must collide")
+    // every reported cosine matches an independent computation
+    val cache = collection.mutable.Map.empty[Long, Array[Double]]
+    def v(id: Long) = cache.getOrElseUpdate(id, vecOf(id).map(_.toDouble).toArray)
+    got.foreach { r =>
+      val (qid, cid, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val a = v(qid); val b = v(cid)
+      val d = a.zip(b).map(p => p._1 * p._2).sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(d - c) < 1e-4, s"cosine($qid,$cid)")
+    }
+  }
+
+  test("embedding dedup finds an injected near-duplicate vector") {
+    val v0 = vecOf(0)
+    val dup = v0.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val withDup = emb.select("vec_id", "embedding")
+      .union(Seq((9999L, dup)).toDF("vec_id", "embedding"))
+    val pairs = Similarity.embeddingDedup(withDup, "vec_id", "embedding", dim,
+      threshold = 0.99, planes = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 9999L)), s"pairs=${pairs.toSeq}")
+  }
+}
