@@ -2,19 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
 /** Benchmark main — driver contract: runs the query battery on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…}.
   *
   * local[32] + 32 shuffle partitions (match cores, not the 200
   * default). Each query is forced with count() after a session-wide
-  * codegen warm-up. Set BENCH_EXPLAIN=1 to dump formatted plans to
-  * stderr for plan inspection.
+  * codegen warm-up, under a per-query wall-clock cap
+  * (SPARK_GRAFT_QUERY_TIMEOUT_SEC, default 120 s): on timeout the
+  * query's Spark jobs are cancelled via its job group, -1.0 is
+  * recorded, and the run continues — one pathological query can never
+  * eat the whole bench budget again (round-1 rc=124 lesson). The JSON
+  * line is always printed. Set BENCH_EXPLAIN=1 to dump formatted plans
+  * to stderr for plan inspection.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -25,19 +33,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val explain = sys.env.get("BENCH_EXPLAIN").contains("1")
+    val pool = Executors.newCachedThreadPool()
 
     // warm-up: JIT + codegen + parquet footer caches
     SparkEntry.queries.get("q04_lineitem_agg").foreach(f => f(spark, sfDir).count())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try {
-        val df = fn(spark, sfDir)
-        if (explain) System.err.println(s"=== $name ===\n" + df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-        df.count(); true
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val fut = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          val df = fn(spark, sfDir)
+          if (explain) System.err.println(s"=== $name ===\n" + df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          df.count(); true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        } finally spark.sparkContext.clearJobGroup()
+      })
+      val ok = try fut.get(timeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          System.err.println(s"[bench] $name timed out after ${timeoutSec}s — cancelling")
+          spark.sparkContext.cancelJobGroup(name)
+          fut.cancel(true)
+          false
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -1.0)
@@ -45,6 +67,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    pool.shutdownNow()
     spark.stop()
+    sys.exit(0)
   }
 }

@@ -6,19 +6,22 @@ import graft.functions.Text
 
 /** Large-scale document deduplication operators (the LLM-training-data
   * pipeline surface; see PAPERS.md for the published MinHash/SimHash
-  * background). Everything is composed from built-in codegen'd
-  * expressions + shuffles on bucket keys — the shapes that survive
-  * 100 TB:
+  * background). Plan shapes that survive 100 TB:
   *
   *  - exact:     one hash-shuffle on a 128-bit digest
-  *  - MinHash:   signatures computed in a single projection (no UDF);
+  *  - MinHash:   one single-pass JVM sketch per doc ([[Sketches]]);
   *               LSH banding turns all-pairs into per-bucket joins
   *  - SimHash:   64-bit fingerprint + pigeonhole banding for radius-k
   *               Hamming search
   *  - n-gram:    exact Jaccard verification for candidate pairs only
   *
   * All-pairs verification never happens: candidates come from bucket
-  * joins, so the shuffle is proportional to collisions, not n².
+  * joins, so the shuffle is proportional to collisions, not n². The
+  * sketch computation is a Scala UDF rather than higher-order-function
+  * Columns: Spark HOFs evaluate as interpreted CodegenFallback and
+  * re-materialize nested array subtrees per lambda (the round-1
+  * 771.9 s/505-doc incident); one JVM pass is ~10^4× cheaper and stays
+  * fully distributed (per-row function, no driver involvement).
   */
 object Dedup {
 
@@ -36,13 +39,20 @@ object Dedup {
 
   // ---------------------------------------------------------- MinHash
 
-  /** MinHash signature column: `numHashes` permutations approximated by
-    * seeded xxhash64 (standard practice); one array column, computed in
-    * a single codegen'd projection over the shingle set. */
+  /** Scala-UDF sketch column: struct(sig, bands, shingles), one JVM pass
+    * per document. Coefficient tables are closed over (serialized to
+    * executors once per task, not per row). */
+  private def sketchCol(textCol: Column, numHashes: Int, bands: Int, shingleK: Int): Column = {
+    val (as, bs) = Sketches.coefficients(numHashes)
+    udf((text: String) => Sketches.sketch(text, shingleK, bands, as, bs)).apply(textCol)
+  }
+
+  /** MinHash signature column: `numHashes` universal-hash permutations
+    * over the hashed shingle set, computed in one pass per document. */
   def minhashSignature(textCol: Column, numHashes: Int = 128, shingleK: Int = 5): Column = {
-    val sh = Text.shingles(textCol, shingleK)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+    val (as, bs) = Sketches.coefficients(numHashes)
+    udf((text: String) =>
+      Sketches.signature(Sketches.shingleHashes(text, shingleK), as, bs)).apply(textCol)
   }
 
   /** Estimated Jaccard from two signatures (fraction of agreeing
@@ -52,47 +62,62 @@ object Dedup {
       .cast("double") / size(sigA)
 
   /** LSH banding: one row per (band_id, band_hash) per doc. Docs sharing
-    * any band bucket are candidate pairs — P(collision) ≈ 1-(1-s^r)^b. */
+    * any band bucket are candidate pairs — P(collision) ≈ 1-(1-s^r)^b.
+    * Band keys come from the sketch kernel (signature already folded);
+    * the signature rides along for similarity estimation. */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5): DataFrame = {
-    val r = numHashes / bands
+                 numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
-      .select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_", slice(col("sig"), b * lit(r) + 1, lit(r))), b))))
+        sketchCol(col(textCol), numHashes, bands, shingleK).as("mh"))
+      .select(col("doc_id"), col("mh.sig").as("sig"), posexplode(col("mh.bands")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
-  }
 
   /** Candidate pairs from shared LSH buckets (doc_a < doc_b), deduped
-    * across bands, with MinHash-estimated Jaccard attached. */
+    * across bands, with MinHash-estimated Jaccard attached. The band
+    * self-join carries ids only (keeps the shuffle narrow); signatures
+    * join back onto the deduped pair set. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, bands: Int = 16,
                         shingleK: Int = 5): DataFrame = {
-    val b = lshBuckets(df, idCol, textCol, numHashes, bands, shingleK)
-    val a = b.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val c = b.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(c, Seq("band_id", "band_hash"))
+    val sk = df.select(col(idCol).as("doc_id"),
+      sketchCol(col(textCol), numHashes, bands, shingleK).as("mh"))
+    val banded = sk.select(col("doc_id"), posexplode(col("mh.bands")))
+      .toDF("doc_id", "band_id", "band_hash")
+    val pairs = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sigs = sk.select(col("doc_id"), col("mh.sig").as("sig"))
+    pairs
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         minhashSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .groupBy("doc_a", "doc_b")
-      .agg(first("est_jaccard").as("est_jaccard"))
   }
 
-  /** Full MinHash+LSH near-dup detection with exact n-gram-set Jaccard
-    * verification of candidates. Returns pairs ≥ threshold. */
+  /** Full MinHash+LSH near-dup detection with exact shingle-set Jaccard
+    * verification of candidates. Returns pairs ≥ threshold. Verification
+    * compares distinct hashed-shingle sets (identical to string-set
+    * Jaccard up to 64-bit collisions) and touches only docs that appear
+    * in a candidate pair — never the full corpus cross product. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numHashes: Int = 128,
                    bands: Int = 16, shingleK: Int = 5): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK)
-    val sh = df.select(col(idCol).as("id"), Text.shingles(col(textCol), shingleK).as("sh"))
-    cands
-      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val sk = df.select(col(idCol).as("doc_id"),
+      sketchCol(col(textCol), numHashes, bands, shingleK).as("mh"))
+    val banded = sk.select(col("doc_id"), posexplode(col("mh.bands")))
+      .toDF("doc_id", "band_id", "band_hash")
+    val pairs = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sh = sk.select(col("doc_id"), col("mh.shingles").as("sh"))
+    pairs
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -103,17 +128,13 @@ object Dedup {
   // ---------------------------------------------------------- SimHash
 
   /** 64-bit SimHash fingerprint over whitespace tokens: per-bit
-    * majority vote of token hashes. Pure columns; the per-token hash is
-    * computed once and reused across all 64 bit tests. */
-  def simhash(textCol: Column): Column = {
-    val hashes = transform(Text.tokens(textCol), t => xxhash64(t))
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(hashes, lit(0),
-        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
-        lit(1L)).otherwise(lit(0L)))
-    aggregate(zip_with(bits, sequence(lit(0), lit(63)), (bit, i) => call_function("shiftleft", bit, i)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * majority vote of token hashes. Single JVM pass per document
+    * ([[Sketches.simhash]]): each token is hashed exactly once and all
+    * 64 bit-counters update from that hash — the round-1 Column version
+    * re-evaluated the token-hash array inside each of the 64 per-bit
+    * lambdas plus a second packing pass. */
+  def simhash(textCol: Column): Column =
+    udf((text: String) => Sketches.simhash(text)).apply(textCol)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -9,13 +8,18 @@ import org.apache.spark.sql.functions._
   *
   *  - brute-force cosine top-k — the exact baseline; one pass,
   *    TakeOrdered, no shuffle of the corpus
-  *  - k-NN join — broadcast the (small) query set, rank per query
+  *  - k-NN join — broadcast the (small) query set, rank per query via a
+  *    bounded top-k aggregate ([[TopK]]) with map-side partial combine,
+  *    NOT a window (a window funnels all Q·N scored rows into one
+  *    partition per query — the round-1 skew ceiling)
   *  - random-hyperplane LSH — the scale path: bucket the corpus once,
   *    probe buckets instead of scanning; recall tunable via
-  *    (planes, tables)
+  *    (planes, tables) with multi-table OR-amplification
   *
-  * All math is `zip_with`/`aggregate` column expressions (codegen'd) —
-  * upgrade path is a native Catalyst Expression for the dot product.
+  * Vector math is `zip_with`/`aggregate` column expressions — these
+  * evaluate as interpreted CodegenFallback (NOT whole-stage codegen);
+  * fine for the dimensionalities here, and the upgrade path at 100 TB
+  * is a native Catalyst Expression with `doGenCode` for the dot product.
   */
 object Similarity {
 
@@ -39,20 +43,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Turn a grouped top-k array back into ranked rows
+    * (query_id, corpus_id, cosine, rank). */
+  private def explodeRanked(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("corpus_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+
   /** k-NN join: every query row gets its k nearest corpus rows. The
     * query side is broadcast (it's the small side by construction);
-    * per-query ranking via window. */
+    * per-query ranking via bounded top-k partial aggregation — the
+    * shuffle carries ≤ k rows per (partition, query), not the full
+    * scored cross product. */
   def knnJoin(corpus: DataFrame, queries: DataFrame, corpusId: String,
               queryId: String, vecCol: String, k: Int = 10): DataFrame = {
     val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"))
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+    explodeRanked(
+      scored.groupBy("query_id")
+        .agg(TopK.topK(k)(col("corpus_id"), col("cosine")).as("top")))
   }
 
   /** Random-hyperplane signature: `planes` sign bits packed into a
@@ -74,7 +86,8 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: corpus hashed once into sign buckets; each
     * query probes only its own bucket. Trades recall for a join that
-    * shuffles buckets, not the cross product. */
+    * shuffles buckets, not the cross product. Ranking via bounded top-k
+    * aggregation (same scale rationale as [[knnJoin]]). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
               queryId: String, vecCol: String, dim: Int, k: Int = 10,
               planes: Int = 12): DataFrame = {
@@ -85,24 +98,35 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+    explodeRanked(
+      scored.groupBy("query_id")
+        .agg(TopK.topK(k)(col("corpus_id"), col("cosine")).as("top")))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold among bucket
-    * collisions (the embedding leg of the dedup suite). */
+    * collisions, with multi-table OR-amplification (the embedding leg
+    * of the dedup suite). A single sign-LSH table caps recall and — at
+    * 2^planes global buckets — goes quadratic inside giant buckets at
+    * scale (round-1 verdict #5); `tables` independent, differently
+    * seeded tables multiply recall (P ≈ 1-(1-p)^T) while `planes` keeps
+    * each bucket narrow. Candidate ids are deduped across tables before
+    * the exact cosine verification join. */
   def embeddingDedup(corpus: DataFrame, idCol: String, vecCol: String,
                      dim: Int, threshold: Double = 0.95,
-                     planes: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
-    val a = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
+                     planes: Int = 12, tables: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sigs = (0 until tables).map(t =>
+      hyperplaneSignature(col("vec"), dim, planes, seed = 42 + 7919 * t))
+    val banded = c.select(col("id"), posexplode(array(sigs: _*)))
+      .toDF("id", "table_id", "bucket")
+    val pairs = banded.select(col("table_id"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("table_id"), col("bucket"), col("id").as("id_b")),
+        Seq("table_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(c.toDF("id_a", "vec_a"), "id_a")
+      .join(c.toDF("id_b", "vec_b"), "id_b")
       .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

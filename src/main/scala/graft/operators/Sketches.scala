@@ -1,0 +1,172 @@
+package graft.operators
+
+/** Pure-JVM sketch kernels for MinHash and SimHash.
+  *
+  * Why not Column higher-order functions: Spark evaluates HOFs
+  * (`transform`/`aggregate`) as interpreted CodegenFallback expressions,
+  * and nesting the shingle pipeline inside a 128-lambda `transform`
+  * re-materializes the shingle array once per lambda — measured 771.9 s
+  * for 505 docs in round 1. A single JVM pass per document computes the
+  * same sketch in ~60 µs: hash each shingle window once, then derive all
+  * 128 signature slots with universal hashing (`a_i*h + b_i` running
+  * minima). The Spark surface stays a `Column` (Scala UDF) so the
+  * operators remain declarative and composable.
+  *
+  * Reference semantics: near-duplicate detection over documents — the
+  * LLM-training-data extension of the reference pipeline (see PAPERS.md
+  * for the published MinHash/SimHash background).
+  */
+object Sketches {
+
+  /** Sketch of one document: MinHash signature, LSH band hashes, and
+    * the distinct hashed shingle set (for exact Jaccard verification). */
+  final case class MinHashSketch(sig: Array[Long], bands: Array[Long], shingles: Array[Long])
+
+  /** splitmix64 finalizer — stateless 64-bit avalanche mix. */
+  @inline private[operators] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over a char window, avalanched. */
+  @inline private def hashChars(s: CharSequence, off: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = off
+    val end = off + len
+    while (i < end) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Same normalization as [[graft.functions.Text.normalizeText]]:
+    * lowercase, strip ASCII punctuation, collapse whitespace runs to a
+    * single space, trim. One pass, no regex. */
+  def normalize(text: String): String = {
+    if (text == null) return ""
+    val sb = new java.lang.StringBuilder(text.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < text.length) {
+      val c = Character.toLowerCase(text.charAt(i))
+      val isPunct = (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+        (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+      if (Character.isWhitespace(c)) pendingSpace = true
+      else if (!isPunct) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Distinct hashed character k-shingles of the normalized text. Each
+    * window is hashed exactly once (the round-1 fix). Short texts
+    * (< k chars) hash as a single whole-string shingle, matching
+    * `Text.shingles`. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val norm = normalize(text)
+    if (norm.length < k) return Array(hashChars(norm, 0, norm.length))
+    val n = norm.length - k + 1
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    val out = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val h = hashChars(norm, i, k)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** Universal-hash coefficient tables (a_i odd multiplier, b_i offset),
+    * deterministic per slot index. */
+  def coefficients(numHashes: Int): (Array[Long], Array[Long]) = (
+    Array.tabulate(numHashes)(i => mix64(0xa5a5a5a500000000L + i) | 1L),
+    Array.tabulate(numHashes)(i => mix64(0x5a5a5a5a00000000L - i)))
+
+  /** MinHash signature: slot_i = min_j (a_i * h_j + b_i) in the 2^64
+    * ring — one pass over the shingle hashes, all minima maintained
+    * simultaneously. Empty shingle sets yield Long.MaxValue slots. */
+  def signature(shingles: Array[Long], as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val numHashes = as.length
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < shingles.length) {
+      val h = shingles(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = as(i) * h + bs(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** LSH band hashes: fold each r-slot row of the signature into one
+    * 64-bit bucket key, salted by band index. */
+  def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
+    val r = sig.length / bands
+    val bh = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = mix64(b.toLong)
+      var i = b * r
+      val end = (b + 1) * r
+      while (i < end) { h = mix64(h ^ sig(i)); i += 1 }
+      bh(b) = h
+      b += 1
+    }
+    bh
+  }
+
+  /** Full sketch for one document. */
+  def sketch(text: String, k: Int, bands: Int,
+             as: Array[Long], bs: Array[Long]): MinHashSketch = {
+    val sh = shingleHashes(text, k)
+    val sig = signature(sh, as, bs)
+    MinHashSketch(sig, bandHashes(sig, bands), sh)
+  }
+
+  /** 64-bit SimHash over lowercase whitespace tokens: per-bit majority
+    * vote of token hashes, computed in one pass (each token hashed once,
+    * all 64 bit-counters updated from that hash). Matches the
+    * tokenization of [[graft.functions.Text.tokens]]. */
+  def simhash(text: String): Long = {
+    if (text == null) return 0L
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      var h = 0xcbf29ce484222325L
+      while (i < n && !Character.isWhitespace(text.charAt(i))) {
+        h ^= Character.toLowerCase(text.charAt(i)).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      if (i > start) {
+        val th = mix64(h)
+        var b = 0
+        while (b < 64) {
+          if (((th >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

@@ -77,6 +77,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn join plan: bounded top-k aggregate, no per-query window exchange") {
+    val queries = emb.filter($"vec_id".isin(0, 1, 2))
+    val plan = Similarity.knnJoin(emb, queries, "vec_id", "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "per-query window rank funnels all scored rows to one partition per query")
+    assert(plan.contains("ObjectHashAggregate"),
+      "top-k must plan as a partial (map-side combine) aggregate")
+    // partial_topkaggregator before the exchange = map-side combine
+    assert(plan.toLowerCase.contains("partial_topkaggregator"),
+      "aggregate must run in partial mode before the shuffle")
+  }
+
+  test("embedding dedup multi-table OR-amplification finds all injected near-dups") {
+    val dups = (0 until 5).map { j =>
+      val v = vecOf(j.toLong)
+      (9990L + j, v.zipWithIndex.map { case (x, i) => if (i == j) x + 0.01f else x })
+    }
+    val withDups = emb.select("vec_id", "embedding")
+      .union(dups.toDF("vec_id", "embedding"))
+    val pairs = Similarity.embeddingDedup(withDups, "vec_id", "embedding", dim,
+      threshold = 0.99).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { j =>
+      assert(pairs.contains((j.toLong, 9990L + j)), s"missing pair $j")
+    }
+  }
+
   test("embedding dedup finds an injected near-duplicate vector") {
     val v0 = vecOf(0)
     val dup = v0.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
