@@ -309,6 +309,33 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // A9: MAP<STRING,INT> merge across rows (vehicle_breakdown shape):
+    // per-row 2-entry maps merged per day; canonical sorted k:v string
+    // output for cross-engine comparison.
+    "q29_map_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("vclass",
+          when(col("k") % 4 === 0, "car").when(col("k") % 4 === 1, "truck")
+            .when(col("k") % 4 === 2, "bus").otherwise("bike"))
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .withColumn("breakdown",
+          map(col("vclass"), lit(1), concat(lit("evt_"), col("event_type")), lit(1)))
+      City.mergeMapCounts(ev, Seq("day"), "breakdown")
+        .select(col("day"), City.mapCountsToString(col("breakdown")).as("breakdown"))
+        .orderBy("day")
+    }),
+
+    // U4: the scalar library through the SQL text surface (reference
+    // users live in SQL — Hive/psql); must equal the q14 Column path.
+    "q30_sql_aqi" -> ((s, dir) => {
+      City.registerSqlFunctions(s)
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""SELECT aqi_category(value) AS category, count(1) AS n,
+                      round(avg(aqi_value(value)), 4) AS avg_aqi
+               FROM events GROUP BY category ORDER BY category""")
+    }),
+
     // Multimodal: magic-byte format sniffing over binary media columns
     // (JPEG/PNG headers synthesized deterministically from doc parity).
     "q28_media_meta" -> ((s, dir) => {
@@ -403,9 +430,12 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // Sort key cast to microsecond TIMESTAMP: the parquet stores
+    // TIMESTAMP(NANOS); Spark truncates to µs, so the oracle must rank
+    // on the same precision or near-ties could flip the selected rows.
     "q13_topk" ->
       """SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
-         FROM events ORDER BY ts DESC, event_id DESC LIMIT 10""",
+         FROM events ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC LIMIT 10""",
 
     "q14_aqi" ->
       """WITH aqi AS (
@@ -489,11 +519,13 @@ object SparkEntry {
            FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 20""",
 
+    // Rank on round(cosine, 6) like the Spark side so near-ties cannot
+    // flip row selection across engines.
     "q24_knn_brute" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, round(CAST(list_cosine_similarity(embedding, qv) AS DOUBLE), 4) AS cosine
          FROM embeddings, q
-         ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id LIMIT 10""",
+         ORDER BY round(CAST(list_cosine_similarity(embedding, qv) AS DOUBLE), 6) DESC, vec_id LIMIT 10""",
 
     "q25_knn_join" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -506,6 +538,42 @@ object SparkEntry {
            FROM embeddings e JOIN q ON e.vec_id != q.query_id)
          SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
          FROM scored WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q29_map_merge" ->
+      """WITH base AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  CASE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 4
+                       WHEN 0 THEN 'car' WHEN 1 THEN 'truck'
+                       WHEN 2 THEN 'bus' ELSE 'bike' END AS vclass,
+                  'evt_' || event_type AS evt
+           FROM events),
+         kv AS (
+           SELECT day, key, count(1) AS cnt FROM (
+             SELECT day, vclass AS key FROM base
+             UNION ALL
+             SELECT day, evt AS key FROM base)
+           GROUP BY day, key)
+         SELECT day, string_agg(key || ':' || cnt, ',' ORDER BY key) AS breakdown
+         FROM kv GROUP BY day ORDER BY day""",
+
+    "q30_sql_aqi" ->
+      """WITH aqi AS (
+           SELECT value AS pm25,
+             CASE WHEN value <= 12.0 THEN CAST(trunc((50.0/12.0) * value) AS INTEGER)
+                  WHEN value <= 35.4 THEN CAST(trunc(50 + (50.0/23.4) * (value - 12.0)) AS INTEGER)
+                  WHEN value <= 55.4 THEN CAST(trunc(100 + (50.0/20.0) * (value - 35.4)) AS INTEGER)
+                  WHEN value <= 150.4 THEN CAST(trunc(150 + (50.0/95.0) * (value - 55.4)) AS INTEGER)
+                  WHEN value <= 250.4 THEN CAST(trunc(200 + (100.0/100.0) * (value - 150.4)) AS INTEGER)
+                  ELSE CAST(trunc(300 + (200.0/249.6) * least(value - 250.4, 249.6)) AS INTEGER) END AS aqi,
+             CASE WHEN value <= 12.0 THEN 'Good'
+                  WHEN value <= 35.4 THEN 'Moderate'
+                  WHEN value <= 55.4 THEN 'Unhealthy for Sensitive Groups'
+                  WHEN value <= 150.4 THEN 'Unhealthy'
+                  WHEN value <= 250.4 THEN 'Very Unhealthy'
+                  ELSE 'Hazardous' END AS category
+           FROM events)
+         SELECT category, count(1) AS n, round(avg(aqi), 4) AS avg_aqi
+         FROM aqi GROUP BY category ORDER BY category""",
 
     "q26_langid" ->
       """WITH toks AS (

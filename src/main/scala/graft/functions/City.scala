@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Smart-city scalar function library (SURVEY §2.7), expressed as pure
@@ -147,6 +147,81 @@ object City {
   /** Minutes between two timestamps, rounded to 1 dp (parking dwell time). */
   def durationMinutes(from: Column, to: Column): Column =
     round((unix_millis(to) - unix_millis(from)) / 60000.0, 1)
+
+  // --------------------------------------------------------- map merge (A9)
+
+  /** Merge `MAP<STRING,INT>` columns across rows (the parking
+    * `vehicle_breakdown` semantics, parking_simulator.py:168-171 /
+    * setup_smart_city_hive.hql:64,91): per group, sum the counts of
+    * every key across all row-maps into one merged map with keys in
+    * sorted order (deterministic serialization).
+    *
+    * Two-level aggregation keeps it scale-shaped: the per-(group, key)
+    * sum partial-aggregates map-side before its shuffle, so the
+    * exchange carries distinct keys, not rows; the second level folds
+    * the few keys per group into the map. */
+  def mergeMapCounts(df: DataFrame, groupCols: Seq[String], mapCol: String): DataFrame = {
+    val perKey = df
+      .select(groupCols.map(col) :+ explode(col(mapCol)).as(Seq("key", "value")): _*)
+      .groupBy(groupCols.map(col) :+ col("key"): _*)
+      .agg(sum("value").as("value"))
+    perKey
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(array_sort(collect_list(struct(col("key"), col("value")))))
+        .as(mapCol))
+  }
+
+  /** Canonical `k1:v1,k2:v2` string of a count map, keys sorted — the
+    * cross-engine comparable form (map column hashing is not stable
+    * across engines). */
+  def mapCountsToString(mapCol: Column): Column =
+    array_join(transform(array_sort(map_entries(mapCol)),
+      e => concat(e.getField("key"), lit(":"), e.getField("value"))), ",")
+
+  // ------------------------------------------------- SQL-surface (U4)
+
+  /** Scalar AQI (same breakpoint table as the Column form). */
+  private[graft] def aqiValueScalar(pm25: Double): Int = {
+    val v = aqiSegments.collectFirst {
+      case (ub, base, pmBase, slope, _, _) if pm25 <= ub => base + slope * (pm25 - pmBase)
+    }.getOrElse(300.0 + (200.0 / 249.6) * math.min(pm25 - 250.4, 249.6))
+    v.toInt
+  }
+
+  private[graft] def aqiCategoryScalar(pm25: Double): String =
+    aqiSegments.collectFirst {
+      case (ub, _, _, _, cat, _) if pm25 <= ub => cat
+    }.getOrElse("Hazardous")
+
+  private[graft] def aqiAdvisoryScalar(pm25: Double): String =
+    aqiSegments.collectFirst {
+      case (ub, _, _, _, _, adv) if pm25 <= ub => adv
+    }.getOrElse("Health warning: emergency conditions")
+
+  /** Register the scalar library for the SQL surface — reference users
+    * query through SQL (Hive/psql: setup_smart_city_hive.hql,
+    * pipline2/README.md:163-167), so `spark.sql("SELECT aqi_value(pm25)
+    * …")` must work, not just the Column API. Scalar implementations
+    * share the constant tables with the Column forms; CitySpec asserts
+    * SQL == Column across the breakpoint sweep. Null-safe: primitive
+    * args make Spark return NULL on NULL input without calling the UDF,
+    * matching the Column forms' null guards. */
+  def registerSqlFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("aqi_value", (pm: Double) => aqiValueScalar(pm))
+    spark.udf.register("aqi_category", (pm: Double) => aqiCategoryScalar(pm))
+    spark.udf.register("aqi_advisory", (pm: Double) => aqiAdvisoryScalar(pm))
+    spark.udf.register("congestion_occupancy", (occ: Double) =>
+      if (occ > 0.8) "high" else if (occ > 0.5) "medium" else "low")
+    spark.udf.register("congestion_two_factor", (occ: Double, speedKmh: Double) =>
+      if (occ > 0.8 || speedKmh < 20) "high"
+      else if (occ > 0.5 || speedKmh < 40) "medium" else "low")
+    spark.udf.register("parking_status", (rate: Double) =>
+      if (rate >= 0.95) "full" else if (rate >= 0.80) "high"
+      else if (rate >= 0.50) "medium" else "low")
+    spark.udf.register("dynamic_price", (base: Double, rate: Double) =>
+      math.round(base * (1.0 + rate * 0.5) * 100.0) / 100.0)
+    spark.udf.register("kmh", (ms: Double) => ms * 3.6)
+  }
 
   // ------------------------------------------------------------ bboxes (F14)
 

@@ -36,6 +36,30 @@ class CitySpec extends SparkSpec {
     assert(df(1).getInt(0) == 500 && df(1).getString(1) == "Hazardous")
   }
 
+  test("SQL-surface functions equal the Column forms across the sweep (U4)") {
+    City.registerSqlFunctions(spark)
+    val pts = Seq(0.0, 11.9, 12.0, 12.1, 35.4, 55.4, 150.4, 250.4, 250.5, 600.0)
+    pts.toDF("pm25").createOrReplaceTempView("city_spec_pm")
+    val sql = spark.sql(
+      """SELECT pm25, aqi_value(pm25) AS a, aqi_category(pm25) AS c,
+                congestion_occupancy(pm25 / 600.0) AS g,
+                parking_status(pm25 / 600.0) AS p,
+                dynamic_price(2.5, pm25 / 600.0) AS d
+         FROM city_spec_pm ORDER BY pm25""").collect()
+    val colForm = pts.toDF("pm25")
+      .select($"pm25", City.aqiValue($"pm25"), City.aqiCategory($"pm25"),
+        City.congestionOccupancy($"pm25" / 600.0),
+        City.parkingStatus($"pm25" / 600.0),
+        City.dynamicPrice(lit(2.5), $"pm25" / 600.0))
+      .orderBy("pm25").collect()
+    sql.zip(colForm).foreach { case (s, c) =>
+      assert(s.toSeq == c.toSeq, s"SQL vs Column mismatch at pm25=${s.get(0)}")
+    }
+    // NULL in → NULL out through the SQL surface too
+    val nullRow = spark.sql("SELECT aqi_value(CAST(NULL AS DOUBLE)) AS a").collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("congestion two-factor vs occupancy-only diverge as in reference") {
     val rows = Seq(
       (0.9, 100.0, "high", "high"),   // occupancy forces high in both

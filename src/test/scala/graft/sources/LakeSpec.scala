@@ -59,12 +59,21 @@ class LakeSpec extends SparkSpec {
     spark.sql("DROP TABLE bronze_traffic_edges")
   }
 
-  test("map-typed vehicle breakdown merges via explode + re-agg (A9)") {
+  test("map-typed vehicle breakdown merges via City.mergeMapCounts (A9)") {
     val p = Generator.parking(spark, 30)
-    val merged = p.select(explode(col("data.vehicle_breakdown")))
-      .groupBy("key").agg(sum("value").as("total"))
+      .select(col("data.parking_lot_id").as("lot"),
+        col("data.vehicle_breakdown").as("vehicle_breakdown"))
+    val merged = graft.functions.City
+      .mergeMapCounts(p.withColumn("all", lit("all")), Seq("all"), "vehicle_breakdown")
+      .select(explode(col("vehicle_breakdown")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged.keySet == Set("car", "motorcycle"))
     assert(merged("car") > merged("motorcycle")) // 80/20 split by construction
+    // per-lot merge keeps one row per group with a sorted-key map
+    val perLot = graft.functions.City.mergeMapCounts(p, Seq("lot"), "vehicle_breakdown")
+    assert(perLot.count() == p.select("lot").distinct().count())
+    val keys = perLot.select(map_keys(col("vehicle_breakdown"))).collect()
+      .map(_.getSeq[String](0))
+    assert(keys.forall(k => k == k.sorted), "map keys must serialize sorted")
   }
 }
