@@ -112,6 +112,23 @@ object Generator {
     spark.read.schema(Schemas.trafficEvent).json(jsonDs(spark, lines))
   }
 
+  /** Flat camera-frame messages (rtsp_to_kafka_bridge.py:204-217):
+    * camera metadata merged in, frame payload as base64 of deterministic
+    * fake JPEG bytes (magic header + frame tag — the image libs aren't
+    * shipped, so the detector never decodes real pixels). */
+  def cameraFrames(spark: SparkSession, n: Int, seed: Long = Seed): DataFrame =
+    spark.read.schema(Schemas.cameraFrame).json(jsonDs(spark, cameraFrameLines(n)))
+
+  /** Raw JSON lines of [[cameraFrames]] (what rides on the wire). */
+  def cameraFrameLines(n: Int): Seq[String] = (0 until n).map { i =>
+    val cam = s"CAM_${"%02d".format(i % 2 + 1)}"
+    val ts = iso(BaseEpochSec + i / 2, (i % 2) * 500000)
+    val payload = java.util.Base64.getEncoder.encodeToString(
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte) ++
+        s"frame_$i".getBytes("UTF-8"))
+    s"""{"camera_id":"$cam","camera_name":"Camera $cam","location":"Gare","camera_type":"traffic","timestamp":"$ts","frame_number":$i,"width":640,"height":480,"format":"jpeg","frame_data":"$payload"}"""
+  }
+
   /** Synthetic camera-frame detection messages (flat, not enveloped):
     * deterministic detector substitute for YOLO (U1) — each frame i has
     * (i % 4) detections walking diagonally, so the tracker sees smooth

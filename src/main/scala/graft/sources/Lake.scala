@@ -51,6 +51,45 @@ object Lake {
       .option("basePath", path).load(path)
   }
 
+  /** W8: retention maintenance — drop event-time partition directories
+    * whose `year=/month=/day=` date is older than `retainDays` before
+    * `today` (the TimescaleDB 7-day `drop_chunks` policy,
+    * init-timescaledb.sql:71-74). Walks only directory names through the
+    * Hadoop FileSystem API (works on HDFS/S3A identically) — O(partition
+    * dirs), never reading file contents. Returns the dropped partition
+    * paths; empty month/year parents are pruned afterwards. */
+  def dropOldPartitions(spark: SparkSession, path: String, retainDays: Int,
+                        today: java.time.LocalDate): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val cutoff = today.minusDays(retainDays.toLong)
+    val dropped = Seq.newBuilder[String]
+    def kids(p: Path, prefix: String) =
+      fs.listStatus(p).filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+    for (y <- kids(root, "year="); m <- kids(y.getPath, "month=");
+         d <- kids(m.getPath, "day=")) {
+      try {
+        val date = java.time.LocalDate.of(
+          y.getPath.getName.stripPrefix("year=").toInt,
+          m.getPath.getName.stripPrefix("month=").toInt,
+          d.getPath.getName.stripPrefix("day=").toInt)
+        if (date.isBefore(cutoff)) {
+          fs.delete(d.getPath, true)
+          dropped += s"${y.getPath.getName}/${m.getPath.getName}/${d.getPath.getName}"
+        }
+      } catch { case _: NumberFormatException | _: java.time.DateTimeException => () }
+    }
+    // prune now-empty month/year dirs so listings stay clean
+    for (y <- kids(root, "year=")) {
+      for (m <- kids(y.getPath, "month=") if fs.listStatus(m.getPath).isEmpty)
+        fs.delete(m.getPath, false)
+      if (fs.listStatus(y.getPath).isEmpty) fs.delete(y.getPath, false)
+    }
+    dropped.result()
+  }
+
   /** Register a bronze tree in the session catalog as a partitioned
     * table + MSCK REPAIR to discover partitions (S12). */
   def registerTable(spark: SparkSession, name: String, path: String,

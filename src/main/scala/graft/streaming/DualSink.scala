@@ -44,23 +44,34 @@ object DualSink {
         case None =>
           rows.write.mode("append").parquet(warehousePath)
       }
-      // lake leg: vision partitions by year/month/day only (:427-438)
+      // lake leg: vision partitions by year/month/day only (:427-438).
+      // _batch_id stamped here too — foreachBatch is at-least-once, and
+      // an unmarked replay would leave undetectable duplicates in bronze.
       cached
         .withColumn("time", timestamp_millis(col("event_ms")))
         .withColumn("year", date_format(col("time"), "yyyy"))
         .withColumn("month", date_format(col("time"), "MM"))
         .withColumn("day", date_format(col("time"), "dd"))
         .drop("time")
+        .withColumn("_batch_id", lit(batchId))
         .write.mode("append").partitionBy("year", "month", "day").json(lakePath)
     } finally cached.unpersist()
   }
 
+  /** Name of the observed-metrics set attached to the stream (A13). */
+  val MetricsName = "graft_collector_metrics"
+
   /** Wire a tracked stream into the dual sink with a processing-time
-    * trigger (W1's 60 s flush analog; tests use shorter). */
+    * trigger (W1's 60 s flush analog; tests use shorter). The stream
+    * carries collector-style observed metrics (records/objects per
+    * batch) readable through a [[CollectorMetrics]] listener. */
   def start(tracked: Dataset[VisionOut], checkpoint: String,
             warehousePath: String, lakePath: String,
             triggerMs: Long = 60000): StreamingQuery =
-    tracked.toDF().writeStream
+    tracked.toDF()
+      .observe(MetricsName, count(lit(1)).as("records"),
+        coalesce(sum("total_objects"), lit(0L)).as("objects"))
+      .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))

@@ -59,6 +59,22 @@ class LakeSpec extends SparkSpec {
     spark.sql("DROP TABLE bronze_traffic_edges")
   }
 
+  test("retention drops partition dirs older than N days, keeps the rest (W8)") {
+    val dir = tmp()
+    val fallback = to_timestamp(lit("1999-01-01 00:00:00"))
+    Lake.writeBronze(Generator.airQuality(spark, 24), dir, "json", fallback)
+    // data lives at 2025-12-30 (+ the 1999 fallback partition)
+    val dropped = Lake.dropOldPartitions(spark, dir, retainDays = 7,
+      today = java.time.LocalDate.of(2026, 1, 3))
+    assert(dropped == Seq("year=1999/month=01/day=01"), dropped.mkString(","))
+    assert(!new java.io.File(s"$dir/year=1999").exists(), "empty parents pruned")
+    assert(new java.io.File(s"$dir/year=2025/month=12/day=30").exists())
+    // 22 of 24 records survive (the 2 fallback records are gone)
+    assert(Lake.readBronze(spark, dir, Schemas.airQuality).count() == 22)
+    // a second run is a no-op
+    assert(Lake.dropOldPartitions(spark, dir, 7, java.time.LocalDate.of(2026, 1, 3)).isEmpty)
+  }
+
   test("map-typed vehicle breakdown merges via City.mergeMapCounts (A9)") {
     val p = Generator.parking(spark, 30)
       .select(col("data.parking_lot_id").as("lot"),

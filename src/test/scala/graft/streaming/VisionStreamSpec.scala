@@ -97,6 +97,58 @@ class VisionStreamSpec extends SparkSpec {
     }
   }
 
+  test("W2 watermark: a frame later than 2 minutes is excluded from its closed bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000040000L // minute-aligned
+    def vo(tMs: Long) = VisionOut("CAM_01", tMs, 1, Seq(
+      DetOut(0, "Person", 0, 0, 60, 120, Centroid(30, 60), 1.0, None, None, None, None)))
+    val mem = MemoryStream[VisionOut]
+    val q = VisionStreamJob.continuousAgg(mem.toDS()).writeStream
+      .format("memory").queryName("cagg_wm").outputMode("append").start()
+    try {
+      // three on-time frames in bucket [base, base+1min)
+      mem.addData(vo(base), vo(base + 1000), vo(base + 2000))
+      q.processAllAvailable()
+      // advance event time 4 min → watermark (max - 2 min) passes the
+      // bucket end → the bucket finalizes and is emitted
+      mem.addData(vo(base + 240000))
+      q.processAllAvailable()
+      // LATE: belongs to the closed bucket, > 2 min behind the watermark
+      mem.addData(vo(base + 3000))
+      q.processAllAvailable()
+      // push the watermark further so every closable bucket flushes
+      mem.addData(vo(base + 600000))
+      q.processAllAvailable()
+      val bucket0 = spark.sql(
+        s"SELECT detection_count FROM cagg_wm WHERE bucket = timestamp_millis(${base}L)")
+        .collect()
+      assert(bucket0.length == 1, s"closed bucket must emit exactly once, got ${bucket0.length}")
+      assert(bucket0.head.getLong(0) == 3,
+        s"late frame must be dropped: count=${bucket0.head.getLong(0)}")
+    } finally q.stop()
+  }
+
+  test("A13: observed collector metrics surface through the listener") {
+    implicit val sqlCtx = spark.sqlContext
+    val metrics = new CollectorMetrics()
+    spark.streams.addListener(metrics)
+    val root = Files.createTempDirectory("dualsink_metrics").toString
+    val mem = MemoryStream[FrameDets]
+    val q = DualSink.start(VisionStreamJob.track(mem.toDS()),
+      s"$root/ckpt", s"$root/warehouse", s"$root/lake", triggerMs = 100)
+    try {
+      mem.addData(mkFrames(6): _*)
+      q.processAllAvailable()
+      // listener delivery is async — poll briefly
+      val deadline = System.currentTimeMillis() + 15000
+      while (metrics.records.get() < 12 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(metrics.records.get() == 12, s"records=${metrics.records.get()}")
+      assert(metrics.objects.get() == 24, s"objects=${metrics.objects.get()}") // 2 dets/frame
+      assert(metrics.lastBatchId >= 0 && metrics.ratePerSec > 0.0)
+    } finally { q.stop(); spark.streams.removeListener(metrics) }
+  }
+
   test("dual sink: warehouse parquet + y/m/d lake from one stream") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("dualsink").toString
