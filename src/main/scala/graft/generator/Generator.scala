@@ -52,14 +52,33 @@ object Generator {
         else if (i % 7 == 6) iso(tsEpoch, 0, "Z")
         else iso(tsEpoch)
       val pm10 = pm25 * 1.7
-      s"""{"mqtt_topic":"air_quality/$sensor/data","timestamp":"${iso(tsEpoch)}","bridge_received_at":"${iso(tsEpoch + 1)}","data":{"device_type":"air_quality_sensor","protocol":"MQTT","sensor_id":"$sensor","sensor_name":"Station $sensor","timestamp":"$ts","location":{"gps":{"latitude":49.6116,"longitude":6.1319},"city":"Luxembourg City","zone":"$zone","address":"Boulevard Royal"},"measurements":{"pm25":${"%.3f".format(pm25)},"pm10":${"%.3f".format(pm10)},"no2":${"%.2f".format(20 + rnd.nextDouble() * 40)},"co":${"%.3f".format(rnd.nextDouble() * 2)},"o3":${"%.2f".format(rnd.nextDouble() * 60)},"so2":${"%.2f".format(rnd.nextDouble() * 10)},"temperature_celsius":${"%.1f".format(5 + rnd.nextDouble() * 20)},"humidity_percent":${"%.1f".format(40 + rnd.nextDouble() * 50)}},"aqi":null,"sensor_status":{"online":true,"calibration_date":"2025-12-01","battery_percent":${50 + rnd.nextInt(50)},"signal_strength":${40 + rnd.nextInt(60)}}}}"""
+      // F21: sine-wave daily temperature 15±10 °C anchored at 6h
+      // (air_quality_simulator.py:146), from the record's event hour.
+      val hour = java.time.Instant.ofEpochSecond(tsEpoch)
+        .atZone(java.time.ZoneOffset.UTC).getHour
+      val temp = 15.0 + 10.0 * math.sin((hour - 6) * math.Pi / 12)
+      s"""{"mqtt_topic":"air_quality/$sensor/data","timestamp":"${iso(tsEpoch)}","bridge_received_at":"${iso(tsEpoch + 1)}","data":{"device_type":"air_quality_sensor","protocol":"MQTT","sensor_id":"$sensor","sensor_name":"Station $sensor","timestamp":"$ts","location":{"gps":{"latitude":49.6116,"longitude":6.1319},"city":"Luxembourg City","zone":"$zone","address":"Boulevard Royal"},"measurements":{"pm25":${"%.3f".format(pm25)},"pm10":${"%.3f".format(pm10)},"no2":${"%.2f".format(20 + rnd.nextDouble() * 40)},"co":${"%.3f".format(rnd.nextDouble() * 2)},"o3":${"%.2f".format(rnd.nextDouble() * 60)},"so2":${"%.2f".format(rnd.nextDouble() * 10)},"temperature_celsius":${"%.1f".format(temp)},"humidity_percent":${"%.1f".format(40 + rnd.nextDouble() * 50)}},"aqi":null,"sensor_status":{"online":true,"calibration_date":"2025-12-01","battery_percent":${50 + rnd.nextInt(50)},"signal_strength":${40 + rnd.nextInt(60)}}}}"""
     }
     spark.read.schema(Schemas.airQuality).json(jsonDs(spark, lines))
   }
 
-  /** Enveloped parking status records with MAP vehicle_breakdown. */
+  /** Deterministic Luxembourg-style plate `LUX-AAA-999`
+    * (parking_simulator.py:103-105). */
+  private def plate(rnd: scala.util.Random): String = {
+    val letters = (0 until 3).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+    val digits = (0 until 3).map(_ => rnd.nextInt(10)).mkString
+    s"LUX-$letters-$digits"
+  }
+
+  /** Enveloped parking status records with MAP vehicle_breakdown. Every
+    * 4th record carries a parking `event` (F20,
+    * parking_simulator.py:103-154): alternating vehicle_entered (with a
+    * license plate when the lot has plate recognition — lot 1 only, like
+    * the reference's per-lot config flag) and vehicle_exited (with plate
+    * and dwell `duration_minutes` rounded to 1 dp). */
   def parking(spark: SparkSession, n: Int, seed: Long = Seed): DataFrame = {
     val rnd = new scala.util.Random(seed)
+    val vehicleTypes = Seq("sedan", "suv", "truck", "motorcycle", "electric")
     val lines = (0 until n).map { i =>
       val lot = s"PARK_LUX_${"%03d".format(i % 3 + 1)}"
       val total = 100 + (i % 3) * 50
@@ -72,7 +91,21 @@ object Generator {
       val cars = (occupied * 0.8).toInt
       val breakdown = s"""{"car":$cars,"motorcycle":${occupied - cars}}"""
       val ts = iso(BaseEpochSec + i * 30L)
-      s"""{"mqtt_topic":"parking/$lot/status","timestamp":"$ts","bridge_received_at":"$ts","data":{"device_type":"parking_iot_sensor","protocol":"LoRaWAN","parking_lot_id":"$lot","parking_lot_name":"Lot $lot","timestamp":"$ts","location":{"gps":{"latitude":49.61,"longitude":6.13},"city":"Luxembourg City","zone":"downtown","address":"Rue $i"},"occupancy":{"total_spots":$total,"occupied_spots":$occupied,"available_spots":${total - occupied},"occupancy_rate":$rate,"status":"$status"},"vehicle_breakdown":$breakdown,"pricing":{"current_rate_per_hour":$price,"currency":"EUR"},"sensor_status":{"online_sensors":$total,"offline_sensors":0,"battery_low":${rnd.nextInt(5)}},"event":null}}"""
+      val event =
+        if (i % 4 != 3) "null"
+        else {
+          val spot = s"SPOT_${"%03d".format(rnd.nextInt(total) + 1)}"
+          val vt = vehicleTypes(rnd.nextInt(vehicleTypes.size))
+          val hasPlates = i % 3 == 0 // lot PARK_LUX_001 has plate recognition
+          val lp = if (hasPlates) "\"" + plate(rnd) + "\"" else "null"
+          if (i % 8 == 3)
+            s"""{"event_type":"vehicle_entered","spot_id":"$spot","vehicle_type":"$vt","license_plate":$lp,"timestamp":"$ts","duration_minutes":null}"""
+          else {
+            val durMin = math.rint((5 * 60 + rnd.nextInt(4 * 3600)) / 60.0 * 10) / 10
+            s"""{"event_type":"vehicle_exited","spot_id":"$spot","vehicle_type":"$vt","license_plate":$lp,"timestamp":"$ts","duration_minutes":$durMin}"""
+          }
+        }
+      s"""{"mqtt_topic":"parking/$lot/status","timestamp":"$ts","bridge_received_at":"$ts","data":{"device_type":"parking_iot_sensor","protocol":"LoRaWAN","parking_lot_id":"$lot","parking_lot_name":"Lot $lot","timestamp":"$ts","location":{"gps":{"latitude":49.61,"longitude":6.13},"city":"Luxembourg City","zone":"downtown","address":"Rue $i"},"occupancy":{"total_spots":$total,"occupied_spots":$occupied,"available_spots":${total - occupied},"occupancy_rate":$rate,"status":"$status"},"vehicle_breakdown":$breakdown,"pricing":{"current_rate_per_hour":$price,"currency":"EUR"},"sensor_status":{"online_sensors":$total,"offline_sensors":0,"battery_low":${rnd.nextInt(5)}},"event":$event}}"""
     }
     spark.read.schema(Schemas.parking).json(jsonDs(spark, lines))
   }

@@ -23,7 +23,7 @@ object Sketches {
   final case class MinHashSketch(sig: Array[Long], bands: Array[Long], shingles: Array[Long])
 
   /** splitmix64 finalizer — stateless 64-bit avalanche mix. */
-  @inline private[operators] def mix64(z0: Long): Long = {
+  @inline private[graft] def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

@@ -75,7 +75,16 @@ object VisionStreamJob {
     * image libs aren't shipped; decode is stubbed). Detection count and
     * positions derive from a hash of (camera, frame) — stable across
     * runs. Heavy init would go in the mapPartitions setup (open()
-    * analog). */
+    * analog).
+    *
+    * F22/U5: Person detections carry the body-heuristic demographics
+    * (vision_prototype.py:145-216): bbox aspect ratio < 2.3 → Child
+    * (0.65) else Adult (0.70/0.75 by ratio); gender from the
+    * "clothing saturation" stand-in (a deterministic hash replaces the
+    * pixel statistics the stubbed decode can't supply), base 0.55.
+    * Confidences get the reference's ±jitter, deterministic per frame —
+    * so confidences VARY across frames and the tracker's
+    * strictly-higher-confidence upgrade path (W4) runs in streaming. */
   def syntheticDetect(frames: DataFrame): Dataset[FrameDets] = {
     import frames.sparkSession.implicits._
     frames.select(col("camera_id"), col("timestamp"), col("frame_number"),
@@ -91,7 +100,29 @@ object VisionStreamJob {
           val dets = (0 until n).map { d =>
             val x = 50 + d * 150 + (frameNo % 50).toInt * 8
             val y = 80 + d * 90 + (frameNo % 50).toInt * 5
-            DetRaw(if (d % 2 == 0) "Person" else "Car", x, y, x + 60, y + 120)
+            val isPerson = d % 2 == 0
+            val h = 100 + ((cam.hashCode.abs + d) % 3) * 40 // 100/140/180 px
+            val w = 60
+            if (!isPerson) DetRaw("Car", x, y, x + w, y + h)
+            else {
+              val aspect = h.toDouble / w
+              val (age, ageBase) =
+                if (aspect < 2.3) ("Child", 0.65)
+                else if (aspect < 3.0) ("Adult", 0.70)
+                else ("Adult", 0.75)
+              // deterministic stand-ins for the reference's random jitter
+              // (uniform(-0.1, +0.15) gender, (-0.1, +0.1) age) and for
+              // the clothing-saturation gender split
+              val mix = graft.operators.Sketches.mix64(
+                cam.hashCode.toLong * 31 + frameNo * 7 + d)
+              val gJit = ((mix & 0xff) / 255.0) * 0.25 - 0.10
+              val aJit = (((mix >>> 8) & 0xff) / 255.0) * 0.20 - 0.10
+              val gender = if (((mix >>> 16) & 1L) == 0L) "Male" else "Female"
+              DetRaw("Person", x, y, x + w, y + h,
+                age = Some(age), gender = Some(gender),
+                ageConf = math.min(0.85, math.rint((ageBase + aJit) * 1000) / 1000),
+                genderConf = math.min(0.85, math.rint((0.55 + gJit) * 1000) / 1000))
+            }
           }
           FrameDets(cam, eventMs, dets)
         }
