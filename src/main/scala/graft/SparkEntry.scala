@@ -309,6 +309,46 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Dedup: exact word-trigram Jaccard via inverted-index equi-join.
+    // Deterministically complete (any pair ≥ threshold shares a gram),
+    // so it carries a true all-pairs DuckDB oracle — the near-dup
+    // family's hash-checked member.
+    "q31_ngram_jaccard" -> ((s, dir) => {
+      graft.operators.Dedup.ngramJaccard(
+          t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Dedup: SimHash pigeonhole pair search within Hamming radius 3
+    // (rows-only: the 64-bit fingerprint is engine-specific).
+    "q32_simhash_pairs" -> ((s, dir) => {
+      graft.operators.Dedup.simhashDedup(
+          t(s, dir, "documents"), "doc_id", "text", radius = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Similarity: LSH-bucketed ANN top-k, 5 queries probing sign buckets
+    // (rows-only: bucket membership is hash-seeded).
+    "q33_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding", dim = 64, k = 5, planes = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Similarity: embedding near-dup pairs with multi-table LSH over
+    // deterministically injected near-duplicate vectors (rows-only).
+    "q34_embedding_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val dups = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+      graft.operators.Similarity.embeddingDedup(emb.union(dups),
+          "vec_id", "embedding", dim = 64, threshold = 0.99)
+        .orderBy("id_a", "id_b")
+    }),
+
     // A9: MAP<STRING,INT> merge across rows (vehicle_breakdown shape):
     // per-row 2-entry maps merged per day; canonical sorted k:v string
     // output for cross-engine comparison.
@@ -538,6 +578,24 @@ object SparkEntry {
            FROM embeddings e JOIN q ON e.vec_id != q.query_id)
          SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
          FROM scored WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q31_ngram_jaccard" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                         i -> array_to_string(list_slice(ws, i, i + 2), ' '))) END AS grams
+           FROM w),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS j
+           FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, round(j, 4) AS jaccard
+         FROM pairs WHERE j >= 0.5 ORDER BY doc_a, doc_b""",
 
     "q29_map_merge" ->
       """WITH base AS (

@@ -166,20 +166,55 @@ object Dedup {
 
   // ------------------------------------------------------ n-gram Jaccard
 
-  /** Exact word n-gram Jaccard for all candidate pairs sharing at least
-    * one n-gram (inverted-index join — prefix filtering is the scale
-    * upgrade). Returns pairs ≥ threshold. */
+  /** Exact word n-gram Jaccard ≥ threshold with PPJoin-style prefix
+    * filtering. The naive inverted index indexes EVERY gram, so one
+    * corpus-wide common gram ("the x y") makes its bucket quadratic —
+    * measured 35 s on 5k template docs, unbounded at 100 TB. Prefix
+    * filtering indexes only each doc's `|g| - ⌈t·|g|⌉ + 1` rarest grams
+    * (global rarest-first canonical order): the standard prefix-filter
+    * lemma guarantees any pair with overlap ≥ ⌈t·max(|a|,|b|)⌉ shares a
+    * prefix gram, so recall stays exact while hot grams drop out of the
+    * index (they are everyone's suffix). A size-ratio filter
+    * (`min ≥ t·max`) prunes before the verification join, and exact
+    * Jaccard verifies only surviving candidate pairs. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val grams = df.select(col(idCol).as("doc_id"),
-      Text.wordNgrams(col(textCol), n).as("grams"))
-    val inv = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
-    inv.select(col("gram"), col("doc_id").as("doc_a"))
-      .join(inv.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+    // one JVM pass per doc (the HOF form costs ~3 ms/doc interpreted and
+    // re-evaluates once per plan branch)
+    val gramsUdf = udf((text: String) => Sketches.wordNgrams(text, n))
+    val grams = df.select(col(idCol).as("doc_id"), gramsUdf(col(textCol)).as("grams"))
+      .withColumn("sz", size(col("grams")))
+    val inv = grams.select(col("doc_id"), col("sz"), explode(col("grams")).as("gram"))
+    // global canonical order: ascending document frequency, then gram
+    val dfreq = inv.groupBy("gram").agg(count(lit(1)).as("df"))
+    val prefix = inv.join(dfreq, "gram")
+      .groupBy("doc_id", "sz")
+      .agg(slice(
+        array_sort(collect_list(struct(col("df"), col("gram")))),
+        lit(1),
+        greatest(col("sz") - ceil(col("sz") * threshold).cast("int") + 1, lit(1)))
+        .as("pref"))
+    val pinv = prefix.select(col("doc_id"), col("sz"),
+      explode(col("pref.gram")).as("gram"))
+    val cands = pinv.select(col("gram"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      .join(pinv.select(col("gram"), col("doc_id").as("doc_b"), col("sz").as("sz_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(greatest(col("sz_a"), col("sz_b")) * threshold <=
+        least(col("sz_a"), col("sz_b")))
+      .select("doc_a", "doc_b").distinct()
+    // exact overlap counted from the inverted index restricted to docs
+    // that appear in a candidate pair — counts shuffle, never gram
+    // arrays; at scale candidate docs ≪ corpus so the reduction bites
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val rinv = inv.join(candDocs, "doc_id").select("doc_id", "gram")
+    val overlap = rinv.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(rinv.select(col("gram"), col("doc_id").as("doc_b")), "gram")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      .join(grams.select(col("doc_id").as("doc_a"), size(col("grams")).as("n_a")), "doc_a")
-      .join(grams.select(col("doc_id").as("doc_b"), size(col("grams")).as("n_b")), "doc_b")
+    cands.join(overlap, Seq("doc_a", "doc_b"))
+      .join(grams.select(col("doc_id").as("doc_a"), col("sz").as("n_a")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("sz").as("n_b")), "doc_b")
       .withColumn("jaccard", col("shared").cast("double") /
         (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= threshold)

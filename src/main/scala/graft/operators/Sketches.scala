@@ -134,6 +134,30 @@ object Sketches {
     MinHashSketch(sig, bandHashes(sig, bands), sh)
   }
 
+  /** Distinct word n-grams of the normalized text, one JVM pass —
+    * string-identical to `Text.wordNgrams` (and the DuckDB oracle) on
+    * ASCII input, ~50× cheaper than the interpreted HOF evaluation.
+    * Texts with fewer than n words yield the whole normalized string. */
+  def wordNgrams(text: String, n: Int): Array[String] = {
+    val norm = normalize(text)
+    val ws = norm.split(' ')
+    if (ws.length < n) return Array(norm)
+    val seen = new java.util.LinkedHashSet[String]((ws.length - n + 1) * 2)
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](0))
+  }
+
   /** 64-bit SimHash over lowercase whitespace tokens: per-bit majority
     * vote of token hashes, computed in one pass (each token hashed once,
     * all 64 bit-counters updated from that hash). Matches the
