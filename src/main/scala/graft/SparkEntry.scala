@@ -336,6 +336,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Similarity: IVF coarse-quantized ANN, 5 queries probing 8 of 16
+    // cells (rows-only: centroid seeding is hash-deterministic but
+    // engine-specific).
+    "q35_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // Similarity: embedding near-dup pairs with multi-table LSH over
     // deterministically injected near-duplicate vectors (rows-only).
     "q34_embedding_dedup" -> ((s, dir) => {

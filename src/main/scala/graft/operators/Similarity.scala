@@ -16,20 +16,27 @@ import org.apache.spark.sql.functions._
   *    probe buckets instead of scanning; recall tunable via
   *    (planes, tables) with multi-table OR-amplification
   *
-  * Vector math is `zip_with`/`aggregate` column expressions — these
-  * evaluate as interpreted CodegenFallback (NOT whole-stage codegen);
-  * fine for the dimensionalities here, and the upgrade path at 100 TB
-  * is a native Catalyst Expression with `doGenCode` for the dot product.
+  * The cosine/dot kernels are native Catalyst expressions with
+  * `doGenCode` ([[graft.expressions.VectorExpressions]]) — they run
+  * inside whole-stage codegen as a tight primitive loop. The generic
+  * `zip_with`/`aggregate` HOF forms are kept for arbitrary numeric
+  * arrays (they evaluate as interpreted CodegenFallback; the float
+  * kernels are bit-identical to them, spec-asserted).
   */
 object Similarity {
 
+  /** Generic HOF dot (any numeric array type; interpreted eval). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
+  /** Generic HOF norm (any numeric array type; interpreted eval). */
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd cosine for `array<float>` embedding columns (the hot
+    * path); bit-identical to `dot(a,b)/(norm(a)*norm(b))` on floats. */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosineF(a, b)
 
   /** Exact top-k by cosine against one query vector; TakeOrdered keeps
     * only k rows per partition then merges — no global sort. */
@@ -96,6 +103,46 @@ object Similarity {
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"),
       hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
+    explodeRanked(
+      scored.groupBy("query_id")
+        .agg(TopK.topK(k)(col("corpus_id"), col("cosine")).as("top")))
+  }
+
+  /** IVF(-flat) approximate nearest neighbors: coarse-quantize the
+    * corpus into `nlist` cells, then each query probes only its
+    * `nprobe` nearest cells — the candidate scan is corpus/nlist·nprobe
+    * of the data instead of all of it.
+    *
+    * Centroids are `nlist` corpus vectors picked by hashed id — a
+    * deterministic, train-free seeding (at production scale, swap in
+    * k-means/Lloyd iterations over the same assignment plan; the operator
+    * shape is unchanged). Cell assignment is a literal `greatest(struct
+    * (sim, idx)…)` chain over codegen'd cosines — one corpus scan, no
+    * shuffle until the equi-join on cell id. Ranking reuses the bounded
+    * top-k aggregate (map-side combine, no per-query window). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
+              queryId: String, vecCol: String, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // index build: nlist centroid vectors to the driver (tiny by design)
+    val centroids: Array[Seq[Float]] = corpus
+      .select(col(vecCol)).orderBy(xxhash64(col(corpusId)), col(corpusId))
+      .limit(nlist).collect().map(_.getSeq[Float](0))
+    def sims(vec: Column): Seq[Column] = centroids.toSeq.map(c =>
+      graft.expressions.VectorExpressions.cosineF(vec, typedlit(c)))
+    def bestCell(vec: Column): Column =
+      greatest(sims(vec).zipWithIndex.map { case (s, i) =>
+        struct(s.as("sim"), lit(i).as("cell")) }: _*).getField("cell")
+    def probeCells(vec: Column): Column =
+      slice(reverse(array_sort(array(sims(vec).zipWithIndex.map { case (s, i) =>
+        struct(s.as("sim"), lit(i).as("cell")) }: _*))), 1, nprobe)
+        .getField("cell")
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"),
+      bestCell(col(vecCol)).as("cell"))
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"),
+        explode(probeCells(col(vecCol))).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
     explodeRanked(

@@ -77,6 +77,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("codegen cosine expression is bit-identical to the HOF form and codegen'd") {
+    val q = vecOf(0)
+    val hof = Similarity.dot($"embedding", typedlit(q)) /
+      (Similarity.norm($"embedding") * Similarity.norm(typedlit(q)))
+    val rows = emb.select($"vec_id",
+        graft.expressions.VectorExpressions.cosineF($"embedding", typedlit(q)).as("native"),
+        hof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: native=${r.getDouble(1)} hof=${r.getDouble(2)}")
+    }
+    // mismatched lengths → NULL (zip_with padding semantics)
+    val bad = emb.limit(1).select(
+      graft.expressions.VectorExpressions.cosineF($"embedding",
+        typedlit(Seq(1.0f, 2.0f))).as("c")).collect().head
+    assert(bad.isNullAt(0))
+    // the expression must run inside whole-stage codegen, not fall back:
+    // the compact plan marks codegen'd operators with a `*(stage)` prefix
+    val plan = emb.select(
+      graft.expressions.VectorExpressions.cosineF($"embedding", typedlit(q)))
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[fvec_cosine.*"), plan)
+  }
+
   test("knn join plan: bounded top-k aggregate, no per-query window exchange") {
     val queries = emb.filter($"vec_id".isin(0, 1, 2))
     val plan = Similarity.knnJoin(emb, queries, "vec_id", "vec_id", "embedding", k = 5)
@@ -88,6 +114,32 @@ class SimilaritySpec extends SparkSpec {
     // partial_topkaggregator before the exchange = map-side combine
     assert(plan.toLowerCase.contains("partial_topkaggregator"),
       "aggregate must run in partial mode before the shuffle")
+  }
+
+  test("IVF top-k: ranked per-query results with usable recall vs brute force") {
+    val queries = emb.filter($"vec_id".isin(0, 1, 2, 3, 4))
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 8).collect()
+    assert(ivf.nonEmpty)
+    val byQuery = ivf.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L), "every query answered")
+    byQuery.values.foreach { rows =>
+      val ranked = rows.sortBy(_.getInt(3))
+      assert(ranked.map(_.getInt(3)).toSeq == (1 to ranked.length))
+      val sims = ranked.map(_.getDouble(2))
+      assert(sims.sliding(2).forall(p => p(0) >= p(1)))
+    }
+    assert(!ivf.exists(r => r.getLong(0) == r.getLong(1)), "self excluded")
+    // recall@5 against the exact answer, averaged over the 5 queries
+    val recalls = (0 until 5).map { qid =>
+      val exact = Similarity.bruteForceTopK(
+        emb.filter($"vec_id" =!= qid.toLong), "vec_id", "embedding",
+        vecOf(qid.toLong), k = 5).collect().map(_.getLong(0)).toSet
+      val got = byQuery(qid.toLong).map(_.getLong(1)).toSet
+      (exact & got).size / 5.0
+    }
+    val avgRecall = recalls.sum / recalls.size
+    assert(avgRecall >= 0.5, s"IVF nprobe=8/16 recall too low: $recalls")
   }
 
   test("embedding dedup multi-table OR-amplification finds all injected near-dups") {
