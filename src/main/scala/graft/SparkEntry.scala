@@ -376,6 +376,15 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // U4: the text library through the SQL text surface; must equal the
+    // q17 Column path.
+    "q36_sql_tokens" -> ((s, dir) => {
+      Text.registerSqlFunctions(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""SELECT doc_id, token_count(text) AS n_tokens, n_chars
+               FROM documents ORDER BY doc_id""")
+    }),
+
     // U4: the scalar library through the SQL text surface (reference
     // users live in SQL — Hive/psql); must equal the q14 Column path.
     "q30_sql_aqi" -> ((s, dir) => {
@@ -623,6 +632,13 @@ object SparkEntry {
            GROUP BY day, key)
          SELECT day, string_agg(key || ':' || cnt, ',' ORDER BY key) AS breakdown
          FROM kv GROUP BY day ORDER BY day""",
+
+    "q36_sql_tokens" ->
+      """SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE CAST(array_length(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_tokens,
+                n_chars
+         FROM documents ORDER BY doc_id""",
 
     "q30_sql_aqi" ->
       """WITH aqi AS (

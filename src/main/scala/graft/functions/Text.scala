@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis functions for large-scale training-data pipelines:
@@ -127,5 +127,65 @@ object Text {
       when(cnt < n, array(concat_ws(" ", ts))).otherwise(
         transform(sequence(lit(0), cnt - n),
           i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+  }
+
+  // ------------------------------------------- SQL-surface scalars (U4)
+
+  private[graft] def tokensScalar(text: String): Array[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  private[graft] def tokenCountScalar(text: String): Int = {
+    val t = text.trim
+    if (t.isEmpty) 0 else t.split("\\s+").length
+  }
+
+  private def stopwordHitsScalar(toks: Array[String], lang: String): Int = {
+    val set = stopwords(lang).toSet
+    toks.count(set.contains)
+  }
+
+  private[graft] def langIdScalar(text: String): String = {
+    val toks = tokensScalar(text)
+    val langs = Seq("en", "fr", "de", "es")
+    val hits = langs.map(l => l -> stopwordHitsScalar(toks, l))
+    val best = hits.map(_._2).max
+    if (best == 0) "und" else hits.find(_._2 == best).get._1
+  }
+
+  private[graft] def qualityScoreScalar(text: String): Double = {
+    val n = tokenCountScalar(text)
+    if (n == 0) return 0.0
+    val toks = tokensScalar(text)
+    val punct = text.count(c => (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~'))
+    val lengthScore = math.min(n / 50.0, 1.0)
+    val punctScore = math.max(0.0, 1.0 - (punct.toDouble / text.length) * 10.0)
+    val swScore = math.min((stopwordHitsScalar(toks, "en").toDouble / n) * 50.0, 1.0)
+    val mwl = if (toks.isEmpty) 0.0 else toks.map(_.length.toLong).sum.toDouble / toks.length
+    val wordLenScore = if (mwl >= 3.0 && mwl <= 10.0) 1.0 else if (mwl > 0.0) 0.5 else 0.0
+    BigDecimal((lengthScore + punctScore + swScore + wordLenScore) / 4.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private[graft] def fingerprintMd5Scalar(text: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(graft.operators.Sketches.normalize(text).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Register the text library for the SQL surface — scalar mirrors of
+    * the Column forms (TextSpec asserts SQL == Column over the corpus,
+    * nulls included). NULL in → NULL out like the Column forms. */
+  def registerSqlFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("token_count", (s: String) =>
+      if (s == null) null else Int.box(tokenCountScalar(s)))
+    spark.udf.register("lang_id", (s: String) =>
+      if (s == null) null else langIdScalar(s))
+    spark.udf.register("quality_score", (s: String) =>
+      if (s == null) null else Double.box(qualityScoreScalar(s)))
+    spark.udf.register("normalize_text", (s: String) =>
+      if (s == null) null else graft.operators.Sketches.normalize(s))
+    spark.udf.register("fingerprint_md5", (s: String) =>
+      if (s == null) null else fingerprintMd5Scalar(s))
   }
 }

@@ -78,4 +78,30 @@ class TextSpec extends SparkSpec {
     val ng = Seq("a b c d").toDF("t").select(Text.wordNgrams($"t", 3)).collect().head
     assert(ng.getSeq[String](0).toSet == Set("a b c", "b c d"))
   }
+
+  test("SQL-surface text functions equal the Column forms over the corpus (U4)") {
+    Text.registerSqlFunctions(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+      .union(Seq((90001L, ""), (90002L, "   "), (90003L, "The, quick; brown!"))
+        .toDF("doc_id", "text"))
+    docs.createOrReplaceTempView("text_spec_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, token_count(text) AS tc, lang_id(text) AS li,
+                quality_score(text) AS qs, normalize_text(text) AS nt,
+                fingerprint_md5(text) AS fp
+         FROM text_spec_docs ORDER BY doc_id""").collect()
+    val viaCol = docs.select($"doc_id", Text.tokenCount($"text"),
+        Text.langId($"text"), Text.qualityScore($"text"),
+        Text.normalizeText($"text"), Text.fingerprintMd5($"text"))
+      .orderBy("doc_id").collect()
+    viaSql.zip(viaCol).foreach { case (s, c) =>
+      assert(s.toSeq == c.toSeq, s"doc ${s.get(0)}: sql=${s.toSeq} col=${c.toSeq}")
+    }
+    val nulls = spark.sql(
+      """SELECT token_count(CAST(NULL AS STRING)), lang_id(CAST(NULL AS STRING)),
+                quality_score(CAST(NULL AS STRING)), fingerprint_md5(CAST(NULL AS STRING))""")
+      .collect().head
+    (0 until 4).foreach(i => assert(nulls.isNullAt(i)))
+  }
 }
