@@ -47,6 +47,15 @@ object TrafficBatchJob {
         avg("occupancy_rate").as("avg_occupancy"))
   }
 
+  /** A7: the `hourly_traffic_stats` rollup — the reference declares the
+    * table (init-db.sql:72-82) and plans an `hourly_analytics.py`
+    * (pipline2/README.md:57) but never wrote the job; this is it. */
+  def hourlyStats(traffic: DataFrame): DataFrame =
+    traffic.groupBy(col("zone"), date_trunc("hour", col("timestamp")).as("hour"))
+      .agg(sum("vehicle_count").as("total_vehicles"),
+        avg("average_speed").as("avg_speed"),
+        max("occupancy_rate").as("peak_congestion"))
+
   /** A3-A5 summary row. */
   def summary(traffic: DataFrame): DataFrame =
     traffic.agg(count(lit(1)).as("total_events"),

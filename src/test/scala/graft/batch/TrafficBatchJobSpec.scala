@@ -49,6 +49,25 @@ class TrafficBatchJobSpec extends SparkSpec {
     assert(!s.isNullAt(3) && !s.isNullAt(4))
   }
 
+  test("hourly stats (A7): per zone-hour totals, averages, peak congestion") {
+    val traffic = TrafficBatchJob.transform(
+      graft.generator.Generator.trafficEvents(spark, 400))
+    val hourly = TrafficBatchJob.hourlyStats(traffic).collect()
+    assert(hourly.nonEmpty)
+    // reconciles: per-zone hourly totals sum to the per-zone totals
+    val byZone = hourly.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val want = traffic.groupBy("zone").agg(sum("vehicle_count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byZone == want)
+    // peak is a max: never below the zone-hour average occupancy
+    val chk = TrafficBatchJob.hourlyStats(traffic)
+      .join(traffic.groupBy(col("zone"), date_trunc("hour", col("timestamp")).as("hour"))
+        .agg(avg("occupancy_rate").as("avg_occ")), Seq("zone", "hour"))
+      .filter(col("peak_congestion") < col("avg_occ")).count()
+    assert(chk == 0)
+  }
+
   test("end-to-end run: jsonl in, zone-partitioned parquet out") {
     val in = Files.createTempDirectory("graft_batch_in").toString
     val out = Files.createTempDirectory("graft_batch_out").toString
