@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.expressions.{FloatVectorCosine, FloatVectorDot}
+
+/** Session extensions registering graft's native expressions for the
+  * SQL surface — the canonical integration point for custom Catalyst
+  * pieces:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   // then: SELECT fvec_cosine(embedding, other) FROM vectors
+  * }}}
+  *
+  * The injected functions are the whole-stage-codegen vector kernels
+  * ([[graft.expressions.VectorExpressions]]), so SQL-text users get the
+  * same plans as the Column API. For a session that is already built
+  * (no extensions conf), [[GraftExtensions.register]] installs the same
+  * functions through the function registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (name, info, builder) triples for every injected function. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("fvec_cosine"),
+      new ExpressionInfo(classOf[FloatVectorCosine].getName, "fvec_cosine"),
+      (children: Seq[Expression]) => FloatVectorCosine(children(0), children(1))),
+    (FunctionIdentifier("fvec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "fvec_dot"),
+      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))))
+
+  /** Install on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      ColumnBridge.registerFunction(spark, id.funcName, info, builder)
+    }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native vector expressions are callable from SQL text after registration") {
+    GraftExtensions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .createOrReplaceTempView("ext_spec_embeddings")
+    // self-cosine = 1 for every vector, through the SQL surface
+    val bad = spark.sql(
+      """SELECT vec_id, fvec_cosine(embedding, embedding) AS c,
+                fvec_dot(embedding, embedding) AS d
+         FROM ext_spec_embeddings""")
+      .filter(abs($"c" - 1.0) > 1e-9 || $"d" <= 0.0).count()
+    assert(bad == 0)
+    // SQL-text form equals the Column form bit-for-bit
+    val q = spark.sql(
+      """SELECT fvec_cosine(a.embedding, b.embedding) AS c
+         FROM ext_spec_embeddings a JOIN ext_spec_embeddings b
+           ON a.vec_id = 0 AND b.vec_id = 1""").collect().head.getDouble(0)
+    val viaCol = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter($"vec_id" === 0).select($"embedding".as("ea"))
+      .crossJoin(spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter($"vec_id" === 1).select($"embedding".as("eb")))
+      .select(graft.expressions.VectorExpressions.cosineF($"ea", $"eb"))
+      .collect().head.getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(q) == java.lang.Double.doubleToLongBits(viaCol))
+    // a fresh session built WITH the extensions class resolves them too
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    s2.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .createOrReplaceTempView("ext_spec_embeddings2")
+    assert(s2.sql("SELECT fvec_dot(embedding, embedding) FROM ext_spec_embeddings2 LIMIT 1")
+      .collect().head.getDouble(0) > 0.0)
+  }
+
+  test("type mismatch surfaces the expression's own check message") {
+    GraftExtensions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT fvec_cosine(array(1, 2), array(1.0F, 2.0F))").collect()
+    }
+    assert(err.getMessage.contains("fvec_cosine") ||
+      err.getMessage.toLowerCase.contains("array<float>"), err.getMessage)
+  }
+}
