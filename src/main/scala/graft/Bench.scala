@@ -38,31 +38,43 @@ object Bench {
     // warm-up: JIT + codegen + parquet footer caches
     SparkEntry.queries.get("q04_lineitem_agg").foreach(f => f(spark, sfDir).count())
 
+    // Two timed attempts per query, minimum reported (JMH-style steady
+    // state: attempt 1 pays plan compilation + JIT, attempt 2 measures;
+    // a timed-out or failed first attempt is not retried).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val fut = pool.submit(new java.util.concurrent.Callable[Boolean] {
-        def call(): Boolean = try {
-          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          val df = fn(spark, sfDir)
-          if (explain) System.err.println(s"=== $name ===\n" + df.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode))
-          df.count(); true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        } finally spark.sparkContext.clearJobGroup()
-      })
-      val ok = try fut.get(timeoutSec, TimeUnit.SECONDS)
-      catch {
-        case _: TimeoutException =>
-          System.err.println(s"[bench] $name timed out after ${timeoutSec}s — cancelling")
-          spark.sparkContext.cancelJobGroup(name)
-          fut.cancel(true)
-          false
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      def attempt(): Double = {
+        val t0 = System.nanoTime()
+        val fut = pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = try {
+            spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+            val df = fn(spark, sfDir)
+            if (explain) System.err.println(s"=== $name ===\n" + df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+            df.count(); true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          } finally spark.sparkContext.clearJobGroup()
+        })
+        val ok = try fut.get(timeoutSec, TimeUnit.SECONDS)
+        catch {
+          case _: TimeoutException =>
+            System.err.println(s"[bench] $name timed out after ${timeoutSec}s — cancelling")
+            spark.sparkContext.cancelJobGroup(name)
+            fut.cancel(true)
+            false
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      val first = attempt()
+      val best =
+        if (first < 0) first
+        else {
+          val second = attempt()
+          if (second < 0) first else math.min(first, second)
+        }
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

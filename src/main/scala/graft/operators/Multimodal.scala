@@ -71,6 +71,27 @@ object Multimodal {
     }
   }
 
+  case class ResizedImage(media_id: Long, width: Int, height: Int,
+                          content: Array[Byte])
+
+  /** Resize over a binary media column — the plumbing (typed rows,
+    * per-partition init, batch shape) is real; the pixel transform is
+    * stubbed by re-encoding the content hash at a size proportional to
+    * the target dimensions. */
+  def resize(media: Dataset[MediaRow], width: Int, height: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: codec + scaler initialized once per partition here
+      it.map { m =>
+        val h = java.util.Arrays.hashCode(m.content)
+        val rnd = new scala.util.Random(h.toLong)
+        val out = new Array[Byte](math.max(16, width * height / 256)) // ??? real: scaled encode
+        rnd.nextBytes(out)
+        ResizedImage(m.media_id, width, height, out)
+      }
+    }
+  }
+
   /** Standard media-table layout: metadata + sniffed format, with the
     * binary column LAST (wide binary payloads at the end keep the
     * row-group layout scan-friendly for metadata-only queries). */

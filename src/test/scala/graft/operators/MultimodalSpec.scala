@@ -53,4 +53,28 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_index).toSeq == Seq(0, 3, 6, 9))
     assert(frames.map(_.offset_bytes).toSeq == Seq(0L, 3072L, 6144L, 9216L))
   }
+
+  test("resize stub: deterministic output sized to the target dims") {
+    val a = Multimodal.resize(media.toDS(), 128, 128).collect().sortBy(_.media_id)
+    val b = Multimodal.resize(media.toDS(), 128, 128).collect().sortBy(_.media_id)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.width == 128 && x.height == 128)
+      assert(x.content.toSeq == y.content.toSeq, "resize must be deterministic")
+    }
+    val small = Multimodal.resize(media.toDS(), 64, 64).collect().head
+    assert(small.content.length < a.head.content.length)
+  }
+
+  test("pipeline: media features feed the similarity operators directly") {
+    // decode-stub features → ANN: the multimodal and similarity surfaces
+    // compose without adapters (features are array<float> like embeddings)
+    val feats = extractImageFeatures(media.toDS(), featureDim = 16)
+      .select($"media_id".as("vec_id"), $"features".as("embedding"))
+    val q = feats.filter($"vec_id" === 1L).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val top = graft.operators.Similarity.bruteForceTopK(
+      feats, "vec_id", "embedding", q, k = 3).collect()
+    assert(top.head.getLong(0) == 1L, "query image ranks itself first")
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+  }
 }
