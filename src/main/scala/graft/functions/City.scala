@@ -138,6 +138,18 @@ object City {
   /** MQTT id char sanitization: '#','+' → '_' (sumo_mqtt_connector.py:269). */
   def sanitizeTopicId(c: Column): Column = translate(c, "#+", "__")
 
+  /** P6: broker-internal `$SYS/` topics the bridge skips
+    * (mqtt_to_kafka_bridge.py:161-162). */
+  def isSystemTopic(topic: Column): Column = topic.startsWith("$SYS/")
+
+  // ------------------------------------------------------ occupancy (A10)
+
+  /** A10: occupancy rate aggregate over a boolean occupied column —
+    * `count(occupied) / count(*)` rounded 2 dp
+    * (parking_simulator.py:163-166). Use inside `agg(...)`. */
+  def occupancyRate(occupied: Column): Column =
+    round(sum(when(occupied, 1).otherwise(0)).cast("double") / count(lit(1)), 2)
+
   // ------------------------------------------------------ durations (F18/F19)
 
   /** Seconds between two timestamps, rounded to 0.1 s. */

@@ -87,15 +87,19 @@ object VisionStreamJob {
     * strictly-higher-confidence upgrade path (W4) runs in streaming. */
   def syntheticDetect(frames: DataFrame): Dataset[FrameDets] = {
     import frames.sparkSession.implicits._
+    // F13: real base64 decode of the frame payload (the reference's
+    // b64decode at flink_vision_job_proper.py:149-151); undecodable or
+    // empty payloads are guarded to zero detections (P4). Only the
+    // image decode itself remains stubbed.
     frames.select(col("camera_id"), col("timestamp"), col("frame_number"),
-        col("frame_data"))
-      .as[(String, String, Long, String)]
+        try_to_binary(col("frame_data"), lit("base64")).as("frame_bytes"))
+      .as[(String, String, Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition "model load" happens here (amortized, like open())
-        it.map { case (cam, ts, frameNo, frameData) =>
+        it.map { case (cam, ts, frameNo, frameBytes) =>
           val eventMs = java.time.LocalDateTime.parse(ts)
             .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-          val valid = frameData != null && frameData.nonEmpty
+          val valid = frameBytes != null && frameBytes.nonEmpty
           val n = if (!valid) 0 else (math.abs((cam + frameNo).hashCode) % 4)
           val dets = (0 until n).map { d =>
             val x = 50 + d * 150 + (frameNo % 50).toInt * 8

@@ -68,6 +68,25 @@ class TrafficBatchJobSpec extends SparkSpec {
     assert(chk == 0)
   }
 
+  test("JDBC sink (S3): real append + read-back through embedded Derby") {
+    val url = "jdbc:derby:memory:graft_batch;create=true"
+    val in = Files.createTempDirectory("graft_jdbc_in").toString
+    graft.generator.Generator.trafficEvents(spark, 100).write.mode("overwrite").json(in)
+    TrafficBatchJob.run(spark, in,
+      Files.createTempDirectory("graft_jdbc_out").toString, jdbcUrl = Some(url))
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "traffic_analytics").load()
+    assert(back.count() == 100)
+    // the corrected projection (P7): average_speed present, created_at stamped
+    assert(back.columns.map(_.toLowerCase).toSet.contains("average_speed"))
+    assert(back.filter(col("created_at").isNull).count() == 0)
+    // append mode appends (second run doubles the rows)
+    TrafficBatchJob.run(spark, in,
+      Files.createTempDirectory("graft_jdbc_out2").toString, jdbcUrl = Some(url))
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "traffic_analytics").load().count() == 200)
+  }
+
   test("end-to-end run: jsonl in, zone-partitioned parquet out") {
     val in = Files.createTempDirectory("graft_batch_in").toString
     val out = Files.createTempDirectory("graft_batch_out").toString

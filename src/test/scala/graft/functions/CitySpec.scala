@@ -60,6 +60,16 @@ class CitySpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("system-topic filter and occupancy-rate aggregate (P6/A10)") {
+    val topics = Seq("$SYS/broker/load", "air_quality/AQ_1/data", "$SYSTEM_X")
+      .toDF("t")
+    val sys_ = topics.filter(City.isSystemTopic($"t")).collect().map(_.getString(0))
+    assert(sys_.toSeq == Seq("$SYS/broker/load")) // prefix match, not substring
+    val spots = Seq(true, true, true, false).map(Tuple1(_)).toDF("occupied")
+    val rate = spots.agg(City.occupancyRate($"occupied")).collect().head.getDouble(0)
+    assert(rate == 0.75)
+  }
+
   test("congestion two-factor vs occupancy-only diverge as in reference") {
     val rows = Seq(
       (0.9, 100.0, "high", "high"),   // occupancy forces high in both

@@ -82,6 +82,10 @@ class VisionStreamSpec extends SparkSpec {
     val b = VisionStreamJob.syntheticDetect(frames).collect()
     assert(a.toSeq == b.toSeq)
     assert(a.find(_.eventMs == 1767103201000L).get.detections.isEmpty) // empty frame_data -> no dets
+    // F13: payloads that don't base64-decode are guarded to no detections
+    val garbage = Seq(("CAM_01", "2025-12-30T14:00:02", 3L, "@@not-base64@@"))
+      .toDF("camera_id", "timestamp", "frame_number", "frame_data")
+    assert(VisionStreamJob.syntheticDetect(garbage).collect().head.detections.isEmpty)
   }
 
   test("continuous 1-min aggregate (batch mode) counts per bucket/camera") {
@@ -95,6 +99,21 @@ class VisionStreamSpec extends SparkSpec {
       assert(r.getLong(3) == 2)       // 2 unique objects (approx, exact at this card.)
       assert(r.getDouble(4) > 0.0)
     }
+  }
+
+  test("dual sink JDBC leg (S8): vision detections land in embedded Derby") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:graft_vision;create=true"
+    val root = Files.createTempDirectory("dualsink_jdbc").toString
+    val tracked = VisionStreamJob.track(mkFrames(6).toDS()).toDF()
+    DualSink.writeBatch(tracked, batchId = 7L, warehousePath = s"$root/wh",
+      lakePath = s"$root/lake", jdbcUrl = Some(url))
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "vision_detections").load()
+    assert(back.count() == 24) // 6 frames * 2 cams * 2 dets
+    assert(back.select("_batch_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(back.columns.map(_.toLowerCase).toSet
+      .contains("tracking_duration"))
   }
 
   test("W7 checkpoint restart: tracker state recovers, no replayed duplicates") {
