@@ -79,6 +79,30 @@ class TextSpec extends SparkSpec {
     assert(ng.getSeq[String](0).toSet == Set("a b c", "b c d"))
   }
 
+  test("property: JVM normalize kernel == Column normalizeText on printable ASCII") {
+    // three operators (MinHash shingles, word n-grams, fingerprints) rely
+    // on this equivalence — pin it over 500 random printable-ASCII strings
+    import org.scalacheck.Gen
+    val printable = Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+    val seed = org.scalacheck.rng.Seed(42L)
+    val samples = Iterator.iterate((printable(Gen.Parameters.default, seed), seed)) {
+      case (_, s) => val s2 = s.next; (printable(Gen.Parameters.default, s2), s2)
+    }.take(500).flatMap(_._1).toSeq :+ "" :+ "  a  b  " :+ "!,;.:" :+ "A  B!!C"
+    val viaColumn = samples.toDF("t").select(Text.normalizeText($"t"))
+      .collect().map(_.getString(0))
+    samples.map(graft.operators.Sketches.normalize).zip(viaColumn)
+      .zip(samples).foreach { case ((jvm, col_), in) =>
+        assert(jvm == col_, s"normalize mismatch on ${in.take(60)}: jvm=$jvm col=$col_")
+      }
+    // and the JVM gram kernel equals the Column word-ngram form
+    val viaColGrams = samples.toDF("t").select(Text.wordNgrams($"t", 3))
+      .collect().map(_.getSeq[String](0).toVector)
+    samples.map(s => graft.operators.Sketches.wordNgrams(s, 3).toVector)
+      .zip(viaColGrams).zip(samples).foreach { case ((jvm, col_), in) =>
+        assert(jvm == col_, s"ngram mismatch on ${in.take(60)}")
+      }
+  }
+
   test("SQL-surface text functions equal the Column forms over the corpus (U4)") {
     Text.registerSqlFunctions(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
