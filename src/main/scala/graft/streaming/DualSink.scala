@@ -61,6 +61,27 @@ object DualSink {
   /** Name of the observed-metrics set attached to the stream (A13). */
   val MetricsName = "graft_collector_metrics"
 
+  /** W2 sink leg: stream the 1-minute continuous aggregate into a JDBC
+    * warehouse table (the TimescaleDB `traffic_1min` analog,
+    * init-timescaledb.sql:50-68). Append output mode: the watermark
+    * finalizes each bucket exactly once, so plain JDBC appends are the
+    * incremental-refresh equivalent — no upsert machinery needed. */
+  def startAggToJdbc(agg: DataFrame, jdbcUrl: String, table: String,
+                     checkpoint: String,
+                     jdbcProps: Map[String, String] = Map.empty,
+                     triggerMs: Long = 60000): StreamingQuery =
+    agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val props = new java.util.Properties()
+        jdbcProps.foreach { case (k, v) => props.setProperty(k, v) }
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("append").jdbc(jdbcUrl, table, props)
+      }
+      .start()
+
   /** Wire a tracked stream into the dual sink with a processing-time
     * trigger (W1's 60 s flush analog; tests use shorter). The stream
     * carries collector-style observed metrics (records/objects per

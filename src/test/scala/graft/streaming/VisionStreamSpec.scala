@@ -101,6 +101,31 @@ class VisionStreamSpec extends SparkSpec {
     }
   }
 
+  test("W2 sink: continuous aggregate streams closed buckets into JDBC once") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:graft_agg;create=true"
+    val base = 1700000040000L
+    def vo(tMs: Long) = VisionOut("CAM_01", tMs, 1, Seq(
+      DetOut(0, "Person", 0, 0, 60, 120, Centroid(30, 60), 1.0, None, None, None, None)))
+    val mem = MemoryStream[VisionOut]
+    val q = DualSink.startAggToJdbc(
+      VisionStreamJob.continuousAgg(mem.toDS()), url, "traffic_1min",
+      Files.createTempDirectory("agg_jdbc_ckpt").toString, triggerMs = 100)
+    try {
+      mem.addData(vo(base), vo(base + 1000), vo(base + 2000))
+      q.processAllAvailable()
+      mem.addData(vo(base + 240000)) // advance watermark past bucket end
+      q.processAllAvailable()
+      mem.addData(vo(base + 600000)) // flush
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "traffic_1min").load()
+    val bucket0 = back.filter(col("bucket") === new java.sql.Timestamp(base))
+    assert(bucket0.count() == 1, "closed bucket appended exactly once")
+    assert(bucket0.select("detection_count").collect().head.getLong(0) == 3)
+  }
+
   test("dual sink JDBC leg (S8): vision detections land in embedded Derby") {
     implicit val sqlCtx = spark.sqlContext
     val url = "jdbc:derby:memory:graft_vision;create=true"
