@@ -1,0 +1,47 @@
+package graft
+
+/** Plan-shape regression net: the properties that make the battery
+  * scale-safe, asserted on the physical plans so a refactor that
+  * silently loses a pushdown/broadcast/bounded-aggregate fails here
+  * rather than at 100 TB. */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: the shipdate filter reaches the parquet scan") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_shipdate"), p.take(800))
+  }
+
+  test("q11: both dimension joins broadcast (no fact shuffle)") {
+    val p = plan("q11_broadcast_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("q13: latest-N compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q13_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q24: brute-force top-k is TakeOrdered over the codegen'd cosine") {
+    val p = plan("q24_knn_brute")
+    assert(p.contains("TakeOrderedAndProject") && p.contains("fvec_cosine"), p.take(800))
+  }
+
+  test("similarity/dedup queries: no cartesian products, no per-group windows") {
+    Seq("q22_minhash_dedup", "q25_knn_join", "q31_ngram_jaccard",
+      "q33_lsh_topk", "q34_embedding_dedup", "q35_ivf_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("Window"), s"$q ranks through a window")
+    }
+  }
+
+  test("top-k queries aggregate partially before their shuffle") {
+    Seq("q25_knn_join", "q33_lsh_topk", "q35_ivf_topk").foreach { q =>
+      assert(plan(q).toLowerCase.contains("partial_topkaggregator"),
+        s"$q lost the map-side combine")
+    }
+  }
+}
