@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers for co-located joins. A fact-fact equi-join
+  * normally shuffles both sides on the key every query; writing both
+  * tables bucketed (and sorted) by that key moves the shuffle to write
+  * time — reads are already hash-partitioned, so the join plans with
+  * zero exchanges. This is the storage-layout answer to the same
+  * problem `Skew.saltedJoin` attacks at runtime, and the right default
+  * for repeatedly-joined 100 TB fact tables. */
+object Bucketed {
+
+  /** Write `df` as a bucketed, sorted managed table (overwrites). */
+  def save(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table) // managed: spark.sql.warehouse.dir
+
+  /** Equi-join two tables previously saved with the same (key, buckets)
+    * layout; planned shuffle-free. */
+  def cojoin(spark: SparkSession, left: String, right: String,
+             key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}
