@@ -677,6 +677,32 @@ object SparkEntry {
                      ELSE 'es' END AS lang_pred, count(1) AS n
          FROM hits GROUP BY 1 ORDER BY lang_pred""",
 
+    "q27_quality" ->
+      """WITH toks AS (
+           SELECT source, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(string_split_regex(trim(text), '\s+')) END AS n,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS tk
+           FROM documents),
+         parts AS (
+           SELECT source, n,
+             CASE WHEN n = 0 THEN 0.0 ELSE least(CAST(n AS DOUBLE) / 50.0, 1.0) END AS ls,
+             CASE WHEN length(text) = 0 THEN 1.0
+                  ELSE greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text)) * 10.0) END AS ps,
+             CASE WHEN n = 0 THEN 0.0
+                  ELSE least((CAST(length(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE) / n) * 50.0, 1.0) END AS ss,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk) END AS mwl
+           FROM toks),
+         q AS (
+           SELECT source,
+             CASE WHEN n = 0 THEN 0.0
+                  ELSE round((ls + ps + ss +
+                    CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 WHEN mwl > 0.0 THEN 0.5 ELSE 0.0 END) / 4.0, 4) END AS qs
+           FROM parts)
+         SELECT source, round(avg(qs), 4) AS avg_quality, round(min(qs), 4) AS min_quality, count(1) AS n
+         FROM q GROUP BY source ORDER BY source""",
+
     "q28_media_meta" ->
       """SELECT doc_id AS media_id,
                 CAST(4 * (1 - (doc_id % 2)) + 8 * (doc_id % 2) + octet_length(encode(text)) AS INTEGER) AS n_bytes,
