@@ -347,7 +347,11 @@ object SparkEntry {
     }),
 
     // Similarity: embedding near-dup pairs with multi-table LSH over
-    // deterministically injected near-duplicate vectors (rows-only).
+    // deterministically injected near-duplicate vectors. Oracled: the
+    // corpus has a wide similarity gap (max organic cosine ≈ 0.6 vs the
+    // 0.99 threshold), so the exact-verified LSH output equals the
+    // all-pairs ground truth (per-pair miss probability ~1e-6 for the
+    // near-identical clones under 4 independent 12-plane tables).
     "q34_embedding_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val dups = emb.filter(col("vec_id") < 5)
@@ -356,6 +360,7 @@ object SparkEntry {
             when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
       graft.operators.Similarity.embeddingDedup(emb.union(dups),
           "vec_id", "embedding", dim = 64, threshold = 0.99)
+        .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("id_a", "id_b")
     }),
 
@@ -676,6 +681,21 @@ object SparkEntry {
                      WHEN de = greatest(en, fr, de, es) THEN 'de'
                      ELSE 'es' END AS lang_pred, count(1) AS n
          FROM hits GROUP BY 1 ORDER BY lang_pred""",
+
+    "q34_embedding_dedup" ->
+      """WITH clones AS (
+           SELECT vec_id + 100000 AS vec_id,
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(CASE WHEN i = 1 THEN embedding[i] + 0.01 ELSE embedding[i] END AS FLOAT)) AS embedding
+           FROM embeddings WHERE vec_id < 5),
+         all_e AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id, embedding FROM clones)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+         FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+         ORDER BY id_a, id_b""",
 
     "q27_quality" ->
       """WITH toks AS (
