@@ -28,14 +28,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def binary(name: String, make: (Expression, Expression) => Expression)
+      (children: Seq[Expression]): Expression = children match {
+    case Seq(a, b) => make(a, b)
+    case _ => throw new IllegalArgumentException(
+      s"$name requires exactly 2 arguments, got ${children.length}")
+  }
+
   /** (name, info, builder) triples for every injected function. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("fvec_cosine"),
       new ExpressionInfo(classOf[FloatVectorCosine].getName, "fvec_cosine"),
-      (children: Seq[Expression]) => FloatVectorCosine(children(0), children(1))),
+      binary("fvec_cosine", FloatVectorCosine) _),
     (FunctionIdentifier("fvec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "fvec_dot"),
-      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))))
+      binary("fvec_dot", FloatVectorDot) _))
 
   /** Install on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -46,6 +46,7 @@ case class FloatVectorCosine(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // HOF: null element nulls the fold
       val xi = x.getFloat(i); val yi = y.getFloat(i)
       dot += (xi * yi).toDouble
       na += (xi * xi).toDouble
@@ -71,12 +72,15 @@ case class FloatVectorCosine(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    float $xi = $x.getFloat($i); float $yi = $y.getFloat($i);
          |    $dot += (double)($xi * $yi);
          |    $na += (double)($xi * $xi);
          |    $nb += (double)($yi * $yi);
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })
@@ -108,7 +112,11 @@ case class FloatVectorDot(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += (x.getFloat(i) * y.getFloat(i)).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // HOF: null element nulls the fold
+      dot += (x.getFloat(i) * y.getFloat(i)).toDouble
+      i += 1
+    }
     dot
   }
 
@@ -124,9 +132,12 @@ case class FloatVectorDot(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $dot += (double)($x.getFloat($i) * $y.getFloat($i));
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot;
+         |  }
          |}
        """.stripMargin
     })

@@ -132,11 +132,21 @@ object Text {
   // ------------------------------------------- SQL-surface scalars (U4)
 
   private[graft] def tokensScalar(text: String): Array[String] =
-    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+
+  /** Space-only trim, matching Spark's `trim` (Java `String.trim` also
+    * strips \t/\n/\r and would diverge from the Column form). */
+  private def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
 
   private[graft] def tokenCountScalar(text: String): Int = {
-    val t = text.trim
-    if (t.isEmpty) 0 else t.split("\\s+").length
+    val t = trimSpaces(text)
+    if (t.isEmpty) 0 else t.split("\\s+", -1).length
   }
 
   private def stopwordHitsScalar(toks: Array[String], lang: String): Int = {

@@ -47,6 +47,33 @@ object Dedup {
     udf((text: String) => Sketches.sketch(text, shingleK, bands, as, bs)).apply(textCol)
   }
 
+  /** (doc_id, mh) sketch frame — the shared root of every MinHash plan.
+    * NOTE on plan shape: consumers reference this frame from several
+    * join branches and Spark does not deduplicate common subplans, so a
+    * full dedup evaluates the sketch kernel up to 3× over the corpus
+    * (banding + each pair side). That is the deliberate trade against
+    * shuffling 2 KB sketch payloads through the band self-join (the
+    * kernel is ~60 µs/doc; the shuffle would dominate at scale). Callers
+    * who prefer compute-once can `.persist()` this operator's input —
+    * or at cluster scale, write sketches to a table once and run
+    * banding/verification off that. */
+  private def sketchFrame(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int, bands: Int, shingleK: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      sketchCol(col(textCol), numHashes, bands, shingleK).as("mh"))
+
+  /** Deduped candidate id pairs (doc_a < doc_b) from shared LSH band
+    * buckets; carries ids only through the self-join. */
+  private def bandedPairs(sk: DataFrame): DataFrame = {
+    val banded = sk.select(col("doc_id"), posexplode(col("mh.bands")))
+      .toDF("doc_id", "band_id", "band_hash")
+    banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** MinHash signature column: `numHashes` universal-hash permutations
     * over the hashed shingle set, computed in one pass per document. */
   def minhashSignature(textCol: Column, numHashes: Int = 128, shingleK: Int = 5): Column = {
@@ -67,8 +94,7 @@ object Dedup {
     * the signature rides along for similarity estimation. */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        sketchCol(col(textCol), numHashes, bands, shingleK).as("mh"))
+    sketchFrame(df, idCol, textCol, numHashes, bands, shingleK)
       .select(col("doc_id"), col("mh.sig").as("sig"), posexplode(col("mh.bands")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
@@ -80,17 +106,9 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, bands: Int = 16,
                         shingleK: Int = 5): DataFrame = {
-    val sk = df.select(col(idCol).as("doc_id"),
-      sketchCol(col(textCol), numHashes, bands, shingleK).as("mh"))
-    val banded = sk.select(col("doc_id"), posexplode(col("mh.bands")))
-      .toDF("doc_id", "band_id", "band_hash")
-    val pairs = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
-        Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val sk = sketchFrame(df, idCol, textCol, numHashes, bands, shingleK)
     val sigs = sk.select(col("doc_id"), col("mh.sig").as("sig"))
-    pairs
+    bandedPairs(sk)
       .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
       .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -105,17 +123,9 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numHashes: Int = 128,
                    bands: Int = 16, shingleK: Int = 5): DataFrame = {
-    val sk = df.select(col(idCol).as("doc_id"),
-      sketchCol(col(textCol), numHashes, bands, shingleK).as("mh"))
-    val banded = sk.select(col("doc_id"), posexplode(col("mh.bands")))
-      .toDF("doc_id", "band_id", "band_hash")
-    val pairs = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
-        Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val sk = sketchFrame(df, idCol, textCol, numHashes, bands, shingleK)
     val sh = sk.select(col("doc_id"), col("mh.shingles").as("sh"))
-    pairs
+    bandedPairs(sk)
       .join(sh.toDF("doc_a", "sh_a"), "doc_a")
       .join(sh.toDF("doc_b", "sh_b"), "doc_b")
       .withColumn("jaccard",

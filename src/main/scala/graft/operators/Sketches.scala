@@ -39,9 +39,15 @@ object Sketches {
     mix64(h)
   }
 
-  /** Same normalization as [[graft.functions.Text.normalizeText]]:
-    * lowercase, strip ASCII punctuation, collapse whitespace runs to a
-    * single space, trim. One pass, no regex. */
+  /** One-pass, regex-free form of [[graft.functions.Text.normalizeText]]
+    * (lowercase, strip ASCII punctuation, collapse whitespace runs to a
+    * single space, trim). Whitespace is the Java-regex `\s` set exactly
+    * (NOT `Character.isWhitespace`, which also matches U+2000-200A etc.
+    * and would diverge from the Column/regex form). Case folding is
+    * per-char; byte-identical to the Column form on printable ASCII
+    * (property-tested in TextSpec) — exotic one-to-many case mappings
+    * (e.g. U+0130) can differ, so non-ASCII corpora should stick to the
+    * Column form on both sides of any cross-engine comparison. */
   def normalize(text: String): String = {
     if (text == null) return ""
     val sb = new java.lang.StringBuilder(text.length)
@@ -51,7 +57,9 @@ object Sketches {
       val c = Character.toLowerCase(text.charAt(i))
       val isPunct = (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
         (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
-      if (Character.isWhitespace(c)) pendingSpace = true
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (isWs) pendingSpace = true
       else if (!isPunct) {
         if (pendingSpace && sb.length > 0) sb.append(' ')
         pendingSpace = false

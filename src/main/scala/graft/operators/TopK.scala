@@ -20,13 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
-  /** One scored candidate. */
+  /** One scored candidate. Ids are integral (bigint-castable) — callers
+    * with string ids should rank a surrogate and join back. */
   final case class Scored(id: Long, score: Double)
 
-  /** Bounded top-k accumulator; buffer kept sorted best-first, ≤ k. */
+  /** Bounded top-k accumulator; buffer kept sorted best-first, ≤ k.
+    * Ordering is total via `java.lang.Double.compare` — NaN ranks as the
+    * greatest score (matching Spark's sort order, and therefore the
+    * `ORDER BY score DESC` window this aggregate replaces), so results
+    * stay deterministic even for NaN scores (e.g. zero-norm cosines). */
   final class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-    private def better(a: Scored, b: Scored): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def better(a: Scored, b: Scored): Boolean = {
+      val c = java.lang.Double.compare(a.score, b.score)
+      if (c != 0) c > 0 else a.id < b.id
+    }
 
     private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] =
       if (buf.length >= k && better(buf.last, x)) buf

@@ -81,10 +81,15 @@ object TopicStream {
     df.select(valueCol.cast("string").as("value"), topicCol.as("topic"))
       .write.mode("append").partitionBy("topic").format("text").save(base)
 
-  /** Streaming producer (S6): route a stream's rows into topic dirs. */
+  /** Streaming producer (S6): route a stream's rows into topic dirs —
+    * projects to the text sink's (value, topic) shape like the batch
+    * [[writeTopic]], so a wire-shaped or arbitrary frame works as-is. */
   def writeStreamTopic(df: DataFrame, base: String, checkpoint: String,
+                       topicCol: Column = col("topic"),
+                       valueCol: Column = col("value"),
                        trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
-    df.writeStream.format("text").partitionBy("topic")
+    df.select(valueCol.cast("string").as("value"), topicCol.as("topic"))
+      .writeStream.format("text").partitionBy("topic")
       .option("path", base).option("checkpointLocation", checkpoint)
       .trigger(trigger).start()
 

@@ -64,8 +64,12 @@ object DualSink {
   /** W2 sink leg: stream the 1-minute continuous aggregate into a JDBC
     * warehouse table (the TimescaleDB `traffic_1min` analog,
     * init-timescaledb.sql:50-68). Append output mode: the watermark
-    * finalizes each bucket exactly once, so plain JDBC appends are the
-    * incremental-refresh equivalent — no upsert machinery needed. */
+    * finalizes each bucket once per healthy run, so plain JDBC appends
+    * are the incremental-refresh equivalent. Like every foreachBatch
+    * external sink this is AT-LEAST-ONCE: a crash between the append
+    * and the checkpoint commit replays the batch on restart, so rows
+    * carry `_batch_id` and downstream reads should dedup on
+    * (bucket, camera_id) or MERGE on it where the target supports it. */
   def startAggToJdbc(agg: DataFrame, jdbcUrl: String, table: String,
                      checkpoint: String,
                      jdbcProps: Map[String, String] = Map.empty,

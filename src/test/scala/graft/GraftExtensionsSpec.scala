@@ -37,6 +37,15 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0) > 0.0)
   }
 
+  test("wrong arity raises a clear error, not an index failure") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT fvec_cosine(array(CAST(1.0 AS FLOAT)))").collect()
+    }
+    assert(e.getMessage.contains("exactly 2") || e.getMessage.contains("fvec_cosine"),
+      e.getMessage)
+  }
+
   test("type mismatch surfaces the expression's own check message") {
     GraftExtensions.register(spark)
     val err = intercept[Exception] {

@@ -107,7 +107,8 @@ class TextSpec extends SparkSpec {
     Text.registerSqlFunctions(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "text")
-      .union(Seq((90001L, ""), (90002L, "   "), (90003L, "The, quick; brown!"))
+      .union(Seq((90001L, ""), (90002L, "   "), (90003L, "The, quick; brown!"),
+        (90004L, "\tfoo"), (90005L, "foo\t"), (90006L, " a\tb "))
         .toDF("doc_id", "text"))
     docs.createOrReplaceTempView("text_spec_docs")
     val viaSql = spark.sql(

@@ -95,6 +95,14 @@ class SimilaritySpec extends SparkSpec {
       graft.expressions.VectorExpressions.cosineF($"embedding",
         typedlit(Seq(1.0f, 2.0f))).as("c")).collect().head
     assert(bad.isNullAt(0))
+    // a NULL element anywhere → NULL (HOF: null element nulls the fold)
+    val nullElem = spark.sql(
+      """SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS a,
+                array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS b""")
+      .select(graft.expressions.VectorExpressions.cosineF($"a", $"b").as("c"),
+        graft.expressions.VectorExpressions.dotF($"a", $"b").as("d"))
+      .collect().head
+    assert(nullElem.isNullAt(0) && nullElem.isNullAt(1))
     // the expression must run inside whole-stage codegen, not fall back:
     // the compact plan marks codegen'd operators with a `*(stage)` prefix
     val plan = emb.select(
