@@ -364,6 +364,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Dedup: the corpus-filter form — survivors per source after exact
+    // dedup over a corpus with injected verbatim copies.
+    "q37_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val copies = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 200000).as("doc_id"), col("source"), col("text"))
+      graft.operators.Dedup.dropExactDuplicates(docs.union(copies), "doc_id", "text")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
     // A9: MAP<STRING,INT> merge across rows (vehicle_breakdown shape):
     // per-row 2-entry maps merged per day; canonical sorted k:v string
     // output for cross-engine comparison.
@@ -681,6 +692,16 @@ object SparkEntry {
                      WHEN de = greatest(en, fr, de, es) THEN 'de'
                      ELSE 'es' END AS lang_pred, count(1) AS n
          FROM hits GROUP BY 1 ORDER BY lang_pred""",
+
+    "q37_dedup_corpus" ->
+      """WITH u AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, source, text FROM documents WHERE doc_id < 50),
+         k AS (SELECT md5(text) AS d, min(doc_id) AS keeper FROM u GROUP BY 1)
+         SELECT source, count(1) AS n_docs
+         FROM u JOIN k ON u.doc_id = k.keeper
+         GROUP BY source ORDER BY source""",
 
     "q34_embedding_dedup" ->
       """WITH clones AS (

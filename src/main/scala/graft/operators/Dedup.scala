@@ -37,6 +37,26 @@ object Dedup {
     df.groupBy(Text.fingerprintMd5(col(textCol)).as("digest"))
       .agg(min(idCol).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Corpus filter: keep exactly one representative (the smallest id)
+    * per exact-duplicate group — the consumable form of [[exact]] for a
+    * training-data pipeline. Left-semi join on keeper ids: no payload
+    * duplication, survivors keep all their columns. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(exact(df, idCol, textCol).select(col("keeper").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Corpus filter: drop the higher-id side of every verified near-dup
+    * pair from [[minhashDedup]] (chains collapse toward the smallest id:
+    * for a–b–c the survivors are exactly {a}). Left-anti join on the
+    * dropped-id set. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.8, numHashes: Int = 128,
+                         bands: Int = 16, shingleK: Int = 5): DataFrame =
+    df.join(
+      minhashDedup(df, idCol, textCol, threshold, numHashes, bands, shingleK)
+        .select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   // ---------------------------------------------------------- MinHash
 
   /** Scala-UDF sketch column: struct(sig, bands, shingles), one JVM pass

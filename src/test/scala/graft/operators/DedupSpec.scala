@@ -66,6 +66,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(_._1 == 1).get._3 == 1.0) // exact copy: jaccard 1
   }
 
+  test("corpus filters: exact and near-dup survivors") {
+    val exactSurvivors = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // only the verbatim copy (1001) drops; near/normalized variants stay
+    assert(exactSurvivors == (0L until 20L).toSet + 1000L + 1002L)
+    val nearSurvivors = Dedup.dropNearDuplicates(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // all three injected variants drop (higher id in each verified pair)
+    assert(nearSurvivors == (0L until 20L).toSet)
+  }
+
   test("simhash: exact copy distance 0, near-dup within radius, others far") {
     val sigs = corpus.select($"doc_id", Dedup.simhash($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
