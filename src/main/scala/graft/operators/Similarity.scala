@@ -115,20 +115,39 @@ object Similarity {
     * `nprobe` nearest cells — the candidate scan is corpus/nlist·nprobe
     * of the data instead of all of it.
     *
-    * Centroids are `nlist` corpus vectors picked by hashed id — a
-    * deterministic, train-free seeding (at production scale, swap in
-    * k-means/Lloyd iterations over the same assignment plan; the operator
-    * shape is unchanged). Cell assignment is a literal `greatest(struct
+    * Centroids seed from `nlist` corpus vectors picked by hashed id
+    * (deterministic), optionally refined by `lloydIters` k-means rounds:
+    * each round is one distributed assignment + per-(cell, dim) mean —
+    * a shuffle of dims, not vectors — with only the nlist×dim centroid
+    * table collected to the driver (the index-build pattern; the serving
+    * plan is unchanged). Cell assignment is a literal `greatest(struct
     * (sim, idx)…)` chain over codegen'd cosines — one corpus scan, no
     * shuffle until the equi-join on cell id. Ranking reuses the bounded
     * top-k aggregate (map-side combine, no per-query window). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
               queryId: String, vecCol: String, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 0): DataFrame = {
     // index build: nlist centroid vectors to the driver (tiny by design)
-    val centroids: Array[Seq[Float]] = corpus
+    var centroids: Array[Seq[Float]] = corpus
       .select(col(vecCol)).orderBy(xxhash64(col(corpusId)), col(corpusId))
       .limit(nlist).collect().map(_.getSeq[Float](0))
+    (0 until lloydIters).foreach { _ =>
+      val sims = centroids.toSeq.map(c =>
+        graft.expressions.VectorExpressions.cosineF(col(vecCol), typedlit(c)))
+      val cell = greatest(sims.zipWithIndex.map { case (s, i) =>
+        struct(s.as("sim"), lit(i).as("cell")) }: _*).getField("cell")
+      val means = corpus.select(cell.as("cell"), posexplode(col(vecCol)))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .groupBy("cell")
+        .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .collect().map(r => r.getInt(0) -> r.getMap[Int, Double](1)).toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        means.get(i) match {
+          case Some(dims) => old.indices.map(d => dims(d).toFloat)
+          case None => old // empty cell keeps its seed
+        }
+      }
+    }
     def sims(vec: Column): Seq[Column] = centroids.toSeq.map(c =>
       graft.expressions.VectorExpressions.cosineF(vec, typedlit(c)))
     def bestCell(vec: Column): Column =

@@ -150,6 +150,27 @@ class SimilaritySpec extends SparkSpec {
     assert(avgRecall >= 0.5, s"IVF nprobe=8/16 recall too low: $recalls")
   }
 
+  test("IVF Lloyd refinement keeps determinism and does not hurt recall") {
+    val queries = emb.filter($"vec_id".isin(0, 1, 2, 3, 4))
+    def run() = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 8, lloydIters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val a = run(); val b = run()
+    assert(a == b, "refined index must stay deterministic")
+    def recallOf(rows: Set[(Long, Int, Long)]): Double = (0 until 5).map { qid =>
+      val exact = Similarity.bruteForceTopK(
+        emb.filter($"vec_id" =!= qid.toLong), "vec_id", "embedding",
+        vecOf(qid.toLong), k = 5).collect().map(_.getLong(0)).toSet
+      val got = rows.filter(_._1 == qid).map(_._3)
+      (exact & got).size / 5.0
+    }.sum / 5
+    val base = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(recallOf(a) >= recallOf(base) - 0.2,
+      s"refined=${recallOf(a)} seeded=${recallOf(base)}")
+  }
+
   test("embedding dedup multi-table OR-amplification finds all injected near-dups") {
     val dups = (0 until 5).map { j =>
       val v = vecOf(j.toLong)
