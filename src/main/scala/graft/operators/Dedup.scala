@@ -37,6 +37,20 @@ object Dedup {
     df.groupBy(Text.fingerprintMd5(col(textCol)).as("digest"))
       .agg(min(idCol).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Streaming exact dedup: admit only the first occurrence of each
+    * content digest, with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` evicts digests older than the
+    * horizon — a duplicate arriving beyond it is admitted again; that
+    * bounded-state trade is what makes streaming dedup possible at all).
+    * The ingestion-side guard for a training-data pipeline: dedup at
+    * collection time, full-corpus [[minhashDedup]] offline. */
+  def streamingExact(df: DataFrame, textCol: String, tsCol: String,
+                     watermark: String = "10 minutes"): DataFrame =
+    df.withColumn("_digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_digest")
+      .drop("_digest")
+
   /** Corpus filter: keep exactly one representative (the smallest id)
     * per exact-duplicate group — the consumable form of [[exact]] for a
     * training-data pipeline. Left-semi join on keeper ids: no payload

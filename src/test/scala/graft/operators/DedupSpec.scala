@@ -66,6 +66,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(_._1 == 1).get._3 == 1.0) // exact copy: jaccard 1
   }
 
+  test("streaming exact dedup: first occurrence only, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = Dedup.streamingExact(
+      mem.toDF().toDF("ts", "text"), "text", "ts", watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      mem.addData((t(0), "alpha"), (t(1), "beta"), (t(2), "alpha"))
+      q.processAllAvailable()
+      mem.addData((t(3), "alpha"), (t(4), "gamma"))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM stream_dedup")
+        .collect().map(_.getString(0)).sorted
+      assert(texts.toSeq == Seq("alpha", "beta", "gamma"),
+        s"duplicates within the watermark must drop: ${texts.toSeq}")
+    } finally q.stop()
+  }
+
   test("corpus filters: exact and near-dup survivors") {
     val exactSurvivors = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
