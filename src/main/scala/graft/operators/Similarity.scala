@@ -75,20 +75,22 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: `planes` sign bits packed into a
-    * long. Hyperplane components are deterministic pseudo-random
-    * (seeded hash of (plane, dim)) — no driver-side state to ship. */
+    * long. Hyperplane components are a deterministic seeded ±1 matrix
+    * closed over by the UDF (shipped once per task, not per row); the
+    * projection is one JVM pass per row — the HOF form evaluated
+    * planes × dim interpreted lambdas per row. */
   def hyperplaneSignature(vecCol: Column, dim: Int, planes: Int = 16,
                           seed: Int = 42): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      // pseudo-random ±1 components from a hash of (seed, plane, dim idx)
-      val proj = aggregate(
-        zip_with(vecCol, sequence(lit(0), lit(dim - 1)),
-          (v, i) => when(pmod(hash(lit(seed), p, i), lit(2)) === 0, v).otherwise(-v)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
-      (bit, i) => call_function("shiftleft", bit, i)), lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val m = Sketches.signMatrix(1, planes, dim, seed.toLong)
+    udf((vec: Seq[Float]) => Sketches.hyperplaneSignatures(vec, m).head).apply(vecCol)
+  }
+
+  /** All `tables` sign-LSH signatures in one pass (multi-table
+    * OR-amplification without re-projecting per table). */
+  private def hyperplaneSignatureTables(vecCol: Column, dim: Int, planes: Int,
+                                        tables: Int, seed: Long = 42L): Column = {
+    val m = Sketches.signMatrix(tables, planes, dim, seed)
+    udf((vec: Seq[Float]) => Sketches.hyperplaneSignatures(vec, m)).apply(vecCol)
   }
 
   /** LSH-bucketed ANN top-k: corpus hashed once into sign buckets; each
@@ -181,9 +183,8 @@ object Similarity {
                      dim: Int, threshold: Double = 0.95,
                      planes: Int = 12, tables: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val sigs = (0 until tables).map(t =>
-      hyperplaneSignature(col("vec"), dim, planes, seed = 42 + 7919 * t))
-    val banded = c.select(col("id"), posexplode(array(sigs: _*)))
+    val banded = c.select(col("id"),
+        posexplode(hyperplaneSignatureTables(col("vec"), dim, planes, tables)))
       .toDF("id", "table_id", "bucket")
     val pairs = banded.select(col("table_id"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("table_id"), col("bucket"), col("id").as("id_b")),

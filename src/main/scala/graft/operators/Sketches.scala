@@ -166,6 +166,40 @@ object Sketches {
     seen.toArray(new Array[String](0))
   }
 
+  /** Deterministic ±1 hyperplane component matrix for sign-LSH:
+    * tables × planes × dim, from the seeded avalanche mix. */
+  def signMatrix(tables: Int, planes: Int, dim: Int,
+                 seed: Long = 42L): Array[Array[Array[Float]]] =
+    Array.tabulate(tables, planes, dim) { (t, p, d) =>
+      if ((mix64(seed + t * 7919L * 1000003L + p * 100003L + d) & 1L) == 0L) 1.0f else -1.0f
+    }
+
+  /** Sign-LSH signatures of one vector under every table of the matrix —
+    * one JVM pass (the HOF form evaluates planes × dim interpreted
+    * lambdas per row per table). */
+  def hyperplaneSignatures(vec: scala.collection.Seq[Float],
+                           m: Array[Array[Array[Float]]]): Array[Long] = {
+    val out = new Array[Long](m.length)
+    var t = 0
+    while (t < m.length) {
+      val table = m(t)
+      var sig = 0L
+      var p = 0
+      while (p < table.length) {
+        val plane = table(p)
+        var s = 0.0
+        var d = 0
+        val n = math.min(plane.length, vec.length)
+        while (d < n) { s += plane(d) * vec(d); d += 1 }
+        if (s > 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+
   /** 64-bit SimHash over lowercase whitespace tokens: per-bit majority
     * vote of token hashes, computed in one pass (each token hashed once,
     * all 64 bit-counters updated from that hash). Matches the
