@@ -45,11 +45,14 @@ object Dedup {
     * The ingestion-side guard for a training-data pipeline: dedup at
     * collection time, full-corpus [[minhashDedup]] offline. */
   def streamingExact(df: DataFrame, textCol: String, tsCol: String,
-                     watermark: String = "10 minutes"): DataFrame =
-    df.withColumn("_digest", md5(col(textCol)))
+                     watermark: String = "10 minutes"): DataFrame = {
+    // uniquified work column so a caller's own `_digest` survives intact
+    val digest = s"_graft_digest_${java.util.UUID.randomUUID.toString.take(8)}"
+    df.withColumn(digest, md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("_digest")
-      .drop("_digest")
+      .dropDuplicatesWithinWatermark(digest)
+      .drop(digest)
+  }
 
   /** Corpus filter: keep exactly one representative (the smallest id)
     * per exact-duplicate group — the consumable form of [[exact]] for a

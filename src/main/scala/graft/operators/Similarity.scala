@@ -82,7 +82,10 @@ object Similarity {
   def hyperplaneSignature(vecCol: Column, dim: Int, planes: Int = 16,
                           seed: Int = 42): Column = {
     val m = Sketches.signMatrix(1, planes, dim, seed.toLong)
-    udf((vec: Seq[Float]) => Sketches.hyperplaneSignatures(vec, m).head).apply(vecCol)
+    udf { (vec: Seq[Float]) =>
+      val sigs = Sketches.hyperplaneSignatures(vec, m)
+      if (sigs == null) null else Long.box(sigs.head)
+    }.apply(vecCol)
   }
 
   /** All `tables` sign-LSH signatures in one pass (multi-table
@@ -138,14 +141,22 @@ object Similarity {
         graft.expressions.VectorExpressions.cosineF(col(vecCol), typedlit(c)))
       val cell = greatest(sims.zipWithIndex.map { case (s, i) =>
         struct(s.as("sim"), lit(i).as("cell")) }: _*).getField("cell")
+      // decimal partial sums are order-exact, so the refined centroids —
+      // and therefore the whole index build — are deterministic even
+      // though shuffle-block arrival order is not
       val means = corpus.select(cell.as("cell"), posexplode(col(vecCol)))
-        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .groupBy("cell", "pos")
+        .agg((sum(col("col").cast("decimal(30,15)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy("cell")
         .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("dims"))
         .collect().map(r => r.getInt(0) -> r.getMap[Int, Double](1)).toMap
       centroids = centroids.zipWithIndex.map { case (old, i) =>
         means.get(i) match {
-          case Some(dims) => old.indices.map(d => dims(d).toFloat)
+          // a ragged member vector can leave a dimension uncovered — the
+          // seed component stands in rather than failing the build
+          case Some(dims) => old.indices.map(d =>
+            dims.get(d).map(_.toFloat).getOrElse(old(d)))
           case None => old // empty cell keeps its seed
         }
       }

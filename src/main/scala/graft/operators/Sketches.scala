@@ -176,9 +176,12 @@ object Sketches {
 
   /** Sign-LSH signatures of one vector under every table of the matrix —
     * one JVM pass (the HOF form evaluates planes × dim interpreted
-    * lambdas per row per table). */
+    * lambdas per row per table). NULL vectors yield null (the row goes
+    * unbucketed, like the Column form it replaces); a dimension mismatch
+    * with the matrix is an error, not a silent truncation. */
   def hyperplaneSignatures(vec: scala.collection.Seq[Float],
                            m: Array[Array[Array[Float]]]): Array[Long] = {
+    if (vec == null) return null
     val out = new Array[Long](m.length)
     var t = 0
     while (t < m.length) {
@@ -187,10 +190,11 @@ object Sketches {
       var p = 0
       while (p < table.length) {
         val plane = table(p)
+        require(vec.length == plane.length,
+          s"sign-LSH dim mismatch: vector has ${vec.length} dims, matrix ${plane.length}")
         var s = 0.0
         var d = 0
-        val n = math.min(plane.length, vec.length)
-        while (d < n) { s += plane(d) * vec(d); d += 1 }
+        while (d < plane.length) { s += plane(d) * vec(d); d += 1 }
         if (s > 0) sig |= (1L << p)
         p += 1
       }

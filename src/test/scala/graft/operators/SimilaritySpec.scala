@@ -124,6 +124,20 @@ class SimilaritySpec extends SparkSpec {
       "aggregate must run in partial mode before the shuffle")
   }
 
+  test("LSH: null vectors go unbucketed (no crash); dim mismatch errors loudly") {
+    val withNull = emb.select("vec_id", "embedding")
+      .union(Seq((8888L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val sigs = withNull.select($"vec_id",
+      Similarity.hyperplaneSignature($"embedding", dim, planes = 4).as("sig"))
+    assert(sigs.filter($"vec_id" === 8888L).collect().head.isNullAt(1))
+    assert(sigs.filter($"sig".isNotNull).count() == emb.count())
+    val err = intercept[Exception] {
+      emb.select(Similarity.hyperplaneSignature($"embedding", dim = 32, planes = 4))
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("IVF top-k: ranked per-query results with usable recall vs brute force") {
     val queries = emb.filter($"vec_id".isin(0, 1, 2, 3, 4))
     val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id", "embedding",
