@@ -411,6 +411,36 @@ object SparkEntry {
                FROM events GROUP BY category ORDER BY category""")
     }),
 
+    // Anti-join (NOT EXISTS): customers with no urgent orders — plans as
+    // a broadcast/shuffled LeftAnti with the filter pushed into the
+    // build side, never a cartesian.
+    "q38_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg("c_acctbal"), 4).as("avg_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Star join: fact (lineitem) with two broadcast dims (part,
+    // supplier→nation) — the classic OLAP shape; both dims explicitly
+    // broadcast so the fact side never shuffles for the join.
+    "q39_star_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy("p_brand", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy("p_brand", "n_name")
+    }),
+
     // Multimodal: magic-byte format sniffing over binary media columns
     // (JPEG/PNG headers synthesized deterministically from doc parity).
     "q28_media_meta" -> ((s, dir) => {
@@ -692,6 +722,25 @@ object SparkEntry {
                      WHEN de = greatest(en, fr, de, es) THEN 'de'
                      ELSE 'es' END AS lang_pred, count(1) AS n
          FROM hits GROUP BY 1 ORDER BY lang_pred""",
+
+    "q38_anti_join" ->
+      """SELECT c_mktsegment, count(1) AS n_customers,
+                round(avg(c_acctbal), 4) AS avg_acctbal
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q39_star_join" ->
+      """SELECT p_brand, n_name,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                count(1) AS n
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY p_brand, n_name ORDER BY p_brand, n_name""",
 
     "q37_dedup_corpus" ->
       """WITH u AS (
