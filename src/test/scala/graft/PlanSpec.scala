@@ -29,6 +29,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject") && p.contains("fvec_cosine"), p.take(800))
   }
 
+  test("q38: anti-join plans as LeftAnti with the urgent filter on the build side") {
+    val p = plan("q38_anti_join")
+    assert(p.contains("LeftAnti"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q39: star join broadcasts all three dimensions") {
+    val p = plan("q39_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(800))
+  }
+
   test("similarity/dedup queries: no cartesian products, no per-group windows") {
     Seq("q22_minhash_dedup", "q25_knn_join", "q31_ngram_jaccard",
       "q33_lsh_topk", "q34_embedding_dedup", "q35_ivf_topk").foreach { q =>
