@@ -55,6 +55,29 @@ class TopicStreamSpec extends SparkSpec {
       Seq("smart-city-parking"))
   }
 
+  test("maxFilesPerTrigger paces ingestion like maxOffsetsPerTrigger (S5)") {
+    val base = tmp()
+    // three separate appends → at least three files in the topic dir
+    (0 until 3).foreach { i =>
+      TopicStream.writeTopic(
+        Generator.cameraFrameLines(2).map(l => (l, s"batch$i")).toDF("value", "tag")
+          .withColumn("topic", lit("smart-city-camera-frames")),
+        base, col("topic"), col("value"))
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = TopicStream.readStream(spark, base, Seq("smart-city-camera-frames"),
+        maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes += b.count(); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batchSizes.sum == 6, s"all rows ingested: $batchSizes")
+    assert(batchSizes.count(_ > 0) >= 3,
+      s"one file per micro-batch means >= 3 non-empty batches: $batchSizes")
+  }
+
   test("multi-topic streaming collector routes into per-type bronze trees (S7)") {
     val base = tmp()
     val lake = tmp()
