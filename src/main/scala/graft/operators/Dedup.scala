@@ -91,9 +91,9 @@ object Dedup {
     * (banding + each pair side). That is the deliberate trade against
     * shuffling 2 KB sketch payloads through the band self-join (the
     * kernel is ~60 µs/doc; the shuffle would dominate at scale). Callers
-    * who prefer compute-once can `.persist()` this operator's input —
-    * or at cluster scale, write sketches to a table once and run
-    * banding/verification off that. */
+    * who prefer compute-once can pass `materializeSketches = true` to
+    * [[minhashDedup]] — or at cluster scale, write sketches to a table
+    * once and run banding/verification off that. */
   private def sketchFrame(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int, bands: Int, shingleK: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
@@ -157,10 +157,17 @@ object Dedup {
     * compares distinct hashed-shingle sets (identical to string-set
     * Jaccard up to 64-bit collisions) and touches only docs that appear
     * in a candidate pair — never the full corpus cross product. */
+  /** @param materializeSketches persist the per-doc sketch frame so the
+    *        kernel runs once instead of once per plan branch (3×). Off
+    *        by default — hidden caching is a footgun; turn it on when
+    *        executor memory comfortably holds ~2 KB/doc, and release
+    *        with `spark.catalog.clearCache()` (or let LRU evict). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numHashes: Int = 128,
-                   bands: Int = 16, shingleK: Int = 5): DataFrame = {
-    val sk = sketchFrame(df, idCol, textCol, numHashes, bands, shingleK)
+                   bands: Int = 16, shingleK: Int = 5,
+                   materializeSketches: Boolean = false): DataFrame = {
+    val sk0 = sketchFrame(df, idCol, textCol, numHashes, bands, shingleK)
+    val sk = if (materializeSketches) sk0.persist() else sk0
     val sh = sk.select(col("doc_id"), col("mh.shingles").as("sh"))
     bandedPairs(sk)
       .join(sh.toDF("doc_a", "sh_a"), "doc_a")

@@ -66,6 +66,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(_._1 == 1).get._3 == 1.0) // exact copy: jaccard 1
   }
 
+  test("materialized sketches return identical pairs with a cached plan") {
+    val plain = Dedup.minhashDedup(corpus, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mat = Dedup.minhashDedup(corpus, "doc_id", "text",
+      materializeSketches = true)
+    try {
+      assert(mat.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        == plain)
+      assert(mat.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+        "materialized path must read the cached sketch frame")
+    } finally spark.catalog.clearCache()
+  }
+
   test("streaming exact dedup: first occurrence only, state watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
