@@ -84,18 +84,27 @@ object Dedup {
     udf((text: String) => Sketches.sketch(text, shingleK, bands, as, bs)).apply(textCol)
   }
 
-  /** (doc_id, mh) sketch frame — the shared root of every MinHash plan.
-    * NOTE on plan shape: consumers reference this frame from several
-    * join branches and Spark does not deduplicate common subplans, so a
-    * full dedup evaluates the sketch kernel up to 3× over the corpus
-    * (banding + each pair side). That is the deliberate trade against
-    * shuffling 2 KB sketch payloads through the band self-join (the
-    * kernel is ~60 µs/doc; the shuffle would dominate at scale). Callers
-    * who prefer compute-once can pass `materializeSketches = true` to
-    * [[minhashDedup]] — or at cluster scale, write sketches to a table
-    * once and run banding/verification off that. */
-  private def sketchFrame(df: DataFrame, idCol: String, textCol: String,
-                          numHashes: Int, bands: Int, shingleK: Int): DataFrame =
+  /** Per-document sketch frame `(doc_id, mh: struct(sig, bands,
+    * shingles))` — the shared root of every MinHash plan.
+    *
+    * NOTE on plan shape: [[minhashDedup]] references this frame from
+    * several join branches and Spark does not deduplicate common
+    * subplans, so a full dedup evaluates the sketch kernel up to 3×
+    * over the corpus (banding + each pair side). That is the deliberate
+    * trade against shuffling 2 KB sketch payloads through the band
+    * self-join (the kernel is ~60 µs/doc; the shuffle would dominate at
+    * scale). For compute-once, persist this frame yourself and run
+    * [[minhashDedupFromSketches]] off it — you own the lifecycle:
+    * {{{
+    *   val sk = Dedup.minhashSketches(docs, "doc_id", "text").persist()
+    *   try Dedup.minhashDedupFromSketches(sk, threshold = 0.8).collect()
+    *   finally sk.unpersist()
+    * }}}
+    * At cluster scale, write the sketches to a table once and run
+    * banding/verification off that. */
+  def minhashSketches(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 128, bands: Int = 16,
+                      shingleK: Int = 5): DataFrame =
     df.select(col(idCol).as("doc_id"),
       sketchCol(col(textCol), numHashes, bands, shingleK).as("mh"))
 
@@ -131,7 +140,7 @@ object Dedup {
     * the signature rides along for similarity estimation. */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5): DataFrame =
-    sketchFrame(df, idCol, textCol, numHashes, bands, shingleK)
+    minhashSketches(df, idCol, textCol, numHashes, bands, shingleK)
       .select(col("doc_id"), col("mh.sig").as("sig"), posexplode(col("mh.bands")))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
@@ -143,7 +152,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, bands: Int = 16,
                         shingleK: Int = 5): DataFrame = {
-    val sk = sketchFrame(df, idCol, textCol, numHashes, bands, shingleK)
+    val sk = minhashSketches(df, idCol, textCol, numHashes, bands, shingleK)
     val sigs = sk.select(col("doc_id"), col("mh.sig").as("sig"))
     bandedPairs(sk)
       .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
@@ -156,18 +165,17 @@ object Dedup {
     * verification of candidates. Returns pairs ≥ threshold. Verification
     * compares distinct hashed-shingle sets (identical to string-set
     * Jaccard up to 64-bit collisions) and touches only docs that appear
-    * in a candidate pair — never the full corpus cross product. */
-  /** @param materializeSketches persist the per-doc sketch frame so the
-    *        kernel runs once instead of once per plan branch (3×). Off
-    *        by default — hidden caching is a footgun; turn it on when
-    *        executor memory comfortably holds ~2 KB/doc, and release
-    *        with `spark.catalog.clearCache()` (or let LRU evict). */
+    * in a candidate pair — never the full corpus cross product. For a
+    * compute-once sketch lifecycle, see [[minhashSketches]]. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numHashes: Int = 128,
-                   bands: Int = 16, shingleK: Int = 5,
-                   materializeSketches: Boolean = false): DataFrame = {
-    val sk0 = sketchFrame(df, idCol, textCol, numHashes, bands, shingleK)
-    val sk = if (materializeSketches) sk0.persist() else sk0
+                   bands: Int = 16, shingleK: Int = 5): DataFrame =
+    minhashDedupFromSketches(
+      minhashSketches(df, idCol, textCol, numHashes, bands, shingleK), threshold)
+
+  /** [[minhashDedup]] over a pre-built (possibly persisted) sketch frame
+    * from [[minhashSketches]]. */
+  def minhashDedupFromSketches(sk: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sh = sk.select(col("doc_id"), col("mh.shingles").as("sh"))
     bandedPairs(sk)
       .join(sh.toDF("doc_a", "sh_a"), "doc_a")

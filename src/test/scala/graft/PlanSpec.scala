@@ -33,6 +33,8 @@ class PlanSpec extends SparkSpec {
     val p = plan("q38_anti_join")
     assert(p.contains("LeftAnti"), p.take(600))
     assert(!p.contains("CartesianProduct"))
+    // the priority predicate reaches the orders parquet scan
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"), p.take(1200))
   }
 
   test("q39: star join broadcasts all three dimensions") {

@@ -66,17 +66,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(_._1 == 1).get._3 == 1.0) // exact copy: jaccard 1
   }
 
-  test("materialized sketches return identical pairs with a cached plan") {
+  test("persisted sketch frame yields identical pairs through a cached plan") {
     val plain = Dedup.minhashDedup(corpus, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val mat = Dedup.minhashDedup(corpus, "doc_id", "text",
-      materializeSketches = true)
+    val sk = Dedup.minhashSketches(corpus, "doc_id", "text").persist()
     try {
+      val mat = Dedup.minhashDedupFromSketches(sk, threshold = 0.8)
       assert(mat.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
         == plain)
       assert(mat.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
-        "materialized path must read the cached sketch frame")
-    } finally spark.catalog.clearCache()
+        "compute-once path must read the cached sketch frame")
+    } finally sk.unpersist()
   }
 
   test("streaming exact dedup: first occurrence only, state watermark-bounded") {

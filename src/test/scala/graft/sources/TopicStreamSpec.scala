@@ -58,9 +58,10 @@ class TopicStreamSpec extends SparkSpec {
   test("maxFilesPerTrigger paces ingestion like maxOffsetsPerTrigger (S5)") {
     val base = tmp()
     // three separate appends → at least three files in the topic dir
-    (0 until 3).foreach { i =>
+    // (the file source tracks paths, unique per write)
+    (0 until 3).foreach { _ =>
       TopicStream.writeTopic(
-        Generator.cameraFrameLines(2).map(l => (l, s"batch$i")).toDF("value", "tag")
+        Generator.cameraFrameLines(2).toDF("value")
           .withColumn("topic", lit("smart-city-camera-frames")),
         base, col("topic"), col("value"))
     }
