@@ -762,7 +762,9 @@ object SparkEntry {
            SELECT vec_id, embedding FROM embeddings
            UNION ALL SELECT vec_id, embedding FROM clones)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+                -- double rounding (6dp then 4dp) matches the Spark leg:
+                -- embeddingDedup emits round(cosine, 6), q34 re-rounds to 4
+                round(round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6), 4) AS cosine
          FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
          ORDER BY id_a, id_b""",

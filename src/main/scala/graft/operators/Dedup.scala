@@ -46,8 +46,13 @@ object Dedup {
     * collection time, full-corpus [[minhashDedup]] offline. */
   def streamingExact(df: DataFrame, textCol: String, tsCol: String,
                      watermark: String = "10 minutes"): DataFrame = {
-    // uniquified work column so a caller's own `_digest` survives intact
-    val digest = s"_graft_digest_${java.util.UUID.randomUUID.toString.take(8)}"
+    // Fixed reserved work-column name: dropDuplicatesWithinWatermark
+    // keys its state store by this field, so the name must be stable
+    // across checkpoint restarts (a randomized name only worked because
+    // Spark's state schema check happens to ignore field names).
+    val digest = "_graft_digest"
+    require(!df.columns.contains(digest),
+      s"streamingExact reserves the column name $digest; rename or drop it first")
     df.withColumn(digest, md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(digest)
@@ -104,9 +109,13 @@ object Dedup {
     * banding/verification off that. */
   def minhashSketches(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 128, bands: Int = 16,
-                      shingleK: Int = 5): DataFrame =
+                      shingleK: Int = 5): DataFrame = {
+    // fail at plan time, not per-row on an executor (see Sketches.bandHashes)
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must be >= 1 and divide numHashes ($numHashes)")
     df.select(col(idCol).as("doc_id"),
       sketchCol(col(textCol), numHashes, bands, shingleK).as("mh"))
+  }
 
   /** Deduped candidate id pairs (doc_a < doc_b) from shared LSH band
     * buckets; carries ids only through the self-join. */

@@ -118,8 +118,14 @@ object Sketches {
   }
 
   /** LSH band hashes: fold each r-slot row of the signature into one
-    * 64-bit bucket key, salted by band index. */
+    * 64-bit bucket key, salted by band index. `bands` must divide the
+    * signature length: a remainder would silently drop trailing slots
+    * from every band, and bands > length gives r=0 — every band hash
+    * degenerates to the constant mix64(b) and candidate generation
+    * becomes the full O(n²) cross product. */
   def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
+    require(bands >= 1 && sig.length % bands == 0,
+      s"bands ($bands) must be >= 1 and divide the signature length (${sig.length})")
     val r = sig.length / bands
     val bh = new Array[Long](bands)
     var b = 0
@@ -204,20 +210,27 @@ object Sketches {
     out
   }
 
+  /** True for exactly the Java-regex `\s` set — the tokenizer split of
+    * [[graft.functions.Text.tokens]] (NOT `Character.isWhitespace`,
+    * which also matches U+2028/U+1680 etc. and would diverge). */
+  @inline private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** 64-bit SimHash over lowercase whitespace tokens: per-bit majority
     * vote of token hashes, computed in one pass (each token hashed once,
     * all 64 bit-counters updated from that hash). Matches the
-    * tokenization of [[graft.functions.Text.tokens]]. */
+    * tokenization of [[graft.functions.Text.tokens]] — the same `\s`
+    * whitespace set, so Unicode spaces split identically in both forms. */
   def simhash(text: String): Long = {
     if (text == null) return 0L
     val counts = new Array[Int](64)
     var i = 0
     val n = text.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && isRegexWs(text.charAt(i))) i += 1
       val start = i
       var h = 0xcbf29ce484222325L
-      while (i < n && !Character.isWhitespace(text.charAt(i))) {
+      while (i < n && !isRegexWs(text.charAt(i))) {
         h ^= Character.toLowerCase(text.charAt(i)).toLong
         h *= 0x100000001b3L
         i += 1

@@ -127,6 +127,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 1001L)))
   }
 
+  test("invalid band counts are rejected at plan time") {
+    // bands must divide numHashes: a remainder silently drops signature
+    // slots; bands > numHashes makes every band hash constant (all docs
+    // collide → O(n²) candidates)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashSketches(corpus, "doc_id", "text", numHashes = 128, bands = 15)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bandHashes(new Array[Long](128), 200)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bandHashes(new Array[Long](128), 0)
+    }
+  }
+
+  test("streaming exact dedup rejects input that shadows its state column") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    // the digest column name is part of the checkpointed state schema, so
+    // it is a fixed reserved name — colliding input must fail loudly
+    intercept[IllegalArgumentException] {
+      Dedup.streamingExact(
+        mem.toDF().toDF("ts", "text", "_graft_digest"), "text", "ts")
+    }
+  }
+
   test("ngram jaccard catches near-dup; plans contain no cartesian product") {
     val pairs = Dedup.ngramJaccard(corpus, "doc_id", "text", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -111,6 +111,30 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[fvec_cosine.*"), plan)
   }
 
+  test("native cosine/dot accept array<double> (parity with the HOF forms)") {
+    // embeddings widened to double must analyze and agree with the HOF
+    // computation (pre-round-2 callers used the generic HOF on doubles)
+    val dbl = emb.limit(50).select($"vec_id",
+      $"embedding".cast("array<double>").as("dvec"))
+    val q = vecOf(0).map(_.toDouble)
+    val rows = dbl.select($"vec_id",
+        graft.expressions.VectorExpressions.cosineF($"dvec", typedlit(q)).as("native"),
+        (Similarity.dot($"dvec", typedlit(q)) /
+          (Similarity.norm($"dvec") * Similarity.norm(typedlit(q)))).as("hof"),
+        graft.expressions.VectorExpressions.dotF($"dvec", typedlit(q)).as("ndot"),
+        Similarity.dot($"dvec", typedlit(q)).as("hdot"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12, s"cosine vec ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-12, s"dot vec ${r.getLong(0)}")
+    }
+    // mixed float/double also analyzes (promoted to double arithmetic)
+    val mixed = emb.limit(5).select(
+      graft.expressions.VectorExpressions.cosineF($"embedding",
+        typedlit(q)).as("c")).collect()
+    assert(mixed.forall(r => math.abs(r.getDouble(0)) <= 1.0 + 1e-9))
+  }
+
   test("knn join plan: bounded top-k aggregate, no per-query window exchange") {
     val queries = emb.filter($"vec_id".isin(0, 1, 2))
     val plan = Similarity.knnJoin(emb, queries, "vec_id", "vec_id", "embedding", k = 5)
