@@ -96,19 +96,35 @@ object Similarity {
     udf((vec: Seq[Float]) => Sketches.hyperplaneSignatures(vec, m)).apply(vecCol)
   }
 
-  /** LSH-bucketed ANN top-k: corpus hashed once into sign buckets; each
-    * query probes only its own bucket. Trades recall for a join that
-    * shuffles buckets, not the cross product. Ranking via bounded top-k
-    * aggregation (same scale rationale as [[knnJoin]]). */
+  /** LSH-bucketed ANN top-k with multi-table OR-amplification: the
+    * corpus is hashed once into sign buckets under `tables` independent
+    * hyperplane tables (all signatures from one JVM pass per row); each
+    * query probes its bucket in EVERY table. A single table caps
+    * per-neighbor recall at p = p_agree^planes with no second chance —
+    * misses are systematic for near-threshold neighbors at scale; T
+    * independent tables lift it to 1-(1-p)^T while `planes` keeps each
+    * bucket narrow. Candidate ids are deduped across tables BEFORE the
+    * exact scoring join (same shape as [[embeddingDedup]]), so the
+    * bucket self-join carries ids only and each surviving candidate is
+    * scored exactly once. Ranking via bounded top-k aggregation (same
+    * scale rationale as [[knnJoin]]). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
               queryId: String, vecCol: String, dim: Int, k: Int = 10,
-              planes: Int = 12): DataFrame = {
-    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"),
-      hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
-    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"),
-      hyperplaneSignature(col(vecCol), dim, planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+              planes: Int = 12, tables: Int = 4): DataFrame = {
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"))
+    val cb = c.select(col("corpus_id"),
+        posexplode(hyperplaneSignatureTables(col("cvec"), dim, planes, tables)))
+      .toDF("corpus_id", "table_id", "bucket")
+    val qb = q.select(col("query_id"),
+        posexplode(hyperplaneSignatureTables(col("qvec"), dim, planes, tables)))
+      .toDF("query_id", "table_id", "bucket")
+    val cands = cb.join(broadcast(qb), Seq("table_id", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id").distinct()
+    val scored = cands
+      .join(c, "corpus_id")
+      .join(broadcast(q), "query_id")
       .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
     explodeRanked(
       scored.groupBy("query_id")

@@ -162,6 +162,34 @@ class SimilaritySpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("LSH multi-table OR-amplification lifts recall past the single-table ceiling") {
+    // Deterministic on fixed data + seeded hyperplanes: recall@5 vs the
+    // exact answer for 5 queries. One 4-plane table caps per-neighbor
+    // recall at p_agree^4 with no second chance (measured 0.16 here);
+    // 4 independent tables lift it to 1-(1-p)^4 (measured 0.36). The
+    // 0.3 bound separates them: the single-table design cannot pass it.
+    val queries = emb.filter($"vec_id" < 5)
+    def recallAt(tables: Int): Double = {
+      val got = Similarity.lshTopK(emb, queries, "vec_id", "vec_id", "embedding",
+        dim, k = 5, planes = 4, tables = tables).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      (0 until 5).map { qid =>
+        val exact = Similarity.bruteForceTopK(
+          emb.filter($"vec_id" =!= qid.toLong), "vec_id", "embedding",
+          vecOf(qid.toLong), k = 5).collect().map(_.getLong(0)).toSet
+        (exact & got.getOrElse(qid.toLong, Set.empty)).size / 5.0
+      }.sum / 5.0
+    }
+    val single = recallAt(1)
+    val multi = recallAt(4)
+    assert(multi > single,
+      s"OR-amplification must add recall: single=$single multi=$multi")
+    assert(multi >= 0.3, s"multi-table recall@5 below bound: $multi")
+    assert(single < 0.3,
+      s"single-table unexpectedly passes the bound ($single) — bound is stale")
+  }
+
   test("IVF top-k: ranked per-query results with usable recall vs brute force") {
     val queries = emb.filter($"vec_id".isin(0, 1, 2, 3, 4))
     val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id", "embedding",
