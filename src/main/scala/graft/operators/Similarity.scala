@@ -131,6 +131,23 @@ object Similarity {
         .agg(TopK.topK(k)(col("corpus_id"), col("cosine")).as("top")))
   }
 
+  /** One-pass cell assignment closing over the centroid matrix
+    * ([[Sketches.nearestCells]]): all `nlist` similarities per row from
+    * one kernel call. The alternative — a literal `greatest(struct(sim,
+    * idx)…)` chain of per-centroid cosine calls — bakes `nlist` branches
+    * into the expression tree (a plan/codegen blow-up at a realistic
+    * nlist≈4096) and is evaluated separately for best-cell and
+    * probe-cell branches; the kernel is O(plan)=1 regardless of nlist
+    * and bit-identical in assignment order (spec-asserted). */
+  private def probeCellsUdf(centroids: Array[Array[Float]], nprobe: Int) =
+    udf { (vec: Seq[Float]) => Sketches.nearestCells(vec, centroids, nprobe) }
+
+  private def bestCellUdf(centroids: Array[Array[Float]]) =
+    udf { (vec: Seq[Float]) =>
+      val cells = Sketches.nearestCells(vec, centroids, 1)
+      if (cells == null) null else Int.box(cells(0))
+    }
+
   /** IVF(-flat) approximate nearest neighbors: coarse-quantize the
     * corpus into `nlist` cells, then each query probes only its
     * `nprobe` nearest cells — the candidate scan is corpus/nlist·nprobe
@@ -141,10 +158,10 @@ object Similarity {
     * each round is one distributed assignment + per-(cell, dim) mean —
     * a shuffle of dims, not vectors — with only the nlist×dim centroid
     * table collected to the driver (the index-build pattern; the serving
-    * plan is unchanged). Cell assignment is a literal `greatest(struct
-    * (sim, idx)…)` chain over codegen'd cosines — one corpus scan, no
-    * shuffle until the equi-join on cell id. Ranking reuses the bounded
-    * top-k aggregate (map-side combine, no per-query window). */
+    * plan is unchanged). Cell assignment is one [[Sketches.nearestCells]]
+    * kernel call per row — one corpus scan, no shuffle until the
+    * equi-join on cell id. Ranking reuses the bounded top-k aggregate
+    * (map-side combine, no per-query window). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
               queryId: String, vecCol: String, k: Int = 10,
               nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 0): DataFrame = {
@@ -153,10 +170,7 @@ object Similarity {
       .select(col(vecCol)).orderBy(xxhash64(col(corpusId)), col(corpusId))
       .limit(nlist).collect().map(_.getSeq[Float](0))
     (0 until lloydIters).foreach { _ =>
-      val sims = centroids.toSeq.map(c =>
-        graft.expressions.VectorExpressions.cosineF(col(vecCol), typedlit(c)))
-      val cell = greatest(sims.zipWithIndex.map { case (s, i) =>
-        struct(s.as("sim"), lit(i).as("cell")) }: _*).getField("cell")
+      val cell = bestCellUdf(centroids.map(_.toArray))(col(vecCol))
       // decimal partial sums are order-exact, so the refined centroids —
       // and therefore the whole index build — are deterministic even
       // though shuffle-block arrival order is not
@@ -177,19 +191,11 @@ object Similarity {
         }
       }
     }
-    def sims(vec: Column): Seq[Column] = centroids.toSeq.map(c =>
-      graft.expressions.VectorExpressions.cosineF(vec, typedlit(c)))
-    def bestCell(vec: Column): Column =
-      greatest(sims(vec).zipWithIndex.map { case (s, i) =>
-        struct(s.as("sim"), lit(i).as("cell")) }: _*).getField("cell")
-    def probeCells(vec: Column): Column =
-      slice(reverse(array_sort(array(sims(vec).zipWithIndex.map { case (s, i) =>
-        struct(s.as("sim"), lit(i).as("cell")) }: _*))), 1, nprobe)
-        .getField("cell")
+    val cm = centroids.map(_.toArray)
     val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"),
-      bestCell(col(vecCol)).as("cell"))
+      bestCellUdf(cm)(col(vecCol)).as("cell"))
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"),
-        explode(probeCells(col(vecCol))).as("cell"))
+        explode(probeCellsUdf(cm, nprobe)(col(vecCol))).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))

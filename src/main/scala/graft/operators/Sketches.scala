@@ -210,6 +210,62 @@ object Sketches {
     out
   }
 
+  /** One-pass IVF cell probe: cosine of `vec` against every centroid
+    * row, returning the `nprobe` best cell ids ordered descending by
+    * (cosine, cell id) — exactly Spark's `greatest(struct(sim, cell))` /
+    * `array_sort` tie order, including NaN-greatest double semantics.
+    * The accumulation is float-multiply-first then double-sum, matching
+    * [[graft.expressions.FloatVectorCosine]] bit for bit, so cell
+    * assignments are identical to the per-centroid codegen'd chain this
+    * replaces. The chain form built `nlist` literal cosine calls into
+    * the plan — a 4096-branch expression tree at realistic `nlist`,
+    * evaluated once for the best cell and again for the probe list; one
+    * kernel call computes all similarities in a single pass per row.
+    * NULL vectors yield null (the row goes unprobed); a dimension
+    * mismatch with the centroid matrix is an error, not a silent
+    * truncation. */
+  def nearestCells(vec: scala.collection.Seq[Float],
+                   centroids: Array[Array[Float]], nprobe: Int): Array[Int] = {
+    if (vec == null) return null
+    val nlist = centroids.length
+    val sims = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val cen = centroids(c)
+      require(vec.length == cen.length,
+        s"IVF dim mismatch: vector has ${vec.length} dims, centroid ${cen.length}")
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var d = 0
+      while (d < cen.length) {
+        val xi = vec(d); val yi = cen(d)
+        dot += (xi * yi).toDouble
+        na += (xi * xi).toDouble
+        nb += (yi * yi).toDouble
+        d += 1
+      }
+      sims(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    val k = math.min(nprobe, nlist)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](nlist)
+    var j = 0
+    while (j < k) {
+      var best = -1
+      var i = 0
+      while (i < nlist) {
+        // Double.compare orders NaN above all values, like Spark
+        if (!taken(i) && (best < 0 || java.lang.Double.compare(sims(i), sims(best)) >= 0))
+          best = i
+        i += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    out
+  }
+
   /** True for exactly the Java-regex `\s` set — the tokenizer split of
     * [[graft.functions.Text.tokens]] (NOT `Character.isWhitespace`,
     * which also matches U+2028/U+1680 etc. and would diverge). */

@@ -216,6 +216,32 @@ class SimilaritySpec extends SparkSpec {
     assert(avgRecall >= 0.5, s"IVF nprobe=8/16 recall too low: $recalls")
   }
 
+  test("IVF cell assignment stays O(1) in the plan as nlist grows") {
+    // The kernel closes over the centroid matrix; the plan must carry
+    // ONE cell-assignment call per side regardless of nlist — the
+    // per-centroid literal-cosine chain this replaced grew the
+    // expression tree (and codegen) linearly with nlist and evaluated
+    // it twice (best cell + probe cells).
+    val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val queries = big.filter($"vec_id" < 3)
+    def planOf(nlist: Int): String =
+      Similarity.ivfTopK(big, queries, "vec_id", "vec_id", "embedding",
+        k = 5, nlist = nlist, nprobe = 4)
+        .queryExecution.executedPlan.toString
+    val p16 = planOf(16)
+    val p256 = planOf(256)
+    assert(!p256.contains("fvec_cosine") ||
+      "fvec_cosine".r.findAllIn(p256).size == "fvec_cosine".r.findAllIn(p16).size,
+      "per-centroid cosine chain leaked back into the plan")
+    // 16x the centroids must not inflate the plan (literal chains did)
+    assert(p256.length <= p16.length + 256,
+      s"plan grew with nlist: ${p16.length} -> ${p256.length}")
+    // and the big-nlist index still executes and answers every query
+    val rows = Similarity.ivfTopK(big, queries, "vec_id", "vec_id", "embedding",
+      k = 5, nlist = 256, nprobe = 16).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+  }
+
   test("IVF Lloyd refinement keeps determinism and does not hurt recall") {
     val queries = emb.filter($"vec_id".isin(0, 1, 2, 3, 4))
     def run() = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id", "embedding",
