@@ -64,9 +64,21 @@ object Text {
 
   /** Heuristic document-quality score in [0,1] — the classic cheap filters
     * (length band, punctuation ratio, stopword presence, mean word length)
-    * combined with equal weights. Deterministic, codegen-friendly.
-    */
-  def qualityScore(text: Column): Column = {
+    * combined with equal weights. One JVM kernel pass per row
+    * ([[qualityScoreScalar]], shared with the SQL surface): the pure-
+    * Column form re-evaluates the interpreted `tokens`/`tokenCount` HOFs
+    * once per component score — O(components × tokens) interpreted work
+    * per row at corpus scale (the recompute family behind round 1's
+    * MinHash blow-up). The HOF form is kept as [[qualityScoreExpr]] and
+    * spec-asserted equal. */
+  def qualityScore(text: Column): Column =
+    udf { (s: String) =>
+      if (s == null) null else Double.box(qualityScoreScalar(s))
+    }.apply(text)
+
+  /** Pure-Column (HOF) form of [[qualityScore]] — interpreted
+    * CodegenFallback, for cross-checking the kernel only. */
+  private[graft] def qualityScoreExpr(text: Column): Column = {
     val n = tokenCount(text)
     // length: 0 below 5 tokens, ramps to 1 at 50+, capped
     val lengthScore = least(n.cast("double") / 50.0, lit(1.0))
@@ -85,8 +97,17 @@ object Text {
 
   /** N-gram-free language ID: stopword-hit argmax over the supported
     * languages; ties break by the declared order (en first); "und"
-    * (undetermined) when no stopword of any language appears. */
-  def langId(text: Column): Column = {
+    * (undetermined) when no stopword of any language appears. One JVM
+    * kernel pass per row ([[langIdScalar]], shared with the SQL
+    * surface) — the pure-Column form ran the interpreted
+    * `filter(tokens(text))` HOF once per language. The HOF form is kept
+    * as [[langIdExpr]] and spec-asserted equal. */
+  def langId(text: Column): Column =
+    udf { (s: String) => if (s == null) null else langIdScalar(s) }.apply(text)
+
+  /** Pure-Column (HOF) form of [[langId]] — interpreted
+    * CodegenFallback, for cross-checking the kernel only. */
+  private[graft] def langIdExpr(text: Column): Column = {
     val langs = Seq("en", "fr", "de", "es")
     val hits = langs.map(l => stopwordHits(text, l))
     val best = greatest(hits: _*)

@@ -116,8 +116,10 @@ class TextSpec extends SparkSpec {
                 quality_score(text) AS qs, normalize_text(text) AS nt,
                 fingerprint_md5(text) AS fp
          FROM text_spec_docs ORDER BY doc_id""").collect()
+    // the Expr forms are the independent implementation (pure-Column
+    // HOFs); langId/qualityScore proper share the SQL kernels
     val viaCol = docs.select($"doc_id", Text.tokenCount($"text"),
-        Text.langId($"text"), Text.qualityScore($"text"),
+        Text.langIdExpr($"text"), Text.qualityScoreExpr($"text"),
         Text.normalizeText($"text"), Text.fingerprintMd5($"text"))
       .orderBy("doc_id").collect()
     viaSql.zip(viaCol).foreach { case (s, c) =>
@@ -128,5 +130,35 @@ class TextSpec extends SparkSpec {
                 quality_score(CAST(NULL AS STRING)), fingerprint_md5(CAST(NULL AS STRING))""")
       .collect().head
     (0 until 4).foreach(i => assert(nulls.isNullAt(i)))
+  }
+
+  test("langId/qualityScore kernels equal the HOF forms; no interpreted HOF in plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+      .union(Seq((90001L, ""), (90002L, "   "),
+        (90003L, "la la the the und und"), // en/fr stopword tie → en
+        (90004L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val rows = docs.select($"doc_id",
+        Text.langId($"text").as("li_k"), Text.langIdExpr($"text").as("li_e"),
+        Text.qualityScore($"text").as("qs_k"), Text.qualityScoreExpr($"text").as("qs_e"))
+      .collect()
+    // NULL text: the kernel is NULL-in→NULL-out like the SQL surface;
+    // the HOF form leaked "und" (null hits fall through the when-chain
+    // to the default) — a quirk, not a contract, so nulls compare
+    // kernel-only here
+    assert(rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSeq == Seq(90004L))
+    rows.filter(r => !r.isNullAt(1)).foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"langId doc ${r.getLong(0)}: kernel=${r.get(1)} hof=${r.get(2)}")
+      assert(r.isNullAt(3) == r.isNullAt(4) &&
+        (r.isNullAt(3) || r.getDouble(3) == r.getDouble(4)),
+        s"quality doc ${r.getLong(0)}: kernel=${r.get(3)} hof=${r.get(4)}")
+    }
+    // the kernel plan must carry no interpreted lambda evaluation — the
+    // HOF forms ran filter(tokens(text)) per language / per component
+    val plan = docs.select(Text.langId($"text"), Text.qualityScore($"text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"), plan)
   }
 }
