@@ -319,8 +319,14 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Dedup: SimHash pigeonhole pair search within Hamming radius 3
-    // (rows-only: the 64-bit fingerprint is engine-specific).
+    // Dedup: SimHash pigeonhole pair search within Hamming radius 3.
+    // Rows-only by necessity, not convenience: the corpus's Hamming
+    // histogram is continuous through the radius boundary at every SF
+    // (sf0.01: 23 pairs at ≤3, then 31 at 4, 87 at 5), so the pair set
+    // depends on this engine's exact 64-bit fingerprints and no
+    // hash-independent SQL oracle can reproduce it. Correctness is
+    // pinned instead by DedupSpec's exact all-pairs reconciliation
+    // (banding == brute force over the 124,750-pair sf0.01 sweep).
     "q32_simhash_pairs" -> ((s, dir) => {
       graft.operators.Dedup.simhashDedup(
           t(s, dir, "documents"), "doc_id", "text", radius = 3)

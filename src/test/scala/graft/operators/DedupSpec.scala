@@ -127,6 +127,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 1001L)))
   }
 
+  test("simhash pigeonhole search reconciles with brute force over the corpus") {
+    // The banding lemma promises EXACT radius search (no misses, no
+    // extras). Reconcile against the all-pairs sweep on the real sf0.01
+    // corpus: 500 docs, 124,750 pairs. This is the correctness net for
+    // q32, which stays rows-only in the oracle battery — the corpus's
+    // Hamming histogram is continuous through the radius boundary
+    // (23 pairs at ≤3, 31 at 4, 87 at 5, ...), so the pair set depends
+    // on this engine's exact fingerprints and a hash-independent SQL
+    // oracle cannot exist.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 3
+    } yield {
+      val (a, b) = (sigs(i)._1, sigs(j)._1)
+      (math.min(a, b), math.max(a, b), h)
+    }).toSet
+    val got = Dedup.simhashDedup(docs, "doc_id", "text", radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(expected.size == 23, s"corpus drifted: ${expected.size} pairs")
+  }
+
   test("invalid band counts are rejected at plan time") {
     // bands must divide numHashes: a remainder silently drops signature
     // slots; bands > numHashes makes every band hash constant (all docs
