@@ -447,6 +447,45 @@ object SparkEntry {
         .orderBy("p_brand", "n_name")
     }),
 
+    // Bucketed co-located join: both sides written bucketed+sorted on
+    // the join key, so the join itself reads pre-hash-partitioned data
+    // and plans with zero exchanges under it (plan-asserted). The
+    // write-time shuffle is paid once — the storage-layout answer for
+    // repeatedly-joined 100 TB facts. Same aggregate as q12, so the
+    // oracle doubles as an equivalence check against the plain join.
+    "q40_bucketed_cojoin" -> ((s, dir) => {
+      graft.sources.Bucketed.save(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        "graft_q40_lineitem", "orderkey")
+      graft.sources.Bucketed.save(
+        t(s, dir, "orders").select(col("o_orderkey").as("orderkey"),
+          col("o_orderpriority")),
+        "graft_q40_orders", "orderkey")
+      graft.sources.Bucketed
+        .cojoin(s, "graft_q40_lineitem", "graft_q40_orders", "orderkey")
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Salted skew join: result rows identical to the plain equi-join
+    // (which is exactly what the oracle computes) — only the shuffle
+    // distribution changes, spreading each hot key across `salt`
+    // partitions (plan-asserted: _salt in the join keys).
+    "q41_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_suppkey").as("suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey").as("suppkey"),
+        col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(l, su, "suppkey", salt = 8)
+        .groupBy("s_nationkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy("s_nationkey")
+    }),
+
     // Multimodal: magic-byte format sniffing over binary media columns
     // (JPEG/PNG headers synthesized deterministically from doc parity).
     "q28_media_meta" -> ((s, dir) => {
@@ -747,6 +786,24 @@ object SparkEntry {
            JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
          GROUP BY p_brand, n_name ORDER BY p_brand, n_name""",
+
+    // q40 re-aggregates the q12 join through the bucketed layout — the
+    // oracle is the plain join, proving layout changes nothing.
+    "q40_bucketed_cojoin" ->
+      """SELECT o_orderpriority,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                count(1) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // q41's oracle is the unsalted join — salting must be invisible in
+    // the result.
+    "q41_salted_join" ->
+      """SELECT s_nationkey,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                count(1) AS n
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
 
     "q37_dedup_corpus" ->
       """WITH u AS (

@@ -11,11 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * for repeatedly-joined 100 TB fact tables. */
 object Bucketed {
 
-  /** Write `df` as a bucketed, sorted managed table (overwrites). */
-  def save(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit =
+  /** Write `df` as a bucketed, sorted managed table (overwrites). Safe
+    * to re-run across sessions: a fresh metastore can inherit a stale
+    * warehouse directory from a previous run — `saveAsTable` refuses to
+    * reuse the location even in overwrite mode — so any orphan location
+    * for an unregistered table of this name is cleared first. */
+  def save(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table) // managed: spark.sql.warehouse.dir
+  }
 
   /** Equi-join two tables previously saved with the same (key, buckets)
     * layout; planned shuffle-free. */

@@ -42,6 +42,31 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(800))
   }
 
+  test("q40: nothing shuffles under the co-located join (exchanges only above it)") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the plan shows what bucketing buys on two
+      // genuinely large fact tables
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q40_bucketed_cojoin")
+      val i = p.indexOf("SortMergeJoin")
+      assert(i >= 0, p.take(600))
+      // parent-first print: everything after the join line is its subtree
+      assert(!p.substring(i).contains("Exchange"),
+        "exchange under the bucketed join:\n" + p.substring(i).take(1200))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE IF EXISTS graft_q40_lineitem")
+      spark.sql("DROP TABLE IF EXISTS graft_q40_orders")
+    }
+  }
+
+  test("q41: the salt participates in the join keys") {
+    val p = plan("q41_salted_join")
+    assert(p.contains("_salt"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("similarity/dedup queries: no cartesian products, no per-group windows") {
     Seq("q22_minhash_dedup", "q25_knn_join", "q31_ngram_jaccard",
       "q33_lsh_topk", "q34_embedding_dedup", "q35_ivf_topk").foreach { q =>
