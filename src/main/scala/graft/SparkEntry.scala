@@ -265,6 +265,23 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // q22 through the documented compute-once sketch lifecycle: the
+    // sketch frame is persisted, so banding and both pair branches read
+    // the cache (plan-asserted InMemoryTableScan) and the sketch kernel
+    // runs once per document instead of up to 3x — the cluster default
+    // for corpus-scale dedup. Identical pairs to q22 (spec-asserted);
+    // rows-only for the same reason as q22.
+    "q22b_minhash_persisted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val clones = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" appended words")).as("text"))
+      val sk = graft.operators.Dedup.minhashSketches(docs.union(clones),
+        "doc_id", "text", numHashes = 128, bands = 16).persist()
+      graft.operators.Dedup.minhashDedupFromSketches(sk, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Dedup: per-document 64-bit SimHash fingerprints (rows-only).
     "q23_simhash" -> ((s, dir) => {
       t(s, dir, "documents")

@@ -67,6 +67,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q22b: every sketch consumer reads the persisted frame, not the kernel") {
+    val df = SparkEntry.queries("q22b_minhash_persisted")(spark, dir)
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      // band self-join (both sides) + two pair branches = four
+      // cached-scan consumers; the sketch UDF cannot re-run per branch
+      val cacheScans = "InMemoryTableScan".r.findAllIn(p).size
+      assert(cacheScans >= 3, p.take(1200))
+      // every parquet scan in the print belongs to a cache build recipe
+      // (each InMemoryRelation prints its two-scan union child); a
+      // consumer bypassing the cache would add scans beyond that
+      assert("FileScan parquet".r.findAllIn(p).size ==
+        2 * "InMemoryRelation".r.findAllIn(p).size,
+        "a branch bypassed the cache:\n" + p.take(1200))
+      // and the compute-once path returns exactly the one-shot pairs
+      val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val oneShot = SparkEntry.queries("q22_minhash_dedup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs == oneShot, s"persisted=${pairs.size} oneShot=${oneShot.size}")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("similarity/dedup queries: no cartesian products, no per-group windows") {
     Seq("q22_minhash_dedup", "q25_knn_join", "q31_ngram_jaccard",
       "q33_lsh_topk", "q34_embedding_dedup", "q35_ivf_topk").foreach { q =>
