@@ -85,6 +85,18 @@ object VisionStreamJob {
     * Confidences get the reference's ±jitter, deterministic per frame —
     * so confidences VARY across frames and the tracker's
     * strictly-higher-confidence upgrade path (W4) runs in streaming. */
+  /** Frame timestamps arrive as bare ISO local datetimes from the
+    * bridge, but the collector path tolerates `Z`/offset suffixes —
+    * accept both here too ([[graft.functions.City.parseIsoTs]]
+    * semantics: an explicit offset is honored, a bare datetime is UTC). */
+  private[streaming] def parseFrameTsMs(ts: String): Long =
+    try java.time.OffsetDateTime.parse(ts).toInstant.toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(ts)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
   def syntheticDetect(frames: DataFrame): Dataset[FrameDets] = {
     import frames.sparkSession.implicits._
     // F13: real base64 decode of the frame payload (the reference's
@@ -97,8 +109,7 @@ object VisionStreamJob {
       .mapPartitions { it =>
         // per-partition "model load" happens here (amortized, like open())
         it.map { case (cam, ts, frameNo, frameBytes) =>
-          val eventMs = java.time.LocalDateTime.parse(ts)
-            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          val eventMs = parseFrameTsMs(ts)
           val valid = frameBytes != null && frameBytes.nonEmpty
           val n = if (!valid) 0 else (math.abs((cam + frameNo).hashCode) % 4)
           val dets = (0 until n).map { d =>

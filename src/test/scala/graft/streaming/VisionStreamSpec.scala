@@ -88,6 +88,21 @@ class VisionStreamSpec extends SparkSpec {
     assert(VisionStreamJob.syntheticDetect(garbage).collect().head.detections.isEmpty)
   }
 
+  test("synthetic detector tolerates Z and offset frame timestamps") {
+    // the bridge emits bare local datetimes, but the collector path
+    // tolerates Z/offset variants — the detector must too (parseIsoTs
+    // semantics: explicit offset honored, bare datetime is UTC)
+    val frames = Seq(
+      ("CAM_01", "2025-12-30T14:00:00", 1L, "b64data"),
+      ("CAM_01", "2025-12-30T14:00:00Z", 1L, "b64data"),
+      ("CAM_01", "2025-12-30T16:00:00+02:00", 1L, "b64data"))
+      .toDF("camera_id", "timestamp", "frame_number", "frame_data")
+    val out = VisionStreamJob.syntheticDetect(frames).collect()
+    assert(out.length == 3)
+    assert(out.map(_.eventMs).distinct.toSeq == Seq(1767103200000L),
+      "all three spellings denote the same instant")
+  }
+
   test("continuous 1-min aggregate (batch mode) counts per bucket/camera") {
     // 10 frames at 0.5s cadence => all in one minute bucket
     val tracked = VisionStreamJob.track(mkFrames(10).toDS())
