@@ -165,7 +165,20 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
               queryId: String, vecCol: String, k: Int = 10,
               nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 0): DataFrame = {
-    // index build: nlist centroid vectors to the driver (tiny by design)
+    val cm = ivfCentroids(corpus, corpusId, vecCol, nlist, lloydIters)
+    ivfTopKFromIndex(ivfAssign(corpus, corpusId, vecCol, cm), cm,
+      queries, queryId, vecCol, k, nprobe)
+  }
+
+  /** Driver-side half of an IVF index: the nlist×dim centroid matrix.
+    * Seeds are `nlist` corpus vectors picked by hashed id
+    * (deterministic), optionally refined by `lloydIters` k-means rounds:
+    * each round is one distributed assignment + per-(cell, dim) mean —
+    * a shuffle of dims, not vectors — with only the centroid table
+    * collected to the driver. Persist alongside the [[ivfAssign]] frame
+    * via [[centroidsToDF]]/[[centroidsFromDF]]. */
+  def ivfCentroids(corpus: DataFrame, corpusId: String, vecCol: String,
+                   nlist: Int = 16, lloydIters: Int = 0): Array[Array[Float]] = {
     var centroids: Array[Seq[Float]] = corpus
       .select(col(vecCol)).orderBy(xxhash64(col(corpusId)), col(corpusId))
       .limit(nlist).collect().map(_.getSeq[Float](0))
@@ -191,18 +204,50 @@ object Similarity {
         }
       }
     }
-    val cm = centroids.map(_.toArray)
-    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"),
-      bestCellUdf(cm)(col(vecCol)).as("cell"))
+    centroids.map(_.toArray)
+  }
+
+  /** Distributed half of an IVF index: `(corpus_id, cvec, cell)` — every
+    * corpus row tagged with its nearest centroid in one kernel pass.
+    * Write this once (parquet, ideally partitioned/bucketed by `cell`)
+    * and serve all query batches off it with [[ivfTopKFromIndex]]; the
+    * one-shot [[ivfTopK]] re-assigns the corpus on every call, which at
+    * 100 TB is the index build cost paid per query batch. */
+  def ivfAssign(corpus: DataFrame, corpusId: String, vecCol: String,
+                centroids: Array[Array[Float]]): DataFrame =
+    corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"),
+      bestCellUdf(centroids)(col(vecCol)).as("cell"))
+
+  /** Serve ANN top-k off a pre-built IVF index ([[ivfAssign]] frame +
+    * centroid matrix): queries probe their `nprobe` nearest cells, the
+    * candidate scan is the matching cells only, ranking via the bounded
+    * top-k aggregate (map-side combine, no per-query window). */
+  def ivfTopKFromIndex(assigned: DataFrame, centroids: Array[Array[Float]],
+                       queries: DataFrame, queryId: String, vecCol: String,
+                       k: Int = 10, nprobe: Int = 4): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"),
-        explode(probeCellsUdf(cm, nprobe)(col(vecCol))).as("cell"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+      explode(probeCellsUdf(centroids, nprobe)(col(vecCol))).as("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
     explodeRanked(
       scored.groupBy("query_id")
         .agg(TopK.topK(k)(col("corpus_id"), col("cosine")).as("top")))
   }
+
+  /** Centroid matrix as a tiny `(cell, vector)` frame — write it next
+    * to the [[ivfAssign]] table to persist the whole index. */
+  def centroidsToDF(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toSeq.toDF("cell", "vector")
+  }
+
+  /** Inverse of [[centroidsToDF]]. */
+  def centroidsFromDF(df: DataFrame): Array[Array[Float]] =
+    df.select("cell", "vector").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold among bucket
     * collisions, with multi-table OR-amplification (the embedding leg

@@ -242,6 +242,32 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
   }
 
+  test("IVF persisted-index lifecycle serves identically to the one-shot form") {
+    // build once (centroids + assignment), round-trip the centroids
+    // through their storable frame, serve two query batches off the
+    // persisted index — results must equal the one-shot ivfTopK, which
+    // rebuilds the index per call
+    val cm = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val roundTripped = Similarity.centroidsFromDF(
+      Similarity.centroidsToDF(spark, cm))
+    assert(roundTripped.map(_.toSeq).toSeq == cm.map(_.toSeq).toSeq,
+      "centroids must survive the storable-frame round trip")
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", roundTripped)
+      .persist()
+    try {
+      for (batch <- Seq(Seq(0L, 1L, 2L), Seq(3L, 4L))) {
+        val queries = emb.filter($"vec_id".isin(batch: _*))
+        val served = Similarity.ivfTopKFromIndex(assigned, roundTripped,
+          queries, "vec_id", "embedding", k = 5, nprobe = 8).collect()
+          .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+        val oneShot = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id",
+          "embedding", k = 5, nlist = 16, nprobe = 8).collect()
+          .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+        assert(served == oneShot, s"batch $batch diverged")
+      }
+    } finally assigned.unpersist()
+  }
+
   test("IVF Lloyd refinement keeps determinism and does not hurt recall") {
     val queries = emb.filter($"vec_id".isin(0, 1, 2, 3, 4))
     def run() = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id", "embedding",
