@@ -130,6 +130,17 @@ object Text {
   /** MD5 fingerprint of normalized text — identical in DuckDB. */
   def fingerprintMd5(text: Column): Column = md5(normalizeText(text))
 
+  /** Winnowing fingerprints of normalized text (rolling-hash document
+    * fingerprinting, [[graft.operators.Sketches.winnow]]): any shared
+    * substring of length ≥ w+k−1 yields a shared fingerprint, and an
+    * edit only perturbs fingerprints near it — local-edit robustness
+    * the whole-document [[fingerprint]] digest cannot give. One JVM
+    * pass per document. */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    udf { (s: String) =>
+      if (s == null) null else graft.operators.Sketches.winnow(s, k, w)
+    }.apply(text)
+
   /** Character k-shingles of normalized text (building block for MinHash /
     * Jaccard). Returns distinct shingles. */
   def shingles(text: Column, k: Int = 5): Column = {

@@ -266,6 +266,46 @@ object Sketches {
     out
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    * SIGMOD 2003): hash every character k-gram of the normalized text,
+    * then slide a window of `w` consecutive k-gram hashes and record
+    * each window's minimum (rightmost occurrence on ties), deduplicating
+    * consecutive picks. Guarantees: any shared substring of length
+    * ≥ w + k − 1 yields at least one shared fingerprint, and an edit
+    * only perturbs fingerprints within w + k − 1 characters of it (the
+    * locality property — whole-doc digests lose both). One JVM pass;
+    * k-gram hashes reuse [[shingleHashes]]' FNV-1a window hashing.
+    * Texts shorter than k fingerprint as their single whole-string
+    * shingle hash. */
+  def winnow(text: String, k: Int = 5, w: Int = 4): Array[Long] = {
+    require(k >= 1 && w >= 1, s"winnow needs k >= 1 and w >= 1, got k=$k w=$w")
+    val norm = normalize(text)
+    if (norm.length < k) return Array(hashChars(norm, 0, norm.length))
+    val n = norm.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = hashChars(norm, i, k); i += 1 }
+    if (n <= w) return Array(hs.min)
+    val out = new Array[Long](n - w + 1)
+    var m = 0
+    var lastPick = -1
+    var start = 0
+    while (start <= n - w) {
+      // rightmost minimum of hs[start, start+w)
+      var minIdx = start
+      var j = start + 1
+      while (j < start + w) {
+        if (hs(j) <= hs(minIdx)) minIdx = j
+        j += 1
+      }
+      if (minIdx != lastPick) {
+        out(m) = hs(minIdx); m += 1; lastPick = minIdx
+      }
+      start += 1
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
+
   /** True for exactly the Java-regex `\s` set — the tokenizer split of
     * [[graft.functions.Text.tokens]] (NOT `Character.isWhitespace`,
     * which also matches U+2028/U+1680 etc. and would diverge). */

@@ -132,6 +132,36 @@ class TextSpec extends SparkSpec {
     (0 until 4).foreach(i => assert(nulls.isNullAt(i)))
   }
 
+  test("winnowing fingerprints: shared-substring guarantee and edit locality") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(7)
+    def letters(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = letters(40)
+    val a = letters(200) + shared + letters(200)
+    val b = letters(200) + shared + letters(200)
+    // guarantee: a shared substring of length >= w+k-1 (= 8 here) must
+    // produce at least one shared fingerprint
+    assert((Sketches.winnow(a).toSet & Sketches.winnow(b).toSet).nonEmpty)
+    // locality: an edit at the tail leaves the early pick sequence
+    // untouched (whole-doc digests flip entirely)
+    val edited = a.dropRight(10) + letters(10)
+    val (fa, fe) = (Sketches.winnow(a), Sketches.winnow(edited))
+    val common = fa.zip(fe).takeWhile(p => p._1 == p._2).length
+    assert(common >= fa.length - 30,
+      s"edit at the tail rewrote the prefix: common=$common of ${fa.length}")
+    assert(Text.fingerprintMd5Scalar(a) != Text.fingerprintMd5Scalar(edited))
+    // fingerprints are a subset of the k-gram hash universe
+    assert(Sketches.winnow(a).toSet.subsetOf(Sketches.shingleHashes(a, 5).toSet))
+    // edges: short text falls back to the whole-string shingle; the
+    // Column form is null-safe and agrees with the kernel
+    assert(Sketches.winnow("ab").toSeq == Sketches.shingleHashes("ab", 5).toSeq)
+    val rows = Seq((1L, a), (2L, "ab"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select($"id", Text.winnowFingerprints($"t").as("fp")).orderBy("id").collect()
+    assert(rows(0).getSeq[Long](1) == Sketches.winnow(a).toSeq)
+    assert(rows(2).isNullAt(1))
+  }
+
   test("langId/qualityScore kernels equal the HOF forms; no interpreted HOF in plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "text")
