@@ -336,6 +336,18 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // q31 through the compute-once gram lifecycle: the gram frame is
+    // persisted so the frequency agg, prefix index, overlap sides, and
+    // size lookups all read the cache instead of re-running the gram
+    // kernel per branch (the cluster default; same pattern as q22b).
+    // Same oracle as q31 — the lifecycle must not change the answer.
+    "q31b_ngram_persisted" -> ((s, dir) => {
+      val g = graft.operators.Dedup.ngramFrame(
+        t(s, dir, "documents"), "doc_id", "text", n = 3).persist()
+      graft.operators.Dedup.ngramJaccardFromGrams(g, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Dedup: SimHash pigeonhole pair search within Hamming radius 3.
     // Rows-only by necessity, not convenience: the corpus's Hamming
     // histogram is continuous through the radius boundary at every SF
@@ -707,6 +719,26 @@ object SparkEntry {
          FROM scored WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q31_ngram_jaccard" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                         i -> array_to_string(list_slice(ws, i, i + 2), ' '))) END AS grams
+           FROM w),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS j
+           FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, round(j, 4) AS jaccard
+         FROM pairs WHERE j >= 0.5 ORDER BY doc_a, doc_b""",
+
+    // the persisted-gram lifecycle must return exactly the one-shot
+    // q31 answer — same all-pairs oracle
+    "q31b_ngram_persisted" ->
       """WITH w AS (
            SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
                     '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws

@@ -249,12 +249,36 @@ object Dedup {
     * (`min ≥ t·max`) prunes before the verification join, and exact
     * Jaccard verifies only surviving candidate pairs. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // one JVM pass per doc (the HOF form costs ~3 ms/doc interpreted and
-    // re-evaluates once per plan branch)
+                   n: Int = 3, threshold: Double = 0.5): DataFrame =
+    ngramJaccardFromGrams(ngramFrame(df, idCol, textCol, n), threshold)
+
+  /** Per-document distinct word-n-gram frame `(doc_id, grams, sz)` —
+    * the shared root of every n-gram-Jaccard plan, one JVM pass per doc
+    * (the HOF form costs ~3 ms/doc interpreted and re-evaluates once
+    * per plan branch).
+    *
+    * Same compute-once note as [[minhashSketches]]: the one-shot
+    * [[ngramJaccard]] references this frame from several plan branches
+    * (frequency agg, prefix index, both overlap sides, both size
+    * lookups) and Spark does not deduplicate common subplans, so the
+    * gram kernel re-runs per branch. For corpus scale, persist this
+    * frame (or write it to a table) and run
+    * [[ngramJaccardFromGrams]] off it:
+    * {{{
+    *   val g = Dedup.ngramFrame(docs, "doc_id", "text").persist()
+    *   try Dedup.ngramJaccardFromGrams(g, threshold = 0.5).collect()
+    *   finally g.unpersist()
+    * }}} */
+  def ngramFrame(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3): DataFrame = {
     val gramsUdf = udf((text: String) => Sketches.wordNgrams(text, n))
-    val grams = df.select(col(idCol).as("doc_id"), gramsUdf(col(textCol)).as("grams"))
+    df.select(col(idCol).as("doc_id"), gramsUdf(col(textCol)).as("grams"))
       .withColumn("sz", size(col("grams")))
+  }
+
+  /** [[ngramJaccard]] over a pre-built (possibly persisted) gram frame
+    * from [[ngramFrame]]. */
+  def ngramJaccardFromGrams(grams: DataFrame, threshold: Double = 0.5): DataFrame = {
     val inv = grams.select(col("doc_id"), col("sz"), explode(col("grams")).as("gram"))
     // global canonical order: ascending document frequency, then gram
     val dfreq = inv.groupBy("gram").agg(count(lit(1)).as("df"))

@@ -89,6 +89,25 @@ class PlanSpec extends SparkSpec {
     } finally spark.sharedState.cacheManager.clearCache()
   }
 
+  test("q31b: every gram consumer reads the persisted frame, not the kernel") {
+    val df = SparkEntry.queries("q31b_ngram_persisted")(spark, dir)
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      // dfreq + prefix + both overlap sides + both size lookups — the
+      // gram kernel must not re-run per branch
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p.take(1200))
+      // every parquet scan belongs to a cache build recipe (each
+      // InMemoryRelation prints its single-scan child)
+      assert("FileScan parquet".r.findAllIn(p).size ==
+        "InMemoryRelation".r.findAllIn(p).size,
+        "a branch bypassed the cache:\n" + p.take(1200))
+      val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val oneShot = SparkEntry.queries("q31_ngram_jaccard")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs == oneShot, s"persisted=${pairs.size} oneShot=${oneShot.size}")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("similarity/dedup queries: no cartesian products, no per-group windows") {
     Seq("q22_minhash_dedup", "q25_knn_join", "q31_ngram_jaccard",
       "q33_lsh_topk", "q34_embedding_dedup", "q35_ivf_topk").foreach { q =>
