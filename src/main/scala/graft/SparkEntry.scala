@@ -339,8 +339,15 @@ object SparkEntry {
     // q31 through the compute-once gram lifecycle: the gram frame is
     // persisted so the frequency agg, prefix index, overlap sides, and
     // size lookups all read the cache instead of re-running the gram
-    // kernel per branch (the cluster default; same pattern as q22b).
-    // Same oracle as q31 — the lifecycle must not change the answer.
+    // kernel per branch. Same oracle as q31 — the lifecycle must not
+    // change the answer. Measured honestly: at sf0.1 this LOSES to the
+    // one-shot (≈6.5 s vs ≈3.9 s) — deserialized caching of string-array
+    // rows costs more than the cheap gram kernel it avoids (contrast
+    // q22b, where the MinHash kernel dominates and the persisted path
+    // wins 2×). The lifecycle pays when the corpus read itself is the
+    // dominant cost (100 TB IO amortized once instead of 6×) or the
+    // kernel is expensive; the battery keeps both forms oracle-checked
+    // for identity so the choice is purely a cost call.
     "q31b_ngram_persisted" -> ((s, dir) => {
       val g = graft.operators.Dedup.ngramFrame(
         t(s, dir, "documents"), "doc_id", "text", n = 3).persist()
