@@ -74,6 +74,12 @@ object Bench {
           val second = attempt()
           if (second < 0) first else math.min(first, second)
         }
+      // lifecycle queries (q22b/q31b) persist their frames and cannot
+      // unpersist them from a fn that must return a DataFrame; each
+      // attempt also pins a FRESH entry (new UDF lambda → plan equality
+      // fails). Drop everything between queries so no query is measured
+      // under a predecessor's leaked memory pressure.
+      spark.sharedState.cacheManager.clearCache()
       name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

@@ -97,11 +97,13 @@ object Text {
 
   /** N-gram-free language ID: stopword-hit argmax over the supported
     * languages; ties break by the declared order (en first); "und"
-    * (undetermined) when no stopword of any language appears. One JVM
-    * kernel pass per row ([[langIdScalar]], shared with the SQL
-    * surface) — the pure-Column form ran the interpreted
-    * `filter(tokens(text))` HOF once per language. The HOF form is kept
-    * as [[langIdExpr]] and spec-asserted equal. */
+    * (undetermined) when the text has no stopword of any language;
+    * NULL text yields NULL (like the SQL surface — the old HOF form
+    * leaked "und" for NULL). One JVM kernel pass per row
+    * ([[langIdScalar]], shared with the SQL surface) — the pure-Column
+    * form ran the interpreted `filter(tokens(text))` HOF once per
+    * language. The HOF form is kept as [[langIdExpr]] and spec-asserted
+    * equal on non-null text. */
   def langId(text: Column): Column =
     udf { (s: String) => if (s == null) null else langIdScalar(s) }.apply(text)
 

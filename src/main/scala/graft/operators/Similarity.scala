@@ -103,29 +103,33 @@ object Similarity {
     * per-neighbor recall at p = p_agree^planes with no second chance —
     * misses are systematic for near-threshold neighbors at scale; T
     * independent tables lift it to 1-(1-p)^T while `planes` keeps each
-    * bucket narrow. Candidate ids are deduped across tables BEFORE the
-    * exact scoring join (same shape as [[embeddingDedup]]), so the
-    * bucket self-join carries ids only and each surviving candidate is
-    * scored exactly once. Ranking via bounded top-k aggregation (same
-    * scale rationale as [[knnJoin]]). */
+    * bucket narrow.
+    *
+    * Plan shape: the query side is small by construction, so the bucket
+    * join BROADCASTS it and scoring happens inline — ONE corpus scan,
+    * zero corpus shuffle (a pair colliding in several tables re-scores
+    * a cheap codegen'd cosine rather than forcing a join-back). The
+    * dedup to one row per (query, candidate) then shuffles only
+    * candidate pairs. [[embeddingDedup]] inverts this — ids only, then
+    * join vectors back — because its band SELF-join is shuffle-based
+    * and carrying vectors through it would shuffle the corpus; here
+    * join-back would be the extra corpus scan + by-id shuffle. Ranking
+    * via bounded top-k aggregation (same scale rationale as
+    * [[knnJoin]]). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
               queryId: String, vecCol: String, dim: Int, k: Int = 10,
               planes: Int = 12, tables: Int = 4): DataFrame = {
-    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"))
-    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"))
-    val cb = c.select(col("corpus_id"),
-        posexplode(hyperplaneSignatureTables(col("cvec"), dim, planes, tables)))
-      .toDF("corpus_id", "table_id", "bucket")
-    val qb = q.select(col("query_id"),
-        posexplode(hyperplaneSignatureTables(col("qvec"), dim, planes, tables)))
-      .toDF("query_id", "table_id", "bucket")
-    val cands = cb.join(broadcast(qb), Seq("table_id", "bucket"))
+    val cb = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"),
+        posexplode(hyperplaneSignatureTables(col(vecCol), dim, planes, tables)))
+      .toDF("corpus_id", "cvec", "table_id", "bucket")
+    val qb = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"),
+        posexplode(hyperplaneSignatureTables(col(vecCol), dim, planes, tables)))
+      .toDF("query_id", "qvec", "table_id", "bucket")
+    val scored = cb.join(broadcast(qb), Seq("table_id", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .select("query_id", "corpus_id").distinct()
-    val scored = cands
-      .join(c, "corpus_id")
-      .join(broadcast(q), "query_id")
       .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
+      // one row per candidate pair no matter how many tables it hit
+      .groupBy("query_id", "corpus_id").agg(first("cosine").as("cosine"))
     explodeRanked(
       scored.groupBy("query_id")
         .agg(TopK.topK(k)(col("corpus_id"), col("cosine")).as("top")))
@@ -214,9 +218,14 @@ object Similarity {
     * one-shot [[ivfTopK]] re-assigns the corpus on every call, which at
     * 100 TB is the index build cost paid per query batch. */
   def ivfAssign(corpus: DataFrame, corpusId: String, vecCol: String,
-                centroids: Array[Array[Float]]): DataFrame =
+                centroids: Array[Array[Float]]): DataFrame = {
+    // fail at plan time, not per-row on an executor (an empty index —
+    // e.g. a wrong/empty centroid-table path — would otherwise AIOOBE
+    // in every task)
+    require(centroids.nonEmpty, "IVF centroid matrix is empty")
     corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"),
       bestCellUdf(centroids)(col(vecCol)).as("cell"))
+  }
 
   /** Serve ANN top-k off a pre-built IVF index ([[ivfAssign]] frame +
     * centroid matrix): queries probe their `nprobe` nearest cells, the
@@ -225,6 +234,8 @@ object Similarity {
   def ivfTopKFromIndex(assigned: DataFrame, centroids: Array[Array[Float]],
                        queries: DataFrame, queryId: String, vecCol: String,
                        k: Int = 10, nprobe: Int = 4): DataFrame = {
+    // empty index → silently zero rows for every query; refuse instead
+    require(centroids.nonEmpty, "IVF centroid matrix is empty")
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"),
       explode(probeCellsUdf(centroids, nprobe)(col(vecCol))).as("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))

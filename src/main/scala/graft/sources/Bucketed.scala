@@ -17,6 +17,12 @@ object Bucketed {
     * reuse the location even in overwrite mode — so any orphan location
     * for an unregistered table of this name is cleared first. */
   def save(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit = {
+    // the DROP quoting and the orphan-location probe below both assume
+    // an unqualified name in the default database (a qualified name
+    // lives at <warehouse>/<db>.db/<table> and would dodge the probe —
+    // and the backticked DROP would target the wrong table)
+    require(!table.contains("."),
+      s"Bucketed.save takes an unqualified table name in the default database, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(

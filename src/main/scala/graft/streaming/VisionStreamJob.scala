@@ -71,6 +71,18 @@ object VisionStreamJob {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(trackFn)
   }
 
+  /** Frame timestamps arrive as bare ISO local datetimes from the
+    * bridge, but the collector path tolerates `Z`/offset suffixes —
+    * accept both here too ([[graft.functions.City.parseIsoTs]]
+    * semantics: an explicit offset is honored, a bare datetime is UTC). */
+  private[streaming] def parseFrameTsMs(ts: String): Long =
+    try java.time.OffsetDateTime.parse(ts).toInstant.toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(ts)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
   /** U1: deterministic synthetic detector standing in for YOLO (the
     * image libs aren't shipped; decode is stubbed). Detection count and
     * positions derive from a hash of (camera, frame) — stable across
@@ -85,18 +97,6 @@ object VisionStreamJob {
     * Confidences get the reference's ±jitter, deterministic per frame —
     * so confidences VARY across frames and the tracker's
     * strictly-higher-confidence upgrade path (W4) runs in streaming. */
-  /** Frame timestamps arrive as bare ISO local datetimes from the
-    * bridge, but the collector path tolerates `Z`/offset suffixes —
-    * accept both here too ([[graft.functions.City.parseIsoTs]]
-    * semantics: an explicit offset is honored, a bare datetime is UTC). */
-  private[streaming] def parseFrameTsMs(ts: String): Long =
-    try java.time.OffsetDateTime.parse(ts).toInstant.toEpochMilli
-    catch {
-      case _: java.time.format.DateTimeParseException =>
-        java.time.LocalDateTime.parse(ts)
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-    }
-
   def syntheticDetect(frames: DataFrame): Dataset[FrameDets] = {
     import frames.sparkSession.implicits._
     // F13: real base64 decode of the frame payload (the reference's
