@@ -117,6 +117,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q33: one corpus scan, scoring inside the broadcast bucket join") {
+    val p = plan("q33_lsh_topk")
+    // the query side broadcasts; a SortMergeJoin here means the corpus
+    // is being shuffled (the join-back-by-id regression)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-shuffling join crept back into lshTopK:\n" + p.take(1200))
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, // corpus + queries
+      "extra corpus scan:\n" + p.take(1200))
+  }
+
   test("top-k queries aggregate partially before their shuffle") {
     Seq("q25_knn_join", "q33_lsh_topk", "q35_ivf_topk").foreach { q =>
       assert(plan(q).toLowerCase.contains("partial_topkaggregator"),
