@@ -215,6 +215,12 @@ object Dedup {
     * radius must agree on at least one chunk — no all-pairs scan). */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
                    radius: Int = 3): DataFrame = {
+    // radius >= 64 gives width = 0: every chunk mask is the constant 0,
+    // all docs collide in every chunk, and candidate generation
+    // degenerates to the O(n²) cross product (the bandHashes failure
+    // mode). The pigeonhole argument itself holds for any width >= 1.
+    require(radius >= 0 && radius <= 63,
+      s"simhashDedup radius must be in [0, 63], got $radius")
     val chunks = radius + 1
     val width = 64 / chunks
     val withSig = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig"))

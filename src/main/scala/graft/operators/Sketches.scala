@@ -173,12 +173,19 @@ object Sketches {
   }
 
   /** Deterministic ±1 hyperplane component matrix for sign-LSH:
-    * tables × planes × dim, from the seeded avalanche mix. */
+    * tables × planes × dim, from the seeded avalanche mix. Signatures
+    * pack one bit per plane into a Long, so planes is capped at 64 —
+    * `1L << p` silently wraps past that and planes ≥ 65 would alias
+    * earlier bits (every bucket collides with its alias partner). */
   def signMatrix(tables: Int, planes: Int, dim: Int,
-                 seed: Long = 42L): Array[Array[Array[Float]]] =
+                 seed: Long = 42L): Array[Array[Array[Float]]] = {
+    require(tables >= 1 && planes >= 1 && planes <= 64 && dim >= 1,
+      s"signMatrix needs tables >= 1, 1 <= planes <= 64, dim >= 1; " +
+        s"got tables=$tables planes=$planes dim=$dim")
     Array.tabulate(tables, planes, dim) { (t, p, d) =>
       if ((mix64(seed + t * 7919L * 1000003L + p * 100003L + d) & 1L) == 0L) 1.0f else -1.0f
     }
+  }
 
   /** Sign-LSH signatures of one vector under every table of the matrix —
     * one JVM pass (the HOF form evaluates planes × dim interpreted

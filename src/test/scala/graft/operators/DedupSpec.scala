@@ -155,6 +155,16 @@ class DedupSpec extends SparkSpec {
     assert(expected.size == 23, s"corpus drifted: ${expected.size} pairs")
   }
 
+  test("degenerate simhash radius is rejected at plan time") {
+    // radius >= 64 → chunk width 0 → constant chunks → O(n²) candidates
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDedup(corpus, "doc_id", "text", radius = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDedup(corpus, "doc_id", "text", radius = -1)
+    }
+  }
+
   test("invalid band counts are rejected at plan time") {
     // bands must divide numHashes: a remainder silently drops signature
     // slots; bands > numHashes makes every band hash constant (all docs

@@ -242,6 +242,47 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
   }
 
+  test("nearestCells kernel matches the independent greatest-chain semantics") {
+    // property check against the replaced plan form: greatest(struct
+    // (sim, cell)) over per-centroid codegen'd cosines — including the
+    // tie rule (higher cell wins) and probe ordering
+    val centroids = emb.filter($"vec_id" < 8).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val sims = centroids.toSeq.map(c =>
+      graft.expressions.VectorExpressions.cosineF($"embedding", typedlit(c.toSeq)))
+    val chainBest = greatest(sims.zipWithIndex.map { case (s, i) =>
+      struct(s.as("sim"), lit(i).as("cell")) }: _*).getField("cell")
+    val chainProbe = slice(reverse(array_sort(array(
+        sims.zipWithIndex.map { case (s, i) =>
+          struct(s.as("sim"), lit(i).as("cell")) }: _*))), 1, 3)
+      .getField("cell")
+    val rows = emb.select($"vec_id", chainBest.as("cb"), chainProbe.as("cp"),
+        $"embedding").collect()
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](3)
+      val kernel = Sketches.nearestCells(vec, centroids, 3)
+      assert(kernel.head == r.getInt(1),
+        s"best cell diverged for vec ${r.getLong(0)}")
+      assert(kernel.toSeq == r.getSeq[Int](2),
+        s"probe order diverged for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("degenerate LSH parameters are rejected at plan time") {
+    intercept[IllegalArgumentException] {
+      Sketches.signMatrix(tables = 1, planes = 65, dim = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.signMatrix(tables = 0, planes = 8, dim = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(emb, "vec_id", "embedding", Array.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(emb, Array.empty, emb, "vec_id", "embedding")
+    }
+  }
+
   test("IVF persisted-index lifecycle serves identically to the one-shot form") {
     // build once (centroids + assignment), round-trip the centroids
     // through their storable frame, serve two query batches off the
