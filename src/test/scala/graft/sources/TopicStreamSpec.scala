@@ -102,8 +102,15 @@ class TopicStreamSpec extends SparkSpec {
 
   test("vision job end-to-end from a camera-frames topic dir (S5 → U1 → W4)") {
     val base = tmp()
+    // one frame with a Z-suffixed timestamp rides along: the bridge
+    // emits bare local datetimes, but the collector path tolerates the
+    // Z/offset variants and the detector must not choke on them mid-run
+    val zFrame = Generator.cameraFrameLines(1).head
+      .replaceFirst("""("timestamp":"[^"]+)"""", "$1Z\"")
+      .replaceFirst(""""frame_number":0""", "\"frame_number\":99")
+    assert(zFrame.contains("Z\""), "fixture must carry the Z suffix")
     TopicStream.writeTopic(
-      Generator.cameraFrameLines(12).toDF("value")
+      (Generator.cameraFrameLines(12) :+ zFrame).toDF("value")
         .withColumn("topic", lit("smart-city-camera-frames")),
       base, col("topic"), col("value"))
     val frames = TopicStream.readStream(spark, base, Seq("smart-city-camera-frames"))
@@ -114,7 +121,7 @@ class TopicStreamSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val rows = spark.table("wire_tracked").collect()
-      assert(rows.length == 12, s"got ${rows.length} tracked frames")
+      assert(rows.length == 13, s"got ${rows.length} tracked frames")
       val total = spark.sql("SELECT sum(total_objects) FROM wire_tracked")
         .collect().head.getLong(0)
       assert(total > 0, "some frames must carry detections")
