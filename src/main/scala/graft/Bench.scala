@@ -79,7 +79,7 @@ object Bench {
       // attempt also pins a FRESH entry (new UDF lambda → plan equality
       // fails). Drop everything between queries so no query is measured
       // under a predecessor's leaked memory pressure.
-      spark.sharedState.cacheManager.clearCache()
+      spark.catalog.clearCache()
       name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

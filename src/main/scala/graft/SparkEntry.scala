@@ -541,6 +541,26 @@ object SparkEntry {
   // DuckDB oracles. Column names/types match the Spark side exactly.
   // ------------------------------------------------------------------
 
+  /** All-pairs word-trigram Jaccard ground truth, shared verbatim by
+    * q31 and q31b (the lifecycle variant must answer identically). */
+  private val NgramJaccardOracleSql =
+    """WITH w AS (
+         SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+                  '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+         FROM documents),
+       g AS (
+         SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> array_to_string(list_slice(ws, i, i + 2), ' '))) END AS grams
+         FROM w),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS j
+         FROM g a JOIN g b ON a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, round(j, 4) AS jaccard
+       FROM pairs WHERE j >= 0.5 ORDER BY doc_a, doc_b"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, CAST(trunc(l_quantity) AS INTEGER) AS qty,
@@ -725,43 +745,12 @@ object SparkEntry {
          SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
          FROM scored WHERE rank <= 5 ORDER BY query_id, rank""",
 
-    "q31_ngram_jaccard" ->
-      """WITH w AS (
-           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
-                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
-           FROM documents),
-         g AS (
-           SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-                  ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-                         i -> array_to_string(list_slice(ws, i, i + 2), ' '))) END AS grams
-           FROM w),
-         pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-                    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS j
-           FROM g a JOIN g b ON a.doc_id < b.doc_id)
-         SELECT doc_a, doc_b, round(j, 4) AS jaccard
-         FROM pairs WHERE j >= 0.5 ORDER BY doc_a, doc_b""",
+    "q31_ngram_jaccard" -> NgramJaccardOracleSql,
 
-    // the persisted-gram lifecycle must return exactly the one-shot
-    // q31 answer — same all-pairs oracle
-    "q31b_ngram_persisted" ->
-      """WITH w AS (
-           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
-                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
-           FROM documents),
-         g AS (
-           SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-                  ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-                         i -> array_to_string(list_slice(ws, i, i + 2), ' '))) END AS grams
-           FROM w),
-         pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-                    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS j
-           FROM g a JOIN g b ON a.doc_id < b.doc_id)
-         SELECT doc_a, doc_b, round(j, 4) AS jaccard
-         FROM pairs WHERE j >= 0.5 ORDER BY doc_a, doc_b""",
+    // the persisted-gram lifecycle must return exactly the one-shot q31
+    // answer — the SAME oracle string, bound once so the two can never
+    // drift apart
+    "q31b_ngram_persisted" -> NgramJaccardOracleSql,
 
     "q29_map_merge" ->
       """WITH base AS (

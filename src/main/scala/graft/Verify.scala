@@ -23,7 +23,7 @@ object Verify {
       } finally
         // lifecycle queries persist frames they cannot unpersist
         // themselves — don't let entries accumulate across the battery
-        spark.sharedState.cacheManager.clearCache()
+        spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -5,8 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis functions for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, fingerprinting.
-  * All pure `Column` expressions (codegen'd, no UDFs) so they survive
-  * 100 TB scans inside whole-stage codegen.
+  * Simple transforms are pure `Column` expressions (codegen'd);
+  * multi-branch scorers (`langId`, `qualityScore`, `winnowFingerprints`)
+  * are one-pass JVM kernels behind Scala UDFs — their HOF forms
+  * re-evaluated the interpreted token pipeline once per branch, which
+  * at corpus scale costs more than leaving whole-stage codegen. The
+  * kernels are the same functions registered on the SQL surface.
   */
 object Text {
 

@@ -223,11 +223,15 @@ object Dedup {
       s"simhashDedup radius must be in [0, 63], got $radius")
     val chunks = radius + 1
     val width = 64 / chunks
+    // radius=0 → width=64, where (1L << 64) wraps to 1 and the mask
+    // would be the constant 0 — the exact degeneracy the guard above
+    // exists to stop; a full-width chunk needs the all-ones mask
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val withSig = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig"))
     val banded = withSig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("sig"), c * lit(width))
-          .bitwiseAND(lit((1L << width) - 1)))))
+          .bitwiseAND(lit(mask)))))
       .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk")
     val a = banded.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))

@@ -234,8 +234,10 @@ object Similarity {
   def ivfTopKFromIndex(assigned: DataFrame, centroids: Array[Array[Float]],
                        queries: DataFrame, queryId: String, vecCol: String,
                        k: Int = 10, nprobe: Int = 4): DataFrame = {
-    // empty index → silently zero rows for every query; refuse instead
+    // empty index → silently zero rows for every query; nprobe < 1 →
+    // per-row executor NegativeArraySizeException (or silent emptiness)
     require(centroids.nonEmpty, "IVF centroid matrix is empty")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"),
       explode(probeCellsUdf(centroids, nprobe)(col(vecCol))).as("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
@@ -255,10 +257,18 @@ object Similarity {
       .toSeq.toDF("cell", "vector")
   }
 
-  /** Inverse of [[centroidsToDF]]. */
-  def centroidsFromDF(df: DataFrame): Array[Array[Float]] =
-    df.select("cell", "vector").collect()
-      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+  /** Inverse of [[centroidsToDF]]. The cell ids must be exactly
+    * 0..n-1: a frame with a lost or duplicated row would otherwise
+    * silently shift every later cell's vector and misalign the index
+    * against its [[ivfAssign]] frame. */
+  def centroidsFromDF(df: DataFrame): Array[Array[Float]] = {
+    val rows = df.select("cell", "vector").collect().sortBy(_.getInt(0))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"centroid frame is corrupt: expected cell $i, found ${r.getInt(0)}")
+    }
+    rows.map(_.getSeq[Float](1).toArray)
+  }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold among bucket
     * collisions, with multi-table OR-amplification (the embedding leg

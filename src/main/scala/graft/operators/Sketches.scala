@@ -230,7 +230,10 @@ object Sketches {
     * kernel call computes all similarities in a single pass per row.
     * NULL vectors yield null (the row goes unprobed); a dimension
     * mismatch with the centroid matrix is an error, not a silent
-    * truncation. */
+    * truncation. A NULL ELEMENT inside a vector unboxes to 0.0f here
+    * (Scala primitive Seq), where the expression chain nulled the
+    * similarity — embeddings with null components are a data error;
+    * filter them upstream rather than relying on either behavior. */
   def nearestCells(vec: scala.collection.Seq[Float],
                    centroids: Array[Array[Float]], nprobe: Int): Array[Int] = {
     if (vec == null) return null

@@ -73,8 +73,12 @@ object VisionStreamJob {
 
   /** Frame timestamps arrive as bare ISO local datetimes from the
     * bridge, but the collector path tolerates `Z`/offset suffixes —
-    * accept both here too ([[graft.functions.City.parseIsoTs]]
-    * semantics: an explicit offset is honored, a bare datetime is UTC). */
+    * accept both here too. An explicit offset is honored; a bare
+    * datetime is fixed as UTC (the vision-pipeline contract; note
+    * [[graft.functions.City.parseIsoTs]] resolves bare datetimes in the
+    * SESSION timezone — identical only under the UTC sessions this
+    * library pins, so don't treat the two as interchangeable
+    * elsewhere). */
   private[streaming] def parseFrameTsMs(ts: String): Long =
     try java.time.OffsetDateTime.parse(ts).toInstant.toEpochMilli
     catch {

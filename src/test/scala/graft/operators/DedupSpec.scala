@@ -155,6 +155,15 @@ class DedupSpec extends SparkSpec {
     assert(expected.size == 23, s"corpus drifted: ${expected.size} pairs")
   }
 
+  test("radius 0: the full-width chunk masks the whole signature, exact matches only") {
+    // width=64 needs the all-ones mask ((1L << 64) - 1 wraps to 0 and
+    // would collide everything — the regression this test pins)
+    val pairs = Dedup.simhashDedup(corpus, "doc_id", "text", radius = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 1001L, 0)), s"missed the exact copy: ${pairs.toSeq}")
+    assert(pairs.forall(_._3 == 0), "radius 0 admitted a nonzero distance")
+  }
+
   test("degenerate simhash radius is rejected at plan time") {
     // radius >= 64 → chunk width 0 → constant chunks → O(n²) candidates
     intercept[IllegalArgumentException] {
