@@ -20,6 +20,12 @@ object Skew {
     * `large.join(small, key, joinType)` — only the shuffle distribution
     * changes: the hot key's rows land on `salt` partitions instead of
     * one. */
+  /** The per-row salt derivation [[saltedJoin]] applies to the large
+    * side — exposed so the spread spec asserts the REAL column, not a
+    * re-derivation that would keep passing after a regression. */
+  private[graft] def saltCol(salt: Int): org.apache.spark.sql.Column =
+    pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int")
+
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salt: Int = 8, joinType: String = "inner"): DataFrame = {
     require(Seq("inner", "left", "left_outer").contains(joinType),
@@ -27,8 +33,7 @@ object Skew {
     require(salt > 0, "salt must be positive")
     // any per-row spread works (the salt never affects the result);
     // monotonically increasing ids round-robin within each input split
-    val saltedLarge = large.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    val saltedLarge = large.withColumn("_salt", saltCol(salt))
     val saltedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "_salt"), joinType).drop("_salt")

@@ -28,13 +28,35 @@ class GraftExtensionsSpec extends SparkSpec {
       .select(graft.expressions.VectorExpressions.cosineF($"ea", $"eb"))
       .collect().head.getDouble(0)
     assert(java.lang.Double.doubleToLongBits(q) == java.lang.Double.doubleToLongBits(viaCol))
-    // a fresh session built WITH the extensions class resolves them too
+    // registry installation works on further sessions of the same
+    // context. (The spark.sql.extensions CONF path cannot be exercised
+    // in-process: it is a static conf read once at the first session
+    // build of the JVM — covered instead by the extension-class unit
+    // test below.)
     val s2 = spark.newSession()
     GraftExtensions.register(s2)
     s2.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .createOrReplaceTempView("ext_spec_embeddings2")
     assert(s2.sql("SELECT fvec_dot(embedding, embedding) FROM ext_spec_embeddings2 LIMIT 1")
       .collect().head.getDouble(0) > 0.0)
+  }
+
+  test("extension class injects every function into SparkSessionExtensions") {
+    // drive the conf-path entry point directly: apply the extensions
+    // class to a fresh SparkSessionExtensions and verify each injected
+    // builder constructs the right expression from SQL-shaped children
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw, registers all
+    GraftExtensions.functions.foreach { case (id, _, builder) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val args = Seq(ColumnBridge.expression(lit(Seq(1.0f))),
+        ColumnBridge.expression(lit(Seq(1.0f))))
+      val built = builder(args)
+      assert(built.getClass.getSimpleName.toLowerCase
+        .contains(id.funcName.replace("fvec_", "floatvector").replace("_", "")),
+        s"${id.funcName} built ${built.getClass.getSimpleName}")
+      intercept[IllegalArgumentException](builder(args.take(1)))
+    }
   }
 
   test("wrong arity raises a clear error, not an index failure") {

@@ -50,8 +50,6 @@ class TrafficBatchJobSpec extends SparkSpec {
   }
 
   test("hourly stats (A7): per zone-hour totals, averages, peak congestion") {
-    val traffic = TrafficBatchJob.transform(
-      graft.generator.Generator.trafficEvents(spark, 400))
     val hourly = TrafficBatchJob.hourlyStats(traffic).collect()
     assert(hourly.nonEmpty)
     // reconciles: per-zone hourly totals sum to the per-zone totals

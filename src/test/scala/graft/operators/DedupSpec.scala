@@ -37,9 +37,6 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash signature estimates true shingle jaccard within 0.15") {
-    val est = corpus.filter($"doc_id".isin(0, 1000))
-      .agg(collect_list(struct($"doc_id", Dedup.minhashSignature($"text"))))
-      .collect() // just force compute; real check below via similarity column
     val pair = corpus.filter($"doc_id" === 0).select($"text".as("ta"))
       .crossJoin(corpus.filter($"doc_id" === 1000).select($"text".as("tb")))
       .select(

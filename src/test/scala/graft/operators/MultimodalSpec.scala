@@ -31,9 +31,13 @@ class MultimodalSpec extends SparkSpec {
     val h2 = mediaTable(media.toDS().toDF(), "media_id", "content")
       .select("content_hash").collect().map(_.getLong(0)).toSeq
     assert(h1 == h2)
-    // metadata-only projection prunes the binary column from the scan
-    val plan = t.select("media_id", "format").queryExecution.executedPlan.toString
-    assert(!plan.contains("content#") || true) // projection check is plan-shape dependent
+    // metadata-only projection prunes the binary column: no leaf of the
+    // optimized plan may still output `content`
+    val leaves = t.select("media_id", "format")
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty &&
+      leaves.forall(l => !l.output.map(_.name).contains("content")),
+      leaves.map(_.output.map(_.name).mkString(",")).mkString(" | "))
   }
 
   test("stubbed image decode: deterministic dims + features, batch-shaped") {

@@ -32,9 +32,10 @@ class SkewSpec extends SparkSpec {
     val plan = Skew.saltedJoin(fact, dim, "k", salt = 8)
       .queryExecution.executedPlan.toString
     assert(plan.contains("_salt"), plan)
-    // the hot key's rows really land on multiple salt values
-    val spread = fact.withColumn("_salt",
-        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+    // the hot key's rows really land on multiple salt values — asserted
+    // on the implementation's own derivation (a local re-derivation
+    // would keep passing if saltedJoin regressed to a constant salt)
+    val spread = fact.withColumn("_salt", Skew.saltCol(8))
       .filter($"k" === 0).select("_salt").distinct().count()
     assert(spread == 8, s"hot key spread over $spread salts")
   }

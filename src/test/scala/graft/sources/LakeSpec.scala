@@ -38,9 +38,12 @@ class LakeSpec extends SparkSpec {
     val pm = back.filter(col("year") === "2025")
       .select(col("data.measurements.pm25")).na.drop().count()
     assert(pm > 0)
-    // partition pruning: only the fallback partition's files are read
+    // partition pruning: the year predicate must reach the scan's
+    // PartitionFilters (not run as a post-scan filter over all files)
     val pruned = back.filter(col("year") === "1999")
     val scanned = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanned.matches("(?s).*PartitionFilters.*1999.*"),
+      s"year=1999 did not prune partitions:\n${scanned.take(800)}")
     assert(pruned.count() == 2) // records 10 and 21 have garbage ts
   }
 

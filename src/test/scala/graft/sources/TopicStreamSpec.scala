@@ -109,6 +109,8 @@ class TopicStreamSpec extends SparkSpec {
       .replaceFirst("""("timestamp":"[^"]+)"""", "$1Z\"")
       .replaceFirst(""""frame_number":0""", "\"frame_number\":99")
     assert(zFrame.contains("Z\""), "fixture must carry the Z suffix")
+    assert(zFrame.contains("\"frame_number\":99"),
+      "frame_number edit missed — generator format drifted")
     TopicStream.writeTopic(
       (Generator.cameraFrameLines(12) :+ zFrame).toDF("value")
         .withColumn("topic", lit("smart-city-camera-frames")),

@@ -90,8 +90,11 @@ class TrackerSpec extends AnyFunSuite {
         val newIds = ids.toSet -- prevIds
         newIds.foreach(id => assert(id > maxSeenId, s"trial $trial: id $id reused"))
         maxSeenId = math.max(maxSeenId, if (ids.isEmpty) maxSeenId else ids.max)
-        // matched objects this frame cannot exceed detections offered
-        assert(st.objects.count(_.disappeared == 0) <= math.max(dets.size, ids.size))
+        // every disappeared=0 object was matched or registered by one of
+        // THIS frame's detections — the bound is the detection count
+        // (max(dets, ids) was vacuous: ids.size always covers objects)
+        assert(st.objects.count(_.disappeared == 0) <= dets.size,
+          s"trial $trial: more fresh objects than detections")
       }
     }
   }

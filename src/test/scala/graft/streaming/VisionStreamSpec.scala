@@ -254,8 +254,10 @@ class VisionStreamSpec extends SparkSpec {
     val wh = spark.read.parquet(s"$root/warehouse")
     assert(wh.count() == 24) // 6 frames * 2 cams * 2 dets
     assert(wh.columns.contains("_batch_id"))
-    assert(new java.io.File(s"$root/lake/year=2023/month=11/day=14").exists()
-      || new java.io.File(s"$root/lake").listFiles().exists(_.getName.startsWith("year=")))
+    // exact event-time layout: 1700000000000 ms → 2023-11-14 UTC (an
+    // any-year=-dir-exists fallback would pass wrong month/day math)
+    assert(new java.io.File(s"$root/lake/year=2023/month=11/day=14").exists(),
+      new java.io.File(s"$root/lake").listFiles().map(_.getName).mkString(","))
     val lake = spark.read.json(s"$root/lake")
     assert(lake.count() == 12)
   }
