@@ -96,6 +96,25 @@ object Similarity {
     udf((vec: Seq[Float]) => Sketches.hyperplaneSignatures(vec, m)).apply(vecCol)
   }
 
+  /** Per-table probe bucket lists for the QUERY side: the exact bucket
+    * plus, with `probeAdjacent`, every bucket one sign-flip away
+    * (classic multi-probe LSH — a near-threshold neighbor that
+    * disagrees on exactly one plane is recovered without paying for
+    * another table). Query-side only: the corpus stays one bucket per
+    * table, so the index cost is unchanged and only the tiny broadcast
+    * side fans out ×(planes+1). */
+  private def probeBucketTables(vecCol: Column, dim: Int, planes: Int,
+                                tables: Int, probeAdjacent: Boolean,
+                                seed: Long = 42L): Column = {
+    val m = Sketches.signMatrix(tables, planes, dim, seed)
+    udf { (vec: Seq[Float]) =>
+      val sigs = Sketches.hyperplaneSignatures(vec, m)
+      if (sigs == null) null
+      else if (!probeAdjacent) sigs.map(Array(_))
+      else sigs.map(s => s +: Array.tabulate(planes)(p => s ^ (1L << p)))
+    }.apply(vecCol)
+  }
+
   /** LSH-bucketed ANN top-k with multi-table OR-amplification: the
     * corpus is hashed once into sign buckets under `tables` independent
     * hyperplane tables (all signatures from one JVM pass per row); each
@@ -103,7 +122,11 @@ object Similarity {
     * per-neighbor recall at p = p_agree^planes with no second chance —
     * misses are systematic for near-threshold neighbors at scale; T
     * independent tables lift it to 1-(1-p)^T while `planes` keeps each
-    * bucket narrow.
+    * bucket narrow. `probeAdjacent` adds query-side multi-probe: each
+    * query also probes every bucket one sign-flip away in each table —
+    * recall rises again (a neighbor disagreeing on exactly one plane is
+    * recovered) for ×(planes+1) fan-out of only the broadcast side; the
+    * corpus index is untouched.
     *
     * Plan shape: the query side is small by construction, so the bucket
     * join BROADCASTS it and scoring happens inline — ONE corpus scan,
@@ -118,13 +141,17 @@ object Similarity {
     * [[knnJoin]]). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
               queryId: String, vecCol: String, dim: Int, k: Int = 10,
-              planes: Int = 12, tables: Int = 4): DataFrame = {
+              planes: Int = 12, tables: Int = 4,
+              probeAdjacent: Boolean = false): DataFrame = {
     val cb = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"),
         posexplode(hyperplaneSignatureTables(col(vecCol), dim, planes, tables)))
       .toDF("corpus_id", "cvec", "table_id", "bucket")
     val qb = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"),
-        posexplode(hyperplaneSignatureTables(col(vecCol), dim, planes, tables)))
-      .toDF("query_id", "qvec", "table_id", "bucket")
+        posexplode(
+          probeBucketTables(col(vecCol), dim, planes, tables, probeAdjacent)))
+      .toDF("query_id", "qvec", "table_id", "buckets")
+      .select(col("query_id"), col("qvec"), col("table_id"),
+        explode(col("buckets")).as("bucket"))
     val scored = cb.join(broadcast(qb), Seq("table_id", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))

@@ -190,6 +190,28 @@ class SimilaritySpec extends SparkSpec {
       s"single-table unexpectedly passes the bound ($single) — bound is stale")
   }
 
+  test("LSH multi-probe recovers neighbors a single exact-bucket table misses") {
+    // same deterministic setup: query-side 1-bit-flip probing must lift
+    // recall over the exact-bucket single table at zero corpus cost
+    val queries = emb.filter($"vec_id" < 5)
+    def recallAt(adjacent: Boolean): Double = {
+      val got = Similarity.lshTopK(emb, queries, "vec_id", "vec_id", "embedding",
+        dim, k = 5, planes = 4, tables = 1, probeAdjacent = adjacent).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      (0 until 5).map { qid =>
+        val exact = Similarity.bruteForceTopK(
+          emb.filter($"vec_id" =!= qid.toLong), "vec_id", "embedding",
+          vecOf(qid.toLong), k = 5).collect().map(_.getLong(0)).toSet
+        (exact & got.getOrElse(qid.toLong, Set.empty)).size / 5.0
+      }.sum / 5.0
+    }
+    val exactOnly = recallAt(false)
+    val probed = recallAt(true)
+    assert(probed > exactOnly,
+      s"multi-probe must add recall: exact=$exactOnly probed=$probed")
+  }
+
   test("IVF top-k: ranked per-query results with usable recall vs brute force") {
     val queries = emb.filter($"vec_id".isin(0, 1, 2, 3, 4))
     val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "vec_id", "embedding",
