@@ -60,7 +60,23 @@ object Text {
     when(n === 0, 0.0).otherwise(stopwordHits(text, lang).cast("double") / n)
   }
 
-  def meanWordLength(text: Column): Column = {
+  /** Mean token length; 0 for empty text, NULL for NULL. One JVM
+    * kernel pass (the HOF form evaluated the interpreted token array
+    * twice per row — once for the fold, once for the size); the HOF
+    * form is kept as [[meanWordLengthExpr]] and spec-asserted equal. */
+  def meanWordLength(text: Column): Column =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val toks = tokensScalar(s)
+        Double.box(if (toks.isEmpty) 0.0
+        else toks.map(_.length.toLong).sum.toDouble / toks.length)
+      }
+    }.apply(text)
+
+  /** Pure-Column (HOF) form of [[meanWordLength]] — interpreted
+    * CodegenFallback, for cross-checking the kernel only. */
+  private[graft] def meanWordLengthExpr(text: Column): Column = {
     val ts = tokens(text)
     when(size(ts) === 0, 0.0).otherwise(
       aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
@@ -90,8 +106,9 @@ object Text {
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 10.0)
     // stopwords: having 2%+ English stopwords is a naturalness signal
     val swScore = least(stopwordRatio(text) * 50.0, lit(1.0))
-    // word length: natural text averages 3-10 chars/word
-    val mwl = meanWordLength(text)
+    // word length: natural text averages 3-10 chars/word (the Expr
+    // form stays kernel-free so the cross-check is independent)
+    val mwl = meanWordLengthExpr(text)
     val wordLenScore = when(mwl >= 3.0 && mwl <= 10.0, 1.0)
       .when(mwl > 0.0, 0.5).otherwise(0.0)
     when(text.isNull, lit(null).cast("double"))

@@ -171,7 +171,8 @@ class TextSpec extends SparkSpec {
         .toDF("doc_id", "text"))
     val rows = docs.select($"doc_id",
         Text.langId($"text").as("li_k"), Text.langIdExpr($"text").as("li_e"),
-        Text.qualityScore($"text").as("qs_k"), Text.qualityScoreExpr($"text").as("qs_e"))
+        Text.qualityScore($"text").as("qs_k"), Text.qualityScoreExpr($"text").as("qs_e"),
+        Text.meanWordLength($"text").as("mwl_k"), Text.meanWordLengthExpr($"text").as("mwl_e"))
       .collect()
     // NULL text: the kernel is NULL-in→NULL-out like the SQL surface;
     // the HOF form leaked "und" (null hits fall through the when-chain
@@ -184,6 +185,9 @@ class TextSpec extends SparkSpec {
       assert(r.isNullAt(3) == r.isNullAt(4) &&
         (r.isNullAt(3) || r.getDouble(3) == r.getDouble(4)),
         s"quality doc ${r.getLong(0)}: kernel=${r.get(3)} hof=${r.get(4)}")
+      assert(r.isNullAt(5) == r.isNullAt(6) &&
+        (r.isNullAt(5) || r.getDouble(5) == r.getDouble(6)),
+        s"mwl doc ${r.getLong(0)}: kernel=${r.get(5)} hof=${r.get(6)}")
     }
     // the kernel plan must carry no interpreted lambda evaluation — the
     // HOF forms ran filter(tokens(text)) per language / per component
