@@ -54,8 +54,26 @@ object Text {
   private def stopwordHits(text: Column, lang: String): Column =
     size(filter(tokens(text), t => t.isInCollection(stopwords(lang))))
 
-  /** Fraction of tokens that are (English) stopwords; 0 for empty text. */
+  /** Fraction of tokens that are (`lang`) stopwords; 0 for empty text,
+    * NULL for NULL. One JVM kernel pass (the HOF form ran the
+    * interpreted token filter plus a separate token count per row);
+    * the HOF form is kept as [[stopwordRatioExpr]] and spec-asserted
+    * equal. */
   def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    require(stopwords.contains(lang), s"unknown stopword language '$lang'")
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val n = tokenCountScalar(s)
+        Double.box(if (n == 0) 0.0
+        else stopwordHitsScalar(tokensScalar(s), lang).toDouble / n)
+      }
+    }.apply(text)
+  }
+
+  /** Pure-Column (HOF) form of [[stopwordRatio]] — interpreted
+    * CodegenFallback, for cross-checking the kernel only. */
+  private[graft] def stopwordRatioExpr(text: Column, lang: String = "en"): Column = {
     val n = tokenCount(text)
     when(n === 0, 0.0).otherwise(stopwordHits(text, lang).cast("double") / n)
   }
@@ -105,7 +123,7 @@ object Text {
     // punctuation: penalize > 10% punct chars
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 10.0)
     // stopwords: having 2%+ English stopwords is a naturalness signal
-    val swScore = least(stopwordRatio(text) * 50.0, lit(1.0))
+    val swScore = least(stopwordRatioExpr(text) * 50.0, lit(1.0))
     // word length: natural text averages 3-10 chars/word (the Expr
     // form stays kernel-free so the cross-check is independent)
     val mwl = meanWordLengthExpr(text)

@@ -172,7 +172,8 @@ class TextSpec extends SparkSpec {
     val rows = docs.select($"doc_id",
         Text.langId($"text").as("li_k"), Text.langIdExpr($"text").as("li_e"),
         Text.qualityScore($"text").as("qs_k"), Text.qualityScoreExpr($"text").as("qs_e"),
-        Text.meanWordLength($"text").as("mwl_k"), Text.meanWordLengthExpr($"text").as("mwl_e"))
+        Text.meanWordLength($"text").as("mwl_k"), Text.meanWordLengthExpr($"text").as("mwl_e"),
+        Text.stopwordRatio($"text").as("swr_k"), Text.stopwordRatioExpr($"text").as("swr_e"))
       .collect()
     // NULL text: the kernel is NULL-in→NULL-out like the SQL surface;
     // the HOF form leaked "und" (null hits fall through the when-chain
@@ -188,6 +189,9 @@ class TextSpec extends SparkSpec {
       assert(r.isNullAt(5) == r.isNullAt(6) &&
         (r.isNullAt(5) || r.getDouble(5) == r.getDouble(6)),
         s"mwl doc ${r.getLong(0)}: kernel=${r.get(5)} hof=${r.get(6)}")
+      assert(r.isNullAt(7) == r.isNullAt(8) &&
+        (r.isNullAt(7) || r.getDouble(7) == r.getDouble(8)),
+        s"swr doc ${r.getLong(0)}: kernel=${r.get(7)} hof=${r.get(8)}")
     }
     // the kernel plan must carry no interpreted lambda evaluation — the
     // HOF forms ran filter(tokens(text)) per language / per component
