@@ -138,8 +138,25 @@ object Dedup {
   }
 
   /** Estimated Jaccard from two signatures (fraction of agreeing
-    * components). */
+    * components). One JVM pass per pair; semantics mirror the HOF form
+    * it replaces (kept as [[minhashSimilarityExpr]], spec-equal): NULL
+    * signature → NULL, matches counted over the shared prefix when
+    * lengths differ, denominator is the LEFT signature's length. */
   def minhashSimilarity(sigA: Column, sigB: Column): Column =
+    udf { (a: Seq[Long], b: Seq[Long]) =>
+      if (a == null || b == null) null
+      else {
+        val n = math.min(a.length, b.length)
+        var m = 0
+        var i = 0
+        while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
+        Double.box(m.toDouble / a.length)
+      }
+    }.apply(sigA, sigB)
+
+  /** Pure-Column (HOF) form of [[minhashSimilarity]] — interpreted
+    * CodegenFallback, for cross-checking the kernel only. */
+  private[graft] def minhashSimilarityExpr(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (a, b) => (a === b).cast("int")), x => x === 1))
       .cast("double") / size(sigA)
 

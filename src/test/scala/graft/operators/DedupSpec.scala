@@ -52,6 +52,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(est2 - truth) < 0.15, s"est=$est2 true=$truth")
   }
 
+  test("minhashSimilarity kernel equals the HOF form, edges included") {
+    val cases = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L)),   // identical
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 8L)),   // half agree
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L)),           // right shorter
+      (Seq(1L, 2L), Seq(1L, 2L, 3L, 4L)),           // left shorter
+      (Seq(1L, 2L, 3L, 4L), null)                   // null side
+    ).toDF("a", "b")
+    val rows = cases.select(
+      Dedup.minhashSimilarity($"a", $"b").as("k"),
+      Dedup.minhashSimilarityExpr($"a", $"b").as("e")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getDouble(0) == r.getDouble(1)),
+        s"kernel=${r.get(0)} hof=${r.get(1)}")
+    }
+  }
+
   test("minhash+LSH dedup finds near-dup and exact pairs, no false positives") {
     val pairs = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.8)
       .orderBy("doc_a").collect()
