@@ -17,8 +17,44 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   * eat the whole bench budget again (round-1 rc=124 lesson). The JSON
   * line is always printed. Set BENCH_EXPLAIN=1 to dump formatted plans
   * to stderr for plan inspection.
+  *
+  * Load canary: the round-3 bench artifact was recorded while other
+  * heavy work shared the machine and shipped 2-7x-inflated timings
+  * with nothing in the JSON to betray that. A fixed-work CPU canary
+  * (multi-threaded xorshift loop, constant iteration count) is now
+  * timed before and after the battery and compared against a
+  * calibrated idle-machine reference (SPARK_GRAFT_CANARY_REF_SEC);
+  * if either sample drifts past 2x the reference the JSON is stamped
+  * "tainted":true so a contaminated run can never again masquerade
+  * as a regression signal.
   */
 object Bench {
+  private val canaryAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One fixed-work canary sample: `threads` concurrent xorshift64
+    * loops of `itersPerThread` steps each. Pure JVM (no Spark, no
+    * allocation in the loop) so the wall time measures only CPU
+    * availability; results feed an AtomicLong to defeat DCE.
+    */
+  private def canarySec(threads: Int = 8, itersPerThread: Long = 400000000L): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { k =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L * k
+        var acc = 0L
+        var i = 0L
+        while (i < itersPerThread) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          acc += x
+          i += 1
+        }
+        canaryAcc.addAndGet(acc)
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,6 +70,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val explain = sys.env.get("BENCH_EXPLAIN").contains("1")
     val pool = Executors.newCachedThreadPool()
+
+    // Calibrated on this machine idle (see BenchSpec); override per-host.
+    val canaryRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_REF_SEC", "0.90").toDouble
+    canarySec(itersPerThread = 50000000L) // untimed JIT warm-up of the canary loop
+    val canaryBefore = canarySec()
 
     // warm-up: JIT + codegen + parquet footer caches
     SparkEntry.queries.get("q04_lineitem_agg").foreach(f => f(spark, sfDir).count())
@@ -65,7 +106,15 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // lifecycle queries (q22b/q31b) persist their frames and cannot
+        // unpersist them from a fn that must return a DataFrame; each
+        // attempt also pins a FRESH entry (new UDF lambda → plan equality
+        // fails). Drop everything after every attempt so neither a later
+        // query nor attempt 2 of the same query is measured under leaked
+        // memory pressure.
+        spark.catalog.clearCache()
+        sec
       }
       val first = attempt()
       val best =
@@ -74,17 +123,16 @@ object Bench {
           val second = attempt()
           if (second < 0) first else math.min(first, second)
         }
-      // lifecycle queries (q22b/q31b) persist their frames and cannot
-      // unpersist them from a fn that must return a DataFrame; each
-      // attempt also pins a FRESH entry (new UDF lambda → plan equality
-      // fails). Drop everything between queries so no query is measured
-      // under a predecessor's leaked memory pressure.
-      spark.catalog.clearCache()
       name -> best
     }
+    val canaryAfter = canarySec()
+    val tainted = math.max(canaryBefore, canaryAfter) > 2.0 * canaryRef
+    if (tainted) System.err.println(
+      f"[bench] TAINTED: canary before=$canaryBefore%.3f after=$canaryAfter%.3f ref=$canaryRef%.3f " +
+        "— external load detected; do not read these timings as a code signal")
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_before":$canaryBefore%.3f,"canary_after":$canaryAfter%.3f,"canary_ref":$canaryRef%.3f,"tainted":$tainted}""")
     pool.shutdownNow()
     spark.stop()
     sys.exit(0)

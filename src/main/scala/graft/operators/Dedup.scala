@@ -277,36 +277,46 @@ object Dedup {
     * Jaccard verifies only surviving candidate pairs. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame =
-    ngramJaccardFromGrams(ngramFrame(df, idCol, textCol, n), threshold)
+    ngramJaccardFromIndex(ngramIndex(df, idCol, textCol, n), threshold)
 
-  /** Per-document distinct word-n-gram frame `(doc_id, grams, sz)` —
-    * the shared root of every n-gram-Jaccard plan, one JVM pass per doc
-    * (the HOF form costs ~3 ms/doc interpreted and re-evaluates once
-    * per plan branch).
+  /** Exploded inverted-index frame `(doc_id, gram BIGINT, sz)` — the
+    * shared root of every n-gram-Jaccard plan and its compute-once
+    * cache format. One gram-kernel JVM pass per doc (the HOF form
+    * costs ~3 ms/doc interpreted and re-evaluates once per plan
+    * branch); grams are hashed to 64-bit longs so the cached/joined
+    * rows are three primitives wide instead of a string array —
+    * the round-3 `(doc_id, array<string>)` cache format deserialized
+    * fat arrays on every consumer branch and lost 1.65× to recompute.
+    * Collisions: a pair's Jaccard shifts only if two distinct grams
+    * *shared by that pair's docs* collide (~|g|²/2⁶⁵ ≈ 1e-15 per pair
+    * for few-hundred-word docs) — negligible even at corpus scale.
     *
     * Same compute-once note as [[minhashSketches]]: the one-shot
     * [[ngramJaccard]] references this frame from several plan branches
-    * (frequency agg, prefix index, both overlap sides, both size
-    * lookups) and Spark does not deduplicate common subplans, so the
-    * gram kernel re-runs per branch. For corpus scale, persist this
-    * frame (or write it to a table) and run
-    * [[ngramJaccardFromGrams]] off it:
+    * (frequency agg, prefix index, restricted overlap index) and Spark
+    * does not deduplicate common subplans, so the gram kernel re-runs
+    * per branch. For corpus scale, persist this frame (or write it to
+    * a table) and run [[ngramJaccardFromIndex]] off it:
     * {{{
-    *   val g = Dedup.ngramFrame(docs, "doc_id", "text").persist()
-    *   try Dedup.ngramJaccardFromGrams(g, threshold = 0.5).collect()
-    *   finally g.unpersist()
-    * }}} */
-  def ngramFrame(df: DataFrame, idCol: String, textCol: String,
+    *   val inv = Dedup.ngramIndex(docs, "doc_id", "text").persist()
+    *   try Dedup.ngramJaccardFromIndex(inv, threshold = 0.5).collect()
+    *   finally inv.unpersist()
+    * }}}
+    * Docs with fewer than `n` words have no grams and vanish from the
+    * index — correct for pair search (they can never reach any
+    * threshold > 0). */
+  def ngramIndex(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 3): DataFrame = {
     val gramsUdf = udf((text: String) => Sketches.wordNgrams(text, n))
     df.select(col(idCol).as("doc_id"), gramsUdf(col(textCol)).as("grams"))
-      .withColumn("sz", size(col("grams")))
+      .select(col("doc_id"), size(col("grams")).as("sz"),
+        explode(col("grams")).as("gram_str"))
+      .select(col("doc_id"), xxhash64(col("gram_str")).as("gram"), col("sz"))
   }
 
-  /** [[ngramJaccard]] over a pre-built (possibly persisted) gram frame
-    * from [[ngramFrame]]. */
-  def ngramJaccardFromGrams(grams: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val inv = grams.select(col("doc_id"), col("sz"), explode(col("grams")).as("gram"))
+  /** [[ngramJaccard]] over a pre-built (possibly persisted) inverted
+    * index from [[ngramIndex]]. */
+  def ngramJaccardFromIndex(inv: DataFrame, threshold: Double = 0.5): DataFrame = {
     // global canonical order: ascending document frequency, then gram
     val dfreq = inv.groupBy("gram").agg(count(lit(1)).as("df"))
     val prefix = inv.join(dfreq, "gram")
@@ -318,12 +328,14 @@ object Dedup {
         .as("pref"))
     val pinv = prefix.select(col("doc_id"), col("sz"),
       explode(col("pref.gram")).as("gram"))
+    // sizes ride along through the candidate join so verification needs
+    // no join-back against a per-doc size table
     val cands = pinv.select(col("gram"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
       .join(pinv.select(col("gram"), col("doc_id").as("doc_b"), col("sz").as("sz_b")), "gram")
       .filter(col("doc_a") < col("doc_b"))
       .filter(greatest(col("sz_a"), col("sz_b")) * threshold <=
         least(col("sz_a"), col("sz_b")))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b", "sz_a", "sz_b").distinct()
     // exact overlap counted from the inverted index restricted to docs
     // that appear in a candidate pair — counts shuffle, never gram
     // arrays; at scale candidate docs ≪ corpus so the reduction bites
@@ -335,10 +347,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     cands.join(overlap, Seq("doc_a", "doc_b"))
-      .join(grams.select(col("doc_id").as("doc_a"), col("sz").as("n_a")), "doc_a")
-      .join(grams.select(col("doc_id").as("doc_b"), col("sz").as("n_b")), "doc_b")
       .withColumn("jaccard", col("shared").cast("double") /
-        (col("n_a") + col("n_b") - col("shared")))
+        (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
