@@ -349,9 +349,9 @@ object SparkEntry {
     // kernel is expensive; the battery keeps both forms oracle-checked
     // for identity so the choice is purely a cost call.
     "q31b_ngram_persisted" -> ((s, dir) => {
-      val g = graft.operators.Dedup.ngramFrame(
+      val g = graft.operators.Dedup.ngramIndex(
         t(s, dir, "documents"), "doc_id", "text", n = 3).persist()
-      graft.operators.Dedup.ngramJaccardFromGrams(g, threshold = 0.5)
+      graft.operators.Dedup.ngramJaccardFromIndex(g, threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
 
