@@ -302,9 +302,9 @@ object Dedup {
     *   try Dedup.ngramJaccardFromIndex(inv, threshold = 0.5).collect()
     *   finally inv.unpersist()
     * }}}
-    * Docs with fewer than `n` words have no grams and vanish from the
-    * index — correct for pair search (they can never reach any
-    * threshold > 0). */
+    * Docs with fewer than `n` words contribute one gram — the whole
+    * normalized text ([[Sketches.wordNgrams]]) — so verbatim short-doc
+    * copies still pair at jaccard 1 (and the DuckDB oracle agrees). */
   def ngramIndex(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 3): DataFrame = {
     val gramsUdf = udf((text: String) => Sketches.wordNgrams(text, n))
