@@ -315,8 +315,31 @@ object Dedup {
   }
 
   /** [[ngramJaccard]] over a pre-built (possibly persisted) inverted
-    * index from [[ngramIndex]]. */
-  def ngramJaccardFromIndex(inv: DataFrame, threshold: Double = 0.5): DataFrame = {
+    * index from [[ngramIndex]].
+    *
+    * Plan-shape warning for the compute-once lifecycle: this DAG
+    * references `cands` from three downstream branches (candDocs ×2 +
+    * the final verification join) and `inv` from five, and Spark
+    * re-executes common subplans per branch — the one-shot plan runs
+    * the candidate self-join ~5× and the index subtree 22×. Persisting
+    * `inv` alone (the round-3/4 lifecycle) still re-runs the candidate
+    * join per branch, which is why it measured SLOWER than recompute.
+    * The winning lifecycle persists BOTH branch points:
+    * {{{
+    *   val inv   = Dedup.ngramIndex(docs, "doc_id", "text").persist()
+    *   val cands = Dedup.ngramCandidates(inv, threshold = 0.5).persist()
+    *   try Dedup.ngramVerifiedPairs(inv, cands, threshold = 0.5).collect()
+    *   finally { cands.unpersist(); inv.unpersist() }
+    * }}} */
+  def ngramJaccardFromIndex(inv: DataFrame, threshold: Double = 0.5): DataFrame =
+    ngramVerifiedPairs(inv, ngramCandidates(inv, threshold), threshold)
+
+  /** PPJoin candidate pairs `(doc_a, doc_b, sz_a, sz_b)` from an
+    * [[ngramIndex]] frame: prefix-filtered inverted-index self-join +
+    * size-ratio prune. The second branch point of the n-gram plan —
+    * persist it alongside `inv` for the compute-once lifecycle (see
+    * [[ngramJaccardFromIndex]]). */
+  def ngramCandidates(inv: DataFrame, threshold: Double = 0.5): DataFrame = {
     // global canonical order: ascending document frequency, then gram
     val dfreq = inv.groupBy("gram").agg(count(lit(1)).as("df"))
     val prefix = inv.join(dfreq, "gram")
@@ -330,15 +353,20 @@ object Dedup {
       explode(col("pref.gram")).as("gram"))
     // sizes ride along through the candidate join so verification needs
     // no join-back against a per-doc size table
-    val cands = pinv.select(col("gram"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    pinv.select(col("gram"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
       .join(pinv.select(col("gram"), col("doc_id").as("doc_b"), col("sz").as("sz_b")), "gram")
       .filter(col("doc_a") < col("doc_b"))
       .filter(greatest(col("sz_a"), col("sz_b")) * threshold <=
         least(col("sz_a"), col("sz_b")))
       .select("doc_a", "doc_b", "sz_a", "sz_b").distinct()
-    // exact overlap counted from the inverted index restricted to docs
-    // that appear in a candidate pair — counts shuffle, never gram
-    // arrays; at scale candidate docs ≪ corpus so the reduction bites
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set against the
+    * inverted index: overlap counted from the index restricted to docs
+    * that appear in a candidate pair — counts shuffle, never gram
+    * arrays; at scale candidate docs ≪ corpus so the reduction bites. */
+  def ngramVerifiedPairs(inv: DataFrame, cands: DataFrame,
+                         threshold: Double = 0.5): DataFrame = {
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val rinv = inv.join(candDocs, "doc_id").select("doc_id", "gram")

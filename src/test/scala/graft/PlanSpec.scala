@@ -89,18 +89,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.sharedState.cacheManager.clearCache()
   }
 
-  test("q31b: every gram consumer reads the persisted frame, not the kernel") {
+  test("q31b: every gram consumer reads the persisted frames, not the kernel") {
     val df = SparkEntry.queries("q31b_ngram_persisted")(spark, dir)
     try {
-      val p = df.queryExecution.executedPlan.toString
+      val plan = df.queryExecution.executedPlan
+      // typed walk, unwrapping AQE wrappers (leaf nodes hiding their
+      // input plan) but NOT descending into InMemoryRelation build
+      // recipes — exactly the "what executes outside the caches" view
+      // that string-counting can't express once the cands cache nests
+      // the inv cache in its recipe
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case _ => p +: p.children.flatMap(nodes)
+      }
+      val flat = nodes(plan)
       // dfreq + prefix + both overlap sides + both size lookups — the
       // gram kernel must not re-run per branch
-      assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p.take(1200))
-      // every parquet scan belongs to a cache build recipe (each
-      // InMemoryRelation prints its single-scan child)
-      assert("FileScan parquet".r.findAllIn(p).size ==
-        "InMemoryRelation".r.findAllIn(p).size,
-        "a branch bypassed the cache:\n" + p.take(1200))
+      assert(flat.count(_.nodeName.contains("InMemoryTableScan")) >= 4,
+        plan.toString.take(1200))
+      // no consumer bypasses the caches: any FileScan visible outside
+      // a cache build recipe is a branch re-running the kernel
+      assert(!flat.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+        "a branch bypassed the cache:\n" + plan.toString.take(1200))
       val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       val oneShot = SparkEntry.queries("q31_ngram_jaccard")(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
