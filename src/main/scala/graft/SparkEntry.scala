@@ -336,22 +336,25 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // q31 through the compute-once gram lifecycle: the gram frame is
-    // persisted so the frequency agg, prefix index, overlap sides, and
-    // size lookups all read the cache instead of re-running the gram
-    // kernel per branch. Same oracle as q31 — the lifecycle must not
-    // change the answer. Measured honestly: at sf0.1 this LOSES to the
-    // one-shot (≈6.5 s vs ≈3.9 s) — deserialized caching of string-array
-    // rows costs more than the cheap gram kernel it avoids (contrast
-    // q22b, where the MinHash kernel dominates and the persisted path
-    // wins 2×). The lifecycle pays when the corpus read itself is the
-    // dominant cost (100 TB IO amortized once instead of 6×) or the
-    // kernel is expensive; the battery keeps both forms oracle-checked
-    // for identity so the choice is purely a cost call.
+    // q31 through the compute-once lifecycle, with BOTH branch points
+    // persisted: the inverted index (so the gram kernel + corpus scan
+    // run once, not per consuming branch) and the candidate pair set
+    // (so the prefix self-join runs once, not ~5× — it feeds candDocs
+    // twice plus the final verification join). The round-3/4 variant
+    // persisted only the index and measured SLOWER than recompute
+    // because the dominant cost, the candidate join, still re-ran per
+    // branch. Measured at sf0.1 (idle, min-of-4): both-persisted
+    // ≈4.2 s vs one-shot ≈4.6 s vs cands-only ≈3.95 s. Cands-only is
+    // marginally fastest HERE because the gram kernel is cheap at this
+    // SF — but it re-scans the corpus once per index branch, which at
+    // 100 TB is 5× the dominant IO; both-persisted caps corpus reads
+    // at one, so it is the lifecycle this entry exercises. Same oracle
+    // as q31 — the lifecycle must not change the answer.
     "q31b_ngram_persisted" -> ((s, dir) => {
-      val g = graft.operators.Dedup.ngramIndex(
+      val inv = graft.operators.Dedup.ngramIndex(
         t(s, dir, "documents"), "doc_id", "text", n = 3).persist()
-      graft.operators.Dedup.ngramJaccardFromIndex(g, threshold = 0.5)
+      val cands = graft.operators.Dedup.ngramCandidates(inv, threshold = 0.5).persist()
+      graft.operators.Dedup.ngramVerifiedPairs(inv, cands, threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -500,6 +503,32 @@ object SparkEntry {
         "graft_q40_orders", "orderkey")
       graft.sources.Bucketed
         .cojoin(s, "graft_q40_lineitem", "graft_q40_orders", "orderkey")
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // q40 through the build/serve split: the bucketed tables are built
+    // once per session (Bucketed.ensure no-ops when they exist), so
+    // under the bench's min-of-2 the second attempt measures ONLY the
+    // shuffle-free serve join — the write shuffle is the amortized
+    // build cost, exactly like q22/q22b for sketches. Same aggregate
+    // and oracle as q40: layout + lifecycle must change nothing.
+    "q40b_bucketed_serve" -> ((s, dir) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      // dataset identity rides in the table name so a session serving
+      // several sf dirs never reads a stale build
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val lt = s"graft_q40b_lineitem_$tag"
+      val ot = s"graft_q40b_orders_$tag"
+      graft.sources.Bucketed.ensure(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("orderkey"),
+          col("l_extendedprice"), col("l_discount")), lt, "orderkey")
+      graft.sources.Bucketed.ensure(
+        t(s, dir, "orders").select(col("o_orderkey").as("orderkey"),
+          col("o_orderpriority")), ot, "orderkey")
+      graft.sources.Bucketed.cojoin(s, lt, ot, "orderkey")
         .groupBy("o_orderpriority")
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("revenue"), count(lit(1)).as("n"))
@@ -835,6 +864,15 @@ object SparkEntry {
     // q40 re-aggregates the q12 join through the bucketed layout — the
     // oracle is the plain join, proving layout changes nothing.
     "q40_bucketed_cojoin" ->
+      """SELECT o_orderpriority,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                count(1) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // q40b serves the same aggregate through the ensure() lifecycle —
+    // identical oracle: the build/serve split must change nothing.
+    "q40b_bucketed_serve" ->
       """SELECT o_orderpriority,
                 round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
                 count(1) AS n
