@@ -270,5 +270,30 @@ object Text {
       if (s == null) null else graft.operators.Sketches.normalize(s))
     spark.udf.register("fingerprint_md5", (s: String) =>
       if (s == null) null else fingerprintMd5Scalar(s))
+    spark.udf.register("stopword_ratio", (s: String) =>
+      if (s == null) null
+      else {
+        val n = tokenCountScalar(s)
+        Double.box(if (n == 0) 0.0
+        else stopwordHitsScalar(tokensScalar(s), "en").toDouble / n)
+      })
+    spark.udf.register("mean_word_length", (s: String) =>
+      if (s == null) null
+      else {
+        val toks = tokensScalar(s)
+        Double.box(if (toks.isEmpty) 0.0
+        else toks.map(_.length.toLong).sum.toDouble / toks.length)
+      })
+    spark.udf.register("winnow_fingerprints", (s: String) =>
+      if (s == null) null else graft.operators.Sketches.winnow(s, 5, 4))
+    spark.udf.register("minhash_similarity", (a: Seq[Long], b: Seq[Long]) =>
+      if (a == null || b == null) null
+      else {
+        val n = math.min(a.length, b.length)
+        var m = 0
+        var i = 0
+        while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
+        Double.box(m.toDouble / a.length)
+      })
   }
 }

@@ -125,11 +125,34 @@ class TextSpec extends SparkSpec {
     viaSql.zip(viaCol).foreach { case (s, c) =>
       assert(s.toSeq == c.toSeq, s"doc ${s.get(0)}: sql=${s.toSeq} col=${c.toSeq}")
     }
+    // the round-4/5 additions: stopword_ratio, mean_word_length,
+    // winnow_fingerprints, minhash_similarity — each equal to its
+    // Column/kernel form over the same corpus
+    val viaSql2 = spark.sql(
+      """SELECT doc_id, stopword_ratio(text) AS sr, mean_word_length(text) AS mwl,
+                winnow_fingerprints(text) AS wf
+         FROM text_spec_docs ORDER BY doc_id""").collect()
+    val viaCol2 = docs.select($"doc_id", Text.stopwordRatioExpr($"text"),
+        Text.meanWordLengthExpr($"text"),
+        Text.winnowFingerprints($"text"))
+      .orderBy("doc_id").collect()
+    viaSql2.zip(viaCol2).foreach { case (s, c) =>
+      assert(s.toSeq == c.toSeq, s"doc ${s.get(0)}: sql=${s.toSeq} col=${c.toSeq}")
+    }
+    val mh = spark.sql(
+      """SELECT minhash_similarity(array(1L,2L,3L,4L), array(1L,9L,3L,4L)),
+                minhash_similarity(array(1L,2L), array(1L,2L,3L,4L)),
+                minhash_similarity(NULL, array(1L))""").collect().head
+    assert(mh.getDouble(0) == 0.75)
+    assert(mh.getDouble(1) == 1.0) // shared-prefix match / LEFT length
+    assert(mh.isNullAt(2))
     val nulls = spark.sql(
       """SELECT token_count(CAST(NULL AS STRING)), lang_id(CAST(NULL AS STRING)),
-                quality_score(CAST(NULL AS STRING)), fingerprint_md5(CAST(NULL AS STRING))""")
+                quality_score(CAST(NULL AS STRING)), fingerprint_md5(CAST(NULL AS STRING)),
+                stopword_ratio(CAST(NULL AS STRING)), mean_word_length(CAST(NULL AS STRING)),
+                winnow_fingerprints(CAST(NULL AS STRING))""")
       .collect().head
-    (0 until 4).foreach(i => assert(nulls.isNullAt(i)))
+    (0 until 7).foreach(i => assert(nulls.isNullAt(i)))
   }
 
   test("winnowing fingerprints: shared-substring guarantee and edit locality") {
