@@ -551,6 +551,63 @@ object SparkEntry {
         .orderBy("s_nationkey")
     }),
 
+    // Backward as-of join: each click picks up the user's latest view
+    // value at-or-before it. One key shuffle + cumulative window — no
+    // range cross-join (oracle: DuckDB LATERAL top-1 probe, an
+    // independent algorithm). Values rounded BEFORE the join so both
+    // engines carry identical doubles through the match.
+    "q42_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value", "event_type")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          round(col("value"), 4).as("view_value"), col("event_id").as("view_ord"))
+      graft.operators.Temporal.asofJoin(clicks, views, key = "user_id",
+          leftTs = "ts", rightTs = "ts", rightVals = Seq("view_value"),
+          rightOrd = Some("view_ord"))
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // Point-in-interval range join: clicks landing inside each error's
+    // 10-minute window, as a bin equi-join + exact containment filter
+    // (plan-asserted: no cartesian / nested-loop). Oracle is DuckDB's
+    // plain inequality join — fine at sf0.01, quadratic at scale,
+    // which is exactly why the binned form exists.
+    "q43_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("err_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("err_end"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("ts").as("click_ts"), col("value"))
+      graft.operators.Temporal.rangeJoinPointInterval(clicks, errors,
+          "click_ts", "err_start", "err_end", binSeconds = 600L)
+        .groupBy("err_id")
+        .agg(count(lit(1)).as("n_clicks"), round(sum("value"), 4).as("total_value"))
+        .orderBy("err_id")
+    }),
+
+    // Gap sessionization (30-min inactivity) rolled up per session.
+    // The oracle states the same gap definition in DuckDB window SQL —
+    // cross-engine parity on lag/running-sum/aggregate semantics.
+    "q44_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
+      graft.operators.Temporal.sessionize(e, "user_id", "ts",
+          gapSeconds = 1800L, ordCols = Seq("event_id"))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          round(sum("value"), 4).as("total_value"),
+          floor((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            / 1000000L).cast("long").as("duration_sec"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // Multimodal: magic-byte format sniffing over binary media columns
     // (JPEG/PNG headers synthesized deterministically from doc parity).
     "q28_media_meta" -> ((s, dir) => {
@@ -887,6 +944,56 @@ object SparkEntry {
                 count(1) AS n
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    // q42's oracle probes each click with an independent algorithm —
+    // a LATERAL top-1 subquery — not the union/window trick the Spark
+    // side uses. CAST(ts AS TIMESTAMP) truncates DuckDB's nanosecond
+    // read to the same microseconds Spark's loader produces, so the
+    // <= boundary is decided on identical values in both engines.
+    "q42_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           value, event_type FROM events),
+              c AS (SELECT * FROM e WHERE event_type = 'click'),
+              v AS (SELECT * FROM e WHERE event_type = 'view')
+         SELECT c.event_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                lv.view_value
+         FROM c LEFT JOIN LATERAL (
+           SELECT round(v.value, 4) AS view_value FROM v
+           WHERE v.user_id = c.user_id AND v.ts <= c.ts
+           ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) lv ON TRUE
+         ORDER BY event_id""",
+
+    // q43's oracle is the plain inequality join — correct at sf0.01,
+    // quadratic at scale; the binned equi-join must return exactly it.
+    "q43_range_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                           event_type FROM events),
+              er AS (SELECT event_id AS err_id, ts AS err_start,
+                            ts + INTERVAL 10 MINUTE AS err_end
+                     FROM e WHERE event_type = 'error'),
+              c AS (SELECT ts AS click_ts, value FROM e
+                    WHERE event_type = 'click')
+         SELECT err_id, count(1) AS n_clicks, round(sum(value), 4) AS total_value
+         FROM er JOIN c ON c.click_ts >= er.err_start AND c.click_ts <= er.err_end
+         GROUP BY err_id ORDER BY err_id""",
+
+    // q44's oracle restates the gap rule in DuckDB window SQL; micros
+    // everywhere so the >30min comparison is exact in both engines.
+    "q44_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           value FROM events),
+              s AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                         THEN 1 ELSE 0 END AS ns
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              x AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx FROM s)
+         SELECT user_id, session_idx, count(1) AS n_events,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                round(sum(value), 4) AS total_value,
+                (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+         FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
 
     "q37_dedup_corpus" ->
       """WITH u AS (

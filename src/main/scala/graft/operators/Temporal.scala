@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators Spark has no native form for: backward as-of
+  * join, point-in-interval range join, and gap sessionization. Each is
+  * expressed as a declarative plan shaped for scale — one key shuffle
+  * and no row-pair explosion — rather than the naive inequality join
+  * Catalyst would plan as a nested-loop/cartesian product.
+  */
+object Temporal {
+
+  /** Backward as-of join: for every left row, attach the value columns
+    * of the LATEST right row on the same key with
+    * `right.ts <= left.ts` (inclusive; left-join semantics — no prior
+    * right row yields NULLs).
+    *
+    * Shape: tag both sides, union, and run one cumulative
+    * `last(ignoreNulls)` window per value column over
+    * `(key ORDER BY ts, side, ord)` — right rows sort before left rows
+    * at equal timestamps, so the boundary is inclusive, and `ord`
+    * breaks right-side timestamp ties deterministically (the largest
+    * `ord` wins, matching `ORDER BY ts DESC, ord DESC LIMIT 1`).
+    * This is ONE hash shuffle on the key plus one sort — no range
+    * cross-join, no per-left probe — and both the shuffle and the sort
+    * scale with rows/key, not pairs/key. Skewed keys degrade to a big
+    * per-key sort, the same failure mode (and the same salting remedy)
+    * as any keyed window.
+    *
+    * `toleranceSec` bounds the lookback: a matched right row older
+    * than `left.ts - tolerance` is treated as no match (its values
+    * null out), the asof-join tolerance semantics pandas/QuestDB users
+    * expect.
+    *
+    * `rightVals` must not collide with left column names — the output
+    * is all left columns plus the filled `rightVals`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, rightVals: Seq[String],
+               rightOrd: Option[String] = None,
+               toleranceSec: Option[Long] = None): DataFrame = {
+    require(rightVals.nonEmpty, "asofJoin needs at least one right value column")
+    val collisions = rightVals.toSet intersect left.columns.toSet
+    require(collisions.isEmpty,
+      s"right value columns collide with left columns: ${collisions.mkString(", ")}")
+    val lcols = left.columns.toSeq
+    val ordL = lit(null).cast("long").as("__ord")
+    val ordR = rightOrd.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__ord")
+    val lSide = left.select(
+      Seq(col(key).as("__key"), col(leftTs).as("__ts"), lit(1).as("__side"), ordL) ++
+        lcols.map(col) ++
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+    val rSide = right.select(
+      Seq(col(key).as("__key"), col(rightTs).as("__ts"), lit(0).as("__side"), ordR) ++
+        lcols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(col): _*)
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__ts"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(lSide.unionByName(rSide)) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    val bounded = toleranceSec match {
+      case None => filled
+      case Some(tol) =>
+        // the matched right row's timestamp rides the same window; a
+        // match older than the tolerance nulls out
+        val withRts = filled.withColumn("__rts",
+          last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+        val inTol = unix_micros(col("__ts")) - unix_micros(col("__rts")) <= tol * 1000000L
+        rightVals.foldLeft(withRts) { (df, v) =>
+          df.withColumn(v, when(inTol, col(v)))
+        }
+    }
+    bounded.filter(col("__side") === 1)
+      .select(lcols.map(col) ++ rightVals.map(col): _*)
+  }
+
+  /** Point-in-interval range join: rows of `points` matched to every
+    * row of `intervals` whose `[startCol, endCol]` (inclusive both
+    * ends) contains `pointTs`. Output carries all columns of both
+    * inputs (caller aliases collisions away).
+    *
+    * Catalyst plans a raw `p.ts BETWEEN i.start AND i.end` join as a
+    * broadcast-nested-loop or cartesian product — O(|points| ×
+    * |intervals|) comparisons. Here time is quantized into fixed bins:
+    * each point belongs to exactly one bin, each interval explodes to
+    * the bins it overlaps, and the join is an EQUI-join on the bin id
+    * that only then filters exact containment. Each qualifying
+    * (point, interval) pair meets in exactly one bin — the point's —
+    * so no post-join dedup is needed. Work scales with
+    * points + intervals × (len/bin + 1) + true matches, and the bin
+    * join shuffles/broadcasts like any equi-join (AQE, salting, and
+    * broadcast all apply).
+    *
+    * Pick `binSeconds` near the typical interval length: much smaller
+    * multiplies the interval explosion, much larger degrades the bin
+    * filter toward all-pairs within a bin.
+    */
+  def rangeJoinPointInterval(points: DataFrame, intervals: DataFrame,
+                             pointTs: String, startCol: String, endCol: String,
+                             binSeconds: Long = 600L): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val binUs = binSeconds * 1000000L
+    val p = points.withColumn("__bin", floor(unix_micros(col(pointTs)) / binUs))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(floor(unix_micros(col(startCol)) / binUs),
+        floor(unix_micros(col(endCol)) / binUs))))
+    p.join(i, "__bin")
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("__bin")
+  }
+
+  /** Gap sessionization: within each key, order rows by
+    * `(ts, ord...)` and start a new session whenever the gap from the
+    * previous row exceeds `gapSeconds` (a gap of exactly `gapSeconds`
+    * stays in the session). Appends `session_idx`, a 1-based per-key
+    * session counter — `(key, session_idx)` identifies a session.
+    *
+    * One keyed shuffle + sort; `lag` and the running `sum` share the
+    * window spec so Spark evaluates both in a single Window operator.
+    * This is the batch form of what Structured Streaming's
+    * `session_window` computes incrementally.
+    */
+  def sessionize(df: DataFrame, key: String, tsCol: String,
+                 gapSeconds: Long, ordCols: Seq[String] = Nil): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val order = col(tsCol) +: ordCols.map(col)
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    df.withColumn("__new_session",
+        when(prevTs.isNull ||
+          unix_micros(col(tsCol)) - unix_micros(prevTs) > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("__new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_session")
+  }
+}
