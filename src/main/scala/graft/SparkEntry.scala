@@ -608,6 +608,48 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // Exact order statistics per group: Spark's sort-based percentile
+    // with linear interpolation — the same definition as DuckDB's
+    // quantile_cont, so the oracle is exact, not tolerance-based.
+    // (percentile_approx is the 100 TB serving path; its error bound
+    // vs this exact form is spec-asserted in AggSpec.)
+    "q45_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag")
+    }),
+
+    // OLAP rollup: subtotals + grand total in one pass (Spark expands
+    // grouping sets before the shuffle — one aggregate, not 3 unioned
+    // queries). Grouping-null cells are labeled 'ALL' on both sides so
+    // the row sort is deterministic across engines.
+    "q46_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("ret_flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("line_status"),
+          col("revenue"), col("n"))
+        .orderBy("ret_flag", "line_status")
+    }),
+
+    // Pivot: event-type columns per user cohort. With an explicit
+    // value list Spark plans ONE aggregate pass (no per-value scans);
+    // the oracle states the same thing as conditional aggregation.
+    "q47_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("cohort", col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(avg("value"), 4))
+        .orderBy("cohort")
+    }),
+
     // Multimodal: magic-byte format sniffing over binary media columns
     // (JPEG/PNG headers synthesized deterministically from doc parity).
     "q28_media_meta" -> ((s, dir) => {
@@ -994,6 +1036,36 @@ object SparkEntry {
                 round(sum(value), 4) AS total_value,
                 (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
          FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    // q45: quantile_cont == Spark percentile (both linear-interpolated
+    // exact order statistics) — cast to double so decimal typing can't
+    // truncate the interpolation.
+    "q45_quantiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS p25,
+                round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
+                round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90,
+                round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS p99
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q46_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS ret_flag,
+                coalesce(l_linestatus, 'ALL') AS line_status,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                count(1) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY ret_flag, line_status""",
+
+    // q47's oracle is conditional aggregation — the relational spelling
+    // of the same pivot.
+    "q47_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+                round(avg(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+                round(avg(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+                round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+                round(avg(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+                round(avg(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+         FROM events GROUP BY 1 ORDER BY cohort""",
 
     "q37_dedup_corpus" ->
       """WITH u AS (
