@@ -124,6 +124,29 @@ object Temporal {
     * This is the batch form of what Structured Streaming's
     * `session_window` computes incrementally.
     */
+  /** Streaming gap sessions — the incremental form of [[sessionize]]:
+    * `session_window` merges events on the same key arriving within
+    * `gapSeconds` of each other; a session finalizes (and emits, in
+    * append mode) once the event-time watermark passes its end. Output
+    * per session: `key, session_start, session_end, n_events` with
+    * `session_end = last event + gap` (Spark's window-end convention —
+    * batch `sessionize` reports observed `max(ts)` instead; the parity
+    * spec reconciles the two). State is bounded by the watermark: a
+    * straggler older than the horizon starts a NEW session rather than
+    * reopening a finalized one — the same bounded-state trade as
+    * [[Dedup.streamingExact]].
+    */
+  def streamingSessions(df: DataFrame, key: String, tsCol: String,
+                        gapSeconds: Long,
+                        watermark: String = "10 minutes"): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), s"$gapSeconds seconds"), col(key))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(key), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+  }
+
   def sessionize(df: DataFrame, key: String, tsCol: String,
                  gapSeconds: Long, ordCols: Seq[String] = Nil): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
