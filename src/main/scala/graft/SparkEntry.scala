@@ -608,6 +608,19 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // Near-dup pairs → duplicate CLUSTERS: distributed connected
+    // components (large-star/small-star, O(log n) rounds, no driver
+    // edge list) over the verified n-gram pair set. Transitivity is
+    // the point — a–b and b–c pair up {a,b,c} even when (a,c) was
+    // never a candidate. Oracle: DuckDB recursive-CTE label reach over
+    // the independently-computed brute-force pair set.
+    "q48_dedup_clusters" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup.ngramJaccard(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+      graft.operators.Components.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy("node")
+    }),
+
     // Exact order statistics per group: Spark's sort-based percentile
     // with linear interpolation — the same definition as DuckDB's
     // quantile_cont, so the oracle is exact, not tolerance-based.
@@ -1036,6 +1049,33 @@ object SparkEntry {
                 round(sum(value), 4) AS total_value,
                 (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
          FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    // q48: the pair set is q31's brute-force oracle; components via
+    // recursive label propagation — min reachable label per node.
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                         i -> array_to_string(list_slice(ws, i, i + 2), ' '))) END AS grams
+           FROM w),
+         jp AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                 >= 0.5),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+               UNION SELECT doc_b, doc_a FROM jp),
+         reach(node, lbl) AS (
+           SELECT u, u FROM e
+           UNION
+           SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node)
+         SELECT node, min(lbl) AS component
+         FROM reach GROUP BY node ORDER BY node""",
 
     // q45: quantile_cont == Spark percentile (both linear-interpolated
     // exact order statistics) — cast to double so decimal typing can't

@@ -79,6 +79,24 @@ object Dedup {
         .select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Corpus filter with TRANSITIVE cluster semantics: connected
+    * components over the verified pair set ([[Components]]), keep the
+    * smallest id per cluster, singletons untouched. Differs from
+    * [[dropNearDuplicates]]'s drop-every-`doc_b` rule whenever a
+    * non-minimal node appears only on the `doc_a` side — e.g. pairs
+    * {(b,c),(a,c)} cluster to {a,b,c} with survivor {a}, while the
+    * pairwise rule keeps {a,b}. At corpus scale this is the correct
+    * semantics: near-duplication is transitive through hub documents
+    * even when the hub pair itself was never a candidate. */
+  def dropNearDuplicateClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+                                aCol: String = "doc_a",
+                                bCol: String = "doc_b"): DataFrame = {
+    val nonRoots = Components.connectedComponents(pairs, aCol, bCol)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(nonRoots, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------- MinHash
 
   /** Scala-UDF sketch column: struct(sig, bands, shingles), one JVM pass
