@@ -608,6 +608,37 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // Deterministic hash sampling: membership is md5(salt||id) under a
+    // hex threshold — the same rows in ANY engine/partitioning/rerun
+    // (df.sample() can't oracle: per-partition RNG). Scan-side filter,
+    // zero shuffle.
+    "q49_hash_sample" -> ((s, dir) => {
+      graft.operators.Sampling.hashSample(
+          t(s, dir, "documents"), "doc_id", fraction = 0.2)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling: per-source fractions for
+    // training-mixture reweighting, same md5 membership rule.
+    "q50_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedSample(
+          t(s, dir, "events"), "event_id", "event_type",
+          Map("click" -> 0.5, "view" -> 0.25, "error" -> 0.05))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // Fixed-size deterministic draw: the 64 smallest digests, planned
+    // as TakeOrderedAndProject (per-partition top-n, no sort shuffle).
+    "q51_fixed_sample" -> ((s, dir) => {
+      graft.operators.Sampling.fixedSizeSample(
+          t(s, dir, "documents"), "doc_id", n = 64)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Near-dup pairs → duplicate CLUSTERS: distributed connected
     // components (large-star/small-star, O(log n) rounds, no driver
     // edge list) over the verified n-gram pair set. Transitivity is
@@ -1049,6 +1080,30 @@ object SparkEntry {
                 round(sum(value), 4) AS total_value,
                 (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
          FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    // q49-q51: md5 is md5 in every engine — the oracles restate the
+    // same membership rule and must select the exact same rows.
+    // thresholds: floor(f * 16^8) in hex (0.2 -> 33333333).
+    "q49_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+         ORDER BY doc_id""",
+
+    "q50_stratified_sample" ->
+      """SELECT event_type, count(1) AS n, round(sum(value), 4) AS total_value
+         FROM events
+         WHERE CASE event_type
+                 WHEN 'click' THEN substr(md5('graft' || CAST(event_id AS VARCHAR)), 1, 8) < '80000000'
+                 WHEN 'view'  THEN substr(md5('graft' || CAST(event_id AS VARCHAR)), 1, 8) < '40000000'
+                 WHEN 'error' THEN substr(md5('graft' || CAST(event_id AS VARCHAR)), 1, 8) < '0ccccccc'
+                 ELSE FALSE END
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q51_fixed_sample" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source FROM documents
+           ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 64)
+         ORDER BY doc_id""",
 
     // q48: the pair set is q31's brute-force oracle; components via
     // recursive label propagation — min reachable label per node.

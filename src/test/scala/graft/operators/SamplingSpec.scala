@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+
+  test("hashSample is deterministic and partitioning-independent") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(13), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("hashSample hits the target fraction within binomial tolerance") {
+    val n = docs.count().toDouble
+    Seq(0.1, 0.5, 0.9).foreach { f =>
+      val k = Sampling.hashSample(docs, "doc_id", f).count().toDouble
+      val sd = math.sqrt(n * f * (1 - f))
+      assert(math.abs(k - n * f) <= 5 * sd, s"f=$f got $k of $n (5sd=${5 * sd})")
+    }
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0)
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == n.toLong)
+  }
+
+  test("different salts draw (near-)independent samples") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.5, salt = "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.5, salt = "s2")
+      .select("doc_id").as[Long].collect().toSet
+    val n = docs.count().toDouble
+    val overlap = (a & b).size.toDouble
+    // independent 50% samples overlap on ~25% of rows
+    assert(math.abs(overlap - n * 0.25) < 5 * math.sqrt(n * 0.25 * 0.75),
+      s"overlap $overlap of $n")
+    assert(a !== b)
+  }
+
+  test("stratifiedSample applies per-stratum fractions and drops absent strata") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.0))
+    val bySource = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val webTotal = docs.filter($"source" === "src0").count()
+    assert(bySource.get("src0").contains(webTotal)) // fraction 1.0: all rows
+    assert(!bySource.contains("src1"))             // fraction 0.0: none
+    assert(bySource.keySet === Set("src0"))        // unlisted strata dropped
+    // and a listed stratum samples by the same rule as hashSample
+    val half = Sampling.stratifiedSample(docs, "doc_id", "source",
+      Map("src2" -> 0.4)).select("doc_id").as[Long].collect().toSet
+    val ref = Sampling.hashSample(docs.filter($"source" === "src2"), "doc_id", 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(half === ref)
+  }
+
+  test("fixedSizeSample returns exactly n deterministic rows via top-n, not a global sort") {
+    val a = Sampling.fixedSizeSample(docs, "doc_id", 64)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.fixedSizeSample(docs.repartition(7), "doc_id", 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size == 64 && a === b)
+    // n larger than the table: the whole table
+    assert(Sampling.fixedSizeSample(docs, "doc_id", 1000000).count() == docs.count())
+    val plan = Sampling.fixedSizeSample(docs, "doc_id", 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("the sample predicate reaches the scan as a pushed/codegen filter — no shuffle") {
+    val plan = Sampling.hashSample(docs, "doc_id", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n${plan.take(600)}")
+    // toString renders whole-stage codegen spans as "*(n)" prefixes
+    assert(plan.contains("*(1) Filter"), plan.take(600))
+  }
+}
