@@ -608,6 +608,35 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // Context-budget chunking: sliding 50-token windows, stride 40
+    // (overlapping) — pure Column expression, codegen'd, exploded to
+    // one row per chunk. Chunk text is md5'd so the oracle compares
+    // content without hauling strings through the hash gate.
+    "q52_chunking" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.Text.chunkByTokens(col("text"),
+            chunkTokens = 50, stride = 40)))
+        .select(col("doc_id"), col("pos").as("chunk_id"),
+          graft.functions.Text.tokenCount(col("col")).as("n_tokens"),
+          md5(col("col")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Sequence packing: deterministic hash-shard, then contiguous
+    // token-budget bins from a running window sum — the scalable
+    // pack-then-split used for pretraining shards (true first-fit is
+    // inherently sequential). Aggregated per bin for the oracle.
+    "q53_packing" -> ((s, dir) => {
+      graft.operators.Packing.packContiguous(
+          t(s, dir, "documents"), "doc_id", "n_chars",
+          budget = 20000L, shards = 4)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          min("doc_id").as("first_doc"))
+        .orderBy("shard", "bin")
+    }),
+
     // Deterministic hash sampling: membership is md5(salt||id) under a
     // hex threshold — the same rows in ANY engine/partitioning/rerun
     // (df.sample() can't oracle: per-partition RNG). Scan-side filter,
@@ -1080,6 +1109,46 @@ object SparkEntry {
                 round(sum(value), 4) AS total_value,
                 (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
          FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    // q52: same window arithmetic over the same whitespace tokens;
+    // DuckDB's list_slice is 1-based inclusive (end = start+len-1).
+    "q52_chunking" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> len(t) > 0) AS ws
+           FROM documents),
+         k AS (
+           SELECT doc_id, ws,
+                  greatest(CAST(ceil((len(ws) - 50) / 40.0) AS INT), 0) AS kmax
+           FROM g WHERE len(ws) > 0),
+         c AS (
+           SELECT doc_id, unnest(range(0, kmax + 1)) AS chunk_id, ws FROM k)
+         SELECT doc_id, chunk_id,
+                len(list_slice(ws, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS n_tokens,
+                md5(array_to_string(list_slice(ws, chunk_id * 40 + 1,
+                      chunk_id * 40 + 50), ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_id""",
+
+    // q53: identical shard draw (md5 hex prefix -> int), identical
+    // running-sum bin cut.
+    "q53_packing" ->
+      """WITH p AS (
+           SELECT doc_id, n_chars,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 4 AS INT) AS shard
+           FROM documents),
+         b AS (
+           SELECT shard, doc_id, n_chars,
+                  CAST(floor(coalesce(sum(n_chars) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 20000.0) AS BIGINT) AS bin
+           FROM p)
+         SELECT shard, bin, count(1) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                min(doc_id) AS first_doc
+         FROM b GROUP BY shard, bin ORDER BY shard, bin""",
 
     // q49-q51: md5 is md5 in every engine — the oracles restate the
     // same membership rule and must select the exact same rows.

@@ -202,6 +202,31 @@ object Text {
           i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
   }
 
+  /** Sliding token-window chunks — the context-budget splitter of a
+    * training-data pipeline: whitespace tokens, windows of
+    * `chunkTokens` starting every `stride` tokens (`stride <
+    * chunkTokens` gives overlapping chunks for retrieval; `stride ==
+    * chunkTokens` partitions). Returns `array<string>` of chunk texts:
+    * empty/blank text yields an empty array, every token lands in at
+    * least one chunk, and the last chunk may be short. Pure Column
+    * expression (codegen'd, no UDF); pair with `posexplode` for
+    * `(chunk_id, chunk)` rows. */
+  def chunkByTokens(text: Column, chunkTokens: Int = 512,
+                    stride: Int = 512): Column = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    val ts = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    val n = size(ts)
+    // last window start: the smallest multiple of stride covering the
+    // tail, ceil((n - chunkTokens) / stride) clamped at 0
+    val lastK = greatest(ceil((n - chunkTokens).cast("double") / stride)
+      .cast("int"), lit(0))
+    when(n === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), lastK),
+        k => concat_ws(" ", slice(ts, k * stride + 1, lit(chunkTokens)))))
+  }
+
   // ------------------------------------------- SQL-surface scalars (U4)
 
   private[graft] def tokensScalar(text: String): Array[String] =

@@ -155,6 +155,33 @@ class TextSpec extends SparkSpec {
     (0 until 7).foreach(i => assert(nulls.isNullAt(i)))
   }
 
+  test("chunkByTokens: coverage, overlap, short-tail, and empty-text invariants") {
+    def chunks(text: String, size: Int, stride: Int): Seq[Seq[String]] =
+      Seq(text).toDF("t")
+        .select(Text.chunkByTokens($"t", size, stride).as("c"))
+        .collect().head.getSeq[String](0).map(_.split(" ").toSeq.filter(_.nonEmpty))
+    val toks = (1 to 107).map(i => s"w$i")
+    val got = chunks(toks.mkString(" "), 50, 40)
+    // starts every 40 tokens until the tail is covered
+    assert(got.map(_.head) === Seq("w1", "w41", "w81"))
+    assert(got.take(2).forall(_.size == 50))
+    assert(got.last.size == 27) // 107 - 80: short tail allowed
+    // every token appears in at least one chunk; consecutive chunks
+    // overlap by size - stride
+    assert(got.flatten.toSet === toks.toSet)
+    assert((got(0).toSet & got(1).toSet).size == 10)
+    // stride == size partitions exactly
+    val part = chunks(toks.mkString(" "), 50, 50)
+    assert(part.map(_.size) === Seq(50, 50, 7))
+    assert(part.flatten === toks)
+    // degenerate inputs
+    assert(chunks("", 50, 40).isEmpty)
+    assert(chunks("   ", 50, 40).isEmpty)
+    assert(chunks("one two", 50, 40).map(_.size) === Seq(2))
+    intercept[IllegalArgumentException](Text.chunkByTokens($"t", 50, 51))
+    intercept[IllegalArgumentException](Text.chunkByTokens($"t", 0, 0))
+  }
+
   test("winnowing fingerprints: shared-substring guarantee and edit locality") {
     import graft.operators.Sketches
     val rnd = new scala.util.Random(7)

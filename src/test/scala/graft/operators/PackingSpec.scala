@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contiguous packing: bins fill to the budget, straddle by at most one doc") {
+    val docs = (1L to 200L).map(i => (i, 100L + (i % 7) * 50L)).toDF("id", "toks")
+    val packed = Packing.packContiguous(docs, "id", "toks", budget = 1000L, shards = 1)
+    val bins = packed.groupBy("bin").agg(sum("toks").as("total"),
+        max("toks").as(("biggest")), count(lit(1)).as("n"))
+      .orderBy("bin").as[(Long, Long, Long, Long)].collect()
+    assert(bins.length > 1)
+    // every bin except the last holds budget +- one straddling doc:
+    // its own last doc overhangs into the next span (overfill), and
+    // the previous bin's straddler eats into this bin's span
+    // (underfill) — both bounded by the largest document
+    val maxDoc = 100L + 6 * 50L
+    bins.dropRight(1).foreach { case (bin, total, _, _) =>
+      assert(total > 1000L - maxDoc, s"bin $bin underfilled: $total")
+      assert(total < 1000L + maxDoc, s"bin $bin overfilled: $total")
+    }
+    // bins are contiguous in the order column: id ranges do not overlap
+    val ranges = packed.groupBy("bin").agg(min("id").as("lo"), max("id").as("hi"))
+      .orderBy("bin").as[(Long, Long, Long)].collect()
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
+  test("sharded packing: deterministic shard draw, each shard packs independently") {
+    val docs = (1L to 500L).map(i => (i, 97L)).toDF("id", "toks")
+    val packed = Packing.packContiguous(docs, "id", "toks", budget = 500L, shards = 4)
+      .persist()
+    try {
+      val shards = packed.select("shard").distinct().as[Int].collect().toSet
+      assert(shards.subsetOf(Set(0, 1, 2, 3)) && shards.size == 4)
+      // same call again: identical assignment (pure function of ids)
+      val again = Packing.packContiguous(docs.repartition(11), "id", "toks",
+        budget = 500L, shards = 4)
+      assert(packed.select("id", "shard", "bin").as[(Long, Int, Long)].collect().toSet ===
+        again.select("id", "shard", "bin").as[(Long, Int, Long)].collect().toSet)
+      // bins within every shard start at 0 and are dense
+      val perShard = packed.groupBy("shard")
+        .agg(min("bin").as("lo"), max("bin").as("hi"),
+          countDistinct("bin").as("n"))
+        .as[(Int, Long, Long, Long)].collect()
+      perShard.foreach { case (s, lo, hi, n) =>
+        assert(lo == 0L && n == hi + 1, s"shard $s bins not dense: [$lo,$hi] n=$n")
+      }
+    } finally packed.unpersist()
+  }
+}
