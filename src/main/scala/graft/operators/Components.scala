@@ -49,9 +49,12 @@ object Components {
     // and cleaned asynchronously by the ContextCleaner. (On a real
     // cluster with lineage-loss concerns, reliable `checkpoint` to the
     // checkpoint dir is the drop-in alternative.)
-    var cur = sym(edges
-        .select(col(aCol).as("u"), col(bCol).as("v")))
+    // materialize the input pair list before sym() references it twice
+    // (u,v and v,u branches) — otherwise an expensive upstream pair
+    // generation (e.g. n-gram Jaccard) executes once per branch
+    val input = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .localCheckpoint()
+    var cur = sym(input).localCheckpoint()
 
     var converged = false
     var iter = 0
@@ -96,8 +99,8 @@ object Components {
     // nodes whose every edge was a self-loop vanished from the working
     // set at canonicalization; they are still named by the input, so
     // they surface as their own singleton components
-    val allNodes = edges.select(col(aCol).as("node"))
-      .union(edges.select(col(bCol).as("node"))).distinct()
+    val allNodes = input.select(col("u").as("node"))
+      .union(input.select(col("v").as("node"))).distinct()
     val isolated = allNodes
       .join(members.select(col("node")).union(roots.select(col("node"))),
         Seq("node"), "left_anti")
