@@ -608,6 +608,18 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // Lexical retrieval: BM25 top-20 for a bag-of-words query —
+    // tf kept narrow (query terms only, filtered inside the token
+    // explode), corpus stats broadcast one-row frames, final rank a
+    // TakeOrderedAndProject. Oracle restates the formula in SQL.
+    "q54_bm25" -> ((s, dir) => {
+      graft.operators.Retrieval.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("the", "data", "model"), n = 20)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // Context-budget chunking: sliding 50-token windows, stride 40
     // (overlapping) — pure Column expression, codegen'd, exploded to
     // one row per chunk. Chunk text is md5'd so the oracle compares
@@ -1109,6 +1121,31 @@ object SparkEntry {
                 round(sum(value), 4) AS total_value,
                 (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
          FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    // q54: the BM25 formula restated in SQL (ln == Spark's log, both
+    // natural); top-20 selected on the UNROUNDED score with doc_id
+    // tiebreak in both engines, rounded only for the compare.
+    "q54_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                      t -> len(t) > 0) AS ws
+           FROM documents),
+         dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+         stats AS (SELECT count(1) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tr AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(1) AS tf FROM tr
+                WHERE term IN ('the', 'data', 'model') GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id,
+                  sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                      (tf.tf * 2.2) /
+                      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+           GROUP BY tf.doc_id)
+         SELECT doc_id, round(score, 4) AS score
+         FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+         ORDER BY score DESC, doc_id""",
 
     // q52: same window arithmetic over the same whitespace tokens;
     // DuckDB's list_slice is 1-based inclusive (end = start+len-1).

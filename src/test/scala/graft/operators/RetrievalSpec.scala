@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 matches a hand-computed reference on a tiny corpus") {
+    val docs = Seq(
+      (1L, "data model training data"),
+      (2L, "the quick brown fox"),
+      (3L, "data"),
+      (4L, "completely unrelated words here")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, "doc_id", "text", Seq("data", "model"))
+      .as[(Long, Double)].collect().toMap
+
+    // reference: N=4, avgdl = (4+4+1+4)/4 = 3.25
+    val N = 4.0; val avgdl = 3.25; val (k1, b) = (1.2, 0.75)
+    def idf(df: Double) = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double, df: Double) =
+      idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    val want = Map(
+      1L -> (w(2, 4, 2) + w(1, 4, 1)), // data tf=2 df=2; model tf=1 df=1
+      3L -> w(1, 1, 2))                // data tf=1, short doc boosts
+    assert(got.keySet === want.keySet)  // docs 2 and 4 have no query term
+    want.foreach { case (id, s) =>
+      assert(math.abs(got(id) - s) < 1e-9, s"doc $id: got ${got(id)} want $s")
+    }
+    // the short doc with one 'data' outranks nothing with tf=2 + extra term
+    assert(got(1L) > got(3L))
+  }
+
+  test("bm25 properties on the real corpus: query-term docs only, tf monotone") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val scores = Retrieval.bm25(docs, "doc_id", "text", Seq("the"))
+      .as[(Long, Double)].collect().toMap
+    val withTerm = docs
+      .filter(array_contains(split(lower(trim($"text")), "\\s+"), "the"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(scores.keySet === withTerm)
+    assert(scores.values.forall(_ > 0))
+  }
+
+  test("bm25TopK ranks deterministically and plans per-partition top-n") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("the", "data", "model"), n = 10)
+    val rows = top.as[(Long, Double)].collect()
+    assert(rows.length == 10)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+}
