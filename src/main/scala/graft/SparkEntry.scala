@@ -608,6 +608,21 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // HLL sketch distinct counts: mergeable sketch state is the
+    // 100 TB distinct-count answer (shard → sketch → union, no
+    // re-scan). Rows-only by necessity — DuckDB's approx_count_
+    // distinct is a different estimator; correctness is spec-pinned
+    // in AggSpec (error bound vs exact + shard-merge identity). The
+    // exact count rides along so the row itself exhibits the error.
+    "q55_hll_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+          .as("hll_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    }),
+
     // Lexical retrieval: BM25 top-20 for a bag-of-words query —
     // tf kept narrow (query terms only, filtered inside the token
     // explode), corpus stats broadcast one-row frames, final rank a

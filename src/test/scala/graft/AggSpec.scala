@@ -32,6 +32,24 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch: error bound vs exact, and shard-merge equals whole-corpus sketch") {
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val row = events.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est"),
+      countDistinct($"user_id").as("exact")).collect().head
+    val (est, exact) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    // lgConfigK=14 → relative error ~1.04/sqrt(2^14) ≈ 0.8%; assert 5%
+    assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
+    // mergeability — THE scale property: sketch each shard, union the
+    // sketches, estimate once; must equal the single-pass sketch exactly
+    val whole = events.agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .select(expr("hll_sketch_estimate(sk)")).as[Long].collect().head
+    val merged = events.withColumn("shard", $"event_id" % 8)
+      .groupBy("shard").agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).as[Long].collect().head
+    assert(merged === whole, s"sharded merge $merged != single-pass $whole")
+  }
+
   test("rollup equals the union of its grouping sets") {
     val rolled = lineitem.rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"))
