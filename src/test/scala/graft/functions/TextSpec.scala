@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.SparkSpec
+import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.functions._
 
 class TextSpec extends SparkSpec {
@@ -210,6 +210,41 @@ class TextSpec extends SparkSpec {
       .select($"id", Text.winnowFingerprints($"t").as("fp")).orderBy("id").collect()
     assert(rows(0).getSeq[Long](1) == Sketches.winnow(a).toSeq)
     assert(rows(2).isNullAt(1))
+  }
+
+  test("q56 winnow pairs: guarantee bracket holds and injected clones are found") {
+    import graft.operators.Sketches
+    val dir = "/root/testdata/sf0.001"
+    // q56 has no SQL oracle (pairs sharing exactly-30..36-char runs are
+    // selection-dependent) — this bracket is its correctness pin:
+    //   pairs sharing a >= w+k-1 = 37-char normalized run  ⊆  detected
+    //   detected  ⊆  pairs sharing a >= k = 30-char normalized run
+    val got = SparkEntry.queries("q56_winnow_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val all = docs ++ docs.filter(_._1 < 5)
+      .map { case (id, t) => (id + 300000L) -> (t + " winnowed clone mark") }
+    def sharedGramPairs(len: Int): Set[(Long, Long)] = {
+      val byGram = scala.collection.mutable.HashMap.empty[String, List[Long]]
+      all.foreach { case (id, t) =>
+        val n = Sketches.normalize(t)
+        val grams = if (n.length < len) Set(n)
+                    else (0 to n.length - len).map(i => n.substring(i, i + len)).toSet
+        grams.foreach(g => byGram(g) = id :: byGram.getOrElse(g, Nil))
+      }
+      byGram.values.filter(_.size > 1).flatMap(ids =>
+        ids.combinations(2).map(p => (p.min, p.max))).toSet
+    }
+    val guaranteed = sharedGramPairs(37)
+    val possible = sharedGramPairs(30)
+    assert(guaranteed.subsetOf(got),
+      s"winnow missed guaranteed pairs: ${(guaranteed -- got).take(5)}")
+    assert(got.subsetOf(possible),
+      s"winnow invented pairs with no shared 30-gram: ${(got -- possible).take(5)}")
+    // the five injected clones share their whole (>= 37-char) original
+    (0L until 5L).foreach(i => assert(got.contains((i, i + 300000L))))
   }
 
   test("langId/qualityScore kernels equal the HOF forms; no interpreted HOF in plan") {
