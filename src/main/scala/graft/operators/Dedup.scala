@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -351,6 +351,30 @@ object Dedup {
     * }}} */
   def ngramJaccardFromIndex(inv: DataFrame, threshold: Double = 0.5): DataFrame =
     ngramVerifiedPairs(inv, ngramCandidates(inv, threshold), threshold)
+
+  /** Build-once/serve-many lifecycle for the n-gram index: write the
+    * inverted index ([[ngramIndex]]) and its PPJoin candidate pair set
+    * ([[ngramCandidates]]) to catalog tables unless they already exist
+    * (idempotent, the [[graft.sources.Bucketed.ensure]] pattern). This
+    * is the nightly index build at corpus scale — the corpus is read
+    * exactly once, and every downstream dedup consumer
+    * ([[ngramVerifiedPairs]], cluster assignment, survivor filters)
+    * starts from narrow pre-computed rows without re-running the gram
+    * kernel or the candidate self-join. In-memory `persist()` of the
+    * same frames measured SLOWER than recompute at sf0.1 (the cache
+    * build is a materialization barrier plus serialization on top of
+    * the same work); durable tables amortize across queries and
+    * sessions, which is the lifecycle that actually matters. */
+  def ensureNgramTables(spark: SparkSession, docs: => DataFrame, idCol: String,
+                        textCol: String, invTable: String, candsTable: String,
+                        n: Int = 3, threshold: Double = 0.5): Unit = {
+    if (!spark.catalog.tableExists(invTable))
+      ngramIndex(docs, idCol, textCol, n)
+        .write.mode("overwrite").saveAsTable(invTable)
+    if (!spark.catalog.tableExists(candsTable))
+      ngramCandidates(spark.table(invTable), threshold)
+        .write.mode("overwrite").saveAsTable(candsTable)
+  }
 
   /** PPJoin candidate pairs `(doc_a, doc_b, sz_a, sz_b)` from an
     * [[ngramIndex]] frame: prefix-filtered inverted-index self-join +

@@ -214,17 +214,7 @@ object Similarity {
       .select(col(vecCol)).orderBy(xxhash64(col(corpusId)), col(corpusId))
       .limit(nlist).collect().map(_.getSeq[Float](0))
     (0 until lloydIters).foreach { _ =>
-      val cell = bestCellUdf(centroids.map(_.toArray))(col(vecCol))
-      // decimal partial sums are order-exact, so the refined centroids —
-      // and therefore the whole index build — are deterministic even
-      // though shuffle-block arrival order is not
-      val means = corpus.select(cell.as("cell"), posexplode(col(vecCol)))
-        .groupBy("cell", "pos")
-        .agg((sum(col("col").cast("decimal(30,15)")) / count(lit(1)))
-          .cast("double").as("m"))
-        .groupBy("cell")
-        .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .collect().map(r => r.getInt(0) -> r.getMap[Int, Double](1)).toMap
+      val means = lloydMeans(corpus, vecCol, centroids.map(_.toArray))
       centroids = centroids.zipWithIndex.map { case (old, i) =>
         means.get(i) match {
           // a ragged member vector can leave a dimension uncovered — the
@@ -236,6 +226,70 @@ object Similarity {
       }
     }
     centroids.map(_.toArray)
+  }
+
+  /** One Lloyd round: per-(cell, dim) means of the corpus under the
+    * current centroids, as one primitive-loop pass per partition.
+    *
+    * Plan shape matters twice here. (1) The obvious
+    * `select(cellUdf, posexplode(vec)).groupBy(cell, pos)` form
+    * re-evaluates the cell kernel once per EXPLODED DIM — dim× per row,
+    * each call scoring all nlist centroids (measured 6 s/round on 2k
+    * 64-dim vectors; the kernel itself is sub-second). The
+    * mapPartitions kernel assigns each vector exactly once and folds it
+    * into per-cell accumulators in the same loop, so the shuffle
+    * carries ≤ nlist×dim rows per partition — dims, never vectors.
+    * (2) Determinism: shuffle/partition arrival order is not stable, so
+    * float partial sums are not reproducible. Each value is rounded to
+    * decimal scale 15 (exactly Spark's `cast(decimal(30,15))`, HALF_UP)
+    * and accumulated in exact BigDecimal arithmetic per partition, then
+    * merged as exact decimal sums across partitions — the refined
+    * centroids, and therefore the whole index build, are bit-stable. */
+  private def lloydMeans(corpus: DataFrame, vecCol: String,
+                         cents: Array[Array[Float]]): Map[Int, Map[Int, Double]] = {
+    import corpus.sparkSession.implicits._
+    val partials = corpus.select(col(vecCol)).as[Seq[Float]].mapPartitions { it =>
+      val nlist = cents.length
+      val sums = new Array[Array[java.math.BigDecimal]](nlist)
+      val cnts = new Array[Array[Long]](nlist)
+      def ensure(c: Int, d: Int): Unit = {
+        if (sums(c) == null) {
+          sums(c) = Array.fill(d)(java.math.BigDecimal.ZERO)
+          cnts(c) = new Array[Long](d)
+        } else if (sums(c).length < d) {
+          val old = sums(c).length
+          sums(c) = java.util.Arrays.copyOf(sums(c), d)
+          java.util.Arrays.fill(sums(c).asInstanceOf[Array[AnyRef]], old, d,
+            java.math.BigDecimal.ZERO)
+          cnts(c) = java.util.Arrays.copyOf(cnts(c), d)
+        }
+      }
+      it.foreach { vec =>
+        if (vec != null) {
+          val c = Sketches.nearestCells(vec, cents, 1)(0)
+          ensure(c, vec.length)
+          var d = 0
+          while (d < vec.length) {
+            sums(c)(d) = sums(c)(d).add(new java.math.BigDecimal(vec(d).toDouble)
+              .setScale(15, java.math.RoundingMode.HALF_UP))
+            cnts(c)(d) += 1L
+            d += 1
+          }
+        }
+      }
+      (0 until nlist).iterator.filter(sums(_) != null)
+        .map(c => (c, cnts(c).toSeq, sums(c).map(BigDecimal(_)).toSeq))
+    }.toDF("cell", "cnts", "sums")
+    partials
+      .select(col("cell"), posexplode(arrays_zip(col("cnts"), col("sums"))))
+      .select(col("cell"), col("pos"),
+        col("col.cnts").as("cnt"), col("col.sums").as("s"))
+      .filter(col("cnt") > 0)
+      .groupBy("cell", "pos")
+      .agg((sum(col("s")) / sum(col("cnt"))).cast("double").as("m"))
+      .groupBy("cell")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("dims"))
+      .collect().map(r => r.getInt(0) -> r.getMap[Int, Double](1).toMap).toMap
   }
 
   /** Distributed half of an IVF index: `(corpus_id, cvec, cell)` — every
