@@ -17,14 +17,21 @@ import graft.functions.City
   */
 object Lake {
 
-  /** Event time for an enveloped record. */
+  /** Event time for a lake record: nested `data.timestamp` (envelope)
+    * first, top-level `timestamp` second, flat `event_time` (the
+    * traffic-analytics row shape) third — whichever exist in the
+    * schema — then the injectable fallback. */
   def eventTime(df: DataFrame, fallback: Column = current_timestamp()): Column = {
+    val names = df.schema.fieldNames.toSet
     val hasNested = df.schema.fields.exists(f => f.name == "data" &&
       f.dataType.isInstanceOf[StructType] &&
       f.dataType.asInstanceOf[StructType].fieldNames.contains("timestamp"))
     val candidates =
-      if (hasNested) Seq(col("data.timestamp"), col("timestamp"))
-      else Seq(col("timestamp"))
+      (if (hasNested) Seq(col("data.timestamp")) else Nil) ++
+        (if (names.contains("timestamp")) Seq(col("timestamp")) else Nil) ++
+        (if (names.contains("event_time")) Seq(col("event_time")) else Nil)
+    require(candidates.nonEmpty,
+      s"no event-time column (data.timestamp / timestamp / event_time) in ${names.mkString(", ")}")
     City.parseIsoTs(coalesce(candidates: _*), fallback)
   }
 
