@@ -27,7 +27,7 @@ object SparkEntry {
     * `CAST(embedding[1] + 0.01*(j+1) AS FLOAT)` — so both engines score
     * the exact same vectors. Cosines land ≥ ~0.9987 while the corpus
     * max is ≈ 0.6: exact top-5 per query = its clone set. */
-  private def annClones(emb: DataFrame): DataFrame =
+  private[graft] def annClones(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(4))).as("j"))
@@ -863,6 +863,46 @@ object SparkEntry {
         .orderBy("cohort")
     }),
 
+    // PII scrubbing: deterministic per-doc email/IP/phone injected into
+    // each text, then redacted by the pure-Column regexp chain; the
+    // oracle restates the same RE2-compatible patterns in DuckDB
+    // (leftmost, replace-all). Scrubbed text compared by md5; per-kind
+    // match counts audit that each pattern fired.
+    "q58_pii_scrub" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents")
+        .withColumn("t2", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          lit(" or +3526211"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 ok")))
+      withPii.select(col("doc_id"),
+          md5(Text.scrubPii(col("t2"))).as("scrubbed_md5"),
+          Text.piiCount(col("t2"), Text.EmailRe).as("n_email"),
+          Text.piiCount(col("t2"), Text.Ipv4Re).as("n_ip"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition statistics per source: duplicate-token
+    // fraction and top-bigram share — the boilerplate/spam signals of a
+    // corpus quality filter. Docs with fewer than 2 normalized words
+    // have no bigram and drop out (inner join), stated identically in
+    // the oracle.
+    "q59_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val top = d.select(col("doc_id"), col("source"),
+          explode(Text.wordNgramsAll(col("text"), 2)).as("bg"))
+        .groupBy("doc_id", "source", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "source")
+        .agg((max("c").cast("double") / sum("c")).as("top_bigram_frac"))
+      val dup = d.select(col("doc_id"),
+        Text.dupTokenFraction(col("text")).as("dup_frac"))
+      top.join(dup, "doc_id")
+        .groupBy("source")
+        .agg(round(avg("dup_frac"), 4).as("avg_dup_frac"),
+          round(avg("top_bigram_frac"), 4).as("avg_top_bigram"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
     // Multimodal: magic-byte format sniffing over binary media columns
     // (JPEG/PNG headers synthesized deterministically from doc parity).
     "q28_media_meta" -> ((s, dir) => {
@@ -1552,6 +1592,54 @@ object SparkEntry {
            FROM parts)
          SELECT source, round(avg(qs), 4) AS avg_quality, round(min(qs), 4) AS min_quality, count(1) AS n
          FROM q GROUP BY source ORDER BY source""",
+
+    // q58: same injected PII, same RE2-compatible patterns, same
+    // email → IPv4 → phone replacement order ('g' = replace-all, which
+    // is Spark's regexp_replace default).
+    "q58_pii_scrub" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       || ' or +3526211' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ok' AS t2
+           FROM documents)
+         SELECT doc_id,
+                md5(regexp_replace(regexp_replace(regexp_replace(t2,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+                      '\b(\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g'),
+                      '\+?\d[\d() .-]{6,}\d', '[PII]', 'g')) AS scrubbed_md5,
+                CAST(len(regexp_extract_all(t2,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+                CAST(len(regexp_extract_all(t2,
+                      '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ip
+         FROM w ORDER BY doc_id""",
+
+    // q59: identical normalization, bigram construction, and the same
+    // docs-with-a-bigram inner-join semantics.
+    "q59_repetition" ->
+      """WITH n AS (
+           SELECT doc_id, source,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         ws AS (SELECT doc_id, source, t, string_split(t, ' ') AS w FROM n),
+         dup AS (
+           SELECT doc_id,
+                  CASE WHEN length(t) = 0 THEN 0.0
+                       ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS dup_frac
+           FROM ws),
+         bg AS (
+           SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+           FROM ws WHERE len(w) >= 2),
+         bc AS (SELECT doc_id, source, bg, count(1) AS c FROM bg GROUP BY doc_id, source, bg),
+         tb AS (SELECT doc_id, source, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+                FROM bc GROUP BY doc_id, source)
+         SELECT source, round(avg(dup_frac), 4) AS avg_dup_frac,
+                round(avg(top_bigram_frac), 4) AS avg_top_bigram,
+                count(1) AS n_docs
+         FROM tb JOIN dup USING (doc_id)
+         GROUP BY source ORDER BY source""",
 
     "q28_media_meta" ->
       """SELECT doc_id AS media_id,

@@ -202,6 +202,55 @@ object Text {
           i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
   }
 
+  /** All word n-grams of normalized text with duplicates PRESERVED —
+    * the repetition-statistics form ([[wordNgrams]] deduplicates for
+    * Jaccard). Texts with fewer than `n` words yield an empty array:
+    * they have no n-gram, so they contribute nothing to repetition
+    * scores rather than a fake whole-text gram. */
+  def wordNgramsAll(text: Column, n: Int = 2): Column = {
+    val ts = split(normalizeText(text), " ")
+    val cnt = size(ts)
+    when(cnt < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), cnt - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+  }
+
+  /** Duplicate-token fraction `1 − distinct/total` over normalized
+    * whitespace tokens — the cheapest Gopher-style repetition signal
+    * (high values flag boilerplate/spam for corpus filtering). Pure
+    * Column; empty text scores 0. */
+  def dupTokenFraction(text: Column): Column = {
+    val ts = split(normalizeText(text), " ")
+    when(length(normalizeText(text)) === 0, lit(0.0d)).otherwise(
+      lit(1.0d) - size(array_distinct(ts)).cast("double") / size(ts))
+  }
+
+  // --------------------------------------------------- PII scrubbing
+
+  /** RE2-compatible PII patterns (no lookaround, no backreferences) so
+    * SQL warehouses state byte-identical semantics; replacement order
+    * is email → IPv4 → phone, and the replacement token contains no
+    * digits, so passes cannot cascade. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d() .-]{6,}\\d"
+
+  /** Redact emails, IPv4 addresses, and phone-shaped digit runs — the
+    * PII scrub pass of a training-data pipeline. Pure `regexp_replace`
+    * chain: codegen'd, one projection, no UDF; at 100 TB this is a
+    * map-only pass that fuses into whatever scan feeds it. */
+  def scrubPii(text: Column, replacement: String = "[PII]"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, replacement),
+        Ipv4Re, replacement),
+      PhoneRe, replacement)
+
+  /** Match count for one PII pattern (audit/reporting side of the
+    * scrub). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Sliding token-window chunks — the context-budget splitter of a
     * training-data pipeline: whitespace tokens, windows of
     * `chunkTokens` starting every `stride` tokens (`stride <
@@ -320,5 +369,9 @@ object Text {
         while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
         Double.box(m.toDouble / a.length)
       })
+    spark.udf.register("scrub_pii", (s: String) =>
+      if (s == null) null
+      else s.replaceAll(EmailRe, "[PII]").replaceAll(Ipv4Re, "[PII]")
+        .replaceAll(PhoneRe, "[PII]"))
   }
 }

@@ -368,12 +368,16 @@ object Dedup {
   def ensureNgramTables(spark: SparkSession, docs: => DataFrame, idCol: String,
                         textCol: String, invTable: String, candsTable: String,
                         n: Int = 3, threshold: Double = 0.5): Unit = {
-    if (!spark.catalog.tableExists(invTable))
+    if (!spark.catalog.tableExists(invTable)) {
+      graft.sources.Warehouse.clearOrphanLocation(spark, invTable)
       ngramIndex(docs, idCol, textCol, n)
         .write.mode("overwrite").saveAsTable(invTable)
-    if (!spark.catalog.tableExists(candsTable))
+    }
+    if (!spark.catalog.tableExists(candsTable)) {
+      graft.sources.Warehouse.clearOrphanLocation(spark, candsTable)
       ngramCandidates(spark.table(invTable), threshold)
         .write.mode("overwrite").saveAsTable(candsTable)
+    }
   }
 
   /** PPJoin candidate pairs `(doc_a, doc_b, sz_a, sz_b)` from an

@@ -17,35 +17,10 @@ object Bucketed {
     * reuse the location even in overwrite mode — so any orphan location
     * for an unregistered table of this name is cleared first. */
   def save(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit = {
-    // the DROP quoting and the orphan-location probe below both assume
-    // an unqualified name in the default database (a qualified name
-    // lives at <warehouse>/<db>.db/<table> and would dodge the probe —
-    // and the backticked DROP would target the wrong table)
-    require(!table.contains("."),
-      s"Bucketed.save takes an unqualified table name in the default database, got '$table'")
+    Warehouse.requireUnqualified(table, "Bucketed.save")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // resolve the location from the catalog's default database — the
-    // value the catalog actually uses — not the session conf, which can
-    // drift from it (shared state pins the boot-time warehouse; a
-    // session-modified conf would make this probe look at the wrong
-    // directory)
-    val loc = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(new java.net.URI(
-        spark.catalog.getDatabase("default").locationUri)),
-      table.toLowerCase(java.util.Locale.ROOT)) // catalog lowercases locale-free
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // destructive delete: only clear the orphan if it actually looks
-    // like a Spark table directory (committed _SUCCESS marker or
-    // parquet part-files), never an arbitrary directory that happens
-    // to collide with the table name
-    def looksLikeTableDir: Boolean = {
-      val entries = fs.listStatus(loc).map(_.getPath.getName)
-      entries.isEmpty || entries.contains("_SUCCESS") ||
-        entries.exists(n => n.startsWith("part-") || n.endsWith(".parquet"))
-    }
-    if (fs.exists(loc) && fs.getFileStatus(loc).isDirectory && looksLikeTableDir)
-      fs.delete(loc, true)
+    Warehouse.clearOrphanLocation(spark, table)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table) // managed: spark.sql.warehouse.dir

@@ -212,6 +212,47 @@ class TextSpec extends SparkSpec {
     assert(rows(2).isNullAt(1))
   }
 
+  test("scrubPii: every pattern redacts, passes don't cascade, SQL mirrors Column") {
+    val rows = Seq(
+      (1L, "mail a.b+c@ex-ample.co.uk now"),
+      (2L, "ip 192.168.0.1 end"),
+      (3L, "call +352 621 123 456 ok"),
+      (4L, "clean text with the number 7"),
+      (5L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = rows.select($"id", Text.scrubPii($"t").as("s")).orderBy("id").collect()
+    assert(got(0).getString(1) == "mail [PII] now")
+    assert(got(1).getString(1) == "ip [PII] end")
+    assert(got(2).getString(1) == "call [PII] ok")
+    assert(got(3).getString(1) == "clean text with the number 7") // short digits untouched
+    assert(got(4).isNullAt(1))
+    // audit counts see each pattern independently
+    val counts = rows.filter($"id" <= 3).select(
+      Text.piiCount($"t", Text.EmailRe), Text.piiCount($"t", Text.Ipv4Re))
+      .orderBy($"t").collect()
+    assert(counts.map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((1, 0), (0, 1), (0, 0)))
+    // the SQL surface states the same function
+    Text.registerSqlFunctions(spark)
+    rows.createOrReplaceTempView("pii_rows")
+    val sql = spark.sql("SELECT scrub_pii(t) AS s FROM pii_rows ORDER BY id").collect()
+    got.zip(sql).foreach { case (a, b) =>
+      assert(a.isNullAt(1) == b.isNullAt(0))
+      if (!a.isNullAt(1)) assert(a.getString(1) == b.getString(0))
+    }
+  }
+
+  test("dupTokenFraction: repetition signal on normalized tokens") {
+    val got = Seq(("a a b", 1), ("once upon a time", 2), ("", 3), ("  ", 4),
+        ("Stop, stop; STOP!", 5))
+      .toDF("t", "id")
+      .select($"id", Text.dupTokenFraction($"t").as("f")).orderBy("id").collect()
+      .map(_.getDouble(1))
+    assert(math.abs(got(0) - (1.0 - 2.0 / 3)) < 1e-12)
+    assert(got(1) == 0.0)
+    assert(got(2) == 0.0 && got(3) == 0.0)
+    assert(math.abs(got(4) - (1.0 - 1.0 / 3)) < 1e-12) // normalization folds case/punct
+  }
+
   test("q56 winnow pairs: guarantee bracket holds and injected clones are found") {
     import graft.operators.Sketches
     val dir = "/root/testdata/sf0.001"

@@ -376,4 +376,29 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((0L, 9999L)), s"pairs=${pairs.toSeq}")
   }
+
+  test("q33/q35 oracle gap: injected clones dominate every organic cosine") {
+    // The ANN oracles are valid only while exact top-5 per query == its
+    // clone set. Guard the separation itself, at every SF the driver
+    // touches: the WORST clone cosine must clear the BEST organic
+    // cosine by a wide margin, so no plausible testdata drift can
+    // silently flip a rank and break four green oracles.
+    Seq("0.001", "0.01", "0.1").foreach { sf =>
+      val e = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val clones = graft.SparkEntry.annClones(e)
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      def scored(corpus: org.apache.spark.sql.DataFrame) = corpus
+        .join(broadcast(q), $"vec_id" =!= $"query_id")
+        .select(Similarity.cosine($"embedding", $"qv").as("c"))
+      val minClone = clones.join(broadcast(q),
+          floor(($"vec_id" - 100000L) / 5).cast("long") === $"query_id".cast("long"))
+        .select(Similarity.cosine($"embedding", $"qv").as("c"))
+        .agg(min("c")).collect().head.getDouble(0)
+      val maxOrganic = scored(e).agg(max("c")).collect().head.getDouble(0)
+      assert(minClone > maxOrganic + 0.2,
+        f"sf$sf: clone floor $minClone%.4f vs organic ceiling $maxOrganic%.4f — gap argument at risk")
+    }
+  }
 }
