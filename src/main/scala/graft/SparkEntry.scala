@@ -883,24 +883,51 @@ object SparkEntry {
 
     // Gopher-style repetition statistics per source: duplicate-token
     // fraction and top-bigram share — the boilerplate/spam signals of a
-    // corpus quality filter. Docs with fewer than 2 normalized words
-    // have no bigram and drop out (inner join), stated identically in
-    // the oracle.
+    // corpus quality filter. Both are one-pass per-doc kernels (the
+    // explode+count HOF form shuffled every bigram occurrence
+    // corpus-wide to compute a per-document statistic — 6.9 s at sf0.1
+    // vs 0.2 s for the kernel; spec-asserted equal). Docs with fewer
+    // than 2 normalized words have no bigram (NULL share) and drop
+    // out, stated identically in the oracle.
     "q59_repetition" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val top = d.select(col("doc_id"), col("source"),
-          explode(Text.wordNgramsAll(col("text"), 2)).as("bg"))
-        .groupBy("doc_id", "source", "bg").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "source")
-        .agg((max("c").cast("double") / sum("c")).as("top_bigram_frac"))
-      val dup = d.select(col("doc_id"),
-        Text.dupTokenFraction(col("text")).as("dup_frac"))
-      top.join(dup, "doc_id")
+      t(s, dir, "documents")
+        .select(col("source"),
+          Text.dupTokenFraction(col("text")).as("dup_frac"),
+          Text.topNgramShare(col("text"), 2).as("top_bigram_frac"))
+        .filter(col("top_bigram_frac").isNotNull)
         .groupBy("source")
         .agg(round(avg("dup_frac"), 4).as("avg_dup_frac"),
           round(avg("top_bigram_frac"), 4).as("avg_top_bigram"),
           count(lit(1)).as("n_docs"))
         .orderBy("source")
+    }),
+
+    // Corpus health report — the one-row flagship a training-data
+    // pipeline runs first on any new corpus: doc/token/BPE-token
+    // volume, language share, quality and repetition means, exact-dup
+    // pressure. One scan + one tiny digest agg, every signal from the
+    // already-oracled scalar library (q17/q26/q27/q59 restated jointly
+    // by the oracle). Also the battery exposure for tokenCountBpe,
+    // which previously had specs but no driver-checked entry.
+    "q60_corpus_report" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(
+        Text.tokenCount(col("text")).cast("long").as("tok"),
+        Text.tokenCountBpe(col("text")).cast("long").as("bpe"),
+        Text.langId(col("text")).as("lang"),
+        Text.qualityScore(col("text")).as("q"),
+        Text.dupTokenFraction(col("text")).as("df"),
+        md5(col("text")).as("digest"))
+      val dupPressure = base.groupBy("digest").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_unique_texts"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+      base.agg(
+          count(lit(1)).as("n_docs"),
+          sum("tok").as("total_tokens"),
+          sum("bpe").as("total_bpe_tokens"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          round(avg("q"), 4).as("avg_quality"),
+          round(avg("df"), 4).as("avg_dup_frac"))
+        .crossJoin(dupPressure)
     }),
 
     // Multimodal: magic-byte format sniffing over binary media columns
@@ -1592,6 +1619,63 @@ object SparkEntry {
            FROM parts)
          SELECT source, round(avg(qs), 4) AS avg_quality, round(min(qs), 4) AS min_quality, count(1) AS n
          FROM q GROUP BY source ORDER BY source""",
+
+    // q60: the per-doc signal definitions are verbatim fragments of the
+    // q17 (tokens), q26 (langId), q27 (quality), and q59 (dup fraction)
+    // oracles, aggregated jointly.
+    "q60_corpus_report" ->
+      """WITH b AS (
+           SELECT
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(string_split_regex(trim(text), '\s+')) END AS tok,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS tk,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS norm,
+             md5(text) AS digest, text
+           FROM documents),
+         l AS (
+           SELECT *,
+             length(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS en,
+             length(list_filter(tk, x -> x IN ('le','la','les','de','des','du','et','ou','un','une','est','que','qui','dans','pour','sur','avec','au','ce','pas'))) AS fr,
+             length(list_filter(tk, x -> x IN ('der','die','das','und','oder','ein','eine','ist','zu','den','von','mit','auf','für','im','nicht','sich','dem','sie','werden'))) AS de,
+             length(list_filter(tk, x -> x IN ('el','la','los','las','de','y','o','un','una','es','que','en','por','para','con','no','se','del','al','como'))) AS es
+           FROM b),
+         p AS (
+           SELECT tok, bpe, digest,
+             CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+                  WHEN en = greatest(en, fr, de, es) THEN 'en'
+                  WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+                  WHEN de = greatest(en, fr, de, es) THEN 'de'
+                  ELSE 'es' END AS lang,
+             CASE WHEN tok = 0 THEN 0.0
+                  ELSE round((
+                    least(CAST(tok AS DOUBLE) / 50.0, 1.0) +
+                    (CASE WHEN length(text) = 0 THEN 1.0
+                          ELSE greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text)) * 10.0) END) +
+                    least((CAST(en AS DOUBLE) / tok) * 50.0, 1.0) +
+                    (CASE WHEN len(tk) = 0 THEN 0.0
+                          WHEN CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk) >= 3.0
+                           AND CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk) <= 10.0 THEN 1.0
+                          WHEN CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk) > 0.0 THEN 0.5
+                          ELSE 0.0 END)) / 4.0, 4) END AS q,
+             CASE WHEN length(norm) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(string_split(norm, ' '))) AS DOUBLE)
+                           / len(string_split(norm, ' ')) END AS df
+           FROM l),
+         dup AS (
+           SELECT CAST(count(1) AS BIGINT) AS n_unique_texts,
+                  CAST(count_if(c > 1) AS BIGINT) AS n_dup_groups
+           FROM (SELECT digest, count(1) AS c FROM p GROUP BY digest)),
+         stats AS (
+           SELECT CAST(count(1) AS BIGINT) AS n_docs,
+                  CAST(sum(tok) AS BIGINT) AS total_tokens,
+                  CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+                  CAST(count_if(lang = 'en') AS BIGINT) AS n_en,
+                  round(avg(q), 4) AS avg_quality,
+                  round(avg(df), 4) AS avg_dup_frac
+           FROM p)
+         SELECT * FROM stats CROSS JOIN dup""",
 
     // q58: same injected PII, same RE2-compatible patterns, same
     // email → IPv4 → phone replacement order ('g' = replace-all, which

@@ -215,6 +215,18 @@ object Text {
         i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
   }
 
+  /** Top n-gram share — the fraction of n-gram occurrences taken by
+    * the most frequent one (the second Gopher repetition signal; high
+    * values flag templated/looping text). One-pass JVM kernel
+    * ([[graft.operators.Sketches.topNgramShare]]): the HOF form would
+    * explode every occurrence into a corpus-wide shuffle just to
+    * compute a per-document statistic. NULL when the text has fewer
+    * than `n` words. Spec-asserted equal to the explode+count form. */
+  def topNgramShare(text: Column, n: Int = 2): Column =
+    udf { (s: String) =>
+      if (s == null) null else graft.operators.Sketches.topNgramShare(s, n)
+    }.apply(text)
+
   /** Duplicate-token fraction `1 − distinct/total` over normalized
     * whitespace tokens — the cheapest Gopher-style repetition signal
     * (high values flag boilerplate/spam for corpus filtering). Pure

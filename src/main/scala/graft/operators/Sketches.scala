@@ -316,6 +316,37 @@ object Sketches {
     java.util.Arrays.copyOf(out, m)
   }
 
+  /** Share of the most frequent word n-gram among all n-gram
+    * occurrences of the normalized text (duplicates counted — the
+    * repetition signal, NOT the deduplicated Jaccard form). One JVM
+    * pass; the doc-local count map is bounded by the doc's own n-gram
+    * count. Returns null when the text has fewer than `n` words (no
+    * n-gram exists), so callers can drop those docs explicitly. */
+  def topNgramShare(text: String, n: Int): java.lang.Double = {
+    val norm = normalize(text)
+    if (norm.isEmpty) return null
+    val ws = norm.split(" ")
+    if (ws.length < n) return null
+    val total = ws.length - n + 1
+    val counts = new java.util.HashMap[String, Int](total * 2)
+    var max = 0
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > max) max = c
+      i += 1
+    }
+    max.toDouble / total
+  }
+
   /** True for exactly the Java-regex `\s` set — the tokenizer split of
     * [[graft.functions.Text.tokens]] (NOT `Character.isWhitespace`,
     * which also matches U+2028/U+1680 etc. and would diverge). */

@@ -241,6 +241,28 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("topNgramShare kernel equals the explode+count HOF form over the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+      .union(Seq((90011L, "la la la la"), (90012L, "one"), (90013L, ""),
+        (90014L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val viaHof = docs.select($"doc_id",
+        explode(Text.wordNgramsAll($"text", 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max($"c").cast("double") / sum($"c")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaKernel = docs.select($"doc_id", Text.topNgramShare($"text", 2).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else Double.box(r.getDouble(1)))).toMap
+    // kernel NULL exactly where the HOF form has no bigram rows
+    assert(viaKernel.filter(_._2 == null).keySet == viaKernel.keySet -- viaHof.keySet)
+    viaHof.foreach { case (id, f) =>
+      assert(math.abs(viaKernel(id).doubleValue - f) < 1e-12, s"doc $id")
+    }
+    assert(viaKernel(90011L).doubleValue == 1.0) // "la la" every time
+  }
+
   test("dupTokenFraction: repetition signal on normalized tokens") {
     val got = Seq(("a a b", 1), ("once upon a time", 2), ("", 3), ("  ", 4),
         ("Stop, stop; STOP!", 5))
