@@ -97,6 +97,60 @@ object Lake {
     dropped.result()
   }
 
+  /** Small-files compaction over a bronze partition tree — the
+    * operational chore every micro-batch collector creates: one file
+    * per trigger per partition means a year of 60-second flushes is
+    * ~half a million files whose listing alone dominates planning.
+    * Walks `year=/month=/day=/hour=` leaf dirs through the FileSystem
+    * API, and rewrites only those holding more than
+    * `maxFilesPerPartition` data files, into `ceil(bytes/targetBytes)`
+    * files each. Each rewrite is verified (row count equality) before
+    * the swap, and the swap is per-partition-dir, so a crash loses at
+    * most one partition's compaction, never data. Closed partitions
+    * only: compacting the partition a stream is currently appending to
+    * would race the collector — pass a predicate that excludes the
+    * current hour (the default excludes nothing).
+    * Returns the rewritten partition paths. */
+  def compact(spark: SparkSession, path: String, schema: StructType,
+              format: String = "json", targetBytes: Long = 128L << 20,
+              maxFilesPerPartition: Int = 4,
+              closedOnly: String => Boolean = _ => true): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    def kids(p: Path, prefix: String) =
+      fs.listStatus(p).filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+    val done = Seq.newBuilder[String]
+    for (y <- kids(root, "year="); m <- kids(y.getPath, "month=");
+         d <- kids(m.getPath, "day="); h <- kids(d.getPath, "hour=")) {
+      val dir = h.getPath
+      val rel = s"${y.getPath.getName}/${m.getPath.getName}/${d.getPath.getName}/${h.getPath.getName}"
+      val files = fs.listStatus(dir).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      if (files.length > maxFilesPerPartition && closedOnly(rel)) {
+        val bytes = files.map(_.getLen).sum
+        val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        val df = spark.read.schema(schema).format(format).load(dir.toString)
+        val expected = df.count()
+        val tmp = new Path(dir.getParent, s".${dir.getName}_compact_tmp")
+        fs.delete(tmp, true)
+        df.coalesce(n).write.mode("overwrite").format(format).save(tmp.toString)
+        val actual = spark.read.schema(schema).format(format)
+          .load(tmp.toString).count()
+        require(actual == expected,
+          s"compaction of $rel would lose rows ($actual != $expected); aborting before swap")
+        files.foreach(f => fs.delete(f.getPath, false))
+        fs.listStatus(tmp).filter(_.isFile)
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+        fs.delete(tmp, true)
+        done += rel
+      }
+    }
+    done.result()
+  }
+
   /** Register a bronze tree in the session catalog as a partitioned
     * table + MSCK REPAIR to discover partitions (S12). */
   def registerTable(spark: SparkSession, name: String, path: String,

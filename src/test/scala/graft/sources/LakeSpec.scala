@@ -78,6 +78,44 @@ class LakeSpec extends SparkSpec {
     assert(Lake.dropOldPartitions(spark, dir, 7, java.time.LocalDate.of(2026, 1, 3)).isEmpty)
   }
 
+  test("compaction collapses small files, preserves every row, skips open partitions") {
+    val dir = tmp()
+    val fallback = to_timestamp(lit("1999-01-01 00:00:00"))
+    // 6 appends -> >= 6 files per touched partition (one per write)
+    (0 until 6).foreach { _ =>
+      Lake.writeBronze(Generator.airQuality(spark, 12), dir, "json", fallback)
+    }
+    val before = Lake.readBronze(spark, dir, Schemas.airQuality)
+      .collect().map(_.toString).sorted
+    def filesIn(rel: String) = new java.io.File(s"$dir/$rel").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")).length
+    val probe = new java.io.File(dir).listFiles().filter(_.isDirectory).head
+    val leaf = {
+      def down(f: java.io.File): java.io.File =
+        f.listFiles().filter(_.isDirectory).headOption.map(down).getOrElse(f)
+      down(probe)
+    }
+    val rel = leaf.toString.stripPrefix(s"$dir/")
+    assert(filesIn(rel) >= 6, s"expected many small files, got ${filesIn(rel)}")
+
+    // an excluded ("still open") partition is left untouched
+    val skipped = Lake.compact(spark, dir, Schemas.airQuality,
+      maxFilesPerPartition = 2, closedOnly = _ != rel)
+    assert(!skipped.contains(rel) && filesIn(rel) >= 6)
+
+    val compacted = Lake.compact(spark, dir, Schemas.airQuality,
+      maxFilesPerPartition = 2)
+    assert(compacted.contains(rel), s"compacted=$compacted")
+    assert(filesIn(rel) == 1, s"still ${filesIn(rel)} files")
+    // every row survives, byte-for-byte on the parsed view
+    val after = Lake.readBronze(spark, dir, Schemas.airQuality)
+      .collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq)
+    // idempotent: nothing left above the threshold
+    assert(Lake.compact(spark, dir, Schemas.airQuality,
+      maxFilesPerPartition = 2).isEmpty)
+  }
+
   test("map-typed vehicle breakdown merges via City.mergeMapCounts (A9)") {
     val p = Generator.parking(spark, 30)
       .select(col("data.parking_lot_id").as("lot"),
