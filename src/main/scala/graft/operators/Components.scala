@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * O(log n) rounds on any graph (a path graph converges in ~log
   * rounds where naive min-label propagation needs diameter rounds).
   * Everything stays distributed: no edge list on the driver, each
-  * round persists its frame and unpersists the previous one, and the
-  * fixpoint test is a count of label-changing edges.
+  * round checkpoints its frame and explicitly frees the superseded
+  * round's blocks, and the fixpoint test is exact edge-set equality.
   */
 object Components {
 
@@ -45,16 +45,30 @@ object Components {
     // plan nests one level per round even when persisted, and ~10+
     // rounds of star operations overflow Catalyst's analysis stack.
     // Checkpointing materializes the round eagerly and truncates the
-    // lineage to the stored blocks; superseded rounds are dereferenced
-    // and cleaned asynchronously by the ContextCleaner. (On a real
-    // cluster with lineage-loss concerns, reliable `checkpoint` to the
-    // checkpoint dir is the drop-in alternative.)
+    // lineage to the stored blocks; superseded rounds are freed
+    // explicitly below (GC/ContextCleaner alone would let up to three
+    // materialized edge-set copies per round pile up in block-manager
+    // storage on exactly the corpus-scale graphs this targets). (On a
+    // real cluster with lineage-loss concerns, reliable `checkpoint`
+    // to the checkpoint dir is the drop-in alternative.)
     // materialize the input pair list before sym() references it twice
     // (u,v and v,u branches) — otherwise an expensive upstream pair
     // generation (e.g. n-gram Jaccard) executes once per branch
     val input = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .localCheckpoint()
     var cur = sym(input).localCheckpoint()
+
+    // free a superseded checkpoint's blocks now, not at some future GC:
+    // a localCheckpointed frame is a LogicalRDD leaf over a persisted
+    // RDD, and unpersisting that RDD is the only prompt release.
+    // (`input` stays live — the lazy singleton/root frames below read
+    // it when the CALLER executes the result.)
+    def free(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
 
     var converged = false
     var iter = 0
@@ -83,6 +97,8 @@ object Components {
       // and deduped, so equal counts + empty anti-join is equality)
       converged = next.count() == cur.count() &&
         next.except(cur).isEmpty
+      free(afterLarge)
+      free(cur)
       cur = next
       iter += 1
     }

@@ -34,8 +34,11 @@ object Packing {
     // same engine-independent draw as Sampling: md5 hex prefix mod shards
     val shard = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long"), lit(shards.toLong)).cast("int")
+    // id tiebreak: a user-supplied orderCol with duplicate values would
+    // otherwise sum in shuffle-arrival order and cut nondeterministic
+    // bin boundaries
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(col(ord))
+      .partitionBy("shard").orderBy(col(ord), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.withColumn("shard", shard)
       .withColumn("bin",

@@ -17,15 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Lower-cased whitespace tokens exploded as `(doc_id, term, dl)`
-    * with `dl` = document token length. */
-  private def tokenRows(docs: DataFrame, idCol: String, textCol: String) = {
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
-      t => length(t) > 0)
-    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+  /** Lower-cased whitespace token array per document. */
+  private def tokensOf(textCol: String) =
+    filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+
+  /** Tokens exploded as `(doc_id, term, dl)` with `dl` = document token
+    * length. */
+  private def tokenRows(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("doc_id"), tokensOf(textCol).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
-  }
 
   /** BM25 score of every matching document against a bag-of-words
     * query: `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
@@ -40,10 +41,14 @@ object Retrieval {
     val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val rows = tokenRows(docs, idCol, textCol)
 
-    // corpus stats as one-row broadcast frames — never collected
+    // corpus stats as one-row broadcast frames — never collected.
+    // avgdl comes from size(tokens) per row: a map-side aggregate with
+    // no explode (the earlier explode+regroup form shuffled one row per
+    // token of the whole corpus to compute one number) — and it counts
+    // EVERY document, zero-token ones included, matching the standard
+    // all-docs avgdl definition and the q54 oracle's dl CTE
     val corpus = docs.agg(count(lit(1)).as("n_docs"))
-    val avgdl = tokenRows(docs, idCol, textCol)
-      .groupBy("doc_id").agg(first(col("dl")).as("dl"))
+    val avgdl = docs.select(size(tokensOf(textCol)).as("dl"))
       .agg(avg(col("dl")).as("avgdl"))
 
     // tf over query terms only: the explode filter keeps the shuffle

@@ -240,11 +240,16 @@ object Similarity {
     * into per-cell accumulators in the same loop, so the shuffle
     * carries ≤ nlist×dim rows per partition — dims, never vectors.
     * (2) Determinism: shuffle/partition arrival order is not stable, so
-    * float partial sums are not reproducible. Each value is rounded to
-    * decimal scale 15 (exactly Spark's `cast(decimal(30,15))`, HALF_UP)
-    * and accumulated in exact BigDecimal arithmetic per partition, then
-    * merged as exact decimal sums across partitions — the refined
-    * centroids, and therefore the whole index build, are bit-stable. */
+    * float partial sums are not reproducible. Each value's exact binary
+    * expansion is rounded HALF_UP at decimal scale 15 and accumulated
+    * in exact BigDecimal arithmetic per partition, then merged as exact
+    * decimal sums across partitions — the refined centroids, and
+    * therefore the whole index build, are bit-stable run to run. (This
+    * quantization is NOT guaranteed bit-identical to Spark's
+    * `cast(decimal)` — shortest-decimal semantics, ±1 ulp at scale 15 —
+    * so an index persisted by the pre-kernel implementation should be
+    * served as-is via [[centroidsFromDF]]/[[ivfTopKFromIndex]], not
+    * compared against a rebuild.) */
   private def lloydMeans(corpus: DataFrame, vecCol: String,
                          cents: Array[Array[Float]]): Map[Int, Map[Int, Double]] = {
     import corpus.sparkSession.implicits._

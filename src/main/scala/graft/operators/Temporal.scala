@@ -17,17 +17,21 @@ object Temporal {
     * `right.ts <= left.ts` (inclusive; left-join semantics — no prior
     * right row yields NULLs).
     *
-    * Shape: tag both sides, union, and run one cumulative
-    * `last(ignoreNulls)` window per value column over
-    * `(key ORDER BY ts, side, ord)` — right rows sort before left rows
-    * at equal timestamps, so the boundary is inclusive, and `ord`
-    * breaks right-side timestamp ties deterministically (the largest
-    * `ord` wins, matching `ORDER BY ts DESC, ord DESC LIMIT 1`).
-    * This is ONE hash shuffle on the key plus one sort — no range
-    * cross-join, no per-left probe — and both the shuffle and the sort
-    * scale with rows/key, not pairs/key. Skewed keys degrade to a big
-    * per-key sort, the same failure mode (and the same salting remedy)
-    * as any keyed window.
+    * Shape: tag both sides, union, and run ONE cumulative
+    * `last(ignoreNulls)` window over `(key ORDER BY ts, side, ord)` on
+    * a single struct carrying ALL right value columns plus the right
+    * timestamp — right rows sort before left rows at equal timestamps,
+    * so the boundary is inclusive, and `ord` breaks right-side
+    * timestamp ties deterministically (the largest `ord` wins,
+    * matching `ORDER BY ts DESC, ord DESC LIMIT 1`). Filling the
+    * struct as a unit (rather than each column independently) is what
+    * makes a NULL inside the latest right row come through as NULL
+    * instead of silently pulling that column from an older row — the
+    * matched row is one row, never a mix. This is ONE hash shuffle on
+    * the key plus one sort — no range cross-join, no per-left probe —
+    * and both the shuffle and the sort scale with rows/key, not
+    * pairs/key. Skewed keys degrade to a big per-key sort, the same
+    * failure mode (and the same salting remedy) as any keyed window.
     *
     * `toleranceSec` bounds the lookback: a matched right row older
     * than `left.ts - tolerance` is treated as no match (its values
@@ -48,34 +52,37 @@ object Temporal {
     val lcols = left.columns.toSeq
     val ordL = lit(null).cast("long").as("__ord")
     val ordR = rightOrd.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__ord")
+    // one struct per right row: every value column + the right ts (for
+    // the tolerance check), filled as a UNIT so the matched row can
+    // never be a mix of right rows
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => org.apache.spark.sql.types.StructField(
+        v, right.schema(v).dataType)) :+
+        org.apache.spark.sql.types.StructField(
+          "__rts", right.schema(rightTs).dataType))
     val lSide = left.select(
       Seq(col(key).as("__key"), col(leftTs).as("__ts"), lit(1).as("__side"), ordL) ++
-        lcols.map(col) ++
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+        lcols.map(col) :+
+        lit(null).cast(rvType).as("__rv"): _*)
     val rSide = right.select(
       Seq(col(key).as("__key"), col(rightTs).as("__ts"), lit(0).as("__side"), ordR) ++
-        lcols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(col): _*)
+        lcols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col) :+ col(rightTs).as("__rts"): _*).as("__rv"): _*)
     val w = Window.partitionBy("__key")
       .orderBy(col("__ts"), col("__side"), col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(lSide.unionByName(rSide)) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    val bounded = toleranceSec match {
-      case None => filled
+    val filled = lSide.unionByName(rSide)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    val inTol = toleranceSec match {
+      case None => lit(true)
       case Some(tol) =>
-        // the matched right row's timestamp rides the same window; a
-        // match older than the tolerance nulls out
-        val withRts = filled.withColumn("__rts",
-          last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
-        val inTol = unix_micros(col("__ts")) - unix_micros(col("__rts")) <= tol * 1000000L
-        rightVals.foldLeft(withRts) { (df, v) =>
-          df.withColumn(v, when(inTol, col(v)))
-        }
+        // a match older than the tolerance nulls out (the matched right
+        // row's own timestamp rides inside the struct)
+        unix_micros(col("__ts")) - unix_micros(col("__rv.__rts")) <= tol * 1000000L
     }
-    bounded.filter(col("__side") === 1)
-      .select(lcols.map(col) ++ rightVals.map(col): _*)
+    filled.filter(col("__side") === 1)
+      .select(lcols.map(col) ++
+        rightVals.map(v => when(inTol, col("__rv").getField(v)).as(v)): _*)
   }
 
   /** Point-in-interval range join: rows of `points` matched to every

@@ -105,8 +105,15 @@ object Lake {
     * API, and rewrites only those holding more than
     * `maxFilesPerPartition` data files, into `ceil(bytes/targetBytes)`
     * files each. Each rewrite is verified (row count equality) before
-    * the swap, and the swap is per-partition-dir, so a crash loses at
-    * most one partition's compaction, never data. Closed partitions
+    * the swap, and the swap never deletes a byte until the compacted
+    * files are renamed in: originals are first moved aside into a
+    * hidden `.<hour>_compact_old` dir, the compacted files renamed
+    * into place (every rename result checked), and only then is the
+    * old dir dropped. A crash mid-swap leaves rows split between the
+    * partition and its hidden recovery dirs — visible data may be
+    * temporarily incomplete, but nothing is ever destroyed, and a
+    * later run REFUSES to touch a partition that still has recovery
+    * leftovers rather than cleaning them up blind. Closed partitions
     * only: compacting the partition a stream is currently appending to
     * would race the collector — pass a predicate that excludes the
     * current hour (the default excludes nothing).
@@ -129,21 +136,34 @@ object Lake {
       val files = fs.listStatus(dir).filter(s => s.isFile &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
       if (files.length > maxFilesPerPartition && closedOnly(rel)) {
+        val tmp = new Path(dir.getParent, s".${dir.getName}_compact_tmp")
+        val old = new Path(dir.getParent, s".${dir.getName}_compact_old")
+        // leftovers mean an earlier compaction was interrupted and this
+        // partition's rows may be split across these dirs — deleting or
+        // reusing them blind is the data-loss path; surface it instead
+        require(!fs.exists(tmp) && !fs.exists(old),
+          s"$rel has recovery leftovers from an interrupted compaction " +
+            s"($tmp / $old); restore or remove them manually first")
         val bytes = files.map(_.getLen).sum
         val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         val df = spark.read.schema(schema).format(format).load(dir.toString)
         val expected = df.count()
-        val tmp = new Path(dir.getParent, s".${dir.getName}_compact_tmp")
-        fs.delete(tmp, true)
-        df.coalesce(n).write.mode("overwrite").format(format).save(tmp.toString)
+        df.coalesce(n).write.format(format).save(tmp.toString)
         val actual = spark.read.schema(schema).format(format)
           .load(tmp.toString).count()
         require(actual == expected,
           s"compaction of $rel would lose rows ($actual != $expected); aborting before swap")
-        files.foreach(f => fs.delete(f.getPath, false))
+        def mv(src: Path, dst: Path): Unit = require(fs.rename(src, dst),
+          s"rename $src -> $dst failed; $rel left in its recovery dirs, no data deleted")
+        // move originals aside (hidden from readers), bring the
+        // compacted files in, and only then drop the originals
+        fs.mkdirs(old)
+        files.foreach(f => mv(f.getPath, new Path(old, f.getPath.getName)))
         fs.listStatus(tmp).filter(_.isFile)
-          .filterNot(_.getPath.getName.startsWith("_"))
-          .foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+          .foreach(f => mv(f.getPath, new Path(dir, f.getPath.getName)))
+        fs.delete(old, true)
         fs.delete(tmp, true)
         done += rel
       }

@@ -59,6 +59,28 @@ class TemporalSpec extends SparkSpec {
     assert(out === Seq((1L, Some(1.5)), (2L, None))) // 51 min > 5 min tolerance
   }
 
+  test("asofJoin: a NULL in the latest right row comes through, never a stale value") {
+    // the matched row is ONE row: a null v in the latest right row must
+    // surface as null, not fall back to an older row's value — and with
+    // several value columns the output may never mix right rows
+    val left = Seq((1L, 5L, ts("2024-01-01 00:10:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (5L, ts("2024-01-01 00:01:00"), Some(1.0), Some("old"), 1L),
+      (5L, ts("2024-01-01 00:09:00"), None: Option[Double], Some("new"), 2L)
+    ).toDF("k", "t", "v", "tag", "ord")
+    val out = Temporal.asofJoin(left, right, "k", "t", "t", Seq("v", "tag"),
+        rightOrd = Some("ord"))
+      .select("v", "tag").as[(Option[Double], Option[String])].collect()
+    assert(out === Seq((None, Some("new"))), s"got ${out.toSeq}")
+    // tolerance decides on the matched row's own timestamp: the latest
+    // right row (00:09, in tolerance) matched, so tag flows and v stays
+    // null — the old row's 1.0 must not resurface via the lookback
+    val tol = Temporal.asofJoin(left, right, "k", "t", "t", Seq("v", "tag"),
+        rightOrd = Some("ord"), toleranceSec = Some(120L))
+      .select("v", "tag").as[(Option[Double], Option[String])].collect()
+    assert(tol === Seq((None, Some("new"))), s"got ${tol.toSeq}")
+  }
+
   test("asofJoin refuses colliding value column names") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"), 0.0)).toDF("k", "t", "v")
     val r = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
