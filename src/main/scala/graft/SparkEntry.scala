@@ -902,6 +902,24 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // The full refinement pass a data curator runs — language
+    // allow-list, quality floor, repetition ceiling, exact dedup with
+    // min-id survivors — over the corpus plus injected verbatim copies.
+    // Every gate is an already-oracled per-doc signal; the oracle
+    // restates the whole composition, and the id checksum pins the
+    // exact survivor set.
+    "q61_corpus_refine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val copies = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 400000).as("doc_id"), col("source"), col("text"))
+      graft.operators.Corpus.refine(docs.union(copies), "doc_id", "text",
+          langs = Set("en"), minQuality = Some(0.3),
+          maxDupTokenFraction = Some(0.5))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
     // Corpus health report — the one-row flagship a training-data
     // pipeline runs first on any new corpus: doc/token/BPE-token
     // volume, language share, quality and repetition means, exact-dup
@@ -1619,6 +1637,58 @@ object SparkEntry {
            FROM parts)
          SELECT source, round(avg(qs), 4) AS avg_quality, round(min(qs), 4) AS min_quality, count(1) AS n
          FROM q GROUP BY source ORDER BY source""",
+
+    // q61: the refinement gates restate the q26/q27/q59 per-doc signal
+    // fragments as predicates, then exact-dedup the survivors exactly
+    // like q37's oracle.
+    "q61_corpus_refine" ->
+      """WITH u AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 400000, source, text FROM documents WHERE doc_id < 50),
+         b AS (
+           SELECT doc_id, source, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(string_split_regex(trim(text), '\s+')) END AS tok,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS tk,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS norm
+           FROM u),
+         l AS (
+           SELECT *,
+             length(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS en,
+             length(list_filter(tk, x -> x IN ('le','la','les','de','des','du','et','ou','un','une','est','que','qui','dans','pour','sur','avec','au','ce','pas'))) AS fr,
+             length(list_filter(tk, x -> x IN ('der','die','das','und','oder','ein','eine','ist','zu','den','von','mit','auf','für','im','nicht','sich','dem','sie','werden'))) AS de,
+             length(list_filter(tk, x -> x IN ('el','la','los','las','de','y','o','un','una','es','que','en','por','para','con','no','se','del','al','como'))) AS es
+           FROM b),
+         p AS (
+           SELECT doc_id, source, text,
+             CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+                  WHEN en = greatest(en, fr, de, es) THEN 'en'
+                  WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+                  WHEN de = greatest(en, fr, de, es) THEN 'de'
+                  ELSE 'es' END AS lang,
+             CASE WHEN tok = 0 THEN 0.0
+                  ELSE round((
+                    least(CAST(tok AS DOUBLE) / 50.0, 1.0) +
+                    (CASE WHEN length(text) = 0 THEN 1.0
+                          ELSE greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text)) * 10.0) END) +
+                    least((CAST(en AS DOUBLE) / tok) * 50.0, 1.0) +
+                    (CASE WHEN len(tk) = 0 THEN 0.0
+                          WHEN CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk) >= 3.0
+                           AND CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk) <= 10.0 THEN 1.0
+                          WHEN CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk) > 0.0 THEN 0.5
+                          ELSE 0.0 END)) / 4.0, 4) END AS q,
+             CASE WHEN length(norm) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(string_split(norm, ' '))) AS DOUBLE)
+                           / len(string_split(norm, ' ')) END AS df
+           FROM l),
+         f AS (SELECT doc_id, source, text FROM p
+               WHERE lang = 'en' AND q >= 0.3 AND df <= 0.5),
+         k AS (SELECT md5(text) AS d, min(doc_id) AS keeper FROM f GROUP BY 1)
+         SELECT source, count(1) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM f JOIN k ON f.doc_id = k.keeper
+         GROUP BY source ORDER BY source""",
 
     // q60: the per-doc signal definitions are verbatim fragments of the
     // q17 (tokens), q26 (langId), q27 (quality), and q59 (dup fraction)

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** End-to-end corpus refinement — the canonical preprocessing pass of
+  * a training-data pipeline, composing the library's per-document
+  * signals and dedup filters into the one call a data curator actually
+  * runs:
+  *
+  *   language allow-list → quality floor → repetition ceiling
+  *     → exact dedup (min-id survivor) → optional near-dup dedup
+  *
+  * Plan shape: the three signal predicates are per-row kernels fused
+  * into ONE scan-side filter projection (no shuffle until dedup), the
+  * exact dedup is a single digest shuffle + left-semi survivor join,
+  * and the optional MinHash near-dup pass only ever touches the
+  * already-filtered survivors. Each stage is individually oracled in
+  * the battery (q26 language, q27 quality, q59 repetition, q19/q37
+  * exact dedup, q22/q57 near-dup); the composition itself is q61.
+  */
+object Corpus {
+
+  /** Refined corpus: rows of `df` that pass every signal gate, with
+    * exactly one representative (smallest id) per duplicate group.
+    * Gates with `None`/empty are skipped entirely (no wasted kernel
+    * pass). Near-dup dedup is off by default — it is a candidate-join
+    * pass worth its cost on raw web-scale corpora, redundant after
+    * strict exact dedup on already-clean ones. */
+  def refine(df: DataFrame, idCol: String, textCol: String,
+             langs: Set[String] = Set("en"),
+             minQuality: Option[Double] = Some(0.3),
+             maxDupTokenFraction: Option[Double] = Some(0.5),
+             dropNearDups: Boolean = false,
+             nearDupThreshold: Double = 0.8): DataFrame = {
+    val gates = Seq(
+      if (langs.nonEmpty)
+        Some(Text.langId(col(textCol)).isin(langs.toSeq: _*)) else None,
+      minQuality.map(Text.qualityScore(col(textCol)) >= _),
+      maxDupTokenFraction.map(Text.dupTokenFraction(col(textCol)) <= _)
+    ).flatten
+    val filtered = gates.reduceOption(_ && _).map(df.filter).getOrElse(df)
+    val exact = Dedup.dropExactDuplicates(filtered, idCol, textCol)
+    if (dropNearDups)
+      Dedup.dropNearDuplicates(exact, idCol, textCol, nearDupThreshold)
+    else exact
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goodEn = "the quick brown fox jumps over the lazy dog and " +
+    "walks on with a calm and steady pace for quite a while longer today"
+
+  test("refine: each gate drops exactly what it should; survivors keep min id") {
+    val docs = Seq(
+      (1L, goodEn),                               // survives everything
+      (2L, goodEn),                               // exact copy of 1 -> dropped
+      (3L, "le chat est sur la table et il dort dans la maison pour la nuit"), // fr
+      (4L, "spam spam spam spam spam spam spam spam spam spam"), // repetition
+      (5L, "!!! ??? !!! ??? !!!")                 // quality floor (pure punct)
+    ).toDF("doc_id", "text")
+    val got = Corpus.refine(docs, "doc_id", "text",
+      langs = Set("en"), minQuality = Some(0.3),
+      maxDupTokenFraction = Some(0.5))
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("refine: disabled gates are skipped; near-dup flag engages MinHash") {
+    val docs = Seq(
+      (1L, goodEn),
+      (2L, goodEn + " extra"),  // near-dup of 1, NOT exact
+      (3L, "le chat est sur la table et il dort dans la maison pour la nuit")
+    ).toDF("doc_id", "text")
+    // every gate off: exact dedup only — all three texts are distinct
+    val loose = Corpus.refine(docs, "doc_id", "text", langs = Set.empty,
+      minQuality = None, maxDupTokenFraction = None)
+      .select("doc_id").as[Long].collect().sorted
+    assert(loose.toSeq == Seq(1L, 2L, 3L))
+    // near-dup pass drops the higher-id member of the near-identical pair
+    val strict = Corpus.refine(docs, "doc_id", "text", langs = Set.empty,
+      minQuality = None, maxDupTokenFraction = None, dropNearDups = true)
+      .select("doc_id").as[Long].collect().sorted
+    assert(strict.toSeq == Seq(1L, 3L))
+  }
+
+  test("refine preserves all caller columns on survivors") {
+    val docs = Seq((1L, "web", goodEn), (2L, "web", goodEn))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.refine(docs, "doc_id", "text").collect()
+    assert(out.map(_.length).toSeq == Seq(3))
+    assert(out.head.getString(1) == "web")
+  }
+}
