@@ -821,6 +821,30 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Near-dup pairs → clusters → SURVIVORS: the transitive corpus
+    // filter (dropNearDuplicateClusters) keeps the smallest id per
+    // connected component of the verified n-gram pair graph. The pair
+    // set is served off the SAME persisted index tables q31b builds
+    // (ensureNgramTables is idempotent per dataset tag) — exactly how a
+    // nightly dedup pipeline shares its index across consumers instead
+    // of regenerating pairs per job. Oracled: the pairs are q31's
+    // brute-force ground truth and the component minima come from a
+    // recursive label-reach CTE, so the survivor set (pinned per
+    // source with an id checksum) is fully SQL-checkable.
+    "q62_drop_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val (invT, candT) = (s"graft_q31b_inv_$tag", s"graft_q31b_cands_$tag")
+      graft.operators.Dedup.ensureNgramTables(s, docs, "doc_id", "text",
+        invT, candT, n = 3, threshold = 0.5)
+      val pairs = graft.operators.Dedup.ngramVerifiedPairs(
+        s.table(invT), s.table(candT), threshold = 0.5)
+      graft.operators.Dedup.dropNearDuplicateClusters(docs, "doc_id", pairs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
     // Exact order statistics per group: Spark's sort-based percentile
     // with linear interpolation — the same definition as DuckDB's
     // quantile_cont, so the oracle is exact, not tolerance-based.
@@ -1554,6 +1578,37 @@ object SparkEntry {
            SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node)
          SELECT node, min(lbl) AS component
          FROM reach GROUP BY node ORDER BY node""",
+
+    // q62: q48's component computation (brute-force trigram pairs +
+    // recursive label reach) feeding the survivor rule — drop every
+    // node that is not its component's minimum.
+    "q62_drop_clusters" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                         i -> array_to_string(list_slice(ws, i, i + 2), ' '))) END AS grams
+           FROM w),
+         jp AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                 >= 0.5),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+               UNION SELECT doc_b, doc_a FROM jp),
+         reach(node, lbl) AS (
+           SELECT u, u FROM e
+           UNION
+           SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
+         drops AS (
+           SELECT node FROM reach GROUP BY node HAVING node != min(lbl))
+         SELECT source, count(1) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+         GROUP BY source ORDER BY source""",
 
     // q45: quantile_cont == Spark percentile (both linear-interpolated
     // exact order statistics) — cast to double so decimal typing can't

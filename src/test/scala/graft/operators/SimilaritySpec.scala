@@ -377,6 +377,33 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 9999L)), s"pairs=${pairs.toSeq}")
   }
 
+  test("int8 quantization: bounded roundtrip error, high top-k recall, zero-safe") {
+    val quant = emb.select($"vec_id", Similarity.quantizeInt8($"embedding").as("qe"),
+      $"embedding")
+    // roundtrip cosine error is bounded corpus-wide
+    val minCos = quant
+      .select(Similarity.cosine(Similarity.dequantizeInt8($"qe"), $"embedding").as("c"))
+      .agg(min("c")).collect().head.getDouble(0)
+    assert(minCos > 0.999, f"worst roundtrip cosine $minCos%.6f")
+    // top-10 recall of the int8 scorer vs the exact float path
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", vecOf(0), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val viaInt8 = Similarity.bruteForceTopKInt8(
+        quant.select($"vec_id", $"qe"), "vec_id", "qe", vecOf(0), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact & viaInt8).size >= 8, s"recall ${(exact & viaInt8).size}/10")
+    // the query itself (cosine 1) always survives quantization at rank 1
+    assert(Similarity.bruteForceTopKInt8(quant.select($"vec_id", $"qe"),
+      "vec_id", "qe", vecOf(0), k = 1).collect().head.getLong(0) == 0L)
+    // zero vectors: scale-1 codes, null score, no division by zero
+    val z = Seq((7777L, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+      .select($"vec_id", Similarity.quantizeInt8($"embedding").as("qe"))
+    assert(z.select($"qe.scale").collect().head.getFloat(0) == 1.0f)
+    val zTop = Similarity.bruteForceTopKInt8(z, "vec_id", "qe", vecOf(0), k = 1)
+      .collect()
+    assert(zTop.head.isNullAt(1) || zTop.isEmpty)
+  }
+
   test("q33/q35 oracle gap: injected clones dominate every organic cosine") {
     // The ANN oracles are valid only while exact top-5 per query == its
     // clone set. Guard the separation itself, at every SF the driver
