@@ -263,6 +263,29 @@ class TextSpec extends SparkSpec {
     assert(viaKernel(90011L).doubleValue == 1.0) // "la la" every time
   }
 
+  test("property: topNgramShare equals a naive recount on random token soups") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOf(Gen.oneOf("la", "the", "data", "spam", "x", "be-bop"))
+      .map(_.mkString(" "))
+    val seed = org.scalacheck.rng.Seed(7L)
+    val samples = Iterator.iterate((gen(Gen.Parameters.default, seed), seed)) {
+      case (_, s) => val s2 = s.next; (gen(Gen.Parameters.default, s2), s2)
+    }.take(300).flatMap(_._1).toSeq :+ "" :+ "one" :+ "a a a a" :+ "  A, a!  a "
+    samples.foreach { s =>
+      val ws = graft.operators.Sketches.normalize(s).split(" ").filter(_.nonEmpty)
+      val expect: java.lang.Double =
+        if (ws.length < 2) null
+        else {
+          val bgs = ws.sliding(2).map(_.mkString(" ")).toSeq
+          Double.box(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size)
+        }
+      val got = graft.operators.Sketches.topNgramShare(s, 2)
+      assert(got == expect ||
+        (got != null && expect != null && math.abs(got - expect) < 1e-15),
+        s"'${s.take(40)}': got $got expect $expect")
+    }
+  }
+
   test("dupTokenFraction: repetition signal on normalized tokens") {
     val got = Seq(("a a b", 1), ("once upon a time", 2), ("", 3), ("  ", 4),
         ("Stop, stop; STOP!", 5))

@@ -392,6 +392,14 @@ class SimilaritySpec extends SparkSpec {
         quant.select($"vec_id", $"qe"), "vec_id", "qe", vecOf(0), k = 10)
       .collect().map(_.getLong(0)).toSet
     assert((exact & viaInt8).size >= 8, s"recall ${(exact & viaInt8).size}/10")
+    // componentwise reconstruction error obeys the quantization bound:
+    // |x_i - q_i/scale| <= 0.5/scale = max|x|/254 (+ float slack)
+    val violations = quant.select(
+        array_max(zip_with(Similarity.dequantizeInt8($"qe"), $"embedding",
+          (a, b) => abs(a - b))).as("err"),
+        (array_max(transform($"embedding", x => abs(x))) / 254.0 + 1e-6).as("bound"))
+      .filter($"err" > $"bound").count()
+    assert(violations == 0L)
     // the query itself (cosine 1) always survives quantization at rank 1
     assert(Similarity.bruteForceTopKInt8(quant.select($"vec_id", $"qe"),
       "vec_id", "qe", vecOf(0), k = 1).collect().head.getLong(0) == 0L)
