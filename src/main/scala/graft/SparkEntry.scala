@@ -27,6 +27,16 @@ object SparkEntry {
     * `CAST(embedding[1] + 0.01*(j+1) AS FLOAT)` — so both engines score
     * the exact same vectors. Cosines land ≥ ~0.9987 while the corpus
     * max is ≈ 0.6: exact top-5 per query = its clone set. */
+  /** Shared build-once n-gram index tables (q31b build/serve, q62
+    * cluster dedup): dataset identity AND build parameters ride in the
+    * names, because `ensureNgramTables` keys idempotency on table
+    * existence alone — two callers with drifting (n, threshold) would
+    * otherwise silently serve each other's build. */
+  private def ngramIndexTables(dir: String): (String, String) = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode) + "_n3_t50"
+    (s"graft_q31b_inv_$tag", s"graft_q31b_cands_$tag")
+  }
+
   private[graft] def annClones(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding"),
@@ -375,10 +385,7 @@ object SparkEntry {
     // 100 TB. Same oracle as q31 — the lifecycle must not change the
     // answer.
     "q31b_ngram_persisted" -> ((s, dir) => {
-      // dataset identity rides in the table names so a session serving
-      // several sf dirs never reads a stale build
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val (invT, candT) = (s"graft_q31b_inv_$tag", s"graft_q31b_cands_$tag")
+      val (invT, candT) = ngramIndexTables(dir)
       graft.operators.Dedup.ensureNgramTables(s,
         t(s, dir, "documents"), "doc_id", "text", invT, candT,
         n = 3, threshold = 0.5)
@@ -833,8 +840,7 @@ object SparkEntry {
     // source with an id checksum) is fully SQL-checkable.
     "q62_drop_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "source", "text")
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val (invT, candT) = (s"graft_q31b_inv_$tag", s"graft_q31b_cands_$tag")
+      val (invT, candT) = ngramIndexTables(dir)
       graft.operators.Dedup.ensureNgramTables(s, docs, "doc_id", "text",
         invT, candT, n = 3, threshold = 0.5)
       val pairs = graft.operators.Dedup.ngramVerifiedPairs(

@@ -25,7 +25,11 @@ object Corpus {
   /** Refined corpus: rows of `df` that pass every signal gate, with
     * exactly one representative (smallest id) per duplicate group.
     * Gates with `None`/empty are skipped entirely (no wasted kernel
-    * pass). Near-dup dedup is off by default — it is a candidate-join
+    * pass). NULL-text rows never survive, regardless of which gates
+    * are enabled — without an explicit base gate they would slip
+    * through disabled signal gates and then exact-dedup against each
+    * other on a shared null digest, silently discarding all but one.
+    * Near-dup dedup is off by default — it is a candidate-join
     * pass worth its cost on raw web-scale corpora, redundant after
     * strict exact dedup on already-clean ones. */
   def refine(df: DataFrame, idCol: String, textCol: String,
@@ -35,6 +39,7 @@ object Corpus {
              dropNearDups: Boolean = false,
              nearDupThreshold: Double = 0.8): DataFrame = {
     val gates = Seq(
+      Some(col(textCol).isNotNull),
       if (langs.nonEmpty)
         Some(Text.langId(col(textCol)).isin(langs.toSeq: _*)) else None,
       minQuality.map(Text.qualityScore(col(textCol)) >= _),

@@ -364,7 +364,12 @@ object Dedup {
     * same frames measured SLOWER than recompute at sf0.1 (the cache
     * build is a materialization barrier plus serialization on top of
     * the same work); durable tables amortize across queries and
-    * sessions, which is the lifecycle that actually matters. */
+    * sessions, which is the lifecycle that actually matters.
+    *
+    * Idempotency is keyed on table EXISTENCE alone — `n`/`threshold`
+    * are not re-checked against an existing build. Callers whose
+    * parameters can vary must encode them in the table names (as the
+    * battery does), or the first builder silently wins. */
   def ensureNgramTables(spark: SparkSession, docs: => DataFrame, idCol: String,
                         textCol: String, invTable: String, candsTable: String,
                         n: Int = 3, threshold: Double = 0.5): Unit = {

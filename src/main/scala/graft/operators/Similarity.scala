@@ -358,21 +358,47 @@ object Similarity {
 
   // ------------------------------------------------- int8 quantization
 
+  // q as Seq[Byte]: the encoder maps it to array<tinyint> (Array[Byte]
+  // would serialize as one opaque binary value)
+  private final case class Quantized(scale: Float, q: Seq[Byte])
+
   /** Symmetric per-vector int8 quantization of an embedding column:
     * `struct(scale float, q array<tinyint>)` with
     * `scale = 127 / max|x|` and `q_i = round(x_i · scale)` — a 4×
     * memory cut for the corpus-resident half of ANN serving (the IVF
-    * assignment table, LSH bucket payloads). Zero vectors quantize with
-    * scale 1 (all-zero codes) instead of dividing by zero. Recovery is
-    * `x_i ≈ q_i / scale`; for unit-norm data the cosine error is
-    * ~1e-3 — spec-bounded, and [[bruteForceTopKInt8]] measures the
-    * recall cost directly. */
-  def quantizeInt8(vec: Column): Column = {
-    val mx = array_max(transform(vec, x => abs(x)))
-    val scale = when(mx > 0, lit(127.0d) / mx).otherwise(lit(1.0d)).cast("float")
-    struct(scale.as("scale"),
-      transform(vec, x => round(x * scale).cast("tinyint")).as("q"))
-  }
+    * assignment table, LSH bucket payloads). One JVM pass per row: the
+    * HOF form put the max-abs subtree inside the per-element lambda,
+    * which interpreted evaluation re-runs per element — O(d²) per row,
+    * the repo's canonical HOF-recompute trap. Zero vectors quantize
+    * with scale 1 (all-zero codes); a denormal-tiny max|x| caps the
+    * scale at Float.MaxValue with codes clamped to ±127 instead of
+    * overflowing to Inf (which ANSI mode turns into a job-killing
+    * CAST_OVERFLOW). Recovery is `x_i ≈ q_i / scale`; for unit-norm
+    * data the cosine error is ~1e-3 — spec-bounded, and
+    * [[bruteForceTopKInt8]] measures the recall cost directly. */
+  def quantizeInt8(vec: Column): Column =
+    udf { (v: scala.collection.Seq[Float]) =>
+      if (v == null) null
+      else {
+        var mx = 0.0
+        var i = 0
+        while (i < v.length) { val a = math.abs(v(i).toDouble); if (a > mx) mx = a; i += 1 }
+        val scale: Float =
+          if (mx == 0.0) 1.0f
+          else {
+            val s = 127.0 / mx
+            if (s > Float.MaxValue.toDouble) Float.MaxValue else s.toFloat
+          }
+        val codes = new Array[Byte](v.length)
+        i = 0
+        while (i < v.length) {
+          val r = math.round(v(i).toDouble * scale)
+          codes(i) = math.max(-127L, math.min(127L, r)).toByte
+          i += 1
+        }
+        Quantized(scale, codes.toSeq)
+      }
+    }.apply(vec)
 
   /** Inverse of [[quantizeInt8]] (up to rounding): `array<float>`. */
   def dequantizeInt8(qs: Column): Column =
@@ -388,25 +414,29 @@ object Similarity {
   def bruteForceTopKInt8(corpus: DataFrame, idCol: String, qCol: String,
                          query: Seq[Float], k: Int = 10): DataFrame = {
     val qArr = query.toArray
-    val score = udf { (scale: Float, q: scala.collection.Seq[Byte]) =>
-      if (q == null || scale == 0) null
+    // the per-vector scale cancels exactly out of cosine, so the hot
+    // loop scores integer codes directly (dot and norm over q_i) and
+    // the constant query norm is hoisted out of the kernel
+    val qNorm = math.sqrt(qArr.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+    val score = udf { (q: scala.collection.Seq[Byte]) =>
+      if (q == null || qNorm == 0) null
       else {
         val n = math.min(q.length, qArr.length)
-        var dot = 0.0; var nc = 0.0; var nq = 0.0
+        var dot = 0.0
+        var nc = 0L
         var i = 0
         while (i < n) {
-          val c = q(i) / scale.toDouble
-          dot += c * qArr(i); nc += c * c; nq += qArr(i).toDouble * qArr(i)
+          val c = q(i).toInt
+          dot += c.toDouble * qArr(i); nc += c.toLong * c
           i += 1
         }
-        if (nc == 0 || nq == 0) null
-        else Double.box(dot / (math.sqrt(nc) * math.sqrt(nq)))
+        if (nc == 0) null
+        else Double.box(dot / (math.sqrt(nc.toDouble) * qNorm))
       }
     }
     corpus
       .select(col(idCol).as("vec_id"),
-        round(score(col(qCol).getField("scale"), col(qCol).getField("q")), 6)
-          .as("cosine"))
+        round(score(col(qCol).getField("q")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }

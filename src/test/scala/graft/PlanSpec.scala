@@ -90,7 +90,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q31b: the serve side reads index tables — no gram kernel, no corpus scan") {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val tag = java.lang.Integer.toHexString(dir.hashCode) + "_n3_t50"
     try {
       val df = SparkEntry.queries("q31b_ngram_persisted")(spark, dir)
       val p = df.queryExecution.executedPlan.toString

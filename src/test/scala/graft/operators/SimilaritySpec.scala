@@ -409,7 +409,7 @@ class SimilaritySpec extends SparkSpec {
     assert(z.select($"qe.scale").collect().head.getFloat(0) == 1.0f)
     val zTop = Similarity.bruteForceTopKInt8(z, "vec_id", "qe", vecOf(0), k = 1)
       .collect()
-    assert(zTop.head.isNullAt(1) || zTop.isEmpty)
+    assert(zTop.isEmpty || zTop.head.isNullAt(1))
   }
 
   test("q33/q35 oracle gap: injected clones dominate every organic cosine") {
