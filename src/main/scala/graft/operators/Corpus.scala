@@ -38,6 +38,19 @@ object Corpus {
              maxDupTokenFraction: Option[Double] = Some(0.5),
              dropNearDups: Boolean = false,
              nearDupThreshold: Double = 0.8): DataFrame = {
+    val filtered = signalGates(df, textCol, langs, minQuality, maxDupTokenFraction)
+    val exact = Dedup.dropExactDuplicates(filtered, idCol, textCol)
+    if (dropNearDups)
+      Dedup.dropNearDuplicates(exact, idCol, textCol, nearDupThreshold)
+    else exact
+  }
+
+  /** The per-row gate filter shared by [[refine]] and
+    * [[refineStream]] — stateless, so it applies identically to batch
+    * frames and streams. */
+  private def signalGates(df: DataFrame, textCol: String, langs: Set[String],
+                          minQuality: Option[Double],
+                          maxDupTokenFraction: Option[Double]): DataFrame = {
     val gates = Seq(
       Some(col(textCol).isNotNull),
       if (langs.nonEmpty)
@@ -45,10 +58,23 @@ object Corpus {
       minQuality.map(Text.qualityScore(col(textCol)) >= _),
       maxDupTokenFraction.map(Text.dupTokenFraction(col(textCol)) <= _)
     ).flatten
-    val filtered = gates.reduceOption(_ && _).map(df.filter).getOrElse(df)
-    val exact = Dedup.dropExactDuplicates(filtered, idCol, textCol)
-    if (dropNearDups)
-      Dedup.dropNearDuplicates(exact, idCol, textCol, nearDupThreshold)
-    else exact
+    gates.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
+
+  /** Streaming form of [[refine]] for ingestion-time curation: the
+    * same per-row signal gates (they are stateless Column predicates,
+    * so the plans are identical to batch), then watermark-bounded
+    * exact dedup via [[Dedup.streamingExact]] — the first occurrence
+    * of each surviving text is admitted, later copies within the
+    * watermark horizon are dropped. Near-dup dedup stays offline:
+    * its candidate self-join has no incremental streaming form, which
+    * is exactly why the bronze→offline-refine split exists. */
+  def refineStream(df: DataFrame, textCol: String, tsCol: String,
+                   langs: Set[String] = Set("en"),
+                   minQuality: Option[Double] = Some(0.3),
+                   maxDupTokenFraction: Option[Double] = Some(0.5),
+                   watermark: String = "10 minutes"): DataFrame =
+    Dedup.streamingExact(
+      signalGates(df, textCol, langs, minQuality, maxDupTokenFraction),
+      textCol, tsCol, watermark)
 }

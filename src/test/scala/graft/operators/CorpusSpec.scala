@@ -42,6 +42,41 @@ class CorpusSpec extends SparkSpec {
     assert(strict.toSeq == Seq(1L, 3L))
   }
 
+  test("refineStream: same gates as batch, dedup within the watermark, streaming plan") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val refined = Corpus.refineStream(mem.toDF().toDF("ts", "text"),
+      "text", "ts", langs = Set("en"), minQuality = Some(0.3),
+      maxDupTokenFraction = Some(0.5))
+    assert(refined.isStreaming)
+    val q = refined.writeStream.format("memory").queryName("stream_refine")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      mem.addData(
+        (t(0), goodEn),                                    // survives
+        (t(1), goodEn),                                    // dup within watermark
+        (t(2), "le chat est sur la table et il dort dans la maison pour la nuit"),
+        (t(3), "spam spam spam spam spam spam spam spam spam spam"),
+        (t(4), null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM stream_refine")
+        .collect().map(_.getString(0))
+      assert(texts.toSeq == Seq(goodEn), s"got ${texts.length} rows")
+      // batch refine over the same rows (sans dedup-horizon nuances)
+      // agrees on the survivor set
+      val batch = Corpus.refine(
+        Seq((1L, goodEn), (2L, goodEn),
+          (3L, "le chat est sur la table et il dort dans la maison pour la nuit"),
+          (4L, "spam spam spam spam spam spam spam spam spam spam"),
+          (5L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        "doc_id", "text")
+        .select("text").collect().map(_.getString(0))
+      assert(batch.toSeq == texts.toSeq)
+    } finally q.stop()
+  }
+
   test("refine preserves all caller columns on survivors") {
     val docs = Seq((1L, "web", goodEn), (2L, "web", goodEn))
       .toDF("doc_id", "source", "text")
