@@ -269,11 +269,38 @@ object Text {
     * chunkTokens` gives overlapping chunks for retrieval; `stride ==
     * chunkTokens` partitions). Returns `array<string>` of chunk texts:
     * empty/blank text yields an empty array, every token lands in at
-    * least one chunk, and the last chunk may be short. Pure Column
-    * expression (codegen'd, no UDF); pair with `posexplode` for
-    * `(chunk_id, chunk)` rows. */
+    * least one chunk, and the last chunk may be short. One JVM pass
+    * per document: the HOF form kept the token-array subtree inside
+    * the per-chunk lambda, which interpreted evaluation re-runs once
+    * per chunk — O(chunks × length) per row (the quantizeInt8 /
+    * round-1 HOF-recompute trap; the HOF form survives as
+    * [[chunkByTokensExpr]] for the equality spec). Pair with
+    * `posexplode` for `(chunk_id, chunk)` rows. */
   def chunkByTokens(text: Column, chunkTokens: Int = 512,
                     stride: Int = 512): Column = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val toks = s.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) Array.empty[String]
+        else {
+          val lastK = math.max(0,
+            math.ceil((toks.length - chunkTokens).toDouble / stride).toInt)
+          Array.tabulate(lastK + 1)(k =>
+            toks.slice(k * stride, k * stride + chunkTokens).mkString(" "))
+        }
+      }
+    }.apply(text)
+  }
+
+  /** Pure-Column (HOF) form of [[chunkByTokens]] — interpreted
+    * CodegenFallback that re-evaluates the token array per chunk; kept
+    * only to cross-check the kernel (TextSpec asserts equality). */
+  private[graft] def chunkByTokensExpr(text: Column, chunkTokens: Int = 512,
+                                       stride: Int = 512): Column = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(stride > 0 && stride <= chunkTokens,
       s"stride must be in [1, chunkTokens], got $stride")
@@ -283,9 +310,13 @@ object Text {
     // tail, ceil((n - chunkTokens) / stride) clamped at 0
     val lastK = greatest(ceil((n - chunkTokens).cast("double") / stride)
       .cast("int"), lit(0))
-    when(n === 0, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), lastK),
-        k => concat_ws(" ", slice(ts, k * stride + 1, lit(chunkTokens)))))
+    // explicit null arm: greatest() skips the null token count, so the
+    // otherwise-branch would fabricate [""] for null text
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(n === 0, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(0), lastK),
+          k => concat_ws(" ", slice(ts, k * stride + 1, lit(chunkTokens)))))
   }
 
   // ------------------------------------------- SQL-surface scalars (U4)

@@ -263,6 +263,21 @@ class TextSpec extends SparkSpec {
     assert(viaKernel(90011L).doubleValue == 1.0) // "la la" every time
   }
 
+  test("chunkByTokens kernel equals the HOF form over the corpus, edges included") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("text")
+      .union(Seq("", "   ", "one two three", null.asInstanceOf[String]).toDF("text"))
+    Seq((50, 40), (50, 50), (512, 512)).foreach { case (c, s) =>
+      val both = docs.select(Text.chunkByTokens($"text", c, s).as("k"),
+        Text.chunkByTokensExpr($"text", c, s).as("h")).collect()
+      both.foreach { r =>
+        val k = if (r.isNullAt(0)) null else r.getSeq[String](0)
+        val h = if (r.isNullAt(1)) null else r.getSeq[String](1)
+        assert(k == h, s"chunk=$c stride=$s: $k vs $h")
+      }
+    }
+  }
+
   test("property: topNgramShare equals a naive recount on random token soups") {
     import org.scalacheck.Gen
     val gen = Gen.listOf(Gen.oneOf("la", "the", "data", "spam", "x", "be-bop"))
