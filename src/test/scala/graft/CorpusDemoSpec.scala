@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** E2E composition spec for the training-data curation slice: raw
+  * corpus → refined → scrubbed → chunked → packed shards, with
+  * invariants that reconcile across stages. */
+class CorpusDemoSpec extends SparkSpec {
+
+  test("corpus demo: curation slice lands shards with consistent invariants") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    val r = CorpusDemo.run(spark, "/root/testdata/sf0.001", out,
+      chunkTokens = 50, stride = 40, budgetTokens = 2000L, shards = 4)
+
+    // gates + dedup only ever shrink the corpus; something must survive
+    assert(r.survivors > 0 && r.survivors <= r.inputDocs)
+    // every chunk respects the window size, carries text, and parses
+    val shardsDf = spark.read.parquet(s"$out/shards")
+    assert(shardsDf.count() == r.chunks && r.chunks > 0)
+    assert(shardsDf.filter(col("n_tokens") > 50 || col("n_tokens") < 1).count() == 0)
+    // no unscrubbed PII pattern survives into the shards
+    assert(shardsDf.filter(
+      col("chunk").rlike(graft.functions.Text.EmailRe)).count() == 0)
+    // packing is total and bin-local: every chunk has a shard and bin,
+    // shards partition the id space deterministically
+    assert(shardsDf.filter(col("shard").isNull || col("bin").isNull).count() == 0)
+    assert(shardsDf.select("shard").distinct().count() <= 4)
+    // shard dirs are physically partitioned for per-shard reads
+    val dirs = new java.io.File(s"$out/shards").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("shard=")))
+    // the per-shard report reconciles with the landed data
+    val reportTotal = r.report.agg(sum("n_chunks")).collect().head.getLong(0)
+    assert(reportTotal == r.chunks)
+  }
+}
