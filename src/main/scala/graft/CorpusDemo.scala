@@ -35,32 +35,44 @@ object CorpusDemo {
       .select("doc_id", "source", "text")
     val inputDocs = docs.count()
 
-    // 1. gates + exact dedup (q61 shape), then PII scrubbing — scrub
-    //    AFTER dedup so near-identical PII variants can't defeat the
-    //    digest, and chunks downstream never carry raw identifiers
-    val refined = Corpus.refine(docs, "doc_id", "text")
-      .withColumn("text", Text.scrubPii(col("text")))
+    // 1. PII scrubbing FIRST, then gates + exact dedup (q61 shape):
+    //    two docs identical up to their embedded identifiers become
+    //    byte-identical after the scrub, so the digest dedup collapses
+    //    them — scrubbing after dedup would let every PII variant
+    //    through as a distinct text. Cached: the count and the chunk
+    //    pipeline below both consume it, and the gate kernels + digest
+    //    shuffle are the expensive stage.
+    val refined = Corpus.refine(
+        docs.withColumn("text", Text.scrubPii(col("text"))),
+        "doc_id", "text")
+      .cache()
     val survivors = refined.count()
 
-    // 2. sliding-window chunks, one row per chunk (q52 shape)
+    // 2. sliding-window chunks, one row per chunk (q52 shape). The
+    //    order key is a fixed-width string, unique and sortable for any
+    //    (doc, chunk) — an arithmetic doc*K+chunk id would collide once
+    //    a document yields more than K chunks
     val chunks = refined
       .select(col("doc_id"), col("source"),
         posexplode(Text.chunkByTokens(col("text"), chunkTokens, stride)))
       .select(col("doc_id"), col("source"), col("pos").as("chunk_id"),
         col("col").as("chunk"),
         Text.tokenCount(col("col")).cast("long").as("n_tokens"))
-    // a chunk's identity is (doc, chunk_id); pack on a single sortable id
-    val withId = chunks.withColumn("item_id",
-      col("doc_id") * 10000L + col("chunk_id"))
+      .withColumn("item_key",
+        format_string("%019d-%09d", col("doc_id"), col("chunk_id")))
 
-    // 3. contiguous token-budget packing into shards (q53 shape)
-    val packed = Packing.packContiguous(withId, "item_id", "n_tokens",
-      budget = budgetTokens, shards = shards)
+    // 3. contiguous token-budget packing into shards (q53 shape) —
+    //    SHARDED BY DOCUMENT and ordered by (doc, chunk), so a doc's
+    //    overlapping windows stay contiguous in one shard's bins
+    //    instead of hash-scattering across all of them
+    val packed = Packing.packContiguous(chunks, "doc_id", "n_tokens",
+      budget = budgetTokens, shards = shards, orderCol = Some("item_key"))
 
     // 4. land the shards columnar, partitioned for per-shard reads
-    packed.select("shard", "bin", "item_id", "doc_id", "chunk_id",
+    packed.select("shard", "bin", "item_key", "doc_id", "chunk_id",
         "source", "chunk", "n_tokens")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/shards")
+    refined.unpersist()
 
     val out = spark.read.parquet(s"$outDir/shards")
     val report = out.groupBy("shard")
@@ -68,8 +80,9 @@ object CorpusDemo {
         count(lit(1)).as("n_chunks"),
         sum("n_tokens").as("total_tokens"))
       .orderBy("shard")
-    Result(inputDocs, survivors, out.count(),
-      out.select("shard", "bin").distinct().count(), report)
+    // bins are shard-local, so the global bin count is the report's sum
+    val bins = report.agg(sum("n_bins")).collect().head.getLong(0)
+    Result(inputDocs, survivors, out.count(), bins, report)
   }
 
   def main(args: Array[String]): Unit = {

@@ -756,9 +756,9 @@ object SparkEntry {
     }),
 
     // Context-budget chunking: sliding 50-token windows, stride 40
-    // (overlapping) — pure Column expression, codegen'd, exploded to
-    // one row per chunk. Chunk text is md5'd so the oracle compares
-    // content without hauling strings through the hash gate.
+    // (overlapping) — one JVM kernel pass per doc, exploded to one row
+    // per chunk. Chunk text is md5'd so the oracle compares content
+    // without hauling strings through the hash gate.
     "q52_chunking" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),

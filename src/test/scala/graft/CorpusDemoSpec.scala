@@ -25,6 +25,9 @@ class CorpusDemoSpec extends SparkSpec {
     // shards partition the id space deterministically
     assert(shardsDf.filter(col("shard").isNull || col("bin").isNull).count() == 0)
     assert(shardsDf.select("shard").distinct().count() <= 4)
+    // document contiguity: every chunk of a doc lands in one shard
+    assert(shardsDf.groupBy("doc_id")
+      .agg(countDistinct(col("shard")).as("s")).filter(col("s") > 1).count() == 0)
     // shard dirs are physically partitioned for per-shard reads
     val dirs = new java.io.File(s"$out/shards").listFiles()
       .filter(_.isDirectory).map(_.getName)
