@@ -27,6 +27,15 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   * if either sample drifts past 2x the reference the JSON is stamped
   * "tainted":true so a contaminated run can never again masquerade
   * as a regression signal.
+  *
+  * Honesty note on the canary's blind spot: it measures CPU
+  * availability only. Host-level I/O or memory-bandwidth contention
+  * can inflate query wall-times ~1.3-1.5x while the canary stays
+  * clean (observed once: a 67 s total with every query uniformly
+  * ~1.4x slow and canary at 0.84-0.93 s). Treat a run whose CHEAP
+  * queries (q01/q05/q13 ≲ 0.3 s idle) are uniformly inflated as
+  * suspect even when untainted, and prefer the minimum of several
+  * runs for cross-round comparisons.
   */
 object Bench {
   private val canaryAcc = new java.util.concurrent.atomic.AtomicLong(0L)
