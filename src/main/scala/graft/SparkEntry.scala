@@ -693,6 +693,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Nearest as-of join (pandas direction='nearest'): each click picks
+    // the user's view value closest in time, either direction, ties
+    // preferring the earlier row. Oracle: an independent LATERAL probe
+    // ordered by absolute distance with the same tie rules.
+    "q63_asof_nearest" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value", "event_type")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          round(col("value"), 4).as("view_value"), col("event_id").as("view_ord"))
+      graft.operators.Temporal.asofJoinNearest(clicks, views, key = "user_id",
+          leftTs = "ts", rightTs = "ts", rightVals = Seq("view_value"),
+          rightOrd = Some("view_ord"))
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("view_value"))
+        .orderBy("event_id")
+    }),
+
     // Point-in-interval range join: clicks landing inside each error's
     // 10-minute window, as a bin equi-join + exact containment filter
     // (plan-asserted: no cartesian / nested-loop). Oracle is DuckDB's
@@ -1434,6 +1455,24 @@ object SparkEntry {
            SELECT round(v.value, 4) AS view_value FROM v
            WHERE v.user_id = c.user_id AND v.ts <= c.ts
            ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) lv ON TRUE
+         ORDER BY event_id""",
+
+    // q63's oracle probes each click independently: minimum absolute
+    // distance, ties to the earlier (backward) row, same-timestamp
+    // rights to the largest ord — exactly asofJoinNearest's contract.
+    "q63_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           value, event_type FROM events),
+              c AS (SELECT * FROM e WHERE event_type = 'click'),
+              v AS (SELECT * FROM e WHERE event_type = 'view')
+         SELECT c.event_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                lv.view_value
+         FROM c LEFT JOIN LATERAL (
+           SELECT round(v.value, 4) AS view_value FROM v
+           WHERE v.user_id = c.user_id
+           ORDER BY abs(epoch_us(v.ts) - epoch_us(c.ts)) ASC,
+                    (v.ts > c.ts) ASC, v.event_id DESC LIMIT 1) lv ON TRUE
          ORDER BY event_id""",
 
     // q43's oracle is the plain inequality join — correct at sf0.01,

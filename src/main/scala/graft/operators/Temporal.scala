@@ -85,6 +85,71 @@ object Temporal {
         rightVals.map(v => when(inTol, col("__rv").getField(v)).as(v)): _*)
   }
 
+  /** Nearest as-of join: for every left row, attach the value columns
+    * of the right row on the same key whose timestamp is CLOSEST to
+    * the left timestamp, in either direction (pandas
+    * `merge_asof(direction='nearest')` semantics). Tie between an
+    * equally-near earlier and later right row prefers the earlier
+    * (backward) one; right rows tied on the SAME timestamp resolve to
+    * the largest `ord`, like [[asofJoin]]. `toleranceSec` bounds the
+    * match distance on both sides.
+    *
+    * Shape: the same tagged union as [[asofJoin]] with TWO cumulative
+    * struct fills — one over ascending time (nearest at-or-before) and
+    * one over descending time (nearest at-or-after) — then a per-row
+    * distance compare picks the closer struct. Still ONE hash shuffle
+    * on the key; the two window orderings share it and each add a
+    * sort. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String, rightVals: Seq[String],
+                      rightOrd: Option[String] = None,
+                      toleranceSec: Option[Long] = None): DataFrame = {
+    require(rightVals.nonEmpty, "asofJoinNearest needs at least one right value column")
+    val collisions = rightVals.toSet intersect left.columns.toSet
+    require(collisions.isEmpty,
+      s"right value columns collide with left columns: ${collisions.mkString(", ")}")
+    val lcols = left.columns.toSeq
+    val ordL = lit(null).cast("long").as("__ord")
+    val ordR = rightOrd.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__ord")
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => org.apache.spark.sql.types.StructField(
+        v, right.schema(v).dataType)) :+
+        org.apache.spark.sql.types.StructField(
+          "__rts", right.schema(rightTs).dataType))
+    val lSide = left.select(
+      Seq(col(key).as("__key"), col(leftTs).as("__ts"), lit(1).as("__side"), ordL) ++
+        lcols.map(col) :+
+        lit(null).cast(rvType).as("__rv"): _*)
+    val rSide = right.select(
+      Seq(col(key).as("__key"), col(rightTs).as("__ts"), lit(0).as("__side"), ordR) ++
+        lcols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col) :+ col(rightTs).as("__rts"): _*).as("__rv"): _*)
+    // backward: latest right at-or-before (ties on ts -> largest ord);
+    // forward: earliest right at-or-after (ties on ts -> largest ord).
+    // Right rows sort before left at equal timestamps in BOTH
+    // directions, so the boundary is inclusive both ways.
+    val wB = Window.partitionBy("__key")
+      .orderBy(col("__ts"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("__key")
+      .orderBy(col("__ts").desc, col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lSide.unionByName(rSide)
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__f", last(col("__rv"), ignoreNulls = true).over(wF))
+    val dB = unix_micros(col("__ts")) - unix_micros(col("__b.__rts"))
+    val dF = unix_micros(col("__f.__rts")) - unix_micros(col("__ts"))
+    val tolUs = toleranceSec.map(t => lit(t * 1000000L))
+    val bOk = col("__b").isNotNull && tolUs.map(dB <= _).getOrElse(lit(true))
+    val fOk = col("__f").isNotNull && tolUs.map(dF <= _).getOrElse(lit(true))
+    // tie (dB == dF) prefers backward
+    val chosen = when(bOk && (!fOk || dB <= dF), col("__b"))
+      .when(fOk, col("__f"))
+    filled.filter(col("__side") === 1)
+      .select(lcols.map(col) ++
+        rightVals.map(v => chosen.getField(v).as(v)): _*)
+  }
+
   /** Point-in-interval range join: rows of `points` matched to every
     * row of `intervals` whose `[startCol, endCol]` (inclusive both
     * ends) contains `pointTs`. Output carries all columns of both

@@ -81,6 +81,43 @@ class TemporalSpec extends SparkSpec {
     assert(tol === Seq((None, Some("new"))), s"got ${tol.toSeq}")
   }
 
+  test("asofJoinNearest: closest row wins either direction, ties go backward") {
+    val left = Seq(
+      (1L, 5L, ts("2024-01-01 00:10:00")), // back at 00:09 (60s) vs fwd 00:12 (120s) -> back
+      (2L, 5L, ts("2024-01-01 00:11:00")), // back 120s vs fwd 60s -> fwd
+      (3L, 5L, ts("2024-01-01 00:03:00")), // only future rows -> nearest fwd
+      (4L, 9L, ts("2024-01-01 00:00:00"))  // no right rows for key
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (5L, ts("2024-01-01 00:09:00"), 1.0, 1L),
+      (5L, ts("2024-01-01 00:12:00"), 2.0, 2L)
+    ).toDF("k", "t", "v", "ord")
+    val out = Temporal.asofJoinNearest(left, right, "k", "t", "t", Seq("v"),
+        rightOrd = Some("ord"))
+      .orderBy("id").select("id", "v").as[(Long, Option[Double])].collect()
+    assert(out === Seq((1L, Some(1.0)), (2L, Some(2.0)),
+      (3L, Some(1.0)), (4L, None)))
+    // exact-tie distance prefers the backward row; equal-ts rights
+    // resolve to the largest ord
+    val tied = Seq((1L, 5L, ts("2024-01-01 00:10:30"))).toDF("id", "k", "t")
+    val t1 = Temporal.asofJoinNearest(tied, right, "k", "t", "t", Seq("v"),
+      rightOrd = Some("ord")).select("v").as[Double].collect()
+    assert(t1 === Seq(1.0)) // 90s both ways -> backward 00:09 wins
+    val dupTs = Seq(
+      (5L, ts("2024-01-01 00:09:00"), 1.0, 1L),
+      (5L, ts("2024-01-01 00:09:00"), 7.0, 9L)
+    ).toDF("k", "t", "v", "ord")
+    val t2 = Temporal.asofJoinNearest(tied, dupTs, "k", "t", "t", Seq("v"),
+      rightOrd = Some("ord")).select("v").as[Double].collect()
+    assert(t2 === Seq(7.0)) // same ts -> ord 9 beats ord 1
+    // tolerance bounds both directions
+    val t3 = Temporal.asofJoinNearest(left, right, "k", "t", "t", Seq("v"),
+        rightOrd = Some("ord"), toleranceSec = Some(90L))
+      .orderBy("id").select("id", "v").as[(Long, Option[Double])].collect()
+    assert(t3 === Seq((1L, Some(1.0)), (2L, Some(2.0)),
+      (3L, None), (4L, None))) // id=3's nearest is 360s away > 90s
+  }
+
   test("asofJoin refuses colliding value column names") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"), 0.0)).toDF("k", "t", "v")
     val r = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
