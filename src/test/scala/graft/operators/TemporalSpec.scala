@@ -148,6 +148,31 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinNearest equals the brute-force per-row probe on real events (sf0.001)") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "ts", "value", "event_type")
+    val clicks = e.filter($"event_type" === "click").select("event_id", "user_id", "ts")
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"value".as("vv"), $"event_id".as("vord"))
+    val got = Temporal.asofJoinNearest(clicks, views, "user_id", "ts", "ts",
+        Seq("vv"), rightOrd = Some("vord"))
+      .select("event_id", "vv").as[(Long, Option[Double])].collect().toMap
+    // brute force on the driver: per click, min |delta|; ties backward,
+    // then largest ord
+    val vrows = views.as[(Long, Timestamp, Double, Long)].collect()
+    val crows = clicks.as[(Long, Long, Timestamp)].collect()
+    assert(crows.nonEmpty && vrows.nonEmpty)
+    crows.foreach { case (id, u, t) =>
+      val cand = vrows.filter(_._1 == u)
+      val want = if (cand.isEmpty) None
+        else Some(cand.minBy { v =>
+          val d = math.abs(v._2.getTime - t.getTime)
+          (d, if (v._2.after(t)) 1 else 0, -v._4)
+        }._3)
+      assert(got(id) === want, s"click $id")
+    }
+  }
+
   test("asofJoin plans one key shuffle, no join operator") {
     val l = Seq((1L, 5L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "t")
     val r = Seq((5L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
