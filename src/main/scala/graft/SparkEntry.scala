@@ -1011,6 +1011,29 @@ object SparkEntry {
           length(col("content")).as("n_bytes"),
           graft.operators.Multimodal.sniffFormat(col("content")).as("format"))
         .orderBy("media_id")
+    }),
+
+    // Real image decode (javax.imageio): synthesize a deterministic
+    // gradient grayscale PNG per doc (pixel (x,y) = (3x+5y+id) % 256,
+    // dims varying with id), decode it back through the REAL codec, and
+    // emit integer-exact raster statistics. The oracle recomputes the
+    // same stats in closed form — a faked decode cannot match.
+    // Mirrors the reference's cv2.imdecode (flink_vision_job_proper
+    // .py:149-151) with the JDK codec instead.
+    "q64_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 16 + (id % 8).toInt
+          val h = 12 + (id % 5).toInt
+          graft.operators.Multimodal.MediaRow(id,
+            graft.operators.Multimodal.Codec.encodePng(
+              graft.operators.Multimodal.Codec.grayImage(w, h)(
+                (x, y) => ((x * 3 + y * 5 + id) % 256).toInt)),
+            "png")
+        }
+      graft.operators.Multimodal.imageStats(media).toDF()
+        .orderBy("media_id")
     })
   )
 
@@ -1899,6 +1922,24 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
                 CAST(4 * (1 - (doc_id % 2)) + 8 * (doc_id % 2) + octet_length(encode(text)) AS INTEGER) AS n_bytes,
                 CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS format
-         FROM documents ORDER BY media_id"""
+         FROM documents ORDER BY media_id""",
+
+    // Recomputes the decoded-raster statistics in closed form from the
+    // same pixel formula the Spark side encodes — so a green row proves
+    // the engine really decoded the PNG bytes (dims from the raster,
+    // per-pixel luminance sums), not a hash-derived stub. The grid is
+    // the max dims (23x16) filtered per-doc (DuckDB's generate_series
+    // can't take lateral column args).
+    "q64_image_decode" ->
+      """SELECT d.doc_id AS media_id,
+                CAST(16 + d.doc_id % 8 AS INTEGER) AS width,
+                CAST(12 + d.doc_id % 5 AS INTEGER) AS height,
+                1 AS channels,
+                CAST(sum((x.x * 3 + y.y * 5 + d.doc_id) % 256) AS BIGINT) AS pixel_sum,
+                CAST(sum(CASE WHEN (x.x * 3 + y.y * 5 + d.doc_id) % 256 < 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark
+         FROM documents d, generate_series(0, 22) AS x(x), generate_series(0, 15) AS y(y)
+         WHERE x.x < 16 + d.doc_id % 8 AND y.y < 12 + d.doc_id % 5
+         GROUP BY d.doc_id
+         ORDER BY media_id"""
   )
 }

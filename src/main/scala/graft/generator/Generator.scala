@@ -146,9 +146,10 @@ object Generator {
   }
 
   /** Flat camera-frame messages (rtsp_to_kafka_bridge.py:204-217):
-    * camera metadata merged in, frame payload as base64 of deterministic
-    * fake JPEG bytes (magic header + frame tag — the image libs aren't
-    * shipped, so the detector never decodes real pixels). */
+    * camera metadata merged in, frame payload as base64 of a REAL tiny
+    * JPEG (encoded with the JDK codec — deterministic gradient pixels
+    * varying per frame, so downstream decode sees genuine compressed
+    * image bytes like the reference's re-encoded RTSP frames). */
   def cameraFrames(spark: SparkSession, n: Int, seed: Long = Seed): DataFrame =
     spark.read.schema(Schemas.cameraFrame).json(jsonDs(spark, cameraFrameLines(n)))
 
@@ -156,10 +157,11 @@ object Generator {
   def cameraFrameLines(n: Int): Seq[String] = (0 until n).map { i =>
     val cam = s"CAM_${"%02d".format(i % 2 + 1)}"
     val ts = iso(BaseEpochSec + i / 2, (i % 2) * 500000)
-    val payload = java.util.Base64.getEncoder.encodeToString(
-      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte) ++
-        s"frame_$i".getBytes("UTF-8"))
-    s"""{"camera_id":"$cam","camera_name":"Camera $cam","location":"Gare","camera_type":"traffic","timestamp":"$ts","frame_number":$i,"width":640,"height":480,"format":"jpeg","frame_data":"$payload"}"""
+    val jpeg = graft.operators.Multimodal.Codec.encodeJpeg(
+      graft.operators.Multimodal.Codec.grayImage(16, 12)(
+        (x, y) => (x * 7 + y * 11 + i * 13) % 256))
+    val payload = java.util.Base64.getEncoder.encodeToString(jpeg)
+    s"""{"camera_id":"$cam","camera_name":"Camera $cam","location":"Gare","camera_type":"traffic","timestamp":"$ts","frame_number":$i,"width":16,"height":12,"format":"jpeg","frame_data":"$payload"}"""
   }
 
   /** Synthetic camera-frame detection messages (flat, not enveloped):

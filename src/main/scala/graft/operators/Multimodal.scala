@@ -1,21 +1,37 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: images/audio/video ride as opaque
-  * `binary` columns with typed metadata structs. The Spark-side
-  * plumbing — schemas, partition-friendly batching, per-partition
-  * decoder init — is real; the pixel/sample decode itself is STUBBED
-  * deterministically (the image/audio libraries are not shipped in
-  * this environment). A production deployment swaps
-  * `StubDecoder` for a real codec (or routes through a Python
-  * `mapInPandas` worker); nothing else changes.
+  * `binary` columns with typed metadata structs; decode is REAL —
+  * JPEG/PNG/GIF/BMP via `javax.imageio` (ships with the JDK, zero new
+  * dependencies), mirroring the reference's `cv2.imdecode` at
+  * flink_vision_job_proper.py:149-151 and the resize at
+  * rtsp_to_kafka_bridge.py:193-197.
+  *
+  * Layout rules that matter at 100 TB: decode runs inside
+  * `mapPartitions` (codec state amortized per partition, the open()
+  * pattern), binary payloads sit LAST in the row so metadata-only
+  * queries prune them at the parquet scan, and every emitted feature is
+  * a plain `Array[Float]` so the output feeds [[Similarity]] directly.
+  *
+  * Video: containers needing an external codec (MP4/H.264) are out of
+  * reach of the JDK; the real demux path implemented here is MJPEG
+  * (concatenated JPEG frames — what IP cameras actually emit over
+  * `multipart/x-mixed-replace`, and what the reference's RTSP bridge
+  * re-encodes per frame). Non-MJPEG containers yield zero frames
+  * rather than fabricated ones.
   */
 object Multimodal {
 
-  /** Container sniffing from magic bytes — real logic, no codec needed.
-    * Pure column expression over the binary prefix. */
+  /** Container sniffing from magic bytes — pure column expression over
+    * the binary prefix; no decode needed. */
   def sniffFormat(binCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val head = hex(substring(binCol, 1, 12))
     when(head.startsWith("FFD8FF"), "jpeg")
@@ -29,65 +45,206 @@ object Multimodal {
   case class MediaRow(media_id: Long, content: Array[Byte], format: String)
   case class DecodedImage(media_id: Long, width: Int, height: Int,
                           channels: Int, features: Array[Float])
+  case class ImageStats(media_id: Long, width: Int, height: Int, channels: Int,
+                        pixel_sum: Long, n_dark: Long)
   case class FrameSample(media_id: Long, frame_index: Int, offset_bytes: Long,
                          features: Array[Float])
+  case class ResizedImage(media_id: Long, width: Int, height: Int,
+                          content: Array[Byte])
 
-  /** STUB decoder: deterministic pseudo-decode deriving dimensions and a
-    * feature vector from the content hash. Swap point for a real codec. */
-  private[operators] object StubDecoder {
-    def decode(id: Long, bytes: Array[Byte], featureDim: Int): DecodedImage = {
-      val h = java.util.Arrays.hashCode(bytes)
-      val rnd = new scala.util.Random(h.toLong)
-      val w = 64 + (math.abs(h) % 16) * 64        // ??? real: codec decode
-      val hgt = 64 + (math.abs(h / 16) % 16) * 64
-      val feats = Array.fill(featureDim)(rnd.nextFloat() * 2 - 1)
-      DecodedImage(id, w, hgt, 3, feats)
+  /** The real codec: JDK `ImageIO` + `java.awt.image`. Kept as plain
+    * static helpers — safe to call from executor tasks (ImageIO's
+    * plugin registry is JVM-global and thread-safe for the built-in
+    * JPEG/PNG/GIF/BMP readers). */
+  object Codec {
+    // In-heap decode buffers; never spill ImageIO scratch to executor disk.
+    ImageIO.setUseCache(false)
+
+    /** Decode any ImageIO-supported container. None for null/empty/
+      * corrupt payloads (the P4 guard — bad frames degrade, not throw). */
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      if (bytes == null || bytes.isEmpty) None
+      else
+        try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+
+    /** 0..255 luminance at (x, y): raw band-0 sample for grayscale
+      * rasters (exact — no sRGB conversion), integer ITU-R BT.601 luma
+      * `(299r + 587g + 114b) / 1000` otherwise. */
+    def luminance(img: BufferedImage, x: Int, y: Int): Int =
+      if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+      else {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        (299 * r + 587 * g + 114 * b) / 1000
+      }
+
+    /** Exact per-bin luminance counts (bins equal-width over 0..255). */
+    def grayHistogram(img: BufferedImage, bins: Int): Array[Long] = {
+      val h = new Array[Long](bins)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          h(luminance(img, x, y) * bins / 256) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+
+    /** Normalized grayscale histogram — the image feature vector. */
+    def features(img: BufferedImage, dim: Int): Array[Float] = {
+      val n = img.getWidth.toLong * img.getHeight
+      grayHistogram(img, dim).map(c => (c.toDouble / n).toFloat)
+    }
+
+    /** Deterministic 8-bit grayscale image from a pixel formula. */
+    def grayImage(w: Int, h: Int)(f: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, f(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      img
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = encode(img, "png")
+    def encodeJpeg(img: BufferedImage): Array[Byte] = encode(img, "jpg")
+
+    private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+
+    /** Split an MJPEG stream (concatenated JPEGs) into
+      * (byte offset, frame bytes) pairs by scanning SOI `FFD8FF` /
+      * EOI `FFD9` markers. Sound for camera MJPEG: inside a JPEG's
+      * entropy-coded data every 0xFF is byte-stuffed with 0x00, so a
+      * bare EOI only terminates a frame (frames with embedded EXIF
+      * thumbnails would need a full segment parse — IP-camera MJPEG
+      * carries none). */
+    def splitMjpegFrames(bytes: Array[Byte]): Seq[(Long, Array[Byte])] = {
+      if (bytes == null) return Seq.empty
+      val frames = Seq.newBuilder[(Long, Array[Byte])]
+      var i = 0
+      while (i + 3 < bytes.length) {
+        if (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
+            bytes(i + 2) == 0xFF.toByte) {
+          var j = i + 2
+          var end = -1
+          while (end < 0 && j + 1 < bytes.length) {
+            if (bytes(j) == 0xFF.toByte && bytes(j + 1) == 0xD9.toByte) end = j + 2
+            j += 1
+          }
+          if (end < 0) { i = bytes.length } // truncated tail frame: drop
+          else {
+            frames += ((i.toLong, java.util.Arrays.copyOfRange(bytes, i, end)))
+            i = end
+          }
+        } else i += 1
+      }
+      frames.result()
     }
   }
 
-  /** Decode + feature-extract over a binary column. `mapPartitions` so
-    * decoder init is amortized per partition (the open() pattern) —
-    * batch shape matches what a vectorized Python worker would see. */
+  /** Decode + feature-extract over a binary column. Features are the
+    * normalized grayscale histogram (`featureDim` bins). Undecodable
+    * payloads degrade to a zero row (width/height/channels = 0, zero
+    * features) so the stream keeps flowing — the reference logs and
+    * skips (flink_vision_job_proper.py:149-155). */
   def extractImageFeatures(media: Dataset[MediaRow], featureDim: Int = 64): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: load the codec/model once per partition here
-      it.map(m => StubDecoder.decode(m.media_id, m.content, featureDim))
-    }
-  }
-
-  /** Video frame sampling: emit every Nth frame as a row. Frame count /
-    * offsets are stubbed from content length (real: container index). */
-  def sampleFrames(media: Dataset[MediaRow], everyN: Int = 30,
-                   featureDim: Int = 16): Dataset[FrameSample] = {
-    import media.sparkSession.implicits._
-    media.flatMap { m =>
-      val frames = math.max(1, m.content.length / 1024) // ??? real: demux
-      (0 until frames by everyN).map { f =>
-        val rnd = new scala.util.Random(java.util.Arrays.hashCode(m.content).toLong + f)
-        FrameSample(m.media_id, f, f.toLong * 1024,
-          Array.fill(featureDim)(rnd.nextFloat() * 2 - 1))
+      // codec/plugin registry warm-up is per-JVM; heavier model state
+      // would be initialized once per partition here (open() pattern)
+      it.map { m =>
+        Codec.decode(m.content) match {
+          case Some(img) =>
+            DecodedImage(m.media_id, img.getWidth, img.getHeight,
+              img.getRaster.getNumBands, Codec.features(img, featureDim))
+          case None =>
+            DecodedImage(m.media_id, 0, 0, 0, new Array[Float](featureDim))
+        }
       }
     }
   }
 
-  case class ResizedImage(media_id: Long, width: Int, height: Int,
-                          content: Array[Byte])
+  /** Exact integer decode statistics — the oracle-friendly face of the
+    * decoder (q64): dimensions and channel count from the decoded
+    * raster, `pixel_sum` = sum of all luminance values, `n_dark` =
+    * count of pixels with luminance < 32 (the mass of the first 8 bins
+    * of the 64-bin feature histogram, kept integer-exact). */
+  def imageStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        Codec.decode(m.content) match {
+          case Some(img) =>
+            var sum = 0L; var dark = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v = Codec.luminance(img, x, y)
+                sum += v; if (v < 32) dark += 1
+                x += 1
+              }
+              y += 1
+            }
+            ImageStats(m.media_id, img.getWidth, img.getHeight,
+              img.getRaster.getNumBands, sum, dark)
+          case None => ImageStats(m.media_id, 0, 0, 0, 0L, 0L)
+        }
+      }
+    }
+  }
 
-  /** Resize over a binary media column — the plumbing (typed rows,
-    * per-partition init, batch shape) is real; the pixel transform is
-    * stubbed by re-encoding the content hash at a size proportional to
-    * the target dimensions. */
+  /** Video frame sampling: demux MJPEG, decode every Nth frame, emit
+    * its feature vector with the frame's real byte offset. Containers
+    * the JDK can't demux (MP4 etc.) produce zero rows. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int = 30,
+                   featureDim: Int = 16): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      Codec.splitMjpegFrames(m.content).zipWithIndex.collect {
+        case ((offset, frameBytes), idx) if idx % everyN == 0 =>
+          val feats = Codec.decode(frameBytes)
+            .map(Codec.features(_, featureDim))
+            .getOrElse(new Array[Float](featureDim))
+          FrameSample(m.media_id, idx, offset, feats)
+      }
+    }
+  }
+
+  /** Real bilinear rescale (`java.awt.Graphics2D`) + re-encode.
+    * Lossless inputs (PNG) re-encode as PNG; everything else as JPEG —
+    * the reference bridge re-encodes JPEG after its cv2.resize
+    * (rtsp_to_kafka_bridge.py:193-197). Undecodable payloads are
+    * dropped (the bridge skips failed frames). */
   def resize(media: Dataset[MediaRow], width: Int, height: Int): Dataset[ResizedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: codec + scaler initialized once per partition here
-      it.map { m =>
-        val h = java.util.Arrays.hashCode(m.content)
-        val rnd = new scala.util.Random(h.toLong)
-        val out = new Array[Byte](math.max(16, width * height / 256)) // ??? real: scaled encode
-        rnd.nextBytes(out)
-        ResizedImage(m.media_id, width, height, out)
+      it.flatMap { m =>
+        Codec.decode(m.content).map { img =>
+          val targetType =
+            if (img.getRaster.getNumBands == 1) BufferedImage.TYPE_BYTE_GRAY
+            else BufferedImage.TYPE_3BYTE_BGR
+          val out = new BufferedImage(width, height, targetType)
+          val g = out.createGraphics()
+          g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+          g.dispose()
+          val bytes =
+            if (m.format == "png") Codec.encodePng(out) else Codec.encodeJpeg(out)
+          ResizedImage(m.media_id, width, height, bytes)
+        }
       }
     }
   }

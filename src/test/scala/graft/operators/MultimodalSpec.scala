@@ -10,29 +10,42 @@ class MultimodalSpec extends SparkSpec {
   private def bytes(prefix: Array[Int], pad: Int = 64): Array[Byte] =
     (prefix.map(_.toByte) ++ Array.fill(pad)(7.toByte))
 
-  private lazy val media = Seq(
+  private lazy val magicOnly = Seq(
     MediaRow(1L, bytes(Array(0xFF, 0xD8, 0xFF, 0xE0)), "jpeg"),
     MediaRow(2L, bytes(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)), "png"),
     MediaRow(3L, bytes(Array(0x47, 0x49, 0x46, 0x38, 0x39, 0x61)), "gif"),
     MediaRow(4L, bytes(Array(0x00, 0x00, 0x00, 0x18, 0x66, 0x74, 0x79, 0x70)), "mp4"),
     MediaRow(5L, bytes(Array(0x01, 0x02, 0x03)), "unknown"))
 
+  // deterministic gradient: pixel (x, y) of image `id` has luminance
+  // (x*3 + y*5 + id) % 256 — closed-form checkable, every bin exercised
+  private def gradPng(id: Long, w: Int, h: Int): Array[Byte] =
+    Codec.encodePng(Codec.grayImage(w, h)((x, y) => ((x * 3 + y * 5 + id) % 256).toInt))
+
+  private lazy val realMedia = Seq(
+    MediaRow(1L, gradPng(1L, 16, 12), "png"),
+    MediaRow(2L, gradPng(2L, 23, 16), "png"),
+    MediaRow(3L, Codec.encodeJpeg(Codec.grayImage(20, 10)((_, _) => 128)), "jpeg"),
+    MediaRow(4L, bytes(Array(0xFF, 0xD8, 0xFF, 0xE0)), "jpeg")) // corrupt
+
   test("format sniffing from magic bytes (pure column expr)") {
-    val got = media.toDS().toDF()
+    val got = magicOnly.toDS().toDF()
       .select($"media_id", sniffFormat($"content").as("fmt"))
       .orderBy("media_id").collect().map(_.getString(1))
     assert(got.toSeq == Seq("jpeg", "png", "gif", "mp4", "unknown"))
+    // the codec's own emissions sniff correctly too
+    val own = realMedia.take(3).toDS().toDF()
+      .select(sniffFormat($"content")).collect().map(_.getString(0))
+    assert(own.toSeq == Seq("png", "png", "jpeg"))
   }
 
   test("media table layout: metadata first, binary last, stable hash") {
-    val t = mediaTable(media.toDS().toDF(), "media_id", "content")
+    val t = mediaTable(magicOnly.toDS().toDF(), "media_id", "content")
     assert(t.columns.toSeq == Seq("media_id", "n_bytes", "format", "content_hash", "content"))
     val h1 = t.select("content_hash").collect().map(_.getLong(0)).toSeq
-    val h2 = mediaTable(media.toDS().toDF(), "media_id", "content")
+    val h2 = mediaTable(magicOnly.toDS().toDF(), "media_id", "content")
       .select("content_hash").collect().map(_.getLong(0)).toSeq
     assert(h1 == h2)
-    // metadata-only projection prunes the binary column: no leaf of the
-    // optimized plan may still output `content`
     val leaves = t.select("media_id", "format")
       .queryExecution.optimizedPlan.collectLeaves()
     assert(leaves.nonEmpty &&
@@ -40,39 +53,103 @@ class MultimodalSpec extends SparkSpec {
       leaves.map(_.output.map(_.name).mkString(",")).mkString(" | "))
   }
 
-  test("stubbed image decode: deterministic dims + features, batch-shaped") {
-    val a = extractImageFeatures(media.toDS(), featureDim = 8).collect().sortBy(_.media_id)
-    val b = extractImageFeatures(media.toDS(), featureDim = 8).collect().sortBy(_.media_id)
-    assert(a.toSeq.map(_.media_id) == b.toSeq.map(_.media_id))
-    a.zip(b).foreach { case (x, y) =>
-      assert(x.features.toSeq == y.features.toSeq)
-      assert(x.width >= 64 && x.height >= 64 && x.channels == 3)
-      assert(x.features.length == 8)
+  test("real PNG decode: lossless pixel roundtrip, exact dims/channels") {
+    val img = Codec.decode(gradPng(7L, 16, 12)).get
+    assert(img.getWidth == 16 && img.getHeight == 12)
+    assert(img.getRaster.getNumBands == 1)
+    for (y <- 0 until 12; x <- 0 until 16)
+      assert(Codec.luminance(img, x, y) == ((x * 3 + y * 5 + 7) % 256),
+        s"pixel ($x,$y)")
+  }
+
+  test("extractImageFeatures: histogram features match exact bin counts; corrupt -> zero row") {
+    val out = extractImageFeatures(realMedia.toDS(), featureDim = 64)
+      .collect().sortBy(_.media_id)
+    val png1 = out(0)
+    assert(png1.width == 16 && png1.height == 12 && png1.channels == 1)
+    assert(png1.features.length == 64)
+    // features are the exact normalized histogram of the gradient image
+    val counts = new Array[Long](64)
+    for (y <- 0 until 12; x <- 0 until 16)
+      counts(((x * 3 + y * 5 + 1) % 256) * 64 / 256) += 1
+    png1.features.zip(counts).foreach { case (f, c) =>
+      assert(math.abs(f - c.toDouble / 192) < 1e-6)
     }
+    // JPEG is lossy but a constant-gray image decodes near-constant
+    val jpg = out(2)
+    assert(jpg.width == 20 && jpg.height == 10 && jpg.channels == 1)
+    val midMass = jpg.features.slice(28, 36).sum // 128/256*64 = bin 32
+    assert(midMass > 0.99, s"constant-128 JPEG mass near bin 32, got $midMass")
+    // corrupt payload degrades to a zero row, never throws
+    val bad = out(3)
+    assert(bad.width == 0 && bad.height == 0 && bad.channels == 0)
+    assert(bad.features.forall(_ == 0f))
   }
 
-  test("video frame sampling: every Nth frame with byte offsets") {
-    val video = Seq(MediaRow(9L, Array.fill(10 * 1024)(3.toByte), "mp4")).toDS()
-    val frames = sampleFrames(video, everyN = 3).collect().sortBy(_.frame_index)
-    assert(frames.map(_.frame_index).toSeq == Seq(0, 3, 6, 9))
-    assert(frames.map(_.offset_bytes).toSeq == Seq(0L, 3072L, 6144L, 9216L))
+  test("imageStats: integer-exact pixel_sum / n_dark, consistent with features") {
+    val stats = imageStats(realMedia.toDS()).collect().sortBy(_.media_id)
+    val s2 = stats(1) // 23x16 gradient, id=2
+    var expSum = 0L; var expDark = 0L
+    for (y <- 0 until 16; x <- 0 until 23) {
+      val v = (x * 3 + y * 5 + 2) % 256
+      expSum += v; if (v < 32) expDark += 1
+    }
+    assert(s2.width == 23 && s2.height == 16 && s2.channels == 1)
+    assert(s2.pixel_sum == expSum && s2.n_dark == expDark)
+    // n_dark == mass of the first 8 of 64 feature bins (exactly)
+    val feats = extractImageFeatures(realMedia.toDS(), featureDim = 64)
+      .collect().sortBy(_.media_id).apply(1).features
+    assert(math.abs(feats.take(8).sum - expDark.toDouble / (23 * 16)) < 1e-6)
+    assert(stats(3).pixel_sum == 0L && stats(3).width == 0) // corrupt
   }
 
-  test("resize stub: deterministic output sized to the target dims") {
-    val a = Multimodal.resize(media.toDS(), 128, 128).collect().sortBy(_.media_id)
-    val b = Multimodal.resize(media.toDS(), 128, 128).collect().sortBy(_.media_id)
+  test("MJPEG demux: real frame boundaries, every-Nth decode, real offsets") {
+    val frames = (0 until 10).map(i => Codec.encodeJpeg(
+      Codec.grayImage(8, 8)((x, y) => (x + y + i * 20) % 256)))
+    val mjpeg = frames.reduce(_ ++ _)
+    val video = Seq(MediaRow(9L, mjpeg, "mjpeg")).toDS()
+    val got = sampleFrames(video, everyN = 3, featureDim = 16)
+      .collect().sortBy(_.frame_index)
+    assert(got.map(_.frame_index).toSeq == Seq(0, 3, 6, 9))
+    // offsets are the true byte offsets of each frame's SOI marker
+    val expOffsets = frames.map(_.length.toLong).scanLeft(0L)(_ + _)
+    assert(got.map(_.offset_bytes).toSeq == Seq(0, 3, 6, 9).map(expOffsets(_)))
+    // sampled features equal a direct decode of that frame
+    got.foreach { fs =>
+      val direct = Codec.features(
+        Codec.decode(frames(fs.frame_index)).get, 16)
+      assert(fs.features.toSeq == direct.toSeq)
+    }
+    // a container the JDK can't demux yields no fabricated frames
+    val mp4 = Seq(MediaRow(10L, bytes(Array(0x00, 0x00, 0x00, 0x18, 0x66, 0x74, 0x79, 0x70), 2048), "mp4")).toDS()
+    assert(sampleFrames(mp4, everyN = 1).count() == 0)
+  }
+
+  test("resize: real bilinear rescale, format preserved, deterministic") {
+    val media = Seq(
+      MediaRow(1L, gradPng(1L, 32, 24), "png"),
+      MediaRow(2L, Codec.encodeJpeg(Codec.grayImage(40, 30)((_, _) => 200)), "jpeg"),
+      MediaRow(3L, Array[Byte](1, 2, 3), "unknown")).toDS()
+    val a = Multimodal.resize(media, 16, 12).collect().sortBy(_.media_id)
+    val b = Multimodal.resize(media, 16, 12).collect().sortBy(_.media_id)
+    assert(a.length == 2, "undecodable payloads are dropped, not fabricated")
     a.zip(b).foreach { case (x, y) =>
-      assert(x.width == 128 && x.height == 128)
       assert(x.content.toSeq == y.content.toSeq, "resize must be deterministic")
+      val img = Codec.decode(x.content).get
+      assert(img.getWidth == 16 && img.getHeight == 12, "re-encoded at target dims")
     }
-    val small = Multimodal.resize(media.toDS(), 64, 64).collect().head
-    assert(small.content.length < a.head.content.length)
+    // format routing: png stays png (lossless), jpeg re-encodes jpeg
+    assert(a(0).content.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
+    assert(a(1).content.take(3).map(_ & 0xff).toSeq == Seq(0xff, 0xd8, 0xff))
+    // a constant-gray source resizes to (near-)constant gray
+    val img2 = Codec.decode(a(1).content).get
+    val vals = for (yy <- 0 until 12; xx <- 0 until 16) yield Codec.luminance(img2, xx, yy)
+    assert(vals.forall(v => math.abs(v - 200) <= 6), s"got ${vals.min}..${vals.max}")
   }
 
-  test("pipeline: media features feed the similarity operators directly") {
-    // decode-stub features → ANN: the multimodal and similarity surfaces
-    // compose without adapters (features are array<float> like embeddings)
-    val feats = extractImageFeatures(media.toDS(), featureDim = 16)
+  test("pipeline: decoded image features feed the similarity operators directly") {
+    val media = (1L to 6L).map(i => MediaRow(i, gradPng(i * 37, 16, 16), "png")).toDS()
+    val feats = extractImageFeatures(media, featureDim = 16)
       .select($"media_id".as("vec_id"), $"features".as("embedding"))
     val q = feats.filter($"vec_id" === 1L).select("embedding")
       .collect().head.getSeq[Float](0)
