@@ -90,7 +90,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q31b: the serve side reads index tables — no gram kernel, no corpus scan") {
-    val tag = java.lang.Integer.toHexString(dir.hashCode) + "_n3_t50"
+    val (invT, candT) = SparkEntry.ngramIndexTables(spark, dir)
     try {
       val df = SparkEntry.queries("q31b_ngram_persisted")(spark, dir)
       val p = df.queryExecution.executedPlan.toString
@@ -101,16 +101,42 @@ class PlanSpec extends SparkSpec {
         "gram kernel ran on the serve path:\n" + p.take(1200))
       assert(!p.contains("documents"),
         "serve path re-scanned the corpus:\n" + p.take(1200))
-      assert(p.contains(s"graft_q31b_inv_$tag") &&
-        p.contains(s"graft_q31b_cands_$tag"), p.take(1200))
+      assert(p.contains(invT) && p.contains(candT), p.take(1200))
       // and the lifecycle returns exactly the one-shot pairs
       val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       val oneShot = SparkEntry.queries("q31_ngram_jaccard")(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(pairs == oneShot, s"persisted=${pairs.size} oneShot=${oneShot.size}")
     } finally {
-      spark.sql(s"DROP TABLE IF EXISTS graft_q31b_inv_$tag")
-      spark.sql(s"DROP TABLE IF EXISTS graft_q31b_cands_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS $invT")
+      spark.sql(s"DROP TABLE IF EXISTS $candT")
+    }
+  }
+
+  test("q54b: BM25 serves off the stats tables — no corpus scan, term filter pushed down") {
+    val (statsT, dfT, corpT) = SparkEntry.bm25Tables(spark, dir)
+    try {
+      val df = SparkEntry.queries("q54b_bm25_persisted")(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("documents"),
+        "serve path re-scanned the corpus:\n" + p.take(1200))
+      assert(p.contains(statsT) && p.contains(dfT) && p.contains(corpT),
+        p.take(1200))
+      // the query-term filter reaches the postings parquet scan
+      val statsScan = p.linesIterator
+        .filter(l => l.contains(statsT) && l.contains("PushedFilters"))
+        .mkString("\n")
+      assert(statsScan.contains("In(term"),
+        "term filter not pushed into the postings scan:\n" + statsScan)
+      // and the lifecycle returns exactly the ad-hoc scores
+      val served = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val adHoc = SparkEntry.queries("q54_bm25")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served == adHoc, s"served=${served.take(5)} adHoc=${adHoc.take(5)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $statsT")
+      spark.sql(s"DROP TABLE IF EXISTS $dfT")
+      spark.sql(s"DROP TABLE IF EXISTS $corpT")
     }
   }
 
