@@ -56,7 +56,18 @@ object Components {
     // generation (e.g. n-gram Jaccard) executes once per branch
     val input = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .localCheckpoint()
-    var cur = sym(input).localCheckpoint()
+
+    // row counts ride each checkpoint's materialization job as an
+    // Observation (computed by the tasks that are already running) —
+    // the fixpoint precheck below then costs zero extra jobs per
+    // round, instead of the two count() jobs it used to launch.
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
+
+    var (cur, curCount) = checkpointCounted(sym(input))
 
     // free a superseded checkpoint's blocks now, not at some future GC:
     // a localCheckpointed frame is a LogicalRDD leaf over a persisted
@@ -91,15 +102,18 @@ object Components {
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .union(dmin.select(col("u"), col("m").as("v")))
-      val next = sym(small).localCheckpoint()
+      val (next, nextCount) = checkpointCounted(sym(small))
 
       // fixpoint: the symmetric edge sets are equal (both canonical
-      // and deduped, so equal counts + empty anti-join is equality)
-      converged = next.count() == cur.count() &&
-        next.except(cur).isEmpty
+      // and deduped, so equal counts + empty anti-join is equality).
+      // The count precheck is free (observed above); the exact
+      // anti-join runs only on rounds whose counts already agree —
+      // typically once, at convergence itself.
+      converged = nextCount == curCount && next.except(cur).isEmpty
       free(afterLarge)
       free(cur)
       cur = next
+      curCount = nextCount
       iter += 1
     }
     require(converged,
