@@ -1073,6 +1073,36 @@ object SparkEntry {
         }
       graft.operators.Multimodal.imageStats(media).toDF()
         .orderBy("media_id")
+    }),
+
+    // Vision pipeline end-to-end under the oracle gate: a deterministic
+    // frame fixture (2 cameras × 150 frames at 2 s cadence, constant 3
+    // objects in smooth +4/+3 px-per-frame motion) runs the REAL W4
+    // state machine (flatMapGroupsWithState tracker) into the 1-minute
+    // continuous aggregate. The closed form the oracle restates only
+    // holds if the tracker associates every object across all 150
+    // frames (stable ids 0/1/2 per camera, durations growing 2 s per
+    // frame): a single mis-association resets first-seen and shifts
+    // avg_duration. Mirrors flink_vision_job_proper.py:186-269.
+    "q65_vision_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val t0Ms = graft.generator.Generator.BaseEpochSec * 1000L
+      val frames = s.range(0, 300).map { n =>
+        val cam = "CAM_%02d".format((n % 2) + 1)
+        val i = (n / 2).toInt
+        val dets = (0 until 3).map { d =>
+          val cx = 100 + 200 * d + 4 * i
+          val cy = 100 + 150 * d + 3 * i
+          graft.streaming.DetRaw("Car", cx - 30, cy - 60, cx + 30, cy + 60)
+        }
+        graft.streaming.FrameDets(cam, t0Ms + 2000L * i, dets)
+      }
+      val tracked = graft.streaming.VisionStreamJob.track(frames)
+      graft.streaming.VisionStreamJob.continuousAgg(tracked, withWatermark = false)
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("camera_id"), col("detection_count"), col("unique_objects"),
+          round(col("avg_duration"), 4).as("avg_duration"))
+        .orderBy("bucket", "camera_id")
     })
   )
 
@@ -2003,6 +2033,22 @@ object SparkEntry {
          FROM documents d, generate_series(0, 22) AS x(x), generate_series(0, 15) AS y(y)
          WHERE x.x < 16 + d.doc_id % 8 AND y.y < 12 + d.doc_id % 5
          GROUP BY d.doc_id
-         ORDER BY media_id"""
+         ORDER BY media_id""",
+
+    // q65: the closed form of the vision fixture — valid ONLY when the
+    // tracker keeps every association: per camera 3 stable objects, 30
+    // frames per 1-min window (2 s cadence), durations exactly 2i s at
+    // frame i, so avg_duration over window k is 60k + 29 and the HLL
+    // distinct over ids {0,1,2} is exactly 3. Any tracking break
+    // (id churn, duration reset, dropped frame) shifts these values.
+    "q65_vision_e2e" ->
+      """SELECT strftime(epoch_ms((1767103200 + 60 * g.k) * 1000), '%Y-%m-%d %H:%M:%S') AS bucket,
+                c.camera_id,
+                CAST(90 AS BIGINT) AS detection_count,
+                CAST(3 AS BIGINT) AS unique_objects,
+                round(CAST(60 * g.k + 29 AS DOUBLE), 4) AS avg_duration
+         FROM generate_series(0, 4) AS g(k),
+              (VALUES ('CAM_01'), ('CAM_02')) AS c(camera_id)
+         ORDER BY bucket, camera_id"""
   )
 }
