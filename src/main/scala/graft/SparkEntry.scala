@@ -338,7 +338,12 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Dedup: per-document 64-bit SimHash fingerprints (rows-only).
+    // Dedup: per-document 64-bit SimHash fingerprints — FULLY oracled:
+    // the DuckDB side restates the exact kernel (FNV-1a per token,
+    // mix64 finisher, per-bit majority vote) with 64-bit wrapping
+    // emulated in HUGEINT modular arithmetic (the corpus is pure ASCII
+    // at every SF, so lower()/char-code semantics agree engine-to-
+    // engine).
     "q23_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), graft.operators.Dedup.simhash(col("text")).as("simhash"))
@@ -416,14 +421,12 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Dedup: SimHash pigeonhole pair search within Hamming radius 3.
-    // Rows-only by necessity, not convenience: the corpus's Hamming
-    // histogram is continuous through the radius boundary at every SF
-    // (sf0.01: 23 pairs at ≤3, then 31 at 4, 87 at 5), so the pair set
-    // depends on this engine's exact 64-bit fingerprints and no
-    // hash-independent SQL oracle can reproduce it. Correctness is
-    // pinned instead by DedupSpec's exact all-pairs reconciliation
-    // (banding == brute force over the 124,750-pair sf0.01 sweep).
+    // Dedup: SimHash pigeonhole pair search within Hamming radius 3 —
+    // FULLY oracled now that the fingerprints themselves are (q23): the
+    // oracle recomputes every signature and brute-forces all pairs at
+    // bit_count(xor) <= 3, so the banding's completeness is checked
+    // against ground truth on every driver run (DedupSpec's all-pairs
+    // reconciliation remains as the spec-level cross-check).
     "q32_simhash_pairs" -> ((s, dir) => {
       graft.operators.Dedup.simhashDedup(
           t(s, dir, "documents"), "doc_id", "text", radius = 3)
@@ -1112,6 +1115,61 @@ object SparkEntry {
 
   /** All-pairs word-trigram Jaccard ground truth, shared verbatim by
     * q31 and q31b (the lifecycle variant must answer identically). */
+  /** Shared CTE prefix computing every document's 64-bit SimHash in
+    * DuckDB — an exact restatement of [[graft.operators.Sketches
+    * .simhash]]: lowercase whitespace tokens, FNV-1a 64 per token
+    * (recursive CTE over character positions), the mix64 finisher, and
+    * the per-bit majority vote. Java's wrapping 64-bit arithmetic is
+    * emulated in HUGEINT mod 2^64, with each multiply split at 2^32 so
+    * no intermediate exceeds 127 bits. Valid because the corpus is
+    * pure ASCII at every SF (checked), where DuckDB `lower`/`unicode`
+    * agree with Java's per-char toLowerCase/char codes. */
+  private val SimhashSigCte =
+    """WITH RECURSIVE
+       toks AS (
+         SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                           t -> len(t) > 0)) AS term
+         FROM documents),
+       dterm AS (SELECT DISTINCT term FROM toks),
+       fnv(term, pos, h) AS (
+         SELECT term, 0, CAST(14695981039346656037 AS HUGEINT) FROM dterm
+         UNION ALL
+         SELECT term, pos + 1,
+                (xor(h, CAST(unicode(substr(term, pos + 1, 1)) AS HUGEINT)) * 1099511628211)
+                  % 18446744073709551616
+         FROM fnv WHERE pos < len(term)),
+       fh0 AS (SELECT term, h FROM fnv WHERE pos = len(term)),
+       m1 AS (SELECT term, (h + 11400714819323198485) % 18446744073709551616 AS z FROM fh0),
+       m2 AS (SELECT term, xor(z, z // 1073741824) AS z FROM m1),
+       m3 AS (SELECT term,
+                (((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+                 + (z % 4294967296) * 13787848793156543929) % 18446744073709551616 AS z
+              FROM m2),
+       m4 AS (SELECT term, xor(z, z // 134217728) AS z FROM m3),
+       m5 AS (SELECT term,
+                (((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+                 + (z % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z
+              FROM m4),
+       fh AS (SELECT term, xor(z, z // 2147483648) AS th FROM m5),
+       bits(b, v) AS (
+         SELECT 0, CAST(1 AS HUGEINT)
+         UNION ALL SELECT b + 1, v * 2 FROM bits WHERE b < 63),
+       votes AS (
+         SELECT t.doc_id, bits.b, bits.v,
+                sum(CASE WHEN (fh.th // bits.v) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         FROM toks t JOIN fh USING (term), bits
+         GROUP BY t.doc_id, bits.b, bits.v),
+       usig AS (
+         SELECT doc_id, sum(CASE WHEN vote > 0 THEN v ELSE 0 END) AS u
+         FROM votes GROUP BY doc_id),
+       sig AS (
+         SELECT d.doc_id,
+                CAST(CASE WHEN coalesce(u.u, 0) >= 9223372036854775808
+                          THEN coalesce(u.u, 0) - 18446744073709551616
+                          ELSE coalesce(u.u, 0) END AS BIGINT) AS simhash
+         FROM documents d LEFT JOIN usig u USING (doc_id))
+    """
+
   private val NgramJaccardOracleSql =
     """WITH w AS (
          SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
@@ -1415,6 +1473,19 @@ object SparkEntry {
            FROM embeddings e JOIN q ON e.vec_id != q.query_id)
          SELECT query_id, corpus_id, cosine, CAST(rank AS INTEGER) AS rank
          FROM scored WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q23_simhash" ->
+      (SimhashSigCte + "SELECT doc_id, simhash FROM sig ORDER BY doc_id"),
+
+    // all-pairs brute force over the recomputed signatures: checks the
+    // pigeonhole banding's completeness against ground truth
+    "q32_simhash_pairs" ->
+      (SimhashSigCte +
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           ORDER BY doc_a, doc_b"""),
 
     "q31_ngram_jaccard" -> NgramJaccardOracleSql,
 
