@@ -519,7 +519,8 @@ object SparkEntry {
     // at every SF (10 such at sf0.01), whose detection depends on which
     // grams the rolling hash selects. No hash-independent SQL oracle
     // can state that set; the bracket + injected-clone completeness +
-    // soundness are spec-pinned instead (DedupSpec).
+    // soundness are spec-pinned instead (TextSpec, "q56 winnow pairs:
+    // guarantee bracket holds").
     "q56_winnow_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val clones = docs.filter(col("doc_id") < 5)

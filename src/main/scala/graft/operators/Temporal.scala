@@ -64,7 +64,11 @@ object Temporal {
       Seq(col(key).as("__key"), col(leftTs).as("__ts"), lit(1).as("__side"), ordL) ++
         lcols.map(col) :+
         lit(null).cast(rvType).as("__rv"): _*)
-    val rSide = right.select(
+    // a right row with no timestamp cannot be "the latest at-or-before"
+    // anything — unfiltered it would sort first (nulls-first) and leak
+    // into the fill with a null __rts that turns the tolerance predicate
+    // three-valued
+    val rSide = right.filter(col(rightTs).isNotNull).select(
       Seq(col(key).as("__key"), col(rightTs).as("__ts"), lit(0).as("__side"), ordR) ++
         lcols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightVals.map(col) :+ col(rightTs).as("__rts"): _*).as("__rv"): _*)
@@ -120,7 +124,10 @@ object Temporal {
       Seq(col(key).as("__key"), col(leftTs).as("__ts"), lit(1).as("__side"), ordL) ++
         lcols.map(col) :+
         lit(null).cast(rvType).as("__rv"): _*)
-    val rSide = right.select(
+    // null-timestamp right rows are rejected, as in [[asofJoin]] — here
+    // they'd additionally make the backward/forward distance compare
+    // three-valued, yielding direction-dependent arbitrary matches
+    val rSide = right.filter(col(rightTs).isNotNull).select(
       Seq(col(key).as("__key"), col(rightTs).as("__ts"), lit(0).as("__side"), ordR) ++
         lcols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightVals.map(col) :+ col(rightTs).as("__rts"): _*).as("__rv"): _*)

@@ -104,8 +104,19 @@ object Lake {
     * Walks `year=/month=/day=/hour=` leaf dirs through the FileSystem
     * API, and rewrites only those holding more than
     * `maxFilesPerPartition` data files, into `ceil(bytes/targetBytes)`
-    * files each. Each rewrite is verified (row count equality) before
-    * the swap, and the swap never deletes a byte until the compacted
+    * files each.
+    *
+    * The rewrite is LOSSLESS under schema drift, never a parse through
+    * `schema`: line formats (json/csv/text) move as verbatim lines
+    * (`spark.read.text` → `write.text` — fields a reader's schema
+    * wouldn't know about, malformed-but-recoverable lines, everything
+    * on disk rides through byte-identical, verified by a line count +
+    * CRC32 sum); self-describing formats (parquet/orc) are read by
+    * their own footers with `mergeSchema`, so no column any file
+    * carries is dropped. The `schema` parameter is only a fallback for
+    * formats that are neither (none in this lake).
+    * Each rewrite is verified before the swap, and the swap never
+    * deletes a byte until the compacted
     * files are renamed in: originals are first moved aside into a
     * hidden `.<hour>_compact_old` dir, the compacted files renamed
     * into place (every rename result checked), and only then is the
@@ -146,13 +157,30 @@ object Lake {
             s"($tmp / $old); restore or remove them manually first")
         val bytes = files.map(_.getLen).sum
         val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        val df = spark.read.schema(schema).format(format).load(dir.toString)
-        val expected = df.count()
-        df.coalesce(n).write.format(format).save(tmp.toString)
-        val actual = spark.read.schema(schema).format(format)
-          .load(tmp.toString).count()
+        val lineFormat = Set("json", "csv", "text")(format)
+        def read(p: Path): DataFrame =
+          if (lineFormat) spark.read.text(p.toString)
+          else if (format == "parquet" || format == "orc")
+            spark.read.option("mergeSchema", "true").format(format).load(p.toString)
+          else spark.read.schema(schema).format(format).load(p.toString)
+        // content fingerprint the rewrite must reproduce: line formats
+        // get count + CRC32-of-line sum (order-free, catches any byte
+        // change); self-describing formats get the row count
+        def fingerprint(df: DataFrame): (Long, Long) = {
+          val row =
+            if (lineFormat) df.agg(count(lit(1)),
+              coalesce(sum(crc32(col("value"))), lit(0L))).head
+            else df.agg(count(lit(1)), lit(0L)).head
+          (row.getLong(0), row.getLong(1))
+        }
+        val src = read(dir)
+        val expected = fingerprint(src)
+        if (lineFormat) src.coalesce(n).write.text(tmp.toString)
+        else src.coalesce(n).write.format(format).save(tmp.toString)
+        val actual = fingerprint(read(tmp))
         require(actual == expected,
-          s"compaction of $rel would lose rows ($actual != $expected); aborting before swap")
+          s"compaction of $rel would alter content " +
+            s"(count,crc $actual != $expected); aborting before swap")
         def mv(src: Path, dst: Path): Unit = require(fs.rename(src, dst),
           s"rename $src -> $dst failed; $rel left in its recovery dirs, no data deleted")
         // move originals aside (hidden from readers), bring the

@@ -118,6 +118,30 @@ class TemporalSpec extends SparkSpec {
       (3L, None), (4L, None))) // id=3's nearest is 360s away > 90s
   }
 
+  test("asof joins reject right rows with a NULL timestamp") {
+    // a null-ts right row used to sort nulls-first into the cumulative
+    // fill (asofJoin: it becomes "the earliest row"; asofJoinNearest:
+    // its null __rts turns the direction compare three-valued) — both
+    // must behave as if the row were absent
+    val left = Seq(
+      (1L, 5L, ts("2024-01-01 00:10:00")),
+      (2L, 6L, ts("2024-01-01 00:10:00"))  // key whose ONLY right row is null-ts
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (5L, Option(ts("2024-01-01 00:09:00")), 1.0, 1L),
+      (5L, None: Option[Timestamp], 666.0, 2L),
+      (6L, None: Option[Timestamp], 777.0, 1L)
+    ).toDF("k", "t", "v", "ord")
+    for (join <- Seq(Temporal.asofJoin _, Temporal.asofJoinNearest _)) {
+      val out = join(left, right, "k", "t", "t", Seq("v"), Some("ord"), None)
+        .orderBy("id").select("id", "v").as[(Long, Option[Double])].collect()
+      assert(out === Seq((1L, Some(1.0)), (2L, None)), s"got ${out.toSeq}")
+      val tol = join(left, right, "k", "t", "t", Seq("v"), Some("ord"), Some(300L))
+        .orderBy("id").select("id", "v").as[(Long, Option[Double])].collect()
+      assert(tol === Seq((1L, Some(1.0)), (2L, None)), s"got ${tol.toSeq}")
+    }
+  }
+
   test("asofJoin refuses colliding value column names") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"), 0.0)).toDF("k", "t", "v")
     val r = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")

@@ -116,6 +116,41 @@ class LakeSpec extends SparkSpec {
       maxFilesPerPartition = 2).isEmpty)
   }
 
+  test("JSONL compaction is lossless under schema drift and malformed lines") {
+    // fields absent from the declared schema, and lines the schema can't
+    // parse at all, must ride through compaction byte-identical — the
+    // rewrite is a line move, never a parse through `schema`
+    val dir = tmp()
+    val leaf = new java.io.File(s"$dir/year=2026/month=01/day=01/hour=00")
+    leaf.mkdirs()
+    val drifted = Seq(
+      """{"sensor_id":"a","extra_field":{"nested":1},"timestamp":"2026-01-01T00:00:00Z"}""",
+      """{"sensor_id":"b","renamed_pm25":7.5}""",
+      """this line is not even JSON {{{""",
+      """{"sensor_id":"c"}""")
+    drifted.zipWithIndex.foreach { case (line, i) =>
+      Files.write(java.nio.file.Paths.get(s"$leaf/part-drift-$i.json"),
+        (line + "\n").getBytes("UTF-8"))
+    }
+    // 6 more tiny files so the partition crosses the threshold
+    (0 until 6).foreach { i =>
+      Files.write(java.nio.file.Paths.get(s"$leaf/part-pad-$i.json"),
+        s"""{"sensor_id":"pad$i"}\n""".getBytes("UTF-8"))
+    }
+    val before = spark.read.textFile(leaf.toString).collect().sorted
+    val compacted = Lake.compact(spark, dir, Schemas.airQuality,
+      maxFilesPerPartition = 2)
+    assert(compacted == Seq("year=2026/month=01/day=01/hour=00"), compacted)
+    val survivors = leaf.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(survivors.length == 1, s"expected 1 compacted file, got ${survivors.length}")
+    val after = spark.read.textFile(leaf.toString).collect().sorted
+    assert(after.toSeq == before.toSeq,
+      s"compaction altered raw lines:\n${after.toSeq.diff(before.toSeq)}")
+    assert(after.exists(_.contains("extra_field")) &&
+      after.exists(_.contains("not even JSON")))
+  }
+
   test("map-typed vehicle breakdown merges via City.mergeMapCounts (A9)") {
     val p = Generator.parking(spark, 30)
       .select(col("data.parking_lot_id").as("lot"),
