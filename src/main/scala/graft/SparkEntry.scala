@@ -1107,6 +1107,50 @@ object SparkEntry {
           col("camera_id"), col("detection_count"), col("unique_objects"),
           round(col("avg_duration"), 4).as("avg_duration"))
         .orderBy("bucket", "camera_id")
+    }),
+
+    // Lake maintenance under the oracle gate: fragment the documents
+    // table into a JSONL bronze tree (8 hash-partitioned writers × 3
+    // event-hour leaves → 8 files per leaf), run the never-delete-first
+    // Lake.compact swap, and read the tree back. The emitted rows prove
+    // in one hash what the oracle can state in closed form: every
+    // document survives the swap byte-identical (per-doc md5 through
+    // the JSONL roundtrip), every leaf held more than
+    // maxFilesPerPartition files before and exactly one after, and all
+    // three leaves were rewritten. A lost line, a parse-altered field,
+    // a skipped leaf, or a leftover fragment each breaks a column.
+    "q66_compaction" -> ((s, dir) => {
+      import s.implicits._
+      val lakeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q66_lake_${docsTag(s, dir)}").toString
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("year", lit("2026")).withColumn("month", lit("01"))
+        .withColumn("day", lit("01"))
+        .withColumn("hour", format_string("%02d", col("doc_id") % 3))
+        .repartition(8, col("doc_id"))
+        .write.mode("overwrite").partitionBy("year", "month", "day", "hour")
+        .json(lakeDir)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string")
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(lakeDir).getFileSystem(s.sessionState.newHadoopConf())
+      def filesIn(h: Int): Int = fs.listStatus(
+          new Path(f"$lakeDir/year=2026/month=01/day=01/hour=$h%02d"))
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      val before = (0 until 3).map(filesIn)
+      val compacted = graft.sources.Lake.compact(s, lakeDir, schema,
+        format = "json", maxFilesPerPartition = 4)
+      val perLeaf = (0 until 3).map(h =>
+          (h, before(h) > 4, filesIn(h), compacted.size))
+        .toDF("hour_bucket", "fragmented_before", "files_after", "n_compacted")
+      graft.sources.Lake.readBronze(s, lakeDir, schema, "json")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("hour").cast("int").as("hour_bucket"))
+        .join(broadcast(perLeaf), "hour_bucket")
+        .select(col("doc_id"), col("text_md5"), col("hour_bucket"),
+          col("fragmented_before"), col("files_after"), col("n_compacted"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2121,6 +2165,17 @@ object SparkEntry {
                 round(CAST(60 * g.k + 29 AS DOUBLE), 4) AS avg_duration
          FROM generate_series(0, 4) AS g(k),
               (VALUES ('CAM_01'), ('CAM_02')) AS c(camera_id)
-         ORDER BY bucket, camera_id"""
+         ORDER BY bucket, camera_id""",
+
+    // q66: the closed form of a lossless compaction — every document
+    // rides the fragment→compact→read-back loop with its text md5
+    // intact, each of the 3 leaves was fragmented (8 files > 4) before
+    // and holds exactly 1 file after, and all 3 were rewritten.
+    "q66_compaction" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+                CAST(doc_id % 3 AS INT) AS hour_bucket,
+                true AS fragmented_before,
+                1 AS files_after, 3 AS n_compacted
+         FROM documents ORDER BY doc_id"""
   )
 }
