@@ -53,6 +53,18 @@ object SparkEntry {
     (s"graft_q31b_inv_$tag", s"graft_q31b_cands_$tag")
   }
 
+  /** Incremental n-gram index tables (q31c): the frozen-order
+    * build/append lifecycle of [[graft.operators.Dedup
+    * .ensureNgramIndexIncr]]. Same naming rules as
+    * [[ngramIndexTables]]. */
+  private[graft] def ngramIncrTables(s: SparkSession, dir: String)
+      : graft.operators.Dedup.NgramIncrTables = {
+    val tag = docsTag(s, dir) + "_n3_t50_incr"
+    graft.operators.Dedup.NgramIncrTables(
+      s"graft_q31c_inv_$tag", s"graft_q31c_df_$tag",
+      s"graft_q31c_pinv_$tag", s"graft_q31c_cands_$tag")
+  }
+
   /** Shared build-once BM25 statistics tables (q54b). */
   private[graft] def bm25Tables(s: SparkSession, dir: String): (String, String, String) = {
     val tag = docsTag(s, dir)
@@ -418,6 +430,28 @@ object SparkEntry {
         n = 3, threshold = 0.5)
       graft.operators.Dedup.ngramVerifiedPairs(s.table(invT), s.table(candT),
           threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Incremental-index lifecycle: the index is BUILT over 60% of the
+    // corpus (doc_id % 5 < 3) under a frozen gram order, the other 40%
+    // arrives as an APPEND touching only delta-sized rows — and serving
+    // must still answer byte-identically to the one-shot q31 oracle
+    // over the whole corpus. Pins the frozen-order completeness
+    // argument (Dedup.ensureNgramIndexIncr) at driver level; the
+    // multi-append + unseen-vocabulary cases are spec-pinned
+    // (DedupSpec "incremental n-gram index").
+    "q31c_ngram_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tbl = ngramIncrTables(s, dir)
+      graft.operators.Dedup.ensureNgramIndexIncr(s,
+        docs.filter(col("doc_id") % 5 < 3), "doc_id", "text", tbl,
+        n = 3, threshold = 0.5)
+      graft.operators.Dedup.appendToNgramIndex(s,
+        docs.filter(col("doc_id") % 5 >= 3), "doc_id", "text", tbl,
+        n = 3, threshold = 0.5)
+      graft.operators.Dedup.ngramVerifiedPairs(s.table(tbl.inv),
+          s.table(tbl.cands), threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -1538,6 +1572,10 @@ object SparkEntry {
     // answer — the SAME oracle string, bound once so the two can never
     // drift apart
     "q31b_ngram_persisted" -> NgramJaccardOracleSql,
+
+    // the incremental build+append lifecycle must return exactly the
+    // one-shot q31 answer over the full corpus
+    "q31c_ngram_incremental" -> NgramJaccardOracleSql,
 
     "q29_map_merge" ->
       """WITH base AS (

@@ -224,4 +224,40 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "ngram join must be an equi-join")
   }
+
+  test("incremental n-gram index: multi-append equals full rebuild, frozen order survives unseen vocabulary") {
+    val tbl = Dedup.NgramIncrTables("graft_test_incr_inv", "graft_test_incr_df",
+      "graft_test_incr_pinv", "graft_test_incr_cands")
+    def dropAll(): Unit = Seq(tbl.inv, tbl.dfreq, tbl.pinv, tbl.cands)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll()
+    try {
+      // two clones in entirely unseen vocabulary arrive in DIFFERENT
+      // appends: their grams rank at frozen df 0, and the pair must
+      // still be found (frozen-order completeness, not just replay)
+      val zz = (1 to 40).map(i => s"zq$i").mkString(" ")
+      val extra = Seq((2000L, zz), (2001L, zz + " tail marker here")).toDF("doc_id", "text")
+      val full = corpus.union(extra)
+      val chunks = Seq(
+        corpus.filter($"doc_id" % 3 === 0),
+        corpus.filter($"doc_id" % 3 === 1).union(extra.filter($"doc_id" === 2000L)),
+        corpus.filter($"doc_id" % 3 === 2).union(extra.filter($"doc_id" === 2001L)))
+      Dedup.ensureNgramIndexIncr(spark, chunks.head, "doc_id", "text", tbl)
+      chunks.tail.foreach(c =>
+        Dedup.appendToNgramIndex(spark, c, "doc_id", "text", tbl))
+      def serve() = Dedup.ngramVerifiedPairs(
+          spark.table(tbl.inv), spark.table(tbl.cands), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val incr = serve()
+      val oneShot = Dedup.ngramJaccard(full, "doc_id", "text", n = 3, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(incr == oneShot,
+        s"incremental != full rebuild: only-incr=${incr -- oneShot} only-full=${oneShot -- incr}")
+      assert(incr.exists(p => p._1 == 2000L && p._2 == 2001L),
+        "unseen-vocabulary near-dup pair across appends must be found")
+      // replaying an already-absorbed batch is a no-op
+      Dedup.appendToNgramIndex(spark, chunks(1), "doc_id", "text", tbl)
+      assert(serve() == incr, "replayed append must not change the answer")
+    } finally dropAll()
+  }
 }
