@@ -1143,6 +1143,30 @@ object SparkEntry {
         .orderBy("bucket", "camera_id")
     }),
 
+    // Audio decode under the oracle gate (the q64 pattern for WAV):
+    // synthesize a deterministic asymmetric square wave per document
+    // (+A / -(A+1), period/amplitude/length varying with doc_id),
+    // encode it as 16-bit PCM WAV, decode back through the REAL
+    // javax.sound parser, and emit integer-exact stats. The oracle
+    // restates the closed form — a decoder faking the parse, or one
+    // with a byte-order/signedness bug, cannot reproduce
+    // sum_abs/peak_min.
+    "q67_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 800 + (id % 13).toInt * 16
+          val half = 4 + (id % 5).toInt
+          val a = 1000 + (id % 7).toInt * 500
+          val samples = Array.tabulate(n)(i =>
+            if ((i / half) % 2 == 0) a else -(a + 1))
+          graft.operators.Multimodal.MediaRow(id,
+            graft.operators.Multimodal.Codec.encodeWav(8000f, 1, samples),
+            "wav")
+        }
+      graft.operators.Multimodal.audioStats(media).toDF().orderBy("media_id")
+    }),
+
     // Lake maintenance under the oracle gate: fragment the documents
     // table into a JSONL bronze tree (8 hash-partitioned writers × 3
     // event-hour leaves → 8 files per leaf), run the never-delete-first
@@ -2204,6 +2228,34 @@ object SparkEntry {
          FROM generate_series(0, 4) AS g(k),
               (VALUES ('CAM_01'), ('CAM_02')) AS c(camera_id)
          ORDER BY bucket, camera_id""",
+
+    // q67: closed form of the WAV fixture. Positive samples: the
+    // even-indexed half-period blocks — (full+1)//2 complete blocks of
+    // `half` samples plus the remainder block when `full` is even;
+    // every other sample is -(a+1). Zero crossings: one per block
+    // boundary at or before the last frame.
+    "q67_audio_decode" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  800 + (doc_id % 13) * 16 AS n,
+                  4 + doc_id % 5 AS half,
+                  1000 + (doc_id % 7) * 500 AS a
+           FROM documents),
+         q AS (SELECT doc_id, n, half, a, n // half AS fullb, n % half AS rem FROM p),
+         r AS (SELECT doc_id, n, half, a,
+                      ((fullb + 1) // 2) * half
+                        + CASE WHEN fullb % 2 = 0 THEN rem ELSE 0 END AS npos
+               FROM q)
+         SELECT doc_id AS media_id,
+                CAST(8000 AS INT) AS sample_rate,
+                CAST(1 AS INT) AS channels,
+                CAST(16 AS INT) AS bits,
+                CAST(n AS BIGINT) AS n_frames,
+                CAST(npos * a + (n - npos) * (a + 1) AS BIGINT) AS sum_abs,
+                CAST((n - 1) // half AS BIGINT) AS zero_crossings,
+                CAST(-(a + 1) AS INT) AS peak_min,
+                CAST(a AS INT) AS peak_max
+         FROM r ORDER BY media_id""",
 
     // q66: the closed form of a lossless compaction — every document
     // rides the fragment→compact→read-back loop with its text md5

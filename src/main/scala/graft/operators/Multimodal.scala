@@ -51,6 +51,9 @@ object Multimodal {
                          features: Array[Float])
   case class ResizedImage(media_id: Long, width: Int, height: Int,
                           content: Array[Byte])
+  case class AudioStats(media_id: Long, sample_rate: Int, channels: Int,
+                        bits: Int, n_frames: Long, sum_abs: Long,
+                        zero_crossings: Long, peak_min: Int, peak_max: Int)
 
   /** The real codec: JDK `ImageIO` + `java.awt.image`. Kept as plain
     * static helpers — safe to call from executor tasks (ImageIO's
@@ -119,6 +122,58 @@ object Multimodal {
     private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
       val out = new ByteArrayOutputStream()
       ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+
+    /** Parse a WAV container into its `AudioFormat` plus interleaved
+      * integer samples — REAL parse via `javax.sound.sampled` (ships
+      * with the JDK, works headless; the provider registry is
+      * JVM-global and thread-safe like ImageIO's). 16-bit signed
+      * (either endianness) and 8-bit unsigned PCM are decoded; other
+      * encodings and null/corrupt payloads yield None (the P4 guard —
+      * bad media degrades, not throws). */
+    def decodeWav(bytes: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Int])] =
+      if (bytes == null || bytes.isEmpty) None
+      else
+        try {
+          val in = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            val raw = in.readAllBytes()
+            fmt.getSampleSizeInBits match {
+              case 16 =>
+                val out = new Array[Int](raw.length / 2)
+                var i = 0
+                while (i < out.length) {
+                  out(i) =
+                    if (fmt.isBigEndian) (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)
+                    else (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+                  i += 1
+                }
+                Some((fmt, out))
+              case 8 => Some((fmt, raw.map(b => (b & 0xff) - 128)))
+              case _ => None
+            }
+          } finally in.close()
+        } catch { case _: Exception => None }
+
+    /** Encode interleaved samples as 16-bit signed little-endian PCM
+      * WAV through the same `javax.sound` stack. */
+    def encodeWav(sampleRate: Float, channels: Int, samples: Array[Int]): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(raw), fmt, (samples.length / channels).toLong)
+      val out = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }
 
@@ -200,6 +255,49 @@ object Multimodal {
             ImageStats(m.media_id, img.getWidth, img.getHeight,
               img.getRaster.getNumBands, sum, dark)
           case None => ImageStats(m.media_id, 0, 0, 0, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** Exact integer decode statistics for audio — the oracle-friendly
+    * face of the WAV decoder (q67, the [[imageStats]] pattern):
+    * container facts from the parsed header (rate/channels/bits),
+    * `n_frames` = sample frames, `sum_abs` = Σ|sample| over every
+    * channel, `zero_crossings` counted on channel 0 (sign change
+    * between consecutive frames, zero counted positive), and the
+    * signed peaks. A decoder with a byte-order or signedness bug
+    * cannot reproduce `sum_abs`/`peak_min` on an asymmetric-amplitude
+    * fixture. Undecodable payloads degrade to a zero row. */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        Codec.decodeWav(m.content) match {
+          case Some((fmt, s)) =>
+            val ch = fmt.getChannels
+            var sumAbs = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            var i = 0
+            while (i < s.length) {
+              val v = s(i)
+              sumAbs += math.abs(v.toLong)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            val frames = s.length / ch
+            var zc = 0L
+            var k = 0
+            while (k + 1 < frames) {
+              val a = s(k * ch) >= 0
+              val b = s((k + 1) * ch) >= 0
+              if (a != b) zc += 1
+              k += 1
+            }
+            AudioStats(m.media_id, fmt.getSampleRate.toInt, ch,
+              fmt.getSampleSizeInBits, frames, sumAbs, zc,
+              if (frames == 0) 0 else mn, if (frames == 0) 0 else mx)
+          case None => AudioStats(m.media_id, 0, 0, 0, 0L, 0L, 0L, 0, 0)
         }
       }
     }

@@ -147,6 +147,56 @@ class MultimodalSpec extends SparkSpec {
     assert(vals.forall(v => math.abs(v - 200) <= 6), s"got ${vals.min}..${vals.max}")
   }
 
+  test("WAV codec: 16-bit stereo roundtrip is sample-exact through javax.sound") {
+    // pseudo-random but deterministic samples spanning the int16 range,
+    // interleaved L/R — decode must recover every sample and the header
+    val samples = Array.tabulate(2 * 341)(i => ((i * 7919 + 13) % 65536) - 32768)
+    val wav = Codec.encodeWav(44100f, 2, samples)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (fmt, got) = Codec.decodeWav(wav).get
+    assert(fmt.getSampleRate == 44100f && fmt.getChannels == 2 &&
+      fmt.getSampleSizeInBits == 16)
+    assert(got.toSeq == samples.toSeq, "PCM samples must roundtrip exactly")
+    // sniffFormat agrees it's a WAV container
+    val sniffed = Seq((1L, wav)).toDF("id", "bin")
+      .select(sniffFormat($"bin")).as[String].head()
+    assert(sniffed == "wav")
+  }
+
+  test("WAV codec: 8-bit unsigned PCM decodes re-centered; corrupt bytes degrade") {
+    // hand-rolled 8-bit unsigned mono WAV through the same javax.sound
+    // writer the 16-bit path uses
+    val vals = Array(0, 64, 128, 192, 255)
+    val raw = vals.map(_.toByte)
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt8, vals.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val (fmt, got) = Codec.decodeWav(out.toByteArray).get
+    assert(fmt.getSampleSizeInBits == 8)
+    assert(got.toSeq == Seq(-128, -64, 0, 64, 127))
+    assert(Codec.decodeWav(null).isEmpty &&
+      Codec.decodeWav(Array.empty[Byte]).isEmpty &&
+      Codec.decodeWav(bytes(Array(0x52, 0x49, 0x46, 0x46))).isEmpty)
+  }
+
+  test("audioStats: integer-exact stats match a brute-force pass; corrupt -> zero row") {
+    val samples = Array.tabulate(500)(i => if ((i / 6) % 2 == 0) 900 else -901)
+    val media = Seq(
+      MediaRow(1L, Codec.encodeWav(8000f, 1, samples), "wav"),
+      MediaRow(2L, bytes(Array(0x52, 0x49, 0x46, 0x46)), "wav")).toDS()
+    val got = audioStats(media).collect().sortBy(_.media_id)
+    val brute = samples.map(v => math.abs(v.toLong)).sum
+    val zc = (0 until samples.length - 1)
+      .count(i => (samples(i) >= 0) != (samples(i + 1) >= 0))
+    assert(got(0) == AudioStats(1L, 8000, 1, 16, 500, brute, zc.toLong, -901, 900),
+      s"got ${got(0)}")
+    assert(got(1) == AudioStats(2L, 0, 0, 0, 0L, 0L, 0L, 0, 0))
+  }
+
   test("pipeline: decoded image features feed the similarity operators directly") {
     val media = (1L to 6L).map(i => MediaRow(i, gradPng(i * 37, 16, 16), "png")).toDS()
     val feats = extractImageFeatures(media, featureDim = 16)
