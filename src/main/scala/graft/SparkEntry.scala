@@ -1143,6 +1143,33 @@ object SparkEntry {
         .orderBy("bucket", "camera_id")
     }),
 
+    // Hybrid retrieval: BM25 top-20 (q54's query) fused with
+    // brute-force cosine top-20 (q24's probe) by reciprocal-rank
+    // fusion — the lexical+semantic composition every RAG-ish corpus
+    // pipeline runs. Each leg is ranked under the oracle discipline
+    // (rounded score, id tiebreak) so ranks — and therefore the fused
+    // 1/(60+rank) sums — are engine-exact. The two legs share the
+    // doc_id == vec_id convention of the testdata tables.
+    "q68_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.operators.Retrieval.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("the", "data", "model"), n = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(round(col("score"), 4).desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect().head.getSeq[Float](0)
+      val sem = graft.operators.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", qv, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(round(col("cosine"), 6).desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank")
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
     // Audio decode under the oracle gate (the q64 pattern for WAV):
     // synthesize a deterministic asymmetric square wave per document
     // (+A / -(A+1), period/amplitude/length varying with doc_id),
@@ -2228,6 +2255,49 @@ object SparkEntry {
          FROM generate_series(0, 4) AS g(k),
               (VALUES ('CAM_01'), ('CAM_02')) AS c(camera_id)
          ORDER BY bucket, camera_id""",
+
+    // q68: both legs restated (q54's BM25 CTE chain + q24's cosine
+    // probe), ranked by (rounded score, id), fused as 1/(60+rank)
+    // sums. The per-doc sum has at most two commutative terms, so the
+    // doubles are engine-exact unrounded.
+    "q68_hybrid_rrf" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                      t -> len(t) > 0) AS ws
+           FROM documents),
+         dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+         stats AS (SELECT count(1) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tr AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(1) AS tf FROM tr
+                WHERE term IN ('the', 'data', 'model') GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id,
+                  sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                      (tf.tf * 2.2) /
+                      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+           GROUP BY tf.doc_id),
+         lex AS (
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+           FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         semtop AS (
+           SELECT vec_id, CAST(list_cosine_similarity(embedding, qv) AS DOUBLE) AS cosine
+           FROM embeddings, q
+           ORDER BY round(CAST(list_cosine_similarity(embedding, qv) AS DOUBLE), 6) DESC, vec_id
+           LIMIT 20),
+         sem AS (
+           SELECT vec_id AS doc_id,
+                  row_number() OVER (ORDER BY round(cosine, 6) DESC, vec_id) AS rank
+           FROM semtop),
+         unioned AS (SELECT doc_id, rank FROM lex
+                     UNION ALL SELECT doc_id, rank FROM sem)
+         SELECT doc_id, sum(1.0 / (60 + rank)) AS rrf_score,
+                count(1) AS n_lists
+         FROM unioned GROUP BY doc_id
+         ORDER BY rrf_score DESC, doc_id""",
 
     // q67: closed form of the WAV fixture. Positive samples: the
     // even-indexed half-period blocks — (full+1)//2 complete blocks of

@@ -142,6 +142,32 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(n)
 
+  /** Reciprocal-rank fusion (the standard hybrid-search composition):
+    * fuse any number of ranked candidate lists into
+    * `rrf_score = Σ_lists 1/(kRrf + rank)`, dropping each list's score
+    * scale entirely — which is the point: BM25 scores and cosines are
+    * not commensurable, ranks are. Output: `(idCol, rrf_score,
+    * n_lists)`, one row per distinct candidate.
+    *
+    * Inputs are per-query TOP-K lists (1-based `rankCol`), already
+    * bounded by their producers ([[bm25TopK]],
+    * [[Similarity.bruteForceTopK]], [[Similarity.lshTopK]], …) — so
+    * the fusion is a union of tiny frames plus ONE hash aggregation:
+    * no join, no window, nothing scales with the corpus. Rank
+    * determinism is the caller's contract (rank on a rounded score
+    * with an id tiebreak, the q24/q54 oracle discipline), because a
+    * rank flip between equal-scored docs shifts `1/(k+rank)`. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf > 0, s"kRrf must be positive, got $kRrf")
+    rankings.map(_.select(col(idCol), col(rankCol).cast("long").as("__rank")))
+      .reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(sum(lit(1.0) / (lit(kRrf) + col("__rank"))).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+  }
+
   /** Build-once/serve-many lifecycle: write postings, docFreq and
     * corpus-stat tables unless they already exist (idempotent; the
     * [[Dedup.ensureNgramTables]] pattern — idempotency is keyed on

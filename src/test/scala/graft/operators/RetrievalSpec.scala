@@ -43,6 +43,28 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.values.forall(_ > 0))
   }
 
+  test("rrfFuse: hand-checked fusion, overlap counted once per list, no corpus-scale ops") {
+    // list A ranks docs 1,2,3; list B ranks 3,2,9 — doc 3 appears in
+    // both (ranks 3 and 1), doc 9 only in B
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1), (2L, 3), (9L, 2)).toDF("doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), "doc_id", "rank", kRrf = 60)
+    val got = fused.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def s(ranks: Int*) = ranks.map(r => 1.0 / (60 + r)).sum
+    assert(got(1L) == ((s(1), 1L)))
+    assert(got(2L) == ((s(2, 3), 2L)))
+    assert(got(3L) == ((s(3, 1), 2L)))
+    assert(got(9L) == ((s(2), 1L)))
+    // shape: union + one aggregate — no join, no window, no sort
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(800))
+    // degenerate inputs rejected
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Nil, "doc_id", "rank"))
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFuse(Seq(a), "doc_id", "rank", kRrf = 0))
+  }
+
   test("bm25TopK ranks deterministically and plans per-partition top-n") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val top = Retrieval.bm25TopK(docs, "doc_id", "text",
