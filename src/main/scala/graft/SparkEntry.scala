@@ -1170,6 +1170,22 @@ object SparkEntry {
         .orderBy(col("rrf_score").desc, col("doc_id"))
     }),
 
+    // Benchmark decontamination (the GPT-3/Llama eval-overlap rule):
+    // hold out every 25th document as the "benchmark", flag each
+    // remaining training doc sharing any word 4-gram with it. n=4 is
+    // this corpus's signal point (n=5 leaves one organic pair at
+    // sf0.01; the classic n=13 needs real benchmark prompts); the
+    // operator itself defaults to 13. Eval grams broadcast; the corpus
+    // is scanned once.
+    "q69_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.contaminationMatches(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy("train_id", "eval_id")
+    }),
+
     // Audio decode under the oracle gate (the q64 pattern for WAV):
     // synthesize a deterministic asymmetric square wave per document
     // (+A / -(A+1), period/amplitude/length varying with doc_id),
@@ -2298,6 +2314,26 @@ object SparkEntry {
                 count(1) AS n_lists
          FROM unioned GROUP BY doc_id
          ORDER BY rrf_score DESC, doc_id""",
+
+    // q69: the q31 gram normalization verbatim at n=4, then a plain
+    // train×eval intersect — the oracle can afford all-pairs where the
+    // engine broadcasts the (small) eval gram set.
+    "q69_decontaminate" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, CASE WHEN len(ws) < 4 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ws) - 2),
+                         i -> array_to_string(list_slice(ws, i, i + 3), ' '))) END AS grams
+           FROM w),
+         pairs AS (
+           SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+                  len(list_intersect(a.grams, b.grams)) AS shared
+           FROM g a JOIN g b ON a.doc_id % 25 != 0 AND b.doc_id % 25 = 0)
+         SELECT train_id, eval_id, CAST(shared AS BIGINT) AS n_shared
+         FROM pairs WHERE shared > 0 ORDER BY train_id, eval_id""",
 
     // q67: closed form of the WAV fixture. Positive samples: the
     // even-indexed half-period blocks — (full+1)//2 complete blocks of

@@ -97,6 +97,48 @@ object Dedup {
     df.join(nonRoots, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination (the GPT-3/Llama eval-overlap rule):
+    * every `(train_id, eval_id, n_shared)` pair where a training
+    * document shares at least one word n-gram with a benchmark/eval
+    * document, `n_shared` = the DISTINCT shared grams. Same gram
+    * discipline as [[ngramIndex]]: [[Sketches.wordNgrams]] kernel
+    * (normalized, per-doc distinct; short docs contribute their whole
+    * text as one gram), grams hashed to 64-bit longs (collision odds
+    * ~|g|²/2⁶⁵ per pair — negligible).
+    *
+    * Scale shape: benchmark sets are small BY CONSTRUCTION (an eval
+    * suite is thousands of documents, the corpus is billions), so the
+    * exploded eval gram frame is broadcast and the corpus is read
+    * exactly once with no corpus-side shuffle before the match — only
+    * matched `(train_id, eval_id)` gram hits (rare by definition)
+    * reach the counting aggregation. */
+  def contaminationMatches(train: DataFrame, evalDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 13): DataFrame = {
+    val gramsUdf = udf((text: String) => Sketches.wordNgrams(text, n))
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+          explode(gramsUdf(col(textCol))).as("gram_str"))
+        .select(col(as), xxhash64(col("gram_str")).as("gram"))
+    grams(train, "train_id")
+      .join(broadcast(grams(evalDocs, "eval_id")), "gram")
+      .groupBy("train_id", "eval_id")
+      // wordNgrams is per-doc distinct, so (doc, gram) rows are unique
+      // and this count is exactly |grams(a) ∩ grams(b)|
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Corpus filter form of [[contaminationMatches]]: drop every
+    * training document that shares any word n-gram with the eval set
+    * (left-anti on the flagged-id set — survivors keep all columns). */
+  def dropContaminated(train: DataFrame, evalDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 13): DataFrame =
+    train.join(
+      contaminationMatches(train, evalDocs, idCol, textCol, n)
+        .select(col("train_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   // ---------------------------------------------------------- MinHash
 
   /** Scala-UDF sketch column: struct(sig, bands, shingles), one JVM pass

@@ -260,4 +260,29 @@ class DedupSpec extends SparkSpec {
       assert(serve() == incr, "replayed append must not change the answer")
     } finally dropAll()
   }
+
+  test("decontamination: overlap pairs exact, eval side broadcast, filter drops flagged only") {
+    // eval doc e1 shares the 4-gram "alpha beta gamma delta" with t1
+    // (case/punct variant — the gram discipline normalizes), e2 shares
+    // its whole sub-4-word text with t3; t2 shares nothing.
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "tiny doc"),
+      (4L, "ALPHA, beta GAMMA delta! unrelated tail here")
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (100L, "prefix words alpha beta gamma delta"),
+      (101L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val m = Dedup.contaminationMatches(train, evalDocs, "doc_id", "text", n = 4)
+    val got = m.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 100L) -> 1L, (4L, 100L) -> 1L, (3L, 101L) -> 1L),
+      s"got $got")
+    // the eval gram set must be the broadcast side
+    assert(m.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val survivors = Dedup.dropContaminated(train, evalDocs, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(2L))
+  }
 }
