@@ -1218,6 +1218,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4-style span dedup: scrub every repeated 10-word aligned span
+    // (first corpus occurrence survives) and reassemble the documents
+    // — the repeated-passage filter that EDITS docs instead of
+    // dropping them. ~10% of this corpus's spans are repeats at every
+    // SF, so the rewrite is non-trivial.
+    "q71_span_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.dedupSpans(
+          t(s, dir, "documents"), "doc_id", "text", k = 10)
+        .orderBy("doc_id")),
+
     // Audio decode under the oracle gate (the q64 pattern for WAV):
     // synthesize a deterministic asymmetric square wave per document
     // (+A / -(A+1), period/amplitude/length varying with doc_id),
@@ -2410,6 +2420,32 @@ object SparkEntry {
     // (DuckDB sums BIGINT → HUGEINT → pandas float otherwise).
     "q70_lm_score" -> BigramLmOracleSql,
     "q70b_lm_persisted" -> BigramLmOracleSql,
+
+    // q71: same normalization, 10-word aligned spans, keep = first
+    // (doc_id, seg_no) occurrence per distinct span (row_number where
+    // the engine elects min-struct winners — same total order),
+    // surviving spans rejoined in seg_no order.
+    "q71_span_dedup" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         seg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS INT)),
+                    i -> {'seg_no': i,
+                          'seg': array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' ')})) AS s
+           FROM w),
+         segs AS (SELECT doc_id, s.seg_no AS seg_no, s.seg AS seg FROM seg),
+         marked AS (
+           SELECT doc_id, seg_no, seg,
+                  row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+           FROM segs)
+         SELECT doc_id, CAST(count(1) AS BIGINT) AS n_spans,
+                CAST(count(1) FILTER (rn = 1) AS BIGINT) AS n_kept,
+                coalesce(array_to_string(list(seg ORDER BY seg_no) FILTER (rn = 1), ' '),
+                         '') AS text
+         FROM marked GROUP BY doc_id ORDER BY doc_id""",
 
     // q67: closed form of the WAV fixture. Positive samples: the
     // even-indexed half-period blocks — (full+1)//2 complete blocks of

@@ -139,6 +139,54 @@ object Dedup {
         .select(col("train_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** C4-style span-level dedup: segment each document's normalized
+    * tokens into fixed `k`-word aligned spans (last span may be
+    * shorter), keep the FIRST occurrence of each distinct span across
+    * the whole corpus — first = smallest `(doc_id, seg_no)` — and
+    * reassemble every document from its surviving spans in order. This
+    * is the intra-corpus repeated-passage scrub (boilerplate, license
+    * headers, navigation chrome) that document-level dedup cannot
+    * express: it edits documents instead of dropping them. Output
+    * `(doc_id, n_spans, n_kept, text)` — `text` is the surviving
+    * normalized spans rejoined (empty string when every span lost).
+    *
+    * Scale shape: one corpus scan exploded to spans, one hash shuffle
+    * on the span string electing winners (`min(struct(doc_id,
+    * seg_no))` — no window function over the corpus), a same-key join
+    * back (reuses the span-keyed exchange), and one doc-grain
+    * aggregation to reassemble. The span STRING is the shuffle key so
+    * the correctness gate is collision-free; at extreme scale the key
+    * can be swapped for a 128-bit fingerprint carrying the string as
+    * payload — same plan shape. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 10): DataFrame = {
+    require(k > 0, s"span width must be positive, got $k")
+    val spansUdf = udf((text: String) => {
+      val norm = Sketches.normalize(text)
+      if (norm.isEmpty) Array.empty[String]
+      else norm.split(' ').grouped(k).map(_.mkString(" ")).toArray
+    })
+    val spans = docs.select(col(idCol).as("doc_id"),
+      posexplode(spansUdf(col(textCol))).as(Seq("seg_no", "seg")))
+    val winners = spans
+      .groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_no"))).as("w"))
+      .select(col("seg"), col("w.doc_id").as("w_doc"),
+        col("w.seg_no").as("w_seg"))
+    spans.join(winners, Seq("seg"))
+      .withColumn("keep",
+        col("doc_id") === col("w_doc") && col("seg_no") === col("w_seg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("seg_no"), col("seg"))))),
+            e => e("seg")),
+          " ").as("text"))
+  }
+
   // ---------------------------------------------------------- MinHash
 
   /** Scala-UDF sketch column: struct(sig, bands, shingles), one JVM pass

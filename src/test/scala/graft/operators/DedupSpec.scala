@@ -285,4 +285,28 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(2L))
   }
+
+  test("span dedup: first occurrence survives, later repeats scrubbed, docs reassemble in order") {
+    // k=2 spans — doc 1: [a b][c d][e f]; doc 2: [a b][x y]; doc 3
+    // repeats its own span and doc 1's; doc 4 is a full copy of doc 2
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b x y"),
+      (3L, "p q p q c d"),
+      (4L, "A, b x: y!")        // normalizes to doc 2's text
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 3L, "a b c d e f")))  // all first occurrences
+    assert(got(2L) == ((2L, 1L, "x y")))          // "a b" lost to doc 1
+    assert(got(3L) == ((3L, 1L, "p q")))          // self-repeat + "c d" scrubbed
+    assert(got(4L) == ((2L, 0L, "")))             // every span seen before
+    // no window function over the corpus; winner election is an agg
+    val plan = Dedup.dedupSpans(docs, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(600))
+    intercept[IllegalArgumentException](
+      Dedup.dedupSpans(docs, "doc_id", "text", k = 0))
+  }
 }
