@@ -1218,6 +1218,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Epoch-weighted training mixture: the up-sampling half of data
+    // recipes (q50 covers fractions ≤ 1) — source weights > 1 emit
+    // whole copies plus a deterministic fractional draw, all
+    // scan-side. Output keeps (doc_id, source, epoch) so the oracle
+    // pins exactly which copies exist.
+    "q72_epoch_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.epochMixture(
+          t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4, "src3" -> 0.0))
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")),
+
     // C4-style span dedup: scrub every repeated 10-word aligned span
     // (first corpus occurrence survives) and reassemble the documents
     // — the repeated-passage filter that EDITS docs instead of
@@ -2420,6 +2432,21 @@ object SparkEntry {
     // (DuckDB sums BIGINT → HUGEINT → pandas float otherwise).
     "q70_lm_score" -> BigramLmOracleSql,
     "q70b_lm_persisted" -> BigramLmOracleSql,
+
+    // q72: weights restated as (whole copies, fractional md5
+    // threshold) — 2.5 → (2, 0x80000000), 0.4 → (0, 0x66666666) — the
+    // engine's thresholdHex values; membership re-derived per doc.
+    "q72_epoch_mixture" ->
+      """WITH wts AS (
+           SELECT * FROM (VALUES ('src0', 2, '80000000'), ('src1', 1, '00000000'),
+                                 ('src2', 0, '66666666'), ('src3', 0, '00000000'))
+                AS t(source, nfull, frac)),
+         epochs AS (SELECT unnest(range(0, 3)) AS epoch)
+         SELECT d.doc_id, d.source, CAST(e.epoch AS BIGINT) AS epoch
+         FROM documents d JOIN wts w USING (source) CROSS JOIN epochs e
+         WHERE e.epoch < w.nfull OR (e.epoch = w.nfull AND
+               substr(md5('graft_e' || CAST(d.doc_id AS VARCHAR)), 1, 8) < w.frac)
+         ORDER BY d.doc_id, e.epoch""",
 
     // q71: same normalization, 10-word aligned spans, keep = first
     // (doc_id, seg_no) occurrence per distinct span (row_number where

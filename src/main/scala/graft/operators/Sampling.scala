@@ -57,6 +57,48 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Training-mixture EPOCH weighting — the up-sampling half that
+    * [[stratifiedSample]] (fractions ≤ 1) can't express: weight 2.5
+    * means every row of that stratum appears twice and joins a third
+    * deterministic 50% draw, i.e. the "source seen ~2.5 times per
+    * epoch" repetition factor of a pretraining data recipe. Output
+    * gains an `epoch` column (0-based copy number) so downstream
+    * shuffling/packing can keep copies apart; strata absent from the
+    * map are dropped, weight 0 drops the stratum.
+    *
+    * Membership of the fractional copy reuses the md5 rule with the
+    * epoch number folded into the salt — engine-independent,
+    * partition-independent, and independent across epochs. The plan is
+    * a scan-side explode of a small literal range + filter: no
+    * shuffle, no RNG, nothing driver-side. */
+  def epochMixture(df: DataFrame, idCol: String, strataCol: String,
+                   weights: Map[String, Double],
+                   salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty, "epochMixture needs at least one stratum")
+    require(weights.values.forall(w => w >= 0 && w <= 100),
+      s"weights must be in [0,100], got $weights")
+    // all-zero weights still need one epoch slot for the (never-kept)
+    // fractional test; sequence(0,-1) would count DOWN
+    val maxCopies = math.max(1L, weights.values.map(w => math.ceil(w).toLong).max)
+    val full = weights.foldLeft(lit(null).cast("long")) {
+      case (acc, (stratum, w)) =>
+        when(col(strataCol) === lit(stratum), lit(math.floor(w).toLong))
+          .otherwise(acc)
+    }
+    val frac = weights.foldLeft(lit(null).cast("string")) {
+      case (acc, (stratum, w)) =>
+        when(col(strataCol) === lit(stratum),
+          lit(thresholdHex(w - math.floor(w)))).otherwise(acc)
+    }
+    df.withColumn("__full", full).withColumn("__frac", frac)
+      .filter(col("__full").isNotNull)
+      .withColumn("epoch", explode(sequence(lit(0L), lit(maxCopies - 1))))
+      .filter(col("epoch") < col("__full") ||
+        (col("epoch") === col("__full") &&
+          bucketCol(col(idCol), salt + "_e") < col("__frac")))
+      .drop("__full", "__frac")
+  }
+
   /** Exactly `n` rows (fewer if the input is smaller): the n smallest
     * `md5(salt || id)` digests — a uniform fixed-size draw that plans
     * as TakeOrderedAndProject (per-partition top-n + single merge, no

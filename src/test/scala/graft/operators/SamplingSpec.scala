@@ -79,4 +79,36 @@ class SamplingSpec extends SparkSpec {
     // toString renders whole-stage codegen spans as "*(n)" prefixes
     assert(plan.contains("*(1) Filter"), plan.take(600))
   }
+
+  test("epochMixture: whole copies + one fractional draw, absent strata drop, no shuffle") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "d"))
+      .toDF("id", "src")
+    val got = Sampling.epochMixture(df, "id", "src",
+        Map("a" -> 2.5, "b" -> 1.0, "c" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every 'a' row appears at epochs 0 and 1; epoch 2 is a 50% draw
+    assert(Set(1L, 2L).flatMap(i => Set(i -> 0L, i -> 1L)).subsetOf(got))
+    assert(got.filter(_._1 == 3L) == Set(3L -> 0L))   // b: exactly 1 copy
+    assert(!got.exists(_._1 == 4L))                   // c: weight 0
+    assert(!got.exists(_._1 == 5L))                   // d: absent stratum
+    got.filter(t => t._1 <= 2 && t._2 == 2L).foreach { case (id, _) =>
+      // the fractional copy obeys the md5 threshold exactly
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft_e$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      assert(hex < "80000000", s"id $id kept epoch 2 but hex $hex")
+    }
+    // fractional weights match the binomial expectation on a real corpus
+    val big = Sampling.epochMixture(docs, "doc_id", "source",
+      Map("src0" -> 3.5))
+    val n = big.count()
+    val base = docs.filter($"source" === "src0").count()
+    assert(n >= base * 3 && n <= base * 4)
+    val plan = big.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(600))
+    intercept[IllegalArgumentException](
+      Sampling.epochMixture(df, "id", "src", Map.empty))
+    intercept[IllegalArgumentException](
+      Sampling.epochMixture(df, "id", "src", Map("a" -> -1.0)))
+  }
 }
