@@ -1230,6 +1230,27 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
 
+    // Z-order layout key: the Morton interleave over (user_id,
+    // event_id), each quantized to 8 bits against the table's own
+    // min-max (a broadcast one-row stats frame — no second scan
+    // barrier at scale, the agg is tiny). This is the sort key
+    // Layout.writeZOrdered clusters files by; LayoutSpec proves the
+    // multi-dimension pruning effect on real files, this entry pins
+    // the key itself bit-for-bit against DuckDB's bit arithmetic.
+    "q73_zorder" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val stats = ev.agg(
+        min("user_id").as("umin"), max("user_id").as("umax"),
+        min("event_id").as("emin"), max("event_id").as("emax"))
+      ev.crossJoin(broadcast(stats))
+        .select(col("event_id"),
+          graft.operators.Layout.zorderKey(Seq(
+            graft.operators.Layout.quantize(col("user_id"), col("umin"), col("umax"), 8),
+            graft.operators.Layout.quantize(col("event_id"), col("emin"), col("emax"), 8)),
+            bits = 8).as("zkey"))
+        .orderBy("event_id")
+    }),
+
     // C4-style span dedup: scrub every repeated 10-word aligned span
     // (first corpus occurrence survives) and reassemble the documents
     // — the repeated-passage filter that EDITS docs instead of
@@ -2447,6 +2468,21 @@ object SparkEntry {
          WHERE e.epoch < w.nfull OR (e.epoch = w.nfull AND
                substr(md5('graft_e' || CAST(d.doc_id AS VARCHAR)), 1, 8) < w.frac)
          ORDER BY d.doc_id, e.epoch""",
+
+    // q73: the oracle SQL is GENERATED from Layout.quantizeSql /
+    // zorderKeySql so engine and oracle share one definition of the
+    // curve — same IEEE multiply-before-divide quantization, same
+    // bit-position convention (bit b of column ci at b*n+ci).
+    "q73_zorder" -> {
+      val qu = graft.operators.Layout.quantizeSql("e.user_id", "s.umin", "s.umax", 8)
+      val qe = graft.operators.Layout.quantizeSql("e.event_id", "s.emin", "s.emax", 8)
+      s"""WITH s AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+                            min(event_id) AS emin, max(event_id) AS emax FROM events)
+          SELECT e.event_id,
+                 ${graft.operators.Layout.zorderKeySql(Seq(qu, qe), bits = 8)} AS zkey
+          FROM events e CROSS JOIN s
+          ORDER BY e.event_id"""
+    },
 
     // q71: same normalization, 10-word aligned spans, keep = first
     // (doc_id, seg_no) occurrence per distinct span (row_number where

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout for scan pruning at lake scale.
+  *
+  * A 100 TB fact table is only as fast as the files a filter can skip:
+  * parquet readers prune whole files/row-groups from footer min-max
+  * stats, but a single-column sort gives selective stats on ONE
+  * dimension — a box query on any other column still touches every
+  * file. Interleaving the bits of several quantized dimensions into one
+  * sort key (a Z-order / Morton curve, public knowledge — Morton 1966;
+  * the same layout Delta's `OPTIMIZE ZORDER BY` and Iceberg's
+  * `rewrite_data_files(strategy => 'sort', sort_order => zorder(...))`
+  * apply) keeps rows that are close in EVERY dimension close in the
+  * file order, so each file's min-max box is tight on all of them and
+  * a multi-dimension predicate prunes most files.
+  *
+  * Everything here is integer/bit arithmetic on codegen'd built-ins —
+  * no UDF, no shuffle beyond the one range-partition of the write
+  * itself — and the key is a pure deterministic function of the row,
+  * so an external engine (the DuckDB oracle in q73) reproduces it
+  * bit-for-bit.
+  */
+object Layout {
+
+  /** Scale a numeric column into `[0, 2^bits)` given its inclusive
+    * min/max (pass them as literals or as columns from a broadcast
+    * one-row stats frame). The arithmetic is fixed IEEE-double steps —
+    * `floor(((c - min) * (2^bits - 1)) / (max - min))` with the
+    * multiply before the divide — so any engine computes the identical
+    * quantile. Degenerate range (`max == min`) maps to 0.
+    */
+  def quantize(c: Column, minC: Column, maxC: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"quantize bits must be in [1,31], got $bits")
+    val scale = lit(((1L << bits) - 1).toDouble)
+    when(maxC === minC, lit(0L)).otherwise(
+      floor(((c - minC).cast("double") * scale) / (maxC - minC).cast("double"))
+        .cast("long"))
+  }
+
+  /** Interleave the low `bits` bits of each (already-quantized,
+    * non-negative) column into one Morton key: bit `b` of column `ci`
+    * lands at position `b * n + ci`, so successive bit-levels of all
+    * dimensions alternate and the induced order is the Z-curve.
+    * `bits * cols.size` must fit a signed long.
+    */
+  def zorderKey(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "zorderKey needs at least one column")
+    require(bits * n <= 63, s"bits($bits) * dims($n) must be <= 63")
+    val terms =
+      for { (c, ci) <- cols.zipWithIndex; b <- 0 until bits }
+        yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + ci)
+    terms.reduce(_ + _)
+  }
+
+  /** The same Morton key as ANSI SQL over pre-quantized expressions —
+    * the q73 oracle is generated from this so the engine and the
+    * oracle can never drift.
+    */
+  def zorderKeySql(quantized: Seq[String], bits: Int): String = {
+    val n = quantized.size
+    (for { (q, ci) <- quantized.zipWithIndex; b <- 0 until bits }
+      yield s"(((($q) >> $b) & 1) << ${b * n + ci})").mkString(" + ")
+  }
+
+  /** `quantize` as ANSI SQL (same IEEE step order). */
+  def quantizeSql(c: String, minE: String, maxE: String, bits: Int): String = {
+    val scale = ((1L << bits) - 1).toDouble
+    s"""CASE WHEN ($maxE) = ($minE) THEN 0
+        ELSE CAST(floor((($c - $minE) * $scale) / CAST($maxE - $minE AS DOUBLE)) AS BIGINT) END"""
+  }
+
+  /** Rewrite `df` into `numFiles` files ordered by the Z-curve over
+    * `zcols` (already-quantized columns — compose with [[quantize]]).
+    * One range shuffle on the key, a local sort inside each output
+    * file, and the key itself is dropped before the write: the layout
+    * lives in the file order and footer stats, not the schema.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zcols: Seq[Column],
+                    bits: Int, numFiles: Int): Unit = {
+    val keyed = df.withColumn("__zkey", zorderKey(zcols, bits))
+    keyed
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+}
