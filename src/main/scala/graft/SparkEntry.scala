@@ -1230,6 +1230,24 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
 
+    // Runtime-filter join pruning: lineitem is bloom-filtered against
+    // the urgent orders' keys BEFORE the join shuffle (RuntimeFilter
+    // scaladoc; the ~20% selective dim predicate is the canonical
+    // case). The bloom is one-sided, so the result is exactly the
+    // plain join — which is the oracle.
+    "q74_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.operators.RuntimeFilter
+        .bloomPrunedJoin(li, urgent, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+               .as("revenue"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Z-order layout key: the Morton interleave over (user_id,
     // event_id), each quantized to 8 bits against the table's own
     // min-max (a broadcast one-row stats frame — no second scan
@@ -2468,6 +2486,17 @@ object SparkEntry {
          WHERE e.epoch < w.nfull OR (e.epoch = w.nfull AND
                substr(md5('graft_e' || CAST(d.doc_id AS VARCHAR)), 1, 8) < w.frac)
          ORDER BY d.doc_id, e.epoch""",
+
+    // q74: the oracle is the PLAIN join — the bloom prune must be
+    // invisible in the result (no false negatives; false positives
+    // removed by the exact join).
+    "q74_bloom_join" ->
+      """SELECT o_orderstatus,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                count(1) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // q73: the oracle SQL is GENERATED from Layout.quantizeSql /
     // zorderKeySql so engine and oracle share one definition of the
