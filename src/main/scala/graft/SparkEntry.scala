@@ -1230,6 +1230,16 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
 
+    // Sharded training-data export: the deterministic global shuffle
+    // (shard + intra-shard position are pure functions of doc_id, see
+    // Sampling.shardAssign). 16 shards so the oracle can express
+    // `mod 16` as the digest's 8th hex digit without hex→int support.
+    "q75_shard_export" -> ((s, dir) =>
+      graft.operators.Sampling.shardAssign(
+          t(s, dir, "documents"), "doc_id", numShards = 16)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")),
+
     // Runtime-filter join pruning: lineitem is bloom-filtered against
     // the urgent orders' keys BEFORE the join shuffle (RuntimeFilter
     // scaladoc; the ~20% selective dim predicate is the canonical
@@ -2486,6 +2496,23 @@ object SparkEntry {
          WHERE e.epoch < w.nfull OR (e.epoch = w.nfull AND
                substr(md5('graft_e' || CAST(d.doc_id AS VARCHAR)), 1, 8) < w.frac)
          ORDER BY d.doc_id, e.epoch""",
+
+    // q75: shard = (32-bit digest prefix) mod 16 = the prefix's LOW
+    // hex digit (char 8), read as its digit value via strpos; position
+    // recomputed with the same (digest, id) window order.
+    "q75_shard_export" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  md5('graft' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id, h,
+                  strpos('0123456789abcdef', substr(h, 8, 1)) - 1 AS shard
+           FROM d)
+         SELECT doc_id, CAST(shard AS INT) AS shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                     AS INT) AS pos
+         FROM s ORDER BY doc_id""",
 
     // q74: the oracle is the PLAIN join — the bloom prune must be
     // invisible in the result (no false negatives; false positives

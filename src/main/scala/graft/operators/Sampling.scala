@@ -112,4 +112,42 @@ object Sampling {
       .limit(n)
       .drop("__draw")
   }
+
+  /** Deterministic global shuffle + shard assignment for training-data
+    * export. Trainers need the corpus cut into N shards whose
+    * membership AND intra-shard order are reproducible across reruns,
+    * engines, and partitionings (so a resumed run reads the same byte
+    * stream): shard = low 4 bytes of `md5(salt || id)` mod N, position
+    * = rank of the digest within the shard (id tiebreak). The digest
+    * IS the shuffle — rows land in md5 order, which is independent of
+    * any input order, so this doubles as the corpus-level "global
+    * shuffle before training" pass. One hash-partition exchange on
+    * `shard` plus a per-shard sort; nothing global, nothing on the
+    * driver.
+    */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int,
+                  salt: String = "graft"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__draw"), col(idCol))
+    df.withColumn("__draw", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("__draw"), 1, HexWidth), 16, 10).cast("long")
+          % numShards).cast("int"))
+      .withColumn("pos", row_number().over(w) - 1)
+      .drop("__draw")
+  }
+
+  /** Materialize the shards: one parquet file per `shard=k/` directory,
+    * rows inside each file in `pos` order. The repartition groups each
+    * shard whole into one task (hash collisions can merge two shards
+    * into one task, never split one), so each directory is written by
+    * exactly one task as one run-length of sorted rows.
+    */
+  def writeSharded(df: DataFrame, idCol: String, numShards: Int,
+                   path: String, salt: String = "graft"): Unit =
+    shardAssign(df, idCol, numShards, salt)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

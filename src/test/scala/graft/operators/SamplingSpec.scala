@@ -111,4 +111,41 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.epochMixture(df, "id", "src", Map("a" -> -1.0)))
   }
+
+  test("shardAssign is a deterministic total assignment, independent of input partitioning") {
+    val a = Sampling.shardAssign(docs, "doc_id", 16)
+      .select("doc_id", "shard", "pos")
+    val b = Sampling.shardAssign(docs.repartition(7), "doc_id", 16)
+      .select("doc_id", "shard", "pos")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // total: every row assigned, positions are 0..count-1 per shard
+    val n = docs.count()
+    assert(a.count() == n)
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getLong(1) == r.getInt(3) + 1 && r.getInt(2) == 0,
+        s"positions not dense in shard ${r.getInt(0)}: $r")
+    }
+    // balance: md5 spreads uniformly; no shard more than 2x the mean
+    val sizes = perShard.map(_.getLong(1))
+    assert(sizes.max <= 2 * n / 16, s"skewed shards: ${sizes.toSeq}")
+  }
+
+  test("writeSharded: one file per shard directory, rows in pos order inside each file") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Sampling.writeSharded(docs, "doc_id", 16, tmp)
+    val dirs = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("shard="))
+    assert(dirs.length == 16, s"expected 16 shard dirs, got ${dirs.length}")
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: expected 1 file, got ${files.length}")
+      // a single small parquet file reads back in its written row order
+      val pos = spark.read.parquet(files.head.getPath)
+        .select("pos").collect().map(_.getInt(0)).toSeq
+      assert(pos == pos.sorted, s"${d.getName} not in pos order")
+      assert(pos.head == 0 && pos.last == pos.size - 1)
+    }
+  }
 }
