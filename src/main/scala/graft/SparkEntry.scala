@@ -1230,6 +1230,21 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
 
+    // Incremental rollup maintenance: the base/increment split (a
+    // deterministic 80/20 cut of events) is rolled up as two PARTIAL
+    // algebraic states and merged — the oracle recomputes the rollup
+    // from scratch, pinning the merge identity the incremental-refresh
+    // scheme rests on (Rollup scaladoc).
+    "q76_incr_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 5 =!= 0)
+      val incr = ev.filter(col("event_id") % 5 === 0)
+      val st = graft.operators.Rollup.merge(
+        graft.operators.Rollup.hourlyState(base, "ts", "value", Seq("event_type")),
+        graft.operators.Rollup.hourlyState(incr, "ts", "value", Seq("event_type")))
+      graft.operators.Rollup.report(st).orderBy("hour", "event_type")
+    }),
+
     // Sharded training-data export: the deterministic global shuffle
     // (shard + intra-shard position are pure functions of doc_id, see
     // Sampling.shardAssign). 16 shards so the oracle can express
@@ -2496,6 +2511,19 @@ object SparkEntry {
          WHERE e.epoch < w.nfull OR (e.epoch = w.nfull AND
                substr(md5('graft_e' || CAST(d.doc_id AS VARCHAR)), 1, 8) < w.frac)
          ORDER BY d.doc_id, e.epoch""",
+
+    // q76: the oracle is the from-scratch rollup — the incremental
+    // merge must be indistinguishable from a full recompute.
+    "q76_incr_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                event_type, count(1) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 4)
+                  AS total_value,
+                round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(1), 4)
+                  AS avg_value,
+                round(min(value), 4) AS min_value,
+                round(max(value), 4) AS peak_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
 
     // q75: shard = (32-bit digest prefix) mod 16 = the prefix's LOW
     // hex digit (char 8), read as its digit value via strpos; position
