@@ -42,6 +42,15 @@ object SparkEntry {
       java.lang.Integer.toHexString(d.hashCode) + s"_${r.getLong(0)}_${r.getLong(1)}"
     })
 
+  /** The docsTag scheme over the events table (q77's upsert target). */
+  private val eventsTagCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventsTag(s: SparkSession, dir: String): String =
+    eventsTagCache.computeIfAbsent(dir, d => {
+      val r = t(s, d, "events")
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("m")).head()
+      java.lang.Integer.toHexString(d.hashCode) + s"_${r.getLong(0)}_${r.getLong(1)}"
+    })
+
   /** Shared build-once n-gram index tables (q31b build/serve, q62
     * cluster dedup): dataset identity (path + content fingerprint) AND
     * build parameters ride in the names, because `ensureNgramTables`
@@ -1229,6 +1238,39 @@ object SparkEntry {
           Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4, "src3" -> 0.0))
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
+
+    // Lake MERGE upsert end-to-end through real files: build a
+    // partitioned lake from events, apply one update batch carrying
+    // intra-batch version conflicts (rev 1 AND rev 2 per matched key
+    // — latest must win), updates to existing keys, and inserts of
+    // brand-new (negative) keys, then read the tree back. The oracle
+    // states the post-merge table in closed form.
+    "q77_lake_upsert" -> ((s, dir) => {
+      val lakeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q77_lake_${eventsTag(s, dir)}").toString
+      val ev = t(s, dir, "events")
+      val base = ev.select(col("event_id"), col("value"),
+        lit(0).as("rev"), col("event_type"))
+      base.repartition(8, col("event_id"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(lakeDir)
+      val matched = ev.filter(col("event_id") % 7 === 0)
+      val updates =
+        matched.select(col("event_id"), (col("value") + 1000).as("value"),
+            lit(1).as("rev"), col("event_type"))
+          .unionByName(matched.select(col("event_id"),
+            (col("value") + 2000).as("value"), lit(2).as("rev"), col("event_type")))
+          .unionByName(ev.filter(col("event_id") % 97 === 0)
+            .select((-col("event_id") - 1).as("event_id"),
+              (col("event_id") * 1.5).as("value"), lit(1).as("rev"),
+              col("event_type")))
+      graft.sources.Lake.upsert(s, lakeDir, updates,
+        keyCols = Seq("event_id"), partitionCol = "event_type",
+        versionCol = "rev")
+      s.read.parquet(lakeDir)
+        .select(col("event_id"), round(col("value"), 4).as("value"),
+          col("rev"), col("event_type"))
+        .orderBy("event_id")
+    }),
 
     // Incremental rollup maintenance: the base/increment split (a
     // deterministic 80/20 cut of events) is rolled up as two PARTIAL
@@ -2511,6 +2553,22 @@ object SparkEntry {
          WHERE e.epoch < w.nfull OR (e.epoch = w.nfull AND
                substr(md5('graft_e' || CAST(d.doc_id AS VARCHAR)), 1, 8) < w.frac)
          ORDER BY d.doc_id, e.epoch""",
+
+    // q77: the merged table in closed form — matched keys take the
+    // batch's NEWEST version (rev 2), unmatched keep their base row,
+    // and the negative-key inserts appear once.
+    "q77_lake_upsert" ->
+      """SELECT event_id,
+                round(CASE WHEN event_id % 7 = 0 THEN value + 2000 ELSE value END, 4)
+                  AS value,
+                CASE WHEN event_id % 7 = 0 THEN 2 ELSE 0 END AS rev,
+                event_type
+         FROM events
+         UNION ALL
+         SELECT -event_id - 1 AS event_id, round(event_id * 1.5, 4) AS value,
+                1 AS rev, event_type
+         FROM events WHERE event_id % 97 = 0
+         ORDER BY event_id""",
 
     // q76: the oracle is the from-scratch rollup — the incremental
     // merge must be indistinguishable from a full recompute.

@@ -199,6 +199,95 @@ object Lake {
     done.result()
   }
 
+  /** Latest-wins MERGE (upsert) of `updates` into a parquet lake tree
+    * partitioned by one `col=value` level, rewriting ONLY the
+    * partitions that contain affected keys.
+    *
+    * A 100 TB table absorbs a trickle of corrections and late rows
+    * every day; re-writing the whole table per batch is the naive
+    * O(history) path. Here the update batch names its partitions, the
+    * base read prunes to exactly those leaves (literal `isin` — the
+    * scan never lists the rest), and one key-shuffle resolves each
+    * key to its newest version: highest `versionCol` wins, with the
+    * update side beating base on ties, and duplicate keys INSIDE the
+    * batch collapsing to their newest row. Unmatched update keys are
+    * plain inserts. Everything else on disk is untouched — not
+    * re-written, not even read.
+    *
+    * The swap reuses compact's never-delete-first discipline (q66):
+    * merged partitions stage under a hidden `.upsert_stage` dir, the
+    * originals move aside before the staged files rename in, and a
+    * partition with leftovers from an interrupted run is refused, not
+    * cleaned up blind. ACID table formats carry this commit protocol
+    * natively; a bare parquet tree gets the same rename discipline
+    * explicitly.
+    *
+    * `updates` must have the base schema (including `partitionCol`),
+    * and a key's partition value must be immutable — moving a key
+    * between partitions would need the OLD partition named in the
+    * batch to retire the stale row, which this writer does not infer.
+    * Returns the rewritten/created partition values.
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+             keyCols: Seq[String], partitionCol: String,
+             versionCol: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"no lake at $path")
+    val stage = new Path(root, ".upsert_stage")
+    require(!fs.exists(stage),
+      s"$stage left by an interrupted upsert; restore or remove it manually first")
+
+    val parts = updates.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (parts.isEmpty) return Nil
+
+    val base = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(parts: _*))
+    val cols = base.columns
+    require(cols.sorted.sameElements(updates.columns.sorted),
+      s"updates schema ${updates.columns.toSeq} != base ${cols.toSeq}")
+    val merged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    val latest = merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__src")
+
+    latest.repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).parquet(stage.toString)
+
+    val done = Seq.newBuilder[String]
+    for (p <- parts) {
+      val leafName = s"$partitionCol=$p"
+      val stagedLeaf = new Path(stage, leafName)
+      if (fs.exists(stagedLeaf)) {
+        val leaf = new Path(root, leafName)
+        val old = new Path(root, s".${leafName}_upsert_old")
+        require(!fs.exists(old),
+          s"$old left by an interrupted upsert; restore or remove it manually first")
+        def mv(src: Path, dst: Path): Unit = require(fs.rename(src, dst),
+          s"rename $src -> $dst failed; $leafName left in recovery dirs, no data deleted")
+        val existing = if (fs.exists(leaf))
+          fs.listStatus(leaf).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        else { fs.mkdirs(leaf); Array.empty[org.apache.hadoop.fs.FileStatus] }
+        fs.mkdirs(old)
+        existing.foreach(f => mv(f.getPath, new Path(old, f.getPath.getName)))
+        fs.listStatus(stagedLeaf).filter(_.isFile)
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+          .foreach(f => mv(f.getPath, new Path(leaf, f.getPath.getName)))
+        fs.delete(old, true)
+        done += p
+      }
+    }
+    fs.delete(stage, true)
+    done.result()
+  }
+
   /** Register a bronze tree in the session catalog as a partitioned
     * table + MSCK REPAIR to discover partitions (S12). */
   def registerTable(spark: SparkSession, name: String, path: String,

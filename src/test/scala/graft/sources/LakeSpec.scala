@@ -151,6 +151,60 @@ class LakeSpec extends SparkSpec {
       after.exists(_.contains("not even JSON")))
   }
 
+  test("upsert rewrites only affected partitions; latest version wins; inserts land") {
+    import spark.implicits._
+    val dir = tmp() + "/upsert_lake"
+    Seq((1L, 10.0, 0, "a"), (2L, 20.0, 0, "a"), (3L, 30.0, 0, "b"),
+        (4L, 40.0, 0, "c"))
+      .toDF("id", "v", "rev", "part")
+      .write.partitionBy("part").parquet(dir)
+    def filesOf(p: String): Set[(String, Long)] =
+      new java.io.File(s"$dir/part=$p").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val bBefore = filesOf("b"); val cBefore = filesOf("c")
+
+    val updates = Seq(
+      (1L, 11.0, 1, "a"),   // beaten by the rev=2 row below
+      (1L, 12.0, 2, "a"),   // intra-batch latest wins
+      (2L, 20.5, 0, "a"),   // same rev as base: update side wins the tie
+      (5L, 50.0, 1, "a"),   // insert into existing partition
+      (6L, 60.0, 1, "d"))   // insert creating a NEW partition
+      .toDF("id", "v", "rev", "part")
+    val done = Lake.upsert(spark, dir, updates,
+      keyCols = Seq("id"), partitionCol = "part", versionCol = "rev")
+    assert(done.sorted == Seq("a", "d"))
+
+    // untouched partitions: exact same files, same mtimes
+    assert(filesOf("b") == bBefore && filesOf("c") == cBefore)
+
+    val got = spark.read.parquet(dir)
+      .select("id", "v", "rev", "part").as[(Long, Double, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 12.0, 2, "a"), (2L, 20.5, 0, "a"), (3L, 30.0, 0, "b"),
+      (4L, 40.0, 0, "c"), (5L, 50.0, 1, "a"), (6L, 60.0, 1, "d")))
+
+    // idempotent re-apply: same end state
+    Lake.upsert(spark, dir, updates, Seq("id"), "part", "rev")
+    val again = spark.read.parquet(dir)
+      .select("id", "v", "rev", "part").as[(Long, Double, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(again == got)
+  }
+
+  test("upsert refuses a tree with stage leftovers instead of cleaning them blind") {
+    import spark.implicits._
+    val dir = tmp() + "/upsert_stale"
+    Seq((1L, 1.0, 0, "a")).toDF("id", "v", "rev", "part")
+      .write.partitionBy("part").parquet(dir)
+    assert(new java.io.File(s"$dir/.upsert_stage").mkdirs())
+    val updates = Seq((1L, 2.0, 1, "a")).toDF("id", "v", "rev", "part")
+    val e = intercept[IllegalArgumentException](
+      Lake.upsert(spark, dir, updates, Seq("id"), "part", "rev"))
+    assert(e.getMessage.contains("interrupted upsert"))
+  }
+
   test("map-typed vehicle breakdown merges via City.mergeMapCounts (A9)") {
     val p = Generator.parking(spark, 30)
       .select(col("data.parking_lot_id").as("lot"),
