@@ -1239,6 +1239,41 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
 
+    // Deterministic train/val/test split: labels are a pure function
+    // of doc_id (md5 draw vs cumulative thresholds), so reruns and
+    // engines agree row-for-row — which is exactly what the oracle
+    // checks.
+    "q78_split_assign" -> ((s, dir) =>
+      graft.operators.Sampling.splitAssign(
+          t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
+    // Leakage-free variant: the split key is the near-dup CLUSTER
+    // representative (n-gram Jaccard pairs off the shared q31b index
+    // tables → connected components), so every member of a duplicate
+    // cluster lands in the same split and eval never scores on a
+    // near-copy of a training row.
+    "q78b_split_leakfree" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val (invT, candT) = ngramIndexTables(s, dir)
+      graft.operators.Dedup.ensureNgramTables(s, docs, "doc_id", "text",
+        invT, candT, n = 3, threshold = 0.5)
+      val pairs = graft.operators.Dedup.ngramVerifiedPairs(
+        s.table(invT), s.table(candT), threshold = 0.5)
+      val comp = graft.operators.Components
+        .connectedComponents(pairs, "doc_a", "doc_b")
+      val withRep = docs.join(comp, docs("doc_id") === comp("node"), "left")
+        .select(docs("doc_id"),
+          coalesce(col("component"), docs("doc_id")).as("rep"))
+      graft.operators.Sampling.splitAssign(withRep, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          keyCol = Some("rep"))
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")
+    }),
+
     // Lake MERGE upsert end-to-end through real files: build a
     // partitioned lake from events, apply one update batch carrying
     // intra-batch version conflicts (rev 1 AND rev 2 per matched key
@@ -2553,6 +2588,61 @@ object SparkEntry {
          WHERE e.epoch < w.nfull OR (e.epoch = w.nfull AND
                substr(md5('graft_e' || CAST(d.doc_id AS VARCHAR)), 1, 8) < w.frac)
          ORDER BY d.doc_id, e.epoch""",
+
+    // q78/q78b: thresholds generated through the same scanLeft +
+    // thresholdHex arithmetic splitAssign uses, so the oracle can
+    // never disagree on a boundary digest. q78b's cluster map is the
+    // q48 recursive-CTE oracle, left-joined as the split key.
+    "q78_split_assign" -> {
+      val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val t1 = graft.operators.Sampling.thresholdHex(cums(0))
+      val t2 = graft.operators.Sampling.thresholdHex(cums(1))
+      s"""SELECT doc_id,
+                 CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '$t1'
+                        THEN 'train'
+                      WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '$t2'
+                        THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents ORDER BY doc_id"""
+    },
+
+    "q78b_split_leakfree" -> {
+      val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val t1 = graft.operators.Sampling.thresholdHex(cums(0))
+      val t2 = graft.operators.Sampling.thresholdHex(cums(1))
+      s"""WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\\[-`{-~]', '', 'g'), '\\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                         i -> array_to_string(list_slice(ws, i, i + 2), ' '))) END AS grams
+           FROM w),
+         jp AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                 >= 0.5),
+         e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+               UNION SELECT doc_b, doc_a FROM jp),
+         reach(node, lbl) AS (
+           SELECT u, u FROM e
+           UNION
+           SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.node),
+         comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+         rep AS (
+           SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+           FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+         SELECT doc_id, rep,
+                CASE WHEN substr(md5('graft' || CAST(rep AS VARCHAR)), 1, 8) < '$t1'
+                       THEN 'train'
+                     WHEN substr(md5('graft' || CAST(rep AS VARCHAR)), 1, 8) < '$t2'
+                       THEN 'val'
+                     ELSE 'test' END AS split
+         FROM rep ORDER BY doc_id"""
+    },
 
     // q77: the merged table in closed form — matched keys take the
     // batch's NEWEST version (rev 2), unmatched keep their base row,

@@ -113,6 +113,38 @@ object Sampling {
       .drop("__draw")
   }
 
+  /** Deterministic train/val/test split: label each row by where its
+    * `md5(salt || key)` draw falls among the splits' cumulative
+    * thresholds. Membership is a pure function of the key, so the
+    * split survives reruns and engine changes, and a row can never
+    * silently migrate between train and eval. Fractions must sum
+    * to 1 (the last split absorbs the hex-threshold rounding sliver).
+    *
+    * `keyCol` defaults to the id, but pass a GROUP representative to
+    * make the split leakage-free: hashing a near-duplicate cluster's
+    * representative (q78b composes this with the n-gram dedup
+    * clusters) puts every member of a cluster in the SAME split, so
+    * eval never scores on a near-copy of a training row.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)],
+                  keyCol: Option[String] = None,
+                  salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), s"negative fraction in $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val draw = bucketCol(col(keyCol.getOrElse(idCol)), salt)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = splits.init.zip(cums.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cum)) =>
+        val c = lit(thresholdHex(cum))
+        Some(acc.fold(when(draw < c, name))(_.when(draw < c, name)))
+      }
+      .fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn("split", label)
+  }
+
   /** Deterministic global shuffle + shard assignment for training-data
     * export. Trainers need the corpus cut into N shards whose
     * membership AND intra-shard order are reproducible across reruns,

@@ -112,6 +112,41 @@ class SamplingSpec extends SparkSpec {
       Sampling.epochMixture(df, "id", "src", Map("a" -> -1.0)))
   }
 
+  test("splitAssign: total labeling, target fractions, partitioning-independent") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.splitAssign(docs, "doc_id", splits).select("doc_id", "split")
+    val b = Sampling.splitAssign(docs.repartition(7), "doc_id", splits)
+      .select("doc_id", "split")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val n = docs.count().toDouble
+    val byLabel = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum == n.toLong, "not a total labeling")
+    splits.foreach { case (name, f) =>
+      val got = byLabel.getOrElse(name, 0L) / n
+      // 3-sigma binomial tolerance at n=500
+      assert(math.abs(got - f) <= 3 * math.sqrt(f * (1 - f) / n),
+        s"$name: got $got want ~$f")
+    }
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
+  test("splitAssign on a cluster representative never splits a near-dup pair") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val comp = Components.connectedComponents(pairs, "doc_a", "doc_b")
+    val withRep = docs.join(comp, docs("doc_id") === comp("node"), "left")
+      .select(docs("doc_id"), coalesce(col("component"), docs("doc_id")).as("rep"))
+    val split = Sampling.splitAssign(withRep, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), keyCol = Some("rep"))
+    val straddlers = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(pairs.count() > 0, "fixture lost its near-dup pairs")
+    assert(straddlers.count() == 0, "near-dup pairs split across train/eval")
+  }
+
   test("shardAssign is a deterministic total assignment, independent of input partitioning") {
     val a = Sampling.shardAssign(docs, "doc_id", 16)
       .select("doc_id", "shard", "pos")
