@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Rollup
+import graft.sources.{Lake, Warehouse}
+
+/** Continuous warehouse maintenance: the batch-oracled merge
+  * primitives (q76 incremental rollup, q77 lake upsert) driven from a
+  * stream, one micro-batch at a time, with the replay semantics each
+  * one needs.
+  *
+  * `foreachBatch` re-delivers a batch after a crash (at-least-once),
+  * so the two legs differ on purpose:
+  *
+  *  - the lake upsert is idempotent BY CONSTRUCTION — latest-wins on
+  *    (key, version) makes re-applying a batch a no-op — so replay
+  *    needs no bookkeeping;
+  *  - the rollup merge is NOT idempotent (re-merging an increment
+  *    double-counts), so each commit stamps the batch id into the
+  *    state table's properties and a replayed batch is detected and
+  *    skipped — exactly-once effect on top of an at-least-once
+  *    channel, the same ledger trick warehouse sinks use.
+  *
+  * The state table swap is staged: merge writes to `<state>_staging`
+  * (materializing the result while the old state is still readable),
+  * then the old table drops and the staging table renames in. At 100
+  * TB the state table is |distinct keys| rows — the stream merges
+  * increments the size of a micro-batch's key set, never history.
+  */
+object Maintenance {
+
+  private[streaming] val LastBatchProp = "graft.maintenance.lastBatch"
+
+  /** Merge one micro-batch's partial rollup state into `stateTable`,
+    * exactly once: a batch id at or below the table's high-water mark
+    * is a replay and is skipped. Returns whether the merge applied. */
+  def refreshRollupState(spark: SparkSession, stateTable: String,
+                         incr: DataFrame, batchId: Long): Boolean = {
+    val exists = spark.catalog.tableExists(stateTable)
+    if (exists) {
+      val last = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(stateTable))
+        .properties.get(LastBatchProp).map(_.toLong)
+      if (last.exists(_ >= batchId)) return false
+    }
+    val merged = if (exists) Rollup.merge(spark.table(stateTable), incr) else incr
+    val staging = s"${stateTable}_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    Warehouse.clearOrphanLocation(spark, staging)
+    merged.write.saveAsTable(staging)
+    spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ('$LastBatchProp'='$batchId')")
+    spark.sql(s"DROP TABLE IF EXISTS $stateTable")
+    Warehouse.clearOrphanLocation(spark, stateTable)
+    spark.sql(s"ALTER TABLE $staging RENAME TO $stateTable")
+    // the swap moved files under the table's old cached listing —
+    // without this, the next read resolves deleted part files
+    spark.catalog.refreshTable(stateTable)
+    true
+  }
+
+  /** Keep an hourly rollup state table continuously refreshed from a
+    * stream. Query the live rollup any time with
+    * `Rollup.report(spark.table(stateTable))` — after a
+    * `REFRESH TABLE` if the reading session is not the one running
+    * the stream: the swap rewrites the table's files, and Spark's
+    * standard cross-session semantics for externally-rewritten
+    * tables apply (each session caches its own file listing). The
+    * stream's own session is refreshed here. */
+  def streamingRollup(stream: DataFrame, tsCol: String, valCol: String,
+                      keyCols: Seq[String], stateTable: String,
+                      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val incr = Rollup.hourlyState(batch.toDF(), tsCol, valCol, keyCols)
+          refreshRollupState(batch.sparkSession, stateTable, incr, batchId)
+          ()
+        }
+      }
+      .start()
+
+  /** Continuously MERGE a stream of updates into a partitioned lake
+    * tree (CDC apply). Replay-safe without bookkeeping: Lake.upsert
+    * is latest-wins, so re-applying a delivered batch changes
+    * nothing. */
+  def streamingUpsert(stream: DataFrame, path: String, keyCols: Seq[String],
+                      partitionCol: String, versionCol: String,
+                      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          Lake.upsert(batch.sparkSession, path, batch.toDF(),
+            keyCols, partitionCol, versionCol)
+          ()
+        }
+      }
+      .start()
+}
