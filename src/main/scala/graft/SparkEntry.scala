@@ -1239,6 +1239,38 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
 
+    // Manifest-pruned scan over the Z-ordered layout: build the
+    // clustered files + min-max manifest once per dataset (the
+    // nightly-index pattern), then answer a 2-D box query by reading
+    // ONLY the files whose manifest box overlaps. Pruning can only
+    // skip provably-empty files, so the result is exactly the full
+    // scan's — which is the oracle. LayoutSpec measures the skip
+    // rate; q79 pins the correctness end-to-end through real files.
+    "q79_pruned_read" -> ((s, dir) => {
+      val zDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q79_zlake_${eventsTag(s, dir)}").toString
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val st = ev.agg(
+        min("user_id").as("umin"), max("user_id").as("umax"),
+        min("event_id").as("emin"), max("event_id").as("emax")).head()
+      val (umin, umax, emin, emax) =
+        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      if (!new java.io.File(zDir, "_SUCCESS").exists())
+        graft.operators.Layout.writeZOrdered(ev, zDir,
+          Seq(graft.operators.Layout.quantize(col("user_id"), lit(umin), lit(umax), 8),
+              graft.operators.Layout.quantize(col("event_id"), lit(emin), lit(emax), 8)),
+          bits = 8, numFiles = 64)
+      val manifest = graft.operators.Layout.buildManifest(
+        s, zDir, Seq("user_id", "event_id"))
+      graft.operators.Layout.prunedRead(s, manifest, Map(
+          "user_id" -> (umin + (umax - umin) * 3 / 8, umin + (umax - umin) * 5 / 8),
+          "event_id" -> (emin + (emax - emin) * 3 / 8, emin + (emax - emin) * 5 / 8)))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
+    }),
+
     // Deterministic train/val/test split: labels are a pure function
     // of doc_id (md5 draw vs cumulative thresholds), so reruns and
     // engines agree row-for-row — which is exactly what the oracle
@@ -2588,6 +2620,20 @@ object SparkEntry {
          WHERE e.epoch < w.nfull OR (e.epoch = w.nfull AND
                substr(md5('graft_e' || CAST(d.doc_id AS VARCHAR)), 1, 8) < w.frac)
          ORDER BY d.doc_id, e.epoch""",
+
+    // q79: the oracle is the PLAIN box filter — manifest pruning must
+    // be invisible in the result. Box bounds use floor division on
+    // non-negative spans, identical in both engines.
+    "q79_pruned_read" ->
+      """WITH s AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+                           min(event_id) AS emin, max(event_id) AS emax FROM events)
+         SELECT e.event_id, e.user_id, e.event_type, round(e.value, 4) AS value
+         FROM events e CROSS JOIN s
+         WHERE e.user_id >= s.umin + (s.umax - s.umin) * 3 // 8
+           AND e.user_id <= s.umin + (s.umax - s.umin) * 5 // 8
+           AND e.event_id >= s.emin + (s.emax - s.emin) * 3 // 8
+           AND e.event_id <= s.emin + (s.emax - s.emin) * 5 // 8
+         ORDER BY e.event_id""",
 
     // q78/q78b: thresholds generated through the same scanLeft +
     // thresholdHex arithmetic splitAssign uses, so the oracle can

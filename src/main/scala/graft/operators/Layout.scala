@@ -73,6 +73,48 @@ object Layout {
         ELSE CAST(floor((($c - $minE) * $scale) / CAST($maxE - $minE AS DOUBLE)) AS BIGINT) END"""
   }
 
+  /** Per-file min-max manifest over `statsCols` — the repo-side
+    * analog of parquet footer stats / an Iceberg manifest, built with
+    * one scan. At 100 TB the manifest is |files| rows: tiny, cheap to
+    * rebuild after a layout rewrite, and the thing [[prunedRead]]
+    * consults INSTEAD of listing and footer-probing every file.
+    */
+  def buildManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                    statsCols: Seq[String]): DataFrame = {
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Scan only the files whose manifest box can overlap the given
+    * per-column closed ranges, then re-apply the exact predicate.
+    * Equal to the full-scan filter row-for-row (pruning only skips
+    * files that PROVABLY contain no match); with a Z-ordered layout
+    * the skipped fraction is what LayoutSpec measures. Collecting the
+    * matching file list on the driver is |files|-sized — the same
+    * scale class as any catalog's split planning.
+    */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, manifest: DataFrame,
+                 ranges: Map[String, (Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "prunedRead needs at least one range")
+    val overlap = ranges.map { case (c, (lo, hi)) =>
+      col(s"${c}_max") >= lo && col(s"${c}_min") <= hi
+    }.reduce(_ && _)
+    val files = manifest.filter(overlap).select("file")
+      .collect().map(_.getString(0))
+    val exact = ranges.map { case (c, (lo, hi)) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    if (files.isEmpty) {
+      // empty result with the data schema: open the full file set but
+      // cap at zero rows — nothing is read, only listed
+      val all = manifest.select("file").collect().map(_.getString(0))
+      spark.read.parquet(all: _*).limit(0)
+    } else spark.read.parquet(files: _*).filter(exact)
+  }
+
   /** Rewrite `df` into `numFiles` files ordered by the Z-curve over
     * `zcols` (already-quantized columns — compose with [[quantize]]).
     * One range shuffle on the key, a local sort inside each output

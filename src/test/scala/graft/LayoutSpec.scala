@@ -123,5 +123,27 @@ class LayoutSpec extends SparkSpec {
       s"z-order total hits=$zTotal not better than linear=$linTotal")
     assert(zTotal.toDouble <= linTotal.toDouble * 0.6,
       s"expected a decisive pruning win: z=$zTotal linear=$linTotal")
+
+    // ---- manifest-pruned read over the same z layout ----
+    val manifest = Layout.buildManifest(spark, zPath, Seq("user_id", "event_id"))
+    assert(manifest.count() == numFiles)
+    val (ulo, uhi) = (umin + uSpan * 3 / 8, umin + uSpan * 5 / 8)
+    val (elo, ehi) = (emin + eSpan * 3 / 8, emin + eSpan * 5 / 8)
+    val pruned = Layout.prunedRead(spark, manifest,
+      Map("user_id" -> (ulo, uhi), "event_id" -> (elo, ehi)))
+    val full = spark.read.parquet(zPath)
+      .filter(col("user_id").between(ulo, uhi) && col("event_id").between(elo, ehi))
+    // row-for-row equal to the full scan…
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    assert(pruned.count() > 0, "box unexpectedly empty — fixture drifted")
+    // …while actually skipping files
+    assert(pruned.inputFiles.length < numFiles,
+      s"manifest pruned nothing: ${pruned.inputFiles.length} of $numFiles files")
+
+    // a box outside the data is empty but keeps the schema
+    val none = Layout.prunedRead(spark, manifest,
+      Map("user_id" -> (umax + 1000, umax + 2000)))
+    assert(none.count() == 0)
+    assert(none.schema == full.schema)
   }
 }
