@@ -1239,6 +1239,24 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
 
+    // SemDeDup-style semantic dedup: k-means cells scope the pair
+    // candidates instead of q34's data-oblivious LSH buckets. Same
+    // clone fixture and the same FULL brute-force oracle as q34 — the
+    // gap argument (organic cosine ceiling ~0.6 vs threshold 0.99)
+    // plus the spec-pinned clone co-location make the cell-scoped
+    // output equal the all-pairs truth.
+    "q80_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val dups = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+      graft.operators.Similarity.semanticDedupPairs(emb.union(dups),
+          "vec_id", "embedding", nlist = 16, lloydIters = 2, threshold = 0.99)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Manifest-pruned scan over the Z-ordered layout: build the
     // clustered files + min-max manifest once per dataset (the
     // nightly-index pattern), then answer a 2-D box query by reading
@@ -2620,6 +2638,25 @@ object SparkEntry {
          WHERE e.epoch < w.nfull OR (e.epoch = w.nfull AND
                substr(md5('graft_e' || CAST(d.doc_id AS VARCHAR)), 1, 8) < w.frac)
          ORDER BY d.doc_id, e.epoch""",
+
+    // q80: the q34 brute-force oracle verbatim — the cell-scoped
+    // algorithm must reproduce the all-pairs truth on this fixture
+    // (soundness by construction; completeness by spec-pinned clone
+    // co-location).
+    "q80_semantic_dedup" ->
+      """WITH clones AS (
+           SELECT vec_id + 100000 AS vec_id,
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(CASE WHEN i = 1 THEN embedding[i] + 0.01 ELSE embedding[i] END AS FLOAT)) AS embedding
+           FROM embeddings WHERE vec_id < 5),
+         all_e AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id, embedding FROM clones)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6), 4) AS cosine
+         FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+         ORDER BY id_a, id_b""",
 
     // q79: the oracle is the PLAIN box filter — manifest pruning must
     // be invisible in the result. Box bounds use floor division on

@@ -468,4 +468,36 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — public): coarse-quantize the corpus into k-means
+    * cells and compare embeddings ONLY within their cell. Where
+    * [[embeddingDedup]]'s sign-LSH buckets are oblivious to the data's
+    * actual cluster structure, the k-means cells follow it, so the
+    * quadratic verification work concentrates where the semantic
+    * duplicates actually live. Scale shape: candidate pairs are
+    * per-cell (nlist caps the largest bucket at ~|corpus|/nlist under
+    * balanced cells), ids+vectors shuffle once on `cell`, and the
+    * exact-cosine verify is the same codegen'd kernel as everywhere
+    * else. A pair of true duplicates in DIFFERENT cells is missed —
+    * the recall knob is nlist (and Lloyd refinement tightens cells);
+    * SimilaritySpec pins co-location for the q80 clone fixture, which
+    * is what upgrades the battery entry to the full brute-force
+    * oracle via the q34 gap argument. */
+  def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int = 16, lloydIters: Int = 0,
+                         threshold: Double = 0.95): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, lloydIters)
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val a = assigned.select(col("cell"), col("corpus_id").as("id_a"),
+      col("cvec").as("vec_a"))
+    val b = assigned.select(col("cell"), col("corpus_id").as("id_b"),
+      col("cvec").as("vec_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
 }

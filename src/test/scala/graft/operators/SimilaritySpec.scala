@@ -412,6 +412,35 @@ class SimilaritySpec extends SparkSpec {
     assert(zTop.isEmpty || zTop.head.isNullAt(1))
   }
 
+  test("semanticDedup: clones co-locate with their sources and the cell-scoped pairs equal brute force") {
+    val fixture = emb.select($"vec_id", $"embedding").union(
+      emb.filter($"vec_id" < 5)
+        .select(($"vec_id" + 100000).as("vec_id"),
+          transform($"embedding", (x, i) =>
+            when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding")))
+    // completeness leg of the q80 oracle argument: every clone lands
+    // in its source's cell, so no true pair straddles cells
+    val centroids = Similarity.ivfCentroids(fixture, "vec_id", "embedding",
+      nlist = 16, lloydIters = 2)
+    val cells = Similarity.ivfAssign(fixture, "vec_id", "embedding", centroids)
+      .select("corpus_id", "cell").as[(Long, Int)].collect().toMap
+    (0L until 5L).foreach { id =>
+      assert(cells(id) == cells(id + 100000),
+        s"clone of $id split across cells ${cells(id)} vs ${cells(id + 100000)}")
+    }
+    // soundness + completeness together: cell-scoped == all-pairs
+    val got = Similarity.semanticDedupPairs(fixture, "vec_id", "embedding",
+        nlist = 16, lloydIters = 2, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = fixture.toDF("id_a", "vec_a")
+    val b = fixture.toDF("id_b", "vec_b")
+    val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .filter(Similarity.cosine($"vec_a", $"vec_b") >= 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"cell-scoped ${got.size} pairs != brute ${brute.size}")
+    assert(brute == (0L until 5L).map(i => (i, i + 100000)).toSet)
+  }
+
   test("q33/q35 oracle gap: injected clones dominate every organic cosine") {
     // The ANN oracles are valid only while exact top-5 per query == its
     // clone set. Guard the separation itself, at every SF the driver
