@@ -193,6 +193,47 @@ class LakeSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("upsert fuzz: 30 seeded batch sequences converge to the reference merge") {
+    import spark.implicits._
+    for (seed <- 0 until 30) {
+      val rnd = new scala.util.Random(seed)
+      val parts = Seq("p0", "p1", "p2")
+      def somePart() = parts(rnd.nextInt(parts.length))
+      val dir = tmp() + s"/fuzz_$seed"
+      val base = (0 until 20).map(i => (i.toLong, rnd.nextInt(100).toDouble, 0, somePart()))
+      base.toDF("id", "v", "rev", "part").write.partitionBy("part").parquet(dir)
+      // reference state: (id -> (v, rev, part)); update wins rev ties
+      var ref = base.map(r => r._1 -> r).toMap
+      for (_ <- 0 until 3) {
+        val batch = (0 until rnd.nextInt(10) + 1).map { _ =>
+          val id = rnd.nextInt(30).toLong // ~1/3 inserts
+          val part = ref.get(id).map(_._4).getOrElse(somePart()) // partition immutable per key
+          (id, rnd.nextInt(100).toDouble, rnd.nextInt(4), part)
+        }
+        // the engine breaks ties between two same-key same-rev rows of
+        // ONE batch arbitrarily — drop such keys from the fixture
+        // (outcome undefined by contract), keep the unique-newest rest
+        val dedupedBatch = batch.groupBy(_._1).flatMap { case (_, rows) =>
+          val top = rows.filter(_._3 == rows.map(_._3).max)
+          if (top.distinct.size == 1) Some(top.head) else None
+        }.toSeq
+        Lake.upsert(spark, dir, dedupedBatch.toDF("id", "v", "rev", "part"),
+          Seq("id"), "part", "rev")
+        dedupedBatch.foreach { r =>
+          val keep = ref.get(r._1) match {
+            case Some(old) => if (r._3 >= old._3) r else old
+            case None => r
+          }
+          ref = ref + (r._1 -> keep)
+        }
+        val got = spark.read.parquet(dir)
+          .select("id", "v", "rev", "part").as[(Long, Double, Int, String)]
+          .collect().map(r => r._1 -> r).toMap
+        assert(got == ref, s"seed $seed diverged: got ${got.size} ref ${ref.size}")
+      }
+    }
+  }
+
   test("upsert refuses a tree with stage leftovers instead of cleaning them blind") {
     import spark.implicits._
     val dir = tmp() + "/upsert_stale"
