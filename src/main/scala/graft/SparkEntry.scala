@@ -1239,6 +1239,15 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
 
+    // Column profile health gate: row/null/exact-distinct counts and
+    // typed min/max per column in one pass (Profile scaladoc), the
+    // post-stage invariant check a curation pipeline runs between
+    // every two stages.
+    "q81_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("col_name")),
+
     // SemDeDup-style semantic dedup: k-means cells scope the pair
     // candidates instead of q34's data-oblivious LSH buckets. Same
     // clone fixture and the same FULL brute-force oracle as q34 — the
@@ -2638,6 +2647,20 @@ object SparkEntry {
          WHERE e.epoch < w.nfull OR (e.epoch = w.nfull AND
                substr(md5('graft_e' || CAST(d.doc_id AS VARCHAR)), 1, 8) < w.frac)
          ORDER BY d.doc_id, e.epoch""",
+
+    // q81: per-column closed-form profile; numeric min/max stringify
+    // AFTER the typed aggregate in both engines.
+    "q81_profile" -> {
+      def leg(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+                   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   count(DISTINCT $c) AS n_distinct,
+                   CAST(min($c) AS VARCHAR) AS min_s,
+                   CAST(max($c) AS VARCHAR) AS max_s
+            FROM documents"""
+      Seq("doc_id", "lang", "source", "n_chars").map(leg)
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
 
     // q80: the q34 brute-force oracle verbatim — the cell-scoped
     // algorithm must reproduce the all-pairs truth on this fixture
