@@ -1239,6 +1239,20 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
 
+    // Real BPE subword tokenization: merges learned from the corpus's
+    // own word histogram (Bpe scaladoc), token counts under the
+    // learned vocab per doc. The iterative-greedy merge loop is not
+    // SQL-expressible, so like q55/q56 this is rows-only by necessity
+    // — BpeSpec pins the algorithm against a hand-derived merge trace
+    // plus lossless-segmentation / monotonicity / determinism
+    // invariants.
+    "q82_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainMerges(docs, "text", numMerges = 200)
+      graft.operators.Bpe.tokenCount(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // Column profile health gate: row/null/exact-distinct counts and
     // typed min/max per column in one pass (Profile scaladoc), the
     // post-stage invariant check a curation pipeline runs between
