@@ -80,6 +80,45 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("streamingRollup checkpoint restart: no re-merge, state stays exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateTable = "graft_maint_restart_state"
+    spark.sql(s"DROP TABLE IF EXISTS $stateTable")
+    spark.sql(s"DROP TABLE IF EXISTS ${stateTable}_staging")
+    graft.sources.Warehouse.clearOrphanLocation(spark, stateTable)
+    graft.sources.Warehouse.clearOrphanLocation(spark, s"${stateTable}_staging")
+    val ckpt = Files.createTempDirectory("maint_restart").toString
+    val mem = MemoryStream[Tick]
+    val run1 = (1 to 10).map(i => Tick(i, ts(i), "a", i * 1.0, 0))
+    val run2 = (11 to 15).map(i => Tick(i, ts(i), "b", i * 1.0, 0))
+    val q1 = Maintenance.streamingRollup(mem.toDF(), "ts", "value",
+      Seq("kind"), stateTable, ckpt)
+    try {
+      mem.addData(run1: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // NEW query, same checkpoint: committed offsets resume, and the
+    // high-water mark would reject any replayed batch the restart
+    // re-delivers
+    val q2 = Maintenance.streamingRollup(mem.toDF(), "ts", "value",
+      Seq("kind"), stateTable, ckpt)
+    try {
+      mem.addData(run2: _*)
+      q2.processAllAvailable()
+      spark.catalog.refreshTable(stateTable)
+      val expect = Rollup.report(Rollup.hourlyState(
+        (run1 ++ run2).toDF(), "ts", "value", Seq("kind")))
+      val got = Rollup.report(spark.table(stateTable))
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        "state wrong after checkpoint restart")
+      val n = spark.table(stateTable).agg(sum("n")).head.getLong(0)
+      assert(n == 15L, s"rows double-merged across restart: $n")
+    } finally {
+      q2.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $stateTable")
+    }
+  }
+
   test("streamingUpsert applies CDC batches to the lake, latest version winning") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("maint_lake").toString
