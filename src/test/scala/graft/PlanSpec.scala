@@ -170,4 +170,24 @@ class PlanSpec extends SparkSpec {
         s"$q lost the map-side combine")
     }
   }
+
+  test("q73: the Morton key is pure codegen over a broadcast stats row — no UDF, no data shuffle") {
+    val p = plan("q73_zorder")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      "zorder key fell out of codegen:\n" + p.take(800))
+    // the one-row stats frame attaches via a broadcast nested-loop,
+    // never by shuffling the events side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q75: shard export shuffles once on the shard key, no global sort below the output order") {
+    val p = plan("q75_shard_export")
+    // the window partitions by shard: its exchange is hashpartitioning
+    // on shard, not a single-partition global sort
+    assert(p.contains("hashpartitioning(shard"), p.take(1200))
+    assert(!p.contains("SinglePartition"),
+      "per-shard window collapsed to one partition:\n" + p.take(1200))
+  }
 }
