@@ -28,18 +28,22 @@ object SparkEntry {
     * the exact same vectors. Cosines land ≥ ~0.9987 while the corpus
     * max is ≈ 0.6: exact top-5 per query = its clone set. */
   /** Dataset-identity tag for build-once catalog tables: directory
-    * hash PLUS a cheap content fingerprint (row count + max doc_id) of
-    * the documents table, memoized per dir for the session. The
-    * fingerprint catches in-place regeneration of the testdata (same
-    * path, different content) that a path hash alone would serve a
-    * stale index for; the count+max probe is one tiny agg over two
-    * columns, paid once per JVM. */
+    * hash PLUS a cheap content fingerprint — row count, max doc_id,
+    * and an order-independent xxhash64 checksum over (doc_id, text
+    * length) — of the documents table, memoized per dir for the
+    * session. The checksum catches in-place regeneration of the
+    * testdata with the same count and max id but different content,
+    * which a count+max probe alone would serve a stale index for; it
+    * is one narrow agg paid once per JVM (bit_xor keeps it overflow-
+    * free under ANSI arithmetic). */
   private val docsTagCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def docsTag(s: SparkSession, dir: String): String =
     docsTagCache.computeIfAbsent(dir, d => {
       val r = t(s, d, "documents")
-        .agg(count(lit(1)).as("n"), max(col("doc_id")).as("m")).head()
-      java.lang.Integer.toHexString(d.hashCode) + s"_${r.getLong(0)}_${r.getLong(1)}"
+        .agg(count(lit(1)).as("n"), max(col("doc_id")).as("m"),
+          bit_xor(xxhash64(col("doc_id"), length(col("text")))).as("c")).head()
+      java.lang.Integer.toHexString(d.hashCode) +
+        s"_${r.getLong(0)}_${r.getLong(1)}_" + java.lang.Long.toHexString(r.getLong(2))
     })
 
   /** The docsTag scheme over the events table (q77's upsert target). */
@@ -47,8 +51,10 @@ object SparkEntry {
   private def eventsTag(s: SparkSession, dir: String): String =
     eventsTagCache.computeIfAbsent(dir, d => {
       val r = t(s, d, "events")
-        .agg(count(lit(1)).as("n"), max(col("event_id")).as("m")).head()
-      java.lang.Integer.toHexString(d.hashCode) + s"_${r.getLong(0)}_${r.getLong(1)}"
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("m"),
+          bit_xor(xxhash64(col("event_id"), col("ts"), col("value"))).as("c")).head()
+      java.lang.Integer.toHexString(d.hashCode) +
+        s"_${r.getLong(0)}_${r.getLong(1)}_" + java.lang.Long.toHexString(r.getLong(2))
     })
 
   /** Shared build-once n-gram index tables (q31b build/serve, q62

@@ -34,6 +34,17 @@ object RuntimeFilter {
   def bloomMightContain(fact: DataFrame, dim: DataFrame,
                         factKey: String, dimKey: String,
                         expectedKeys: Long, fpp: Double): DataFrame = {
+    // Fail fast on non-integral keys: the probe casts to long, and a
+    // string/decimal key would cast to null row-by-row — silently
+    // dropping EVERY fact row instead of matching the plain join.
+    def requireIntegral(df: DataFrame, key: String, side: String): Unit = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(key).dataType
+      val ok = dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+      require(ok, s"bloom runtime filter needs an integral $side key; '$key' is $dt")
+    }
+    requireIntegral(fact, factKey, "fact")
+    requireIntegral(dim, dimKey, "dim")
     val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
     val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))

@@ -240,12 +240,17 @@ object Lake {
     require(!fs.exists(stage),
       s"$stage left by an interrupted upsert; restore or remove it manually first")
 
-    val parts = updates.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
-    if (parts.isEmpty) return Nil
+    val partVals = updates.select(col(partitionCol).cast("string"))
+      .distinct().collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    if (partVals.isEmpty) return Nil
+    val hasNull = partVals.contains(null)
+    val parts = partVals.filter(_ != null).sorted
 
+    val inParts =
+      if (parts.nonEmpty) col(partitionCol).isin(parts: _*) else lit(false)
     val base = spark.read.parquet(path)
-      .filter(col(partitionCol).isin(parts: _*))
+      .filter(if (hasNull) inParts || col(partitionCol).isNull else inParts)
     val cols = base.columns
     require(cols.sorted.sameElements(updates.columns.sorted),
       s"updates schema ${updates.columns.toSeq} != base ${cols.toSeq}")
@@ -259,9 +264,20 @@ object Lake {
     latest.repartition(col(partitionCol))
       .write.partitionBy(partitionCol).parquet(stage.toString)
 
+    // Leaf dir names must match what Spark's partitioned writer emitted
+    // into the stage: escaped values (':' '/' '%' '=' …) and the Hive
+    // default name for null — a raw s"$col=$p" misses those leaves and
+    // the stage delete below would silently drop their merged rows.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def leafNameOf(p: String): String = {
+      val v = if (p == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+              else ExternalCatalogUtils.escapePathName(p)
+      s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$v"
+    }
+
     val done = Seq.newBuilder[String]
-    for (p <- parts) {
-      val leafName = s"$partitionCol=$p"
+    for (p <- partVals.sortBy(v => if (v == null) "" else v)) {
+      val leafName = leafNameOf(p)
       val stagedLeaf = new Path(stage, leafName)
       if (fs.exists(stagedLeaf)) {
         val leaf = new Path(root, leafName)
@@ -284,6 +300,15 @@ object Lake {
         done += p
       }
     }
+    // Belt-and-braces: every leaf the staged write produced must have
+    // been swapped in above; an unconsumed leaf means a name-mapping
+    // bug, and deleting the stage would lose its merged rows.
+    val unconsumed = fs.listStatus(stage).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(partVals.map(leafNameOf).toSet)
+    require(unconsumed.isEmpty,
+      s"staged leaves ${unconsumed.mkString(", ")} were not consumed by the " +
+        s"swap; stage left at $stage, no data deleted")
     fs.delete(stage, true)
     done.result()
   }

@@ -33,20 +33,39 @@ object Maintenance {
 
   private[streaming] val LastBatchProp = "graft.maintenance.lastBatch"
 
+  private def batchProp(spark: SparkSession, table: String): Option[Long] =
+    spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table))
+      .properties.get(LastBatchProp).map(_.toLong)
+
   /** Merge one micro-batch's partial rollup state into `stateTable`,
     * exactly once: a batch id at or below the table's high-water mark
-    * is a replay and is skipped. Returns whether the merge applied. */
+    * is a replay and is skipped. Returns whether the merge applied.
+    *
+    * Crash safety of the swap: the high-water property is stamped on
+    * the staging table BEFORE the old state drops, so "state missing
+    * but a stamped staging exists" uniquely identifies a crash between
+    * the drop and the rename — recovery adopts the staging table
+    * (it already holds the merged state and the mark). A staging
+    * table WITHOUT the stamp can only coexist with a live state table
+    * (or a first-ever batch whose state is just the increment), so
+    * dropping it below is never a state loss. */
   def refreshRollupState(spark: SparkSession, stateTable: String,
                          incr: DataFrame, batchId: Long): Boolean = {
+    val stagingName = s"${stateTable}_staging"
+    if (!spark.catalog.tableExists(stateTable) &&
+        spark.catalog.tableExists(stagingName) &&
+        batchProp(spark, stagingName).isDefined) {
+      spark.sql(s"ALTER TABLE $stagingName RENAME TO $stateTable")
+      spark.catalog.refreshTable(stateTable)
+    }
     val exists = spark.catalog.tableExists(stateTable)
     if (exists) {
-      val last = spark.sessionState.catalog
-        .getTableMetadata(TableIdentifier(stateTable))
-        .properties.get(LastBatchProp).map(_.toLong)
+      val last = batchProp(spark, stateTable)
       if (last.exists(_ >= batchId)) return false
     }
     val merged = if (exists) Rollup.merge(spark.table(stateTable), incr) else incr
-    val staging = s"${stateTable}_staging"
+    val staging = stagingName
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     Warehouse.clearOrphanLocation(spark, staging)
     merged.write.saveAsTable(staging)

@@ -43,6 +43,22 @@ class RuntimeFilterSpec extends SparkSpec {
       s"prune ineffective: kept=$kept matching=$matching total=$total")
   }
 
+  test("non-integral keys are rejected up front, not silently pruned to empty") {
+    import spark.implicits._
+    // a string key would cast to null per row and drop EVERY fact row —
+    // the guard must fail fast instead (round-6 ADVICE finding)
+    val factStr = Seq(("k1", 1.0), ("k2", 2.0)).toDF("k", "v")
+    val dimStr = Seq(("k1", "x")).toDF("dk", "name")
+    val eFact = intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomPrunedJoin(factStr, lineitem, "k", "l_orderkey")
+    }
+    assert(eFact.getMessage.contains("integral"))
+    val eDim = intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomPrunedJoin(lineitem, dimStr, "l_orderkey", "dk")
+    }
+    assert(eDim.getMessage.contains("integral"))
+  }
+
   test("the bloom filter sits below the fact-side exchange in the plan") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

@@ -193,6 +193,37 @@ class LakeSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("upsert handles partition values needing path escaping and nulls") {
+    import spark.implicits._
+    // ':' and '%' are escaped by Spark's partitioned writer
+    // (part=a%3Ab); null lands in __HIVE_DEFAULT_PARTITION__. A raw
+    // s"part=$p" leaf name misses both — the merged rows would be
+    // discarded with the stage dir (the round-6 ADVICE finding).
+    val dir = tmp() + "/upsert_escape"
+    Seq((1L, 10.0, 0, "a:b"), (2L, 20.0, 0, "p%q"), (3L, 30.0, 0, null: String),
+        (4L, 40.0, 0, "plain"))
+      .toDF("id", "v", "rev", "part")
+      .write.partitionBy("part").parquet(dir)
+
+    val updates = Seq(
+      (1L, 11.0, 1, "a:b"),          // update in an escaped partition
+      (2L, 21.0, 1, "p%q"),          // update in another escaped partition
+      (3L, 31.0, 1, null: String),   // update in the null partition
+      (5L, 50.0, 1, "x=y"))          // insert creating an escaped partition
+      .toDF("id", "v", "rev", "part")
+    val done = Lake.upsert(spark, dir, updates,
+      keyCols = Seq("id"), partitionCol = "part", versionCol = "rev")
+    assert(done.filter(_ != null).sorted == Seq("a:b", "p%q", "x=y") &&
+      done.contains(null))
+
+    val got = spark.read.parquet(dir)
+      .select("id", "v", "rev", "part").as[(Long, Double, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 11.0, 1, "a:b"), (2L, 21.0, 1, "p%q"), (3L, 31.0, 1, null),
+      (4L, 40.0, 0, "plain"), (5L, 50.0, 1, "x=y")))
+  }
+
   test("upsert fuzz: 30 seeded batch sequences converge to the reference merge") {
     import spark.implicits._
     for (seed <- 0 until 30) {

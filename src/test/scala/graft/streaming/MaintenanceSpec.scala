@@ -80,6 +80,49 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("crash between state drop and staging rename: recovery adopts staging") {
+    val stateTable = "graft_maint_crash_state"
+    val staging = s"${stateTable}_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $stateTable")
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    graft.sources.Warehouse.clearOrphanLocation(spark, stateTable)
+    graft.sources.Warehouse.clearOrphanLocation(spark, staging)
+    val b0 = Seq(Tick(1, ts(0), "a", 10.0, 0), Tick(2, ts(0), "b", 20.0, 0)).toDF()
+    val b1 = Seq(Tick(3, ts(0), "a", 30.0, 0)).toDF()
+    val b2 = Seq(Tick(4, ts(0), "c", 40.0, 0)).toDF()
+    def incr(df: org.apache.spark.sql.DataFrame) =
+      Rollup.hourlyState(df, "ts", "value", Seq("kind"))
+    try {
+      assert(Maintenance.refreshRollupState(spark, stateTable, incr(b0), 0L))
+      // replay batch 1's swap BY HAND up to the crash point: staging
+      // holds the merged state and the stamped mark, the old state is
+      // dropped, the rename never happened
+      val merged = Rollup.merge(spark.table(stateTable), incr(b1))
+      merged.write.saveAsTable(staging)
+      spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES " +
+        s"('${Maintenance.LastBatchProp}'='1')")
+      spark.sql(s"DROP TABLE $stateTable")
+      graft.sources.Warehouse.clearOrphanLocation(spark, stateTable)
+      // the stream redelivers batch 1: recovery must adopt the staging
+      // table (merge skipped — its effect is already in the state),
+      // NOT restart the state from this one increment
+      assert(!Maintenance.refreshRollupState(spark, stateTable, incr(b1), 1L),
+        "replayed batch re-merged after crash recovery")
+      val n1 = spark.table(stateTable).agg(sum("n")).head.getLong(0)
+      assert(n1 == 3L, s"state lost/reset across the crash window: $n1 rows")
+      // and the stream continues normally afterwards
+      assert(Maintenance.refreshRollupState(spark, stateTable, incr(b2), 2L))
+      val expect = Rollup.report(Rollup.hourlyState(
+        b0.unionByName(b1).unionByName(b2), "ts", "value", Seq("kind")))
+      val got = Rollup.report(spark.table(stateTable))
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        "state wrong after crash-window recovery")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $stateTable")
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+  }
+
   test("streamingRollup checkpoint restart: no re-merge, state stays exact") {
     implicit val sqlCtx = spark.sqlContext
     val stateTable = "graft_maint_restart_state"
