@@ -36,6 +36,26 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   * queries (q01/q05/q13 ≲ 0.3 s idle) are uniformly inflated as
   * suspect even when untainted, and prefer the minimum of several
   * runs for cross-round comparisons.
+  *
+  * Cross-query interference (round-6 lesson): 10 queries whose code
+  * did not change regressed 2-9x purely from in-JVM neighborhood —
+  * heap aged by the big q31b/q31c/q54b index builds that sort just
+  * before them, plus tmp-dir lakes and ~14 build-once catalog tables.
+  * Three mitigations now run:
+  *   1. The two timed attempts per query execute in two PASSES —
+  *      pass 1 in name order, pass 2 in a seeded-shuffle order — so
+  *      the reported min comes from two different cross-query
+  *      neighborhoods instead of back-to-back under the same leaked
+  *      state. Build-once tables persist across passes, so lifecycle
+  *      queries still measure build in one attempt and serve in the
+  *      other.
+  *   2. A full System.gc() runs before every timed attempt, bounding
+  *      GC-debt carry-over from a heavy neighbor.
+  *   3. Per-query GC-time deltas ("gc":{...}) and an I/O probe
+  *      (64 MiB tmp write+read+delete, timed before and after the
+  *      battery, "io_before"/"io_after") join the canary bracket in
+  *      the JSON, so metastore/disk/GC contamination is visible
+  *      per-run instead of inferred across rounds.
   */
 object Bench {
   private val canaryAcc = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -64,6 +84,31 @@ object Bench {
     ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Total stop-the-world GC time across all collectors, in seconds. */
+  private def gcTotalSec(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
+  /** I/O probe: write, re-read, and delete 64 MiB in tmp; returns
+    * seconds. Catches host-level disk contention the CPU canary is
+    * blind to (metastore scans, lake writes competing for the disk). */
+  private def ioProbeSec(): Double = {
+    val f = java.io.File.createTempFile("graft_bench_ioprobe", ".bin")
+    val buf = new Array[Byte](1 << 20)
+    new java.util.Random(42L).nextBytes(buf)
+    val t0 = System.nanoTime()
+    val out = new java.io.FileOutputStream(f)
+    try { var i = 0; while (i < 64) { out.write(buf); i += 1 }; out.getFD.sync() }
+    finally out.close()
+    val in = new java.io.FileInputStream(f)
+    try { while (in.read(buf) > 0) () } finally in.close()
+    f.delete()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,64 +129,87 @@ object Bench {
     val canaryRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_REF_SEC", "0.90").toDouble
     canarySec(itersPerThread = 50000000L) // untimed JIT warm-up of the canary loop
     val canaryBefore = canarySec()
+    val ioBefore = ioProbeSec()
 
     // warm-up: JIT + codegen + parquet footer caches
     SparkEntry.queries.get("q04_lineitem_agg").foreach(f => f(spark, sfDir).count())
 
-    // Two timed attempts per query, minimum reported (JMH-style steady
-    // state: attempt 1 pays plan compilation + JIT, attempt 2 measures;
-    // a timed-out or failed first attempt is not retried).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def attempt(): Double = {
-        val t0 = System.nanoTime()
-        val fut = pool.submit(new java.util.concurrent.Callable[Boolean] {
-          def call(): Boolean = try {
-            spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-            val df = fn(spark, sfDir)
-            if (explain) System.err.println(s"=== $name ===\n" + df.queryExecution.explainString(
-              org.apache.spark.sql.execution.FormattedMode))
-            df.count(); true
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          } finally spark.sparkContext.clearJobGroup()
-        })
-        val ok = try fut.get(timeoutSec, TimeUnit.SECONDS)
-        catch {
-          case _: TimeoutException =>
-            System.err.println(s"[bench] $name timed out after ${timeoutSec}s — cancelling")
-            spark.sparkContext.cancelJobGroup(name)
-            fut.cancel(true)
-            false
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        // lifecycle queries (q22b/q31b) persist their frames and cannot
-        // unpersist them from a fn that must return a DataFrame; each
-        // attempt also pins a FRESH entry (new UDF lambda → plan equality
-        // fails). Drop everything after every attempt so neither a later
-        // query nor attempt 2 of the same query is measured under leaked
-        // memory pressure.
-        spark.catalog.clearCache()
-        sec
+    /** One timed attempt of `name`; returns (seconds-or-negative,
+      * stop-the-world GC seconds during the attempt). */
+    def attempt(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
+      // Bound GC-debt carry-over from whichever query ran before —
+      // heap aging is the dominant cross-query interference channel.
+      System.gc()
+      val gc0 = gcTotalSec()
+      val t0 = System.nanoTime()
+      val fut = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          val df = fn(spark, sfDir)
+          if (explain) System.err.println(s"=== $name ===\n" + df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          df.count(); true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        } finally spark.sparkContext.clearJobGroup()
+      })
+      val ok = try fut.get(timeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          System.err.println(s"[bench] $name timed out after ${timeoutSec}s — cancelling")
+          spark.sparkContext.cancelJobGroup(name)
+          fut.cancel(true)
+          false
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
-      val first = attempt()
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // lifecycle queries (q22b/q31b) persist their frames and cannot
+      // unpersist them from a fn that must return a DataFrame; each
+      // attempt also pins a FRESH entry (new UDF lambda → plan equality
+      // fails). Drop everything after every attempt so no later attempt
+      // is measured under leaked memory pressure.
+      spark.catalog.clearCache()
+      (sec, gcTotalSec() - gc0)
+    }
+
+    // Two timed attempts per query, minimum reported — but the attempts
+    // run in two PASSES over the whole battery, the second in a
+    // seeded-shuffle order, so each query's two samples come from two
+    // different cross-query neighborhoods (heap state, catalog size,
+    // tmp-dir contents). Build-once catalog tables persist across
+    // passes, so lifecycle queries (q22b/q31b/q54b/...) still measure
+    // build in pass 1 and serve in pass 2. A failed pass-1 query is
+    // still retried in pass 2: pass-1 failures can be neighborhood-
+    // induced (timeout under GC debt), and a -1 from a real bug stays
+    // a -1 anyway.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => name -> attempt(name, fn) }.toMap
+    val shuffled = new scala.util.Random(0xC0FFEEL).shuffle(ordered)
+    val pass2 = shuffled.map { case (name, fn) => name -> attempt(name, fn) }.toMap
+    val results = ordered.map { case (name, _) =>
+      val (s1, g1) = pass1(name)
+      val (s2, g2) = pass2(name)
       val best =
-        if (first < 0) first
-        else {
-          val second = attempt()
-          if (second < 0) first else math.min(first, second)
-        }
-      name -> best
+        if (s1 < 0 && s2 < 0) -1.0
+        else if (s1 < 0) s2
+        else if (s2 < 0) s1
+        else math.min(s1, s2)
+      // report the GC time of whichever attempt was reported
+      val gcSec = if (best == s2 && s2 >= 0) g2 else g1
+      (name, best, gcSec)
     }
     val canaryAfter = canarySec()
+    val ioAfter = ioProbeSec()
     val tainted = math.max(canaryBefore, canaryAfter) > 2.0 * canaryRef
     if (tainted) System.err.println(
       f"[bench] TAINTED: canary before=$canaryBefore%.3f after=$canaryAfter%.3f ref=$canaryRef%.3f " +
         "— external load detected; do not read these timings as a code signal")
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, g) => "\"" + k + f"\":$g%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_before":$canaryBefore%.3f,"canary_after":$canaryAfter%.3f,"canary_ref":$canaryRef%.3f,"tainted":$tainted}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gc":$gcs,"io_before":$ioBefore%.3f,"io_after":$ioAfter%.3f,"canary_before":$canaryBefore%.3f,"canary_after":$canaryAfter%.3f,"canary_ref":$canaryRef%.3f,"tainted":$tainted}""")
     pool.shutdownNow()
     spark.stop()
     sys.exit(0)
