@@ -80,6 +80,32 @@ object SparkEntry {
       s"graft_q31c_pinv_$tag", s"graft_q31c_cands_$tag")
   }
 
+  /** Shared build-once connected-components table over the q31b pair
+    * graph: `(node, component)` for every doc that appears in a
+    * verified near-dup pair. q48 (cluster report), q62 (survivor
+    * filter), and q78b (leak-free splits) all consume the SAME
+    * component map, and the large-star/small-star fixpoint is the
+    * expensive part — so it is materialized once per dataset tag, the
+    * [[ngramIndexTables]] lifecycle. */
+  private[graft] def componentsTable(s: SparkSession, dir: String): String =
+    s"graft_q48_comp_${docsTag(s, dir)}_n3_t50"
+
+  private def ensureComponentsTable(s: SparkSession, dir: String): String = {
+    val tbl = componentsTable(s, dir)
+    if (!s.catalog.tableExists(tbl)) {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val (invT, candT) = ngramIndexTables(s, dir)
+      graft.operators.Dedup.ensureNgramTables(s, docs, "doc_id", "text",
+        invT, candT, n = 3, threshold = 0.5)
+      val pairs = graft.operators.Dedup.ngramVerifiedPairs(
+        s.table(invT), s.table(candT), threshold = 0.5)
+      graft.sources.Warehouse.clearOrphanLocation(s, tbl)
+      graft.operators.Components.connectedComponents(pairs, "doc_a", "doc_b")
+        .write.mode("overwrite").saveAsTable(tbl)
+    }
+    tbl
+  }
+
   /** Shared build-once BM25 statistics tables (q54b). */
   private[graft] def bm25Tables(s: SparkSession, dir: String): (String, String, String) = {
     val tag = docsTag(s, dir)
@@ -940,11 +966,11 @@ object SparkEntry {
     // the point — a–b and b–c pair up {a,b,c} even when (a,c) was
     // never a candidate. Oracle: DuckDB recursive-CTE label reach over
     // the independently-computed brute-force pair set.
+    // Served from the build-once components table (ensureComponents-
+    // Table): the fixpoint runs once per dataset tag and q62/q78b read
+    // the same map — round-6 ran it independently in all three.
     "q48_dedup_clusters" -> ((s, dir) => {
-      val pairs = graft.operators.Dedup.ngramJaccard(
-        t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
-      graft.operators.Components.connectedComponents(pairs, "doc_a", "doc_b")
-        .orderBy("node")
+      s.table(ensureComponentsTable(s, dir)).orderBy("node")
     }),
 
     // Near-dup pairs → clusters → SURVIVORS: the transitive corpus
@@ -959,12 +985,9 @@ object SparkEntry {
     // source with an id checksum) is fully SQL-checkable.
     "q62_drop_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "source", "text")
-      val (invT, candT) = ngramIndexTables(s, dir)
-      graft.operators.Dedup.ensureNgramTables(s, docs, "doc_id", "text",
-        invT, candT, n = 3, threshold = 0.5)
-      val pairs = graft.operators.Dedup.ngramVerifiedPairs(
-        s.table(invT), s.table(candT), threshold = 0.5)
-      graft.operators.Dedup.dropNearDuplicateClusters(docs, "doc_id", pairs)
+      val comp = s.table(ensureComponentsTable(s, dir))
+      graft.operators.Dedup
+        .dropNearDuplicateClustersFromComponents(docs, "doc_id", comp)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
         .orderBy("source")
@@ -1259,6 +1282,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The DISTRIBUTED half of BPE alone — the (word, count) histogram
+    // the driver-side merge loop trains on — is plain SQL (normalize +
+    // split + explode + group-by), so it gets its own fully-oracled
+    // entry: DuckDB recomputes the histogram from the raw corpus,
+    // shrinking q82's unavoidable no_oracle surface to the greedy
+    // merge loop only (which BpeSpec pins by hand-derived trace).
+    "q82b_bpe_histogram" -> ((s, dir) =>
+      graft.operators.Bpe.wordHistogram(t(s, dir, "documents"), "text",
+          minCount = 2L)
+        .orderBy("word")),
+
     // Column profile health gate: row/null/exact-distinct counts and
     // typed min/max per column in one pass (Profile scaladoc), the
     // post-stage invariant check a curation pipeline runs between
@@ -1336,13 +1370,7 @@ object SparkEntry {
     // near-copy of a training row.
     "q78b_split_leakfree" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val (invT, candT) = ngramIndexTables(s, dir)
-      graft.operators.Dedup.ensureNgramTables(s, docs, "doc_id", "text",
-        invT, candT, n = 3, threshold = 0.5)
-      val pairs = graft.operators.Dedup.ngramVerifiedPairs(
-        s.table(invT), s.table(candT), threshold = 0.5)
-      val comp = graft.operators.Components
-        .connectedComponents(pairs, "doc_a", "doc_b")
+      val comp = s.table(ensureComponentsTable(s, dir))
       val withRep = docs.join(comp, docs("doc_id") === comp("node"), "left")
         .select(docs("doc_id"),
           coalesce(col("component"), docs("doc_id")).as("rep"))
@@ -2681,6 +2709,19 @@ object SparkEntry {
       Seq("doc_id", "lang", "source", "n_chars").map(leg)
         .mkString("", " UNION ALL ", " ORDER BY col_name")
     },
+
+    // q82b: DuckDB recomputes the BPE word histogram from the raw
+    // corpus — normalizeText (lower, strip ASCII punct, collapse
+    // whitespace) then split/unnest/group — with the same minCount=2
+    // tail prune.
+    "q82b_bpe_histogram" ->
+      """SELECT word, count(1) AS n FROM (
+           SELECT unnest(list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '),
+                  x -> length(x) > 0)) AS word
+           FROM documents)
+         GROUP BY word HAVING count(1) >= 2 ORDER BY word""",
 
     // q80: the q34 brute-force oracle verbatim — the cell-scoped
     // algorithm must reproduce the all-pairs truth on this fixture

@@ -43,31 +43,100 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
 
-  /** Driver-side greedy merge loop over a collected histogram. */
+  /** Driver-side greedy merge loop over a collected histogram, with
+    * INCREMENTAL pair-count maintenance (the reference-trainer
+    * optimization): a merge only changes the counts of pairs inside
+    * words that contain the merged pair, so only those words are
+    * rewritten and only their pair deltas applied — never a full
+    * recount. Selection rides a lazily-invalidated max-heap: every
+    * count change pushes a fresh `(count, pair)` entry, and pops
+    * discard entries whose snapshot no longer matches the live count.
+    * Per merge the cost is O(|words containing the pair| · |word| +
+    * heap churn), vs the previous O(Σ|word|·|histogram|) full rescan —
+    * the difference between minutes and hours at a 32k-merge
+    * vocabulary over a 1M-word histogram. The selection rule
+    * (max count, ties broken lexicographically) is unchanged, so the
+    * merge list is bit-identical to the rescan form's. */
   private[operators] def trainOnHistogram(hist: Seq[(String, Long)],
                                           numMerges: Int): Seq[(String, String)] = {
-    var words: Seq[(Vector[String], Long)] =
-      hist.map { case (w, n) => (w.map(_.toString).toVector :+ EndOfWord, n) }
+    val words: Array[(Vector[String], Long)] =
+      hist.map { case (w, n) => (w.map(_.toString).toVector :+ EndOfWord, n) }.toArray
+    val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+    // pair -> indices of words that contained the pair when last
+    // rewritten (a superset of current holders; re-verified at use)
+    val holders = scala.collection.mutable.Map
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    val changed = scala.collection.mutable.Set.empty[(String, String)]
+    def applyPairDeltas(idx: Int, sign: Long): Unit = {
+      val (syms, n) = words(idx)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = stats.getOrElse(p, 0L) + sign * n
+        if (c == 0L) stats.remove(p) else stats(p) = c
+        changed += p
+        if (sign > 0L)
+          holders.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += idx
+        i += 1
+      }
+    }
+    words.indices.foreach(applyPairDeltas(_, 1L))
+    // max-heap on (count, pair): larger count first, then the
+    // lexicographically SMALLEST pair — the old minBy((-n, a, b)) rule
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val ca = y._2.compareTo(x._2)
+          if (ca != 0) ca else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def flushChanged(): Unit = {
+      changed.foreach { p =>
+        stats.get(p).foreach(n => heap.enqueue((n, p._1, p._2)))
+      }
+      changed.clear()
+    }
+    flushChanged()
     val merges = Seq.newBuilder[(String, String)]
     var done = 0
-    while (done < numMerges) {
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      for ((syms, n) <- words; i <- 0 until syms.length - 1)
-        counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + n))
-      if (counts.isEmpty) return merges.result()
-      val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+    while (done < numMerges && stats.nonEmpty) {
+      // pop until an entry matches the live count — stale snapshots
+      // (from before a delta) are discarded here
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (n, a, b) = heap.dequeue()
+        if (stats.get((a, b)).contains(n)) best = (a, b)
+      }
+      if (best == null) return merges.result()
       merges += best
       val joined = best._1 + best._2
-      words = words.map { case (syms, n) =>
-        val out = Vector.newBuilder[String]
+      holders.remove(best).foreach(_.foreach { idx =>
+        val (syms, n) = words(idx)
+        // the holder set is a stale superset; re-verify membership
+        var has = false
         var i = 0
-        while (i < syms.length) {
-          if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
-            out += joined; i += 2
-          } else { out += syms(i); i += 1 }
+        while (!has && i < syms.length - 1) {
+          has = syms(i) == best._1 && syms(i + 1) == best._2
+          i += 1
         }
-        (out.result(), n)
-      }
+        if (has) {
+          applyPairDeltas(idx, -1L)
+          val out = Vector.newBuilder[String]
+          i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += joined; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          words(idx) = (out.result(), n)
+          applyPairDeltas(idx, 1L)
+        }
+      })
+      flushChanged()
       done += 1
     }
     merges.result()

@@ -90,9 +90,19 @@ object Dedup {
     * even when the hub pair itself was never a candidate. */
   def dropNearDuplicateClusters(df: DataFrame, idCol: String, pairs: DataFrame,
                                 aCol: String = "doc_a",
-                                bCol: String = "doc_b"): DataFrame = {
-    val nonRoots = Components.connectedComponents(pairs, aCol, bCol)
-      .filter(col("node") =!= col("component"))
+                                bCol: String = "doc_b"): DataFrame =
+    dropNearDuplicateClustersFromComponents(df, idCol,
+      Components.connectedComponents(pairs, aCol, bCol))
+
+  /** [[dropNearDuplicateClusters]] over a PRE-COMPUTED `(node,
+    * component)` frame (e.g. a build-once components catalog table) —
+    * the fixpoint is the expensive part of the cluster rule, and every
+    * consumer of one corpus's pair graph shares the same components,
+    * so production pipelines materialize them once per corpus build
+    * and serve every dedup/split job from the narrow table. */
+  def dropNearDuplicateClustersFromComponents(df: DataFrame, idCol: String,
+                                              comp: DataFrame): DataFrame = {
+    val nonRoots = comp.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     df.join(nonRoots, Seq(idCol), "left_anti")
   }
@@ -570,12 +580,28 @@ object Dedup {
       try {
         pNew.write.mode("append").saveAsTable(tbl.pinv)
         // every delta pair touches >= 1 new doc, so it cannot already be
-        // in the table; both orientations because the doc id on either
-        // side of the `<` may be the new one (pinv already includes the
-        // delta rows here, read fresh after the append)
+        // in the table. ONE gram join with the delta on the build side —
+        // a new doc's id can fall on either side of the canonical `<`,
+        // so instead of running the join twice (once per orientation,
+        // the round-6 shape, ~2x the candidate work) the pair is
+        // orientation-normalized AFTER the match: least/greatest on the
+        // ids, sizes swapped to follow. New-new pairs match twice (each
+        // doc once as the delta side, pinv already holding the delta
+        // rows here) and collapse in the same distinct the pair join
+        // always needed.
         val pAll = spark.table(tbl.pinv)
-        prefixPairJoin(pNew, pAll, threshold)
-          .union(prefixPairJoin(pAll, pNew, threshold)).distinct()
+        val nSide = pNew.select(col("gram"), col("doc_id").as("id_n"), col("sz").as("sz_n"))
+        val aSide = pAll.select(col("gram"), col("doc_id").as("id_o"), col("sz").as("sz_o"))
+        nSide.join(aSide, "gram")
+          .filter(col("id_n") =!= col("id_o"))
+          .filter(greatest(col("sz_n"), col("sz_o")) * threshold <=
+            least(col("sz_n"), col("sz_o")))
+          .select(
+            least(col("id_n"), col("id_o")).as("doc_a"),
+            greatest(col("id_n"), col("id_o")).as("doc_b"),
+            when(col("id_n") < col("id_o"), col("sz_n")).otherwise(col("sz_o")).as("sz_a"),
+            when(col("id_n") < col("id_o"), col("sz_o")).otherwise(col("sz_n")).as("sz_b"))
+          .distinct()
           .write.mode("append").saveAsTable(tbl.cands)
       } finally pNew.unpersist()
     } finally delta.unpersist()

@@ -74,18 +74,101 @@ object Layout {
   }
 
   /** Per-file min-max manifest over `statsCols` — the repo-side
-    * analog of parquet footer stats / an Iceberg manifest, built with
-    * one scan. At 100 TB the manifest is |files| rows: tiny, cheap to
-    * rebuild after a layout rewrite, and the thing [[prunedRead]]
+    * analog of parquet footer stats / an Iceberg manifest. At 100 TB
+    * the manifest is |files| rows: tiny, and the thing [[prunedRead]]
     * consults INSTEAD of listing and footer-probing every file.
+    *
+    * This is the FULL-REBUILD form — it reads every row of every file,
+    * so it is |data|-priced and belongs only after a whole-table
+    * rewrite (where the write itself was already |data|) or as the
+    * recovery fallback. Steady-state maintenance is incremental:
+    * writers that rewrite a known set of leaves call
+    * [[refreshManifestDirs]], which re-stats ONLY the touched files —
+    * the Iceberg/Delta discipline (stats ride each commit's file list,
+    * the table is never re-scanned to learn what it already knew).
     */
   def buildManifest(spark: org.apache.spark.sql.SparkSession, path: String,
-                    statsCols: Seq[String]): DataFrame = {
+                    statsCols: Seq[String]): DataFrame =
+    statsForFiles(spark, spark.read.parquet(path), statsCols)
+
+  private def statsForFiles(spark: org.apache.spark.sql.SparkSession,
+                            data: DataFrame, statsCols: Seq[String]): DataFrame = {
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+    data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Directory the durable manifest lives in, INSIDE the lake root.
+    * The underscore prefix hides it from Spark/Hadoop data listings
+    * (the `_delta_log` convention), so `spark.read.parquet(lake)`
+    * never sees manifest rows as data. */
+  val ManifestDirName = "_graft_manifest"
+
+  private def manifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, ManifestDirName)
+
+  def manifestExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = manifestPath(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  def readManifest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(manifestPath(path).toString)
+
+  /** Full manifest (re)build persisted next to the data — the
+    * initialization step of the incremental lifecycle, run once after
+    * a whole-table write like [[writeZOrdered]]. */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                    statsCols: Seq[String]): Unit =
+    buildManifest(spark, path, statsCols)
+      .write.mode("overwrite").parquet(manifestPath(path).toString)
+
+  /** `file` values come from `input_file_name()` as URIs
+    * (`file:///a/b`); touched dirs arrive as plain paths. Both sides
+    * normalize to a scheme-less absolute path before prefix matching. */
+  private def normalizePath(s: String): String =
+    s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  /** Incrementally refresh a persisted manifest after a partial
+    * rewrite: rows whose file lives under a `touchedDirs` prefix are
+    * replaced by fresh stats over the files NOW present there (none,
+    * if the dir vanished); every other row is carried over untouched.
+    * Cost: |touched data| to stat + |files| rows to rewrite — never a
+    * table scan. The stats columns are recovered from the manifest's
+    * own schema, so callers (Lake.upsert, Lake.compact) need no
+    * side-channel.
+    */
+  def refreshManifestDirs(spark: org.apache.spark.sql.SparkSession, path: String,
+                          touchedDirs: Seq[String]): Unit = {
+    if (touchedDirs.isEmpty) return
+    val mPath = manifestPath(path)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(mPath), s"no manifest at $mPath to refresh — writeManifest first")
+    val man = readManifest(spark, path)
+    val statsCols = man.columns.filter(_.endsWith("_min")).map(_.dropRight(4)).toSeq
+    // trailing separator so "/a/b" cannot prefix-match "/a/bc"
+    val prefixes = touchedDirs.map(d => normalizePath(d).stripSuffix("/") + "/")
+    val nfile = regexp_replace(col("file"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+    val underTouched = prefixes.map(p => nfile.startsWith(p)).reduce(_ || _)
+    val freshFiles = prefixes.flatMap { p =>
+      val dir = new org.apache.hadoop.fs.Path(p.stripSuffix("/"))
+      if (fs.exists(dir))
+        fs.listStatus(dir).filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+          .map(_.getPath.toString)
+      else Array.empty[String]
+    }
+    val kept = man.filter(!underTouched)
+    val refreshed =
+      if (freshFiles.isEmpty) kept
+      else kept.unionByName(
+        statsForFiles(spark, spark.read.parquet(freshFiles: _*), statsCols))
+    // the new manifest's lineage reads the old manifest files — cut it
+    // (|files| rows) before overwriting them
+    val materialized = refreshed.localCheckpoint()
+    try materialized.write.mode("overwrite").parquet(mPath.toString)
+    finally materialized.unpersist()
   }
 
   /** Scan only the files whose manifest box can overlap the given

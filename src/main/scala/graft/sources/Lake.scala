@@ -196,7 +196,15 @@ object Lake {
         done += rel
       }
     }
-    done.result()
+    val doneRels = done.result()
+    // Parquet lakes carrying a durable min-max manifest get it
+    // refreshed for exactly the rewritten leaves (see Lake.upsert).
+    // Line-format lakes have no parquet stats to manifest.
+    if (format == "parquet" && doneRels.nonEmpty &&
+        graft.operators.Layout.manifestExists(spark, path))
+      graft.operators.Layout.refreshManifestDirs(spark, path,
+        doneRels.map(r => new Path(root, r).toString))
+    doneRels
   }
 
   /** Latest-wins MERGE (upsert) of `updates` into a parquet lake tree
@@ -310,7 +318,15 @@ object Lake {
       s"staged leaves ${unconsumed.mkString(", ")} were not consumed by the " +
         s"swap; stage left at $stage, no data deleted")
     fs.delete(stage, true)
-    done.result()
+    val doneParts = done.result()
+    // A lake carrying a durable min-max manifest (Layout.writeManifest)
+    // gets it maintained incrementally here: only the leaves this merge
+    // rewrote are re-statted — |delta| work, the Iceberg/Delta commit
+    // discipline, never a table scan.
+    if (graft.operators.Layout.manifestExists(spark, path))
+      graft.operators.Layout.refreshManifestDirs(spark, path,
+        doneParts.map(p => new Path(root, leafNameOf(p)).toString))
+    doneParts
   }
 
   /** Register a bronze tree in the session catalog as a partitioned
