@@ -118,6 +118,17 @@ object SparkEntry {
     (s"graft_q70b_bigrams_$tag", s"graft_q70b_ctx_$tag", s"graft_q70b_vocab_$tag")
   }
 
+  /** The q56/q56b corpus: documents plus docs 0-4 cloned at id+300000
+    * with a sub-k marker suffix (contributes no shared 30-gram of its
+    * own, so each clone must pair with its source via surviving
+    * fingerprints). */
+  private def winnowCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    docs.union(docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" winnowed clone mark")).as("text")))
+  }
+
   private[graft] def annClones(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding"),
@@ -592,22 +603,16 @@ object SparkEntry {
     // Winnowing (MOSS) fingerprint pair detection: docs 0-4 cloned at
     // id+300000 with a short (< k chars, so it contributes no shared
     // gram of its own) marker appended; pairs = docs sharing ≥1 winnow
-    // fingerprint at k=30, w=8. Rows-only BY MEASUREMENT, not
-    // convenience: the winnow guarantee brackets the answer —
-    // pairs sharing a ≥ w+k−1 = 37-char normalized run are always
-    // detected, detected pairs always share a ≥30-char run — but this
-    // corpus has pairs sharing exactly-30..36-char template fragments
-    // at every SF (10 such at sf0.01), whose detection depends on which
-    // grams the rolling hash selects. No hash-independent SQL oracle
-    // can state that set; the bracket + injected-clone completeness +
-    // soundness are spec-pinned instead (TextSpec, "q56 winnow pairs:
-    // guarantee bracket holds").
+    // fingerprint at k=30, w=8. FULLY oracled (since round 8, the
+    // q23/q32 pattern): the DuckDB side restates the gram-hash kernel
+    // (FNV-1a over each 30-char window + mix64, in HUGEINT modular
+    // arithmetic — WinnowGramCte) and replays the rolling-min pick in
+    // SQL. Rightmost-min tie-breaking needs no emulation: tied window
+    // positions share the hash VALUE, so each document's fingerprint
+    // set is exactly its distinct per-window minima. q56b pins the
+    // positional hash sequence itself row-by-row.
     "q56_winnow_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val clones = docs.filter(col("doc_id") < 5)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(col("text"), lit(" winnowed clone mark")).as("text"))
-      val fp = docs.union(clones)
+      val fp = winnowCorpus(s, dir)
         .select(col("doc_id"),
           explode(Text.winnowFingerprints(col("text"), k = 30, w = 8)).as("fp"))
         .distinct()
@@ -617,6 +622,18 @@ object SparkEntry {
         .select("doc_a", "doc_b").distinct()
         .orderBy("doc_a", "doc_b")
     }),
+
+    // The positional 30-gram hash sequence q56's winnow selects from,
+    // emitted per (doc, pos) over the same clone-augmented corpus —
+    // the side entry that lets the q56 oracle replay the selection
+    // from inputs DuckDB has independently recomputed from the raw
+    // text (hash kernel restated in SQL, never trusted from the
+    // engine).
+    "q56b_winnow_grams" -> ((s, dir) =>
+      winnowCorpus(s, dir)
+        .select(col("doc_id"), Text.gramHashes(col("text"), k = 30).as("ghs"))
+        .select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos", "gh")))
+        .orderBy("doc_id", "pos")),
 
     // Dedup: the near-dup corpus filter over the q22 corpus — survivors
     // per source (with an id checksum so the oracle pins the exact
@@ -1572,6 +1589,62 @@ object SparkEntry {
     * no intermediate exceeds 127 bits. Valid because the corpus is
     * pure ASCII at every SF (checked), where DuckDB `lower`/`unicode`
     * agree with Java's per-char toLowerCase/char codes. */
+  /** Recursive-CTE restatement of the winnow gram-hash kernel
+    * ([[graft.operators.Sketches.gramHashes]]): normalize, slide a
+    * 30-char window, FNV-1a each window char-by-char, mix64-finish —
+    * all in HUGEINT modular arithmetic (the SimhashSigCte technique),
+    * signed back to BIGINT at the end so comparisons match the
+    * engine's Long ordering. Ends in `hs(doc_id, pos, n, gh)` where
+    * `n` is the gram count of the doc (window clamping needs it). */
+  private val WinnowGramCte =
+    """WITH RECURSIVE
+       corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 300000 AS doc_id,
+                text || ' winnowed clone mark' AS text
+         FROM documents WHERE doc_id < 5),
+       norm AS (
+         SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                  '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS t
+         FROM corpus),
+       posu AS (
+         SELECT doc_id, t, greatest(length(t) - 30 + 1, 1) AS n,
+                unnest(range(greatest(length(t) - 30 + 1, 1))) AS p
+         FROM norm),
+       gpos AS (
+         SELECT doc_id, CAST(p AS INTEGER) AS pos, n,
+                substr(t, CAST(p AS INTEGER) + 1, least(30, length(t))) AS gram
+         FROM posu),
+       dgram AS (SELECT DISTINCT gram FROM gpos),
+       fnv(gram, i, h) AS (
+         SELECT gram, 0, CAST(14695981039346656037 AS HUGEINT) FROM dgram
+         UNION ALL
+         SELECT gram, i + 1,
+                (xor(h, CAST(unicode(substr(gram, i + 1, 1)) AS HUGEINT))
+                  * 1099511628211) % 18446744073709551616
+         FROM fnv WHERE i < len(gram)),
+       fh0 AS (SELECT gram, h FROM fnv WHERE i = len(gram)),
+       w1 AS (SELECT gram, (h + 11400714819323198485) % 18446744073709551616 AS z FROM fh0),
+       w2 AS (SELECT gram, xor(z, z // 1073741824) AS z FROM w1),
+       w3 AS (SELECT gram,
+                (((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+                 + (z % 4294967296) * 13787848793156543929) % 18446744073709551616 AS z
+              FROM w2),
+       w4 AS (SELECT gram, xor(z, z // 134217728) AS z FROM w3),
+       w5 AS (SELECT gram,
+                (((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+                 + (z % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z
+              FROM w4),
+       ghash AS (SELECT gram,
+                CAST(CASE WHEN xor(z, z // 2147483648) >= 9223372036854775808
+                          THEN xor(z, z // 2147483648) - 18446744073709551616
+                          ELSE xor(z, z // 2147483648) END AS BIGINT) AS gh
+              FROM w5),
+       hs AS (SELECT g.doc_id, g.pos, g.n, h.gh
+              FROM gpos g JOIN ghash h USING (gram))
+    """
+
   private val SimhashSigCte =
     """WITH RECURSIVE
        toks AS (
@@ -1970,6 +2043,29 @@ object SparkEntry {
            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            ORDER BY doc_a, doc_b"""),
+
+    // q56: replay the winnow selection in SQL over independently
+    // recomputed gram hashes — each window [s, min(s+7, n-1)] takes
+    // its minimum (rightmost-min tie-breaking is value-invisible),
+    // distinct minima per doc are the fingerprints, pairs share >= 1.
+    "q56_winnow_pairs" ->
+      (WinnowGramCte +
+        """, wnd AS (
+             SELECT doc_id, n, unnest(range(greatest(n - 8, 0) + 1)) AS s
+             FROM (SELECT DISTINCT doc_id, n FROM gpos)),
+           mins AS (
+             SELECT w.doc_id, w.s, min(h.gh) AS fp
+             FROM wnd w JOIN hs h ON h.doc_id = w.doc_id
+               AND h.pos >= w.s AND h.pos <= least(w.s + 7, w.n - 1)
+             GROUP BY w.doc_id, w.s),
+           fps AS (SELECT DISTINCT doc_id, fp FROM mins)
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           ORDER BY doc_a, doc_b"""),
+
+    // q56b: the positional gram-hash sequence itself, row-by-row
+    "q56b_winnow_grams" ->
+      (WinnowGramCte + "SELECT doc_id, pos, gh FROM hs ORDER BY doc_id, pos"),
 
     "q31_ngram_jaccard" -> NgramJaccardOracleSql,
 

@@ -182,6 +182,15 @@ object Text {
       if (s == null) null else graft.operators.Sketches.winnow(s, k, w)
     }.apply(text)
 
+  /** Positional k-gram hashes of normalized text (the sequence
+    * [[winnowFingerprints]] selects from — see
+    * [[graft.operators.Sketches.gramHashes]]); exposed so the winnow
+    * selection is oracle-checkable from the raw corpus (q56/q56b). */
+  def gramHashes(text: Column, k: Int): Column =
+    udf { (s: String) =>
+      if (s == null) null else graft.operators.Sketches.gramHashes(s, k)
+    }.apply(text)
+
   /** Character k-shingles of normalized text (building block for MinHash /
     * Jaccard). Returns distinct shingles. */
   def shingles(text: Column, k: Int = 5): Column = {

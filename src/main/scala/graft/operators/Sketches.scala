@@ -90,6 +90,26 @@ object Sketches {
     if (m == n) out else java.util.Arrays.copyOf(out, m)
   }
 
+  /** POSITIONAL k-gram hashes of the normalized text — the exact
+    * sequence [[winnow]] rolls its min-window over, exposed so the
+    * selection step is externally checkable: the q56b oracle restates
+    * `hashChars` in SQL and recomputes every (pos, hash) from the raw
+    * corpus, and the q56 oracle then replays the rolling-min pick over
+    * them. (Rightmost-min tie-breaking is invisible at that level:
+    * tied positions share the hash VALUE, so the distinct fingerprint
+    * set per document is exactly the distinct per-window minima.)
+    * Short texts (< k chars) yield the single whole-string hash,
+    * matching [[winnow]] and [[shingleHashes]]. */
+  def gramHashes(text: String, k: Int): Array[Long] = {
+    val norm = normalize(text)
+    if (norm.length < k) return Array(hashChars(norm, 0, norm.length))
+    val n = norm.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = hashChars(norm, i, k); i += 1 }
+    hs
+  }
+
   /** Universal-hash coefficient tables (a_i odd multiplier, b_i offset),
     * deterministic per slot index. */
   def coefficients(numHashes: Int): (Array[Long], Array[Long]) = (

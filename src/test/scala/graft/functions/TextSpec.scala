@@ -212,6 +212,26 @@ class TextSpec extends SparkSpec {
     assert(rows(2).isNullAt(1))
   }
 
+  test("winnow's distinct values are the per-window minima over gramHashes") {
+    // The relationship the q56 oracle replays in SQL: rightmost-min
+    // tie-breaking and the consecutive-pick dedup are both invisible
+    // at the distinct-VALUE level, so winnow's fingerprint set must
+    // equal { min(hs[s, min(s+w, n))) : s in 0..max(n-w, 0) } exactly.
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(11)
+    def letters(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    // 3-letter alphabet forces hash-value ties in windows
+    for (len <- Seq(0, 3, 5, 12, 40, 300); k <- Seq(5, 30); w <- Seq(4, 8)) {
+      val text = letters(len)
+      val hs = Sketches.gramHashes(text, k)
+      val n = hs.length
+      val expect = (0 to math.max(n - w, 0))
+        .map(s => hs.slice(s, math.min(s + w, n)).min).toSet
+      assert(Sketches.winnow(text, k, w).toSet == expect,
+        s"len=$len k=$k w=$w")
+    }
+  }
+
   test("scrubPii: every pattern redacts, passes don't cascade, SQL mirrors Column") {
     val rows = Seq(
       (1L, "mail a.b+c@ex-ample.co.uk now"),
