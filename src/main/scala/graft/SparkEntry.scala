@@ -1310,13 +1310,15 @@ object SparkEntry {
           minCount = 2L)
         .orderBy("word")),
 
-    // Column profile health gate: row/null/exact-distinct counts and
-    // typed min/max per column in one pass (Profile scaladoc), the
-    // post-stage invariant check a curation pipeline runs between
-    // every two stages.
+    // Column profile health gate: row/null/distinct counts and typed
+    // min/max per column, the post-stage invariant check a curation
+    // pipeline runs between every two stages. EXACT distincts here so
+    // DuckDB's closed-form count(DISTINCT) oracles the values; the
+    // production default is the approx (Expand-free, genuinely
+    // one-pass) path, plan-pinned in PlanSpec.
     "q81_profile" -> ((s, dir) =>
       graft.operators.Profile.profile(t(s, dir, "documents"),
-          Seq("doc_id", "lang", "source", "n_chars"))
+          Seq("doc_id", "lang", "source", "n_chars"), exactDistinct = true)
         .orderBy("col_name")),
 
     // SemDeDup-style semantic dedup: k-means cells scope the pair

@@ -4,19 +4,24 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Column profiling for pipeline health gates: row count, null count,
-  * exact distinct count, and min/max per column, emitted as one
-  * narrow (col_name, metric-per-column) frame.
+  * distinct count, and min/max per column, emitted as one narrow
+  * (col_name, metric-per-column) frame.
   *
   * A curation pipeline wants this after every stage — a filter that
   * silently nulled a column or collapsed its cardinality should fail
-  * the run, not surface in a training curve weeks later. All
-  * per-column aggregates evaluate in a single pass over the data
-  * (one agg row, pivoted to narrow form driver-side — the wide row is
-  * |cols|·4 cells, not data-sized). Exact distincts are the one
-  * genuinely expensive metric at 100 TB; swap `countDistinct` for
-  * `approx_count_distinct` (HLL, one pass, no expand) when the gate
-  * tolerates ±2% — the q55 battery entry measures that estimator's
-  * error separately.
+  * the run, not surface in a training curve weeks later.
+  *
+  * The DEFAULT gate uses `approx_count_distinct` (HLL±5%), and that
+  * choice is about plan shape, not just estimator cost: N exact
+  * `countDistinct`s in one `agg` compile to an Expand that replicates
+  * every input row N+1 ways before the shuffle — a ~7x shuffle
+  * amplification on a 6-column profile, which at 100 TB is the
+  * difference between a cheap invariant check and a full extra
+  * pipeline stage. The approx path is genuinely one pass with no
+  * Expand (PlanSpec pins this), which is what a between-every-two-
+  * stages gate must be. `exactDistinct = true` keeps the exact
+  * semantics for small tables and cross-engine oracling (q81) and
+  * knowingly pays the Expand.
   *
   * min/max are emitted as strings so heterogeneous columns share one
   * schema; both engines compare ASCII strings bytewise, and numeric
@@ -25,16 +30,27 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "profile needs at least one column")
+  /** The one-row wide aggregate the profile pivots from — exposed so
+    * plan tests can assert the default path compiles without Expand. */
+  private[graft] def profileAgg(df: DataFrame, cols: Seq[String],
+                                exactDistinct: Boolean): DataFrame = {
     val aggs = cols.flatMap { c =>
+      val distinctAgg =
+        if (exactDistinct) countDistinct(col(c))
+        else approx_count_distinct(col(c))
       Seq(count(lit(1)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
+        distinctAgg.as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def profile(df: DataFrame, cols: Seq[String],
+              exactDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val row = profileAgg(df, cols, exactDistinct).head()
     val spark = df.sparkSession
     import spark.implicits._
     cols.map { c =>
