@@ -146,4 +146,54 @@ class LayoutSpec extends SparkSpec {
     assert(none.count() == 0)
     assert(none.schema == full.schema)
   }
+
+  test("incremental manifest refresh equals a full rebuild across upsert and compact") {
+    import graft.sources.Lake
+    // file values come from input_file_name() URIs; strip the scheme so
+    // carried-over and freshly-statted rows compare on the same form
+    def rows(df: DataFrame, cols: Seq[String]): Seq[String] = df
+      .select((regexp_replace(col("file"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/").as("f")
+        +: cols.flatMap(c => Seq(col(s"${c}_min"), col(s"${c}_max")))): _*)
+      .collect().map(_.toString).sorted.toSeq
+
+    // --- the Lake.upsert hook: flat part=X lake ---
+    val dir = Files.createTempDirectory("graft_mlake").toString + "/lake"
+    Seq((1L, 10L, 0, "a"), (2L, 20L, 0, "a"), (3L, 30L, 0, "b"), (4L, 40L, 0, "c"))
+      .toDF("id", "v", "rev", "part")
+      .write.partitionBy("part").parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("id", "v"))
+    // rewrites partition a, creates partition d -> only those leaves
+    // may be re-statted; b and c rows must carry over verbatim
+    val bBefore = rows(Layout.readManifest(spark, dir), Seq("id", "v"))
+      .filter(s => s.contains("part=b") || s.contains("part=c"))
+    Lake.upsert(spark, dir,
+      Seq((1L, 11L, 1, "a"), (5L, 50L, 1, "d")).toDF("id", "v", "rev", "part"),
+      keyCols = Seq("id"), partitionCol = "part", versionCol = "rev")
+    val refreshed = rows(Layout.readManifest(spark, dir), Seq("id", "v"))
+    assert(refreshed == rows(Layout.buildManifest(spark, dir, Seq("id", "v")), Seq("id", "v")),
+      "manifest after the upsert hook diverged from a full rebuild")
+    assert(refreshed.filter(s => s.contains("part=b") || s.contains("part=c")) == bBefore,
+      "untouched partitions were re-statted (file identity changed)")
+    // the refreshed manifest serves pruned reads == the plain filter
+    val pruned = Layout.prunedRead(spark, Layout.readManifest(spark, dir),
+      Map("id" -> (5L, 9L))).select("id", "v").collect().map(_.toString).sorted.toSeq
+    val plain = spark.read.parquet(dir).filter(col("id").between(5L, 9L))
+      .select("id", "v").collect().map(_.toString).sorted.toSeq
+    assert(pruned == plain && pruned.nonEmpty)
+
+    // --- the Lake.compact hook: bronze-shaped parquet tree ---
+    val bdir = Files.createTempDirectory("graft_mbronze").toString + "/lake"
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, 100L + i, 2026, 1, 1, 5), (i + 10L, 200L + i, 2026, 1, 1, 6))
+        .toDF("id", "v", "year", "month", "day", "hour")
+        .write.mode("append").partitionBy("year", "month", "day", "hour").parquet(bdir)
+    }
+    Layout.writeManifest(spark, bdir, Seq("id", "v"))
+    val done = Lake.compact(spark, bdir, new org.apache.spark.sql.types.StructType(),
+      format = "parquet", maxFilesPerPartition = 1)
+    assert(done.nonEmpty, "fixture failed to fragment — nothing compacted")
+    assert(rows(Layout.readManifest(spark, bdir), Seq("id", "v")) ==
+      rows(Layout.buildManifest(spark, bdir, Seq("id", "v")), Seq("id", "v")),
+      "manifest after the compact hook diverged from a full rebuild")
+  }
 }
