@@ -1299,6 +1299,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Streaming near-dup index maintenance e2e: the whole corpus
+    // DELIVERED AS A STREAM in 3 micro-batches through
+    // Maintenance.streamingNgramIndex (replay-safe via appendToNgram-
+    // Index's pinv commit-marker protocol), then served from the same
+    // ngramVerifiedPairs surface every batch consumer uses — and the
+    // answer must equal the from-scratch batch build over the corpus:
+    // the q31 all-pairs oracle, verbatim. The driver-side collect
+    // feeds the MemoryStream test harness (no Kafka wire in the
+    // sandbox — the S5 situation), not the operator: on a real
+    // cluster the stream IS the source and each micro-batch stays
+    // distributed end-to-end.
+    "q83_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tag = docsTag(s, dir)
+      val tbl = graft.operators.Dedup.NgramIncrTables(
+        s"graft_q83_inv_$tag", s"graft_q83_dfreq_$tag",
+        s"graft_q83_pinv_$tag", s"graft_q83_cands_$tag")
+      if (!s.catalog.tableExists(tbl.cands)) {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+          .as[(Long, String)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q83_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingNgramIndex(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl, ckpt)
+        try {
+          docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        Seq(tbl.inv, tbl.dfreq, tbl.pinv, tbl.cands)
+          .foreach(s.catalog.refreshTable)
+      }
+      graft.operators.Dedup.ngramVerifiedPairs(
+          s.table(tbl.inv), s.table(tbl.cands), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // The DISTRIBUTED half of BPE alone — the (word, count) histogram
     // the driver-side merge loop trains on — is plain SQL (normalize +
     // split + explode + group-by), so it gets its own fully-oracled
@@ -2079,6 +2119,9 @@ object SparkEntry {
     // the incremental build+append lifecycle must return exactly the
     // one-shot q31 answer over the full corpus
     "q31c_ngram_incremental" -> NgramJaccardOracleSql,
+
+    // the STREAMED index maintenance loop must too — same oracle again
+    "q83_stream_neardup" -> NgramJaccardOracleSql,
 
     "q29_map_merge" ->
       """WITH base AS (

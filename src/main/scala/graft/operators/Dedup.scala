@@ -522,9 +522,11 @@ object Dedup {
     * order, exactly like re-clustering an aging IVF index.
     *
     * Appends are idempotent per document: docs whose ids are already
-    * indexed are skipped (one ids-only anti-join against `inv`), so
-    * replaying yesterday's batch cannot double-index rows — ids must
-    * be unique across the corpus for this to hold. */
+    * fully indexed are skipped (one ids-only anti-join against the
+    * `pinv` commit marker — see [[appendToNgramIndex]]'s resumable
+    * commit protocol), so replaying yesterday's batch cannot
+    * double-index rows — ids must be unique across the corpus for
+    * this to hold. */
   def ensureNgramIndexIncr(spark: SparkSession, docs: => DataFrame,
                            idCol: String, textCol: String,
                            tbl: NgramIncrTables,
@@ -560,11 +562,24 @@ object Dedup {
                          idCol: String, textCol: String,
                          tbl: NgramIncrTables,
                          n: Int = 3, threshold: Double = 0.5): Unit = {
+    // Crash-resumable commit protocol: the three appends cannot be
+    // atomic, so `pinv` is the COMMIT MARKER — written last, and the
+    // freshness anti-join keys off it. A doc with prefix rows therefore
+    // has its inv rows and candidate pairs fully appended; a doc
+    // stranded by a crash in any earlier window is re-processed on
+    // replay, with per-table healing anti-joins (below) absorbing
+    // whatever the crashed attempt already wrote. Every delta frame is
+    // a pure function of (doc text, frozen dfreq), so a replay
+    // recomputes byte-identical rows. This is what makes the streaming
+    // maintenance loop (Maintenance.streamingNgramIndex) replay-safe
+    // over an at-least-once foreachBatch channel with no batch ledger.
+    // (A doc with >= 1 gram always has >= 1 prefix row, so the marker
+    // covers every doc the index can ever answer for.)
     val fresh = newDocs.join(
-      spark.table(tbl.inv).select(col("doc_id").as(idCol)).distinct(),
+      spark.table(tbl.pinv).select(col("doc_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
     // localCheckpoint, not persist: the delta's LINEAGE reads the very
-    // tables the append writes (the idempotency anti-join reads `inv`),
+    // tables the append writes (the idempotency anti-join reads `pinv`),
     // and writing a table invalidates caches built over it — a lazily
     // re-evaluated delta would then anti-join its own docs away and
     // append nothing. Checkpointing materializes the delta-sized frames
@@ -574,25 +589,27 @@ object Dedup {
     val delta = ngramIndex(fresh, idCol, textCol, n).localCheckpoint()
     try {
       if (delta.isEmpty) return
-      delta.write.mode("append").saveAsTable(tbl.inv)
+      // heal: skip rows of docs a crashed attempt already put in inv
+      delta.join(spark.table(tbl.inv).select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        .write.mode("append").saveAsTable(tbl.inv)
       val pNew = prefixUnderOrder(delta, spark.table(tbl.dfreq), threshold)
         .localCheckpoint()
       try {
-        pNew.write.mode("append").saveAsTable(tbl.pinv)
-        // every delta pair touches >= 1 new doc, so it cannot already be
-        // in the table. ONE gram join with the delta on the build side —
-        // a new doc's id can fall on either side of the canonical `<`,
-        // so instead of running the join twice (once per orientation,
-        // the round-6 shape, ~2x the candidate work) the pair is
-        // orientation-normalized AFTER the match: least/greatest on the
-        // ids, sizes swapped to follow. New-new pairs match twice (each
-        // doc once as the delta side, pinv already holding the delta
-        // rows here) and collapse in the same distinct the pair join
+        // every delta pair touches >= 1 fresh doc. ONE gram join with
+        // the delta on the build side — a fresh doc's id can fall on
+        // either side of the canonical `<`, so instead of running the
+        // join twice (once per orientation, the round-6 shape, ~2x the
+        // candidate work) the pair is orientation-normalized AFTER the
+        // match: least/greatest on the ids, sizes swapped to follow.
+        // The stored side is pinv ∪ pNew explicitly (pinv is the
+        // commit marker and does not hold the delta yet); fresh-fresh
+        // pairs match twice and collapse in the distinct the pair join
         // always needed.
-        val pAll = spark.table(tbl.pinv)
+        val pAll = spark.table(tbl.pinv).unionByName(pNew)
         val nSide = pNew.select(col("gram"), col("doc_id").as("id_n"), col("sz").as("sz_n"))
         val aSide = pAll.select(col("gram"), col("doc_id").as("id_o"), col("sz").as("sz_o"))
-        nSide.join(aSide, "gram")
+        val pairs = nSide.join(aSide, "gram")
           .filter(col("id_n") =!= col("id_o"))
           .filter(greatest(col("sz_n"), col("sz_o")) * threshold <=
             least(col("sz_n"), col("sz_o")))
@@ -602,7 +619,15 @@ object Dedup {
             when(col("id_n") < col("id_o"), col("sz_n")).otherwise(col("sz_o")).as("sz_a"),
             when(col("id_n") < col("id_o"), col("sz_o")).otherwise(col("sz_n")).as("sz_b"))
           .distinct()
+        // heal: a crash between the cands and pinv appends leaves the
+        // pairs committed but the marker absent — drop what is already
+        // there (ngramVerifiedPairs joins cands by pair, so duplicate
+        // rows would duplicate answers)
+        pairs.join(spark.table(tbl.cands).select("doc_a", "doc_b"),
+            Seq("doc_a", "doc_b"), "left_anti")
           .write.mode("append").saveAsTable(tbl.cands)
+        // commit: the marker goes last
+        pNew.write.mode("append").saveAsTable(tbl.pinv)
       } finally pNew.unpersist()
     } finally delta.unpersist()
   }

@@ -101,6 +101,45 @@ object Maintenance {
       }
       .start()
 
+  /** Keep an incremental n-gram near-dup index
+    * ([[graft.operators.Dedup.ensureNgramIndexIncr]]) continuously
+    * absorbed from a document stream — the maintenance loop a growing
+    * corpus actually runs: each micro-batch's new documents extend the
+    * inverted index, frozen-order prefixes, and candidate pairs as a
+    * delta; the corpus is never re-read. The first non-empty batch
+    * initializes the index (and freezes the document-frequency order)
+    * from itself.
+    *
+    * Replay-safe without a ledger, the [[streamingUpsert]] argument:
+    * appends are idempotent PER DOCUMENT (an ids-only anti-join skips
+    * already-indexed docs), so the at-least-once `foreachBatch`
+    * channel re-delivering a batch after a crash appends nothing.
+    * Requires doc ids unique across the corpus — same contract as the
+    * batch lifecycle.
+    *
+    * Serving is unchanged and concurrent:
+    * `Dedup.ngramVerifiedPairs(spark.table(inv), spark.table(cands))`
+    * between (or during) batches answers exactly as a from-scratch
+    * batch build over everything delivered so far — battery q83 pins
+    * the streamed build against the q31 all-pairs oracle. */
+  def streamingNgramIndex(stream: DataFrame, idCol: String, textCol: String,
+                          tbl: graft.operators.Dedup.NgramIncrTables,
+                          checkpoint: String,
+                          n: Int = 3, threshold: Double = 0.5): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.operators.Dedup.ensureNgramIndexIncr(
+            spark, batch.toDF(), idCol, textCol, tbl, n, threshold)
+          graft.operators.Dedup.appendToNgramIndex(
+            spark, batch.toDF(), idCol, textCol, tbl, n, threshold)
+          ()
+        }
+      }
+      .start()
+
   /** Continuously MERGE a stream of updates into a partitioned lake
     * tree (CDC apply). Replay-safe without bookkeeping: Lake.upsert
     * is latest-wins, so re-applying a delivered batch changes

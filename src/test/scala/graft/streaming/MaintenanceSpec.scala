@@ -162,6 +162,138 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  private def ngramDocs = {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // clones of docs 0-2 so cross-batch near-dup pairs must exist
+    docs.union(docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 9000).as("doc_id"),
+        concat(col("text"), lit(" tail marker")).as("text")))
+  }
+
+  private def ngramTbl(prefix: String) = graft.operators.Dedup.NgramIncrTables(
+    s"${prefix}_inv", s"${prefix}_dfreq", s"${prefix}_pinv", s"${prefix}_cands")
+
+  private def dropNgram(tbl: graft.operators.Dedup.NgramIncrTables): Unit =
+    Seq(tbl.inv, tbl.dfreq, tbl.pinv, tbl.cands).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Warehouse.clearOrphanLocation(spark, t)
+    }
+
+  private def servePairs(tbl: graft.operators.Dedup.NgramIncrTables): Seq[String] =
+    graft.operators.Dedup.ngramVerifiedPairs(
+        spark.table(tbl.inv), spark.table(tbl.cands), threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(_.toString).sorted.toSeq
+
+  private def scratchPairs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    graft.operators.Dedup.ngramJaccard(df, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("streamingNgramIndex serves the from-scratch pair set batch after batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = ngramTbl("graft_maint_ngram")
+    dropNgram(tbl)
+    val ckpt = Files.createTempDirectory("maint_ngram").toString
+    val all = ngramDocs.as[(Long, String)].collect().sortBy(_._1)
+    val batches = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = Maintenance.streamingNgramIndex(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl, ckpt)
+    try {
+      var delivered = Seq.empty[(Long, String)]
+      for (batch <- batches) {
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+        delivered = delivered ++ batch
+        Seq(tbl.inv, tbl.dfreq, tbl.pinv, tbl.cands)
+          .foreach(spark.catalog.refreshTable)
+        assert(servePairs(tbl) == scratchPairs(delivered.toDF("doc_id", "text")),
+          s"streamed index diverged after ${delivered.size} docs")
+      }
+      // the clones landed in a different batch than their sources and
+      // were still paired — the fixture actually exercised cross-batch
+      assert(servePairs(tbl).nonEmpty)
+    } finally { q.stop(); dropNgram(tbl) }
+  }
+
+  test("streamingNgramIndex checkpoint restart re-delivers without double-indexing") {
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = ngramTbl("graft_maint_ngram_rs")
+    val ref = ngramTbl("graft_maint_ngram_rs_ref")
+    dropNgram(tbl); dropNgram(ref)
+    val ckpt = Files.createTempDirectory("maint_ngram_rs").toString
+    val all = ngramDocs.as[(Long, String)].collect().sortBy(_._1)
+    val (run1, run2) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q1 = Maintenance.streamingNgramIndex(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl, ckpt)
+    try { mem.addData(run1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = Maintenance.streamingNgramIndex(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl, ckpt)
+    try {
+      mem.addData(run2: _*)
+      q2.processAllAvailable()
+      Seq(tbl.inv, tbl.dfreq, tbl.pinv, tbl.cands)
+        .foreach(spark.catalog.refreshTable)
+      // equal answers AND equal row counts vs a singly-built reference
+      // index — a replayed append would duplicate inv rows and corrupt
+      // the shared counts even where the answer set happens to survive
+      graft.operators.Dedup.ensureNgramIndexIncr(spark,
+        run1.toSeq.toDF("doc_id", "text"), "doc_id", "text", ref)
+      graft.operators.Dedup.appendToNgramIndex(spark,
+        run2.toSeq.toDF("doc_id", "text"), "doc_id", "text", ref)
+      assert(servePairs(tbl) == servePairs(ref))
+      assert(spark.table(tbl.inv).count() == spark.table(ref.inv).count(),
+        "inv row counts diverged — a replay double-indexed")
+      assert(spark.table(tbl.cands).count() == spark.table(ref.cands).count())
+    } finally { q2.stop(); dropNgram(tbl); dropNgram(ref) }
+  }
+
+  test("append heals both crash windows of the pinv commit protocol") {
+    import graft.operators.Dedup
+    val tbl = ngramTbl("graft_maint_ngram_crash")
+    val ref = ngramTbl("graft_maint_ngram_crash_ref")
+    dropNgram(tbl); dropNgram(ref)
+    try {
+      val all = ngramDocs.as[(Long, String)].collect().sortBy(_._1)
+      val (b1, b2) = all.splitAt(all.length / 2)
+      val (df1, df2) = (b1.toSeq.toDF("doc_id", "text"), b2.toSeq.toDF("doc_id", "text"))
+      Dedup.ensureNgramIndexIncr(spark, df1, "doc_id", "text", tbl)
+      Dedup.ensureNgramIndexIncr(spark, df1, "doc_id", "text", ref)
+      Dedup.appendToNgramIndex(spark, df2, "doc_id", "text", ref)
+
+      // window 1: crash AFTER the inv append — batch-2 inv rows are in,
+      // nothing else. Replay must not double them and must finish the job.
+      Dedup.ngramIndex(df2, "doc_id", "text", n = 3)
+        .write.mode("append").saveAsTable(tbl.inv)
+      Dedup.appendToNgramIndex(spark, df2, "doc_id", "text", tbl)
+      assert(servePairs(tbl) == servePairs(ref), "window-1 heal diverged")
+      assert(spark.table(tbl.inv).count() == spark.table(ref.inv).count(),
+        "window-1 heal duplicated inv rows")
+
+      // window 2: crash AFTER the cands append but BEFORE the pinv
+      // commit marker — rebuild that exact state by restoring pinv to
+      // its pre-append snapshot, then replay.
+      val pinvBefore = spark.table(ref.pinv)
+        .filter(!col("doc_id").isin(b2.map(_._1): _*))
+        .collect()
+      val pinvSchema = spark.table(tbl.pinv).schema
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(pinvBefore: _*)),
+          pinvSchema)
+        .write.mode("overwrite").saveAsTable(tbl.pinv)
+      spark.catalog.refreshTable(tbl.pinv)
+      Dedup.appendToNgramIndex(spark, df2, "doc_id", "text", tbl)
+      assert(servePairs(tbl) == servePairs(ref), "window-2 heal diverged")
+      assert(spark.table(tbl.cands).count() == spark.table(ref.cands).count(),
+        "window-2 heal duplicated candidate pairs")
+      assert(spark.table(tbl.pinv).count() == spark.table(ref.pinv).count())
+    } finally { dropNgram(tbl); dropNgram(ref) }
+  }
+
   test("streamingUpsert applies CDC batches to the lake, latest version winning") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("maint_lake").toString
