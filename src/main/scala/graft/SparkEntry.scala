@@ -555,6 +555,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Similarity: product-quantization ANN (Jégou et al. 2011 ADC) —
+    // the memory-bound scale path: the shortlist scan touches 8-int
+    // codes (32x smaller than the raw float[64]s), then an exact-
+    // cosine rerank fetches raw vectors for the 50-candidate shortlist
+    // alone. Same injected-clone gap argument and EXACT-top-5 oracle
+    // as q33/q35: the clones quantize onto (nearly) the query's own
+    // codes, so they dominate the ADC shortlist, and the rerank is
+    // exact math — quantization error can only cost shortlist recall,
+    // which the 0.99-vs-0.6 gap makes impossible here (error bounds
+    // spec-pinned; verified at sf0.001/0.01/0.1).
+    "q84_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.operators.Similarity.pqTopK(emb.union(annClones(emb)),
+          emb.filter(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
     // Similarity: IVF coarse-quantized ANN, 5 queries probing 8 of 16
     // cells — same injected-clone gap argument and oracle as q33: a
     // clone is near-identical to its query, so it quantizes into (or
@@ -1860,6 +1879,7 @@ object SparkEntry {
     "q33b_lsh_multiprobe" -> AnnCloneOracleSql,
     "q35_ivf_topk" -> AnnCloneOracleSql,
     "q35b_ivf_lloyd" -> AnnCloneOracleSql,
+    "q84_pq_topk" -> AnnCloneOracleSql,
 
     // q57: the whole near-dup corpus filter restated in SQL — brute-
     // force ≥0.8 pair set (see MinhashPairsOracleSql), drop every

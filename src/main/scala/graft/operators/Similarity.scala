@@ -469,6 +469,200 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Product-quantization model (Jégou, Douze, Schmid 2011, "Product
+    * quantization for nearest neighbor search" — public): `m`
+    * subspaces of `dsub` dims, each with a `ksub`-centroid codebook
+    * trained on L2-NORMALIZED corpus vectors (so ADC inner-product
+    * sums approximate cosine). `codebooks(j)(c)` is centroid `c` of
+    * subspace `j`. */
+  final case class PqModel(m: Int, dsub: Int, codebooks: Array[Array[Array[Float]]])
+
+  private def l2normalize(vec: scala.collection.Seq[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < vec.length) { s += vec(i).toDouble * vec(i); i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Float](vec.length)
+    if (n > 0) { i = 0; while (i < vec.length) { out(i) = (vec(i) / n).toFloat; i += 1 } }
+    out
+  }
+
+  /** Nearest codebook entry (squared L2) for the subvector of `v` at
+    * `off`; ties break to the LOWEST index, so encoding is a pure
+    * deterministic function of (vector, codebooks). */
+  private def nearestCode(v: Array[Float], off: Int, cb: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cb.length) {
+      val cent = cb(c)
+      var d = 0.0; var i = 0
+      while (i < cent.length) {
+        val diff = v(off + i) - cent(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Driver-side half of a PQ index: the m×ksub×dsub codebook tensor
+    * (a few KB — broadcast-sized at any corpus scale). Seeds are the
+    * first `ksub` hashed-id corpus vectors sliced per subspace (the
+    * [[ivfCentroids]] determinism recipe), refined by `lloydIters`
+    * k-means rounds run for ALL m subspaces in ONE corpus pass per
+    * round: the mapPartitions kernel assigns every subvector and folds
+    * it into per-(subspace, centroid, dim) accumulators in the same
+    * loop, so the shuffle carries ≤ m·ksub·dsub rows per partition —
+    * codebook cells, never vectors. Partial sums use the exact-decimal
+    * discipline of [[ivfCentroids]]' Lloyd (scale-15 HALF_UP
+    * BigDecimal), so the trained model is bit-stable run to run
+    * regardless of partitioning. */
+  def pqTrain(corpus: DataFrame, corpusId: String, vecCol: String,
+              m: Int = 8, ksub: Int = 16, lloydIters: Int = 2): PqModel = {
+    val seedRows = corpus.select(col(vecCol))
+      .orderBy(xxhash64(col(corpusId)), col(corpusId))
+      .limit(ksub).collect().map(r => l2normalize(r.getSeq[Float](0)))
+    require(seedRows.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    var cb: Array[Array[Array[Float]]] = Array.tabulate(m, ksub) { (j, c) =>
+      java.util.Arrays.copyOfRange(
+        seedRows(c % seedRows.length), j * dsub, (j + 1) * dsub)
+    }
+    (0 until lloydIters).foreach { _ =>
+      val bcb = cb
+      import corpus.sparkSession.implicits._
+      val partials = corpus.select(col(vecCol)).as[Seq[Float]].mapPartitions { it =>
+        val sums = Array.fill(m, ksub, dsub)(java.math.BigDecimal.ZERO)
+        val cnts = Array.ofDim[Long](m, ksub)
+        it.foreach { vec =>
+          if (vec != null && vec.length == dim) {
+            val v = l2normalize(vec)
+            var j = 0
+            while (j < m) {
+              val c = nearestCode(v, j * dsub, bcb(j))
+              var d = 0
+              while (d < dsub) {
+                sums(j)(c)(d) = sums(j)(c)(d).add(
+                  new java.math.BigDecimal(v(j * dsub + d).toDouble)
+                    .setScale(15, java.math.RoundingMode.HALF_UP))
+                d += 1
+              }
+              cnts(j)(c) += 1L
+              j += 1
+            }
+          }
+        }
+        for { j <- (0 until m).iterator; c <- (0 until ksub).iterator
+              if cnts(j)(c) > 0 }
+          yield (j, c, cnts(j)(c), sums(j)(c).map(BigDecimal(_)).toSeq)
+      }.toDF("j", "c", "cnt", "sums")
+      val means = partials
+        .select(col("j"), col("c"), col("cnt"), posexplode(col("sums")))
+        .groupBy("j", "c", "pos")
+        .agg((sum(col("col")) / sum(col("cnt"))).cast("double").as("mval"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      cb = Array.tabulate(m, ksub) { (j, c) =>
+        val cur = cb(j)(c)
+        Array.tabulate(dsub)(d =>
+          means.get((j, c, d)).map(_.toFloat).getOrElse(cur(d)))
+      }
+    }
+    PqModel(m, dsub, cb)
+  }
+
+  /** Distributed half of the PQ index: one code row per corpus vector,
+    * `m` small ints — at m=8 over float[64] that is a 32x shrink of
+    * what the ANN scan touches, which is the whole point: the code
+    * table stays memory-resident at corpus scales where the raw
+    * vectors cannot. Vectors of the wrong length (ragged/null) are
+    * dropped, matching the other index builders. */
+  def pqEncode(corpus: DataFrame, corpusId: String, vecCol: String,
+               model: PqModel): DataFrame = {
+    val enc = udf { (vec: Seq[Float]) =>
+      if (vec == null || vec.length != model.m * model.dsub) null
+      else {
+        val v = l2normalize(vec)
+        val out = new Array[Int](model.m)
+        var j = 0
+        while (j < model.m) {
+          out(j) = nearestCode(v, j * model.dsub, model.codebooks(j)); j += 1
+        }
+        out
+      }
+    }
+    corpus.select(col(corpusId).as("corpus_id"), enc(col(vecCol)).as("codes"))
+      .filter(col("codes").isNotNull)
+  }
+
+  /** ADC serve with exact rerank — the two-stage pattern production PQ
+    * serving uses. Stage 1 scans ONLY the code table: each query row
+    * carries an m×ksub lookup table of per-subspace inner products
+    * (built from the normalized query, so the ADC sum approximates
+    * cosine), every code row scores as m table lookups, and the
+    * bounded top-k aggregate keeps a `shortlist`-sized candidate set
+    * per query. Stage 2 fetches raw vectors for the shortlist alone
+    * (a broadcast semi-fetch — |queries|·shortlist rows, never the
+    * corpus) and reranks by exact cosine. Quantization error can cost
+    * recall only if a true neighbor misses the shortlist; returned
+    * ranks and scores are exact math, same output contract as the
+    * other ANN serves. */
+  def pqTopKFromIndex(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                      corpusId: String, queryId: String, vecCol: String,
+                      model: PqModel, k: Int = 10,
+                      shortlist: Int = 50): DataFrame = {
+    val lutUdf = udf { (qvec: Seq[Float]) =>
+      if (qvec == null || qvec.length != model.m * model.dsub) null
+      else {
+        val q = l2normalize(qvec)
+        Array.tabulate(model.m) { j =>
+          Array.tabulate(model.codebooks(j).length) { c =>
+            val cent = model.codebooks(j)(c)
+            var s = 0.0; var i = 0
+            while (i < cent.length) { s += q(j * model.dsub + i).toDouble * cent(i); i += 1 }
+            s.toFloat
+          }
+        }
+      }
+    }
+    val adcUdf = udf { (lut: Seq[Seq[Float]], cs: Seq[Int]) =>
+      var s = 0.0; var j = 0
+      while (j < cs.length) { s += lut(j)(cs(j)); j += 1 }
+      s
+    }
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("lut", lutUdf(col("qvec")))
+      .filter(col("lut").isNotNull)
+      .select("query_id", "lut")
+    val short = codes.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("adc", adcUdf(col("lut"), col("codes")))
+      .groupBy("query_id")
+      .agg(TopK.topK(shortlist)(col("corpus_id"), col("adc")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("cand"))
+      .select(col("query_id"), col("cand.id").as("corpus_id"))
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cvec"))
+    val fetched = c.join(broadcast(short), Seq("corpus_id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(vecCol).as("qvec"))), Seq("query_id"))
+      .withColumn("cosine", round(cosine(col("cvec"), col("qvec")), 6))
+    explodeRanked(
+      fetched.groupBy("query_id")
+        .agg(TopK.topK(k)(col("corpus_id"), col("cosine")).as("top")))
+  }
+
+  /** One-shot PQ ANN: train + encode + serve. Production splits the
+    * lifecycle ([[pqTrain]]/[[pqEncode]] once, [[pqTopKFromIndex]] per
+    * query batch); this is the battery/benchmark composition. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
+             queryId: String, vecCol: String, k: Int = 10, m: Int = 8,
+             ksub: Int = 16, lloydIters: Int = 2,
+             shortlist: Int = 50): DataFrame = {
+    val model = pqTrain(corpus, corpusId, vecCol, m, ksub, lloydIters)
+    pqTopKFromIndex(pqEncode(corpus, corpusId, vecCol, model), corpus, queries,
+      corpusId, queryId, vecCol, model, k, shortlist)
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication" — public): coarse-quantize the corpus into k-means

@@ -465,4 +465,72 @@ class SimilaritySpec extends SparkSpec {
         f"sf$sf: clone floor $minClone%.4f vs organic ceiling $maxOrganic%.4f — gap argument at risk")
     }
   }
+
+  test("pq: deterministic codebooks, ADC error bound, shortlist-monotone recall") {
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding")
+    val model2 = Similarity.pqTrain(emb.repartition(7), "vec_id", "embedding")
+    def flat(m: Similarity.PqModel): Seq[Float] =
+      m.codebooks.toSeq.flatMap(_.toSeq.flatMap(_.toSeq))
+    assert(flat(model) == flat(model2), "PQ training depends on partitioning")
+
+    // Cauchy-Schwarz ADC bound, recomputed independently driver-side:
+    // with q normalized, |cosine(q,x) - ADC(q,x)| <= ||x_norm - x_hat||
+    // — the approximation error never exceeds the reconstruction error.
+    def l2n(v: Seq[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat).toArray
+    }
+    def reconOf(v: Array[Float]): Array[Float] =
+      (0 until model.m).flatMap { j =>
+        model.codebooks(j).minBy { cent =>
+          cent.indices.map(i => math.pow(v(j * model.dsub + i) - cent(i), 2)).sum
+        }.toSeq
+      }.toArray
+    def dotd(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i)).sum
+    val sample = emb.filter($"vec_id" < 40).select("vec_id", "embedding")
+      .collect().map(r => l2n(r.getSeq[Float](1)))
+    for (q <- sample.take(5); x <- sample) {
+      val xh = reconOf(x)
+      val cos = dotd(q, x)
+      val adc = dotd(q, xh)
+      val recon = math.sqrt(x.indices.map(i => math.pow(x(i) - xh(i), 2)).sum)
+      assert(math.abs(cos - adc) <= recon + 1e-6,
+        f"ADC error ${math.abs(cos - adc)}%.4f exceeded recon bound $recon%.4f")
+    }
+
+    // Shortlist is the recall knob, and exhaustive shortlist closes the
+    // loop exactly: every true top-5 member inside the shortlist
+    // survives the exact rerank (only 4 vectors can beat it), so recall
+    // is monotone in the shortlist, and shortlist >= |corpus| makes the
+    // serve EQUAL the exact kNN join row-for-row.
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+    val queries = emb.filter($"vec_id" < 20)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = Similarity.knnJoin(emb, queries, "vec_id", "vec_id", "embedding", k = 5)
+    val bruteSets = topSets(brute)
+    def recall(shortlist: Int): Double = {
+      val got = topSets(Similarity.pqTopKFromIndex(codes, emb, queries,
+        "vec_id", "vec_id", "embedding", model, k = 5, shortlist = shortlist))
+      val rs = bruteSets.toSeq.map { case (q, b) =>
+        (b & got.getOrElse(q, Set.empty)).size.toDouble / b.size
+      }
+      rs.sum / rs.size
+    }
+    val r50 = recall(50)
+    val r200 = recall(200)
+    assert(r50 >= 0.5, f"recall@5 with shortlist=50 collapsed: $r50%.3f")
+    assert(r200 >= r50, f"recall not monotone in shortlist: $r200%.3f < $r50%.3f")
+    val n = emb.count().toInt
+    val exhaustive = Similarity.pqTopKFromIndex(codes, emb, queries,
+      "vec_id", "vec_id", "embedding", model, k = 5, shortlist = n)
+    val a = exhaustive.select("query_id", "corpus_id", "cosine", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    val b = brute.select("query_id", "corpus_id", "cosine", "rank")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "exhaustive-shortlist PQ serve != exact kNN join")
+  }
 }
