@@ -1358,6 +1358,22 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Learned-gate scoring plumbing under CLOSED-FORM weights — the
+    // fastText/CCNet quality-classifier serve path (tokenize → hash →
+    // bucket → weight lookup → aggregate) with a deterministic
+    // mix64-derived weight table both engines recompute independently;
+    // integer milli-unit weights make each doc's score an EXACT
+    // integer sum, so the oracle hash-matches with no float rounding.
+    // The trained-weights path differs only in the table used
+    // (Classifier.trainLogistic — iterative-greedy, not
+    // SQL-expressible; ClassifierSpec pins determinism + distilled-
+    // rule holdout accuracy).
+    "q85_classifier_score" -> ((s, dir) =>
+      graft.operators.Classifier.scoreMilli(t(s, dir, "documents"),
+          "doc_id", "text",
+          graft.operators.Classifier.pseudoWeightsMilli(4096))
+        .orderBy("doc_id")),
+
     // The DISTRIBUTED half of BPE alone — the (word, count) histogram
     // the driver-side merge loop trains on — is plain SQL (normalize +
     // split + explode + group-by), so it gets its own fully-oracled
@@ -2128,6 +2144,62 @@ object SparkEntry {
     // q56b: the positional gram-hash sequence itself, row-by-row
     "q56b_winnow_grams" ->
       (WinnowGramCte + "SELECT doc_id, pos, gh FROM hs ORDER BY doc_id, pos"),
+
+    // q85: both the token hash AND the weight table recomputed from
+    // scratch — mix64∘FNV per distinct term (the q23 machinery),
+    // mix64 over range(4096) for the closed-form weights, exact
+    // integer sums per doc.
+    "q85_classifier_score" ->
+      """WITH RECURSIVE
+         toks0 AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                             t -> len(t) > 0)) AS term
+           FROM documents),
+         toks AS (SELECT DISTINCT doc_id, term FROM toks0),
+         dterm AS (SELECT DISTINCT term FROM toks),
+         fnv(term, pos, h) AS (
+           SELECT term, 0, CAST(14695981039346656037 AS HUGEINT) FROM dterm
+           UNION ALL
+           SELECT term, pos + 1,
+                  (xor(h, CAST(unicode(substr(term, pos + 1, 1)) AS HUGEINT))
+                    * 1099511628211) % 18446744073709551616
+           FROM fnv WHERE pos < len(term)),
+         fh0 AS (SELECT term, h FROM fnv WHERE pos = len(term)),
+         t1 AS (SELECT term, (h + 11400714819323198485) % 18446744073709551616 AS z FROM fh0),
+         t2 AS (SELECT term, xor(z, z // 1073741824) AS z FROM t1),
+         t3 AS (SELECT term,
+                  (((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+                   + (z % 4294967296) * 13787848793156543929) % 18446744073709551616 AS z
+                FROM t2),
+         t4 AS (SELECT term, xor(z, z // 134217728) AS z FROM t3),
+         t5 AS (SELECT term,
+                  (((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+                   + (z % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z
+                FROM t4),
+         bkt AS (SELECT term, CAST(xor(z, z // 2147483648) % 4096 AS INTEGER) AS j FROM t5),
+         js AS (SELECT CAST(unnest(range(4096)) AS HUGEINT) AS j0),
+         u1 AS (SELECT j0, (j0 + 11400714819323198485) % 18446744073709551616 AS z FROM js),
+         u2 AS (SELECT j0, xor(z, z // 1073741824) AS z FROM u1),
+         u3 AS (SELECT j0,
+                  (((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+                   + (z % 4294967296) * 13787848793156543929) % 18446744073709551616 AS z
+                FROM u2),
+         u4 AS (SELECT j0, xor(z, z // 134217728) AS z FROM u3),
+         u5 AS (SELECT j0,
+                  (((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+                   + (z % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z
+                FROM u4),
+         wj AS (SELECT CAST(j0 AS INTEGER) AS j,
+                       CAST((xor(z, z // 2147483648) % 2048) - 1024 AS BIGINT) AS w
+                FROM u5),
+         agg AS (SELECT t.doc_id, CAST(count(1) AS BIGINT) AS n_feat,
+                        CAST(sum(wj.w) AS BIGINT) AS score_milli
+                 FROM toks t JOIN bkt USING (term) JOIN wj ON wj.j = bkt.j
+                 GROUP BY t.doc_id)
+         SELECT d.doc_id, coalesce(a.n_feat, CAST(0 AS BIGINT)) AS n_feat,
+                coalesce(a.score_milli, CAST(0 AS BIGINT)) AS score_milli
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "q31_ngram_jaccard" -> NgramJaccardOracleSql,
 

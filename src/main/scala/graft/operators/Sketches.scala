@@ -373,6 +373,34 @@ object Sketches {
   @inline private def isRegexWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** DISTINCT mix64-FNV hashes of the lowercase whitespace tokens of
+    * `text` — the [[simhash]] token kernel with the per-token hash
+    * exposed (one pass, same `\s` set and case fold), so consumers
+    * ([[Classifier]] hashed features, oracle cross-checks) share the
+    * exact hash the SimHash oracle already restates in SQL. */
+  def tokenHashes(text: String): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = Array.newBuilder[Long]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && isRegexWs(text.charAt(i))) i += 1
+      val start = i
+      var h = 0xcbf29ce484222325L
+      while (i < n && !isRegexWs(text.charAt(i))) {
+        h ^= Character.toLowerCase(text.charAt(i)).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      if (i > start) {
+        val th = mix64(h)
+        if (seen.add(th)) out += th
+      }
+    }
+    out.result()
+  }
+
   /** 64-bit SimHash over lowercase whitespace tokens: per-bit majority
     * vote of token hashes, computed in one pass (each token hashed once,
     * all 64 bit-counters updated from that hash). Matches the
