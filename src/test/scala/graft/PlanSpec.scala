@@ -190,4 +190,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       "per-shard window collapsed to one partition:\n" + p.take(1200))
   }
+
+  test("q84: PQ serves off broadcast query LUTs with bounded top-k, never a corpus shuffle join") {
+    val p = plan("q84_pq_topk")
+    // stage 1 (ADC over codes) and stage 2 (shortlist fetch) both join
+    // via broadcast — a SortMergeJoin would mean the corpus or the
+    // code table is being shuffled to meet the (tiny) other side
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-shuffling join crept into the PQ serve:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(800))
+    // both rankers keep their map-side combine
+    assert("partial_topkaggregator".r.findAllIn(p.toLowerCase).size >= 2,
+      "PQ shortlist/rerank lost the bounded partial aggregation")
+  }
+
+  test("q85: classifier scoring is one narrow pass — no shuffle, no join") {
+    val p = plan("q85_classifier_score")
+    // scoring = scan + project(kernel) + sort for the battery's
+    // orderBy; weights ride the closure, so nothing exchanges except
+    // the final presentation sort
+    assert(!p.contains("Join"), "scoring grew a join:\n" + p.take(800))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"scoring shuffles $exchanges times (expected only the orderBy range exchange):\n" +
+        p.take(1200))
+  }
 }
