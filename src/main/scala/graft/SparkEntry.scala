@@ -1358,6 +1358,33 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Retrieval evaluation harness e2e: every doc with a verified
+    // near-dup becomes a QUERY (its own text as the bag of words), the
+    // near-dup partners are the binary relevance truth, bm25JoinTopK
+    // retrieves top-20 per query in one job, and evalRanking scores
+    // recall@10 / MRR per query. Fully oracled: DuckDB independently
+    // recomputes the pair truth (the q31 machinery), the per-query
+    // BM25 ranking (the q54 formula, same float op order), and the
+    // metrics. Near-dup partners share most of their text, so they
+    // score far above organic docs — rank boundaries are not
+    // float-tie sensitive.
+    "q86_retrieval_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val (invT, candT) = ngramIndexTables(s, dir)
+      graft.operators.Dedup.ensureNgramTables(s, docs, "doc_id", "text",
+        invT, candT, n = 3, threshold = 0.5)
+      val pairs = graft.operators.Dedup.ngramVerifiedPairs(
+        s.table(invT), s.table(candT), threshold = 0.5)
+      val rel = pairs.select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
+      val queries = docs.join(
+        rel.select(col("query_id").as("doc_id")).distinct(), Seq("doc_id"))
+      val run = graft.operators.Retrieval.bm25JoinTopK(docs, "doc_id", "text",
+        queries, "doc_id", "text", n = 20, excludeSelf = true)
+      graft.operators.Retrieval.evalRanking(run, rel, k = 10)
+        .orderBy("query_id")
+    }),
+
     // Learned-gate scoring plumbing under CLOSED-FORM weights — the
     // fastText/CCNet quality-classifier serve path (tokenize → hash →
     // bucket → weight lookup → aggregate) with a deterministic
@@ -2144,6 +2171,72 @@ object SparkEntry {
     // q56b: the positional gram-hash sequence itself, row-by-row
     "q56b_winnow_grams" ->
       (WinnowGramCte + "SELECT doc_id, pos, gh FROM hs ORDER BY doc_id, pos"),
+
+    // q86: pair truth (q31 machinery) + per-query BM25 run (q54
+    // formula, engine float-op order mirrored) + metrics, all
+    // recomputed from the raw corpus.
+    "q86_retrieval_eval" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS nws
+           FROM documents),
+         g AS (
+           SELECT doc_id, CASE WHEN len(nws) < 3 THEN [array_to_string(nws, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(nws) - 1),
+                         i -> array_to_string(list_slice(nws, i, i + 2), ' '))) END AS grams
+           FROM w),
+         p0 AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                 >= 0.5),
+         rel AS (
+           SELECT doc_a AS query_id, doc_b AS doc_id FROM p0
+           UNION ALL
+           SELECT doc_b AS query_id, doc_a AS doc_id FROM p0),
+         toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                      t -> len(t) > 0) AS ws
+           FROM documents),
+         dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+         stats AS (SELECT count(1) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tr AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(1) AS tf FROM tr GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         qt AS (
+           SELECT DISTINCT q.query_id, tr.term
+           FROM (SELECT DISTINCT query_id FROM rel) q
+           JOIN tr ON tr.doc_id = q.query_id),
+         scored AS (
+           SELECT qt.query_id, tf.doc_id,
+                  sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                      (tf.tf * 2.2) /
+                      (tf.tf + (dl.dl / s.avgdl * 0.75 + 0.25) * 1.2)) AS score
+           FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+           JOIN dl ON dl.doc_id = tf.doc_id
+           CROSS JOIN stats s
+           WHERE tf.doc_id != qt.query_id
+           GROUP BY qt.query_id, tf.doc_id),
+         run20 AS (
+           SELECT query_id, doc_id, rank FROM (
+             SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS rank
+             FROM scored)
+           WHERE rank <= 20),
+         m AS (
+           SELECT rel.query_id,
+                  CAST(count(1) AS BIGINT) AS n_rel,
+                  CAST(sum(CASE WHEN r.rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+                  coalesce(round(1.0 / min(CASE WHEN r.rank <= 10 THEN r.rank END), 6),
+                           0.0) AS mrr
+           FROM rel LEFT JOIN run20 r
+             ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+           GROUP BY rel.query_id)
+         SELECT query_id, n_rel, hits_at_k,
+                round(CAST(hits_at_k AS DOUBLE) / n_rel, 6) AS recall_at_k, mrr
+         FROM m ORDER BY query_id""",
 
     // q85: both the token hash AND the weight table recomputed from
     // scratch — mix64∘FNV per distinct term (the q23 machinery),

@@ -193,4 +193,72 @@ object Retrieval {
         .write.mode("overwrite").saveAsTable(corpusTable)
     }
   }
+
+  // ---- batch retrieval + ranking evaluation ------------------------
+
+  /** Batch doc-as-query retrieval: EVERY query row gets its top-`n`
+    * BM25 hits in one job — the shape an evaluation harness or a
+    * dedup-by-retrieval pass runs, instead of one driver round-trip
+    * per query. Query docs tokenize to distinct (query, term) rows,
+    * postings join them on `term` (one shuffle by term; each query's
+    * candidate set is exactly the docs sharing >= 1 term), df/corpus
+    * stats broadcast, and ranking is the bounded per-query top-k
+    * aggregate — ≤ n rows per (partition, query) shuffle, the
+    * [[Similarity.knnJoin]] discipline. Scores are identical to the
+    * single-query [[bm25]] (spec-pinned). Output:
+    * `(query_id, doc_id, score, rank)`. */
+  def bm25JoinTopK(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, queryIdCol: String,
+                   queryTextCol: String, n: Int = 10, k1: Double = 1.2,
+                   b: Double = 0.75,
+                   excludeSelf: Boolean = false): DataFrame = {
+    val stats = termStats(docs, idCol, textCol)
+    val dfreq = docFreq(stats)
+    val cstats = corpusStats(docs, textCol)
+    val qterms = tokenRows(queries, queryIdCol, queryTextCol)
+      .select(col("doc_id").as("query_id"), col("term")).distinct()
+    val matched = stats.join(qterms, "term")
+    val kept =
+      if (excludeSelf) matched.filter(col("doc_id") =!= col("query_id"))
+      else matched
+    val perDoc = kept
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(cstats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"))
+    perDoc.groupBy("query_id")
+      .agg(TopK.topK(n)(col("doc_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Ranking-quality metrics of a retrieval run against a binary
+    * relevance set — the eval loop every retrieval stack runs before
+    * trusting an index change. Per query: `n_rel` relevant docs,
+    * `hits_at_k` of them retrieved at rank ≤ k, `recall_at_k`, and
+    * `mrr` (1/first-relevant-rank within k, 0 when none hit). Plain
+    * relational algebra: one left join of the relevance set against
+    * the run, one aggregate — fully SQL-expressible, which is what
+    * lets the whole harness (run + truth + metrics) be cross-engine
+    * oracled in q86. */
+  def evalRanking(run: DataFrame, relevant: DataFrame, k: Int): DataFrame =
+    relevant.select(col("query_id"), col("doc_id"))
+      .join(run.select(col("query_id"), col("doc_id"), col("rank")),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("rank").isNotNull && col("rank") <= k, 1L)
+          .otherwise(0L)).as("hits_at_k"),
+        coalesce(round(lit(1.0) / min(when(col("rank") <= k, col("rank"))), 6),
+          lit(0.0)).as("mrr"))
+      .withColumn("recall_at_k",
+        round(col("hits_at_k").cast("double") / col("n_rel"), 6))
+      .select("query_id", "n_rel", "hits_at_k", "recall_at_k", "mrr")
 }

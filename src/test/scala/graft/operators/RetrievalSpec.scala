@@ -75,4 +75,43 @@ class RetrievalSpec extends SparkSpec {
     val plan = top.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
+
+  test("bm25JoinTopK equals the single-query form, query by query") {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // two synthetic query "docs" whose texts are the term bags
+    val queries = Seq((9001L, "the data model"), (9002L, "spark join stream"))
+      .toDF("doc_id", "text")
+    val batch = Retrieval.bm25JoinTopK(docs, "doc_id", "text",
+        queries, "doc_id", "text", n = 15)
+      .select("query_id", "doc_id", "score", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSeq.sortBy(_._3)).toMap
+    for ((qid, terms) <- Seq((9001L, Seq("the", "data", "model")),
+                             (9002L, Seq("spark", "join", "stream")))) {
+      val single = Retrieval.bm25TopK(docs, "doc_id", "text", terms, n = 15)
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), math.round(r.getDouble(1) * 1e9), i + 1) }
+        .toSeq
+      assert(batch(qid) == single, s"batch run for $qid diverged from single-query bm25")
+    }
+  }
+
+  test("evalRanking matches hand-computed metrics on a closed-form fixture") {
+    // run: q1 retrieves docs 10,11,12 at ranks 1,2,3; q2 retrieves 20 at rank 11
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (2L, 20L, 11))
+      .toDF("query_id", "doc_id", "rank")
+    // truth: q1's relevant = {11, 12, 99(missed)}; q2's = {20} but only at rank 11 > k
+    val rel = Seq((1L, 11L), (1L, 12L), (1L, 99L), (2L, 20L))
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.evalRanking(run, rel, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((3L, 2L, math.rint(2.0 / 3 * 1e6) / 1e6, 0.5)),
+      s"q1 metrics wrong: ${got(1L)}")
+    // q2: relevant doc retrieved but OUTSIDE k -> zero credit
+    assert(got(2L) == ((1L, 0L, 0.0, 0.0)), s"q2 metrics wrong: ${got(2L)}")
+  }
 }
