@@ -1401,6 +1401,26 @@ object SparkEntry {
           graft.operators.Classifier.pseudoWeightsMilli(4096))
         .orderBy("doc_id")),
 
+    // Quality-budgeted curation under the gate: keep each source's top
+    // half by the q85 linear score (ties by doc_id — deterministic),
+    // report survivors per source with an id checksum so the oracle
+    // pins the exact kept SET. One window partitioning carries both
+    // the rank and the group size — one shuffle on source, the
+    // stratified-sample scale shape.
+    "q87_gated_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.Classifier.scoreMilli(
+          docs.select("doc_id", "text"), "doc_id", "text",
+          graft.operators.Classifier.pseudoWeightsMilli(4096))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      graft.operators.Sampling.topFractionBy(scored, "source", "score_milli",
+          "doc_id", fraction = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
+          sum("score_milli").as("score_sum"))
+        .orderBy("source")
+    }),
+
     // The DISTRIBUTED half of BPE alone — the (word, count) histogram
     // the driver-side merge loop trains on — is plain SQL (normalize +
     // split + explode + group-by), so it gets its own fully-oracled
@@ -1748,6 +1768,62 @@ object SparkEntry {
        hs AS (SELECT g.doc_id, g.pos, g.n, h.gh
               FROM gpos g JOIN ghash h USING (gram))
     """
+
+  /** Shared q85/q87 scoring CTE: token hash (mix64 of FNV-1a per
+    * distinct term) + closed-form mix64 weight table + per-doc exact
+    * integer sums, ending in `cscores(doc_id, n_feat, score_milli)`. */
+  private val ClassifierScoreCte =
+    """WITH RECURSIVE
+         toks0 AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                             t -> len(t) > 0)) AS term
+           FROM documents),
+         toks AS (SELECT DISTINCT doc_id, term FROM toks0),
+         dterm AS (SELECT DISTINCT term FROM toks),
+         fnv(term, pos, h) AS (
+           SELECT term, 0, CAST(14695981039346656037 AS HUGEINT) FROM dterm
+           UNION ALL
+           SELECT term, pos + 1,
+                  (xor(h, CAST(unicode(substr(term, pos + 1, 1)) AS HUGEINT))
+                    * 1099511628211) % 18446744073709551616
+           FROM fnv WHERE pos < len(term)),
+         fh0 AS (SELECT term, h FROM fnv WHERE pos = len(term)),
+         t1 AS (SELECT term, (h + 11400714819323198485) % 18446744073709551616 AS z FROM fh0),
+         t2 AS (SELECT term, xor(z, z // 1073741824) AS z FROM t1),
+         t3 AS (SELECT term,
+                  (((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+                   + (z % 4294967296) * 13787848793156543929) % 18446744073709551616 AS z
+                FROM t2),
+         t4 AS (SELECT term, xor(z, z // 134217728) AS z FROM t3),
+         t5 AS (SELECT term,
+                  (((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+                   + (z % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z
+                FROM t4),
+         bkt AS (SELECT term, CAST(xor(z, z // 2147483648) % 4096 AS INTEGER) AS j FROM t5),
+         js AS (SELECT CAST(unnest(range(4096)) AS HUGEINT) AS j0),
+         u1 AS (SELECT j0, (j0 + 11400714819323198485) % 18446744073709551616 AS z FROM js),
+         u2 AS (SELECT j0, xor(z, z // 1073741824) AS z FROM u1),
+         u3 AS (SELECT j0,
+                  (((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+                   + (z % 4294967296) * 13787848793156543929) % 18446744073709551616 AS z
+                FROM u2),
+         u4 AS (SELECT j0, xor(z, z // 134217728) AS z FROM u3),
+         u5 AS (SELECT j0,
+                  (((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+                   + (z % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z
+                FROM u4),
+         wj AS (SELECT CAST(j0 AS INTEGER) AS j,
+                       CAST((xor(z, z // 2147483648) % 2048) - 1024 AS BIGINT) AS w
+                FROM u5),
+         agg AS (SELECT t.doc_id, CAST(count(1) AS BIGINT) AS n_feat,
+                        CAST(sum(wj.w) AS BIGINT) AS score_milli
+                 FROM toks t JOIN bkt USING (term) JOIN wj ON wj.j = bkt.j
+                 GROUP BY t.doc_id),
+         cscores AS (
+           SELECT d.doc_id, coalesce(a.n_feat, CAST(0 AS BIGINT)) AS n_feat,
+                  coalesce(a.score_milli, CAST(0 AS BIGINT)) AS score_milli
+           FROM documents d LEFT JOIN agg a USING (doc_id))
+      """
 
   private val SimhashSigCte =
     """WITH RECURSIVE
@@ -2243,56 +2319,27 @@ object SparkEntry {
     // mix64 over range(4096) for the closed-form weights, exact
     // integer sums per doc.
     "q85_classifier_score" ->
-      """WITH RECURSIVE
-         toks0 AS (
-           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                                             t -> len(t) > 0)) AS term
-           FROM documents),
-         toks AS (SELECT DISTINCT doc_id, term FROM toks0),
-         dterm AS (SELECT DISTINCT term FROM toks),
-         fnv(term, pos, h) AS (
-           SELECT term, 0, CAST(14695981039346656037 AS HUGEINT) FROM dterm
-           UNION ALL
-           SELECT term, pos + 1,
-                  (xor(h, CAST(unicode(substr(term, pos + 1, 1)) AS HUGEINT))
-                    * 1099511628211) % 18446744073709551616
-           FROM fnv WHERE pos < len(term)),
-         fh0 AS (SELECT term, h FROM fnv WHERE pos = len(term)),
-         t1 AS (SELECT term, (h + 11400714819323198485) % 18446744073709551616 AS z FROM fh0),
-         t2 AS (SELECT term, xor(z, z // 1073741824) AS z FROM t1),
-         t3 AS (SELECT term,
-                  (((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
-                   + (z % 4294967296) * 13787848793156543929) % 18446744073709551616 AS z
-                FROM t2),
-         t4 AS (SELECT term, xor(z, z // 134217728) AS z FROM t3),
-         t5 AS (SELECT term,
-                  (((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
-                   + (z % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z
-                FROM t4),
-         bkt AS (SELECT term, CAST(xor(z, z // 2147483648) % 4096 AS INTEGER) AS j FROM t5),
-         js AS (SELECT CAST(unnest(range(4096)) AS HUGEINT) AS j0),
-         u1 AS (SELECT j0, (j0 + 11400714819323198485) % 18446744073709551616 AS z FROM js),
-         u2 AS (SELECT j0, xor(z, z // 1073741824) AS z FROM u1),
-         u3 AS (SELECT j0,
-                  (((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
-                   + (z % 4294967296) * 13787848793156543929) % 18446744073709551616 AS z
-                FROM u2),
-         u4 AS (SELECT j0, xor(z, z // 134217728) AS z FROM u3),
-         u5 AS (SELECT j0,
-                  (((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
-                   + (z % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z
-                FROM u4),
-         wj AS (SELECT CAST(j0 AS INTEGER) AS j,
-                       CAST((xor(z, z // 2147483648) % 2048) - 1024 AS BIGINT) AS w
-                FROM u5),
-         agg AS (SELECT t.doc_id, CAST(count(1) AS BIGINT) AS n_feat,
-                        CAST(sum(wj.w) AS BIGINT) AS score_milli
-                 FROM toks t JOIN bkt USING (term) JOIN wj ON wj.j = bkt.j
-                 GROUP BY t.doc_id)
-         SELECT d.doc_id, coalesce(a.n_feat, CAST(0 AS BIGINT)) AS n_feat,
-                coalesce(a.score_milli, CAST(0 AS BIGINT)) AS score_milli
-         FROM documents d LEFT JOIN agg a USING (doc_id)
-         ORDER BY d.doc_id""",
+      (ClassifierScoreCte +
+        "SELECT doc_id, n_feat, score_milli FROM cscores ORDER BY doc_id"),
+
+    // q87: the q85 scores gated per source — rank and count in one
+    // window partitioning, keep ceil(n/2), aggregate the survivors.
+    "q87_gated_sample" ->
+      (ClassifierScoreCte +
+        """, csrc AS (
+             SELECT s.doc_id, s.score_milli, d.source
+             FROM cscores s JOIN documents d USING (doc_id)),
+           crk AS (
+             SELECT doc_id, source, score_milli,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY score_milli DESC, doc_id) AS rn,
+                    count(1) OVER (PARTITION BY source) AS n
+             FROM csrc)
+           SELECT source, CAST(count(1) AS BIGINT) AS n_kept,
+                  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                  CAST(sum(score_milli) AS BIGINT) AS score_sum
+           FROM crk WHERE rn <= ceil(n * 0.5)
+           GROUP BY source ORDER BY source"""),
 
     "q31_ngram_jaccard" -> NgramJaccardOracleSql,
 

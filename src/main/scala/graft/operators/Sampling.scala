@@ -182,4 +182,26 @@ object Sampling {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Keep each group's top `fraction` of rows by `scoreCol` (ties
+    * broken by `idCol` so selection is deterministic) — the
+    * quality-budgeted curation primitive: "keep the best half of every
+    * domain under the learned gate" composes a [[graft.operators.Classifier]]
+    * score with this. Per-group rank and count ride ONE window
+    * partitioning (one shuffle on the group key, the stratified-sample
+    * scale shape); kept size is `ceil(fraction * |group|)`, so no
+    * group is emptied while `fraction > 0`. */
+  def topFractionBy(df: DataFrame, groupCol: String, scoreCol: String,
+                    idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1,
+      s"fraction must be in [0, 1], got $fraction")
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(groupCol)
+    val ranked = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(ranked))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+      .filter(col("__rn") <= ceil(col("__n") * fraction))
+      .drop("__rn", "__n")
+  }
 }

@@ -183,4 +183,21 @@ class SamplingSpec extends SparkSpec {
       assert(pos.head == 0 && pos.last == pos.size - 1)
     }
   }
+
+  test("topFractionBy keeps each group's ceil(frac*n) best, ties by id") {
+    val df = Seq(
+      // group a: 3 rows, scores 30 > 20 > 10 -> keep ceil(1.5)=2 best
+      (1L, "a", 30L), (2L, "a", 20L), (3L, "a", 10L),
+      // group b: tie on score 5 -> lowest id wins the single slot
+      (10L, "b", 5L), (11L, "b", 5L),
+      // group c: singleton always survives at frac > 0
+      (20L, "c", -7L))
+      .toDF("id", "grp", "score")
+    val kept = Sampling.topFractionBy(df, "grp", "score", "id", fraction = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 10L, 20L), s"kept $kept")
+    // fraction 1 keeps everything; fraction 0 keeps nothing
+    assert(Sampling.topFractionBy(df, "grp", "score", "id", 1.0).count() == 6)
+    assert(Sampling.topFractionBy(df, "grp", "score", "id", 0.0).count() == 0)
+  }
 }
