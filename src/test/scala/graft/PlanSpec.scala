@@ -143,7 +143,8 @@ class PlanSpec extends SparkSpec {
   test("similarity/dedup queries: no cartesian products, no per-group windows") {
     Seq("q22_minhash_dedup", "q25_knn_join", "q31_ngram_jaccard",
       "q33_lsh_topk", "q33b_lsh_multiprobe", "q34_embedding_dedup",
-      "q35_ivf_topk", "q56_winnow_pairs", "q57_drop_near_dups").foreach { q =>
+      "q35_ivf_topk", "q56_winnow_pairs", "q57_drop_near_dups",
+      "q86_retrieval_eval").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")
