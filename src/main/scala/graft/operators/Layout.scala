@@ -124,11 +124,22 @@ object Layout {
     buildManifest(spark, path, statsCols)
       .write.mode("overwrite").parquet(manifestPath(path).toString)
 
+  /** Scheme + authority prefix of a URI-ish path string
+    * (`hdfs://nn:8020`, `s3a://bucket`, `file://`, `file:`) — the part
+    * both sides of a prefix match must drop SYMMETRICALLY. The old
+    * form (`scheme:/+` → `/`) folded the authority into the path
+    * (`hdfs://nn:8020/a` → `/nn:8020/a`), which broke both the match
+    * and any filesystem call made on the mangled string. */
+  private val SchemeAuthorityRe = "^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?"
+
   /** `file` values come from `input_file_name()` as URIs
-    * (`file:///a/b`); touched dirs arrive as plain paths. Both sides
-    * normalize to a scheme-less absolute path before prefix matching. */
-  private def normalizePath(s: String): String =
-    s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+    * (`file:///a/b`, `hdfs://nn:8020/a/b`); touched dirs are qualified
+    * against the lake's FileSystem before comparison. Both sides
+    * normalize to a scheme-and-authority-less absolute path ONLY for
+    * the prefix match — never for filesystem calls, which always use
+    * the qualified original `Path`. */
+  private[graft] def normalizePath(s: String): String =
+    s.replaceFirst(SchemeAuthorityRe, "")
 
   /** Incrementally refresh a persisted manifest after a partial
     * rewrite: rows whose file lives under a `touchedDirs` prefix are
@@ -147,12 +158,16 @@ object Layout {
     require(fs.exists(mPath), s"no manifest at $mPath to refresh — writeManifest first")
     val man = readManifest(spark, path)
     val statsCols = man.columns.filter(_.endsWith("_min")).map(_.dropRight(4)).toSeq
-    // trailing separator so "/a/b" cannot prefix-match "/a/bc"
-    val prefixes = touchedDirs.map(d => normalizePath(d).stripSuffix("/") + "/")
-    val nfile = regexp_replace(col("file"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
-    val underTouched = prefixes.map(p => nfile.startsWith(p)).reduce(_ || _)
-    val freshFiles = prefixes.flatMap { p =>
-      val dir = new org.apache.hadoop.fs.Path(p.stripSuffix("/"))
+    // filesystem calls use the QUALIFIED original path; only the prefix
+    // match normalizes (symmetrically on both sides). Trailing
+    // separator so "/a/b" cannot prefix-match "/a/bc".
+    val touched = touchedDirs.map { d =>
+      val qual = fs.makeQualified(new org.apache.hadoop.fs.Path(d))
+      (qual, normalizePath(qual.toUri.toString).stripSuffix("/") + "/")
+    }
+    val nfile = regexp_replace(col("file"), SchemeAuthorityRe, "")
+    val underTouched = touched.map { case (_, p) => nfile.startsWith(p) }.reduce(_ || _)
+    val freshFiles = touched.flatMap { case (dir, _) =>
       if (fs.exists(dir))
         fs.listStatus(dir).filter(st => st.isFile &&
             !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
@@ -163,7 +178,15 @@ object Layout {
     val refreshed =
       if (freshFiles.isEmpty) kept
       else kept.unionByName(
-        statsForFiles(spark, spark.read.parquet(freshFiles: _*), statsCols))
+        statsForFiles(spark,
+          // basePath keeps Hive-style partition columns resolvable when
+          // a partition column is among statsCols (directory inference
+          // is off for an explicit file list without it)
+          spark.read
+            .option("basePath", fs.makeQualified(
+              new org.apache.hadoop.fs.Path(path)).toString)
+            .parquet(freshFiles: _*),
+          statsCols))
     // the new manifest's lineage reads the old manifest files — cut it
     // (|files| rows) before overwriting them
     val materialized = refreshed.localCheckpoint()

@@ -196,4 +196,42 @@ class LayoutSpec extends SparkSpec {
       rows(Layout.buildManifest(spark, bdir, Seq("id", "v")), Seq("id", "v")),
       "manifest after the compact hook diverged from a full rebuild")
   }
+
+  test("normalizePath strips scheme AND authority, never folding the authority into the path") {
+    // the round-8 bug: 'hdfs://nn:8020/a' -> '/nn:8020/a' made the
+    // manifest prefix match (and any fs call on the string) silently
+    // miss every touched leaf on a non-local filesystem
+    assert(Layout.normalizePath("hdfs://nn:8020/a/b") == "/a/b")
+    assert(Layout.normalizePath("s3a://bucket/a/b") == "/a/b")
+    assert(Layout.normalizePath("file:///a/b") == "/a/b")
+    assert(Layout.normalizePath("file:/a/b") == "/a/b")
+    assert(Layout.normalizePath("/a/b") == "/a/b")
+    // symmetry: a dir and a file under it agree after normalization
+    val dir = Layout.normalizePath("hdfs://nn:8020/lake/part=a")
+    val file = Layout.normalizePath("hdfs://nn:8020/lake/part=a/f0.parquet")
+    assert(file.startsWith(dir + "/"))
+  }
+
+  test("refresh with a partition column in statsCols keeps the column resolvable") {
+    import graft.sources.Lake
+    // partition columns only exist via directory inference; the fresh-
+    // file re-stat must read with basePath or the refresh throws AFTER
+    // Lake.upsert already swapped data (stale manifest vs committed data)
+    val dir = Files.createTempDirectory("graft_mpart").toString + "/lake"
+    Seq((1L, 10L, 0, 7L), (2L, 20L, 0, 8L), (3L, 30L, 0, 9L))
+      .toDF("id", "v", "rev", "part")
+      .write.partitionBy("part").parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("id", "part"))
+    Lake.upsert(spark, dir,
+      Seq((1L, 11L, 1, 7L), (4L, 40L, 1, 5L)).toDF("id", "v", "rev", "part"),
+      keyCols = Seq("id"), partitionCol = "part", versionCol = "rev")
+    val man = Layout.readManifest(spark, dir)
+    val rebuilt = Layout.buildManifest(spark, dir, Seq("id", "part"))
+    def norm(df: DataFrame): Seq[String] = df
+      .select(regexp_replace(col("file"), "^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", "").as("f"),
+        col("id_min"), col("id_max"), col("part_min"), col("part_max"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(norm(man) == norm(rebuilt),
+      "partition-column stats after refresh diverged from a full rebuild")
+  }
 }
