@@ -201,28 +201,56 @@ object Retrieval {
     * dedup-by-retrieval pass runs, instead of one driver round-trip
     * per query. Query docs tokenize to distinct (query, term) rows,
     * postings join them on `term` (one shuffle by term; each query's
-    * candidate set is exactly the docs sharing >= 1 term), df/corpus
-    * stats broadcast, and ranking is the bounded per-query top-k
-    * aggregate — ≤ n rows per (partition, query) shuffle, the
-    * [[Similarity.knnJoin]] discipline. Scores are identical to the
-    * single-query [[bm25]] (spec-pinned). Output:
-    * `(query_id, doc_id, score, rank)`. */
+    * candidate set is exactly the docs sharing >= 1 term), and ranking
+    * is the bounded per-query top-k aggregate — ≤ n rows per
+    * (partition, query) shuffle, the [[Similarity.knnJoin]] discipline.
+    *
+    * Two scale guards on the term side (both plan-asserted):
+    *  - Document frequencies are SEMI-JOINED down to the distinct
+    *    query-term set before they ride the candidate join: the full
+    *    `docFreq` frame is |vocab| rows (100M+ terms on a web corpus —
+    *    never broadcastable); the query-term slice is |query terms|
+    *    rows and rides the query side of the join, so no vocab-sized
+    *    relation ever sits under a BroadcastExchange.
+    *  - `maxDfFraction` df-caps the candidate join (the Lucene/CCNet
+    *    stopword-pruning practice): a term present in more than that
+    *    fraction of all documents scores idf ≈ 0 yet would enumerate
+    *    one candidate row per (query containing it × document
+    *    containing it) — |queries|×|docs| for a true stopword. Capped
+    *    terms are dropped BELOW the join, where they can't explode it.
+    *    Set 1.0 to disable (then scores are identical to the
+    *    single-query [[bm25]], query by query — spec-pinned).
+    *
+    * Output: `(query_id, doc_id, score, rank)`. */
   def bm25JoinTopK(docs: DataFrame, idCol: String, textCol: String,
                    queries: DataFrame, queryIdCol: String,
                    queryTextCol: String, n: Int = 10, k1: Double = 1.2,
                    b: Double = 0.75,
-                   excludeSelf: Boolean = false): DataFrame = {
+                   excludeSelf: Boolean = false,
+                   maxDfFraction: Double = 0.5): DataFrame = {
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0,1], got $maxDfFraction")
     val stats = termStats(docs, idCol, textCol)
     val dfreq = docFreq(stats)
     val cstats = corpusStats(docs, textCol)
     val qterms = tokenRows(queries, queryIdCol, queryTextCol)
       .select(col("doc_id").as("query_id"), col("term")).distinct()
-    val matched = stats.join(qterms, "term")
+    // query-term df slice: |query terms| rows, df-capped before the
+    // candidate join. The one-row corpus stats broadcast supplies the
+    // cap threshold; dfreq itself is never broadcast or carried whole.
+    val qdf = dfreq
+      .join(qterms.select("term").distinct(), Seq("term"), "left_semi")
+      .crossJoin(broadcast(cstats.select(col("n_docs").as("__nd"))))
+      .filter(col("df") <= lit(maxDfFraction) * col("__nd"))
+      .select("term", "df")
+    // df rides the (small) query side into the term-keyed join, so the
+    // old per-candidate broadcast(dfreq) join disappears entirely
+    val qtd = qterms.join(broadcast(qdf), "term")
+    val matched = stats.join(qtd, "term")
     val kept =
       if (excludeSelf) matched.filter(col("doc_id") =!= col("query_id"))
       else matched
     val perDoc = kept
-      .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(cstats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
@@ -246,10 +274,18 @@ object Retrieval {
     * relational algebra: one left join of the relevance set against
     * the run, one aggregate — fully SQL-expressible, which is what
     * lets the whole harness (run + truth + metrics) be cross-engine
-    * oracled in q86. */
+    * oracled in q86.
+    *
+    * Input hygiene (guarded here, not assumed): duplicate
+    * `(query_id, doc_id)` rows in `relevant` would inflate `n_rel` and
+    * `hits_at_k`, and duplicate pairs in `run` would fan out the left
+    * join — so the relevance set is deduplicated and the run collapses
+    * to each pair's BEST (minimum) rank before joining. A well-formed
+    * top-k run (unique pairs, one rank each) passes through unchanged. */
   def evalRanking(run: DataFrame, relevant: DataFrame, k: Int): DataFrame =
-    relevant.select(col("query_id"), col("doc_id"))
-      .join(run.select(col("query_id"), col("doc_id"), col("rank")),
+    relevant.select(col("query_id"), col("doc_id")).distinct()
+      .join(run.select(col("query_id"), col("doc_id"), col("rank"))
+          .groupBy("query_id", "doc_id").agg(min(col("rank")).as("rank")),
         Seq("query_id", "doc_id"), "left")
       .groupBy("query_id")
       .agg(

@@ -83,8 +83,10 @@ class RetrievalSpec extends SparkSpec {
     // two synthetic query "docs" whose texts are the term bags
     val queries = Seq((9001L, "the data model"), (9002L, "spark join stream"))
       .toDF("doc_id", "text")
+    // cap disabled: the single-query form applies no df-cap, so exact
+    // parity is only defined at maxDfFraction = 1.0
     val batch = Retrieval.bm25JoinTopK(docs, "doc_id", "text",
-        queries, "doc_id", "text", n = 15)
+        queries, "doc_id", "text", n = 15, maxDfFraction = 1.0)
       .select("query_id", "doc_id", "score", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1),
         math.round(r.getDouble(2) * 1e9), r.getInt(3)))
@@ -97,6 +99,83 @@ class RetrievalSpec extends SparkSpec {
         .toSeq
       assert(batch(qid) == single, s"batch run for $qid diverged from single-query bm25")
     }
+  }
+
+  test("bm25JoinTopK df-cap drops stopword terms below the candidate join") {
+    // every doc shares 'the' (a true stopword: df = n_docs); only doc
+    // 1 shares a content term with the query. Uncapped, the stopword
+    // enumerates one candidate row per document — |queries|×|docs| on
+    // a real corpus; capped, docs reachable ONLY through it vanish.
+    val docs = Seq(
+      (1L, "the zebra migrates"),
+      (2L, "the quick fox"),
+      (3L, "the slow snail"),
+      (4L, "the bright star")
+    ).toDF("doc_id", "text")
+    val queries = Seq((9L, "the zebra")).toDF("doc_id", "text")
+    val capped = Retrieval.bm25JoinTopK(docs, "doc_id", "text",
+        queries, "doc_id", "text", n = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped == Set(1L),
+      s"stopword-only candidates survived the df-cap: $capped")
+    // uncapped, all four docs match through 'the'
+    val uncapped = Retrieval.bm25JoinTopK(docs, "doc_id", "text",
+        queries, "doc_id", "text", n = 10, maxDfFraction = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uncapped == Set(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25JoinTopK(docs, "doc_id", "text", queries, "doc_id",
+        "text", maxDfFraction = 0.0))
+  }
+
+  test("bm25JoinTopK plan: docFreq is semi-joined to query terms — no vocab-sized broadcast") {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val queries = Seq((9001L, "the data model")).toDF("doc_id", "text")
+    val p = Retrieval.bm25JoinTopK(docs, "doc_id", "text",
+        queries, "doc_id", "text", n = 10)
+      .queryExecution.executedPlan.toString
+    // the |vocab|-row docFreq aggregate must be pruned by a LeftSemi
+    // against the distinct query-term set BEFORE anything broadcasts it
+    assert(p.contains("LeftSemi"), p.take(1500))
+    // the old shape joined broadcast(dfreq) per candidate row: its
+    // signature was a BroadcastExchange directly over the vocab-wide
+    // df HashAggregate with no semi-join below. Parent-first print: at
+    // least one BroadcastExchange subtree must contain the LeftSemi.
+    val bIdx = p.indexOf("BroadcastExchange")
+    assert(bIdx >= 0 && p.indexOf("LeftSemi", bIdx) > bIdx,
+      "no broadcast subtree carries the semi-joined df slice:\n" + p.take(1500))
+  }
+
+  test("retrieval-quality floor: recall@10 >= 0.4 on the near-dup truth set") {
+    // the q86 harness at sf0.001. Deterministic end to end (exact
+    // tf/df integers, rank ties broken by id), so a floor is safe to
+    // pin; an index regression that tanks ranking quality fails here
+    // even if it still hash-matches its own oracle. The pinned value
+    // IS the measured mean on this fixture: the synthetic corpus draws
+    // every doc from the same 31-word vocabulary, so bag-of-words BM25
+    // can only partially resolve a word-ORDER-defined (trigram
+    // Jaccard) truth set — 0.40 is the honest ceiling here, not a
+    // weakness of the operator (on Zipfian text the partners' shared
+    // rare terms dominate).
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val rel = pairs.select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
+    val queries = docs.join(
+      rel.select(col("query_id").as("doc_id")).distinct(), Seq("doc_id"))
+    assert(queries.count() > 0, "fixture lost its near-dup pairs")
+    // cap disabled, like q86: this fixture's 31-term vocabulary makes
+    // every content term look like a stopword by df
+    val run = Retrieval.bm25JoinTopK(docs, "doc_id", "text",
+      queries, "doc_id", "text", n = 20, excludeSelf = true,
+      maxDfFraction = 1.0)
+    val m = Retrieval.evalRanking(run, rel, k = 10)
+      .agg(avg(col("recall_at_k")).as("mean_recall")).as[Double].head()
+    assert(m >= 0.4, f"mean recall@10 regressed: $m%.4f < 0.4")
   }
 
   test("evalRanking matches hand-computed metrics on a closed-form fixture") {
@@ -113,5 +192,19 @@ class RetrievalSpec extends SparkSpec {
       s"q1 metrics wrong: ${got(1L)}")
     // q2: relevant doc retrieved but OUTSIDE k -> zero credit
     assert(got(2L) == ((1L, 0L, 0.0, 0.0)), s"q2 metrics wrong: ${got(2L)}")
+  }
+
+  test("evalRanking is immune to duplicate relevance rows and duplicate run pairs") {
+    // doubled relevance rows must not inflate n_rel/hits; a run pair
+    // listed twice must count once at its BEST rank
+    val run = Seq((1L, 10L, 5), (1L, 10L, 2), (1L, 11L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val rel = Seq((1L, 10L), (1L, 10L), (1L, 11L), (1L, 99L))
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.evalRanking(run, rel, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((3L, 2L, math.rint(2.0 / 3 * 1e6) / 1e6, 1.0)),
+      s"duplicate-input metrics wrong: ${got(1L)}")
   }
 }
