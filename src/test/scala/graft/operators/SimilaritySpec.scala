@@ -533,4 +533,70 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b, "exhaustive-shortlist PQ serve != exact kNN join")
   }
+
+  test("ivfpq: composed index matches its parents; nprobe = nlist IS the exhaustive ADC serve") {
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val index = Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, model)
+    val queries = emb.filter($"vec_id" < 20)
+
+    // one-pass encode == ivfAssign cells + pqEncode codes, row for row
+    val cells = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .select("corpus_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+    val codeMap = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    index.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == cells(id), s"cell diverged for $id")
+      assert(r.getSeq[Int](2) == codeMap(id), s"codes diverged for $id")
+    }
+
+    // probing EVERY cell covers each code row exactly once, so the
+    // serve must equal the exhaustive ADC scan row-for-row — the
+    // composition can only RESTRICT the scan, never rescore it
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("query_id", "corpus_id", "cosine", "rank")
+        .collect().map(_.toString).sorted.toSeq
+    val exhaustive = Similarity.pqTopKFromIndex(codes, emb, queries,
+      "vec_id", "vec_id", "embedding", model, k = 5, shortlist = 50)
+    val probedAll = Similarity.ivfPqTopKFromIndex(index, cents, emb, queries,
+      "vec_id", "vec_id", "embedding", model, k = 5, nprobe = 16,
+      shortlist = 50)
+    assert(rows(probedAll) == rows(exhaustive),
+      "nprobe = nlist diverged from the exhaustive ADC serve")
+
+    // recall is monotone in nprobe (more probed cells never lose
+    // candidates) and a single probe still answers every query
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bruteSets = topSets(
+      Similarity.knnJoin(emb, queries, "vec_id", "vec_id", "embedding", k = 5))
+    def recall(nprobe: Int): Double = {
+      val got = topSets(Similarity.ivfPqTopKFromIndex(index, cents, emb,
+        queries, "vec_id", "vec_id", "embedding", model, k = 5,
+        nprobe = nprobe, shortlist = 50))
+      val rs = bruteSets.toSeq.map { case (q, b) =>
+        (b & got.getOrElse(q, Set.empty)).size.toDouble / b.size
+      }
+      rs.sum / rs.size
+    }
+    assert(recall(16) >= recall(4),
+      "recall not monotone in nprobe")
+    val one = Similarity.ivfPqTopKFromIndex(index, cents, emb, queries,
+      "vec_id", "vec_id", "embedding", model, k = 5, nprobe = 1,
+      shortlist = 50)
+    assert(one.select("query_id").distinct().count() == 20,
+      "a query lost all candidates under nprobe = 1")
+
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqTopKFromIndex(index, Array.empty, emb, queries,
+        "vec_id", "vec_id", "embedding", model))
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqTopKFromIndex(index, cents, emb, queries,
+        "vec_id", "vec_id", "embedding", model, nprobe = 0))
+  }
 }
