@@ -187,21 +187,59 @@ object Sampling {
     * broken by `idCol` so selection is deterministic) — the
     * quality-budgeted curation primitive: "keep the best half of every
     * domain under the learned gate" composes a [[graft.operators.Classifier]]
-    * score with this. Per-group rank and count ride ONE window
-    * partitioning (one shuffle on the group key, the stratified-sample
-    * scale shape); kept size is `ceil(fraction * |group|)`, so no
-    * group is emptied while `fraction > 0`. */
+    * score with this. Kept size is `ceil(fraction * |group|)`, so no
+    * group is emptied while `fraction > 0`.
+    *
+    * Skew-safe two-pass threshold select. The obvious plan —
+    * `row_number` + `count` windows over `partitionBy(group)` — is one
+    * shuffle but serializes EVERY row of a group through one task's
+    * sort; with a dominant group (one source = half the corpus, the
+    * normal web-crawl mixture shape) that task is the job. Here
+    * instead:
+    *  1. a per-(group, score) COUNT histogram (one shuffle, map-side
+    *     combine; |distinct scores| rows, never |rows|);
+    *  2. a window over the histogram finds each group's cutoff score
+    *     `s*` — the highest score whose descending cumulative count
+    *     reaches `k = ceil(n·fraction)` — and how many tied rows at
+    *     `s*` still fit (one task per group, but over distinct-score
+    *     rows only);
+    *  3. the tiny `(group, s*, tie_keep)` frame broadcasts back: rows
+    *     scoring ABOVE `s*` are kept with no ordering work at all, and
+    *     only the tie set AT `s*` pays a `row_number` (by id) for the
+    *     remaining slots — a window over the ties, not the group.
+    * Rows with a NULL score sort after every non-null score (the
+    * `desc` default), exactly like the single-window form did. */
   def topFractionBy(df: DataFrame, groupCol: String, scoreCol: String,
                     idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1,
       s"fraction must be in [0, 1], got $fraction")
     import org.apache.spark.sql.expressions.Window
-    val byGroup = Window.partitionBy(groupCol)
-    val ranked = Window.partitionBy(groupCol)
-      .orderBy(col(scoreCol).desc, col(idCol))
-    df.withColumn("__rn", row_number().over(ranked))
-      .withColumn("__n", count(lit(1)).over(byGroup))
-      .filter(col("__rn") <= ceil(col("__n") * fraction))
-      .drop("__rn", "__n")
+    val hist = df.groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy("__g").orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy("__g")
+    val cuts = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__k", ceil(sum(col("__c")).over(wN) * fraction))
+      .filter(col("__cum") >= col("__k") && col("__cum") - col("__c") < col("__k"))
+      .select(col("__g"), col("__s").as("__cut"),
+        (col("__k") - (col("__cum") - col("__c"))).cast("long").as("__tie_keep"))
+    // inner join: a group with no cut row (fraction = 0) keeps nothing;
+    // null-safe so a NULL group key stays a group, as the window form
+    // treated it
+    val withCut = df.join(broadcast(cuts), col(groupCol) <=> col("__g"))
+    // a NULL cutoff means even the null-scored tail is partially kept:
+    // every non-null score sorts above it
+    val above = withCut
+      .filter((col("__cut").isNull && col(scoreCol).isNotNull) ||
+        col(scoreCol) > col("__cut"))
+      .drop("__g", "__cut", "__tie_keep")
+    val tieW = Window.partitionBy(groupCol).orderBy(col(idCol))
+    val ties = withCut.filter(col(scoreCol) <=> col("__cut"))
+      .withColumn("__rn", row_number().over(tieW))
+      .filter(col("__rn") <= col("__tie_keep"))
+      .drop("__g", "__cut", "__tie_keep", "__rn")
+    above.unionByName(ties)
   }
 }

@@ -200,4 +200,55 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.topFractionBy(df, "grp", "score", "id", 1.0).count() == 6)
     assert(Sampling.topFractionBy(df, "grp", "score", "id", 0.0).count() == 0)
   }
+
+  test("topFractionBy equals the single-window form on a dominant skewed group") {
+    // one group carries 90% of the rows with heavy score ties (the
+    // web-crawl mixture shape the two-pass threshold select exists
+    // for); a small group and a null-key group ride along
+    val rows =
+      (0 until 9000).map(i => (i.toLong, "big", (i % 7).toLong)) ++
+      (0 until 100).map(i => (10000L + i, "small", (i % 3).toLong)) ++
+      (0 until 50).map(i => (20000L + i, null.asInstanceOf[String], 1L))
+    val df = rows.toDF("id", "grp", "score").repartition(8)
+    for (f <- Seq(0.25, 0.5, 0.9)) {
+      val got = Sampling.topFractionBy(df, "grp", "score", "id", f)
+        .select("id").as[Long].collect().toSet
+      // reference: the old one-window form, inline
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+      val want = df
+        .withColumn("__rn", row_number().over(ranked))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("grp")))
+        .filter(col("__rn") <= ceil(col("__n") * f))
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"fraction $f: kept set diverged from the window form")
+    }
+  }
+
+  test("topFractionBy plan: no window runs over the raw input — only histogram and tie windows") {
+    val df = (0 until 1000).map(i => (i.toLong, s"g${i % 3}", (i % 11).toLong))
+      .toDF("id", "grp", "score")
+    val out = Sampling.topFractionBy(df, "grp", "score", "id", 0.5)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Window => LWindow}
+    val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    // every window must sit above an Aggregate (the histogram) or a
+    // Filter (the tie set) — a window whose subtree has neither is the
+    // old full-group sort over raw rows
+    wins.foreach { w =>
+      val gated = w.child.collectFirst {
+        case f: Filter => f
+        case a: Aggregate => a
+      }.isDefined
+      assert(gated, "a window runs over ungated raw input:\n" + w.toString.take(600))
+    }
+    // NULL scores: sort after every non-null score, like the desc
+    // window default
+    val withNulls = Seq((1L, "a", Some(5L)), (2L, "a", Some(4L)),
+      (3L, "a", None), (4L, "a", None))
+      .toDF("id", "grp", "score")
+    val kept = Sampling.topFractionBy(withNulls, "grp", "score", "id", 0.75)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"null-score ordering broke: $kept")
+  }
 }
