@@ -129,6 +129,63 @@ object SparkEntry {
         concat(col("text"), lit(" winnowed clone mark")).as("text")))
   }
 
+  /** q82's committed BPE merge list. Deliberately character-disjoint
+    * and non-chaining (no merge output can feed another pair), which
+    * collapses the greedy tokenizer to closed-form counting — the
+    * property the DuckDB oracle replays and BpeSpec pins against
+    * [[graft.operators.Bpe.tokenizeWord]] on adversarial words. */
+  private[graft] val CommittedBpeMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("i", "n"), ("e", "</w>"))
+
+  /** q87b's committed weak-label training set — a fixed literal corpus
+    * (quality-prose vs spam boilerplate, the CCNet-style weak signal),
+    * so the trained weights are a pure function of committed code and
+    * identical at every scale factor. The battery entry RUNS
+    * [[graft.operators.Classifier.trainLogistic]] on it at query time;
+    * [[CommittedGateWeightsMilli]] is the spec-pinned snapshot of that
+    * training's quantized output, and the q87b oracle scores under the
+    * snapshot — so silent training drift fails BOTH the spec and the
+    * oracle. */
+  private[graft] val GateTrainingSet: Seq[(String, Double)] = Seq(
+    ("the study presents a careful analysis of measured results", 1.0),
+    ("researchers describe methods and report detailed findings", 1.0),
+    ("the committee published a thorough technical review", 1.0),
+    ("engineers document the design and its measured tradeoffs", 1.0),
+    ("the survey summarizes evidence from many careful experiments", 1.0),
+    ("a clear explanation of the algorithm and its proof", 1.0),
+    ("the report lists sources and verifies every claim", 1.0),
+    ("students learn from worked examples and precise definitions", 1.0),
+    ("buy cheap pills now click here win money fast", 0.0),
+    ("free prize winner click now limited offer act fast", 0.0),
+    ("cheap loans instant cash no checks click today", 0.0),
+    ("hot singles near you click this link now", 0.0),
+    ("win big casino bonus spin now free coins", 0.0),
+    ("miracle diet lose weight fast buy now cheap", 0.0),
+    ("unsubscribe spam offer expires click claim your prize", 0.0),
+    ("earn money from home fast easy clicks guaranteed", 0.0))
+
+  /** Gate-classifier hyperparameters shared by the q87b entry, its
+    * oracle, and the ClassifierSpec snapshot pin. dim is small so the
+    * oracle's weight VALUES list stays readable. */
+  private[graft] val GateDim = 64
+  private[graft] val GateIters = 15
+  private[graft] val GateLr = 1.0
+
+  /** Committed snapshot of `quantizeMilli(trainLogistic(GateTrainingSet,
+    * dim = GateDim, iters = GateIters, lr = GateLr))` — bit-stable by
+    * the trainer's exact-decimal gradient discipline, re-derived and
+    * asserted equal by ClassifierSpec on every run. The q87b oracle
+    * scores under THESE values while the battery entry scores under a
+    * fresh training run, so the two can only agree while training
+    * reproduces the snapshot. */
+  private[graft] val CommittedGateBiasMilli = -71L
+  private[graft] val CommittedGateWeightsMilli: Array[Long] = Array(
+    174, 0, 190, 435, 219, 0, 195, 176, 77, 0, 304, 143, -1080, -276,
+    -279, -248, -381, 371, -270, 195, 205, -183, -214, 0, 319, -248, 0,
+    140, -183, 279, -631, 195, 190, -270, 190, 95, 176, -357, -159, 590,
+    1135, 0, 395, 0, 146, -384, -191, 0, 0, 0, -495, 455, -491, 118, 5,
+    -495, 0, -431, 186, -270, -3, -558, 0, -270)
+
   private[graft] def annClones(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding"),
@@ -570,6 +627,26 @@ object SparkEntry {
       graft.operators.Similarity.pqTopK(emb.union(annClones(emb)),
           emb.filter(col("vec_id") < 5),
           "vec_id", "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Similarity: IVFADC — the q35 coarse quantizer composed with the
+    // q84 PQ/ADC scorer (Jégou et al. 2011's full system): each query
+    // probes 8 of 16 cells and ADC-scans ONLY those cells' code rows,
+    // so per-query cost is O(corpus·nprobe/nlist/32) instead of q84's
+    // O(corpus/32). Correctness rides both parents' gap arguments at
+    // once: a clone quantizes into (or within a hair of) its query's
+    // best cell (q35's probe argument), dominates the probed ADC
+    // shortlist (q84's ADC argument), and the exact-cosine rerank is
+    // exact math — so the served top-5 is exactly the clone set under
+    // the same EXACT oracle. nprobe = nlist ≡ exhaustive ADC is
+    // spec-pinned in SimilaritySpec.
+    "q88_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.operators.Similarity.ivfPqTopK(emb.union(annClones(emb)),
+          emb.filter(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("query_id", "rank")
     }),
@@ -1304,19 +1381,23 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")),
 
-    // Real BPE subword tokenization: merges learned from the corpus's
-    // own word histogram (Bpe scaladoc), token counts under the
-    // learned vocab per doc. The iterative-greedy merge loop is not
-    // SQL-expressible, so like q55/q56 this is rows-only by necessity
-    // — BpeSpec pins the algorithm against a hand-derived merge trace
-    // plus lossless-segmentation / monotonicity / determinism
-    // invariants.
-    "q82_bpe_tokens" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = graft.operators.Bpe.trainMerges(docs, "text", numMerges = 200)
-      graft.operators.Bpe.tokenCount(docs, "doc_id", "text", merges)
-        .orderBy("doc_id")
-    }),
+    // Real BPE subword tokenization — the APPLY side, fully oracled
+    // under a COMMITTED merge list. The three merges are chosen
+    // character-disjoint and non-chaining (no merge output feeds
+    // another pair), so the greedy lowest-rank-first tokenizer
+    // degenerates to closed-form arithmetic any engine can replay:
+    // tokens(word) = len+1 − occ('th') − occ('in') − endswith('e'),
+    // with occ = single-pass non-overlapping count (= SQL replace) —
+    // exactly the symbol-level semantics, because a merged symbol is
+    // atomic and can never re-pair (BpeSpec pins the equivalence on
+    // adversarial words). TRAINING stays covered by q82b (the
+    // distributed histogram, hash-oracled) and BpeSpec's hand-derived
+    // merge trace — the greedy argmax loop itself is the only
+    // non-SQL-expressible remnant.
+    "q82_bpe_tokens" -> ((s, dir) =>
+      graft.operators.Bpe.tokenCount(t(s, dir, "documents"),
+          "doc_id", "text", CommittedBpeMerges)
+        .orderBy("doc_id")),
 
     // Streaming near-dup index maintenance e2e: the whole corpus
     // DELIVERED AS A STREAM in 3 micro-batches through
@@ -1379,8 +1460,15 @@ object SparkEntry {
         .union(pairs.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
       val queries = docs.join(
         rel.select(col("query_id").as("doc_id")).distinct(), Seq("doc_id"))
+      // df-cap disabled HERE only: the synthetic corpus draws from a
+      // 31-term vocabulary where 30 terms sit in >50% of docs — by df
+      // they all look like stopwords, yet they are the only content
+      // there is, so any cap guts the ranking. Real Zipfian corpora
+      // keep the 0.5 production default (capped path spec-pinned in
+      // RetrievalSpec: stopword pruning below the join + plan shape).
       val run = graft.operators.Retrieval.bm25JoinTopK(docs, "doc_id", "text",
-        queries, "doc_id", "text", n = 20, excludeSelf = true)
+        queries, "doc_id", "text", n = 20, excludeSelf = true,
+        maxDfFraction = 1.0)
       graft.operators.Retrieval.evalRanking(run, rel, k = 10)
         .orderBy("query_id")
     }),
@@ -1412,6 +1500,33 @@ object SparkEntry {
       val scored = graft.operators.Classifier.scoreMilli(
           docs.select("doc_id", "text"), "doc_id", "text",
           graft.operators.Classifier.pseudoWeightsMilli(4096))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      graft.operators.Sampling.topFractionBy(scored, "source", "score_milli",
+          "doc_id", fraction = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
+          sum("score_milli").as("score_sum"))
+        .orderBy("source")
+    }),
+
+    // q87's trained sibling: the distributed trainer runs AT QUERY
+    // TIME on the committed literal training set (weights are a pure
+    // function of committed code — identical at every sf), its output
+    // quantizes to exact integer milli-units, and the corpus is gated
+    // per source by the LEARNED score. The oracle scores under the
+    // spec-pinned snapshot of this exact training run
+    // (CommittedGateWeightsMilli), so silent training drift fails
+    // ClassifierSpec's snapshot pin AND this hash gate.
+    "q87b_trained_gate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val (w, b) = graft.operators.Classifier.trainLogistic(
+        GateTrainingSet.toDF("text", "label"), "text", "label",
+        dim = GateDim, iters = GateIters, lr = GateLr)
+      val (wm, bm) = graft.operators.Classifier.quantizeMilli(w, b)
+      val scored = graft.operators.Classifier.scoreMilli(
+          docs.select("doc_id", "text"), "doc_id", "text", wm)
+        .select(col("doc_id"), (col("score_milli") + bm).as("score_milli"))
         .join(docs.select("doc_id", "source"), "doc_id")
       graft.operators.Sampling.topFractionBy(scored, "source", "score_milli",
           "doc_id", fraction = 0.5)
@@ -1769,10 +1884,11 @@ object SparkEntry {
               FROM gpos g JOIN ghash h USING (gram))
     """
 
-  /** Shared q85/q87 scoring CTE: token hash (mix64 of FNV-1a per
-    * distinct term) + closed-form mix64 weight table + per-doc exact
-    * integer sums, ending in `cscores(doc_id, n_feat, score_milli)`. */
-  private val ClassifierScoreCte =
+  /** Shared token-hash prefix of the classifier oracles (q85/q87/
+    * q87b): distinct (doc, term) rows plus each term's mix64∘FNV-1a
+    * hash as unsigned HUGEINT `z` in `t5` — the exact
+    * [[graft.operators.Sketches.tokenHashes]] kernel restated. */
+  private val TokenHashCte =
     """WITH RECURSIVE
          toks0 AS (
            SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -1798,7 +1914,13 @@ object SparkEntry {
          t5 AS (SELECT term,
                   (((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
                    + (z % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z
-                FROM t4),
+                FROM t4)"""
+
+  /** Shared q85/q87 scoring CTE: token hash (mix64 of FNV-1a per
+    * distinct term) + closed-form mix64 weight table + per-doc exact
+    * integer sums, ending in `cscores(doc_id, n_feat, score_milli)`. */
+  private val ClassifierScoreCte = TokenHashCte +
+    """,
          bkt AS (SELECT term, CAST(xor(z, z // 2147483648) % 4096 AS INTEGER) AS j FROM t5),
          js AS (SELECT CAST(unnest(range(4096)) AS HUGEINT) AS j0),
          u1 AS (SELECT j0, (j0 + 11400714819323198485) % 18446744073709551616 AS z FROM js),
@@ -1999,6 +2121,7 @@ object SparkEntry {
     "q35_ivf_topk" -> AnnCloneOracleSql,
     "q35b_ivf_lloyd" -> AnnCloneOracleSql,
     "q84_pq_topk" -> AnnCloneOracleSql,
+    "q88_ivfpq_topk" -> AnnCloneOracleSql,
 
     // q57: the whole near-dup corpus filter restated in SQL — brute-
     // force ≥0.8 pair set (see MinhashPairsOracleSql), drop every
@@ -2250,7 +2373,10 @@ object SparkEntry {
 
     // q86: pair truth (q31 machinery) + per-query BM25 run (q54
     // formula, engine float-op order mirrored) + metrics, all
-    // recomputed from the raw corpus.
+    // recomputed from the raw corpus. The run disables the df-cap
+    // (see the q86 entry comment — this fixture's 31-term vocabulary
+    // makes df a content signal, not a stopword signal), so the
+    // oracle applies none either.
     "q86_retrieval_eval" ->
       """WITH w AS (
            SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
@@ -2340,6 +2466,39 @@ object SparkEntry {
                   CAST(sum(score_milli) AS BIGINT) AS score_sum
            FROM crk WHERE rn <= ceil(n * 0.5)
            GROUP BY source ORDER BY source"""),
+
+    // q87b: the q87 gate under the LEARNED weights — scored from the
+    // committed training snapshot (VALUES list below), bucketed mod 64
+    // on the same mix64 token hash, bias added per doc, then the same
+    // per-source ceil(n/2) selection. The engine trains fresh at query
+    // time; agreement with this oracle is exactly the statement that
+    // training reproduced the committed snapshot.
+    "q87b_trained_gate" -> (TokenHashCte +
+      s""",
+         bkt AS (SELECT term, CAST(xor(z, z // 2147483648) % $GateDim AS INTEGER) AS j FROM t5),
+         wj(j, w) AS (VALUES ${CommittedGateWeightsMilli.zipWithIndex
+           .map { case (w, j) => s"($j, $w)" }.mkString(", ")}),
+         agg AS (SELECT t.doc_id, CAST(sum(wj.w) AS BIGINT) AS s
+                 FROM toks t JOIN bkt USING (term) JOIN wj ON wj.j = bkt.j
+                 GROUP BY t.doc_id),
+         cscores AS (
+           SELECT d.doc_id,
+                  coalesce(a.s, CAST(0 AS BIGINT)) + ($CommittedGateBiasMilli) AS score_milli
+           FROM documents d LEFT JOIN agg a USING (doc_id)),
+         csrc AS (
+           SELECT s.doc_id, s.score_milli, d.source
+           FROM cscores s JOIN documents d USING (doc_id)),
+         crk AS (
+           SELECT doc_id, source, score_milli,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY score_milli DESC, doc_id) AS rn,
+                  count(1) OVER (PARTITION BY source) AS n
+           FROM csrc)
+         SELECT source, CAST(count(1) AS BIGINT) AS n_kept,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                CAST(sum(score_milli) AS BIGINT) AS score_sum
+         FROM crk WHERE rn <= ceil(n * 0.5)
+         GROUP BY source ORDER BY source"""),
 
     "q31_ngram_jaccard" -> NgramJaccardOracleSql,
 
@@ -3082,6 +3241,31 @@ object SparkEntry {
       Seq("doc_id", "lang", "source", "n_chars").map(leg)
         .mkString("", " UNION ALL ", " ORDER BY col_name")
     },
+
+    // q82: BPE tokenization under the committed merge list replayed as
+    // closed-form arithmetic — tokens(word) = len+1 − occ('th') −
+    // occ('in') − endswith('e'). occ via single-pass replace (the same
+    // non-overlapping left-to-right semantics as the symbol-level
+    // merge, because merged symbols are atomic); word split via the
+    // engine's normalizeText restated (the q82b normalization).
+    "q82_bpe_tokens" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '),
+                  x -> length(x) > 0) AS ws
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         per AS (
+           SELECT doc_id,
+                  length(word) + 1
+                    - (length(word) - length(replace(word, 'th', ''))) // 2
+                    - (length(word) - length(replace(word, 'in', ''))) // 2
+                    - CASE WHEN word LIKE '%e' THEN 1 ELSE 0 END AS n
+           FROM tok)
+         SELECT d.doc_id, CAST(coalesce(sum(p.n), 0) AS BIGINT) AS n_bpe_tokens
+         FROM documents d LEFT JOIN per p USING (doc_id)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
 
     // q82b: DuckDB recomputes the BPE word histogram from the raw
     // corpus — normalizeText (lower, strip ASCII punct, collapse

@@ -121,6 +121,17 @@ object Classifier {
     } finally data.unpersist()
   }
 
+  /** Learned float weights quantized to integer milli-units
+    * (`round(w·1000)`) — the bridge from [[trainLogistic]] to the
+    * exact-integer [[scoreMilli]] serve path: gating decisions become
+    * exact integer comparisons any engine reproduces bit-for-bit
+    * (the q85/q87b oracle discipline), at a quantization cost of
+    * ≤ 0.5 milli-units per feature — irrelevant to a keep/drop gate.
+    * Deterministic because the trained weights are (exact-decimal
+    * gradient partials, scaladoc above). */
+  def quantizeMilli(weights: Array[Double], bias: Double): (Array[Long], Long) =
+    (weights.map(w => math.round(w * 1000.0)), math.round(bias * 1000.0))
+
   /** Score documents under learned weights: `(doc_id, prob)` with
     * `prob = sigmoid(b + Σ w(bucket))`, rounded to 6. */
   def scoreLogistic(docs: DataFrame, idCol: String, textCol: String,

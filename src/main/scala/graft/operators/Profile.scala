@@ -47,6 +47,18 @@ object Profile {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Profile `cols` of `df` as `(col_name, n, nulls, n_distinct,
+    * min_s, max_s)`.
+    *
+    * API NOTE (behavior change in round 7, kept deliberately):
+    * `n_distinct` is an `approx_count_distinct` HLL estimate (±5%
+    * relative error) unless `exactDistinct = true`. A caller using the
+    * profile as an exact-cardinality equality gate MUST pass
+    * `exactDistinct = true`; the approx default exists because the
+    * exact form's Expand plan is a ~(cols+1)× shuffle amplification
+    * (scaladoc above) — the wrong default for a between-every-two-
+    * stages health gate at scale. `n`, `nulls`, `min_s`, `max_s` are
+    * exact under both modes. */
   def profile(df: DataFrame, cols: Seq[String],
               exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -206,6 +206,24 @@ class PlanSpec extends SparkSpec {
       "PQ shortlist/rerank lost the bounded partial aggregation")
   }
 
+  test("q88: IVFADC probes via a cell equi-join BELOW the ADC scoring") {
+    val p = plan("q88_ivfpq_topk")
+    // the probe restriction must be a broadcast hash join on the cell
+    // id — never a shuffle of the code table or a cartesian
+    assert(p.contains("BroadcastHashJoin [cell#"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("Window"), p.take(800))
+    // parent-first print: the ADC projection must sit ABOVE the cell
+    // join (scoring only probed rows), i.e. some join prints after it
+    val iAdc = p.indexOf("adc#")
+    assert(iAdc >= 0, "ADC projection missing:\n" + p.take(800))
+    assert(p.lastIndexOf("BroadcastHashJoin") > iAdc,
+      "ADC scoring ran below the probe join (whole code table scored):\n" + p.take(1500))
+    // shortlist + rerank both keep their bounded partial aggregation
+    assert("partial_topkaggregator".r.findAllIn(p.toLowerCase).size >= 2,
+      "IVFADC shortlist/rerank lost the bounded partial aggregation")
+  }
+
   test("q85: classifier scoring is one narrow pass — no shuffle, no join") {
     val p = plan("q85_classifier_score")
     // scoring = scan + project(kernel) + sort for the battery's

@@ -64,4 +64,27 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.trainOnHistogram(pruned, 10)
     assert(a == b, "tail pruning changed the early merges on this corpus")
   }
+
+  test("committed q82 merges: greedy tokenization equals the closed-form count") {
+    // the merges are character-disjoint and non-chaining, so
+    // tokens(word) = len+1 − occ('th') − occ('in') − endswith('e')
+    // with occ = non-overlapping left-to-right count — the identity the
+    // DuckDB oracle replays via replace(). Adversarial words cover:
+    // repeated self-adjacent pairs, merge-created adjacency that must
+    // NOT re-pair (merged symbols are atomic), multiple merges in one
+    // word, and the end-of-word merge.
+    val merges = graft.SparkEntry.CommittedBpeMerges
+    val rank = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    def occ(w: String, p: String): Int = (w.length - w.replace(p, "").length) / 2
+    def closedForm(w: String): Int =
+      w.length + 1 - occ(w, "th") - occ(w, "in") -
+        (if (w.endsWith("e")) 1 else 0)
+    val words = Seq("ththth", "tthh", "thh", "tht", "ine", "thin", "inin",
+      "tin", "e", "the", "thine", "einstein", "ninth", "neither", "x",
+      "in", "th", "intthin")
+    words.foreach { w =>
+      assert(Bpe.tokenizeWord(w, rank).length == closedForm(w),
+        s"'$w': ${Bpe.tokenizeWord(w, rank)} vs closed-form ${closedForm(w)}")
+    }
+  }
 }

@@ -71,4 +71,38 @@ class ClassifierSpec extends SparkSpec {
       f"holdout accuracy $acc%.3f (majority baseline $majority%.3f) — " +
         "the separable presence rule was not learned")
   }
+
+  test("q87b gate training reproduces the committed milli-weight snapshot") {
+    // the q87b oracle scores under SparkEntry.CommittedGateWeightsMilli
+    // while the battery entry trains fresh — this pin is what makes
+    // that agreement a theorem instead of a coincidence. Any trainer
+    // change that shifts a single milli-unit fails here first.
+    val train = graft.SparkEntry.GateTrainingSet.toDF("text", "label")
+    val (w, b) = Classifier.trainLogistic(train, "text", "label",
+      dim = graft.SparkEntry.GateDim, iters = graft.SparkEntry.GateIters,
+      lr = graft.SparkEntry.GateLr)
+    val (wm, bm) = Classifier.quantizeMilli(w, b)
+    assert(bm == graft.SparkEntry.CommittedGateBiasMilli,
+      s"bias drifted: $bm vs committed ${graft.SparkEntry.CommittedGateBiasMilli}")
+    assert(wm.toSeq == graft.SparkEntry.CommittedGateWeightsMilli.toSeq,
+      "trained weights drifted from the committed snapshot: " +
+        wm.zip(graft.SparkEntry.CommittedGateWeightsMilli)
+          .zipWithIndex.filter { case ((a, c), _) => a != c }
+          .take(8).map { case ((a, c), j) => s"j=$j got=$a want=$c" }
+          .mkString(", "))
+    // the learned gate actually separates its training classes (the
+    // quantized integer scores preserve the sign structure)
+    val scored = Classifier.scoreMilli(
+      train.withColumn("doc_id", monotonically_increasing_id()),
+      "doc_id", "text", wm)
+    val withLabel = scored.join(
+      train.withColumn("doc_id", monotonically_increasing_id())
+        .select(col("doc_id"), col("label")), "doc_id")
+    val sep = withLabel
+      .select(min(when(col("label") === 1.0, col("score_milli"))).as("minPos"),
+        max(when(col("label") === 0.0, col("score_milli"))).as("maxNeg"))
+      .head
+    assert(sep.getLong(0) > sep.getLong(1),
+      s"quantized gate no longer separates: minPos=${sep.getLong(0)} maxNeg=${sep.getLong(1)}")
+  }
 }
