@@ -118,6 +118,47 @@ object SparkEntry {
     (s"graft_q70b_bigrams_$tag", s"graft_q70b_ctx_$tag", s"graft_q70b_vocab_$tag")
   }
 
+  /** The docsTag scheme over the embeddings table (q88b's index). */
+  private val embTagCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def embTag(s: SparkSession, dir: String): String =
+    embTagCache.computeIfAbsent(dir, d => {
+      val r = t(s, d, "embeddings")
+        .agg(count(lit(1)).as("n"), max(col("vec_id")).as("m"),
+          bit_xor(xxhash64(col("vec_id"), size(col("embedding")))).as("c")).head()
+      java.lang.Integer.toHexString(d.hashCode) +
+        s"_${r.getLong(0)}_${r.getLong(1)}_" + java.lang.Long.toHexString(r.getLong(2))
+    })
+
+  /** Build-once IVFADC index tables for q88b (corpus = embeddings ∪
+    * ann clones): cell-tagged code rows, the centroid frame, and the
+    * PQ codebook frame — the three artifacts [[graft.operators.Similarity]]'s
+    * persisted lifecycle serves from. The ensureBm25Tables idempotency
+    * discipline: keyed on table existence, dataset identity in the
+    * names. */
+  private def ensureIvfPqTables(s: SparkSession, dir: String): (String, String, String) = {
+    val tag = embTag(s, dir)
+    val (idxT, centT, cbT) =
+      (s"graft_q88b_idx_$tag", s"graft_q88b_cent_$tag", s"graft_q88b_cb_$tag")
+    if (!s.catalog.tableExists(idxT) || !s.catalog.tableExists(centT) ||
+        !s.catalog.tableExists(cbT)) {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = emb.union(annClones(emb))
+      val cm = graft.operators.Similarity.ivfCentroids(corpus, "vec_id",
+        "embedding", nlist = 16)
+      val model = graft.operators.Similarity.pqTrain(corpus, "vec_id", "embedding")
+      graft.sources.Warehouse.clearOrphanLocation(s, centT)
+      graft.operators.Similarity.centroidsToDF(s, cm)
+        .write.mode("overwrite").saveAsTable(centT)
+      graft.sources.Warehouse.clearOrphanLocation(s, cbT)
+      graft.operators.Similarity.pqModelToDF(s, model)
+        .write.mode("overwrite").saveAsTable(cbT)
+      graft.sources.Warehouse.clearOrphanLocation(s, idxT)
+      graft.operators.Similarity.ivfPqEncode(corpus, "vec_id", "embedding", cm, model)
+        .write.mode("overwrite").saveAsTable(idxT)
+    }
+    (idxT, centT, cbT)
+  }
+
   /** The q56/q56b corpus: documents plus docs 0-4 cloned at id+300000
     * with a sub-k marker suffix (contributes no shared 30-gram of its
     * own, so each clone must pair with its source via surviving
@@ -647,6 +688,26 @@ object SparkEntry {
       graft.operators.Similarity.ivfPqTopK(emb.union(annClones(emb)),
           emb.filter(col("vec_id") < 5),
           "vec_id", "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // q88 through the persisted lifecycle: both quantizers and the
+    // cell-tagged code table served from build-once catalog tables
+    // (centroid frame via centroidsFromDF, codebooks via
+    // pqModelFromDF) — the one-shot q88 rebuilds all three per call,
+    // so at index scale this split is the difference between a query
+    // and a rebuild. Same EXACT oracle: the serve path is identical
+    // math over identical persisted state (spec-pinned equivalence in
+    // SimilaritySpec's IVFADC lifecycle test).
+    "q88b_ivfpq_persisted" -> ((s, dir) => {
+      val (idxT, centT, cbT) = ensureIvfPqTables(s, dir)
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cm = graft.operators.Similarity.centroidsFromDF(s.table(centT))
+      val model = graft.operators.Similarity.pqModelFromDF(s.table(cbT))
+      graft.operators.Similarity.ivfPqTopKFromIndex(s.table(idxT), cm,
+          emb.union(annClones(emb)), emb.filter(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding", model, k = 5, nprobe = 8)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("query_id", "rank")
     }),
@@ -2122,6 +2183,9 @@ object SparkEntry {
     "q35b_ivf_lloyd" -> AnnCloneOracleSql,
     "q84_pq_topk" -> AnnCloneOracleSql,
     "q88_ivfpq_topk" -> AnnCloneOracleSql,
+    // the persisted lifecycle must return exactly the one-shot q88
+    // answer — the same oracle string, bound once
+    "q88b_ivfpq_persisted" -> AnnCloneOracleSql,
 
     // q57: the whole near-dup corpus filter restated in SQL — brute-
     // force ≥0.8 pair set (see MinhashPairsOracleSql), drop every

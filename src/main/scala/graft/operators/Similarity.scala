@@ -343,6 +343,35 @@ object Similarity {
       .toSeq.toDF("cell", "vector")
   }
 
+  /** PQ codebook tensor as a storable `(j, c, vector)` frame —
+    * persist it next to the code table (and the [[centroidsToDF]]
+    * frame, for IVFADC) to make the whole index servable from disk. */
+  def pqModelToDF(spark: org.apache.spark.sql.SparkSession,
+                  model: PqModel): DataFrame = {
+    import spark.implicits._
+    (for { j <- model.codebooks.indices; c <- model.codebooks(j).indices }
+      yield (j, c, model.codebooks(j)(c).toSeq)).toDF("j", "c", "vector")
+  }
+
+  /** Inverse of [[pqModelToDF]]. Validates the (j, c) grid is complete
+    * and the subvectors rectangular: a lost or duplicated row would
+    * otherwise silently shift codebook entries against a persisted
+    * code table (the [[centroidsFromDF]] discipline). */
+  def pqModelFromDF(df: DataFrame): PqModel = {
+    val rows = df.select("j", "c", "vector").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, "PQ codebook frame is empty")
+    val byKey = rows.toMap
+    val m = rows.map(_._1._1).max + 1
+    val ksub = rows.map(_._1._2).max + 1
+    require(byKey.size == rows.length && rows.length == m * ksub,
+      s"PQ codebook frame is corrupt: ${rows.length} rows for a ${m}x$ksub grid")
+    val dsub = byKey((0, 0)).length
+    require(byKey.values.forall(_.length == dsub),
+      "PQ codebook frame has ragged subvectors")
+    PqModel(m, dsub, Array.tabulate(m, ksub)((j, c) => byKey((j, c))))
+  }
+
   /** Inverse of [[centroidsToDF]]. The cell ids must be exactly
     * 0..n-1: a frame with a lost or duplicated row would otherwise
     * silently shift every later cell's vector and misalign the index

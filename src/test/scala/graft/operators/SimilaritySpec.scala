@@ -599,4 +599,38 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfPqTopKFromIndex(index, cents, emb, queries,
         "vec_id", "vec_id", "embedding", model, nprobe = 0))
   }
+
+  test("IVFADC persisted-index lifecycle serves identically to the one-shot form") {
+    // both quantizers round-trip through storable frames, the
+    // codes+cells table round-trips through CELL-PARTITIONED parquet
+    // (the scan-pruning layout a large index ships), and two query
+    // batches served off the read-back index equal the one-shot
+    // ivfPqTopK, which rebuilds everything per call
+    val cm = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding")
+    val m2 = Similarity.pqModelFromDF(Similarity.pqModelToDF(spark, model))
+    assert(m2.m == model.m && m2.dsub == model.dsub)
+    assert(m2.codebooks.flatten.flatten.toSeq ==
+      model.codebooks.flatten.flatten.toSeq,
+      "PQ codebooks must survive the storable-frame round trip")
+    val cm2 = Similarity.centroidsFromDF(Similarity.centroidsToDF(spark, cm))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+      .toString + "/index"
+    Similarity.ivfPqEncode(emb, "vec_id", "embedding", cm, model)
+      .write.partitionBy("cell").parquet(dir)
+    val index = spark.read.parquet(dir)
+    for (batch <- Seq(Seq(0L, 1L, 2L), Seq(3L, 4L))) {
+      val queries = emb.filter($"vec_id".isin(batch: _*))
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      val served = rows(Similarity.ivfPqTopKFromIndex(index, cm2, emb,
+        queries, "vec_id", "vec_id", "embedding", m2, k = 5, nprobe = 8))
+      val oneShot = rows(Similarity.ivfPqTopK(emb, queries, "vec_id",
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8))
+      assert(served == oneShot, s"batch $batch diverged off the persisted index")
+    }
+    // a corrupt codebook frame is rejected, not silently misaligned
+    val broken = Similarity.pqModelToDF(spark, model).filter(!(col("j") === 0 && col("c") === 0))
+    intercept[IllegalArgumentException](Similarity.pqModelFromDF(broken))
+  }
 }
