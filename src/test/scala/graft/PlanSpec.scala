@@ -224,6 +224,22 @@ class PlanSpec extends SparkSpec {
       "IVFADC shortlist/rerank lost the bounded partial aggregation")
   }
 
+  test("q88b: the persisted serve reads the index tables — no re-encode, no corpus shuffle") {
+    val df = SparkEntry.queries("q88b_ivfpq_persisted")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the ADC stage scans the catalog code table, not a fresh encode
+    // of the raw embeddings
+    assert(p.contains("graft_q88b_idx"),
+      "persisted serve does not read the code table:\n" + p.take(1200))
+    // same probe-below-scoring shape as the one-shot q88
+    assert(p.contains("BroadcastHashJoin [cell#"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("Window"), p.take(800))
+    val iAdc = p.indexOf("adc#")
+    assert(iAdc >= 0 && p.lastIndexOf("BroadcastHashJoin") > iAdc,
+      "ADC scoring ran below the probe join on the persisted path:\n" + p.take(1500))
+  }
+
   test("q85: classifier scoring is one narrow pass — no shuffle, no join") {
     val p = plan("q85_classifier_score")
     // scoring = scan + project(kernel) + sort for the battery's
