@@ -1608,6 +1608,24 @@ object SparkEntry {
           minCount = 2L)
         .orderBy("word")),
 
+    // DSIR importance scoring (Xie et al. 2023): fit add-1-smoothed
+    // hashed unigram+bigram multinomials over a TARGET slice (source
+    // 'src0') and the whole corpus, score every doc by its exact
+    // integer micro log-ratio sum. Fully oracled: DuckDB re-derives
+    // the gram set (with multiplicity), the mix64∘FNV bucket of every
+    // distinct gram, both distributions, the quantized per-bucket
+    // ratio — same ln-argument decomposition on the same integers —
+    // and each doc's integer score. Selection composes downstream
+    // (topFractionBy / fixedSizeSample on score_micro).
+    "q89_dsir_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lr = graft.operators.Dsir.fitLogRatioMicro(
+        docs.filter(col("source") === "src0").select("text"),
+        docs.select("text"), "text", dim = 4096)
+      graft.operators.Dsir.importanceScoreMicro(docs, "doc_id", "text", lr)
+        .orderBy("doc_id")
+    }),
+
     // Column profile health gate: row/null/distinct counts and typed
     // min/max per column, the post-stage invariant check a curation
     // pipeline runs between every two stages. EXACT distincts here so
@@ -3305,6 +3323,72 @@ object SparkEntry {
       Seq("doc_id", "lang", "source", "n_chars").map(leg)
         .mkString("", " UNION ALL ", " ORDER BY col_name")
     },
+
+    // q89: the whole DSIR pipeline re-derived — grams with
+    // multiplicity (unigrams + "w1 w2" bigrams of the lower/\s+
+    // tokenization), the recursive FNV+mix64 bucket of every distinct
+    // gram, target ('src0') and source distributions, the micro-
+    // quantized per-bucket log ratio with the SAME ln-argument
+    // decomposition and floor(x·1e6 + 0.5) the engine computes
+    // driver-side, and exact integer per-doc sums.
+    "q89_dsir_score" ->
+      """WITH RECURSIVE
+           wl AS (
+             SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> len(t) > 0) AS ws
+             FROM documents),
+           uni AS (SELECT doc_id, unnest(ws) AS gram FROM wl),
+           big AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(ws)),
+                                                i -> ws[i] || ' ' || ws[i + 1])) AS gram
+                   FROM wl),
+           grams AS (SELECT doc_id, gram FROM uni
+                     UNION ALL SELECT doc_id, gram FROM big),
+           dgram AS (SELECT DISTINCT gram FROM grams),
+           fnv(gram, pos, h) AS (
+             SELECT gram, 0, CAST(14695981039346656037 AS HUGEINT) FROM dgram
+             UNION ALL
+             SELECT gram, pos + 1,
+                    (xor(h, CAST(unicode(substr(gram, pos + 1, 1)) AS HUGEINT))
+                      * 1099511628211) % 18446744073709551616
+             FROM fnv WHERE pos < len(gram)),
+           fh0 AS (SELECT gram, h FROM fnv WHERE pos = len(gram)),
+           m1 AS (SELECT gram, (h + 11400714819323198485) % 18446744073709551616 AS z FROM fh0),
+           m2 AS (SELECT gram, xor(z, z // 1073741824) AS z FROM m1),
+           m3 AS (SELECT gram,
+                    (((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+                     + (z % 4294967296) * 13787848793156543929) % 18446744073709551616 AS z
+                  FROM m2),
+           m4 AS (SELECT gram, xor(z, z // 134217728) AS z FROM m3),
+           m5 AS (SELECT gram,
+                    (((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+                     + (z % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z
+                  FROM m4),
+           gb AS (SELECT gram, CAST(xor(z, z // 2147483648) % 4096 AS INTEGER) AS bucket FROM m5),
+           gr AS (SELECT g.doc_id, gb.bucket FROM grams g JOIN gb USING (gram)),
+           tcnt AS (SELECT gr.bucket, count(1) AS c
+                    FROM gr JOIN documents d ON d.doc_id = gr.doc_id
+                    WHERE d.source = 'src0' GROUP BY gr.bucket),
+           scnt AS (SELECT bucket, count(1) AS c FROM gr GROUP BY bucket),
+           tot AS (SELECT
+                     (SELECT count(1) FROM gr g JOIN documents d ON d.doc_id = g.doc_id
+                      WHERE d.source = 'src0') AS tt,
+                     (SELECT count(1) FROM gr) AS st),
+           lr AS (SELECT CAST(bb.b AS INTEGER) AS bucket,
+                    CAST(floor((ln(coalesce(t.c, 0) + 1) - ln(tot.tt + 4096)
+                                - ln(coalesce(s.c, 0) + 1) + ln(tot.st + 4096))
+                               * 1000000 + 0.5) AS BIGINT) AS lrm
+                  FROM (SELECT unnest(range(4096)) AS b) bb
+                  CROSS JOIN tot
+                  LEFT JOIN tcnt t ON t.bucket = bb.b
+                  LEFT JOIN scnt s ON s.bucket = bb.b),
+           per AS (SELECT gr.doc_id, count(1) AS n_grams,
+                          CAST(sum(lr.lrm) AS BIGINT) AS score
+                   FROM gr JOIN lr USING (bucket) GROUP BY gr.doc_id)
+         SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(p.score, 0) AS BIGINT) AS score_micro
+         FROM documents d LEFT JOIN per p USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // q82: BPE tokenization under the committed merge list replayed as
     // closed-form arithmetic — tokens(word) = len+1 − occ('th') −

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance scoring for data selection (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling" —
+  * public): fit hashed-n-gram multinomial distributions over a TARGET
+  * corpus (what you want more of) and the RAW source corpus, then
+  * score every raw document by its log importance ratio
+  * `log w(x) = Σ_b n_b(x) · (log p_b − log q_b)` with add-1 smoothing.
+  * Selection composes downstream ([[Sampling.topFractionBy]] /
+  * [[Sampling.fixedSizeSample]] on the score — the paper's top-k
+  * heuristic, or Gumbel-perturbed resampling).
+  *
+  * Features are unigram + bigram hashes bucketed mod `dim` (the
+  * hashing trick — no vocabulary table, no shuffle to build one),
+  * using the exact mix64∘FNV-1a kernel of [[Sketches.tokenHashes]]
+  * (bigrams hash the string "w1 w2"), which is what lets a DuckDB
+  * oracle replay the whole pipeline (battery q89).
+  *
+  * Exactness discipline (the q85 integer-score pattern): each
+  * bucket's log ratio is quantized ONCE, driver-side, to integer
+  * micro-units — `floor(1e6·lr + 0.5)`, the same expression the
+  * oracle evaluates on the same integer ln arguments — and a
+  * document's score is the exact integer sum of its buckets'
+  * micro-ratios. Summation order can never change the answer, so the
+  * score is bit-identical across engines, partitionings, and reruns.
+  *
+  * Scale shape: fitting is one pass per corpus producing ≤ `dim`
+  * count rows (map-side combine); the ratio table is dim-sized
+  * (broadcast in the scoring UDF's closure); scoring is one narrow
+  * pass with no join and no shuffle. Nothing is ever vocabulary- or
+  * corpus-sized on the driver.
+  */
+object Dsir {
+
+  /** Unigram + bigram feature buckets of one document, multiplicity
+    * kept (multinomial counts, not presence). Tokens split on
+    * whitespace, lowercased per char; bigram hash = the FNV-1a∘mix64
+    * hash of "tok1 tok2". One JVM pass, no intermediate strings. */
+  private[operators] def gramBuckets(text: String, dim: Int): Array[Int] = {
+    if (text == null) return Array.emptyIntArray
+    val mask = dim - 1
+    val out = Array.newBuilder[Int]
+    // FNV-1a over the lowercased chars of [start, end)
+    def fnvRange(s: String, start: Int, end: Int, h0: Long): Long = {
+      var h = h0
+      var i = start
+      while (i < end) {
+        h ^= Character.toLowerCase(s.charAt(i)).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+    val Fnv0 = 0xcbf29ce484222325L
+    var prevStart = -1
+    var prevEnd = -1
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Sketches.isRegexWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Sketches.isRegexWs(text.charAt(i))) i += 1
+      if (i > start) {
+        out += (Sketches.mix64(fnvRange(text, start, i, Fnv0)) & mask).toInt
+        if (prevStart >= 0) {
+          // bigram = FNV over "prev cur" (single space), then mix64
+          var h = fnvRange(text, prevStart, prevEnd, Fnv0)
+          h ^= ' '.toLong; h *= 0x100000001b3L
+          h = fnvRange(text, start, i, h)
+          out += (Sketches.mix64(h) & mask).toInt
+        }
+        prevStart = start; prevEnd = i
+      }
+    }
+    out.result()
+  }
+
+  private def requirePow2(dim: Int): Unit =
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"dim must be a power of two for hash-mask bucketing, got $dim")
+
+  /** Per-bucket gram counts of a corpus: `(bucket, cnt)`, absent
+    * buckets omitted. One corpus pass; the aggregate output is
+    * ≤ `dim` rows. */
+  def bucketCounts(docs: DataFrame, textCol: String, dim: Int): DataFrame = {
+    requirePow2(dim)
+    val kernel = udf { (text: String) => gramBuckets(text, dim) }
+    docs.select(explode(kernel(col(textCol))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fit the per-bucket integer micro log-ratio table
+    * `floor(1e6·(ln(tc_b+1) − ln(T+dim) − ln(sc_b+1) + ln(S+dim)) + 0.5)`
+    * (add-1-smoothed multinomials; the exact ln-argument decomposition
+    * the q89 oracle replays on the same integers). Driver state is the
+    * two ≤dim-row count maps — bounded at any corpus size. */
+  def fitLogRatioMicro(target: DataFrame, source: DataFrame, textCol: String,
+                       dim: Int): Array[Long] = {
+    requirePow2(dim)
+    def counts(df: DataFrame): Map[Int, Long] =
+      bucketCounts(df, textCol, dim).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tc = counts(target)
+    val sc = counts(source)
+    val tTot = tc.values.sum
+    val sTot = sc.values.sum
+    val lnT = math.log(tTot + dim.toDouble)
+    val lnS = math.log(sTot + dim.toDouble)
+    Array.tabulate(dim) { b =>
+      val lr = math.log(tc.getOrElse(b, 0L) + 1.0) - lnT -
+        math.log(sc.getOrElse(b, 0L) + 1.0) + lnS
+      math.floor(lr * 1e6 + 0.5).toLong
+    }
+  }
+
+  /** Per-document importance score under a fitted micro ratio table:
+    * `(doc_id, n_grams, score_micro)` with
+    * `score_micro = Σ lrMicro(bucket)` over the doc's grams
+    * (multiplicity kept) — an EXACT integer. One narrow pass; the
+    * table rides the UDF closure. */
+  def importanceScoreMicro(docs: DataFrame, idCol: String, textCol: String,
+                           lrMicro: Array[Long]): DataFrame = {
+    val dim = lrMicro.length
+    requirePow2(dim)
+    val kernel = udf { (text: String) =>
+      val bs = gramBuckets(text, dim)
+      var s = 0L
+      var i = 0
+      while (i < bs.length) { s += lrMicro(bs(i)); i += 1 }
+      (bs.length.toLong, s)
+    }
+    docs.select(col(idCol).as("doc_id"), kernel(col(textCol)).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_grams"),
+        col("r._2").as("score_micro"))
+  }
+}

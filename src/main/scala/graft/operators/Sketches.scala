@@ -370,7 +370,7 @@ object Sketches {
   /** True for exactly the Java-regex `\s` set — the tokenizer split of
     * [[graft.functions.Text.tokens]] (NOT `Character.isWhitespace`,
     * which also matches U+2028/U+1680 etc. and would diverge). */
-  @inline private def isRegexWs(c: Char): Boolean =
+  @inline private[operators] def isRegexWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** DISTINCT mix64-FNV hashes of the lowercase whitespace tokens of

@@ -240,6 +240,15 @@ class PlanSpec extends SparkSpec {
       "ADC scoring ran below the probe join on the persisted path:\n" + p.take(1500))
   }
 
+  test("q89: DSIR scoring is one narrow pass — the ratio table rides the closure, no join") {
+    val p = plan("q89_dsir_score")
+    assert(!p.contains("Join"), "scoring grew a join:\n" + p.take(800))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"scoring shuffles $exchanges times (expected only the orderBy range exchange):\n" +
+        p.take(1200))
+  }
+
   test("q85: classifier scoring is one narrow pass — no shuffle, no join") {
     val p = plan("q85_classifier_score")
     // scoring = scan + project(kernel) + sort for the battery's

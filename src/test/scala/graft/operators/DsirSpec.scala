@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSIR importance scoring behind q89: the gram kernel matches an
+  * independent reimplementation, the fitted scores match a driver-side
+  * recount under the exact formula, scoring is an exact integer (so
+  * repartitioning can't move it), and target-like documents outscore
+  * source-typical ones.
+  */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent gram-bucket reference: split on the regex-\s set,
+    * lowercase, hash unigrams and "w1 w2" bigram STRINGS through the
+    * same public recipe (FNV-1a then mix64) — but via string building
+    * rather than the kernel's single-pass char walk. */
+  private def refBuckets(text: String, dim: Int): Seq[Int] = {
+    if (text == null) return Seq.empty
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.foreach { c => h ^= Character.toLowerCase(c).toLong; h *= 0x100000001b3L }
+      h
+    }
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val uni = toks.map(t => (Sketches.mix64(fnv(t)) & (dim - 1)).toInt)
+    val big = toks.sliding(2).filter(_.length == 2)
+      .map(p => (Sketches.mix64(fnv(p(0) + " " + p(1))) & (dim - 1)).toInt).toSeq
+    // kernel order: each token's unigram, then the bigram ending at it
+    toks.indices.flatMap { i =>
+      if (i == 0) Seq(uni(i)) else Seq(uni(i), big(i - 1))
+    }
+  }
+
+  test("gramBuckets equals the string-built reference, multiplicity and order included") {
+    val dim = 4096
+    val samples = Seq(
+      "the quick brown fox", "one", "", "  spaced   out\ttokens\n",
+      "repeat repeat repeat", "MiXeD Case TOKENS", null,
+      "a b a b a", "tab\tsep\nnl")
+    samples.foreach { s =>
+      assert(Dsir.gramBuckets(s, dim).toSeq == refBuckets(s, dim),
+        s"kernel diverged on '$s'")
+    }
+  }
+
+  test("fit + score matches a driver-side recount of the exact formula") {
+    val dim = 256
+    val target = Seq("good clean prose here", "clean prose again").toDF("text")
+    val source = Seq(
+      (1L, "good clean prose here"), (2L, "clean prose again"),
+      (3L, "spam junk words now"), (4L, "junk junk spam now"),
+      (5L, "")).toDF("doc_id", "text")
+    val lr = Dsir.fitLogRatioMicro(target, source.select("text"), "text", dim)
+
+    // independent recount: distributions and quantized ratios rebuilt
+    // from refBuckets, scores summed per doc
+    def cnt(texts: Seq[String]): Map[Int, Long] =
+      texts.flatMap(refBuckets(_, dim)).groupBy(identity)
+        .map { case (b, xs) => b -> xs.size.toLong }
+    val tc = cnt(Seq("good clean prose here", "clean prose again"))
+    val sc = cnt(Seq("good clean prose here", "clean prose again",
+      "spam junk words now", "junk junk spam now", ""))
+    val lnT = math.log(tc.values.sum + dim.toDouble)
+    val lnS = math.log(sc.values.sum + dim.toDouble)
+    val refLr = Array.tabulate(dim) { b =>
+      val v = math.log(tc.getOrElse(b, 0L) + 1.0) - lnT -
+        math.log(sc.getOrElse(b, 0L) + 1.0) + lnS
+      math.floor(v * 1e6 + 0.5).toLong
+    }
+    assert(lr.toSeq == refLr.toSeq, "fitted micro ratio table diverged")
+
+    val got = Dsir.importanceScoreMicro(source, "doc_id", "text", lr)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Seq((1L, "good clean prose here"), (2L, "clean prose again"),
+      (3L, "spam junk words now"), (4L, "junk junk spam now"), (5L, ""))
+      .foreach { case (id, text) =>
+        val bs = refBuckets(text, dim)
+        assert(got(id) == ((bs.size.toLong, bs.map(refLr(_)).sum)),
+          s"doc $id score diverged")
+      }
+    // target-member docs outscore source-only docs
+    assert(Seq(1L, 2L).map(got(_)._2).min > Seq(3L, 4L).map(got(_)._2).max,
+      "importance ratio failed to separate target-like from source-only docs")
+  }
+
+  test("scores are exact integers: invariant under repartitioning; degenerate dims rejected") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val lr = Dsir.fitLogRatioMicro(
+      docs.filter(col("source") === "src0").select("text"),
+      docs.select("text"), "text", dim = 1024)
+    val a = Dsir.importanceScoreMicro(docs, "doc_id", "text", lr)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Dsir.importanceScoreMicro(docs.repartition(13), "doc_id", "text", lr)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "integer scores moved under repartitioning")
+    intercept[IllegalArgumentException](Dsir.bucketCounts(docs, "text", 100))
+    intercept[IllegalArgumentException](
+      Dsir.importanceScoreMicro(docs, "doc_id", "text", new Array[Long](100)))
+    // the scoring plan is one narrow pass — no join, one exchange at most
+    val p = Dsir.importanceScoreMicro(docs, "doc_id", "text", lr)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "scoring grew a join:\n" + p.take(800))
+  }
+}
