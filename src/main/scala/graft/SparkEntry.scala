@@ -1626,6 +1626,70 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Token-budget curation: keep each source's best-scoring docs
+    // (classifier gate, ties by id) until a per-source weight budget
+    // is spent — the "take N tokens of web" mixture primitive. Weight
+    // here is n_chars so the DuckDB oracle needs no tokenizer; the
+    // operator is the skew-safe two-pass threshold select (histogram
+    // window over distinct scores, crossing-class ties only), spec-
+    // pinned equal to the naive one-window cumulative-sum form.
+    "q90_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.Classifier.scoreMilli(
+          docs.select("doc_id", "text"), "doc_id", "text",
+          graft.operators.Classifier.pseudoWeightsMilli(4096))
+        .join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+      graft.operators.Sampling.tokenBudgetBy(scored, "source", "score_milli",
+          "doc_id", "n_chars", budget = 4000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
+          sum("n_chars").as("chars_kept"), sum("score_milli").as("score_sum"))
+        .orderBy("source")
+    }),
+
+    // KMV distinct sketches with SET ALGEBRA (Beyer et al. 2007):
+    // "how many users clicked AND viewed" without a distinct-join.
+    // Each side aggregates to one bounded ≤k-long array (map-side
+    // combine; the shuffle carries sketches, never rows), the two
+    // 1-row sketch frames cross-join broadcast-style, and every
+    // estimate evaluates in the projection. k=4096 exceeds the user
+    // cardinality at every test SF, so the estimates are EXACT and the
+    // DuckDB oracle is plain COUNT(DISTINCT) set algebra; KmvSpec pins
+    // the saturated-estimator error bounds the battery can't see.
+    "q91_kmv_sets" -> ((s, dir) => {
+      val k = 4096
+      val ev = t(s, dir, "events")
+      def sk(tp: String) = ev
+        .filter(col("event_type") === tp && col("value") > 80)
+        .agg(graft.operators.Kmv.kmvAgg(k)(col("user_id")).as(s"sk_$tp"))
+      sk("click").crossJoin(sk("view")).select(
+        graft.operators.Kmv.ndvEst(k)(col("sk_click")).as("ndv_click"),
+        graft.operators.Kmv.ndvEst(k)(col("sk_view")).as("ndv_view"),
+        graft.operators.Kmv.unionEst(k)(col("sk_click"), col("sk_view"))
+          .as("ndv_union"),
+        graft.operators.Kmv.intersectEst(k)(col("sk_click"), col("sk_view"))
+          .as("ndv_intersect"),
+        graft.operators.Kmv.diffEst(k)(col("sk_click"), col("sk_view"))
+          .as("ndv_click_only"))
+    }),
+
+    // Misra-Gries heavy hitters: the corpus's top terms from a bounded
+    // ≤capacity-entry counter map — a partial aggregate whose exchange
+    // carries sketches, never token occurrences (the 100 TB altern-
+    // ative to a full |vocab|-keyed shuffle). capacity=2048 dwarfs the
+    // fixture vocabulary, so no decrement ever fires and the counts
+    // are EXACT == the q21 groupBy truth (same tokenization); FreqSpec
+    // pins the saturated ε-bound + no-false-negative guarantees the
+    // battery can't see.
+    "q92_heavy_hitters" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("term"))
+        .agg(graft.operators.Freq.frequentTerms(2048)(col("term")).as("fi"))
+        .select(explode(col("fi")).as("tc"))
+        .select(col("tc.term").as("term"), col("tc.count").as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20)),
+
     // Column profile health gate: row/null/distinct counts and typed
     // min/max per column, the post-stage invariant check a curation
     // pipeline runs between every two stages. EXACT distincts here so
@@ -2548,6 +2612,55 @@ object SparkEntry {
                   CAST(sum(score_milli) AS BIGINT) AS score_sum
            FROM crk WHERE rn <= ceil(n * 0.5)
            GROUP BY source ORDER BY source"""),
+
+    // q90: the q85 scores under a per-source WEIGHT budget — a doc is
+    // kept iff the source's running n_chars total (score desc, id asc
+    // order) including it stays <= 4000. One cumulative-sum window; the
+    // engine's skew-safe two-pass threshold form is spec-pinned equal.
+    "q90_token_budget" ->
+      (ClassifierScoreCte +
+        """, csrc AS (
+             SELECT s.doc_id, s.score_milli, d.source, d.n_chars
+             FROM cscores s JOIN documents d USING (doc_id)),
+           ccum AS (
+             SELECT doc_id, source, score_milli, n_chars,
+                    sum(n_chars) OVER (PARTITION BY source
+                                       ORDER BY score_milli DESC, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+             FROM csrc)
+           SELECT source, CAST(count(1) AS BIGINT) AS n_kept,
+                  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                  CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+                  CAST(sum(score_milli) AS BIGINT) AS score_sum
+           FROM ccum WHERE cum <= 4000
+           GROUP BY source ORDER BY source"""),
+
+    // q91: in the unsaturated regime (k=4096 > user ndv at every test
+    // SF) every KMV estimate equals the exact distinct count, so the
+    // oracle is plain set algebra over COUNT(DISTINCT).
+    "q91_kmv_sets" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'click' AND value > 80),
+           b AS (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'view' AND value > 80)
+         SELECT (SELECT count(1) FROM a) AS ndv_click,
+                (SELECT count(1) FROM b) AS ndv_view,
+                (SELECT count(1) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                  AS ndv_union,
+                (SELECT count(1) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                  AS ndv_intersect,
+                (SELECT count(1) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+                  AS ndv_click_only""",
+
+    // q92: with capacity >> vocabulary the MG sketch never decrements,
+    // so its counts equal the exact groupBy truth (q21's tokenization).
+    "q92_heavy_hitters" ->
+      """SELECT term, count(1) AS n FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> length(x) > 0)) AS term
+           FROM documents)
+         GROUP BY term ORDER BY n DESC, term LIMIT 20""",
 
     // q87b: the q87 gate under the LEARNED weights — scored from the
     // committed training snapshot (VALUES list below), bucketed mod 64

@@ -242,4 +242,88 @@ object Sampling {
       .drop("__g", "__cut", "__tie_keep", "__rn")
     above.unionByName(ties)
   }
+
+  /** Keep each group's best rows by `scoreCol` until a per-group
+    * WEIGHT budget is spent — the token-budget curation primitive
+    * ("take 50B tokens of web, 5B of code"): rows are considered in
+    * (score desc, id asc) order and a row is kept iff the group's
+    * running weight total INCLUDING it stays ≤ the group's budget.
+    * Weight is any non-negative column (token count, char count,
+    * bytes); a NULL weight counts as 0. Because weights are
+    * non-negative the running total is monotone, so the kept set is a
+    * deterministic prefix of the ordered group — once one row
+    * overflows the budget, everything after it is out too.
+    *
+    * Skew-safe exactly like [[topFractionBy]] — the naive plan (one
+    * cumulative-sum window over `partitionBy(group)`) serializes every
+    * row of a dominant group through one task's sort. Instead:
+    *  1. a per-(group, score) histogram aggregates COUNT and
+    *     SUM(weight) — one shuffle, map-side combine, |distinct
+    *     scores| rows;
+    *  2. a window over the histogram (distinct-score rows only) finds
+    *     the group's crossing score `s*` — the unique score class
+    *     where the descending cumulative weight first exceeds the
+    *     budget — and the budget remaining when the class starts;
+    *  3. the tiny `(group, s*, remaining)` frame broadcasts back: rows
+    *     scoring ABOVE `s*` are kept with zero ordering work, rows
+    *     below are dropped, and only the tie set AT `s*` pays a
+    *     cumulative-sum window (by id) against the remaining budget.
+    * A group whose total weight fits its budget has no crossing class
+    * and keeps every row. NULL scores order after all non-null scores,
+    * as in [[topFractionBy]]. `budgets` is a 2-column (group, budget)
+    * frame — |groups|-sized, broadcast; the uniform-`Long` overload
+    * wraps a constant. */
+  def tokenBudgetBy(df: DataFrame, groupCol: String, scoreCol: String,
+                    idCol: String, weightCol: String,
+                    budgets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bCols = budgets.columns
+    require(bCols.length == 2 && bCols.head == groupCol,
+      s"budgets must be ($groupCol, <budget>), got ${bCols.mkString(",")}")
+    val bud = budgets.select(col(bCols(0)).as("__bg"),
+      col(bCols(1)).cast("long").as("__budget"))
+    val w = coalesce(col(weightCol).cast("long"), lit(0L))
+    val hist = df.groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+      .agg(sum(w).as("__w"))
+      .join(broadcast(bud), col("__g") <=> col("__bg"))
+    val wCum = Window.partitionBy("__g").orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the crossing class: cumulative weight strictly exceeds the
+    // budget here and did not before it — unique per group because the
+    // cumulative sum is monotone and a zero-weight class cannot cross
+    val cuts = hist
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .filter(col("__cum") > col("__budget") &&
+        col("__cum") - col("__w") <= col("__budget"))
+      .select(col("__g"), col("__s").as("__cut"),
+        (col("__budget") - (col("__cum") - col("__w"))).as("__rem"),
+        lit(true).as("__crossed"))
+    // LEFT join: a group with no crossing class fits its budget whole.
+    // __crossed (never null on a hit) disambiguates "no crossing
+    // class" from "the NULL-score class is the crossing class" —
+    // both leave __cut null.
+    val withCut = df.join(broadcast(cuts), col(groupCol) <=> col("__g"), "left")
+    val above = withCut
+      .filter(col("__crossed").isNull ||
+        (col("__cut").isNull && col(scoreCol).isNotNull) ||
+        col(scoreCol) > col("__cut"))
+      .drop("__g", "__cut", "__rem", "__crossed")
+    val tieW = Window.partitionBy(groupCol).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ties = withCut
+      .filter(col("__crossed").isNotNull && col(scoreCol) <=> col("__cut"))
+      .withColumn("__tcum", sum(w).over(tieW))
+      .filter(col("__tcum") <= col("__rem"))
+      .drop("__g", "__cut", "__rem", "__crossed", "__tcum")
+    above.unionByName(ties)
+  }
+
+  /** [[tokenBudgetBy]] with the same budget for every group. */
+  def tokenBudgetBy(df: DataFrame, groupCol: String, scoreCol: String,
+                    idCol: String, weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val bud = df.select(col(groupCol)).distinct()
+      .withColumn("budget", lit(budget))
+    tokenBudgetBy(df, groupCol, scoreCol, idCol, weightCol, bud)
+  }
 }

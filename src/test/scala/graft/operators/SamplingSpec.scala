@@ -251,4 +251,85 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 3L), s"null-score ordering broke: $kept")
   }
+
+  test("tokenBudgetBy keeps the score-ordered prefix whose running weight fits the budget") {
+    val df = Seq(
+      // group a, budget 10: scores 30(w4) > 20(w5) > 10(w5) ->
+      // 4, then 4+5=9 fits, 9+5=14 overflows -> keep ids 1,2
+      (1L, "a", 30L, 4L), (2L, "a", 20L, 5L), (3L, "a", 10L, 5L),
+      // group b: tie at score 5, ids 10(w6),11(w6) -> 6 fits,
+      // 12 overflows -> lowest id wins
+      (10L, "b", 5L, 6L), (11L, "b", 5L, 6L),
+      // group c: total weight 3 <= 10 -> no crossing, keep all
+      (20L, "c", -7L, 3L))
+      .toDF("id", "grp", "score", "w")
+    val kept = Sampling.tokenBudgetBy(df, "grp", "score", "id", "w", 10L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 10L, 20L), s"kept $kept")
+    // budget 0 keeps only zero-weight prefixes (none here)
+    assert(Sampling.tokenBudgetBy(df, "grp", "score", "id", "w", 0L).count() == 0)
+    // a zero-weight row rides free ahead of the crossing
+    val zw = Seq((1L, "a", 9L, 0L), (2L, "a", 8L, 7L), (3L, "a", 7L, 7L))
+      .toDF("id", "grp", "score", "w")
+    val zk = Sampling.tokenBudgetBy(zw, "grp", "score", "id", "w", 7L)
+      .select("id").as[Long].collect().toSet
+    assert(zk == Set(1L, 2L), s"zero-weight row mishandled: $zk")
+  }
+
+  test("tokenBudgetBy equals the single-window cumsum form on a dominant skewed group") {
+    // one group carries 90% of the rows with heavy score ties; a small
+    // group, a null-key group, and null scores/weights ride along
+    val rows =
+      (0 until 9000).map(i => (i.toLong, "big", (i % 7).toLong, (i % 5).toLong + 1)) ++
+      (0 until 100).map(i => (10000L + i, "small", (i % 3).toLong, 2L)) ++
+      (0 until 50).map(i => (20000L + i, null.asInstanceOf[String], 1L, 1L))
+    val df = rows.toDF("id", "grp", "score", "w").repartition(8)
+    for (b <- Seq(0L, 37L, 5000L, 1000000L)) {
+      val got = Sampling.tokenBudgetBy(df, "grp", "score", "id", "w", b)
+        .select("id").as[Long].collect().toSet
+      import org.apache.spark.sql.expressions.Window
+      val ordered = Window.partitionBy("grp")
+        .orderBy(col("score").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df
+        .withColumn("__cum", sum(coalesce(col("w"), lit(0L))).over(ordered))
+        .filter(col("__cum") <= b)
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"budget $b: kept set diverged from the window form " +
+        s"(got ${got.size}, want ${want.size})")
+    }
+    // null scores order last; null weights count 0
+    val withNulls = Seq(
+      (1L, "a", Some(5L), Some(4L)), (2L, "a", Some(4L), None),
+      (3L, "a", None, Some(2L)), (4L, "a", None, Some(9L)))
+      .toDF("id", "grp", "score", "w")
+    val kept = Sampling.tokenBudgetBy(withNulls, "grp", "score", "id", "w", 6L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"null score/weight ordering broke: $kept")
+  }
+
+  test("tokenBudgetBy honors per-group budget frames and gates every window") {
+    val df = (0 until 1200).map(i => (i.toLong, s"g${i % 3}", (i % 11).toLong, 3L))
+      .toDF("id", "grp", "score", "w")
+    val budgets = Seq(("g0", 30L), ("g1", 300L), ("g2", 1000000L))
+      .toDF("grp", "budget")
+    val out = Sampling.tokenBudgetBy(df, "grp", "score", "id", "w", budgets)
+    val perGroup = out.groupBy("grp").agg(sum("w").as("tw"))
+      .as[(String, Long)].collect().toMap
+    assert(perGroup("g0") <= 30L && perGroup("g0") > 30L - 3L)
+    assert(perGroup("g1") <= 300L && perGroup("g1") > 300L - 3L)
+    assert(perGroup("g2") == 1200L, s"unbounded group clipped: $perGroup")
+    // plan: every window sits above the histogram Aggregate or the tie
+    // Filter — never over raw input rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Window => LWindow}
+    val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val gated = w.child.collectFirst {
+        case f: Filter => f
+        case a: Aggregate => a
+      }.isDefined
+      assert(gated, "a window runs over ungated raw input:\n" + w.toString.take(600))
+    }
+  }
 }
