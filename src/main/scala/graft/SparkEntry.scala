@@ -1500,6 +1500,40 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Streaming corpus telemetry: per-source doc/token counts + KMV
+    // distinct-token and Misra-Gries top-term sketches absorbed from a
+    // document stream in 3 micro-batches through the batch-id-ledgered
+    // staged swap (the q76/q83 maintenance discipline) — every column
+    // is mergeable, so state stays |sources| rows and history is never
+    // re-read. In the unsaturated regime (31-term vocab << k/capacity)
+    // every sketch is complete, so the report equals the exact SQL
+    // truth regardless of batching.
+    "q93_stream_telemetry" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tag = docsTag(s, dir)
+      val state = s"graft_q93_tel_$tag"
+      if (!s.catalog.tableExists(state)) {
+        val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+          .as[(Long, String, String)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String)]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q93_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingTelemetry(
+          mem.toDF().toDF("doc_id", "source", "text"), "source", "text",
+          state, ckpt)
+        try {
+          docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.catalog.refreshTable(state)
+      }
+      graft.operators.Telemetry.report(s.table(state), "source")
+        .orderBy("source")
+    }),
+
     // Retrieval evaluation harness e2e: every doc with a verified
     // near-dup becomes a QUERY (its own text as the bag of words), the
     // near-dup partners are the binary relevance truth, bm25JoinTopK
@@ -1532,6 +1566,30 @@ object SparkEntry {
         maxDfFraction = 1.0)
       graft.operators.Retrieval.evalRanking(run, rel, k = 10)
         .orderBy("query_id")
+    }),
+
+    // Hard-negative mining off the same harness (the DPR training
+    // recipe): each query's top-ranked BM25 hits that are NOT near-dup
+    // relevant, re-numbered 1..5 — the training pairs a dense
+    // retriever is fit on. Anti-join + bounded re-rank over the
+    // already-bounded run; integer-only output so the oracle
+    // hash-matches with no float exposure.
+    "q94_hard_negatives" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val (invT, candT) = ngramIndexTables(s, dir)
+      graft.operators.Dedup.ensureNgramTables(s, docs, "doc_id", "text",
+        invT, candT, n = 3, threshold = 0.5)
+      val pairs = graft.operators.Dedup.ngramVerifiedPairs(
+        s.table(invT), s.table(candT), threshold = 0.5)
+      val rel = pairs.select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
+      val queries = docs.join(
+        rel.select(col("query_id").as("doc_id")).distinct(), Seq("doc_id"))
+      val run = graft.operators.Retrieval.bm25JoinTopK(docs, "doc_id", "text",
+        queries, "doc_id", "text", n = 20, excludeSelf = true,
+        maxDfFraction = 1.0)
+      graft.operators.Retrieval.mineHardNegatives(run, rel, nNeg = 5)
+        .orderBy("query_id", "neg_rank")
     }),
 
     // Learned-gate scoring plumbing under CLOSED-FORM weights — the
@@ -2090,6 +2148,61 @@ object SparkEntry {
            FROM documents d LEFT JOIN agg a USING (doc_id))
       """
 
+  /** Shared q86/q94 retrieval-oracle prefix: near-dup relevance
+    * truth (the q31 trigram machinery), per-doc BM25 stats, and the
+    * per-query top-20 run `run20` — float op order matches the
+    * engine exactly, so rank boundaries are stable cross-engine. */
+  private val Bm25Run20Cte =
+    """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS nws
+           FROM documents),
+         g AS (
+           SELECT doc_id, CASE WHEN len(nws) < 3 THEN [array_to_string(nws, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(nws) - 1),
+                         i -> array_to_string(list_slice(nws, i, i + 2), ' '))) END AS grams
+           FROM w),
+         p0 AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                 >= 0.5),
+         rel AS (
+           SELECT doc_a AS query_id, doc_b AS doc_id FROM p0
+           UNION ALL
+           SELECT doc_b AS query_id, doc_a AS doc_id FROM p0),
+         toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                      t -> len(t) > 0) AS ws
+           FROM documents),
+         dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+         stats AS (SELECT count(1) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tr AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(1) AS tf FROM tr GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         qt AS (
+           SELECT DISTINCT q.query_id, tr.term
+           FROM (SELECT DISTINCT query_id FROM rel) q
+           JOIN tr ON tr.doc_id = q.query_id),
+         scored AS (
+           SELECT qt.query_id, tf.doc_id,
+                  sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                      (tf.tf * 2.2) /
+                      (tf.tf + (dl.dl / s.avgdl * 0.75 + 0.25) * 1.2)) AS score
+           FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+           JOIN dl ON dl.doc_id = tf.doc_id
+           CROSS JOIN stats s
+           WHERE tf.doc_id != qt.query_id
+           GROUP BY qt.query_id, tf.doc_id),
+         run20 AS (
+           SELECT query_id, doc_id, rank FROM (
+             SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS rank
+             FROM scored)
+           WHERE rank <= 20)"""
+
   private val SimhashSigCte =
     """WITH RECURSIVE
        toks AS (
@@ -2524,55 +2637,8 @@ object SparkEntry {
     // makes df a content signal, not a stopword signal), so the
     // oracle applies none either.
     "q86_retrieval_eval" ->
-      """WITH w AS (
-           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
-                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS nws
-           FROM documents),
-         g AS (
-           SELECT doc_id, CASE WHEN len(nws) < 3 THEN [array_to_string(nws, ' ')]
-                  ELSE list_distinct(list_transform(range(1, len(nws) - 1),
-                         i -> array_to_string(list_slice(nws, i, i + 2), ' '))) END AS grams
-           FROM w),
-         p0 AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM g a JOIN g b ON a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-                 >= 0.5),
-         rel AS (
-           SELECT doc_a AS query_id, doc_b AS doc_id FROM p0
-           UNION ALL
-           SELECT doc_b AS query_id, doc_a AS doc_id FROM p0),
-         toks AS (
-           SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                      t -> len(t) > 0) AS ws
-           FROM documents),
-         dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
-         stats AS (SELECT count(1) AS n_docs, avg(dl) AS avgdl FROM dl),
-         tr AS (SELECT doc_id, unnest(ws) AS term FROM toks),
-         tf AS (SELECT doc_id, term, count(1) AS tf FROM tr GROUP BY doc_id, term),
-         dfq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
-         qt AS (
-           SELECT DISTINCT q.query_id, tr.term
-           FROM (SELECT DISTINCT query_id FROM rel) q
-           JOIN tr ON tr.doc_id = q.query_id),
-         scored AS (
-           SELECT qt.query_id, tf.doc_id,
-                  sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
-                      (tf.tf * 2.2) /
-                      (tf.tf + (dl.dl / s.avgdl * 0.75 + 0.25) * 1.2)) AS score
-           FROM qt JOIN tf USING (term) JOIN dfq USING (term)
-           JOIN dl ON dl.doc_id = tf.doc_id
-           CROSS JOIN stats s
-           WHERE tf.doc_id != qt.query_id
-           GROUP BY qt.query_id, tf.doc_id),
-         run20 AS (
-           SELECT query_id, doc_id, rank FROM (
-             SELECT query_id, doc_id,
-                    row_number() OVER (PARTITION BY query_id
-                                       ORDER BY score DESC, doc_id) AS rank
-             FROM scored)
-           WHERE rank <= 20),
+      (Bm25Run20Cte +
+        """,
          m AS (
            SELECT rel.query_id,
                   CAST(count(1) AS BIGINT) AS n_rel,
@@ -2584,7 +2650,26 @@ object SparkEntry {
            GROUP BY rel.query_id)
          SELECT query_id, n_rel, hits_at_k,
                 round(CAST(hits_at_k AS DOUBLE) / n_rel, 6) AS recall_at_k, mrr
-         FROM m ORDER BY query_id""",
+         FROM m ORDER BY query_id"""),
+
+    // q94: the q86 run with relevant pairs anti-joined away and the
+    // survivors re-ranked 1..5 per query.
+    "q94_hard_negatives" ->
+      (Bm25Run20Cte +
+        """,
+         neg AS (
+           SELECT r.query_id, r.doc_id, r.rank FROM run20 r
+           WHERE NOT EXISTS (SELECT 1 FROM rel
+                             WHERE rel.query_id = r.query_id
+                               AND rel.doc_id = r.doc_id)),
+         nr AS (
+           SELECT query_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rank) AS INTEGER) AS neg_rank
+           FROM neg)
+         SELECT query_id, doc_id, neg_rank
+         FROM nr WHERE neg_rank <= 5
+         ORDER BY query_id, neg_rank"""),
 
     // q85: both the token hash AND the weight table recomputed from
     // scratch — mix64∘FNV per distinct term (the q23 machinery),
@@ -2652,6 +2737,30 @@ object SparkEntry {
                   AS ndv_intersect,
                 (SELECT count(1) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
                   AS ndv_click_only""",
+
+    // q93: unsaturated sketches are complete, so the streamed
+    // telemetry report equals plain per-source SQL: doc/token counts,
+    // exact distinct tokens, and the top term under (count desc, term)
+    // — independent of how the stream was batched.
+    "q93_stream_telemetry" ->
+      """WITH toks AS (
+           SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                             x -> length(x) > 0)) AS term
+           FROM documents),
+         per AS (
+           SELECT source, count(1) AS n_tokens,
+                  count(DISTINCT term) AS ndv_tokens
+           FROM toks GROUP BY source),
+         dcs AS (SELECT source, count(1) AS n_docs FROM documents GROUP BY source),
+         tc AS (SELECT source, term, count(1) AS n FROM toks GROUP BY source, term),
+         top AS (SELECT source, term AS top_term, n AS top_n,
+                        row_number() OVER (PARTITION BY source
+                                           ORDER BY n DESC, term) AS rn
+                 FROM tc)
+         SELECT d.source, d.n_docs, p.n_tokens, p.ndv_tokens,
+                t.top_term, CAST(t.top_n AS BIGINT) AS top_n
+         FROM dcs d JOIN per p USING (source) JOIN top t USING (source)
+         WHERE t.rn = 1 ORDER BY d.source""",
 
     // q92: with capacity >> vocabulary the MG sketch never decrements,
     // so its counts equal the exact groupBy truth (q21's tokenization).

@@ -36,48 +36,74 @@ object Freq {
   /** One reported term with its (lower-bound) count. */
   final case class TermCount(term: String, count: Long)
 
+  /** Classic MG point update. */
+  private def mgReduce(capacity: Int)(buf: Map[String, Long],
+                                      term: String): Map[String, Long] =
+    if (term == null) buf
+    else buf.get(term) match {
+      case Some(c) => buf.updated(term, c + 1)
+      case None if buf.size < capacity => buf.updated(term, 1L)
+      case None =>
+        // no room — decrement every counter, drop zeros (the newcomer
+        // is absorbed into the shared decrement)
+        buf.collect { case (t, c) if c > 1 => t -> (c - 1) }
+    }
+
+  /** Mergeable-summaries combine: sum counts, then subtract the
+    * (capacity+1)-th largest from everything — at most `capacity`
+    * strictly-positive entries survive. */
+  private def mgMerge(capacity: Int)(a: Map[String, Long],
+                                     b: Map[String, Long]): Map[String, Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val m = b.foldLeft(a) { case (acc, (t, c)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + c)
+    }
+    if (m.size <= capacity) m
+    else {
+      val counts = m.values.toArray
+      java.util.Arrays.sort(counts)
+      val thresh = counts(counts.length - capacity - 1)
+      m.collect { case (t, c) if c > thresh => t -> (c - thresh) }
+    }
+  }
+
+  /** Deterministic presentation order: count desc, term asc. */
+  private def mgSorted(r: Map[String, Long]): Seq[TermCount] =
+    r.toSeq.map { case (t, c) => TermCount(t, c) }
+      .sortBy(tc => (-tc.count, tc.term))
+
   final class MisraGriesAggregator(capacity: Int)
       extends Aggregator[String, Map[String, Long], Seq[TermCount]] {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
-
     override def zero: Map[String, Long] = Map.empty
-
     override def reduce(buf: Map[String, Long], term: String): Map[String, Long] =
-      if (term == null) buf
-      else buf.get(term) match {
-        case Some(c) => buf.updated(term, c + 1)
-        case None if buf.size < capacity => buf.updated(term, 1L)
-        case None =>
-          // classic MG: no room — decrement every counter, drop zeros
-          // (the newcomer is absorbed into the shared decrement)
-          buf.collect { case (t, c) if c > 1 => t -> (c - 1) }
-      }
-
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      if (a.isEmpty) return b
-      if (b.isEmpty) return a
-      val m = b.foldLeft(a) { case (acc, (t, c)) =>
-        acc.updated(t, acc.getOrElse(t, 0L) + c)
-      }
-      if (m.size <= capacity) m
-      else {
-        // subtract the (capacity+1)-th largest count from everything;
-        // at most `capacity` strictly-positive entries survive
-        val counts = m.values.toArray
-        java.util.Arrays.sort(counts)
-        val thresh = counts(counts.length - capacity - 1)
-        m.collect { case (t, c) if c > thresh => t -> (c - thresh) }
-      }
-    }
-
-    override def finish(r: Map[String, Long]): Seq[TermCount] =
-      r.toSeq.map { case (t, c) => TermCount(t, c) }
-        .sortBy(tc => (-tc.count, tc.term))
-
+      mgReduce(capacity)(buf, term)
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mgMerge(capacity)(a, b)
+    override def finish(r: Map[String, Long]): Seq[TermCount] = mgSorted(r)
     override def bufferEncoder: Encoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
     override def outputEncoder: Encoder[Seq[TermCount]] =
       ExpressionEncoder[Seq[TermCount]]()
+  }
+
+  /** [[MisraGriesAggregator]] that emits the raw counter map
+    * (`map<string,bigint>`) — the storable/mergeable state form for
+    * incremental maintenance ([[mergeCol]] / [[Telemetry]]). */
+  final class MisraGriesMapAggregator(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(buf: Map[String, Long], term: String): Map[String, Long] =
+      mgReduce(capacity)(buf, term)
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mgMerge(capacity)(a, b)
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
   }
 
   /** `frequentTerms(capacity)(termCol)` →
@@ -86,5 +112,33 @@ object Freq {
   def frequentTerms(capacity: Int): Column => Column = {
     val agg = udaf(new MisraGriesAggregator(capacity), Encoders.STRING)
     (c: Column) => agg(c)
+  }
+
+  /** `frequentTermsMap(capacity)(termCol)` → the raw counter map
+    * (`map<string,bigint>`), the form [[mergeCol]] merges. */
+  def frequentTermsMap(capacity: Int): Column => Column = {
+    val agg = udaf(new MisraGriesMapAggregator(capacity), Encoders.STRING)
+    (c: Column) => agg(c)
+  }
+
+  /** `mergeCol(capacity)(a, b)` → two counter maps merged under the
+    * same mergeable-summaries rule, NULL inputs treated as empty —
+    * the incremental-maintenance primitive. NOT idempotent
+    * (re-merging a replayed batch double-counts): drive it through a
+    * batch-id ledger. */
+  def mergeCol(capacity: Int): (Column, Column) => Column = {
+    val f = udf((a: Map[String, Long], b: Map[String, Long]) =>
+      mgMerge(capacity)(if (a == null) Map.empty[String, Long] else a,
+        if (b == null) Map.empty[String, Long] else b))
+    (a: Column, b: Column) => f(a, b)
+  }
+
+  /** `topOfMap(mapCol)` → the map's best `struct<term,count>` under
+    * (count desc, term asc), NULL for an empty/NULL map — the
+    * deterministic report side of the map form. */
+  def topOfMap: Column => Column = {
+    val f = udf((m: Map[String, Long]) =>
+      if (m == null || m.isEmpty) None else Some(mgSorted(m).head))
+    (c: Column) => f(c)
   }
 }

@@ -163,4 +163,16 @@ object Kmv {
       differenceEstimate(a.toArray, b.toArray, k))
     (a: Column, b: Column) => f(a, b)
   }
+
+  /** `mergeCol(k)(a, b)` → the merged sketch (`array<bigint>`), NULL
+    * inputs treated as empty — the incremental-maintenance primitive:
+    * stored state ∪ a micro-batch's sketch is itself a valid sketch,
+    * and the merge is idempotent (re-merging a replayed batch's
+    * sketch changes nothing — set union deduplicates). */
+  def mergeCol(k: Int): (Column, Column) => Column = {
+    val f = udf((a: Seq[Long], b: Seq[Long]) => mergeKeys(
+      if (a == null) Array.emptyLongArray else a.toArray,
+      if (b == null) Array.emptyLongArray else b.toArray, k))
+    (a: Column, b: Column) => f(a, b)
+  }
 }

@@ -282,6 +282,32 @@ object Retrieval {
     * join — so the relevance set is deduplicated and the run collapses
     * to each pair's BEST (minimum) rank before joining. A well-formed
     * top-k run (unique pairs, one rank each) passes through unchanged. */
+  /** Hard-negative mining for retriever/reranker training (the DPR
+    * recipe, Karpukhin et al. 2020: "BM25 top results that are not
+    * relevant make the strongest training negatives"): drop each
+    * query's relevant docs from its retrieval run, keep the `nNeg`
+    * best-ranked survivors, and re-number them 1..nNeg as `neg_rank`.
+    *
+    * Scale shape: the anti-join is keyed on (query, doc) pairs of an
+    * already-bounded top-k run (|queries|·k rows, never the corpus),
+    * and the re-rank window partitions that bounded set per query — ≤ k
+    * rows through any one task. Input hygiene mirrors [[evalRanking]]:
+    * the relevance set is deduplicated, and the run collapses to each
+    * pair's best rank before mining, so duplicate inputs cannot fan
+    * out or double-emit. */
+  def mineHardNegatives(run: DataFrame, relevant: DataFrame,
+                        nNeg: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rel = relevant.select(col("query_id"), col("doc_id")).distinct()
+    val best = run.select(col("query_id"), col("doc_id"), col("rank"))
+      .groupBy("query_id", "doc_id").agg(min(col("rank")).as("rank"))
+    val w = Window.partitionBy("query_id").orderBy(col("rank"))
+    best.join(rel, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= nNeg)
+      .select(col("query_id"), col("doc_id"), col("neg_rank"))
+  }
+
   def evalRanking(run: DataFrame, relevant: DataFrame, k: Int): DataFrame =
     relevant.select(col("query_id"), col("doc_id")).distinct()
       .join(run.select(col("query_id"), col("doc_id"), col("rank"))

@@ -388,8 +388,12 @@ object Similarity {
   // ------------------------------------------------- int8 quantization
 
   // q as Seq[Byte]: the encoder maps it to array<tinyint> (Array[Byte]
-  // would serialize as one opaque binary value)
-  private final case class Quantized(scale: Float, q: Seq[Byte])
+  // would serialize as one opaque binary value). Qualified-private, not
+  // plain private: a plain-private nested class is package-private in
+  // bytecode, which Janino's generated UnsafeProjection (in its own
+  // package) cannot touch — every quantized row then silently falls
+  // back to interpreted projection ("Expr codegen error" WARNs).
+  private[graft] final case class Quantized(scale: Float, q: Seq[Byte])
 
   /** Symmetric per-vector int8 quantization of an embedding column:
     * `struct(scale float, q array<tinyint>)` with

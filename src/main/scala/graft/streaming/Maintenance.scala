@@ -51,7 +51,16 @@ object Maintenance {
     * (or a first-ever batch whose state is just the increment), so
     * dropping it below is never a state loss. */
   def refreshRollupState(spark: SparkSession, stateTable: String,
-                         incr: DataFrame, batchId: Long): Boolean = {
+                         incr: DataFrame, batchId: Long): Boolean =
+    refreshLedgered(spark, stateTable, incr, batchId)(Rollup.merge(_, _))
+
+  /** The ledgered staged-swap behind [[refreshRollupState]], with the
+    * merge pluggable — any mergeable state frame (rollup states,
+    * [[graft.operators.Telemetry]] sketches) gets the same
+    * exactly-once + crash-safe swap semantics. */
+  private[streaming] def refreshLedgered(spark: SparkSession, stateTable: String,
+                                         incr: DataFrame, batchId: Long)(
+      mergeFn: (DataFrame, DataFrame) => DataFrame): Boolean = {
     val stagingName = s"${stateTable}_staging"
     if (!spark.catalog.tableExists(stateTable) &&
         spark.catalog.tableExists(stagingName) &&
@@ -64,7 +73,7 @@ object Maintenance {
       val last = batchProp(spark, stateTable)
       if (last.exists(_ >= batchId)) return false
     }
-    val merged = if (exists) Rollup.merge(spark.table(stateTable), incr) else incr
+    val merged = if (exists) mergeFn(spark.table(stateTable), incr) else incr
     val staging = stagingName
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     Warehouse.clearOrphanLocation(spark, staging)
@@ -96,6 +105,33 @@ object Maintenance {
         if (!batch.isEmpty) {
           val incr = Rollup.hourlyState(batch.toDF(), tsCol, valCol, keyCols)
           refreshRollupState(batch.sparkSession, stateTable, incr, batchId)
+          ()
+        }
+      }
+      .start()
+
+  /** Keep a [[graft.operators.Telemetry]] state table (per-group
+    * doc/token counts + KMV distinct + Misra-Gries heavy-hitter
+    * sketches) continuously refreshed from a document stream — the
+    * corpus-monitoring loop: each micro-batch contributes one
+    * |groups|-row mergeable increment; history is never re-read and
+    * state size never depends on corpus size. Counts and MG merges
+    * are not idempotent, so this rides the same batch-id ledger +
+    * staged swap as [[streamingRollup]] (exactly-once effect on the
+    * at-least-once `foreachBatch` channel, crash-in-swap recovery
+    * included). Query any time with
+    * `Telemetry.report(spark.table(stateTable), groupCol, k)`. */
+  def streamingTelemetry(stream: DataFrame, groupCol: String, textCol: String,
+                         stateTable: String, checkpoint: String,
+                         k: Int = 4096, capacity: Int = 4096): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val incr = graft.operators.Telemetry.telemetry(
+            batch.toDF(), groupCol, textCol, k, capacity)
+          refreshLedgered(batch.sparkSession, stateTable, incr, batchId)(
+            graft.operators.Telemetry.merge(_, _, groupCol, k, capacity))
           ()
         }
       }

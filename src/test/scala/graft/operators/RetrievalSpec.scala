@@ -207,4 +207,27 @@ class RetrievalSpec extends SparkSpec {
     assert(got(1L) == ((3L, 2L, math.rint(2.0 / 3 * 1e6) / 1e6, 1.0)),
       s"duplicate-input metrics wrong: ${got(1L)}")
   }
+
+  test("mineHardNegatives: relevant excluded, survivors re-ranked, nNeg bound, dup-immune") {
+    // q1 run: docs 10(rel),11,12,13(rel),14 at ranks 1..5 -> negatives
+    // 11,12,14 re-ranked 1,2,3; nNeg=2 keeps 11,12. q2 all-relevant ->
+    // no negatives. Duplicate run pair (2 ranks) and doubled relevance
+    // rows must not fan out or double-emit.
+    val run = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4), (1L, 14L, 5),
+      (1L, 11L, 7),                 // duplicate pair at a worse rank
+      (2L, 20L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val rel = Seq((1L, 10L), (1L, 13L), (1L, 13L), (2L, 20L))
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.mineHardNegatives(run, rel, nNeg = 2)
+      .orderBy("query_id", "neg_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 11L, 1), (1L, 12L, 2)), s"got $got")
+    // nNeg above the survivor count returns them all, ranks contiguous
+    val all = Retrieval.mineHardNegatives(run, rel, nNeg = 10)
+      .orderBy("query_id", "neg_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(all == Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 14L, 3)), s"got $all")
+  }
 }
