@@ -2011,6 +2011,57 @@ object SparkEntry {
         .select(col("doc_id"), col("text_md5"), col("hour_bucket"),
           col("fragmented_before"), col("files_after"), col("n_compacted"))
         .orderBy("doc_id")
+    }),
+
+    // Link-graph ranking in exact integer micro-units: PageRank over
+    // the bipartite customer<->supplier trade graph (distinct
+    // orders⋈lineitem pairs, both directions), 4 synchronous steps.
+    // Every step is integer floor arithmetic (Graph.pageRankMicro), so
+    // the oracle replays the unrolled iteration bit-for-bit — no float
+    // ever enters. Scale shape: edges persisted once; per step one
+    // ranks⋈outdeg node join, the src-keyed edge join, and the one
+    // unavoidable dst-keyed exchange with map-side integer SUM combine.
+    "q95_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("cn"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
+        .distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .union(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      graft.operators.Graph.pageRankMicro(edges, "src", "dst", iterations = 4)
+        .orderBy("node")
+    }),
+
+    // Temperature-scaled mixture (the mT5 n^α sampling rule) at
+    // α = 0.5: quotas are exact-integer largest-remainder shares of
+    // n_i^0.5 (sqrt is IEEE correctly-rounded, the 2^20 weight scaling
+    // exact), selection is the per-source md5-smallest draw via the
+    // skew-safe digest-prefix two-pass. The per-source summary pins
+    // the kept SET through id checksums; the oracle re-derives
+    // weights, apportionment, and membership from scratch.
+    "q96_temperature_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "source")
+      graft.operators.Sampling.temperatureMixture(
+          docs, "doc_id", "source", totalTarget = 200L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
+          sum(col("doc_id") * col("doc_id")).as("id_sq_sum"))
+        .orderBy("source")
+    }),
+
+    // Corpus drift monitor: 2×Jensen-Shannon divergence in exact
+    // pico-nat integers between the English slice and the rest, over
+    // the q89 hashed unigram+bigram space (same FNV∘mix64 kernel, so
+    // the oracle replays buckets, smoothing, the fixed float
+    // expression tree, and the integer sums). One row out.
+    "q97_js_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dsir.jsDivergencePico(
+        docs.filter(col("lang") === "en").select("text"),
+        docs.filter(col("lang") =!= "en").select("text"),
+        "text", dim = 4096)
     })
   )
 
@@ -2089,6 +2140,47 @@ object SparkEntry {
     * q87b): distinct (doc, term) rows plus each term's mix64∘FNV-1a
     * hash as unsigned HUGEINT `z` in `t5` — the exact
     * [[graft.operators.Sketches.tokenHashes]] kernel restated. */
+  /** Shared q89/q97 gram-space prefix: unigram+bigram grams with
+    * multiplicity under the lower/\s+ tokenization, the recursive
+    * FNV-1a∘mix64 bucket (mod 4096) of every distinct gram, ending in
+    * `gr(doc_id, bucket)` — the exact feature space of
+    * [[graft.operators.Dsir.gramBuckets]]. */
+  private val GramBucketCte =
+    """WITH RECURSIVE
+           wl AS (
+             SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> len(t) > 0) AS ws
+             FROM documents),
+           uni AS (SELECT doc_id, unnest(ws) AS gram FROM wl),
+           big AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(ws)),
+                                                i -> ws[i] || ' ' || ws[i + 1])) AS gram
+                   FROM wl),
+           grams AS (SELECT doc_id, gram FROM uni
+                     UNION ALL SELECT doc_id, gram FROM big),
+           dgram AS (SELECT DISTINCT gram FROM grams),
+           fnv(gram, pos, h) AS (
+             SELECT gram, 0, CAST(14695981039346656037 AS HUGEINT) FROM dgram
+             UNION ALL
+             SELECT gram, pos + 1,
+                    (xor(h, CAST(unicode(substr(gram, pos + 1, 1)) AS HUGEINT))
+                      * 1099511628211) % 18446744073709551616
+             FROM fnv WHERE pos < len(gram)),
+           fh0 AS (SELECT gram, h FROM fnv WHERE pos = len(gram)),
+           m1 AS (SELECT gram, (h + 11400714819323198485) % 18446744073709551616 AS z FROM fh0),
+           m2 AS (SELECT gram, xor(z, z // 1073741824) AS z FROM m1),
+           m3 AS (SELECT gram,
+                    (((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+                     + (z % 4294967296) * 13787848793156543929) % 18446744073709551616 AS z
+                  FROM m2),
+           m4 AS (SELECT gram, xor(z, z // 134217728) AS z FROM m3),
+           m5 AS (SELECT gram,
+                    (((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+                     + (z % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z
+                  FROM m4),
+           gb AS (SELECT gram, CAST(xor(z, z // 2147483648) % 4096 AS INTEGER) AS bucket FROM m5),
+           gr AS (SELECT g.doc_id, gb.bucket FROM grams g JOIN gb USING (gram))"""
+
   private val TokenHashCte =
     """WITH RECURSIVE
          toks0 AS (
@@ -3552,42 +3644,10 @@ object SparkEntry {
     // gram, target ('src0') and source distributions, the micro-
     // quantized per-bucket log ratio with the SAME ln-argument
     // decomposition and floor(x·1e6 + 0.5) the engine computes
-    // driver-side, and exact integer per-doc sums.
-    "q89_dsir_score" ->
-      """WITH RECURSIVE
-           wl AS (
-             SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-                                        t -> len(t) > 0) AS ws
-             FROM documents),
-           uni AS (SELECT doc_id, unnest(ws) AS gram FROM wl),
-           big AS (SELECT doc_id,
-                          unnest(list_transform(range(1, len(ws)),
-                                                i -> ws[i] || ' ' || ws[i + 1])) AS gram
-                   FROM wl),
-           grams AS (SELECT doc_id, gram FROM uni
-                     UNION ALL SELECT doc_id, gram FROM big),
-           dgram AS (SELECT DISTINCT gram FROM grams),
-           fnv(gram, pos, h) AS (
-             SELECT gram, 0, CAST(14695981039346656037 AS HUGEINT) FROM dgram
-             UNION ALL
-             SELECT gram, pos + 1,
-                    (xor(h, CAST(unicode(substr(gram, pos + 1, 1)) AS HUGEINT))
-                      * 1099511628211) % 18446744073709551616
-             FROM fnv WHERE pos < len(gram)),
-           fh0 AS (SELECT gram, h FROM fnv WHERE pos = len(gram)),
-           m1 AS (SELECT gram, (h + 11400714819323198485) % 18446744073709551616 AS z FROM fh0),
-           m2 AS (SELECT gram, xor(z, z // 1073741824) AS z FROM m1),
-           m3 AS (SELECT gram,
-                    (((z // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
-                     + (z % 4294967296) * 13787848793156543929) % 18446744073709551616 AS z
-                  FROM m2),
-           m4 AS (SELECT gram, xor(z, z // 134217728) AS z FROM m3),
-           m5 AS (SELECT gram,
-                    (((z // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
-                     + (z % 4294967296) * 10723151780598845931) % 18446744073709551616 AS z
-                  FROM m4),
-           gb AS (SELECT gram, CAST(xor(z, z // 2147483648) % 4096 AS INTEGER) AS bucket FROM m5),
-           gr AS (SELECT g.doc_id, gb.bucket FROM grams g JOIN gb USING (gram)),
+    // driver-side, and exact integer per-doc sums. Gram→bucket chain
+    // shared with q97 (GramBucketCte).
+    "q89_dsir_score" -> (GramBucketCte +
+      """,
            tcnt AS (SELECT gr.bucket, count(1) AS c
                     FROM gr JOIN documents d ON d.doc_id = gr.doc_id
                     WHERE d.source = 'src0' GROUP BY gr.bucket),
@@ -3610,7 +3670,7 @@ object SparkEntry {
          SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
                 CAST(coalesce(p.score, 0) AS BIGINT) AS score_micro
          FROM documents d LEFT JOIN per p USING (doc_id)
-         ORDER BY d.doc_id""",
+         ORDER BY d.doc_id"""),
 
     // q82: BPE tokenization under the committed merge list replayed as
     // closed-form arithmetic — tokens(word) = len+1 − occ('th') −
@@ -3873,6 +3933,106 @@ object SparkEntry {
                 CAST(doc_id % 3 AS INT) AS hour_bucket,
                 true AS fragmented_before,
                 1 AS files_after, 3 AS n_compacted
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // q95: the integer PageRank unrolled — same edge derivation, same
+    // uniform integer init, and four steps of
+    // r'(v) = base + Σ floor(r(u)·85 / (100·outdeg(u))) in pure
+    // integer floor arithmetic ('//' here, 'div' in Spark), so every
+    // rank matches bit-for-bit. Dangling/rounding mass drops in both.
+    "q95_pagerank" -> {
+      val prelude =
+        """WITH pairs AS (
+             SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           e AS (SELECT cn AS src, sn AS dst FROM pairs
+                 UNION SELECT sn, cn FROM pairs),
+           nd AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+           outdeg AS (SELECT src AS node, count(1) AS od FROM e GROUP BY 1),
+           nn AS (SELECT count(1) AS n FROM nd),
+           r0 AS (SELECT node, 1000000000 // nn.n AS r FROM nd CROSS JOIN nn)"""
+      val steps = (1 to 4).map { i =>
+        s""",
+           r$i AS (
+             SELECT nd.node,
+                    (SELECT 15000000000 // (100 * n) FROM nn) + coalesce(m.s, 0) AS r
+             FROM nd LEFT JOIN (
+               SELECT e.dst AS node, sum((p.r * 85) // (100 * o.od)) AS s
+               FROM r${i - 1} p JOIN outdeg o ON o.node = p.node
+                                JOIN e ON e.src = p.node
+               GROUP BY e.dst) m ON m.node = nd.node)"""
+      }.mkString
+      prelude + steps +
+        " SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r4 ORDER BY node"
+    },
+
+    // q96: weights, apportionment, and membership re-derived from
+    // scratch: s_i = floor(sqrt(n_i)·2^20 + 0.5) (sqrt is IEEE
+    // correctly-rounded — bit-identical to Math.sqrt), quotas by
+    // integer largest remainder (ties rem DESC then source ASC),
+    // capped at n_i, and each source keeps its quota smallest
+    // (md5('graft'||id), id) draws.
+    "q96_temperature_mixture" ->
+      """WITH cnt AS (SELECT source, count(1) AS n FROM documents GROUP BY source),
+         w AS (SELECT source, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS s
+               FROM cnt),
+         tot AS (SELECT sum(s) AS st FROM w),
+         raw AS (SELECT source, n, (200 * s) // tot.st AS q0,
+                        (200 * s) % tot.st AS rem
+                 FROM w CROSS JOIN tot),
+         lo AS (SELECT 200 - sum(q0) AS leftover FROM raw),
+         bump AS (SELECT source, n, q0, rem,
+                    row_number() OVER (ORDER BY rem DESC, source) AS rk
+                  FROM raw),
+         quota AS (SELECT source,
+                     least(CASE WHEN rk <= (SELECT leftover FROM lo)
+                                THEN q0 + 1 ELSE q0 END, n) AS q
+                   FROM bump),
+         sel AS (SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                 FROM documents),
+         kept AS (SELECT sel.doc_id, sel.source
+                  FROM sel JOIN quota USING (source) WHERE sel.rn <= quota.q)
+         SELECT source, count(1) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                CAST(sum(doc_id * doc_id) AS BIGINT) AS id_sq_sum
+         FROM kept GROUP BY source ORDER BY source""",
+
+    // q97: the drift monitor replayed — the q89 gram/bucket chain
+    // (GramBucketCte), per-slice add-1-smoothed bucket distributions,
+    // the IDENTICAL float expression tree for the two midpoint-KL
+    // terms (every op correctly rounded except ln, whose ≤1-ulp
+    // spread is ~4 orders under the pico quantization step), and
+    // exact integer pico sums.
+    "q97_js_drift" -> (GramBucketCte +
+      """,
+           ac AS (SELECT gr.bucket, count(1) AS c
+                  FROM gr JOIN documents d USING (doc_id)
+                  WHERE d.lang = 'en' GROUP BY gr.bucket),
+           bc AS (SELECT gr.bucket, count(1) AS c
+                  FROM gr JOIN documents d USING (doc_id)
+                  WHERE d.lang <> 'en' GROUP BY gr.bucket),
+           tot AS (SELECT
+                     coalesce((SELECT sum(c) FROM ac), 0) AS ta,
+                     coalesce((SELECT sum(c) FROM bc), 0) AS tb),
+           per AS (SELECT
+                     CAST(coalesce(a.c, 0) + 1 AS DOUBLE) / (tot.ta + 4096) AS ma,
+                     CAST(coalesce(b.c, 0) + 1 AS DOUBLE) / (tot.tb + 4096) AS mb
+                   FROM (SELECT unnest(range(4096)) AS bk) bb
+                   CROSS JOIN tot
+                   LEFT JOIN ac a ON a.bucket = bb.bk
+                   LEFT JOIN bc b ON b.bucket = bb.bk),
+           q AS (SELECT
+                   CAST(floor(ma * ln(2.0 * ma / (ma + mb)) * 1000000000000.0 + 0.5) AS BIGINT) AS ka,
+                   CAST(floor(mb * ln(2.0 * mb / (ma + mb)) * 1000000000000.0 + 0.5) AS BIGINT) AS kb
+                 FROM per)
+         SELECT (SELECT CAST(ta AS BIGINT) FROM tot) AS grams_a,
+                (SELECT CAST(tb AS BIGINT) FROM tot) AS grams_b,
+                CAST(sum(ka) AS BIGINT) AS kl_a_pico,
+                CAST(sum(kb) AS BIGINT) AS kl_b_pico,
+                CAST(sum(ka) + sum(kb) AS BIGINT) AS js2_pico
+         FROM q""")
   )
 }

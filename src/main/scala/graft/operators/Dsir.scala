@@ -136,4 +136,55 @@ object Dsir {
       .select(col("doc_id"), col("r._1").as("n_grams"),
         col("r._2").as("score_micro"))
   }
+
+  /** Jensen-Shannon drift between two corpus slices over the same
+    * hashed-gram feature space — the distribution-shift monitor a
+    * continuously-ingested corpus needs ("did this crawl snapshot's
+    * token mix move away from the reference slice?"). Distributions
+    * are add-1-smoothed multinomials over the `dim` buckets (every
+    * bucket carries mass, so absent-from-both buckets still
+    * contribute their smoothing term and the divergence of identical
+    * slices is exactly zero).
+    *
+    * Exactness discipline: each bucket's two midpoint-KL terms
+    * `m_a·ln(2·m_a/(m_a+m_b))` and `m_b·ln(2·m_b/(m_a+m_b))` are
+    * quantized to integer PICO-units — `floor(x·1e12 + 0.5)` — with a
+    * fixed float expression tree (every step a correctly-rounded
+    * IEEE op except `ln`, whose ≤1-ulp spread sits ~4 orders of
+    * magnitude under the quantization step), and the totals are exact
+    * integer sums, so the result is stable across partitionings and
+    * engines; the q97 oracle replays the identical expression in
+    * DuckDB. `js2_pico = kl_a_pico + kl_b_pico` is TWICE the JS
+    * divergence (in pico-nats) — kept unsplit so no engine ever
+    * divides an integer. Bounds: `0 ≤ js2_pico ≲ 2·ln2·1e12`.
+    *
+    * Scale shape: one pass per slice (≤ dim count rows out), then all
+    * arithmetic on a `dim`-row frame built from `range(dim)` with the
+    * two count maps broadcast-joined on — nothing corpus-sized moves,
+    * nothing is collected. Output is ONE row:
+    * `(grams_a, grams_b, kl_a_pico, kl_b_pico, js2_pico)`.
+    */
+  def jsDivergencePico(a: DataFrame, b: DataFrame, textCol: String,
+                       dim: Int): DataFrame = {
+    requirePow2(dim)
+    val spark = a.sparkSession
+    val ca = bucketCounts(a, textCol, dim).withColumnRenamed("cnt", "__ca")
+    val cb = bucketCounts(b, textCol, dim).withColumnRenamed("cnt", "__cb")
+    val ta = ca.agg(coalesce(sum("__ca"), lit(0L)).as("__ta"))
+    val tb = cb.agg(coalesce(sum("__cb"), lit(0L)).as("__tb"))
+    val per = spark.range(dim).select(col("id").cast("int").as("bucket"))
+      .join(broadcast(ca), Seq("bucket"), "left")
+      .join(broadcast(cb), Seq("bucket"), "left")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+    // fixed expression tree, mirrored verbatim by the q97 oracle SQL
+    val ma = (coalesce(col("__ca"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__ta") + lit(dim.toLong)).cast("double")
+    val mb = (coalesce(col("__cb"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__tb") + lit(dim.toLong)).cast("double")
+    val ka = floor(ma * log(lit(2.0) * ma / (ma + mb)) * lit(1e12) + lit(0.5))
+    val kb = floor(mb * log(lit(2.0) * mb / (ma + mb)) * lit(1e12) + lit(0.5))
+    per.agg(max(col("__ta")).as("grams_a"), max(col("__tb")).as("grams_b"),
+        sum(ka).as("kl_a_pico"), sum(kb).as("kl_b_pico"),
+        (sum(ka) + sum(kb)).as("js2_pico"))
+  }
 }

@@ -326,4 +326,110 @@ object Sampling {
       .withColumn("budget", lit(budget))
     tokenBudgetBy(df, groupCol, scoreCol, idCol, weightCol, bud)
   }
+
+  /** Temperature-scaled mixture quotas (the mT5/XLM-R multilingual
+    * sampling rule, Xue et al. 2021 / Conneau et al. 2020): stratum
+    * `i` receives a share of `totalTarget` proportional to
+    * `n_i^alpha`, `alpha < 1` up-weighting low-resource strata.
+    * Exact-integer apportionment: each stratum's weight is
+    * `s_i = floor(n_i^alpha · 2^20 + 0.5)` — at the default
+    * `alpha = 0.5` the power is `Math.sqrt`, which IEEE 754 requires
+    * to be CORRECTLY ROUNDED, and the 2^20 scaling is exact, so `s_i`
+    * is bit-identical in any conforming engine (the q96 oracle
+    * recomputes it in DuckDB; other alphas use `Math.pow`, which is
+    * only faithfully rounded — deterministic in the JVM, best-effort
+    * cross-engine). Quotas are the largest-remainder apportionment of
+    * `totalTarget` by `s_i` (ties on remainder broken by stratum
+    * name), then capped at `n_i` — an over-allocated low-resource
+    * stratum just falls short, nothing is redistributed. Pure integer
+    * function of `(counts, totalTarget)`: unit-testable, replayable.
+    */
+  def temperatureQuotas(counts: Seq[(String, Long)], totalTarget: Long,
+                        alpha: Double = 0.5): Seq[(String, Long)] = {
+    require(totalTarget >= 0, s"totalTarget must be >= 0, got $totalTarget")
+    require(counts.forall(_._2 >= 0), s"negative stratum count in $counts")
+    require(counts.map(_._1).distinct.size == counts.size,
+      "duplicate stratum in counts")
+    val cs = counts.sortBy(_._1)
+    val sw = cs.map { case (g, n) =>
+      val w = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      g -> BigInt(math.floor(w * (1L << 20) + 0.5).toLong)
+    }
+    val tot = sw.map(_._2).sum
+    if (tot == 0) return cs.map { case (g, _) => g -> 0L }
+    val t = BigInt(totalTarget)
+    val raw = sw.map { case (g, si) => (g, (t * si / tot).toLong, t * si % tot) }
+    val leftover = totalTarget - raw.map(_._2).sum
+    val bumped = raw.sortBy { case (g, _, rem) => (-rem, g) }
+      .zipWithIndex
+      .map { case ((g, q, _), i) => g -> (if (i < leftover) q + 1 else q) }
+      .toMap
+    cs.map { case (g, n) => g -> math.min(bumped(g), n) }
+  }
+
+  /** Materialize a [[temperatureQuotas]] mixture: keep, per stratum,
+    * exactly its quota of rows — the quota smallest `md5(salt || id)`
+    * digests (id tiebreak), the same engine-independent draw as
+    * [[fixedSizeSample]] but per-group and skew-safe.
+    *
+    * Skew-safe exact selection via DIGEST-PREFIX two-pass (the
+    * [[topFractionBy]] histogram trick with the digest's first
+    * `prefixLen` hex chars as the score class — uniform by
+    * construction, so every class holds ~`n_g / 16^prefixLen` rows):
+    *  1. per-(stratum, prefix) COUNT histogram — one shuffle,
+    *     map-side combine, ≤ `16^prefixLen` rows per stratum;
+    *  2. a window over the histogram (prefix rows only) marks each
+    *     kept prefix with how many of its rows fit the quota;
+    *  3. the cuts frame broadcasts back: rows in a fully-kept prefix
+    *     pass with zero ordering work; only the one BOUNDARY prefix
+    *     per stratum pays a `row_number` over its ~`n_g/16^prefixLen`
+    *     rows — never a full-group sort, no dominant-stratum
+    *     straggler.
+    * Driver state is the |strata|-row count map (bounded — the same
+    * contract as [[epochMixture]]'s weight map). Rows with a NULL
+    * stratum are dropped. `n_i` must stay below 2^53 for the exact
+    * weight arithmetic (at 2^53 rows per stratum you have other
+    * problems).
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, strataCol: String,
+                         totalTarget: Long, alpha: Double = 0.5,
+                         salt: String = "graft",
+                         prefixLen: Int = 3): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8,
+      s"prefixLen must be in [1, 8], got $prefixLen")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    if (counts.isEmpty) return df.limit(0)
+    val quotas = temperatureQuotas(counts, totalTarget, alpha)
+    val qdf = quotas.toDF("__g", "__q")
+    val withD = df.filter(col(strataCol).isNotNull)
+      .withColumn("__g", col(strataCol).cast("string"))
+      .withColumn("__d", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("__p", substring(col("__d"), 1, prefixLen))
+    val wCum = Window.partitionBy("__g").orderBy("__p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = withD.groupBy("__g", "__p").agg(count(lit(1)).as("__c"))
+      .join(broadcast(qdf), "__g")
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .filter(col("__cum") - col("__c") < col("__q"))
+      .select(col("__g"), col("__p"),
+        least(col("__c"), col("__q") - (col("__cum") - col("__c")))
+          .cast("long").as("__take"),
+        col("__c").as("__cls"))
+    val joined = withD.join(broadcast(cuts), Seq("__g", "__p"))
+    val whole = joined.filter(col("__take") === col("__cls"))
+      .drop("__g", "__d", "__p", "__take", "__cls")
+    val bW = Window.partitionBy("__g", "__p").orderBy(col("__d"), col(idCol))
+    val boundary = joined.filter(col("__take") < col("__cls"))
+      .withColumn("__rn", row_number().over(bW))
+      .filter(col("__rn") <= col("__take"))
+      .drop("__g", "__d", "__p", "__take", "__cls", "__rn")
+    whole.unionByName(boundary)
+  }
 }

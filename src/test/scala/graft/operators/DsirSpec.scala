@@ -103,4 +103,44 @@ class DsirSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), "scoring grew a join:\n" + p.take(800))
   }
+
+  test("jsDivergencePico: identical slices are exactly zero; symmetry; bounds") {
+    import spark.implicits._
+    val a = Seq("alpha beta gamma", "beta gamma delta", "x y z").toDF("text")
+    val b = Seq("epsilon zeta", "eta theta iota kappa").toDF("text")
+    def row(x: org.apache.spark.sql.DataFrame) = {
+      val r = x.head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    // identical slices: every bucket has ma == mb, ln(1) == 0 exactly
+    val same = row(Dsir.jsDivergencePico(a, a, "text", 256))
+    assert(same._3 == 0L && same._4 == 0L && same._5 == 0L,
+      s"identical slices must diverge by exactly zero, got $same")
+    // symmetry: swapping slices swaps the KL halves, js2 invariant
+    val ab = row(Dsir.jsDivergencePico(a, b, "text", 256))
+    val ba = row(Dsir.jsDivergencePico(b, a, "text", 256))
+    assert(ab._3 == ba._4 && ab._4 == ba._3 && ab._5 == ba._5,
+      s"JS must be symmetric: $ab vs $ba")
+    // disjoint vocabularies drift hard but never past 2·ln2 (+ dim/2
+    // quantization slack); totals count grams with multiplicity
+    assert(ab._5 > 0L && ab._5 <= (2 * math.log(2) * 1e12).toLong + 256,
+      s"js2 out of [0, 2·ln2] pico-nats: $ab")
+    // 3 docs × (3 uni + 2 bi) = 15; (2+1) + (4+3) = 10
+    assert(ab._1 == 15L && ab._2 == 10L,
+      s"gram totals (uni+bigram multiplicity) wrong: $ab")
+  }
+
+  test("jsDivergencePico: integer result is partition-independent") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val en = docs.filter(col("lang") === "en").select("text")
+    val rest = docs.filter(col("lang") =!= "en").select("text")
+    val one = Dsir.jsDivergencePico(en, rest, "text", 1024).head().toSeq
+    val other = Dsir.jsDivergencePico(en.repartition(11), rest.repartition(7),
+      "text", 1024).head().toSeq
+    assert(one == other, s"drift integers moved under repartitioning: $one vs $other")
+    // KL(P||M) >= 0 mathematically; the quantized integer sum can sit
+    // at most dim/2 pico below it
+    assert(one.drop(2).forall(_.asInstanceOf[Long] >= -512L),
+      s"KL halves must be non-negative within quantization slack: $one")
+  }
 }

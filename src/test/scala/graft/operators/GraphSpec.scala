@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Graph.pageRankMicro]] — exact-integer PageRank. Hand-derived
+  * closed forms on tiny graphs (the integer arithmetic makes every
+  * expected value computable on paper), plus partition-independence
+  * and the dangling-mass-drop invariant.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int,
+                    parts: Int = 1): Map[String, Long] =
+    Graph.pageRankMicro(edges.toDF("src", "dst").repartition(parts),
+        "src", "dst", iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("a 3-cycle is an exact fixed point of the integer iteration") {
+    // N=3: r0 = 333333333, base = 15e9/300 = 50000000, outdeg 1
+    // contrib = floor(333333333*85/100) = 283333333 -> r1 = r0. Exact.
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a")
+    for (it <- Seq(0, 1, 4)) {
+      val r = ranks(e, it)
+      assert(r == Map("a" -> 333333333L, "b" -> 333333333L, "c" -> 333333333L),
+        s"at $it iterations")
+    }
+  }
+
+  test("star graph: hub accumulates leaf mass; exact hand-computed step") {
+    // hub<->l1, hub<->l2. N=3, r0=333333333, base=50000000.
+    // leaves: 50000000 + floor(333333333*85/200) = 191666666
+    // hub:    50000000 + 2*floor(333333333*85/100) = 616666666
+    val e = Seq("h" -> "l1", "h" -> "l2", "l1" -> "h", "l2" -> "h")
+    val r = ranks(e, 1)
+    assert(r("h") == 616666666L)
+    assert(r("l1") == 191666666L && r("l2") == 191666666L)
+    assert(r("h") > r("l1"))
+  }
+
+  test("dangling nodes drop their out-mass; totals decay monotonically") {
+    // a->b, b dangling. N=2, r0=500000000, base=75000000.
+    // iter1: a = base (no in-edges), b = base + floor(500000000*85/100).
+    val e = Seq("a" -> "b")
+    val r1 = ranks(e, 1)
+    assert(r1 == Map("a" -> 75000000L, "b" -> 500000000L))
+    val totals = (0 to 3).map(it => ranks(e, it).values.sum)
+    assert(totals == totals.sorted.reverse, s"not decaying: $totals")
+  }
+
+  test("duplicate edges collapse: multiplicity never multiplies mass") {
+    val once = ranks(Seq("a" -> "b", "b" -> "a"), 3)
+    val dup = ranks(Seq("a" -> "b", "a" -> "b", "a" -> "b", "b" -> "a"), 3)
+    assert(once == dup)
+  }
+
+  test("partition-independence: identical ranks at any input layout") {
+    val e = (1 to 40).map(i => s"n${i % 7}" -> s"n${(i * 3) % 7}")
+    assert(ranks(e, 3, parts = 1) == ranks(e, 3, parts = 13))
+  }
+
+  test("lineage stays flat across checkpoint boundaries (many iterations run)") {
+    // 12 iterations with checkpointEvery=2 crosses 6 persist/release
+    // cycles; the point is that it RUNS and stays exact, not speed.
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a")
+    val r = Graph.pageRankMicro(e.toDF("src", "dst"), "src", "dst",
+        iterations = 12, checkpointEvery = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 333333333L, "b" -> 333333333L, "c" -> 333333333L))
+  }
+}

@@ -332,4 +332,75 @@ class SamplingSpec extends SparkSpec {
       assert(gated, "a window runs over ungated raw input:\n" + w.toString.take(600))
     }
   }
+
+  test("temperatureQuotas: hand-computed largest-remainder apportionment") {
+    // perfect squares → exact sqrt weights 10:5:2:1 (scaling cancels)
+    val counts = Seq("a" -> 100L, "b" -> 25L, "c" -> 4L, "d" -> 1L)
+    assert(Sampling.temperatureQuotas(counts, 18L) ==
+      Seq("a" -> 10L, "b" -> 5L, "c" -> 2L, "d" -> 1L))
+    // T=10: raw floors 5,2,1,0 rem 10,14,2,10 of 18; leftover 2 bumps
+    // b (rem 14) then a (rem 10, ties d — 'a' < 'd' wins)
+    assert(Sampling.temperatureQuotas(counts, 10L) ==
+      Seq("a" -> 6L, "b" -> 3L, "c" -> 1L, "d" -> 0L))
+    // quota caps at the stratum size; the surplus is NOT redistributed
+    val capped = Sampling.temperatureQuotas(Seq("a" -> 1L, "b" -> 100L), 50L)
+    assert(capped.toMap.apply("a") == 1L)
+    assert(capped.map(_._2).sum < 50L)
+    // alpha < 1 over-represents the low-resource stratum vs proportional
+    val q = Sampling.temperatureQuotas(counts, 10L).toMap
+    assert(q("d").toDouble / 1L >= 0.0 &&
+      q("b").toDouble / 25L > q("a").toDouble / 100L,
+      s"temperature must up-weight low-resource strata: $q")
+    intercept[IllegalArgumentException](
+      Sampling.temperatureQuotas(Seq("a" -> 1L, "a" -> 2L), 5L))
+  }
+
+  test("temperatureMixture: kept set == per-stratum smallest digests, exactly quota-many") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed: g0 dominates; prefixLen=1 forces real prefix boundaries
+    val df = (0 until 900).map(i => (i.toLong, if (i < 700) "g0" else s"g${1 + i % 2}"))
+      .toDF("id", "grp")
+    val kept = Sampling.temperatureMixture(df, "id", "grp", totalTarget = 120L,
+      prefixLen = 1)
+    val counts = df.groupBy("grp").count().as[(String, Long)].collect().toSeq
+    val quotas = Sampling.temperatureQuotas(counts, 120L).toMap
+    // naive reference: rank by (md5 digest, id) within each stratum
+    val w = Window.partitionBy("grp")
+      .orderBy(md5(concat(lit("graft"), col("id").cast("string"))), col("id"))
+    val want = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quotas.foldLeft(lit(0L)) { case (acc, (g, q)) =>
+        when(col("grp") === g, lit(q)).otherwise(acc) })
+      .select("id").as[Long].collect().toSet
+    val got = kept.select("id").as[Long].collect().toSet
+    assert(got == want, s"kept set diverged (got ${got.size}, want ${want.size})")
+    val perG = kept.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(perG == quotas.filter(_._2 > 0), s"per-stratum sizes: $perG vs $quotas")
+  }
+
+  test("temperatureMixture: partition-independent; null strata dropped; windows gated") {
+    import spark.implicits._
+    val base = (0 until 300).map(i =>
+      (i.toLong, if (i % 29 == 0) null else s"s${i % 4}")).toDF("id", "grp")
+    def ids(parts: Int) = Sampling.temperatureMixture(
+        base.repartition(parts), "id", "grp", 80L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids(1) == ids(17), "membership moved under repartitioning")
+    assert(Sampling.temperatureMixture(base.filter(col("grp").isNull),
+      "id", "grp", 10L).count() == 0L)
+    // skew-safety: every window sits above an Aggregate or a Filter,
+    // never over the raw input
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Window => LWindow}
+    val plan = Sampling.temperatureMixture(base, "id", "grp", 80L)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val gated = w.child.collectFirst {
+        case f: Filter => f
+        case a: Aggregate => a
+      }.isDefined
+      assert(gated, "a window runs over ungated raw input:\n" + w.toString.take(600))
+    }
+  }
 }
