@@ -2062,7 +2062,24 @@ object SparkEntry {
         docs.filter(col("lang") === "en").select("text"),
         docs.filter(col("lang") =!= "en").select("text"),
         "text", dim = 4096)
-    })
+    }),
+
+    // Unaligned exact-substring dedup (Lee et al. 2021 semantics at
+    // word granularity, k=3 so the 31-term synthetic vocabulary
+    // actually collides): any 3-token window seen earlier in the
+    // corpus — (doc_id, pos) order — is a repeat, covered positions
+    // drop, first copies survive verbatim. The engine shuffles 8-byte
+    // gram hashes; the oracle keys by the gram strings themselves, so
+    // a hash-vs-content divergence (collision or kernel drift) fails
+    // the gate. Output pins the rebuilt text by md5 plus the exact
+    // drop count per doc.
+    "q98_substring_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.dedupSubstrings(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", k = 3)
+        .select(col("doc_id"), md5(col("text")).as("kept_md5"),
+          col("n_dropped"))
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------------
@@ -4033,6 +4050,49 @@ object SparkEntry {
                 CAST(sum(ka) AS BIGINT) AS kl_a_pico,
                 CAST(sum(kb) AS BIGINT) AS kl_b_pico,
                 CAST(sum(ka) + sum(kb) AS BIGINT) AS js2_pico
-         FROM q""")
+         FROM q"""),
+
+    // q98: the whole unaligned-substring pipeline re-derived keyed by
+    // gram STRINGS — first occurrence via row_number over (doc_id,
+    // pos), coverage = repeated window start + 0..k-1, survivors
+    // reassembled from the ORIGINAL-case tokens in position order
+    // (the engine hashes lowercased grams but splices original
+    // tokens; whitespace splits are case-invariant so positions
+    // align).
+    "q98_substring_dedup" ->
+      """WITH wl AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> len(t) > 0) AS ws,
+                  list_filter(string_split_regex(text, '\s+'),
+                              t -> len(t) > 0) AS wso
+           FROM documents),
+         g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS pos, ws
+               FROM wl WHERE len(ws) >= 3),
+         gr AS (SELECT doc_id, pos,
+                       array_to_string(list_slice(ws, pos, pos + 2), ' ') AS gram
+                FROM g),
+         rep AS (SELECT doc_id, pos FROM (
+                   SELECT doc_id, pos,
+                          row_number() OVER (PARTITION BY gram
+                                             ORDER BY doc_id, pos) AS rn
+                   FROM gr) WHERE rn > 1),
+         cov AS (SELECT DISTINCT rep.doc_id, rep.pos + r.range AS cp
+                 FROM rep, range(0, 3) r),
+         tk AS (SELECT doc_id, pos, wso[pos] AS tkn FROM (
+                  SELECT doc_id, unnest(range(1, len(wso) + 1)) AS pos, wso
+                  FROM wl)),
+         sel AS (SELECT t.doc_id, t.pos, t.tkn, (c.cp IS NOT NULL) AS dr
+                 FROM tk t LEFT JOIN cov c
+                   ON c.doc_id = t.doc_id AND c.cp = t.pos),
+         agg AS (SELECT doc_id,
+                   coalesce(string_agg(tkn, ' ' ORDER BY pos)
+                            FILTER (WHERE NOT dr), '') AS kept,
+                   CAST(count(*) FILTER (WHERE dr) AS BIGINT) AS n_dropped
+                 FROM sel GROUP BY doc_id)
+         SELECT d.doc_id, md5(coalesce(a.kept, '')) AS kept_md5,
+                CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id"""
   )
 }

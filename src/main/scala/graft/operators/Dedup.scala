@@ -197,6 +197,123 @@ object Dedup {
           " ").as("text"))
   }
 
+  /** Positional k-word-gram hashes of the lower/\s+ tokenization:
+    * entry `i` (0-based) is the mix64∘FNV-1a hash of tokens
+    * `i..i+k-1` joined by a single space, lowercased per char — the
+    * [[Dsir.gramBuckets]] bigram hash generalized to k words, so a
+    * SQL oracle can key by the gram STRING (equality of grams ==
+    * equality of hashes, modulo 2^-64 collisions). One JVM pass, no
+    * intermediate strings. */
+  private[operators] def positionalGramHashes(text: String, k: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val starts = Array.newBuilder[Int]
+    val ends = Array.newBuilder[Int]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Sketches.isRegexWs(text.charAt(i))) i += 1
+      val s = i
+      while (i < n && !Sketches.isRegexWs(text.charAt(i))) i += 1
+      if (i > s) { starts += s; ends += i }
+    }
+    val st = starts.result(); val en = ends.result()
+    val m = st.length
+    if (m < k) return Array.emptyLongArray
+    val out = new Array[Long](m - k + 1)
+    var w = 0
+    while (w <= m - k) {
+      var h = 0xcbf29ce484222325L
+      var t = 0
+      while (t < k) {
+        if (t > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        var j = st(w + t)
+        val e = en(w + t)
+        while (j < e) {
+          h ^= Character.toLowerCase(text.charAt(j)).toLong
+          h *= 0x100000001b3L
+          j += 1
+        }
+        t += 1
+      }
+      out(w) = Sketches.mix64(h)
+      w += 1
+    }
+    out
+  }
+
+  /** UNALIGNED exact-substring dedup — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * semantics at word granularity: any k-token window whose content
+    * already occurred earlier in the corpus (first occurrence = the
+    * lexicographically least `(doc_id, pos)` holding that gram; ties
+    * impossible) is a REPEAT, and every token position covered by at
+    * least one repeated window is dropped. The first copy of a
+    * duplicated run survives verbatim — including within a single
+    * document, so self-repetition ("a b c a b c", k=3) collapses too.
+    * Complements [[dedupSpans]], which only sees k-aligned segment
+    * boundaries. Output `(doc_id, text, n_dropped)` with surviving
+    * tokens joined by single spaces (inter-token whitespace is
+    * normalized; token case/punctuation preserved). Removal is not
+    * idempotent by nature: splicing survivors can mint new adjacent
+    * k-grams — run to fixpoint if that matters.
+    *
+    * Scale shape: one kernel pass emits positional gram hashes (the
+    * 8-byte hash is the shuffle key, never the gram text); first
+    * occurrences are a `min(struct(doc_id, pos))` hash-keyed
+    * aggregate with map-side combine; the join back reuses the same
+    * key; coverage explodes k positions per REPEATED window only,
+    * then aggregates per doc (a covered-position set is bounded by
+    * document length). No window functions over the corpus, nothing
+    * driver-side. Battery q98 replays the whole pipeline in DuckDB
+    * keyed by the gram strings themselves.
+    */
+  def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    require(k >= 2, s"window width must be >= 2, got $k")
+    val gramsUdf = udf { (text: String) => positionalGramHashes(text, k) }
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    val grams = base.select(col("doc_id"),
+        posexplode(gramsUdf(col("__text"))).as(Seq("__p0", "__h")))
+      .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("__h"))
+    val first = grams.groupBy("__h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__f"))
+    val covered = grams.join(first, "__h")
+      .filter(!(col("doc_id") === col("__f.doc_id") &&
+        col("pos") === col("__f.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      .groupBy("doc_id").agg(collect_set(col("cp")).as("__cov"))
+    val rebuild = udf { (text: String, cov: Seq[Int]) =>
+      val covSet = cov.toSet
+      val sb = new java.lang.StringBuilder
+      var dropped = 0
+      var pos = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        while (i < n && Sketches.isRegexWs(text.charAt(i))) i += 1
+        val s = i
+        while (i < n && !Sketches.isRegexWs(text.charAt(i))) i += 1
+        if (i > s) {
+          pos += 1
+          if (covSet.contains(pos)) dropped += 1
+          else {
+            if (sb.length > 0) sb.append(' ')
+            sb.append(text, s, i)
+          }
+        }
+      }
+      (sb.toString, dropped.toLong)
+    }
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        rebuild(col("__text"),
+          coalesce(col("__cov"), array().cast("array<int>"))).as("r"))
+      .select(col("doc_id"), col("r._1").as("text"),
+        col("r._2").as("n_dropped"))
+  }
+
   // ---------------------------------------------------------- MinHash
 
   /** Scala-UDF sketch column: struct(sig, bands, shingles), one JVM pass

@@ -309,4 +309,43 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.dedupSpans(docs, "doc_id", "text", k = 0))
   }
+
+  test("dedupSubstrings: unaligned repeats drop, first copies survive, case preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z w"),          // all first occurrences
+      (2L, "q x y z r"),        // "x y z" at pos 2 repeats doc 1 pos 1
+      (3L, "a b c a b c"),      // self-repeat: window at pos 4 == pos 1
+      (4L, "A B C d"),          // hashes lowercase-equal to doc 3's run…
+      (5L, "t u"),              // shorter than k: untouched
+      (6L, "")                  // empty: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("x y z w", 0L)))
+    // doc 2: repeated window at pos 2 covers 2,3,4 → "q" and "r" survive
+    assert(got(2L) == (("q r", 3L)))
+    // doc 3: window pos 4 ("a b c") repeats pos 1 → 4,5,6 drop
+    assert(got(3L) == (("a b c", 3L)))
+    // doc 4: "A B C" == "a b c" (doc 3 pos 1 is first) → 1,2,3 drop;
+    // surviving token keeps ORIGINAL case
+    assert(got(4L) == (("d", 3L)))
+    assert(got(5L) == (("t u", 0L)))
+    assert(got(6L) == (("", 0L)))
+  }
+
+  test("dedupSubstrings: partition-independent; winner election is an agg, not a window") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    def run(parts: Int) = Dedup.dedupSubstrings(docs.repartition(parts),
+        "doc_id", "text", k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(run(1) == run(13), "kept text moved under repartitioning")
+    val plan = Dedup.dedupSubstrings(docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "first-occurrence election grew a window:\n" +
+      plan.take(600))
+    intercept[IllegalArgumentException](
+      Dedup.dedupSubstrings(docs, "doc_id", "text", k = 1))
+  }
 }
