@@ -2079,7 +2079,44 @@ object SparkEntry {
           "doc_id", "text", k = 3)
         .select(col("doc_id"), md5(col("text")).as("kept_md5"),
           col("n_dropped"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // q97's STREAMED sibling: per-lang gram-bucket counts maintained
+    // from a 3-batch document stream through the batch-id-ledgered
+    // staged swap (the q93 discipline — count merges are not
+    // idempotent), then the drift served OFF THE STATE: slice, re-sum
+    // by bucket, same pico arithmetic. The oracle is q97's verbatim —
+    // streamed state must answer exactly like the one-shot pass.
+    "q99_stream_drift" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tag = docsTag(s, dir)
+      val state = s"graft_q99_drift_$tag"
+      if (!s.catalog.tableExists(state)) {
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+          .as[(Long, String, String)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String)]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q99_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingDriftCounts(
+          mem.toDF().toDF("doc_id", "lang", "text"), "lang", "text",
+          state, ckpt, dim = 4096)
+        try {
+          docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.catalog.refreshTable(state)
+      }
+      val st = s.table(state)
+      graft.operators.Dsir.jsDivergencePicoFromCounts(
+        st.filter(col("lang") === "en")
+          .groupBy("bucket").agg(sum("cnt").as("cnt")),
+        st.filter(col("lang") =!= "en")
+          .groupBy("bucket").agg(sum("cnt").as("cnt")),
+        dim = 4096)
+    })
   )
 
   // ------------------------------------------------------------------
@@ -2197,6 +2234,39 @@ object SparkEntry {
                   FROM m4),
            gb AS (SELECT gram, CAST(xor(z, z // 2147483648) % 4096 AS INTEGER) AS bucket FROM m5),
            gr AS (SELECT g.doc_id, gb.bucket FROM grams g JOIN gb USING (gram))"""
+
+  /** Shared q97/q99 drift oracle: per-slice add-1-smoothed bucket
+    * distributions over [[GramBucketCte]]'s feature space and the
+    * exact pico-quantized midpoint-KL sums — q99's streamed state
+    * must answer exactly like q97's one-shot computation. */
+  private val JsDriftOracleSql = GramBucketCte +
+    """,
+           ac AS (SELECT gr.bucket, count(1) AS c
+                  FROM gr JOIN documents d USING (doc_id)
+                  WHERE d.lang = 'en' GROUP BY gr.bucket),
+           bc AS (SELECT gr.bucket, count(1) AS c
+                  FROM gr JOIN documents d USING (doc_id)
+                  WHERE d.lang <> 'en' GROUP BY gr.bucket),
+           tot AS (SELECT
+                     coalesce((SELECT sum(c) FROM ac), 0) AS ta,
+                     coalesce((SELECT sum(c) FROM bc), 0) AS tb),
+           per AS (SELECT
+                     CAST(coalesce(a.c, 0) + 1 AS DOUBLE) / (tot.ta + 4096) AS ma,
+                     CAST(coalesce(b.c, 0) + 1 AS DOUBLE) / (tot.tb + 4096) AS mb
+                   FROM (SELECT unnest(range(4096)) AS bk) bb
+                   CROSS JOIN tot
+                   LEFT JOIN ac a ON a.bucket = bb.bk
+                   LEFT JOIN bc b ON b.bucket = bb.bk),
+           q AS (SELECT
+                   CAST(floor(ma * ln(2.0 * ma / (ma + mb)) * 1000000000000.0 + 0.5) AS BIGINT) AS ka,
+                   CAST(floor(mb * ln(2.0 * mb / (ma + mb)) * 1000000000000.0 + 0.5) AS BIGINT) AS kb
+                 FROM per)
+         SELECT (SELECT CAST(ta AS BIGINT) FROM tot) AS grams_a,
+                (SELECT CAST(tb AS BIGINT) FROM tot) AS grams_b,
+                CAST(sum(ka) AS BIGINT) AS kl_a_pico,
+                CAST(sum(kb) AS BIGINT) AS kl_b_pico,
+                CAST(sum(ka) + sum(kb) AS BIGINT) AS js2_pico
+         FROM q"""
 
   private val TokenHashCte =
     """WITH RECURSIVE
@@ -4023,34 +4093,11 @@ object SparkEntry {
     // terms (every op correctly rounded except ln, whose ≤1-ulp
     // spread is ~4 orders under the pico quantization step), and
     // exact integer pico sums.
-    "q97_js_drift" -> (GramBucketCte +
-      """,
-           ac AS (SELECT gr.bucket, count(1) AS c
-                  FROM gr JOIN documents d USING (doc_id)
-                  WHERE d.lang = 'en' GROUP BY gr.bucket),
-           bc AS (SELECT gr.bucket, count(1) AS c
-                  FROM gr JOIN documents d USING (doc_id)
-                  WHERE d.lang <> 'en' GROUP BY gr.bucket),
-           tot AS (SELECT
-                     coalesce((SELECT sum(c) FROM ac), 0) AS ta,
-                     coalesce((SELECT sum(c) FROM bc), 0) AS tb),
-           per AS (SELECT
-                     CAST(coalesce(a.c, 0) + 1 AS DOUBLE) / (tot.ta + 4096) AS ma,
-                     CAST(coalesce(b.c, 0) + 1 AS DOUBLE) / (tot.tb + 4096) AS mb
-                   FROM (SELECT unnest(range(4096)) AS bk) bb
-                   CROSS JOIN tot
-                   LEFT JOIN ac a ON a.bucket = bb.bk
-                   LEFT JOIN bc b ON b.bucket = bb.bk),
-           q AS (SELECT
-                   CAST(floor(ma * ln(2.0 * ma / (ma + mb)) * 1000000000000.0 + 0.5) AS BIGINT) AS ka,
-                   CAST(floor(mb * ln(2.0 * mb / (ma + mb)) * 1000000000000.0 + 0.5) AS BIGINT) AS kb
-                 FROM per)
-         SELECT (SELECT CAST(ta AS BIGINT) FROM tot) AS grams_a,
-                (SELECT CAST(tb AS BIGINT) FROM tot) AS grams_b,
-                CAST(sum(ka) AS BIGINT) AS kl_a_pico,
-                CAST(sum(kb) AS BIGINT) AS kl_b_pico,
-                CAST(sum(ka) + sum(kb) AS BIGINT) AS js2_pico
-         FROM q"""),
+    "q97_js_drift" -> JsDriftOracleSql,
+
+    // q99: the STREAMED drift state must answer exactly like the
+    // one-shot q97 computation — same oracle, verbatim.
+    "q99_stream_drift" -> JsDriftOracleSql,
 
     // q98: the whole unaligned-substring pipeline re-derived keyed by
     // gram STRINGS — first occurrence via row_number over (doc_id,

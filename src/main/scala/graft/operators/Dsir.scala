@@ -165,11 +165,34 @@ object Dsir {
     * `(grams_a, grams_b, kl_a_pico, kl_b_pico, js2_pico)`.
     */
   def jsDivergencePico(a: DataFrame, b: DataFrame, textCol: String,
-                       dim: Int): DataFrame = {
+                       dim: Int): DataFrame =
+    jsDivergencePicoFromCounts(bucketCounts(a, textCol, dim),
+      bucketCounts(b, textCol, dim), dim)
+
+  /** Per-(group, bucket) gram counts — the MERGEABLE drift state:
+    * counts add under union, so per-slice distributions can be
+    * maintained from a stream (see
+    * [[graft.streaming.Maintenance.streamingDriftCounts]]) and
+    * history is never re-read. One corpus pass; ≤ |groups|·dim rows
+    * out, map-side combine. */
+  def bucketCountsBy(docs: DataFrame, groupCol: String, textCol: String,
+                     dim: Int): DataFrame = {
     requirePow2(dim)
-    val spark = a.sparkSession
-    val ca = bucketCounts(a, textCol, dim).withColumnRenamed("cnt", "__ca")
-    val cb = bucketCounts(b, textCol, dim).withColumnRenamed("cnt", "__cb")
+    val kernel = udf { (text: String) => gramBuckets(text, dim) }
+    docs.select(col(groupCol), explode(kernel(col(textCol))).as("bucket"))
+      .groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[jsDivergencePico]] over pre-aggregated `(bucket, cnt)` count
+    * frames — the serve path off maintained drift state (filter the
+    * state to a slice, re-sum by bucket, feed here). Identical
+    * arithmetic, identical result. */
+  def jsDivergencePicoFromCounts(countsA: DataFrame, countsB: DataFrame,
+                                 dim: Int): DataFrame = {
+    requirePow2(dim)
+    val spark = countsA.sparkSession
+    val ca = countsA.select(col("bucket"), col("cnt").as("__ca"))
+    val cb = countsB.select(col("bucket"), col("cnt").as("__cb"))
     val ta = ca.agg(coalesce(sum("__ca"), lit(0L)).as("__ta"))
     val tb = cb.agg(coalesce(sum("__cb"), lit(0L)).as("__tb"))
     val per = spark.range(dim).select(col("id").cast("int").as("bucket"))

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import graft.operators.Rollup
 import graft.sources.{Lake, Warehouse}
 
@@ -132,6 +133,42 @@ object Maintenance {
             batch.toDF(), groupCol, textCol, k, capacity)
           refreshLedgered(batch.sparkSession, stateTable, incr, batchId)(
             graft.operators.Telemetry.merge(_, _, groupCol, k, capacity))
+          ()
+        }
+      }
+      .start()
+
+  /** Keep per-group hashed-gram bucket counts
+    * ([[graft.operators.Dsir.bucketCountsBy]]) continuously merged
+    * from a document stream — the live state behind the JS-divergence
+    * drift monitor: at any time, filter the state to two slices,
+    * re-sum by bucket, and feed
+    * [[graft.operators.Dsir.jsDivergencePicoFromCounts]] — equal to
+    * the one-shot computation over everything delivered so far
+    * (battery q99 pins the streamed state against the q97 oracle).
+    * Counts ADD on merge (not idempotent), so the increment rides the
+    * same batch-id ledger as [[streamingTelemetry]]; state is
+    * ≤ |groups|·dim rows regardless of corpus size. */
+  def streamingDriftCounts(stream: DataFrame, groupCol: String,
+                           textCol: String, stateTable: String,
+                           checkpoint: String, dim: Int = 4096): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val incr = graft.operators.Dsir.bucketCountsBy(
+            batch.toDF(), groupCol, textCol, dim)
+          refreshLedgered(batch.sparkSession, stateTable, incr, batchId) {
+            (st, inc) =>
+              val s2 = st.select(col(groupCol), col("bucket"),
+                col("cnt").as("__sc"))
+              val i2 = inc.select(col(groupCol), col("bucket"),
+                col("cnt").as("__ic"))
+              s2.join(i2, Seq(groupCol, "bucket"), "full_outer")
+                .select(col(groupCol), col("bucket"),
+                  (coalesce(col("__sc"), lit(0L)) +
+                    coalesce(col("__ic"), lit(0L))).as("cnt"))
+          }
           ()
         }
       }

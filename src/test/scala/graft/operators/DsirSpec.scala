@@ -143,4 +143,28 @@ class DsirSpec extends SparkSpec {
     assert(one.drop(2).forall(_.asInstanceOf[Long] >= -512L),
       s"KL halves must be non-negative within quantization slack: $one")
   }
+
+  test("bucketCountsBy state merges: split-and-sum == one-shot; FromCounts == text form") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dim = 1024
+    // merge algebra: per-(group, bucket) counts of two halves ADD to
+    // the one-shot counts — the streaming-state invariant
+    val whole = Dsir.bucketCountsBy(docs, "lang", "text", dim)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val h1 = Dsir.bucketCountsBy(docs.filter(col("doc_id") % 2 === 0), "lang", "text", dim)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val h2 = Dsir.bucketCountsBy(docs.filter(col("doc_id") % 2 === 1), "lang", "text", dim)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val summed = (h1.keySet ++ h2.keySet).map(k =>
+      k -> (h1.getOrElse(k, 0L) + h2.getOrElse(k, 0L))).toMap
+    assert(summed == whole, "split counts failed to add up to the one-shot state")
+    // the counts-serve path equals the text path bit-for-bit
+    val en = docs.filter(col("lang") === "en").select("text")
+    val rest = docs.filter(col("lang") =!= "en").select("text")
+    val viaText = Dsir.jsDivergencePico(en, rest, "text", dim).head().toSeq
+    val viaCounts = Dsir.jsDivergencePicoFromCounts(
+      Dsir.bucketCounts(en, "text", dim),
+      Dsir.bucketCounts(rest, "text", dim), dim).head().toSeq
+    assert(viaText == viaCounts, s"serve paths diverged: $viaText vs $viaCounts")
+  }
 }
