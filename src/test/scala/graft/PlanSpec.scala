@@ -144,11 +144,19 @@ class PlanSpec extends SparkSpec {
     Seq("q22_minhash_dedup", "q25_knn_join", "q31_ngram_jaccard",
       "q33_lsh_topk", "q33b_lsh_multiprobe", "q34_embedding_dedup",
       "q35_ivf_topk", "q56_winnow_pairs", "q57_drop_near_dups",
-      "q86_retrieval_eval").foreach { q =>
+      "q86_retrieval_eval", "q98_substring_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")
     }
+  }
+
+  test("q95: PageRank steps are joins + partial-combined SUM exchanges, no cartesian") {
+    val p = plan("q95_pagerank")
+    assert(!p.contains("CartesianProduct"), "PageRank grew a cartesian")
+    assert(!p.contains("Window"), "PageRank ranks through a window")
+    // the per-iteration dst aggregation must combine map-side
+    assert(p.contains("partial_sum"), "contribution SUM lost its map-side combine")
   }
 
   test("q33: one corpus scan, scoring inside the broadcast bucket join") {
