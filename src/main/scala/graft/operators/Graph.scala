@@ -54,9 +54,15 @@ object Graph {
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
 
+    // e pinned to HashPartitioning(src), nodes/outdeg/ranks to
+    // HashPartitioning(node) — every per-iteration join then satisfies
+    // its required distribution from the persisted layout, leaving the
+    // dst-keyed contribution SUM as the ONE exchange per step (the
+    // canonical distributed-PageRank shape).
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .na.drop().distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
