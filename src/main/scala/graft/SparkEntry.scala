@@ -2127,6 +2127,26 @@ object SparkEntry {
         st.filter(col("lang") =!= "en")
           .groupBy("bucket").agg(sum("cnt").as("cnt")),
         dim = 4096)
+    }),
+
+    // Snapshot audit: deterministic churn (every 7th doc removed,
+    // every surviving 5th edited, ids < 40 re-minted as new docs)
+    // diffed per document — one id-keyed full-outer join of (id,
+    // digest, length) triples, never of bodies — and rolled up per
+    // status with id/char checksums pinning the exact membership.
+    "q100_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val v2 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      graft.operators.Corpus.snapshotDiff(docs, v2, "doc_id", "text")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          sum("chars_a").as("chars_a"), sum("chars_b").as("chars_b"))
+        .orderBy("status")
     })
   )
 
@@ -4152,6 +4172,30 @@ object SparkEntry {
          SELECT d.doc_id, md5(coalesce(a.kept, '')) AS kept_md5,
                 CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
          FROM documents d LEFT JOIN agg a USING (doc_id)
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    // q100: the same deterministic churn and the same diff rule in
+    // relational form — presence decides added/removed, digest
+    // equality decides changed/unchanged.
+    "q100_snapshot_diff" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 500000, text FROM documents WHERE doc_id < 40),
+         d AS (
+           SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                  CASE WHEN a.doc_id IS NULL THEN 'added'
+                       WHEN b.doc_id IS NULL THEN 'removed'
+                       WHEN md5(a.text) IS NOT DISTINCT FROM md5(b.text)
+                         THEN 'unchanged'
+                       ELSE 'changed' END AS status,
+                  coalesce(length(a.text), 0) AS ca,
+                  coalesce(length(b.text), 0) AS cb
+           FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+         SELECT status, count(1) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                CAST(sum(ca) AS BIGINT) AS chars_a, CAST(sum(cb) AS BIGINT) AS chars_b
+         FROM d GROUP BY status ORDER BY status"""
   )
 }

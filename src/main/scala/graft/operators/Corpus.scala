@@ -77,4 +77,36 @@ object Corpus {
     Dedup.streamingExact(
       signalGates(df, textCol, langs, minQuality, maxDupTokenFraction),
       textCol, tsCol, watermark)
+
+  /** Per-document diff between two corpus snapshots — the audit pass a
+    * versioned corpus runs before shipping a refresh ("what did this
+    * crawl actually change?"): `(doc_id, status, chars_a, chars_b)`
+    * with `status` ∈ `added` (only in `b`), `removed` (only in `a`),
+    * `changed` (both, text differs), `unchanged`. Content equality is
+    * md5-of-text (NULL text hashes as NULL and compares null-safely,
+    * so a text going NULL↔non-NULL is `changed`). One id-keyed
+    * full-outer join; per-doc digests ride the scan projection — at
+    * any corpus size this is one shuffle of (id, digest, length)
+    * triples, never of document bodies. Compose with
+    * [[Dsir.jsDivergencePico]] for the distributional half of the
+    * audit (battery q97) — q100 gates both the per-status membership
+    * and the char deltas. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    // presence flags, NOT the hashes, decide added/removed — a NULL
+    // text yields a NULL digest but the row still EXISTS on its side
+    def prep(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+        md5(col(textCol)).as(s"__h$tag"),
+        length(col(textCol)).as(s"chars_$tag"),
+        lit(true).as(s"__p$tag"))
+    prep(a, "a").join(prep(b, "b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__pa").isNull, lit("added"))
+          .when(col("__pb").isNull, lit("removed"))
+          .when(col("__ha") <=> col("__hb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("chars_a"), lit(0)).as("chars_a"),
+        coalesce(col("chars_b"), lit(0)).as("chars_b"))
+  }
 }

@@ -54,25 +54,30 @@ object Graph {
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
 
-    // e pinned to HashPartitioning(src), nodes/outdeg/ranks to
-    // HashPartitioning(node) — every per-iteration join then satisfies
-    // its required distribution from the persisted layout, leaving the
-    // dst-keyed contribution SUM as the ONE exchange per step (the
-    // canonical distributed-PageRank shape).
-    val e = edges.select(col(srcCol).cast("string").as("src"),
+    // The out-degree is a static property of the source node, so it is
+    // folded INTO the persisted edge list once (src, dst, __od) rather
+    // than re-joined every step. With e pinned to HashPartitioning(src)
+    // and nodes/ranks to HashPartitioning(node), every per-iteration
+    // join satisfies its required distribution from the persisted
+    // layout, leaving the dst-keyed contribution SUM as the ONE
+    // exchange per step — the canonical distributed-PageRank shape.
+    val dedup = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .na.drop().distinct()
-      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy(col("src").as("node"))
+    val outdeg = dedup.groupBy(col("src").as("__on"))
       .agg(count(lit(1)).as("__od"))
+    val e = dedup.join(outdeg, dedup("src") === outdeg("__on"))
+      .select(col("src"), col("dst"), col("__od"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dedup.select(col("src").as("node"))
+      .union(dedup.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val n = nodes.count()
     require(n > 0, "pageRankMicro needs a non-empty edge list")
+    e.count() // materialize BEFORE releasing the frame it reads
+    dedup.unpersist()
     val base = scale * (dampDen - dampNum) / (dampDen * n)
     val r0 = scale / n
 
@@ -80,8 +85,8 @@ object Graph {
     var persisted: Option[DataFrame] = None
     var i = 0
     while (i < iterations) {
+      // dangling nodes have no e row — their out-mass drops here
       val contribs = ranks
-        .join(outdeg, "node") // dangling nodes drop their out-mass here
         .join(e, ranks("node") === e("src"))
         .select(col("dst").as("node"),
           // `div`, not `/`: Column./ is DOUBLE division, whose

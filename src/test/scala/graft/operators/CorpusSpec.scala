@@ -84,4 +84,23 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_.length).toSeq == Seq(3))
     assert(out.head.getString(1) == "web")
   }
+
+  test("snapshotDiff: presence decides added/removed, digests decide changed, NULLs compare null-safely") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone"),
+        (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]),
+        (7L, "was text")).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new"), (4L, "fresh"),
+        (5L, null.asInstanceOf[String]), (6L, "now text"),
+        (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(a, b, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed", 7L -> "changed"),
+      s"statuses wrong: $got")
+    // char totals: NULL text counts 0, present text counts its length
+    val chars = Corpus.snapshotDiff(a, b, "doc_id", "text")
+      .filter(col("doc_id") === 6L).head()
+    assert(chars.getInt(2) == 0 && chars.getInt(3) == "now text".length)
+  }
 }
