@@ -2147,6 +2147,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
           sum("chars_a").as("chars_a"), sum("chars_b").as("chars_b"))
         .orderBy("status")
+    }),
+
+    // Boilerplate line removal under injected noise: a header and a
+    // footer on EVERY doc (df = 100% > 60% → dropped, all
+    // occurrences) and a 'subscribe now' line on every second doc
+    // (df = 50% < 60% → kept) — the C4-style line-frequency filter
+    // with the threshold demonstrably live in both directions. Body
+    // lines are whole original texts (their exact-dup df is far below
+    // the bar). Output pins the rebuilt text by md5 + drop counts.
+    "q101_boilerplate_lines" -> ((s, dir) => {
+      val noisy = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("COOKIE NOTICE\n"), col("text"),
+          lit("\nfooter: (c) example"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("\nsubscribe now"))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.Dedup.dropBoilerplateLines(noisy, "doc_id", "text",
+          maxDocFraction = 0.6)
+        .select(col("doc_id"), md5(col("text")).as("kept_md5"),
+          col("n_dropped"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4196,6 +4216,36 @@ object SparkEntry {
            FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
          SELECT status, count(1) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
                 CAST(sum(ca) AS BIGINT) AS chars_a, CAST(sum(cb) AS BIGINT) AS chars_b
-         FROM d GROUP BY status ORDER BY status"""
+         FROM d GROUP BY status ORDER BY status""",
+
+    // q101: the line-frequency filter replayed keyed by the trimmed
+    // line strings — same injected noise, df over DISTINCT docs,
+    // empty keys exempt, all occurrences of a boilerplate line drop,
+    // survivors rejoined by \n in position order.
+    "q101_boilerplate_lines" ->
+      """WITH t2 AS (
+           SELECT doc_id,
+                  'COOKIE NOTICE' || chr(10) || text || chr(10) ||
+                  'footer: (c) example' ||
+                  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe now'
+                       ELSE '' END AS text
+           FROM documents),
+         wl AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t2),
+         ln AS (SELECT doc_id, pos, ls[pos] AS line, trim(ls[pos]) AS k
+                FROM (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls
+                      FROM wl)),
+         nn AS (SELECT count(1) AS n FROM t2),
+         dfl AS (SELECT k, count(DISTINCT doc_id) AS df FROM ln
+                 WHERE k <> '' GROUP BY k),
+         boiler AS (SELECT k FROM dfl CROSS JOIN nn
+                    WHERE df >= 2 AND df > n * 0.6),
+         agg AS (SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE k NOT IN (SELECT k FROM boiler)), '') AS kept,
+                   CAST(count(*) FILTER (WHERE k IN (SELECT k FROM boiler)) AS BIGINT)
+                     AS n_dropped
+                 FROM ln GROUP BY doc_id)
+         SELECT doc_id, md5(kept) AS kept_md5, n_dropped
+         FROM agg ORDER BY doc_id"""
   )
 }

@@ -197,6 +197,59 @@ object Dedup {
           " ").as("text"))
   }
 
+  /** Boilerplate LINE removal — the C4/RefinedWeb line-frequency
+    * filter: a (trimmed, non-empty) line occurring in more than
+    * `maxDocFraction` of documents (and at least `minDocs` of them)
+    * is boilerplate — cookie banners, nav headers, subscribe footers —
+    * and EVERY occurrence is dropped, unlike [[dedupSubstrings]]'
+    * keep-first rule, because boilerplate is noise in its first copy
+    * too. Empty/whitespace lines are never counted or dropped (they
+    * are document structure). Trimming applies to the KEY only;
+    * surviving lines keep their original bytes, rejoined by `\n`
+    * (dropped lines leave no placeholder). Output
+    * `(doc_id, text, n_dropped)`.
+    *
+    * Scale shape: one scan explodes lines with positions; document
+    * frequencies aggregate over DISTINCT (line, doc) with map-side
+    * combine; the boilerplate set is tiny by construction — at most
+    * `avg_lines_per_doc / maxDocFraction` distinct lines can exceed
+    * the threshold — so it broadcasts back as a flag join, and
+    * reassembly is one doc-grain aggregation (the [[dedupSpans]]
+    * collect-sort pattern). The line STRING is the shuffle key so the
+    * correctness gate is collision-free (battery q101 replays it by
+    * string); swap in a 128-bit fingerprint at extreme scale, same
+    * plan. */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                           maxDocFraction: Double = 0.5,
+                           minDocs: Int = 2): DataFrame = {
+    require(maxDocFraction > 0 && maxDocFraction <= 1,
+      s"maxDocFraction must be in (0, 1], got $maxDocFraction")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    val lines = base.select(col("doc_id"),
+        posexplode(split(col("__text"), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("__k", trim(col("line")))
+    val nDocs = base.agg(count(lit(1)).as("__n"))
+    val boiler = lines.filter(col("__k") =!= "")
+      .select(col("doc_id"), col("__k")).distinct()
+      .groupBy("__k").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") >= minDocs &&
+        col("__df") > col("__n") * maxDocFraction)
+      .select(col("__k"), lit(true).as("__b"))
+    lines.join(broadcast(boiler), Seq("__k"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__b").isNull, struct(col("pos"), col("line"))))),
+            e => e("line")),
+          "\n").as("text"))
+      .select(col("doc_id"), col("text"), col("n_dropped"))
+  }
+
   /** Positional k-word-gram hashes of the lower/\s+ tokenization:
     * entry `i` (0-based) is the mix64∘FNV-1a hash of tokens
     * `i..i+k-1` joined by a single space, lowercased per char — the

@@ -10,7 +10,7 @@ class SparkEntrySpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    assert(qs.forall(_.matches("q\\d{2}[a-z]?_[a-z0-9_]+")), qs.mkString(","))
+    assert(qs.forall(_.matches("q\\d{2,3}[a-z]?_[a-z0-9_]+")), qs.mkString(","))
   }
 
   test("every query runs and yields rows at sf0.001") {

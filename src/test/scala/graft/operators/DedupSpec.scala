@@ -334,6 +334,33 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) == (("", 0L)))
   }
 
+  test("dropBoilerplateLines: high-df lines drop everywhere, threshold and empties respected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HEADER\nbody one\nHEADER\n\npromo"),  // in-doc repeat of HEADER
+      (2L, "HEADER\nbody two\npromo"),
+      (3L, "HEADER\nbody three"),
+      (4L, "HEADER\nbody four\n  HEADER  ")       // trims to the same key
+    ).toDF("doc_id", "text")
+    // HEADER df=4/4 > 0.6 -> dropped (ALL occurrences, trimmed match
+    // included); promo df=2/4=0.5 < 0.6 -> kept; empty line kept
+    val got = Dedup.dropBoilerplateLines(docs, "doc_id", "text", 0.6)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("body one\n\npromo", 2L)))
+    assert(got(2L) == (("body two\npromo", 1L)))
+    assert(got(3L) == (("body three", 1L)))
+    assert(got(4L) == (("body four", 2L)))
+    // lower the bar: promo crosses too
+    val strict = Dedup.dropBoilerplateLines(docs, "doc_id", "text", 0.4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict(1L) == "body one\n" && strict(2L) == "body two")
+    // minDocs floor: on a 1-doc corpus nothing can be boilerplate
+    val solo = Dedup.dropBoilerplateLines(
+      Seq((9L, "only\nonly")).toDF("doc_id", "text"), "doc_id", "text", 0.5)
+      .head()
+    assert(solo.getString(1) == "only\nonly" && solo.getLong(2) == 0L)
+  }
+
   test("dedupSubstrings: partition-independent; winner election is an agg, not a window") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
