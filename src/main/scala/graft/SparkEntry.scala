@@ -2167,6 +2167,38 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("kept_md5"),
           col("n_dropped"))
         .orderBy("doc_id")
+    }),
+
+    // Image near-dup via perceptual hashing: synthesize textured
+    // grayscale rasters (quadratic pixel formula — linear gradients
+    // would make every dHash identical), PNG-encode, decode through
+    // the REAL codec, dHash, and radius-search via pigeonhole banding
+    // (Dedup.signaturePairs — never all-pairs). Ids < 25 get a
+    // +1-brightness-offset clone at id+100000: measured clone
+    // distance ≤ 6 bits, nearest non-clone ≥ 14, so radius 6 returns
+    // exactly the clone pairs. The oracle replays pixels, sampling
+    // grid, bit construction, and Hamming filter closed-form.
+    "q102_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val w = 16 + (id % 8).toInt
+          val h = 12 + (id % 5).toInt
+          val c = 1 + (id % 5)
+          def row(mid: Long, off: Long) = graft.operators.Multimodal.MediaRow(
+            mid,
+            graft.operators.Multimodal.Codec.encodePng(
+              graft.operators.Multimodal.Codec.grayImage(w, h)(
+                (x, y) => ((3L * x * x + 7L * y * y + c * x * y + 29L * id
+                  + off) % 256L).toInt)),
+            "png")
+          if (id < 25) Seq(row(id, 0L), row(id + 100000L, 1L))
+          else Seq(row(id, 0L))
+        }
+      val sigs = graft.operators.Multimodal.imageDHash(media)
+        .select(col("media_id").as("doc_id"), col("dhash").as("sig"))
+      graft.operators.Dedup.signaturePairs(sigs, radius = 6)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -4246,6 +4278,51 @@ object SparkEntry {
                      AS n_dropped
                  FROM ln GROUP BY doc_id)
          SELECT doc_id, md5(kept) AS kept_md5, n_dropped
-         FROM agg ORDER BY doc_id"""
+         FROM agg ORDER BY doc_id""",
+
+    // q102: the perceptual-hash pipeline replayed closed-form — the
+    // same quadratic pixel formula, the same floor-division sampling
+    // grid, the same bit order (bit gy·8+gx, HUGEINT powers mapped to
+    // the signed 64-bit space exactly like the engine's Long), and an
+    // all-pairs Hamming filter (the oracle can afford what the engine
+    // bands).
+    "q102_image_dhash" ->
+      """WITH RECURSIVE imgs AS (
+           SELECT doc_id AS media_id, doc_id AS id, 0 AS off FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id < 25),
+         pows(b, v) AS (
+           SELECT 0, CAST(1 AS HUGEINT)
+           UNION ALL SELECT b + 1, v * 2 FROM pows WHERE b < 63),
+         grid AS (
+           SELECT media_id, id, off, gy.gy, gx.gx,
+                  16 + id % 8 AS w, 12 + id % 5 AS h, 1 + id % 5 AS c
+           FROM imgs, generate_series(0, 7) AS gy(gy),
+                      generate_series(0, 7) AS gx(gx)),
+         bits AS (
+           SELECT media_id, gy * 8 + gx AS b,
+                  CASE WHEN
+                    (3*(gx*w//9)*(gx*w//9) + 7*(gy*h//8)*(gy*h//8)
+                      + c*(gx*w//9)*(gy*h//8) + 29*id + off) % 256
+                    <
+                    (3*((gx+1)*w//9)*((gx+1)*w//9) + 7*(gy*h//8)*(gy*h//8)
+                      + c*((gx+1)*w//9)*(gy*h//8) + 29*id + off) % 256
+                  THEN 1 ELSE 0 END AS bit
+           FROM grid),
+         usig AS (
+           SELECT media_id, coalesce(sum(pows.v), 0) AS u
+           FROM bits JOIN pows ON pows.b = bits.b
+           WHERE bits.bit = 1 GROUP BY media_id),
+         allsig AS (
+           SELECT i.media_id,
+                  CAST(coalesce(u.u, 0)
+                       - CASE WHEN coalesce(u.u, 0) >= 9223372036854775808
+                              THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS sig
+           FROM imgs i LEFT JOIN usig u USING (media_id))
+         SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+                CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         FROM allsig a JOIN allsig b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 6
+         ORDER BY doc_a, doc_b"""
   )
 }

@@ -519,20 +519,33 @@ object Dedup {
     * banding (split 64 bits into `radius+1` chunks: any pair within the
     * radius must agree on at least one chunk — no all-pairs scan). */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   radius: Int = 3): DataFrame = {
+                   radius: Int = 3): DataFrame =
+    signaturePairs(
+      df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig")),
+      radius)
+
+  /** Hamming-radius pairs over ANY 64-bit signature frame
+    * `(doc_id, sig)` — SimHash text fingerprints, [[Multimodal]]
+    * image dHashes, any 64-bit sketch — via pigeonhole banding:
+    * signatures within Hamming distance `radius` agree exactly on at
+    * least one of `radius + 1` disjoint bit chunks, so candidates
+    * come from `radius + 1` chunk-equality joins (each one shuffle on
+    * (chunk_id, chunk)), never an all-pairs product; exact Hamming
+    * verification then filters candidates. */
+  def signaturePairs(sigs: DataFrame, radius: Int): DataFrame = {
     // radius >= 64 gives width = 0: every chunk mask is the constant 0,
     // all docs collide in every chunk, and candidate generation
     // degenerates to the O(n²) cross product (the bandHashes failure
     // mode). The pigeonhole argument itself holds for any width >= 1.
     require(radius >= 0 && radius <= 63,
-      s"simhashDedup radius must be in [0, 63], got $radius")
+      s"signaturePairs radius must be in [0, 63], got $radius")
     val chunks = radius + 1
     val width = 64 / chunks
     // radius=0 → width=64, where (1L << 64) wraps to 1 and the mask
     // would be the constant 0 — the exact degeneracy the guard above
     // exists to stop; a full-width chunk needs the all-ones mask
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val withSig = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig"))
+    val withSig = sigs.select(col("doc_id"), col("sig"))
     val banded = withSig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("sig"), c * lit(width))

@@ -116,6 +116,30 @@ object Multimodal {
       img
     }
 
+    /** 64-bit difference hash (dHash — the public pHash-family
+      * perceptual fingerprint): a 9×8 grid of nearest-neighbor
+      * luminance samples at `(gx·w/9, gy·h/8)` (integer floor — no
+      * interpolation, so an oracle can replay it closed-form on
+      * synthetic rasters), bit `gy·8+gx` set iff the left sample is
+      * darker than its right neighbor. Robust to uniform brightness
+      * shifts and resizing; near-duplicate images land within a few
+      * bits. */
+    def dHash(img: BufferedImage): Long = {
+      val w = img.getWidth; val h = img.getHeight
+      var bits = 0L; var bit = 0; var gy = 0
+      while (gy < 8) {
+        val y = gy * h / 8
+        var gx = 0
+        while (gx < 8) {
+          if (luminance(img, gx * w / 9, y) < luminance(img, (gx + 1) * w / 9, y))
+            bits |= 1L << bit
+          bit += 1; gx += 1
+        }
+        gy += 1
+      }
+      bits
+    }
+
     def encodePng(img: BufferedImage): Array[Byte] = encode(img, "png")
     def encodeJpeg(img: BufferedImage): Array[Byte] = encode(img, "jpg")
 
@@ -356,4 +380,19 @@ object Multimodal {
       sniffFormat(col(binCol)).as("format"),
       xxhash64(col(binCol)).as("content_hash"),
       col(binCol).as("content"))
+
+  /** Perceptual fingerprints for IMAGE near-dup: `(media_id, dhash)`
+    * via [[Codec.dHash]] over the real decoded raster — one narrow
+    * kernel pass, undecodable payloads dropped (the P4 degrade-not-
+    * throw rule). Feed the result to
+    * [[graft.operators.Dedup.signaturePairs]] for radius search at
+    * corpus scale (pigeonhole banding, never all-pairs) — battery
+    * q102 oracles the whole pipeline closed-form on synthetic
+    * rasters with injected near-clones. */
+  def imageDHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap(r => Codec.decode(r.content)
+        .map(img => (r.media_id, Codec.dHash(img))))
+      .toDF("media_id", "dhash")
+  }
 }

@@ -208,4 +208,40 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head.getLong(0) == 1L, "query image ranks itself first")
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
   }
+
+  test("dHash: deterministic through the PNG roundtrip; clones near, distinct textures far") {
+    def tex(id: Long, off: Long): MediaRow = {
+      val w = 16 + (id % 8).toInt; val h = 12 + (id % 5).toInt
+      val c = 1 + (id % 5)
+      MediaRow(if (off == 0) id else id + 100000,
+        Codec.encodePng(Codec.grayImage(w, h)(
+          (x, y) => ((3L * x * x + 7L * y * y + c * x * y + 29L * id + off) % 256L).toInt)),
+        "png")
+    }
+    // in-memory hash == hash after encode/decode (lossless PNG, exact sampling)
+    val img = Codec.grayImage(20, 15)((x, y) => (x * x + 3 * y) % 256)
+    assert(Codec.dHash(img) ==
+      Codec.dHash(Codec.decode(Codec.encodePng(img)).get))
+    // +1 brightness clone lands within 6 bits; distinct textures don't
+    val rows = (0L until 12L).flatMap(i => Seq(tex(i, 0), tex(i, 1))).toDS()
+    val hs = imageDHash(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0L until 12L).foreach { i =>
+      assert(ham(hs(i), hs(i + 100000)) <= 6, s"clone of $i drifted")
+    }
+    val cross = for (i <- 0L until 12L; j <- i + 1 until 12L)
+      yield ham(hs(i), hs(j))
+    assert(cross.min >= 10, s"distinct textures collided: ${cross.min}")
+    // undecodable payloads drop, not throw
+    val bad = Seq(MediaRow(1L, Array[Byte](1, 2, 3), "png"),
+      tex(5L, 0)).toDS()
+    assert(imageDHash(bad).count() == 1L)
+    // banding finds exactly the clone pairs at radius 6
+    val pairs = graft.operators.Dedup.signaturePairs(
+      imageDHash(rows).select($"media_id".as("doc_id"), $"dhash".as("sig")),
+      radius = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 12L).map(i => (i, i + 100000)).toSet, s"$pairs")
+  }
 }
