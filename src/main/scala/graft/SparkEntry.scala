@@ -2199,6 +2199,25 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("dhash").as("sig"))
       graft.operators.Dedup.signaturePairs(sigs, radius = 6)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Code-file quality filters (the BigCode/StarCoder "The Stack"
+    // recipe): line-length shape + alphanumeric density as pure
+    // builtin Columns (whole-stage codegen, no UDF), with a
+    // 300-char minified line injected into every third doc so the
+    // keep-rule is live in both directions. kept gates on the ROUNDED
+    // outputs in both engines, so the hash compare is exact.
+    "q103_code_filters" -> ((s, dir) => {
+      val noisy = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit("\n"), repeat(lit("x"), 300)))
+          .otherwise(col("text")).as("text"))
+      noisy.select(col("doc_id"), Text.codeStats(col("text")).as("s"))
+        .select(col("doc_id"), col("s.n_lines"), col("s.max_line_len"),
+          col("s.avg_line_len"), col("s.alnum_frac"),
+          (col("s.max_line_len") <= 250 && col("s.avg_line_len") <= 250.0 &&
+            col("s.alnum_frac") >= 0.25).as("kept"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4323,6 +4342,36 @@ object SparkEntry {
                 CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
          FROM allsig a JOIN allsig b ON a.media_id < b.media_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 6
-         ORDER BY doc_a, doc_b"""
+         ORDER BY doc_a, doc_b""",
+
+    // q103: the code filters restated verbatim — same line split,
+    // length shapes, alnum regex, 4-dp rounding, and the keep-rule
+    // over the rounded values.
+    "q103_code_filters" ->
+      """WITH t3 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN text || chr(10) || repeat('x', 300)
+                       ELSE text END AS text
+           FROM documents),
+         st AS (
+           SELECT doc_id,
+                  string_split(text, chr(10)) AS lines,
+                  length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+                  length(text) AS tlen
+           FROM t3),
+         v AS (
+           SELECT doc_id,
+                  CAST(len(lines) AS INTEGER) AS n_lines,
+                  CAST(coalesce(list_aggregate(list_transform(lines, l -> length(l)), 'max'), 0) AS INTEGER) AS max_line_len,
+                  round(CAST(list_aggregate(list_transform(lines, l -> length(l)), 'sum') AS DOUBLE)
+                        / len(lines), 4) AS avg_line_len,
+                  CASE WHEN tlen = 0 THEN 0.0
+                       ELSE round(CAST(alnum AS DOUBLE) / tlen, 4) END AS alnum_frac
+           FROM st)
+         SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac,
+                (max_line_len <= 250 AND avg_line_len <= 250.0
+                 AND alnum_frac >= 0.25) AS kept
+         FROM v ORDER BY doc_id"""
   )
 }

@@ -385,6 +385,36 @@ object Text {
   /** Register the text library for the SQL surface — scalar mirrors of
     * the Column forms (TextSpec asserts SQL == Column over the corpus,
     * nulls included). NULL in → NULL out like the Column forms. */
+  /** Source-code quality signals — the BigCode/StarCoder "The Stack"
+    * file filters (public preprocessing recipe): line-length shape
+    * (minified/generated files have huge lines; data blobs have huge
+    * averages) and alphanumeric density (binary-ish or
+    * symbol-soup files score low). Pure built-in Columns (split /
+    * transform / aggregate / regexp_replace), fully inside
+    * whole-stage codegen — no UDF — and restatable verbatim in SQL
+    * (battery q103). Returns
+    * `struct(n_lines, max_line_len, avg_line_len, alnum_frac)`;
+    * averages and fractions are `round(·, 4)` so the cross-engine
+    * hash compare is robust. Empty text: one empty line, zero
+    * lengths, zero density. Compose the keep-rule downstream (q103
+    * gates `max ≤ L ∧ avg ≤ A ∧ alnum ≥ F`). */
+  def codeStats(text: Column): Column = {
+    val lines = split(coalesce(text, lit("")), "\n", -1)
+    val lens = transform(lines, l => length(l))
+    val total = aggregate(lens, lit(0L), (acc, x) => acc + x)
+    val n = size(lines)
+    val alnum = length(regexp_replace(coalesce(text, lit("")),
+      "[^A-Za-z0-9]", ""))
+    val tlen = length(coalesce(text, lit("")))
+    struct(
+      n.cast("int").as("n_lines"),
+      coalesce(array_max(lens), lit(0)).cast("int").as("max_line_len"),
+      round(total.cast("double") / n.cast("double"), 4).as("avg_line_len"),
+      when(tlen === 0, lit(0.0))
+        .otherwise(round(alnum.cast("double") / tlen.cast("double"), 4))
+        .as("alnum_frac"))
+  }
+
   def registerSqlFunctions(spark: SparkSession): Unit = {
     spark.udf.register("token_count", (s: String) =>
       if (s == null) null else Int.box(tokenCountScalar(s)))

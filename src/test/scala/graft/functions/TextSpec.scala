@@ -405,4 +405,22 @@ class TextSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("lambdafunction"), plan)
   }
+
+  test("codeStats: line shapes, alnum density, empty and null texts") {
+    val rows = Seq(
+      (1L, "ab\ncdef\n"),     // lines [ab, cdef, ""]: max 4, avg 2.0
+      (2L, ""),               // one empty line, zero density
+      (3L, null.asInstanceOf[String]),
+      (4L, "a-b c_d!")        // 4 alnum of 8 chars
+    ).toDF("doc_id", "text")
+    val got = rows.select($"doc_id", Text.codeStats($"text").as("s"))
+      .select($"doc_id", $"s.n_lines", $"s.max_line_len",
+        $"s.avg_line_len", $"s.alnum_frac")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((3, 4, 2.0, 0.75)))  // 6 alnum of 8 chars
+    assert(got(2L) == ((1, 0, 0.0, 0.0)))
+    assert(got(3L) == ((1, 0, 0.0, 0.0)))   // null coalesces to empty
+    assert(got(4L) == ((1, 8, 8.0, 0.5)))
+  }
 }
