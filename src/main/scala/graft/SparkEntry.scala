@@ -2218,6 +2218,39 @@ object SparkEntry {
           (col("s.max_line_len") <= 250 && col("s.avg_line_len") <= 250.0 &&
             col("s.alnum_frac") >= 0.25).as("kept"))
         .orderBy("doc_id")
+    }),
+
+    // Audio near-dup: q67-style synthetic WAVs with an id-dependent
+    // magnitude ripple (so distinct ids decorrelate), fingerprinted
+    // through the REAL codec by 64-frame energy deltas (integer-only,
+    // amplitude-scale-invariant), radius-searched via the same
+    // pigeonhole banding as text SimHash and image dHash. Ids < 25
+    // get a 2x-amplitude clone at id+100000 — measured Hamming 0 (the
+    // scale invariance), distinct ids almost all > 4. Oracle replays
+    // waveform, frame energies, bit order, and the Hamming filter.
+    "q104_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val n = 800 + (id % 13).toInt * 16
+          val half = 4 + (id % 5).toInt
+          val a = 1000 + (id % 7).toInt * 500
+          val k = 1 + (id % 11).toInt
+          def row(mid: Long, sc: Int) = graft.operators.Multimodal.MediaRow(
+            mid,
+            graft.operators.Multimodal.Codec.encodeWav(8000f, 1,
+              Array.tabulate(n) { i =>
+                val mag = a + (i * k) % 23
+                (if ((i / half) % 2 == 0) mag else -(mag + 1)) * sc
+              }),
+            "wav")
+          if (id < 25) Seq(row(id, 1), row(id + 100000L, 2))
+          else Seq(row(id, 1))
+        }
+      val sigs = graft.operators.Multimodal.audioFingerprint(media)
+        .select(col("media_id").as("doc_id"), col("afp").as("sig"))
+      graft.operators.Dedup.signaturePairs(sigs, radius = 2)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -4372,6 +4405,46 @@ object SparkEntry {
          SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac,
                 (max_line_len <= 250 AND avg_line_len <= 250.0
                  AND alnum_frac >= 0.25) AS kept
-         FROM v ORDER BY doc_id"""
+         FROM v ORDER BY doc_id""",
+
+    // q104: the audio pipeline closed-form — per-frame |sample| sums
+    // over the same waveform formula (magnitude ripple +1 on the
+    // negative half-cycle, clone rows scaled x2), energy-delta bits
+    // 0..62 (always positive, no sign mapping needed), all-pairs
+    // Hamming where the engine bands.
+    "q104_audio_fingerprint" ->
+      """WITH RECURSIVE media AS (
+           SELECT doc_id AS media_id, doc_id AS id, 1 AS sc FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, doc_id, 2 FROM documents WHERE doc_id < 25),
+         par AS (SELECT media_id, sc,
+                        800 + (id % 13) * 16 AS n, 4 + id % 5 AS half,
+                        1000 + (id % 7) * 500 AS a, 1 + id % 11 AS k
+                 FROM media),
+         fr AS (SELECT media_id, sc, half, a, k, n // 64 AS fl FROM par),
+         en AS (SELECT media_id, f.f AS f,
+                  sum(sc * (a + ((f.f * fl + i.i) * k) % 23 +
+                      CASE WHEN ((f.f * fl + i.i) // half) % 2 = 1
+                           THEN 1 ELSE 0 END)) AS e
+                FROM fr, generate_series(0, 63) AS f(f),
+                     generate_series(0, 15) AS i(i)
+                WHERE i.i < fl
+                GROUP BY media_id, f.f),
+         pw(b, v) AS (
+           SELECT 0, CAST(1 AS BIGINT)
+           UNION ALL SELECT b + 1, v * 2 FROM pw WHERE b < 62),
+         sig AS (SELECT e1.media_id,
+                   CAST(coalesce(sum(CASE WHEN e1.e < e2.e THEN pw.v
+                                          ELSE 0 END), 0) AS BIGINT) AS afp
+                 FROM en e1
+                 JOIN en e2 ON e2.media_id = e1.media_id AND e2.f = e1.f + 1
+                 JOIN pw ON pw.b = e1.f
+                 WHERE e1.f < 63
+                 GROUP BY e1.media_id)
+         SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+                CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+         FROM sig a JOIN sig b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.afp, b.afp)) <= 2
+         ORDER BY doc_a, doc_b"""
   )
 }

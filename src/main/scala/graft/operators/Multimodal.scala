@@ -140,6 +140,33 @@ object Multimodal {
       bits
     }
 
+    /** 63-bit audio fingerprint (chromaprint-family, FFT-free): the
+      * signal splits into 64 equal frames (floor length, tail
+      * ignored), per-frame energy = Σ|sample| (exact integers), bit
+      * `i` set iff energy rises from frame `i` to `i+1`. Invariant
+      * under uniform amplitude scaling — a re-levelled copy of a
+      * recording fingerprints identically — and fully integer, so an
+      * oracle replays it closed-form on synthetic waveforms. Signals
+      * shorter than 64 samples fingerprint as 0. */
+    def audioFp(samples: Array[Int]): Long = {
+      if (samples == null || samples.length < 64) return 0L
+      val fl = samples.length / 64
+      val es = new Array[Long](64)
+      var f = 0
+      while (f < 64) {
+        var s = 0L
+        var i = f * fl
+        val end = i + fl
+        while (i < end) { s += math.abs(samples(i).toLong); i += 1 }
+        es(f) = s
+        f += 1
+      }
+      var bits = 0L
+      var b = 0
+      while (b < 63) { if (es(b) < es(b + 1)) bits |= 1L << b; b += 1 }
+      bits
+    }
+
     def encodePng(img: BufferedImage): Array[Byte] = encode(img, "png")
     def encodeJpeg(img: BufferedImage): Array[Byte] = encode(img, "jpg")
 
@@ -394,5 +421,18 @@ object Multimodal {
     media.flatMap(r => Codec.decode(r.content)
         .map(img => (r.media_id, Codec.dHash(img))))
       .toDF("media_id", "dhash")
+  }
+
+  /** Audio near-dup fingerprints: `(media_id, afp)` via
+    * [[Codec.audioFp]] over the real WAV decode — one narrow kernel
+    * pass, undecodable payloads dropped. Radius search via
+    * [[graft.operators.Dedup.signaturePairs]] (battery q104 oracles
+    * the pipeline closed-form, amplitude-scaled clones landing at
+    * Hamming 0). */
+  def audioFingerprint(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap(r => Codec.decodeWav(r.content)
+        .map { case (_, samples) => (r.media_id, Codec.audioFp(samples)) })
+      .toDF("media_id", "afp")
   }
 }

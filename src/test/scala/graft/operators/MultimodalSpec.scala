@@ -244,4 +244,31 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == (0L until 12L).map(i => (i, i + 100000)).toSet, s"$pairs")
   }
+
+  test("audioFp: scale-invariant through the WAV roundtrip; short signals are zero") {
+    def wav(id: Long, sc: Int): Array[Int] = {
+      val n = 800 + (id % 13).toInt * 16
+      val half = 4 + (id % 5).toInt
+      Array.tabulate(n) { i =>
+        val mag = 1000 + (i * (1 + (id % 11).toInt)) % 23
+        (if ((i / half) % 2 == 0) mag else -(mag + 1)) * sc
+      }
+    }
+    // in-memory == decoded-from-bytes (lossless 16-bit PCM)
+    val s0 = wav(3L, 1)
+    val rt = Codec.decodeWav(Codec.encodeWav(8000f, 1, s0)).get._2
+    assert(Codec.audioFp(s0) == Codec.audioFp(rt))
+    // uniform amplitude scaling never moves a bit
+    (0L until 10L).foreach { id =>
+      assert(Codec.audioFp(wav(id, 1)) == Codec.audioFp(wav(id, 2)),
+        s"fingerprint of id $id moved under amplitude scaling")
+    }
+    assert(Codec.audioFp(Array.fill(63)(5)) == 0L)
+    assert(Codec.audioFp(null) == 0L)
+    // the Dataset surface drops undecodable payloads
+    val media = Seq(
+      MediaRow(1L, Codec.encodeWav(8000f, 1, wav(1L, 1)), "wav"),
+      MediaRow(2L, Array[Byte](9, 9, 9), "wav")).toDS()
+    assert(audioFingerprint(media).count() == 1L)
+  }
 }
