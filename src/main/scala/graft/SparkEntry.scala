@@ -2029,19 +2029,21 @@ object SparkEntry {
     // ranks⋈outdeg node join, the src-keyed edge join, and the one
     // unavoidable dst-keyed exchange with map-side integer SUM combine.
     "q95_pagerank" -> ((s, dir) => {
-      // both edge directions in ONE scan of the orders⋈lineitem join
-      // (an explode, not a self-union that would run the join twice);
-      // pageRankMicro dedups internally
-      val edges = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      // long node keys (customers even, suppliers odd — strings would
+      // double every exchange's bytes), ONE direction distincted (a
+      // 600k-row exchange) then mirrored — the directions are disjoint
+      // by construction, so assumeDistinct skips a second 1.2M-row
+      // dedup exchange inside the operator
+      val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
         .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("cn"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
-        .select(explode(array(
-          struct(col("cn").as("src"), col("sn").as("dst")),
-          struct(col("sn").as("src"), col("cn").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      graft.operators.Graph.pageRankMicro(edges, "src", "dst", iterations = 4)
+        .select((col("o_custkey") * 2).as("cn"),
+          (col("l_suppkey") * 2 + 1).as("sn"))
+        .distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      graft.operators.Graph.pageRankMicro(edges, "src", "dst", iterations = 4,
+          assumeDistinct = true)
         .orderBy("node")
     }),
 
@@ -4166,7 +4168,7 @@ object SparkEntry {
     "q95_pagerank" -> {
       val prelude =
         """WITH pairs AS (
-             SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
+             SELECT DISTINCT 2 * o_custkey AS cn, 2 * l_suppkey + 1 AS sn
              FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
            e AS (SELECT cn AS src, sn AS dst FROM pairs
                  UNION SELECT sn, cn FROM pairs),

@@ -46,7 +46,8 @@ object Graph {
                     iterations: Int,
                     dampNum: Long = 85L, dampDen: Long = 100L,
                     scale: Long = 1000000000L,
-                    checkpointEvery: Int = 5): DataFrame = {
+                    checkpointEvery: Int = 5,
+                    assumeDistinct: Boolean = false): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
@@ -61,14 +62,25 @@ object Graph {
     // join satisfies its required distribution from the persisted
     // layout, leaving the dst-keyed contribution SUM as the ONE
     // exchange per step — the canonical distributed-PageRank shape.
-    val dedup = edges.select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
-      .na.drop().distinct()
+    // Node keys keep their NATIVE type — long keys shuffle and compare
+    // far cheaper than decorated strings at web-graph scale.
+    // `assumeDistinct = true` skips the (src, dst) dedup exchange when
+    // the caller guarantees collapsed multiplicity (e.g. it distincted
+    // one direction and mirrored — the two directions are disjoint by
+    // construction).
+    val cleaned = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .na.drop()
+    val dedup = (if (assumeDistinct) cleaned else cleaned.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = dedup.groupBy(col("src").as("__on"))
       .agg(count(lit(1)).as("__od"))
+    // the explicit repartition matters: AQE broadcasts the small
+    // outdeg side, which would leave the join output in dedup's
+    // (src, dst) layout — and every iteration's ranks⋈e join would
+    // re-exchange the full edge list on src
     val e = dedup.join(outdeg, dedup("src") === outdeg("__on"))
       .select(col("src"), col("dst"), col("__od"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = dedup.select(col("src").as("node"))
       .union(dedup.select(col("dst").as("node"))).distinct()

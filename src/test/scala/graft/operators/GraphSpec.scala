@@ -60,6 +60,16 @@ class GraphSpec extends SparkSpec {
     assert(ranks(e, 3, parts = 1) == ranks(e, 3, parts = 13))
   }
 
+  test("assumeDistinct on pre-collapsed edges equals the dedup path") {
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    val dup = e ++ e // duplicates the operator must collapse
+    val viaDedup = ranks(dup, 3)
+    val viaAssume = Graph.pageRankMicro(
+      e.toDF("src", "dst"), "src", "dst", 3, assumeDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaDedup == viaAssume)
+  }
+
   test("lineage stays flat across checkpoint boundaries (many iterations run)") {
     // 12 iterations with checkpointEvery=2 crosses 6 persist/release
     // cycles; the point is that it RUNS and stays exact, not speed.
