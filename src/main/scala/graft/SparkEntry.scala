@@ -2253,6 +2253,21 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("afp").as("sig"))
       graft.operators.Dedup.signaturePairs(sigs, radius = 2)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Export integrity end-to-end: shard the corpus to real parquet
+    // dirs WITH a checksum manifest, then re-audit the written files
+    // against it. The oracle re-derives the shard assignment (q75's
+    // md5 digit rule) and the integer moments from the raw table —
+    // so a row lost, duplicated, or misplaced between write and
+    // re-read breaks the hash, and `ok` must be uniformly true.
+    "q105_export_manifest" -> ((s, dir) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q105_export_${docsTag(s, dir)}").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.operators.Sampling.writeShardedWithManifest(docs, "doc_id", 16, out)
+      graft.operators.Sampling.verifyShardedExport(s, out, "doc_id")
+        .orderBy("shard")
     })
   )
 
@@ -4447,6 +4462,24 @@ object SparkEntry {
                 CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
          FROM sig a JOIN sig b ON a.media_id < b.media_id
          WHERE bit_count(xor(a.afp, b.afp)) <= 2
-         ORDER BY doc_a, doc_b"""
+         ORDER BY doc_a, doc_b""",
+
+    // q105: the q75 shard rule re-derived (32-bit digest prefix mod
+    // 16 = low hex digit of char 8) with the three integer moments
+    // per shard; ok must be uniformly true — the engine's written
+    // files must reconcile with an independently recomputed manifest.
+    "q105_export_manifest" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  strpos('0123456789abcdef',
+                         substr(md5('graft' || CAST(doc_id AS VARCHAR)), 8, 1)) - 1
+                    AS shard
+           FROM documents)
+         SELECT CAST(shard AS INT) AS shard,
+                count(1) AS n_rows,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                CAST(sum(doc_id * doc_id) AS BIGINT) AS id_sq_sum,
+                true AS ok
+         FROM s GROUP BY shard ORDER BY shard"""
   )
 }

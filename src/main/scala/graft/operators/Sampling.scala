@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-independent sampling for reproducible data
@@ -325,6 +325,56 @@ object Sampling {
     val bud = df.select(col(groupCol)).distinct()
       .withColumn("budget", lit(budget))
     tokenBudgetBy(df, groupCol, scoreCol, idCol, weightCol, bud)
+  }
+
+  /** [[writeSharded]] plus a verification MANIFEST: per-shard
+    * `(n_rows, id_sum, id_sq_sum)` written to
+    * `_graft_export_manifest` under the export root (underscore
+    * prefix — shard readers never see it). The manifest is what makes
+    * a multi-TB training export AUDITABLE: a resumed, copied, or
+    * partially-restored export re-verifies in ONE cheap scan
+    * ([[verifyShardedExport]]) without re-deriving the assignment.
+    * Checksums are plain integer aggregates (count / Σid / Σid²) so
+    * any engine — including the battery oracle (q105) — recomputes
+    * them; they catch dropped, duplicated, and cross-shard-misplaced
+    * rows. (A tamper that preserves all three moments at once is
+    * constructible in principle — use content digests where
+    * ADVERSARIAL tampering is in scope; this guards against loss and
+    * corruption, the operational failure modes.) */
+  def writeShardedWithManifest(df: DataFrame, idCol: String, numShards: Int,
+                               path: String, salt: String = "graft"): Unit = {
+    writeSharded(df, idCol, numShards, path, salt)
+    shardAssign(df, idCol, numShards, salt)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(idCol)).as("id_sum"),
+        sum(col(idCol) * col(idCol)).as("id_sq_sum"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_export_manifest")
+  }
+
+  /** Re-audit an export against its manifest: one scan of the shard
+    * directories, grouped per shard, full-outer joined to the
+    * manifest — `(shard, n_rows, id_sum, id_sq_sum, ok)`. A missing
+    * shard directory, a lost or duplicated row, or a row landed in
+    * the wrong shard flips `ok` on every affected shard. */
+  def verifyShardedExport(spark: SparkSession, path: String,
+                          idCol: String): DataFrame = {
+    val manifest = spark.read.parquet(s"$path/_graft_export_manifest")
+      .select(col("shard"), col("n_rows").as("__mn"),
+        col("id_sum").as("__ms"), col("id_sq_sum").as("__mq"))
+    val actual = spark.read.parquet(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(idCol)).as("id_sum"),
+        sum(col(idCol) * col(idCol)).as("id_sq_sum"))
+    actual.join(manifest, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"),
+        coalesce(col("id_sq_sum"), lit(0L)).as("id_sq_sum"),
+        (col("n_rows") <=> col("__mn") && col("id_sum") <=> col("__ms") &&
+          col("id_sq_sum") <=> col("__mq")).as("ok"))
   }
 
   /** Temperature-scaled mixture quotas (the mT5/XLM-R multilingual

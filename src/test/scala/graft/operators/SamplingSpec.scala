@@ -333,6 +333,24 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("export manifest: clean audit passes; a tampered shard is flagged precisely") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_spec").toString
+    val df = (0L until 400L).map(i => (i, s"doc $i")).toDF("id", "text")
+    Sampling.writeShardedWithManifest(df, "id", 8, dir)
+    val clean = Sampling.verifyShardedExport(spark, dir, "id")
+    assert(clean.count() == 8L)
+    assert(clean.filter(!col("ok")).count() == 0L, "clean export must audit ok")
+    // tamper: drop shard 3's data file entirely
+    val shard3 = new java.io.File(s"$dir/shard=3")
+    shard3.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val audited = Sampling.verifyShardedExport(spark, dir, "id")
+      .collect().map(r => r.getInt(0) -> r.getBoolean(4)).toMap
+    assert(!audited(3), "the gutted shard must flag")
+    assert((0 to 7).filter(_ != 3).forall(audited(_)),
+      s"only shard 3 should flag: $audited")
+  }
+
   test("temperatureQuotas: hand-computed largest-remainder apportionment") {
     // perfect squares → exact sqrt weights 10:5:2:1 (scaling cancels)
     val counts = Seq("a" -> 100L, "b" -> 25L, "c" -> 4L, "d" -> 1L)
