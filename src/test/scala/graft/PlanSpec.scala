@@ -144,7 +144,9 @@ class PlanSpec extends SparkSpec {
     Seq("q22_minhash_dedup", "q25_knn_join", "q31_ngram_jaccard",
       "q33_lsh_topk", "q33b_lsh_multiprobe", "q34_embedding_dedup",
       "q35_ivf_topk", "q56_winnow_pairs", "q57_drop_near_dups",
-      "q86_retrieval_eval", "q98_substring_dedup").foreach { q =>
+      "q86_retrieval_eval", "q98_substring_dedup", "q100_snapshot_diff",
+      "q101_boilerplate_lines", "q102_image_dhash", "q103_code_filters",
+      "q104_audio_fingerprint", "q105_export_manifest").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")
