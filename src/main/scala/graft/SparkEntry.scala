@@ -2268,6 +2268,33 @@ object SparkEntry {
       graft.operators.Sampling.writeShardedWithManifest(docs, "doc_id", 16, out)
       graft.operators.Sampling.verifyShardedExport(s, out, "doc_id")
         .orderBy("shard")
+    }),
+
+    // Ingestion quarantine: every 10th document is written as a
+    // TRUNCATED JSONL line, the quarantine read must hand back every
+    // malformed line whole (id_sum counts parsed rows only —
+    // PERMISSIVE partial-parse results don't leak into the good-side
+    // checksum; quarantine_chars pins the verbatim bad-line text by
+    // total length). No line may vanish: the two n_rows sum to the
+    // corpus size or the hash breaks.
+    "q106_quarantine" -> ((s, dir) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q106_bronze_${docsTag(s, dir)}").toString
+      t(s, dir, "documents").select(
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(lit("{\"doc_id\": "), col("doc_id").cast("string")))
+          .otherwise(to_json(struct(col("doc_id"), col("text")))).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string")
+      graft.sources.Lake.readBronzeQuarantine(s, out, schema)
+        .groupBy(col("_quarantined").isNull.as("parsed"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_quarantined").isNull, col("doc_id"))
+            .otherwise(lit(0L))).as("id_sum"),
+          sum(length(coalesce(col("_quarantined"), lit(""))))
+            .as("quarantine_chars"))
+        .orderBy("parsed")
     })
   )
 
@@ -4480,6 +4507,19 @@ object SparkEntry {
                 CAST(sum(doc_id) AS BIGINT) AS id_sum,
                 CAST(sum(doc_id * doc_id) AS BIGINT) AS id_sq_sum,
                 true AS ok
-         FROM s GROUP BY shard ORDER BY shard"""
+         FROM s GROUP BY shard ORDER BY shard""",
+
+    // q106: the quarantine split in closed form — badness is decided
+    // by construction (id % 10), the quarantined line is the verbatim
+    // truncated text ('{"doc_id": ' ++ id = 11 chars + digits), and
+    // totals must conserve every line.
+    "q106_quarantine" ->
+      """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS bad FROM documents)
+         SELECT NOT bad AS parsed, count(1) AS n_rows,
+                CAST(sum(CASE WHEN NOT bad THEN doc_id ELSE 0 END) AS BIGINT) AS id_sum,
+                CAST(sum(CASE WHEN bad
+                              THEN 11 + length(CAST(doc_id AS VARCHAR))
+                              ELSE 0 END) AS BIGINT) AS quarantine_chars
+         FROM m GROUP BY bad ORDER BY parsed"""
   )
 }

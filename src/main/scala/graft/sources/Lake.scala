@@ -58,6 +58,33 @@ object Lake {
       .option("basePath", path).load(path)
   }
 
+  /** [[readBronze]] with a QUARANTINE channel — the ingestion rule a
+    * bronze lake actually needs: a malformed JSONL line (truncated
+    * write, crashed producer, junk on the topic) must neither kill
+    * the read (FAILFAST) nor vanish silently (DROPMALFORMED). The
+    * read runs PERMISSIVE with a corrupt-record column: well-formed
+    * rows parse into `schema`, malformed lines come back whole in
+    * `_quarantined` with every data field null — so
+    * `n_parsed + n_quarantined == n_lines` always holds (spec-pinned)
+    * and the bad lines can be shipped to a dead-letter dir intact for
+    * replay. The frame is cached before returning: Spark refuses
+    * corrupt-record-only projections on an uncached raw-file scan
+    * (documented engine limitation), and the audit query that groups
+    * by `_quarantined IS NULL` is exactly such a projection.
+    * Battery q106 oracles the split on deterministically injected
+    * truncated lines. */
+  def readBronzeQuarantine(spark: SparkSession, path: String,
+                           schema: StructType): DataFrame = {
+    val withCorrupt = new StructType(
+      (schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_quarantined", org.apache.spark.sql.types.StringType)))
+    spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantined")
+      .json(path)
+      .cache()
+  }
+
   /** W8: retention maintenance — drop event-time partition directories
     * whose `year=/month=/day=` date is older than `retainDays` before
     * `today` (the TimescaleDB 7-day `drop_chunks` policy,

@@ -294,4 +294,31 @@ class LakeSpec extends SparkSpec {
       .map(_.getSeq[String](0))
     assert(keys.forall(k => k == k.sorted), "map keys must serialize sorted")
   }
+
+  test("quarantine read conserves every line and hands back bad lines verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "good one"}""",
+      """{"doc_id": 2""",                         // truncated
+      """{"doc_id": 3, "text": "also good"}""",
+      """not json at all""",
+      """{"doc_id": "not-a-long", "text": "type clash"}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-00000.json"), lines.mkString("\n"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val read = Lake.readBronzeQuarantine(spark, dir, schema)
+    // conservation: nothing vanishes, nothing is invented
+    assert(read.count() == lines.length.toLong)
+    val bad = read.filter(col("_quarantined").isNotNull)
+      .select("_quarantined").collect().map(_.getString(0)).toSet
+    assert(bad.contains("""{"doc_id": 2"""), s"truncated line not verbatim: $bad")
+    assert(bad.contains("not json at all"))
+    assert(bad.contains("""{"doc_id": "not-a-long", "text": "type clash"}"""))
+    // the good side parses fully
+    val good = read.filter(col("_quarantined").isNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(good == Map(1L -> "good one", 3L -> "also good"))
+  }
 }
