@@ -2295,7 +2295,19 @@ object SparkEntry {
           sum(length(coalesce(col("_quarantined"), lit(""))))
             .as("quarantine_chars"))
         .orderBy("parsed")
-    })
+    }),
+
+    // Exact phrase search over positional postings — the consecutive-
+    // token semantics bag-of-words BM25 cannot express. The phrase
+    // filter sits under the first exchange (only the two terms'
+    // postings ever move); occurrences = equi-join of offset-shifted
+    // legs on (doc, start). The oracle scans the token arrays
+    // directly, so a positional off-by-one or a lost occurrence
+    // breaks the hash.
+    "q107_phrase_search" -> ((s, dir) =>
+      graft.operators.Retrieval.phraseMatches(
+          t(s, dir, "documents"), "doc_id", "text", Seq("part", "filter"))
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------------
@@ -4520,6 +4532,24 @@ object SparkEntry {
                 CAST(sum(CASE WHEN bad
                               THEN 11 + length(CAST(doc_id AS VARCHAR))
                               ELSE 0 END) AS BIGINT) AS quarantine_chars
-         FROM m GROUP BY bad ORDER BY parsed"""
+         FROM m GROUP BY bad ORDER BY parsed""",
+
+    // q107: direct array scan — every i with ws[i]='part' and
+    // ws[i+1]='filter' (1-based lists; the engine's 0-based first_pos
+    // is hits[1]-1). Overlaps all count.
+    "q107_phrase_search" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> len(t) > 0) AS ws
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  list_filter(range(1, len(ws)),
+                              i -> ws[i] = 'part' AND ws[i + 1] = 'filter') AS hits
+           FROM w WHERE len(ws) >= 2)
+         SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+                CAST(hits[1] - 1 AS INT) AS first_pos
+         FROM m WHERE len(hits) > 0 ORDER BY doc_id"""
   )
 }

@@ -323,4 +323,41 @@ object Retrieval {
       .withColumn("recall_at_k",
         round(col("hits_at_k").cast("double") / col("n_rel"), 6))
       .select("query_id", "n_rel", "hits_at_k", "recall_at_k", "mrr")
+
+  /** EXACT phrase search — the positional-postings capability
+    * bag-of-words BM25 cannot express: `(doc_id, n_matches,
+    * first_pos)` for every document containing `phrase` as
+    * consecutive tokens (the BM25 tokenization: lower, trim, split on
+    * whitespace; positions 0-based). Overlapping occurrences all
+    * count; repeated terms in the phrase are legal (the legs
+    * self-join).
+    *
+    * Scale shape: one scan emits positional postings already FILTERED
+    * to the phrase's terms (the filter sits under the first
+    * exchange — postings for the other 99.99% of the vocabulary
+    * never move); each phrase slot `i` becomes a leg keyed
+    * `(doc, pos - i)`, and consecutive-position occurrence =
+    * equi-join of all legs on `(doc, start)` — |phrase| co-keyed
+    * joins, no window, no cartesian, no array materialization per
+    * doc. At index-serve scale, feed the legs from a persisted
+    * `(term, doc, pos)` postings table instead of the scan — same
+    * join, the scan-side term filter becomes partition pruning.
+    * Battery q107 oracles occurrences, counts, and first positions
+    * against a direct array scan. */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos", "term")))
+      .filter(col("term").isin(terms.distinct: _*))
+    val legs = terms.zipWithIndex.map { case (t, i) =>
+      toks.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+  }
 }

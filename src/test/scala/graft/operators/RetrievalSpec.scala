@@ -230,4 +230,29 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(all == Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 14L, 3)), s"got $all")
   }
+
+  test("phraseMatches: overlaps, repeats, case-insensitivity, and the leg-join plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),        // "a b" at 0 and 3
+      (2L, "A B"),              // case-insensitive hit at 0
+      (3L, "b a"),              // reversed: no hit
+      (4L, "x x x"),            // repeated-term phrase fixture
+      (5L, "")                  // empty
+    ).toDF("doc_id", "text")
+    val ab = Retrieval.phraseMatches(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(ab == Map(1L -> ((2L, 0)), 2L -> ((1L, 0))), s"got $ab")
+    // "x x" overlaps at 0 and 1 — the self-joining legs must count both
+    val xx = Retrieval.phraseMatches(docs, "doc_id", "text", Seq("x", "x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(xx == Map(4L -> 2L), s"got $xx")
+    // plan: no cartesian, no window
+    val plan = Retrieval.phraseMatches(docs, "doc_id", "text", Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      plan.take(600))
+    intercept[IllegalArgumentException](
+      Retrieval.phraseMatches(docs, "doc_id", "text", Seq.empty))
+  }
 }
