@@ -2307,7 +2307,24 @@ object SparkEntry {
     "q107_phrase_search" -> ((s, dir) =>
       graft.operators.Retrieval.phraseMatches(
           t(s, dir, "documents"), "doc_id", "text", Seq("part", "filter"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Margin-based bitext mining (the LASER/CCMatrix parallel-corpus
+    // recipe): the embeddings table split by label parity stands in
+    // for two languages; pairs score by cosine OVER the mean of each
+    // side's k-NN neighborhood, which suppresses hubs a raw cosine
+    // threshold admits. Candidates are bounded forward+backward k-NN
+    // unions — never a materialized cross product. Cosines enter at
+    // the knnJoin 6-dp rounding, so the oracle replays ranking,
+    // neighborhood means, and margins.
+    "q108_bitext_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.marginPairs(
+          emb.filter(pmod(col("label"), lit(2)) === 0),
+          emb.filter(pmod(col("label"), lit(2)) === 1),
+          "vec_id", "embedding", k = 4, thresholdMilli = 1000L)
+        .orderBy("id_a", "id_b")
+    })
   )
 
   // ------------------------------------------------------------------
@@ -4550,6 +4567,38 @@ object SparkEntry {
            FROM w WHERE len(ws) >= 2)
          SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
                 CAST(hits[1] - 1 AS INT) AS first_pos
-         FROM m WHERE len(hits) > 0 ORDER BY doc_id"""
+         FROM m WHERE len(hits) > 0 ORDER BY doc_id""",
+
+    // q108: forward/backward top-4 by (6-dp cosine desc, id asc) —
+    // the q25 knnJoin tie discipline — then the margin in EXACT
+    // integer micro/milli units (the 6-dp cosine lifts exactly to an
+    // integer; the gate and the ratio are pure integer arithmetic, so
+    // no rounding boundary can flip cross-engine).
+    "q108_bitext_margin" ->
+      """WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0),
+         b AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+         x AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                      CAST(round(round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                                            AS DOUBLE), 6) * 1000000) AS BIGINT) AS c
+               FROM a CROSS JOIN b),
+         f AS (SELECT ia, ib, c FROM (
+                 SELECT ia, ib, c,
+                        row_number() OVER (PARTITION BY ia ORDER BY c DESC, ib) AS rn
+                 FROM x) WHERE rn <= 4),
+         w AS (SELECT ia, ib, c FROM (
+                 SELECT ia, ib, c,
+                        row_number() OVER (PARTITION BY ib ORDER BY c DESC, ia) AS rn
+                 FROM x) WHERE rn <= 4),
+         aa AS (SELECT ia, sum(c) AS sa, count(1) AS na FROM f GROUP BY ia),
+         ab AS (SELECT ib, sum(c) AS sb, count(1) AS nb FROM w GROUP BY ib),
+         cand AS (SELECT ia, ib, c FROM f UNION SELECT ia, ib, c FROM w),
+         m AS (SELECT cand.ia, cand.ib,
+                      cand.c * 2 * aa.na * ab.nb AS num,
+                      aa.sa * ab.nb + ab.sb * aa.na AS den
+               FROM cand JOIN aa USING (ia) JOIN ab USING (ib))
+         SELECT ia AS id_a, ib AS id_b,
+                CAST((num * 1000) // den AS BIGINT) AS margin_milli
+         FROM m WHERE den > 0 AND num * 1000 >= 1000 * den
+         ORDER BY id_a, id_b"""
   )
 }

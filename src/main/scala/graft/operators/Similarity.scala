@@ -834,4 +834,53 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix parallel-corpus recipe — public): candidate pairs
+    * between two embedding sets scored by the RATIO of their cosine
+    * to the mean of each side's k-NN neighborhood —
+    * `margin(x, y) = 2·cos(x,y) / (avgₖ(x→B) + avgₖ(y→A))` — which
+    * suppresses hubs (vectors close to everything) that absolute
+    * cosine thresholds admit. Candidates are the union of forward and
+    * backward k-NN pairs (each bounded: ≤ k·|A| + k·|B| rows — never
+    * the cross product; the only all-pairs work is inside
+    * [[knnJoin]]'s bounded top-k aggregation). Output
+    * `(id_a, id_b, margin)` with margin ≥ `threshold`, rounded 4 dp.
+    * Cosines enter at [[knnJoin]]'s 6-dp rounding, so the q108 oracle
+    * replays ranking, neighborhood means, and margins cross-engine.
+    * At 10⁹-vector scale, swap the knnJoin legs for the IVF/IVFADC
+    * serve paths — the margin arithmetic is unchanged. */
+  def marginPairs(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 4, thresholdMilli: Long = 1000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // the 6-dp cosine lifts EXACTLY to integer micro-units (it sits
+    // within 1e-9 of the integer), and from there the margin is pure
+    // integer arithmetic: margin = 2·c·n_a·n_b / (s_a·n_b + s_b·n_a)
+    // (the count-weighted form — a side with fewer than k neighbors
+    // averages over what it has). The ≥-threshold gate is an exact
+    // integer comparison, so a margin landing on a rounding boundary
+    // can never flip between engines — the float form lost 2 of 374
+    // battery rows to exactly that.
+    val micro = round(col("cosine") * 1e6).cast("long").as("__c")
+    val fwd = knnJoin(b, a, idCol, idCol, vecCol, k)
+      .select(col("query_id").as("id_a"), col("corpus_id").as("id_b"), micro)
+    val bwd = knnJoin(a, b, idCol, idCol, vecCol, k)
+      .select(col("corpus_id").as("id_a"), col("query_id").as("id_b"), micro)
+    val sideA = fwd.groupBy("id_a")
+      .agg(sum(col("__c")).as("__sa"), count(lit(1)).as("__na"))
+    val sideB = bwd.groupBy("id_b")
+      .agg(sum(col("__c")).as("__sb"), count(lit(1)).as("__nb"))
+    // both directions carry the same micro cosine, so distinct
+    // collapses pairs found both ways
+    fwd.unionByName(bwd).distinct()
+      .join(broadcast(sideA), "id_a")
+      .join(broadcast(sideB), "id_b")
+      .withColumn("__num", col("__c") * 2 * col("__na") * col("__nb"))
+      .withColumn("__den",
+        col("__sa") * col("__nb") + col("__sb") * col("__na"))
+      .filter(col("__den") > 0 &&
+        col("__num") * 1000L >= lit(thresholdMilli) * col("__den"))
+      .select(col("id_a"), col("id_b"),
+        expr("(__num * 1000) div __den").as("margin_milli"))
+  }
 }

@@ -633,4 +633,34 @@ class SimilaritySpec extends SparkSpec {
     val broken = Similarity.pqModelToDF(spark, model).filter(!(col("j") === 0 && col("c") === 0))
     intercept[IllegalArgumentException](Similarity.pqModelFromDF(broken))
   }
+
+  test("marginPairs: true pairs outscore hub matches; exact integers survive repartitioning") {
+    import spark.implicits._
+    // two "languages": B holds a near-clone of a0 plus a HUB close to
+    // everything in A (the failure mode absolute cosine admits); the
+    // clone pair's margin must dominate the hub's best margin
+    def v(xs: Float*) = xs.toArray
+    val aSide = Seq(
+      (0L, v(1f, 0f, 0f, 0f)), (1L, v(0f, 1f, 0f, 0f)),
+      (2L, v(0f, 0f, 1f, 0f)), (3L, v(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val bSide = Seq(
+      (10L, v(0.99f, 0.01f, 0f, 0f)),       // near-clone of a0
+      (11L, v(0.5f, 0.5f, 0.5f, 0.5f)),     // hub: cos 0.5 to every a
+      (12L, v(0f, 0.2f, 0.9f, 0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.marginPairs(aSide, bSide, "vec_id", "embedding",
+        k = 2, thresholdMilli = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val clone = pairs((0L, 10L))
+    val hubBest = pairs.collect { case ((_, 11L), m) => m }.max
+    assert(clone > hubBest,
+      s"clone margin $clone must beat the hub's best $hubBest")
+    assert(clone > 1000L, s"a true pair must clear margin 1.0: $clone")
+    // exact integers: invariant under input partitioning
+    val one = Similarity.marginPairs(aSide, bSide, "vec_id", "embedding", k = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val other = Similarity.marginPairs(aSide.repartition(7), bSide.repartition(3),
+        "vec_id", "embedding", k = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(one == other, "margins moved under repartitioning")
+  }
 }
