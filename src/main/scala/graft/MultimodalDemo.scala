@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Sampling}
+import graft.sources.Tables
+
+/** The runnable end-to-end slice for the MULTIMODAL surface: one
+  * `main` that takes a mixed media corpus to an audited, deduplicated
+  * export —
+  *
+  *   synthesize media (real PNG + WAV payloads, with injected
+  *   near-clones) → `Multimodal.mediaTable` (sniff/meta) →
+  *   per-modality perceptual fingerprints (`imageDHash`,
+  *   `audioFingerprint`) → Hamming radius search
+  *   (`Dedup.signaturePairs`, one banding path for both modalities) →
+  *   drop every non-minimum clone → sharded export with a checksum
+  *   manifest (`Sampling.writeShardedWithManifest`) → one-scan audit
+  *   (`verifyShardedExport`)
+  *
+  * Every stage is an existing, individually-oracled library call
+  * (q102/q104/q105 machinery); this object only composes them, and
+  * the composition spec reconciles the counts end to end. */
+object MultimodalDemo {
+
+  final case class Result(inputMedia: Long, images: Long, audio: Long,
+                          dupPairs: Long, survivors: Long,
+                          auditOk: Boolean)
+
+  /** Run the slice: synthesize media rows off the `documents` ids in
+    * `sfDir` (every `cloneEvery`-th id gets a perceptual near-clone at
+    * id+10_000_000), dedup both modalities, export survivors' metadata
+    * sharded under `outDir`, and audit the export. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          cloneEvery: Int = 10, shards: Int = 8): Result = {
+    import spark.implicits._
+    val ids = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+
+    // 1. synthesize: even ids carry PNGs, odd ids WAVs (both REAL
+    //    codec payloads); selected ids get a near-clone — +1 pixel
+    //    brightness for images, 2x amplitude for audio (each lands
+    //    within the fingerprint radius of its base, q102/q104 shape)
+    val media = ids.flatMap { id =>
+      def png(off: Long) = {
+        val w = 16 + (id % 8).toInt; val h = 12 + (id % 5).toInt
+        val c = 1 + (id % 5)
+        Multimodal.Codec.encodePng(Multimodal.Codec.grayImage(w, h)(
+          (x, y) => ((3L * x * x + 7L * y * y + c * x * y + 29L * id + off)
+            % 256L).toInt))
+      }
+      def wav(sc: Int) = {
+        val n = 800 + (id % 13).toInt * 16
+        val half = 4 + (id % 5).toInt
+        val a = 1000 + (id % 7).toInt * 500
+        val k = 1 + (id % 11).toInt
+        Multimodal.Codec.encodeWav(8000f, 1, Array.tabulate(n) { i =>
+          val mag = a + (i * k) % 23
+          (if ((i / half) % 2 == 0) mag else -(mag + 1)) * sc
+        })
+      }
+      val isImage = id % 2 == 0
+      val base = Multimodal.MediaRow(id, if (isImage) png(0) else wav(1),
+        if (isImage) "png" else "wav")
+      if (id % cloneEvery == 0)
+        Seq(base, Multimodal.MediaRow(id + 10000000L,
+          if (isImage) png(1) else wav(2), base.format))
+      else Seq(base)
+    }.cache()
+    val inputMedia = media.count()
+
+    // 2. metadata + per-modality fingerprints off the REAL decodes
+    val meta = Multimodal.mediaTable(media.toDF(), "media_id", "content")
+    val imgSigs = Multimodal.imageDHash(media.filter(_.format == "png"))
+      .select(col("media_id").as("doc_id"), col("dhash").as("sig"))
+    val audSigs = Multimodal.audioFingerprint(media.filter(_.format == "wav"))
+      .select(col("media_id").as("doc_id"), col("afp").as("sig"))
+    val images = imgSigs.count()
+    val audio = audSigs.count()
+
+    // 3. one banding path for both modalities; drop every pair's
+    //    larger id (clone ids are minted above every base id)
+    val pairs = Dedup.signaturePairs(imgSigs, radius = 6)
+      .unionByName(Dedup.signaturePairs(audSigs, radius = 2))
+      .cache()
+    val dupPairs = pairs.count()
+    val drops = pairs.select(col("doc_b").as("media_id")).distinct()
+    val kept = meta.join(drops, Seq("media_id"), "left_anti")
+      .select("media_id", "n_bytes", "format", "content_hash")
+      .cache()
+    val survivors = kept.count()
+
+    // 4. audited export of the surviving media metadata
+    Sampling.writeShardedWithManifest(kept, "media_id", shards, outDir)
+    val auditOk = Sampling.verifyShardedExport(spark, outDir, "media_id")
+      .filter(!col("ok")).isEmpty
+
+    media.unpersist(); pairs.unpersist(); kept.unpersist()
+    Result(inputMedia, images, audio, dupPairs, survivors, auditOk)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft_mm_demo").toString
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, sfDir, outDir)
+    println(s"media=${r.inputMedia} images=${r.images} audio=${r.audio} " +
+      s"dup_pairs=${r.dupPairs} survivors=${r.survivors} audit_ok=${r.auditOk} " +
+      s"out=$outDir")
+    spark.stop()
+  }
+}
