@@ -2324,6 +2324,41 @@ object SparkEntry {
           emb.filter(pmod(col("label"), lit(2)) === 1),
           "vec_id", "embedding", k = 4, thresholdMilli = 1000L)
         .orderBy("id_a", "id_b")
+    }),
+
+    // q22's STREAMED sibling (the q83 discipline for the MinHash
+    // family): the corpus + clones stream in 3 micro-batches into a
+    // persisted sketch table via per-doc-idempotent appends (no
+    // ledger needed — replay appends nothing), then near-dup pairs
+    // serve OFF THE TABLE and must match the q22 brute-force oracle
+    // verbatim.
+    "q109_stream_minhash" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tag = docsTag(s, dir)
+      val tbl = s"graft_q109_mh_$tag"
+      if (!s.catalog.tableExists(tbl)) {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val clones = docs.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" appended words")).as("text"))
+        val all = docs.union(clones).as[(Long, String)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q109_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingMinhashSketches(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl, ckpt)
+        try {
+          all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.catalog.refreshTable(tbl)
+      }
+      graft.operators.Dedup.minhashDedupFromSketches(s.table(tbl),
+          threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -2758,6 +2793,10 @@ object SparkEntry {
     // the persisted-sketch lifecycle must return exactly the one-shot
     // q22 answer — the same oracle string, bound once
     "q22b_minhash_persisted" -> MinhashPairsOracleSql,
+
+    // q109: the streamed sketch-table lifecycle must return exactly
+    // the q22 batch answer.
+    "q109_stream_minhash" -> MinhashPairsOracleSql,
 
     "q33_lsh_topk" -> AnnCloneOracleSql,
     "q33b_lsh_multiprobe" -> AnnCloneOracleSql,

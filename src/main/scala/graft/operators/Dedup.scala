@@ -405,6 +405,34 @@ object Dedup {
       sketchCol(col(textCol), numHashes, bands, shingleK).as("mh"))
   }
 
+  /** Append NEW documents' MinHash sketches to a persisted sketch
+    * TABLE (created on first call) — the streaming-maintenance half
+    * of the q22b lifecycle, idempotent PER DOCUMENT: already-sketched
+    * ids anti-join away, so an at-least-once `foreachBatch` channel
+    * replaying a batch appends nothing (the [[appendToNgramIndex]]
+    * replay discipline). Serve any time with
+    * [[minhashDedupFromSketches]]`(spark.table(table))` — identical
+    * answers to a from-scratch sketch build over everything delivered
+    * so far (battery q109 pins the streamed lifecycle against the
+    * q22 brute-force oracle). Requires ids unique across the corpus.
+    * Sketch parameters must be fixed for a table's lifetime — they
+    * are baked into every stored row. */
+  def appendToSketchTable(spark: SparkSession, newDocs: DataFrame,
+                          idCol: String, textCol: String, table: String,
+                          numHashes: Int = 128, bands: Int = 16,
+                          shingleK: Int = 5): Unit = {
+    val sk = minhashSketches(newDocs, idCol, textCol, numHashes, bands,
+      shingleK)
+    if (!spark.catalog.tableExists(table)) {
+      graft.sources.Warehouse.clearOrphanLocation(spark, table)
+      sk.write.saveAsTable(table)
+    } else {
+      sk.join(spark.table(table).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .write.mode("append").saveAsTable(table)
+    }
+  }
+
   /** Deduped candidate id pairs (doc_a < doc_b) from shared LSH band
     * buckets; carries ids only through the self-join. */
   private def bandedPairs(sk: DataFrame): DataFrame = {

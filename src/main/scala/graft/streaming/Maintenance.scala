@@ -174,6 +174,32 @@ object Maintenance {
       }
       .start()
 
+  /** Keep a persisted MinHash sketch table
+    * ([[graft.operators.Dedup.appendToSketchTable]]) continuously
+    * absorbed from a document stream — the streaming half of the q22b
+    * sketch lifecycle: each micro-batch's new documents append their
+    * sketches; the corpus is never re-read and serving
+    * (`Dedup.minhashDedupFromSketches(spark.table(table))`) answers
+    * exactly like a from-scratch batch sketch build (battery q109
+    * pins it against the q22 brute-force oracle). Replay-safe without
+    * a ledger: appends are idempotent per document (ids anti-join),
+    * the [[streamingNgramIndex]] discipline. */
+  def streamingMinhashSketches(stream: DataFrame, idCol: String,
+                               textCol: String, table: String,
+                               checkpoint: String,
+                               numHashes: Int = 128, bands: Int = 16,
+                               shingleK: Int = 5): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.appendToSketchTable(batch.sparkSession,
+            batch.toDF(), idCol, textCol, table, numHashes, bands, shingleK)
+          ()
+        }
+      }
+      .start()
+
   /** Keep an incremental n-gram near-dup index
     * ([[graft.operators.Dedup.ensureNgramIndexIncr]]) continuously
     * absorbed from a document stream — the maintenance loop a growing

@@ -334,6 +334,35 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) == (("", 0L)))
   }
 
+  test("appendToSketchTable: per-doc idempotent; streamed-in-pieces equals one-shot pairs") {
+    import spark.implicits._
+    val tbl = "graft_sketch_append_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.sources.Warehouse.clearOrphanLocation(spark, tbl)
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val clones = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" appended words")).as("text"))
+    val all = docs.union(clones)
+    // three appends with an OVERLAP (replay simulation): batch 2
+    // re-delivers part of batch 1
+    val b1 = all.filter(col("doc_id") % 3 === 0)
+    val b2 = all.filter(col("doc_id") % 3 <= 1) // replays all of b1's %3==0
+    val b3 = all
+    Seq(b1, b2, b3).foreach(b =>
+      Dedup.appendToSketchTable(spark, b, "doc_id", "text", tbl))
+    // no doc sketched twice despite the replays
+    val n = spark.table(tbl).count()
+    assert(n == all.count(), s"replayed appends duplicated sketches: $n")
+    val streamed = Dedup.minhashDedupFromSketches(spark.table(tbl), 0.8)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = Dedup.minhashDedup(all, "doc_id", "text", 0.8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == oneShot, "streamed sketch table diverged from batch build")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("dropBoilerplateLines: high-df lines drop everywhere, threshold and empties respected") {
     import spark.implicits._
     val docs = Seq(
