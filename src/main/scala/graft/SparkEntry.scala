@@ -2359,6 +2359,18 @@ object SparkEntry {
       graft.operators.Dedup.minhashDedupFromSketches(s.table(tbl),
           threshold = 0.8)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // The full pairwise drift dashboard: JS divergence between EVERY
+    // language-slice pair in one plan (densified bucket grid
+    // self-joined on bucket — never |groups|² separate passes), exact
+    // pico integers, each cell bit-equal to the two-slice q97-style
+    // call (spec-pinned). 5 languages → 10 cells.
+    "q110_drift_matrix" -> ((s, dir) => {
+      val counts = graft.operators.Dsir.bucketCountsBy(
+        t(s, dir, "documents"), "lang", "text", dim = 4096)
+      graft.operators.Dsir.jsDriftMatrixPico(counts, "lang", dim = 4096)
+        .orderBy("group_a", "group_b")
     })
   )
 
@@ -2797,6 +2809,32 @@ object SparkEntry {
     // q109: the streamed sketch-table lifecycle must return exactly
     // the q22 batch answer.
     "q109_stream_minhash" -> MinhashPairsOracleSql,
+
+    // q110: the pairwise drift matrix — per-lang bucket counts over
+    // the shared gram chain, densified with smoothing mass, the
+    // identical float expression tree per bucket pair, exact integer
+    // pico sums per cell.
+    "q110_drift_matrix" -> (GramBucketCte +
+      """,
+           lc AS (SELECT d.lang, gr.bucket, count(1) AS c
+                  FROM gr JOIN documents d USING (doc_id)
+                  GROUP BY d.lang, gr.bucket),
+           lt AS (SELECT lang, sum(c) AS t FROM lc GROUP BY lang),
+           langs AS (SELECT DISTINCT lang FROM documents),
+           dense AS (SELECT l.lang, bb.bk AS bucket,
+                       CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (lt.t + 4096) AS m
+                     FROM langs l
+                     CROSS JOIN (SELECT unnest(range(4096)) AS bk) bb
+                     JOIN lt ON lt.lang = l.lang
+                     LEFT JOIN lc c ON c.lang = l.lang AND c.bucket = bb.bk),
+           p AS (SELECT a.lang AS ga, b.lang AS gb,
+                   CAST(floor(a.m * ln(2.0 * a.m / (a.m + b.m)) * 1000000000000.0 + 0.5) AS BIGINT) AS ka,
+                   CAST(floor(b.m * ln(2.0 * b.m / (a.m + b.m)) * 1000000000000.0 + 0.5) AS BIGINT) AS kb
+                 FROM dense a JOIN dense b
+                   ON a.bucket = b.bucket AND a.lang < b.lang)
+         SELECT ga AS group_a, gb AS group_b,
+                CAST(sum(ka) + sum(kb) AS BIGINT) AS js2_pico
+         FROM p GROUP BY ga, gb ORDER BY ga, gb"""),
 
     "q33_lsh_topk" -> AnnCloneOracleSql,
     "q33b_lsh_multiprobe" -> AnnCloneOracleSql,

@@ -210,4 +210,48 @@ object Dsir {
         sum(ka).as("kl_a_pico"), sum(kb).as("kl_b_pico"),
         (sum(ka) + sum(kb)).as("js2_pico"))
   }
+
+  /** The FULL pairwise drift matrix over a per-group count frame
+    * ([[bucketCountsBy]] output or a [[graft.streaming.Maintenance.streamingDriftCounts]]
+    * state table): `(group_a, group_b, js2_pico)` for every unordered
+    * group pair — the monitoring dashboard's "which sources are
+    * drifting apart" view, computed in ONE plan instead of
+    * |groups|² [[jsDivergencePicoFromCounts]] calls. Arithmetic is
+    * the identical fixed expression tree, so each matrix cell equals
+    * the two-slice call bit-for-bit (spec-pinned) and the q110 oracle
+    * replays the whole matrix.
+    *
+    * Scale shape: densify to |groups|·dim rows (every bucket carries
+    * smoothing mass even where absent), self-join on `bucket`
+    * (|groups|²·dim rows — at 4096 buckets and a few hundred
+    * sources this is millions, not billions), quantize per bucket,
+    * integer-sum per pair. Nothing driver-side. */
+  def jsDriftMatrixPico(countsBy: DataFrame, groupCol: String,
+                        dim: Int): DataFrame = {
+    requirePow2(dim)
+    val spark = countsBy.sparkSession
+    val groups = countsBy.select(col(groupCol).as("__g")).distinct()
+    val tot = countsBy.groupBy(col(groupCol).as("__tg"))
+      .agg(sum(col("cnt")).as("__t"))
+    val dense = groups
+      .crossJoin(spark.range(dim).select(col("id").cast("int").as("bucket")))
+      .join(countsBy.select(col(groupCol).as("__g"), col("bucket"), col("cnt")),
+        Seq("__g", "bucket"), "left")
+      .join(broadcast(tot), col("__g") === col("__tg"))
+      .select(col("__g"), col("bucket"),
+        ((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__t") + lit(dim.toLong)).cast("double")).as("__m"))
+    val a = dense.select(col("__g").as("ga"), col("bucket"),
+      col("__m").as("ma"))
+    val b = dense.select(col("__g").as("gb"), col("bucket"),
+      col("__m").as("mb"))
+    val ka = floor(col("ma") * log(lit(2.0) * col("ma") /
+      (col("ma") + col("mb"))) * lit(1e12) + lit(0.5))
+    val kb = floor(col("mb") * log(lit(2.0) * col("mb") /
+      (col("ma") + col("mb"))) * lit(1e12) + lit(0.5))
+    a.join(b, Seq("bucket")).filter(col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), ka.as("__ka"), kb.as("__kb"))
+      .groupBy(col("ga").as("group_a"), col("gb").as("group_b"))
+      .agg((sum(col("__ka")) + sum(col("__kb"))).as("js2_pico"))
+  }
 }

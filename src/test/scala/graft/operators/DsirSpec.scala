@@ -167,4 +167,24 @@ class DsirSpec extends SparkSpec {
       Dsir.bucketCounts(rest, "text", dim), dim).head().toSeq
     assert(viaText == viaCounts, s"serve paths diverged: $viaText vs $viaCounts")
   }
+
+  test("jsDriftMatrixPico: every cell equals the two-slice call bit-for-bit") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dim = 512
+    val counts = Dsir.bucketCountsBy(docs, "lang", "text", dim)
+    val matrix = Dsir.jsDriftMatrixPico(counts, "lang", dim)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(matrix.size == langs.size * (langs.size - 1) / 2,
+      s"matrix shape wrong: ${matrix.size} cells for ${langs.size} groups")
+    for (Array(la, lb) <- langs.combinations(2)) {
+      val direct = Dsir.jsDivergencePicoFromCounts(
+        counts.filter(col("lang") === la).select("bucket", "cnt"),
+        counts.filter(col("lang") === lb).select("bucket", "cnt"), dim)
+        .head().getLong(4)
+      assert(matrix((la, lb)) == direct,
+        s"cell ($la, $lb): matrix ${matrix((la, lb))} != direct $direct")
+    }
+  }
 }
