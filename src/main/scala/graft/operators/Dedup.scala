@@ -226,8 +226,13 @@ object Dedup {
       s"maxDocFraction must be in (0, 1], got $maxDocFraction")
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("__text"))
+    // posexplode_outer, not posexplode: split(NULL) is NULL and the
+    // inner variant would elide the row entirely, silently dropping
+    // NULL-text documents from the output. With _outer the doc keeps
+    // one (null, null) line row and reassembles to text "" with
+    // n_dropped 0 — every input doc_id appears in the output.
     val lines = base.select(col("doc_id"),
-        posexplode(split(col("__text"), "\n", -1)).as(Seq("pos", "line")))
+        posexplode_outer(split(col("__text"), "\n", -1)).as(Seq("pos", "line")))
       .withColumn("__k", trim(col("line")))
     val nDocs = base.agg(count(lit(1)).as("__n"))
     val boiler = lines.filter(col("__k") =!= "")
@@ -338,6 +343,9 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
       .groupBy("doc_id").agg(collect_set(col("cp")).as("__cov"))
     val rebuild = udf { (text: String, cov: Seq[Int]) =>
+      // NULL-in-NULL-out, mirroring positionalGramHashes' null guard —
+      // a null-text doc has no grams, so it must pass through, not NPE
+      if (text == null) (null: String, 0L) else {
       val covSet = cov.toSet
       val sb = new java.lang.StringBuilder
       var dropped = 0
@@ -358,6 +366,7 @@ object Dedup {
         }
       }
       (sb.toString, dropped.toLong)
+      }
     }
     base.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),

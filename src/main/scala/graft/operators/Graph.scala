@@ -30,9 +30,14 @@ import org.apache.spark.storage.StorageLevel
   * `dst` — the one unavoidable PageRank exchange, with map-side
   * combine because the aggregate is a plain integer SUM. Nothing is
   * ever collected; driver state is the node count. Every
-  * `checkpointEvery` iterations the rank frame is persisted and the
-  * previous one released, so lineage stays flat at any iteration
-  * count.
+  * `checkpointEvery` iterations the rank frame is persisted,
+  * MATERIALIZED, and the previous one released — downstream stages
+  * read the cached blocks, so no iteration ever recomputes an earlier
+  * one (the logical plan object still nests; at very high iteration
+  * counts swap the persist for `localCheckpoint` to truncate it).
+  * The scratch frames (edge list, node list) are unpersisted before
+  * returning; the RETURNED rank frame is persisted and materialized —
+  * the caller owns its unpersist.
   */
 object Graph {
 
@@ -119,6 +124,17 @@ object Graph {
         ranks = next
       }
     }
+    // iterations == 0 returns the uniform init — persist + materialize
+    // it too, so the scratch frames can be released uniformly below
+    if (persisted.isEmpty) {
+      ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+      ranks.count()
+    }
+    // release the scratch caches: the final ranks are materialized, so
+    // nothing recomputes through these. The returned (persisted) frame
+    // is the caller's to unpersist.
+    e.unpersist()
+    nodes.unpersist()
     ranks
   }
 }

@@ -348,9 +348,13 @@ object Retrieval {
                     phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
     val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    // posexplode the empty-filtered array so positions match tokensOf
+    // exactly: trim() only strips spaces, so text leading with a tab or
+    // newline would otherwise yield a "" token at pos 0 and shift every
+    // reported position by one vs the documented tokenization
     val toks = docs.select(col(idCol).as("doc_id"),
-        posexplode(split(lower(trim(col(textCol))), "\\s+"))
-          .as(Seq("pos", "term")))
+        posexplode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > 0)).as(Seq("pos", "term")))
       .filter(col("term").isin(terms.distinct: _*))
     val legs = terms.zipWithIndex.map { case (t, i) =>
       toks.filter(col("term") === t)

@@ -67,22 +67,27 @@ object Lake {
     * `_quarantined` with every data field null — so
     * `n_parsed + n_quarantined == n_lines` always holds (spec-pinned)
     * and the bad lines can be shipped to a dead-letter dir intact for
-    * replay. The frame is cached before returning: Spark refuses
-    * corrupt-record-only projections on an uncached raw-file scan
-    * (documented engine limitation), and the audit query that groups
-    * by `_quarantined IS NULL` is exactly such a projection.
+    * replay. With `cache = true` (the default) the frame is cached
+    * before returning: Spark refuses corrupt-record-only projections
+    * on an uncached raw-file scan (documented engine limitation), and
+    * the audit query that groups by `_quarantined IS NULL` is exactly
+    * such a projection. THE CALLER OWNS THE UNPERSIST — pass
+    * `cache = false` to skip pinning when the downstream plan keeps a
+    * data column in every projection (then the engine limitation never
+    * bites and nothing is pinned in executor storage).
     * Battery q106 oracles the split on deterministically injected
     * truncated lines. */
   def readBronzeQuarantine(spark: SparkSession, path: String,
-                           schema: StructType): DataFrame = {
+                           schema: StructType,
+                           cache: Boolean = true): DataFrame = {
     val withCorrupt = new StructType(
       (schema.fields :+ org.apache.spark.sql.types.StructField(
         "_quarantined", org.apache.spark.sql.types.StringType)))
-    spark.read.schema(withCorrupt)
+    val raw = spark.read.schema(withCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_quarantined")
       .json(path)
-      .cache()
+    if (cache) raw.cache() else raw
   }
 
   /** W8: retention maintenance — drop event-time partition directories

@@ -334,6 +334,25 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) == (("", 0L)))
   }
 
+  test("dedupSubstrings / dropBoilerplateLines: NULL text degrades, never throws") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z w"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // rebuild UDF mirrors positionalGramHashes' null guard: NULL in,
+    // NULL out, zero dropped — the whole job must not NPE
+    val sub = Dedup.dedupSubstrings(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2)))).toMap
+    assert(sub(1L) == ((Some("x y z w"), 0L)))
+    assert(sub(2L) == ((None, 0L)))
+    // posexplode_outer keeps the NULL-text doc in the output (empty
+    // text, nothing dropped) instead of silently eliding it
+    val boiler = Dedup.dropBoilerplateLines(docs, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(boiler.size == 2, s"NULL-text doc vanished: $boiler")
+    assert(boiler(2L) == (("", 0L)))
+  }
+
   test("appendToSketchTable: per-doc idempotent; streamed-in-pieces equals one-shot pairs") {
     import spark.implicits._
     val tbl = "graft_sketch_append_spec"

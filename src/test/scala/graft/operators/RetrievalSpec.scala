@@ -255,4 +255,14 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Retrieval.phraseMatches(docs, "doc_id", "text", Seq.empty))
   }
+
+  test("phraseMatches: leading tab/newline does not shift positions (tokensOf parity)") {
+    import spark.implicits._
+    // trim() strips only spaces — a leading tab used to mint a ""
+    // token at pos 0 and shift every position by one vs tokensOf
+    val docs = Seq((1L, "\ta b"), (2L, "\na b"), (3L, " a b")).toDF("doc_id", "text")
+    val got = Retrieval.phraseMatches(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 0), s"positions shifted: $got")
+  }
 }
