@@ -210,8 +210,11 @@ object Retrieval {
     *    query-term set before they ride the candidate join: the full
     *    `docFreq` frame is |vocab| rows (100M+ terms on a web corpus —
     *    never broadcastable); the query-term slice is |query terms|
-    *    rows and rides the query side of the join, so no vocab-sized
-    *    relation ever sits under a BroadcastExchange.
+    *    rows and rides the query side of the join UNHINTED — when
+    *    queries ≈ corpus (dedup-by-retrieval) that slice is the
+    *    vocabulary again, so broadcasting is left to AQE's measured
+    *    runtime size, never forced. No vocab-sized relation ever sits
+    *    under a forced BroadcastExchange.
     *  - `maxDfFraction` df-caps the candidate join (the Lucene/CCNet
     *    stopword-pruning practice): a term present in more than that
     *    fraction of all documents scores idf ≈ 0 yet would enumerate
@@ -244,8 +247,15 @@ object Retrieval {
       .filter(col("df") <= lit(maxDfFraction) * col("__nd"))
       .select("term", "df")
     // df rides the (small) query side into the term-keyed join, so the
-    // old per-candidate broadcast(dfreq) join disappears entirely
-    val qtd = qterms.join(broadcast(qdf), "term")
+    // old per-candidate broadcast(dfreq) join disappears entirely.
+    // Deliberately NO broadcast hint: for an eval batch the slice is
+    // tiny and AQE broadcasts it from its measured runtime size, but
+    // for a dedup-by-retrieval pass (every doc a query) the distinct
+    // query-term set IS the vocabulary — force-broadcasting it would
+    // ship a vocab-sized relation to every executor. Unhinted, the
+    // worst case is the term-keyed shuffle join the candidate join
+    // below already pays (spec-pinned in both regimes).
+    val qtd = qterms.join(qdf, "term")
     val matched = stats.join(qtd, "term")
     val kept =
       if (excludeSelf) matched.filter(col("doc_id") =!= col("query_id"))

@@ -128,24 +128,80 @@ class RetrievalSpec extends SparkSpec {
         "text", maxDfFraction = 0.0))
   }
 
-  test("bm25JoinTopK plan: docFreq is semi-joined to query terms — no vocab-sized broadcast") {
+  test("bm25JoinTopK plan: docFreq is semi-joined to query terms and never force-broadcast") {
     val docs = graft.sources.Tables
       .load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
     val queries = Seq((9001L, "the data model")).toDF("doc_id", "text")
-    val p = Retrieval.bm25JoinTopK(docs, "doc_id", "text",
+    val q = Retrieval.bm25JoinTopK(docs, "doc_id", "text",
         queries, "doc_id", "text", n = 10)
-      .queryExecution.executedPlan.toString
     // the |vocab|-row docFreq aggregate must be pruned by a LeftSemi
-    // against the distinct query-term set BEFORE anything broadcasts it
+    // against the distinct query-term set before it joins anything
+    val p = q.queryExecution.executedPlan.toString
     assert(p.contains("LeftSemi"), p.take(1500))
-    // the old shape joined broadcast(dfreq) per candidate row: its
-    // signature was a BroadcastExchange directly over the vocab-wide
-    // df HashAggregate with no semi-join below. Parent-first print: at
-    // least one BroadcastExchange subtree must contain the LeftSemi.
-    val bIdx = p.indexOf("BroadcastExchange")
-    assert(bIdx >= 0 && p.indexOf("LeftSemi", bIdx) > bIdx,
-      "no broadcast subtree carries the semi-joined df slice:\n" + p.take(1500))
+    // corpus-as-queries regime: the distinct query-term set IS the
+    // vocabulary, so the df slice must carry NO broadcast hint — the
+    // only forced broadcasts in the analyzed plan are the two one-row
+    // corpus-stat frames. (AQE may still broadcast the slice at
+    // runtime from its MEASURED size; that adaptivity is the point.)
+    val hints = "ResolvedHint".r.findAllIn(q.queryExecution.analyzed.toString).size
+    assert(hints == 2,
+      s"expected exactly the 2 one-row corpus-stat hints, got $hints")
+    // with size-based broadcasting off, the unhinted slice must fall
+    // back to a shuffle join: no BroadcastExchange subtree may contain
+    // the LeftSemi (parent-first print)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cold = Retrieval.bm25JoinTopK(docs, "doc_id", "text",
+          queries, "doc_id", "text", n = 10)
+        .queryExecution.executedPlan.toString
+      var i = cold.indexOf("BroadcastExchange")
+      while (i >= 0) {
+        val next = cold.indexOf("BroadcastExchange", i + 1)
+        val end = if (next >= 0) next else cold.length
+        assert(!cold.substring(i, end).contains("LeftSemi"),
+          "df slice still under a forced BroadcastExchange:\n" + cold.take(1500))
+        i = next
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("bm25JoinTopK corpus-as-queries: every doc a query, parity with single-query bm25") {
+    // the dedup-by-retrieval regime the broadcast fix targets: the
+    // distinct query-term set is the whole vocabulary. df-cap disabled
+    // (this fixture's df is a content signal — 30/31 terms exceed any
+    // sane cap) so parity with the capless single-query form is exact.
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text")
+    val batch = Retrieval.bm25JoinTopK(docs, "doc_id", "text",
+        docs, "doc_id", "text", n = 5, maxDfFraction = 1.0,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9), r.getInt(3)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3, t._4)).toSeq.sortBy(_._3)).toMap
+    assert(batch.size == docs.count(),
+      s"some queries returned nothing: ${batch.size}")
+    // spot-check three queries against the single-query path
+    val spot = docs.filter(col("doc_id").isin(3L, 250L, 499L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((qid, text) <- spot) {
+      val terms = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      // stats stay corpus-wide (excludeSelf only drops the query doc
+      // from the CANDIDATES, not from df/avgdl) — so score on the full
+      // corpus, then drop self and take the top 5
+      val single = Retrieval.bm25(docs, "doc_id", "text", terms)
+        .filter(col("doc_id") =!= qid)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), math.round(r.getDouble(1) * 1e9), i + 1) }
+        .toSeq
+      assert(batch(qid) == single,
+        s"corpus-as-queries run diverged from single-query bm25 for $qid")
+    }
   }
 
   test("retrieval-quality floor: recall@10 >= 0.4 on the near-dup truth set") {
