@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.expressions.{FloatVectorCosine, FloatVectorDot}
+import graft.expressions.{DoubleSortableBits, FloatVectorCosine, FloatVectorDot}
 
 /** Session extensions registering graft's native expressions for the
   * SQL surface — the canonical integration point for custom Catalyst
@@ -42,7 +42,14 @@ object GraftExtensions {
       binary("fvec_cosine", FloatVectorCosine) _),
     (FunctionIdentifier("fvec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "fvec_dot"),
-      binary("fvec_dot", FloatVectorDot) _))
+      binary("fvec_dot", FloatVectorDot) _),
+    (FunctionIdentifier("double_sortable_bits"),
+      new ExpressionInfo(classOf[DoubleSortableBits].getName, "double_sortable_bits"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a) => DoubleSortableBits(a)
+        case _ => throw new IllegalArgumentException(
+          s"double_sortable_bits requires exactly 1 argument, got ${children.length}")
+      }))
 
   /** Install on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -183,6 +183,33 @@ object Sampling {
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Order-preserving score CLASS with a hard-bounded class space:
+    * for a numeric score, the top `classBits` bits of the IEEE
+    * sortable-long form of `score` cast to double
+    * ([[graft.expressions.DoubleSortableBits]]) — monotone
+    * non-decreasing in the score (class(x) > class(y) implies x > y),
+    * at most `2^classBits` classes EVER regardless of |rows|, and
+    * log-spaced (each binade of score magnitude gets its own
+    * subdivisions, so heavy-tailed scores — perplexities, losses —
+    * don't collapse into one class the way range-normalized buckets
+    * do). A non-numeric score falls back to the raw value as its own
+    * class: per-value histograms, the pre-quantization behavior —
+    * bounded only by |distinct values| (documented contract for
+    * callers with exotic orderable score types). NULL scores have a
+    * NULL class, which sorts after every real class exactly as NULL
+    * scores sort after every real score. */
+  private def scoreClass(df: DataFrame, scoreCol: String,
+                         classBits: Int): Column = {
+    require(classBits >= 1 && classBits <= 63,
+      s"classBits must be in [1, 63], got $classBits")
+    df.schema(scoreCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        shiftright(graft.expressions.ScalarExpressions
+          .sortableBits(col(scoreCol).cast("double")), 64 - classBits)
+      case _ => col(scoreCol)
+    }
+  }
+
   /** Keep each group's top `fraction` of rows by `scoreCol` (ties
     * broken by `idCol` so selection is deterministic) — the
     * quality-budgeted curation primitive: "keep the best half of every
@@ -190,57 +217,70 @@ object Sampling {
     * score with this. Kept size is `ceil(fraction * |group|)`, so no
     * group is emptied while `fraction > 0`.
     *
-    * Skew-safe two-pass threshold select. The obvious plan —
-    * `row_number` + `count` windows over `partitionBy(group)` — is one
-    * shuffle but serializes EVERY row of a group through one task's
-    * sort; with a dominant group (one source = half the corpus, the
-    * normal web-crawl mixture shape) that task is the job. Here
-    * instead:
-    *  1. a per-(group, score) COUNT histogram (one shuffle, map-side
-    *     combine; |distinct scores| rows, never |rows|);
-    *  2. a window over the histogram finds each group's cutoff score
-    *     `s*` — the highest score whose descending cumulative count
-    *     reaches `k = ceil(n·fraction)` — and how many tied rows at
-    *     `s*` still fit (one task per group, but over distinct-score
-    *     rows only);
-    *  3. the tiny `(group, s*, tie_keep)` frame broadcasts back: rows
-    *     scoring ABOVE `s*` are kept with no ordering work at all, and
-    *     only the tie set AT `s*` pays a `row_number` (by id) for the
-    *     remaining slots — a window over the ties, not the group.
+    * Skew-safe two-pass threshold select, bounded for ANY numeric
+    * score distribution. The obvious plan — `row_number` + `count`
+    * windows over `partitionBy(group)` — is one shuffle but serializes
+    * EVERY row of a group through one task's sort; with a dominant
+    * group (one source = half the corpus, the normal web-crawl mixture
+    * shape) that task is the job. And a per-(group, RAW score)
+    * histogram is no better when scores are continuous: every row its
+    * own class, the histogram IS the group again. Here instead:
+    *  1. a per-(group, [[scoreClass]]) COUNT histogram — one shuffle,
+    *     map-side combine, ≤ `2^classBits` rows per group no matter
+    *     how many rows or distinct scores the group holds;
+    *  2. a window over the histogram (class rows only) finds each
+    *     group's BOUNDARY class `c*` — the highest class whose
+    *     descending cumulative count reaches `k = ceil(n·fraction)` —
+    *     and how many of its rows still fit;
+    *  3. the tiny `(group, c*, slots)` frame broadcasts back: rows in
+    *     classes ABOVE `c*` are kept with no ordering work at all
+    *     (class order implies score order), and only the boundary
+    *     class pays an exact `(score desc, id)` `row_number` for the
+    *     remaining slots — a window over one class's rows (for
+    *     continuous scores a ~`2^-subdivision` slice of the group; for
+    *     a point-mass score, the tie set itself — id-order resolution
+    *     over a tie mass is inherent to the semantics, not the plan).
     * Rows with a NULL score sort after every non-null score (the
-    * `desc` default), exactly like the single-window form did. */
+    * `desc` default), exactly like the single-window form did.
+    * Results are bit-identical to that form for every score type —
+    * quantization only routes rows; selection is exact (spec-pinned
+    * on a continuous-score skew fixture). */
   def topFractionBy(df: DataFrame, groupCol: String, scoreCol: String,
-                    idCol: String, fraction: Double): DataFrame = {
+                    idCol: String, fraction: Double,
+                    classBits: Int = 24): DataFrame = {
     require(fraction >= 0 && fraction <= 1,
       s"fraction must be in [0, 1], got $fraction")
     import org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+    val cls = scoreClass(df, scoreCol, classBits)
+    val hist = df.groupBy(col(groupCol).as("__g"), cls.as("__cls"))
       .agg(count(lit(1)).as("__c"))
-    val wCum = Window.partitionBy("__g").orderBy(col("__s").desc)
+    val wCum = Window.partitionBy("__g").orderBy(col("__cls").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wN = Window.partitionBy("__g")
     val cuts = hist
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__k", ceil(sum(col("__c")).over(wN) * fraction))
       .filter(col("__cum") >= col("__k") && col("__cum") - col("__c") < col("__k"))
-      .select(col("__g"), col("__s").as("__cut"),
-        (col("__k") - (col("__cum") - col("__c"))).cast("long").as("__tie_keep"))
+      .select(col("__g"), col("__cls").as("__cut"),
+        (col("__k") - (col("__cum") - col("__c"))).cast("long").as("__slots"))
     // inner join: a group with no cut row (fraction = 0) keeps nothing;
     // null-safe so a NULL group key stays a group, as the window form
     // treated it
-    val withCut = df.join(broadcast(cuts), col(groupCol) <=> col("__g"))
-    // a NULL cutoff means even the null-scored tail is partially kept:
-    // every non-null score sorts above it
+    val withCut = df.withColumn("__cls", cls)
+      .join(broadcast(cuts), col(groupCol) <=> col("__g"))
+    // a NULL boundary class means even the null-scored tail is
+    // partially kept: every non-null class sorts above it
     val above = withCut
-      .filter((col("__cut").isNull && col(scoreCol).isNotNull) ||
-        col(scoreCol) > col("__cut"))
-      .drop("__g", "__cut", "__tie_keep")
-    val tieW = Window.partitionBy(groupCol).orderBy(col(idCol))
-    val ties = withCut.filter(col(scoreCol) <=> col("__cut"))
-      .withColumn("__rn", row_number().over(tieW))
-      .filter(col("__rn") <= col("__tie_keep"))
-      .drop("__g", "__cut", "__tie_keep", "__rn")
-    above.unionByName(ties)
+      .filter((col("__cut").isNull && col("__cls").isNotNull) ||
+        col("__cls") > col("__cut"))
+      .drop("__g", "__cls", "__cut", "__slots")
+    val bW = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val boundary = withCut.filter(col("__cls") <=> col("__cut"))
+      .withColumn("__rn", row_number().over(bW))
+      .filter(col("__rn") <= col("__slots"))
+      .drop("__g", "__cls", "__cut", "__slots", "__rn")
+    above.unionByName(boundary)
   }
 
   /** Keep each group's best rows by `scoreCol` until a per-group
@@ -256,26 +296,31 @@ object Sampling {
     *
     * Skew-safe exactly like [[topFractionBy]] — the naive plan (one
     * cumulative-sum window over `partitionBy(group)`) serializes every
-    * row of a dominant group through one task's sort. Instead:
-    *  1. a per-(group, score) histogram aggregates COUNT and
-    *     SUM(weight) — one shuffle, map-side combine, |distinct
-    *     scores| rows;
-    *  2. a window over the histogram (distinct-score rows only) finds
-    *     the group's crossing score `s*` — the unique score class
-    *     where the descending cumulative weight first exceeds the
-    *     budget — and the budget remaining when the class starts;
-    *  3. the tiny `(group, s*, remaining)` frame broadcasts back: rows
-    *     scoring ABOVE `s*` are kept with zero ordering work, rows
-    *     below are dropped, and only the tie set AT `s*` pays a
-    *     cumulative-sum window (by id) against the remaining budget.
+    * row of a dominant group through one task's sort, and a RAW-score
+    * histogram degenerates to |rows| on continuous scores. Instead:
+    *  1. a per-(group, [[scoreClass]]) histogram aggregates
+    *     SUM(weight) — one shuffle, map-side combine, ≤ `2^classBits`
+    *     rows per group for any numeric score distribution;
+    *  2. a window over the histogram (class rows only) finds the
+    *     group's crossing class `c*` — the unique class where the
+    *     descending cumulative weight first exceeds the budget — and
+    *     the budget remaining when the class starts;
+    *  3. the tiny `(group, c*, remaining)` frame broadcasts back: rows
+    *     in classes ABOVE `c*` are kept with zero ordering work
+    *     (their cumulative weight fits by construction), rows below
+    *     are dropped, and only the crossing class pays an exact
+    *     `(score desc, id)` cumulative-sum window against the
+    *     remaining budget — one class's rows, never the group.
     * A group whose total weight fits its budget has no crossing class
     * and keeps every row. NULL scores order after all non-null scores,
-    * as in [[topFractionBy]]. `budgets` is a 2-column (group, budget)
-    * frame — |groups|-sized, broadcast; the uniform-`Long` overload
-    * wraps a constant. */
+    * as in [[topFractionBy]]; results are bit-identical to the
+    * single-window form (quantization routes rows, selection is
+    * exact). `budgets` is a 2-column (group, budget) frame —
+    * |groups|-sized, broadcast; the uniform-`Long` overload wraps a
+    * constant. */
   def tokenBudgetBy(df: DataFrame, groupCol: String, scoreCol: String,
                     idCol: String, weightCol: String,
-                    budgets: DataFrame): DataFrame = {
+                    budgets: DataFrame, classBits: Int = 24): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bCols = budgets.columns
     require(bCols.length == 2 && bCols.head == groupCol,
@@ -283,10 +328,11 @@ object Sampling {
     val bud = budgets.select(col(bCols(0)).as("__bg"),
       col(bCols(1)).cast("long").as("__budget"))
     val w = coalesce(col(weightCol).cast("long"), lit(0L))
-    val hist = df.groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+    val cls = scoreClass(df, scoreCol, classBits)
+    val hist = df.groupBy(col(groupCol).as("__g"), cls.as("__cls"))
       .agg(sum(w).as("__w"))
       .join(broadcast(bud), col("__g") <=> col("__bg"))
-    val wCum = Window.partitionBy("__g").orderBy(col("__s").desc)
+    val wCum = Window.partitionBy("__g").orderBy(col("__cls").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the crossing class: cumulative weight strictly exceeds the
     // budget here and did not before it — unique per group because the
@@ -295,36 +341,45 @@ object Sampling {
       .withColumn("__cum", sum(col("__w")).over(wCum))
       .filter(col("__cum") > col("__budget") &&
         col("__cum") - col("__w") <= col("__budget"))
-      .select(col("__g"), col("__s").as("__cut"),
+      .select(col("__g"), col("__cls").as("__cut"),
         (col("__budget") - (col("__cum") - col("__w"))).as("__rem"),
         lit(true).as("__crossed"))
     // LEFT join: a group with no crossing class fits its budget whole.
     // __crossed (never null on a hit) disambiguates "no crossing
     // class" from "the NULL-score class is the crossing class" —
     // both leave __cut null.
-    val withCut = df.join(broadcast(cuts), col(groupCol) <=> col("__g"), "left")
+    val withCut = df.withColumn("__cls", cls)
+      .join(broadcast(cuts), col(groupCol) <=> col("__g"), "left")
     val above = withCut
       .filter(col("__crossed").isNull ||
-        (col("__cut").isNull && col(scoreCol).isNotNull) ||
-        col(scoreCol) > col("__cut"))
-      .drop("__g", "__cut", "__rem", "__crossed")
-    val tieW = Window.partitionBy(groupCol).orderBy(col(idCol))
+        (col("__cut").isNull && col("__cls").isNotNull) ||
+        col("__cls") > col("__cut"))
+      .drop("__g", "__cls", "__cut", "__rem", "__crossed")
+    val bW = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ties = withCut
-      .filter(col("__crossed").isNotNull && col(scoreCol) <=> col("__cut"))
-      .withColumn("__tcum", sum(w).over(tieW))
+    val boundary = withCut
+      .filter(col("__crossed").isNotNull && col("__cls") <=> col("__cut"))
+      .withColumn("__tcum", sum(w).over(bW))
       .filter(col("__tcum") <= col("__rem"))
-      .drop("__g", "__cut", "__rem", "__crossed", "__tcum")
-    above.unionByName(ties)
+      .drop("__g", "__cls", "__cut", "__rem", "__crossed", "__tcum")
+    above.unionByName(boundary)
   }
 
   /** [[tokenBudgetBy]] with the same budget for every group. */
   def tokenBudgetBy(df: DataFrame, groupCol: String, scoreCol: String,
-                    idCol: String, weightCol: String, budget: Long): DataFrame = {
+                    idCol: String, weightCol: String, budget: Long): DataFrame =
+    tokenBudgetBy(df, groupCol, scoreCol, idCol, weightCol, budget, 24)
+
+  /** [[tokenBudgetBy]] uniform-budget form with an explicit class
+    * width (only one overload may carry defaults). */
+  def tokenBudgetBy(df: DataFrame, groupCol: String, scoreCol: String,
+                    idCol: String, weightCol: String, budget: Long,
+                    classBits: Int): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val bud = df.select(col(groupCol)).distinct()
       .withColumn("budget", lit(budget))
-    tokenBudgetBy(df, groupCol, scoreCol, idCol, weightCol, bud)
+    tokenBudgetBy(df, groupCol, scoreCol, idCol, weightCol, bud, classBits)
   }
 
   /** [[writeSharded]] plus a verification MANIFEST: per-shard

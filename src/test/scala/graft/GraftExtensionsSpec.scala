@@ -49,14 +49,47 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw, registers all
     GraftExtensions.functions.foreach { case (id, _, builder) =>
       import org.apache.spark.sql.graftbridge.ColumnBridge
-      val args = Seq(ColumnBridge.expression(lit(Seq(1.0f))),
+      val two = Seq(ColumnBridge.expression(lit(Seq(1.0f))),
         ColumnBridge.expression(lit(Seq(1.0f))))
-      val built = builder(args)
+      val one = Seq(ColumnBridge.expression(lit(1.0)))
+      // arity varies per function: exactly one of the shapes builds
+      val built = try builder(two) catch {
+        case _: IllegalArgumentException => builder(one)
+      }
       assert(built.getClass.getSimpleName.toLowerCase
         .contains(id.funcName.replace("fvec_", "floatvector").replace("_", "")),
         s"${id.funcName} built ${built.getClass.getSimpleName}")
-      intercept[IllegalArgumentException](builder(args.take(1)))
+      intercept[IllegalArgumentException](builder(Seq.empty))
     }
+  }
+
+  test("double_sortable_bits: order-preserving over the full double line, SQL-callable") {
+    GraftExtensions.register(spark)
+    import graft.expressions.ScalarExpressions.sortableBits
+    // a gauntlet of doubles in Spark's ascending order (NaN largest,
+    // -0.0 == +0.0); the transform must be monotone non-decreasing,
+    // strictly increasing between non-equal values
+    val gauntlet = Seq(
+      Double.NegativeInfinity, -java.lang.Double.MAX_VALUE, -1e10, -2.5,
+      -1.0, -java.lang.Double.MIN_VALUE, -0.0, 0.0,
+      java.lang.Double.MIN_VALUE, 1e-300, 0.5, 1.0, 2.5, 1e10,
+      java.lang.Double.MAX_VALUE, Double.PositiveInfinity, Double.NaN)
+    val bits = gauntlet.zipWithIndex.toDF("d", "i")
+      .select(col("i"), sortableBits(col("d")).as("b"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+    bits.sliding(2).zipWithIndex.foreach { case (Array(a, b), i) =>
+      // -0.0 and +0.0 must map EQUAL (Spark compares them equal);
+      // everything else strictly increases
+      if (gauntlet(i) == 0.0 && gauntlet(i + 1) == 0.0) assert(a == b)
+      else assert(a < b, s"order broke between ${gauntlet(i)} and ${gauntlet(i + 1)}")
+    }
+    // NULL in, NULL out; SQL surface matches the Column surface
+    val viaSql = spark.sql(
+      "SELECT double_sortable_bits(CAST(2.5 AS DOUBLE)), double_sortable_bits(CAST(NULL AS DOUBLE))")
+      .collect().head
+    val viaCol = Seq(2.5).toDF("d").select(sortableBits(col("d")))
+      .collect().head.getLong(0)
+    assert(viaSql.getLong(0) == viaCol && viaSql.isNullAt(1))
   }
 
   test("wrong arity raises a clear error, not an index failure") {

@@ -333,6 +333,74 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("topFractionBy/tokenBudgetBy: continuous scores — bounded class histogram, exact selection") {
+    // 90%-skew fixture with CONTINUOUS scores: every row a distinct
+    // double spanning ~30 binades (heavy-tailed, like perplexities).
+    // A raw-score histogram would be |rows| here; the class histogram
+    // must stay ≤ 2^classBits while the kept set stays bit-identical
+    // to the single-window reference.
+    val rows =
+      (0 until 9000).map(i =>
+        (i.toLong, "big", math.sin(i * 0.7318) * math.exp((i % 31) - 15.0))) ++
+      (0 until 300).map(i => (10000L + i, "small", 1.0 / (i + 3))) ++
+      (0 until 50).map(i => (20000L + i, null.asInstanceOf[String], i * 0.01))
+    val df = rows.toDF("id", "grp", "score").repartition(8)
+    import org.apache.spark.sql.expressions.Window
+    val bits = 8 // tiny class space: ≤256 classes vs 9350 distinct scores
+    val nCls = df.filter(col("grp") === "big")
+      .select(shiftright(graft.expressions.ScalarExpressions
+        .sortableBits(col("score")), 64 - bits))
+      .distinct().count()
+    assert(nCls <= (1L << bits) && nCls < 9000,
+      s"class space not bounded: $nCls classes")
+    for (f <- Seq(0.25, 0.7)) {
+      val got = Sampling.topFractionBy(df, "grp", "score", "id", f, classBits = bits)
+        .select("id").as[Long].collect().toSet
+      val ranked = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+      val want = df
+        .withColumn("__rn", row_number().over(ranked))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("grp")))
+        .filter(col("__rn") <= ceil(col("__n") * f))
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"fraction $f: continuous-score kept set diverged")
+    }
+    // budget form on the same fixture (weight = id % 5 + 1)
+    val wdf = df.withColumn("w", col("id") % 5 + 1)
+    for (b <- Seq(41L, 7000L)) {
+      val got = Sampling.tokenBudgetBy(wdf, "grp", "score", "id", "w", b, classBits = bits)
+        .select("id").as[Long].collect().toSet
+      val ordered = Window.partitionBy("grp")
+        .orderBy(col("score").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = wdf
+        .withColumn("__cum", sum(col("w")).over(ordered))
+        .filter(col("__cum") <= b)
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"budget $b: continuous-score kept set diverged")
+    }
+    // gated-window plan shape holds on the continuous path too: every
+    // window sits above the class-histogram Aggregate or the boundary
+    // Filter, never over raw input rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Window => LWindow}
+    val plan = Sampling.topFractionBy(df, "grp", "score", "id", 0.5)
+    val wins = plan.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val gated = w.child.collectFirst {
+        case f: Filter => f
+        case a: Aggregate => a
+      }.isDefined
+      assert(gated, "a window runs over ungated raw input:\n" + w.toString.take(600))
+    }
+    // special values route like Spark's double order: NaN largest,
+    // ±0.0 equal (id tiebreak)
+    val edge = Seq((1L, "e", Double.NaN), (2L, "e", Double.PositiveInfinity),
+      (3L, "e", 0.0), (4L, "e", -0.0)).toDF("id", "grp", "score")
+    val keptEdge = Sampling.topFractionBy(edge, "grp", "score", "id", 0.75, classBits = bits)
+      .select("id").as[Long].collect().toSet
+    assert(keptEdge == Set(1L, 2L, 3L), s"special-value ordering broke: $keptEdge")
+  }
+
   test("export manifest: clean audit passes; a tampered shard is flagged precisely") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_export_spec").toString
