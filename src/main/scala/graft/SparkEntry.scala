@@ -118,6 +118,42 @@ object SparkEntry {
     (s"graft_q70b_bigrams_$tag", s"graft_q70b_ctx_$tag", s"graft_q70b_vocab_$tag")
   }
 
+  /** The docsTag scheme over the trade graph's raw inputs (q95b's
+    * edge tables). */
+  private val tradeTagCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def tradeTag(s: SparkSession, dir: String): String =
+    tradeTagCache.computeIfAbsent(dir, d => {
+      val r = t(s, d, "orders")
+        .agg(count(lit(1)).as("n"),
+          bit_xor(xxhash64(col("o_orderkey"), col("o_custkey"))).as("c")).head()
+      val r2 = t(s, d, "lineitem")
+        .agg(count(lit(1)).as("n"),
+          bit_xor(xxhash64(col("l_orderkey"), col("l_suppkey"))).as("c")).head()
+      java.lang.Integer.toHexString(d.hashCode) +
+        s"_${r.getLong(0)}_" + java.lang.Long.toHexString(r.getLong(1)) +
+        s"_${r2.getLong(0)}_" + java.lang.Long.toHexString(r2.getLong(1))
+    })
+
+  /** Build-once customer<->supplier trade-graph edge tables (q95b):
+    * the q95 edge derivation — the join+distinct+mirror+out-degree
+    * fold that dominated q95's wall clock — materialized once per
+    * dataset tag via [[graft.operators.Graph.ensureEdgeTable]];
+    * serving iterations read only these tables. */
+  private def ensureTradeEdgeTable(s: SparkSession, dir: String): String = {
+    val tbl = s"graft_q95b_edges_${tradeTag(s, dir)}"
+    graft.operators.Graph.ensureEdgeTable(s, {
+      val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cn"),
+          (col("l_suppkey") * 2 + 1).as("sn"))
+        .distinct()
+      pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+    }, "src", "dst", tbl, assumeDistinct = true)
+    tbl
+  }
+
   /** The docsTag scheme over the embeddings table (q88b's index). */
   private val embTagCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def embTag(s: SparkSession, dir: String): String =
@@ -2044,6 +2080,18 @@ object SparkEntry {
         .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
       graft.operators.Graph.pageRankMicro(edges, "src", "dst", iterations = 4,
           assumeDistinct = true)
+        .orderBy("node")
+    }),
+
+    // The q95 build/serve split: the edge derivation (join + distinct
+    // + mirror + out-degree fold — ~90% of q95's cost) is materialized
+    // ONCE into catalog tables; this entry serves four iterations off
+    // them — the standing-workload lifecycle every other index family
+    // in the battery already has. Bit-identical ranks: same integer
+    // arithmetic, same unrolled oracle as q95.
+    "q95b_pagerank_serve" -> ((s, dir) => {
+      val tbl = ensureTradeEdgeTable(s, dir)
+      graft.operators.Graph.pageRankMicroFromTable(s, tbl, iterations = 4)
         .orderBy("node")
     }),
 
@@ -4314,6 +4362,36 @@ object SparkEntry {
     // integer floor arithmetic ('//' here, 'div' in Spark), so every
     // rank matches bit-for-bit. Dangling/rounding mass drops in both.
     "q95_pagerank" -> {
+      val prelude =
+        """WITH pairs AS (
+             SELECT DISTINCT 2 * o_custkey AS cn, 2 * l_suppkey + 1 AS sn
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           e AS (SELECT cn AS src, sn AS dst FROM pairs
+                 UNION SELECT sn, cn FROM pairs),
+           nd AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+           outdeg AS (SELECT src AS node, count(1) AS od FROM e GROUP BY 1),
+           nn AS (SELECT count(1) AS n FROM nd),
+           r0 AS (SELECT node, 1000000000 // nn.n AS r FROM nd CROSS JOIN nn)"""
+      val steps = (1 to 4).map { i =>
+        s""",
+           r$i AS (
+             SELECT nd.node,
+                    (SELECT 15000000000 // (100 * n) FROM nn) + coalesce(m.s, 0) AS r
+             FROM nd LEFT JOIN (
+               SELECT e.dst AS node, sum((p.r * 85) // (100 * o.od)) AS s
+               FROM r${i - 1} p JOIN outdeg o ON o.node = p.node
+                                JOIN e ON e.src = p.node
+               GROUP BY e.dst) m ON m.node = nd.node)"""
+      }.mkString
+      prelude + steps +
+        " SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r4 ORDER BY node"
+    },
+
+    // q95b: identical semantics to q95 (the lifecycle split changes
+    // where the edges live, not one bit of the arithmetic), so the
+    // oracle is the same unrolled replay.
+    "q95b_pagerank_serve" -> {
       val prelude =
         """WITH pairs AS (
              SELECT DISTINCT 2 * o_custkey AS cn, 2 * l_suppkey + 1 AS sn

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -23,6 +23,18 @@ import org.apache.spark.storage.StorageLevel
   * the documented teleport-absorbing variant; ORDER of ranks (the
   * signal a curation gate consumes) is unaffected.
   *
+  * Two lifecycles, identical ranks:
+  *  - Ad-hoc ([[pageRankMicro]]): derives edges+out-degrees and nodes
+  *    in-session, persists them, iterates, releases the scratch.
+  *  - Standing workload ([[ensureEdgeTable]] + [[pageRankMicroFromTable]]):
+  *    the derivation — the expensive part, a distinct over the raw
+  *    pair stream plus the out-degree fold — happens ONCE into catalog
+  *    tables (the [[Retrieval.ensureBm25Tables]] nightly-index
+  *    pattern); every serve call reads two narrow tables and pays only
+  *    the iterations. This is the split a standing ranking workload
+  *    runs: rebuilding the graph per query was ~90% of the q95 wall
+  *    clock at sf0.1.
+  *
   * Scale shape: per iteration, ranks join out-degrees on the node key
   * (both |nodes|-sized, co-partitioned after the first exchange), the
   * edge list joins on `src` (edges persisted pre-partitioned by `src`
@@ -41,6 +53,47 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Collapsed `(src, dst, __od)` edge list with the out-degree folded
+    * in — the static per-source property every iteration re-reads, so
+    * it is computed once at build time rather than re-joined per step.
+    * `assumeDistinct = true` skips the (src, dst) dedup exchange when
+    * the caller guarantees collapsed multiplicity. */
+  def edgesWithOutDegree(edges: DataFrame, srcCol: String, dstCol: String,
+                         assumeDistinct: Boolean = false): DataFrame = {
+    val cleaned = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .na.drop()
+    val dedup = if (assumeDistinct) cleaned else cleaned.distinct()
+    val outdeg = dedup.groupBy(col("src").as("__on"))
+      .agg(count(lit(1)).as("__od"))
+    dedup.join(outdeg, dedup("src") === outdeg("__on"))
+      .select(col("src"), col("dst"), col("__od"))
+  }
+
+  /** Build-once/serve-many lifecycle: write the collapsed edge list
+    * (with out-degrees) and the node list as catalog tables unless
+    * they already exist (idempotent; existence-keyed like
+    * [[Retrieval.ensureBm25Tables]], so dataset identity must ride in
+    * the table name). The raw pair stream is read exactly once per
+    * build; every [[pageRankMicroFromTable]] call after is two narrow
+    * table scans plus the iterations. Nodes land in `<table>_nodes`. */
+  def ensureEdgeTable(spark: SparkSession, edges: => DataFrame,
+                      srcCol: String, dstCol: String, table: String,
+                      assumeDistinct: Boolean = false): Unit = {
+    val nodesTable = table + "_nodes"
+    if (!spark.catalog.tableExists(table)) {
+      graft.sources.Warehouse.clearOrphanLocation(spark, table)
+      edgesWithOutDegree(edges, srcCol, dstCol, assumeDistinct)
+        .write.mode("overwrite").saveAsTable(table)
+    }
+    if (!spark.catalog.tableExists(nodesTable)) {
+      graft.sources.Warehouse.clearOrphanLocation(spark, nodesTable)
+      val e = spark.table(table)
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .write.mode("overwrite").saveAsTable(nodesTable)
+    }
+  }
+
   /** `(node, rank_micro)` after `iterations` synchronous PageRank
     * steps over `edges(srcCol, dstCol)`. Duplicate edges are
     * collapsed (link multiplicity does not multiply mass — the
@@ -53,26 +106,11 @@ object Graph {
                     scale: Long = 1000000000L,
                     checkpointEvery: Int = 5,
                     assumeDistinct: Boolean = false): DataFrame = {
-    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
-      s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
-    require(scale > 0, s"scale must be positive, got $scale")
-    require(checkpointEvery >= 1,
-      s"checkpointEvery must be >= 1, got $checkpointEvery")
-
-    // The out-degree is a static property of the source node, so it is
-    // folded INTO the persisted edge list once (src, dst, __od) rather
-    // than re-joined every step. With e pinned to HashPartitioning(src)
-    // and nodes/ranks to HashPartitioning(node), every per-iteration
-    // join satisfies its required distribution from the persisted
-    // layout, leaving the dst-keyed contribution SUM as the ONE
-    // exchange per step — the canonical distributed-PageRank shape.
     // Node keys keep their NATIVE type — long keys shuffle and compare
-    // far cheaper than decorated strings at web-graph scale.
-    // `assumeDistinct = true` skips the (src, dst) dedup exchange when
-    // the caller guarantees collapsed multiplicity (e.g. it distincted
-    // one direction and mirrored — the two directions are disjoint by
-    // construction).
+    // far cheaper than decorated strings at web-graph scale. The
+    // dedup'd pair list feeds three consumers (out-degree fold, edge
+    // join, node derivation) — pin it so the distinct exchange runs
+    // once, then release it as soon as e/nodes are materialized.
     val cleaned = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .na.drop()
     val dedup = (if (assumeDistinct) cleaned else cleaned.distinct())
@@ -90,21 +128,70 @@ object Graph {
     val nodes = dedup.select(col("src").as("node"))
       .union(dedup.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    e.count() // materialize BEFORE releasing the frame both read
+    dedup.unpersist()
+    iterateAndRelease(e, nodes, iterations, dampNum, dampDen, scale,
+      checkpointEvery, epsilonMicro = 0L)
+  }
+
+  /** PageRank served off a prebuilt [[ensureEdgeTable]] pair: reads
+    * `(src, dst, __od)` and `<table>_nodes`, pins both, and pays only
+    * the iterations — sub-second per step where the ad-hoc build costs
+    * seconds. With `epsilonMicro > 0` the loop becomes a CONVERGED
+    * run: it stops at the first iteration whose largest per-node rank
+    * change is ≤ `epsilonMicro` micro-units (or at `iterations`,
+    * whichever comes first). Convergence checking persists and
+    * compares every step (one extra |nodes|-row integer aggregate per
+    * step) — leave it 0 to replay a fixed unroll bit-for-bit. */
+  def pageRankMicroFromTable(spark: SparkSession, table: String,
+                             iterations: Int,
+                             dampNum: Long = 85L, dampDen: Long = 100L,
+                             scale: Long = 1000000000L,
+                             checkpointEvery: Int = 5,
+                             epsilonMicro: Long = 0L): DataFrame = {
+    val e = spark.table(table)
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = spark.table(table + "_nodes")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    iterateAndRelease(e, nodes, iterations, dampNum, dampDen, scale,
+      checkpointEvery, epsilonMicro)
+  }
+
+  /** The shared synchronous-iteration loop. Takes ownership of the
+    * persisted `e`/`nodes` scratch frames and releases them after the
+    * final ranks are materialized. */
+  private def iterateAndRelease(e: DataFrame, nodes: DataFrame,
+                                iterations: Int, dampNum: Long,
+                                dampDen: Long, scale: Long,
+                                checkpointEvery: Int,
+                                epsilonMicro: Long): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    require(epsilonMicro >= 0, s"epsilonMicro must be >= 0, got $epsilonMicro")
 
     val n = nodes.count()
-    require(n > 0, "pageRankMicro needs a non-empty edge list")
-    e.count() // materialize BEFORE releasing the frame it reads
-    dedup.unpersist()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    e.count() // materialize the edge cache before iterating
     val base = scale * (dampDen - dampNum) / (dampDen * n)
     val r0 = scale / n
 
     var ranks = nodes.withColumn("rank_micro", lit(r0))
     var persisted: Option[DataFrame] = None
+    // convergence checking needs CONSECUTIVE iterations materialized
+    val every = if (epsilonMicro > 0) 1 else checkpointEvery
     var i = 0
-    while (i < iterations) {
+    var converged = false
+    while (i < iterations && !converged) {
+      val prev = ranks
       // dangling nodes have no e row — their out-mass drops here
-      val contribs = ranks
-        .join(e, ranks("node") === e("src"))
+      val contribs = prev
+        .join(e, prev("node") === e("src"))
         .select(col("dst").as("node"),
           // `div`, not `/`: Column./ is DOUBLE division, whose
           // round-to-nearest can land ON an integer the true quotient
@@ -116,9 +203,17 @@ object Graph {
         .select(col("node"),
           (lit(base) + coalesce(col("__m"), lit(0L))).as("rank_micro"))
       i += 1
-      if (i % checkpointEvery == 0 || i == iterations) {
+      if (i % every == 0 || i == iterations) {
         val next = ranks.persist(StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize BEFORE releasing the frame it reads
+        if (epsilonMicro > 0) {
+          // largest per-node step delta, in exact integer micro-units
+          val delta = next.as("a")
+            .join(prev.select(col("node"), col("rank_micro").as("__p")), "node")
+            .agg(max(abs(col("rank_micro") - col("__p"))).as("d"))
+            .head().getLong(0)
+          converged = delta <= epsilonMicro
+        }
         persisted.foreach(_.unpersist())
         persisted = Some(next)
         ranks = next

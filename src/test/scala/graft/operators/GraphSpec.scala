@@ -79,4 +79,66 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r == Map("a" -> 333333333L, "b" -> 333333333L, "c" -> 333333333L))
   }
+
+  test("ensureEdgeTable + pageRankMicroFromTable: serve equals ad-hoc bit-for-bit, build runs once") {
+    val tbl = "graft_graphspec_edges"
+    Seq(tbl, tbl + "_nodes").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Warehouse.clearOrphanLocation(spark, t)
+    }
+    // hub-and-cycle graph with a dangling node and duplicate edges
+    val edges = Seq("a" -> "b", "a" -> "b", "b" -> "c", "c" -> "a",
+      "a" -> "d").toDF("src", "dst")
+    Graph.ensureEdgeTable(spark, edges, "src", "dst", tbl)
+    // idempotent: a second ensure with DIFFERENT (would-be-wrong) edges
+    // must not rebuild — existence-keyed like ensureBm25Tables
+    Graph.ensureEdgeTable(spark,
+      Seq("x" -> "y").toDF("src", "dst"), "src", "dst", tbl)
+    assert(spark.table(tbl).count() == 4) // duplicates collapsed, not rebuilt
+    for (iters <- Seq(0, 1, 4, 7)) {
+      val served = Graph.pageRankMicroFromTable(spark, tbl, iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val adhoc = Graph.pageRankMicro(edges, "src", "dst", iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(served == adhoc, s"serve diverged from ad-hoc at $iters iterations")
+    }
+    Seq(tbl, tbl + "_nodes").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("convergence stop: epsilon halts the cycle early at its fixed point, exactly") {
+    val tbl = "graft_graphspec_conv"
+    Seq(tbl, tbl + "_nodes").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Warehouse.clearOrphanLocation(spark, t)
+    }
+    // a 3-cycle reaches its exact integer fixed point after step 1
+    // (uniform init IS the fixed point, modulo the floor residue) —
+    // epsilon 0 must stop there and still return the exact ranks
+    Graph.ensureEdgeTable(spark,
+      Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst"),
+      "src", "dst", tbl)
+    val r = Graph.pageRankMicroFromTable(spark, tbl, iterations = 50,
+        epsilonMicro = 1L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 333333333L, "b" -> 333333333L, "c" -> 333333333L))
+    // a graph still moving under a tiny epsilon runs to maxIterations
+    // and matches the fixed-unroll form
+    val tbl2 = "graft_graphspec_conv2"
+    Seq(tbl2, tbl2 + "_nodes").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Warehouse.clearOrphanLocation(spark, t)
+    }
+    val star = Seq("a" -> "hub", "b" -> "hub", "c" -> "hub",
+      "hub" -> "a").toDF("src", "dst")
+    Graph.ensureEdgeTable(spark, star, "src", "dst", tbl2)
+    val conv = Graph.pageRankMicroFromTable(spark, tbl2, iterations = 3,
+        epsilonMicro = 1L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val fixed = Graph.pageRankMicro(star, "src", "dst", iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(conv == fixed,
+      "still-moving graph must run all iterations under a small epsilon")
+    Seq(tbl, tbl + "_nodes", tbl2, tbl2 + "_nodes")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
