@@ -748,6 +748,46 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // q88's STREAMED sibling (the q109 discipline for the ANN
+    // family — the last index family to get the streaming leg): the
+    // corpus + clones stream in 3 micro-batches into a persisted
+    // IVFADC code table via per-vector-idempotent appends, encoding
+    // against the FROZEN q88b centroids/codebooks (an ANN model is
+    // trained once; only the code table grows). Serving off the
+    // streamed table must answer the q88 exact-top-5 clone oracle
+    // verbatim — streamed codes are bit-identical to a one-shot
+    // encode (spec-pinned, with replay idempotence).
+    "q88c_ivfpq_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val (_, centT, cbT) = ensureIvfPqTables(s, dir)
+      val tbl = s"graft_q88c_idx_${embTag(s, dir)}"
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      if (!s.catalog.tableExists(tbl)) {
+        val all = emb.union(annClones(emb)).as[(Long, Seq[Float])].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float])]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q88c_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingIvfPqIndex(
+          mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          tbl, centT, cbT, ckpt)
+        try {
+          all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.catalog.refreshTable(tbl)
+      }
+      val cm = graft.operators.Similarity.centroidsFromDF(s.table(centT))
+      val model = graft.operators.Similarity.pqModelFromDF(s.table(cbT))
+      graft.operators.Similarity.ivfPqTopKFromIndex(s.table(tbl), cm,
+          emb.union(annClones(emb)), emb.filter(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding", model, k = 5, nprobe = 8)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
     // Similarity: IVF coarse-quantized ANN, 5 queries probing 8 of 16
     // cells — same injected-clone gap argument and oracle as q33: a
     // clone is near-identical to its query, so it quantizes into (or
@@ -2893,6 +2933,9 @@ object SparkEntry {
     // the persisted lifecycle must return exactly the one-shot q88
     // answer — the same oracle string, bound once
     "q88b_ivfpq_persisted" -> AnnCloneOracleSql,
+    // q88c: identical semantics again — the streamed append changes
+    // where the codes come from, not one bit of their content.
+    "q88c_ivfpq_stream" -> AnnCloneOracleSql,
 
     // q57: the whole near-dup corpus filter restated in SQL — brute-
     // force ≥0.8 pair set (see MinhashPairsOracleSql), drop every

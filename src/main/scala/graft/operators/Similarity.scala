@@ -750,6 +750,38 @@ object Similarity {
       .select(col("corpus_id"), col("r._1").as("cell"), col("r._2").as("codes"))
   }
 
+  /** Append NEW vectors to a persisted IVFADC code table (created on
+    * first call) — the streaming-maintenance half of the q88b
+    * lifecycle, completing the build/serve/streaming triad the MinHash
+    * ([[Dedup.appendToSketchTable]]) and n-gram families already
+    * have. New vectors encode against the FROZEN coarse centroids and
+    * PQ codebooks — an ANN index's model is trained once and only the
+    * code table grows (the FAISS `add` discipline; retraining is a
+    * rebuild, not an append) — so every appended row is bit-identical
+    * to what a one-shot [[ivfPqEncode]] over the same corpus would
+    * emit (spec-pinned). Idempotent PER VECTOR: already-indexed ids
+    * anti-join away, so an at-least-once `foreachBatch` channel
+    * replaying a batch appends nothing (the
+    * [[Dedup.appendToSketchTable]] replay discipline). Serve any time
+    * with [[ivfPqTopKFromIndex]]`(spark.table(table), …)` — battery
+    * q88c pins the streamed lifecycle against the q88 exact-top-5
+    * clone oracle. Requires ids unique across the corpus. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         newVecs: DataFrame, idCol: String, vecCol: String,
+                         indexTable: String,
+                         centroids: Array[Array[Float]],
+                         model: PqModel): Unit = {
+    val enc = ivfPqEncode(newVecs, idCol, vecCol, centroids, model)
+    if (!spark.catalog.tableExists(indexTable)) {
+      graft.sources.Warehouse.clearOrphanLocation(spark, indexTable)
+      enc.write.saveAsTable(indexTable)
+    } else {
+      enc.join(spark.table(indexTable).select(col("corpus_id")),
+          Seq("corpus_id"), "left_anti")
+        .write.mode("append").saveAsTable(indexTable)
+    }
+  }
+
   /** IVFADC serve — the composition that fixes exhaustive ADC's wrong
     * asymptotic: [[pqTopKFromIndex]] scans EVERY code row per query
     * (O(corpus) per query, just 32× cheaper per row), while here each

@@ -239,6 +239,44 @@ object Maintenance {
       }
       .start()
 
+  /** Keep a persisted IVFADC code table continuously absorbed from a
+    * vector stream — the last index family to get the streaming leg
+    * (MinHash: [[streamingMinhashSketches]], n-gram:
+    * [[streamingNgramIndex]]). The coarse centroids and PQ codebooks
+    * are FROZEN catalog tables from the one-time batch build
+    * ([[graft.operators.Similarity.centroidsToDF]] /
+    * [[graft.operators.Similarity.pqModelToDF]]): each micro-batch
+    * reloads them (two tiny bounded reads — nlist·dim + m·ksub rows)
+    * and encodes only its own vectors, so the corpus is never re-read
+    * and the model never drifts mid-stream. Replay-safe without a
+    * ledger: appends are idempotent per vector id
+    * ([[graft.operators.Similarity.appendToIvfPqIndex]]).
+    *
+    * Serving is unchanged and concurrent:
+    * `Similarity.ivfPqTopKFromIndex(spark.table(indexTable), …)`
+    * between (or during) batches answers exactly as a one-shot encode
+    * over everything delivered so far — battery q88c pins the
+    * streamed lifecycle against the q88 exact-top-5 clone oracle. */
+  def streamingIvfPqIndex(stream: DataFrame, idCol: String, vecCol: String,
+                          indexTable: String, centroidTable: String,
+                          codebookTable: String,
+                          checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val cm = graft.operators.Similarity
+            .centroidsFromDF(spark.table(centroidTable))
+          val model = graft.operators.Similarity
+            .pqModelFromDF(spark.table(codebookTable))
+          graft.operators.Similarity.appendToIvfPqIndex(spark,
+            batch.toDF(), idCol, vecCol, indexTable, cm, model)
+          ()
+        }
+      }
+      .start()
+
   /** Continuously MERGE a stream of updates into a partitioned lake
     * tree (CDC apply). Replay-safe without bookkeeping: Lake.upsert
     * is latest-wins, so re-applying a delivered batch changes

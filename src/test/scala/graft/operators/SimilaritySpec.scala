@@ -634,6 +634,38 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.pqModelFromDF(broken))
   }
 
+  test("appendToIvfPqIndex: replays are idempotent; streamed codes equal the one-shot encode") {
+    val tbl = "graft_simspec_ivfpq_append"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.sources.Warehouse.clearOrphanLocation(spark, tbl)
+    // model frozen once — the append contract — and round-tripped
+    // through the storable frames the streaming wrapper reloads from
+    val cm = Similarity.centroidsFromDF(Similarity.centroidsToDF(spark,
+      Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 16)))
+    val model = Similarity.pqModelFromDF(Similarity.pqModelToDF(spark,
+      Similarity.pqTrain(emb, "vec_id", "embedding")))
+    // three appends with an OVERLAP (replay simulation): batch 2
+    // re-delivers all of batch 1
+    val b1 = emb.filter(col("vec_id") % 3 === 0)
+    val b2 = emb.filter(col("vec_id") % 3 <= 1)
+    val b3 = emb
+    Seq(b1, b2, b3).foreach(b =>
+      Similarity.appendToIvfPqIndex(spark, b, "vec_id", "embedding",
+        tbl, cm, model))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Seq[Int])] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+    val streamed = spark.table(tbl)
+    assert(streamed.count() == emb.count(),
+      "replayed appends duplicated code rows")
+    // streamed-in-pieces must equal a one-shot encode BIT-FOR-BIT —
+    // cells and codes both
+    assert(rows(streamed) ==
+      rows(Similarity.ivfPqEncode(emb, "vec_id", "embedding", cm, model)),
+      "streamed codes diverged from the one-shot encode")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("marginPairs: true pairs outscore hub matches; exact integers survive repartitioning") {
     import spark.implicits._
     // two "languages": B holds a near-clone of a0 plus a HUB close to
