@@ -1108,10 +1108,16 @@ object SparkEntry {
 
     // HLL sketch distinct counts: mergeable sketch state is the
     // 100 TB distinct-count answer (shard → sketch → union, no
-    // re-scan). Rows-only by necessity — DuckDB's approx_count_
-    // distinct is a different estimator; correctness is spec-pinned
-    // in AggSpec (error bound vs exact + shard-merge identity). The
-    // exact count rides along so the row itself exhibits the error.
+    // re-scan). FULLY ORACLED in the exact regime (the q91/q92 KMV/
+    // Misra-Gries discipline): at lgK = 14 the DataSketches HLL stays
+    // in coupon (LIST/SET) mode far past this fixture's cardinality —
+    // the estimate's collision correction c²/2²⁷ rounds to zero below
+    // ~8k distinct, so the rounded estimate EQUALS the exact count,
+    // deterministically (verified at sf0.001/0.01/0.1: 15/150/1500
+    // distinct users per type, all exact; divergence begins ~40k).
+    // The oracle is therefore DuckDB's COUNT(DISTINCT); the SATURATED
+    // regime (where estimators differ) stays spec-pinned in AggSpec
+    // (error bound vs exact + shard-merge identity).
     "q55_hll_distinct" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("event_type")
@@ -2358,16 +2364,23 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
-    // Ingestion quarantine: every 10th document is written as a
-    // TRUNCATED JSONL line, the quarantine read must hand back every
-    // malformed line whole (id_sum counts parsed rows only —
-    // PERMISSIVE partial-parse results don't leak into the good-side
-    // checksum; quarantine_chars pins the verbatim bad-line text by
-    // total length). No line may vanish: the two n_rows sum to the
-    // corpus size or the hash breaks.
+    // Ingestion quarantine + dead-letter round trip: every 10th
+    // document is written as a TRUNCATED JSONL line; the quarantine
+    // read must hand back every malformed line whole (id_sum counts
+    // parsed rows only — PERMISSIVE partial-parse results don't leak
+    // into the good-side checksum; quarantine_chars pins the verbatim
+    // bad-line text by total length). No line may vanish: the two
+    // n_rows sum to the corpus size or the hash breaks. The bad lines
+    // then ship VERBATIM to a dead-letter dir (Lake.writeDeadLetter)
+    // and are read back: dl_md5 (md5 over the sorted re-read lines)
+    // and q_md5 (same digest over the in-memory quarantine column)
+    // must both equal the oracle's closed-form digest — byte identity
+    // through the write+read round trip, not just equal lengths.
     "q106_quarantine" -> ((s, dir) => {
       val out = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q106_bronze_${docsTag(s, dir)}").toString
+      val dl = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q106_deadletter_${docsTag(s, dir)}").toString
       t(s, dir, "documents").select(
         when(pmod(col("doc_id"), lit(10)) === 0,
           concat(lit("{\"doc_id\": "), col("doc_id").cast("string")))
@@ -2375,13 +2388,22 @@ object SparkEntry {
         .write.mode("overwrite").text(out)
       val schema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", "long").add("text", "string")
-      graft.sources.Lake.readBronzeQuarantine(s, out, schema)
-        .groupBy(col("_quarantined").isNull.as("parsed"))
+      val q = graft.sources.Lake.readBronzeQuarantine(s, out, schema)
+      graft.sources.Lake.writeDeadLetter(q, dl, mode = "overwrite")
+      val sortedMd5 = (c: org.apache.spark.sql.Column) =>
+        md5(concat_ws("\n", array_sort(collect_list(c))))
+      val roundtrip = s.read.text(dl)
+        .agg(sortedMd5(col("value")).as("dl_md5"))
+      val qDigest = q.filter(col("_quarantined").isNotNull)
+        .agg(sortedMd5(col("_quarantined")).as("q_md5"))
+      q.groupBy(col("_quarantined").isNull.as("parsed"))
         .agg(count(lit(1)).as("n_rows"),
           sum(when(col("_quarantined").isNull, col("doc_id"))
             .otherwise(lit(0L))).as("id_sum"),
           sum(length(coalesce(col("_quarantined"), lit(""))))
             .as("quarantine_chars"))
+        .crossJoin(broadcast(roundtrip))
+        .crossJoin(broadcast(qDigest))
         .orderBy("parsed")
     }),
 
@@ -3550,6 +3572,18 @@ object SparkEntry {
                 round(sum(value), 4) AS total_value,
                 (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
          FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    // q55: exact-regime oracle — at lgK = 14 the sketch is in coupon
+    // mode at every committed SF (≤1500 distinct vs ~8k where the
+    // collision correction first rounds away from c), so the rounded
+    // estimate equals COUNT(DISTINCT) deterministically. The saturated
+    // regime (where estimator families genuinely differ) is spec-
+    // pinned in AggSpec, not oracled.
+    "q55_hll_distinct" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS hll_users,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     // q54: the BM25 formula restated in SQL (ln == Spark's log, both
     // natural); top-20 selected on the UNROUNDED score with doc_id
@@ -4739,14 +4773,24 @@ object SparkEntry {
     // q106: the quarantine split in closed form — badness is decided
     // by construction (id % 10), the quarantined line is the verbatim
     // truncated text ('{"doc_id": ' ++ id = 11 chars + digits), and
-    // totals must conserve every line.
+    // totals must conserve every line. The dead-letter round trip is
+    // pinned by md5 over the newline-joined SORTED bad-line set,
+    // computed here from first principles: both dl_md5 (lines read
+    // back from the dead-letter dir) and q_md5 (the in-memory
+    // quarantine column) must hash-match this closed form — one byte
+    // lost or changed in the write+read loop breaks the gate.
     "q106_quarantine" ->
-      """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS bad FROM documents)
+      """WITH m AS (SELECT doc_id, doc_id % 10 = 0 AS bad FROM documents),
+         lines AS (SELECT '{"doc_id": ' || CAST(doc_id AS VARCHAR) AS l
+                   FROM m WHERE bad),
+         dig AS (SELECT md5(string_agg(l, chr(10) ORDER BY l)) AS d FROM lines)
          SELECT NOT bad AS parsed, count(1) AS n_rows,
                 CAST(sum(CASE WHEN NOT bad THEN doc_id ELSE 0 END) AS BIGINT) AS id_sum,
                 CAST(sum(CASE WHEN bad
                               THEN 11 + length(CAST(doc_id AS VARCHAR))
-                              ELSE 0 END) AS BIGINT) AS quarantine_chars
+                              ELSE 0 END) AS BIGINT) AS quarantine_chars,
+                (SELECT d FROM dig) AS dl_md5,
+                (SELECT d FROM dig) AS q_md5
          FROM m GROUP BY bad ORDER BY parsed""",
 
     // q107: direct array scan — every i with ws[i]='part' and

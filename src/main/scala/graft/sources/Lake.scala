@@ -90,6 +90,30 @@ object Lake {
     if (cache) raw.cache() else raw
   }
 
+  /** Ship a [[readBronzeQuarantine]] frame's malformed lines to a
+    * DEAD-LETTER directory, VERBATIM — the replay channel that closes
+    * the quarantine loop: once the producer bug is fixed, the dead
+    * letters re-ingest through the normal bronze read with no
+    * re-parse, no re-derivation, byte-identical to what arrived
+    * (battery q106 pins the round trip by md5 over the full sorted
+    * line set). `_quarantined` holds the raw line exactly as read
+    * (the JSONL framing guarantees no embedded newline), and the text
+    * writer emits one file per source partition — partition-parallel,
+    * nothing driver-side. `mode` defaults to append (the operational
+    * channel accumulates); pass "overwrite" for idempotent batch
+    * re-runs. Returns the number of dead letters written.
+    *
+    * Pass the CACHED frame [[readBronzeQuarantine]] returns (its
+    * default): this write is precisely the corrupt-record-only
+    * projection the engine disallows on an uncached raw-file scan. */
+  def writeDeadLetter(quarantined: DataFrame, path: String,
+                      mode: String = "append"): Long = {
+    val bad = quarantined.filter(col("_quarantined").isNotNull)
+      .select(col("_quarantined").as("value"))
+    bad.write.mode(mode).text(path)
+    bad.count()
+  }
+
   /** W8: retention maintenance — drop event-time partition directories
     * whose `year=/month=/day=` date is older than `retainDays` before
     * `today` (the TimescaleDB 7-day `drop_chunks` policy,

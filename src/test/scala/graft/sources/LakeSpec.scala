@@ -321,4 +321,25 @@ class LakeSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(good == Map(1L -> "good one", 3L -> "also good"))
   }
+
+  test("dead-letter round trip: bad lines land verbatim, append accumulates, count returned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dl_src").toString
+    val dl = java.nio.file.Files.createTempDirectory("graft_dl_out").toString + "/letters"
+    val badLines = Seq(
+      """{"doc_id": 7""",
+      """garbage with "quotes" and \ backslashes and {braces}""",
+      """{"doc_id": "clash", "text": "tab\there"}""")
+    val lines = Seq("""{"doc_id": 1, "text": "good"}""") ++ badLines
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-00000.json"), lines.mkString("\n"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val q = Lake.readBronzeQuarantine(spark, dir, schema)
+    assert(Lake.writeDeadLetter(q, dl, mode = "overwrite") == badLines.length.toLong)
+    val back = spark.read.text(dl).collect().map(_.getString(0)).toSeq.sorted
+    assert(back == badLines.sorted, s"round trip not byte-identical: $back")
+    // append accumulates a second delivery (operational default)
+    assert(Lake.writeDeadLetter(q, dl) == badLines.length.toLong)
+    assert(spark.read.text(dl).count() == 2L * badLines.length)
+  }
 }
