@@ -2471,6 +2471,42 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // HTML main-content extraction (the trafilatura/jusText slot —
+    // the FIRST stage of every CommonCrawl text pipeline): pages are
+    // synthesized from the documents table with a fixed template
+    // carrying every boilerplate species — head/title chrome, header
+    // branding, a nav link bar, a too-short promo div, a link-farm
+    // list item, a footer — around two real content blocks (the doc
+    // text and a fixed entity-bearing paragraph). Every rule fires in
+    // BOTH directions: chrome drops while body content keeps, the
+    // 12-char div fails minChars=25 while both content blocks pass,
+    // the 0.61-link-density list fails maxLinkDensity=0.33 while
+    // content sits at 0. The oracle reconstructs the expected
+    // extraction from the same template inputs — markup never parsed
+    // twice, entities decoded to literals, whitespace collapsed the
+    // same way — so one leaked tag, dropped word, or mis-decoded
+    // entity breaks the hash.
+    "q111_html_extract" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<!DOCTYPE html><html><head><title>Doc "),
+          col("doc_id").cast("string"),
+          lit("</title><style>p{color:red}</style>" +
+            "<script>if(a<b){x=1;}</script></head><body>" +
+            "<header><h1>Site &amp; Brand</h1></header>" +
+            "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>" +
+            "<div>HOME | ABOUT</div><p>"),
+          col("text"),
+          lit("</p><ul><li><a href=\"/a\">Link one</a> " +
+            "<a href=\"/b\">Link two</a> more links</li></ul>" +
+            "<p>Quoted &quot;entities&quot; &amp; more entity text " +
+            "decodes here</p>" +
+            "<footer>(c) example corp all rights reserved</footer>" +
+            "</body></html>")).as("html"))
+      graft.operators.Html.extractMainText(pages, "doc_id", "html")
+        .orderBy("doc_id")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -4841,6 +4877,22 @@ object SparkEntry {
          SELECT ia AS id_a, ib AS id_b,
                 CAST((num * 1000) // den AS BIGINT) AS margin_milli
          FROM m WHERE den > 0 AND num * 1000 >= 1000 * den
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+
+    // q111: the expected extraction reconstructed from the template
+    // INPUTS (never by re-parsing markup): main text = the doc text
+    // whitespace-collapsed (the kernel's single-space joining) + the
+    // fixed entity paragraph already decoded to literals. The fixed
+    // boilerplate species (title/header/nav chrome, the 12-char div,
+    // the 0.61-density link farm, the footer) are dropped by
+    // construction: 2 kept, 6 dropped, every page.
+    "q111_html_extract" ->
+      """SELECT doc_id,
+                regexp_replace(trim(text), '\s+', ' ', 'g') || chr(10) ||
+                  'Quoted "entities" & more entity text decodes here'
+                  AS main_text,
+                CAST(2 AS INT) AS n_kept,
+                CAST(6 AS INT) AS n_dropped
+         FROM documents ORDER BY doc_id"""
   )
 }

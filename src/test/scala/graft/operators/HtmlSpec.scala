@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Html]] — main-content extraction. The kernel is pinned on
+  * hand-built tag soup (every state-machine transition), the
+  * classifier on boundary fixtures where each rule flips, and the
+  * corpus form on composition with [[Corpus.refine]]. */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blocks(html: String): Seq[(String, Int, Boolean)] =
+    Html.extractBlocks(html).map(b => (b.text, b.linkChars, b.inChrome))
+
+  test("kernel: tags strip, blocks segment at block tags, inline tags do not break blocks") {
+    val got = blocks("<p>one <b>bold</b> word</p><div>two</div>three")
+    assert(got == Seq(("one bold word", 0, false), ("two", 0, false),
+      ("three", 0, false)), got.toString)
+  }
+
+  test("kernel: script/style/comments vanish, even with '<' inside and sloppy case") {
+    val html = "<p>a</p><SCRIPT>if(a<b){x='</p>';}</SCRIPT>" +
+      "<style>p{color:red}</style><!-- <p>ghost</p> --><p>b</p>"
+    assert(blocks(html) == Seq(("a", 0, false), ("b", 0, false)))
+    // unterminated raw-text element swallows the rest (tolerant, no throw)
+    assert(blocks("<p>a</p><script>var x = 1;") == Seq(("a", 0, false)))
+  }
+
+  test("kernel: chrome containers flag nested text; unclosed chrome stays chrome") {
+    val got = blocks("<nav><div>menu</div></nav><p>body</p>" +
+      "<footer><p>foot</p>")
+    assert(got == Seq(("menu", 0, true), ("body", 0, false),
+      ("foot", 0, true)), got.toString)
+  }
+
+  test("kernel: link chars count inside <a> only; quoted '>' in attributes survives") {
+    val got = blocks("""<p><a href="x>y" title='a>b'>link text</a> plain</p>""")
+    assert(got == Seq(("link text plain", 9, false)), got.toString)
+  }
+
+  test("kernel: entities decode (named + numeric), unknown pass verbatim, nbsp collapses") {
+    val got = blocks("<p>a &amp; b &lt;tag&gt; &quot;q&quot; &#65;&#x42; " +
+      "&nbsp;&nbsp; c &unknown; d</p>")
+    assert(got == Seq(("""a & b <tag> "q" AB c &unknown; d""", 0, false)),
+      got.toString)
+  }
+
+  test("kernel: stray '<', self-closing tags, whitespace runs, doctype") {
+    val got = blocks("<!DOCTYPE html><p>1 < 2   and<br/>more\n\ttext</p>")
+    // br is a block tag: it flushes
+    assert(got == Seq(("1 < 2 and", 0, false), ("more text", 0, false)),
+      got.toString)
+  }
+
+  test("classifier boundaries: minChars and maxLinkDensity flip exactly at their thresholds") {
+    // length: 10 chars kept at minChars=10, dropped at 11
+    val ten = "<p>abcdefghij</p>"
+    assert(Html.extractMainKernel(ten, 10, 1.0) == (("abcdefghij", 1, 0)))
+    assert(Html.extractMainKernel(ten, 11, 1.0) == (("", 0, 1)))
+    // link density: text "aaaa b" with 4 linked of 6 → 0.666…; keep at
+    // 0.67, drop at 0.66 (<= comparison)
+    val link = "<p><a>aaaa</a> b</p>"
+    assert(Html.extractMainKernel(link, 1, 0.67) == (("aaaa b", 1, 0)))
+    assert(Html.extractMainKernel(link, 1, 0.66) == (("", 0, 1)))
+  }
+
+  test("extractMainText: corpus form — NULL html degrades, output composes with Corpus.refine") {
+    val docs = Seq(
+      (1L, "<body><nav><a href=/>Home</a></nav>" +
+        "<p>the quick brown fox jumps over the lazy dog today</p>" +
+        "<footer>(c) corp</footer></body>"),
+      (2L, null.asInstanceOf[String])
+    ).toDF("doc_id", "html")
+    val got = Html.extractMainText(docs, "doc_id", "html")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) ==
+      ((Some("the quick brown fox jumps over the lazy dog today"), 1, 2)))
+    assert(got(2L) == ((None, 0, 0)))
+    // the CCNet order: extract first, then the refine gates — the
+    // extracted frame is a (doc_id, text) corpus like any other
+    val refined = Corpus.refine(
+      Html.extractMainText(docs.filter(col("doc_id") === 1L), "doc_id", "html")
+        .select(col("doc_id"), col("main_text").as("text")),
+      "doc_id", "text", minQuality = None)
+    assert(refined.count() == 1L)
+  }
+
+  test("extractMainText rejects degenerate parameters at plan time") {
+    val docs = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
+    intercept[IllegalArgumentException](
+      Html.extractMainText(docs, "doc_id", "html", minChars = 0))
+    intercept[IllegalArgumentException](
+      Html.extractMainText(docs, "doc_id", "html", maxLinkDensity = 1.5))
+  }
+}
