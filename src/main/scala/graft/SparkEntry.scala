@@ -2507,6 +2507,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Video near-dup: synthetic 6-frame MJPEG clips (per-frame 9×8
+    // step-walk textures driven by mix64(id, frame) — each dHash
+    // comparison has a ±12 luminance margin, so JPEG noise cannot
+    // flip it), with every id < 25 cloned at id+100000 through a REAL
+    // decode→re-encode generation loop. Keyframes (every 2nd frame)
+    // dHash and band via the shared signaturePairs machinery; the
+    // per-pair coverage rollup must find exactly the clone pairs at
+    // full coverage: measured clone keyframe distance 0 vs nearest
+    // cross-video keyframe 11 bits over ALL sf0.1-scale pairs —
+    // radius 4 sits in the gap with margin both ways, deterministic
+    // for this data (the q33/q102 gap-argument discipline).
+    "q112_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          def frame(f: Int) = graft.operators.Multimodal.Codec.encodeJpeg(
+            graft.operators.Multimodal.Codec.grayImage(36, 16) { (x, y) =>
+              val bits = graft.operators.Sketches.mix64(
+                id * 131L + f * 7919L + 17L)
+              var v = 128
+              var i = 0
+              while (i < x / 4) {
+                v += (if (((bits >> (y / 2 * 8 + i)) & 1L) == 1L) 12 else -12)
+                i += 1
+              }
+              v
+            })
+          val bos = new java.io.ByteArrayOutputStream()
+          (0 until 6).foreach(f => bos.write(frame(f)))
+          val src = bos.toByteArray
+          def row(mid: Long, bytes: Array[Byte]) =
+            graft.operators.Multimodal.MediaRow(mid, bytes, "jpg")
+          if (id < 25) {
+            // the clone is a true re-encode generation: demux, decode,
+            // re-encode every frame — zero shared bytes with the source
+            val rb = new java.io.ByteArrayOutputStream()
+            graft.operators.Multimodal.Codec.splitMjpegFrames(src).foreach {
+              case (_, fb) => rb.write(graft.operators.Multimodal.Codec
+                .encodeJpeg(graft.operators.Multimodal.Codec.decode(fb).get))
+            }
+            Seq(row(id, src), row(id + 100000L, rb.toByteArray))
+          } else Seq(row(id, src))
+        }
+      graft.operators.Multimodal.videoNearDupPairs(media, everyN = 2,
+          radius = 4, minMatchMilli = 600)
+        .orderBy("video_a", "video_b")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -4878,6 +4926,18 @@ object SparkEntry {
                 CAST((num * 1000) // den AS BIGINT) AS margin_milli
          FROM m WHERE den > 0 AND num * 1000 >= 1000 * den
          ORDER BY id_a, id_b""",
+
+    // q112: the clone structure in closed form — re-encoded clones
+    // match all 3 of 3 keyframes (measured distance 0 with a wide
+    // deterministic gap to the nearest cross-video keyframe), so the
+    // output is exactly one full-coverage pair per cloned id.
+    "q112_video_neardup" ->
+      """SELECT doc_id AS video_a,
+                doc_id + 100000 AS video_b,
+                CAST(3 AS BIGINT) AS matched_a,
+                CAST(3 AS BIGINT) AS matched_b,
+                CAST(1000 AS BIGINT) AS match_milli
+         FROM documents WHERE doc_id < 25 ORDER BY video_a""",
 
     // q111: the expected extraction reconstructed from the template
     // INPUTS (never by re-parsing markup): main text = the doc text

@@ -423,6 +423,78 @@ object Multimodal {
       .toDF("media_id", "dhash")
   }
 
+  /** Per-video keyframe perceptual hashes: demux MJPEG
+    * ([[Codec.splitMjpegFrames]]), keep every `everyN`-th frame, dHash
+    * each decoded raster — `(media_id, frame_index, dhash)`. The
+    * video-grain analog of [[imageDHash]]: one kernel pass per video,
+    * undecodable frames dropped, containers the JDK can't demux
+    * produce zero rows. */
+  def videoKeyframeHashes(media: Dataset[MediaRow],
+                          everyN: Int = 30): DataFrame = {
+    import media.sparkSession.implicits._
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    media.flatMap { m =>
+      Codec.splitMjpegFrames(m.content).zipWithIndex.collect {
+        case ((_, fb), idx) if idx % everyN == 0 =>
+          Codec.decode(fb).map(img => (m.media_id, idx, Codec.dHash(img)))
+      }.flatten
+    }.toDF("media_id", "frame_index", "dhash")
+  }
+
+  /** VIDEO near-duplicate pairs — a re-encoded / re-containered copy
+    * of a clip matches its source even though not one byte of the
+    * files agrees. Pure composition of existing pieces (zero new
+    * similarity machinery): [[videoKeyframeHashes]] turns each video
+    * into a keyframe-signature SET, frame-grain matches come from the
+    * same pigeonhole banding every 64-bit signature family uses
+    * ([[graft.operators.Dedup.signaturePairs]], keyed by
+    * `(video, frame)` structs — never an all-pairs product), and a
+    * per-video-pair rollup scores coverage: `matched_a`/`matched_b`
+    * count each side's distinct keyframes with a within-`radius`
+    * partner, and `match_milli = min(matched/total)·1000` (exact
+    * integer floor) must reach `minMatchMilli`. A clone matches at
+    * 1000; two clips sharing one stock shot score low and drop.
+    *
+    * Scale shape: banding is `radius+1` chunk-equality shuffles over
+    * keyframe rows (corpus-linear), the rollup is one hash aggregate
+    * on video pairs that actually shared a bucket, and the keyframe
+    * counts join back at video grain — nothing quadratic, nothing
+    * driver-side. Battery q112 oracles the pipeline on synthetic
+    * MJPEG clips with injected re-encoded clones (measured: clone
+    * keyframe distance 0, nearest cross-video keyframe 11 bits at
+    * sf0.1 scale — radius 4 sits in a wide deterministic gap).
+    * Output: `(video_a, video_b, matched_a, matched_b, match_milli)`
+    * with `video_a < video_b`. */
+  def videoNearDupPairs(media: Dataset[MediaRow], everyN: Int = 30,
+                        radius: Int = 4,
+                        minMatchMilli: Long = 600): DataFrame = {
+    require(minMatchMilli >= 0 && minMatchMilli <= 1000,
+      s"minMatchMilli must be in [0, 1000], got $minMatchMilli")
+    val fh = videoKeyframeHashes(media, everyN)
+    val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
+    // (video, frame) struct ids order lexicographically, so the
+    // banding's doc_a < doc_b already yields video_a <= video_b
+    val fids = fh.select(
+      struct(col("media_id"), col("frame_index")).as("doc_id"),
+      col("dhash").as("sig"))
+    val vp = graft.operators.Dedup.signaturePairs(fids, radius)
+      .select(col("doc_a.media_id").as("video_a"),
+        col("doc_a.frame_index").as("__fa"),
+        col("doc_b.media_id").as("video_b"),
+        col("doc_b.frame_index").as("__fb"))
+      .filter(col("video_a") =!= col("video_b"))
+      .groupBy("video_a", "video_b")
+      .agg(countDistinct(col("__fa")).as("matched_a"),
+        countDistinct(col("__fb")).as("matched_b"))
+    vp.join(counts.toDF("video_a", "__na"), "video_a")
+      .join(counts.toDF("video_b", "__nb"), "video_b")
+      .withColumn("match_milli",
+        least(expr("matched_a * 1000 div __na"),
+          expr("matched_b * 1000 div __nb")))
+      .filter(col("match_milli") >= minMatchMilli)
+      .select("video_a", "video_b", "matched_a", "matched_b", "match_milli")
+  }
+
   /** Audio near-dup fingerprints: `(media_id, afp)` via
     * [[Codec.audioFp]] over the real WAV decode — one narrow kernel
     * pass, undecodable payloads dropped. Radius search via

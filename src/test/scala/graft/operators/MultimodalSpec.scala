@@ -245,6 +245,92 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == (0L until 12L).map(i => (i, i + 100000)).toSet, s"$pairs")
   }
 
+  test("videoKeyframeHashes: everyN selection, truncated tail frame dropped") {
+    // the decisive step-walk texture (±12 margins, JPEG-proof)
+    def frame(bits: Long): Array[Byte] = Codec.encodeJpeg(
+      Codec.grayImage(36, 16) { (x, y) =>
+        var v = 128
+        var i = 0
+        while (i < x / 4) {
+          v += (if (((bits >> (y / 2 * 8 + i)) & 1L) == 1L) 12 else -12)
+          i += 1
+        }
+        v
+      })
+    def mjpeg(frames: Seq[Long], truncateTail: Boolean = false): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      frames.foreach(b => bos.write(frame(b)))
+      val full = bos.toByteArray
+      if (truncateTail) full.dropRight(10) else full
+    }
+    val media = Seq(
+      MediaRow(1L, mjpeg(Seq(1L, 2L, 3L, 4L, 5L)), "jpg"),
+      MediaRow(2L, mjpeg(Seq(1L, 2L, 3L), truncateTail = true), "jpg")
+    ).toDS()
+    val got = Multimodal.videoKeyframeHashes(media, everyN = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // video 1: keyframes 0, 2, 4; video 2: frame 2 truncated, so its
+    // keyframes stop at 0 (frame 1 is off-stride)
+    assert(got == Set((1L, 0), (1L, 2), (1L, 4), (2L, 0)), got.toString)
+    // the hash is the walk's bit pattern, JPEG noise ≤ 1 bit (measured)
+    val h = Multimodal.videoKeyframeHashes(media, everyN = 1)
+      .filter(col("media_id") === 1L && col("frame_index") === 0)
+      .head().getLong(2)
+    assert(java.lang.Long.bitCount(h ^ 1L) <= 1, s"walk bits drifted: $h")
+  }
+
+  test("videoNearDupPairs: clones at full coverage, partial overlap thresholds both ways") {
+    def frame(bits: Long): Array[Byte] = Codec.encodeJpeg(
+      Codec.grayImage(36, 16) { (x, y) =>
+        var v = 128
+        var i = 0
+        while (i < x / 4) {
+          v += (if (((bits >> (y / 2 * 8 + i)) & 1L) == 1L) 12 else -12)
+          i += 1
+        }
+        v
+      })
+    def mjpeg(frames: Seq[Long]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      frames.foreach(b => bos.write(frame(b)))
+      bos.toByteArray
+    }
+    def reencode(v: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Codec.splitMjpegFrames(v).foreach { case (_, fb) =>
+        bos.write(Codec.encodeJpeg(Codec.decode(fb).get))
+      }
+      bos.toByteArray
+    }
+    // distinctive per-frame patterns: random-looking 64-bit walks
+    val p = (1 to 6).map(i => Sketches.mix64(i * 977L))
+    val a = mjpeg(Seq(p(0), p(1), p(2), p(3)))
+    val media = Seq(
+      MediaRow(1L, a, "jpg"),
+      MediaRow(2L, reencode(a), "jpg"),                   // full clone
+      MediaRow(3L, mjpeg(Seq(p(0), p(1), p(4), p(5))), "jpg"), // half overlap
+      MediaRow(4L, mjpeg(Seq(p(0), p(0))), "jpg")         // 2 frames, both = a's first
+    ).toDS()
+    def pairs(minMilli: Long) =
+      Multimodal.videoNearDupPairs(media, everyN = 1, radius = 4,
+          minMatchMilli = minMilli)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val all = pairs(0L)
+    assert(all((1L, 2L)) == ((4L, 4L, 1000L)), s"clone pair wrong: $all")
+    assert(all((1L, 3L)) == ((2L, 2L, 500L)))
+    assert(all((2L, 3L)) == ((2L, 2L, 500L)))   // clone matches the overlap too
+    // asymmetric coverage: min side gates — video 4 covers itself fully
+    // (2/2) but only 1 of video 1's 4 keyframes
+    assert(all((1L, 4L)) == ((1L, 2L, 250L)))
+    // threshold live in both directions around the half-overlap pair
+    assert(pairs(500L).contains((1L, 3L)))
+    assert(!pairs(501L).contains((1L, 3L)))
+    assert(pairs(501L).contains((1L, 2L)))
+    intercept[IllegalArgumentException](
+      Multimodal.videoNearDupPairs(media, minMatchMilli = 1001L))
+  }
+
   test("audioFp: scale-invariant through the WAV roundtrip; short signals are zero") {
     def wav(id: Long, sc: Int): Array[Int] = {
       val n = 800 + (id % 13).toInt * 16
