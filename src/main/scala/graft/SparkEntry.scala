@@ -140,7 +140,10 @@ object SparkEntry {
     * dataset tag via [[graft.operators.Graph.ensureEdgeTable]];
     * serving iterations read only these tables. */
   private def ensureTradeEdgeTable(s: SparkSession, dir: String): String = {
-    val tbl = s"graft_q95b_edges_${tradeTag(s, dir)}"
+    // b32 = the bucketed layout version: existence-keyed idempotence
+    // must not serve a pre-bucketing table under the no-repartition
+    // serve path
+    val tbl = s"graft_q95b_edges_b32_${tradeTag(s, dir)}"
     graft.operators.Graph.ensureEdgeTable(s, {
       val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
         .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
