@@ -198,6 +198,30 @@ object SparkEntry {
     (idxT, centT, cbT)
   }
 
+  /** The q113/q114 web-page fixture: one page per document with a
+    * deterministic base URL (`https://Site{id%20}.Example.COM:443/…` —
+    * mixed case + default port so canonicalization is live) and four
+    * link species — a chrome nav link, an absolute link carrying the
+    * full canonicalization torture set (case, default port, dot
+    * segments, tracking params, unsorted query, fragment), a
+    * path-relative link with a tracking param, a protocol-relative
+    * link — plus a mailto: that must canonicalize to NULL. */
+  private def linkPages(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://Site"), pmod(col("doc_id"), lit(20)).cast("string"),
+        lit(".Example.COM:443/dir/page"), col("doc_id").cast("string"),
+        lit(".html")).as("base_url"),
+      concat(
+        lit("<html><body><nav><a href=\"/home\">Home</a></nav>" +
+          "<p><a href=\"HTTPS://WWW.Example.com:443/a/b/../c/./d.html" +
+          "?utm_source=x&amp;b=2&amp;a=1&amp;gclid=z#frag\">one</a> " +
+          "<a href='../other/page"),
+        col("doc_id").cast("string"),
+        lit(".html?z=1&amp;utm_medium=email'>two</a> " +
+          "<a href=//CDN.example.com/lib.js>three</a> " +
+          "<a href=\"mailto:user@example.com\">four</a></p></body></html>"))
+        .as("html"))
+
   /** The q56/q56b corpus: documents plus docs 0-4 cloned at id+300000
     * with a sub-k marker suffix (contributes no shared 30-gram of its
     * own, so each clone must pair with its source via surviving
@@ -2556,6 +2580,44 @@ object SparkEntry {
       graft.operators.Multimodal.videoNearDupPairs(media, everyN = 2,
           radius = 4, minMatchMilli = 600)
         .orderBy("video_a", "video_b")
+    }),
+
+    // Outlink extraction + URL canonicalization (the courlan/surt
+    // rules): every link species from the linkPages fixture through
+    // the real state machine and the canonicalizer — entity-decoded
+    // hrefs, relative resolution against the page's base URL, case/
+    // port/dot-segment/tracking-param/fragment normalization, chrome
+    // flagging, and mailto: NULLing. The oracle states every expected
+    // canonical form closed-form from the template inputs.
+    "q113_link_canonical" -> ((s, dir) => {
+      val pages = linkPages(s, dir)
+      graft.operators.Html.extractLinks(pages, "doc_id", "html")
+        .join(pages.select(col("doc_id"), col("base_url")), "doc_id")
+        .select(col("doc_id"), col("link_pos"),
+          graft.operators.Url.resolve(col("base_url"), col("href"))
+            .as("canonical_url"),
+          graft.operators.Url.host(
+            graft.operators.Url.resolve(col("base_url"), col("href")))
+            .as("host"),
+          col("in_chrome"))
+        .orderBy("doc_id", "link_pos")
+    }),
+
+    // The full web-graph composition, end to end from raw HTML: pages
+    // → extractLinks → hostEdges (resolve + canonicalize + host fold,
+    // already distinct) → exact-integer PageRank over the host graph.
+    // 20 site hosts each link themselves, www, and cdn — 22 nodes, 60
+    // edges whose structure the oracle re-derives closed-form from
+    // the template, then replays the 4-step integer unroll exactly as
+    // q95 does (string node keys this time).
+    "q114_host_pagerank" -> ((s, dir) => {
+      val pages = linkPages(s, dir)
+      val links = graft.operators.Html.extractLinks(pages, "doc_id", "html")
+        .join(pages.select(col("doc_id"), col("base_url")), "doc_id")
+      val edges = graft.operators.Url.hostEdges(links, "base_url", "href")
+      graft.operators.Graph.pageRankMicro(edges, "src_host", "dst_host",
+          iterations = 4, assumeDistinct = true)
+        .orderBy("node")
     }),
 
     // The full pairwise drift dashboard: JS divergence between EVERY
@@ -4941,6 +5003,65 @@ object SparkEntry {
                 CAST(3 AS BIGINT) AS matched_b,
                 CAST(1000 AS BIGINT) AS match_milli
          FROM documents WHERE doc_id < 25 ORDER BY video_a""",
+
+    // q113: every canonical form stated closed-form from the template
+    // inputs — the engine's parser/resolver/canonicalizer must land on
+    // exactly these strings or the hash breaks.
+    "q113_link_canonical" ->
+      """WITH k AS (SELECT doc_id,
+                'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS h
+              FROM documents),
+         p AS (SELECT CAST(unnest(range(5)) AS INT) AS link_pos)
+         SELECT doc_id, link_pos,
+                CASE link_pos
+                  WHEN 0 THEN 'https://' || h || '/home'
+                  WHEN 1 THEN 'https://www.example.com/a/c/d.html?a=1&b=2'
+                  WHEN 2 THEN 'https://' || h || '/other/page' ||
+                              CAST(doc_id AS VARCHAR) || '.html?z=1'
+                  WHEN 3 THEN 'https://cdn.example.com/lib.js'
+                END AS canonical_url,
+                CASE link_pos
+                  WHEN 0 THEN h
+                  WHEN 1 THEN 'www.example.com'
+                  WHEN 2 THEN h
+                  WHEN 3 THEN 'cdn.example.com'
+                END AS host,
+                link_pos = 0 AS in_chrome
+         FROM k CROSS JOIN p
+         ORDER BY doc_id, link_pos""",
+
+    // q114: the host-graph structure re-derived from the template
+    // (each site host links itself, www, cdn; mailto contributes
+    // nothing), then the same 4-step integer unroll as q95 over
+    // string node keys.
+    "q114_host_pagerank" -> {
+      val prelude =
+        """WITH hosts AS (
+             SELECT DISTINCT 'site' || CAST(doc_id % 20 AS VARCHAR) ||
+                    '.example.com' AS h
+             FROM documents),
+           e AS (SELECT h AS src, h AS dst FROM hosts
+                 UNION SELECT h, 'www.example.com' FROM hosts
+                 UNION SELECT h, 'cdn.example.com' FROM hosts),
+           nd AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+           outdeg AS (SELECT src AS node, count(1) AS od FROM e GROUP BY 1),
+           nn AS (SELECT count(1) AS n FROM nd),
+           r0 AS (SELECT node, 1000000000 // nn.n AS r FROM nd CROSS JOIN nn)"""
+      val steps = (1 to 4).map { i =>
+        s""",
+           r$i AS (
+             SELECT nd.node,
+                    (SELECT 15000000000 // (100 * n) FROM nn) + coalesce(m.s, 0) AS r
+             FROM nd LEFT JOIN (
+               SELECT e.dst AS node, sum((p.r * 85) // (100 * o.od)) AS s
+               FROM r${i - 1} p JOIN outdeg o ON o.node = p.node
+                                JOIN e ON e.src = p.node
+               GROUP BY e.dst) m ON m.node = nd.node)"""
+      }.mkString
+      prelude + steps +
+        " SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r4 ORDER BY node"
+    },
 
     // q111: the expected extraction reconstructed from the template
     // INPUTS (never by re-parsing markup): main text = the doc text

@@ -62,13 +62,66 @@ object Html {
   private[operators] final case class Block(text: String, linkChars: Int,
                                             inChrome: Boolean)
 
+  /** One extracted hyperlink: decoded `href`, document order, chrome
+    * flag (nav/footer links are usually boilerplate for CONTENT but
+    * are real edges for a WEB GRAPH — the caller chooses). */
+  private[operators] final case class Link(href: String, inChrome: Boolean)
+
+  /** Decode the five named entities + numeric references in an
+    * attribute value (hrefs legally carry `&amp;`); unknown entities
+    * pass through verbatim — the same rules the text path applies. */
+  private[operators] def decodeEntities(s: String): String = {
+    if (s == null || s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val body = if (semi > i && semi - i <= 10) s.substring(i + 1, semi) else null
+        val decoded: String = body match {
+          case null => null
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case "nbsp" => " "
+          case b if b.length > 1 && b.charAt(0) == '#' =>
+            try {
+              val code = if (b.charAt(1) == 'x' || b.charAt(1) == 'X')
+                Integer.parseInt(b.substring(2), 16)
+              else Integer.parseInt(b.substring(1))
+              if (Character.isValidCodePoint(code)) new String(Character.toChars(code))
+              else null
+            } catch { case _: NumberFormatException => null }
+          case _ => null
+        }
+        if (decoded == null) { sb.append(c); i += 1 }
+        else { sb.append(decoded); i = semi + 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** The single-pass extraction kernel: blocks in document order with
     * collapsed whitespace, linked-char counts, and chrome flags.
     * Tolerant of real-world slop: unclosed tags, stray `<`, quoted
     * `>` inside attributes, self-closing syntax, case-insensitive tag
     * names, unknown entities passed through verbatim. */
-  private[operators] def extractBlocks(html: String): Vector[Block] = {
+  private[operators] def extractBlocks(html: String): Vector[Block] =
+    scanHtml(html)._1
+
+  /** Anchor hrefs in document order (entity-decoded), with chrome
+    * flags. Links inside comments and script/style raw text do not
+    * exist. */
+  private[operators] def extractLinksKernel(html: String): Vector[Link] =
+    scanHtml(html)._2
+
+  private def scanHtml(html: String): (Vector[Block], Vector[Link]) = {
     val out = Vector.newBuilder[Block]
+    val links = Vector.newBuilder[Link]
     val sb = new java.lang.StringBuilder
     var linkChars = 0
     var pendingSpace = false
@@ -121,14 +174,58 @@ object Html {
           val ns = j
           while (j < n && (Character.isLetterOrDigit(html.charAt(j)))) j += 1
           val name = html.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
-          // skip attributes, honoring quoted values (a '>' in quotes
-          // does not end the tag)
-          var q: Char = 0
-          while (j < n && (q != 0 || html.charAt(j) != '>')) {
-            val cj = html.charAt(j)
-            if (q == 0 && (cj == '"' || cj == '\'')) q = cj
-            else if (q != 0 && cj == q) q = 0
-            j += 1
+          if (name == "a" && !closing) {
+            // parse anchor attributes properly to capture href:
+            // name[=value] pairs, values quoted (either style) or bare
+            var href: String = null
+            while (j < n && html.charAt(j) != '>') {
+              val cj = html.charAt(j)
+              if (cj == '/' || Character.isWhitespace(cj)) j += 1
+              else {
+                val as = j
+                while (j < n && {
+                  val ch = html.charAt(j)
+                  ch != '=' && ch != '>' && ch != '/' &&
+                    !Character.isWhitespace(ch)
+                }) j += 1
+                val aname = html.substring(as, j)
+                  .toLowerCase(java.util.Locale.ROOT)
+                while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
+                var value: String = null
+                if (j < n && html.charAt(j) == '=') {
+                  j += 1
+                  while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
+                  if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                    val qc = html.charAt(j); j += 1
+                    val vs = j
+                    while (j < n && html.charAt(j) != qc) j += 1
+                    value = html.substring(vs, j)
+                    if (j < n) j += 1
+                  } else {
+                    val vs = j
+                    while (j < n && {
+                      val ch = html.charAt(j)
+                      ch != '>' && !Character.isWhitespace(ch)
+                    }) j += 1
+                    value = html.substring(vs, j)
+                  }
+                }
+                if (aname == "href" && href == null && value != null)
+                  href = value
+              }
+            }
+            if (href != null)
+              links += Link(decodeEntities(href), chromeDepth > 0)
+          } else {
+            // skip attributes, honoring quoted values (a '>' in quotes
+            // does not end the tag)
+            var q: Char = 0
+            while (j < n && (q != 0 || html.charAt(j) != '>')) {
+              val cj = html.charAt(j)
+              if (q == 0 && (cj == '"' || cj == '\'')) q = cj
+              else if (q != 0 && cj == q) q = 0
+              j += 1
+            }
           }
           val selfClosing = j <= n && j - 1 >= 0 && html.charAt(j - 1) == '/'
           i = if (j < n) j + 1 else n
@@ -190,7 +287,7 @@ object Html {
       }
     }
     flush()
-    out.result()
+    (out.result(), links.result())
   }
 
   /** Classify-and-assemble over [[extractBlocks]]: the public
@@ -230,5 +327,28 @@ object Html {
     docs.select(col(idCol).as("doc_id"), k(col(htmlCol)).as("r"))
       .select(col("doc_id"), col("r._1").as("main_text"),
         col("r._2").as("n_kept"), col("r._3").as("n_dropped"))
+  }
+
+  /** Outlink extraction over a corpus:
+    * `(doc_id, link_pos, href, in_chrome)` — every anchor href in
+    * document order, entity-decoded, through the same state machine as
+    * [[extractMainText]] (links inside comments or script/style raw
+    * text do not exist; attribute values may be double-, single-, or
+    * un-quoted). `in_chrome` marks nav/header/footer/aside/head links
+    * so content-link analyses can drop boilerplate edges while web-
+    * graph builds keep them. The link-graph feed: compose with
+    * [[Url.canonicalize]] and [[Graph.pageRankMicro]] for the
+    * crawl-frontier / host-ranking loop (battery q113/q114). One
+    * kernel pass per document, no shuffle; NULL html yields no rows. */
+  def extractLinks(docs: DataFrame, idCol: String,
+                   htmlCol: String): DataFrame = {
+    val k = udf { (html: String) =>
+      if (html == null) Array.empty[(String, Boolean)]
+      else extractLinksKernel(html).map(l => (l.href, l.inChrome)).toArray
+    }
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(k(col(htmlCol))).as(Seq("link_pos", "l")))
+      .select(col("doc_id"), col("link_pos"),
+        col("l._1").as("href"), col("l._2").as("in_chrome"))
   }
 }

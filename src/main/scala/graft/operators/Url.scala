@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and web-graph plumbing — the normalization
+  * every crawl-derived pipeline runs before URL-level dedup, host
+  * aggregation, or frontier scheduling (the courlan/surt family of
+  * rules, public practice): two spellings of the same resource must
+  * canonicalize to the same string or URL dedup silently keeps both.
+  *
+  * The canonical form of an http(s) URL:
+  *  - scheme and host lowercase; a trailing host dot strips;
+  *  - default ports drop (`:80` http, `:443` https), others stay;
+  *  - dot segments resolve (`/a/b/../c/./d` → `/a/c/d`, RFC 3986
+  *    § 5.2.4 including the trailing-slash cases); empty path → `/`;
+  *  - the query drops TRACKING params (`utm_*`, `gclid`, `fbclid`,
+  *    `msclkid` — the public courlan default set), sorts the
+  *    survivors byte-order (duplicates kept, order-insensitive
+  *    canonical), and disappears entirely when nothing survives;
+  *  - the fragment always drops.
+  * Non-http(s) schemes (`mailto:`, `javascript:`, `data:`, …) and
+  * unparseable strings canonicalize to NULL — they are not fetchable
+  * web resources, and NULL-out beats silently passing garbage into a
+  * host graph. All rules are deterministic pure string functions
+  * (one JVM kernel pass, no java.net, no network), so an oracle can
+  * state expected outputs closed-form (battery q113).
+  *
+  * [[resolve]] handles the relative forms an [[Html.extractLinks]]
+  * pass emits: absolute, protocol-relative (`//host/x`),
+  * root-relative (`/x`), query-only (`?x`), fragment-only, and
+  * path-relative hrefs against a base URL.
+  *
+  * Scale shape: every function is a scalar kernel — scan-side,
+  * shuffle-free, embarrassingly parallel; the web-graph composition
+  * (links → canonicalize → host edges → [[Graph.pageRankMicro]]) does
+  * all its heavy lifting in the graph operator (battery q114). */
+object Url {
+
+  private val TrackingExact = Set("gclid", "fbclid", "msclkid")
+  private def isTracking(k: String): Boolean =
+    k.startsWith("utm_") || TrackingExact.contains(k)
+
+  /** RFC 3986 § 5.2.4 dot-segment removal over an absolute path. */
+  private[operators] def resolveDots(path: String): String = {
+    val segs = path.split("/", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 1 // paths here always start with '/'
+    while (i < segs.length) {
+      segs(i) match {
+        case "." => ()
+        case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+        case s => out += s
+      }
+      i += 1
+    }
+    // a trailing "." or ".." names a DIRECTORY: keep the slash
+    val last = if (segs.length > 1) segs(segs.length - 1) else ""
+    if ((last == "." || last == "..") && (out.isEmpty || out.last.nonEmpty))
+      out += ""
+    "/" + out.mkString("/")
+  }
+
+  /** The canonicalization kernel; null for non-http(s) or garbage. */
+  private[operators] def canonicalKernel(raw: String): String = {
+    if (raw == null) return null
+    val s = raw.trim
+    val ci = s.indexOf(':')
+    if (ci <= 0) return null
+    val scheme = s.substring(0, ci).toLowerCase(java.util.Locale.ROOT)
+    if (scheme != "http" && scheme != "https") return null
+    if (!s.regionMatches(ci + 1, "//", 0, 2)) return null
+    val rest = s.substring(ci + 3)
+    var ae = 0
+    while (ae < rest.length && rest.charAt(ae) != '/' &&
+           rest.charAt(ae) != '?' && rest.charAt(ae) != '#') ae += 1
+    var authority = rest.substring(0, ae)
+    if (authority.isEmpty) return null
+    // userinfo strips (the surt rule): crawlers never key on it
+    val at = authority.lastIndexOf('@')
+    if (at >= 0) authority = authority.substring(at + 1)
+    if (authority.isEmpty) return null
+    // split an explicit port off the authority
+    var host = authority
+    var port = -1
+    val pi = authority.lastIndexOf(':')
+    if (pi >= 0 && pi < authority.length - 1 &&
+        authority.substring(pi + 1).forall(_.isDigit)) {
+      host = authority.substring(0, pi)
+      try port = authority.substring(pi + 1).toInt
+      catch { case _: NumberFormatException => return null }
+    } else if (pi == authority.length - 1) {
+      host = authority.substring(0, pi) // bare trailing ':' drops
+    }
+    host = host.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
+    if (host.isEmpty) return null
+    val defaultPort = if (scheme == "http") 80 else 443
+    val portPart = if (port < 0 || port == defaultPort) "" else s":$port"
+    // path / query / fragment
+    val tail = rest.substring(ae)
+    val hi = tail.indexOf('#')
+    val noFrag = if (hi < 0) tail else tail.substring(0, hi)
+    val qi = noFrag.indexOf('?')
+    val rawPath = if (qi < 0) noFrag else noFrag.substring(0, qi)
+    val rawQuery = if (qi < 0) "" else noFrag.substring(qi + 1)
+    val path = resolveDots(if (rawPath.isEmpty) "/" else rawPath)
+    val kept = rawQuery.split("&", -1).toSeq
+      .filter(p => p.nonEmpty && !isTracking(p.split("=", 2)(0)))
+      .sorted
+    val queryPart = if (kept.isEmpty) "" else kept.mkString("?", "&", "")
+    s"$scheme://$host$portPart$path$queryPart"
+  }
+
+  /** Resolve an href against a base URL (both raw strings); returns a
+    * raw absolute URL string for [[canonicalKernel]], or null when the
+    * base itself is not an absolute http(s) URL. Covers the forms a
+    * link extractor emits: absolute, scheme-relative, root-relative,
+    * query-only, fragment-only, path-relative. */
+  private[operators] def resolveKernel(base: String, href: String): String = {
+    if (href == null || base == null) return null
+    val h = href.trim
+    // absolute: has a scheme prefix
+    val ci = h.indexOf(':')
+    if (ci > 0 && h.substring(0, ci).forall(c =>
+        c.isLetterOrDigit || c == '+' || c == '-' || c == '.') &&
+        h.charAt(0).isLetter) return h
+    val b = base.trim
+    val bci = b.indexOf(':')
+    if (bci <= 0 || !b.regionMatches(bci + 1, "//", 0, 2)) return null
+    val scheme = b.substring(0, bci)
+    if (h.startsWith("//")) return s"$scheme:$h"
+    val rest = b.substring(bci + 3)
+    var ae = 0
+    while (ae < rest.length && rest.charAt(ae) != '/' &&
+           rest.charAt(ae) != '?' && rest.charAt(ae) != '#') ae += 1
+    val root = b.substring(0, bci + 3 + ae)
+    if (h.isEmpty) return b
+    if (h.startsWith("/")) return root + h
+    val tail = rest.substring(ae)
+    val basePathQ = {
+      val hi = tail.indexOf('#')
+      if (hi < 0) tail else tail.substring(0, hi)
+    }
+    val qi = basePathQ.indexOf('?')
+    val basePath = if (qi < 0) basePathQ else basePathQ.substring(0, qi)
+    if (h.startsWith("#")) return root + basePathQ
+    if (h.startsWith("?")) return root + basePath + h
+    val di = basePath.lastIndexOf('/')
+    val dir = if (di < 0) "/" else basePath.substring(0, di + 1)
+    root + dir + h
+  }
+
+  /** Host of a canonical (or canonicalizable) URL; NULL when the URL
+    * doesn't canonicalize. */
+  private[operators] def hostKernel(raw: String): String = {
+    val c = canonicalKernel(raw)
+    if (c == null) return null
+    val start = c.indexOf("//") + 2
+    var e = start
+    while (e < c.length && c.charAt(e) != '/' && c.charAt(e) != ':' &&
+           c.charAt(e) != '?') e += 1
+    c.substring(start, e)
+  }
+
+  /** Last two host labels — the apex-domain APPROXIMATION
+    * (`a.b.site.co.uk` → `co.uk` is WRONG under the public-suffix
+    * list, which this deliberately does not ship; use the full host
+    * for exactness-critical grouping and this only for coarse
+    * rollups, as documented). */
+  private[operators] def apexKernel(raw: String): String = {
+    val h = hostKernel(raw)
+    if (h == null) return null
+    val parts = h.split("\\.")
+    if (parts.length <= 2) h else parts.takeRight(2).mkString(".")
+  }
+
+  /** Canonical http(s) URL Column; NULL for non-web or garbage. */
+  def canonical(url: Column): Column =
+    udf((s: String) => canonicalKernel(s)).apply(url)
+
+  /** Resolve `href` against `base`, then canonicalize. */
+  def resolve(base: Column, href: Column): Column =
+    udf((b: String, h: String) =>
+      canonicalKernel(resolveKernel(b, h))).apply(base, href)
+
+  /** Host Column (of the canonical form). */
+  def host(url: Column): Column =
+    udf((s: String) => hostKernel(s)).apply(url)
+
+  /** Approximate apex domain Column (see [[apexKernel]] caveat). */
+  def apexDomain(url: Column): Column =
+    udf((s: String) => apexKernel(s)).apply(url)
+
+  /** Host-graph edges from an outlink frame: resolve each href
+    * against its page's base URL, canonicalize, keep resolvable
+    * http(s) targets, and emit DISTINCT `(src_host, dst_host)` — the
+    * input [[Graph.pageRankMicro]] ranks (self-loops kept: a
+    * site linking itself is a real edge in the classic formulation).
+    * One scalar pass plus the distinct's one exchange; feed the
+    * result to [[Graph.ensureEdgeTable]] for a standing rank
+    * workload. */
+  def hostEdges(links: DataFrame, baseUrlCol: String,
+                hrefCol: String): DataFrame = {
+    val dst = udf((b: String, h: String) =>
+      hostKernel(resolveKernel(b, h)))
+    links.select(
+        udf((s: String) => hostKernel(s)).apply(col(baseUrlCol)).as("src_host"),
+        dst(col(baseUrlCol), col(hrefCol)).as("dst_host"))
+      .filter(col("src_host").isNotNull && col("dst_host").isNotNull)
+      .distinct()
+  }
+}

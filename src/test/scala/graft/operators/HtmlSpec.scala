@@ -87,6 +87,28 @@ class HtmlSpec extends SparkSpec {
     assert(refined.count() == 1L)
   }
 
+  test("extractLinks: attribute forms, entity decode, chrome flags, no ghost links") {
+    val html = "<nav><a href=\"/home\">Home</a></nav>" +
+      "<p><a href='/single'>s</a> <a href=bare>b</a> " +
+      "<A HREF=\"/q?a=1&amp;b=2\">ent</A> " +
+      "<a name=x>no href</a> <a href=\"/dup\" href=\"/second\">first wins</a></p>" +
+      "<script>var s = '<a href=\"/ghost1\">';</script>" +
+      "<!-- <a href=\"/ghost2\">x</a> -->" +
+      "<a href=\"/tail\"/>"
+    val got = Html.extractLinksKernel(html)
+    assert(got.map(l => (l.href, l.inChrome)) == Vector(
+      ("/home", true), ("/single", false), ("bare", false),
+      ("/q?a=1&b=2", false), ("/dup", false), ("/tail", false)),
+      got.toString)
+    // corpus form: doc order preserved, NULL html yields no rows
+    val docs = Seq((1L, html), (2L, null.asInstanceOf[String])).toDF("doc_id", "html")
+    val rows = Html.extractLinks(docs, "doc_id", "html")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(rows.map(_._1).forall(_ == 1L) && rows.size == 6)
+    assert(rows.sortBy(_._2).map(_._3) ==
+      Seq("/home", "/single", "bare", "/q?a=1&b=2", "/dup", "/tail"))
+  }
+
   test("extractMainText rejects degenerate parameters at plan time") {
     val docs = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
     intercept[IllegalArgumentException](

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Url]] — canonicalization, relative resolution, host extraction.
+  * Every rule is pinned in both directions on hand-built fixtures. */
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(s: String): String = Url.canonicalKernel(s)
+
+  test("canonical: case, default ports, fragments, trailing host dot") {
+    assert(canon("HTTPS://WWW.Example.COM:443/Path/File.html#frag") ==
+      "https://www.example.com/Path/File.html")
+    // path case is PRESERVED (paths are case-sensitive on the web)
+    assert(canon("http://a.com:80/X") == "http://a.com/X")
+    // non-default ports stay; both directions of the port rule
+    assert(canon("http://a.com:8080/x") == "http://a.com:8080/x")
+    assert(canon("https://a.com:80/x") == "https://a.com:80/x")
+    assert(canon("http://a.com./x") == "http://a.com/x")
+    assert(canon("http://user:pw@a.com/x") == "http://a.com/x")
+    // empty path normalizes to /
+    assert(canon("http://a.com") == "http://a.com/")
+  }
+
+  test("canonical: dot segments resolve per RFC 3986, duplicate slashes kept") {
+    assert(canon("http://a.com/a/b/../c/./d") == "http://a.com/a/c/d")
+    assert(canon("http://a.com/a/.") == "http://a.com/a/")
+    assert(canon("http://a.com/a/..") == "http://a.com/")
+    assert(canon("http://a.com/../../x") == "http://a.com/x")
+    assert(canon("http://a.com/a//b") == "http://a.com/a//b")
+  }
+
+  test("canonical: tracking params drop, survivors sort, empty query vanishes") {
+    assert(canon("http://a.com/x?utm_source=s&b=2&a=1&gclid=g&fbclid=f&msclkid=m") ==
+      "http://a.com/x?a=1&b=2")
+    // both directions: a non-tracking param that LOOKS close survives
+    assert(canon("http://a.com/x?utma=1&gclid2=3") ==
+      "http://a.com/x?gclid2=3&utma=1")
+    assert(canon("http://a.com/x?utm_source=s") == "http://a.com/x")
+    // duplicates kept, byte-sorted
+    assert(canon("http://a.com/x?b=2&a=2&a=1") == "http://a.com/x?a=1&a=2&b=2")
+  }
+
+  test("canonical: non-web schemes and garbage NULL out") {
+    assert(canon("mailto:x@example.com") == null)
+    assert(canon("javascript:void(0)") == null)
+    assert(canon("not a url") == null)
+    assert(canon("http:relative-ish") == null)
+    assert(canon("http://") == null)
+    assert(canon(null) == null)
+  }
+
+  test("resolve: every relative form an extractor emits") {
+    val base = "https://Site.Example.com/dir/page.html?q=1#top"
+    def res(h: String) = Url.canonicalKernel(Url.resolveKernel(base, h))
+    assert(res("https://other.com/x") == "https://other.com/x")   // absolute
+    assert(res("//cdn.example.com/lib.js") == "https://cdn.example.com/lib.js")
+    assert(res("/root.html") == "https://site.example.com/root.html")
+    assert(res("sibling.html") == "https://site.example.com/dir/sibling.html")
+    assert(res("../up.html") == "https://site.example.com/up.html")
+    assert(res("?r=2") == "https://site.example.com/dir/page.html?r=2")
+    assert(res("#anchor") == "https://site.example.com/dir/page.html?q=1")
+    assert(res("mailto:x@y.com") == null)                          // absolute non-web
+    assert(Url.resolveKernel("not-absolute", "x.html") == null)
+  }
+
+  test("host and apex-domain columns; hostEdges builds the distinct graph") {
+    val got = Seq("https://A.B.Example.COM:8443/x?utm_source=1")
+      .toDF("u")
+      .select(Url.host(col("u")), Url.apexDomain(col("u")),
+        Url.canonical(col("u")))
+      .head()
+    assert(got.getString(0) == "a.b.example.com")
+    assert(got.getString(1) == "example.com")
+    assert(got.getString(2) == "https://a.b.example.com:8443/x")
+    val links = Seq(
+      ("https://one.com/a.html", "/b.html"),            // self-loop
+      ("https://one.com/a.html", "//two.com/x"),
+      ("https://one.com/c.html", "https://two.com/y"),  // same edge after host fold
+      ("https://one.com/a.html", "mailto:z@q.com"),     // drops
+      ("not a url", "/x.html"))                          // src drops
+      .toDF("base", "href")
+    val edges = Url.hostEdges(links, "base", "href")
+      .as[(String, String)].collect().toSet
+    assert(edges == Set(("one.com", "one.com"), ("one.com", "two.com")),
+      edges.toString)
+  }
+}
