@@ -222,6 +222,79 @@ object SparkEntry {
           "<a href=\"mailto:user@example.com\">four</a></p></body></html>"))
         .as("html"))
 
+  /** The q111 page fixture: the documents table wrapped in a fixed
+    * HTML template carrying every boilerplate species (head chrome,
+    * header branding, nav bar, short promo div, link-farm list,
+    * footer) around two real content blocks. Shared verbatim by the
+    * q115/q116 WARC fixture — the q115 oracle reconstructs these
+    * exact bytes in SQL, so the template must stay a pure
+    * concatenation of literals, doc_id, and text. */
+  private def mainTextPages(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "),
+        col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style>" +
+          "<script>if(a<b){x=1;}</script></head><body>" +
+          "<header><h1>Site &amp; Brand</h1></header>" +
+          "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>" +
+          "<div>HOME | ABOUT</div><p>"),
+        col("text"),
+        lit("</p><ul><li><a href=\"/a\">Link one</a> " +
+          "<a href=\"/b\">Link two</a> more links</li></ul>" +
+          "<p>Quoted &quot;entities&quot; &amp; more entity text " +
+          "decodes here</p>" +
+          "<footer>(c) example corp all rights reserved</footer>" +
+          "</body></html>")).as("html"))
+
+  /** Build-once WARC fixture for q115/q116: real `.warc` segment
+    * files (every other one whole-file GZIPPED to keep that path
+    * live), 25 docs per segment, each segment = one warcinfo record +
+    * a request/response pair per doc; response bodies are the
+    * [[mainTextPages]] HTML verbatim. Staged-then-renamed so a
+    * crashed build can never serve a half-written fixture. */
+  private def ensureWarcDir(s: SparkSession, dir: String): String = {
+    val wdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q115_warc_${docsTag(s, dir)}").toString
+    val root = new java.io.File(wdir)
+    if (!root.exists()) {
+      val stage = new java.io.File(wdir + "_stage")
+      if (stage.exists()) stage.listFiles().foreach(_.delete())
+      stage.mkdirs()
+      val rows = mainTextPages(s, dir)
+        .select(col("doc_id"), col("html")).collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      rows.groupBy(_._1 / 25).foreach { case (seg, docs) =>
+        val records = ("warcinfo", null: String,
+          "software: graft\r\n".getBytes("ISO-8859-1")) +:
+          docs.sortBy(_._1).flatMap { case (id, html) =>
+            val uri = s"https://site${id % 20}.example.com/dir/page$id.html"
+            Seq(
+              ("request", uri,
+                (s"GET /dir/page$id.html HTTP/1.1\r\nHost: example.com\r\n\r\n")
+                  .getBytes("ISO-8859-1")),
+              ("response", uri,
+                graft.sources.Warc.httpResponse(html.getBytes("ISO-8859-1"))))
+          }.toSeq
+        val bytes = graft.sources.Warc.buildSegment(records)
+        val (name, out) =
+          if (seg % 2 == 0) (f"seg-$seg%05d.warc", bytes)
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(bytes); g.close()
+            (f"seg-$seg%05d.warc.gz", bos.toByteArray)
+          }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stage.toString, name), out)
+      }
+      if (!stage.renameTo(root)) {
+        require(root.exists(), s"WARC fixture rename failed for $wdir")
+      }
+    }
+    wdir
+  }
+
   /** The q56/q56b corpus: documents plus docs 0-4 cloned at id+300000
     * with a sub-k marker suffix (contributes no shared 30-gram of its
     * own, so each clone must pair with its source via surviving
@@ -2514,23 +2587,8 @@ object SparkEntry {
     // same way — so one leaked tag, dropped word, or mis-decoded
     // entity breaks the hash.
     "q111_html_extract" -> ((s, dir) => {
-      val pages = t(s, dir, "documents").select(col("doc_id"),
-        concat(
-          lit("<!DOCTYPE html><html><head><title>Doc "),
-          col("doc_id").cast("string"),
-          lit("</title><style>p{color:red}</style>" +
-            "<script>if(a<b){x=1;}</script></head><body>" +
-            "<header><h1>Site &amp; Brand</h1></header>" +
-            "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>" +
-            "<div>HOME | ABOUT</div><p>"),
-          col("text"),
-          lit("</p><ul><li><a href=\"/a\">Link one</a> " +
-            "<a href=\"/b\">Link two</a> more links</li></ul>" +
-            "<p>Quoted &quot;entities&quot; &amp; more entity text " +
-            "decodes here</p>" +
-            "<footer>(c) example corp all rights reserved</footer>" +
-            "</body></html>")).as("html"))
-      graft.operators.Html.extractMainText(pages, "doc_id", "html")
+      graft.operators.Html.extractMainText(mainTextPages(s, dir),
+          "doc_id", "html")
         .orderBy("doc_id")
     }),
 
@@ -2618,6 +2676,43 @@ object SparkEntry {
       graft.operators.Graph.pageRankMicro(edges, "src_host", "dst_host",
           iterations = 4, assumeDistinct = true)
         .orderBy("node")
+    }),
+
+    // WARC ingestion (ISO 28500 — the crawl-native input format):
+    // real segment files (half gzipped), Content-Length framing (the
+    // fixture's bodies contain record-separator byte sequences via
+    // the HTML, so a separator-scanner would shred them), HTTP
+    // response splitting, non-response records surfacing with a NULL
+    // http side. The oracle reconstructs every record closed-form:
+    // response bodies are the q111 template bytes (md5 + length),
+    // request/warcinfo rows carry type + doc identity only.
+    "q115_warc_parse" -> ((s, dir) => {
+      val wdir = ensureWarcDir(s, dir)
+      graft.sources.Warc.readWarc(s, wdir)
+        .select(
+          regexp_extract(col("target_uri"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("http_status"), col("http_content_type"),
+          md5(col("body").cast("string")).as("body_md5"),
+          length(col("body").cast("string")).as("body_chars"))
+        .orderBy("warc_type", "doc_id")
+    }),
+
+    // The CommonCrawl front door end to end: WARC segments → response
+    // records → main-content extraction — and the result must equal
+    // q111's extraction over the same pages VERBATIM (same oracle
+    // SQL), proving the whole ingestion path (gzip, framing, HTTP
+    // split, byte→text decode) is lossless in front of the extractor.
+    "q116_warc_extract" -> ((s, dir) => {
+      val wdir = ensureWarcDir(s, dir)
+      val pages = graft.sources.Warc.readWarc(s, wdir)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          col("body").cast("string").as("html"))
+      graft.operators.Html.extractMainText(pages, "doc_id", "html")
+        .orderBy("doc_id")
     }),
 
     // The full pairwise drift dashboard: JS divergence between EVERY
@@ -5062,6 +5157,42 @@ object SparkEntry {
       prelude + steps +
         " SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r4 ORDER BY node"
     },
+
+    // q115: every WARC record reconstructed closed-form — response
+    // bodies are the q111 template bytes rebuilt literally in SQL
+    // (md5 + char length), one request per doc, one warcinfo per
+    // 25-doc segment. A framing slip, gzip corruption, or lost
+    // record breaks counts or digests.
+    "q115_warc_parse" ->
+      """WITH h AS (SELECT doc_id,
+           '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           '</title><style>p{color:red}</style><script>if(a<b){x=1;}</script></head><body><header><h1>Site &amp; Brand</h1></header><nav><a href="/">Home</a> | <a href="/about">About</a></nav><div>HOME | ABOUT</div><p>' ||
+           text ||
+           '</p><ul><li><a href="/a">Link one</a> <a href="/b">Link two</a> more links</li></ul><p>Quoted &quot;entities&quot; &amp; more entity text decodes here</p><footer>(c) example corp all rights reserved</footer></body></html>'
+           AS html FROM documents)
+         SELECT doc_id, 'response' AS warc_type,
+                CAST(200 AS INT) AS http_status,
+                'text/html' AS http_content_type,
+                md5(html) AS body_md5, CAST(len(html) AS INT) AS body_chars
+         FROM h
+         UNION ALL
+         SELECT doc_id, 'request', NULL, NULL, NULL, NULL FROM documents
+         UNION ALL
+         SELECT NULL, 'warcinfo', NULL, NULL, NULL, NULL
+         FROM (SELECT DISTINCT doc_id // 25 AS seg FROM documents)
+         ORDER BY warc_type, doc_id""",
+
+    // q116: must equal q111's extraction verbatim — the ingestion
+    // path in front of the extractor is lossless or the shared
+    // closed-form breaks.
+    "q116_warc_extract" ->
+      """SELECT doc_id,
+                regexp_replace(trim(text), '\s+', ' ', 'g') || chr(10) ||
+                  'Quoted "entities" & more entity text decodes here'
+                  AS main_text,
+                CAST(2 AS INT) AS n_kept,
+                CAST(6 AS INT) AS n_dropped
+         FROM documents ORDER BY doc_id""",
 
     // q111: the expected extraction reconstructed from the template
     // INPUTS (never by re-parsing markup): main text = the doc text

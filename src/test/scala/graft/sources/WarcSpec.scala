@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Warc]] — segment parsing. Framing is pinned byte-exactly on
+  * hand-built segments, including the cases separator-scanners get
+  * wrong (record terminators INSIDE payloads). */
+class WarcSpec extends SparkSpec {
+
+  private def ascii(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  test("roundtrip: build → parse recovers every field and exact body bytes") {
+    val html = ascii("<html><body><p>hello warc</p></body></html>")
+    val seg = Warc.buildSegment(Seq(
+      ("warcinfo", null, ascii("software: graft\r\n")),
+      ("request", "http://a.com/x", ascii("GET /x HTTP/1.1\r\nHost: a.com\r\n\r\n")),
+      ("response", "http://a.com/x", Warc.httpResponse(html))))
+    val recs = Warc.parseSegment("seg0", seg)
+    assert(recs.map(r => (r.record_index, r.warc_type, r.target_uri)) == Seq(
+      (0, "warcinfo", null), (1, "request", "http://a.com/x"),
+      (2, "response", "http://a.com/x")))
+    // non-response records carry no http side
+    assert(recs(0).http_status.isEmpty && recs(1).http_status.isEmpty)
+    assert(recs(0).body == null)
+    val resp = recs(2)
+    assert(resp.http_status.contains(200))
+    assert(resp.http_content_type.contains("text/html"))
+    assert(resp.body.toSeq == html.toSeq, "body bytes must round-trip exactly")
+    assert(resp.warc_date == "2026-01-01T00:00:00Z")
+  }
+
+  test("content-length framing: record terminators inside payloads do not split records") {
+    // the payload contains '\r\n\r\nWARC/1.0' — a separator scanner
+    // would cut here; length framing must not
+    val evil = ascii("binary\r\n\r\nWARC/1.0\r\nnot a real record")
+    val seg = Warc.buildSegment(Seq(
+      ("response", "http://a.com/1", Warc.httpResponse(evil)),
+      ("response", "http://a.com/2", Warc.httpResponse(ascii("tail")))))
+    val recs = Warc.parseSegment("s", seg)
+    assert(recs.length == 2, recs.map(_.target_uri).toString)
+    assert(recs(0).body.toSeq == evil.toSeq)
+    assert(new String(recs(1).body, "ISO-8859-1") == "tail")
+  }
+
+  test("gzip: whole-file and concatenated per-record members both decompress") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val r1 = Warc.buildSegment(Seq(("response", "http://a.com/1",
+      Warc.httpResponse(ascii("one")))))
+    val r2 = Warc.buildSegment(Seq(("response", "http://a.com/2",
+      Warc.httpResponse(ascii("two")))))
+    // whole-file gzip
+    val whole = Warc.parseSegment("w", gz(r1 ++ r2))
+    assert(whole.map(_.target_uri) == Seq("http://a.com/1", "http://a.com/2"))
+    // CommonCrawl-style: one gzip MEMBER per record, concatenated
+    val members = Warc.parseSegment("m", gz(r1) ++ gz(r2))
+    assert(members.map(_.target_uri) == Seq("http://a.com/1", "http://a.com/2"))
+  }
+
+  test("torn tails degrade: parsed prefix survives truncation and header garbage") {
+    val seg = Warc.buildSegment(Seq(
+      ("response", "http://a.com/1", Warc.httpResponse(ascii("good"))),
+      ("response", "http://a.com/2", Warc.httpResponse(ascii("lost")))))
+    val torn = java.util.Arrays.copyOfRange(seg, 0, seg.length - 30)
+    val recs = Warc.parseSegment("t", torn)
+    assert(recs.map(_.target_uri) == Seq("http://a.com/1"),
+      "truncation must keep the parsed prefix, not throw")
+    // garbage instead of a version line: zero records, no throw
+    assert(Warc.parseSegment("g", ascii("not a warc at all")).isEmpty)
+    // torn HTTP block inside a well-framed record: record surfaces,
+    // http side nulls
+    val tornHttp = Warc.buildSegment(Seq(
+      ("response", "http://a.com/3", ascii("HTTP/1.1 200 OK\r\nNo-Terminator: x"))))
+    val r3 = Warc.parseSegment("h", tornHttp)
+    assert(r3.length == 1 && r3.head.http_status.contains(200))
+  }
+
+  test("readWarc: one row per record over real segment files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc").toString
+    (0 until 3).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"seg-$i%05d.warc"),
+        Warc.buildSegment(Seq(
+          ("warcinfo", null, ascii("software: graft\r\n")),
+          ("response", s"http://site$i.com/p",
+            Warc.httpResponse(ascii(s"<p>doc $i</p>"))))))
+    }
+    val df = Warc.readWarc(spark, dir)
+    assert(df.count() == 6)
+    val got = df.filter(col("warc_type") === "response")
+      .select(col("target_uri"),
+        col("body").cast("string").as("b"), col("http_status"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == (0 until 3).map(i =>
+      (s"http://site$i.com/p", s"<p>doc $i</p>", 200)).toSet)
+  }
+}
