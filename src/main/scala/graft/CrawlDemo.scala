@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Graph, Html, Robots, Sampling, Url}
+import graft.sources.Warc
+
+/** The runnable end-to-end slice for the CRAWL surface — the round-10
+  * stack composed as the pipeline a CommonCrawl-style corpus actually
+  * runs, from raw WARC bytes to an audited text export:
+  *
+  *   WARC segments ([[Warc.readWarc]]: framing, gzip, HTTP split)
+  *   → main-content extraction ([[Html.extractMainText]])
+  *   → outlinks ([[Html.extractLinks]]) → canonical host edges
+  *     ([[Url.hostEdges]]) → exact-integer host PageRank
+  *     ([[Graph.pageRankMicro]])
+  *   → robots-exclusion gate for the next crawl round
+  *     ([[Robots.filterAllowed]] over the canonical outlinks)
+  *   → text refinement ([[Corpus.refine]]) joined with the host rank
+  *   → audited sharded export ([[Sampling.writeShardedWithManifest]] +
+  *     [[Sampling.verifyShardedExport]])
+  *
+  * Every stage is an existing, individually-oracled library call
+  * (q115/q116, q111, q113/q114, q117, q61, q105); this object only
+  * composes them, and the e2e spec reconciles stage counts against
+  * one another. */
+object CrawlDemo {
+
+  final case class Result(records: Long, pages: Long, extracted: Long,
+                          hostEdges: Long, rankedHosts: Long,
+                          frontierAllowed: Long, frontierDenied: Long,
+                          survivors: Long, auditOk: Boolean)
+
+  def run(spark: SparkSession, warcDir: String, robots: DataFrame,
+          outDir: String, agent: String = "graftbot",
+          shards: Int = 4): Result = {
+    // 1. ingest: one row per WARC record, HTTP responses split out
+    val records = Warc.readWarc(spark, warcDir).cache()
+    val nRecords = records.count()
+    val pages = records
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(col("target_uri").as("url"),
+        col("body").cast("string").as("html"))
+      // bounded synthetic ids: the export manifest's integer moments
+      // (Σid²) are Long arithmetic, so ids stay under ~10⁹ (documented
+      // on writeShardedWithManifest); mod a prime to keep the fold
+      // uniform
+      .withColumn("doc_id", pmod(xxhash64(col("url")), lit(1000000007L)))
+      .cache()
+    val nPages = pages.count()
+
+    // 2. text side: main-content extraction, then the refine gates
+    val extracted = Html.extractMainText(pages, "doc_id", "html")
+      .filter(length(col("main_text")) > 0)
+    val nExtracted = extracted.count()
+
+    // 3. graph side: outlinks → canonical host edges → integer
+    //    PageRank (the host-quality signal)
+    val links = Html.extractLinks(pages, "doc_id", "html")
+      .join(pages.select(col("doc_id"), col("url").as("base_url")), "doc_id")
+    val edges = Url.hostEdges(links, "base_url", "href")
+    val nEdges = edges.count()
+    val ranks = Graph.pageRankMicro(edges, "src_host", "dst_host",
+      iterations = 4)
+    val nHosts = ranks.count()
+
+    // 4. frontier side: canonical outlink URLs gated by robots for
+    //    the next crawl round
+    val frontier = Robots.filterAllowed(
+      links.select(Url.resolve(col("base_url"), col("href")).as("url"))
+        .filter(col("url").isNotNull).distinct(),
+      "url", robots, agent).cache()
+    val nAllowed = frontier.filter(col("allowed")).count()
+    val nDenied = frontier.filter(!col("allowed")).count()
+
+    // 5. curate: refine the extracted text, attach the host rank
+    //    (broadcast — |hosts| rows) so downstream gates can budget by
+    //    host quality
+    val refined = Corpus.refine(
+        extracted.select(col("doc_id"), col("main_text").as("text")),
+        "doc_id", "text", minQuality = None)
+      .join(pages.select(col("doc_id"), Url.host(col("url")).as("host")),
+        "doc_id")
+      .join(broadcast(ranks.withColumnRenamed("node", "host")
+        .withColumnRenamed("rank_micro", "host_rank_micro")),
+        Seq("host"), "left")
+      .cache()
+    val nSurvivors = refined.count()
+
+    // 6. audited export
+    Sampling.writeShardedWithManifest(
+      refined.select("doc_id", "host", "host_rank_micro", "text"),
+      "doc_id", shards, outDir)
+    val auditOk = Sampling.verifyShardedExport(spark, outDir, "doc_id")
+      .filter(!col("ok")).isEmpty
+
+    records.unpersist(); pages.unpersist(); frontier.unpersist()
+    ranks.unpersist(); refined.unpersist()
+    Result(nRecords, nPages, nExtracted, nEdges, nHosts,
+      nAllowed, nDenied, nSurvivors, auditOk)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val warcDir = if (args.length > 0) args(0)
+      else sys.env.getOrElse("SPARK_GRAFT_WARC_DIR", "/tmp/graft_crawl_warc")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_crawl_out"
+    val spark = SparkSession.builder()
+      .appName("graft-crawl-demo").master("local[4]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val robots = Seq.empty[(String, String)].toDF("host", "robots_txt")
+      val r = run(spark, warcDir, robots, outDir)
+      println(s"records=${r.records} pages=${r.pages} " +
+        s"extracted=${r.extracted} edges=${r.hostEdges} " +
+        s"hosts=${r.rankedHosts} frontier=${r.frontierAllowed}+" +
+        s"${r.frontierDenied} survivors=${r.survivors} audit=${r.auditOk}")
+    } finally spark.stop()
+  }
+}

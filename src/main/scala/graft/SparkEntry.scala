@@ -2715,6 +2715,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Robots-exclusion gating (RFC 9309): five URL species per doc
+    // against per-host rules that exercise longest-match precedence
+    // (Allow /private/ok beats Disallow /private), the $ end anchor
+    // (/*.gif$), and agent-group REPLACEMENT (odd hosts give graftbot
+    // its own Disallow-/ group, so the * group's /tmp rule must NOT
+    // apply). The oracle states every verdict closed-form by
+    // (host parity, species).
+    "q117_robots_gate" -> ((s, dir) => {
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(20)).cast("string").as("k"))
+        .select(col("doc_id"),
+          posexplode(array(
+            concat(lit("https://site"), col("k"), lit(".example.com/dir/page"),
+              col("doc_id").cast("string"), lit(".html")),
+            concat(lit("https://site"), col("k"), lit(".example.com/private/x")),
+            concat(lit("https://site"), col("k"), lit(".example.com/private/ok/y")),
+            concat(lit("https://site"), col("k"), lit(".example.com/img/banner.gif")),
+            concat(lit("https://site"), col("k"), lit(".example.com/tmp/z"))))
+            .as(Seq("species", "url")))
+      val robots = s.range(20).select(
+        concat(lit("site"), col("id").cast("string"), lit(".example.com"))
+          .as("host"),
+        when(col("id") % 2 === 0,
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+            "Disallow: /*.gif$\n"))
+          .otherwise(
+            lit("User-agent: graftbot\nDisallow: /\n" +
+              "User-agent: *\nDisallow: /tmp\n")).as("robots_txt"))
+      graft.operators.Robots.filterAllowed(urls, "url", robots, "graftbot")
+        .select("doc_id", "species", "url", "host", "allowed")
+        .orderBy("doc_id", "species")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -5193,6 +5227,28 @@ object SparkEntry {
                 CAST(2 AS INT) AS n_kept,
                 CAST(6 AS INT) AS n_dropped
          FROM documents ORDER BY doc_id""",
+
+    // q117: verdicts by construction — odd hosts deny graftbot
+    // everything (its own group replaces *), even hosts deny the
+    // /private prefix (except the longer /private/ok Allow) and the
+    // $-anchored gif rule; /tmp passes on even hosts because the *
+    // group there has no such rule.
+    "q117_robots_gate" ->
+      """WITH b AS (SELECT doc_id, doc_id % 20 AS k FROM documents),
+         sp AS (SELECT CAST(unnest(range(5)) AS INT) AS species)
+         SELECT doc_id, species,
+                'https://site' || CAST(k AS VARCHAR) || '.example.com' ||
+                CASE species
+                  WHEN 0 THEN '/dir/page' || CAST(doc_id AS VARCHAR) || '.html'
+                  WHEN 1 THEN '/private/x'
+                  WHEN 2 THEN '/private/ok/y'
+                  WHEN 3 THEN '/img/banner.gif'
+                  ELSE '/tmp/z' END AS url,
+                'site' || CAST(k AS VARCHAR) || '.example.com' AS host,
+                CASE WHEN k % 2 = 1 THEN FALSE
+                     WHEN species IN (1, 3) THEN FALSE
+                     ELSE TRUE END AS allowed
+         FROM b CROSS JOIN sp ORDER BY doc_id, species""",
 
     // q111: the expected extraction reconstructed from the template
     // INPUTS (never by re-parsing markup): main text = the doc text

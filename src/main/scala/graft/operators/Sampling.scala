@@ -395,7 +395,11 @@ object Sampling {
     * rows. (A tamper that preserves all three moments at once is
     * constructible in principle — use content digests where
     * ADVERSARIAL tampering is in scope; this guards against loss and
-    * corruption, the operational failure modes.) */
+    * corruption, the operational failure modes.) The moments are
+    * exact LONG arithmetic under ANSI mode: Σid² needs
+    * `n·max(id)² < 2⁶³`, so keep ids compact (≲10⁹ for billions of
+    * rows) — hash-derived ids should fold mod a bound first
+    * ([[graft.CrawlDemo]] does), never ride in raw 63-bit form. */
   def writeShardedWithManifest(df: DataFrame, idCol: String, numShards: Int,
                                path: String, salt: String = "graft"): Unit = {
     writeSharded(df, idCol, numShards, path, salt)

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Robots]] — RFC 9309 semantics pinned rule by rule. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ok(txt: String, path: String, agent: String = "graftbot") =
+    Robots.isAllowedKernel(txt, agent, path)
+
+  test("longest-match wins; Allow beats Disallow on a length tie") {
+    val txt =
+      """User-agent: *
+        |Disallow: /private
+        |Allow: /private/ok
+        |""".stripMargin
+    assert(!ok(txt, "/private/x"))
+    assert(ok(txt, "/private/ok/y"), "longer Allow must win")
+    assert(ok(txt, "/public"))
+    // exact length tie: Allow wins (RFC 9309 §2.2.2)
+    val tie = "User-agent: *\nDisallow: /a/\nAllow: /a/$\n"
+    // '/a/$' (4 octets) vs '/a/' (3): the $ pattern only matches '/a/'
+    assert(ok(tie, "/a/"))
+    assert(!ok(tie, "/a/b"))
+    val realTie = "User-agent: *\nDisallow: /ab\nAllow: /ab\n"
+    assert(ok(realTie, "/ab/x"), "equal-length patterns: Allow wins")
+  }
+
+  test("wildcards and end anchors match per the RFC extensions") {
+    val txt = "User-agent: *\nDisallow: /*.gif$\nDisallow: /tmp*/logs\n"
+    assert(!ok(txt, "/img/banner.gif"))
+    assert(ok(txt, "/img/banner.gif?v=2"), "$ must anchor the END")
+    assert(ok(txt, "/img/banner.gifx"))
+    assert(!ok(txt, "/tmp2024/logs"))
+    assert(ok(txt, "/tmp2024/log"))
+    // bare-prefix semantics: no implicit anchor
+    val p = "User-agent: *\nDisallow: /x$\n"
+    assert(!ok(p, "/x"))
+    assert(ok(p, "/xy"))
+  }
+
+  test("agent-specific groups REPLACE the * groups; same-token groups merge") {
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /only-graft
+        |User-agent: *
+        |Disallow: /everyone
+        |User-agent: GraftBot
+        |Disallow: /more-graft
+        |""".stripMargin
+    // graftbot sees ONLY its groups (both, merged; case-insensitive)
+    assert(!ok(txt, "/only-graft/x"))
+    assert(!ok(txt, "/more-graft/x"))
+    assert(ok(txt, "/everyone/x"), "* rules must NOT apply to a matched agent")
+    // another bot falls back to *
+    assert(!ok(txt, "/everyone/x", agent = "otherbot"))
+    assert(ok(txt, "/only-graft/x", agent = "otherbot"))
+  }
+
+  test("allow-all idioms: empty Disallow, missing robots, no matching rule; comments strip") {
+    assert(ok("User-agent: *\nDisallow:\n", "/anything"))
+    assert(ok(null, "/anything"))
+    assert(ok("", "/anything"))
+    assert(ok("User-agent: *\nDisallow: /x # but not this\n", "/y"))
+    assert(!ok("user-AGENT: *   \n  DISALLOW:   /x   \n", "/x/y"),
+      "fields are case-insensitive and whitespace-tolerant")
+    // a shared-agent-line group: UA lines stack until the first rule
+    val stacked = "User-agent: a\nUser-agent: graftbot\nDisallow: /s\n"
+    assert(!ok(stacked, "/s"))
+  }
+
+  test("filterAllowed: per-host join, missing robots allows, bad URLs gate false") {
+    val urls = Seq(
+      (1L, "https://one.com/private/x"),
+      (2L, "https://one.com/open"),
+      (3L, "https://two.com/anything"),   // no robots row
+      (4L, "mailto:no@way.com"))           // uncanonicalizable
+      .toDF("id", "url")
+    val robots = Seq(("one.com", "User-agent: *\nDisallow: /private\n"))
+      .toDF("host", "robots_txt")
+    val got = Robots.filterAllowed(urls, "url", robots, "graftbot")
+      .select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false),
+      got.toString)
+    intercept[IllegalArgumentException](
+      Robots.filterAllowed(urls, "url", robots.withColumn("x", lit(1)), "g"))
+  }
+}
