@@ -58,7 +58,10 @@ object CrawlDemo {
     // 3. graph side: outlinks → canonical host edges → integer
     //    PageRank (the host-quality signal)
     val links = Html.extractLinks(pages, "doc_id", "html")
-      .join(pages.select(col("doc_id"), col("url").as("base_url")), "doc_id")
+      .join(pages.select(col("doc_id"), col("url")), "doc_id")
+      // a page that declares <base href> resolves its relative links
+      // against it, not the page URL
+      .withColumn("base_url", coalesce(col("base_href"), col("url")))
     val edges = Url.hostEdges(links, "base_url", "href")
     val nEdges = edges.count()
     val ranks = Graph.pageRankMicro(edges, "src_host", "dst_host",

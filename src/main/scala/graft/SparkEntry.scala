@@ -2749,6 +2749,45 @@ object SparkEntry {
         .orderBy("doc_id", "species")
     }),
 
+    // Head-metadata extraction + base-href-aware link resolution: the
+    // kept-fields slot of a FineWeb-style pipeline (title/description
+    // ride next to the main text) plus the <base href> semantics a
+    // naive resolver gets wrong — the page's relative link must
+    // resolve against the DECLARED base (a different host here), not
+    // the page URL. Title/description carry entities and whitespace
+    // runs; everything is stated closed-form by the oracle.
+    "q118_head_metadata" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://site"),
+          pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".example.com/dir/page"), col("doc_id").cast("string"),
+          lit(".html")).as("base_url"),
+        concat(
+          lit("<html><head><title>Doc  "),
+          col("doc_id").cast("string"),
+          lit(" &amp;\n Friends</title>" +
+            "<base href=\"https://Mirror"),
+          pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".Example.ORG/root/\">" +
+            "<meta name=\"description\" content=\"Summary &quot;"),
+          col("doc_id").cast("string"),
+          lit("&quot; of the page\">" +
+            "</head><body><p>body text</p>" +
+            "<a href=\"rel/x.html\">r</a></body></html>")).as("html"))
+      val meta = graft.operators.Html.extractMetadata(pages, "doc_id", "html")
+      val firstLink = graft.operators.Html.extractLinks(pages, "doc_id", "html")
+        .filter(col("link_pos") === 0)
+        .join(pages.select(col("doc_id"), col("base_url")), "doc_id")
+        .select(col("doc_id"),
+          graft.operators.Url.resolve(
+            coalesce(col("base_href"), col("base_url")), col("href"))
+            .as("resolved_url"))
+      meta.join(firstLink, "doc_id")
+        .select("doc_id", "title", "meta_description", "base_href",
+          "n_links", "resolved_url")
+        .orderBy("doc_id")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -5249,6 +5288,24 @@ object SparkEntry {
                      WHEN species IN (1, 3) THEN FALSE
                      ELSE TRUE END AS allowed
          FROM b CROSS JOIN sp ORDER BY doc_id, species""",
+
+    // q118: every head field closed-form — the title's entity and
+    // whitespace run collapse, the description's quoted entities
+    // decode, base_href comes back RAW (an attribute value, not a
+    // canonical URL), and the relative link resolves against the
+    // declared base's host (lowercased by canonicalization), not the
+    // page's.
+    "q118_head_metadata" ->
+      """SELECT doc_id,
+                'Doc ' || CAST(doc_id AS VARCHAR) || ' & Friends' AS title,
+                'Summary "' || CAST(doc_id AS VARCHAR) || '" of the page'
+                  AS meta_description,
+                'https://Mirror' || CAST(doc_id % 20 AS VARCHAR) ||
+                  '.Example.ORG/root/' AS base_href,
+                CAST(1 AS INT) AS n_links,
+                'https://mirror' || CAST(doc_id % 20 AS VARCHAR) ||
+                  '.example.org/root/rel/x.html' AS resolved_url
+         FROM documents ORDER BY doc_id""",
 
     // q111: the expected extraction reconstructed from the template
     // INPUTS (never by re-parsing markup): main text = the doc text

@@ -105,21 +105,31 @@ object Html {
     sb.toString
   }
 
+  /** Everything one pass over the markup yields: text blocks, links,
+    * and the head signals (`<base href>`, first `<title>` text,
+    * first `<meta name=description>` content — all entity-decoded,
+    * null when absent). */
+  private[operators] final case class Scan(blocks: Vector[Block],
+                                           links: Vector[Link],
+                                           baseHref: String,
+                                           title: String,
+                                           metaDescription: String)
+
   /** The single-pass extraction kernel: blocks in document order with
     * collapsed whitespace, linked-char counts, and chrome flags.
     * Tolerant of real-world slop: unclosed tags, stray `<`, quoted
     * `>` inside attributes, self-closing syntax, case-insensitive tag
     * names, unknown entities passed through verbatim. */
   private[operators] def extractBlocks(html: String): Vector[Block] =
-    scanHtml(html)._1
+    scanHtml(html).blocks
 
   /** Anchor hrefs in document order (entity-decoded), with chrome
     * flags. Links inside comments and script/style raw text do not
     * exist. */
   private[operators] def extractLinksKernel(html: String): Vector[Link] =
-    scanHtml(html)._2
+    scanHtml(html).links
 
-  private def scanHtml(html: String): (Vector[Block], Vector[Link]) = {
+  private[operators] def scanHtml(html: String): Scan = {
     val out = Vector.newBuilder[Block]
     val links = Vector.newBuilder[Link]
     val sb = new java.lang.StringBuilder
@@ -127,6 +137,12 @@ object Html {
     var pendingSpace = false
     var chromeDepth = 0
     var aDepth = 0
+    var baseHref: String = null
+    var metaDescription: String = null
+    val titleSb = new java.lang.StringBuilder
+    var titlePending = false
+    var inTitle = false
+    var titleDone = false
     val n = html.length
     var i = 0
 
@@ -142,11 +158,17 @@ object Html {
       if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
           c == 0x0B.toChar || c == 0xA0.toChar) {
         if (sb.length > 0) pendingSpace = true
+        if (titleSb.length > 0) titlePending = true
       } else {
         if (pendingSpace) { sb.append(' '); if (aDepth > 0) linkChars += 1 }
         pendingSpace = false
         sb.append(c)
         if (aDepth > 0) linkChars += 1
+        if (inTitle && !titleDone) {
+          if (titlePending) titleSb.append(' ')
+          titlePending = false
+          titleSb.append(c)
+        }
       }
     }
 
@@ -174,10 +196,12 @@ object Html {
           val ns = j
           while (j < n && (Character.isLetterOrDigit(html.charAt(j)))) j += 1
           val name = html.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
-          if (name == "a" && !closing) {
-            // parse anchor attributes properly to capture href:
-            // name[=value] pairs, values quoted (either style) or bare
-            var href: String = null
+          // parse attributes properly (name[=value] pairs, values
+          // quoted either style or bare) only for the tags that carry
+          // data we extract; everything else takes the fast skip
+          var attrs: scala.collection.mutable.Map[String, String] = null
+          if (!closing && (name == "a" || name == "base" || name == "meta")) {
+            attrs = scala.collection.mutable.Map.empty[String, String]
             while (j < n && html.charAt(j) != '>') {
               val cj = html.charAt(j)
               if (cj == '/' || Character.isWhitespace(cj)) j += 1
@@ -210,12 +234,24 @@ object Html {
                     value = html.substring(vs, j)
                   }
                 }
-                if (aname == "href" && href == null && value != null)
-                  href = value
+                if (value != null && !attrs.contains(aname))
+                  attrs(aname) = value
               }
             }
-            if (href != null)
-              links += Link(decodeEntities(href), chromeDepth > 0)
+            name match {
+              case "a" =>
+                attrs.get("href").foreach(h =>
+                  links += Link(decodeEntities(h), chromeDepth > 0))
+              case "base" =>
+                if (baseHref == null)
+                  attrs.get("href").foreach(h => baseHref = decodeEntities(h))
+              case "meta" =>
+                if (metaDescription == null &&
+                    attrs.get("name").exists(_.equalsIgnoreCase("description")))
+                  attrs.get("content").foreach(c =>
+                    metaDescription = decodeEntities(c))
+              case _ => ()
+            }
           } else {
             // skip attributes, honoring quoted values (a '>' in quotes
             // does not end the tag)
@@ -246,6 +282,10 @@ object Html {
             if (name == "a") {
               if (closing) { if (aDepth > 0) aDepth -= 1 }
               else if (!selfClosing) aDepth += 1
+            }
+            if (name == "title") {
+              if (closing) { inTitle = false; titleDone = true }
+              else if (!selfClosing && !titleDone) inTitle = true
             }
             if (ChromeTags.contains(name)) {
               if (closing) { if (chromeDepth > 0) chromeDepth -= 1 }
@@ -287,7 +327,8 @@ object Html {
       }
     }
     flush()
-    (out.result(), links.result())
+    Scan(out.result(), links.result(), baseHref,
+      if (titleSb.length > 0) titleSb.toString else null, metaDescription)
   }
 
   /** Classify-and-assemble over [[extractBlocks]]: the public
@@ -330,25 +371,59 @@ object Html {
   }
 
   /** Outlink extraction over a corpus:
-    * `(doc_id, link_pos, href, in_chrome)` — every anchor href in
-    * document order, entity-decoded, through the same state machine as
-    * [[extractMainText]] (links inside comments or script/style raw
-    * text do not exist; attribute values may be double-, single-, or
-    * un-quoted). `in_chrome` marks nav/header/footer/aside/head links
-    * so content-link analyses can drop boilerplate edges while web-
-    * graph builds keep them. The link-graph feed: compose with
-    * [[Url.canonicalize]] and [[Graph.pageRankMicro]] for the
+    * `(doc_id, link_pos, href, in_chrome, base_href)` — every anchor
+    * href in document order, entity-decoded, through the same state
+    * machine as [[extractMainText]] (links inside comments or
+    * script/style raw text do not exist; attribute values may be
+    * double-, single-, or un-quoted). `in_chrome` marks
+    * nav/header/footer/aside/head links so content-link analyses can
+    * drop boilerplate edges while web-graph builds keep them.
+    * `base_href` is the page's first `<base href>` (NULL when
+    * absent) — a page that declares one resolves its relative links
+    * against IT, not the page URL, so resolution should use
+    * `coalesce(base_href, page_url)`. The link-graph feed: compose
+    * with [[Url.resolve]] and [[Graph.pageRankMicro]] for the
     * crawl-frontier / host-ranking loop (battery q113/q114). One
     * kernel pass per document, no shuffle; NULL html yields no rows. */
   def extractLinks(docs: DataFrame, idCol: String,
                    htmlCol: String): DataFrame = {
     val k = udf { (html: String) =>
-      if (html == null) Array.empty[(String, Boolean)]
-      else extractLinksKernel(html).map(l => (l.href, l.inChrome)).toArray
+      if (html == null) (Array.empty[(String, Boolean)], null: String)
+      else {
+        val s = scanHtml(html)
+        (s.links.map(l => (l.href, l.inChrome)).toArray, s.baseHref)
+      }
     }
-    docs.select(col(idCol).as("doc_id"),
-        posexplode(k(col(htmlCol))).as(Seq("link_pos", "l")))
+    docs.select(col(idCol).as("doc_id"), k(col(htmlCol)).as("r"))
+      .select(col("doc_id"), col("r._2").as("base_href"),
+        posexplode(col("r._1")).as(Seq("link_pos", "l")))
       .select(col("doc_id"), col("link_pos"),
-        col("l._1").as("href"), col("l._2").as("in_chrome"))
+        col("l._1").as("href"), col("l._2").as("in_chrome"),
+        col("base_href"))
+  }
+
+  /** Head-metadata extraction over a corpus:
+    * `(doc_id, title, meta_description, base_href, n_links)` — the
+    * first `<title>` text (entity-decoded, whitespace-collapsed), the
+    * first `<meta name="description">` content, the first
+    * `<base href>`, and the page's outlink count; all NULL-safe (NULL
+    * html → all-NULL row with zero links). The kept-fields slot of a
+    * FineWeb-style pipeline — titles and descriptions ride next to
+    * the extracted main text. One kernel pass, no shuffle; battery
+    * q118 oracles every field closed-form including base-href-aware
+    * relative link resolution. */
+  def extractMetadata(docs: DataFrame, idCol: String,
+                      htmlCol: String): DataFrame = {
+    val k = udf { (html: String) =>
+      if (html == null) (null: String, null: String, null: String, 0)
+      else {
+        val s = scanHtml(html)
+        (s.title, s.metaDescription, s.baseHref, s.links.length)
+      }
+    }
+    docs.select(col(idCol).as("doc_id"), k(col(htmlCol)).as("r"))
+      .select(col("doc_id"), col("r._1").as("title"),
+        col("r._2").as("meta_description"), col("r._3").as("base_href"),
+        col("r._4").as("n_links"))
   }
 }

@@ -109,6 +109,34 @@ class HtmlSpec extends SparkSpec {
       Seq("/home", "/single", "bare", "/q?a=1&b=2", "/dup", "/tail"))
   }
 
+  test("head metadata: first title/description/base win, entities decode, ws collapses") {
+    val html = "<html><head><title>One\n  &amp;  Two</title>" +
+      "<title>second ignored</title>" +
+      "<base href=\"/b1?a=1&amp;b=2\"><base href=\"/b2\">" +
+      "<meta content=\"first desc\" name=\"Description\">" +
+      "<meta name=\"description\" content=\"second ignored\">" +
+      "</head><body><a href=\"x\">l</a></body></html>"
+    val s = Html.scanHtml(html)
+    assert(s.title == "One & Two", s.title)
+    assert(s.baseHref == "/b1?a=1&b=2", s.baseHref)
+    assert(s.metaDescription == "first desc", s.metaDescription)
+    // absent fields are null; NULL html degrades in the corpus form
+    val bare = Html.scanHtml("<p>no head</p>")
+    assert(bare.title == null && bare.baseHref == null &&
+      bare.metaDescription == null)
+    val docs = Seq((1L, html), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "html")
+    val rows = Html.extractMetadata(docs, "doc_id", "html")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(3)), r.getInt(4)))).toMap
+    assert(rows(1L) == ((Some("One & Two"), Some("/b1?a=1&b=2"), 1)))
+    assert(rows(2L) == ((None, None, 0)))
+    // extractLinks now carries base_href on every row
+    val link = Html.extractLinks(docs.filter(col("doc_id") === 1L),
+        "doc_id", "html").head()
+    assert(link.getString(4) == "/b1?a=1&b=2")
+  }
+
   test("extractMainText rejects degenerate parameters at plan time") {
     val docs = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
     intercept[IllegalArgumentException](
