@@ -71,6 +71,29 @@ class RobotsSpec extends SparkSpec {
     assert(!ok(stacked, "/s"))
   }
 
+  test("patternMatches agrees with a regex reference over random patterns and paths") {
+    // independent semantics statement: '*' → '.*', trailing '$' →
+    // end anchor, everything else literal, always anchored at start
+    def ref(pattern: String, path: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val p = if (anchored) pattern.dropRight(1) else pattern
+      val rx = p.split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString("(?s).*") + (if (anchored) "$" else "(?s).*")
+      path.matches(rx)
+    }
+    val rnd = new scala.util.Random(7)
+    val atoms = Seq("/", "a", "b", "*", ".gif", "$", "tmp", "x", "*", "/")
+    (0 until 3000).foreach { _ =>
+      val pattern = (0 until 1 + rnd.nextInt(5))
+        .map(_ => atoms(rnd.nextInt(atoms.length))).mkString +
+        (if (rnd.nextBoolean()) "$" else "")
+      val path = "/" + (0 until rnd.nextInt(6))
+        .map(_ => atoms(rnd.nextInt(atoms.length - 3))).mkString
+      assert(Robots.patternMatches(pattern, path) == ref(pattern, path),
+        s"kernel vs regex diverged: pattern='$pattern' path='$path'")
+    }
+  }
+
   test("filterAllowed: per-host join, missing robots allows, bad URLs gate false") {
     val urls = Seq(
       (1L, "https://one.com/private/x"),

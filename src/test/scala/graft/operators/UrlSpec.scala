@@ -66,6 +66,38 @@ class UrlSpec extends SparkSpec {
     assert(Url.resolveKernel("not-absolute", "x.html") == null)
   }
 
+  test("canonicalization is IDEMPOTENT over a generated URL corpus") {
+    // the invariant URL dedup rests on: canonical(canonical(u)) ==
+    // canonical(u) — a second pass through the normalizer must be a
+    // fixed point, or two dedup runs disagree
+    val rnd = new scala.util.Random(42)
+    val schemes = Seq("http", "HTTPS", "hTTp", "https")
+    val hosts = Seq("A.b.COM", "x.org.", "WWW.Example.com", "a.com")
+    val ports = Seq("", ":80", ":443", ":8080", ":0")
+    val segs = Seq("a", "B", "..", ".", "", "x.gif", "p%20q", "..", "dir")
+    val params = Seq("a=1", "b=2", "utm_source=x", "gclid=1", "", "z",
+      "a=2", "utm_campaign=y&broken")
+    var tested = 0
+    (0 until 800).foreach { _ =>
+      val path = "/" + (0 until rnd.nextInt(5))
+        .map(_ => segs(rnd.nextInt(segs.length))).mkString("/")
+      val query = if (rnd.nextBoolean()) "" else
+        "?" + (0 until 1 + rnd.nextInt(3))
+          .map(_ => params(rnd.nextInt(params.length))).mkString("&")
+      val frag = if (rnd.nextBoolean()) "#f" else ""
+      val u = schemes(rnd.nextInt(schemes.length)) + "://" +
+        hosts(rnd.nextInt(hosts.length)) + ports(rnd.nextInt(ports.length)) +
+        path + query + frag
+      val c = Url.canonicalKernel(u)
+      if (c != null) {
+        tested += 1
+        assert(Url.canonicalKernel(c) == c,
+          s"not a fixed point: $u -> $c -> ${Url.canonicalKernel(c)}")
+      }
+    }
+    assert(tested > 600, s"fixture degenerated: only $tested canonicalized")
+  }
+
   test("host and apex-domain columns; hostEdges builds the distinct graph") {
     val got = Seq("https://A.B.Example.COM:8443/x?utm_source=1")
       .toDF("u")
