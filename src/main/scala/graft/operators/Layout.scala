@@ -217,8 +217,8 @@ object Layout {
       // empty result with the data schema: open the full file set but
       // cap at zero rows — nothing is read, only listed
       val all = manifest.select("file").collect().map(_.getString(0))
-      spark.read.parquet(all: _*).limit(0)
-    } else spark.read.parquet(files: _*).filter(exact)
+      spark.read.parquet(all.toIndexedSeq: _*).limit(0)
+    } else spark.read.parquet(files.toIndexedSeq: _*).filter(exact)
   }
 
   /** Rewrite `df` into `numFiles` files ordered by the Z-curve over

@@ -54,7 +54,7 @@ object Rollup {
     require(states.nonEmpty, "merge needs at least one state")
     val keys = states.head.columns.filterNot(StateCols.contains)
     states.reduce(_ unionByName _)
-      .groupBy(keys.map(col): _*)
+      .groupBy(keys.toIndexedSeq.map(col): _*)
       .agg(sum("n").as("n"), sum("s").as("s"),
            min("mn").as("mn"), max("mx").as("mx"))
   }
@@ -66,7 +66,7 @@ object Rollup {
     * them). */
   def report(state: DataFrame): DataFrame =
     state.select(
-      state.columns.filterNot(StateCols.contains).map(col) ++ Seq(
+      state.columns.filterNot(StateCols.contains).toIndexedSeq.map(col) ++ Seq(
         col("n"),
         round(col("s").cast("double"), 4).as("total_value"),
         round(col("s").cast("double") / col("n"), 4).as("avg_value"),

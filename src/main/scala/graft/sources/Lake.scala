@@ -225,8 +225,8 @@ object Lake {
         def fingerprint(df: DataFrame): (Long, Long) = {
           val row =
             if (lineFormat) df.agg(count(lit(1)),
-              coalesce(sum(crc32(col("value"))), lit(0L))).head
-            else df.agg(count(lit(1)), lit(0L)).head
+              coalesce(sum(crc32(col("value"))), lit(0L))).head()
+            else df.agg(count(lit(1)), lit(0L)).head()
           (row.getLong(0), row.getLong(1))
         }
         val src = read(dir)
