@@ -42,13 +42,21 @@ object CrawlDemo {
       .filter(col("warc_type") === "response" && col("http_status") === 200)
       .select(col("target_uri").as("url"),
         col("body").cast("string").as("html"))
-      // bounded synthetic ids: the export manifest's integer moments
-      // (Σid²) are Long arithmetic, so ids stay under ~10⁹ (documented
-      // on writeShardedWithManifest); mod a prime to keep the fold
-      // uniform
-      .withColumn("doc_id", pmod(xxhash64(col("url")), lit(1000000007L)))
+      // full 64-bit ids: a mod-10⁹ fold collides at birthday scale
+      // (hundreds of merged pages per million URLs, corrupting every
+      // doc_id join downstream); the raw hash is collision-free in
+      // practice (~n²/2⁶⁵) and the export manifest folds internally,
+      // so nothing downstream needs compact ids
+      .withColumn("doc_id", xxhash64(col("url")))
       .cache()
     val nPages = pages.count()
+    // belt-and-braces: a doc_id collision would silently merge pages
+    // in every join below — fail loudly instead (cheap: pages is
+    // cached and |pages|-sized)
+    val idClash = pages.agg(
+      (countDistinct(col("url")) - countDistinct(col("doc_id"))).as("d"))
+      .head().getLong(0)
+    require(idClash == 0, s"doc_id hash collision on $idClash url(s)")
 
     // 2. text side: main-content extraction, then the refine gates
     val extracted = Html.extractMainText(pages, "doc_id", "html")

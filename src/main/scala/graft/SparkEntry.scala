@@ -2460,7 +2460,12 @@ object SparkEntry {
         s"graft_q105_export_${docsTag(s, dir)}").toString
       val docs = t(s, dir, "documents").select("doc_id", "text")
       graft.operators.Sampling.writeShardedWithManifest(docs, "doc_id", 16, out)
+      // the moments are DECIMAL(38,0) of the mod-P fold; battery ids
+      // are far below P, so the values equal plain Σid/Σid² — cast to
+      // long for a stable cross-engine output schema
       graft.operators.Sampling.verifyShardedExport(s, out, "doc_id")
+        .withColumn("id_sum", col("id_sum").cast("long"))
+        .withColumn("id_sq_sum", col("id_sq_sum").cast("long"))
         .orderBy("shard")
     }),
 

@@ -51,9 +51,11 @@ object Html {
     "br", "hr", "form", "nav", "header", "footer", "aside", "figure",
     "figcaption", "dl", "dt", "dd")
 
-  /** Chrome containers: all text inside is boilerplate by position. */
+  /** Chrome containers: all text inside is boilerplate by position.
+    * `<head>` is chrome too but is depth-tracked separately so an
+    * opening `<body>` can recover from an omitted `</head>`. */
   private val ChromeTags: Set[String] = Set(
-    "head", "nav", "header", "footer", "aside")
+    "nav", "header", "footer", "aside")
 
   /** Raw-text elements whose content is never page text. */
   private val RawTextTags: Set[String] = Set("script", "style")
@@ -119,7 +121,15 @@ object Html {
     * collapsed whitespace, linked-char counts, and chrome flags.
     * Tolerant of real-world slop: unclosed tags, stray `<`, quoted
     * `>` inside attributes, self-closing syntax, case-insensitive tag
-    * names, unknown entities passed through verbatim. */
+    * names, unknown entities passed through verbatim. Two recovery
+    * rules keep one sloppy tag from poisoning the whole document:
+    * an opening `<body>` closes any still-open head scope (`</head>`
+    * is legally omittable in HTML5, and title text cannot extend past
+    * the head), and anchor nesting resets at every block flush — so
+    * an unclosed `<a>` inflates link density only for its own block,
+    * at the documented cost that an anchor legally wrapping block
+    * content counts its linked chars only up to the first block
+    * boundary. */
   private[operators] def extractBlocks(html: String): Vector[Block] =
     scanHtml(html).blocks
 
@@ -135,7 +145,8 @@ object Html {
     val sb = new java.lang.StringBuilder
     var linkChars = 0
     var pendingSpace = false
-    var chromeDepth = 0
+    var chromeDepth = 0 // nav/header/footer/aside nesting
+    var headDepth = 0   // <head> nesting, separately recoverable
     var aDepth = 0
     var baseHref: String = null
     var metaDescription: String = null
@@ -148,10 +159,12 @@ object Html {
 
     def flush(): Unit = {
       val text = sb.toString
-      if (text.nonEmpty) out += Block(text, linkChars, chromeDepth > 0)
+      if (text.nonEmpty)
+        out += Block(text, linkChars, chromeDepth > 0 || headDepth > 0)
       sb.setLength(0)
       linkChars = 0
       pendingSpace = false
+      aDepth = 0 // an unclosed <a> must not poison later blocks
     }
 
     def emit(c: Char): Unit = {
@@ -241,7 +254,8 @@ object Html {
             name match {
               case "a" =>
                 attrs.get("href").foreach(h =>
-                  links += Link(decodeEntities(h), chromeDepth > 0))
+                  links += Link(decodeEntities(h),
+                    chromeDepth > 0 || headDepth > 0))
               case "base" =>
                 if (baseHref == null)
                   attrs.get("href").foreach(h => baseHref = decodeEntities(h))
@@ -287,7 +301,15 @@ object Html {
               if (closing) { inTitle = false; titleDone = true }
               else if (!selfClosing && !titleDone) inTitle = true
             }
-            if (ChromeTags.contains(name)) {
+            if (name == "head") {
+              if (closing) { if (headDepth > 0) headDepth -= 1 }
+              else if (!selfClosing) headDepth += 1
+            } else if (name == "body" && !closing) {
+              // </head> is optional: an opening <body> closes any
+              // still-open head scope, and title text cannot continue
+              headDepth = 0
+              if (inTitle) { inTitle = false; titleDone = true }
+            } else if (ChromeTags.contains(name)) {
               if (closing) { if (chromeDepth > 0) chromeDepth -= 1 }
               else if (!selfClosing) chromeDepth += 1
             }

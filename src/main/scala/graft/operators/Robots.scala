@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   * of the URL frame against the (host, robots_txt) table — robots
   * bodies are small and per-host, so the join's robots side is
   * |hosts|-sized — plus a scalar verdict kernel; nothing quadratic,
-  * nothing driver-side. */
+  * nothing driver-side. A host legally has ONE robots.txt: duplicate
+  * host rows in the robots frame would multiply URL rows through the
+  * join, so [[filterAllowed]] deterministically collapses them
+  * (lexicographic max body) instead of trusting the input. */
 object Robots {
 
   private[operators] final case class Group(agents: Seq[String],
@@ -138,17 +141,28 @@ object Robots {
   /** Gate a URL frame against per-host robots rules: `urls` must
     * carry a canonical URL column; `robots` is a 2-column
     * `(host, robots_txt)` frame (|hosts|-sized — one row per host, the
-    * stored-robots layout). Output: the input columns plus `host` and
-    * `allowed`; hosts with no robots row allow everything. The join
-    * is host-keyed and left — URLs that don't canonicalize gate to
-    * allowed = false (an unfetchable URL is not fetchable). */
+    * stored-robots layout; duplicate host rows collapse
+    * deterministically to the lexicographically greatest body rather
+    * than fanning URL rows out through the join). Output: the input
+    * columns plus `host` and `allowed` — both names are RESERVED and
+    * must not already exist on `urls` (guarded, since `withColumn`
+    * would silently overwrite them); hosts with no robots row allow
+    * everything. The join is host-keyed and left — URLs that don't
+    * canonicalize gate to allowed = false (an unfetchable URL is not
+    * fetchable). */
   def filterAllowed(urls: DataFrame, urlCol: String, robots: DataFrame,
                     agent: String): DataFrame = {
     val rCols = robots.columns
     require(rCols.length == 2,
       s"robots must be (host, robots_txt), got ${rCols.mkString(",")}")
+    Seq("host", "allowed").foreach { reserved =>
+      require(!urls.columns.contains(reserved),
+        s"urls already has a '$reserved' column — filterAllowed outputs " +
+          "reserved columns (host, allowed); rename the input column")
+    }
     val r = robots.select(col(rCols(0)).as("host"),
       col(rCols(1)).as("__robots"))
+      .groupBy("host").agg(max(col("__robots")).as("__robots"))
     val pathOf = udf { (u: String) =>
       val c = Url.canonicalKernel(u)
       if (c == null) null

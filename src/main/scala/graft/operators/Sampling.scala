@@ -389,27 +389,39 @@ object Sampling {
     * a multi-TB training export AUDITABLE: a resumed, copied, or
     * partially-restored export re-verifies in ONE cheap scan
     * ([[verifyShardedExport]]) without re-deriving the assignment.
-    * Checksums are plain integer aggregates (count / Σid / Σid²) so
-    * any engine — including the battery oracle (q105) — recomputes
-    * them; they catch dropped, duplicated, and cross-shard-misplaced
-    * rows. (A tamper that preserves all three moments at once is
-    * constructible in principle — use content digests where
+    * Checksums are plain integer aggregates (count / Σh / Σh² over
+    * `h = id mod 1 000 000 007`) so any engine — including the
+    * battery oracle (q105) — recomputes them; they catch dropped,
+    * duplicated, and cross-shard-misplaced rows with miss probability
+    * ~1/P per moment. (A tamper that preserves all three moments at
+    * once is constructible in principle — use content digests where
     * ADVERSARIAL tampering is in scope; this guards against loss and
-    * corruption, the operational failure modes.) The moments are
-    * exact LONG arithmetic under ANSI mode: Σid² needs
-    * `n·max(id)² < 2⁶³`, so keep ids compact (≲10⁹ for billions of
-    * rows) — hash-derived ids should fold mod a bound first
-    * ([[graft.CrawlDemo]] does), never ride in raw 63-bit form. */
+    * corruption, the operational failure modes.) The mod-P fold plus
+    * DECIMAL(38,0) sums make the moments OVERFLOW-SAFE for ANY Long
+    * id — raw 64-bit hash ids included ([[graft.CrawlDemo]] rides
+    * `xxhash64` straight through) — out to ~10²⁰ rows per shard;
+    * unfolded Σid² would break under ANSI beyond ~2×10⁶ rows even
+    * for compact sequential ids. */
   def writeShardedWithManifest(df: DataFrame, idCol: String, numShards: Int,
                                path: String, salt: String = "graft"): Unit = {
     writeSharded(df, idCol, numShards, path, salt)
     shardAssign(df, idCol, numShards, salt)
       .groupBy("shard")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col(idCol)).as("id_sum"),
-        sum(col(idCol) * col(idCol)).as("id_sq_sum"))
+      .agg(momentAggs(idCol).head, momentAggs(idCol).tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_graft_export_manifest")
+  }
+
+  /** Per-shard moment aggregates, overflow-safe for any Long id: the
+    * id folds to `h = pmod(id, P)` (non-negative, < 10⁹), and Σh / Σh²
+    * accumulate as DECIMAL(38,0) — exact to ~10²⁰ rows. */
+  private val MomentPrime = 1000000007L
+  private def momentAggs(idCol: String): Seq[Column] = {
+    val h = pmod(col(idCol), lit(MomentPrime))
+    Seq(count(lit(1)).as("n_rows"),
+      sum(h.cast("decimal(28,0)")).cast("decimal(38,0)").as("id_sum"),
+      sum(h.cast("decimal(19,0)") * h.cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("id_sq_sum"))
   }
 
   /** Re-audit an export against its manifest: one scan of the shard
@@ -424,14 +436,12 @@ object Sampling {
         col("id_sum").as("__ms"), col("id_sq_sum").as("__mq"))
     val actual = spark.read.parquet(path)
       .groupBy("shard")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col(idCol)).as("id_sum"),
-        sum(col(idCol) * col(idCol)).as("id_sq_sum"))
+      .agg(momentAggs(idCol).head, momentAggs(idCol).tail: _*)
     actual.join(manifest, Seq("shard"), "full_outer")
       .select(col("shard"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
-        coalesce(col("id_sum"), lit(0L)).as("id_sum"),
-        coalesce(col("id_sq_sum"), lit(0L)).as("id_sq_sum"),
+        coalesce(col("id_sum"), lit(0).cast("decimal(38,0)")).as("id_sum"),
+        coalesce(col("id_sq_sum"), lit(0).cast("decimal(38,0)")).as("id_sq_sum"),
         (col("n_rows") <=> col("__mn") && col("id_sum") <=> col("__ms") &&
           col("id_sq_sum") <=> col("__mq")).as("ok"))
   }

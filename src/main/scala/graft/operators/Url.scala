@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   *  - default ports drop (`:80` http, `:443` https), others stay;
   *  - dot segments resolve (`/a/b/../c/./d` → `/a/c/d`, RFC 3986
   *    § 5.2.4 including the trailing-slash cases); empty path → `/`;
+  *  - percent-encodings normalize per RFC 3986 § 6.2.2 in path and
+  *    query (hex uppercased, unreserved octets decoded: `/%7Euser` ≡
+  *    `/~user`, `%2f` ≡ `%2F`) — see [[normalizePercent]] for the
+  *    documented out-of-scope equivalences;
   *  - the query drops TRACKING params (`utm_*`, `gclid`, `fbclid`,
   *    `msclkid` — the public courlan default set), sorts the
   *    survivors byte-order (duplicates kept, order-insensitive
@@ -40,6 +44,50 @@ object Url {
   private val TrackingExact = Set("gclid", "fbclid", "msclkid")
   private def isTracking(k: String): Boolean =
     k.startsWith("utm_") || TrackingExact.contains(k)
+
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private def hexVal(c: Char): Int =
+    if (c <= '9') c - '0'
+    else if (c <= 'F') c - 'A' + 10
+    else c - 'a' + 10
+
+  private def isUnreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+
+  /** RFC 3986 § 6.2.2.1–2 percent-encoding normalization: hex digits
+    * uppercase; octets encoding UNRESERVED characters decode (`%7E` →
+    * `~`, `%41` → `A`). Reserved octets (`%2F`, `%3D`, …) stay
+    * encoded — decoding them would change which component they
+    * delimit — and malformed escapes (`%` not followed by two hex
+    * digits) pass through verbatim. Safe to run over a whole path or
+    * query string: it never introduces a delimiter. Out-of-scope
+    * equivalences, deliberately: `+` vs `%20` in queries (form
+    * encoding, not RFC 3986), IDN/punycode hosts, and decoding
+    * non-ASCII percent octets (kept encoded, case-normalized). */
+  private[operators] def normalizePercent(s: String): String = {
+    if (s == null || s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < n && isHexDigit(s.charAt(i + 1)) &&
+          isHexDigit(s.charAt(i + 2))) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreserved(v)) sb.append(v.toChar)
+        else {
+          sb.append('%')
+          sb.append(Character.toUpperCase(s.charAt(i + 1)))
+          sb.append(Character.toUpperCase(s.charAt(i + 2)))
+        }
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** RFC 3986 § 5.2.4 dot-segment removal over an absolute path. */
   private[operators] def resolveDots(path: String): String = {
@@ -103,8 +151,14 @@ object Url {
     val qi = noFrag.indexOf('?')
     val rawPath = if (qi < 0) noFrag else noFrag.substring(0, qi)
     val rawQuery = if (qi < 0) "" else noFrag.substring(qi + 1)
-    val path = resolveDots(if (rawPath.isEmpty) "/" else rawPath)
-    val kept = rawQuery.split("&", -1).toSeq
+    // percent-normalize BEFORE dot-segment removal (RFC 3986 § 6.2.2
+    // order: case, percent-encoding, then path segments — so
+    // `/%2e%2e/` resolves like `/../`) and before query filtering/
+    // sorting (so `%75tm_source` is recognized and sort order is
+    // canonical)
+    val path = resolveDots(
+      normalizePercent(if (rawPath.isEmpty) "/" else rawPath))
+    val kept = normalizePercent(rawQuery).split("&", -1).toSeq
       .filter(p => p.nonEmpty && !isTracking(p.split("=", 2)(0)))
       .sorted
     val queryPart = if (kept.isEmpty) "" else kept.mkString("?", "&", "")

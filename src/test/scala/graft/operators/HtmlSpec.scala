@@ -34,6 +34,30 @@ class HtmlSpec extends SparkSpec {
       ("foot", 0, true)), got.toString)
   }
 
+  test("recovery: omitted </head> — <body> closes head scope, body text is not chrome") {
+    // HTML5 legally omits </head>; without recovery the whole body
+    // would classify as chrome and main_text would be silently empty
+    val got = blocks("<html><head><title>T</title><body><p>real body text</p>")
+    assert(got == Seq(("T", 0, true), ("real body text", 0, false)),
+      got.toString)
+    // metadata still works on the same slop, and title cannot leak
+    // past an omitted </title> once <body> opens
+    val s = Html.scanHtml("<head><title>Only Title<body><p>content</p>")
+    assert(s.title == "Only Title", s.title)
+    assert(s.blocks.map(b => (b.text, b.inChrome)) ==
+      Vector(("Only Title", true), ("content", false)))
+  }
+
+  test("recovery: unclosed <a> poisons only its own block, not the rest of the document") {
+    val got = blocks("<p><a href=\"/x\">cta</p><p>clean text here</p>")
+    assert(got == Seq(("cta", 3, false), ("clean text here", 0, false)),
+      got.toString)
+    // head links are chrome links
+    val s = Html.scanHtml("<head><a href=\"/h\">h</a><body><a href=\"/b\">b</a>")
+    assert(s.links.map(l => (l.href, l.inChrome)) ==
+      Vector(("/h", true), ("/b", false)))
+  }
+
   test("kernel: link chars count inside <a> only; quoted '>' in attributes survives") {
     val got = blocks("""<p><a href="x>y" title='a>b'>link text</a> plain</p>""")
     assert(got == Seq(("link text plain", 9, false)), got.toString)

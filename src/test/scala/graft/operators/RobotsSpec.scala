@@ -110,4 +110,46 @@ class RobotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Robots.filterAllowed(urls, "url", robots.withColumn("x", lit(1)), "g"))
   }
+
+  test("filterAllowed: duplicate host rows collapse instead of multiplying URLs") {
+    val urls = Seq((1L, "https://one.com/private/x"),
+      (2L, "https://one.com/open")).toDF("id", "url")
+    // two rows for the same host: deterministic collapse (max body —
+    // here the one that disallows /private, lexicographically greater)
+    val robots = Seq(
+      ("one.com", "User-agent: *\nDisallow: /private\n"),
+      ("one.com", "User-agent: *\nDisallow: /other\n"))
+      .toDF("host", "robots_txt")
+    val got = Robots.filterAllowed(urls, "url", robots, "graftbot")
+    assert(got.count() == 2, "join must not fan URL rows out")
+    val verdicts = got.select("id", "allowed")
+      .as[(Long, Boolean)].collect().toMap
+    assert(verdicts == Map(1L -> false, 2L -> true), verdicts.toString)
+  }
+
+  test("filterAllowed: reserved output columns (host, allowed) are guarded") {
+    val robots = Seq(("one.com", "User-agent: *\nDisallow: /p\n"))
+      .toDF("host", "robots_txt")
+    val withHost = Seq(("https://one.com/x", "stale"))
+      .toDF("url", "host")
+    intercept[IllegalArgumentException](
+      Robots.filterAllowed(withHost, "url", robots, "g"))
+    val withAllowed = Seq(("https://one.com/x", true))
+      .toDF("url", "allowed")
+    intercept[IllegalArgumentException](
+      Robots.filterAllowed(withAllowed, "url", robots, "g"))
+  }
+
+  test("robots matching sees percent-normalized paths (Url canonical form)") {
+    // /%7Eme and /~me are the same resource; the disallow rule written
+    // either way must gate both spellings
+    val urls = Seq((1L, "https://h.com/%7Eme/file"),
+      (2L, "https://h.com/~me/file"),
+      (3L, "https://h.com/other")).toDF("id", "url")
+    val robots = Seq(("h.com", "User-agent: *\nDisallow: /~me\n"))
+      .toDF("host", "robots_txt")
+    val got = Robots.filterAllowed(urls, "url", robots, "bot")
+      .select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true), got.toString)
+  }
 }

@@ -419,6 +419,41 @@ class SamplingSpec extends SparkSpec {
       s"only shard 3 should flag: $audited")
   }
 
+  test("export manifest: overflow-safe for raw 64-bit hash ids (incl. negative)") {
+    import spark.implicits._
+    // ids at the extremes of Long: unfolded Σid² would overflow ANSI
+    // Long arithmetic on the very first row — the mod-P fold + decimal
+    // sums must stay exact, audit clean, and still catch a lost row
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_hash").toString
+    val ids = Seq(Long.MaxValue, Long.MinValue + 1, -1L, 0L,
+      7450580853294637803L, -8122186245280505352L) ++
+      (1L to 200L).map(i => i * 40499421617L - 4000000000000L)
+    val df = ids.map(i => (i, s"doc $i")).toDF("id", "text")
+    Sampling.writeShardedWithManifest(df, "id", 4, dir)
+    val clean = Sampling.verifyShardedExport(spark, dir, "id")
+    assert(clean.filter(!col("ok")).isEmpty, "hash-id export must audit ok")
+    // remove one row's worth of a shard by rewriting it short
+    val all = spark.read.parquet(dir)
+    val victim = all.select("shard").as[Int].head()
+    val trimmed = all.filter(col("shard") === victim)
+      .orderBy("id").limit(1).select("id").as[Long].head()
+    val rest = all.filter(col("shard") === victim && col("id") =!= trimmed)
+      .drop("shard")
+    val tmp = dir + "_rewrite"
+    rest.write.mode("overwrite").parquet(tmp)
+    val sdir = new java.io.File(s"$dir/shard=$victim")
+    sdir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) => java.nio.file.Files.move(f.toPath,
+          new java.io.File(sdir, s"part-rw-$i.parquet").toPath)
+      }
+    val audited = Sampling.verifyShardedExport(spark, dir, "id")
+      .collect().map(r => r.getInt(0) -> r.getBoolean(4)).toMap
+    assert(!audited(victim), "the trimmed shard must flag")
+    assert(audited.count(!_._2) == 1, s"only one shard should flag: $audited")
+  }
+
   test("temperatureQuotas: hand-computed largest-remainder apportionment") {
     // perfect squares → exact sqrt weights 10:5:2:1 (scaling cancels)
     val counts = Seq("a" -> 100L, "b" -> 25L, "c" -> 4L, "d" -> 1L)

@@ -43,6 +43,33 @@ class UrlSpec extends SparkSpec {
     assert(canon("http://a.com/x?b=2&a=2&a=1") == "http://a.com/x?a=1&a=2&b=2")
   }
 
+  test("canonical: percent-encodings normalize per RFC 3986 § 6.2.2") {
+    // unreserved octets decode: two spellings of the same resource
+    // canonicalize identically
+    assert(canon("http://a.com/%7Euser") == "http://a.com/~user")
+    assert(canon("http://a.com/%7euser") == canon("http://a.com/~user"))
+    assert(canon("http://a.com/%41%62%2D%2e%5F") == "http://a.com/Ab-._")
+    // reserved octets stay encoded but hex uppercases (%2f ≡ %2F,
+    // and neither becomes a real path delimiter)
+    assert(canon("http://a.com/a%2fb") == "http://a.com/a%2Fb")
+    assert(canon("http://a.com/a%2Fb") == "http://a.com/a%2Fb")
+    // RFC order: percent-decode BEFORE dot-segment removal
+    assert(canon("http://a.com/a/%2e%2e/b") == "http://a.com/b")
+    assert(canon("http://a.com/a/%2E/b") == "http://a.com/a/b")
+    // malformed escapes pass through verbatim
+    assert(canon("http://a.com/100%25") == "http://a.com/100%25")
+    assert(canon("http://a.com/50%") == "http://a.com/50%")
+    assert(canon("http://a.com/%zz") == "http://a.com/%zz")
+    // queries normalize too — before tracking-drop and sorting, so a
+    // percent-masked tracking key is recognized and sort order is
+    // canonical
+    assert(canon("http://a.com/?%75tm_source=x&b=%41") ==
+      "http://a.com/?b=A")
+    assert(canon("http://a.com/?k=%7e&k=%7E") == "http://a.com/?k=~&k=~")
+    // non-ASCII octets stay encoded, case-normalized
+    assert(canon("http://a.com/caf%c3%a9") == "http://a.com/caf%C3%A9")
+  }
+
   test("canonical: non-web schemes and garbage NULL out") {
     assert(canon("mailto:x@example.com") == null)
     assert(canon("javascript:void(0)") == null)
