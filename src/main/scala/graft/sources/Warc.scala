@@ -29,13 +29,20 @@ import org.apache.spark.sql.functions._
   *    stays (the quarantine philosophy — a torn tail must not kill
   *    the segment).
   *
-  * Scale shape: `binaryFile` read + one kernel pass per segment file.
-  * Parallelism is PER FILE — exactly how WARC is consumed everywhere
+  * Scale shape: one task per segment file, each a STREAMING forward
+  * scan — records parse one at a time straight off the (gunzipping)
+  * input stream, so peak memory per task is O(largest single record)
+  * plus a 64 KiB read buffer, NEVER O(segment): a 10 GB rogue segment
+  * costs no more resident memory than a 1 GB one. Per-file
+  * parallelism is exactly how WARC is consumed everywhere
   * (CommonCrawl ships ~1 GB segments precisely so that one task per
   * segment saturates a cluster); the kernel is a single forward scan,
-  * O(bytes), no regex, bounded buffers per record. Body bytes stay
-  * `binary`; decode to text only after a charset decision — q116 uses
-  * the ASCII/UTF-8 fast path. */
+  * O(bytes), no regex, with a hard per-record size guard
+  * ([[MaxRecordBytes]]) so corrupt Content-Lengths degrade instead of
+  * OOMing an executor. Body bytes stay `binary`; decode to text only
+  * after a charset decision ([[decodeText]] — BOM, then HTTP
+  * `charset=`, then `<meta charset>` prescan, then strict-UTF-8 with
+  * windows-1252 fallback). */
 object Warc {
 
   /** One parsed record. `http_status`/`http_content_type`/`body` are
@@ -48,91 +55,153 @@ object Warc {
                               http_content_type: Option[String],
                               body: Array[Byte])
 
-  private def isGzip(b: Array[Byte]): Boolean =
-    b.length >= 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte
+  /** Per-record payload ceiling (1 GiB). A Content-Length beyond it is
+    * treated as unrecoverable corruption — real crawl records are
+    * orders of magnitude smaller, and honoring a corrupt multi-GiB
+    * length would defeat the streaming parser's bounded-memory
+    * guarantee. */
+  private[sources] val MaxRecordBytes: Long = 1L << 30
 
-  private[sources] def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] = {
-    if (!isGzip(bytes)) return bytes
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](1 << 16)
-    try {
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } catch { case _: java.io.IOException => () } // torn tail: keep prefix
-    out.toByteArray
+  /** Header/status lines beyond this are corruption (binary garbage
+    * where text framing should be), not headers. */
+  private val MaxLineBytes: Int = 1 << 20
+
+  /** Read one CRLF- (or bare-LF-) terminated ASCII line from the
+    * stream; null at end of input, truncated-at-EOF otherwise. Bytes
+    * map 1:1 to chars (ISO-8859-1 semantics). */
+  private def readLineStream(in: java.io.InputStream): String = {
+    var c = in.read()
+    if (c < 0) return null
+    val sb = new java.lang.StringBuilder(64)
+    while (c >= 0 && c != '\n') {
+      sb.append(c.toChar)
+      if (sb.length > MaxLineBytes)
+        throw new java.io.IOException("header line exceeds 1 MiB — corrupt framing")
+      c = in.read()
+    }
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r')
+      sb.setLength(sb.length - 1)
+    sb.toString
   }
 
-  /** Read one CRLF- (or bare-LF-) terminated ASCII line starting at
-    * `pos`; returns (line without terminator, next pos), or null line
-    * at end of input. */
+  /** Read exactly `n` bytes; null when the stream ends first (torn
+    * record). */
+  private def readFullyStream(in: java.io.InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) return null
+      off += r
+    }
+    buf
+  }
+
+  /** The STREAMING segment parser: records materialize one at a time
+    * off the input stream — gzip (whole-file or concatenated
+    * per-record members, sniffed by magic bytes) inflates through the
+    * same stream, so peak memory is O(one record), never O(segment).
+    * Malformed input degrades, never throws: parsing stops at the
+    * first unrecoverable corruption (bad framing, torn tail,
+    * over-[[MaxRecordBytes]] length) and whatever parsed stays. The
+    * stream is closed when parsing stops, at exhaustion, or — via the
+    * task-completion hook the caller installs — on early task exit. */
+  private[sources] def parseStream(path: String,
+                                   raw: java.io.InputStream): Iterator[WarcRecord] = {
+    val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
+    buffered.mark(2)
+    val b0 = buffered.read()
+    val b1 = buffered.read()
+    buffered.reset()
+    val in: java.io.InputStream =
+      if (b0 == 0x1f && b1 == 0x8b)
+        new java.io.BufferedInputStream(
+          new java.util.zip.GZIPInputStream(buffered, 1 << 16), 1 << 16)
+      else buffered
+
+    new Iterator[WarcRecord] {
+      private var idx = 0
+      private var nextRec: WarcRecord = null
+      private var done = false
+
+      private def close(): Unit =
+        try in.close() catch { case _: java.io.IOException => () }
+
+      private def advance(): Unit = {
+        if (done || nextRec != null) return
+        try {
+          // skip inter-record blank lines
+          var line = readLineStream(in)
+          while (line != null && line.isEmpty) line = readLineStream(in)
+          if (line == null || !line.startsWith("WARC/")) {
+            done = true; close(); return
+          }
+          // WARC header block
+          var wtype: String = null
+          var uri: String = null
+          var date: String = null
+          var clen = -1L
+          var h = readLineStream(in)
+          while (h != null && h.nonEmpty) {
+            val ci = h.indexOf(':')
+            if (ci > 0) {
+              val k = h.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
+              val v = h.substring(ci + 1).trim
+              k match {
+                case "warc-type" => wtype = v
+                case "warc-target-uri" => uri = v
+                case "warc-date" => date = v
+                case "content-length" =>
+                  try clen = v.toLong catch { case _: NumberFormatException => () }
+                case _ => ()
+              }
+            }
+            h = readLineStream(in)
+          }
+          if (h == null || clen < 0 || clen > MaxRecordBytes) {
+            done = true; close(); return // torn header / corrupt length
+          }
+          val payload = readFullyStream(in, clen.toInt)
+          if (payload == null) { done = true; close(); return } // torn tail
+          val (status, ctype, body) =
+            if (wtype == "response") parseHttp(payload)
+            else (None, None, null)
+          nextRec = WarcRecord(path, idx, wtype, uri, date, clen,
+            status, ctype, body)
+          idx += 1
+        } catch {
+          case _: java.io.IOException => done = true; close()
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); nextRec != null }
+      override def next(): WarcRecord = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** In-memory form of [[parseStream]] — fixture/spec convenience and
+    * the byte-level contract anchor (q115 replays exact bytes through
+    * it). */
+  private[sources] def parseSegment(path: String,
+                                    raw: Array[Byte]): Seq[WarcRecord] =
+    parseStream(path, new java.io.ByteArrayInputStream(raw)).toSeq
+
+  /** Read one CRLF- (or bare-LF-) terminated ASCII line from an
+    * in-memory payload starting at `pos`; returns (line without
+    * terminator, next pos), null line at end. The payload is already
+    * record-bounded, so array form is fine here. */
   private def readLine(b: Array[Byte], pos: Int): (String, Int) = {
     if (pos >= b.length) return (null, pos)
     var i = pos
     while (i < b.length && b(i) != '\n'.toByte) i += 1
     val end = if (i > pos && b(i - 1) == '\r'.toByte) i - 1 else i
-    val line = new String(b, pos, end - pos, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val line = new String(b, pos, end - pos,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
     (line, math.min(i + 1, b.length))
-  }
-
-  /** The segment-parsing kernel: records in file order; stops at the
-    * first unrecoverable corruption. */
-  private[sources] def parseSegment(path: String,
-                                    raw: Array[Byte]): Seq[WarcRecord] = {
-    val b = gunzipIfNeeded(raw)
-    val out = Seq.newBuilder[WarcRecord]
-    var pos = 0
-    var idx = 0
-    var ok = true
-    while (ok && pos < b.length) {
-      // skip inter-record blank lines
-      var (line, p) = readLine(b, pos)
-      while (line != null && line.isEmpty && p < b.length) {
-        val r = readLine(b, p); line = r._1; p = r._2
-      }
-      if (line == null || !line.startsWith("WARC/")) {
-        ok = false
-      } else {
-        // WARC header block
-        var wtype: String = null
-        var uri: String = null
-        var date: String = null
-        var clen = -1L
-        var h = readLine(b, p)
-        while (h._1 != null && h._1.nonEmpty) {
-          val ci = h._1.indexOf(':')
-          if (ci > 0) {
-            val k = h._1.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
-            val v = h._1.substring(ci + 1).trim
-            k match {
-              case "warc-type" => wtype = v
-              case "warc-target-uri" => uri = v
-              case "warc-date" => date = v
-              case "content-length" =>
-                try clen = v.toLong catch { case _: NumberFormatException => () }
-              case _ => ()
-            }
-          }
-          h = readLine(b, h._2)
-        }
-        val payloadStart = h._2
-        if (clen < 0 || payloadStart + clen > b.length) {
-          ok = false // torn record: keep what parsed so far
-        } else {
-          val payload = java.util.Arrays.copyOfRange(
-            b, payloadStart, payloadStart + clen.toInt)
-          val (status, ctype, body) =
-            if (wtype == "response") parseHttp(payload)
-            else (None, None, null)
-          out += WarcRecord(path, idx, wtype, uri, date, clen,
-            status, ctype, body)
-          idx += 1
-          pos = payloadStart + clen.toInt
-        }
-      }
-    }
-    out.result()
   }
 
   /** Split an HTTP/1.x response payload into (status, content-type,
@@ -193,15 +262,57 @@ object Warc {
     hdr ++ body
   }
 
+  /** Hadoop `Configuration` is not `Serializable`; this is the
+    * standard write/readFields envelope so each task can open its
+    * segment through the driver's filesystem configuration (S3/HDFS
+    * credentials and all). */
+  private final class SerializableHadoopConf(
+      @transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   /** Read a directory (or glob) of WARC segments: one row per record,
     * `(segment_path, record_index, warc_type, target_uri, warc_date,
-    * content_length, http_status, http_content_type, body)`. */
+    * content_length, http_status, http_content_type, body)`.
+    *
+    * Each task opens its segment as a STREAM (never materializing the
+    * file, its decompressed form, or the parsed record set at once —
+    * see [[parseStream]]), one task per segment so a 1000-file
+    * CommonCrawl listing fans out across the cluster. The file
+    * listing itself is driver-side and |files|-sized — the same
+    * enumeration any file source performs. */
   def readWarc(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) => parseSegment(p, bytes) }
-      .toDF()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+    val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.length, 1))
+      .flatMap { f =>
+        val fp = new org.apache.hadoop.fs.Path(f)
+        val stream = fp.getFileSystem(confB.value.conf).open(fp)
+        // a downstream limit() can drop the iterator mid-file: close
+        // at task end regardless of how far parsing got
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+          try stream.close() catch { case _: java.io.IOException => () })
+        parseStream(f, stream)
+      }
+    spark.createDataset(rdd).toDF()
   }
 }

@@ -79,6 +79,38 @@ class WarcSpec extends SparkSpec {
     assert(r3.length == 1 && r3.head.http_status.contains(200))
   }
 
+  test("parseStream is incremental: one record pulled reads ~one buffer, not the segment") {
+    val body = ascii("A" * 10000)
+    val seg = Warc.buildSegment((0 until 100).map(i =>
+      ("response", s"http://a.com/$i", Warc.httpResponse(body))))
+    assert(seg.length > 1000000)
+    var consumed = 0L
+    val counting = new java.io.FilterInputStream(
+        new java.io.ByteArrayInputStream(seg)) {
+      override def read(): Int =
+        { val r = super.read(); if (r >= 0) consumed += 1; r }
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        { val r = super.read(b, off, len); if (r > 0) consumed += r; r }
+    }
+    val it = Warc.parseStream("s", counting)
+    assert(it.hasNext)
+    assert(it.next().target_uri == "http://a.com/0")
+    // one 64 KiB read buffer's worth, give or take — NOT the megabyte
+    assert(consumed < seg.length / 4,
+      s"streaming parser read $consumed of ${seg.length} bytes for one record")
+    assert(it.size == 99, "remaining records still parse lazily")
+  }
+
+  test("a corrupt multi-GiB Content-Length degrades instead of allocating") {
+    val good = Warc.buildSegment(Seq(
+      ("response", "http://a.com/1", Warc.httpResponse(ascii("ok")))))
+    val bad = ascii("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 99999999999\r\n\r\n")
+    val recs = Warc.parseSegment("s", good ++ bad)
+    assert(recs.map(_.target_uri) == Seq("http://a.com/1"),
+      "over-limit record must stop parsing, keep the prefix, never allocate")
+  }
+
   test("readWarc: one row per record over real segment files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc").toString
     (0 until 3).foreach { i =>
