@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Graph, Html, Robots, Sampling, Url}
+import graft.operators.{Charset, Corpus, Graph, Html, Robots, Sampling, Url}
 import graft.sources.Warc
 
 /** The runnable end-to-end slice for the CRAWL surface — the round-10
@@ -41,7 +41,10 @@ object CrawlDemo {
     val pages = records
       .filter(col("warc_type") === "response" && col("http_status") === 200)
       .select(col("target_uri").as("url"),
-        col("body").cast("string").as("html"))
+        // charset-sniffed decode (BOM / header / meta / UTF-8 probe /
+        // cp1252 fallback) — a raw cast would mojibake the legacy tail
+        Charset.decodeText(col("body"), col("http_content_type"))
+          .getField("text").as("html"))
       // full 64-bit ids: a mod-10⁹ fold collides at birthday scale
       // (hundreds of merged pages per million URLs, corrupting every
       // doc_id join downstream); the raw hash is collision-free in

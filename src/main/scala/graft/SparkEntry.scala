@@ -2704,10 +2704,13 @@ object SparkEntry {
     }),
 
     // The CommonCrawl front door end to end: WARC segments → response
-    // records → main-content extraction — and the result must equal
-    // q111's extraction over the same pages VERBATIM (same oracle
-    // SQL), proving the whole ingestion path (gzip, framing, HTTP
-    // split, byte→text decode) is lossless in front of the extractor.
+    // records → charset-sniffed decode (Charset.decodeText — the
+    // fixture's ASCII bodies take the strict-UTF-8 rung; q119 pins
+    // the legacy rungs) → main-content extraction — and the result
+    // must equal q111's extraction over the same pages VERBATIM (same
+    // oracle SQL), proving the whole ingestion path (gzip, framing,
+    // HTTP split, byte→text decode) is lossless in front of the
+    // extractor.
     "q116_warc_extract" -> ((s, dir) => {
       val wdir = ensureWarcDir(s, dir)
       val pages = graft.sources.Warc.readWarc(s, wdir)
@@ -2715,7 +2718,9 @@ object SparkEntry {
         .select(
           regexp_extract(col("target_uri"), "page(\\d+)\\.html", 1)
             .cast("long").as("doc_id"),
-          col("body").cast("string").as("html"))
+          graft.operators.Charset.decodeText(
+            col("body"), col("http_content_type"))
+            .getField("text").as("html"))
       graft.operators.Html.extractMainText(pages, "doc_id", "html")
         .orderBy("doc_id")
     }),
@@ -2790,6 +2795,41 @@ object SparkEntry {
       meta.join(firstLink, "doc_id")
         .select("doc_id", "title", "meta_description", "base_href",
           "n_links", "resolved_url")
+        .orderBy("doc_id")
+    }),
+
+    // Charset sniffing ladder (Charset.decodeBodies): five encoding
+    // regimes cycling by doc_id — (0) UTF-8 declared in the HTTP
+    // header, (1) windows-1252 declared only by <meta charset> (the
+    // bytes are NOT valid UTF-8 — é/€/— live in 0x80–0xFF), (2)
+    // UTF-16LE by BOM with a LYING charset=utf-8 header (BOM must
+    // win), (3) undeclared UTF-8 caught by the strict-probe rung,
+    // (4) undeclared legacy bytes falling to windows-1252. Every
+    // decoded string and every charset verdict is stated closed-form;
+    // one wrong rung or one mojibake byte breaks the hash.
+    "q119_charset_decode" -> ((s, dir) => {
+      val mk = udf { (id: Long, text: String) =>
+        ((id % 5).toInt: @unchecked) match {
+          case 0 => (s"Header café №$id — $text".getBytes("UTF-8"),
+            "text/html; charset=utf-8")
+          case 1 => (("<html><head><meta charset=\"windows-1252\"></head>" +
+            s"<body>café € dash—$id</body></html>").getBytes("windows-1252"),
+            "text/html")
+          case 2 => (Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+            s"Unicode ★$id★ $text".getBytes("UTF-16LE"),
+            "text/html; charset=utf-8")
+          case 3 => (s"Māori tēnā $id $text".getBytes("UTF-8"), "text/plain")
+          case 4 => ("caf".getBytes("UTF-8") ++
+            Array[Byte](0xE9.toByte, ' '.toByte, 0x80.toByte) ++
+            s"$id $text".getBytes("UTF-8"), "application/octet-stream")
+        }
+      }
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("r"))
+        .select(col("doc_id"), col("r._1").as("body"),
+          col("r._2").as("http_content_type"))
+      graft.operators.Charset.decodeBodies(pages, "body", "http_content_type")
+        .select("doc_id", "charset", "text")
         .orderBy("doc_id")
     }),
 
@@ -5310,6 +5350,35 @@ object SparkEntry {
                 CAST(1 AS INT) AS n_links,
                 'https://mirror' || CAST(doc_id % 20 AS VARCHAR) ||
                   '.example.org/root/rel/x.html' AS resolved_url
+         FROM documents ORDER BY doc_id""",
+
+    // q119: the charset verdict and the decoded text, both
+    // closed-form from the fixture templates (never by re-running a
+    // decoder): each regime's expected string is the template with
+    // the non-ASCII characters written as the Unicode the bytes
+    // encode — the windows-1252 regimes' é/€/— prove the legacy
+    // decode (UTF-8 misreading those bytes could never produce them),
+    // the BOM regime proves precedence over the lying header.
+    "q119_charset_decode" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN 'utf-8'
+                  WHEN 1 THEN 'windows-1252'
+                  WHEN 2 THEN 'utf-16le'
+                  WHEN 3 THEN 'utf-8'
+                  ELSE 'windows-1252' END AS charset,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN 'Header café №' || CAST(doc_id AS VARCHAR)
+                              || ' — ' || text
+                  WHEN 1 THEN '<html><head><meta charset="windows-1252">'
+                              || '</head><body>café € dash—'
+                              || CAST(doc_id AS VARCHAR) || '</body></html>'
+                  WHEN 2 THEN 'Unicode ★' || CAST(doc_id AS VARCHAR)
+                              || '★ ' || text
+                  WHEN 3 THEN 'Māori tēnā ' || CAST(doc_id AS VARCHAR)
+                              || ' ' || text
+                  ELSE 'café €' || CAST(doc_id AS VARCHAR) || ' ' || text
+                END AS text
          FROM documents ORDER BY doc_id""",
 
     // q111: the expected extraction reconstructed from the template

@@ -40,9 +40,9 @@ import org.apache.spark.sql.functions._
   * O(bytes), no regex, with a hard per-record size guard
   * ([[MaxRecordBytes]]) so corrupt Content-Lengths degrade instead of
   * OOMing an executor. Body bytes stay `binary`; decode to text only
-  * after a charset decision ([[decodeText]] — BOM, then HTTP
-  * `charset=`, then `<meta charset>` prescan, then strict-UTF-8 with
-  * windows-1252 fallback). */
+  * after a charset decision ([[graft.operators.Charset.decodeText]] —
+  * BOM, then HTTP `charset=`, then `<meta charset>` prescan, then
+  * strict-UTF-8 with windows-1252 fallback). */
 object Warc {
 
   /** One parsed record. `http_status`/`http_content_type`/`body` are
