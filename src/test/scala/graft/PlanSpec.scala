@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Plan-shape regression net: the properties that make the battery
   * scale-safe, asserted on the physical plans so a refactor that
   * silently loses a pushdown/broadcast/bounded-aggregate fails here
@@ -150,6 +152,94 @@ class PlanSpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")
+    }
+  }
+
+  test("crawl/curation queries (q106–q119): no cartesian products, no per-group windows") {
+    // q109/q88c are lifecycle queries that run their streams when the
+    // entry is invoked; the returned frame is the SERVE plan, which is
+    // exactly what must stay banded/bounded
+    Seq("q106_quarantine", "q107_phrase_search", "q108_bitext_margin",
+      "q109_stream_minhash", "q110_drift_matrix", "q111_html_extract",
+      "q112_video_neardup", "q113_link_canonical", "q115_warc_parse",
+      "q116_warc_extract", "q117_robots_gate", "q118_head_metadata",
+      "q119_charset_decode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("Window"), s"$q ranks through a window")
+    }
+  }
+
+  test("q114: host PageRank from raw HTML keeps the q95 aggregation shape") {
+    val p = plan("q114_host_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(800))
+    assert(p.contains("partial_sum"), "contribution SUM lost its map-side combine")
+  }
+
+  test("q95b: the serve plan reads the edge tables — no edge re-derivation") {
+    val p = plan("q95b_pagerank_serve")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(800))
+    // serve scans the build-once bucketed tables …
+    assert(p.contains("graft_q95b_edges_b32_"),
+      "serve path does not read the edge table:\n" + p.take(1200))
+    // … and never the raw trade inputs the build derived them from
+    assert(!p.contains("customer.parquet") && !p.contains("supplier.parquet"),
+      "serve path re-derived edges from the raw tables:\n" + p.take(1200))
+    assert(p.contains("partial_sum"), "contribution SUM lost its map-side combine")
+  }
+
+  test("q88c: the streamed-index serve keeps the probe-below-ADC broadcast shape") {
+    val df = SparkEntry.queries("q88c_ivfpq_stream")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin [cell#"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("Window"), p.take(800))
+    val iAdc = p.indexOf("adc#")
+    assert(iAdc >= 0 && p.lastIndexOf("BroadcastHashJoin") > iAdc,
+      "ADC scoring ran below the probe join on the streamed path:\n" + p.take(1500))
+  }
+
+  test("streaming index appends keep their anti-join shape (idempotent replay is a plan property)") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    import spark.implicits._
+    val tbl = "graft_planspec_sketches"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val batch1 = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val batch2 = Seq((2L, "pack my box with five dozen liquor jugs"),
+      (3L, "how vexingly quick daft zebras jump")).toDF("doc_id", "text")
+    try {
+      operators.Dedup.appendToSketchTable(spark, batch1, "doc_id", "text", tbl)
+      spark.listenerManager.register(listener)
+      operators.Dedup.appendToSketchTable(spark, batch2, "doc_id", "text", tbl)
+      // listener delivery is async: poll for the append's write plan
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var appendPlan = Option.empty[String]
+      while (appendPlan.isEmpty && System.nanoTime() < deadline) {
+        appendPlan = captured.toArray(Array.empty[String])
+          .find(p => p.contains(tbl) || p.contains("LeftAnti"))
+        if (appendPlan.isEmpty) Thread.sleep(100)
+      }
+      assert(appendPlan.exists(_.contains("LeftAnti")),
+        "the second append lost its seen-id anti-join:\n" +
+          appendPlan.getOrElse("<no plan captured>").take(1200))
+      // and the anti-join actually filtered: the replayed doc 2 did
+      // not append a duplicate sketch row
+      assert(spark.table(tbl).groupBy("doc_id").count()
+        .filter(col("count") > 1).isEmpty,
+        "replayed id appended twice")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
   }
 
