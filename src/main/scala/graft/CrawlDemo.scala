@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Charset, Corpus, Graph, Html, Robots, Sampling, Url}
+import graft.operators.{Charset, Corpus, Frontier, Graph, Html, Robots, Sampling, Url}
 import graft.sources.Warc
 
 /** The runnable end-to-end slice for the CRAWL surface — the round-10
@@ -17,6 +17,8 @@ import graft.sources.Warc
   *     ([[Graph.pageRankMicro]])
   *   → robots-exclusion gate for the next crawl round
   *     ([[Robots.filterAllowed]] over the canonical outlinks)
+  *   → politeness-bounded frontier scheduling scored by host rank
+  *     ([[Frontier.schedule]])
   *   → text refinement ([[Corpus.refine]]) joined with the host rank
   *   → audited sharded export ([[Sampling.writeShardedWithManifest]] +
   *     [[Sampling.verifyShardedExport]])
@@ -30,11 +32,11 @@ object CrawlDemo {
   final case class Result(records: Long, pages: Long, extracted: Long,
                           hostEdges: Long, rankedHosts: Long,
                           frontierAllowed: Long, frontierDenied: Long,
-                          survivors: Long, auditOk: Boolean)
+                          scheduled: Long, survivors: Long, auditOk: Boolean)
 
   def run(spark: SparkSession, warcDir: String, robots: DataFrame,
           outDir: String, agent: String = "graftbot",
-          shards: Int = 4): Result = {
+          shards: Int = 4, maxPerHost: Int = 4): Result = {
     // 1. ingest: one row per WARC record, HTTP responses split out
     val records = Warc.readWarc(spark, warcDir).cache()
     val nRecords = records.count()
@@ -88,6 +90,19 @@ object CrawlDemo {
     val nAllowed = frontier.filter(col("allowed")).count()
     val nDenied = frontier.filter(!col("allowed")).count()
 
+    // 4b. politeness-bounded scheduling of the allowed frontier:
+    //    score each URL by its host's PageRank (broadcast — |hosts|
+    //    rows; unranked hosts score 0) and keep each host's best
+    //    maxPerHost slots through the bounded aggregator (no per-host
+    //    window)
+    val scheduled = Frontier.schedule(
+      frontier.filter(col("allowed")).select(col("url"), col("host"))
+        .join(broadcast(ranks.select(col("node").as("host"),
+          col("rank_micro").as("score"))), Seq("host"), "left")
+        .select(col("url"), coalesce(col("score"), lit(0L)).as("score")),
+      "url", "score", maxPerHost)
+    val nScheduled = scheduled.count()
+
     // 5. curate: refine the extracted text, attach the host rank
     //    (broadcast — |hosts| rows) so downstream gates can budget by
     //    host quality
@@ -112,7 +127,7 @@ object CrawlDemo {
     records.unpersist(); pages.unpersist(); frontier.unpersist()
     ranks.unpersist(); refined.unpersist()
     Result(nRecords, nPages, nExtracted, nEdges, nHosts,
-      nAllowed, nDenied, nSurvivors, auditOk)
+      nAllowed, nDenied, nScheduled, nSurvivors, auditOk)
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,7 +146,8 @@ object CrawlDemo {
       println(s"records=${r.records} pages=${r.pages} " +
         s"extracted=${r.extracted} edges=${r.hostEdges} " +
         s"hosts=${r.rankedHosts} frontier=${r.frontierAllowed}+" +
-        s"${r.frontierDenied} survivors=${r.survivors} audit=${r.auditOk}")
+        s"${r.frontierDenied} scheduled=${r.scheduled} " +
+        s"survivors=${r.survivors} audit=${r.auditOk}")
     } finally spark.stop()
   }
 }

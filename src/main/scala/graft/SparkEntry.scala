@@ -2833,6 +2833,78 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Sitemap-protocol parsing (Sitemap.extractEntries): even docs
+    // publish a <urlset> (one full entry — entity-encoded loc,
+    // lastmod, changefreq, priority — plus one loc-only entry), odd
+    // docs a <sitemapindex> pointing at a child sitemap. Every field
+    // of every entry is stated closed-form by parity.
+    "q120_sitemap_parse" -> ((s, dir) => {
+      val site = concat(lit("https://site"),
+        pmod(col("doc_id"), lit(20)).cast("string"), lit(".example.com"))
+      val xml = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("<?xml version=\"1.0\"?><urlset><url><loc>"), site,
+          lit("/page"), col("doc_id").cast("string"),
+          lit(".html?a=1&amp;b=2</loc><lastmod>2026-01-15</lastmod>" +
+            "<changefreq>daily</changefreq><priority>0.8</priority>" +
+            "</url><url><loc>"), site,
+          lit("/extra"), col("doc_id").cast("string"),
+          lit("</loc></url></urlset>")))
+        .otherwise(concat(lit("<sitemapindex><sitemap><loc>"), site,
+          lit("/sitemap"), col("doc_id").cast("string"),
+          lit(".xml.gz</loc><lastmod>2026-02-01T00:00:00Z</lastmod>" +
+            "</sitemap></sitemapindex>")))
+      val docs = t(s, dir, "documents").select(col("doc_id"), xml.as("xml"))
+      graft.operators.Sitemap.extractEntries(docs, "doc_id", "xml")
+        .orderBy("doc_id", "entry_pos")
+    }),
+
+    // Politeness-bounded frontier scheduling (Frontier.schedule): one
+    // URL per doc on host site{doc_id%20}, score = doc_id — each
+    // host's budget of 5 slots must go to its 5 highest doc_ids in
+    // score order, through the BOUNDED top-k aggregator (no per-host
+    // window; plan-asserted in FrontierSpec). The oracle re-derives
+    // every slot with a row_number the engine itself never runs.
+    "q121_frontier_schedule" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(
+        concat(lit("https://site"),
+          pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".example.com/page"), col("doc_id").cast("string"),
+          lit(".html")).as("url"),
+        col("doc_id").as("score"))
+      graft.operators.Frontier.schedule(urls, "url", "score", maxPerHost = 5)
+        .orderBy("host", "host_slot")
+    }),
+
+    // Crawl-delay gating composed onto the scheduled frontier: even
+    // hosts declare a * delay of k+1 s, odd hosts give graftbot a
+    // specific 2.5 s group (ceil → 3; the * group's 60 s must NOT
+    // apply — group replacement) — and each slot's earliest polite
+    // fetch time is slot × delay, all exact integers.
+    "q122_crawl_delay" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(
+        concat(lit("https://site"),
+          pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".example.com/page"), col("doc_id").cast("string"),
+          lit(".html")).as("url"),
+        col("doc_id").as("score"))
+      val sched = graft.operators.Frontier.schedule(
+        urls, "url", "score", maxPerHost = 5)
+      val robots = s.range(20).select(
+        concat(lit("site"), col("id").cast("string"), lit(".example.com"))
+          .as("host"),
+        when(col("id") % 2 === 0,
+          concat(lit("User-agent: *\nCrawl-delay: "),
+            (col("id") + 1).cast("string"), lit("\n")))
+          .otherwise(lit("User-agent: graftbot\nCrawl-delay: 2.5\n" +
+            "User-agent: *\nCrawl-delay: 60\n")).as("robots_txt"))
+      sched.join(broadcast(robots), Seq("host"), "left")
+        .select(col("host"), col("host_slot"), col("url"),
+          graft.operators.Robots.crawlDelay(col("robots_txt"), "graftbot")
+            .as("crawl_delay"))
+        .withColumn("fetch_eta_sec", col("host_slot") * col("crawl_delay"))
+        .orderBy("host", "host_slot")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -5380,6 +5452,77 @@ object SparkEntry {
                   ELSE 'café €' || CAST(doc_id AS VARCHAR) || ' ' || text
                 END AS text
          FROM documents ORDER BY doc_id""",
+
+    // q120: every sitemap entry closed-form by parity — even docs'
+    // urlset yields the full entry (entity-decoded loc) then the
+    // minimal one, odd docs' sitemapindex yields one child-sitemap
+    // row with kind=sitemap.
+    "q120_sitemap_parse" ->
+      """WITH s AS (SELECT doc_id,
+                  'https://site' || CAST(doc_id % 20 AS VARCHAR) ||
+                    '.example.com' AS site
+           FROM documents)
+         SELECT doc_id, CAST(0 AS INT) AS entry_pos, 'url' AS kind,
+                site || '/page' || CAST(doc_id AS VARCHAR) ||
+                  '.html?a=1&b=2' AS loc,
+                '2026-01-15' AS lastmod, 'daily' AS changefreq,
+                '0.8' AS priority
+         FROM s WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, CAST(1 AS INT), 'url',
+                site || '/extra' || CAST(doc_id AS VARCHAR),
+                NULL, NULL, NULL
+         FROM s WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, CAST(0 AS INT), 'sitemap',
+                site || '/sitemap' || CAST(doc_id AS VARCHAR) || '.xml.gz',
+                '2026-02-01T00:00:00Z', NULL, NULL
+         FROM s WHERE doc_id % 2 = 1
+         ORDER BY doc_id, entry_pos""",
+
+    // q121: the frontier slots re-derived with the window the engine
+    // itself refuses to run — row_number per host over (score desc,
+    // url) capped at the budget; scores (= doc_id) are unique within
+    // a host so every slot is forced.
+    "q121_frontier_schedule" ->
+      """WITH u AS (SELECT
+                  'site' || CAST(doc_id % 20 AS VARCHAR) ||
+                    '.example.com' AS host,
+                  'https://site' || CAST(doc_id % 20 AS VARCHAR) ||
+                    '.example.com/page' || CAST(doc_id AS VARCHAR) ||
+                    '.html' AS url,
+                  doc_id AS score
+           FROM documents),
+         r AS (SELECT host, url, score,
+                  row_number() OVER (PARTITION BY host
+                    ORDER BY score DESC, url) - 1 AS host_slot
+           FROM u)
+         SELECT host, CAST(host_slot AS INT) AS host_slot, url,
+                CAST(score AS BIGINT) AS score
+         FROM r WHERE host_slot < 5 ORDER BY host, host_slot""",
+
+    // q122: delay verdicts by parity (even hosts: the * group's k+1;
+    // odd hosts: graftbot's OWN group — ceil(2.5)=3, the * group's 60
+    // must not leak through group replacement) and slot×delay ETAs.
+    "q122_crawl_delay" ->
+      """WITH u AS (SELECT doc_id % 20 AS k,
+                  'site' || CAST(doc_id % 20 AS VARCHAR) ||
+                    '.example.com' AS host,
+                  'https://site' || CAST(doc_id % 20 AS VARCHAR) ||
+                    '.example.com/page' || CAST(doc_id AS VARCHAR) ||
+                    '.html' AS url,
+                  doc_id AS score
+           FROM documents),
+         r AS (SELECT k, host, url,
+                  row_number() OVER (PARTITION BY host
+                    ORDER BY score DESC, url) - 1 AS host_slot
+           FROM u)
+         SELECT host, CAST(host_slot AS INT) AS host_slot, url,
+                CAST(CASE WHEN k % 2 = 0 THEN k + 1 ELSE 3 END AS BIGINT)
+                  AS crawl_delay,
+                CAST(host_slot * (CASE WHEN k % 2 = 0 THEN k + 1 ELSE 3 END)
+                  AS BIGINT) AS fetch_eta_sec
+         FROM r WHERE host_slot < 5 ORDER BY host, host_slot""",
 
     // q111: the expected extraction reconstructed from the template
     // INPUTS (never by re-parsing markup): main text = the doc text

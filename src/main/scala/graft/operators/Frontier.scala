@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier scheduling — the step between link discovery
+  * ([[Html.extractLinks]] / [[Sitemap.extractEntries]], gated by
+  * [[Robots.filterAllowed]]) and fetching: pick WHICH URLs of each
+  * host to crawl next and in WHAT order, under the two constraints
+  * every polite crawler runs with (public practice — Heritrix/Nutch
+  * frontier design):
+  *
+  *  - PER-HOST BUDGET: at most `maxPerHost` URLs per host per round,
+  *    the best-scored first (score = whatever quality signal the
+  *    pipeline computed — host PageRank micro-units, discovery
+  *    priority, freshness), so one giant host cannot monopolize a
+  *    crawl round;
+  *  - POLITENESS WAVES: the output's `host_slot` (0-based rank within
+  *    the host) is the wave number — fetching in `host_slot`-major
+  *    order touches every host once before touching any host twice,
+  *    which IS per-host rate limiting when a wave's fan-out spans the
+  *    fleet.
+  *
+  * Scale shape: the per-host selection is the [[TopK]] discipline —
+  * a BOUNDED best-k aggregator (here carrying the URL string, ordered
+  * score desc / url asc for oracle-stable determinism), so Spark
+  * plans a partial aggregate: each input partition reduces to ≤ k
+  * rows per host BEFORE the shuffle, the exchange carries
+  * O(partitions × hosts × k), never O(urls), and no per-host window
+  * ever materializes a giant host in one task. One groupBy + one
+  * posexplode; no join-back (the buffer carries the URL). Battery
+  * q121 states every slot closed-form. */
+object Frontier {
+
+  /** One scored URL in the bounded buffer. */
+  final case class ScoredUrl(url: String, score: Long)
+
+  /** Bounded best-k: score descending, url ascending on ties — total
+    * and engine-independent, so DuckDB's `row_number` oracle agrees. */
+  final class UrlTopKAggregator(k: Int)
+      extends Aggregator[ScoredUrl, Seq[ScoredUrl], Seq[ScoredUrl]] {
+    private def better(a: ScoredUrl, b: ScoredUrl): Boolean =
+      if (a.score != b.score) a.score > b.score else a.url < b.url
+
+    private def insert(buf: Seq[ScoredUrl], x: ScoredUrl): Seq[ScoredUrl] =
+      if (buf.length >= k && better(buf.last, x)) buf
+      else (buf :+ x).sortWith(better).take(k)
+
+    override def zero: Seq[ScoredUrl] = Seq.empty
+    override def reduce(b: Seq[ScoredUrl], x: ScoredUrl): Seq[ScoredUrl] =
+      insert(b, x)
+    override def merge(a: Seq[ScoredUrl], b: Seq[ScoredUrl]): Seq[ScoredUrl] =
+      b.foldLeft(a)(insert)
+    override def finish(r: Seq[ScoredUrl]): Seq[ScoredUrl] = r
+    override def bufferEncoder: Encoder[Seq[ScoredUrl]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredUrl]]()
+    override def outputEncoder: Encoder[Seq[ScoredUrl]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredUrl]]()
+  }
+
+  /** Column form: best-k `(url, score)` structs per group. */
+  def urlTopK(k: Int): (Column, Column) => Column = {
+    val agg = udaf(new UrlTopKAggregator(k), Encoders.product[ScoredUrl])
+    (url: Column, score: Column) => agg(url, score)
+  }
+
+  /** Schedule a crawl round: `(host, host_slot, url, score)` — the
+    * best `maxPerHost` URLs of each host (score desc, url tiebreak),
+    * `host_slot` 0-based within the host. `urls` must carry canonical
+    * URLs ([[Url.canonical]] — uncanonicalizable rows are dropped,
+    * they are not fetchable) and an integral score column; duplicate
+    * URLs should be distinct'd upstream. Fetch order for politeness:
+    * `ORDER BY host_slot, score DESC` (wave-major). */
+  def schedule(urls: DataFrame, urlCol: String, scoreCol: String,
+               maxPerHost: Int): DataFrame = {
+    require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    urls.select(Url.host(col(urlCol)).as("host"),
+        col(urlCol).as("__url"), col(scoreCol).cast("long").as("__score"))
+      .filter(col("host").isNotNull)
+      .groupBy("host")
+      .agg(urlTopK(maxPerHost)(col("__url"), col("__score")).as("top"))
+      .select(col("host"), posexplode(col("top")).as(Seq("host_slot", "s")))
+      .select(col("host"), col("host_slot"),
+        col("s.url").as("url"), col("s.score").as("score"))
+  }
+}

@@ -37,18 +37,23 @@ import org.apache.spark.sql.functions._
 object Robots {
 
   private[operators] final case class Group(agents: Seq[String],
-                                            rules: Seq[(Boolean, String)])
+                                            rules: Seq[(Boolean, String)],
+                                            delay: Option[Long] = None)
 
-  /** Parse robots.txt into user-agent groups. */
+  /** Parse robots.txt into user-agent groups. `Crawl-delay` (de facto
+    * standard, not in RFC 9309 but honored by most crawlers) parses
+    * as whole seconds — fractional values round UP (a polite crawler
+    * never rounds a delay down), non-numeric values are ignored. */
   private[operators] def parse(txt: String): Seq[Group] = {
     if (txt == null) return Seq.empty
     val groups = Seq.newBuilder[Group]
     var agents = List.empty[String]
     var rules = List.empty[(Boolean, String)]
+    var delay: Option[Long] = None
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents.reverse, rules.reverse)
-      agents = Nil; rules = Nil; inRules = false
+      if (agents.nonEmpty) groups += Group(agents.reverse, rules.reverse, delay)
+      agents = Nil; rules = Nil; delay = None; inRules = false
     }
     txt.split("\n", -1).foreach { raw =>
       val noComment = {
@@ -68,6 +73,12 @@ object Robots {
             inRules = true
             // an empty pattern matches nothing (the allow-all idiom)
             if (value.nonEmpty) rules ::= (field == "allow", value)
+          case "crawl-delay" if agents.nonEmpty =>
+            inRules = true
+            try {
+              val d = math.ceil(value.toDouble).toLong
+              if (d >= 0 && delay.forall(d > _)) delay = Some(d)
+            } catch { case _: NumberFormatException => () }
           case _ => ()
         }
       }
@@ -75,6 +86,30 @@ object Robots {
     flush()
     groups.result()
   }
+
+  /** The crawl-delay verdict for `agent`: group selection follows the
+    * same replacement rule as [[isAllowedKernel]] (agent-specific
+    * groups REPLACE the `*` groups); when several applicable groups
+    * declare a delay the LARGEST wins (conservative). None when no
+    * applicable group declares one (crawler default applies). */
+  private[operators] def crawlDelayKernel(txt: String,
+                                          agent: String): Option[Long] = {
+    if (txt == null) return None
+    val groups = parse(txt)
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val specific = groups.filter(_.agents.contains(a))
+    val applicable = if (specific.nonEmpty) specific
+                     else groups.filter(_.agents.contains("*"))
+    val ds = applicable.flatMap(_.delay)
+    if (ds.isEmpty) None else Some(ds.max)
+  }
+
+  /** Column form: crawl-delay seconds for a fixed agent (NULL when
+    * undeclared). Composes with [[Frontier.schedule]]: a host's
+    * earliest polite fetch time for its slot-`s` URL is
+    * `s * crawl_delay`. */
+  def crawlDelay(robotsTxt: Column, agent: String): Column =
+    udf((t: String) => crawlDelayKernel(t, agent)).apply(robotsTxt)
 
   /** RFC 9309 pattern match: prefix semantics with `*` wildcards and
     * an optional trailing `$` end anchor. */

@@ -57,6 +57,8 @@ class CrawlDemoSpec extends SparkSpec {
     // a.com/z, a.com/local1, a.com/nav, b.com/nav — b.com ones denied
     assert(r.frontierAllowed == 3 && r.frontierDenied == 3,
       s"frontier ${r.frontierAllowed}+${r.frontierDenied}")
+    // all 3 allowed URLs live on a.com, under the per-host budget of 4
+    assert(r.scheduled == 3, s"scheduled ${r.scheduled}")
     // all four unique texts survive refinement and export audits clean
     assert(r.survivors == 4 && r.auditOk, s"survivors ${r.survivors}")
     // the export carries the host rank column for every row

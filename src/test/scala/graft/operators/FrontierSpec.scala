@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Frontier]] — politeness-bounded crawl scheduling. Slot
+  * assignment, budget, tiebreaks, and the bounded partial-aggregate
+  * plan shape are pinned. */
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("schedule: per-host budget, score-desc slots, url tiebreak, bad URLs drop") {
+    val urls = Seq(
+      ("https://big.com/a", 10L), ("https://big.com/b", 30L),
+      ("https://big.com/c", 20L), ("https://big.com/d", 5L),
+      ("https://small.com/x", 7L), ("https://small.com/y", 7L),
+      ("mailto:not@fetchable", 99L)).toDF("url", "score")
+    val got = Frontier.schedule(urls, "url", "score", maxPerHost = 3)
+      .select("host", "host_slot", "url", "score")
+      .as[(String, Int, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("big.com", 0, "https://big.com/b", 30L),
+      ("big.com", 1, "https://big.com/c", 20L),
+      ("big.com", 2, "https://big.com/a", 10L),
+      // equal scores: url ascending breaks the tie deterministically
+      ("small.com", 0, "https://small.com/x", 7L),
+      ("small.com", 1, "https://small.com/y", 7L)), got.toString)
+  }
+
+  test("the selection aggregates partially before the shuffle (bounded, no window)") {
+    val urls = (0 until 200).map(i =>
+      (s"https://h${i % 4}.com/p$i", i.toLong)).toDF("url", "score")
+    val df = Frontier.schedule(urls, "url", "score", maxPerHost = 5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "per-host ranking fell back to a window")
+    assert(p.toLowerCase.contains("partial_urltopkaggregator"),
+      "selection lost its map-side combine:\n" + p.take(1200))
+    assert(df.count() == 20)
+  }
+
+  test("maxPerHost must be positive") {
+    val urls = Seq(("https://a.com/x", 1L)).toDF("url", "score")
+    intercept[IllegalArgumentException](
+      Frontier.schedule(urls, "url", "score", 0))
+  }
+}

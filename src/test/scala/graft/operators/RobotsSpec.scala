@@ -140,6 +140,26 @@ class RobotsSpec extends SparkSpec {
       Robots.filterAllowed(withAllowed, "url", robots, "g"))
   }
 
+  test("crawl-delay: group replacement, largest-wins, ceil of fractional, garbage ignored") {
+    val txt = "User-agent: graftbot\nCrawl-delay: 2.5\nDisallow: /x\n" +
+      "User-agent: *\nCrawl-delay: 10\n"
+    // agent-specific group REPLACES *: graftbot gets ceil(2.5)=3, not 10
+    assert(Robots.crawlDelayKernel(txt, "graftbot") == Some(3L))
+    assert(Robots.crawlDelayKernel(txt, "otherbot") == Some(10L))
+    // two applicable groups with delays: the larger (conservative) wins
+    val two = "User-agent: a\nCrawl-delay: 4\nUser-agent: a\nCrawl-delay: 9\n"
+    assert(Robots.crawlDelayKernel(two, "a") == Some(9L))
+    // undeclared / garbage / missing robots → None
+    assert(Robots.crawlDelayKernel("User-agent: *\nDisallow: /\n", "a").isEmpty)
+    assert(Robots.crawlDelayKernel("User-agent: *\nCrawl-delay: soon\n", "a").isEmpty)
+    assert(Robots.crawlDelayKernel(null, "a").isEmpty)
+    // a crawl-delay line closes the group like a rule does: a following
+    // User-agent starts a NEW group
+    val closing = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /\n"
+    assert(Robots.crawlDelayKernel(closing, "b").isEmpty)
+    assert(Robots.isAllowedKernel(closing, "a", "/anything"))
+  }
+
   test("robots matching sees percent-normalized paths (Url canonical form)") {
     // /%7Eme and /~me are the same resource; the disallow rule written
     // either way must gate both spellings
