@@ -2905,6 +2905,37 @@ object SparkEntry {
         .orderBy("host", "host_slot")
     }),
 
+    // Distributed WET export → read-back roundtrip: the corpus writes
+    // as real conversion-record WARC segments (one STREAMED segment
+    // per partition, gzipped, manifest-audited) and comes back
+    // through the q115-proven reader byte-identically — text,
+    // per-record payload byte counts, and the charset ladder's
+    // verdict on envelope-less UTF-8 payloads all stated closed-form.
+    "q123_warc_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q123_wet_${docsTag(s, dir)}").toString
+      val docs = t(s, dir, "documents").select(
+        concat(lit("https://site"),
+          pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".example.com/doc"), col("doc_id").cast("string")).as("uri"),
+        col("text"))
+      graft.sources.Warc.writeTextSegments(docs, "uri", "text", out)
+      val audited = graft.sources.Warc.auditTextSegments(s, out)
+        .filter(!col("ok")).count()
+      graft.sources.Warc.readWarc(s, out)
+        .filter(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "doc(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          graft.operators.Charset.decodeText(
+            col("body"), lit(null).cast("string")).as("d"),
+          length(col("body")).cast("long").as("n_bytes"))
+        .select(col("doc_id"), col("d.charset").as("charset"),
+          col("d.text").as("text"), col("n_bytes"),
+          lit(audited).as("audit_failures"))
+        .orderBy("doc_id")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -5350,9 +5381,10 @@ object SparkEntry {
 
     // q115: every WARC record reconstructed closed-form — response
     // bodies are the q111 template bytes rebuilt literally in SQL
-    // (md5 + char length), one request per doc, one warcinfo per
-    // 25-doc segment. A framing slip, gzip corruption, or lost
-    // record breaks counts or digests.
+    // (md5 + char length), request/warcinfo RAW payloads digest-pinned
+    // too (non-response payloads surface verbatim, never dropped),
+    // one request per doc, one warcinfo per 25-doc segment. A framing
+    // slip, gzip corruption, or lost record breaks counts or digests.
     "q115_warc_parse" ->
       """WITH h AS (SELECT doc_id,
            '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
@@ -5366,9 +5398,18 @@ object SparkEntry {
                 md5(html) AS body_md5, CAST(len(html) AS INT) AS body_chars
          FROM h
          UNION ALL
-         SELECT doc_id, 'request', NULL, NULL, NULL, NULL FROM documents
+         SELECT doc_id, 'request', NULL, NULL, md5(req),
+                CAST(len(req) AS INT)
+         FROM (SELECT doc_id,
+                 'GET /dir/page' || CAST(doc_id AS VARCHAR) ||
+                 '.html HTTP/1.1' || chr(13) || chr(10) ||
+                 'Host: example.com' || chr(13) || chr(10) ||
+                 chr(13) || chr(10) AS req
+               FROM documents)
          UNION ALL
-         SELECT NULL, 'warcinfo', NULL, NULL, NULL, NULL
+         SELECT NULL, 'warcinfo', NULL, NULL,
+                md5('software: graft' || chr(13) || chr(10)),
+                CAST(17 AS INT)
          FROM (SELECT DISTINCT doc_id // 25 AS seg FROM documents)
          ORDER BY warc_type, doc_id""",
 
@@ -5523,6 +5564,16 @@ object SparkEntry {
                 CAST(host_slot * (CASE WHEN k % 2 = 0 THEN k + 1 ELSE 3 END)
                   AS BIGINT) AS fetch_eta_sec
          FROM r WHERE host_slot < 5 ORDER BY host, host_slot""",
+
+    // q123: the roundtrip in closed form — every document returns
+    // with its exact text (ASCII corpus: byte length == char length),
+    // the ladder lands on the strict-UTF-8 rung (no BOM, no header,
+    // no meta), and the manifest audit reports zero failures.
+    "q123_warc_roundtrip" ->
+      """SELECT doc_id, 'utf-8' AS charset, text,
+                CAST(len(text) AS BIGINT) AS n_bytes,
+                CAST(0 AS BIGINT) AS audit_failures
+         FROM documents ORDER BY doc_id""",
 
     // q111: the expected extraction reconstructed from the template
     // INPUTS (never by re-parsing markup): main text = the doc text

@@ -45,9 +45,12 @@ import org.apache.spark.sql.functions._
   * strict-UTF-8 with windows-1252 fallback). */
 object Warc {
 
-  /** One parsed record. `http_status`/`http_content_type`/`body` are
-    * NULL for non-response records (and for responses whose HTTP
-    * block is torn). */
+  /** One parsed record. For `response` records the HTTP envelope is
+    * split out (`http_status`/`http_content_type`, `body` = the HTTP
+    * body, all NULL when the HTTP block is torn); for every other
+    * record type the http fields are NULL and `body` carries the RAW
+    * payload verbatim (a `conversion`/WET record's text, a request's
+    * message, a warcinfo's fields — payloads are never dropped). */
   final case class WarcRecord(segment_path: String, record_index: Int,
                               warc_type: String, target_uri: String,
                               warc_date: String, content_length: Long,
@@ -165,7 +168,7 @@ object Warc {
           if (payload == null) { done = true; close(); return } // torn tail
           val (status, ctype, body) =
             if (wtype == "response") parseHttp(payload)
-            else (None, None, null)
+            else (None, None, payload)
           nextRec = WarcRecord(path, idx, wtype, uri, date, clen,
             status, ctype, body)
           idx += 1
@@ -228,6 +231,27 @@ object Warc {
     (status, ctype, body)
   }
 
+  private val Crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Frame ONE record (header + payload + terminator) onto a stream —
+    * the single source of truth for the write side, shared by
+    * [[buildSegment]] and [[writeTextSegments]] so fixture bytes and
+    * export bytes can never drift apart. */
+  private def writeRecord(out: java.io.OutputStream, wtype: String,
+                          uri: String, payload: Array[Byte],
+                          date: String): Unit = {
+    val hdr = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $wtype\r\n")
+    if (uri != null) hdr.append(s"WARC-Target-URI: $uri\r\n")
+    hdr.append(s"WARC-Date: $date\r\n")
+      .append(s"Content-Length: ${payload.length}\r\n")
+      .append("\r\n")
+    out.write(hdr.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.write(payload)
+    out.write(Crlf); out.write(Crlf)
+  }
+
   /** Build WARC segment bytes from `(warc_type, target_uri, payload)`
     * triples — the fixture/export half (and what the q115 oracle
     * replays): records in input order, CRLF framing, exact
@@ -236,18 +260,8 @@ object Warc {
   def buildSegment(records: Seq[(String, String, Array[Byte])],
                    date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    val crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     records.foreach { case (wtype, uri, payload) =>
-      val hdr = new StringBuilder()
-        .append("WARC/1.0\r\n")
-        .append(s"WARC-Type: $wtype\r\n")
-      if (uri != null) hdr.append(s"WARC-Target-URI: $uri\r\n")
-      hdr.append(s"WARC-Date: $date\r\n")
-        .append(s"Content-Length: ${payload.length}\r\n")
-        .append("\r\n")
-      out.write(hdr.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-      out.write(payload)
-      out.write(crlf); out.write(crlf)
+      writeRecord(out, wtype, uri, payload, date)
     }
     out.toByteArray
   }
@@ -314,5 +328,88 @@ object Warc {
         parseStream(f, stream)
       }
     spark.createDataset(rdd).toDF()
+  }
+
+  /** Distributed WET-style text export — the ARCHIVAL/INTERCHANGE sink
+    * closing the WARC loop (read with [[readWarc]], write here): each
+    * input partition streams one `.warc(.gz)` segment of
+    * `conversion` records (the CommonCrawl WET record type — plain
+    * text payloads, UTF-8, no HTTP envelope), led by a `warcinfo`
+    * record, through the SAME framing kernel the fixture builder and
+    * the q115 oracle pin byte-exactly. A manifest
+    * (`_graft_warc_manifest`: per-segment conversion-record count +
+    * payload byte sum) makes the export auditable in one re-scan
+    * ([[auditTextSegments]] — the [[graft.operators.Sampling]]
+    * export-manifest discipline).
+    *
+    * Scale shape: one task per partition, each streaming records
+    * straight to its segment file — O(one record) task memory, no
+    * shuffle (pre-partition/sort upstream to control segment layout);
+    * the driver only sees the |partitions|-row manifest. Battery q123
+    * proves write→read byte identity through the reader's oracle. */
+  def writeTextSegments(df: DataFrame, uriCol: String, textCol: String,
+                        path: String, gzip: Boolean = true,
+                        date: String = "2026-01-01T00:00:00Z",
+                        software: String = "graft"): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
+    val rows = df.select(col(uriCol).cast("string"), col(textCol).cast("string"))
+      .rdd.map(r => (r.getString(0), r.getString(1)))
+    val stats = rows.mapPartitionsWithIndex { (i, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val name = f"part-$i%05d.warc" + (if (gzip) ".gz" else "")
+        val fp = new org.apache.hadoop.fs.Path(path, name)
+        val raw = fp.getFileSystem(confB.value.conf).create(fp, true)
+        val out: java.io.OutputStream =
+          if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw
+        var n = 0L
+        var bytes = 0L
+        try {
+          writeRecord(out, "warcinfo", null,
+            s"software: $software\r\n".getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1), date)
+          it.foreach { case (uri, text) =>
+            val payload =
+              if (text == null) Array.empty[Byte]
+              else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            writeRecord(out, "conversion", uri, payload, date)
+            n += 1
+            bytes += payload.length
+          }
+        } finally out.close()
+        Iterator.single((name, n, bytes))
+      }
+    }.collect() // |partitions|-sized driver state
+    spark.createDataFrame(stats.toSeq)
+      .toDF("segment", "n_records", "payload_bytes")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_warc_manifest")
+  }
+
+  /** Re-audit a [[writeTextSegments]] export against its manifest in
+    * one reader pass: `(segment, n_records, payload_bytes, ok)` — a
+    * lost segment, a torn tail, or a corrupted payload flips `ok`. */
+  def auditTextSegments(spark: SparkSession, path: String): DataFrame = {
+    val manifest = spark.read.parquet(s"$path/_graft_warc_manifest")
+      .select(col("segment"), col("n_records").as("__mn"),
+        col("payload_bytes").as("__mb"))
+    val actual = readWarc(spark, path)
+      .filter(col("warc_type") === "conversion")
+      .select(element_at(split(col("segment_path"), "/"), -1).as("segment"),
+        length(col("body")).cast("long").as("b"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_records"), sum(col("b")).as("payload_bytes"))
+    actual.join(manifest, Seq("segment"), "full_outer")
+      .select(col("segment"),
+        coalesce(col("n_records"), lit(0L)).as("n_records"),
+        coalesce(col("payload_bytes"), lit(0L)).as("payload_bytes"),
+        (col("n_records") <=> col("__mn") &&
+          col("payload_bytes") <=> col("__mb")).as("ok"))
   }
 }

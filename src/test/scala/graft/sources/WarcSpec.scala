@@ -20,9 +20,11 @@ class WarcSpec extends SparkSpec {
     assert(recs.map(r => (r.record_index, r.warc_type, r.target_uri)) == Seq(
       (0, "warcinfo", null), (1, "request", "http://a.com/x"),
       (2, "response", "http://a.com/x")))
-    // non-response records carry no http side
+    // non-response records carry no http side but keep their RAW payload
     assert(recs(0).http_status.isEmpty && recs(1).http_status.isEmpty)
-    assert(recs(0).body == null)
+    assert(new String(recs(0).body, "ISO-8859-1") == "software: graft\r\n")
+    assert(new String(recs(1).body, "ISO-8859-1")
+      .startsWith("GET /x HTTP/1.1"))
     val resp = recs(2)
     assert(resp.http_status.contains(200))
     assert(resp.http_content_type.contains("text/html"))
@@ -109,6 +111,38 @@ class WarcSpec extends SparkSpec {
     val recs = Warc.parseSegment("s", good ++ bad)
     assert(recs.map(_.target_uri) == Seq("http://a.com/1"),
       "over-limit record must stop parsing, keep the prefix, never allocate")
+  }
+
+  test("writeTextSegments: streamed WET export roundtrips byte-exactly and audits clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet").toString + "/wet"
+    val docs = (0 until 50).map(i =>
+      (s"https://h${i % 3}.com/d$i", s"text body $i with ā unicode"))
+      .toDF("uri", "text").repartition(4)
+    graft.sources.Warc.writeTextSegments(docs, "uri", "text", dir)
+    val back = Warc.readWarc(spark, dir)
+    // one warcinfo per non-empty segment, 50 conversion records
+    val byType = back.groupBy("warc_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType("conversion") == 50L, byType.toString)
+    assert(byType("warcinfo") <= 4L && byType("warcinfo") >= 1L)
+    // text roundtrips through UTF-8 bytes exactly
+    val got = back.filter(col("warc_type") === "conversion")
+      .select(col("target_uri"),
+        graft.operators.Charset.decodeText(col("body"),
+          lit(null).cast("string")).getField("text").as("t"))
+      .as[(String, String)].collect().toMap
+    assert(got.size == 50)
+    (0 until 50).foreach(i => assert(
+      got(s"https://h${i % 3}.com/d$i") == s"text body $i with ā unicode"))
+    // audit: clean, then a gutted segment flags
+    assert(Warc.auditTextSegments(spark, dir).filter(!col("ok")).isEmpty)
+    val seg = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    seg.delete()
+    val audited = Warc.auditTextSegments(spark, dir)
+    assert(audited.filter(!col("ok")).count() == 1,
+      "exactly the lost segment must flag")
   }
 
   test("readWarc: one row per record over real segment files") {
