@@ -2936,6 +2936,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Streaming frontier lifecycle: the q121 URL set discovered in 3
+    // micro-batches into a persisted frontier table (idempotent per
+    // URL — the q109/q88c append discipline), then scheduled minus a
+    // closed-form fetched ledger (doc_id % 7 == 0 already crawled) —
+    // the answer must equal the batch schedule over the same pending
+    // set, slot for slot.
+    "q124_frontier_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tag = docsTag(s, dir)
+      val tbl = s"graft_q124_frontier_$tag"
+      val mkUrl = concat(lit("https://site"),
+        pmod(col("doc_id"), lit(20)).cast("string"),
+        lit(".example.com/page"), col("doc_id").cast("string"),
+        lit(".html"))
+      if (!s.catalog.tableExists(tbl)) {
+        val all = t(s, dir, "documents")
+          .select(mkUrl.as("url"), col("doc_id").as("score"))
+          .as[(String, Long)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q124_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingFrontier(
+          mem.toDF().toDF("url", "score"), "url", "score", tbl, ckpt)
+        try {
+          all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.catalog.refreshTable(tbl)
+      }
+      val fetched = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(mkUrl.as("url"))
+      graft.operators.Frontier.scheduleFromTable(s, tbl, Some(fetched),
+          maxPerHost = 5)
+        .orderBy("host", "host_slot")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -5563,6 +5604,27 @@ object SparkEntry {
                   AS crawl_delay,
                 CAST(host_slot * (CASE WHEN k % 2 = 0 THEN k + 1 ELSE 3 END)
                   AS BIGINT) AS fetch_eta_sec
+         FROM r WHERE host_slot < 5 ORDER BY host, host_slot""",
+
+    // q124: the q121 slot derivation over the pending set only —
+    // streamed discovery must be invisible (same slots as a batch
+    // build), and the fetched ledger must carve its URLs out BEFORE
+    // ranking (slots close up).
+    "q124_frontier_stream" ->
+      """WITH u AS (SELECT
+                  'site' || CAST(doc_id % 20 AS VARCHAR) ||
+                    '.example.com' AS host,
+                  'https://site' || CAST(doc_id % 20 AS VARCHAR) ||
+                    '.example.com/page' || CAST(doc_id AS VARCHAR) ||
+                    '.html' AS url,
+                  doc_id AS score
+           FROM documents WHERE doc_id % 7 <> 0),
+         r AS (SELECT host, url, score,
+                  row_number() OVER (PARTITION BY host
+                    ORDER BY score DESC, url) - 1 AS host_slot
+           FROM u)
+         SELECT host, CAST(host_slot AS INT) AS host_slot, url,
+                CAST(score AS BIGINT) AS score
          FROM r WHERE host_slot < 5 ORDER BY host, host_slot""",
 
     // q123: the roundtrip in closed form — every document returns

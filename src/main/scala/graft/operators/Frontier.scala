@@ -84,4 +84,51 @@ object Frontier {
       .select(col("host"), col("host_slot"),
         col("s.url").as("url"), col("s.score").as("score"))
   }
+
+  /** Append newly DISCOVERED URLs to a persisted frontier TABLE
+    * (created on first call) — the streaming-maintenance half of the
+    * crawl loop (the
+    * [[graft.operators.Dedup.appendToSketchTable]] discipline):
+    * URLs canonicalize on the way in ([[Url.canonical]]; non-web rows
+    * drop), in-batch duplicates collapse to their max score
+    * (deterministic), and already-frontiered URLs anti-join away — so
+    * an at-least-once `foreachBatch` channel replaying a batch
+    * appends nothing, and a URL's priority is FIXED AT FIRST
+    * DISCOVERY (rescoring a live frontier is a rebuild, by design:
+    * the table stays append-only and replay-idempotent). Serve any
+    * time with [[scheduleFromTable]]. */
+  def appendToFrontierTable(spark: org.apache.spark.sql.SparkSession,
+                            urls: DataFrame, urlCol: String,
+                            scoreCol: String, table: String): Unit = {
+    val canon = urls
+      .select(Url.canonical(col(urlCol)).as("url"),
+        col(scoreCol).cast("long").as("score"))
+      .filter(col("url").isNotNull)
+      .groupBy("url").agg(max(col("score")).as("score"))
+    if (!spark.catalog.tableExists(table)) {
+      graft.sources.Warehouse.clearOrphanLocation(spark, table)
+      canon.write.saveAsTable(table)
+    } else {
+      canon.join(spark.table(table).select(col("url")), Seq("url"), "left_anti")
+        .write.mode("append").saveAsTable(table)
+    }
+  }
+
+  /** Schedule the next crawl round off the frontier table, excluding
+    * URLs the crawler already fetched (`fetched`: any frame whose
+    * first column holds canonical URLs — the crawl ledger). Identical
+    * answers to [[schedule]] over everything discovered so far minus
+    * the ledger (battery q124 pins the streamed lifecycle against the
+    * q121 batch oracle). */
+  def scheduleFromTable(spark: org.apache.spark.sql.SparkSession,
+                        table: String, fetched: Option[DataFrame],
+                        maxPerHost: Int): DataFrame = {
+    val base = spark.table(table)
+    val pending = fetched.fold(base) { f =>
+      val fCol = f.columns.head
+      base.join(f.select(col(fCol).as("url")).distinct(),
+        Seq("url"), "left_anti")
+    }
+    schedule(pending, "url", "score", maxPerHost)
+  }
 }

@@ -277,6 +277,31 @@ object Maintenance {
       }
       .start()
 
+  /** Keep a persisted crawl-frontier table
+    * ([[graft.operators.Frontier.appendToFrontierTable]]) continuously
+    * absorbed from a discovered-URL stream — the streaming half of
+    * the crawl loop: each micro-batch's newly discovered URLs
+    * canonicalize and append (idempotent PER URL — replays and
+    * re-discoveries anti-join away, priority fixed at first
+    * discovery); scheduling
+    * ([[graft.operators.Frontier.scheduleFromTable]]) answers exactly
+    * like a batch [[graft.operators.Frontier.schedule]] over
+    * everything discovered so far (battery q124 pins it against the
+    * q121 batch oracle). */
+  def streamingFrontier(stream: DataFrame, urlCol: String,
+                        scoreCol: String, table: String,
+                        checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Frontier.appendToFrontierTable(
+            batch.sparkSession, batch.toDF(), urlCol, scoreCol, table)
+          ()
+        }
+      }
+      .start()
+
   /** Continuously MERGE a stream of updates into a partitioned lake
     * tree (CDC apply). Replay-safe without bookkeeping: Lake.upsert
     * is latest-wins, so re-applying a delivered batch changes

@@ -164,7 +164,8 @@ class PlanSpec extends SparkSpec {
       "q112_video_neardup", "q113_link_canonical", "q115_warc_parse",
       "q116_warc_extract", "q117_robots_gate", "q118_head_metadata",
       "q119_charset_decode", "q120_sitemap_parse", "q121_frontier_schedule",
-      "q122_crawl_delay", "q123_warc_roundtrip").foreach { q =>
+      "q122_crawl_delay", "q123_warc_roundtrip",
+      "q124_frontier_stream").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")

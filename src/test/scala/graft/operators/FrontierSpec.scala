@@ -38,6 +38,39 @@ class FrontierSpec extends SparkSpec {
     assert(df.count() == 20)
   }
 
+  test("frontier table lifecycle: idempotent appends, first-discovery priority, ledger exclusion") {
+    val tbl = "graft_frontierspec_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      val b1 = Seq(("https://A.com:443/x", 5L), ("https://a.com/y", 9L),
+        ("mailto:no", 99L)).toDF("url", "score")
+      Frontier.appendToFrontierTable(spark, b1, "url", "score", tbl)
+      // replay b1 plus a re-discovery of /x at a different score and
+      // one genuinely new URL
+      val b2 = Seq(("https://a.com/x", 50L), ("https://a.com/y", 9L),
+        ("https://b.com/z", 1L)).toDF("url", "score")
+      Frontier.appendToFrontierTable(spark, b2, "url", "score", tbl)
+      val rows = spark.table(tbl).as[(String, Long)].collect().toMap
+      // canonicalized on the way in; no duplicates; priority fixed at
+      // first discovery (the re-discovered /x keeps 5, not 50)
+      assert(rows == Map("https://a.com/x" -> 5L, "https://a.com/y" -> 9L,
+        "https://b.com/z" -> 1L), rows.toString)
+      // serve == batch schedule over the table; ledger carves out
+      // fetched URLs BEFORE ranking
+      val served = Frontier.scheduleFromTable(spark, tbl, None, 2)
+        .select("host", "host_slot", "url").as[(String, Int, String)]
+        .collect().toSet
+      assert(served == Set(("a.com", 0, "https://a.com/y"),
+        ("a.com", 1, "https://a.com/x"), ("b.com", 0, "https://b.com/z")))
+      val fetched = Seq("https://a.com/y").toDF("url")
+      val afterLedger = Frontier.scheduleFromTable(spark, tbl, Some(fetched), 2)
+        .select("host", "host_slot", "url").as[(String, Int, String)]
+        .collect().toSet
+      assert(afterLedger == Set(("a.com", 0, "https://a.com/x"),
+        ("b.com", 0, "https://b.com/z")), afterLedger.toString)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("maxPerHost must be positive") {
     val urls = Seq(("https://a.com/x", 1L)).toDF("url", "score")
     intercept[IllegalArgumentException](
