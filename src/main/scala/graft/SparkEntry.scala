@@ -2977,6 +2977,31 @@ object SparkEntry {
         .orderBy("host", "host_slot")
     }),
 
+    // Unicode normalization + web folding (Text.normalizeUnicode,
+    // NFKC): five regimes cycling by doc_id — (0) decomposed
+    // e+combining-acute must compose, (1) curly quotes / em-dash /
+    // ellipsis fold to ASCII, (2) NBSP→space and zero-width removal,
+    // (3) NFKC compat folds (fullwidth letters, the ﬁ ligature),
+    // (4) C0/C1 control removal with \t preserved. Every output
+    // string is stated literally; one unfolded glyph breaks the hash.
+    "q125_unicode_normalize" -> ((s, dir) => {
+      val mk = udf { (id: Long, text: String) =>
+        ((id % 5).toInt: @unchecked) match {
+          case 0 => s"cafe\u0301 au lait $text"
+          case 1 => s"“q” ‘a’ x—y… $id"
+          case 2 => s"a\u00A0b\u200Bc $text"
+          case 3 => s"ＡＢＣ ﬁle $id"
+          case 4 => s"x\u0007y\u009Fz\t$text"
+        }
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("raw"))
+        .select(col("doc_id"),
+          graft.functions.Text.normalizeUnicode(col("raw"), form = "NFKC")
+            .as("normalized"))
+        .orderBy("doc_id")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -5626,6 +5651,22 @@ object SparkEntry {
          SELECT host, CAST(host_slot AS INT) AS host_slot, url,
                 CAST(score AS BIGINT) AS score
          FROM r WHERE host_slot < 5 ORDER BY host, host_slot""",
+
+    // q125: the normalized strings literally — the composed é proves
+    // NFC composition (the input rode a combining acute), ASCII
+    // quotes/dash/ellipsis prove the web folds, 'ABC file' proves the
+    // NFKC compat folds, and the bare 'xyz' + tab proves control
+    // stripping preserved \t.
+    "q125_unicode_normalize" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN 'café au lait ' || text
+                  WHEN 1 THEN '"q" ''a'' x-y... ' || CAST(doc_id AS VARCHAR)
+                  WHEN 2 THEN 'a bc ' || text
+                  WHEN 3 THEN 'ABC file ' || CAST(doc_id AS VARCHAR)
+                  ELSE 'xyz' || chr(9) || text
+                END AS normalized
+         FROM documents ORDER BY doc_id""",
 
     // q123: the roundtrip in closed form — every document returns
     // with its exact text (ASCII corpus: byte length == char length),

@@ -163,6 +163,59 @@ object Text {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), PunctClass, ""), "\\s+", " "))
 
+  /** Unicode normalization + web-text folding — the stage every
+    * tokenizer pipeline runs right after the charset decode (the
+    * CCNet/Gopher normalize step, public practice): two byte
+    * sequences that RENDER identically must not become different
+    * tokens or different dedup fingerprints.
+    *
+    *  - canonical/compat normalization via `java.text.Normalizer`
+    *    (`form` = "NFC" | "NFKC" | "NFD" | "NFKD"; NFKC also folds
+    *    fullwidth forms and ligatures — `ＡＢＣ` → `ABC`, `ﬁ` → `fi`);
+    *  - with `fold` (default): curly quotes → straight (`“”„‟` → `"`,
+    *    `‘’‚‛` → `'`), dash family → `-` (en/em/horizontal-bar/minus),
+    *    `…` → `...`, NBSP/narrow-NBSP → space, zero-width characters
+    *    (ZWSP/ZWNJ/ZWJ/BOM) removed, C0 controls except `\t\n\r` and
+    *    all C1 controls removed.
+    *
+    * One JVM kernel pass after the normalizer call; scalar,
+    * shuffle-free; NULL → NULL. Deliberately NO case folding and NO
+    * whitespace collapsing — [[normalizeText]] owns fingerprint
+    * canonicalization; this is the content-preserving form (battery
+    * q125 states every fold closed-form). */
+  def normalizeUnicode(text: Column, form: String = "NFC",
+                       fold: Boolean = true): Column = {
+    require(Seq("NFC", "NFKC", "NFD", "NFKD").contains(form),
+      s"unknown normalization form $form")
+    udf((s: String) => normalizeUnicodeScalar(s, form, fold)).apply(text)
+  }
+
+  private[graft] def normalizeUnicodeScalar(s: String, form: String,
+                                            fold: Boolean): String = {
+    if (s == null) return null
+    val n = java.text.Normalizer.normalize(s,
+      java.text.Normalizer.Form.valueOf(form))
+    if (!fold) return n
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      c match {
+        case '\u201C' | '\u201D' | '\u201E' | '\u201F' => sb.append('"')
+        case '\u2018' | '\u2019' | '\u201A' | '\u201B' => sb.append('\'')
+        case '\u2013' | '\u2014' | '\u2015' | '\u2212' => sb.append('-')
+        case '\u2026' => sb.append("...")
+        case '\u00A0' | '\u202F' => sb.append(' ')
+        case '\u200B' | '\u200C' | '\u200D' | '\uFEFF' => () // zero-width
+        case _ if c < ' ' && c != '\t' && c != '\n' && c != '\r' => () // C0
+        case _ if c >= '\u007F' && c <= '\u009F' => () // DEL + C1
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** 64-bit content fingerprint of normalized text (xxhash64 — stable
     * across Spark versions; for cross-engine oracle checks use
     * `fingerprintMd5`). */
@@ -451,6 +504,8 @@ object Text {
         while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
         Double.box(m.toDouble / a.length)
       })
+    spark.udf.register("normalize_unicode", (s: String, form: String) =>
+      normalizeUnicodeScalar(s, form, fold = true))
     spark.udf.register("scrub_pii", (s: String) =>
       if (s == null) null
       else s.replaceAll(EmailRe, "[PII]").replaceAll(Ipv4Re, "[PII]")

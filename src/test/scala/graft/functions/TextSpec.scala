@@ -423,4 +423,38 @@ class TextSpec extends SparkSpec {
     assert(got(3L) == ((1, 0, 0.0, 0.0)))   // null coalesces to empty
     assert(got(4L) == ((1, 8, 8.0, 0.5)))
   }
+
+  test("normalizeUnicode: forms, web foldings, controls, NULL; SQL surface agrees") {
+    def k(s: String, form: String = "NFC", fold: Boolean = true) =
+      Text.normalizeUnicodeScalar(s, form, fold)
+    // canonical composition: decomposed e + combining acute == composed é
+    assert(k("cafe\u0301") == "caf\u00e9") // decomposed-done
+    assert(k("caf\u00e9") == "caf\u00e9")
+    // NFKC compat foldings the NFC form must NOT do
+    assert(k("ＡＢＣ１２", "NFKC") == "ABC12")
+    assert(k("ﬁle", "NFKC") == "file")
+    assert(k("Ａ", "NFC") == "Ａ")
+    // web foldings: quotes, dashes, ellipsis, NBSP, zero-width
+    assert(k("“q” ‘a’ x—y…") ==
+      "\"q\" 'a' x-y...")
+    assert(k("a​b c﻿d") == "ab cd")
+    // controls: C0 except \t\n\r and all C1 vanish
+    assert(k("abc\td\ne") == "abc\td\ne")
+    // fold=false leaves the web characters alone (but still normalizes)
+    assert(k("“q” café", fold = false) ==
+      "“q” café")
+    assert(k(null) == null)
+    intercept[IllegalArgumentException](
+      Text.normalizeUnicode(col("t"), form = "NFX"))
+    // Column + SQL surfaces answer the kernel
+    import spark.implicits._
+    graft.functions.Text.registerSqlFunctions(spark)
+    val df = Seq(("café — ok", 1)).toDF("t", "i")
+    val viaCol = df.select(Text.normalizeUnicode(col("t")).as("n"))
+      .as[String].head()
+    df.createOrReplaceTempView("normspec")
+    val viaSql = spark.sql("SELECT normalize_unicode(t, 'NFC') FROM normspec")
+      .as[String].head()
+    assert(viaCol == "café - ok" && viaSql == viaCol)
+  }
 }
