@@ -3002,6 +3002,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Streaming component-catalog lifecycle: chain pairs (doc, doc−1)
+    // for doc_id%10 ∈ {1,2,3} delivered in 3 micro-batches — batches
+    // split chains mid-link, so cross-batch merges and remap path
+    // compression are both live — then served off the catalog. Every
+    // (node, component) row is closed-form: chains of four, component
+    // = the chain's x0 node, truncated at the corpus edge.
+    "q126_components_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tag = docsTag(s, dir)
+      val tbl = s"graft_q126_comp_$tag"
+      if (!s.catalog.tableExists(tbl)) {
+        val pairs = t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(10)).between(1, 3))
+          .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b"))
+          .as[(Long, Long)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q126_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingComponents(
+          mem.toDF().toDF("a", "b"), "a", "b", tbl, ckpt)
+        try {
+          pairs.grouped(math.max(1, pairs.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.catalog.refreshTable(tbl)
+        s.catalog.refreshTable(tbl + "_remap")
+      }
+      graft.operators.Components.componentsFromTable(s, tbl)
+        .orderBy("node")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -5667,6 +5702,18 @@ object SparkEntry {
                   ELSE 'xyz' || chr(9) || text
                 END AS normalized
          FROM documents ORDER BY doc_id""",
+
+    // q126: chain components closed-form — a node appears iff it is an
+    // endpoint of some (id, id−1) edge with id%10 ∈ {1,2,3} inside the
+    // corpus id range; its component is the chain's x0 = id − id%10
+    // (corpus-edge truncation handled by the endpoint conditions).
+    "q126_components_stream" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents)
+         SELECT doc_id AS node, doc_id - (doc_id % 10) AS component
+         FROM documents, mx
+         WHERE (doc_id % 10 BETWEEN 1 AND 3)
+            OR (doc_id % 10 <= 2 AND doc_id + 1 <= m)
+         ORDER BY node""",
 
     // q123: the roundtrip in closed form — every document returns
     // with its exact text (ASCII corpus: byte length == char length),

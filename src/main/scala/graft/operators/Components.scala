@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over a pair/edge frame — the step
@@ -136,5 +136,114 @@ object Components {
         Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
     members.union(roots).union(isolated)
+  }
+
+  /** Append a batch of near-duplicate PAIRS to a persisted component
+    * CATALOG — the streaming-maintenance half of the cluster
+    * lifecycle (every dedup family streams pairs: q83 n-gram, q109
+    * MinHash; this keeps their CLUSTERS current without re-clustering
+    * the corpus). The classic split of a distributed union-find:
+    *
+    *  - `table` `(node, component)` is APPEND-ONLY — each node's
+    *    assignment AT FIRST SIGHT, in terms of the then-current
+    *    representatives;
+    *  - `table_remap` `(old_comp, new_comp)` records merges, kept
+    *    PATH-COMPRESSED on every append (each historical id maps
+    *    DIRECTLY to its current representative — resolution is ONE
+    *    join, never an iteration);
+    *  - a batch reduces to a REPRESENTATIVE-LEVEL graph first (each
+    *    endpoint resolves through the catalog; in-cluster edges
+    *    become self-loops and vanish), so the batch's
+    *    [[connectedComponents]] run touches O(|batch| + touched reps)
+    *    nodes, NEVER the corpus — and the base table is never
+    *    rewritten; only the |merges|-sized remap is.
+    *
+    * Replay-safe without a ledger: a re-delivered batch's edges all
+    * resolve to self-loops and its nodes anti-join away — nothing
+    * changes (the q109/q88c append discipline). Representatives
+    * follow the batch semantics exactly: a component's id is the
+    * smallest node id EVER seen in it (a later-arriving smaller node
+    * re-roots the cluster through the remap). Ids must be integral
+    * and unique across the corpus. Serve with
+    * [[componentsFromTable]] — identical answers to a from-scratch
+    * [[connectedComponents]] over every pair delivered so far
+    * (battery q126 pins the streamed lifecycle closed-form). */
+  def appendToComponentsTable(spark: SparkSession, pairs: DataFrame,
+                              aCol: String, bCol: String,
+                              table: String): Unit = {
+    val remapT = table + "_remap"
+    val e = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    if (!spark.catalog.tableExists(table)) {
+      graft.sources.Warehouse.clearOrphanLocation(spark, table)
+      graft.sources.Warehouse.clearOrphanLocation(spark, remapT)
+      connectedComponents(e, "u", "v")
+        .select(col("node").cast("long"), col("component").cast("long"))
+        .write.saveAsTable(table)
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("old_comp",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("new_comp",
+              org.apache.spark.sql.types.LongType))))
+        .write.saveAsTable(remapT)
+      return
+    }
+    val eCk = e.localCheckpoint() // referenced by 2 endpoint joins
+    val base = spark.table(table)
+    val remap = spark.table(remapT)
+    val resolve = componentsFromTable(spark, table)
+    // endpoints through the catalog; unseen nodes represent themselves
+    val repEdges = eCk
+      .join(resolve.select(col("node").as("u"), col("component").as("cu")),
+        Seq("u"), "left")
+      .join(resolve.select(col("node").as("v"), col("component").as("cv")),
+        Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("a"),
+        coalesce(col("cv"), col("v")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val batchNodes = eCk.select(col("u").as("node"))
+      .union(eCk.select(col("v").as("node"))).distinct()
+    val newNodes = batchNodes
+      .join(base.select("node"), Seq("node"), "left_anti")
+      .localCheckpoint()
+    if (repEdges.isEmpty && newNodes.isEmpty) return // pure replay: no-op
+    val cc = connectedComponents(repEdges, "a", "b").localCheckpoint()
+    // merges among EXISTING representatives (cc nodes that are not new)
+    val cm = cc.join(newNodes, Seq("node"), "left_anti")
+      .filter(col("component") =!= col("node"))
+      .select(col("node").as("old_comp"), col("component").as("new_comp"))
+    // path-compress the standing remap through this batch's merges,
+    // then add them; materialize BEFORE overwriting the table read above
+    val updatedRemap = remap.alias("r")
+      .join(cm.alias("m"), col("r.new_comp") === col("m.old_comp"), "left")
+      .select(col("r.old_comp").as("old_comp"),
+        coalesce(col("m.new_comp"), col("r.new_comp")).as("new_comp"))
+      .unionByName(cm)
+      .distinct()
+      .localCheckpoint()
+    updatedRemap.write.mode("overwrite").saveAsTable(remapT)
+    // base stays append-only: new nodes land with their (current)
+    // component; self-loop-only newcomers are their own singletons
+    val newAssign = cc.join(newNodes, Seq("node"), "left_semi")
+    val newSingletons = newNodes
+      .join(cc.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    newAssign.unionByName(newSingletons)
+      .select(col("node").cast("long"), col("component").cast("long"))
+      .write.mode("append").saveAsTable(table)
+  }
+
+  /** `(node, component)` for everything appended so far: the base
+    * assignments resolved through the path-compressed remap — ONE
+    * left join (the remap side is |merges|-sized, typically
+    * broadcast), no iteration, no corpus rewrite ever. */
+  def componentsFromTable(spark: SparkSession, table: String): DataFrame = {
+    val base = spark.table(table)
+    val remap = spark.table(table + "_remap")
+    base.join(remap, base("component") === remap("old_comp"), "left")
+      .select(base("node"),
+        coalesce(remap("new_comp"), base("component")).as("component"))
   }
 }

@@ -302,6 +302,31 @@ object Maintenance {
       }
       .start()
 
+  /** Keep a persisted component catalog
+    * ([[graft.operators.Components.appendToComponentsTable]])
+    * continuously absorbed from a near-duplicate PAIR stream — the
+    * cluster half of the streaming dedup story (q83/q109 stream the
+    * pairs; this keeps their transitive clusters current): each
+    * micro-batch reduces to a representative-level graph and merges
+    * through the path-compressed remap, so per-batch work is
+    * O(|batch| + |merges|), never the corpus. Replay-safe: a
+    * re-delivered batch resolves to self-loops and appends nothing.
+    * Serve any time with
+    * [[graft.operators.Components.componentsFromTable]] (battery q126
+    * pins streamed == from-scratch clustering). */
+  def streamingComponents(stream: DataFrame, aCol: String, bCol: String,
+                          table: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Components.appendToComponentsTable(
+            batch.sparkSession, batch.toDF(), aCol, bCol, table)
+          ()
+        }
+      }
+      .start()
+
   /** Continuously MERGE a stream of updates into a partitioned lake
     * tree (CDC apply). Replay-safe without bookkeeping: Lake.upsert
     * is latest-wins, so re-applying a delivered batch changes

@@ -165,7 +165,8 @@ class PlanSpec extends SparkSpec {
       "q116_warc_extract", "q117_robots_gate", "q118_head_metadata",
       "q119_charset_decode", "q120_sitemap_parse", "q121_frontier_schedule",
       "q122_crawl_delay", "q123_warc_roundtrip",
-      "q124_frontier_stream", "q125_unicode_normalize").foreach { q =>
+      "q124_frontier_stream", "q125_unicode_normalize",
+      "q126_components_stream").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")

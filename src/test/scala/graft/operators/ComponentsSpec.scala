@@ -78,4 +78,58 @@ class ComponentsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 9L))
   }
+
+  test("incremental catalog: merges, path compression, late re-rooting, replay no-op") {
+    val tbl = "graft_compspec_cat"
+    Seq(tbl, tbl + "_remap").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def serve(): Map[Long, Long] =
+      Components.componentsFromTable(spark, tbl)
+        .as[(Long, Long)].collect().toMap
+    try {
+      // batch 1: two clusters {1,2} and {3,4}
+      Components.appendToComponentsTable(spark,
+        Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "a", "b", tbl)
+      assert(serve() == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+      assert(spark.table(tbl + "_remap").isEmpty)
+      // batch 2: a bridge merges them — only the remap changes, the
+      // base table stays append-only
+      val baseBefore = spark.table(tbl).as[(Long, Long)].collect().toSet
+      Components.appendToComponentsTable(spark,
+        Seq((2L, 3L)).toDF("a", "b"), "a", "b", tbl)
+      assert(serve() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+      assert(spark.table(tbl).as[(Long, Long)].collect().toSet == baseBefore,
+        "base table must not be rewritten by a merge")
+      assert(spark.table(tbl + "_remap").as[(Long, Long)].collect().toSet ==
+        Set((3L, 1L)))
+      // batch 3: a SMALLER new node re-roots the whole cluster; the
+      // standing remap row must path-compress to the new root
+      Components.appendToComponentsTable(spark,
+        Seq((0L, 4L)).toDF("a", "b"), "a", "b", tbl)
+      assert(serve() == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+      assert(spark.table(tbl + "_remap").as[(Long, Long)].collect().toSet ==
+        Set((3L, 0L), (1L, 0L)),
+        "remap must stay path-compressed (no 3→1→0 chain)")
+      // replay of batch 2: pure no-op
+      val remapBefore = spark.table(tbl + "_remap").as[(Long, Long)].collect().toSet
+      val nBase = spark.table(tbl).count()
+      Components.appendToComponentsTable(spark,
+        Seq((2L, 3L)).toDF("a", "b"), "a", "b", tbl)
+      assert(spark.table(tbl).count() == nBase)
+      assert(spark.table(tbl + "_remap").as[(Long, Long)].collect().toSet ==
+        remapBefore)
+      // self-loop-only newcomer lands as its own singleton
+      Components.appendToComponentsTable(spark,
+        Seq((42L, 42L)).toDF("a", "b"), "a", "b", tbl)
+      assert(serve()(42L) == 42L)
+      // and the catalog equals a from-scratch batch clustering of
+      // every pair delivered so far (singletons aside: batch CC drops
+      // the pure self-loop node's edge at canonicalization but still
+      // surfaces it — so the full frames must match exactly)
+      val batchAll = Components.connectedComponents(
+        Seq((1L, 2L), (3L, 4L), (2L, 3L), (0L, 4L), (42L, 42L)).toDF("a", "b"),
+        "a", "b").as[(Long, Long)].collect().toMap
+      assert(serve() == batchAll)
+    } finally
+      Seq(tbl, tbl + "_remap").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
