@@ -190,12 +190,12 @@ object Text {
     udf((s: String) => normalizeUnicodeScalar(s, form, fold)).apply(text)
   }
 
-  private[graft] def normalizeUnicodeScalar(s: String, form: String,
-                                            fold: Boolean): String = {
-    if (s == null) return null
-    val n = java.text.Normalizer.normalize(s,
-      java.text.Normalizer.Form.valueOf(form))
-    if (!fold) return n
+  /** One fold pass (quotes/dashes/ellipsis/NBSP/zero-width/controls);
+    * its output alphabet contains no foldable character, so the pass
+    * is idempotent on its own — but REMOVING a character can bring a
+    * base letter and a combining mark together, which is the
+    * normalizer's job again (see [[normalizeUnicodeScalar]]). */
+  private def foldPass(n: String): String = {
     val sb = new java.lang.StringBuilder(n.length)
     var i = 0
     while (i < n.length) {
@@ -215,6 +215,31 @@ object Text {
     }
     sb.toString
   }
+
+  private[graft] def normalizeUnicodeScalar(s: String, form: String,
+                                            fold: Boolean): String = {
+    if (s == null) return null
+    val f = java.text.Normalizer.Form.valueOf(form)
+    if (!fold) return java.text.Normalizer.normalize(s, f)
+    // normalize->fold to FIXPOINT: folding can DELETE a character
+    // (zero-width, control) that separated a base letter from its
+    // combining mark, creating a composition the normalizer must see
+    // only on the NEXT pass -- one pass is not a fixed point and the
+    // idempotence downstream fingerprints rest on demands one. After
+    // the first pass the expanding fold (ellipsis -> "...") is gone,
+    // so every further pass only shrinks; 2 passes settle all
+    // practical inputs, the guard covers adversarial nests.
+    var cur = s
+    var prev: String = null
+    var guard = 0
+    while (cur != prev && guard < 10) {
+      prev = cur
+      cur = foldPass(java.text.Normalizer.normalize(cur, f))
+      guard += 1
+    }
+    cur
+  }
+
 
   /** 64-bit content fingerprint of normalized text (xxhash64 — stable
     * across Spark versions; for cross-engine oracle checks use

@@ -155,6 +155,25 @@ class TextSpec extends SparkSpec {
     (0 until 7).foreach(i => assert(nulls.isNullAt(i)))
   }
 
+  test("property: normalizeUnicode is IDEMPOTENT over a generated unicode corpus") {
+    // the invariant downstream fingerprints rest on: a second
+    // normalization pass must be a fixed point in every form
+    val rnd = new scala.util.Random(11)
+    val pool = ("abc XYZ 09 \t\n" +
+      "́é“”‘’–—…" +
+      " ​﻿Ａﬁ中😀").toCharArray
+    Seq("NFC", "NFKC", "NFD", "NFKD").foreach { form =>
+      (0 until 300).foreach { i =>
+        val s = new String((0 until rnd.nextInt(40))
+          .map(_ => pool(rnd.nextInt(pool.length))).toArray)
+        val once = Text.normalizeUnicodeScalar(s, form, fold = true)
+        val twice = Text.normalizeUnicodeScalar(once, form, fold = true)
+        assert(once == twice,
+          s"$form not a fixed point on iter $i: ${s.map(_.toInt.toHexString)}")
+      }
+    }
+  }
+
   test("chunkByTokens: coverage, overlap, short-tail, and empty-text invariants") {
     def chunks(text: String, size: Int, stride: Int): Seq[Seq[String]] =
       Seq(text).toDF("t")

@@ -75,6 +75,26 @@ class CharsetSpec extends SparkSpec {
       "charset=euc-kr")._2 == "한국어")
   }
 
+  test("property: the ladder is TOTAL — arbitrary bytes always decode, never throw") {
+    val rnd = new scala.util.Random(7)
+    val ctypes = Seq(null, "", "text/html", "text/html; charset=utf-8",
+      "text/html; charset=shift_jis", "charset=", "charset==x",
+      "text/html; charset=no-such-charset-999", "charset", "; charset=  ")
+    (0 until 600).foreach { i =>
+      val body = new Array[Byte](rnd.nextInt(80))
+      rnd.nextBytes(body)
+      val ct = ctypes(rnd.nextInt(ctypes.length))
+      val (cs, text) = Charset.decodeKernel(body, ct)
+      assert(cs != null && text != null, s"iteration $i returned null")
+      // the verdict is always a decodable charset and decoding is a
+      // fixed point of the same verdict (re-decoding the produced
+      // text's UTF-8 bytes never throws either)
+      assert(java.nio.charset.Charset.isSupported(cs), s"bad verdict $cs")
+      val again = Charset.decodeKernel(text.getBytes("UTF-8"), null)
+      assert(again._2 != null)
+    }
+  }
+
   test("corpus form: decodeBodies over a mixed-encoding frame; NULL body degrades") {
     val rows: Seq[(Long, Array[Byte], String)] = Seq(
       (1L, b("utf-8 text ā", "UTF-8"), "text/html"),

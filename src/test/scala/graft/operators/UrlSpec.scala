@@ -101,9 +101,10 @@ class UrlSpec extends SparkSpec {
     val schemes = Seq("http", "HTTPS", "hTTp", "https")
     val hosts = Seq("A.b.COM", "x.org.", "WWW.Example.com", "a.com")
     val ports = Seq("", ":80", ":443", ":8080", ":0")
-    val segs = Seq("a", "B", "..", ".", "", "x.gif", "p%20q", "..", "dir")
+    val segs = Seq("a", "B", "..", ".", "", "x.gif", "p%20q", "..", "dir",
+      "%7euser", "%41%2f", "%2e%2e", "caf%c3%a9", "50%", "%zz", "100%25")
     val params = Seq("a=1", "b=2", "utm_source=x", "gclid=1", "", "z",
-      "a=2", "utm_campaign=y&broken")
+      "a=2", "utm_campaign=y&broken", "k=%7E", "%75tm_source=q", "p=%2F%2f")
     var tested = 0
     (0 until 800).foreach { _ =>
       val path = "/" + (0 until rnd.nextInt(5))
