@@ -3037,6 +3037,38 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Sitemap discovery from robots.txt (Robots.sitemapUrls): hosts
+    // cycle three regimes — none, one directive, two directives (the
+    // second uppercase and sandwiched BETWEEN agent groups, proving
+    // case-insensitivity and group-independence). Every discovered
+    // URL and its file position is closed-form.
+    "q127_sitemap_discovery" -> ((s, dir) => {
+      val robots = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(20)).as("k")).distinct()
+        .select(
+          concat(lit("site"), col("k").cast("string"), lit(".example.com"))
+            .as("host"),
+          col("k"),
+          when(pmod(col("k"), lit(3)) === 0,
+            lit("User-agent: *\nDisallow: /tmp\n"))
+          .when(pmod(col("k"), lit(3)) === 1,
+            concat(lit("Sitemap: https://site"), col("k").cast("string"),
+              lit(".example.com/sitemap.xml\nUser-agent: *\nDisallow: /tmp\n")))
+          .otherwise(
+            concat(lit("User-agent: *\nDisallow: /tmp\n" +
+                "SITEMAP: https://site"), col("k").cast("string"),
+              lit(".example.com/maps/one.xml # primary\n" +
+                "User-agent: extra\nAllow: /\n" +
+                "Sitemap: https://site"), col("k").cast("string"),
+              lit(".example.com/maps/two.xml.gz\n")))
+            .as("robots_txt"))
+      robots.select(col("host"), col("k"),
+          posexplode(graft.operators.Robots.sitemapUrls(col("robots_txt")))
+            .as(Seq("sitemap_pos", "sitemap_url")))
+        .select("host", "sitemap_pos", "sitemap_url")
+        .orderBy("host", "sitemap_pos")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -5714,6 +5746,27 @@ object SparkEntry {
          WHERE (doc_id % 10 BETWEEN 1 AND 3)
             OR (doc_id % 10 <= 2 AND doc_id + 1 <= m)
          ORDER BY node""",
+
+    // q127: the discovered sitemap list by host regime — k%3==0 hosts
+    // publish none (absent from output), k%3==1 one, k%3==2 two in
+    // file order (the uppercase mid-file directive is position 0).
+    "q127_sitemap_discovery" ->
+      """WITH k AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+         h AS (SELECT k, 'site' || CAST(k AS VARCHAR) || '.example.com'
+                    AS host,
+                  'https://site' || CAST(k AS VARCHAR) || '.example.com'
+                    AS root
+               FROM k)
+         SELECT host, CAST(0 AS INT) AS sitemap_pos,
+                root || '/sitemap.xml' AS sitemap_url
+         FROM h WHERE k % 3 = 1
+         UNION ALL
+         SELECT host, CAST(0 AS INT), root || '/maps/one.xml'
+         FROM h WHERE k % 3 = 2
+         UNION ALL
+         SELECT host, CAST(1 AS INT), root || '/maps/two.xml.gz'
+         FROM h WHERE k % 3 = 2
+         ORDER BY host, sitemap_pos""",
 
     // q123: the roundtrip in closed form — every document returns
     // with its exact text (ASCII corpus: byte length == char length),

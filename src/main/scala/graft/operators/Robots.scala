@@ -111,6 +111,38 @@ object Robots {
   def crawlDelay(robotsTxt: Column, agent: String): Column =
     udf((t: String) => crawlDelayKernel(t, agent)).apply(robotsTxt)
 
+  /** `Sitemap:` directives in file order — the DISCOVERY pointer
+    * robots.txt carries (sitemaps.org / RFC 9309 § 2.3: the line is
+    * independent of any user-agent group and may appear anywhere in
+    * the file; the value is a full URL, case-preserved). Field name
+    * matches case-insensitively, comments strip, empty values drop,
+    * duplicates kept (file order is the publisher's signal). Feed the
+    * result into sitemap fetching → [[Sitemap.extractEntries]] →
+    * [[Frontier.schedule]] — the crawl discovery loop (battery
+    * q127). */
+  private[operators] def sitemapUrlsKernel(txt: String): Array[String] = {
+    if (txt == null) return Array.empty
+    txt.split("\n", -1).flatMap { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h < 0) raw else raw.substring(0, h)
+      }
+      val line = noComment.trim
+      val ci = line.indexOf(':')
+      if (ci > 0 &&
+          line.substring(0, ci).trim
+            .equalsIgnoreCase("sitemap")) {
+        val v = line.substring(ci + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
+  }
+
+  /** Column form: array of `Sitemap:` URLs in file order (empty for
+    * none/NULL). */
+  def sitemapUrls(robotsTxt: Column): Column =
+    udf((t: String) => sitemapUrlsKernel(t)).apply(robotsTxt)
+
   /** RFC 9309 pattern match: prefix semantics with `*` wildcards and
     * an optional trailing `$` end anchor. */
   private[operators] def patternMatches(pattern: String, path: String): Boolean = {

@@ -160,6 +160,24 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.isAllowedKernel(closing, "a", "/anything"))
   }
 
+  test("sitemap directives: group-independent, case-insensitive, file order, comments") {
+    val txt = "Sitemap: https://a.com/s1.xml\n" +
+      "User-agent: *\nDisallow: /x\n" +
+      "SITEMAP: https://a.com/s2.xml.gz # the gz one\n" +
+      "User-agent: bot\nAllow: /\n" +
+      "sitemap:https://a.com/s1.xml\n" + // duplicate kept, no space ok
+      "Sitemap:\n" +                     // empty value drops
+      "# Sitemap: https://ghost.com/\n"  // whole-line comment
+    assert(Robots.sitemapUrlsKernel(txt).toSeq == Seq(
+      "https://a.com/s1.xml", "https://a.com/s2.xml.gz",
+      "https://a.com/s1.xml"))
+    assert(Robots.sitemapUrlsKernel(null).isEmpty)
+    assert(Robots.sitemapUrlsKernel("User-agent: *\nDisallow:\n").isEmpty)
+    // the directive does not disturb group parsing around it
+    assert(!Robots.isAllowedKernel(txt, "anyone", "/x/y"))
+    assert(Robots.isAllowedKernel(txt, "bot", "/x/y"))
+  }
+
   test("robots matching sees percent-normalized paths (Url canonical form)") {
     // /%7Eme and /~me are the same resource; the disallow rule written
     // either way must gate both spellings
