@@ -18,7 +18,9 @@ import graft.sources.Warc
   *   → robots-exclusion gate for the next crawl round
   *     ([[Robots.filterAllowed]] over the canonical outlinks)
   *   → politeness-bounded frontier scheduling scored by host rank
-  *     ([[Frontier.schedule]])
+  *     ([[Frontier.schedule]]) with crawl-delay fetch ETAs and
+  *     `Sitemap:` discovery off the same robots frame
+  *     ([[Robots.crawlDelay]] / [[Robots.sitemapUrls]])
   *   → text refinement ([[Corpus.refine]]) joined with the host rank
   *   → audited sharded export ([[Sampling.writeShardedWithManifest]] +
   *     [[Sampling.verifyShardedExport]])
@@ -32,7 +34,9 @@ object CrawlDemo {
   final case class Result(records: Long, pages: Long, extracted: Long,
                           hostEdges: Long, rankedHosts: Long,
                           frontierAllowed: Long, frontierDenied: Long,
-                          scheduled: Long, survivors: Long, auditOk: Boolean)
+                          scheduled: Long, delayedSlots: Long,
+                          sitemapsDiscovered: Long, survivors: Long,
+                          auditOk: Boolean, wetAuditOk: Boolean)
 
   def run(spark: SparkSession, warcDir: String, robots: DataFrame,
           outDir: String, agent: String = "graftbot",
@@ -103,6 +107,22 @@ object CrawlDemo {
       "url", "score", maxPerHost)
     val nScheduled = scheduled.count()
 
+    // 4c. politeness metadata off the same robots frame: per-slot
+    //    fetch ETAs (slot × Crawl-delay; undeclared hosts fetch
+    //    immediately) and Sitemap: discovery pointers for the next
+    //    round's frontier feed
+    val delayedSlots = scheduled
+      .join(broadcast(robots.select(col(robots.columns.head).as("host"),
+        col(robots.columns(1)).as("__robots"))), Seq("host"), "left")
+      .select(col("host"), col("host_slot"),
+        (col("host_slot") *
+          coalesce(Robots.crawlDelay(col("__robots"), agent), lit(0L)))
+          .as("fetch_eta_sec"))
+      .filter(col("fetch_eta_sec") > 0).count()
+    val nSitemaps = robots
+      .select(explode(Robots.sitemapUrls(col(robots.columns(1))))
+        .as("sitemap_url")).count()
+
     // 5. curate: refine the extracted text, attach the host rank
     //    (broadcast — |hosts| rows) so downstream gates can budget by
     //    host quality
@@ -117,17 +137,26 @@ object CrawlDemo {
       .cache()
     val nSurvivors = refined.count()
 
-    // 6. audited export
+    // 6. audited exports: parquet shards for training, WET segments
+    //    for interchange — both manifest-audited
     Sampling.writeShardedWithManifest(
       refined.select("doc_id", "host", "host_rank_micro", "text"),
       "doc_id", shards, outDir)
     val auditOk = Sampling.verifyShardedExport(spark, outDir, "doc_id")
       .filter(!col("ok")).isEmpty
+    val wetDir = outDir + "_wet"
+    Warc.writeTextSegments(
+      refined.join(pages.select(col("doc_id"), col("url")), "doc_id")
+        .select(col("url"), col("text")),
+      "url", "text", wetDir)
+    val wetAuditOk = Warc.auditTextSegments(spark, wetDir)
+      .filter(!col("ok")).isEmpty
 
     records.unpersist(); pages.unpersist(); frontier.unpersist()
     ranks.unpersist(); refined.unpersist()
     Result(nRecords, nPages, nExtracted, nEdges, nHosts,
-      nAllowed, nDenied, nScheduled, nSurvivors, auditOk)
+      nAllowed, nDenied, nScheduled, delayedSlots, nSitemaps,
+      nSurvivors, auditOk, wetAuditOk)
   }
 
   def main(args: Array[String]): Unit = {
@@ -147,7 +176,8 @@ object CrawlDemo {
         s"extracted=${r.extracted} edges=${r.hostEdges} " +
         s"hosts=${r.rankedHosts} frontier=${r.frontierAllowed}+" +
         s"${r.frontierDenied} scheduled=${r.scheduled} " +
-        s"survivors=${r.survivors} audit=${r.auditOk}")
+        s"delayedSlots=${r.delayedSlots} sitemaps=${r.sitemapsDiscovered} " +
+        s"survivors=${r.survivors} audit=${r.auditOk} wet=${r.wetAuditOk}")
     } finally spark.stop()
   }
 }

@@ -43,8 +43,12 @@ class CrawlDemoSpec extends SparkSpec {
         java.nio.file.Paths.get(dir, f"seg-$i%05d.warc"),
         graft.sources.Warc.buildSegment(recs))
     }
-    // robots: b.com denies graftbot everything
-    val robots = Seq(("b.com", "User-agent: graftbot\nDisallow: /\n"))
+    // robots: b.com denies graftbot everything; a.com allows all but
+    // sets a 7 s crawl delay and publishes a sitemap pointer
+    val robots = Seq(
+      ("b.com", "User-agent: graftbot\nDisallow: /\n"),
+      ("a.com", "User-agent: *\nAllow: /\nCrawl-delay: 7\n" +
+        "Sitemap: https://a.com/sitemap.xml\n"))
       .toDF("host", "robots_txt")
     val r = CrawlDemo.run(spark, dir, robots, out)
     assert(r.records == 6, s"2 warcinfo + 4 responses, got ${r.records}")
@@ -59,8 +63,16 @@ class CrawlDemoSpec extends SparkSpec {
       s"frontier ${r.frontierAllowed}+${r.frontierDenied}")
     // all 3 allowed URLs live on a.com, under the per-host budget of 4
     assert(r.scheduled == 3, s"scheduled ${r.scheduled}")
-    // all four unique texts survive refinement and export audits clean
+    // a.com's 7 s delay: slots 1 and 2 wait (slot 0 fetches now)
+    assert(r.delayedSlots == 2, s"delayedSlots ${r.delayedSlots}")
+    assert(r.sitemapsDiscovered == 1, s"sitemaps ${r.sitemapsDiscovered}")
+    // all four unique texts survive refinement; both exports audit
+    // clean, and the WET leg reads back through the proven reader
     assert(r.survivors == 4 && r.auditOk, s"survivors ${r.survivors}")
+    assert(r.wetAuditOk, "WET export must audit clean")
+    val wetBack = graft.sources.Warc.readWarc(spark, out + "_wet")
+      .filter(col("warc_type") === "conversion")
+    assert(wetBack.count() == 4)
     // the export carries the host rank column for every row
     val exported = spark.read.parquet(out)
     assert(exported.count() == 4)
