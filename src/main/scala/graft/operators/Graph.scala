@@ -94,14 +94,39 @@ object Graph {
         .bucketBy(buckets, "src").sortBy("src")
         .saveAsTable(table)
     }
-    if (!spark.catalog.tableExists(nodesTable)) {
-      graft.sources.Warehouse.clearOrphanLocation(spark, nodesTable)
-      val e = spark.table(table)
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .write.mode("overwrite").saveAsTable(nodesTable)
-    }
+    if (!spark.catalog.tableExists(nodesTable)) refreshNodesTable(spark, table)
   }
+
+  /** Recompute `<table>_nodes` from the CURRENT edge table. The node
+    * list is a pure function of the edge list, so this overwrite is
+    * idempotent — the streaming maintenance calls it after every
+    * applied edge merge (a crash between the edge swap and this
+    * refresh leaves a stale-but-recomputable node list that the next
+    * batch repairs; nothing is lost). */
+  def refreshNodesTable(spark: SparkSession, table: String): Unit = {
+    val nodesTable = table + "_nodes"
+    graft.sources.Warehouse.clearOrphanLocation(spark, nodesTable)
+    val e = spark.table(table)
+    e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .write.mode("overwrite").saveAsTable(nodesTable)
+    spark.catalog.refreshTable(nodesTable)
+  }
+
+  /** Merge one increment of `(src, dst, __od)` state rows into an
+    * existing [[ensureEdgeTable]]-shaped state frame. Unlike the
+    * sketch families' per-row-idempotent appends, a graph append is
+    * NOT row-local: a new edge changes the out-degree folded into
+    * EVERY existing row of its source, so the merge re-collapses the
+    * union'd pair set and re-folds out-degrees — one distinct + one
+    * count exchange over (state ∪ batch), never an iteration. Rows
+    * already present keep their identity (the distinct collapses
+    * them); only `__od` values of touched sources change. */
+  def mergeEdgeState(state: DataFrame, incr: DataFrame): DataFrame =
+    edgesWithOutDegree(
+      state.select(col("src"), col("dst"))
+        .unionByName(incr.select(col("src"), col("dst"))),
+      "src", "dst")
 
   /** `(node, rank_micro)` after `iterations` synchronous PageRank
     * steps over `edges(srcCol, dstCol)`. Duplicate edges are

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
 
 /** Warehouse-directory hygiene shared by every build-once table writer
   * ([[Bucketed]], `Dedup.ensureNgramTables`, demo jobs): a fresh
@@ -39,5 +40,30 @@ object Warehouse {
     }
     if (fs.exists(loc) && fs.getFileStatus(loc).isDirectory && looksLikeTableDir)
       fs.delete(loc, true)
+  }
+
+  /** Census of the graft-managed catalog tables — the operational
+    * audit the growing build-once table population needs (a stale
+    * `ensure*` table left by an aborted run is otherwise invisible):
+    * one row per default-database table whose name starts with
+    * `prefix`, with its row count, catalog creation stamp
+    * (epoch millis), and maintenance-ledger high-water batch (NULL
+    * for non-ledgered tables — the ledgered families stamp
+    * `graft.maintenance.lastBatch` into table properties). Driver
+    * work is one catalog listing plus one COUNT job per table —
+    * bounded by the table census, never by data size; each count is
+    * a metadata-only parquet scan. */
+  def auditTables(spark: SparkSession, prefix: String = "graft_"): DataFrame = {
+    import spark.implicits._
+    val names = spark.sessionState.catalog.listTables("default")
+      .map(_.table).filter(_.startsWith(prefix)).sorted
+    val rows = names.map { n =>
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(n))
+      // the property key Maintenance.refreshLedgered stamps
+      (n, spark.table(n).count(), meta.createTime,
+        meta.properties.get("graft.maintenance.lastBatch").map(_.toLong))
+    }
+    rows.toDF("table_name", "row_count", "created_at_ms", "last_batch")
   }
 }

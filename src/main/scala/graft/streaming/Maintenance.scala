@@ -61,7 +61,9 @@ object Maintenance {
     * exactly-once + crash-safe swap semantics. */
   private[streaming] def refreshLedgered(spark: SparkSession, stateTable: String,
                                          incr: DataFrame, batchId: Long)(
-      mergeFn: (DataFrame, DataFrame) => DataFrame): Boolean = {
+      mergeFn: (DataFrame, DataFrame) => DataFrame,
+      writeFn: (DataFrame, String) => Unit =
+        (df, t) => df.write.saveAsTable(t)): Boolean = {
     val stagingName = s"${stateTable}_staging"
     if (!spark.catalog.tableExists(stateTable) &&
         spark.catalog.tableExists(stagingName) &&
@@ -78,7 +80,7 @@ object Maintenance {
     val staging = stagingName
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     Warehouse.clearOrphanLocation(spark, staging)
-    merged.write.saveAsTable(staging)
+    writeFn(merged, staging)
     spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ('$LastBatchProp'='$batchId')")
     spark.sql(s"DROP TABLE IF EXISTS $stateTable")
     Warehouse.clearOrphanLocation(spark, stateTable)
@@ -297,6 +299,51 @@ object Maintenance {
         if (!batch.isEmpty) {
           graft.operators.Frontier.appendToFrontierTable(
             batch.sparkSession, batch.toDF(), urlCol, scoreCol, table)
+          ()
+        }
+      }
+      .start()
+
+  /** Merge one micro-batch of raw `(src, dst)` link pairs into a
+    * [[graft.operators.Graph.ensureEdgeTable]]-shaped edge table,
+    * exactly once. Graph appends are NOT per-row idempotent — a new
+    * edge changes the out-degree folded into EVERY existing row of
+    * its source — so this rides the batch-id ledger + staged swap
+    * (the q76/q93 discipline), not the sketch families' anti-join
+    * append. The staging write keeps the table bucketed by `src`, so
+    * the q95b shuffle-free serve property survives every refresh.
+    * After an applied merge the `<table>_nodes` list is recomputed
+    * (idempotent — see [[graft.operators.Graph.refreshNodesTable]];
+    * a crash between swap and refresh is repaired by the next batch).
+    * Returns whether the merge applied (false = replay, skipped). */
+  def refreshGraphEdges(spark: SparkSession, table: String,
+                        pairs: DataFrame, srcCol: String, dstCol: String,
+                        batchId: Long, buckets: Int = 32): Boolean = {
+    val incr = graft.operators.Graph.edgesWithOutDegree(pairs, srcCol, dstCol)
+    val applied = refreshLedgered(spark, table, incr, batchId)(
+      graft.operators.Graph.mergeEdgeState,
+      (df, t) => df.write.bucketBy(buckets, "src").sortBy("src")
+        .saveAsTable(t))
+    if (applied) graft.operators.Graph.refreshNodesTable(spark, table)
+    applied
+  }
+
+  /** Keep a PageRank edge-table pair continuously absorbed from a
+    * link-pair stream — the graph family's streaming-maintenance leg,
+    * closing the last build/serve/streaming triad (n-gram, MinHash,
+    * and IVFADC already have all three). Serve any time with
+    * [[graft.operators.Graph.pageRankMicroFromTable]] (battery q95c
+    * streams the trade graph in 3 ledgered batches and answers the
+    * q95 unrolled oracle verbatim). */
+  def streamingGraphEdges(stream: DataFrame, srcCol: String, dstCol: String,
+                          table: String, checkpoint: String,
+                          buckets: Int = 32): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          refreshGraphEdges(batch.sparkSession, table, batch.toDF(),
+            srcCol, dstCol, batchId, buckets)
           ()
         }
       }
