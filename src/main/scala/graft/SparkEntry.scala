@@ -2241,6 +2241,51 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // The graph family's STREAMING leg (Maintenance.streamingGraphEdges
+    // — the build/serve/streaming triad the n-gram, MinHash, and IVFADC
+    // families already close): the trade graph's one-direction pairs
+    // arrive in 3 micro-batches over MemoryStream, each batch merging
+    // through the ledgered staged swap (re-collapse + out-degree
+    // re-fold — graph appends are not row-idempotent), mirroring done
+    // DECLARATIVELY on the stream (a streaming self-union, so the
+    // driver holds one direction only); serve is the same
+    // pageRankMicroFromTable as q95b and must answer the q95 unrolled
+    // oracle verbatim — bit-identical integer ranks regardless of how
+    // the edges arrived.
+    "q95c_pagerank_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tbl = s"graft_q95c_edges_${tradeTag(s, dir)}"
+      if (!s.catalog.tableExists(tbl)) {
+        val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+          .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("cn"),
+            (col("l_suppkey") * 2 + 1).as("sn"))
+          .distinct()
+          .as[(Long, Long)].collect().sortBy(identity)
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long)]
+        val base = mem.toDF().toDF("cn", "sn")
+        val edges = base.select(col("cn").as("src"), col("sn").as("dst"))
+          .unionByName(base.select(col("sn").as("src"), col("cn").as("dst")))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q95c_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingGraphEdges(
+          edges, "src", "dst", tbl, ckpt)
+        try {
+          pairs.grouped(math.max(1, pairs.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.catalog.refreshTable(tbl)
+        s.catalog.refreshTable(tbl + "_nodes")
+      }
+      graft.operators.Graph.pageRankMicroFromTable(s, tbl, iterations = 4)
+        .orderBy("node")
+    }),
+
     // Temperature-scaled mixture (the mT5 n^α sampling rule) at
     // α = 0.5: quotas are exact-integer largest-remainder shares of
     // n_i^0.5 (sqrt is IEEE correctly-rounded, the 2^20 weight scaling
@@ -5067,6 +5112,37 @@ object SparkEntry {
     // where the edges live, not one bit of the arithmetic), so the
     // oracle is the same unrolled replay.
     "q95b_pagerank_serve" -> {
+      val prelude =
+        """WITH pairs AS (
+             SELECT DISTINCT 2 * o_custkey AS cn, 2 * l_suppkey + 1 AS sn
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           e AS (SELECT cn AS src, sn AS dst FROM pairs
+                 UNION SELECT sn, cn FROM pairs),
+           nd AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+           outdeg AS (SELECT src AS node, count(1) AS od FROM e GROUP BY 1),
+           nn AS (SELECT count(1) AS n FROM nd),
+           r0 AS (SELECT node, 1000000000 // nn.n AS r FROM nd CROSS JOIN nn)"""
+      val steps = (1 to 4).map { i =>
+        s""",
+           r$i AS (
+             SELECT nd.node,
+                    (SELECT 15000000000 // (100 * n) FROM nn) + coalesce(m.s, 0) AS r
+             FROM nd LEFT JOIN (
+               SELECT e.dst AS node, sum((p.r * 85) // (100 * o.od)) AS s
+               FROM r${i - 1} p JOIN outdeg o ON o.node = p.node
+                                JOIN e ON e.src = p.node
+               GROUP BY e.dst) m ON m.node = nd.node)"""
+      }.mkString
+      prelude + steps +
+        " SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r4 ORDER BY node"
+    },
+
+    // q95c: streamed arrival changes WHERE the edges accumulated, not
+    // one bit of the arithmetic — the ledgered merges must converge to
+    // exactly the q95 edge set and out-degrees, so the oracle is the
+    // same unrolled replay once more.
+    "q95c_pagerank_stream" -> {
       val prelude =
         """WITH pairs AS (
              SELECT DISTINCT 2 * o_custkey AS cn, 2 * l_suppkey + 1 AS sn

@@ -191,6 +191,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "contribution SUM lost its map-side combine")
   }
 
+  test("q95c: the streamed-graph serve reads the streamed edge tables — no edge re-derivation") {
+    val p = plan("q95c_pagerank_stream")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(800))
+    assert(p.contains("graft_q95c_edges_"),
+      "serve path does not read the streamed edge table:\n" + p.take(1200))
+    assert(!p.contains("orders.parquet") && !p.contains("lineitem.parquet"),
+      "serve path re-derived edges from the raw tables:\n" + p.take(1200))
+    assert(p.contains("partial_sum"), "contribution SUM lost its map-side combine")
+  }
+
   test("q88c: the streamed-index serve keeps the probe-below-ADC broadcast shape") {
     val df = SparkEntry.queries("q88c_ivfpq_stream")(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -316,4 +316,115 @@ class MaintenanceSpec extends SparkSpec {
       assert(got == Seq((1L, 1.5, 1, "a"), (2L, 2.0, 0, "b"), (3L, 3.0, 1, "b")))
     } finally q.stop()
   }
+
+  // --- streaming graph maintenance (the q95c leg) ---
+
+  /** Star (1 → 2..10) + chain (20 → 21 → … → 30): the star's source
+    * gains out-degree in EVERY batch, so each merge must re-fold the
+    * out-degree into rows already in the state table — the exact
+    * property that makes graph appends non-row-idempotent. */
+  private def graphFixture: Seq[(Long, Long)] =
+    (2L to 10L).map(k => (1L, k)) ++ (20L until 30L).map(i => (i, i + 1))
+
+  private def dropGraph(tbl: String): Unit =
+    Seq(tbl, s"${tbl}_nodes", s"${tbl}_staging").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Warehouse.clearOrphanLocation(spark, t)
+    }
+
+  test("streamingGraphEdges tracks the one-shot edge derivation batch after batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_maint_graph"
+    val ref = "graft_maint_graph_ref"
+    dropGraph(tbl); dropGraph(ref)
+    val ckpt = Files.createTempDirectory("maint_graph").toString
+    val all = graphFixture
+    val mem = MemoryStream[(Long, Long)]
+    val q = Maintenance.streamingGraphEdges(
+      mem.toDF().toDF("src", "dst"), "src", "dst", tbl, ckpt, buckets = 4)
+    try {
+      var delivered = Seq.empty[(Long, Long)]
+      for (batch <- all.grouped(math.max(1, all.size / 3 + 1))) {
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+        delivered = delivered ++ batch
+        Seq(tbl, s"${tbl}_nodes").foreach(spark.catalog.refreshTable)
+        val expect = graft.operators.Graph.edgesWithOutDegree(
+          delivered.toDF("src", "dst"), "src", "dst")
+        val got = spark.table(tbl)
+        assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+          s"edge state diverged after ${delivered.size} pairs")
+        val expectNodes = delivered.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        assert(spark.table(s"${tbl}_nodes").as[Long].collect().sorted.toSeq
+          == expectNodes, "node list diverged")
+      }
+    } finally q.stop()
+    // served ranks == ranks off a one-shot ensureEdgeTable build
+    graft.operators.Graph.ensureEdgeTable(spark,
+      all.toDF("src", "dst"), "src", "dst", ref, buckets = 4)
+    val streamedDf = graft.operators.Graph
+      .pageRankMicroFromTable(spark, tbl, iterations = 3)
+    val oneShotDf = graft.operators.Graph
+      .pageRankMicroFromTable(spark, ref, iterations = 3)
+    val streamed = streamedDf.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val oneShot = oneShotDf.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    streamedDf.unpersist(); oneShotDf.unpersist()
+    assert(streamed == oneShot, "streamed table served different ranks")
+    dropGraph(tbl); dropGraph(ref)
+  }
+
+  test("refreshGraphEdges skips a replayed batch id (ledger) and re-folds out-degrees") {
+    val tbl = "graft_maint_graph_replay"
+    dropGraph(tbl)
+    try {
+      val b0 = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+      assert(Maintenance.refreshGraphEdges(spark, tbl, b0, "src", "dst", 0L))
+      assert(!Maintenance.refreshGraphEdges(spark, tbl, b0, "src", "dst", 0L),
+        "replayed batch id was not skipped")
+      val odAfter0 = spark.table(tbl).filter(col("src") === 1L)
+        .select("__od").distinct().as[Long].collect().toSeq
+      assert(odAfter0 == Seq(2L))
+      // a NEW batch touching the same source must re-fold __od into
+      // the rows that were already in the table
+      val b1 = Seq((1L, 4L)).toDF("src", "dst")
+      assert(Maintenance.refreshGraphEdges(spark, tbl, b1, "src", "dst", 1L))
+      spark.catalog.refreshTable(tbl)
+      val odAfter1 = spark.table(tbl).filter(col("src") === 1L)
+        .select("__od").distinct().as[Long].collect().toSeq
+      assert(odAfter1 == Seq(3L), s"out-degree not re-folded: $odAfter1")
+      assert(spark.table(tbl).count() == 3L)
+    } finally dropGraph(tbl)
+  }
+
+  test("src bucketing survives the ledgered staged swap (q95b serve shape holds)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_maint_graph_bkt"
+    dropGraph(tbl)
+    val ckpt = Files.createTempDirectory("maint_graph_bkt").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = Maintenance.streamingGraphEdges(
+      mem.toDF().toDF("src", "dst"), "src", "dst", tbl, ckpt, buckets = 4)
+    try {
+      for (batch <- graphFixture.grouped(7)) {
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.catalog.refreshTable(tbl)
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .bucketSpec
+    assert(spec.exists(b => b.numBuckets == 4 &&
+        b.bucketColumnNames == Seq("src")),
+      s"bucket spec lost through the swap: $spec")
+    // and the serve plan reads the swapped table with its map-side
+    // combine intact — the q95b PlanSpec shape on the STREAMED table
+    val served = graft.operators.Graph
+      .pageRankMicroFromTable(spark, tbl, iterations = 1)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"),
+      "contribution SUM lost its map-side combine on the streamed table")
+    served.unpersist()
+    dropGraph(tbl)
+  }
 }
