@@ -295,6 +295,52 @@ object SparkEntry {
     wdir
   }
 
+  /** Build-once WARC fixture for q128: every response body rides a
+    * different HTTP wire encoding by doc_id%5 — identity, chunked,
+    * gzip, deflate, chunked-over-gzip — around the SAME closed-form
+    * text, so the decoded output is a pure function of the documents
+    * table regardless of encoding. */
+  private def ensureHttpWarcDir(s: SparkSession, dir: String): String = {
+    val wdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q128_warc_${docsTag(s, dir)}").toString
+    val root = new java.io.File(wdir)
+    if (!root.exists()) {
+      val stage = new java.io.File(wdir + "_stage")
+      if (stage.exists()) stage.listFiles().foreach(_.delete())
+      stage.mkdirs()
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      rows.groupBy(_._1 / 25).foreach { case (seg, docs) =>
+        val records = docs.sortBy(_._1).map { case (id, text) =>
+          val body = s"decoded $id $text"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val W = graft.sources.Warc
+          val payload = (id % 5) match {
+            case 0 => W.httpResponse(body)
+            case 1 => W.httpResponseWith(W.encodeChunked(body, 64),
+              extraHeaders = Seq("Transfer-Encoding: chunked"))
+            case 2 => W.httpResponseWith(W.gzipBytes(body),
+              extraHeaders = Seq("Content-Encoding: gzip"))
+            case 3 => W.httpResponseWith(W.deflateBytes(body),
+              extraHeaders = Seq("Content-Encoding: deflate"))
+            case _ => W.httpResponseWith(W.encodeChunked(W.gzipBytes(body), 64),
+              extraHeaders = Seq("Content-Encoding: gzip",
+                "Transfer-Encoding: chunked"))
+          }
+          ("response",
+            s"https://site${id % 20}.example.com/dir/page$id.html", payload)
+        }.toSeq
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stage.toString, f"seg-$seg%05d.warc"),
+          graft.sources.Warc.buildSegment(records))
+      }
+      if (!stage.renameTo(root)) {
+        require(root.exists(), s"WARC fixture rename failed for $wdir")
+      }
+    }
+    wdir
+  }
+
   /** The q56/q56b corpus: documents plus docs 0-4 cloned at id+300000
     * with a sub-k marker suffix (contributes no shared 30-gram of its
     * own, so each clone must pair with its source via surviving
@@ -3114,6 +3160,27 @@ object SparkEntry {
         .orderBy("host", "sitemap_pos")
     }),
 
+    // HTTP transfer/content decoding in the WARC path (Warc.parseHttp
+    // → dechunk → decompressBody): five wire encodings by doc_id%5 —
+    // identity, chunked, gzip, deflate, chunked-over-gzip — all
+    // carrying the same closed-form body, which must surface decoded
+    // and byte-identical through the charset ladder regardless of how
+    // it crossed the wire. One garbled rung breaks the hash.
+    "q128_http_decode" -> ((s, dir) => {
+      val wdir = ensureHttpWarcDir(s, dir)
+      graft.sources.Warc.readWarc(s, wdir)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          graft.operators.Charset.decodeText(
+            col("body"), col("http_content_type"))
+            .getField("text").as("text"))
+        .withColumn("mode", pmod(col("doc_id"), lit(5)))
+        .select("doc_id", "mode", "text")
+        .orderBy("doc_id")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -5843,6 +5910,14 @@ object SparkEntry {
          SELECT host, CAST(1 AS INT), root || '/maps/two.xml.gz'
          FROM h WHERE k % 3 = 2
          ORDER BY host, sitemap_pos""",
+
+    // q128: the decode is lossless in closed form — every doc's text
+    // comes back as the exact template string however it was framed
+    // or compressed on the wire.
+    "q128_http_decode" ->
+      """SELECT doc_id, doc_id % 5 AS mode,
+                'decoded ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+         FROM documents ORDER BY doc_id""",
 
     // q123: the roundtrip in closed form — every document returns
     // with its exact text (ASCII corpus: byte length == char length),

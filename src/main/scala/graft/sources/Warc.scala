@@ -46,16 +46,20 @@ import org.apache.spark.sql.functions._
 object Warc {
 
   /** One parsed record. For `response` records the HTTP envelope is
-    * split out (`http_status`/`http_content_type`, `body` = the HTTP
-    * body, all NULL when the HTTP block is torn); for every other
-    * record type the http fields are NULL and `body` carries the RAW
-    * payload verbatim (a `conversion`/WET record's text, a request's
-    * message, a warcinfo's fields — payloads are never dropped). */
+    * split out (`http_status`/`http_content_type`/`http_location`,
+    * `body` = the HTTP body after transfer/content decoding, all NULL
+    * when the HTTP block is torn); for every other record type the
+    * http fields are NULL and `body` carries the RAW payload verbatim
+    * (a `conversion`/WET record's text, a request's message, a
+    * warcinfo's fields — payloads are never dropped). `http_location`
+    * surfaces the `Location` header so 3xx redirect targets are
+    * first-class crawl discoveries, not extraction-empty pages. */
   final case class WarcRecord(segment_path: String, record_index: Int,
                               warc_type: String, target_uri: String,
                               warc_date: String, content_length: Long,
                               http_status: Option[Int],
                               http_content_type: Option[String],
+                              http_location: Option[String],
                               body: Array[Byte])
 
   /** Per-record payload ceiling (1 GiB). A Content-Length beyond it is
@@ -166,11 +170,11 @@ object Warc {
           }
           val payload = readFullyStream(in, clen.toInt)
           if (payload == null) { done = true; close(); return } // torn tail
-          val (status, ctype, body) =
+          val (status, ctype, loc, body) =
             if (wtype == "response") parseHttp(payload)
-            else (None, None, payload)
+            else (None, None, None, payload)
           nextRec = WarcRecord(path, idx, wtype, uri, date, clen,
-            status, ctype, body)
+            status, ctype, loc, body)
           idx += 1
         } catch {
           case _: java.io.IOException => done = true; close()
@@ -208,27 +212,129 @@ object Warc {
   }
 
   /** Split an HTTP/1.x response payload into (status, content-type,
-    * body); (None, None, null) when the message is torn. */
+    * location, body); (None, None, None, null) when the message is
+    * torn. The body is TRANSFER- and CONTENT-decoded before it
+    * surfaces: `Transfer-Encoding: chunked` frames are stripped
+    * ([[dechunk]]) and `Content-Encoding: gzip|x-gzip|deflate` bodies
+    * decompressed ([[decompressBody]]) — a real crawl capture is full
+    * of both, and handing the encoded bytes to the charset ladder
+    * reads framing noise as text. Unknown codings (`br`, compress)
+    * surface raw, documented — the JDK has no decoder for them. */
   private[sources] def parseHttp(payload: Array[Byte])
-      : (Option[Int], Option[String], Array[Byte]) = {
+      : (Option[Int], Option[String], Option[String], Array[Byte]) = {
     val (statusLine, p0) = readLine(payload, 0)
     if (statusLine == null || !statusLine.startsWith("HTTP/"))
-      return (None, None, null)
+      return (None, None, None, null)
     val parts = statusLine.split(" ")
     val status = if (parts.length >= 2)
       try Some(parts(1).toInt) catch { case _: NumberFormatException => None }
     else None
     var ctype: Option[String] = None
+    var location: Option[String] = None
+    var tenc: Option[String] = None
+    var cenc: Option[String] = None
     var h = readLine(payload, p0)
     while (h._1 != null && h._1.nonEmpty) {
       val ci = h._1.indexOf(':')
-      if (ci > 0 &&
-          h._1.substring(0, ci).trim.equalsIgnoreCase("content-type"))
-        ctype = Some(h._1.substring(ci + 1).trim)
+      if (ci > 0) {
+        val k = h._1.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
+        val v = h._1.substring(ci + 1).trim
+        k match {
+          case "content-type" => ctype = Some(v)
+          case "location" => location = Some(v)
+          case "transfer-encoding" => tenc = Some(v)
+          case "content-encoding" => cenc = Some(v)
+          case _ => ()
+        }
+      }
       h = readLine(payload, h._2)
     }
-    val body = java.util.Arrays.copyOfRange(payload, h._2, payload.length)
-    (status, ctype, body)
+    val raw = java.util.Arrays.copyOfRange(payload, h._2, payload.length)
+    // transfer coding is the OUTER layer (RFC 9112 §6): de-chunk
+    // first, then undo the content coding
+    val dechunked =
+      if (tenc.exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
+        dechunk(raw)
+      else raw
+    val body = cenc match {
+      case Some(e) => decompressBody(dechunked, e)
+      case None => dechunked
+    }
+    (status, ctype, location, body)
+  }
+
+  /** Strip `Transfer-Encoding: chunked` framing: hex size line
+    * (chunk extensions after `;` ignored), chunk data, CRLF, repeated
+    * until the 0-size terminal chunk (trailers ignored). Malformed or
+    * torn frames DEGRADE, never throw: a bad size line stops at the
+    * data decoded so far; a chunk torn by the record boundary keeps
+    * the bytes that exist (the quarantine philosophy — q128 pins the
+    * happy paths, WarcSpec pins the torn-chunk prefix). */
+  private[sources] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
+    var pos = 0
+    var done = false
+    while (!done) {
+      val (line, p1) = readLine(b, pos)
+      if (line == null) done = true
+      else {
+        val semi = line.indexOf(';')
+        val sizeStr = (if (semi >= 0) line.substring(0, semi) else line).trim
+        val size =
+          try java.lang.Long.parseLong(sizeStr, 16)
+          catch { case _: NumberFormatException => -1L }
+        if (size <= 0 || size > MaxRecordBytes) done = true // terminal or corrupt
+        else if (p1.toLong + size > b.length) { // torn chunk: keep the prefix
+          out.write(b, p1, b.length - p1); done = true
+        } else {
+          out.write(b, p1, size.toInt)
+          pos = p1 + size.toInt
+          // the CRLF that closes the chunk data
+          if (pos < b.length && b(pos) == '\r'.toByte) pos += 1
+          if (pos < b.length && b(pos) == '\n'.toByte) pos += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Undo a `Content-Encoding`: gzip/x-gzip (multi-member safe) and
+    * deflate (zlib-wrapped per RFC 9110, with the raw-deflate fallback
+    * real servers actually send). Corrupt or torn streams degrade to
+    * the bytes decoded so far; an unrecognizable header degrades to
+    * the input; output is capped at [[MaxRecordBytes]] (zip-bomb
+    * guard — the cap truncates, it never throws). Unknown codings
+    * (`br`, `compress`) surface the input unchanged. */
+  private[sources] def decompressBody(b: Array[Byte],
+                                      encoding: String): Array[Byte] = {
+    val enc = encoding.trim.toLowerCase(java.util.Locale.ROOT)
+    if (b.isEmpty || enc.isEmpty || enc == "identity") return b
+    def drain(in: java.io.InputStream): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 2, 1 << 16))
+      val buf = new Array[Byte](1 << 16)
+      var total = 0L
+      try {
+        var r = in.read(buf)
+        while (r > 0 && total < MaxRecordBytes) {
+          out.write(buf, 0, r); total += r
+          r = in.read(buf)
+        }
+      } catch { case _: java.io.IOException => () } // torn: keep the prefix
+      out.toByteArray
+    }
+    enc match {
+      case "gzip" | "x-gzip" =>
+        try drain(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b), 1 << 16))
+        catch { case _: java.io.IOException => b } // bad magic: surface raw
+      case "deflate" =>
+        val zlib = drain(new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b), new java.util.zip.Inflater(false)))
+        if (zlib.nonEmpty) zlib
+        else drain(new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b), new java.util.zip.Inflater(true)))
+      case _ => b
+    }
   }
 
   private val Crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -274,6 +380,60 @@ object Warc {
       s"Content-Length: ${body.length}\r\n\r\n")
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     hdr ++ body
+  }
+
+  /** General HTTP/1.x response fixture: any status line and extra
+    * headers (`Transfer-Encoding`, `Content-Encoding`, `Location`, …)
+    * around an ALREADY-ENCODED body — the q128/q130 fixture
+    * complement of the decoding [[parseHttp]]. */
+  def httpResponseWith(body: Array[Byte], status: String = "200 OK",
+                       contentType: String = "text/html",
+                       extraHeaders: Seq[String] = Nil): Array[Byte] = {
+    val hdr = new StringBuilder()
+      .append(s"HTTP/1.1 $status\r\n")
+      .append(s"Content-Type: $contentType\r\n")
+    extraHeaders.foreach(h => hdr.append(h).append("\r\n"))
+    hdr.append(s"Content-Length: ${body.length}\r\n").append("\r\n")
+    hdr.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+  }
+
+  /** Frame `data` as `Transfer-Encoding: chunked` — the encode
+    * complement of [[dechunk]]: fixed-size hex-length chunks, the
+    * 0-size terminal chunk, CRLF framing throughout. */
+  def encodeChunked(data: Array[Byte], chunkSize: Int = 256): Array[Byte] = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val out = new java.io.ByteArrayOutputStream(data.length + 64)
+    var pos = 0
+    while (pos < data.length) {
+      val n = math.min(chunkSize, data.length - pos)
+      out.write(java.lang.Integer.toHexString(n)
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      out.write(Crlf)
+      out.write(data, pos, n)
+      out.write(Crlf)
+      pos += n
+    }
+    out.write('0'); out.write(Crlf); out.write(Crlf)
+    out.toByteArray
+  }
+
+  /** One gzip member around `data` — the encode complement of
+    * [[decompressBody]]'s gzip rung. */
+  def gzipBytes(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(data); gz.close()
+    out.toByteArray
+  }
+
+  /** One zlib-wrapped deflate stream around `data` — the encode
+    * complement of [[decompressBody]]'s deflate rung. */
+  def deflateBytes(data: Array[Byte], raw: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val ds = new java.util.zip.DeflaterOutputStream(out,
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, raw))
+    ds.write(data); ds.close()
+    out.toByteArray
   }
 
   /** Hadoop `Configuration` is not `Serializable`; this is the
@@ -346,7 +506,16 @@ object Warc {
     * straight to its segment file — O(one record) task memory, no
     * shuffle (pre-partition/sort upstream to control segment layout);
     * the driver only sees the |partitions|-row manifest. Battery q123
-    * proves write→read byte identity through the reader's oracle. */
+    * proves write→read byte identity through the reader's oracle.
+    *
+    * Interchange compatibility: with `gzip` on, each record is its own
+    * gzip MEMBER (the CommonCrawl WET/WARC convention — any record
+    * boundary is a valid decompression start; WarcSpec gunzips a
+    * single member in isolation to pin it). Durability: segments write
+    * to an attempt-unique `_tmp-*` name and RENAME into place on task
+    * completion, so racing attempts can't interleave one file; a
+    * crash-orphaned temp never enters the manifest and flips the
+    * audit's `ok` if it lingers. */
   def writeTextSegments(df: DataFrame, uriCol: String, textCol: String,
                         path: String, gzip: Boolean = true,
                         date: String = "2026-01-01T00:00:00Z",
@@ -364,25 +533,49 @@ object Warc {
       if (it.isEmpty) Iterator.empty
       else {
         val name = f"part-$i%05d.warc" + (if (gzip) ".gz" else "")
-        val fp = new org.apache.hadoop.fs.Path(path, name)
-        val raw = fp.getFileSystem(confB.value.conf).create(fp, true)
-        val out: java.io.OutputStream =
-          if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) else raw
+        // task-commit protocol: write to an attempt-unique temp name
+        // and rename into place — two racing attempts (speculation, a
+        // zombie racing its retry) each write their own file and only
+        // the rename winner publishes; a mid-task crash leaves a temp
+        // file that never enters the manifest
+        val tc = org.apache.spark.TaskContext.get()
+        val attempt = if (tc == null) 0L else tc.taskAttemptId()
+        val fsys = new org.apache.hadoop.fs.Path(path, name)
+          .getFileSystem(confB.value.conf)
+        val tmp = new org.apache.hadoop.fs.Path(path, s"_tmp-$attempt-$name")
+        val fin = new org.apache.hadoop.fs.Path(path, name)
+        val raw = fsys.create(tmp, true)
         var n = 0L
         var bytes = 0L
+        // gzip writes ONE MEMBER PER RECORD (CommonCrawl's WET/WARC
+        // convention — each record independently gunzippable, so a
+        // range request or a splitter can start at any member
+        // boundary); the reader's multi-member gzip path consumes
+        // both this and whole-file streams identically
+        def withRecordStream(f: java.io.OutputStream => Unit): Unit =
+          if (gzip) {
+            val gz = new java.util.zip.GZIPOutputStream(raw, 1 << 14)
+            f(gz)
+            gz.finish() // complete the member, keep the file open
+          } else f(raw)
         try {
-          writeRecord(out, "warcinfo", null,
+          withRecordStream(out => writeRecord(out, "warcinfo", null,
             s"software: $software\r\n".getBytes(
-              java.nio.charset.StandardCharsets.ISO_8859_1), date)
+              java.nio.charset.StandardCharsets.ISO_8859_1), date))
           it.foreach { case (uri, text) =>
             val payload =
               if (text == null) Array.empty[Byte]
               else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            writeRecord(out, "conversion", uri, payload, date)
+            withRecordStream(out => writeRecord(out, "conversion", uri, payload, date))
             n += 1
             bytes += payload.length
           }
-        } finally out.close()
+        } finally raw.close()
+        if (!fsys.rename(tmp, fin)) {
+          // lost the publish race: a sibling attempt's identical
+          // segment is already in place — discard ours
+          fsys.delete(tmp, false)
+        }
         Iterator.single((name, n, bytes))
       }
     }.collect() // |partitions|-sized driver state

@@ -145,6 +145,97 @@ class WarcSpec extends SparkSpec {
       "exactly the lost segment must flag")
   }
 
+  test("HTTP transfer/content decoding: chunked, gzip, deflate, chunked+gzip") {
+    val text = ascii("<html><body>" + ("the decoded page body " * 40) + "</body></html>")
+    def parse(payload: Array[Byte]) =
+      Warc.parseSegment("s", Warc.buildSegment(Seq(
+        ("response", "http://a.com/x", payload)))).head
+    // chunked alone (3 chunks + terminal)
+    val chunked = parse(Warc.httpResponseWith(
+      Warc.encodeChunked(text, chunkSize = 300),
+      extraHeaders = Seq("Transfer-Encoding: chunked")))
+    assert(chunked.body.toSeq == text.toSeq, "chunked body must de-frame")
+    // gzip content coding
+    val gzipped = parse(Warc.httpResponseWith(Warc.gzipBytes(text),
+      extraHeaders = Seq("Content-Encoding: gzip")))
+    assert(gzipped.body.toSeq == text.toSeq, "gzip body must decompress")
+    // zlib AND raw deflate (servers send both under the same label)
+    val zlib = parse(Warc.httpResponseWith(Warc.deflateBytes(text),
+      extraHeaders = Seq("Content-Encoding: deflate")))
+    assert(zlib.body.toSeq == text.toSeq, "zlib deflate body must decompress")
+    val rawDef = parse(Warc.httpResponseWith(Warc.deflateBytes(text, raw = true),
+      extraHeaders = Seq("Content-Encoding: deflate")))
+    assert(rawDef.body.toSeq == text.toSeq, "raw deflate body must decompress")
+    // chunked OVER gzip: transfer coding strips first, then content
+    val both = parse(Warc.httpResponseWith(
+      Warc.encodeChunked(Warc.gzipBytes(text), chunkSize = 100),
+      extraHeaders = Seq("Content-Encoding: gzip",
+        "Transfer-Encoding: chunked")))
+    assert(both.body.toSeq == text.toSeq, "chunked+gzip must decode both layers")
+    // unknown coding surfaces the raw bytes, never throws
+    val br = parse(Warc.httpResponseWith(ascii("opaque-brotli-bytes"),
+      extraHeaders = Seq("Content-Encoding: br")))
+    assert(new String(br.body, "ISO-8859-1") == "opaque-brotli-bytes")
+  }
+
+  test("torn chunk frames degrade to the decoded prefix, never throw") {
+    val text = ascii("0123456789" * 20) // 200 bytes
+    val framed = Warc.encodeChunked(text, chunkSize = 80)
+    // tear mid-chunk: cut the frame 30 bytes into the second chunk's data
+    val cut = framed.take(4 + 80 + 2 + 4 + 30) // "50\r\n"+data+"\r\n"+"50\r\n"+30
+    val rec = Warc.parseSegment("s", Warc.buildSegment(Seq(
+      ("response", "http://a.com/x", Warc.httpResponseWith(cut,
+        extraHeaders = Seq("Transfer-Encoding: chunked")))))).head
+    assert(new String(rec.body, "ISO-8859-1") ==
+      new String(text.take(110), "ISO-8859-1"),
+      "torn chunk must keep the 80+30 bytes that exist")
+    // a garbage size line stops at what decoded so far
+    val garbage = Warc.encodeChunked(text.take(80), chunkSize = 80)
+      .dropRight(5) ++ ascii("ZZZ\r\n\r\n")
+    val rec2 = Warc.parseSegment("s", Warc.buildSegment(Seq(
+      ("response", "http://a.com/x", Warc.httpResponseWith(garbage,
+        extraHeaders = Seq("Transfer-Encoding: chunked")))))).head
+    assert(new String(rec2.body, "ISO-8859-1").startsWith(
+      new String(text.take(80), "ISO-8859-1")))
+  }
+
+  test("redirects surface http_location; content pages leave it NULL") {
+    val seg = Warc.buildSegment(Seq(
+      ("response", "http://a.com/old", Warc.httpResponseWith(Array.empty[Byte],
+        status = "301 Moved Permanently",
+        extraHeaders = Seq("Location: https://a.com/new"))),
+      ("response", "http://a.com/page", Warc.httpResponse(ascii("<p>x</p>")))))
+    val recs = Warc.parseSegment("s", seg)
+    assert(recs(0).http_status.contains(301))
+    assert(recs(0).http_location.contains("https://a.com/new"))
+    assert(recs(1).http_location.isEmpty)
+  }
+
+  test("WET gzip segments are per-record members — any record boundary decompresses in isolation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wetm").toString + "/wet"
+    val docs = (0 until 10).map(i => (s"https://h.com/d$i", s"member body $i"))
+      .toDF("uri", "text").repartition(1)
+    Warc.writeTextSegments(docs, "uri", "text", dir)
+    val segFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val bytes = java.nio.file.Files.readAllBytes(segFile.toPath)
+    // the JDK gzip member header is a fixed 10-byte prefix — count
+    // member starts: one per record plus the warcinfo lead
+    val hdr = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0)
+    val starts = (0 to bytes.length - hdr.length)
+      .filter(off => hdr.indices.forall(j => bytes(off + j) == hdr(j)))
+    assert(starts.size == 11, s"expected 11 gzip members, found ${starts.size}")
+    // a member decompressed IN ISOLATION yields exactly one record
+    val second = java.util.Arrays.copyOfRange(bytes, starts(1), starts(2))
+    val alone = Warc.parseSegment("m", second)
+    assert(alone.length == 1 && alone.head.warc_type == "conversion",
+      s"member 1 alone parsed ${alone.length} records")
+    assert(new String(alone.head.body, "UTF-8") == "member body 0")
+    // and no temp files survived the commit protocol
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_tmp-")))
+  }
+
   test("readWarc: one row per record over real segment files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc").toString
     (0 until 3).foreach { i =>
