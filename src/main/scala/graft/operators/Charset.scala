@@ -100,37 +100,92 @@ object Charset {
   }
 
   /** The `charset=` parameter of a Content-Type header value; None
-    * when absent or unresolvable. */
+    * when absent or unresolvable. Scans SUCCESSIVE `charset`
+    * occurrences anchored on a parameter-name boundary (start, `;`,
+    * or whitespace), so a preceding parameter that merely contains the
+    * substring (`x-charsetty=1; charset=utf-8`) can neither satisfy
+    * nor swallow the real parameter. */
   private[operators] def fromContentType(ctype: String): Option[String] = {
     if (ctype == null) return None
     val lower = ctype.toLowerCase(java.util.Locale.ROOT)
-    val i = lower.indexOf("charset")
-    if (i < 0) return None
-    var j = i + 7
-    while (j < ctype.length && (ctype.charAt(j) == ' ' || ctype.charAt(j) == '\t')) j += 1
-    if (j >= ctype.length || ctype.charAt(j) != '=') return None
-    j += 1
-    while (j < ctype.length && (ctype.charAt(j) == ' ' || ctype.charAt(j) == '\t')) j += 1
-    var e = j
-    while (e < ctype.length && ctype.charAt(e) != ';' && ctype.charAt(e) != ' ' &&
-           ctype.charAt(e) != '\t') e += 1
-    resolveLabel(ctype.substring(j, e))
+    var i = lower.indexOf("charset")
+    while (i >= 0) {
+      val bounded = i == 0 || {
+        val c = ctype.charAt(i - 1)
+        c == ';' || c == ' ' || c == '\t'
+      }
+      if (bounded) {
+        var j = i + 7
+        while (j < ctype.length && (ctype.charAt(j) == ' ' || ctype.charAt(j) == '\t')) j += 1
+        if (j < ctype.length && ctype.charAt(j) == '=') {
+          j += 1
+          while (j < ctype.length && (ctype.charAt(j) == ' ' || ctype.charAt(j) == '\t')) j += 1
+          var e = j
+          while (e < ctype.length && ctype.charAt(e) != ';' && ctype.charAt(e) != ' ' &&
+                 ctype.charAt(e) != '\t') e += 1
+          val r = resolveLabel(ctype.substring(j, e))
+          if (r.isDefined) return r
+        }
+      }
+      i = lower.indexOf("charset", i + 7)
+    }
+    None
   }
 
   private val PrescanBytes = 1024
 
-  /** `<meta charset=…>` prescan over the first 1024 bytes: find a
-    * `charset` token, accept an optional `=` with optional quoting,
-    * resolve the label. Covers both `<meta charset="x">` and
-    * `<meta http-equiv=… content="text/html; charset=x">` (the token
-    * scan sees the embedded `charset=` either way — the WHATWG
-    * prescan's effective behavior). Only ASCII bytes participate, so
-    * the scan is charset-agnostic for every ASCII-superset encoding. */
+  /** `<meta charset=…>` prescan over the first 1024 bytes, restricted
+    * to charset tokens INSIDE a `<meta …>` tag (an incidental
+    * `charset=` in an href query string, comment, or script text must
+    * not override the strict-UTF-8 probe), skipping markup comments.
+    * Covers both `<meta charset="x">` and `<meta http-equiv=…
+    * content="text/html; charset=x">` (the token scan runs within the
+    * tag's attribute region either way — the WHATWG prescan's
+    * effective behavior). A meta-declared utf-16 label remaps to
+    * utf-8 per the WHATWG sniff algorithm: a document whose ASCII
+    * prescan could READ the declaration is by construction not
+    * UTF-16, so honoring the label would decode ASCII-superset bytes
+    * as garbage. Only ASCII bytes participate, so the scan is
+    * charset-agnostic for every ASCII-superset encoding. */
   private[operators] def fromMetaPrescan(body: Array[Byte]): Option[String] = {
     if (body == null) return None
     val n = math.min(body.length, PrescanBytes)
     val s = new String(body, 0, n, StandardCharsets.ISO_8859_1)
       .toLowerCase(java.util.Locale.ROOT)
+    var from = 0
+    while (from >= 0 && from < s.length) {
+      val m = s.indexOf("<meta", from)
+      if (m < 0) return None
+      // tag-name boundary: <metadata> is not a meta tag
+      val boundaryOk = m + 5 < s.length && {
+        val c = s.charAt(m + 5)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '/'
+      }
+      // WHATWG prescan skips markup comments: a <meta inside an
+      // unclosed-or-enclosing <!-- --> span does not participate
+      val cStart = s.lastIndexOf("<!--", m)
+      val inComment = cStart >= 0 && {
+        val cEnd = s.indexOf("-->", cStart)
+        cEnd < 0 || cEnd > m
+      }
+      if (boundaryOk && !inComment) {
+        val close = s.indexOf('>', m)
+        val tag = s.substring(m, if (close < 0) s.length else close)
+        val r = charsetTokenIn(tag)
+        if (r.isDefined)
+          return r.map {
+            case "utf-16le" | "utf-16be" => "utf-8"
+            case other => other
+          }
+      }
+      from = m + 5
+    }
+    None
+  }
+
+  /** The charset-token scan within ONE tag's attribute region:
+    * `charset` token, optional `=`, optional quoting, resolved label. */
+  private def charsetTokenIn(s: String): Option[String] = {
     var from = 0
     while (from >= 0 && from < s.length) {
       val i = s.indexOf("charset", from)

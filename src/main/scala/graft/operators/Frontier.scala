@@ -43,9 +43,18 @@ object Frontier {
     private def better(a: ScoredUrl, b: ScoredUrl): Boolean =
       if (a.score != b.score) a.score > b.score else a.url < b.url
 
-    private def insert(buf: Seq[ScoredUrl], x: ScoredUrl): Seq[ScoredUrl] =
-      if (buf.length >= k && better(buf.last, x)) buf
+    /** Insert with URL dedup: a URL already buffered keeps its best
+      * score and never consumes a second budget slot — re-discovered
+      * links are the NORM in a crawl round, and k slots of one URL
+      * would starve the host's real frontier. O(k) scan, k is small. */
+    private def insert(buf: Seq[ScoredUrl], x: ScoredUrl): Seq[ScoredUrl] = {
+      val i = buf.indexWhere(_.url == x.url)
+      if (i >= 0) {
+        if (x.score > buf(i).score) buf.updated(i, x).sortWith(better) else buf
+      }
+      else if (buf.length >= k && better(buf.last, x)) buf
       else (buf :+ x).sortWith(better).take(k)
+    }
 
     override def zero: Seq[ScoredUrl] = Seq.empty
     override def reduce(b: Seq[ScoredUrl], x: ScoredUrl): Seq[ScoredUrl] =
@@ -69,14 +78,18 @@ object Frontier {
     * best `maxPerHost` URLs of each host (score desc, url tiebreak),
     * `host_slot` 0-based within the host. `urls` must carry canonical
     * URLs ([[Url.canonical]] — uncanonicalizable rows are dropped,
-    * they are not fetchable) and an integral score column; duplicate
-    * URLs should be distinct'd upstream. Fetch order for politeness:
-    * `ORDER BY host_slot, score DESC` (wave-major). */
+    * they are not fetchable) and an integral score column; NULL scores
+    * (an upstream left join's unranked rows) coalesce to 0 rather than
+    * crash the aggregator's non-nullable buffer, and duplicate URLs
+    * within a host consume ONE budget slot at their best score. Fetch
+    * order for politeness: `ORDER BY host_slot, score DESC`
+    * (wave-major). */
   def schedule(urls: DataFrame, urlCol: String, scoreCol: String,
                maxPerHost: Int): DataFrame = {
     require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
     urls.select(Url.host(col(urlCol)).as("host"),
-        col(urlCol).as("__url"), col(scoreCol).cast("long").as("__score"))
+        col(urlCol).as("__url"),
+        coalesce(col(scoreCol).cast("long"), lit(0L)).as("__score"))
       .filter(col("host").isNotNull)
       .groupBy("host")
       .agg(urlTopK(maxPerHost)(col("__url"), col("__score")).as("top"))
@@ -102,7 +115,7 @@ object Frontier {
                             scoreCol: String, table: String): Unit = {
     val canon = urls
       .select(Url.canonical(col(urlCol)).as("url"),
-        col(scoreCol).cast("long").as("score"))
+        coalesce(col(scoreCol).cast("long"), lit(0L)).as("score"))
       .filter(col("url").isNotNull)
       .groupBy("url").agg(max(col("score")).as("score"))
     if (!spark.catalog.tableExists(table)) {

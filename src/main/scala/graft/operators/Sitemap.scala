@@ -91,9 +91,15 @@ object Sitemap {
             name match {
               case "url" | "sitemap" =>
                 if (closing) {
-                  if (entryKind != null && loc != null)
-                    out += Entry(entryKind, loc, lastmod, changefreq, priority)
-                  entryKind = null; resetEntry(); leaf = null
+                  // only a close tag MATCHING the open entry kind ends
+                  // it — a stray </sitemap> inside a <url> (or vice
+                  // versa) is corruption noise, not a boundary, and
+                  // must neither emit nor mislabel the open entry
+                  if (name == entryKind) {
+                    if (loc != null)
+                      out += Entry(entryKind, loc, lastmod, changefreq, priority)
+                    entryKind = null; resetEntry(); leaf = null
+                  }
                 } else if (!selfClosing) {
                   entryKind = name; resetEntry(); leaf = null
                 }
@@ -113,7 +119,11 @@ object Sitemap {
                 } else if (!selfClosing && entryKind != null) {
                   leaf = name; text.setLength(0)
                 }
-              case _ => leaf = null
+              // unknown elements (protocol extensions like
+              // <image:image>, <news:news>) are transparent: an open
+              // leaf keeps collecting across them — a <loc> value must
+              // not be discarded because a vendor tag nested inside it
+              case _ => ()
             }
           }
         }

@@ -111,4 +111,52 @@ class CharsetSpec extends SparkSpec {
       (3L, "shift_jis", "ハロー"),
       (4L, null, null)), got.toString)
   }
+
+  test("prescan is meta-tag-scoped: incidental charset= tokens cannot override the probe") {
+    // a charset= inside an href query string is NOT a declaration
+    val href = b("<html><body><a href=\"/x?charset=iso-8859-1\">l</a>" +
+      "valid utf-8 ā</body></html>", "UTF-8")
+    assert(Charset.detectKernel(href, "text/html") == "utf-8")
+    // …nor inside script text…
+    val script = b("<html><head><script>var charset='koi8-r';</script>" +
+      "</head><body>ā</body></html>", "UTF-8")
+    assert(Charset.detectKernel(script, "text/html") == "utf-8")
+    // …nor inside a markup comment (including a commented-out meta)
+    val comment = b("<html><head><!-- <meta charset=\"windows-1251\"> -->" +
+      "</head><body>ā</body></html>", "UTF-8")
+    assert(Charset.detectKernel(comment, "text/html") == "utf-8")
+    // <metadata> is not a meta tag
+    val metadata = b("<metadata charset=\"koi8-r\"></metadata>ā", "UTF-8")
+    assert(Charset.detectKernel(metadata, "text/html") == "utf-8")
+    // a REAL meta declaration after an incidental token still lands
+    val both = b("<a href=\"?charset=utf-8\"></a>" +
+      "<meta charset=\"windows-1251\">x", "UTF-8")
+    assert(Charset.detectKernel(both, "text/html") == "windows-1251")
+  }
+
+  test("meta-declared utf-16 remaps to utf-8 (WHATWG): ASCII-visible declaration can't be UTF-16") {
+    val m = b("<html><head><meta charset=\"utf-16\"></head>body ā</html>", "UTF-8")
+    assert(Charset.detectKernel(m, "text/html") == "utf-8")
+    val mbe = b("<meta charset=utf-16be>plain", "UTF-8")
+    assert(Charset.detectKernel(mbe, "text/html") == "utf-8")
+    // the HTTP header rung, by contrast, honors utf-16 labels (a BOM
+    // normally settles real UTF-16 first anyway)
+    assert(Charset.detectKernel(b("hi", "UTF-8"),
+      "text/html; charset=utf-16") == "utf-16le")
+  }
+
+  test("Content-Type scan anchors on parameter boundaries and tries successive tokens") {
+    val body = b("plain ascii", "UTF-8")
+    // a parameter whose NAME merely contains 'charset' must not
+    // swallow the real parameter after it
+    assert(Charset.detectKernel(body,
+      "text/html; x-charsetty=1; charset=shift_jis") == "shift_jis")
+    // an unbounded occurrence (no ;/space before) is not a parameter
+    assert(Charset.detectKernel(body,
+      "text/html; notcharset=koi8-r") == "utf-8")
+    // first bounded occurrence with an unknown label falls through to
+    // a later bounded one
+    assert(Charset.detectKernel(body,
+      "text/html; charset=klingon-8; charset=euc-jp") == "euc-jp")
+  }
 }

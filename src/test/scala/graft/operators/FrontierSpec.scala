@@ -76,4 +76,31 @@ class FrontierSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Frontier.schedule(urls, "url", "score", 0))
   }
+
+  test("NULL scores schedule at 0 instead of crashing the aggregator") {
+    // the shape an upstream left join produces: unranked hosts NULL
+    val urls = Seq(("https://a.com/ranked", Some(5L)),
+      ("https://a.com/unranked", None),
+      ("https://b.com/only", None)).toDF("url", "score")
+    val got = Frontier.schedule(urls, "url", "score", 2)
+      .select("host", "host_slot", "url", "score")
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(got == Set(("a.com", 0, "https://a.com/ranked", 5L),
+      ("a.com", 1, "https://a.com/unranked", 0L),
+      ("b.com", 0, "https://b.com/only", 0L)), got.toString)
+  }
+
+  test("duplicate URLs consume one budget slot at their best score") {
+    // /dup arrives three times (re-discovery is the norm); it must
+    // hold ONE slot at score 9, leaving the second slot for /other —
+    // which a slot-per-row bug would starve out
+    val urls = Seq(("https://a.com/dup", 9L), ("https://a.com/dup", 3L),
+      ("https://a.com/dup", 9L), ("https://a.com/other", 1L),
+      ("https://a.com/third", 0L)).toDF("url", "score").repartition(3)
+    val got = Frontier.schedule(urls, "url", "score", 2)
+      .select("host_slot", "url", "score")
+      .as[(Int, String, Long)].collect().toSet
+    assert(got == Set((0, "https://a.com/dup", 9L),
+      (1, "https://a.com/other", 1L)), got.toString)
+  }
 }

@@ -53,6 +53,35 @@ class SitemapSpec extends SparkSpec {
     assert(entries(null) == Vector.empty)
   }
 
+  test("mismatched close tags neither end nor mislabel the open entry") {
+    // a stray </sitemap> inside a <url> is noise: the entry survives
+    // and closes at its REAL </url>
+    val stray = "<urlset><url><loc>https://a.com/1</loc></sitemap>" +
+      "<lastmod>2026-02-02</lastmod></url></urlset>"
+    assert(entries(stray) ==
+      Vector(("url", "https://a.com/1", "2026-02-02", null, null)),
+      entries(stray).toString)
+    // and a </url> close can never emit a <sitemap> entry
+    val cross = "<sitemapindex><sitemap><loc>https://a.com/s.xml</loc></url>" +
+      "</sitemap></sitemapindex>"
+    assert(entries(cross) ==
+      Vector(("sitemap", "https://a.com/s.xml", null, null, null)))
+  }
+
+  test("unknown nested elements are transparent — an open leaf keeps its collected text") {
+    // a vendor extension nested inside <loc> must not discard the loc
+    val nested = "<urlset><url><loc>https://a.com/<x:v/>page</loc></url></urlset>"
+    assert(entries(nested) ==
+      Vector(("url", "https://a.com/page", null, null, null)),
+      entries(nested).toString)
+    // extension blocks BETWEEN leaves stay inert
+    val ext = "<urlset><url><image:image><image:caption>cap</image:caption>" +
+      "</image:image><loc>https://a.com/i</loc></url></urlset>"
+    assert(entries(ext) ==
+      Vector(("url", "https://a.com/i", null, null, null)),
+      entries(ext).toString)
+  }
+
   test("corpus form: one row per entry with positions; NULL xml degrades") {
     val df = Seq(
       (1L, "<urlset><url><loc>https://a.com/1</loc></url>" +
