@@ -3,45 +3,72 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Charset, Corpus, Frontier, Graph, Html, Robots, Sampling, Url}
-import graft.sources.Warc
+import graft.operators.{Charset, Corpus, Frontier, Graph, Html, Robots, Sampling, Sitemap, Url}
+import graft.sources.{Warc, Warehouse}
 
-/** The runnable end-to-end slice for the CRAWL surface — the round-10
+/** The runnable end-to-end slice for the CRAWL surface — the crawl
   * stack composed as the pipeline a CommonCrawl-style corpus actually
   * runs, from raw WARC bytes to an audited text export:
   *
-  *   WARC segments ([[Warc.readWarc]]: framing, gzip, HTTP split)
-  *   → main-content extraction ([[Html.extractMainText]])
+  *   WARC segments ([[Warc.readWarc]]: framing, gzip, HTTP split with
+  *   transfer/content decoding)
+  *   → main-content extraction ([[Html.extractMainText]]) over the
+  *     200-status pages
+  *   → redirect resolution over the 3xx records
+  *     ([[Url.resolveRedirectChains]] on the surfaced `Location`
+  *     headers — terminals become DISCOVERED URLs, sources are
+  *     non-content, loops cap out)
   *   → outlinks ([[Html.extractLinks]]) → canonical host edges
   *     ([[Url.hostEdges]]) → exact-integer host PageRank
   *     ([[Graph.pageRankMicro]])
-  *   → robots-exclusion gate for the next crawl round
-  *     ([[Robots.filterAllowed]] over the canonical outlinks)
-  *   → politeness-bounded frontier scheduling scored by host rank
-  *     ([[Frontier.schedule]]) with crawl-delay fetch ETAs and
-  *     `Sitemap:` discovery off the same robots frame
-  *     ([[Robots.crawlDelay]] / [[Robots.sitemapUrls]])
+  *   → sitemap discovery off robots ([[Robots.sitemapUrls]]) joined
+  *     with fetched sitemap content → URL entries
+  *     ([[Sitemap.extractEntries]])
+  *   → ONE discovery pool (links ∪ redirect terminals ∪ sitemap
+  *     entries, deduped by canonical URL) gated by robots
+  *     ([[Robots.filterAllowed]])
+  *   → PERSISTED frontier ([[Frontier.appendToFrontierTable]] —
+  *     idempotent appends, host-rank scores) scheduled politely
+  *     ([[Frontier.scheduleFromTable]] minus the fetched ledger) with
+  *     crawl-delay fetch ETAs ([[Robots.crawlDelay]])
   *   → text refinement ([[Corpus.refine]]) joined with the host rank
   *   → audited sharded export ([[Sampling.writeShardedWithManifest]] +
-  *     [[Sampling.verifyShardedExport]])
+  *     [[Sampling.verifyShardedExport]]) and a WET interchange export
+  *     ([[Warc.writeTextSegments]])
+  *   → warehouse census over the run's catalog tables
+  *     ([[Warehouse.auditTables]]).
   *
   * Every stage is an existing, individually-oracled library call
-  * (q115/q116, q111, q113/q114, q117, q61, q105); this object only
-  * composes them, and the e2e spec reconciles stage counts against
-  * one another. */
+  * (q115/q116/q128, q111, q130, q113/q114, q127/q120/q129, q117,
+  * q121/q124, q61, q105, q123); this object only composes them, and
+  * the e2e spec reconciles stage counts against one another. */
 object CrawlDemo {
 
   final case class Result(records: Long, pages: Long, extracted: Long,
+                          redirects: Long, redirectTerminals: Long,
+                          redirectLoops: Long,
                           hostEdges: Long, rankedHosts: Long,
+                          sitemapsDiscovered: Long, sitemapUrls: Long,
                           frontierAllowed: Long, frontierDenied: Long,
                           scheduled: Long, delayedSlots: Long,
-                          sitemapsDiscovered: Long, survivors: Long,
-                          auditOk: Boolean, wetAuditOk: Boolean)
+                          survivors: Long,
+                          auditOk: Boolean, wetAuditOk: Boolean,
+                          census: DataFrame)
 
+  /** `sitemaps`: fetched sitemap content as `(sitemap_url, xml)` —
+    * only URLs actually published via a robots `Sitemap:` directive
+    * participate (the discovery loop, not a side channel). */
   def run(spark: SparkSession, warcDir: String, robots: DataFrame,
           outDir: String, agent: String = "graftbot",
-          shards: Int = 4, maxPerHost: Int = 4): Result = {
+          shards: Int = 4, maxPerHost: Int = 4,
+          sitemaps: Option[DataFrame] = None,
+          frontierTable: String = "graft_crawl_frontier"): Result = {
+    import spark.implicits._
+    val robotsHost = robots.columns.head
+    val robotsTxt = robots.columns(1)
+
     // 1. ingest: one row per WARC record, HTTP responses split out
+    //    (transfer/content codings already decoded by the reader)
     val records = Warc.readWarc(spark, warcDir).cache()
     val nRecords = records.count()
     val pages = records
@@ -67,6 +94,22 @@ object CrawlDemo {
       .head().getLong(0)
     require(idClash == 0, s"doc_id hash collision on $idClash url(s)")
 
+    // 1b. redirect side: 3xx sources are NON-CONTENT pages; their
+    //     resolved terminals are crawl discoveries like any outlink
+    val redirectEdges = records
+      .filter(col("warc_type") === "response" &&
+        col("http_status").between(300, 399) &&
+        col("http_location").isNotNull)
+      .select(Url.canonical(col("target_uri")).as("src"),
+        Url.resolve(col("target_uri"), col("http_location")).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val nRedirects = redirectEdges.count()
+    val chains = Url.resolveRedirectChains(redirectEdges, "src", "dst")
+    val nLoops = chains.filter(col("looped")).count()
+    val redirectTargets = chains.filter(!col("looped"))
+      .select(col("terminal_url").as("url")).distinct()
+    val nTerminals = redirectTargets.count()
+
     // 2. text side: main-content extraction, then the refine gates
     val extracted = Html.extractMainText(pages, "doc_id", "html")
       .filter(length(col("main_text")) > 0)
@@ -85,43 +128,65 @@ object CrawlDemo {
       iterations = 4)
     val nHosts = ranks.count()
 
-    // 4. frontier side: canonical outlink URLs gated by robots for
-    //    the next crawl round
-    val frontier = Robots.filterAllowed(
-      links.select(Url.resolve(col("base_url"), col("href")).as("url"))
-        .filter(col("url").isNotNull).distinct(),
-      "url", robots, agent).cache()
+    // 3b. sitemap side: robots Sitemap: pointers joined with the
+    //     fetched content — only published sitemaps participate
+    val smPointers = robots
+      .select(explode(Robots.sitemapUrls(col(robotsTxt))).as("sitemap_url"))
+      .distinct()
+    val nSitemaps = smPointers.count()
+    val smEntries = sitemaps match {
+      case Some(sm) =>
+        val c = sm.columns
+        Sitemap.extractEntries(
+            sm.select(col(c(0)).as("sitemap_url"), col(c(1)).as("xml"))
+              .join(smPointers, Seq("sitemap_url")),
+            "sitemap_url", "xml")
+          .filter(col("kind") === "url")
+          .select(col("loc").as("url"))
+      case None => spark.emptyDataset[String].toDF("url")
+    }
+
+    // 4. ONE discovery pool: outlinks ∪ redirect terminals ∪ sitemap
+    //    entries, deduped by canonical URL, gated by robots
+    val discovered = links
+      .select(Url.resolve(col("base_url"), col("href")).as("url"))
+      .unionByName(redirectTargets)
+      .unionByName(smEntries.select(Url.canonical(col("url")).as("url")))
+      .filter(col("url").isNotNull).distinct()
+    val smCount = smEntries.count()
+    val frontier = Robots.filterAllowed(discovered, "url", robots, agent)
+      .cache()
     val nAllowed = frontier.filter(col("allowed")).count()
     val nDenied = frontier.filter(!col("allowed")).count()
 
-    // 4b. politeness-bounded scheduling of the allowed frontier:
-    //    score each URL by its host's PageRank (broadcast — |hosts|
-    //    rows; unranked hosts score 0) and keep each host's best
-    //    maxPerHost slots through the bounded aggregator (no per-host
-    //    window)
-    val scheduled = Frontier.schedule(
+    // 4b. persist the frontier (idempotent per URL — replays and
+    //     re-discoveries append nothing) scored by host PageRank
+    //     (broadcast — |hosts| rows; unranked hosts score 0), then
+    //     schedule politely off the table minus the fetched ledger:
+    //     best maxPerHost slots per host through the bounded
+    //     aggregator (no per-host window)
+    Frontier.appendToFrontierTable(spark,
       frontier.filter(col("allowed")).select(col("url"), col("host"))
         .join(broadcast(ranks.select(col("node").as("host"),
           col("rank_micro").as("score"))), Seq("host"), "left")
         .select(col("url"), coalesce(col("score"), lit(0L)).as("score")),
-      "url", "score", maxPerHost)
+      "url", "score", frontierTable)
+    val fetchedLedger = pages.select(Url.canonical(col("url")).as("url"))
+    val scheduled = Frontier.scheduleFromTable(spark, frontierTable,
+      Some(fetchedLedger), maxPerHost)
     val nScheduled = scheduled.count()
 
     // 4c. politeness metadata off the same robots frame: per-slot
     //    fetch ETAs (slot × Crawl-delay; undeclared hosts fetch
-    //    immediately) and Sitemap: discovery pointers for the next
-    //    round's frontier feed
+    //    immediately)
     val delayedSlots = scheduled
-      .join(broadcast(robots.select(col(robots.columns.head).as("host"),
-        col(robots.columns(1)).as("__robots"))), Seq("host"), "left")
+      .join(broadcast(robots.select(col(robotsHost).as("host"),
+        col(robotsTxt).as("__robots"))), Seq("host"), "left")
       .select(col("host"), col("host_slot"),
         (col("host_slot") *
           coalesce(Robots.crawlDelay(col("__robots"), agent), lit(0L)))
           .as("fetch_eta_sec"))
       .filter(col("fetch_eta_sec") > 0).count()
-    val nSitemaps = robots
-      .select(explode(Robots.sitemapUrls(col(robots.columns(1))))
-        .as("sitemap_url")).count()
 
     // 5. curate: refine the extracted text, attach the host rank
     //    (broadcast — |hosts| rows) so downstream gates can budget by
@@ -152,11 +217,17 @@ object CrawlDemo {
     val wetAuditOk = Warc.auditTextSegments(spark, wetDir)
       .filter(!col("ok")).isEmpty
 
+    // 7. warehouse census: the run's catalog tables (the frontier, and
+    //    anything a previous round left) with row counts and ledger
+    //    marks — the operational audit that catches a stale table
+    val census = Warehouse.auditTables(spark, frontierTable)
+
     records.unpersist(); pages.unpersist(); frontier.unpersist()
-    ranks.unpersist(); refined.unpersist()
-    Result(nRecords, nPages, nExtracted, nEdges, nHosts,
-      nAllowed, nDenied, nScheduled, delayedSlots, nSitemaps,
-      nSurvivors, auditOk, wetAuditOk)
+    ranks.unpersist(); refined.unpersist(); chains.unpersist()
+    Result(nRecords, nPages, nExtracted, nRedirects, nTerminals, nLoops,
+      nEdges, nHosts, nSitemaps, smCount,
+      nAllowed, nDenied, nScheduled, delayedSlots,
+      nSurvivors, auditOk, wetAuditOk, census)
   }
 
   def main(args: Array[String]): Unit = {
@@ -173,11 +244,14 @@ object CrawlDemo {
       val robots = Seq.empty[(String, String)].toDF("host", "robots_txt")
       val r = run(spark, warcDir, robots, outDir)
       println(s"records=${r.records} pages=${r.pages} " +
-        s"extracted=${r.extracted} edges=${r.hostEdges} " +
-        s"hosts=${r.rankedHosts} frontier=${r.frontierAllowed}+" +
-        s"${r.frontierDenied} scheduled=${r.scheduled} " +
-        s"delayedSlots=${r.delayedSlots} sitemaps=${r.sitemapsDiscovered} " +
+        s"extracted=${r.extracted} redirects=${r.redirects}" +
+        s"(terminals=${r.redirectTerminals} loops=${r.redirectLoops}) " +
+        s"edges=${r.hostEdges} hosts=${r.rankedHosts} " +
+        s"sitemaps=${r.sitemapsDiscovered}/${r.sitemapUrls}urls " +
+        s"frontier=${r.frontierAllowed}+${r.frontierDenied} " +
+        s"scheduled=${r.scheduled} delayedSlots=${r.delayedSlots} " +
         s"survivors=${r.survivors} audit=${r.auditOk} wet=${r.wetAuditOk}")
+      r.census.show(20, false)
     } finally spark.stop()
   }
 }

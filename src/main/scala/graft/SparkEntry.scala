@@ -341,6 +341,54 @@ object SparkEntry {
     wdir
   }
 
+  /** Build-once WARC fixture for q130: per doc a redirect CHAIN —
+    * /start (301, relative Location) → /hop (302, absolute Location
+    * onto the NEXT host) → /final (200 content); every 10th doc is a
+    * 2-cycle /start ⇄ /loop instead. Exercises relative resolution,
+    * cross-host hops, and the loop cap closed-form. */
+  private def ensureRedirectWarcDir(s: SparkSession, dir: String): String = {
+    val wdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q130_warc_${docsTag(s, dir)}").toString
+    val root = new java.io.File(wdir)
+    if (!root.exists()) {
+      val stage = new java.io.File(wdir + "_stage")
+      if (stage.exists()) stage.listFiles().foreach(_.delete())
+      stage.mkdirs()
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0))
+      val W = graft.sources.Warc
+      ids.groupBy(_ / 25).foreach { case (seg, docs) =>
+        val records = docs.sorted.flatMap { id =>
+          val h = s"https://site${id % 20}.example.com"
+          val hNext = s"https://site${(id % 20 + 1) % 20}.example.com"
+          if (id % 10 == 0) Seq(
+            ("response", s"$h/start$id.html", W.httpResponseWith(
+              Array.empty[Byte], status = "302 Found",
+              extraHeaders = Seq(s"Location: /loop$id.html"))),
+            ("response", s"$h/loop$id.html", W.httpResponseWith(
+              Array.empty[Byte], status = "301 Moved Permanently",
+              extraHeaders = Seq(s"Location: /start$id.html"))))
+          else Seq(
+            ("response", s"$h/start$id.html", W.httpResponseWith(
+              Array.empty[Byte], status = "301 Moved Permanently",
+              extraHeaders = Seq(s"Location: /hop$id.html"))),
+            ("response", s"$h/hop$id.html", W.httpResponseWith(
+              Array.empty[Byte], status = "302 Found",
+              extraHeaders = Seq(s"Location: $hNext/final$id.html"))),
+            ("response", s"$hNext/final$id.html",
+              W.httpResponse(s"terminal $id".getBytes("UTF-8"))))
+        }.toSeq
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stage.toString, f"seg-$seg%05d.warc"),
+          W.buildSegment(records))
+      }
+      if (!stage.renameTo(root)) {
+        require(root.exists(), s"WARC fixture rename failed for $wdir")
+      }
+    }
+    wdir
+  }
+
   /** The q56/q56b corpus: documents plus docs 0-4 cloned at id+300000
     * with a sub-k marker suffix (contributes no shared 30-gram of its
     * own, so each clone must pair with its source via surviving
@@ -3181,6 +3229,69 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The discovery loop closed: sitemap XML (Sitemap.extractEntries)
+    // ∪ link-discovered URLs, deduped by canonical URL (the overlap
+    // /sm/a arrives from BOTH feeds and must hold one slot at its best
+    // score), gated by robots (the /tmp sitemap entry is disallowed
+    // and must never reach the table), appended to the persisted
+    // frontier (Frontier.appendToFrontierTable), and scheduled off it.
+    // /sm/b is sitemap-ONLY — its slot proves sitemap discovery feeds
+    // the schedule. Every slot closed-form per host.
+    "q129_sitemap_frontier" -> ((s, dir) => {
+      val tbl = s"graft_q129_frontier_${docsTag(s, dir)}"
+      val hosts = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(20)).cast("string").as("k")).distinct()
+      def root = concat(lit("https://site"), col("k"), lit(".example.com"))
+      if (!s.catalog.tableExists(tbl)) {
+        val sitemaps = hosts.select(col("k"),
+          concat(lit("<urlset><url><loc>"), root,
+            lit("/sm/a.html</loc></url><url><loc>"), root,
+            lit("/sm/b.html</loc></url><url><loc>"), root,
+            lit("/tmp/c.html</loc></url></urlset>")).as("xml"))
+        val smUrls = graft.operators.Sitemap.extractEntries(sitemaps, "k", "xml")
+          .filter(col("kind") === "url")
+          .select(col("loc").as("u"), lit(5L).as("sc"))
+        val linkUrls = hosts.select(concat(root, lit("/sm/a.html")).as("u"),
+            lit(3L).as("sc"))
+          .unionByName(hosts.select(concat(root, lit("/ln/d.html")).as("u"),
+            lit(3L).as("sc")))
+        val robots = hosts.select(
+          concat(lit("site"), col("k"), lit(".example.com")).as("host"),
+          lit("User-agent: *\nDisallow: /tmp\n").as("robots_txt"))
+        val gated = graft.operators.Robots.filterAllowed(
+            smUrls.unionByName(linkUrls), "u", robots, "graftbot")
+          .filter(col("allowed")).select(col("u"), col("sc"))
+        graft.operators.Frontier.appendToFrontierTable(s, gated, "u", "sc", tbl)
+      }
+      graft.operators.Frontier.scheduleFromTable(s, tbl, None, maxPerHost = 3)
+        .orderBy("host", "host_slot")
+    }),
+
+    // Redirect handling (Url.resolveRedirectChains over the
+    // http_location column the WARC reader now surfaces): 301/302
+    // chains with a relative first hop and a cross-host second hop
+    // resolve to their terminal; every 10th doc's /start ⇄ /loop
+    // 2-cycle must cap out as looped (terminal NULL) instead of
+    // cycling. Closed-form per doc.
+    "q130_redirect_chains" -> ((s, dir) => {
+      val wdir = ensureRedirectWarcDir(s, dir)
+      val recs = graft.sources.Warc.readWarc(s, wdir)
+      val redirects = recs
+        .filter(col("http_status").between(300, 399) &&
+          col("http_location").isNotNull)
+        .select(graft.operators.Url.canonical(col("target_uri")).as("src"),
+          graft.operators.Url.resolve(col("target_uri"), col("http_location"))
+            .as("dst"))
+      val chains = graft.operators.Url.resolveRedirectChains(
+        redirects, "src", "dst", maxHops = 4)
+      chains.filter(col("url").contains("/start"))
+        .select(
+          regexp_extract(col("url"), "start(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          col("terminal_url"), col("hops"), col("looped"))
+        .orderBy("doc_id")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -5917,6 +6028,43 @@ object SparkEntry {
     "q128_http_decode" ->
       """SELECT doc_id, doc_id % 5 AS mode,
                 'decoded ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+         FROM documents ORDER BY doc_id""",
+
+    // q129: three slots per host in closed form — /sm/a (in both
+    // feeds, deduped, best score 5), /sm/b (sitemap-only, 5, url
+    // tiebreak after a), /ln/d (link-only, 3); /tmp/c robots-gated
+    // out of existence.
+    "q129_sitemap_frontier" ->
+      """WITH k AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+         h AS (SELECT 'site' || CAST(k AS VARCHAR) || '.example.com' AS host,
+                      'https://site' || CAST(k AS VARCHAR) || '.example.com'
+                        AS root
+               FROM k)
+         SELECT host, CAST(0 AS INT) AS host_slot,
+                root || '/sm/a.html' AS url, CAST(5 AS BIGINT) AS score
+         FROM h
+         UNION ALL
+         SELECT host, CAST(1 AS INT), root || '/sm/b.html', CAST(5 AS BIGINT)
+         FROM h
+         UNION ALL
+         SELECT host, CAST(2 AS INT), root || '/ln/d.html', CAST(3 AS BIGINT)
+         FROM h
+         ORDER BY host, host_slot""",
+
+    // q130: terminals and loop verdicts re-derived from the chain
+    // template — non-loop docs land on the NEXT host's /final after
+    // exactly 2 hops; every 10th doc is a 2-cycle that must cap out
+    // at maxHops=4 with a NULL terminal.
+    "q130_redirect_chains" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 10 = 0 THEN NULL
+                     ELSE 'https://site' ||
+                          CAST((doc_id % 20 + 1) % 20 AS VARCHAR) ||
+                          '.example.com/final' || CAST(doc_id AS VARCHAR) ||
+                          '.html' END AS terminal_url,
+                CAST(CASE WHEN doc_id % 10 = 0 THEN 4 ELSE 2 END AS INT)
+                  AS hops,
+                doc_id % 10 = 0 AS looped
          FROM documents ORDER BY doc_id""",
 
     // q123: the roundtrip in closed form — every document returns

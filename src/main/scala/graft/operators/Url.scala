@@ -263,4 +263,59 @@ object Url {
       .filter(col("src_host").isNotNull && col("dst_host").isNotNull)
       .distinct()
   }
+
+  /** Resolve HTTP redirect chains WITHIN a captured crawl: `redirects`
+    * holds one `(src, dst)` canonical-URL pair per 3xx response
+    * ([[graft.sources.Warc]] surfaces `http_location`; resolve it
+    * against the record URI with [[resolve]] first). Returns one row
+    * per redirect SOURCE: `(url, terminal_url, hops, looped)` —
+    * `terminal_url` is where following the captured chain lands
+    * (a URL with no further captured redirect; it may be outside the
+    * capture entirely), `looped = true` (terminal NULL) when the
+    * chain is still redirecting after `maxHops` steps, which catches
+    * real cycles AND absurd chains the same way a browser's ~20-hop
+    * cap does. A redirect source is a NON-CONTENT page: curation
+    * drops it and frontiers its terminal instead.
+    *
+    * Scale shape: `maxHops` self-joins of the pointer frame against
+    * the (persisted) redirect map on the current-target key —
+    * pointer-jumping bounded by the cap, each step one hash join +
+    * no aggregation; nothing driver-side. Chains in real captures are
+    * short (1-3); the cap is a guard, not a work estimate. Battery
+    * q130 pins 2-hop chains, cross-host hops, and a 2-cycle
+    * closed-form. */
+  def resolveRedirectChains(redirects: DataFrame, srcCol: String,
+                            dstCol: String, maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val edges = redirects
+      .select(col(srcCol).as("__e_src"), col(dstCol).as("__e_dst"))
+      .na.drop().distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var state = edges.select(col("__e_src").as("url"),
+      col("__e_dst").as("cur"), lit(1).as("hops"), lit(false).as("done"))
+    var i = 1
+    while (i < maxHops) {
+      state = state.join(edges, state("cur") === edges("__e_src"), "left")
+        .select(col("url"),
+          when(col("done") || col("__e_dst").isNull, col("cur"))
+            .otherwise(col("__e_dst")).as("cur"),
+          when(col("done") || col("__e_dst").isNull, col("hops"))
+            .otherwise(col("hops") + 1).as("hops"),
+          (col("done") || col("__e_dst").isNull).as("done"))
+      i += 1
+    }
+    // one final probe: a row still pointing at a redirect source
+    // after maxHops steps is looping (or absurdly deep — same verdict)
+    val out = state.join(edges.select(col("__e_src")),
+        state("cur") === col("__e_src"), "left")
+      .select(col("url"),
+        when(col("done") || col("__e_src").isNull, col("cur"))
+          .otherwise(lit(null).cast("string")).as("terminal_url"),
+        col("hops"),
+        (!col("done") && col("__e_src").isNotNull).as("looped"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the scratch map it read
+    edges.unpersist()
+    out // the caller owns the returned frame's unpersist
+  }
 }

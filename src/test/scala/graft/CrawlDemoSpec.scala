@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** [[CrawlDemo]] — the WARC→export composition reconciled stage by
-  * stage on a closed-form two-host fixture. */
+  * stage on a closed-form two-host fixture, now including redirect
+  * chains (a loop among them), sitemap-fed discovery, and the
+  * persisted frontier + warehouse census. */
 class CrawlDemoSpec extends SparkSpec {
   import spark.implicits._
 
@@ -15,15 +17,20 @@ class CrawlDemoSpec extends SparkSpec {
       s"<p>$body</p>" +
       outlinks.map(u => s"""<a href="$u">out</a>""").mkString(" ") +
       "</body></html>"
-    ("response", s"https://$host$path", Warc2.http(ascii(html)))
+    ("response", s"https://$host$path", graft.sources.Warc.httpResponse(ascii(html)))
   }
-  private object Warc2 {
-    def http(b: Array[Byte]) = graft.sources.Warc.httpResponse(b)
-  }
+  private def redirect(host: String, path: String,
+                       location: String): (String, String, Array[Byte]) =
+    ("response", s"https://$host$path", graft.sources.Warc.httpResponseWith(
+      Array.empty[Byte], status = "301 Moved Permanently",
+      extraHeaders = Seq(s"Location: $location")))
 
   test("crawl demo: every stage count reconciles on a two-host fixture") {
     val dir = java.nio.file.Files.createTempDirectory("graft_crawl_fix").toString
     val out = java.nio.file.Files.createTempDirectory("graft_crawl_out").toString + "/export"
+    val tbl = "graft_crawldemo_frontier"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.sources.Warehouse.clearOrphanLocation(spark, tbl)
     // four pages, two hosts; every body is English-ish (passes the
     // refine language gate) and unique (survives exact dedup)
     def body(i: Int) =
@@ -33,11 +40,19 @@ class CrawlDemoSpec extends SparkSpec {
       Seq(
         ("warcinfo", null: String, ascii("software: graft\r\n")),
         page("a.com", "/p1", body(1), Seq("https://b.com/x", "/local1")),
-        page("a.com", "/p2", body(2), Seq("https://b.com/y"))),
+        page("a.com", "/p2", body(2), Seq("https://b.com/y")),
+        // redirect chain to an UNCRAWLED target → frontier discovery
+        redirect("a.com", "/moved", "/fresh"),
+        // 2-cycle: must cap out as looped, never enter the frontier
+        redirect("a.com", "/l1", "/l2"),
+        redirect("a.com", "/l2", "/l1")),
       Seq(
         ("warcinfo", null: String, ascii("software: graft\r\n")),
         page("b.com", "/q1", body(3), Seq("https://a.com/z")),
-        page("b.com", "/q2", body(4), Seq())))
+        page("b.com", "/q2", body(4), Seq()),
+        // cross-host redirect whose terminal is ALSO link-discovered —
+        // the pool dedups to one slot
+        redirect("b.com", "/oldq", "https://a.com/z")))
     segs.zipWithIndex.foreach { case (recs, i) =>
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, f"seg-$i%05d.warc"),
@@ -50,35 +65,70 @@ class CrawlDemoSpec extends SparkSpec {
       ("a.com", "User-agent: *\nAllow: /\nCrawl-delay: 7\n" +
         "Sitemap: https://a.com/sitemap.xml\n"))
       .toDF("host", "robots_txt")
-    val r = CrawlDemo.run(spark, dir, robots, out)
-    assert(r.records == 6, s"2 warcinfo + 4 responses, got ${r.records}")
-    assert(r.pages == 4 && r.extracted == 4)
-    // host edges: a→b (outlinks to b), a→a (/local1 + /nav self),
-    // b→a (outlink), b→b (/nav self) — 4 distinct edges, 2 hosts
-    assert(r.hostEdges == 4, s"edges ${r.hostEdges}")
-    assert(r.rankedHosts == 2)
-    // frontier: distinct canonical outlink urls = b.com/x, b.com/y,
-    // a.com/z, a.com/local1, a.com/nav, b.com/nav — b.com ones denied
-    assert(r.frontierAllowed == 3 && r.frontierDenied == 3,
-      s"frontier ${r.frontierAllowed}+${r.frontierDenied}")
-    // all 3 allowed URLs live on a.com, under the per-host budget of 4
-    assert(r.scheduled == 3, s"scheduled ${r.scheduled}")
-    // a.com's 7 s delay: slots 1 and 2 wait (slot 0 fetches now)
-    assert(r.delayedSlots == 2, s"delayedSlots ${r.delayedSlots}")
-    assert(r.sitemapsDiscovered == 1, s"sitemaps ${r.sitemapsDiscovered}")
-    // all four unique texts survive refinement; both exports audit
-    // clean, and the WET leg reads back through the proven reader
-    assert(r.survivors == 4 && r.auditOk, s"survivors ${r.survivors}")
-    assert(r.wetAuditOk, "WET export must audit clean")
-    val wetBack = graft.sources.Warc.readWarc(spark, out + "_wet")
-      .filter(col("warc_type") === "conversion")
-    assert(wetBack.count() == 4)
-    // the export carries the host rank column for every row
-    val exported = spark.read.parquet(out)
-    assert(exported.count() == 4)
-    assert(exported.filter(col("host_rank_micro").isNull).count() == 0,
-      "every exported doc must carry its host's rank")
-    // rank sanity: both hosts received mass (positive micro-units)
-    assert(exported.select("host_rank_micro").as[Long].collect().forall(_ > 0))
+    // fetched sitemap content: /sm1 is sitemap-ONLY discovery, /nav
+    // overlaps link discovery (dedup), b.com/smdenied is robots-gated;
+    // the unpublished.xml content must be IGNORED (no robots pointer)
+    val sitemaps = Seq(
+      ("https://a.com/sitemap.xml",
+        "<urlset><url><loc>https://a.com/sm1</loc></url>" +
+          "<url><loc>https://a.com/nav</loc></url>" +
+          "<url><loc>https://b.com/smdenied</loc></url></urlset>"),
+      ("https://a.com/unpublished.xml",
+        "<urlset><url><loc>https://a.com/ghost</loc></url></urlset>"))
+      .toDF("sitemap_url", "xml")
+    try {
+      val r = CrawlDemo.run(spark, dir, robots, out,
+        sitemaps = Some(sitemaps), frontierTable = tbl)
+      assert(r.records == 10,
+        s"2 warcinfo + 4 pages + 4 redirects, got ${r.records}")
+      assert(r.pages == 4 && r.extracted == 4)
+      // redirect side: 4 sources (moved, l1, l2, oldq); l1/l2 loop;
+      // terminals dedup to {a.com/fresh, a.com/z}
+      assert(r.redirects == 4, s"redirect edges ${r.redirects}")
+      assert(r.redirectLoops == 2, s"loops ${r.redirectLoops}")
+      assert(r.redirectTerminals == 2, s"terminals ${r.redirectTerminals}")
+      // host edges: a→b (outlinks to b), a→a (/local1 + /nav self),
+      // b→a (outlink), b→b (/nav self) — 4 distinct edges, 2 hosts
+      assert(r.hostEdges == 4, s"edges ${r.hostEdges}")
+      assert(r.rankedHosts == 2)
+      assert(r.sitemapsDiscovered == 1, s"sitemaps ${r.sitemapsDiscovered}")
+      assert(r.sitemapUrls == 3, s"sitemap urls ${r.sitemapUrls} (ghost leaked?)")
+      // discovery pool: links {b/x, b/y, a/z, a/local1, a/nav, b/nav}
+      // ∪ terminals {a/fresh, a/z} ∪ sitemap {a/sm1, a/nav, b/smdenied}
+      // = 9 distinct; b.com's 4 deny, a.com's 5 allow
+      assert(r.frontierAllowed == 5 && r.frontierDenied == 4,
+        s"frontier ${r.frontierAllowed}+${r.frontierDenied}")
+      // budget: 5 allowed a.com URLs, maxPerHost=4, equal scores →
+      // url-asc keeps fresh/local1/nav/sm1 and drops /z
+      assert(r.scheduled == 4, s"scheduled ${r.scheduled}")
+      // a.com's 7 s delay: slots 1-3 wait (slot 0 fetches now)
+      assert(r.delayedSlots == 3, s"delayedSlots ${r.delayedSlots}")
+      // all four unique texts survive refinement; both exports audit
+      // clean, and the WET leg reads back through the proven reader
+      assert(r.survivors == 4 && r.auditOk, s"survivors ${r.survivors}")
+      assert(r.wetAuditOk, "WET export must audit clean")
+      val wetBack = graft.sources.Warc.readWarc(spark, out + "_wet")
+        .filter(col("warc_type") === "conversion")
+      assert(wetBack.count() == 4)
+      // the persisted frontier holds all 5 allowed URLs; the census
+      // reports it with its row count
+      val census = r.census.collect()
+      assert(census.map(_.getString(0)).toSeq == Seq(tbl), census.mkString)
+      assert(census.head.getLong(1) == 5L, s"frontier rows ${census.head}")
+      // a re-run appends nothing (idempotent per URL) and schedules
+      // identically
+      val r2 = CrawlDemo.run(spark, dir, robots, out,
+        sitemaps = Some(sitemaps), frontierTable = tbl)
+      assert(r2.census.collect().head.getLong(1) == 5L,
+        "re-run must not grow the frontier")
+      assert(r2.scheduled == 4)
+      // the export carries the host rank column for every row
+      val exported = spark.read.parquet(out)
+      assert(exported.count() == 4)
+      assert(exported.filter(col("host_rank_micro").isNull).count() == 0,
+        "every exported doc must carry its host's rank")
+      // rank sanity: both hosts received mass (positive micro-units)
+      assert(exported.select("host_rank_micro").as[Long].collect().forall(_ > 0))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }

@@ -166,7 +166,9 @@ class PlanSpec extends SparkSpec {
       "q119_charset_decode", "q120_sitemap_parse", "q121_frontier_schedule",
       "q122_crawl_delay", "q123_warc_roundtrip",
       "q124_frontier_stream", "q125_unicode_normalize",
-      "q126_components_stream", "q127_sitemap_discovery").foreach { q =>
+      "q126_components_stream", "q127_sitemap_discovery",
+      "q128_http_decode", "q129_sitemap_frontier",
+      "q130_redirect_chains").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")

@@ -147,4 +147,34 @@ class UrlSpec extends SparkSpec {
     assert(edges == Set(("one.com", "one.com"), ("one.com", "two.com")),
       edges.toString)
   }
+
+  test("resolveRedirectChains: terminals, mid-chain sources, exact-cap chains, cycles") {
+    val redirects = Seq(
+      ("https://a.com/1", "https://a.com/2"),   // 1 → 2 → 3 → terminal
+      ("https://a.com/2", "https://a.com/3"),
+      ("https://a.com/3", "https://b.com/t"),
+      ("https://c.com/x", "https://c.com/y"),   // 2-cycle
+      ("https://c.com/y", "https://c.com/x"),
+      ("https://d.com/self", "https://d.com/self"), // self-redirect
+      ("https://e.com/one", "https://e.com/done")   // single hop
+    ).toDF("src", "dst")
+    val got = Url.resolveRedirectChains(redirects, "src", "dst", maxHops = 3)
+    val rows = got.as[(String, String, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got.unpersist()
+    // the 3-hop chain lands exactly at the cap — resolved, not looped
+    assert(rows("https://a.com/1") == (("https://b.com/t", 3, false)))
+    // mid-chain sources are rows too, with their own shorter walks
+    assert(rows("https://a.com/2") == (("https://b.com/t", 2, false)))
+    assert(rows("https://a.com/3") == (("https://b.com/t", 1, false)))
+    // cycles and self-redirects cap out with NULL terminal
+    assert(rows("https://c.com/x") == ((null, 3, true)))
+    assert(rows("https://d.com/self") == ((null, 3, true)))
+    assert(rows("https://e.com/one") == (("https://e.com/done", 1, false)))
+  }
+
+  test("resolveRedirectChains rejects a non-positive cap") {
+    intercept[IllegalArgumentException](
+      Url.resolveRedirectChains(Seq(("a", "b")).toDF("s", "d"), "s", "d", 0))
+  }
 }
