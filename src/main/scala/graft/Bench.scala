@@ -73,9 +73,131 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   * second run rode the first's warm page cache and JIT'd loops. The
   * old floor was flattering; the new one is reproducible. Judge
   * per-query deltas > 1.3x only when the query's own code changed.
+  *
+  * Isolated second figure (round-11 lesson: two rounds of "it's the
+  * neighborhood" drift attribution lived in scratch runs, not in the
+  * committed artifact): after the battery, every query whose
+  * in-battery min exceeded SPARK_GRAFT_ISOLATED_MIN_SEC (default
+  * 1.5 s, cap SPARK_GRAFT_ISOLATED_MAX=16) re-measures in a FRESH
+  * child JVM — one per query, parent session stopped first — under
+  * the ScratchTiming protocol (q04 warm-up, min-of-2 back-to-back,
+  * young heap, near-empty catalog). The JSON carries "isolated"
+  * (per-query) and "isolated_total" (isolated where measured,
+  * in-battery min elsewhere): a regression with a cause in the code
+  * moves BOTH figures, neighborhood drift moves only the in-battery
+  * one. SPARK_GRAFT_ISOLATED=0 skips the leg.
   */
 object Bench {
   private val canaryAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Child-JVM isolated measurement (see the isolated-figure note in
+    * [[main]]): fresh session, q04 warm-up, min-of-2 back-to-back per
+    * name with the cache cleared between — the exact ScratchTiming
+    * protocol, now emitted by the harness itself so cross-round drift
+    * attribution ships in BENCH_r*.json instead of ad-hoc scratch
+    * runs. Prints one `ISOLATED <name> <sec>` line per query. */
+  private def isolatedChild(sfDir: String, names: Seq[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-bench-isolated")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries.get("q04_lineitem_agg").foreach(f => f(spark, sfDir).count())
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def attempt(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        sec
+      }
+      val sec = try math.min(attempt(), attempt())
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-isolated] $name failed: ${e.getMessage}")
+        -1.0
+      }
+      println(f"ISOLATED $name $sec%.3f")
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+
+  /** Spawn one fresh JVM per heavyweight query and collect its
+    * isolated timing. Same classpath and -Xmx as this JVM; a child
+    * that fails or exceeds the cap records -1 and the bench goes on —
+    * the isolated leg must never kill the run. */
+  private def isolatedFigures(sfDir: String, names: Seq[String],
+                              perChildTimeoutSec: Long): Map[String, Double] = {
+    if (names.isEmpty) return Map.empty
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cp = System.getProperty("java.class.path")
+    import scala.jdk.CollectionConverters._
+    // carry over heap sizing and the JDK-17 module opens Spark needs;
+    // --add-opens/--add-exports are TWO argv tokens (flag, then value)
+    val parentArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val memFlags = {
+      val b = Seq.newBuilder[String]
+      var rest = parentArgs
+      while (rest.nonEmpty) {
+        rest match {
+          case a :: v :: t if a == "--add-opens" || a == "--add-exports" =>
+            b += a += v; rest = t
+          case a :: t =>
+            if (a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+                a.startsWith("--add-opens=") || a.startsWith("--add-exports="))
+              b += a
+            rest = t
+          case Nil => rest = Nil
+        }
+      }
+      b.result()
+    }
+    names.flatMap { name =>
+      try {
+        val cmd = (Seq(javaBin) ++ memFlags ++
+          Seq("-cp", cp, "graft.Bench", "isolated", sfDir, name)).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        // drain stderr so the child can't block on a full pipe
+        new Thread(() => {
+          val err = new java.io.BufferedReader(
+            new java.io.InputStreamReader(p.getErrorStream))
+          var l = err.readLine()
+          while (l != null) l = err.readLine()
+        }).start()
+        val out = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        val reader = new Thread(() => {
+          var l = out.readLine()
+          while (l != null) { lines += l; l = out.readLine() }
+        })
+        reader.start()
+        val done = p.waitFor(perChildTimeoutSec, TimeUnit.SECONDS)
+        if (!done) {
+          System.err.println(s"[bench] isolated $name exceeded ${perChildTimeoutSec}s — killed")
+          p.destroyForcibly(); p.waitFor()
+        }
+        reader.join(5000)
+        lines.collect {
+          case l if l.startsWith(s"ISOLATED $name ") =>
+            name -> l.substring(s"ISOLATED $name ".length).toDouble
+        }.headOption.orElse(Some(name -> -1.0))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] isolated $name spawn failed: ${e.getMessage}")
+        Some(name -> -1.0)
+      }
+    }.toMap
+  }
 
   /** One fixed-work canary sample: `threads` concurrent xorshift64
     * loops of `itersPerThread` steps each. Pure JVM (no Spark, no
@@ -127,6 +249,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "isolated") {
+      isolatedChild(args(1), args(2).split(",").toSeq)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
@@ -226,9 +352,37 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val gcs = results.map { case (k, _, g) => "\"" + k + f"\":$g%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gc":$gcs,"io_before":$ioBefore%.3f,"io_after":$ioAfter%.3f,"canary_before":$canaryBefore%.3f,"canary_after":$canaryAfter%.3f,"canary_ref":$canaryRef%.3f,"tainted":$tainted}""")
     pool.shutdownNow()
+
+    // The ISOLATED second figure (round-11 "bench neighborhood" drift
+    // needed receipts in the harness, not in scratch files): every
+    // query whose in-battery min exceeds SPARK_GRAFT_ISOLATED_MIN_SEC
+    // (default 1.5 s — the heavyweights whose drift moves the total)
+    // re-measures in a FRESH child JVM, one per query, with the
+    // ScratchTiming protocol (min-of-2 back-to-back, young heap,
+    // |1|-sized catalog). The parent session stops FIRST so children
+    // measure on an idle machine. "isolated_total" substitutes the
+    // isolated time where measured and the in-battery min elsewhere —
+    // comparable-query drift with a cause in the code moves BOTH
+    // figures; neighborhood drift moves only the in-battery one.
+    // SPARK_GRAFT_ISOLATED=0 skips the leg entirely.
     spark.stop()
+    val isolatedOn = !sys.env.get("SPARK_GRAFT_ISOLATED").contains("0")
+    val isoMinSec = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_MIN_SEC", "1.5").toDouble
+    val isoMax = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_MAX", "16").toInt
+    val heavyweights =
+      if (isolatedOn)
+        results.filter(_._2 >= isoMinSec).sortBy(-_._2).take(isoMax).map(_._1)
+      else Seq.empty
+    val isolated = isolatedFigures(sfDir, heavyweights,
+      perChildTimeoutSec = 2 * timeoutSec + 60)
+    val isoJson = isolated.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val isolatedTotal = results.map { case (name, best, _) =>
+      isolated.get(name).filter(_ >= 0).getOrElse(best)
+    }.filter(_ >= 0).sum
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gc":$gcs,"isolated":$isoJson,"isolated_total":$isolatedTotal%.3f,"io_before":$ioBefore%.3f,"io_after":$ioAfter%.3f,"canary_before":$canaryBefore%.3f,"canary_after":$canaryAfter%.3f,"canary_ref":$canaryRef%.3f,"tainted":$tainted}""")
     sys.exit(0)
   }
 }

@@ -3292,6 +3292,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unicode normalization COMPOSED into the dedup path (q125 proves
+    // the kernel; this proves the composition): each doc ships as two
+    // byte-DIFFERENT, visually-identical variants — composed é +
+    // curly quotes vs decomposed e‌+◌́ + ASCII quotes — and they must
+    // collapse to ONE group under fingerprintMd5∘normalizeUnicode
+    // while their raw digests stay distinct (n_raw_digests = 2 pins
+    // that the collapse is the normalizer's doing, not an accident).
+    "q131_normalized_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.select(col("doc_id").as("id"),
+          concat(lit("café “q” "), col("text")).as("raw"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("id"),
+          concat(lit("café \"q\" "), col("text")).as("raw")))
+      variants
+        .select(col("id"),
+          graft.functions.Text.fingerprintMd5(
+            graft.functions.Text.normalizeUnicode(col("raw"), form = "NFKC"))
+            .as("digest"),
+          md5(col("raw")).as("raw_digest"))
+        .groupBy("digest")
+        .agg(min("id").as("keeper"), count(lit(1)).as("n_copies"),
+          countDistinct(col("raw_digest")).as("n_raw_digests"))
+        .orderBy("digest")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -6029,6 +6054,20 @@ object SparkEntry {
       """SELECT doc_id, doc_id % 5 AS mode,
                 'decoded ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
          FROM documents ORDER BY doc_id""",
+
+    // q131: the oracle re-derives the digest from the NORMALIZED
+    // closed form (composed é, ASCII quotes — what NFKC+folding must
+    // produce from both variants) through the q20 fingerprint
+    // pipeline; n_copies = 2 per underlying text occurrence and
+    // n_raw_digests = 2 pin that two byte-distinct variants collapsed.
+    "q131_normalized_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(
+                  lower('café "q" ' || text),
+                  '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'))) AS digest,
+                min(doc_id) AS keeper,
+                CAST(2 * count(1) AS BIGINT) AS n_copies,
+                CAST(2 AS BIGINT) AS n_raw_digests
+         FROM documents GROUP BY 1 ORDER BY digest""",
 
     // q129: three slots per host in closed form — /sm/a (in both
     // feeds, deduped, best score 5), /sm/b (sitemap-only, 5, url

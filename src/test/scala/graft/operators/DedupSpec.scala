@@ -423,4 +423,29 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.dedupSubstrings(docs, "doc_id", "text", k = 1))
   }
+
+  test("normalizeUnicode ahead of the fingerprint collapses visually-identical byte-variants") {
+    import graft.functions.Text
+    // composed é + curly quotes vs decomposed e+◌́ + ASCII quotes vs
+    // NBSP/zero-width decoration: three byte-distinct renderings of
+    // the SAME page text
+    val variants = Seq(
+      (1L, "café “quoted” body"),
+      (2L, "café \"quoted\" body"),
+      (3L, "café​ \"quoted\" body"),
+      (4L, "a genuinely different body")).toDF("id", "raw")
+    val digests = variants.select(col("id"),
+        Text.fingerprintMd5(col("raw")).as("raw_fp"),
+        Text.fingerprintMd5(Text.normalizeUnicode(col("raw"), form = "NFKC"))
+          .as("norm_fp"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    // raw fingerprints do NOT collapse the variants: curly quotes,
+    // the combining mark, ZWSP, and NBSP all survive normalizeText
+    assert(digests.map(_._2).distinct.length == 4,
+      s"raw fingerprints unexpectedly collapsed: $digests")
+    // normalized fingerprints collapse 1=2=3 and keep 4 apart
+    assert(digests(0)._3 == digests(1)._3 && digests(1)._3 == digests(2)._3,
+      s"variants did not collapse: $digests")
+    assert(digests(3)._3 != digests(0)._3)
+  }
 }
