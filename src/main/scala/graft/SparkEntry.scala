@@ -389,6 +389,52 @@ object SparkEntry {
     wdir
   }
 
+  /** Build-once WARC fixture for q132: every doc a digest-stamped
+    * response (`WARC-Payload-Digest` = sha1-base32 of the HTTP body —
+    * the CommonCrawl convention), and every doc_id%4==3 additionally a
+    * `revisit` record whose digest points at doc_id−1's body — the
+    * refetch-dedup pointer a real crawl emits instead of storing the
+    * duplicate payload. */
+  private def ensureRevisitWarcDir(s: SparkSession, dir: String): String = {
+    val wdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q132_warc_${docsTag(s, dir)}").toString
+    val root = new java.io.File(wdir)
+    if (!root.exists()) {
+      val stage = new java.io.File(wdir + "_stage")
+      if (stage.exists()) stage.listFiles().foreach(_.delete())
+      stage.mkdirs()
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      val bodyOf = rows.toMap.map { case (id, text) =>
+        id -> s"revisit fixture $id $text"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+      val W = graft.sources.Warc
+      rows.groupBy(_._1 / 25).foreach { case (seg, docs) =>
+        val records = docs.map(_._1).sorted.flatMap { id =>
+          val body = bodyOf(id)
+          val resp = ("response",
+            s"https://site${id % 20}.example.com/dir/page$id.html",
+            W.httpResponse(body),
+            Seq(s"WARC-Payload-Digest: ${W.sha1Base32(body)}"))
+          if (id % 4 == 3 && bodyOf.contains(id - 1)) Seq(resp,
+            ("revisit",
+              s"https://site${id % 20}.example.com/dup/page$id.html",
+              Array.empty[Byte],
+              Seq(s"WARC-Payload-Digest: ${W.sha1Base32(bodyOf(id - 1))}")))
+          else Seq(resp)
+        }.toSeq
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stage.toString, f"seg-$seg%05d.warc"),
+          W.buildSegmentWithHeaders(records))
+      }
+      if (!stage.renameTo(root)) {
+        require(root.exists(), s"WARC fixture rename failed for $wdir")
+      }
+    }
+    wdir
+  }
+
   /** The q56/q56b corpus: documents plus docs 0-4 cloned at id+300000
     * with a sub-k marker suffix (contributes no shared 30-gram of its
     * own, so each clone must pair with its source via surviving
@@ -3267,6 +3313,37 @@ object SparkEntry {
         .orderBy("host", "host_slot")
     }),
 
+    // WARC revisit-record dedup (the CommonCrawl refetch convention:
+    // a re-crawled URL whose payload digest matches a stored response
+    // ships as a payload-less `revisit` record carrying
+    // WARC-Payload-Digest): revisits join back to their original via
+    // the digest — a |revisits|⋈|responses| hash join on the digest
+    // key, never a byte comparison — and digest_ok re-derives each
+    // response's sha1-base32 from its decoded body and compares it to
+    // the header, proving the parser surfaces the digest AND the body
+    // bytes that produced it. Every pointer closed-form (revisit id →
+    // id−1).
+    "q132_revisit_dedup" -> ((s, dir) => {
+      val wdir = ensureRevisitWarcDir(s, dir)
+      val recs = graft.sources.Warc.readWarc(s, wdir)
+      val responses = recs.filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "page(\\d+)\\.html", 1)
+            .cast("long").as("orig_id"),
+          col("target_uri").as("orig_uri"),
+          col("payload_digest").as("digest"),
+          (col("payload_digest") <=>
+            graft.sources.Warc.digestColumn(col("body"))).as("digest_ok"))
+      val revisits = recs.filter(col("warc_type") === "revisit")
+        .select(
+          regexp_extract(col("target_uri"), "page(\\d+)\\.html", 1)
+            .cast("long").as("revisit_id"),
+          col("payload_digest").as("digest"))
+      revisits.join(responses, Seq("digest"))
+        .select("revisit_id", "orig_id", "orig_uri", "digest_ok")
+        .orderBy("revisit_id")
+    }),
+
     // Redirect handling (Url.resolveRedirectChains over the
     // http_location column the WARC reader now surfaces): 301/302
     // chains with a relative first hop and a cross-host second hop
@@ -6089,6 +6166,17 @@ object SparkEntry {
          SELECT host, CAST(2 AS INT), root || '/ln/d.html', CAST(3 AS BIGINT)
          FROM h
          ORDER BY host, host_slot""",
+
+    // q132: every %4==3 doc's revisit resolves to doc_id−1's response
+    // in closed form; digest_ok must be uniformly true (one corrupted
+    // digest or body byte breaks the hash).
+    "q132_revisit_dedup" ->
+      """SELECT doc_id AS revisit_id, doc_id - 1 AS orig_id,
+                'https://site' || CAST((doc_id - 1) % 20 AS VARCHAR) ||
+                  '.example.com/dir/page' || CAST(doc_id - 1 AS VARCHAR) ||
+                  '.html' AS orig_uri,
+                true AS digest_ok
+         FROM documents WHERE doc_id % 4 = 3 ORDER BY revisit_id""",
 
     // q130: terminals and loop verdicts re-derived from the chain
     // template — non-loop docs land on the NEXT host's /final after

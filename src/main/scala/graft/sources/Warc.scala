@@ -57,6 +57,7 @@ object Warc {
   final case class WarcRecord(segment_path: String, record_index: Int,
                               warc_type: String, target_uri: String,
                               warc_date: String, content_length: Long,
+                              payload_digest: Option[String],
                               http_status: Option[Int],
                               http_content_type: Option[String],
                               http_location: Option[String],
@@ -147,6 +148,7 @@ object Warc {
           var wtype: String = null
           var uri: String = null
           var date: String = null
+          var digest: String = null
           var clen = -1L
           var h = readLineStream(in)
           while (h != null && h.nonEmpty) {
@@ -158,6 +160,7 @@ object Warc {
                 case "warc-type" => wtype = v
                 case "warc-target-uri" => uri = v
                 case "warc-date" => date = v
+                case "warc-payload-digest" => digest = v
                 case "content-length" =>
                   try clen = v.toLong catch { case _: NumberFormatException => () }
                 case _ => ()
@@ -174,7 +177,7 @@ object Warc {
             if (wtype == "response") parseHttp(payload)
             else (None, None, None, payload)
           nextRec = WarcRecord(path, idx, wtype, uri, date, clen,
-            status, ctype, loc, body)
+            Option(digest), status, ctype, loc, body)
           idx += 1
         } catch {
           case _: java.io.IOException => done = true; close()
@@ -345,18 +348,47 @@ object Warc {
     * export bytes can never drift apart. */
   private def writeRecord(out: java.io.OutputStream, wtype: String,
                           uri: String, payload: Array[Byte],
-                          date: String): Unit = {
+                          date: String,
+                          extraHeaders: Seq[String] = Nil): Unit = {
     val hdr = new StringBuilder()
       .append("WARC/1.0\r\n")
       .append(s"WARC-Type: $wtype\r\n")
     if (uri != null) hdr.append(s"WARC-Target-URI: $uri\r\n")
     hdr.append(s"WARC-Date: $date\r\n")
-      .append(s"Content-Length: ${payload.length}\r\n")
+    extraHeaders.foreach(h => hdr.append(h).append("\r\n"))
+    hdr.append(s"Content-Length: ${payload.length}\r\n")
       .append("\r\n")
     out.write(hdr.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
     out.write(payload)
     out.write(Crlf); out.write(Crlf)
   }
+
+  /** CommonCrawl's payload-digest form: `sha1:` + RFC 4648 base32 of
+    * the SHA-1 over the payload bytes — the value a `revisit` record
+    * carries to point at the response whose body it re-fetched. One
+    * pass, scalar; [[digestColumn]] is the corpus form. */
+  def sha1Base32(payload: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(payload)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new java.lang.StringBuilder(32)
+    var buf = 0L
+    var bits = 0
+    var i = 0
+    while (i < d.length) {
+      buf = (buf << 8) | (d(i) & 0xFFL); bits += 8
+      while (bits >= 5) {
+        sb.append(alphabet.charAt(((buf >> (bits - 5)) & 31L).toInt))
+        bits -= 5
+      }
+      i += 1
+    }
+    if (bits > 0) sb.append(alphabet.charAt(((buf << (5 - bits)) & 31L).toInt))
+    "sha1:" + sb.toString
+  }
+
+  /** Column form of [[sha1Base32]] over a binary payload column. */
+  def digestColumn(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((b: Array[Byte]) => if (b == null) null else sha1Base32(b)).apply(payload)
 
   /** Build WARC segment bytes from `(warc_type, target_uri, payload)`
     * triples — the fixture/export half (and what the q115 oracle
@@ -368,6 +400,19 @@ object Warc {
     val out = new java.io.ByteArrayOutputStream()
     records.foreach { case (wtype, uri, payload) =>
       writeRecord(out, wtype, uri, payload, date)
+    }
+    out.toByteArray
+  }
+
+  /** [[buildSegment]] with per-record extra WARC headers
+    * (`WARC-Payload-Digest: …` for revisit fixtures and
+    * digest-stamped responses). */
+  def buildSegmentWithHeaders(
+      records: Seq[(String, String, Array[Byte], Seq[String])],
+      date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { case (wtype, uri, payload, hdrs) =>
+      writeRecord(out, wtype, uri, payload, date, hdrs)
     }
     out.toByteArray
   }

@@ -168,7 +168,8 @@ class PlanSpec extends SparkSpec {
       "q124_frontier_stream", "q125_unicode_normalize",
       "q126_components_stream", "q127_sitemap_discovery",
       "q128_http_decode", "q129_sitemap_frontier",
-      "q130_redirect_chains", "q131_normalized_dedup").foreach { q =>
+      "q130_redirect_chains", "q131_normalized_dedup",
+      "q132_revisit_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")

@@ -236,6 +236,29 @@ class WarcSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_tmp-")))
   }
 
+  test("WARC-Payload-Digest surfaces; sha1Base32 matches the CommonCrawl form") {
+    // the canonical known answer: SHA-1 of the EMPTY payload in
+    // RFC 4648 base32 — the digest every crawler emits for 0-byte
+    // bodies, quoted verbatim across WARC tooling
+    assert(Warc.sha1Base32(Array.empty[Byte]) ==
+      "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    val body = ascii("<p>digest me</p>")
+    val seg = Warc.buildSegmentWithHeaders(Seq(
+      ("response", "http://a.com/x", Warc.httpResponse(body),
+        Seq(s"WARC-Payload-Digest: ${Warc.sha1Base32(body)}")),
+      ("revisit", "http://a.com/x2", Array.empty[Byte],
+        Seq(s"WARC-Payload-Digest: ${Warc.sha1Base32(body)}")),
+      ("response", "http://a.com/y", Warc.httpResponse(ascii("other")),
+        Seq.empty[String])))
+    val recs = Warc.parseSegment("s", seg)
+    assert(recs(0).payload_digest.contains(Warc.sha1Base32(body)))
+    // the digest the header carries is the digest of the PARSED body
+    assert(recs(0).payload_digest.contains(Warc.sha1Base32(recs(0).body)))
+    assert(recs(1).warc_type == "revisit" &&
+      recs(1).payload_digest == recs(0).payload_digest)
+    assert(recs(2).payload_digest.isEmpty, "undigested record must stay NULL")
+  }
+
   test("readWarc: one row per record over real segment files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc").toString
     (0 until 3).foreach { i =>
