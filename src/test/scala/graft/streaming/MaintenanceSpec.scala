@@ -396,6 +396,39 @@ class MaintenanceSpec extends SparkSpec {
     } finally dropGraph(tbl)
   }
 
+  test("streamingGraphEdges checkpoint restart re-delivers without state damage") {
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "graft_maint_graph_rs"
+    dropGraph(tbl)
+    val ckpt = Files.createTempDirectory("maint_graph_rs").toString
+    val all = graphFixture
+    val (run1, run2) = all.splitAt(all.size / 2)
+    val mem = MemoryStream[(Long, Long)]
+    val q1 = Maintenance.streamingGraphEdges(
+      mem.toDF().toDF("src", "dst"), "src", "dst", tbl, ckpt, buckets = 4)
+    try { mem.addData(run1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = Maintenance.streamingGraphEdges(
+      mem.toDF().toDF("src", "dst"), "src", "dst", tbl, ckpt, buckets = 4)
+    try {
+      mem.addData(run2: _*)
+      q2.processAllAvailable()
+      Seq(tbl, s"${tbl}_nodes").foreach(spark.catalog.refreshTable)
+      // the restarted stream continued the ledger: final state equals
+      // the one-shot derivation — a re-merged batch would distort no
+      // row sets (the merge re-collapses) but WOULD waste a swap, and
+      // a skipped batch would lose edges; equality pins both
+      val expect = graft.operators.Graph.edgesWithOutDegree(
+        all.toDF("src", "dst"), "src", "dst")
+      val got = spark.table(tbl)
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        "restart damaged the edge state")
+      val lastBatch = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .properties.get("graft.maintenance.lastBatch").map(_.toLong)
+      assert(lastBatch.contains(1L), s"ledger high water: $lastBatch")
+    } finally { q2.stop(); dropGraph(tbl) }
+  }
+
   test("src bucketing survives the ledgered staged swap (q95b serve shape holds)") {
     implicit val sqlCtx = spark.sqlContext
     val tbl = "graft_maint_graph_bkt"
