@@ -3394,6 +3394,58 @@ object SparkEntry {
         .orderBy("digest")
     }),
 
+    // The WET export's STREAMING leg (Maintenance.streamingTextSegments
+    // — a continuous crawl emits segment sets per batch, CommonCrawl's
+    // actual publication shape): the corpus streams in 3 micro-batches,
+    // each writing its own batch-<id>/ subtree (per-record gzip
+    // members, manifest, rename-on-commit; replay = byte-identical
+    // overwrite, no ledger needed), and the tree reads back + audits
+    // through the q123 roundtrip oracle VERBATIM — streamed arrival
+    // must not change one byte.
+    "q133_wet_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q133_wet_${docsTag(s, dir)}").toString
+      val done = new java.io.File(root, "_graft_done")
+      if (!done.exists()) {
+        val docs = t(s, dir, "documents").select(
+            concat(lit("https://site"),
+              pmod(col("doc_id"), lit(20)).cast("string"),
+              lit(".example.com/doc"), col("doc_id").cast("string")).as("uri"),
+            col("text"))
+          .as[(String, String)].collect().sortBy(_._1)
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, String)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q133_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingTextSegments(
+          mem.toDF().toDF("uri", "text"), "uri", "text", root, ckpt)
+        try {
+          docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        java.nio.file.Files.createFile(done.toPath)
+        ()
+      }
+      val audited = graft.sources.Warc.auditAllTextSegments(s, root)
+        .filter(!col("ok")).count()
+      graft.sources.Warc.readWarc(s, s"$root/batch-*")
+        .filter(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "doc(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          graft.operators.Charset.decodeText(
+            col("body"), lit(null).cast("string")).as("d"),
+          length(col("body")).cast("long").as("n_bytes"))
+        .select(col("doc_id"), col("d.charset").as("charset"),
+          col("d.text").as("text"), col("n_bytes"),
+          lit(audited).as("audit_failures"))
+        .orderBy("doc_id")
+    }),
+
     // The full pairwise drift dashboard: JS divergence between EVERY
     // language-slice pair in one plan (densified bucket grid
     // self-joined on bucket — never |groups|² separate passes), exact
@@ -6166,6 +6218,15 @@ object SparkEntry {
          SELECT host, CAST(2 AS INT), root || '/ln/d.html', CAST(3 AS BIGINT)
          FROM h
          ORDER BY host, host_slot""",
+
+    // q133: streamed arrival changes WHERE the segments live, not one
+    // byte of them — the oracle is q123's roundtrip closed form once
+    // more (exact text, strict-UTF-8 rung, zero audit failures).
+    "q133_wet_stream" ->
+      """SELECT doc_id, 'utf-8' AS charset, text,
+                CAST(len(text) AS BIGINT) AS n_bytes,
+                CAST(0 AS BIGINT) AS audit_failures
+         FROM documents ORDER BY doc_id""",
 
     // q132: every %4==3 doc's revisit resolves to doc_id−1's response
     // in closed form; digest_ok must be uniformly true (one corrupted

@@ -287,9 +287,15 @@ object Url {
   def resolveRedirectChains(redirects: DataFrame, srcCol: String,
                             dstCol: String, maxHops: Int = 8): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    // ONE pointer per source, deterministically (min target): a URL
+    // captured twice with CONFLICTING Locations would otherwise fan
+    // out multiplicatively at every hop and emit several rows per
+    // source — a real capture re-fetches URLs across days, so the
+    // conflict is the norm, not the exception
     val edges = redirects
       .select(col(srcCol).as("__e_src"), col(dstCol).as("__e_dst"))
-      .na.drop().distinct()
+      .na.drop()
+      .groupBy("__e_src").agg(min(col("__e_dst")).as("__e_dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var state = edges.select(col("__e_src").as("url"),
       col("__e_dst").as("cur"), lit(1).as("hops"), lit(false).as("done"))

@@ -630,6 +630,31 @@ object Warc {
       .write.mode("overwrite").parquet(s"$path/_graft_warc_manifest")
   }
 
+  /** Audit EVERY `batch-*` subtree under a
+    * [[graft.streaming.Maintenance.streamingTextSegments]] archive
+    * root in one pass per batch: `(batch_dir, segment, n_records,
+    * payload_bytes, ok)`. The directory listing is driver-side and
+    * |batches|-sized; each subtree audit is the one-scan
+    * [[auditTextSegments]]. */
+  def auditAllTextSegments(spark: SparkSession, root: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch-")).map(_.getPath).sortBy(_.getName)
+    val audits = batches.map { b =>
+      auditTextSegments(spark, b.toString)
+        .select(lit(b.getName).as("batch_dir"), col("segment"),
+          col("n_records"), col("payload_bytes"), col("ok"))
+    }
+    audits.reduceOption(_.unionByName(_)).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, String, Long, Long, Boolean)]
+        .toDF("batch_dir", "segment", "n_records", "payload_bytes", "ok")
+    }
+  }
+
   /** Re-audit a [[writeTextSegments]] export against its manifest in
     * one reader pass: `(segment, n_records, payload_bytes, ok)` — a
     * lost segment, a torn tail, or a corrupted payload flips `ok`. */

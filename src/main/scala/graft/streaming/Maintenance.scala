@@ -349,6 +349,33 @@ object Maintenance {
       }
       .start()
 
+  /** Keep a WET interchange archive continuously written from a
+    * refined-text stream — the streaming half of the q123 export sink
+    * (the archive a continuous crawl actually emits: CommonCrawl
+    * publishes WET segment sets per crawl batch, not one monolith):
+    * each micro-batch writes its own `batch-<id>/` subtree through
+    * [[graft.sources.Warc.writeTextSegments]] (per-record gzip
+    * members, manifest, rename-on-commit). Replay-safe WITHOUT a
+    * ledger: the subtree write is a whole-directory overwrite keyed by
+    * the batch id, so a re-delivered batch rewrites byte-identical
+    * segments in place. Audit the whole tree any time with
+    * [[graft.sources.Warc.auditAllTextSegments]] (battery q133 streams
+    * the corpus in 3 batches and answers the q123 roundtrip oracle
+    * verbatim). */
+  def streamingTextSegments(stream: DataFrame, uriCol: String,
+                            textCol: String, root: String,
+                            checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Warc.writeTextSegments(
+            batch.toDF(), uriCol, textCol, s"$root/batch-$batchId")
+          ()
+        }
+      }
+      .start()
+
   /** Keep a persisted component catalog
     * ([[graft.operators.Components.appendToComponentsTable]])
     * continuously absorbed from a near-duplicate PAIR stream — the

@@ -173,6 +173,22 @@ class UrlSpec extends SparkSpec {
     assert(rows("https://e.com/one") == (("https://e.com/done", 1, false)))
   }
 
+  test("conflicting captures of one source collapse to one deterministic pointer") {
+    // the same URL captured twice with different Locations (re-fetch
+    // across days): one row out, min target wins, no fan-out
+    val redirects = Seq(
+      ("https://a.com/x", "https://a.com/new2"),
+      ("https://a.com/x", "https://a.com/new1"),
+      ("https://a.com/new1", "https://a.com/t")).toDF("src", "dst")
+    val got = Url.resolveRedirectChains(redirects, "src", "dst", maxHops = 4)
+    val rows = got.as[(String, String, Int, Boolean)].collect().sortBy(_._1)
+    got.unpersist()
+    assert(rows.count(_._1 == "https://a.com/x") == 1, rows.mkString)
+    assert(rows.toSeq == Seq(
+      ("https://a.com/new1", "https://a.com/t", 1, false),
+      ("https://a.com/x", "https://a.com/t", 2, false)), rows.mkString)
+  }
+
   test("resolveRedirectChains rejects a non-positive cap") {
     intercept[IllegalArgumentException](
       Url.resolveRedirectChains(Seq(("a", "b")).toDF("s", "d"), "s", "d", 0))

@@ -317,6 +317,53 @@ class MaintenanceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingTextSegments archives batch subtrees; replay leaves the record set unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("maint_wet").toString + "/archive"
+    val ckpt = Files.createTempDirectory("maint_wet_ckpt").toString
+    val all = (0 until 30).map(i => (s"https://h.com/d$i", s"streamed text $i ā"))
+    val mem = MemoryStream[(String, String)]
+    val q = Maintenance.streamingTextSegments(
+      mem.toDF().toDF("uri", "text"), "uri", "text", root, ckpt)
+    try {
+      var delivered = Seq.empty[(String, String)]
+      for (batch <- all.grouped(10)) {
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+        delivered = delivered ++ batch
+        val back = graft.sources.Warc.readWarc(spark, s"$root/batch-*")
+          .filter(col("warc_type") === "conversion")
+          .select(col("target_uri"),
+            graft.operators.Charset.decodeText(col("body"),
+              lit(null).cast("string")).getField("text").as("t"))
+          .as[(String, String)].collect().toSeq.sorted
+        assert(back == delivered.sorted, s"archive diverged at ${delivered.size}")
+        assert(graft.sources.Warc.auditAllTextSegments(spark, root)
+          .filter(!col("ok")).isEmpty, "audit flagged a clean archive")
+      }
+    } finally q.stop()
+    // replay: re-delivering a batch rewrites its OWN subtree only —
+    // whole-directory overwrite keyed by batch id — so the archive's
+    // record set and audit are unchanged (byte identity additionally
+    // holds when the replayed partitioning matches, which a real
+    // foreachBatch re-delivery has; a deliberately DIFFERENT
+    // partitioning here proves the stronger set-level idempotence)
+    val b0 = new java.io.File(root).listFiles().filter(_.getName == "batch-0").head
+    graft.sources.Warc.writeTextSegments(
+      all.take(10).toDF("uri", "text").repartition(4), "uri", "text", b0.toString)
+    val back = graft.sources.Warc.readWarc(spark, s"$root/batch-*")
+      .filter(col("warc_type") === "conversion")
+      .select(col("target_uri"),
+        graft.operators.Charset.decodeText(col("body"),
+          lit(null).cast("string")).getField("text").as("t"))
+      .as[(String, String)].collect().toSeq.sorted
+    assert(back == all.sorted.toSeq, "replayed batch changed the record set")
+    // audit still clean over the whole tree, one subtree per batch
+    val audit = graft.sources.Warc.auditAllTextSegments(spark, root)
+    assert(audit.filter(!col("ok")).isEmpty)
+    assert(audit.select("batch_dir").distinct().count() == 3)
+  }
+
   // --- streaming graph maintenance (the q95c leg) ---
 
   /** Star (1 → 2..10) + chain (20 → 21 → … → 30): the star's source
