@@ -3394,6 +3394,25 @@ object SparkEntry {
         .orderBy("digest")
     }),
 
+    // Apex-level politeness budgets (Frontier.scheduleByKey with
+    // Url.apexDomain — the Heritrix queue-by-assignment-domain knob):
+    // 20 sibling site{k}.example.com hosts fold to ONE apex and must
+    // share one budget of 5 — the top-5 scores win, slots by score
+    // desc; a per-HOST budget would schedule all 20. Closed-form.
+    "q134_apex_budget" -> ((s, dir) => {
+      val urls = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(20)).as("k")).distinct()
+        .select(
+          concat(lit("https://site"), col("k").cast("string"),
+            lit(".example.com/page"), col("k").cast("string"),
+            lit(".html")).as("url"),
+          col("k").as("score"))
+      graft.operators.Frontier.scheduleByKey(urls,
+          graft.operators.Url.apexDomain(col("url")), "url", "score",
+          maxPerKey = 5)
+        .orderBy("host_slot")
+    }),
+
     // The WET export's STREAMING leg (Maintenance.streamingTextSegments
     // — a continuous crawl emits segment sets per batch, CommonCrawl's
     // actual publication shape): the corpus streams in 3 micro-batches,
@@ -6218,6 +6237,16 @@ object SparkEntry {
          SELECT host, CAST(2 AS INT), root || '/ln/d.html', CAST(3 AS BIGINT)
          FROM h
          ORDER BY host, host_slot""",
+
+    // q134: the shared-apex budget in closed form — of 20 sibling
+    // hosts scored 0..19, exactly the top 5 schedule, slot = 19−score.
+    "q134_apex_budget" ->
+      """WITH k AS (SELECT DISTINCT doc_id % 20 AS k FROM documents)
+         SELECT 'example.com' AS host, CAST(19 - k AS INT) AS host_slot,
+                'https://site' || CAST(k AS VARCHAR) || '.example.com/page'
+                  || CAST(k AS VARCHAR) || '.html' AS url,
+                CAST(k AS BIGINT) AS score
+         FROM k WHERE k >= 15 ORDER BY host_slot""",
 
     // q133: streamed arrival changes WHERE the segments live, not one
     // byte of them — the oracle is q123's roundtrip closed form once

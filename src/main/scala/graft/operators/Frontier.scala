@@ -85,14 +85,26 @@ object Frontier {
     * order for politeness: `ORDER BY host_slot, score DESC`
     * (wave-major). */
   def schedule(urls: DataFrame, urlCol: String, scoreCol: String,
-               maxPerHost: Int): DataFrame = {
-    require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
-    urls.select(Url.host(col(urlCol)).as("host"),
+               maxPerHost: Int): DataFrame =
+    scheduleByKey(urls, Url.host(col(urlCol)), urlCol, scoreCol, maxPerHost)
+
+  /** [[schedule]] under an ARBITRARY politeness key: group by any
+    * derivable Column — [[Url.apexDomain]] so a registrant's many
+    * subdomains share one budget (the Heritrix "queue by assignment
+    * domain" knob), a resolved IP block, a tenant id. Output keeps the
+    * `(host, host_slot, url, score)` shape; `host` carries the KEY's
+    * value. Same bounded best-k plan: partial aggregates before the
+    * one O(keys×k) exchange, never a per-key window. Battery q134
+    * budgets 20 sibling hosts under their shared apex closed-form. */
+  def scheduleByKey(urls: DataFrame, key: Column, urlCol: String,
+                    scoreCol: String, maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    urls.select(key.as("host"),
         col(urlCol).as("__url"),
         coalesce(col(scoreCol).cast("long"), lit(0L)).as("__score"))
       .filter(col("host").isNotNull)
       .groupBy("host")
-      .agg(urlTopK(maxPerHost)(col("__url"), col("__score")).as("top"))
+      .agg(urlTopK(maxPerKey)(col("__url"), col("__score")).as("top"))
       .select(col("host"), posexplode(col("top")).as(Seq("host_slot", "s")))
       .select(col("host"), col("host_slot"),
         col("s.url").as("url"), col("s.score").as("score"))

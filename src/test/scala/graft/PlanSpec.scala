@@ -169,7 +169,8 @@ class PlanSpec extends SparkSpec {
       "q126_components_stream", "q127_sitemap_discovery",
       "q128_http_decode", "q129_sitemap_frontier",
       "q130_redirect_chains", "q131_normalized_dedup",
-      "q132_revisit_dedup", "q133_wet_stream").foreach { q =>
+      "q132_revisit_dedup", "q133_wet_stream",
+      "q134_apex_budget").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")

@@ -77,6 +77,26 @@ class FrontierSpec extends SparkSpec {
       Frontier.schedule(urls, "url", "score", 0))
   }
 
+  test("scheduleByKey budgets an arbitrary politeness key (shared apex)") {
+    val urls = Seq(
+      ("https://a.sub1.example.com/x", 9L),
+      ("https://b.sub2.example.com/y", 7L),
+      ("https://c.sub3.example.com/z", 5L),
+      ("https://other.org/w", 1L)).toDF("url", "score")
+    // apex budget of 2: the three example.com siblings compete, the
+    // weakest drops; other.org keeps its own budget
+    val got = Frontier.scheduleByKey(urls,
+        Url.apexDomain(col("url")), "url", "score", 2)
+      .select("host", "host_slot", "url")
+      .as[(String, Int, String)].collect().toSet
+    assert(got == Set(
+      ("example.com", 0, "https://a.sub1.example.com/x"),
+      ("example.com", 1, "https://b.sub2.example.com/y"),
+      ("other.org", 0, "https://other.org/w")), got.toString)
+    // the per-HOST form would have scheduled all four
+    assert(Frontier.schedule(urls, "url", "score", 2).count() == 4)
+  }
+
   test("NULL scores schedule at 0 instead of crashing the aggregator") {
     // the shape an upstream left join produces: unranked hosts NULL
     val urls = Seq(("https://a.com/ranked", Some(5L)),
