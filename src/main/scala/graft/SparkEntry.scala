@@ -3413,6 +3413,27 @@ object SparkEntry {
         .orderBy("host_slot")
     }),
 
+    // Freshness-aware recrawl gating (Frontier.markDueForRecrawl over
+    // the sitemaps.org changefreq vocabulary): eight regimes cycling
+    // by doc_id — the six standard labels, `never` (no finite
+    // interval, never due), and a garbage label taking the default
+    // week — against a fixed `now` and an age that grows with doc_id,
+    // so every verdict flips at a closed-form id threshold.
+    "q135_recrawl_due" -> ((s, dir) => {
+      val now = 1767103200L
+      val cf = element_at(
+        array(lit("always"), lit("hourly"), lit("daily"), lit("weekly"),
+          lit("monthly"), lit("yearly"), lit("never"), lit("sometimes")),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int"))
+      val marked = graft.operators.Frontier.markDueForRecrawl(
+        t(s, dir, "documents").select(col("doc_id"),
+          cf.as("changefreq"),
+          (lit(now) - col("doc_id") * 3600L).as("last_fetch")),
+        "last_fetch", "changefreq", now)
+      marked.select("doc_id", "changefreq", "interval_sec", "due")
+        .orderBy("doc_id")
+    }),
+
     // The WET export's STREAMING leg (Maintenance.streamingTextSegments
     // — a continuous crawl emits segment sets per batch, CommonCrawl's
     // actual publication shape): the corpus streams in 3 micro-batches,
@@ -6237,6 +6258,23 @@ object SparkEntry {
          SELECT host, CAST(2 AS INT), root || '/ln/d.html', CAST(3 AS BIGINT)
          FROM h
          ORDER BY host, host_slot""",
+
+    // q135: every regime's verdict replayed — due ⇔ interval ≤ age
+    // (age = doc_id hours), never → NULL interval and false.
+    "q135_recrawl_due" ->
+      """WITH d AS (SELECT doc_id,
+           CASE doc_id % 8 WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+             WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly' WHEN 4 THEN 'monthly'
+             WHEN 5 THEN 'yearly' WHEN 6 THEN 'never'
+             ELSE 'sometimes' END AS changefreq,
+           CASE doc_id % 8 WHEN 0 THEN 0 WHEN 1 THEN 3600 WHEN 2 THEN 86400
+             WHEN 3 THEN 604800 WHEN 4 THEN 2592000 WHEN 5 THEN 31536000
+             WHEN 6 THEN NULL ELSE 604800 END AS interval_sec
+         FROM documents)
+         SELECT doc_id, changefreq, CAST(interval_sec AS BIGINT) AS interval_sec,
+                CASE WHEN interval_sec IS NULL THEN false
+                     ELSE doc_id * 3600 >= interval_sec END AS due
+         FROM d ORDER BY doc_id""",
 
     // q134: the shared-apex budget in closed form — of 20 sibling
     // hosts scored 0..19, exactly the top 5 schedule, slot = 19−score.

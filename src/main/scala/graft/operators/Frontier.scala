@@ -110,6 +110,40 @@ object Frontier {
         col("s.url").as("url"), col("s.score").as("score"))
   }
 
+  /** Revisit interval in seconds for a sitemaps.org `changefreq`
+    * label (case-insensitive): always→0, hourly→3600, daily→86400,
+    * weekly→604800, monthly→2592000 (30 d), yearly→31536000;
+    * `never`→NULL (no finite interval); unknown/NULL labels take
+    * `defaultSec` — a publisher hint is a HINT, absence must not pin
+    * a page forever. Pure expression, codegen-friendly. */
+  def recrawlIntervalSec(changefreq: Column, defaultSec: Long): Column = {
+    val f = lower(trim(changefreq))
+    when(f === "always", lit(0L))
+      .when(f === "hourly", lit(3600L))
+      .when(f === "daily", lit(86400L))
+      .when(f === "weekly", lit(604800L))
+      .when(f === "monthly", lit(2592000L))
+      .when(f === "yearly", lit(31536000L))
+      .when(f === "never", lit(null).cast("long"))
+      .otherwise(lit(defaultSec))
+  }
+
+  /** Freshness-aware recrawl gate: mark which KNOWN URLs are due at
+    * `nowEpochSec` — `due = last_fetch + interval(changefreq) ≤ now`,
+    * with `never` pages never due. Adds `interval_sec` and `due`;
+    * row-local and shuffle-free — compose the due survivors into
+    * [[schedule]]/[[scheduleByKey]] for the next round (battery q135
+    * states every verdict closed-form per changefreq regime). */
+  def markDueForRecrawl(urls: DataFrame, lastFetchCol: String,
+                        changefreqCol: String, nowEpochSec: Long,
+                        defaultIntervalSec: Long = 7L * 24 * 3600): DataFrame = {
+    val interval = recrawlIntervalSec(col(changefreqCol), defaultIntervalSec)
+    urls.withColumn("interval_sec", interval)
+      .withColumn("due",
+        col("interval_sec").isNotNull &&
+          col(lastFetchCol).cast("long") + col("interval_sec") <= nowEpochSec)
+  }
+
   /** Append newly DISCOVERED URLs to a persisted frontier TABLE
     * (created on first call) — the streaming-maintenance half of the
     * crawl loop (the

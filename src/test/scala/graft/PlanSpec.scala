@@ -170,7 +170,7 @@ class PlanSpec extends SparkSpec {
       "q128_http_decode", "q129_sitemap_frontier",
       "q130_redirect_chains", "q131_normalized_dedup",
       "q132_revisit_dedup", "q133_wet_stream",
-      "q134_apex_budget").foreach { q =>
+      "q134_apex_budget", "q135_recrawl_due").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")

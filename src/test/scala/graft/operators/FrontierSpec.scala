@@ -97,6 +97,28 @@ class FrontierSpec extends SparkSpec {
     assert(Frontier.schedule(urls, "url", "score", 2).count() == 4)
   }
 
+  test("markDueForRecrawl: interval vocabulary, boundary equality, never, default") {
+    val now = 1000000L
+    val rows = Seq(
+      // (url, last_fetch, changefreq): age exactly AT the interval is due
+      ("u_always", now, "always"),
+      ("u_hourly_due", now - 3600L, "HOURLY"),        // case-insensitive
+      ("u_hourly_not", now - 3599L, "hourly"),
+      ("u_daily_not", now - 86399L, "daily"),
+      ("u_never", now - 100000000L, "never"),
+      ("u_garbage_due", now - 604800L, "biweeklyish"), // default week
+      ("u_garbage_not", now - 604799L, "biweeklyish"),
+      ("u_null_cf_due", now - 604800L, null.asInstanceOf[String]))
+      .toDF("url", "last_fetch", "changefreq")
+    val got = Frontier.markDueForRecrawl(rows, "last_fetch", "changefreq", now)
+      .select("url", "due").as[(String, Boolean)].collect().toMap
+    assert(got == Map(
+      "u_always" -> true, "u_hourly_due" -> true, "u_hourly_not" -> false,
+      "u_daily_not" -> false, "u_never" -> false,
+      "u_garbage_due" -> true, "u_garbage_not" -> false,
+      "u_null_cf_due" -> true), got.toString)
+  }
+
   test("NULL scores schedule at 0 instead of crashing the aggregator") {
     // the shape an upstream left join produces: unranked hosts NULL
     val urls = Seq(("https://a.com/ranked", Some(5L)),
