@@ -435,6 +435,54 @@ object SparkEntry {
     wdir
   }
 
+  /** Build-once WARC fixture for q136: the CDX corpus — segments of
+    * digest-stamped `text/plain` responses whose bodies are a pure
+    * template of `(doc_id, text)`, written PER-RECORD-GZIP-MEMBER
+    * (the CommonCrawl convention `Warc.cdxIndex` walks with exact
+    * `Inflater` byte accounting) except every third segment, which
+    * stays plain so the uncompressed offset path rides the same
+    * oracle. */
+  private def ensureCdxWarcDir(s: SparkSession, dir: String): String = {
+    val wdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q136_warc_${docsTag(s, dir)}").toString
+    val root = new java.io.File(wdir)
+    if (!root.exists()) {
+      val stage = new java.io.File(wdir + "_stage")
+      if (stage.exists()) stage.listFiles().foreach(_.delete())
+      stage.mkdirs()
+      val W = graft.sources.Warc
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      rows.groupBy(_._1 / 25).foreach { case (seg, docs) =>
+        val recs = ("warcinfo", null: String,
+            "software: graft\r\n".getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1),
+            Seq.empty[String]) +:
+          docs.sortBy(_._1).map { case (id, text) =>
+            val body = s"Document $id: $text"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            ("response",
+              s"https://www.site${id % 20}.example.com/dir/page$id.html",
+              W.httpResponse(body, "text/plain"),
+              Seq(s"WARC-Payload-Digest: ${W.sha1Base32(body)}"))
+          }.toSeq
+        val (name, bytes) =
+          if (seg % 3 == 2)
+            (f"seg-$seg%05d.warc", W.buildSegmentWithHeaders(recs))
+          else
+            (f"seg-$seg%05d.warc.gz",
+              recs.map(r => W.gzipBytes(W.buildSegmentWithHeaders(Seq(r))))
+                .reduce(_ ++ _))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stage.toString, name), bytes)
+      }
+      if (!stage.renameTo(root)) {
+        require(root.exists(), s"WARC fixture rename failed for $wdir")
+      }
+    }
+    wdir
+  }
+
   /** The q56/q56b corpus: documents plus docs 0-4 cloned at id+300000
     * with a sub-k marker suffix (contributes no shared 30-gram of its
     * own, so each clone must pair with its source via surviving
@@ -3434,6 +3482,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CDX capture index + ranged-read serve (Warc.cdxIndex /
+    // Warc.fetchByCdx — the random-access half of the WARC story
+    // CommonCrawl publishes next to every crawl): the index's
+    // (filename, offset, comp_length) locator triples are proven by
+    // FETCHING every response back through them — one ranged read of
+    // one gzip member (or plain-file span) per doc that must
+    // reproduce the template body, the stamped payload digest, and
+    // the SURT urlkey in closed form. A single off-by-one offset
+    // fails the member's gzip magic and nulls the row out of the
+    // hash; a wrong comp_length truncates the member the same way.
+    "q136_cdx_fetch" -> ((s, dir) => {
+      val wdir = ensureCdxWarcDir(s, dir)
+      val W = graft.sources.Warc
+      val cdx = W.cdxIndex(s, wdir)
+      W.fetchByCdx(cdx.filter(col("warc_type") === "response"), wdir)
+        .select(
+          regexp_extract(col("url"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          graft.operators.Url.surt(col("url")).as("urlkey"),
+          col("http_status"), col("digest_ok"),
+          col("body").cast("string").as("text"))
+        .orderBy("doc_id")
+    }),
+
     // The WET export's STREAMING leg (Maintenance.streamingTextSegments
     // — a continuous crawl emits segment sets per batch, CommonCrawl's
     // actual publication shape): the corpus streams in 3 micro-batches,
@@ -6275,6 +6347,21 @@ object SparkEntry {
                 CASE WHEN interval_sec IS NULL THEN false
                      ELSE doc_id * 3600 >= interval_sec END AS due
          FROM d ORDER BY doc_id""",
+
+    // q136: the ranged fetch in closed form — every doc returns
+    // through its CDX locator with the template body, status 200, a
+    // verified digest, and the SURT key (www stripped, host
+    // reversed). Offsets/lengths have no SQL analog; they are proven
+    // by the fetch succeeding at all.
+    "q136_cdx_fetch" ->
+      """SELECT doc_id,
+                'com,example,site' || CAST(doc_id % 20 AS VARCHAR) ||
+                  ')/dir/page' || CAST(doc_id AS VARCHAR) || '.html'
+                  AS urlkey,
+                CAST(200 AS INT) AS http_status, true AS digest_ok,
+                'Document ' || CAST(doc_id AS VARCHAR) || ': ' || text
+                  AS text
+         FROM documents ORDER BY doc_id""",
 
     // q134: the shared-apex budget in closed form — of 20 sibling
     // hosts scored 0..19, exactly the top 5 schedule, slot = 19−score.

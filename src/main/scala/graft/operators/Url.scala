@@ -228,6 +228,58 @@ object Url {
     if (parts.length <= 2) h else parts.takeRight(2).mkString(".")
   }
 
+  /** SURT urlkey (Sort-friendly URI Reordering Transform — the key
+    * column of a CDX capture index, per the IIPC/OpenWayback
+    * convention `/root/reference` has no analog for): canonicalize
+    * ([[canonicalKernel]] — lowercased, tracking params dropped,
+    * query sorted), drop the scheme, strip one leading `www`/`wwwN`
+    * label (the pywb canonicalizer's rule, so `www.x.com` and `x.com`
+    * key together), REVERSE the host labels comma-joined, keep a
+    * non-default port, then `)` + path + sorted query:
+    * `https://www.News.example.com/a/b?z=1&utm_source=t` →
+    * `com,example,news)/a/b?z=1`. Reversed-host keys make one sort
+    * cluster a whole domain tree — the property every CDX consumer
+    * (range lookup, per-domain slicing) relies on. IPv4 literals are
+    * kept in address order (reversing octets would scatter a subnet).
+    * NULL for non-web or garbage input. */
+  private[operators] def surtKernel(raw: String): String = {
+    val c = canonicalKernel(raw)
+    if (c == null) return null
+    val start = c.indexOf("//") + 2
+    var e = start
+    while (e < c.length && c.charAt(e) != '/' && c.charAt(e) != ':' &&
+           c.charAt(e) != '?') e += 1
+    var host = c.substring(start, e)
+    var rest = c.substring(e)
+    var port = ""
+    if (rest.nonEmpty && rest.charAt(0) == ':') {
+      val slash = rest.indexOf('/')
+      port = rest.substring(0, if (slash < 0) rest.length else slash)
+      rest = if (slash < 0) "/" else rest.substring(slash)
+    }
+    val isIpv4 = host.nonEmpty &&
+      host.forall(ch => ch.isDigit || ch == '.')
+    val key =
+      if (isIpv4) host
+      else {
+        if (host.length > 4 && host.startsWith("www")) {
+          var i = 3
+          while (i < host.length && host.charAt(i).isDigit) i += 1
+          // strip only when what remains is still a dotted name —
+          // `www.com` must NOT collapse onto the bare TLD's key
+          if (i < host.length && host.charAt(i) == '.' &&
+              host.indexOf('.', i + 1) > i + 1)
+            host = host.substring(i + 1)
+        }
+        host.split('.').reverse.mkString(",")
+      }
+    key + port + ")" + rest
+  }
+
+  /** SURT urlkey Column (see [[surtKernel]]); NULL for non-web. */
+  def surt(url: Column): Column =
+    udf((s: String) => surtKernel(s)).apply(url)
+
   /** Canonical http(s) URL Column; NULL for non-web or garbage. */
   def canonical(url: Column): Column =
     udf((s: String) => canonicalKernel(s)).apply(url)

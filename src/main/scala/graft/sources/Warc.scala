@@ -655,6 +655,346 @@ object Warc {
     }
   }
 
+  // ----------------------------------------------------------------
+  // CDX capture indexing — the random-access half of the WARC story.
+  // CommonCrawl publishes a CDX index next to every crawl: one row
+  // per record with the segment file, BYTE OFFSET, and COMPRESSED
+  // LENGTH of its gzip member, keyed by SURT urlkey, so a consumer
+  // can fetch any single capture with one ranged read instead of
+  // scanning a segment. [[cdxIndex]] builds that index; [[fetchByCdx]]
+  // is the ranged-read serve path that proves the offsets.
+  // ----------------------------------------------------------------
+
+  /** One indexed capture: `(filename, offset, comp_length)` locate
+    * the gzip member (or plain-file record span) holding the record;
+    * `member_record_index` disambiguates within a member for
+    * whole-file-gzip archives where one member spans many records
+    * (per-record-member archives — the CommonCrawl convention — have
+    * it 0 throughout). `digest` is the stamped
+    * `WARC-Payload-Digest` when present, else SHA-1 over the
+    * surfaced body. */
+  final case class CdxRow(filename: String, offset: Long,
+                          comp_length: Long, member_index: Int,
+                          member_record_index: Int, warc_type: String,
+                          url: String, warc_date: String,
+                          mime: Option[String], status: Option[Int],
+                          digest: Option[String])
+
+  /** Growable forward read window over a stream that tracks the
+    * ABSOLUTE file offset of its cursor — the exact-byte-accounting
+    * substrate of the gzip member walker ([[walkGzipMembers]]).
+    * `ensure(n)` makes ≥ n bytes addressable past the cursor (or
+    * returns what EOF left); compaction keeps residency bounded by
+    * one member's compressed size, not the file. */
+  private final class ByteWindow(in: java.io.InputStream) {
+    private var buf = new Array[Byte](1 << 16)
+    private var len = 0
+    private var base = 0L
+    private var pos = 0
+    def fileOffset: Long = base + pos
+    def ensure(n: Int): Int = {
+      while (len - pos < n) {
+        if (pos > 0) { // compact before growing
+          System.arraycopy(buf, pos, buf, 0, len - pos)
+          base += pos; len -= pos; pos = 0
+        }
+        if (len + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        val r = in.read(buf, len, buf.length - len)
+        if (r < 0) return len - pos
+        len += r
+      }
+      len - pos
+    }
+    def byteAt(i: Int): Int = buf(pos + i) & 0xFF
+    def advance(n: Int): Unit = pos += n
+    def array: Array[Byte] = buf
+    def cursor: Int = pos
+  }
+
+  /** Length of the gzip member header at the window cursor (RFC 1952:
+    * 10 fixed bytes + FEXTRA/FNAME/FCOMMENT/FHCRC optionals), or -1
+    * when the bytes there are not a deflate-method gzip header. Does
+    * NOT advance the cursor. */
+  private def gzipHeaderLen(w: ByteWindow): Int = {
+    if (w.ensure(10) < 10) return -1
+    if (w.byteAt(0) != 0x1f || w.byteAt(1) != 0x8b || w.byteAt(2) != 8)
+      return -1
+    val flg = w.byteAt(3)
+    var n = 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length
+      if (w.ensure(n + 2) < n + 2) return -1
+      n += 2 + (w.byteAt(n) | (w.byteAt(n + 1) << 8))
+    }
+    var terms = ((flg >> 3) & 1) + ((flg >> 4) & 1) // FNAME, FCOMMENT
+    while (terms > 0) { // zero-terminated strings
+      if (w.ensure(n + 1) < n + 1) return -1
+      if (w.byteAt(n) == 0) terms -= 1
+      n += 1
+    }
+    if ((flg & 2) != 0) n += 2 // FHCRC
+    if (w.ensure(n) < n) return -1
+    n
+  }
+
+  /** Inflate ONE deflate stream starting at the window cursor,
+    * advancing the cursor exactly past its compressed bytes plus the
+    * 8-byte gzip trailer — `Inflater(nowrap)` reports per-chunk
+    * consumption, which is what makes the member length EXACT (a
+    * readahead-buffered `GZIPInputStream` cannot say where a member
+    * ended). Returns the decompressed bytes, or null on a truncated/
+    * corrupt member (cursor position is then unspecified — the walk
+    * stops). */
+  private def inflateMember(w: ByteWindow): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      val out = new java.io.ByteArrayOutputStream(1 << 16)
+      val tmp = new Array[Byte](1 << 16)
+      var lastFed = 0
+      while (!inf.finished()) {
+        if (inf.needsInput()) {
+          w.advance(lastFed) // needsInput ⟹ previous chunk fully consumed
+          val avail = w.ensure(1)
+          if (avail <= 0) return null // truncated member
+          lastFed = avail
+          inf.setInput(w.array, w.cursor, avail)
+        }
+        val n = try inf.inflate(tmp)
+                catch { case _: java.util.zip.DataFormatException => return null }
+        if (n > 0) {
+          if (out.size().toLong + n > MaxRecordBytes) return null
+          out.write(tmp, 0, n)
+        } else if (!inf.finished() && !inf.needsInput()) return null
+      }
+      w.advance(lastFed - inf.getRemaining)
+      if (w.ensure(8) < 8) return null // CRC32 + ISIZE trailer
+      w.advance(8)
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** Walk a per-member (or whole-file single-member) gzip segment:
+    * one `(offset, compressed_length, decompressed_bytes)` per
+    * member, offsets exact. Corruption degrades: the walk stops at
+    * the first bad member and whatever indexed stays. */
+  private def walkGzipMembers(
+      raw: java.io.InputStream): Iterator[(Long, Long, Array[Byte])] = {
+    val w = new ByteWindow(raw)
+    new Iterator[(Long, Long, Array[Byte])] {
+      private var nextM: (Long, Long, Array[Byte]) = null
+      private var done = false
+      private def advanceM(): Unit = {
+        if (done || nextM != null) return
+        if (w.ensure(1) < 1) { done = true; return } // clean EOF
+        val off = w.fileOffset
+        val hlen = gzipHeaderLen(w)
+        if (hlen < 0) { done = true; return }
+        w.advance(hlen)
+        val bytes = inflateMember(w)
+        if (bytes == null) { done = true; return }
+        nextM = (off, w.fileOffset - off, bytes)
+      }
+      override def hasNext: Boolean = { advanceM(); nextM != null }
+      override def next(): (Long, Long, Array[Byte]) = {
+        advanceM()
+        if (nextM == null) throw new NoSuchElementException
+        val m = nextM; nextM = null; m
+      }
+    }
+  }
+
+  /** Walk an UNCOMPRESSED segment record by record: one
+    * `(offset, length, record_bytes)` per WARC record, offsets in the
+    * plain file. A tee under the frame scan captures exactly the
+    * bytes each record consumed, so offset+length tiles the file with
+    * no gaps. Corruption degrades like the gzip walk. */
+  private def walkPlainRecords(
+      raw: java.io.InputStream): Iterator[(Long, Long, Array[Byte])] = {
+    final class TeeIn extends java.io.InputStream {
+      val copied = new java.io.ByteArrayOutputStream(1 << 16)
+      private val in = new java.io.BufferedInputStream(raw, 1 << 16)
+      override def read(): Int = {
+        val c = in.read(); if (c >= 0) copied.write(c); c
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = in.read(b, off, len)
+        if (r > 0) copied.write(b, off, r)
+        r
+      }
+    }
+    val tee = new TeeIn
+    new Iterator[(Long, Long, Array[Byte])] {
+      private var fileOff = 0L
+      private var nextR: (Long, Long, Array[Byte]) = null
+      private var done = false
+      private def advanceR(): Unit =
+        try advanceRUnsafe()
+        catch { case _: java.io.IOException => done = true } // degrade
+      private def advanceRUnsafe(): Unit = {
+        if (done || nextR != null) return
+        val first = readLineStream(tee)
+        if (first == null) { done = true; return } // clean EOF
+        if (!first.startsWith("WARC/")) { done = true; return }
+        var contentLength = -1L
+        var line = readLineStream(tee)
+        while (line != null && line.nonEmpty) {
+          val ci = line.indexOf(':')
+          if (ci > 0 && line.substring(0, ci).trim
+                .equalsIgnoreCase("Content-Length"))
+            try contentLength = line.substring(ci + 1).trim.toLong
+            catch { case _: NumberFormatException => () }
+          line = readLineStream(tee)
+        }
+        if (line == null || contentLength < 0 ||
+            contentLength > MaxRecordBytes) { done = true; return }
+        if (readFullyStream(tee, contentLength.toInt) == null) {
+          done = true; return // torn tail
+        }
+        readLineStream(tee); readLineStream(tee) // record terminator
+        val bytes = tee.copied.toByteArray
+        tee.copied.reset()
+        val off = fileOff
+        fileOff += bytes.length
+        nextR = (off, bytes.length.toLong, bytes)
+      }
+      override def hasNext: Boolean = { advanceR(); nextR != null }
+      override def next(): (Long, Long, Array[Byte]) = {
+        advanceR()
+        if (nextR == null) throw new NoSuchElementException
+        val r = nextR; nextR = null; r
+      }
+    }
+  }
+
+  /** Index one segment: sniff gzip by magic, walk members (or plain
+    * records), re-parse each unit through [[parseStream]] (the SAME
+    * record kernel the reader uses — no second parser to drift), and
+    * emit one [[CdxRow]] per record. */
+  private[sources] def indexSegment(
+      path: String, raw: java.io.InputStream): Iterator[CdxRow] = {
+    val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
+    buffered.mark(2)
+    val b0 = buffered.read()
+    val b1 = buffered.read()
+    buffered.reset()
+    val units =
+      if (b0 == 0x1f && b1 == 0x8b) walkGzipMembers(buffered)
+      else walkPlainRecords(buffered)
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    units.zipWithIndex.flatMap { case ((off, clen, bytes), mi) =>
+      parseStream(path, new java.io.ByteArrayInputStream(bytes))
+        .zipWithIndex.map { case (r, ri) =>
+          CdxRow(name, off, clen, mi, ri, r.warc_type, r.target_uri,
+            r.warc_date,
+            r.http_content_type, r.http_status,
+            r.payload_digest.orElse(
+              Option(r.body).map(sha1Base32)))
+        }
+    }
+  }
+
+  /** Build a CDX capture index over a directory (or glob) of WARC
+    * segments: one row per record —
+    * `(urlkey, filename, offset, comp_length, member_index,
+    * member_record_index, warc_type, url, warc_date, mime, status,
+    * digest)` — where `(filename, offset, comp_length)` is a ranged
+    * read that yields the record's gzip member (per-record-member
+    * archives, the CommonCrawl convention) or plain-file span, and
+    * `urlkey` is the SURT key ([[graft.operators.Url.surt]]) every
+    * CDX consumer sorts and range-scans by.
+    *
+    * Scale shape: one task per segment (the [[readWarc]] fan-out),
+    * each a single forward scan with exact byte accounting —
+    * `Inflater`-level member walking, O(one member) task memory; the
+    * index rows are a tiny fraction of segment bytes. Sort by
+    * `urlkey` at write time if emitting interchange CDX files. */
+  def cdxIndex(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+    val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.length, 1))
+      .flatMap { f =>
+        val fp = new org.apache.hadoop.fs.Path(f)
+        val stream = fp.getFileSystem(confB.value.conf).open(fp)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+          try stream.close() catch { case _: java.io.IOException => () })
+        indexSegment(f, stream)
+      }
+    spark.createDataset(rdd).toDF()
+      .withColumn("urlkey", graft.operators.Url.surt(col("url")))
+  }
+
+  /** Serve records by CDX rows with RANGED reads — the consumer half
+    * that PROVES the index offsets: for each input row
+    * (`filename, offset, comp_length, member_record_index`; other
+    * columns are dropped — re-derive or join them back on the
+    * locator triple), seek to `offset` in
+    * `dir/filename`, read exactly `comp_length` bytes, parse the
+    * member in isolation, and surface the `member_record_index`-th
+    * record's fields plus `digest_ok` (stamped `WARC-Payload-Digest`
+    * vs SHA-1 over the fetched body; true when no digest was
+    * stamped). A wrong offset or length cannot limp through — the
+    * isolated parse fails its gzip magic / framing and the row comes
+    * back with NULL fields.
+    *
+    * Scale shape: rows sort by file WITHIN each partition so a task
+    * opens each segment once and seeks forward through its rows —
+    * no shuffle is imposed (pre-`repartition` by `filename` upstream
+    * when row-locality matters); per-row cost is one ranged read of
+    * one member, exactly the CommonCrawl index-consumer access
+    * pattern. */
+  def fetchByCdx(cdx: DataFrame, dir: String): DataFrame = {
+    val spark = cdx.sparkSession
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
+    val rows = cdx.select(col("filename").cast("string"),
+        col("offset").cast("long"), col("comp_length").cast("long"),
+        col("member_record_index").cast("int"))
+      .as[(String, Long, Long, Int)]
+    val fetched = rows.mapPartitions { it =>
+      val byFile = it.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(confB.value.conf)
+      byFile.iterator.flatMap { case (name, rs) =>
+        val fp = new org.apache.hadoop.fs.Path(dir, name)
+        val in = fs.open(fp)
+        try {
+          rs.sortBy(_._2).map { case (_, off, clen, mri) =>
+            if (clen > MaxRecordBytes) (name, off, mri, None: Option[WarcRecord])
+            else {
+              in.seek(off)
+              val bytes = new Array[Byte](clen.toInt)
+              in.readFully(bytes)
+              val rec = parseStream(fp.toString,
+                  new java.io.ByteArrayInputStream(bytes))
+                .drop(mri).take(1).toSeq.headOption
+              (name, off, mri, rec)
+            }
+          }
+        } finally in.close()
+      }
+    }
+    fetched.map { case (name, off, mri, rec) =>
+      (name, off, mri,
+        rec.map(_.warc_type), rec.map(_.target_uri),
+        rec.flatMap(_.http_status), rec.flatMap(_.http_content_type),
+        rec.map(_.body),
+        rec.map(r => r.payload_digest.forall(_ ==
+          sha1Base32(Option(r.body).getOrElse(Array.empty[Byte])))))
+    }.toDF("filename", "offset", "member_record_index", "warc_type",
+      "url", "http_status", "http_content_type", "body", "digest_ok")
+  }
+
   /** Re-audit a [[writeTextSegments]] export against its manifest in
     * one reader pass: `(segment, n_records, payload_bytes, ok)` — a
     * lost segment, a torn tail, or a corrupted payload flips `ok`. */

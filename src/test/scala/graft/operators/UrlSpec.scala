@@ -10,6 +10,45 @@ class UrlSpec extends SparkSpec {
 
   private def canon(s: String): String = Url.canonicalKernel(s)
 
+  test("surt: host reversal, www-strip, port, sorted query, ipv4, garbage") {
+    def surt(s: String): String = Url.surtKernel(s)
+    // host labels reverse comma-joined; scheme drops; path keeps
+    assert(surt("https://news.example.com/a/b") == "com,example,news)/a/b")
+    // one leading www/wwwN label strips so www.x and x key together
+    assert(surt("https://www.Example.com/") == "com,example)/")
+    assert(surt("http://www2.example.com/x") == "com,example)/x")
+    // a host that IS just www (or www.tld) must not strip to nothing
+    assert(surt("http://www.com/") == "com,www)/")
+    // non-default port survives between host key and ')'
+    assert(surt("http://example.com:8080/p") == "com,example:8080)/p")
+    assert(surt("https://example.com:443/p") == "com,example)/p")
+    // query rides canonicalization: tracking dropped, survivors sorted
+    assert(surt("https://e.com/s?z=1&a=2&utm_source=t") == "com,e)/s?a=2&z=1")
+    // IPv4 literals keep address order (reversing octets scatters subnets)
+    assert(surt("http://192.168.0.1/x") == "192.168.0.1)/x")
+    // garbage NULLs like canonical
+    assert(surt("mailto:a@b.com") == null && surt(null) == null)
+    // column form agrees with the kernel
+    val got = Seq("https://www.site3.example.com/dir/page9.html")
+      .toDF("u").select(Url.surt(col("u"))).as[String].head()
+    assert(got == "com,example,site3)/dir/page9.html")
+  }
+
+  test("surt: one sort clusters a whole domain tree") {
+    val urls = Seq(
+      "https://b.example.com/x", "https://a.example.com/y",
+      "https://example.com/z", "https://aardvark.org/w",
+      "https://zebra.com/v")
+    val keys = urls.map(Url.surtKernel).sorted
+    val domainOf = (k: String) => k.takeWhile(_ != ')')
+      .split(',').take(2).mkString(",")
+    // all com,example* keys are contiguous after the sort
+    val idx = keys.zipWithIndex.filter(_._1.startsWith("com,example"))
+      .map(_._2)
+    assert(idx == (idx.head to idx.last).toList, keys.toString)
+    assert(domainOf(keys(idx.head)) == "com,example")
+  }
+
   test("canonical: case, default ports, fragments, trailing host dot") {
     assert(canon("HTTPS://WWW.Example.COM:443/Path/File.html#frag") ==
       "https://www.example.com/Path/File.html")

@@ -278,4 +278,108 @@ class WarcSpec extends SparkSpec {
     assert(got == (0 until 3).map(i =>
       (s"http://site$i.com/p", s"<p>doc $i</p>", 200)).toSet)
   }
+
+  // ---- CDX capture indexing ----
+
+  test("cdx: plain segment records tile the file byte-exactly") {
+    val segs = Seq[(String, String, Array[Byte])](
+      ("warcinfo", null, ascii("software: graft\r\n")),
+      ("response", "http://a.com/1", Warc.httpResponse(ascii("one"))),
+      ("response", "http://a.com/2", Warc.httpResponse(ascii("two"))))
+    val whole = Warc.buildSegment(segs)
+    val rows = Warc.indexSegment("dir/seg.warc",
+      new java.io.ByteArrayInputStream(whole)).toSeq
+    assert(rows.map(_.warc_type) == Seq("warcinfo", "response", "response"))
+    assert(rows.head.offset == 0L)
+    rows.sliding(2).foreach {
+      case Seq(a, b) => assert(a.offset + a.comp_length == b.offset,
+        "records must tile with no gap")
+      case _ => ()
+    }
+    assert(rows.last.offset + rows.last.comp_length == whole.length.toLong)
+    // each span is exactly the single-record build of that record
+    assert(rows.map(_.comp_length) ==
+      segs.map(s => Warc.buildSegment(Seq(s)).length.toLong))
+    assert(rows.map(_.member_index) == Seq(0, 1, 2))
+    assert(rows.forall(_.member_record_index == 0))
+    assert(rows(1).status.contains(200) &&
+      rows(1).mime.contains("text/html"))
+    // no stamped digest → computed over the surfaced body
+    assert(rows(1).digest.contains(Warc.sha1Base32(ascii("one"))))
+  }
+
+  test("cdx: per-record gzip members tile the file and ranged fetch round-trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx").toString + "/wet"
+    val df = (0 until 40)
+      .map(i => (s"https://www.site${i % 4}.example.com/p$i", s"text number $i"))
+      .toDF("uri", "text").repartition(3)
+    Warc.writeTextSegments(df, "uri", "text", dir, gzip = true)
+    val cdx = Warc.cdxIndex(spark, dir)
+    val all = cdx.collect()
+    all.groupBy(_.getAs[String]("filename")).foreach { case (name, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("offset"))
+      assert(sorted.head.getAs[Long]("offset") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("offset") + a.getAs[Long]("comp_length") ==
+            b.getAs[Long]("offset"), s"$name members must tile")
+        case _ => ()
+      }
+      val size = new java.io.File(dir, name).length
+      assert(sorted.last.getAs[Long]("offset") +
+        sorted.last.getAs[Long]("comp_length") == size,
+        s"$name last member must end at EOF")
+      // per-record members: exactly one record per member
+      assert(rs.forall(_.getAs[Int]("member_record_index") == 0))
+    }
+    // urlkey is the SURT form (www stripped, host reversed)
+    val keys = cdx.filter(col("warc_type") === "conversion")
+      .select("urlkey").as[String].collect()
+    assert(keys.length == 40 &&
+      keys.forall(_.startsWith("com,example,site")))
+    // ranged fetch: every conversion record returns its exact text
+    val fetched = Warc.fetchByCdx(
+        cdx.filter(col("warc_type") === "conversion"), dir)
+      .select(col("url"), col("body").cast("string").as("t"),
+        col("digest_ok"))
+      .collect()
+    assert(fetched.length == 40)
+    fetched.foreach { r =>
+      val i = r.getString(0).substring(r.getString(0).indexOf("/p") + 2).toInt
+      assert(r.getString(1) == s"text number $i")
+      assert(r.getBoolean(2))
+    }
+  }
+
+  test("cdx: whole-file gzip is one member; member_record_index addresses within it") {
+    val seg = Warc.buildSegment(Seq(
+      ("response", "http://a.com/1", Warc.httpResponse(ascii("one"))),
+      ("response", "http://a.com/2", Warc.httpResponse(ascii("two")))))
+    val gz = Warc.gzipBytes(seg)
+    val rows = Warc.indexSegment("d/s.warc.gz",
+      new java.io.ByteArrayInputStream(gz)).toSeq
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.offset == 0L && r.comp_length == gz.length.toLong))
+    assert(rows.map(_.member_record_index) == Seq(0, 1))
+    // fetch the SECOND record out of the shared member by index
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx1").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s.warc.gz"), gz)
+    val cdxDf = spark.createDataFrame(rows.filter(_.member_record_index == 1))
+    val f = Warc.fetchByCdx(cdxDf, dir).collect().head
+    assert(f.getAs[String]("url") == "http://a.com/2")
+    assert(new String(f.getAs[Array[Byte]]("body"), "ISO-8859-1") == "two")
+  }
+
+  test("cdx: a corrupt middle member stops the walk with earlier members intact") {
+    def member(i: Int) = Warc.gzipBytes(Warc.buildSegment(Seq(
+      ("response", s"http://a.com/$i", Warc.httpResponse(ascii(s"body$i"))))))
+    val m1 = member(1)
+    val bytes = m1 ++ member(2) ++ member(3)
+    bytes(m1.length + 1) = 0x00 // wreck member 2's gzip magic
+    val rows = Warc.indexSegment("d/s.warc.gz",
+      new java.io.ByteArrayInputStream(bytes)).toSeq
+    assert(rows.map(_.url) == Seq("http://a.com/1"),
+      "walk must stop at the corruption, keeping what indexed")
+  }
 }
