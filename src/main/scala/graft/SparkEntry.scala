@@ -3506,6 +3506,74 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The CDX catalog's STREAMING leg (Maintenance.streamingCdx →
+    // Warc.appendToCdxTable): segment paths land in 3 micro-batches
+    // (a continuous crawl announces segment sets per batch —
+    // CommonCrawl refreshes its index per crawl the same way), each
+    // absorbing through the filename-keyed skip + anti-join append;
+    // a whole-archive replay absorb must then be a ZERO-segment
+    // no-op (required in-entry), and ranged-read serving off the
+    // catalog answers the q136 oracle VERBATIM — streamed arrival
+    // must not change one locator.
+    "q138_cdx_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val wdir = ensureCdxWarcDir(s, dir)
+      val tbl = s"graft_q138_cdx_${docsTag(s, dir)}"
+      if (!s.catalog.tableExists(tbl)) {
+        val files = new java.io.File(wdir).listFiles()
+          .map(_.toString).sorted.toSeq
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[String]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q138_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingCdx(
+          mem.toDF().toDF("path"), "path", tbl, ckpt)
+        try {
+          files.grouped(math.max(1, files.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val replayed = graft.sources.Warc.appendToCdxTable(s, tbl, wdir)
+      require(replayed == 0L,
+        s"replay absorb must be a no-op, indexed $replayed segments")
+      graft.sources.Warc.fetchByCdx(
+          s.table(tbl).filter(col("warc_type") === "response"), wdir)
+        .select(
+          regexp_extract(col("url"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          graft.operators.Url.surt(col("url")).as("urlkey"),
+          col("http_status"), col("digest_ok"),
+          col("body").cast("string").as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Compliance takedowns (Corpus.applyTakedowns): all four rule
+    // kinds live at once over the template URL corpus — an exact-URL
+    // rule written WITH a tracking param (canonical-space matching
+    // must still hit), a host rule, a domain rule whose SURT-prefix
+    // tree match reaches through the www label, and a path-prefix
+    // rule. Every verdict closed-form; the corpus never shuffles
+    // (all four rule joins broadcast — CorpusSpec pins the plan).
+    "q137_takedown_purge" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://www.site"),
+          pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".example.com/dir/page"), col("doc_id").cast("string"),
+          lit(".html")).as("url"))
+      val rules = Seq(
+        ("url", "https://www.site7.example.com/dir/page7.html?utm_source=x"),
+        ("host", "www.site3.example.com"),
+        ("domain", "site4.example.com"),
+        ("prefix", "https://www.site5.example.com/dir/page1")
+      ).toDF("kind", "value")
+      graft.operators.Corpus.applyTakedowns(docs, "url", rules)
+        .select("doc_id", "url").orderBy("doc_id")
+    }),
+
     // The WET export's STREAMING leg (Maintenance.streamingTextSegments
     // — a continuous crawl emits segment sets per batch, CommonCrawl's
     // actual publication shape): the corpus streams in 3 micro-batches,
@@ -6347,6 +6415,36 @@ object SparkEntry {
                 CASE WHEN interval_sec IS NULL THEN false
                      ELSE doc_id * 3600 >= interval_sec END AS due
          FROM d ORDER BY doc_id""",
+
+    // q138: streamed catalog arrival changes nothing — the oracle is
+    // q136's ranged-fetch closed form once more (same locators, same
+    // bodies, same digests), plus the in-entry require that a
+    // whole-archive replay absorbs zero segments.
+    "q138_cdx_stream" ->
+      """SELECT doc_id,
+                'com,example,site' || CAST(doc_id % 20 AS VARCHAR) ||
+                  ')/dir/page' || CAST(doc_id AS VARCHAR) || '.html'
+                  AS urlkey,
+                CAST(200 AS INT) AS http_status, true AS digest_ok,
+                'Document ' || CAST(doc_id AS VARCHAR) || ': ' || text
+                  AS text
+         FROM documents ORDER BY doc_id""",
+
+    // q137: the four takedown kinds re-derived as predicates — the
+    // url rule kills exactly doc 7 (its tracking param must not
+    // matter), host kills the site3 cohort, domain kills site4's
+    // tree through the www label, prefix kills site5 docs whose id
+    // renders with a leading '1'.
+    "q137_takedown_purge" ->
+      """SELECT doc_id,
+                'https://www.site' || CAST(doc_id % 20 AS VARCHAR) ||
+                  '.example.com/dir/page' || CAST(doc_id AS VARCHAR) ||
+                  '.html' AS url
+         FROM documents
+         WHERE NOT (doc_id = 7
+           OR doc_id % 20 IN (3, 4)
+           OR (doc_id % 20 = 5 AND CAST(doc_id AS VARCHAR) LIKE '1%'))
+         ORDER BY doc_id""",
 
     // q136: the ranged fetch in closed form — every doc returns
     // through its CDX locator with the template body, status 200, a

@@ -109,4 +109,123 @@ object Corpus {
         coalesce(col("chars_a"), lit(0)).as("chars_a"),
         coalesce(col("chars_b"), lit(0)).as("chars_b"))
   }
+
+  // ----------------------------------------------------------------
+  // Compliance takedowns — the removal half of corpus stewardship.
+  // A 100 TB training lake receives opt-out lists, DMCA notices, and
+  // publisher domain blocks continuously; this applies them as FOUR
+  // rule kinds over the document URL, each matched in canonical
+  // space so a rule written with tracking params or odd casing still
+  // hits:
+  //   url    — exact canonical URL
+  //   host   — exact host (of the canonical form)
+  //   domain — the WHOLE domain tree via SURT-key prefix (the reason
+  //            SURT exists: `example.com` kills `www.example.com`,
+  //            `a.b.example.com`, … but never `examples.com`)
+  //   prefix — canonical-URL string prefix (a path subtree)
+  // ----------------------------------------------------------------
+
+  private def takedownRuleFrames(rules: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val r = rules.select(lower(col("kind")).as("kind"), col("value"))
+    def keyed(kind: String, key: org.apache.spark.sql.Column) =
+      broadcast(r.filter(col("kind") === kind)
+        .select(key.as("__r")).filter(col("__r").isNotNull).distinct())
+    (keyed("url", Url.canonical(col("value"))),
+      keyed("host", Url.host(concat(lit("http://"), col("value"), lit("/")))),
+      // domain → its SURT key up to the `)` — matched as `key,`
+      // (subdomain) or `key)` (the domain itself), so label
+      // boundaries are exact and `site4` never matches `site40`
+      keyed("domain", regexp_replace(
+        Url.surt(concat(lit("http://"), col("value"), lit("/"))),
+        "\\)/$", "")),
+      keyed("prefix", Url.canonical(col("value"))))
+  }
+
+  /** Documents of `df` that survive every takedown rule (see the rule
+    * table above; `rules` has columns `kind`, `value`). Matching is
+    * canonical-space on both sides — the rule value is canonicalized/
+    * SURT-keyed the same way the document URL is.
+    *
+    * Plan shape: the doc URL canonicalizes ONCE into three derived
+    * match keys on the scan projection, then one LEFT ANTI join per
+    * rule kind, every rule side explicitly `broadcast()` — takedown
+    * lists are thousands of rows against billions of documents, so
+    * no shuffle of the corpus ever happens: url/host rules anti-join
+    * on equality (hash), domain/prefix rules on `startsWith` (a
+    * broadcast nested-loop scan of O(|rules|) string prefix tests
+    * per row — the price of subtree semantics, bounded by the
+    * broadcast's size, and still shuffle-free). Rows whose URL does
+    * not canonicalize (NULL keys) SURVIVE url/host/domain/prefix
+    * matching by construction — a takedown cannot match garbage; gate
+    * such rows upstream if they must not ship. */
+  def applyTakedowns(df: DataFrame, urlCol: String,
+                     rules: DataFrame): DataFrame = {
+    val (urlR, hostR, domR, preR) = takedownRuleFrames(rules)
+    val tagged = df
+      .withColumn("__canon", Url.canonical(col(urlCol)))
+      .withColumn("__host", Url.host(col(urlCol)))
+      .withColumn("__surt", Url.surt(col(urlCol)))
+    tagged
+      .join(urlR, tagged("__canon") === urlR("__r"), "left_anti")
+      .join(hostR, col("__host") === hostR("__r"), "left_anti")
+      .join(domR,
+        col("__surt").startsWith(concat(domR("__r"), lit(","))) ||
+          col("__surt").startsWith(concat(domR("__r"), lit(")"))),
+        "left_anti")
+      .join(preR, col("__canon").startsWith(preR("__r")), "left_anti")
+      .drop("__canon", "__host", "__surt")
+  }
+
+  /** Per-rule match counts — the receipt a compliance process files
+    * ("every rule acted / rule X matched nothing, investigate"):
+    * one row per rule, `(kind, value, n_matched)`, zero-matched rules
+    * INCLUDED. Same broadcast shapes as [[applyTakedowns]], inner
+    * instead of anti, aggregated to |rules| rows. */
+  def takedownAudit(df: DataFrame, urlCol: String,
+                    rules: DataFrame): DataFrame = {
+    val (urlR, hostR, domR, preR) = takedownRuleFrames(rules)
+    val tagged = df
+      .withColumn("__canon", Url.canonical(col(urlCol)))
+      .withColumn("__host", Url.host(col(urlCol)))
+      .withColumn("__surt", Url.surt(col(urlCol)))
+      .select("__canon", "__host", "__surt")
+    val r = rules.select(lower(col("kind")).as("kind"), col("value"))
+    def counted(kind: String, ruleKeys: DataFrame, key: String,
+                cond: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+                  => org.apache.spark.sql.Column) =
+      tagged.join(ruleKeys, cond(col(key), ruleKeys("__r")), "inner")
+        .groupBy(col("__r")).agg(count(lit(1)).as("n_matched"))
+        .join(r.filter(col("kind") === kind)
+          .withColumn("__k",
+            if (kind == "url" || kind == "prefix")
+              Url.canonical(col("value"))
+            else if (kind == "host")
+              Url.host(concat(lit("http://"), col("value"), lit("/")))
+            else regexp_replace(
+              Url.surt(concat(lit("http://"), col("value"), lit("/"))),
+              "\\)/$", "")),
+          col("__r") === col("__k"), "right_outer")
+        .select(col("kind"), col("value"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+    counted("url", urlR, "__canon", _ === _)
+      .unionByName(counted("host", hostR, "__host", _ === _))
+      .unionByName(counted("domain", domR, "__surt", (k, rr) =>
+        k.startsWith(concat(rr, lit(","))) ||
+          k.startsWith(concat(rr, lit(")")))))
+      .unionByName(counted("prefix", preR, "__canon", _ startsWith _))
+  }
+
+  /** Cascade a takedown through a DERIVED table (minhash index,
+    * components catalog, embedding shard, …): keep only rows whose id
+    * survives in the purged corpus — a LEFT SEMI against the
+    * survivor ids, the whitelist form (an anti against purged ids
+    * would silently KEEP rows for ids that never existed in the
+    * corpus at all). */
+  def cascadeTakedown(derived: DataFrame, idCol: String,
+                      survivors: DataFrame,
+                      survivorIdCol: String): DataFrame =
+    derived.join(
+      survivors.select(col(survivorIdCol).as("__sid")).distinct(),
+      col(idCol) === col("__sid"), "left_semi")
 }

@@ -908,16 +908,26 @@ object Warc {
     * `Inflater`-level member walking, O(one member) task memory; the
     * index rows are a tiny fraction of segment bytes. Sort by
     * `urlkey` at write time if emitting interchange CDX files. */
-  def cdxIndex(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
+  def cdxIndex(spark: SparkSession, path: String): DataFrame =
+    cdxIndexFiles(spark, listSegmentFiles(spark, path))
+
+  /** Driver-side |files| listing shared by [[cdxIndex]] and the
+    * catalog append's skip logic. */
+  private def listSegmentFiles(spark: SparkSession, path: String): Seq[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    val files = matched.flatMap { st =>
+    matched.flatMap { st =>
       if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
       else Seq(st)
     }.map(_.getPath.toString).sorted
+  }
+
+  private def cdxIndexFiles(spark: SparkSession,
+                            files: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
     val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
     val rdd = spark.sparkContext
       .parallelize(files, math.max(files.length, 1))
@@ -931,6 +941,46 @@ object Warc {
       }
     spark.createDataset(rdd).toDF()
       .withColumn("urlkey", graft.operators.Url.surt(col("url")))
+  }
+
+  /** Absorb a directory (or glob) of WARC segments into a PERSISTED
+    * CDX catalog table — the standing form of [[cdxIndex]] for a
+    * crawl that lands segment sets continuously (CommonCrawl
+    * publishes its index per crawl batch the same way): segments
+    * whose FILENAME is already cataloged are skipped before any byte
+    * of them is re-read (the skip set is the driver-side |files|
+    * listing joined against the table's distinct filenames — both
+    * |segments|-bounded, never record-bounded), new segments index
+    * through the one-task-per-file walker and APPEND. Idempotent per
+    * segment: replays and overlapping globs anti-join away; a
+    * concurrent duplicate append is caught by the same anti-join at
+    * the next absorb. Serve straight off `spark.table(table)` with
+    * [[fetchByCdx]]. One catalog table spans ONE archive root —
+    * rows key on segment basename (the CDX convention), so feeding
+    * two directories that reuse basenames into one table would
+    * alias them. Returns the number of newly indexed segments. */
+  def appendToCdxTable(spark: SparkSession, table: String,
+                       path: String): Long = {
+    val files = listSegmentFiles(spark, path)
+    val exists = spark.catalog.tableExists(table)
+    val known: Set[String] =
+      if (!exists) Set.empty
+      else spark.table(table).select(col("filename")).distinct()
+        .collect().map(_.getString(0)).toSet // |segments|-bounded
+    val fresh = files.filterNot(f =>
+      known.contains(f.substring(f.lastIndexOf('/') + 1)))
+    if (fresh.isEmpty) return 0L
+    val idx = cdxIndexFiles(spark, fresh)
+    if (!exists) {
+      Warehouse.clearOrphanLocation(spark, table)
+      idx.write.saveAsTable(table)
+    } else {
+      // race/replay safety on top of the listing skip
+      idx.join(spark.table(table).select(col("filename")).distinct(),
+          Seq("filename"), "left_anti")
+        .write.mode("append").saveAsTable(table)
+    }
+    fresh.length.toLong
   }
 
   /** Serve records by CDX rows with RANGED reads — the consumer half

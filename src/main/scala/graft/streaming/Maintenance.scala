@@ -304,6 +304,34 @@ object Maintenance {
       }
       .start()
 
+  /** Keep a persisted CDX capture catalog
+    * ([[graft.sources.Warc.appendToCdxTable]]) continuously absorbed
+    * from a stream of NEWLY-LANDED segment paths — the streaming half
+    * of the capture-index story (a continuous crawl publishes segment
+    * sets per batch; CommonCrawl refreshes its index per crawl the
+    * same way): each micro-batch's distinct paths absorb through the
+    * filename-keyed skip-then-anti-join append, so replays and
+    * re-announcements of a segment are per-FILE no-ops and no
+    * already-indexed byte is ever re-read; ranged-read serving
+    * ([[graft.sources.Warc.fetchByCdx]] over `spark.table(table)`)
+    * answers exactly like a one-shot
+    * [[graft.sources.Warc.cdxIndex]] over everything landed so far
+    * (battery q138 pins it against the q136 oracle verbatim). */
+  def streamingCdx(stream: DataFrame, pathCol: String, table: String,
+                   checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val paths = batch.select(pathCol).distinct()
+            .collect().map(_.getString(0)) // |segments|-bounded
+          paths.sorted.foreach { p =>
+            graft.sources.Warc.appendToCdxTable(batch.sparkSession, table, p)
+          }
+        }
+      }
+      .start()
+
   /** Merge one micro-batch of raw `(src, dst)` link pairs into a
     * [[graft.operators.Graph.ensureEdgeTable]]-shaped edge table,
     * exactly once. Graph appends are NOT per-row idempotent — a new

@@ -170,7 +170,9 @@ class PlanSpec extends SparkSpec {
       "q128_http_decode", "q129_sitemap_frontier",
       "q130_redirect_chains", "q131_normalized_dedup",
       "q132_revisit_dedup", "q133_wet_stream",
-      "q134_apex_budget", "q135_recrawl_due").foreach { q =>
+      "q134_apex_budget", "q135_recrawl_due",
+      "q136_cdx_fetch", "q137_takedown_purge",
+      "q138_cdx_stream").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")

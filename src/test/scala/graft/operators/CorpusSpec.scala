@@ -85,6 +85,72 @@ class CorpusSpec extends SparkSpec {
     assert(out.head.getString(1) == "web")
   }
 
+  test("applyTakedowns: each rule kind kills exactly its own matches, in canonical space") {
+    val docs = Seq(
+      (1L, "https://www.keep.example.com/a"),          // survives
+      (2L, "https://EXACT.example.com/x?utm_source=t"),// url rule (canonical)
+      (3L, "https://bad-host.example.com/y"),          // host rule
+      (4L, "https://sub.tree.example.org/z"),          // domain rule (subdomain)
+      (5L, "https://tree.example.org/w"),              // domain rule (apex itself)
+      (6L, "https://trees.example.org/v"),             // label boundary: SURVIVES
+      (7L, "https://www.keep.example.com/sec/ret/p"),  // prefix rule
+      (8L, "not a url at all")                         // garbage: survives
+    ).toDF("doc_id", "url")
+    val rules = Seq(
+      ("url", "https://exact.example.com/x"),   // no utm; must still hit doc 2
+      ("host", "bad-host.example.com"),
+      ("domain", "tree.example.org"),
+      ("prefix", "https://www.keep.example.com/sec/")
+    ).toDF("kind", "value")
+    val kept = Corpus.applyTakedowns(docs, "url", rules)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 6L, 8L))
+    // the takedown must not invent columns
+    assert(Corpus.applyTakedowns(docs, "url", rules).columns.toSeq ==
+      Seq("doc_id", "url"))
+  }
+
+  test("takedownAudit: one receipt row per rule, zero-matched rules included") {
+    val docs = Seq(
+      (1L, "https://a.example.com/x"),
+      (2L, "https://b.example.com/y"),
+      (3L, "https://sub.a.example.com/z")
+    ).toDF("doc_id", "url")
+    val rules = Seq(
+      ("domain", "a.example.com"),   // docs 1 and 3
+      ("host", "b.example.com"),     // doc 2
+      ("url", "https://nowhere.example.com/q") // zero matches
+    ).toDF("kind", "value")
+    val audit = Corpus.takedownAudit(docs, "url", rules)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(audit == Set(
+      ("domain", "a.example.com", 2L),
+      ("host", "b.example.com", 1L),
+      ("url", "https://nowhere.example.com/q", 0L)))
+  }
+
+  test("cascadeTakedown: derived rows follow the corpus purge as a whitelist") {
+    val survivors = Seq(1L, 3L).toDF("doc_id")
+    val derived = Seq((1L, 10), (2L, 20), (3L, 30), (99L, 40))
+      .toDF("doc_id", "payload")
+    val kept = Corpus.cascadeTakedown(derived, "doc_id", survivors, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    // 2 purged WITH the corpus; 99 (never in the corpus) purged too —
+    // whitelist semantics, not anti-against-purged
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("applyTakedowns plan: corpus never shuffles — every rule join is broadcast") {
+    val docs = Seq((1L, "https://a.example.com/x")).toDF("doc_id", "url")
+    val rules = Seq(("url", "https://a.example.com/x"),
+      ("host", "h.example.com"), ("domain", "d.example.org"),
+      ("prefix", "https://p.example.com/")).toDF("kind", "value")
+    val plan = Corpus.applyTakedowns(docs, "url", rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("snapshotDiff: presence decides added/removed, digests decide changed, NULLs compare null-safely") {
     import org.apache.spark.sql.functions.col
     val a = Seq((1L, "same"), (2L, "old"), (3L, "gone"),

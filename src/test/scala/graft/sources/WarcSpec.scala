@@ -371,6 +371,32 @@ class WarcSpec extends SparkSpec {
     assert(new String(f.getAs[Array[Byte]]("body"), "ISO-8859-1") == "two")
   }
 
+  test("appendToCdxTable: filename-keyed skip — new segments index, replays no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxt").toString
+    def writeSeg(i: Int): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, f"seg-$i%03d.warc"),
+      Warc.buildSegment(Seq(("response", s"http://a.com/$i",
+        Warc.httpResponse(ascii(s"b$i"))))))
+    writeSeg(1); writeSeg(2)
+    val tbl = "graft_test_cdx_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Warehouse.clearOrphanLocation(spark, tbl)
+    assert(Warc.appendToCdxTable(spark, tbl, dir) == 2L)
+    assert(spark.table(tbl).count() == 2)
+    assert(Warc.appendToCdxTable(spark, tbl, dir) == 0L,
+      "whole-archive replay must absorb nothing")
+    writeSeg(3)
+    assert(Warc.appendToCdxTable(spark, tbl, dir) == 1L,
+      "only the newly landed segment indexes")
+    assert(spark.table(tbl).count() == 3)
+    // the catalog serves ranged reads like a fresh index
+    val urls = Warc.fetchByCdx(spark.table(tbl), dir)
+      .select("url").as[String].collect().toSet
+    assert(urls == Set("http://a.com/1", "http://a.com/2", "http://a.com/3"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("cdx: a corrupt middle member stops the walk with earlier members intact") {
     def member(i: Int) = Warc.gzipBytes(Warc.buildSegment(Seq(
       ("response", s"http://a.com/$i", Warc.httpResponse(ascii(s"body$i"))))))
