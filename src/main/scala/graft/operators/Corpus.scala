@@ -125,6 +125,23 @@ object Corpus {
   //   prefix — canonical-URL string prefix (a path subtree)
   // ----------------------------------------------------------------
 
+  // host/domain rule values are NAMES, but real takedown lists write
+  // them with trailing slashes or stray paths ("example.com/") — strip
+  // everything from the first "/" so the synthesized URL stays
+  // well-formed (an un-stripped trailing slash yields the SURT
+  // "com,example)//", which no document key can ever prefix-match)
+  private def hostKey(value: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    Url.host(concat(lit("http://"),
+      regexp_replace(value, "/.*$", ""), lit("/")))
+
+  private def domainKey(value: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_replace(
+      Url.surt(concat(lit("http://"),
+        regexp_replace(value, "/.*$", ""), lit("/"))),
+      "\\)/$", "")
+
   private def takedownRuleFrames(rules: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val r = rules.select(lower(col("kind")).as("kind"), col("value"))
@@ -132,13 +149,11 @@ object Corpus {
       broadcast(r.filter(col("kind") === kind)
         .select(key.as("__r")).filter(col("__r").isNotNull).distinct())
     (keyed("url", Url.canonical(col("value"))),
-      keyed("host", Url.host(concat(lit("http://"), col("value"), lit("/")))),
+      keyed("host", hostKey(col("value"))),
       // domain → its SURT key up to the `)` — matched as `key,`
       // (subdomain) or `key)` (the domain itself), so label
       // boundaries are exact and `site4` never matches `site40`
-      keyed("domain", regexp_replace(
-        Url.surt(concat(lit("http://"), col("value"), lit("/"))),
-        "\\)/$", "")),
+      keyed("domain", domainKey(col("value"))),
       keyed("prefix", Url.canonical(col("value"))))
   }
 
@@ -200,11 +215,8 @@ object Corpus {
           .withColumn("__k",
             if (kind == "url" || kind == "prefix")
               Url.canonical(col("value"))
-            else if (kind == "host")
-              Url.host(concat(lit("http://"), col("value"), lit("/")))
-            else regexp_replace(
-              Url.surt(concat(lit("http://"), col("value"), lit("/"))),
-              "\\)/$", "")),
+            else if (kind == "host") hostKey(col("value"))
+            else domainKey(col("value"))),
           col("__r") === col("__k"), "right_outer")
         .select(col("kind"), col("value"),
           coalesce(col("n_matched"), lit(0L)).as("n_matched"))

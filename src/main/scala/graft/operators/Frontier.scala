@@ -130,8 +130,12 @@ object Frontier {
 
   /** Freshness-aware recrawl gate: mark which KNOWN URLs are due at
     * `nowEpochSec` — `due = last_fetch + interval(changefreq) ≤ now`,
-    * with `never` pages never due. Adds `interval_sec` and `due`;
-    * row-local and shuffle-free — compose the due survivors into
+    * with `never` pages never due and a NULL `last_fetch`
+    * (never-fetched row, e.g. off a left join against the fetch
+    * ledger) due IMMEDIATELY — three-valued SQL would otherwise make
+    * `due` NULL and the row invisible to BOTH `due` and `!due`
+    * filters. Adds `interval_sec` and `due` (never NULL); row-local
+    * and shuffle-free — compose the due survivors into
     * [[schedule]]/[[scheduleByKey]] for the next round (battery q135
     * states every verdict closed-form per changefreq regime). */
   def markDueForRecrawl(urls: DataFrame, lastFetchCol: String,
@@ -141,7 +145,8 @@ object Frontier {
     urls.withColumn("interval_sec", interval)
       .withColumn("due",
         col("interval_sec").isNotNull &&
-          col(lastFetchCol).cast("long") + col("interval_sec") <= nowEpochSec)
+          (col(lastFetchCol).isNull ||
+            col(lastFetchCol).cast("long") + col("interval_sec") <= nowEpochSec))
   }
 
   /** Append newly DISCOVERED URLs to a persisted frontier TABLE

@@ -110,6 +110,29 @@ class CorpusSpec extends SparkSpec {
       Seq("doc_id", "url"))
   }
 
+  test("applyTakedowns: host/domain rules written with trailing slashes or paths still match") {
+    // real opt-out/DMCA lists write names as "example.com/" or
+    // "example.com/some/path" — the name part must still key the rule
+    val docs = Seq(
+      (1L, "https://www.tree.example.org/a"),
+      (2L, "https://sub.tree.example.org/b"),
+      (3L, "https://bad-host.example.com/c"),
+      (4L, "https://keep.example.net/d")
+    ).toDF("doc_id", "url")
+    val rules = Seq(
+      ("domain", "tree.example.org/"),          // trailing slash
+      ("host", "bad-host.example.com/robots.txt") // stray path
+    ).toDF("kind", "value")
+    val kept = Corpus.applyTakedowns(docs, "url", rules)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(4L), kept.mkString(","))
+    // and the audit receipts count the same matches, not zeros
+    val audit = Corpus.takedownAudit(docs, "url", rules)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(audit == Map("tree.example.org/" -> 2L,
+      "bad-host.example.com/robots.txt" -> 1L), audit.toString)
+  }
+
   test("takedownAudit: one receipt row per rule, zero-matched rules included") {
     val docs = Seq(
       (1L, "https://a.example.com/x"),

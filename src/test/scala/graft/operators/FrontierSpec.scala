@@ -119,6 +119,25 @@ class FrontierSpec extends SparkSpec {
       "u_null_cf_due" -> true), got.toString)
   }
 
+  test("markDueForRecrawl: a NULL last_fetch is due now, not three-valued invisible") {
+    // the left-join-against-the-ledger shape: never-fetched rows NULL
+    val now = 1000000L
+    val rows = Seq(
+      ("u_never_fetched", None, "daily"),
+      ("u_never_fetched_never", None, "never"), // `never` still wins
+      ("u_fetched_not_due", Some(now - 10L), "daily"))
+      .toDF("url", "last_fetch", "changefreq")
+    val got = Frontier.markDueForRecrawl(rows, "last_fetch", "changefreq", now)
+      .select("url", "due").as[(String, Boolean)].collect().toMap
+    assert(got == Map(
+      "u_never_fetched" -> true,
+      "u_never_fetched_never" -> false,
+      "u_fetched_not_due" -> false), got.toString)
+    // and no row ever carries a NULL due
+    val dueCol = Frontier.markDueForRecrawl(rows, "last_fetch", "changefreq", now)
+    assert(dueCol.filter(dueCol("due").isNull).count() == 0L)
+  }
+
   test("NULL scores schedule at 0 instead of crashing the aggregator") {
     // the shape an upstream left join produces: unranked hosts NULL
     val urls = Seq(("https://a.com/ranked", Some(5L)),
