@@ -1444,6 +1444,49 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // The retrieval family's STREAMING leg (Maintenance.streamingBm25
+    // → Retrieval.appendToBm25Tables — closing its build/serve/stream
+    // triad like n-gram/MinHash/IVFADC/graph before it): documents
+    // arrive in 3 micro-batches over MemoryStream, each absorbing
+    // per-doc-idempotently into the (postings, doc-length) pair — df
+    // and corpus stats are DERIVED at serve time (term-filtered
+    // postings scan + one dl aggregate), so nothing already written
+    // ever changes; a whole-corpus replay absorb must then be a
+    // ZERO-doc no-op (required in-entry), and the served top-20
+    // answers the q54 oracle VERBATIM — streamed arrival must not
+    // move one score.
+    "q139_bm25_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val statsT = s"graft_q139_stats_${docsTag(s, dir)}"
+      val dlT = s"graft_q139_dl_${docsTag(s, dir)}"
+      if (!s.catalog.tableExists(dlT)) {
+        val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect().sortBy(_._1)
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q139_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingBm25(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          statsT, dlT, ckpt)
+        try {
+          rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val replayed = graft.operators.Retrieval.appendToBm25Tables(s,
+        t(s, dir, "documents"), "doc_id", "text", statsT, dlT)
+      require(replayed == 0L,
+        s"replay absorb must be a no-op, absorbed $replayed docs")
+      graft.operators.Retrieval.bm25TopKFromTables(s, statsT, dlT,
+          Seq("the", "data", "model"), n = 20)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // Context-budget chunking: sliding 50-token windows, stride 40
     // (overlapping) — one JVM kernel pass per doc, exploded to one row
     // per chunk. Chunk text is md5'd so the oracle compares content
@@ -3550,6 +3593,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CDXJ interchange (Warc.writeCdxj / readCdxj — the SORTED text
+    // form CommonCrawl actually publishes its index as): the q136
+    // index round-trips through `urlkey timestamp {json}` lines
+    // (string-valued fields, range-partitioned global sort) and the
+    // read-back locators must fetch every response EXACTLY like the
+    // in-memory index — the q136 oracle verbatim. A lost field, a
+    // mis-cast offset, or a timestamp that doesn't reconstruct the
+    // WARC date breaks the fetch or the hash.
+    "q140_cdxj_roundtrip" -> ((s, dir) => {
+      val wdir = ensureCdxWarcDir(s, dir)
+      val W = graft.sources.Warc
+      val cdxjDir = new java.io.File(
+        java.nio.file.Files.createTempDirectory("graft_q140").toFile,
+        "cdxj").toString
+      W.writeCdxj(W.cdxIndex(s, wdir), cdxjDir, shards = 3)
+      val back = W.readCdxj(s, cdxjDir)
+      W.fetchByCdx(back.filter(col("warc_type") === "response"), wdir)
+        .select(
+          regexp_extract(col("url"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          graft.operators.Url.surt(col("url")).as("urlkey"),
+          col("http_status"), col("digest_ok"),
+          col("body").cast("string").as("text"))
+        .orderBy("doc_id")
+    }),
+
     // Compliance takedowns (Corpus.applyTakedowns): all four rule
     // kinds live at once over the template URL corpus — an exact-URL
     // rule written WITH a tracking param (canonical-space matching
@@ -4744,6 +4813,31 @@ object SparkEntry {
     // natural); top-20 selected on the UNROUNDED score with doc_id
     // tiebreak in both engines, rounded only for the compare.
     "q54_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                      t -> len(t) > 0) AS ws
+           FROM documents),
+         dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+         stats AS (SELECT count(1) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tr AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(1) AS tf FROM tr
+                WHERE term IN ('the', 'data', 'model') GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id,
+                  sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                      (tf.tf * 2.2) /
+                      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+           GROUP BY tf.doc_id)
+         SELECT doc_id, round(score, 4) AS score
+         FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+         ORDER BY score DESC, doc_id""",
+
+    // q139: identical oracle to q54 — streamed arrival must not move
+    // one score (df/corpus stats derive at serve time, so the pair of
+    // tables answers exactly like the one-shot formula).
+    "q139_bm25_stream" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
                                       t -> len(t) > 0) AS ws
@@ -6445,6 +6539,19 @@ object SparkEntry {
            OR doc_id % 20 IN (3, 4)
            OR (doc_id % 20 = 5 AND CAST(doc_id AS VARCHAR) LIKE '1%'))
          ORDER BY doc_id""",
+
+    // q140: identical oracle to q136 — the text interchange must not
+    // lose or shift one locator (a mis-cast offset or torn json field
+    // nulls the fetch out of the hash).
+    "q140_cdxj_roundtrip" ->
+      """SELECT doc_id,
+                'com,example,site' || CAST(doc_id % 20 AS VARCHAR) ||
+                  ')/dir/page' || CAST(doc_id AS VARCHAR) || '.html'
+                  AS urlkey,
+                CAST(200 AS INT) AS http_status, true AS digest_ok,
+                'Document ' || CAST(doc_id AS VARCHAR) || ': ' || text
+                  AS text
+         FROM documents ORDER BY doc_id""",
 
     // q136: the ranged fetch in closed form — every doc returns
     // through its CDX locator with the template body, status 200, a

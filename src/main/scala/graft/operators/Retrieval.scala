@@ -194,6 +194,94 @@ object Retrieval {
     }
   }
 
+  // ---- streaming maintenance ---------------------------------------
+  // The third lifecycle leg (build/serve/STREAM — the n-gram, MinHash
+  // and IVFADC discipline): a continuously-arriving corpus appends
+  // into a (postings, doc-length) table PAIR instead of refreshing
+  // the build-once triple. df and corpus stats are NOT materialized —
+  // both derive at serve time (df from the term-filtered postings
+  // scan, n_docs/avgdl from one dlTable aggregate), so appends stay
+  // per-DOC idempotent with no staged-swap machinery: unlike the
+  // graph's out-degree, nothing already written changes when a new
+  // document arrives.
+
+  /** Append NEW documents' postings and doc-length rows to the
+    * streaming BM25 pair — `statsTable` grows `(doc_id, term, tf,
+    * dl)`, `dlTable` grows `(doc_id, dl)` (one row per doc INCLUDING
+    * zero-token docs, which have no postings — that row is what keeps
+    * the served `n_docs`/`avgdl` equal to [[corpusStats]] over
+    * everything absorbed). `dlTable` doubles as the absorbed-doc
+    * marker set: replays anti-join away on `doc_id` before a byte of
+    * text tokenizes; a crash between the postings append and the
+    * marker append re-tokenizes the batch next absorb and the
+    * row-level anti-join against the postings' own doc ids drops the
+    * duplicates (the [[graft.sources.Warc.appendToCdxTable]]
+    * rows-first-markers-second ordering). Returns newly absorbed
+    * docs. Serve any time with [[bm25TopKFromTables]]. */
+  def appendToBm25Tables(spark: SparkSession, docs: DataFrame,
+                         idCol: String, textCol: String,
+                         statsTable: String, dlTable: String): Long = {
+    val incoming = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .groupBy("doc_id").agg(first(col("__text")).as("__text"))
+    val fresh =
+      (if (!spark.catalog.tableExists(dlTable)) incoming
+       else incoming.join(spark.table(dlTable).select(col("doc_id")),
+         Seq("doc_id"), "left_anti"))
+        .persist() // two consumers: postings job + dl-marker job
+    try {
+      val n = fresh.count()
+      if (n == 0L) return 0L
+      val postings = termStats(fresh, "doc_id", "__text")
+      if (!spark.catalog.tableExists(statsTable)) {
+        graft.sources.Warehouse.clearOrphanLocation(spark, statsTable)
+        postings.write.saveAsTable(statsTable)
+      } else {
+        postings.join(
+            spark.table(statsTable).select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .write.mode("append").saveAsTable(statsTable)
+      }
+      // markers AFTER postings (crash between = re-tokenize + dedup)
+      val dlRows = fresh.select(col("doc_id"),
+        size(tokensOf("__text")).as("dl"))
+      if (!spark.catalog.tableExists(dlTable)) {
+        graft.sources.Warehouse.clearOrphanLocation(spark, dlTable)
+        dlRows.write.saveAsTable(dlTable)
+      } else {
+        dlRows.join(spark.table(dlTable).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .write.mode("append").saveAsTable(dlTable)
+      }
+      n
+    } finally fresh.unpersist()
+  }
+
+  /** BM25 served straight off the streaming pair: `df` derives from
+    * the postings scan (the term filter pushes through the
+    * [[docFreq]] aggregate into the scan — grouping-key filters
+    * push below aggregates), corpus stats from ONE `dlTable`
+    * aggregate (zero-token docs included, exactly the
+    * [[corpusStats]] definition). Identical scores to [[bm25]] /
+    * [[bm25FromStats]] over everything absorbed so far. */
+  def bm25FromTables(spark: SparkSession, statsTable: String,
+                     dlTable: String, queryTerms: Seq[String],
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val corpus = spark.table(dlTable)
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    bm25FromStats(spark.table(statsTable),
+      docFreq(spark.table(statsTable)), corpus, queryTerms, k1, b)
+  }
+
+  /** [[bm25FromTables]] ranked top-`n` (TakeOrderedAndProject). */
+  def bm25TopKFromTables(spark: SparkSession, statsTable: String,
+                         dlTable: String, queryTerms: Seq[String],
+                         n: Int = 10, k1: Double = 1.2,
+                         b: Double = 0.75): DataFrame =
+    bm25FromTables(spark, statsTable, dlTable, queryTerms, k1, b)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(n)
+
   // ---- batch retrieval + ranking evaluation ------------------------
 
   /** Batch doc-as-query retrieval: EVERY query row gets its top-`n`

@@ -115,7 +115,21 @@ object Warc {
     * stream is closed when parsing stops, at exhaustion, or — via the
     * task-completion hook the caller installs — on early task exit. */
   private[sources] def parseStream(path: String,
-                                   raw: java.io.InputStream): Iterator[WarcRecord] = {
+                                   raw: java.io.InputStream): Iterator[WarcRecord] =
+    parseStreamCore(path, raw, computeStoredDigest = false).map(_._1)
+
+  /** [[parseStream]] plus the sha1-base32 of each record's STORED
+    * payload bytes (for response records: the HTTP body range as
+    * written, BEFORE transfer/content decoding — the bytes an
+    * interchange `WARC-Payload-Digest` covers; for other types the
+    * payload verbatim). null when the HTTP block is torn. Separate
+    * entry point so the plain read path never pays the hash. */
+  private[sources] def parseStreamWithDigest(path: String,
+      raw: java.io.InputStream): Iterator[(WarcRecord, String)] =
+    parseStreamCore(path, raw, computeStoredDigest = true)
+
+  private def parseStreamCore(path: String, raw: java.io.InputStream,
+      computeStoredDigest: Boolean): Iterator[(WarcRecord, String)] = {
     val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
     buffered.mark(2)
     val b0 = buffered.read()
@@ -127,9 +141,9 @@ object Warc {
           new java.util.zip.GZIPInputStream(buffered, 1 << 16), 1 << 16)
       else buffered
 
-    new Iterator[WarcRecord] {
+    new Iterator[(WarcRecord, String)] {
       private var idx = 0
-      private var nextRec: WarcRecord = null
+      private var nextRec: (WarcRecord, String) = null
       private var done = false
 
       private def close(): Unit =
@@ -173,11 +187,14 @@ object Warc {
           }
           val payload = readFullyStream(in, clen.toInt)
           if (payload == null) { done = true; close(); return } // torn tail
-          val (status, ctype, loc, body) =
+          val (status, ctype, loc, body, bodyStart) =
             if (wtype == "response") parseHttp(payload)
-            else (None, None, None, payload)
-          nextRec = WarcRecord(path, idx, wtype, uri, date, clen,
-            Option(digest), status, ctype, loc, body)
+            else (None, None, None, payload, 0)
+          val stored =
+            if (!computeStoredDigest || bodyStart < 0) null
+            else sha1Base32(payload, bodyStart, payload.length - bodyStart)
+          nextRec = (WarcRecord(path, idx, wtype, uri, date, clen,
+            Option(digest), status, ctype, loc, body), stored)
           idx += 1
         } catch {
           case _: java.io.IOException => done = true; close()
@@ -185,7 +202,7 @@ object Warc {
       }
 
       override def hasNext: Boolean = { advance(); nextRec != null }
-      override def next(): WarcRecord = {
+      override def next(): (WarcRecord, String) = {
         advance()
         if (nextRec == null) throw new NoSuchElementException
         val r = nextRec; nextRec = null; r
@@ -215,19 +232,23 @@ object Warc {
   }
 
   /** Split an HTTP/1.x response payload into (status, content-type,
-    * location, body); (None, None, None, null) when the message is
-    * torn. The body is TRANSFER- and CONTENT-decoded before it
-    * surfaces: `Transfer-Encoding: chunked` frames are stripped
+    * location, body, bodyStart); (None, None, None, null, -1) when the
+    * message is torn. The body is TRANSFER- and CONTENT-decoded before
+    * it surfaces: `Transfer-Encoding: chunked` frames are stripped
     * ([[dechunk]]) and `Content-Encoding: gzip|x-gzip|deflate` bodies
     * decompressed ([[decompressBody]]) — a real crawl capture is full
     * of both, and handing the encoded bytes to the charset ladder
     * reads framing noise as text. Unknown codings (`br`, compress)
-    * surface raw, documented — the JDK has no decoder for them. */
+    * surface raw, documented — the JDK has no decoder for them.
+    * `bodyStart` is the offset of the STORED (pre-decode) body within
+    * `payload` — the byte range a stamped `WARC-Payload-Digest`
+    * covers in interchange archives (the digest is taken over the
+    * payload as written, not over what a consumer decodes). */
   private[sources] def parseHttp(payload: Array[Byte])
-      : (Option[Int], Option[String], Option[String], Array[Byte]) = {
+      : (Option[Int], Option[String], Option[String], Array[Byte], Int) = {
     val (statusLine, p0) = readLine(payload, 0)
     if (statusLine == null || !statusLine.startsWith("HTTP/"))
-      return (None, None, None, null)
+      return (None, None, None, null, -1)
     val parts = statusLine.split(" ")
     val status = if (parts.length >= 2)
       try Some(parts(1).toInt) catch { case _: NumberFormatException => None }
@@ -263,7 +284,7 @@ object Warc {
       case Some(e) => decompressBody(dechunked, e)
       case None => dechunked
     }
-    (status, ctype, location, body)
+    (status, ctype, location, body, h._2)
   }
 
   /** Strip `Transfer-Encoding: chunked` framing: hex size line
@@ -367,8 +388,15 @@ object Warc {
     * the SHA-1 over the payload bytes — the value a `revisit` record
     * carries to point at the response whose body it re-fetched. One
     * pass, scalar; [[digestColumn]] is the corpus form. */
-  def sha1Base32(payload: Array[Byte]): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-1").digest(payload)
+  def sha1Base32(payload: Array[Byte]): String =
+    sha1Base32(payload, 0, payload.length)
+
+  /** Range form of [[sha1Base32]] — digests `payload[off, off+len)`
+    * without copying (the stored-body range of a response record). */
+  def sha1Base32(payload: Array[Byte], off: Int, len: Int): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(payload, off, len)
+    val d = md.digest()
     val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
     val sb = new java.lang.StringBuilder(32)
     var buf = 0L
@@ -561,6 +589,37 @@ object Warc {
     * completion, so racing attempts can't interleave one file; a
     * crash-orphaned temp never enters the manifest and flips the
     * audit's `ok` if it lingers. */
+  /** Writes concatenated RFC 1952 gzip members onto one stream with a
+    * SINGLE reused `Deflater` (reset between members) — per-record
+    * members without allocating a native zlib context per record.
+    * Caller must call [[end]] to release the one native context. */
+  private final class GzipMemberSink(raw: java.io.OutputStream) {
+    private val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    private val crc = new java.util.zip.CRC32
+    private val buf = new Array[Byte](1 << 16)
+    // magic, CM=deflate, FLG=0, MTIME=0 (fixture-determinism), XFL=0,
+    // OS=unknown — the minimal 10-byte header every reader accepts
+    private val header = Array[Byte](0x1f.toByte, 0x8b.toByte, 8,
+      0, 0, 0, 0, 0, 0, 0xff.toByte)
+    def writeMember(data: Array[Byte]): Unit = {
+      raw.write(header)
+      crc.reset(); crc.update(data)
+      deflater.reset(); deflater.setInput(data); deflater.finish()
+      while (!deflater.finished()) {
+        val m = deflater.deflate(buf)
+        if (m > 0) raw.write(buf, 0, m)
+      }
+      writeIntLE(crc.getValue.toInt) // CRC32, then ISIZE (RFC 1952)
+      writeIntLE(data.length)
+    }
+    private def writeIntLE(v: Int): Unit = {
+      raw.write(v & 0xFF); raw.write((v >>> 8) & 0xFF)
+      raw.write((v >>> 16) & 0xFF); raw.write((v >>> 24) & 0xFF)
+    }
+    def end(): Unit = deflater.end()
+  }
+
   def writeTextSegments(df: DataFrame, uriCol: String, textCol: String,
                         path: String, gzip: Boolean = true,
                         date: String = "2026-01-01T00:00:00Z",
@@ -596,26 +655,35 @@ object Warc {
         // convention — each record independently gunzippable, so a
         // range request or a splitter can start at any member
         // boundary); the reader's multi-member gzip path consumes
-        // both this and whole-file streams identically
-        def withRecordStream(f: java.io.OutputStream => Unit): Unit =
+        // both this and whole-file streams identically. ONE Deflater
+        // serves the whole segment (reset per member) — a
+        // GZIPOutputStream per record would leak a native zlib
+        // context per record until GC
+        val gzSink = if (gzip) new GzipMemberSink(raw) else null
+        def writeRecordUnit(wtype: String, uri: String,
+                            payload: Array[Byte]): Unit =
           if (gzip) {
-            val gz = new java.util.zip.GZIPOutputStream(raw, 1 << 14)
-            f(gz)
-            gz.finish() // complete the member, keep the file open
-          } else f(raw)
+            val framed = new java.io.ByteArrayOutputStream(
+              payload.length + 256) // record-bounded
+            writeRecord(framed, wtype, uri, payload, date)
+            gzSink.writeMember(framed.toByteArray)
+          } else writeRecord(raw, wtype, uri, payload, date)
         try {
-          withRecordStream(out => writeRecord(out, "warcinfo", null,
+          writeRecordUnit("warcinfo", null,
             s"software: $software\r\n".getBytes(
-              java.nio.charset.StandardCharsets.ISO_8859_1), date))
+              java.nio.charset.StandardCharsets.ISO_8859_1))
           it.foreach { case (uri, text) =>
             val payload =
               if (text == null) Array.empty[Byte]
               else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            withRecordStream(out => writeRecord(out, "conversion", uri, payload, date))
+            writeRecordUnit("conversion", uri, payload)
             n += 1
             bytes += payload.length
           }
-        } finally raw.close()
+        } finally {
+          if (gzSink != null) gzSink.end()
+          raw.close()
+        }
         if (!fsys.rename(tmp, fin)) {
           // lost the publish race: a sibling attempt's identical
           // segment is already in place — discard ours
@@ -671,8 +739,8 @@ object Warc {
     * whole-file-gzip archives where one member spans many records
     * (per-record-member archives — the CommonCrawl convention — have
     * it 0 throughout). `digest` is the stamped
-    * `WARC-Payload-Digest` when present, else SHA-1 over the
-    * surfaced body. */
+    * `WARC-Payload-Digest` when present, else SHA-1 over the STORED
+    * payload bytes (the pre-decode range a stamp would cover). */
   final case class CdxRow(filename: String, offset: Long,
                           comp_length: Long, member_index: Int,
                           member_record_index: Int, warc_type: String,
@@ -882,13 +950,16 @@ object Warc {
       else walkPlainRecords(buffered)
     val name = path.substring(path.lastIndexOf('/') + 1)
     units.zipWithIndex.flatMap { case ((off, clen, bytes), mi) =>
-      parseStream(path, new java.io.ByteArrayInputStream(bytes))
-        .zipWithIndex.map { case (r, ri) =>
+      parseStreamWithDigest(path, new java.io.ByteArrayInputStream(bytes))
+        .zipWithIndex.map { case ((r, stored), ri) =>
+          // the digest fallback is over the STORED payload bytes —
+          // what an interchange WARC-Payload-Digest covers — so the
+          // index stays join-compatible with externally stamped
+          // digests even for content-encoded responses
           CdxRow(name, off, clen, mi, ri, r.warc_type, r.target_uri,
             r.warc_date,
             r.http_content_type, r.http_status,
-            r.payload_digest.orElse(
-              Option(r.body).map(sha1Base32)))
+            r.payload_digest.orElse(Option(stored)))
         }
     }
   }
@@ -958,27 +1029,75 @@ object Warc {
     * [[fetchByCdx]]. One catalog table spans ONE archive root —
     * rows key on segment basename (the CDX convention), so feeding
     * two directories that reuse basenames into one table would
-    * alias them. Returns the number of newly indexed segments. */
+    * alias them.
+    *
+    * The skip set lives in a `<table>_segments` COMPANION table
+    * (`filename, n_records`), not in the index rows themselves — a
+    * segment that indexes to ZERO rows (0-byte file, corrupt from
+    * byte 0) still gets its marker and is never re-read or re-counted
+    * as fresh on replay. Crash ordering: index rows append FIRST,
+    * markers second — a crash in between re-indexes the segment next
+    * absorb and the row-level anti-join drops the duplicates; a
+    * catalog created before the companion existed is bootstrapped
+    * from its distinct filenames on the next call. Returns the number
+    * of newly indexed segments. */
   def appendToCdxTable(spark: SparkSession, table: String,
-                       path: String): Long = {
-    val files = listSegmentFiles(spark, path)
-    val exists = spark.catalog.tableExists(table)
+                       path: String): Long =
+    appendToCdxTable(spark, table, Seq(path))
+
+  /** Multi-path form of [[appendToCdxTable]] — one listing + one
+    * index + one append job over every path's files (the streaming
+    * leg batches a micro-batch's announcements through here instead
+    * of absorbing path by path). */
+  def appendToCdxTable(spark: SparkSession, table: String,
+                       paths: Seq[String]): Long = {
+    import spark.implicits._
+    val segTable = table + "_segments"
+    val files = paths.flatMap(listSegmentFiles(spark, _)).distinct.sorted
+    val tableExists = spark.catalog.tableExists(table)
+    if (tableExists && !spark.catalog.tableExists(segTable)) {
+      // pre-companion catalog: bootstrap markers from the index rows
+      // (zero-row segments are unknowable in that legacy state)
+      Warehouse.clearOrphanLocation(spark, segTable)
+      spark.table(table).groupBy(col("filename"))
+        .agg(count(lit(1)).as("n_records"))
+        .write.saveAsTable(segTable)
+    }
     val known: Set[String] =
-      if (!exists) Set.empty
-      else spark.table(table).select(col("filename")).distinct()
+      if (!spark.catalog.tableExists(segTable)) Set.empty
+      else spark.table(segTable).select(col("filename"))
         .collect().map(_.getString(0)).toSet // |segments|-bounded
     val fresh = files.filterNot(f =>
       known.contains(f.substring(f.lastIndexOf('/') + 1)))
     if (fresh.isEmpty) return 0L
     val idx = cdxIndexFiles(spark, fresh)
-    if (!exists) {
+    if (!tableExists) {
       Warehouse.clearOrphanLocation(spark, table)
       idx.write.saveAsTable(table)
     } else {
-      // race/replay safety on top of the listing skip
+      // race/replay safety on top of the marker skip
       idx.join(spark.table(table).select(col("filename")).distinct(),
           Seq("filename"), "left_anti")
         .write.mode("append").saveAsTable(table)
+    }
+    // markers AFTER rows (crash between = re-index, dedup, re-mark);
+    // counts read back off the just-written table so the segments are
+    // not walked a second time; zero-row segments coalesce to 0
+    val freshNames = fresh.map(f => f.substring(f.lastIndexOf('/') + 1))
+    val counts = spark.table(table)
+      .join(freshNames.toDF("filename"), Seq("filename"), "left_semi")
+      .groupBy(col("filename")).agg(count(lit(1)).as("n_records"))
+    val markers = freshNames.toDF("filename")
+      .join(counts, Seq("filename"), "left_outer")
+      .select(col("filename"),
+        coalesce(col("n_records"), lit(0L)).as("n_records"))
+    if (!spark.catalog.tableExists(segTable)) {
+      Warehouse.clearOrphanLocation(spark, segTable)
+      markers.write.saveAsTable(segTable)
+    } else {
+      markers.join(spark.table(segTable).select(col("filename")),
+          Seq("filename"), "left_anti")
+        .write.mode("append").saveAsTable(segTable)
     }
     fresh.length.toLong
   }
@@ -991,10 +1110,14 @@ object Warc {
     * `dir/filename`, read exactly `comp_length` bytes, parse the
     * member in isolation, and surface the `member_record_index`-th
     * record's fields plus `digest_ok` (stamped `WARC-Payload-Digest`
-    * vs SHA-1 over the fetched body; true when no digest was
-    * stamped). A wrong offset or length cannot limp through — the
-    * isolated parse fails its gzip magic / framing and the row comes
-    * back with NULL fields.
+    * vs SHA-1 over the STORED payload bytes — the pre-decode body
+    * range the stamp covers in interchange archives; true when no
+    * digest was stamped). A wrong offset or length cannot limp
+    * through — the isolated parse fails its gzip magic / framing and
+    * the row comes back with NULL fields; so do negative/oversized
+    * locators, reads past a truncated segment's EOF, and a missing
+    * segment file (every degrade is a NULL row, never a task
+    * failure).
     *
     * Scale shape: rows sort by file WITHIN each partition so a task
     * opens each segment once and seeks forward through its rows —
@@ -1017,39 +1140,146 @@ object Warc {
         .getFileSystem(confB.value.conf)
       byFile.iterator.flatMap { case (name, rs) =>
         val fp = new org.apache.hadoop.fs.Path(dir, name)
-        val in = fs.open(fp)
+        // a missing/unreadable segment NULLs all of its rows instead
+        // of failing the task — same degrade contract as a bad offset
+        val in =
+          try Some(fs.open(fp))
+          catch { case _: java.io.IOException => None }
         try {
           rs.sortBy(_._2).map { case (_, off, clen, mri) =>
-            if (clen > MaxRecordBytes) (name, off, mri, None: Option[WarcRecord])
-            else {
-              in.seek(off)
-              val bytes = new Array[Byte](clen.toInt)
-              in.readFully(bytes)
-              val rec = parseStream(fp.toString,
-                  new java.io.ByteArrayInputStream(bytes))
-                .drop(mri).take(1).toSeq.headOption
-              (name, off, mri, rec)
-            }
+            // negative/zero/oversized locators and reads past EOF
+            // (a truncated or replaced segment) degrade to NULL
+            // fields per the scaladoc, never a task failure
+            val rec: Option[(WarcRecord, String)] =
+              if (in.isEmpty || off < 0 || clen <= 0 || clen > MaxRecordBytes)
+                None
+              else try {
+                in.get.seek(off)
+                val bytes = new Array[Byte](clen.toInt)
+                in.get.readFully(bytes)
+                parseStreamWithDigest(fp.toString,
+                    new java.io.ByteArrayInputStream(bytes))
+                  .drop(mri).take(1).toSeq.headOption
+              } catch { case _: java.io.IOException => None }
+            (name, off, mri, rec)
           }
-        } finally in.close()
+        } finally in.foreach(s =>
+          try s.close() catch { case _: java.io.IOException => () })
       }
     }
     fetched.map { case (name, off, mri, rec) =>
       (name, off, mri,
-        rec.map(_.warc_type), rec.map(_.target_uri),
-        rec.flatMap(_.http_status), rec.flatMap(_.http_content_type),
-        rec.map(_.body),
-        rec.map(r => r.payload_digest.forall(_ ==
-          sha1Base32(Option(r.body).getOrElse(Array.empty[Byte])))))
+        rec.map(_._1.warc_type), rec.map(_._1.target_uri),
+        rec.flatMap(_._1.http_status), rec.flatMap(_._1.http_content_type),
+        rec.map(_._1.body),
+        // verified against the STORED payload bytes (what the stamp
+        // covers in interchange archives) — a content-encoded
+        // response from a real crawler verifies true, not false
+        rec.map { case (r, stored) =>
+          r.payload_digest.forall(d => stored != null && d == stored) })
     }.toDF("filename", "offset", "member_record_index", "warc_type",
       "url", "http_status", "http_content_type", "body", "digest_ok")
   }
 
+  // ----------------------------------------------------------------
+  // CDXJ interchange — the text form of the capture index. CommonCrawl
+  // publishes its index as SORTED text lines `urlkey timestamp {json}`
+  // (the CDXJ convention) so any consumer can binary-search or
+  // merge-join them without a table engine; these two halves make the
+  // catalog byte-interchangeable with that world the same way the WET
+  // export (writeTextSegments) does for segment payloads.
+  // ----------------------------------------------------------------
+
+  private val CdxjJsonSchema = org.apache.spark.sql.types.StructType(
+    Seq("url", "mime", "status", "digest", "length", "offset",
+      "filename", "member_index", "member_record_index", "warc_type")
+      .map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** Write a [[cdxIndex]]-shaped frame as SORTED CDXJ text:
+    * `urlkey timestamp {json}` per record, every json value a STRING
+    * (the CommonCrawl convention — offsets/lengths quote as strings),
+    * timestamp the 14-digit form of `warc_date`. `member_index`,
+    * `member_record_index` and `warc_type` ride as extension fields
+    * so the roundtrip is lossless. GLOBAL sort order (urlkey, ts,
+    * filename, offset) via ONE range exchange: shard k's lines all
+    * sort before shard k+1's — the binary-search/merge contract CDX
+    * consumers rely on. */
+  def writeCdxj(cdx: DataFrame, path: String, shards: Int = 1): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val ts = substring(regexp_replace(col("warc_date"), "[^0-9]", ""), 1, 14)
+    val json = to_json(struct(
+      col("url"),
+      col("mime"),
+      col("status").cast("string").as("status"),
+      col("digest"),
+      col("comp_length").cast("string").as("length"),
+      col("offset").cast("string").as("offset"),
+      col("filename"),
+      col("member_index").cast("string").as("member_index"),
+      col("member_record_index").cast("string").as("member_record_index"),
+      col("warc_type")))
+    // URL-less records (warcinfo, …) key as "-", the CDX convention
+    // for an absent field — concat_ws would silently drop a NULL and
+    // tear the 3-field line frame
+    cdx.select(coalesce(col("urlkey"), lit("-")).as("__key"),
+        ts.as("__ts"), col("filename"), col("offset"), json.as("__json"))
+      .repartitionByRange(shards, col("__key"), col("__ts"),
+        col("filename"), col("offset"))
+      .sortWithinPartitions(col("__key"), col("__ts"), col("filename"),
+        col("offset"))
+      .select(concat_ws(" ", col("__key"), col("__ts"), col("__json"))
+        .as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
+  /** Read CDXJ text back into the exact [[cdxIndex]] schema —
+    * `warc_date` reconstructed from the 14-digit timestamp,
+    * numerics re-cast, absent json fields NULL. Lines that do not
+    * match the `urlkey ts {json}` frame are DROPPED (the degrade
+    * philosophy: a torn line cannot poison the index). One scan,
+    * scan-side scalar kernels only. */
+  def readCdxj(spark: SparkSession, path: String): DataFrame = {
+    val line = "^(\\S+) (\\d{14}) (\\{.*\\})$"
+    val t = spark.read.text(path)
+      .select(regexp_extract(col("value"), line, 1).as("urlkey"),
+        regexp_extract(col("value"), line, 2).as("__ts"),
+        from_json(regexp_extract(col("value"), line, 3), CdxjJsonSchema)
+          .as("j"))
+      .filter(col("urlkey") =!= "" && col("j").isNotNull)
+    def d(a: Int, b: Int) = substring(col("__ts"), a, b)
+    t.select(
+      col("j.filename").as("filename"),
+      col("j.offset").cast("long").as("offset"),
+      col("j.length").cast("long").as("comp_length"),
+      col("j.member_index").cast("int").as("member_index"),
+      col("j.member_record_index").cast("int").as("member_record_index"),
+      col("j.warc_type").as("warc_type"),
+      col("j.url").as("url"),
+      concat(d(1, 4), lit("-"), d(5, 2), lit("-"), d(7, 2), lit("T"),
+        d(9, 2), lit(":"), d(11, 2), lit(":"), d(13, 2), lit("Z"))
+        .as("warc_date"),
+      col("j.mime").as("mime"),
+      col("j.status").cast("int").as("status"),
+      col("j.digest").as("digest"),
+      when(col("urlkey") =!= "-", col("urlkey")).as("urlkey"))
+  }
+
   /** Re-audit a [[writeTextSegments]] export against its manifest in
     * one reader pass: `(segment, n_records, payload_bytes, ok)` — a
-    * lost segment, a torn tail, or a corrupted payload flips `ok`. */
+    * lost segment, a torn tail, or a corrupted payload flips `ok`.
+    * A MISSING manifest (job killed between segment writes and the
+    * manifest write) degrades the same way: every found segment
+    * reports `ok = false` instead of the audit throwing — the torn
+    * state is exactly what the audit exists to report. */
   def auditTextSegments(spark: SparkSession, path: String): DataFrame = {
-    val manifest = spark.read.parquet(s"$path/_graft_warc_manifest")
+    import spark.implicits._
+    val mPath = new org.apache.hadoop.fs.Path(s"$path/_graft_warc_manifest")
+    val mFs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest =
+      (if (mFs.exists(mPath)) spark.read.parquet(mPath.toString)
+       else Seq.empty[(String, Long, Long)]
+         .toDF("segment", "n_records", "payload_bytes"))
       .select(col("segment"), col("n_records").as("__mn"),
         col("payload_bytes").as("__mb"))
     val actual = readWarc(spark, path)

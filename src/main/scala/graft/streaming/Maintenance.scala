@@ -325,9 +325,37 @@ object Maintenance {
         if (!batch.isEmpty) {
           val paths = batch.select(pathCol).distinct()
             .collect().map(_.getString(0)) // |segments|-bounded
-          paths.sorted.foreach { p =>
-            graft.sources.Warc.appendToCdxTable(batch.sparkSession, table, p)
-          }
+          // ONE absorb for the whole micro-batch — one skip-set read,
+          // one index job, one append; per-path absorbs would rescan
+          // the growing catalog once per announced path
+          graft.sources.Warc.appendToCdxTable(batch.sparkSession, table,
+            paths.sorted.toSeq)
+          ()
+        }
+      }
+      .start()
+
+  /** Keep the streaming BM25 pair
+    * ([[graft.operators.Retrieval.appendToBm25Tables]]) continuously
+    * absorbed from a document stream — the retrieval family's
+    * streaming-maintenance leg, closing its build/serve/stream triad
+    * (n-gram, MinHash, IVFADC and the graph already have all three).
+    * Per-DOC idempotent (the dlTable marker anti-join), so an
+    * at-least-once `foreachBatch` replay absorbs nothing; serve any
+    * time with [[graft.operators.Retrieval.bm25TopKFromTables]]
+    * (battery q139 streams the documents in 3 batches and answers
+    * the q54 oracle verbatim). */
+  def streamingBm25(stream: DataFrame, idCol: String, textCol: String,
+                    statsTable: String, dlTable: String,
+                    checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Retrieval.appendToBm25Tables(
+            batch.sparkSession, batch.toDF(), idCol, textCol,
+            statsTable, dlTable)
+          ()
         }
       }
       .start()

@@ -32,6 +32,45 @@ class RetrievalSpec extends SparkSpec {
     assert(got(1L) > got(3L))
   }
 
+  test("appendToBm25Tables: per-doc idempotent absorbs, zero-token docs in avgdl, serve == ad-hoc") {
+    val docs = Seq(
+      (1L, "data model training data"),
+      (2L, "the quick brown fox"),
+      (3L, "data"),
+      (4L, "completely unrelated words here"),
+      (5L, "   ") // zero-token: no postings, still counts in n_docs/avgdl
+    ).toDF("doc_id", "text")
+    val statsT = "graft_test_bm25s_stats"
+    val dlT = "graft_test_bm25s_dl"
+    Seq(statsT, dlT).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Warehouse.clearOrphanLocation(spark, t)
+    }
+    assert(Retrieval.appendToBm25Tables(spark, docs.filter($"doc_id" <= 2),
+      "doc_id", "text", statsT, dlT) == 2L)
+    assert(Retrieval.appendToBm25Tables(spark, docs,
+      "doc_id", "text", statsT, dlT) == 3L,
+      "only unseen docs absorb on an overlapping batch")
+    assert(Retrieval.appendToBm25Tables(spark, docs,
+      "doc_id", "text", statsT, dlT) == 0L, "whole-corpus replay is a no-op")
+    assert(spark.table(dlT).count() == 5L,
+      "the zero-token doc holds a dl row")
+    assert(spark.table(dlT).filter($"doc_id" === 5L)
+      .select("dl").as[Int].head() == 0)
+    assert(spark.table(statsT).filter($"doc_id" === 5L).count() == 0L,
+      "zero-token docs have no postings")
+    // served scores equal the ad-hoc formula over everything absorbed
+    val served = Retrieval.bm25FromTables(spark, statsT, dlT,
+      Seq("data", "model")).as[(Long, Double)].collect().toMap
+    val adhoc = Retrieval.bm25(docs, "doc_id", "text",
+      Seq("data", "model")).as[(Long, Double)].collect().toMap
+    assert(served.keySet == adhoc.keySet)
+    adhoc.foreach { case (id, s) =>
+      assert(math.abs(served(id) - s) < 1e-12, s"doc $id: $s vs ${served(id)}")
+    }
+    Seq(statsT, dlT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bm25 properties on the real corpus: query-term docs only, tf monotone") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val scores = Retrieval.bm25(docs, "doc_id", "text", Seq("the"))

@@ -304,7 +304,8 @@ class WarcSpec extends SparkSpec {
     assert(rows.forall(_.member_record_index == 0))
     assert(rows(1).status.contains(200) &&
       rows(1).mime.contains("text/html"))
-    // no stamped digest → computed over the surfaced body
+    // no stamped digest → computed over the STORED payload body
+    // (identity-encoded here, so it equals the surfaced body's hash)
     assert(rows(1).digest.contains(Warc.sha1Base32(ascii("one"))))
   }
 
@@ -381,7 +382,9 @@ class WarcSpec extends SparkSpec {
     writeSeg(1); writeSeg(2)
     val tbl = "graft_test_cdx_tbl"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_segments")
     Warehouse.clearOrphanLocation(spark, tbl)
+    Warehouse.clearOrphanLocation(spark, s"${tbl}_segments")
     assert(Warc.appendToCdxTable(spark, tbl, dir) == 2L)
     assert(spark.table(tbl).count() == 2)
     assert(Warc.appendToCdxTable(spark, tbl, dir) == 0L,
@@ -390,11 +393,143 @@ class WarcSpec extends SparkSpec {
     assert(Warc.appendToCdxTable(spark, tbl, dir) == 1L,
       "only the newly landed segment indexes")
     assert(spark.table(tbl).count() == 3)
+    // the companion marker table carries one row per absorbed segment
+    assert(spark.table(s"${tbl}_segments").count() == 3)
     // the catalog serves ranged reads like a fresh index
     val urls = Warc.fetchByCdx(spark.table(tbl), dir)
       .select("url").as[String].collect().toSet
     assert(urls == Set("http://a.com/1", "http://a.com/2", "http://a.com/3"))
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_segments")
+  }
+
+  test("appendToCdxTable: a zero-row segment is remembered, not re-read forever") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxz").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "seg-001.warc"),
+      Warc.buildSegment(Seq(("response", "http://a.com/1",
+        Warc.httpResponse(ascii("b1"))))))
+    // corrupt from byte 0: indexes to zero rows
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "seg-002.warc"),
+      "not a warc at all".getBytes("ISO-8859-1"))
+    val tbl = "graft_test_cdx_zero"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_segments")
+    Warehouse.clearOrphanLocation(spark, tbl)
+    Warehouse.clearOrphanLocation(spark, s"${tbl}_segments")
+    assert(Warc.appendToCdxTable(spark, tbl, dir) == 2L,
+      "both segments count as newly indexed once")
+    assert(spark.table(tbl).count() == 1, "only the parseable record lands")
+    assert(spark.table(s"${tbl}_segments")
+      .filter(col("filename") === "seg-002.warc")
+      .select("n_records").collect().head.getLong(0) == 0L,
+      "the zero-row segment gets a 0-count marker")
+    assert(Warc.appendToCdxTable(spark, tbl, dir) == 0L,
+      "the zero-row segment must NOT be re-announced as fresh")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_segments")
+  }
+
+  test("fetchByCdx: bad locators and missing segments degrade to NULL rows, never a task failure") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxb").toString
+    val gz = Warc.gzipBytes(Warc.buildSegment(Seq(
+      ("response", "http://a.com/1", Warc.httpResponse(ascii("one"))))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s.warc.gz"), gz)
+    val locators = Seq(
+      ("s.warc.gz", 0L, gz.length.toLong, 0),          // good
+      ("s.warc.gz", gz.length.toLong + 7, 64L, 0),     // offset past EOF
+      ("s.warc.gz", 1L, gz.length.toLong + 999, 0),    // read past EOF
+      ("s.warc.gz", -3L, 16L, 0),                      // negative offset
+      ("s.warc.gz", 2L, -1L, 0),                       // negative length
+      ("gone.warc.gz", 0L, 16L, 0)                     // missing file
+    ).toDF("filename", "offset", "comp_length", "member_record_index")
+    val out = Warc.fetchByCdx(locators, dir).collect()
+    assert(out.length == 6,
+      "every locator row comes back, degraded rows included")
+    val resolved = out.filter(_.getAs[String]("url") != null)
+    assert(resolved.map(r =>
+      (r.getAs[String]("filename"), r.getAs[Long]("offset"))).toSeq ==
+      Seq(("s.warc.gz", 0L)), "only the good locator resolves")
+    assert(resolved.head.getAs[String]("url") == "http://a.com/1")
+  }
+
+  test("digest verification covers the STORED payload bytes of a content-encoded response") {
+    import spark.implicits._
+    val text = ascii("the decoded text the consumer reads")
+    val storedBody = Warc.gzipBytes(text) // what the crawler wrote
+    val payload = Warc.httpResponseWith(storedBody,
+      extraHeaders = Seq("Content-Encoding: gzip"))
+    // the stamp a real crawler writes: over the body AS STORED
+    val seg = Warc.buildSegmentWithHeaders(Seq(("response",
+      "http://a.com/enc", payload,
+      Seq(s"WARC-Payload-Digest: ${Warc.sha1Base32(storedBody)}"))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxd").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s.warc"), seg)
+    val cdx = Warc.cdxIndex(spark, dir)
+    // the surfaced body is DECODED, yet digest_ok verifies the stamp
+    val f = Warc.fetchByCdx(cdx, dir).collect().head
+    assert(new String(f.getAs[Array[Byte]]("body"), "ISO-8859-1") ==
+      "the decoded text the consumer reads")
+    assert(f.getAs[Boolean]("digest_ok"),
+      "stamp over stored bytes must verify even though the body decodes")
+    // and an unstamped record's fallback digest is ALSO stored-bytes
+    val seg2 = Warc.buildSegment(Seq(("response", "http://a.com/enc2",
+      Warc.httpResponseWith(storedBody,
+        extraHeaders = Seq("Content-Encoding: gzip")))))
+    val rows = Warc.indexSegment("d/s2.warc",
+      new java.io.ByteArrayInputStream(seg2)).toSeq
+    assert(rows.head.digest.contains(Warc.sha1Base32(storedBody)))
+  }
+
+  test("auditTextSegments: a missing manifest flips ok instead of throwing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wetm").toString + "/wet"
+    val df = (0 until 6).map(i => (s"https://a.com/p$i", s"t$i"))
+      .toDF("uri", "text").repartition(2)
+    Warc.writeTextSegments(df, "uri", "text", dir)
+    // simulate a crash between segment writes and the manifest write
+    val mdir = new java.io.File(dir, "_graft_warc_manifest")
+    mdir.listFiles().foreach(_.delete()); assert(mdir.delete())
+    val audit = Warc.auditTextSegments(spark, dir).collect()
+    assert(audit.nonEmpty, "found segments still report")
+    assert(audit.forall(!_.getAs[Boolean]("ok")),
+      "every segment is unverifiable without its manifest")
+  }
+
+  test("cdxj: sorted-text roundtrip reconstructs the index exactly; torn lines drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxj").toString + "/wet"
+    val df = (0 until 30)
+      .map(i => (s"https://www.site${i % 5}.example.com/p$i", s"text $i"))
+      .toDF("uri", "text").repartition(3)
+    Warc.writeTextSegments(df, "uri", "text", dir, gzip = true)
+    val cdx = Warc.cdxIndex(spark, dir)
+    val cdxjDir = java.nio.file.Files.createTempDirectory("graft_cdxj_t")
+      .toString + "/idx"
+    Warc.writeCdxj(cdx, cdxjDir, shards = 2)
+    // GLOBAL sort: shard files concatenated in name order stay sorted
+    val files = new java.io.File(cdxjDir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length == 2, "range partitioning produces the asked shards")
+    val lines = files.flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().toArray finally src.close()
+    }.toSeq
+    assert(lines == lines.sorted, "concatenated shards must be globally sorted")
+    assert(lines.forall(_.matches("^\\S+ \\d{14} \\{.*\\}$")))
+    // roundtrip: every column reconstructs, nothing lost or invented
+    val back = Warc.readCdxj(spark, cdxjDir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      cdx.schema.map(f => (f.name, f.dataType)), "schemas must align")
+    assert(back.except(cdx).count() == 0L && cdx.except(back).count() == 0L,
+      "roundtrip must be lossless both directions")
+    // a torn line cannot poison the read
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cdxjDir, "part-extra.txt"),
+      "this is not a cdxj line\n".getBytes("UTF-8"))
+    assert(Warc.readCdxj(spark, cdxjDir).count() == cdx.count())
   }
 
   test("cdx: a corrupt middle member stops the walk with earlier members intact") {
