@@ -15,6 +15,10 @@ import graft.sources.Tables
   *   repetition gates + exact dedup) → `Text.scrubPii` → sliding-window
   *   chunking (`Text.chunkByTokens`) → token-budget packing
   *   (`Packing.packContiguous`) → parquet shards partitioned by shard
+  *   → compliance takedown arriving AFTER the shards landed
+  *     (`Corpus.applyTakedowns` on the corpus, `cascadeTakedown`
+  *     through the derived shard table, `takedownAudit` receipts —
+  *     the q137 discipline in its real-world ordering)
   *
   * Every stage is an existing, individually-oracled library call; this
   * object only composes them, so it is both the "first thing a data
@@ -22,7 +26,10 @@ import graft.sources.Tables
 object CorpusDemo {
 
   final case class Result(inputDocs: Long, survivors: Long, chunks: Long,
-                          bins: Long, report: DataFrame)
+                          bins: Long, report: DataFrame,
+                          takedownRemovedDocs: Long,
+                          chunksAfterTakedown: Long,
+                          takedownReceipts: DataFrame)
 
   /** Run the full curation slice: read `documents` under `sfDir`,
     * write packed chunk shards under `outDir`. `chunkTokens`/`stride`
@@ -82,7 +89,29 @@ object CorpusDemo {
       .orderBy("shard")
     // bins are shard-local, so the global bin count is the report's sum
     val bins = report.agg(sum("n_bins")).collect().head.getLong(0)
-    Result(inputDocs, survivors, out.count(), bins, report)
+    val chunkCount = out.count()
+
+    // 5. a compliance takedown arriving AFTER the shards landed — the
+    //    real-world ordering: rules purge the CORPUS, then CASCADE by
+    //    survivor whitelist through every derived table (here the
+    //    landed shard frame), with per-rule receipts filed. Rules are
+    //    a host + a domain kind over the corpus's URL space (one
+    //    deliberately written with a trailing slash — real opt-out
+    //    lists do that, and the rule keying must absorb it).
+    val docsWithUrl = docs.withColumn("url",
+      concat(lit("https://www.site"), pmod(col("doc_id"), lit(20)),
+        lit(".example.com/dir/page"), col("doc_id"), lit(".html")))
+    val rules = spark.createDataFrame(Seq(
+      ("host", "www.site3.example.com"),
+      ("domain", "site4.example.com/"))).toDF("kind", "value")
+    val afterTakedown = Corpus.applyTakedowns(docsWithUrl, "url", rules)
+    val takedownRemoved = inputDocs - afterTakedown.count()
+    val cascaded = Corpus.cascadeTakedown(out, "doc_id",
+      afterTakedown.select("doc_id"), "doc_id")
+    val receipts = Corpus.takedownAudit(docsWithUrl, "url", rules)
+
+    Result(inputDocs, survivors, chunkCount, bins, report,
+      takedownRemoved, cascaded.count(), receipts)
   }
 
   def main(args: Array[String]): Unit = {
@@ -104,6 +133,9 @@ object CorpusDemo {
       println(s"chunks:      ${r.chunks}")
       println(s"packed bins: ${r.bins}")
       r.report.show(20, truncate = false)
+      println(s"takedown: ${r.takedownRemovedDocs} docs purged, " +
+        s"${r.chunksAfterTakedown}/${r.chunks} chunks survive the cascade")
+      r.takedownReceipts.show(truncate = false)
       println(s"shards at: $outDir/shards")
     } finally spark.stop()
   }

@@ -35,5 +35,20 @@ class CorpusDemoSpec extends SparkSpec {
     // the per-shard report reconciles with the landed data
     val reportTotal = r.report.agg(sum("n_chunks")).collect().head.getLong(0)
     assert(reportTotal == r.chunks)
+
+    // the post-landing takedown reconciles three ways: receipts sum to
+    // the purged docs (the two rule cohorts are disjoint), the cascade
+    // removed exactly the purged docs' chunks, and zero-matched rules
+    // would still file a receipt row
+    val receipts = r.takedownReceipts.collect()
+      .map(row => (row.getString(0), row.getLong(2))).toMap
+    assert(receipts.keySet == Set("host", "domain"))
+    assert(receipts.values.sum == r.takedownRemovedDocs,
+      s"receipts $receipts must reconcile with ${r.takedownRemovedDocs}")
+    assert(r.takedownRemovedDocs > 0, "the site3/site4 cohorts exist")
+    val purgedChunks = shardsDf
+      .filter(pmod(col("doc_id"), lit(20)).isin(3, 4)).count()
+    assert(r.chunksAfterTakedown == r.chunks - purgedChunks,
+      "the cascade drops exactly the purged docs' chunks")
   }
 }
