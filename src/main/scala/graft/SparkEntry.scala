@@ -3643,6 +3643,85 @@ object SparkEntry {
         .select("doc_id", "url").orderBy("doc_id")
     }),
 
+    // The compliance family's STREAMING leg (Maintenance
+    // .streamingTakedowns → Corpus.appendToTakedownTable): the q137
+    // notices arrive across 3 micro-batches — a real compliance feed
+    // files opt-outs continuously — accumulating append-only and
+    // (kind, value)-idempotently into a rules TABLE; a whole-feed
+    // replay absorb must file ZERO rules (required in-entry), and the
+    // purge against the accumulated table answers the q137 oracle
+    // VERBATIM — streamed arrival must not change one removal.
+    "q141_takedown_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val allRules = Seq(
+        ("url", "https://www.site7.example.com/dir/page7.html?utm_source=x"),
+        ("host", "www.site3.example.com"),
+        ("domain", "site4.example.com"),
+        ("prefix", "https://www.site5.example.com/dir/page1"))
+      val tbl = s"graft_q141_rules_${docsTag(s, dir)}"
+      if (!s.catalog.tableExists(tbl)) {
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, String)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q141_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingTakedowns(
+          mem.toDF().toDF("kind", "value"), "kind", "value", tbl, ckpt)
+        try {
+          allRules.grouped(2).foreach { chunk =>
+            mem.addData(chunk: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val replayed = graft.operators.Corpus.appendToTakedownTable(s,
+        allRules.toDF("kind", "value"), tbl)
+      require(replayed == 0L,
+        s"replay absorb must file nothing, filed $replayed rules")
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://www.site"),
+          pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".example.com/dir/page"), col("doc_id").cast("string"),
+          lit(".html")).as("url"))
+      graft.operators.Corpus.applyTakedowns(docs, "url", s.table(tbl))
+        .select("doc_id", "url").orderBy("doc_id")
+    }),
+
+    // Archive REDACTION — the whole compliance story composed at the
+    // capture level, the operation an archive steward actually runs
+    // on a takedown: purge the CAPTURE INDEX (applyTakedowns over the
+    // CDX url column), ranged-fetch ONLY the surviving captures
+    // (fetchByCdx — no purged byte is ever read back), re-export
+    // their decoded text as fresh WET segments, and prove the
+    // redacted archive byte-exactly by reading it back. Every stage
+    // is an individually-oracled operator; the composition's oracle
+    // is q136's template minus exactly the q137 rule cohorts.
+    "q142_archive_redaction" -> ((s, dir) => {
+      val wdir = ensureCdxWarcDir(s, dir)
+      val W = graft.sources.Warc
+      val rules = s.createDataFrame(Seq(
+        ("url", "https://www.site7.example.com/dir/page7.html?utm_source=x"),
+        ("host", "www.site3.example.com"),
+        ("domain", "site4.example.com"),
+        ("prefix", "https://www.site5.example.com/dir/page1")))
+        .toDF("kind", "value")
+      val cdx = W.cdxIndex(s, wdir).filter(col("warc_type") === "response")
+      val kept = graft.operators.Corpus.applyTakedowns(cdx, "url", rules)
+      val fetched = W.fetchByCdx(kept, wdir)
+        .select(col("url"), col("body").cast("string").as("text"))
+      val outDir = new java.io.File(
+        java.nio.file.Files.createTempDirectory("graft_q142").toFile,
+        "redacted").toString
+      W.writeTextSegments(fetched, "url", "text", outDir)
+      W.readWarc(s, outDir)
+        .filter(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          col("body").cast("string").as("text"))
+        .orderBy("doc_id")
+    }),
+
     // The WET export's STREAMING leg (Maintenance.streamingTextSegments
     // — a continuous crawl emits segment sets per batch, CommonCrawl's
     // actual publication shape): the corpus streams in 3 micro-batches,
@@ -6523,6 +6602,33 @@ object SparkEntry {
                 'Document ' || CAST(doc_id AS VARCHAR) || ': ' || text
                   AS text
          FROM documents ORDER BY doc_id""",
+
+    // q141: identical oracle to q137 — rules accumulated off a stream
+    // must purge exactly like rules handed in one frame.
+    "q141_takedown_stream" ->
+      """SELECT doc_id,
+                'https://www.site' || CAST(doc_id % 20 AS VARCHAR) ||
+                  '.example.com/dir/page' || CAST(doc_id AS VARCHAR) ||
+                  '.html' AS url
+         FROM documents
+         WHERE NOT (doc_id = 7
+           OR doc_id % 20 IN (3, 4)
+           OR (doc_id % 20 = 5 AND CAST(doc_id AS VARCHAR) LIKE '1%'))
+         ORDER BY doc_id""",
+
+    // q142: the redacted archive in closed form — q136's template
+    // bodies minus exactly the q137 rule cohorts; one extra or
+    // missing capture, or one corrupted re-exported byte, breaks the
+    // hash.
+    "q142_archive_redaction" ->
+      """SELECT doc_id,
+                'Document ' || CAST(doc_id AS VARCHAR) || ': ' || text
+                  AS text
+         FROM documents
+         WHERE NOT (doc_id = 7
+           OR doc_id % 20 IN (3, 4)
+           OR (doc_id % 20 = 5 AND CAST(doc_id AS VARCHAR) LIKE '1%'))
+         ORDER BY doc_id""",
 
     // q137: the four takedown kinds re-derived as predicates — the
     // url rule kills exactly doc 7 (its tracking param must not

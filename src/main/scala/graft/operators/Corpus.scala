@@ -240,4 +240,40 @@ object Corpus {
     derived.join(
       survivors.select(col(survivorIdCol).as("__sid")).distinct(),
       col(idCol) === col("__sid"), "left_semi")
+
+  /** Accumulate takedown rules into a PERSISTED, append-only rules
+    * TABLE — the standing form a compliance process actually runs
+    * (opt-out lists, DMCA notices, and domain blocks arrive
+    * continuously; the corpus re-purges against EVERYTHING received
+    * so far, never against one notice at a time). Idempotence is
+    * keyed on the verbatim `(kind, value)` pair: in-batch duplicates
+    * collapse, already-filed rules anti-join away, so an
+    * at-least-once replay appends nothing. Rules file VERBATIM —
+    * canonicalization happens at match time inside
+    * [[applyTakedowns]]/[[takedownAudit]], so the table stays a
+    * faithful compliance record of what was received (and a keying
+    * fix later re-keys every rule, not just future ones). Serve any
+    * time with `applyTakedowns(df, urlCol, spark.table(table))`.
+    * Returns newly filed rules. */
+  def appendToTakedownTable(spark: org.apache.spark.sql.SparkSession,
+                            rules: DataFrame, table: String): Long = {
+    val incoming = rules
+      .select(lower(col("kind")).as("kind"), col("value"))
+      .filter(col("kind").isNotNull && col("value").isNotNull)
+      .distinct()
+    val fresh =
+      if (!spark.catalog.tableExists(table)) incoming
+      else incoming.join(spark.table(table), Seq("kind", "value"),
+        "left_anti")
+    val staged = fresh.persist() // counted AND written
+    try {
+      val n = staged.count()
+      if (n == 0L) return 0L
+      if (!spark.catalog.tableExists(table)) {
+        graft.sources.Warehouse.clearOrphanLocation(spark, table)
+        staged.write.saveAsTable(table)
+      } else staged.write.mode("append").saveAsTable(table)
+      n
+    } finally staged.unpersist()
+  }
 }

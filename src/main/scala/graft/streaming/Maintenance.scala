@@ -335,6 +335,30 @@ object Maintenance {
       }
       .start()
 
+  /** Keep a persisted takedown-rules table
+    * ([[graft.operators.Corpus.appendToTakedownTable]]) continuously
+    * absorbed from a rule stream — the compliance family's streaming
+    * leg: notices arrive as `(kind, value)` rows, file append-only
+    * and (kind, value)-idempotently, and the corpus re-purges
+    * against `spark.table(table)` with
+    * [[graft.operators.Corpus.applyTakedowns]] whenever it ships
+    * (battery q141 streams the q137 rule set in 3 batches and
+    * answers the q137 oracle verbatim). */
+  def streamingTakedowns(stream: DataFrame, kindCol: String,
+                         valueCol: String, table: String,
+                         checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Corpus.appendToTakedownTable(batch.sparkSession,
+            batch.select(col(kindCol).as("kind"), col(valueCol).as("value")),
+            table)
+          ()
+        }
+      }
+      .start()
+
   /** Keep the streaming BM25 pair
     * ([[graft.operators.Retrieval.appendToBm25Tables]]) continuously
     * absorbed from a document stream — the retrieval family's

@@ -152,6 +152,37 @@ class CorpusSpec extends SparkSpec {
       ("url", "https://nowhere.example.com/q", 0L)))
   }
 
+  test("appendToTakedownTable: (kind,value)-idempotent filing, verbatim values, null rules drop") {
+    val tbl = "graft_test_takedown_rules"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.sources.Warehouse.clearOrphanLocation(spark, tbl)
+    val batch1 = Seq(("HOST", "a.example.com"), ("domain", "b.example.org/"),
+      ("host", "a.example.com"), // in-batch case-duplicate of row 1
+      (null.asInstanceOf[String], "x"), ("url", null.asInstanceOf[String]))
+      .toDF("kind", "value")
+    assert(Corpus.appendToTakedownTable(spark, batch1, tbl) == 2L,
+      "case-folded dup collapses, null kind/value rows drop")
+    assert(Corpus.appendToTakedownTable(spark, batch1, tbl) == 0L,
+      "replay files nothing")
+    val batch2 = Seq(("host", "a.example.com"), ("prefix", "https://c.example.com/p"))
+      .toDF("kind", "value")
+    assert(Corpus.appendToTakedownTable(spark, batch2, tbl) == 1L,
+      "only the unseen rule files")
+    // values file VERBATIM (trailing slash intact — keying is match-time)
+    val got = spark.table(tbl).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("host", "a.example.com"), ("domain", "b.example.org/"),
+      ("prefix", "https://c.example.com/p")), got.toString)
+    // and the accumulated table purges exactly like a one-shot frame
+    val docs = Seq((1L, "https://a.example.com/x"),
+      (2L, "https://sub.b.example.org/y"), (3L, "https://keep.example.net/z"))
+      .toDF("doc_id", "url")
+    val kept = Corpus.applyTakedowns(docs, "url", spark.table(tbl))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("cascadeTakedown: derived rows follow the corpus purge as a whitelist") {
     val survivors = Seq(1L, 3L).toDF("doc_id")
     val derived = Seq((1L, 10), (2L, 20), (3L, 30), (99L, 40))
