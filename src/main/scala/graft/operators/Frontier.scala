@@ -130,23 +130,27 @@ object Frontier {
 
   /** Freshness-aware recrawl gate: mark which KNOWN URLs are due at
     * `nowEpochSec` — `due = last_fetch + interval(changefreq) ≤ now`,
-    * with `never` pages never due and a NULL `last_fetch`
-    * (never-fetched row, e.g. off a left join against the fetch
-    * ledger) due IMMEDIATELY — three-valued SQL would otherwise make
-    * `due` NULL and the row invisible to BOTH `due` and `!due`
-    * filters. Adds `interval_sec` and `due` (never NULL); row-local
-    * and shuffle-free — compose the due survivors into
-    * [[schedule]]/[[scheduleByKey]] for the next round (battery q135
-    * states every verdict closed-form per changefreq regime). */
+    * with `never` pages never due and a NULL or UNPARSEABLE
+    * `last_fetch` (never-fetched row off a left join against the
+    * fetch ledger, or a malformed timestamp) due IMMEDIATELY —
+    * three-valued SQL would otherwise make `due` NULL and the row
+    * invisible to BOTH `due` and `!due` filters, and ANSI mode would
+    * throw mid-job on a garbage string. Adds `interval_sec` and
+    * `due` (never NULL); row-local and shuffle-free — compose the due
+    * survivors into [[schedule]]/[[scheduleByKey]] for the next round
+    * (battery q135 states every verdict closed-form per changefreq
+    * regime). */
   def markDueForRecrawl(urls: DataFrame, lastFetchCol: String,
                         changefreqCol: String, nowEpochSec: Long,
                         defaultIntervalSec: Long = 7L * 24 * 3600): DataFrame = {
     val interval = recrawlIntervalSec(col(changefreqCol), defaultIntervalSec)
+    // try_cast: a non-numeric last_fetch lands NULL (→ due) instead
+    // of the raw cast's ANSI throw or a NULL-propagating comparison
+    val lf = col(lastFetchCol).try_cast("long")
     urls.withColumn("interval_sec", interval)
       .withColumn("due",
         col("interval_sec").isNotNull &&
-          (col(lastFetchCol).isNull ||
-            col(lastFetchCol).cast("long") + col("interval_sec") <= nowEpochSec))
+          (lf.isNull || lf + col("interval_sec") <= nowEpochSec))
   }
 
   /** Append newly DISCOVERED URLs to a persisted frontier TABLE

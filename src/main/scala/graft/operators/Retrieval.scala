@@ -224,15 +224,23 @@ object Retrieval {
     val incoming = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .groupBy("doc_id").agg(first(col("__text")).as("__text"))
+    // tokenize ONCE into the persisted frame — postings and dl rows
+    // both derive from the same token column, so the CPU-heaviest
+    // kernel runs one pass per doc, not two
     val fresh =
       (if (!spark.catalog.tableExists(dlTable)) incoming
        else incoming.join(spark.table(dlTable).select(col("doc_id")),
          Seq("doc_id"), "left_anti"))
+        .select(col("doc_id"), tokensOf("__text").as("__toks"))
         .persist() // two consumers: postings job + dl-marker job
     try {
       val n = fresh.count()
       if (n == 0L) return 0L
-      val postings = termStats(fresh, "doc_id", "__text")
+      val postings = fresh // the termStats shape off the shared tokens
+        .select(col("doc_id"), size(col("__toks")).as("dl"),
+          explode(col("__toks")).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       if (!spark.catalog.tableExists(statsTable)) {
         graft.sources.Warehouse.clearOrphanLocation(spark, statsTable)
         postings.write.saveAsTable(statsTable)
@@ -244,7 +252,7 @@ object Retrieval {
       }
       // markers AFTER postings (crash between = re-tokenize + dedup)
       val dlRows = fresh.select(col("doc_id"),
-        size(tokensOf("__text")).as("dl"))
+        size(col("__toks")).as("dl"))
       if (!spark.catalog.tableExists(dlTable)) {
         graft.sources.Warehouse.clearOrphanLocation(spark, dlTable)
         dlRows.write.saveAsTable(dlTable)

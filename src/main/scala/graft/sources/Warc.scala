@@ -592,26 +592,43 @@ object Warc {
   /** Writes concatenated RFC 1952 gzip members onto one stream with a
     * SINGLE reused `Deflater` (reset between members) — per-record
     * members without allocating a native zlib context per record.
-    * Caller must call [[end]] to release the one native context. */
+    * Member bodies STREAM through (CRC32 and Deflater fed chunk by
+    * chunk) — no framed copy of the record is ever buffered. Caller
+    * must call [[end]] to release the one native context. */
   private final class GzipMemberSink(raw: java.io.OutputStream) {
     private val deflater = new java.util.zip.Deflater(
       java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
     private val crc = new java.util.zip.CRC32
     private val buf = new Array[Byte](1 << 16)
+    private var isize = 0L
     // magic, CM=deflate, FLG=0, MTIME=0 (fixture-determinism), XFL=0,
     // OS=unknown — the minimal 10-byte header every reader accepts
     private val header = Array[Byte](0x1f.toByte, 0x8b.toByte, 8,
       0, 0, 0, 0, 0, 0, 0xff.toByte)
-    def writeMember(data: Array[Byte]): Unit = {
+    private val member: java.io.OutputStream = new java.io.OutputStream {
+      override def write(b: Int): Unit =
+        write(Array(b.toByte), 0, 1)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        crc.update(b, off, len); isize += len
+        deflater.setInput(b, off, len)
+        while (!deflater.needsInput()) { // drain before input escapes
+          val m = deflater.deflate(buf)
+          if (m > 0) raw.write(buf, 0, m)
+        }
+      }
+    }
+    /** Frame everything `f` writes as ONE gzip member. */
+    def writeMember(f: java.io.OutputStream => Unit): Unit = {
       raw.write(header)
-      crc.reset(); crc.update(data)
-      deflater.reset(); deflater.setInput(data); deflater.finish()
+      crc.reset(); deflater.reset(); isize = 0L
+      f(member)
+      deflater.finish()
       while (!deflater.finished()) {
         val m = deflater.deflate(buf)
         if (m > 0) raw.write(buf, 0, m)
       }
       writeIntLE(crc.getValue.toInt) // CRC32, then ISIZE (RFC 1952)
-      writeIntLE(data.length)
+      writeIntLE((isize & 0xFFFFFFFFL).toInt)
     }
     private def writeIntLE(v: Int): Unit = {
       raw.write(v & 0xFF); raw.write((v >>> 8) & 0xFF)
@@ -662,12 +679,9 @@ object Warc {
         val gzSink = if (gzip) new GzipMemberSink(raw) else null
         def writeRecordUnit(wtype: String, uri: String,
                             payload: Array[Byte]): Unit =
-          if (gzip) {
-            val framed = new java.io.ByteArrayOutputStream(
-              payload.length + 256) // record-bounded
-            writeRecord(framed, wtype, uri, payload, date)
-            gzSink.writeMember(framed.toByteArray)
-          } else writeRecord(raw, wtype, uri, payload, date)
+          if (gzip)
+            gzSink.writeMember(out => writeRecord(out, wtype, uri, payload, date))
+          else writeRecord(raw, wtype, uri, payload, date)
         try {
           writeRecordUnit("warcinfo", null,
             s"software: $software\r\n".getBytes(
@@ -1053,7 +1067,16 @@ object Warc {
                        paths: Seq[String]): Long = {
     import spark.implicits._
     val segTable = table + "_segments"
+    // rows key on BASENAME (the CDX convention — see the single-path
+    // scaladoc), so two announced paths carrying the same basename in
+    // one batch must collapse to one here: indexing both in a single
+    // job would slip the second past the marker skip AND the
+    // row-level anti-join (which only sees the pre-append table) and
+    // double-insert. First path in sorted order wins, matching what
+    // sequential per-path absorbs would have kept.
     val files = paths.flatMap(listSegmentFiles(spark, _)).distinct.sorted
+      .groupBy(f => f.substring(f.lastIndexOf('/') + 1))
+      .map(_._2.head).toSeq.sorted
     val tableExists = spark.catalog.tableExists(table)
     if (tableExists && !spark.catalog.tableExists(segTable)) {
       // pre-companion catalog: bootstrap markers from the index rows
@@ -1130,34 +1153,42 @@ object Warc {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
-    val rows = cdx.select(col("filename").cast("string"),
-        col("offset").cast("long"), col("comp_length").cast("long"),
-        col("member_record_index").cast("int"))
+    // NULL locator fields (a torn third-party CDXJ line, a left join)
+    // coalesce to invalid sentinels so the row degrades to NULL
+    // fields below instead of the non-nullable decode failing the task
+    val rows = cdx.select(
+        coalesce(col("filename").cast("string"), lit("")),
+        coalesce(col("offset").cast("long"), lit(-1L)),
+        coalesce(col("comp_length").cast("long"), lit(-1L)),
+        coalesce(col("member_record_index").cast("int"), lit(-1)))
       .as[(String, Long, Long, Int)]
     val fetched = rows.mapPartitions { it =>
       val byFile = it.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(confB.value.conf)
       byFile.iterator.flatMap { case (name, rs) =>
-        val fp = new org.apache.hadoop.fs.Path(dir, name)
-        // a missing/unreadable segment NULLs all of its rows instead
-        // of failing the task — same degrade contract as a bad offset
+        // a missing/unreadable/unnamed segment NULLs all of its rows
+        // instead of failing the task — same degrade as a bad offset
         val in =
-          try Some(fs.open(fp))
+          if (name.isEmpty) None
+          else try Some(fs.open(new org.apache.hadoop.fs.Path(dir, name)))
           catch { case _: java.io.IOException => None }
+        val fpName = s"$dir/$name"
         try {
           rs.sortBy(_._2).map { case (_, off, clen, mri) =>
-            // negative/zero/oversized locators and reads past EOF
-            // (a truncated or replaced segment) degrade to NULL
-            // fields per the scaladoc, never a task failure
+            // negative/zero/oversized locators, a negative member
+            // index, and reads past EOF (a truncated or replaced
+            // segment) degrade to NULL fields per the scaladoc,
+            // never a task failure
             val rec: Option[(WarcRecord, String)] =
-              if (in.isEmpty || off < 0 || clen <= 0 || clen > MaxRecordBytes)
+              if (in.isEmpty || off < 0 || mri < 0 ||
+                  clen <= 0 || clen > MaxRecordBytes)
                 None
               else try {
                 in.get.seek(off)
                 val bytes = new Array[Byte](clen.toInt)
                 in.get.readFully(bytes)
-                parseStreamWithDigest(fp.toString,
+                parseStreamWithDigest(fpName,
                     new java.io.ByteArrayInputStream(bytes))
                   .drop(mri).take(1).toSeq.headOption
               } catch { case _: java.io.IOException => None }
@@ -1192,7 +1223,8 @@ object Warc {
 
   private val CdxjJsonSchema = org.apache.spark.sql.types.StructType(
     Seq("url", "mime", "status", "digest", "length", "offset",
-      "filename", "member_index", "member_record_index", "warc_type")
+      "filename", "member_index", "member_record_index", "warc_type",
+      "warc_date")
       .map(org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.StringType, nullable = true)))
 
@@ -1207,7 +1239,15 @@ object Warc {
     * consumers rely on. */
   def writeCdxj(cdx: DataFrame, path: String, shards: Int = 1): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    val ts = substring(regexp_replace(col("warc_date"), "[^0-9]", ""), 1, 14)
+    // a NULL or sub-second-precision date still yields a well-framed
+    // line: the sort timestamp degrades to "-" when no 14 digits
+    // exist, and the VERBATIM warc_date rides in the json so the
+    // roundtrip is lossless for any date form (fractional seconds,
+    // missing header) — truncating to the 14-digit form alone would
+    // silently rewrite WARC 1.1 dates
+    val digits = regexp_replace(col("warc_date"), "[^0-9]", "")
+    val ts = when(length(digits) >= 14, substring(digits, 1, 14))
+      .otherwise(lit("-"))
     val json = to_json(struct(
       col("url"),
       col("mime"),
@@ -1218,7 +1258,8 @@ object Warc {
       col("filename"),
       col("member_index").cast("string").as("member_index"),
       col("member_record_index").cast("string").as("member_record_index"),
-      col("warc_type")))
+      col("warc_type"),
+      col("warc_date")))
     // URL-less records (warcinfo, …) key as "-", the CDX convention
     // for an absent field — concat_ws would silently drop a NULL and
     // tear the 3-field line frame
@@ -1240,14 +1281,19 @@ object Warc {
     * philosophy: a torn line cannot poison the index). One scan,
     * scan-side scalar kernels only. */
   def readCdxj(spark: SparkSession, path: String): DataFrame = {
-    val line = "^(\\S+) (\\d{14}) (\\{.*\\})$"
+    val line = "^(\\S+) (\\d{14}|-) (\\{.*\\})$"
     val t = spark.read.text(path)
       .select(regexp_extract(col("value"), line, 1).as("urlkey"),
         regexp_extract(col("value"), line, 2).as("__ts"),
         from_json(regexp_extract(col("value"), line, 3), CdxjJsonSchema)
           .as("j"))
       .filter(col("urlkey") =!= "" && col("j").isNotNull)
+    // the verbatim warc_date extension field wins; an external CDXJ
+    // without it reconstructs seconds precision from the timestamp
     def d(a: Int, b: Int) = substring(col("__ts"), a, b)
+    val tsDate = when(col("__ts") =!= "-",
+      concat(d(1, 4), lit("-"), d(5, 2), lit("-"), d(7, 2), lit("T"),
+        d(9, 2), lit(":"), d(11, 2), lit(":"), d(13, 2), lit("Z")))
     t.select(
       col("j.filename").as("filename"),
       col("j.offset").cast("long").as("offset"),
@@ -1256,9 +1302,7 @@ object Warc {
       col("j.member_record_index").cast("int").as("member_record_index"),
       col("j.warc_type").as("warc_type"),
       col("j.url").as("url"),
-      concat(d(1, 4), lit("-"), d(5, 2), lit("-"), d(7, 2), lit("T"),
-        d(9, 2), lit(":"), d(11, 2), lit(":"), d(13, 2), lit("Z"))
-        .as("warc_date"),
+      coalesce(col("j.warc_date"), tsDate).as("warc_date"),
       col("j.mime").as("mime"),
       col("j.status").cast("int").as("status"),
       col("j.digest").as("digest"),

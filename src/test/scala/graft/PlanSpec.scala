@@ -240,17 +240,22 @@ class PlanSpec extends SparkSpec {
       operators.Dedup.appendToSketchTable(spark, batch1, "doc_id", "text", tbl)
       spark.listenerManager.register(listener)
       operators.Dedup.appendToSketchTable(spark, batch2, "doc_id", "text", tbl)
-      // listener delivery is async: poll for the append's write plan
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      // listener delivery is async AND can starve under a loaded
+      // suite: poll long, and only accept the append's own write plan
+      // (both the table name and the join node — a tbl-mentioning
+      // plan without the join, e.g. a later read, must not satisfy
+      // the find and mask the one we want)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       var appendPlan = Option.empty[String]
       while (appendPlan.isEmpty && System.nanoTime() < deadline) {
         appendPlan = captured.toArray(Array.empty[String])
-          .find(p => p.contains(tbl) || p.contains("LeftAnti"))
+          .find(p => p.contains(tbl) && p.contains("LeftAnti"))
         if (appendPlan.isEmpty) Thread.sleep(100)
       }
-      assert(appendPlan.exists(_.contains("LeftAnti")),
-        "the second append lost its seen-id anti-join:\n" +
-          appendPlan.getOrElse("<no plan captured>").take(1200))
+      assert(appendPlan.isDefined,
+        "the second append lost its seen-id anti-join (or the " +
+          "listener never delivered):\n" +
+          captured.toArray(Array.empty[String]).mkString("\n---\n").take(1200))
       // and the anti-join actually filtered: the replayed doc 2 did
       // not append a duplicate sketch row
       assert(spark.table(tbl).groupBy("doc_id").count()

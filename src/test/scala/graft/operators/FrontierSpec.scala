@@ -136,6 +136,13 @@ class FrontierSpec extends SparkSpec {
     // and no row ever carries a NULL due
     val dueCol = Frontier.markDueForRecrawl(rows, "last_fetch", "changefreq", now)
     assert(dueCol.filter(dueCol("due").isNull).count() == 0L)
+    // an UNPARSEABLE last_fetch string is due too (try_cast, not the
+    // ANSI-throwing cast, and not a NULL-propagating comparison)
+    val garbage = Seq(("u_garbage_lf", "not-a-timestamp", "daily"))
+      .toDF("url", "last_fetch", "changefreq")
+    val g = Frontier.markDueForRecrawl(garbage, "last_fetch", "changefreq", now)
+      .select("due").as[Boolean].collect()
+    assert(g.toSeq == Seq(true))
   }
 
   test("NULL scores schedule at 0 instead of crashing the aggregator") {

@@ -532,6 +532,61 @@ class WarcSpec extends SparkSpec {
     assert(Warc.readCdxj(spark, cdxjDir).count() == cdx.count())
   }
 
+  test("cdxj: NULL/fractional dates and locator-less lines degrade, never crash the fetch") {
+    import spark.implicits._
+    // a record with NO WARC-Date header: ts column degrades to '-',
+    // the verbatim (null) date roundtrips, the line still frames
+    val noDate = Seq(("s.warc", 0L, 10L, 0, 0, "response",
+        "http://a.com/x", null.asInstanceOf[String],
+        Some("text/html"), Some(200), None: Option[String], "com,a)/x"))
+      .toDF("filename", "offset", "comp_length", "member_index",
+        "member_record_index", "warc_type", "url", "warc_date",
+        "mime", "status", "digest", "urlkey")
+    // and one with a WARC 1.1 fractional date that must NOT truncate
+    val fracDate = noDate.withColumn("warc_date",
+      lit("2026-01-01T00:00:00.123Z"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxjn")
+      .toString + "/idx"
+    Warc.writeCdxj(noDate.unionByName(fracDate), dir)
+    val back = Warc.readCdxj(spark, dir)
+    assert(back.count() == 2, "no line may silently vanish")
+    assert(back.select("warc_date").as[String].collect().toSet ==
+      Set(null, "2026-01-01T00:00:00.123Z"),
+      "dates roundtrip VERBATIM, missing ones stay missing")
+    // a frame-valid line whose json lacks every locator field: the
+    // fetch degrades that row to NULL fields instead of a task crash
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-bare.txt"),
+      "com,b)/y 20260101000000 {\"url\":\"http://b.com/y\"}\n"
+        .getBytes("UTF-8"))
+    val segDir = java.nio.file.Files.createTempDirectory("graft_cdxjn2")
+      .toString
+    val fetched = Warc.fetchByCdx(Warc.readCdxj(spark, dir), segDir)
+    assert(fetched.count() == 3, "every row surfaces, degraded included")
+    assert(fetched.filter(col("url").isNotNull).count() == 0,
+      "nothing resolves against an empty segment dir — and nothing throws")
+  }
+
+  test("appendToCdxTable: same basename in two announced paths collapses to one insert") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_cdxa").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_cdxb2").toString
+    val seg = Warc.buildSegment(Seq(("response", "http://a.com/1",
+      Warc.httpResponse(ascii("b1")))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dirA, "seg-001.warc"), seg)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dirB, "seg-001.warc"), seg)
+    val tbl = "graft_test_cdx_basename"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_segments")
+    Warehouse.clearOrphanLocation(spark, tbl)
+    Warehouse.clearOrphanLocation(spark, s"${tbl}_segments")
+    assert(Warc.appendToCdxTable(spark, tbl, Seq(dirA, dirB)) == 1L,
+      "the colliding basename absorbs once, not twice")
+    assert(spark.table(tbl).count() == 1L, "no double-inserted rows")
+    assert(spark.table(s"${tbl}_segments").count() == 1L)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_segments")
+  }
+
   test("cdx: a corrupt middle member stops the walk with earlier members intact") {
     def member(i: Int) = Warc.gzipBytes(Warc.buildSegment(Seq(
       ("response", s"http://a.com/$i", Warc.httpResponse(ascii(s"body$i"))))))
