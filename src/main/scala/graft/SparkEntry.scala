@@ -1516,6 +1516,46 @@ object SparkEntry {
         .orderBy("shard", "bin")
     }),
 
+    // Packed-sequence MATERIALIZATION (Packing.assembleSequences —
+    // the step between q53's bin assignment and the trainer): each
+    // bin's docs concatenate in pack order with a separator, and the
+    // per-doc START OFFSETS surface as the boundary array an
+    // attention/loss mask is built from. One hash aggregation, sort
+    // inside the aggregate, offsets a one-pass HOF prefix sum — no
+    // window. Oracle rebuilds every sequence and offset list in SQL
+    // off the q53 packing CTE; one byte out of place in any
+    // concatenation breaks its bin's md5.
+    "q143_sequence_assembly" -> ((s, dir) => {
+      val packed = graft.operators.Packing.packContiguous(
+        t(s, dir, "documents").select("doc_id", "n_chars", "text"),
+        "doc_id", "n_chars", budget = 20000L, shards = 4)
+      graft.operators.Packing.assembleSequences(packed,
+          "doc_id", "text", orderCol = "doc_id")
+        .select(col("shard"), col("bin"), col("n_docs"), col("seq_chars"),
+          md5(col("sequence")).as("seq_md5"),
+          array_join(transform(col("offsets"), _.cast("string")), ",")
+            .as("offsets_csv"))
+        .orderBy("shard", "bin")
+    }),
+
+    // Deterministic fill-in-the-middle (Text.fimTransform — the
+    // arXiv:2207.14255 infilling recipe, PSM order): a hash-gated
+    // half of the corpus re-emits as <PRE>prefix<SUF>suffix<MID>
+    // middle with hash-drawn cut points, the rest passes through
+    // verbatim; every draw is an md5-prefix integer keyed on
+    // (doc_id, salt) so the SAME docs transform with the SAME cuts
+    // in any engine — the oracle restates gate, cuts, and the
+    // re-assembled string wholesale in SQL.
+    "q144_fim_transform" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.select(col("doc_id"),
+          graft.functions.Text.fimTransform(col("doc_id"), col("text"))
+            .as("out"))
+        .select(col("doc_id"), md5(col("out")).as("fim_md5"),
+          length(col("out")).cast("long").as("fim_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash sampling: membership is md5(salt||id) under a
     // hex threshold — the same rows in ANY engine/partitioning/rerun
     // (df.sample() can't oracle: per-partition RNG). Scan-side filter,
@@ -4981,6 +5021,68 @@ object SparkEntry {
                 md5(array_to_string(list_slice(ws, chunk_id * 40 + 1,
                       chunk_id * 40 + 50), ' ')) AS chunk_md5
          FROM c ORDER BY doc_id, chunk_id""",
+
+    // q143: the q53 packing CTE extended to full sequence rebuild —
+    // string_agg in doc order with the \n\n separator, offsets an
+    // exclusive prefix sum of (len+2) per bin, both aggregated in
+    // doc order.
+    "q143_sequence_assembly" ->
+      """WITH p AS (
+           SELECT doc_id, n_chars, text,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 4 AS INT) AS shard
+           FROM documents),
+         b AS (
+           SELECT shard, doc_id, n_chars, text,
+                  CAST(floor(coalesce(sum(n_chars) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 20000.0) AS BIGINT) AS bin
+           FROM p),
+         o AS (
+           SELECT shard, bin, doc_id, text,
+                  coalesce(sum(len(text) + 2) OVER (
+                    PARTITION BY shard, bin ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS off
+           FROM b)
+         SELECT shard, bin, CAST(count(1) AS INT) AS n_docs,
+                CAST(len(string_agg(text, e'\n\n' ORDER BY doc_id))
+                  AS BIGINT) AS seq_chars,
+                md5(string_agg(text, e'\n\n' ORDER BY doc_id)) AS seq_md5,
+                string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id)
+                  AS offsets_csv
+         FROM o GROUP BY shard, bin ORDER BY shard, bin""",
+
+    // q144: gate, cuts, and the PSM re-assembly restated wholesale —
+    // the md5-prefix draws are the Sampling discipline, so DuckDB
+    // derives byte-identical transforms.
+    "q144_fim_transform" ->
+      """WITH d AS (
+           SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fimgate'), 1, 8))::BIGINT
+                    % 100 AS gate,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fimc1'), 1, 8))::BIGINT AS d1,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fimc2'), 1, 8))::BIGINT AS d2
+           FROM documents),
+         c AS (
+           SELECT doc_id, text, n, gate,
+                  least(d1 % (n + 1), d2 % (n + 1)) AS lo,
+                  greatest(d1 % (n + 1), d2 % (n + 1)) AS hi
+           FROM d),
+         t AS (
+           SELECT doc_id,
+                  CASE WHEN gate < 50 THEN
+                    '<PRE>' || substr(text, 1, CAST(lo AS INT)) ||
+                    '<SUF>' || substr(text, CAST(hi + 1 AS INT),
+                                      CAST(n - hi AS INT)) ||
+                    '<MID>' || substr(text, CAST(lo + 1 AS INT),
+                                      CAST(hi - lo AS INT))
+                  ELSE text END AS out
+           FROM c)
+         SELECT doc_id, md5(out) AS fim_md5,
+                CAST(len(out) AS BIGINT) AS fim_chars
+         FROM t ORDER BY doc_id""",
 
     // q53: identical shard draw (md5 hex prefix -> int), identical
     // running-sum bin cut.

@@ -476,6 +476,39 @@ object Text {
     * hash compare is robust. Empty text: one empty line, zero
     * lengths, zero density. Compose the keep-rule downstream (q103
     * gates `max ≤ L ∧ avg ≤ A ∧ alnum ≥ F`). */
+  /** Deterministic fill-in-the-middle transform (the OpenAI FIM
+    * recipe, arXiv:2207.14255, PSM order): for a hash-gated
+    * `pFimPct`% of documents, two hash-drawn cut points split the
+    * text into prefix/middle/suffix and the document re-emits as
+    * `<PRE>prefix<SUF>suffix<MID>middle`, teaching an autoregressive
+    * model to infill; the rest pass through raw. Every draw is an
+    * md5-prefix integer (the Sampling discipline) keyed on the doc id
+    * plus a salt — engine-independent, restatable in any SQL, and
+    * stable across runs/partitionings, so the SAME docs transform
+    * with the SAME cuts everywhere. Row-local, shuffle-free,
+    * codegen-friendly. NULL text passes through NULL. */
+  def fimTransform(id: Column, text: Column, pFimPct: Int = 50,
+                   preTok: String = "<PRE>", sufTok: String = "<SUF>",
+                   midTok: String = "<MID>"): Column = {
+    require(pFimPct >= 0 && pFimPct <= 100,
+      s"pFimPct must be in [0,100], got $pFimPct")
+    def draw(salt: String): Column =
+      conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8),
+        16, 10).cast("long")
+    val len = length(text).cast("long")
+    val gate = pmod(draw("fimgate"), lit(100L)) < pFimPct
+    val c1 = pmod(draw("fimc1"), len + 1L)
+    val c2 = pmod(draw("fimc2"), len + 1L)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    when(text.isNull, lit(null).cast("string"))
+      .when(gate,
+        concat(lit(preTok), substr(text, lit(1), lo),
+          lit(sufTok), substr(text, hi + 1L, len - hi),
+          lit(midTok), substr(text, lo + 1L, hi - lo)))
+      .otherwise(text)
+  }
+
   def codeStats(text: Column): Column = {
     val lines = split(coalesce(text, lit("")), "\n", -1)
     val lens = transform(lines, l => length(l))

@@ -44,4 +44,44 @@ object Packing {
       .withColumn("bin",
         floor(coalesce(sum(col(sizeCol)).over(w), lit(0L)) / budget))
   }
+
+  /** Materialize [[packContiguous]] bins into TRAINING SEQUENCES —
+    * the step between packing and the trainer: one row per
+    * `(shard, bin)` with the bin's documents concatenated in pack
+    * order (`sep` between them), the doc ids, and each document's
+    * START OFFSET within the sequence — the boundary array an
+    * attention/loss mask is built from (tokens must not attend
+    * across document boundaries inside a packed sequence).
+    *
+    * Plan shape: ONE hash aggregation — per-bin items collect into an
+    * array sorted IN the aggregate (`array_sort`, no window), and the
+    * offsets are an exclusive prefix sum folded in one `aggregate`
+    * HOF pass over the sorted lengths (self-contained lambdas — no
+    * per-element re-evaluation of outer expressions). Per-task memory
+    * is one bin, which `budget` bounds by construction; bins never
+    * concentrate (they are the finest grain of the data). NULL texts
+    * concatenate as empty (offsets stay aligned). */
+  def assembleSequences(packed: DataFrame, idCol: String, textCol: String,
+                        orderCol: String, sep: String = "\n\n"): DataFrame = {
+    val items = array_sort(collect_list(struct(
+      col(orderCol).as("o"), col(idCol).cast("long").as("id"),
+      coalesce(col(textCol).cast("string"), lit("")).as("t"))))
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(items.as("__items"))
+      .select(col("shard"), col("bin"),
+        transform(col("__items"), x => x.getField("id")).as("doc_ids"),
+        aggregate(
+          transform(col("__items"),
+            x => length(x.getField("t")).cast("long")),
+          struct(lit(0L).as("acc"),
+            array().cast("array<long>").as("offs")),
+          (s, l) => struct(
+            (s.getField("acc") + l + lit(sep.length.toLong)).as("acc"),
+            concat(s.getField("offs"), array(s.getField("acc"))).as("offs")),
+          s => s.getField("offs")).as("offsets"),
+        array_join(transform(col("__items"), x => x.getField("t")), sep)
+          .as("sequence"))
+      .withColumn("n_docs", size(col("doc_ids")))
+      .withColumn("seq_chars", length(col("sequence")).cast("long"))
+  }
 }

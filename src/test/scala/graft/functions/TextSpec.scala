@@ -476,4 +476,47 @@ class TextSpec extends SparkSpec {
       .as[String].head()
     assert(viaCol == "café - ok" && viaSql == viaCol)
   }
+
+  test("fimTransform: content-preserving PSM splits, deterministic, gate fractions, edge texts") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i body " + ("x" * (i % 37).toInt)))
+      .toDF("doc_id", "text")
+    val out = docs.select($"doc_id", $"text",
+        Text.fimTransform($"doc_id", $"text").as("out")).collect()
+    var transformed = 0
+    out.foreach { r =>
+      val (t, o) = (r.getString(1), r.getString(2))
+      if (o != t) {
+        transformed += 1
+        // PSM frame: the three parts re-assemble to EXACTLY the
+        // original text (prefix ++ middle ++ suffix)
+        val m = "(?s)^<PRE>(.*)<SUF>(.*)<MID>(.*)$".r
+        o match {
+          case m(pre, suf, mid) => assert(pre + mid + suf == t,
+            s"content not preserved for ${r.getLong(0)}")
+          case _ => fail(s"malformed FIM frame: $o")
+        }
+      }
+    }
+    // the hash gate transforms roughly half (50% of 200, binomial)
+    assert(transformed > 60 && transformed < 140, s"gate off: $transformed/200")
+    // deterministic: same draws on a different partitioning
+    val again = docs.repartition(7).select($"doc_id",
+      Text.fimTransform($"doc_id", $"text").as("out"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach(r => assert(again(r.getLong(0)) == r.getString(2)))
+    // pFimPct 0 = identity, 100 = every doc framed; empty text safe
+    val edge = Seq((1L, ""), (2L, "ab")).toDF("doc_id", "text")
+    val id0 = edge.select(Text.fimTransform($"doc_id", $"text", pFimPct = 0))
+      .as[String].collect()
+    assert(id0.toSeq == Seq("", "ab"))
+    val all = edge.select(Text.fimTransform($"doc_id", $"text", pFimPct = 100))
+      .as[String].collect()
+    assert(all.forall(_.startsWith("<PRE>")))
+    assert(all(0) == "<PRE><SUF><MID>", "empty text frames empty parts")
+    // null passes through null
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(Text.fimTransform($"doc_id", $"text", pFimPct = 100))
+      .as[String].collect()
+    assert(n.toSeq == Seq(null))
+  }
 }

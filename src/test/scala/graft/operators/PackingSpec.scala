@@ -53,4 +53,38 @@ class PackingSpec extends SparkSpec {
       }
     } finally packed.unpersist()
   }
+
+  test("assembleSequences: exact concatenation, aligned offsets, null text as empty") {
+    import spark.implicits._
+    // one shard, fixed bins: hand-checkable
+    val packed = Seq(
+      (1L, "alpha", 0, 0L),
+      (2L, "bee", 0, 0L),
+      (3L, null.asInstanceOf[String], 0, 0L), // null concatenates as ""
+      (10L, "solo", 0, 1L))
+      .toDF("doc_id", "text", "shard", "bin")
+    val got = Packing.assembleSequences(packed, "doc_id", "text",
+        orderCol = "doc_id", sep = "--")
+      .orderBy("shard", "bin")
+      .select("doc_ids", "offsets", "sequence", "n_docs", "seq_chars")
+      .as[(Seq[Long], Seq[Long], String, Int, Long)].collect()
+    assert(got.length == 2)
+    val (ids0, offs0, seq0, n0, c0) = got(0)
+    assert(ids0 == Seq(1L, 2L, 3L) && n0 == 3)
+    assert(seq0 == "alpha--bee--", "null text joins as empty")
+    // starts: alpha@0, bee@7 (5+2), ""@12 (7+3+2)
+    assert(offs0 == Seq(0L, 7L, 12L), offs0.toString)
+    assert(c0 == seq0.length.toLong)
+    val (ids1, offs1, seq1, _, _) = got(1)
+    assert(ids1 == Seq(10L) && seq1 == "solo" && offs1 == Seq(0L))
+    // each doc is recoverable from its offset (the mask-boundary
+    // contract): substring(seq, off, nextOff - off - sepLen) == text
+    val texts = Seq("alpha", "bee", "")
+    val bounds = offs0 :+ (seq0.length + 2).toLong
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val s = seq0.substring(bounds(i).toInt,
+        (bounds(i + 1) - 2).toInt)
+      assert(s == t, s"slot $i: '$s' != '$t'")
+    }
+  }
 }
