@@ -35,13 +35,18 @@ import graft.sources.{Warc, Warehouse}
   *   → audited sharded export ([[Sampling.writeShardedWithManifest]] +
   *     [[Sampling.verifyShardedExport]]) and a WET interchange export
   *     ([[Warc.writeTextSegments]])
+  *   → capture index over the WET export, PUBLISHED as sorted CDXJ
+  *     and consumed back: [[Warc.cdxIndex]] → [[Warc.writeCdxj]] →
+  *     [[Warc.readCdxj]] → [[Warc.fetchByCdx]], every conversion
+  *     record ranged-fetched through the text-roundtripped index
   *   → warehouse census over the run's catalog tables
   *     ([[Warehouse.auditTables]]).
   *
   * Every stage is an existing, individually-oracled library call
   * (q115/q116/q128, q111, q130, q113/q114, q127/q120/q129, q117,
-  * q121/q124, q61, q105, q123); this object only composes them, and
-  * the e2e spec reconciles stage counts against one another. */
+  * q121/q124, q61, q105, q123, q136/q140); this object only composes
+  * them, and the e2e spec reconciles stage counts against one
+  * another. */
 object CrawlDemo {
 
   final case class Result(records: Long, pages: Long, extracted: Long,
@@ -53,6 +58,7 @@ object CrawlDemo {
                           scheduled: Long, delayedSlots: Long,
                           survivors: Long,
                           auditOk: Boolean, wetAuditOk: Boolean,
+                          cdxFetched: Long,
                           census: DataFrame)
 
   /** `sitemaps`: fetched sitemap content as `(sitemap_url, xml)` —
@@ -217,7 +223,19 @@ object CrawlDemo {
     val wetAuditOk = Warc.auditTextSegments(spark, wetDir)
       .filter(!col("ok")).isEmpty
 
-    // 7. warehouse census: the run's catalog tables (the frontier, and
+    // 7. capture index over the WET export, published as sorted CDXJ
+    //    (the interchange form a downstream consumer actually
+    //    receives) — then every conversion record is ranged-fetched
+    //    back THROUGH the text-roundtripped index, closing the
+    //    publish → index → consume loop with a reconciled count
+    val cdxjDir = outDir + "_cdxj"
+    Warc.writeCdxj(Warc.cdxIndex(spark, wetDir), cdxjDir, shards = 2)
+    val nCdxFetched = Warc.fetchByCdx(
+        Warc.readCdxj(spark, cdxjDir)
+          .filter(col("warc_type") === "conversion"), wetDir)
+      .filter(col("body").isNotNull).count()
+
+    // 8. warehouse census: the run's catalog tables (the frontier, and
     //    anything a previous round left) with row counts and ledger
     //    marks — the operational audit that catches a stale table
     val census = Warehouse.auditTables(spark, frontierTable)
@@ -227,7 +245,7 @@ object CrawlDemo {
     Result(nRecords, nPages, nExtracted, nRedirects, nTerminals, nLoops,
       nEdges, nHosts, nSitemaps, smCount,
       nAllowed, nDenied, nScheduled, delayedSlots,
-      nSurvivors, auditOk, wetAuditOk, census)
+      nSurvivors, auditOk, wetAuditOk, nCdxFetched, census)
   }
 
   def main(args: Array[String]): Unit = {
@@ -250,7 +268,8 @@ object CrawlDemo {
         s"sitemaps=${r.sitemapsDiscovered}/${r.sitemapUrls}urls " +
         s"frontier=${r.frontierAllowed}+${r.frontierDenied} " +
         s"scheduled=${r.scheduled} delayedSlots=${r.delayedSlots} " +
-        s"survivors=${r.survivors} audit=${r.auditOk} wet=${r.wetAuditOk}")
+        s"survivors=${r.survivors} audit=${r.auditOk} wet=${r.wetAuditOk} " +
+        s"cdxFetched=${r.cdxFetched}")
       r.census.show(20, false)
     } finally spark.stop()
   }

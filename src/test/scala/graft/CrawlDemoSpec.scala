@@ -107,6 +107,10 @@ class CrawlDemoSpec extends SparkSpec {
       // clean, and the WET leg reads back through the proven reader
       assert(r.survivors == 4 && r.auditOk, s"survivors ${r.survivors}")
       assert(r.wetAuditOk, "WET export must audit clean")
+      // the publish → index → consume loop reconciles: every survivor
+      // fetches back through the CDXJ-roundtripped capture index
+      assert(r.cdxFetched == r.survivors,
+        s"cdx fetch ${r.cdxFetched} != survivors ${r.survivors}")
       val wetBack = graft.sources.Warc.readWarc(spark, out + "_wet")
         .filter(col("warc_type") === "conversion")
       assert(wetBack.count() == 4)
