@@ -145,12 +145,16 @@ object Frontier {
                         defaultIntervalSec: Long = 7L * 24 * 3600): DataFrame = {
     val interval = recrawlIntervalSec(col(changefreqCol), defaultIntervalSec)
     // try_cast: a non-numeric last_fetch lands NULL (→ due) instead
-    // of the raw cast's ANSI throw or a NULL-propagating comparison
+    // of the raw cast's ANSI throw or a NULL-propagating comparison;
+    // and the comparison keeps last_fetch ALONE on its side — the
+    // algebraically-equal lf + interval <= now would overflow (and
+    // ANSI-throw) on a corrupt near-Long.Max timestamp, while
+    // now - interval is bounded driver-side arithmetic
     val lf = col(lastFetchCol).try_cast("long")
     urls.withColumn("interval_sec", interval)
       .withColumn("due",
         col("interval_sec").isNotNull &&
-          (lf.isNull || lf + col("interval_sec") <= nowEpochSec))
+          (lf.isNull || lf <= lit(nowEpochSec) - col("interval_sec")))
   }
 
   /** Append newly DISCOVERED URLs to a persisted frontier TABLE

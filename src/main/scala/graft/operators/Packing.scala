@@ -63,8 +63,14 @@ object Packing {
     * concatenate as empty (offsets stay aligned). */
   def assembleSequences(packed: DataFrame, idCol: String, textCol: String,
                         orderCol: String, sep: String = "\n\n"): DataFrame = {
+    // sep length in CODE POINTS — Spark's length() counts code
+    // points, so a supplementary-plane separator (an emoji marker)
+    // must not count its surrogate pair twice or every offset after
+    // the first doc drifts. Ids keep their NATIVE type (string-keyed
+    // corpora pack too; a forced long cast would ANSI-throw).
+    val sepLen = sep.codePointCount(0, sep.length).toLong
     val items = array_sort(collect_list(struct(
-      col(orderCol).as("o"), col(idCol).cast("long").as("id"),
+      col(orderCol).as("o"), col(idCol).as("id"),
       coalesce(col(textCol).cast("string"), lit("")).as("t"))))
     packed.groupBy(col("shard"), col("bin"))
       .agg(items.as("__items"))
@@ -76,7 +82,7 @@ object Packing {
           struct(lit(0L).as("acc"),
             array().cast("array<long>").as("offs")),
           (s, l) => struct(
-            (s.getField("acc") + l + lit(sep.length.toLong)).as("acc"),
+            (s.getField("acc") + l + lit(sepLen)).as("acc"),
             concat(s.getField("offs"), array(s.getField("acc"))).as("offs")),
           s => s.getField("offs")).as("offsets"),
         array_join(transform(col("__items"), x => x.getField("t")), sep)

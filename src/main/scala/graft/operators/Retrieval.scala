@@ -93,7 +93,16 @@ object Retrieval {
     * the standing inverted index a nightly build materializes. One
     * corpus scan; the shuffle key is (doc_id, term). */
   def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokenRows(docs, idCol, textCol)
+    termStatsFromTokens(docs.select(col(idCol).as("doc_id"),
+      tokensOf(textCol).as("__toks")))
+
+  /** The ONE postings aggregation, off a pre-tokenized
+    * `(doc_id, __toks)` frame — shared by [[termStats]] and the
+    * streaming absorb so the postings shape can never diverge
+    * between the build-once and streaming tables. */
+  private def termStatsFromTokens(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
 
@@ -236,11 +245,7 @@ object Retrieval {
     try {
       val n = fresh.count()
       if (n == 0L) return 0L
-      val postings = fresh // the termStats shape off the shared tokens
-        .select(col("doc_id"), size(col("__toks")).as("dl"),
-          explode(col("__toks")).as("term"))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      val postings = termStatsFromTokens(fresh) // the ONE postings shape
       if (!spark.catalog.tableExists(statsTable)) {
         graft.sources.Warehouse.clearOrphanLocation(spark, statsTable)
         postings.write.saveAsTable(statsTable)

@@ -1072,8 +1072,10 @@ object Warc {
     // one batch must collapse to one here: indexing both in a single
     // job would slip the second past the marker skip AND the
     // row-level anti-join (which only sees the pre-append table) and
-    // double-insert. First path in sorted order wins, matching what
-    // sequential per-path absorbs would have kept.
+    // double-insert. The LEXICOGRAPHICALLY-FIRST path wins —
+    // deterministic and independent of announcement order (basename
+    // collisions across roots are a caller contract violation either
+    // way; this bounds the damage to one deterministic copy).
     val files = paths.flatMap(listSegmentFiles(spark, _)).distinct.sorted
       .groupBy(f => f.substring(f.lastIndexOf('/') + 1))
       .map(_._2.head).toSeq.sorted
@@ -1154,45 +1156,48 @@ object Warc {
     val hconf = spark.sparkContext.hadoopConfiguration
     val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
     // NULL locator fields (a torn third-party CDXJ line, a left join)
-    // coalesce to invalid sentinels so the row degrades to NULL
-    // fields below instead of the non-nullable decode failing the task
+    // ride as Options so the row degrades to NULL fields below — and
+    // the ORIGINAL (possibly NULL) locator values echo back in the
+    // output, never a fabricated sentinel a consumer could join on
     val rows = cdx.select(
-        coalesce(col("filename").cast("string"), lit("")),
-        coalesce(col("offset").cast("long"), lit(-1L)),
-        coalesce(col("comp_length").cast("long"), lit(-1L)),
-        coalesce(col("member_record_index").cast("int"), lit(-1)))
-      .as[(String, Long, Long, Int)]
+        col("filename").cast("string"),
+        col("offset").cast("long"), col("comp_length").cast("long"),
+        col("member_record_index").cast("int"))
+      .as[(Option[String], Option[Long], Option[Long], Option[Int])]
     val fetched = rows.mapPartitions { it =>
-      val byFile = it.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+      val byFile = it.toSeq.groupBy(_._1).toSeq
+        .sortBy(_._1.getOrElse(""))
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(confB.value.conf)
-      byFile.iterator.flatMap { case (name, rs) =>
+      byFile.iterator.flatMap { case (nameOpt, rs) =>
         // a missing/unreadable/unnamed segment NULLs all of its rows
         // instead of failing the task — same degrade as a bad offset
-        val in =
-          if (name.isEmpty) None
-          else try Some(fs.open(new org.apache.hadoop.fs.Path(dir, name)))
+        val in = nameOpt.filter(_.nonEmpty).flatMap { name =>
+          try Some(fs.open(new org.apache.hadoop.fs.Path(dir, name)))
           catch { case _: java.io.IOException => None }
-        val fpName = s"$dir/$name"
+        }
+        val fpName = s"$dir/${nameOpt.getOrElse("")}"
         try {
-          rs.sortBy(_._2).map { case (_, off, clen, mri) =>
-            // negative/zero/oversized locators, a negative member
-            // index, and reads past EOF (a truncated or replaced
-            // segment) degrade to NULL fields per the scaladoc,
-            // never a task failure
-            val rec: Option[(WarcRecord, String)] =
-              if (in.isEmpty || off < 0 || mri < 0 ||
-                  clen <= 0 || clen > MaxRecordBytes)
-                None
-              else try {
-                in.get.seek(off)
+          rs.sortBy(_._2.getOrElse(-1L)).map { case (_, offO, clenO, mriO) =>
+            // NULL/negative/zero/oversized locators, a negative
+            // member index, and reads past EOF (a truncated or
+            // replaced segment) degrade to NULL fields per the
+            // scaladoc, never a task failure
+            val rec: Option[(WarcRecord, String)] = for {
+              stream <- in
+              off <- offO if off >= 0
+              clen <- clenO if clen > 0 && clen <= MaxRecordBytes
+              mri <- mriO if mri >= 0
+              r <- try {
+                stream.seek(off)
                 val bytes = new Array[Byte](clen.toInt)
-                in.get.readFully(bytes)
+                stream.readFully(bytes)
                 parseStreamWithDigest(fpName,
                     new java.io.ByteArrayInputStream(bytes))
                   .drop(mri).take(1).toSeq.headOption
               } catch { case _: java.io.IOException => None }
-            (name, off, mri, rec)
+            } yield r
+            (nameOpt, offO, mriO, rec)
           }
         } finally in.foreach(s =>
           try s.close() catch { case _: java.io.IOException => () })
@@ -1294,17 +1299,21 @@ object Warc {
     val tsDate = when(col("__ts") =!= "-",
       concat(d(1, 4), lit("-"), d(5, 2), lit("-"), d(7, 2), lit("T"),
         d(9, 2), lit(":"), d(11, 2), lit(":"), d(13, 2), lit("Z")))
+    // try_cast throughout: a third-party index writing '-' (the CDX
+    // absent-field convention) or garbage into a numeric field lands
+    // NULL — which [[fetchByCdx]] degrades row-locally — instead of
+    // the raw cast's ANSI throw failing the whole read
     t.select(
       col("j.filename").as("filename"),
-      col("j.offset").cast("long").as("offset"),
-      col("j.length").cast("long").as("comp_length"),
-      col("j.member_index").cast("int").as("member_index"),
-      col("j.member_record_index").cast("int").as("member_record_index"),
+      col("j.offset").try_cast("long").as("offset"),
+      col("j.length").try_cast("long").as("comp_length"),
+      col("j.member_index").try_cast("int").as("member_index"),
+      col("j.member_record_index").try_cast("int").as("member_record_index"),
       col("j.warc_type").as("warc_type"),
       col("j.url").as("url"),
       coalesce(col("j.warc_date"), tsDate).as("warc_date"),
       col("j.mime").as("mime"),
-      col("j.status").cast("int").as("status"),
+      col("j.status").try_cast("int").as("status"),
       col("j.digest").as("digest"),
       when(col("urlkey") =!= "-", col("urlkey")).as("urlkey"))
   }

@@ -137,12 +137,16 @@ class FrontierSpec extends SparkSpec {
     val dueCol = Frontier.markDueForRecrawl(rows, "last_fetch", "changefreq", now)
     assert(dueCol.filter(dueCol("due").isNull).count() == 0L)
     // an UNPARSEABLE last_fetch string is due too (try_cast, not the
-    // ANSI-throwing cast, and not a NULL-propagating comparison)
-    val garbage = Seq(("u_garbage_lf", "not-a-timestamp", "daily"))
+    // ANSI-throwing cast, and not a NULL-propagating comparison); a
+    // numeric-but-absurd future timestamp must not OVERFLOW the
+    // comparison (last_fetch stays alone on its side) — not due
+    val garbage = Seq(
+      ("u_garbage_lf", "not-a-timestamp", "daily"),
+      ("u_longmax_lf", Long.MaxValue.toString, "daily"))
       .toDF("url", "last_fetch", "changefreq")
     val g = Frontier.markDueForRecrawl(garbage, "last_fetch", "changefreq", now)
-      .select("due").as[Boolean].collect()
-    assert(g.toSeq == Seq(true))
+      .select("url", "due").as[(String, Boolean)].collect().toMap
+    assert(g == Map("u_garbage_lf" -> true, "u_longmax_lf" -> false), g.toString)
   }
 
   test("NULL scores schedule at 0 instead of crashing the aggregator") {

@@ -77,6 +77,14 @@ class PackingSpec extends SparkSpec {
     assert(c0 == seq0.length.toLong)
     val (ids1, offs1, seq1, _, _) = got(1)
     assert(ids1 == Seq(10L) && seq1 == "solo" && offs1 == Seq(0L))
+    // a supplementary-plane separator counts ONE code point (Spark's
+    // length unit), not its two UTF-16 units — offsets stay aligned
+    val astral = Packing.assembleSequences(
+        Seq((1L, "ab", 0, 0L), (2L, "cd", 0, 0L))
+          .toDF("doc_id", "text", "shard", "bin"),
+        "doc_id", "text", orderCol = "doc_id", sep = "🔚")
+      .select("offsets", "seq_chars").as[(Seq[Long], Long)].head()
+    assert(astral == ((Seq(0L, 3L), 5L)), astral.toString)
     // each doc is recoverable from its offset (the mask-boundary
     // contract): substring(seq, off, nextOff - off - sepLen) == text
     val texts = Seq("alpha", "bee", "")

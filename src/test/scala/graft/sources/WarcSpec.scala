@@ -553,18 +553,29 @@ class WarcSpec extends SparkSpec {
     assert(back.select("warc_date").as[String].collect().toSet ==
       Set(null, "2026-01-01T00:00:00.123Z"),
       "dates roundtrip VERBATIM, missing ones stay missing")
-    // a frame-valid line whose json lacks every locator field: the
-    // fetch degrades that row to NULL fields instead of a task crash
+    // frame-valid lines whose json lacks locator fields or writes
+    // the CDX '-' absent-field convention into numeric ones: the
+    // read lands NULLs (try_cast, no ANSI throw) and the fetch
+    // degrades those rows instead of crashing the task
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "part-bare.txt"),
-      "com,b)/y 20260101000000 {\"url\":\"http://b.com/y\"}\n"
+      ("com,b)/y 20260101000000 {\"url\":\"http://b.com/y\"}\n" +
+        "com,c)/z 20260101000000 {\"url\":\"http://c.com/z\"," +
+        "\"offset\":\"-\",\"length\":\"-\",\"filename\":\"s.warc\"}\n")
         .getBytes("UTF-8"))
+    val reread = Warc.readCdxj(spark, dir)
+    assert(reread.count() == 4, "the '-' locator line reads, with NULLs")
     val segDir = java.nio.file.Files.createTempDirectory("graft_cdxjn2")
       .toString
-    val fetched = Warc.fetchByCdx(Warc.readCdxj(spark, dir), segDir)
-    assert(fetched.count() == 3, "every row surfaces, degraded included")
+    val fetched = Warc.fetchByCdx(reread, segDir)
+    assert(fetched.count() == 4, "every row surfaces, degraded included")
     assert(fetched.filter(col("url").isNotNull).count() == 0,
       "nothing resolves against an empty segment dir — and nothing throws")
+    // degraded rows echo their ORIGINAL locator values, not sentinels
+    assert(fetched.filter(col("offset") === -1L || col("filename") === "")
+      .count() == 0, "no fabricated sentinel may leak into the output")
+    assert(fetched.filter(col("offset").isNull).count() == 2,
+      "the NULL-offset rows stay NULL-offset")
   }
 
   test("appendToCdxTable: same basename in two announced paths collapses to one insert") {
