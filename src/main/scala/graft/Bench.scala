@@ -117,7 +117,17 @@ object Bench {
         spark.catalog.clearCache()
         sec
       }
-      val sec = try math.min(attempt(), attempt())
+      // Round-12 lesson: iterative-plan queries (the q95 PageRank
+      // family — dozens of short stages) showed 2.5-4x cross-machine
+      // spread in the isolated leg because the FIRST timed attempt in
+      // a cold child JVM pays JIT compilation of the per-step plan
+      // machinery, and min-of-2 only half-hides that. One UNTIMED
+      // warm-up attempt of the query itself ahead of the timed
+      // min-of-2 pins the protocol to steady-state: for lifecycle
+      // queries the warm-up also absorbs any build-once table work,
+      // so the timed attempts measure serve — the same thing the
+      // in-battery pass-2 min measures.
+      val sec = try { attempt(); math.min(attempt(), attempt()) }
       catch { case e: Throwable =>
         System.err.println(s"[bench-isolated] $name failed: ${e.getMessage}")
         -1.0
@@ -382,7 +392,44 @@ object Bench {
       isolated.get(name).filter(_ >= 0).getOrElse(best)
     }.filter(_ >= 0).sum
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gc":$gcs,"isolated":$isoJson,"isolated_total":$isolatedTotal%.3f,"io_before":$ioBefore%.3f,"io_after":$ioAfter%.3f,"canary_before":$canaryBefore%.3f,"canary_after":$canaryAfter%.3f,"canary_ref":$canaryRef%.3f,"tainted":$tainted}""")
+    // Round-12 handoff lesson: the driver keeps only a 2000-char
+    // stdout TAIL, and the full per-query JSON for a 160-query battery
+    // is ~4.5k chars — the tail never contained the line's START, so
+    // BENCH_r12.json shipped "parsed": null. Two-channel fix:
+    //   1. The COMPLETE JSON (every query, gc, isolated, probes)
+    //      writes to a fixed artifact path, bench_full.json in the
+    //      working directory (override: SPARK_GRAFT_BENCH_OUT).
+    //   2. The final stdout line is a COMPACT summary guaranteed to
+    //      fit the tail: total/unit/sf/tainted/isolated_total, a
+    //      "queries" map holding only the slowest entries (by
+    //      in-battery min) up to a strict byte budget, the isolated
+    //      map for those same entries, and "full" pointing at the
+    //      artifact. Anyone needing all 160 numbers reads the file.
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gc":$gcs,"isolated":$isoJson,"isolated_total":$isolatedTotal%.3f,"io_before":$ioBefore%.3f,"io_after":$ioAfter%.3f,"canary_before":$canaryBefore%.3f,"canary_after":$canaryAfter%.3f,"canary_ref":$canaryRef%.3f,"tainted":$tainted}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    val headline = {
+      // slowest-first, as many as fit in the byte budget (the driver's
+      // tail is 2000 chars and sbt appends a ~70-char epilogue line)
+      val budget = 900
+      val b = new StringBuilder
+      var taken = 0
+      results.sortBy(-_._2).foreach { case (k, v, _) =>
+        val piece = "\"" + k + f"\":$v%.3f"
+        if (b.length + piece.length + 1 <= budget) {
+          if (taken > 0) b.append(','); b.append(piece); taken += 1
+        }
+      }
+      "{" + b.result() + "}"
+    }
+    val isoCompact = isolated.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$headline,"sf":"$sfDir","n_queries":${results.size},"isolated":$isoCompact,"isolated_total":$isolatedTotal%.3f,"tainted":$tainted,"full":"$outPath"}""")
     sys.exit(0)
   }
 }

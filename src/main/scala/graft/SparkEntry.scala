@@ -1556,6 +1556,78 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Tokenized training shards (Bpe.tokenIds → Packing.packContiguous
+    // on n_tokens → assembleTokenSequences): the corpus→batch
+    // capstone — every document BPE-tokenizes to INTEGER IDS under the
+    // committed merge list (deterministic codepoint-base id scheme, no
+    // corpus-derived vocab), packs into token-budget bins, and each
+    // bin materializes as ONE id sequence with an EOS (id 0) after
+    // every document plus the offset boundary array — the literal
+    // trainer feed q143 produced only the string form of. The oracle
+    // replays tokenization closed-form: the committed merges are
+    // character-disjoint and non-chaining, so the greedy tokenizer's
+    // SYMBOL LIST (not just its count, as q82 exploits) equals a
+    // single left-to-right regex scan 'th|in|.' plus the trailing-e
+    // end-of-word merge — BpeSpec pins that equivalence on
+    // adversarial words — then restates the q53 shard/bin arithmetic
+    // and rebuilds every sequence and offset list; one id out of
+    // place breaks its bin's md5.
+    "q145_token_shards" -> ((s, dir) => {
+      val toks = graft.operators.Bpe.tokenIds(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", CommittedBpeMerges)
+      val packed = graft.operators.Packing.packContiguous(
+        toks, "doc_id", "n_tokens", budget = 5000L, shards = 4)
+      graft.operators.Packing.assembleTokenSequences(packed,
+          "doc_id", "token_ids", orderCol = "doc_id")
+        .select(col("shard"), col("bin"), col("n_docs"), col("seq_tokens"),
+          md5(array_join(transform(col("sequence"), _.cast("string")), ","))
+            .as("seq_md5"),
+          array_join(transform(col("offsets"), _.cast("string")), ",")
+            .as("offsets_csv"))
+        .orderBy("shard", "bin")
+    }),
+
+    // WAT metadata export (Html.watMetadata → Warc.writeWatSegments —
+    // CommonCrawl's THIRD artifact family next to the WARC segments
+    // and the WET text export): one `metadata`-type record per
+    // response capture whose JSON body carries url/date/digest/title/
+    // description/base/outlinks, extracted in ONE scanHtml kernel
+    // pass. Roundtrip proof: build WAT over the q115 WARC fixture's
+    // responses, write real metadata segments (per-record gzip
+    // members, rename-on-commit), read them BACK through the WARC
+    // reader, re-parse the JSON — every field must equal the
+    // closed-form template (absent fields pin as '-', never silently
+    // dropped).
+    "q146_wat_export" -> ((s, dir) => {
+      val wdir = ensureWarcDir(s, dir)
+      val W = graft.sources.Warc
+      val resp = W.readWarc(s, wdir).filter(col("warc_type") === "response")
+      val wat = graft.operators.Html.watMetadata(resp, "target_uri",
+        "body", "warc_date", "payload_digest")
+      val watDir = new java.io.File(
+        java.nio.file.Files.createTempDirectory("graft_q146").toFile,
+        "wat").toString
+      W.writeWatSegments(wat, "uri", "wat_json", watDir)
+      W.readWarc(s, watDir).filter(col("warc_type") === "metadata")
+        .select(from_json(col("body").cast("string"),
+          "url STRING, date STRING, digest STRING, title STRING, " +
+            "description STRING, base STRING, outlinks ARRAY<STRING>, " +
+            "n_links INT",
+          Map.empty[String, String]).as("j"))
+        .select(
+          regexp_extract(col("j.url"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          col("j.title").as("title"),
+          coalesce(col("j.description"), lit("-")).as("description"),
+          coalesce(col("j.base"), lit("-")).as("base_href"),
+          col("j.n_links").as("n_links"),
+          array_join(col("j.outlinks"), ",").as("outlinks_csv"),
+          col("j.date").as("warc_date"),
+          coalesce(col("j.digest"), lit("-")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash sampling: membership is md5(salt||id) under a
     // hex threshold — the same rows in ANY engine/partitioning/rerun
     // (df.sample() can't oracle: per-partition RNG). Scan-side filter,
@@ -3492,12 +3564,18 @@ object SparkEntry {
             .as("dst"))
       val chains = graft.operators.Url.resolveRedirectChains(
         redirects, "src", "dst", maxHops = 4)
-      chains.filter(col("url").contains("/start"))
+      val result = chains.filter(col("url").contains("/start"))
         .select(
           regexp_extract(col("url"), "start(\\d+)\\.html", 1)
             .cast("long").as("doc_id"),
           col("terminal_url"), col("hops"), col("looped"))
         .orderBy("doc_id")
+      // the caller owns the returned frame's unpersist (Url.scala
+      // contract) — a battery entry consumes once, so releasing here
+      // trades a fixture-scale recompute for zero cache residue in the
+      // block manager across the 160-query run
+      chains.unpersist()
+      result
     }),
 
     // Unicode normalization COMPOSED into the dedup path (q125 proves
@@ -5083,6 +5161,80 @@ object SparkEntry {
          SELECT doc_id, md5(out) AS fim_md5,
                 CAST(len(out) AS BIGINT) AS fim_chars
          FROM t ORDER BY doc_id""",
+
+    // q145: tokenization replayed closed-form — the committed merges
+    // are character-disjoint ('th'/'in' share no characters, so their
+    // occurrences in a word can never overlap and merge ORDER is
+    // immaterial) and non-chaining, so the greedy tokenizer's symbol
+    // list equals one left-to-right non-overlapping scan 'th|in|.'
+    // plus the trailing-e end-of-word merge; ids are the committed
+    // scheme (1='</w>', 2..4=merge rank, 5+codepoint=base chars,
+    // 0=EOS between docs). Shard/bin = the q53 arithmetic on token
+    // counts; sequences and offsets rebuild like q143's.
+    "q145_token_shards" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '),
+                  x -> length(x) > 0) AS ws
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+                  flatten(list_transform(ws, wd ->
+                    list_transform(
+                      CASE WHEN wd LIKE '%e'
+                        THEN list_append(list_slice(
+                               regexp_extract_all(wd, 'th|in|.'), 1,
+                               len(regexp_extract_all(wd, 'th|in|.')) - 1),
+                             'e</w>')
+                        ELSE list_append(regexp_extract_all(wd, 'th|in|.'),
+                             '</w>')
+                      END,
+                      t -> CASE t WHEN '</w>' THEN 1 WHEN 'th' THEN 2
+                                  WHEN 'in' THEN 3 WHEN 'e</w>' THEN 4
+                                  ELSE 5 + unicode(t) END))) AS ids
+           FROM w),
+         p AS (
+           SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n_tokens,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 4 AS INT) AS shard
+           FROM tok),
+         b AS (
+           SELECT shard, doc_id, ids,
+                  CAST(floor(coalesce(sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 5000.0) AS BIGINT) AS bin
+           FROM p),
+         o AS (
+           SELECT shard, bin, doc_id, ids,
+                  coalesce(sum(len(ids) + 1) OVER (
+                    PARTITION BY shard, bin ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS off
+           FROM b)
+         SELECT shard, bin, CAST(count(1) AS INT) AS n_docs,
+                CAST(sum(len(ids) + 1) AS BIGINT) AS seq_tokens,
+                md5(string_agg(array_to_string(list_append(ids, 0), ','),
+                    ',' ORDER BY doc_id)) AS seq_md5,
+                string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id)
+                  AS offsets_csv
+         FROM o GROUP BY shard, bin ORDER BY shard, bin""",
+
+    // q146: every WAT field closed-form from the q115 page template —
+    // title text, the four anchor hrefs in document order (two chrome
+    // nav links, two list links), no meta description / base / digest
+    // in that fixture (pinned as '-'), the fixture's fixed WARC date.
+    "q146_wat_export" ->
+      """SELECT doc_id,
+                'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                '-' AS description,
+                '-' AS base_href,
+                CAST(4 AS INT) AS n_links,
+                '/,/about,/a,/b' AS outlinks_csv,
+                '2026-01-01T00:00:00Z' AS warc_date,
+                '-' AS digest
+         FROM documents ORDER BY doc_id""",
 
     // q53: identical shard draw (md5 hex prefix -> int), identical
     // running-sum bin cut.

@@ -173,6 +173,67 @@ object Bpe {
     syms
   }
 
+  /** Reserved token id for the sequence separator (EOS) the packed-
+    * sequence assembler inserts between documents. */
+  val SepId = 0L
+
+  /** Deterministic token-id scheme that is a pure function of the
+    * merge list — no corpus pass, no collected vocabulary: id 0 is
+    * reserved for the sequence separator ([[SepId]]), id 1 is the
+    * end-of-word symbol `</w>`, merge OUTPUTS take `2 + rank` in merge
+    * order (the order a BPE vocab file lists them), and any remaining
+    * single-character base symbol maps to `2 + |merges| + codepoint` —
+    * a codepoint base vocabulary, the same move byte-level BPE makes
+    * with its 256 base ids. Every engine can replay the mapping
+    * closed-form (the q145 oracle does), and ids are stable under
+    * corpus growth because nothing is corpus-derived. Two merges whose
+    * outputs collide on the same string (("a","bc") and ("ab","c"))
+    * share the first rank's id — key on output strings like vocab
+    * files do; the committed battery merges are collision-free. */
+  def tokenId(token: String, merges: Seq[(String, String)]): Long =
+    if (token == EndOfWord) 1L
+    else {
+      val i = merges.indexWhere { case (a, b) => a + b == token }
+      if (i >= 0) 2L + i else 2L + merges.length + token.codePointAt(0)
+    }
+
+  /** Per-document token-ID sequences under the learned merges — the
+    * trainer-feed form of [[tokenCount]]: one `array<long>` of
+    * [[tokenId]]s per document, word tokens in document order, plus
+    * `n_tokens`. Same scale shape as [[tokenCount]]: the rank and id
+    * tables broadcast, one narrow pass, no shuffle; NULL text
+    * tokenizes to the empty array so packing offsets stay aligned. */
+  def tokenIds(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val mlist = merges.toIndexedSeq
+    val bcRank = spark.sparkContext.broadcast(
+      mlist.zipWithIndex.map { case (p, i) => p -> i }.toMap)
+    // first-rank-wins on output-string collisions, per the tokenId doc
+    val bcId = spark.sparkContext.broadcast(
+      mlist.zipWithIndex.reverse
+        .map { case ((a, b), i) => (a + b) -> (2L + i) }.toMap)
+    val base = 2L + mlist.length
+    val idsUdf = udf((text: String) => {
+      if (text == null) Array.empty[Long]
+      else {
+        val rank = bcRank.value
+        val mergeId = bcId.value
+        val out = Array.newBuilder[Long]
+        text.split(" ").foreach { w =>
+          if (w.nonEmpty) tokenizeWord(w, rank).foreach { t =>
+            out += (if (t == EndOfWord) 1L
+                    else mergeId.getOrElse(t, base + t.codePointAt(0)))
+          }
+        }
+        out.result()
+      }
+    })
+    docs.select(col(idCol),
+        idsUdf(Text.normalizeText(col(textCol))).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
   /** Per-document BPE token count under the learned merges: one
     * broadcast of the rank table, one narrow pass over the corpus. */
   def tokenCount(docs: DataFrame, idCol: String, textCol: String,

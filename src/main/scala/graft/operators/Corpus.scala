@@ -186,7 +186,12 @@ object Corpus {
       .join(hostR, col("__host") === hostR("__r"), "left_anti")
       .join(domR,
         col("__surt").startsWith(concat(domR("__r"), lit(","))) ||
-          col("__surt").startsWith(concat(domR("__r"), lit(")"))),
+          col("__surt").startsWith(concat(domR("__r"), lit(")"))) ||
+          // apex host on a NON-DEFAULT port: SURT key is
+          // `com,example:8080)/...` — matches neither `key,` nor
+          // `key)`. Port digits cannot alias another label, so the
+          // `:` disjunct keeps label boundaries exact.
+          col("__surt").startsWith(concat(domR("__r"), lit(":"))),
         "left_anti")
       .join(preR, col("__canon").startsWith(preR("__r")), "left_anti")
       .drop("__canon", "__host", "__surt")
@@ -224,7 +229,8 @@ object Corpus {
       .unionByName(counted("host", hostR, "__host", _ === _))
       .unionByName(counted("domain", domR, "__surt", (k, rr) =>
         k.startsWith(concat(rr, lit(","))) ||
-          k.startsWith(concat(rr, lit(")")))))
+          k.startsWith(concat(rr, lit(")"))) ||
+          k.startsWith(concat(rr, lit(":"))))) // non-default-port apex
       .unionByName(counted("prefix", preR, "__canon", _ startsWith _))
   }
 

@@ -448,4 +448,41 @@ object Html {
         col("r._2").as("meta_description"), col("r._3").as("base_href"),
         col("r._4").as("n_links"))
   }
+
+  /** WAT-style per-capture metadata (the third CommonCrawl artifact
+    * family next to WARC segments and WET text): one row per capture
+    * with `wat_json` — a JSON object of `url`, `date`, `digest`
+    * (whatever WARC-Payload-Digest the capture carried; NULL omits),
+    * `title`, `description`, `base`, `outlinks` (every anchor href in
+    * document order, chrome included — the web-graph feed), and
+    * `n_links` — ready for [[graft.sources.Warc.writeWatSegments]].
+    *
+    * Everything HTML-derived comes from ONE [[scanHtml]] kernel pass
+    * per row (not the extractLinks+extractMetadata pair, which would
+    * scan twice and need a capture-keyed re-join that fans out when
+    * one URI is captured twice); no shuffle anywhere — output is
+    * capture-linear. NULL html yields NULL title/description/base and
+    * an empty outlinks array, never a dropped row. */
+  def watMetadata(captures: DataFrame, uriCol: String, htmlCol: String,
+                  dateCol: String, digestCol: String): DataFrame = {
+    val k = udf { (html: String) =>
+      if (html == null)
+        (null: String, null: String, null: String, Array.empty[String])
+      else {
+        val s = scanHtml(html)
+        (s.title, s.metaDescription, s.baseHref,
+          s.links.map(_.href).toArray)
+      }
+    }
+    captures.select(col(uriCol).cast("string").as("uri"),
+        col(dateCol).cast("string").as("__date"),
+        col(digestCol).cast("string").as("__digest"),
+        k(col(htmlCol).cast("string")).as("r"))
+      .select(col("uri"), to_json(struct(
+        col("uri").as("url"), col("__date").as("date"),
+        col("__digest").as("digest"),
+        col("r._1").as("title"), col("r._2").as("description"),
+        col("r._3").as("base"), col("r._4").as("outlinks"),
+        size(col("r._4")).as("n_links"))).as("wat_json"))
+  }
 }

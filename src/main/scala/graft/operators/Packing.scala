@@ -90,4 +90,47 @@ object Packing {
       .withColumn("n_docs", size(col("doc_ids")))
       .withColumn("seq_chars", length(col("sequence")).cast("long"))
   }
+
+  /** The TOKEN-ID form of [[assembleSequences]] — the literal trainer
+    * feed: `packed` carries an `array<long>` token-id column (e.g.
+    * [[Bpe.tokenIds]]' output run through [[packContiguous]] on
+    * `n_tokens`), and each `(shard, bin)` materializes as ONE
+    * integer sequence — every document's ids in pack order, a `sepId`
+    * token ([[Bpe.SepId]]; the EOS convention) after EACH document —
+    * plus the per-doc START OFFSETS (doc k starts at
+    * Σ_{j<k}(len_j + 1)) the attention/loss mask is built from, and
+    * `doc_ids` for provenance. Export the result with
+    * `Sampling.writeShardedWithManifest` keyed on a bin id for
+    * manifest-audited training shards.
+    *
+    * Same plan shape as the string form: ONE hash aggregation,
+    * sort-in-aggregate, offsets an exclusive prefix sum in one
+    * `aggregate` HOF pass, the flatten a second self-contained HOF —
+    * per-task memory is one bin, bounded by the pack budget. NULL
+    * token arrays assemble as empty (their sep still lands, offsets
+    * stay aligned — same contract as NULL texts). */
+  def assembleTokenSequences(packed: DataFrame, idCol: String,
+                             tokensCol: String, orderCol: String,
+                             sepId: Long = 0L): DataFrame = {
+    val items = array_sort(collect_list(struct(
+      col(orderCol).as("o"), col(idCol).as("id"),
+      coalesce(col(tokensCol), array().cast("array<long>")).as("t"))))
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(items.as("__items"))
+      .select(col("shard"), col("bin"),
+        transform(col("__items"), x => x.getField("id")).as("doc_ids"),
+        aggregate(
+          transform(col("__items"),
+            x => size(x.getField("t")).cast("long")),
+          struct(lit(0L).as("acc"),
+            array().cast("array<long>").as("offs")),
+          (s, l) => struct(
+            (s.getField("acc") + l + lit(1L)).as("acc"),
+            concat(s.getField("offs"), array(s.getField("acc"))).as("offs")),
+          s => s.getField("offs")).as("offsets"),
+        flatten(transform(col("__items"),
+          x => concat(x.getField("t"), array(lit(sepId))))).as("sequence"))
+      .withColumn("n_docs", size(col("doc_ids")))
+      .withColumn("seq_tokens", size(col("sequence")).cast("long"))
+  }
 }

@@ -640,7 +640,29 @@ object Warc {
   def writeTextSegments(df: DataFrame, uriCol: String, textCol: String,
                         path: String, gzip: Boolean = true,
                         date: String = "2026-01-01T00:00:00Z",
-                        software: String = "graft"): Unit = {
+                        software: String = "graft"): Unit =
+    writeSegmentsOfType(df, uriCol, textCol, "conversion", path, gzip,
+      date, software)
+
+  /** WAT export — the metadata sibling of [[writeTextSegments]]: one
+    * `metadata`-type record per row (Target-URI = the capture URI,
+    * body = the row's JSON — [[graft.operators.Html.watMetadata]]
+    * builds the CommonCrawl-shaped payload), same per-record gzip
+    * members, same temp-name rename-on-commit protocol, same
+    * manifest. Audit with `auditTextSegments(…, recordType =
+    * "metadata")`. */
+  def writeWatSegments(df: DataFrame, uriCol: String, jsonCol: String,
+                       path: String, gzip: Boolean = true,
+                       date: String = "2026-01-01T00:00:00Z",
+                       software: String = "graft"): Unit =
+    writeSegmentsOfType(df, uriCol, jsonCol, "metadata", path, gzip,
+      date, software)
+
+  private def writeSegmentsOfType(df: DataFrame, uriCol: String,
+                                  textCol: String, recordType: String,
+                                  path: String, gzip: Boolean,
+                                  date: String,
+                                  software: String): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
@@ -690,7 +712,7 @@ object Warc {
             val payload =
               if (text == null) Array.empty[Byte]
               else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            writeRecordUnit("conversion", uri, payload)
+            writeRecordUnit(recordType, uri, payload)
             n += 1
             bytes += payload.length
           }
@@ -855,25 +877,38 @@ object Warc {
     } finally inf.end()
   }
 
+  /** A record/member walk that can report WHERE it stopped when the
+    * stop was corruption rather than clean EOF — `truncatedAt` is only
+    * meaningful after the iterator is exhausted. Lets [[indexSegment]]
+    * surface incomplete indexing (a walk that silently stopped used to
+    * drop every later record with no signal anywhere — unlike the
+    * audit paths, which flip ok=false). */
+  private trait WalkIter extends Iterator[(Long, Long, Array[Byte])] {
+    def truncatedAt: Option[Long]
+  }
+
   /** Walk a per-member (or whole-file single-member) gzip segment:
     * one `(offset, compressed_length, decompressed_bytes)` per
     * member, offsets exact. Corruption degrades: the walk stops at
-    * the first bad member and whatever indexed stays. */
+    * the first bad member, whatever indexed stays, and the stop
+    * offset surfaces via [[WalkIter.truncatedAt]]. */
   private def walkGzipMembers(
-      raw: java.io.InputStream): Iterator[(Long, Long, Array[Byte])] = {
+      raw: java.io.InputStream): WalkIter = {
     val w = new ByteWindow(raw)
-    new Iterator[(Long, Long, Array[Byte])] {
+    new WalkIter {
       private var nextM: (Long, Long, Array[Byte]) = null
       private var done = false
+      private var dirtyAt: Option[Long] = None
+      override def truncatedAt: Option[Long] = dirtyAt
       private def advanceM(): Unit = {
         if (done || nextM != null) return
         if (w.ensure(1) < 1) { done = true; return } // clean EOF
         val off = w.fileOffset
         val hlen = gzipHeaderLen(w)
-        if (hlen < 0) { done = true; return }
+        if (hlen < 0) { done = true; dirtyAt = Some(off); return }
         w.advance(hlen)
         val bytes = inflateMember(w)
-        if (bytes == null) { done = true; return }
+        if (bytes == null) { done = true; dirtyAt = Some(off); return }
         nextM = (off, w.fileOffset - off, bytes)
       }
       override def hasNext: Boolean = { advanceM(); nextM != null }
@@ -889,9 +924,11 @@ object Warc {
     * `(offset, length, record_bytes)` per WARC record, offsets in the
     * plain file. A tee under the frame scan captures exactly the
     * bytes each record consumed, so offset+length tiles the file with
-    * no gaps. Corruption degrades like the gzip walk. */
+    * no gaps. Corruption degrades like the gzip walk, and the stop
+    * offset (start of the first unindexed record region) surfaces via
+    * [[WalkIter.truncatedAt]]. */
   private def walkPlainRecords(
-      raw: java.io.InputStream): Iterator[(Long, Long, Array[Byte])] = {
+      raw: java.io.InputStream): WalkIter = {
     final class TeeIn extends java.io.InputStream {
       val copied = new java.io.ByteArrayOutputStream(1 << 16)
       private val in = new java.io.BufferedInputStream(raw, 1 << 16)
@@ -905,18 +942,21 @@ object Warc {
       }
     }
     val tee = new TeeIn
-    new Iterator[(Long, Long, Array[Byte])] {
+    new WalkIter {
       private var fileOff = 0L
       private var nextR: (Long, Long, Array[Byte]) = null
       private var done = false
+      private var dirtyAt: Option[Long] = None
+      override def truncatedAt: Option[Long] = dirtyAt
+      private def dirty(): Unit = { done = true; dirtyAt = Some(fileOff) }
       private def advanceR(): Unit =
         try advanceRUnsafe()
-        catch { case _: java.io.IOException => done = true } // degrade
+        catch { case _: java.io.IOException => dirty() } // degrade
       private def advanceRUnsafe(): Unit = {
         if (done || nextR != null) return
         val first = readLineStream(tee)
         if (first == null) { done = true; return } // clean EOF
-        if (!first.startsWith("WARC/")) { done = true; return }
+        if (!first.startsWith("WARC/")) { dirty(); return }
         var contentLength = -1L
         var line = readLineStream(tee)
         while (line != null && line.nonEmpty) {
@@ -928,9 +968,9 @@ object Warc {
           line = readLineStream(tee)
         }
         if (line == null || contentLength < 0 ||
-            contentLength > MaxRecordBytes) { done = true; return }
+            contentLength > MaxRecordBytes) { dirty(); return }
         if (readFullyStream(tee, contentLength.toInt) == null) {
-          done = true; return // torn tail
+          dirty(); return // torn tail
         }
         readLineStream(tee); readLineStream(tee) // record terminator
         val bytes = tee.copied.toByteArray
@@ -948,10 +988,24 @@ object Warc {
     }
   }
 
+  /** `warc_type` of the sentinel row [[indexSegment]] emits when a
+    * segment's walk stopped on corruption before EOF: the row's
+    * `offset` is the first unindexed byte, `comp_length` 0 and
+    * member indexes -1 (never a valid locator — [[fetchByCdx]]
+    * degrades it to NULL fields if fed through). Filter it out for
+    * capture consumption; its PRESENCE is the signal that the
+    * segment's index is incomplete — a truncating walk used to drop
+    * every later record with no trace anywhere, unlike the audit
+    * paths which surface degrades as ok=false. */
+  val WalkTruncatedType = "_walk_truncated"
+
   /** Index one segment: sniff gzip by magic, walk members (or plain
     * records), re-parse each unit through [[parseStream]] (the SAME
     * record kernel the reader uses — no second parser to drift), and
-    * emit one [[CdxRow]] per record. */
+    * emit one [[CdxRow]] per record — plus one [[WalkTruncatedType]]
+    * sentinel row when the walk stopped early on corruption (incl. a
+    * whole-file member inflating past [[MaxRecordBytes]]), so
+    * incomplete indexing is observable in the index itself. */
   private[sources] def indexSegment(
       path: String, raw: java.io.InputStream): Iterator[CdxRow] = {
     val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
@@ -975,6 +1029,12 @@ object Warc {
             r.http_content_type, r.http_status,
             r.payload_digest.orElse(Option(stored)))
         }
+    } ++ {
+      // evaluated lazily AFTER the walk exhausts (Iterator.++ is
+      // by-name), when truncatedAt is meaningful
+      units.truncatedAt.iterator.map(at =>
+        CdxRow(name, at, 0L, -1, -1, WalkTruncatedType, null, null,
+          None, None, None))
     }
   }
 
@@ -1095,36 +1155,42 @@ object Warc {
     val fresh = files.filterNot(f =>
       known.contains(f.substring(f.lastIndexOf('/') + 1)))
     if (fresh.isEmpty) return 0L
-    val idx = cdxIndexFiles(spark, fresh)
-    if (!tableExists) {
-      Warehouse.clearOrphanLocation(spark, table)
-      idx.write.saveAsTable(table)
-    } else {
-      // race/replay safety on top of the marker skip
-      idx.join(spark.table(table).select(col("filename")).distinct(),
-          Seq("filename"), "left_anti")
-        .write.mode("append").saveAsTable(table)
-    }
-    // markers AFTER rows (crash between = re-index, dedup, re-mark);
-    // counts read back off the just-written table so the segments are
-    // not walked a second time; zero-row segments coalesce to 0
-    val freshNames = fresh.map(f => f.substring(f.lastIndexOf('/') + 1))
-    val counts = spark.table(table)
-      .join(freshNames.toDF("filename"), Seq("filename"), "left_semi")
-      .groupBy(col("filename")).agg(count(lit(1)).as("n_records"))
-    val markers = freshNames.toDF("filename")
-      .join(counts, Seq("filename"), "left_outer")
-      .select(col("filename"),
-        coalesce(col("n_records"), lit(0L)).as("n_records"))
-    if (!spark.catalog.tableExists(segTable)) {
-      Warehouse.clearOrphanLocation(spark, segTable)
-      markers.write.saveAsTable(segTable)
-    } else {
-      markers.join(spark.table(segTable).select(col("filename")),
-          Seq("filename"), "left_anti")
-        .write.mode("append").saveAsTable(segTable)
-    }
-    fresh.length.toLong
+    // persisted ONCE for its two consumers (the row append and the
+    // marker counts) so the segments are walked exactly once per absorb
+    val idx = cdxIndexFiles(spark, fresh).persist()
+    try {
+      if (!tableExists) {
+        Warehouse.clearOrphanLocation(spark, table)
+        idx.write.saveAsTable(table)
+      } else {
+        // race/replay safety on top of the marker skip
+        idx.join(spark.table(table).select(col("filename")).distinct(),
+            Seq("filename"), "left_anti")
+          .write.mode("append").saveAsTable(table)
+      }
+      // markers AFTER rows (crash between = re-index, dedup, re-mark);
+      // counts aggregate off the just-built `idx` frame — O(batch), not
+      // O(catalog): the deterministic walk makes idx's per-segment rows
+      // identical to what the table holds for those segments even on a
+      // crash-recovery replay whose rows all anti-joined away.
+      // Zero-row segments coalesce to 0.
+      val freshNames = fresh.map(f => f.substring(f.lastIndexOf('/') + 1))
+      val counts = idx
+        .groupBy(col("filename")).agg(count(lit(1)).as("n_records"))
+      val markers = freshNames.toDF("filename")
+        .join(counts, Seq("filename"), "left_outer")
+        .select(col("filename"),
+          coalesce(col("n_records"), lit(0L)).as("n_records"))
+      if (!spark.catalog.tableExists(segTable)) {
+        Warehouse.clearOrphanLocation(spark, segTable)
+        markers.write.saveAsTable(segTable)
+      } else {
+        markers.join(spark.table(segTable).select(col("filename")),
+            Seq("filename"), "left_anti")
+          .write.mode("append").saveAsTable(segTable)
+      }
+      fresh.length.toLong
+    } finally idx.unpersist()
   }
 
   /** Serve records by CDX rows with RANGED reads — the consumer half
@@ -1229,7 +1295,7 @@ object Warc {
   private val CdxjJsonSchema = org.apache.spark.sql.types.StructType(
     Seq("url", "mime", "status", "digest", "length", "offset",
       "filename", "member_index", "member_record_index", "warc_type",
-      "warc_date")
+      "warc_date", "urlkey")
       .map(org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.StringType, nullable = true)))
 
@@ -1253,6 +1319,21 @@ object Warc {
     val digits = regexp_replace(col("warc_date"), "[^0-9]", "")
     val ts = when(length(digits) >= 14, substring(digits, 1, 14))
       .otherwise(lit("-"))
+    // CDXJ frames its 3 fields with single spaces, so a urlkey that
+    // CONTAINS whitespace (canonicalKernel does not percent-encode a
+    // raw space in a Target-URI) would tear the frame and the record
+    // would silently vanish at read. The LINE key percent-encodes the
+    // whitespace class; when that changed anything, the VERBATIM key
+    // rides as a json extension field (like warc_date does for
+    // sub-second dates) so the roundtrip stays lossless and keys that
+    // legitimately contain literal "%20" are never mis-decoded.
+    val rawKey = coalesce(col("urlkey"), lit("-"))
+    val wsPat = "[ \\t\\n\\x0B\\f\\r]"
+    val lineKey = Seq(" " -> "%20", "\t" -> "%09", "\n" -> "%0A",
+        "\u000B" -> "%0B", "\f" -> "%0C", "\r" -> "%0D")
+      .foldLeft(rawKey) { case (c, (ch, enc)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(ch), enc)
+      }
     val json = to_json(struct(
       col("url"),
       col("mime"),
@@ -1264,11 +1345,12 @@ object Warc {
       col("member_index").cast("string").as("member_index"),
       col("member_record_index").cast("string").as("member_record_index"),
       col("warc_type"),
-      col("warc_date")))
+      col("warc_date"),
+      when(col("urlkey").rlike(wsPat), col("urlkey")).as("urlkey")))
     // URL-less records (warcinfo, …) key as "-", the CDX convention
     // for an absent field — concat_ws would silently drop a NULL and
     // tear the 3-field line frame
-    cdx.select(coalesce(col("urlkey"), lit("-")).as("__key"),
+    cdx.select(lineKey.as("__key"),
         ts.as("__ts"), col("filename"), col("offset"), json.as("__json"))
       .repartitionByRange(shards, col("__key"), col("__ts"),
         col("filename"), col("offset"))
@@ -1315,7 +1397,10 @@ object Warc {
       col("j.mime").as("mime"),
       col("j.status").try_cast("int").as("status"),
       col("j.digest").as("digest"),
-      when(col("urlkey") =!= "-", col("urlkey")).as("urlkey"))
+      // the verbatim-urlkey extension field (written when the line key
+      // had to percent-encode whitespace) wins over the line key
+      coalesce(col("j.urlkey"),
+        when(col("urlkey") =!= "-", col("urlkey"))).as("urlkey"))
   }
 
   /** Re-audit a [[writeTextSegments]] export against its manifest in
@@ -1325,7 +1410,8 @@ object Warc {
     * manifest write) degrades the same way: every found segment
     * reports `ok = false` instead of the audit throwing — the torn
     * state is exactly what the audit exists to report. */
-  def auditTextSegments(spark: SparkSession, path: String): DataFrame = {
+  def auditTextSegments(spark: SparkSession, path: String,
+                        recordType: String = "conversion"): DataFrame = {
     import spark.implicits._
     val mPath = new org.apache.hadoop.fs.Path(s"$path/_graft_warc_manifest")
     val mFs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1336,7 +1422,7 @@ object Warc {
       .select(col("segment"), col("n_records").as("__mn"),
         col("payload_bytes").as("__mb"))
     val actual = readWarc(spark, path)
-      .filter(col("warc_type") === "conversion")
+      .filter(col("warc_type") === recordType)
       .select(element_at(split(col("segment_path"), "/"), -1).as("segment"),
         length(col("body")).cast("long").as("b"))
       .groupBy("segment")

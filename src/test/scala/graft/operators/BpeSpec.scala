@@ -87,4 +87,52 @@ class BpeSpec extends SparkSpec {
         s"'$w': ${Bpe.tokenizeWord(w, rank)} vs closed-form ${closedForm(w)}")
     }
   }
+
+  test("committed merges: the token STRING list equals the q145 regex-scan replay") {
+    // the q145 oracle needs more than the count identity: the greedy
+    // tokenizer's SYMBOL LIST must equal one left-to-right
+    // non-overlapping scan 'th|in|.' plus the trailing-e end-of-word
+    // merge. Holds because 'th' and 'in' are character-disjoint
+    // (occurrences can never overlap, so merge order is immaterial)
+    // and non-chaining (merged symbols never re-pair).
+    val merges = graft.SparkEntry.CommittedBpeMerges
+    val rank = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    def regexScan(w: String): Vector[String] = {
+      val re = "th|in|.".r.findAllIn(w).toVector
+      if (w.endsWith("e")) re.dropRight(1) :+ "e</w>" else re :+ "</w>"
+    }
+    val words = Seq("ththth", "tthh", "thh", "tht", "ine", "thin", "inin",
+      "tin", "e", "the", "thine", "einstein", "ninth", "neither", "x",
+      "in", "th", "intthin", "ithn", "inth", "tinh", "hth", "te")
+    words.foreach { w =>
+      assert(Bpe.tokenizeWord(w, rank) == regexScan(w),
+        s"'$w': ${Bpe.tokenizeWord(w, rank)} vs scan ${regexScan(w)}")
+    }
+  }
+
+  test("tokenId scheme: reserved sep, </w>, merge ranks, codepoint base; tokenIds composes") {
+    val merges = graft.SparkEntry.CommittedBpeMerges
+    assert(Bpe.SepId == 0L)
+    assert(Bpe.tokenId("</w>", merges) == 1L)
+    assert(Bpe.tokenId("th", merges) == 2L)
+    assert(Bpe.tokenId("in", merges) == 3L)
+    assert(Bpe.tokenId("e</w>", merges) == 4L)
+    assert(Bpe.tokenId("a", merges) == 5L + 'a'.toLong)
+    assert(Bpe.tokenId("z", merges) == 5L + 'z'.toLong)
+    // per-doc id sequences: normalization + word order + the scheme,
+    // NULL text to the empty array
+    val docs = Seq((1L, "The thin"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Bpe.tokenIds(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .select("token_ids", "n_tokens")
+      .as[(Seq[Long], Long)].collect()
+    // "the" -> th, e</w> = [2, 4]; "thin" -> th, in, </w> = [2, 3, 1]
+    assert(got(0) == ((Seq(2L, 4L, 2L, 3L, 1L), 5L)), got(0).toString)
+    assert(got(1) == ((Seq.empty[Long], 0L)), got(1).toString)
+    // count agreement with the proven tokenCount surface
+    val viaCount = Bpe.tokenCount(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").select("n_bpe_tokens").as[Long].collect().toSeq
+    assert(viaCount == Seq(5L, 0L))
+  }
 }

@@ -133,6 +133,28 @@ class CorpusSpec extends SparkSpec {
       "bad-host.example.com/robots.txt" -> 1L), audit.toString)
   }
 
+  test("applyTakedowns: domain rule catches apex captures on a non-default port") {
+    // the apex-on-a-port SURT key is `org,example,tree:8080)/...` —
+    // matched by neither `key,` (subdomain) nor `key)` (default-port
+    // apex); the `:` disjunct must catch it while `trees` (label
+    // boundary) still survives
+    val docs = Seq(
+      (1L, "https://tree.example.org:8080/a"),     // apex, non-default port
+      (2L, "https://sub.tree.example.org:8443/b"), // subdomain + port
+      (3L, "https://trees.example.org:8080/c"),    // label boundary: SURVIVES
+      (4L, "https://keep.example.net/d")           // unrelated: survives
+    ).toDF("doc_id", "url")
+    val rules = Seq(("domain", "tree.example.org")).toDF("kind", "value")
+    val kept = Corpus.applyTakedowns(docs, "url", rules)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L), kept.mkString(","))
+    // the audit receipts agree with the purge (the gap used to be
+    // invisible BECAUSE both sides shared the incomplete predicate)
+    val audit = Corpus.takedownAudit(docs, "url", rules)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(audit == Map("tree.example.org" -> 2L), audit.toString)
+  }
+
   test("takedownAudit: one receipt row per rule, zero-matched rules included") {
     val docs = Seq(
       (1L, "https://a.example.com/x"),

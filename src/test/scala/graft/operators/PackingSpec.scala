@@ -95,4 +95,54 @@ class PackingSpec extends SparkSpec {
       assert(s == t, s"slot $i: '$s' != '$t'")
     }
   }
+
+  test("assembleTokenSequences: flattened ids with EOS per doc, aligned offsets, null arrays as empty") {
+    import spark.implicits._
+    val packed = Seq(
+      (1L, Seq(7L, 8L, 9L), 0, 0L),
+      (2L, Seq(5L), 0, 0L),
+      (3L, null.asInstanceOf[Seq[Long]], 0, 0L), // null = empty doc
+      (10L, Seq(11L, 12L), 0, 1L))
+      .toDF("doc_id", "token_ids", "shard", "bin")
+    val got = Packing.assembleTokenSequences(packed, "doc_id",
+        "token_ids", orderCol = "doc_id")
+      .orderBy("shard", "bin")
+      .select("doc_ids", "offsets", "sequence", "n_docs", "seq_tokens")
+      .as[(Seq[Long], Seq[Long], Seq[Long], Int, Long)].collect()
+    assert(got.length == 2)
+    val (ids0, offs0, seq0, n0, t0) = got(0)
+    assert(ids0 == Seq(1L, 2L, 3L) && n0 == 3)
+    // doc1 ids + EOS, doc2 ids + EOS, empty doc -> bare EOS
+    assert(seq0 == Seq(7L, 8L, 9L, 0L, 5L, 0L, 0L), seq0.toString)
+    // starts: doc1@0, doc2@4 (3+1), doc3@6 (4+1+1)
+    assert(offs0 == Seq(0L, 4L, 6L), offs0.toString)
+    assert(t0 == 7L)
+    val (ids1, offs1, seq1, _, t1) = got(1)
+    assert(ids1 == Seq(10L) && seq1 == Seq(11L, 12L, 0L) &&
+      offs1 == Seq(0L) && t1 == 3L)
+    // each doc is recoverable from its offset (the mask contract):
+    // slice(seq, off, nextOff - off - 1) == its ids
+    val docs = Seq(Seq(7L, 8L, 9L), Seq(5L), Seq.empty[Long])
+    val bounds = offs0 :+ (seq0.length).toLong
+    docs.zipWithIndex.foreach { case (d, i) =>
+      val s = seq0.slice(bounds(i).toInt, (bounds(i + 1) - 1).toInt)
+      assert(s == d, s"slot $i: $s != $d")
+    }
+    // a custom separator id lands instead of 0
+    val sep9 = Packing.assembleTokenSequences(
+        Seq((1L, Seq(1L), 0, 0L)).toDF("doc_id", "token_ids", "shard", "bin"),
+        "doc_id", "token_ids", orderCol = "doc_id", sepId = 9L)
+      .select("sequence").as[Seq[Long]].head()
+    assert(sep9 == Seq(1L, 9L))
+    // deterministic under repartitioning (sort-in-aggregate)
+    val a = Packing.assembleTokenSequences(packed.repartition(7),
+        "doc_id", "token_ids", orderCol = "doc_id")
+      .orderBy("shard", "bin").select("sequence", "offsets")
+      .as[(Seq[Long], Seq[Long])].collect().toSeq
+    val b = Packing.assembleTokenSequences(packed.coalesce(1),
+        "doc_id", "token_ids", orderCol = "doc_id")
+      .orderBy("shard", "bin").select("sequence", "offsets")
+      .as[(Seq[Long], Seq[Long])].collect().toSeq
+    assert(a == b)
+  }
 }

@@ -409,24 +409,33 @@ class WarcSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, "seg-001.warc"),
       Warc.buildSegment(Seq(("response", "http://a.com/1",
         Warc.httpResponse(ascii("b1"))))))
-    // corrupt from byte 0: indexes to zero rows
+    // a 0-byte segment (clean EOF at byte 0): indexes to zero rows
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "seg-002.warc"),
+      java.nio.file.Paths.get(dir, "seg-002.warc"), Array.empty[Byte])
+    // corrupt from byte 0: indexes to ONE row — the truncation sentinel
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "seg-003.warc"),
       "not a warc at all".getBytes("ISO-8859-1"))
     val tbl = "graft_test_cdx_zero"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_segments")
     Warehouse.clearOrphanLocation(spark, tbl)
     Warehouse.clearOrphanLocation(spark, s"${tbl}_segments")
-    assert(Warc.appendToCdxTable(spark, tbl, dir) == 2L,
-      "both segments count as newly indexed once")
-    assert(spark.table(tbl).count() == 1, "only the parseable record lands")
+    assert(Warc.appendToCdxTable(spark, tbl, dir) == 3L,
+      "all three segments count as newly indexed once")
+    assert(spark.table(tbl)
+      .filter(col("warc_type") =!= Warc.WalkTruncatedType).count() == 1,
+      "only the parseable record lands as a capture")
+    assert(spark.table(tbl)
+      .filter(col("warc_type") === Warc.WalkTruncatedType &&
+        col("filename") === "seg-003.warc").count() == 1,
+      "the corrupt segment's incompleteness is observable in the catalog")
     assert(spark.table(s"${tbl}_segments")
       .filter(col("filename") === "seg-002.warc")
       .select("n_records").collect().head.getLong(0) == 0L,
       "the zero-row segment gets a 0-count marker")
     assert(Warc.appendToCdxTable(spark, tbl, dir) == 0L,
-      "the zero-row segment must NOT be re-announced as fresh")
+      "neither degenerate segment is re-announced as fresh")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_segments")
   }
@@ -598,7 +607,7 @@ class WarcSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${tbl}_segments")
   }
 
-  test("cdx: a corrupt middle member stops the walk with earlier members intact") {
+  test("cdx: a corrupt middle member stops the walk with earlier members intact — and a sentinel marks the stop") {
     def member(i: Int) = Warc.gzipBytes(Warc.buildSegment(Seq(
       ("response", s"http://a.com/$i", Warc.httpResponse(ascii(s"body$i"))))))
     val m1 = member(1)
@@ -606,7 +615,90 @@ class WarcSpec extends SparkSpec {
     bytes(m1.length + 1) = 0x00 // wreck member 2's gzip magic
     val rows = Warc.indexSegment("d/s.warc.gz",
       new java.io.ByteArrayInputStream(bytes)).toSeq
-    assert(rows.map(_.url) == Seq("http://a.com/1"),
+    val (sentinels, captures) =
+      rows.partition(_.warc_type == Warc.WalkTruncatedType)
+    assert(captures.map(_.url) == Seq("http://a.com/1"),
       "walk must stop at the corruption, keeping what indexed")
+    // the truncation used to be SILENT — every later record vanished
+    // with no trace; now exactly one sentinel pins where the walk died
+    assert(sentinels.map(s => (s.offset, s.comp_length,
+      s.member_index, s.member_record_index)) ==
+      Seq((m1.length.toLong, 0L, -1, -1)),
+      "one sentinel row at the first unindexed byte")
+    // a CLEAN segment emits no sentinel
+    val clean = Warc.indexSegment("d/ok.warc.gz",
+      new java.io.ByteArrayInputStream(member(1) ++ member(2))).toSeq
+    assert(!clean.exists(_.warc_type == Warc.WalkTruncatedType))
+    // plain (uncompressed) walks surface truncation the same way
+    val plain = Warc.buildSegment(Seq(("response", "http://a.com/p",
+      Warc.httpResponse(ascii("pb"))))) ++ ascii("NOT A WARC HEADER\r\n")
+    val pRows = Warc.indexSegment("d/p.warc",
+      new java.io.ByteArrayInputStream(plain)).toSeq
+    assert(pRows.count(_.warc_type == Warc.WalkTruncatedType) == 1,
+      "plain-record walk corruption is observable too")
+  }
+
+  test("writeWatSegments: metadata-type records roundtrip and audit clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wat").toString + "/wat"
+    val wat = Seq(
+      ("https://a.example.com/x", """{"url":"https://a.example.com/x","n_links":2}"""),
+      ("https://b.example.com/y", """{"url":"https://b.example.com/y","n_links":0}"""))
+      .toDF("uri", "wat_json")
+    Warc.writeWatSegments(wat, "uri", "wat_json", dir)
+    val back = Warc.readWarc(spark, dir)
+    // records are metadata-type (never conversion), bodies verbatim
+    assert(back.filter(col("warc_type") === "metadata").count() == 2)
+    assert(back.filter(col("warc_type") === "conversion").count() == 0)
+    val bodies = back.filter(col("warc_type") === "metadata")
+      .select(col("target_uri"), col("body").cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(bodies("https://a.example.com/x").contains("\"n_links\":2"))
+    // the audit generalizes by record type: metadata segments audit
+    // clean under recordType="metadata" and EMPTY under the default
+    // (a WET audit pointed at a WAT dir must scream, not vacuously ok)
+    val auditW = Warc.auditTextSegments(spark, dir, recordType = "metadata")
+      .select("ok").as[Boolean].collect()
+    assert(auditW.nonEmpty && auditW.forall(identity))
+    assert(Warc.auditTextSegments(spark, dir)
+      .filter(col("ok")).count() == 0)
+  }
+
+  test("cdxj: a whitespace urlkey survives the roundtrip verbatim instead of vanishing") {
+    import spark.implicits._
+    // canonicalKernel does not percent-encode a raw space in a
+    // Target-URI, so a SURT key can contain whitespace — the 3-field
+    // line frame must still hold (encoded line key) and the VERBATIM
+    // key must come back (json extension field), alongside a key that
+    // legitimately contains literal "%20" text which must NOT be
+    // touched by any decode
+    val rows = Seq(
+      ("s.warc", 0L, 10L, 0, 0, "response", "http://a.com/x y",
+        "2026-01-01T00:00:00Z", Some("text/html"), Some(200),
+        None: Option[String], "com,a)/x y"),
+      ("s.warc", 10L, 10L, 1, 0, "response", "http://a.com/x%20y",
+        "2026-01-01T00:00:00Z", Some("text/html"), Some(200),
+        None: Option[String], "com,a)/x%20y"))
+      .toDF("filename", "offset", "comp_length", "member_index",
+        "member_record_index", "warc_type", "url", "warc_date",
+        "mime", "status", "digest", "urlkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxjws")
+      .toString + "/idx"
+    Warc.writeCdxj(rows, dir)
+    // every written line still frames (no whitespace inside field 1)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    val lines = files.flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().toArray finally src.close()
+    }.toSeq
+    assert(lines.size == 2)
+    assert(lines.forall(_.matches("^\\S+ (\\d{14}|-) \\{.*\\}$")),
+      "the encoded line key must keep the 3-field frame intact")
+    val back = Warc.readCdxj(spark, dir)
+    assert(back.count() == 2, "the whitespace-keyed record must not vanish")
+    assert(back.select("urlkey").as[String].collect().toSet ==
+      Set("com,a)/x y", "com,a)/x%20y"),
+      "verbatim keys roundtrip; literal %20 text is never mis-decoded")
   }
 }
