@@ -483,6 +483,53 @@ object SparkEntry {
     wdir
   }
 
+  /** Build-once WARC fixture for q148: THREE crawl batches over the
+    * same URL space — every doc captured on 2026-01-01 (version 1)
+    * and re-captured on 2026-01-02 (version 2); every third doc
+    * captured a third time on 2026-01-03. Each crawl lands its own
+    * per-record-gzip-member segment set (the re-fetch reality a
+    * latest-capture-wins corpus build dedups), every response
+    * digest-stamped. */
+  private def ensureMultiCaptureWarcDir(s: SparkSession, dir: String): String = {
+    val wdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q148_warc_${docsTag(s, dir)}").toString
+    val root = new java.io.File(wdir)
+    if (!root.exists()) {
+      val stage = new java.io.File(wdir + "_stage")
+      if (stage.exists()) stage.listFiles().foreach(_.delete())
+      stage.mkdirs()
+      val W = graft.sources.Warc
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0))
+      val crawls = Seq(
+        ("a", "2026-01-01T00:00:00Z", 1, ids),
+        ("b", "2026-01-02T00:00:00Z", 2, ids),
+        ("c", "2026-01-03T00:00:00Z", 3, ids.filter(_ % 3 == 0)))
+      crawls.foreach { case (tag, date, ver, docIds) =>
+        docIds.groupBy(_ / 25).foreach { case (seg, docs) =>
+          val recs = docs.sorted.map { id =>
+            val body = s"version $ver of page $id"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            ("response",
+              s"https://www.site${id % 20}.example.com/dir/page$id.html",
+              W.httpResponse(body, "text/plain"),
+              Seq(s"WARC-Payload-Digest: ${W.sha1Base32(body)}"))
+          }.toSeq
+          val bytes = recs
+            .map(r => W.gzipBytes(W.buildSegmentWithHeaders(Seq(r), date)))
+            .reduce(_ ++ _)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(stage.toString,
+              f"crawl-$tag-seg-$seg%05d.warc.gz"), bytes)
+        }
+      }
+      if (!stage.renameTo(root)) {
+        require(root.exists(), s"WARC fixture rename failed for $wdir")
+      }
+    }
+    wdir
+  }
+
   /** The q56/q56b corpus: documents plus docs 0-4 cloned at id+300000
     * with a sub-k marker suffix (contributes no shared 30-gram of its
     * own, so each clone must pair with its source via surviving
@@ -1625,6 +1672,61 @@ object SparkEntry {
           array_join(col("j.outlinks"), ",").as("outlinks_csv"),
           col("j.date").as("warc_date"),
           coalesce(col("j.digest"), lit("-")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
+    // CDXJ RANGE-SCAN serve (Warc.readCdxjPrefix over the per-shard
+    // min/max manifest writeCdxj now publishes) — the query the SURT
+    // sort exists for: "every capture under site3.example.com"
+    // answered by opening ONLY the shards whose key range overlaps
+    // the prefix. The entry REQUIRES that shard selection actually
+    // skipped files (the pruning receipt — a full scan wearing a
+    // range-scan name fails in-entry), and the result must equal the
+    // closed-form subtree, exactly what a whole-index filter returns.
+    "q147_cdxj_rangescan" -> ((s, dir) => {
+      val wdir = ensureCdxWarcDir(s, dir)
+      val W = graft.sources.Warc
+      val cdxjDir = new java.io.File(
+        java.nio.file.Files.createTempDirectory("graft_q147").toFile,
+        "cdxj").toString
+      W.writeCdxj(W.cdxIndex(s, wdir), cdxjDir, shards = 8)
+      // site3's host subtree (SURT folds www. — the fixture's keys are
+      // `com,example,site3)/…`; the `)` keeps the label boundary exact,
+      // so site13/site30 could never ride along)
+      val prefix = "com,example,site3)"
+      val all = W.cdxjShardsForPrefix(s, cdxjDir, "")
+      val sel = W.cdxjShardsForPrefix(s, cdxjDir, prefix)
+      require(sel.nonEmpty && sel.size < all.size,
+        s"prefix scan must skip shards: selected ${sel.size} of ${all.size}")
+      W.readCdxjPrefix(s, cdxjDir, prefix)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("url"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          col("urlkey"), col("url"), col("mime"), col("status"))
+        .orderBy("doc_id")
+    }),
+
+    // Latest-capture-wins corpus build (Warc.latestCaptures → ranged
+    // fetch): three crawl batches capture every URL 2-3 times across
+    // three days; the catalog dedups to ONE winner per urlkey — max
+    // warc_date, locator tiebreak — in a single hash agg (never a
+    // window over the catalog), and the winners' ranged-read bodies
+    // must be the NEWEST version of every page, digests verified.
+    // n_captures audits that nothing was silently single-captured.
+    "q148_latest_capture" -> ((s, dir) => {
+      val wdir = ensureMultiCaptureWarcDir(s, dir)
+      val W = graft.sources.Warc
+      val winners = W.latestCaptures(W.cdxIndex(s, wdir))
+      W.fetchByCdx(winners, wdir)
+        .join(winners.select("filename", "offset", "member_record_index",
+          "warc_date", "n_captures"),
+          Seq("filename", "offset", "member_record_index"))
+        .select(
+          regexp_extract(col("url"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          col("warc_date"), col("n_captures"), col("digest_ok"),
+          col("body").cast("string").as("text"))
         .orderBy("doc_id")
     }),
 
@@ -5234,6 +5336,35 @@ object SparkEntry {
                 '/,/about,/a,/b' AS outlinks_csv,
                 '2026-01-01T00:00:00Z' AS warc_date,
                 '-' AS digest
+         FROM documents ORDER BY doc_id""",
+
+    // q147: the site3 subtree closed-form from the q136 fixture
+    // template — the range scan must return exactly what a full-index
+    // filter would (pruning is REQUIRED in-entry but must be invisible
+    // in the result).
+    "q147_cdxj_rangescan" ->
+      """SELECT doc_id,
+                'com,example,site3)/dir/page' || CAST(doc_id AS VARCHAR)
+                  || '.html' AS urlkey,
+                'https://www.site3.example.com/dir/page'
+                  || CAST(doc_id AS VARCHAR) || '.html' AS url,
+                'text/plain' AS mime,
+                CAST(200 AS INT) AS status
+         FROM documents WHERE doc_id % 20 = 3 ORDER BY doc_id""",
+
+    // q148: the winner per page closed-form from the three-crawl
+    // fixture — version 3 on 2026-01-03 for every third doc, version 2
+    // on 2026-01-02 otherwise; capture counts audit the fan-in.
+    "q148_latest_capture" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN '2026-01-03T00:00:00Z'
+                     ELSE '2026-01-02T00:00:00Z' END AS warc_date,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT)
+                  AS n_captures,
+                TRUE AS digest_ok,
+                'version ' ||
+                  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS VARCHAR)
+                  || ' of page ' || CAST(doc_id AS VARCHAR) AS text
          FROM documents ORDER BY doc_id""",
 
     // q53: identical shard draw (md5 hex prefix -> int), identical

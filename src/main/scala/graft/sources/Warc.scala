@@ -1283,6 +1283,35 @@ object Warc {
       "url", "http_status", "http_content_type", "body", "digest_ok")
   }
 
+  /** Latest-capture-wins over a CDX catalog — the dedup every archive
+    * consumer runs FIRST (a crawl re-fetches URLs across days; a
+    * corpus build wants each page once, at its newest): one row per
+    * `urlkey`, the response capture with the max `warc_date`
+    * (locator `(filename, offset, member_record_index)` as the
+    * deterministic tiebreak for same-second captures), plus
+    * `n_captures` so the dedup is auditable. Feed the result to
+    * [[fetchByCdx]] to materialize the winning bodies.
+    *
+    * Scale shape: ONE hash aggregation with map-side combine —
+    * `max(struct(date, locator, …))` per key, never a window over the
+    * catalog and never a self-join; output is |urlkeys|-bounded.
+    * Non-response rows and NULL urlkeys (warcinfo, truncation
+    * sentinels) are excluded up front. */
+  def latestCaptures(cdx: DataFrame): DataFrame =
+    cdx.filter(col("warc_type") === "response" && col("urlkey").isNotNull)
+      .groupBy(col("urlkey"))
+      .agg(
+        max(struct(col("warc_date"), col("filename"), col("offset"),
+          col("member_record_index"), col("comp_length"),
+          col("member_index"), col("url"), col("mime"), col("status"),
+          col("digest"), col("warc_type"))).as("w"),
+        count(lit(1)).as("n_captures"))
+      .select(col("urlkey"), col("w.warc_date"), col("w.filename"),
+        col("w.offset"), col("w.comp_length"), col("w.member_index"),
+        col("w.member_record_index"), col("w.warc_type"), col("w.url"),
+        col("w.mime"), col("w.status"), col("w.digest"),
+        col("n_captures"))
+
   // ----------------------------------------------------------------
   // CDXJ interchange — the text form of the capture index. CommonCrawl
   // publishes its index as SORTED text lines `urlkey timestamp {json}`
@@ -1359,6 +1388,86 @@ object Warc {
       .select(concat_ws(" ", col("__key"), col("__ts"), col("__json"))
         .as("value"))
       .write.mode("overwrite").text(path)
+    // Per-shard [min,max] line-key manifest — what makes the SURT sort
+    // USABLE: a urlkey-prefix range scan ([[readCdxjPrefix]]) opens
+    // only the shards whose key range overlaps the prefix, the
+    // Layout.prunedRead discipline applied to the text shards. Derived
+    // by re-reading the PUBLISHED lines (ground truth — never a
+    // parallel computation that could drift from what the writer
+    // landed), one cheap scan of index text; |shards| output rows. The
+    // parquet subdir starts with '_' so every text reader (ours and
+    // any third party's FileInputFormat) ignores it.
+    val spark = cdx.sparkSession
+    spark.read.text(path)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"),
+        regexp_extract(col("value"), "^(\\S+) ", 1).as("k"))
+      .groupBy("file")
+      .agg(min(col("k")).as("min_urlkey"), max(col("k")).as("max_urlkey"),
+        count(lit(1)).as("n_lines"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$CdxjManifestDir")
+  }
+
+  private val CdxjManifestDir = "_graft_cdxj_manifest"
+
+  /** The shard files of a [[writeCdxj]] directory a `urlkey`-prefix
+    * query must read — the shard-skipping half of [[readCdxjPrefix]],
+    * exposed so callers (and the spec) can assert the pruning.
+    * A shard's `[min, max]` line-key range can contain a key with
+    * prefix `p` iff `max >= p` and (`min` starts with `p` or
+    * `min <= p`) — exact string-order logic, no lexicographic
+    * successor construction. Files absent from the manifest (a
+    * third-party CDXJ dir, a torn manifest) are ALWAYS read: pruning
+    * may only ever skip what the manifest proves empty of the
+    * prefix. Driver-side |shards| work. */
+  def cdxjShardsForPrefix(spark: SparkSession, path: String,
+                          prefix: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("part-") && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val mPath = new org.apache.hadoop.fs.Path(root, CdxjManifestDir)
+    if (!fs.exists(mPath)) return parts.map(_.toString).sorted
+    val manifest = spark.read.parquet(mPath.toString)
+      .select("file", "min_urlkey", "max_urlkey")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    parts.filter { p =>
+      manifest.get(p.getName) match {
+        case None => true // unmanifested: must read
+        case Some((mn, mx)) =>
+          mx >= prefix && (mn.startsWith(prefix) || mn <= prefix)
+      }
+    }.map(_.toString).sorted
+  }
+
+  /** Serve a `urlkey`-prefix range query (the domain-subtree lookup —
+    * "every capture under example.com" — every CDX consumer runs)
+    * off sorted CDXJ shards WITHOUT scanning the whole index: shard
+    * selection via [[cdxjShardsForPrefix]] (the per-shard min/max
+    * manifest [[writeCdxj]] publishes), then the normal CDXJ parse
+    * over only those files plus the exact prefix filter. Results are
+    * identical to `readCdxj(...).filter(startswith(urlkey, prefix))`
+    * by construction — pruning can only skip shards whose key range
+    * excludes the prefix. The prefix matches against VERBATIM urlkeys
+    * (the whitespace-encoded line key only differs for keys the
+    * encoding touched, whose json extension field restores them). */
+  def readCdxjPrefix(spark: SparkSession, path: String,
+                     prefix: String): DataFrame = {
+    val files = cdxjShardsForPrefix(spark, path, prefix)
+    val lines =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType))))
+      else spark.read.text(files: _*)
+    parseCdxjLines(lines)
+      .filter(col("urlkey").startsWith(prefix))
   }
 
   /** Read CDXJ text back into the exact [[cdxIndex]] schema —
@@ -1367,9 +1476,14 @@ object Warc {
     * match the `urlkey ts {json}` frame are DROPPED (the degrade
     * philosophy: a torn line cannot poison the index). One scan,
     * scan-side scalar kernels only. */
-  def readCdxj(spark: SparkSession, path: String): DataFrame = {
+  def readCdxj(spark: SparkSession, path: String): DataFrame =
+    parseCdxjLines(spark.read.text(path))
+
+  /** The CDXJ line parse shared by [[readCdxj]] (whole directory) and
+    * [[readCdxjPrefix]] (selected shards). */
+  private def parseCdxjLines(lines: DataFrame): DataFrame = {
     val line = "^(\\S+) (\\d{14}|-) (\\{.*\\})$"
-    val t = spark.read.text(path)
+    val t = lines
       .select(regexp_extract(col("value"), line, 1).as("urlkey"),
         regexp_extract(col("value"), line, 2).as("__ts"),
         from_json(regexp_extract(col("value"), line, 3), CdxjJsonSchema)

@@ -638,6 +638,87 @@ class WarcSpec extends SparkSpec {
       "plain-record walk corruption is observable too")
   }
 
+  test("latestCaptures: max date wins, same-second captures tiebreak on the locator, non-responses drop") {
+    import spark.implicits._
+    val cdx = Seq(
+      // two captures, later date wins regardless of row/file order
+      ("s2.warc", 0L, 10L, 0, 0, "response", "http://a.com/x",
+        "2026-01-02T00:00:00Z", Some("text/html"), Some(200),
+        Some("sha1:B"), "com,a)/x"),
+      ("s1.warc", 0L, 10L, 0, 0, "response", "http://a.com/x",
+        "2026-01-01T00:00:00Z", Some("text/html"), Some(200),
+        Some("sha1:A"), "com,a)/x"),
+      // same date twice: the larger (filename, offset, mri) locator is
+      // the deterministic winner
+      ("s1.warc", 50L, 10L, 1, 0, "response", "http://a.com/y",
+        "2026-01-01T00:00:00Z", Some("text/html"), Some(200),
+        Some("sha1:C"), "com,a)/y"),
+      ("s1.warc", 20L, 10L, 1, 0, "response", "http://a.com/y",
+        "2026-01-01T00:00:00Z", Some("text/html"), Some(200),
+        Some("sha1:D"), "com,a)/y"),
+      // non-response and null-urlkey rows never become winners
+      ("s1.warc", 90L, 10L, 2, 0, "revisit", "http://a.com/x",
+        "2026-01-09T00:00:00Z", None, None, Some("sha1:B"), "com,a)/x"),
+      ("s1.warc", 99L, 0L, -1, -1, Warc.WalkTruncatedType, null,
+        null, None, None, None, null))
+      .toDF("filename", "offset", "comp_length", "member_index",
+        "member_record_index", "warc_type", "url", "warc_date",
+        "mime", "status", "digest", "urlkey")
+    val got = Warc.latestCaptures(cdx)
+      .select("urlkey", "warc_date", "filename", "offset", "n_captures")
+      .as[(String, String, String, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("com,a)/x", "2026-01-02T00:00:00Z", "s2.warc", 0L, 2L),
+      ("com,a)/y", "2026-01-01T00:00:00Z", "s1.warc", 50L, 2L)),
+      got.mkString(","))
+    // determinism under repartitioning (hash-agg, not arrival order)
+    val again = Warc.latestCaptures(cdx.repartition(5))
+      .select("urlkey", "warc_date", "filename", "offset", "n_captures")
+      .as[(String, String, String, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("readCdxjPrefix: manifest prunes shards, results equal the full-scan filter, unmanifested files always read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxjrs")
+      .toString + "/wet"
+    val df = (0 until 40)
+      .map(i => (s"https://www.site${i % 4}.example.com/p$i", s"text $i"))
+      .toDF("uri", "text").repartition(3)
+    Warc.writeTextSegments(df, "uri", "text", dir, gzip = true)
+    val cdx = Warc.cdxIndex(spark, dir)
+    val cdxjDir = java.nio.file.Files.createTempDirectory("graft_cdxjrs2")
+      .toString + "/idx"
+    Warc.writeCdxj(cdx, cdxjDir, shards = 4)
+    val prefix = "com,example,site2)"
+    val all = Warc.cdxjShardsForPrefix(spark, cdxjDir, "")
+    val sel = Warc.cdxjShardsForPrefix(spark, cdxjDir, prefix)
+    assert(sel.nonEmpty && sel.size < all.size,
+      s"manifest must prune: ${sel.size} of ${all.size}")
+    // pruning is invisible in the result
+    val viaRange = Warc.readCdxjPrefix(spark, cdxjDir, prefix)
+    val viaFull = Warc.readCdxj(spark, cdxjDir)
+      .filter(col("urlkey").startsWith(prefix))
+    assert(viaRange.count() == 10L)
+    assert(viaRange.except(viaFull).count() == 0L &&
+      viaFull.except(viaRange).count() == 0L)
+    // a file the manifest does not know (a third party dropped lines
+    // in) is ALWAYS read — pruning may only skip proven-empty shards
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cdxjDir, "part-extra.txt"),
+      ("com,example,site2)/injected 20260101000000 " +
+        "{\"url\":\"https://site2.example.com/injected\"}\n").getBytes("UTF-8"))
+    val sel2 = Warc.cdxjShardsForPrefix(spark, cdxjDir, prefix)
+    assert(sel2.size == sel.size + 1, "unmanifested file must be selected")
+    assert(Warc.readCdxjPrefix(spark, cdxjDir, prefix).count() == 11L)
+    // a prefix outside every shard range selects nothing and returns
+    // an empty (but well-schemed) frame
+    assert(Warc.cdxjShardsForPrefix(spark, cdxjDir, "zz,nowhere)")
+      .count(f => !f.endsWith("part-extra.txt")) == 0)
+    assert(Warc.readCdxjPrefix(spark, cdxjDir, "zz,nowhere)").count() == 0L)
+  }
+
   test("writeWatSegments: metadata-type records roundtrip and audit clean") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_wat").toString + "/wat"
