@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Corpus, Packing}
+import graft.operators.{Bpe, Corpus, Packing, Sampling}
 import graft.sources.Tables
 
 /** The runnable end-to-end slice for the TRAINING-DATA surface (the
@@ -15,6 +15,11 @@ import graft.sources.Tables
   *   repetition gates + exact dedup) → `Text.scrubPii` → sliding-window
   *   chunking (`Text.chunkByTokens`) → token-budget packing
   *   (`Packing.packContiguous`) → parquet shards partitioned by shard
+  *   → the TRAINER FEED: `Text.fimTransform` ahead of tokenization,
+  *     corpus-learned BPE merges (`Bpe.trainMerges`), per-doc token
+  *     ids (`Bpe.tokenIds`), packing, integer sequences with offset
+  *     boundary arrays (`Packing.assembleTokenSequences`), exported
+  *     via `Sampling.writeShardedWithManifest` and re-audited
   *   → compliance takedown arriving AFTER the shards landed
   *     (`Corpus.applyTakedowns` on the corpus, `cascadeTakedown`
   *     through the derived shard table, `takedownAudit` receipts —
@@ -29,7 +34,9 @@ object CorpusDemo {
                           bins: Long, report: DataFrame,
                           takedownRemovedDocs: Long,
                           chunksAfterTakedown: Long,
-                          takedownReceipts: DataFrame)
+                          takedownReceipts: DataFrame,
+                          fimTransformed: Long, tokenSequences: Long,
+                          tokenSeqDocs: Long, tokenAuditOk: Boolean)
 
   /** Run the full curation slice: read `documents` under `sfDir`,
     * write packed chunk shards under `outDir`. `chunkTokens`/`stride`
@@ -79,6 +86,45 @@ object CorpusDemo {
     packed.select("shard", "bin", "item_key", "doc_id", "chunk_id",
         "source", "chunk", "n_tokens")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/shards")
+
+    // 4b. the TRAINER FEED (q144+q145 composed in production order):
+    //     fill-in-the-middle AHEAD of tokenization — FIM rewrites the
+    //     TEXT, so tokenizing first would orphan the sentinels — then
+    //     real BPE merges learned from this corpus, per-document token
+    //     ids, token-budget packing, ONE integer sequence per bin with
+    //     EOS separators and offset boundary arrays, exported as
+    //     manifest-audited shards: the literal batch a trainer maps.
+    val fimmed = refined.select(col("doc_id"),
+      Text.fimTransform(col("doc_id"), col("text")).as("text"))
+    val fimTransformed = fimmed
+      .join(refined.select(col("doc_id"), col("text").as("__orig")),
+        "doc_id")
+      .filter(col("text") =!= col("__orig")).count()
+    val merges = Bpe.trainMerges(fimmed, "text", numMerges = 64,
+      minCount = 2L)
+    val tokenized = Bpe.tokenIds(fimmed, "doc_id", "text", merges)
+    val seqs = Packing.assembleTokenSequences(
+      Packing.packContiguous(tokenized, "doc_id", "n_tokens",
+        budget = budgetTokens, shards = shards),
+      "doc_id", "token_ids", orderCol = "doc_id")
+    // pack coordinates rename out of the way: the export's OWN shard
+    // assignment (writeSharded's deterministic draw) owns `shard`
+    val seqRows = seqs.select(
+      (col("shard").cast("long") * 1000000L + col("bin")).as("seq_id"),
+      col("shard").as("pack_shard"), col("bin").as("pack_bin"),
+      col("doc_ids"), col("offsets"), col("sequence"),
+      col("n_docs"), col("seq_tokens"))
+    Sampling.writeShardedWithManifest(seqRows, "seq_id", shards,
+      s"$outDir/token_shards")
+    val tokenAuditOk = Sampling.verifyShardedExport(spark,
+        s"$outDir/token_shards", "seq_id")
+      .filter(!col("ok")).isEmpty
+    val landedSeqs = spark.read.parquet(s"$outDir/token_shards")
+    val tokenSequences = landedSeqs.count()
+    // every survivor packs into exactly one bin — the e2e conservation
+    // the spec reconciles against `survivors`
+    val tokenSeqDocs = landedSeqs.agg(sum("n_docs")).head.getLong(0)
+
     refined.unpersist()
 
     val out = spark.read.parquet(s"$outDir/shards")
@@ -111,7 +157,8 @@ object CorpusDemo {
     val receipts = Corpus.takedownAudit(docsWithUrl, "url", rules)
 
     Result(inputDocs, survivors, chunkCount, bins, report,
-      takedownRemoved, cascaded.count(), receipts)
+      takedownRemoved, cascaded.count(), receipts,
+      fimTransformed, tokenSequences, tokenSeqDocs, tokenAuditOk)
   }
 
   def main(args: Array[String]): Unit = {
@@ -136,7 +183,11 @@ object CorpusDemo {
       println(s"takedown: ${r.takedownRemovedDocs} docs purged, " +
         s"${r.chunksAfterTakedown}/${r.chunks} chunks survive the cascade")
       r.takedownReceipts.show(truncate = false)
-      println(s"shards at: $outDir/shards")
+      println(s"trainer feed: ${r.fimTransformed} docs FIM-transformed, " +
+        s"${r.tokenSequences} token sequences over ${r.tokenSeqDocs} docs, " +
+        s"audit=${r.tokenAuditOk}")
+      println(s"shards at: $outDir/shards; token shards at: " +
+        s"$outDir/token_shards")
     } finally spark.stop()
   }
 }

@@ -28,7 +28,9 @@ import graft.sources.{Warc, Warehouse}
   *     entries, deduped by canonical URL) gated by robots
   *     ([[Robots.filterAllowed]])
   *   → PERSISTED frontier ([[Frontier.appendToFrontierTable]] —
-  *     idempotent appends, host-rank scores) scheduled politely
+  *     idempotent appends) scored by the QUALITY LOOP
+  *     ([[Frontier.qualityScore]]: host PageRank × the per-host refine
+  *     keep-rate from [[Frontier.hostQuality]]) and scheduled politely
   *     ([[Frontier.scheduleFromTable]] minus the fetched ledger) with
   *     crawl-delay fetch ETAs ([[Robots.crawlDelay]])
   *   → text refinement ([[Corpus.refine]]) joined with the host rank
@@ -165,17 +167,44 @@ object CrawlDemo {
     val nAllowed = frontier.filter(col("allowed")).count()
     val nDenied = frontier.filter(!col("allowed")).count()
 
+    // 4b'. curate EARLY so its verdicts can feed the frontier: refine
+    //     the extracted text, attach the host rank (broadcast — |hosts|
+    //     rows) so downstream gates can budget by host quality
+    val refined = Corpus.refine(
+        extracted.select(col("doc_id"), col("main_text").as("text")),
+        "doc_id", "text", minQuality = None)
+      .join(pages.select(col("doc_id"), Url.host(col("url")).as("host")),
+        "doc_id")
+      .join(broadcast(ranks.withColumnRenamed("node", "host")
+        .withColumnRenamed("rank_micro", "host_rank_micro")),
+        Seq("host"), "left")
+      .cache()
+
     // 4b. persist the frontier (idempotent per URL — replays and
-    //     re-discoveries append nothing) scored by host PageRank
-    //     (broadcast — |hosts| rows; unranked hosts score 0), then
-    //     schedule politely off the table minus the fetched ledger:
-    //     best maxPerHost slots per host through the bounded
-    //     aggregator (no per-host window)
+    //     re-discoveries append nothing) scored by the QUALITY LOOP:
+    //     host PageRank × per-host refine keep-rate
+    //     (Frontier.qualityScore — broadcast, |hosts| rows each), so a
+    //     well-linked host whose pages keep failing curation loses
+    //     budget to a modest host that yields keepers; hosts not yet
+    //     judged take the neutral default, unranked hosts score 0.
+    //     Then schedule politely off the table minus the fetched
+    //     ledger: best maxPerHost slots per host through the bounded
+    //     aggregator (no per-host window).
+    val hostQuality = Frontier.hostQuality(
+      pages.select(col("doc_id"), Url.host(col("url")).as("host"))
+        .join(refined.select(col("doc_id"), lit(true).as("__kept")),
+          Seq("doc_id"), "left")
+        .select(col("host"), coalesce(col("__kept"), lit(false)).as("kept")),
+      "host", "kept")
     Frontier.appendToFrontierTable(spark,
       frontier.filter(col("allowed")).select(col("url"), col("host"))
         .join(broadcast(ranks.select(col("node").as("host"),
-          col("rank_micro").as("score"))), Seq("host"), "left")
-        .select(col("url"), coalesce(col("score"), lit(0L)).as("score")),
+          col("rank_micro"))), Seq("host"), "left")
+        .join(broadcast(hostQuality.select(col("host"),
+          col("quality_milli"))), Seq("host"), "left")
+        .select(col("url"),
+          Frontier.qualityScore(col("rank_micro"), col("quality_milli"))
+            .as("score")),
       "url", "score", frontierTable)
     val fetchedLedger = pages.select(Url.canonical(col("url")).as("url"))
     val scheduled = Frontier.scheduleFromTable(spark, frontierTable,
@@ -194,18 +223,8 @@ object CrawlDemo {
           .as("fetch_eta_sec"))
       .filter(col("fetch_eta_sec") > 0).count()
 
-    // 5. curate: refine the extracted text, attach the host rank
-    //    (broadcast — |hosts| rows) so downstream gates can budget by
-    //    host quality
-    val refined = Corpus.refine(
-        extracted.select(col("doc_id"), col("main_text").as("text")),
-        "doc_id", "text", minQuality = None)
-      .join(pages.select(col("doc_id"), Url.host(col("url")).as("host")),
-        "doc_id")
-      .join(broadcast(ranks.withColumnRenamed("node", "host")
-        .withColumnRenamed("rank_micro", "host_rank_micro")),
-        Seq("host"), "left")
-      .cache()
+    // 5. (curation itself ran at 4b' so the frontier could eat its
+    //    verdicts)
     val nSurvivors = refined.count()
 
     // 6. audited exports: parquet shards for training, WET segments

@@ -1730,6 +1730,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Quality-fed frontier (Frontier.hostQuality × qualityScore →
+    // scheduleByKey) — the crawl quality LOOP closed: host k carries a
+    // link-graph rank DESCENDING in k (host 0 ranks best) and a refine
+    // keep-rate ASCENDING in k (host 0 keeps ~1/20, host 19 keeps
+    // everything), the blended score is the exact integer product
+    // rank×quality_milli, and the 20 sibling hosts compete for ONE
+    // apex budget of 5 — so the high-rank/low-quality hosts must
+    // DEMONSTRABLY lose their slots to low-rank/high-quality ones
+    // (rank-only scoring would schedule host 0 first; the oracle's
+    // winners come from the high-k end). Every keep verdict, rate,
+    // product, and slot is closed-form.
+    "q149_quality_frontier" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        pmod(col("doc_id"), lit(20)).as("k"),
+        (pmod(expr("doc_id div 20"), lit(20)) >=
+          lit(19L) - pmod(col("doc_id"), lit(20))).as("kept"))
+      val urls = d.select(col("doc_id"), col("k"),
+        concat(lit("https://site"), col("k").cast("string"),
+          lit(".example.com/page"), col("doc_id").cast("string"),
+          lit(".html")).as("url"))
+      val ranks = d.select(col("k")).distinct()
+        .select(col("k"), (lit(1000L) - col("k") * 40L).as("rank_micro"))
+      val quality = graft.operators.Frontier.hostQuality(
+        d.select(col("k").as("host"), col("kept")), "host", "kept")
+      val scored = urls
+        .join(broadcast(ranks), "k")
+        .join(broadcast(quality.withColumnRenamed("host", "k")), "k")
+        .select(col("url"),
+          graft.operators.Frontier.qualityScore(
+            col("rank_micro"), col("quality_milli")).as("score"))
+      graft.operators.Frontier.scheduleByKey(scored,
+          graft.operators.Url.apexDomain(col("url")), "url", "score",
+          maxPerKey = 5)
+        .orderBy("host_slot")
+    }),
+
     // Deterministic hash sampling: membership is md5(salt||id) under a
     // hex threshold — the same rows in ANY engine/partitioning/rerun
     // (df.sample() can't oracle: per-partition RNG). Scan-side filter,
@@ -5366,6 +5402,36 @@ object SparkEntry {
                   CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS VARCHAR)
                   || ' of page ' || CAST(doc_id AS VARCHAR) AS text
          FROM documents ORDER BY doc_id""",
+
+    // q149: the whole quality loop replayed — keep verdicts, integer
+    // keep-rates (floor division), rank×quality products, and the
+    // apex top-5 by (score DESC, url ASC). If blending didn't flip
+    // the budget, the winners would be host 0's URLs and the hash
+    // would break.
+    "q149_quality_frontier" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 20 AS k,
+                  ((doc_id // 20) % 20) >= (19 - (doc_id % 20)) AS kept
+           FROM documents),
+         q AS (
+           SELECT k,
+                  (1000 * sum(CASE WHEN kept THEN 1 ELSE 0 END)) // count(1)
+                    AS qm,
+                  1000 - 40 * k AS rank_micro
+           FROM d GROUP BY k),
+         u AS (
+           SELECT 'https://site' || CAST(d.k AS VARCHAR) ||
+                    '.example.com/page' || CAST(d.doc_id AS VARCHAR) ||
+                    '.html' AS url,
+                  q.rank_micro * q.qm AS score
+           FROM d JOIN q USING (k)),
+         r AS (
+           SELECT url, score,
+                  row_number() OVER (ORDER BY score DESC, url) AS rn
+           FROM u)
+         SELECT 'example.com' AS host, CAST(rn - 1 AS INT) AS host_slot,
+                url, CAST(score AS BIGINT) AS score
+         FROM r WHERE rn <= 5 ORDER BY host_slot""",
 
     // q53: identical shard draw (md5 hex prefix -> int), identical
     // running-sum bin cut.

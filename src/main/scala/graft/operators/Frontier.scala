@@ -110,6 +110,39 @@ object Frontier {
         col("s.url").as("url"), col("s.score").as("score"))
   }
 
+  /** Per-host QUALITY aggregate — the feedback half of the crawl
+    * quality loop: `docs` carries one row per processed document with
+    * its host and a boolean kept/dropped verdict (refine survival, a
+    * classifier gate, dedup survival…); output is one row per host —
+    * `(host, n_docs, n_kept, quality_milli)` with `quality_milli` the
+    * integer keep-rate `1000·kept div docs` (floor division computed
+    * exactly — the numerator is reduced to a multiple of the divisor
+    * before the divide, so the double op is error-free and any engine
+    * replays it). One hash agg with map-side combine; |hosts| rows. */
+  def hostQuality(docs: DataFrame, hostCol: String,
+                  keptCol: String): DataFrame = {
+    val agg = docs.groupBy(col(hostCol).as("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col(keptCol).cast("long")), lit(0L)).as("n_kept"))
+    val x = col("n_kept") * lit(1000L)
+    agg.withColumn("quality_milli",
+      ((x - pmod(x, col("n_docs"))) / col("n_docs")).cast("long"))
+  }
+
+  /** Quality-blended frontier score: `rank × quality_milli` — a pure
+    * long product (scores are ORDINAL, so no normalizing division is
+    * needed and the arithmetic stays engine-exact). A host with no
+    * rank scores 0 (undiscovered in the link graph — lowest
+    * priority); a host with no quality signal yet takes
+    * `defaultQualityMilli` (neutral 1000 = "not yet judged", NOT 0 —
+    * a new host must not be starved by the absence of evidence).
+    * Battery q149 pins the flip: a high-rank/low-quality host loses
+    * its apex budget to a low-rank/high-quality one. */
+  def qualityScore(rankMicro: Column, qualityMilli: Column,
+                   defaultQualityMilli: Long = 1000L): Column =
+    coalesce(rankMicro.cast("long"), lit(0L)) *
+      coalesce(qualityMilli.cast("long"), lit(defaultQualityMilli))
+
   /** Revisit interval in seconds for a sitemaps.org `changefreq`
     * label (case-insensitive): always→0, hourly→3600, daily→86400,
     * weekly→604800, monthly→2592000 (30 d), yearly→31536000;

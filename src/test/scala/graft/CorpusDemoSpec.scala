@@ -50,5 +50,25 @@ class CorpusDemoSpec extends SparkSpec {
       .filter(pmod(col("doc_id"), lit(20)).isin(3, 4)).count()
     assert(r.chunksAfterTakedown == r.chunks - purgedChunks,
       "the cascade drops exactly the purged docs' chunks")
+
+    // the TRAINER FEED reconciles: FIM transformed a strict subset of
+    // survivors (the hash gate takes ~half, never all or none at this
+    // size), every survivor packed into exactly ONE token sequence
+    // (doc conservation through tokenize→pack→assemble), sequences
+    // landed and the manifest re-audit is clean
+    assert(r.fimTransformed > 0 && r.fimTransformed < r.survivors,
+      s"FIM gate: ${r.fimTransformed} of ${r.survivors}")
+    assert(r.tokenSequences > 0 && r.tokenAuditOk)
+    assert(r.tokenSeqDocs == r.survivors,
+      s"token-shard docs ${r.tokenSeqDocs} must conserve survivors ${r.survivors}")
+    val seqDf = spark.read.parquet(s"$out/token_shards")
+    // offsets align with n_docs, sequences are EOS-terminated integer
+    // arrays sized seq_tokens, and every sequence row is recoverable
+    // from its manifest-audited shard layout
+    assert(seqDf.filter(size(col("offsets")) =!= col("n_docs")).count() == 0)
+    assert(seqDf.filter(size(col("sequence")) =!= col("seq_tokens")).count() == 0)
+    assert(seqDf.filter(element_at(col("sequence"), -1) =!=
+      graft.operators.Bpe.SepId).count() == 0,
+      "every packed sequence ends with the EOS separator")
   }
 }

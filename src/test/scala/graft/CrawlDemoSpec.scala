@@ -133,6 +133,19 @@ class CrawlDemoSpec extends SparkSpec {
         "every exported doc must carry its host's rank")
       // rank sanity: both hosts received mass (positive micro-units)
       assert(exported.select("host_rank_micro").as[Long].collect().forall(_ > 0))
+      // the QUALITY LOOP fed the frontier: every page survives
+      // refinement here, so both hosts' keep-rate is the full 1000
+      // milli and each frontier row's score must be exactly its
+      // host's rank × 1000 (rank-only scoring would store the bare
+      // rank; a broken join would store 0 or the neutral default)
+      val aRank = exported.filter(col("host") === "a.com")
+        .select("host_rank_micro").as[Long].head()
+      val fScores = spark.table(tbl)
+        .filter(col("url").startsWith("https://a.com/"))
+        .select("score").as[Long].collect()
+      assert(fScores.nonEmpty && fScores.forall(_ == aRank * 1000L),
+        s"frontier scores must be rank×quality: ${fScores.mkString(",")} " +
+          s"vs ${aRank * 1000L}")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }

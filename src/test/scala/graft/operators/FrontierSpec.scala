@@ -175,4 +175,39 @@ class FrontierSpec extends SparkSpec {
     assert(got == Set((0, "https://a.com/dup", 9L),
       (1, "https://a.com/other", 1L)), got.toString)
   }
+
+  test("hostQuality: exact integer keep-rates; qualityScore blends and defaults") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a.com", true), ("a.com", true), ("a.com", false),  // 2/3 → 666
+      ("b.com", false), ("b.com", false),                  // 0/2 → 0
+      ("c.com", true))                                     // 1/1 → 1000
+      .toDF("host", "kept")
+    val q = Frontier.hostQuality(docs, "host", "kept")
+      .select("host", "n_docs", "n_kept", "quality_milli")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(q.toSeq == Seq(("a.com", 3L, 2L, 666L), ("b.com", 2L, 0L, 0L),
+      ("c.com", 1L, 1L, 1000L)), q.mkString(","))
+    // blend: pure product; NULL rank → 0 (undiscovered host is lowest
+    // priority), NULL quality → neutral default (absence of evidence
+    // must not starve a new host)
+    val blended = Seq(
+      (Some(100L), Some(500L)), (None, Some(900L)), (Some(100L), None))
+      .toDF("rank", "qm")
+      .select(Frontier.qualityScore(col("rank"), col("qm")).as("s"))
+      .as[Long].collect().toSeq
+    assert(blended == Seq(50000L, 0L, 100000L), blended.toString)
+    // the q149 flip in miniature: high-rank/low-quality loses the
+    // shared budget to low-rank/high-quality
+    val urls = Seq(
+      ("https://hi.example.com/1", 1000L, 50L),   // rank 1000, q 50
+      ("https://lo.example.com/1", 200L, 900L))   // rank 200,  q 900
+      .toDF("url", "rank", "qm")
+      .select(col("url"),
+        Frontier.qualityScore(col("rank"), col("qm")).as("score"))
+    val winner = Frontier.scheduleByKey(urls,
+        Url.apexDomain(col("url")), "url", "score", maxPerKey = 1)
+      .select("url").as[String].head()
+    assert(winner == "https://lo.example.com/1")
+  }
 }
