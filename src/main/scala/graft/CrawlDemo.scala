@@ -35,8 +35,10 @@ import graft.sources.{Warc, Warehouse}
   *     crawl-delay fetch ETAs ([[Robots.crawlDelay]])
   *   → text refinement ([[Corpus.refine]]) joined with the host rank
   *   → audited sharded export ([[Sampling.writeShardedWithManifest]] +
-  *     [[Sampling.verifyShardedExport]]) and a WET interchange export
-  *     ([[Warc.writeTextSegments]])
+  *     [[Sampling.verifyShardedExport]]), a WET interchange export
+  *     ([[Warc.writeTextSegments]]), and a WAT metadata export
+  *     ([[Html.watMetadata]] → [[Warc.writeWatSegments]] — the third
+  *     CommonCrawl artifact family, audited under its record type)
   *   → capture index over the WET export, PUBLISHED as sorted CDXJ
   *     and consumed back: [[Warc.cdxIndex]] → [[Warc.writeCdxj]] →
   *     [[Warc.readCdxj]] → [[Warc.fetchByCdx]], every conversion
@@ -60,6 +62,7 @@ object CrawlDemo {
                           scheduled: Long, delayedSlots: Long,
                           survivors: Long,
                           auditOk: Boolean, wetAuditOk: Boolean,
+                          watRecords: Long, watAuditOk: Boolean,
                           cdxFetched: Long,
                           census: DataFrame)
 
@@ -242,6 +245,24 @@ object CrawlDemo {
     val wetAuditOk = Warc.auditTextSegments(spark, wetDir)
       .filter(!col("ok")).isEmpty
 
+    // 6b. WAT export — the metadata artifact next to the text one
+    //    (CommonCrawl publishes all three): one JSON metadata record
+    //    per crawled page (title/description/base/outlinks/digest, one
+    //    scanHtml pass), written as metadata-type segments and
+    //    re-audited under its record type
+    val watDir = outDir + "_wat"
+    Warc.writeWatSegments(
+      Html.watMetadata(
+        records.filter(col("warc_type") === "response" &&
+          col("http_status") === 200),
+        "target_uri", "body", "warc_date", "payload_digest"),
+      "uri", "wat_json", watDir)
+    val watRecords = Warc.readWarc(spark, watDir)
+      .filter(col("warc_type") === "metadata").count()
+    val watAuditOk = Warc.auditTextSegments(spark, watDir,
+        recordType = "metadata")
+      .filter(!col("ok")).isEmpty
+
     // 7. capture index over the WET export, published as sorted CDXJ
     //    (the interchange form a downstream consumer actually
     //    receives) — then every conversion record is ranged-fetched
@@ -264,7 +285,8 @@ object CrawlDemo {
     Result(nRecords, nPages, nExtracted, nRedirects, nTerminals, nLoops,
       nEdges, nHosts, nSitemaps, smCount,
       nAllowed, nDenied, nScheduled, delayedSlots,
-      nSurvivors, auditOk, wetAuditOk, nCdxFetched, census)
+      nSurvivors, auditOk, wetAuditOk, watRecords, watAuditOk,
+      nCdxFetched, census)
   }
 
   def main(args: Array[String]): Unit = {
@@ -288,7 +310,7 @@ object CrawlDemo {
         s"frontier=${r.frontierAllowed}+${r.frontierDenied} " +
         s"scheduled=${r.scheduled} delayedSlots=${r.delayedSlots} " +
         s"survivors=${r.survivors} audit=${r.auditOk} wet=${r.wetAuditOk} " +
-        s"cdxFetched=${r.cdxFetched}")
+        s"wat=${r.watRecords}/${r.watAuditOk} cdxFetched=${r.cdxFetched}")
       r.census.show(20, false)
     } finally spark.stop()
   }

@@ -1766,6 +1766,66 @@ object SparkEntry {
         .orderBy("host_slot")
     }),
 
+    // The WAT family's STREAMING leg (Maintenance.streamingWatSegments
+    // — completing the batch/audit/streaming triad the WET export
+    // already has): the q146 WAT rows DELIVERED AS A STREAM in 3
+    // micro-batches, each landing its own batch subtree of
+    // metadata-type segments; the whole tree must audit clean
+    // (required in-entry, recordType-aware) and the read-back fields
+    // answer the q146 oracle VERBATIM — streamed arrival must not
+    // change one byte of metadata. The driver-side collect feeds the
+    // MemoryStream test harness (the S5 situation), not the operator.
+    "q150_wat_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q150_wat_${docsTag(s, dir)}").toString
+      val done = new java.io.File(root, "_graft_done")
+      if (!done.exists()) {
+        val wdir = ensureWarcDir(s, dir)
+        val W = graft.sources.Warc
+        val wat = graft.operators.Html.watMetadata(
+            W.readWarc(s, wdir).filter(col("warc_type") === "response"),
+            "target_uri", "body", "warc_date", "payload_digest")
+          .as[(String, String)].collect().sortBy(_._1)
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, String)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q150_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingWatSegments(
+          mem.toDF().toDF("uri", "wat_json"), "uri", "wat_json", root, ckpt)
+        try {
+          wat.grouped(math.max(1, wat.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        java.nio.file.Files.createFile(done.toPath)
+        ()
+      }
+      val audited = graft.sources.Warc.auditAllTextSegments(s, root,
+        recordType = "metadata").filter(!col("ok")).count()
+      require(audited == 0, s"WAT stream audit failures: $audited")
+      graft.sources.Warc.readWarc(s, s"$root/batch-*")
+        .filter(col("warc_type") === "metadata")
+        .select(from_json(col("body").cast("string"),
+          "url STRING, date STRING, digest STRING, title STRING, " +
+            "description STRING, base STRING, outlinks ARRAY<STRING>, " +
+            "n_links INT",
+          Map.empty[String, String]).as("j"))
+        .select(
+          regexp_extract(col("j.url"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          col("j.title").as("title"),
+          coalesce(col("j.description"), lit("-")).as("description"),
+          coalesce(col("j.base"), lit("-")).as("base_href"),
+          col("j.n_links").as("n_links"),
+          array_join(col("j.outlinks"), ",").as("outlinks_csv"),
+          col("j.date").as("warc_date"),
+          coalesce(col("j.digest"), lit("-")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash sampling: membership is md5(salt||id) under a
     // hex threshold — the same rows in ANY engine/partitioning/rerun
     // (df.sample() can't oracle: per-partition RNG). Scan-side filter,
@@ -5432,6 +5492,19 @@ object SparkEntry {
          SELECT 'example.com' AS host, CAST(rn - 1 AS INT) AS host_slot,
                 url, CAST(score AS BIGINT) AS score
          FROM r WHERE rn <= 5 ORDER BY host_slot""",
+
+    // q150: the q146 oracle verbatim — streamed WAT arrival must not
+    // change one byte of any metadata field.
+    "q150_wat_stream" ->
+      """SELECT doc_id,
+                'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                '-' AS description,
+                '-' AS base_href,
+                CAST(4 AS INT) AS n_links,
+                '/,/about,/a,/b' AS outlinks_csv,
+                '2026-01-01T00:00:00Z' AS warc_date,
+                '-' AS digest
+         FROM documents ORDER BY doc_id""",
 
     // q53: identical shard draw (md5 hex prefix -> int), identical
     // running-sum bin cut.

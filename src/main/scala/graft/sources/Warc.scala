@@ -740,7 +740,8 @@ object Warc {
     * payload_bytes, ok)`. The directory listing is driver-side and
     * |batches|-sized; each subtree audit is the one-scan
     * [[auditTextSegments]]. */
-  def auditAllTextSegments(spark: SparkSession, root: String): DataFrame = {
+  def auditAllTextSegments(spark: SparkSession, root: String,
+                           recordType: String = "conversion"): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batches =
@@ -748,7 +749,7 @@ object Warc {
       else fs.listStatus(p).toSeq.filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("batch-")).map(_.getPath).sortBy(_.getName)
     val audits = batches.map { b =>
-      auditTextSegments(spark, b.toString)
+      auditTextSegments(spark, b.toString, recordType)
         .select(lit(b.getName).as("batch_dir"), col("segment"),
           col("n_records"), col("payload_bytes"), col("ok"))
     }

@@ -456,6 +456,29 @@ object Maintenance {
       }
       .start()
 
+  /** The WAT sibling of [[streamingTextSegments]]: keep a streaming
+    * WAT metadata archive — one `batch-<id>` subtree of
+    * `metadata`-type segments per non-empty micro-batch, written by
+    * [[graft.sources.Warc.writeWatSegments]] (same per-record gzip
+    * members, manifest, rename-on-commit). Replay-safe the same way:
+    * a re-delivered batch overwrites its own subtree byte-identically.
+    * Audit with `Warc.auditAllTextSegments(…, recordType =
+    * "metadata")` (battery q150 streams the q146 WAT rows in 3
+    * batches and answers the q146 oracle verbatim). */
+  def streamingWatSegments(stream: DataFrame, uriCol: String,
+                           jsonCol: String, root: String,
+                           checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Warc.writeWatSegments(
+            batch.toDF(), uriCol, jsonCol, s"$root/batch-$batchId")
+          ()
+        }
+      }
+      .start()
+
   /** Keep a persisted component catalog
     * ([[graft.operators.Components.appendToComponentsTable]])
     * continuously absorbed from a near-duplicate PAIR stream — the

@@ -107,6 +107,11 @@ class CrawlDemoSpec extends SparkSpec {
       // clean, and the WET leg reads back through the proven reader
       assert(r.survivors == 4 && r.auditOk, s"survivors ${r.survivors}")
       assert(r.wetAuditOk, "WET export must audit clean")
+      // the WAT artifact: one metadata record per crawled 200-page,
+      // audited under its own record type
+      assert(r.watRecords == r.pages,
+        s"WAT records ${r.watRecords} != pages ${r.pages}")
+      assert(r.watAuditOk, "WAT export must audit clean")
       // the publish → index → consume loop reconciles: every survivor
       // fetches back through the CDXJ-roundtripped capture index
       assert(r.cdxFetched == r.survivors,

@@ -179,6 +179,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-13 queries: no cartesians; windows only where packing shards them") {
+    // q146/q147/q148/q150: fixture-fed WARC/CDXJ compositions — the
+    // scale-safety bar is the usual no-cartesian / no-per-group-window
+    Seq("q146_wat_export", "q147_cdxj_rangescan", "q148_latest_capture",
+      "q150_wat_stream").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("Window"), s"$q ranks through a window")
+    }
+    // q145: exactly ONE window — packContiguous's per-shard running
+    // sum (sharding is the parallelism lever, by design); the sequence
+    // assembly itself must be a hash aggregation, never a second window
+    val p145 = plan("q145_token_shards")
+    assert(!p145.contains("CartesianProduct"), p145.take(800))
+    assert("Window".r.findAllIn(p145).size == 1,
+      "assembly must aggregate, not window:\n" + p145.take(1200))
+    // q148's winner selection is ONE partially-combined max aggregate
+    val p148 = plan("q148_latest_capture")
+    assert(p148.contains("partial_max") || p148.contains("partial_finalmerge"),
+      "latestCaptures lost its map-side combine:\n" + p148.take(1200))
+    // q149: the apex budget flows through the bounded best-k aggregator
+    // (partial aggregation before the one exchange), never a window
+    val p149 = plan("q149_quality_frontier")
+    assert(!p149.contains("CartesianProduct") && !p149.contains("Window"),
+      p149.take(800))
+    assert(p149.contains("ObjectHashAggregate") ||
+      p149.contains("SortAggregate"),
+      "bounded top-k aggregator missing:\n" + p149.take(1200))
+  }
+
   test("q114: host PageRank from raw HTML keeps the q95 aggregation shape") {
     val p = plan("q114_host_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(800))
