@@ -96,10 +96,10 @@ object CorpusDemo {
     //     manifest-audited shards: the literal batch a trainer maps.
     val fimmed = refined.select(col("doc_id"),
       Text.fimTransform(col("doc_id"), col("text")).as("text"))
-    val fimTransformed = fimmed
-      .join(refined.select(col("doc_id"), col("text").as("__orig")),
-        "doc_id")
-      .filter(col("text") =!= col("__orig")).count()
+    // one narrow pass over the cached frame — a fimmed⋈refined join
+    // would shuffle |survivors| rows both ways just to count changes
+    val fimTransformed = refined.filter(
+      Text.fimTransform(col("doc_id"), col("text")) =!= col("text")).count()
     val merges = Bpe.trainMerges(fimmed, "text", numMerges = 64,
       minCount = 2L)
     val tokenized = Bpe.tokenIds(fimmed, "doc_id", "text", merges)
@@ -108,9 +108,12 @@ object CorpusDemo {
         budget = budgetTokens, shards = shards),
       "doc_id", "token_ids", orderCol = "doc_id")
     // pack coordinates rename out of the way: the export's OWN shard
-    // assignment (writeSharded's deterministic draw) owns `shard`
+    // assignment (writeSharded's deterministic draw) owns `shard`.
+    // seq_id = bin·|shards| + shard — collision-free for ANY bin depth
+    // (shard < shards by construction; a shard·K + bin scheme would
+    // alias once a shard accumulated K bins)
     val seqRows = seqs.select(
-      (col("shard").cast("long") * 1000000L + col("bin")).as("seq_id"),
+      (col("bin") * lit(shards.toLong) + col("shard")).as("seq_id"),
       col("shard").as("pack_shard"), col("bin").as("pack_bin"),
       col("doc_ids"), col("offsets"), col("sequence"),
       col("n_docs"), col("seq_tokens"))

@@ -193,6 +193,13 @@ object CrawlDemo {
     //     Then schedule politely off the table minus the fetched
     //     ledger: best maxPerHost slots per host through the bounded
     //     aggregator (no per-host window).
+    //     NOTE: blended scores live on the rank×milli scale (~1000×
+    //     the bare rank a pre-quality-loop run stored). Frontier rows
+    //     keep their first-discovery score by design ("rescoring a
+    //     live frontier is a rebuild"), so a standing frontier table
+    //     written under the OLD scale must be rebuilt (drop the
+    //     table) rather than appended to — mixed scales would order
+    //     new discoveries above every old row.
     val hostQuality = Frontier.hostQuality(
       pages.select(col("doc_id"), Url.host(col("url")).as("host"))
         .join(refined.select(col("doc_id"), lit(true).as("__kept")),
@@ -254,8 +261,15 @@ object CrawlDemo {
     Warc.writeWatSegments(
       Html.watMetadata(
         records.filter(col("warc_type") === "response" &&
-          col("http_status") === 200),
-        "target_uri", "body", "warc_date", "payload_digest"),
+          col("http_status") === 200)
+          // charset-sniffed decode, same as the page pipeline above —
+          // watMetadata casts its html column, and a raw binary→UTF-8
+          // cast would mojibake legacy-charset titles/outlinks, making
+          // the WAT artifact disagree with the corpus on the same page
+          .withColumn("__html",
+            Charset.decodeText(col("body"), col("http_content_type"))
+              .getField("text")),
+        "target_uri", "__html", "warc_date", "payload_digest"),
       "uri", "wat_json", watDir)
     val watRecords = Warc.readWarc(spark, watDir)
       .filter(col("warc_type") === "metadata").count()

@@ -462,7 +462,12 @@ object Html {
     * scan twice and need a capture-keyed re-join that fans out when
     * one URI is captured twice); no shuffle anywhere — output is
     * capture-linear. NULL html yields NULL title/description/base and
-    * an empty outlinks array, never a dropped row. */
+    * an empty outlinks array, never a dropped row.
+    *
+    * `htmlCol` is cast to string AS UTF-8 — when captures may carry
+    * legacy charsets, decode first
+    * ([[graft.operators.Charset.decodeText]], as CrawlDemo does) or
+    * non-UTF-8 titles/links mojibake. */
   def watMetadata(captures: DataFrame, uriCol: String, htmlCol: String,
                   dateCol: String, digestCol: String): DataFrame = {
     val k = udf { (html: String) =>

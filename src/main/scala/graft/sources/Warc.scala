@@ -955,7 +955,14 @@ object Warc {
         catch { case _: java.io.IOException => dirty() } // degrade
       private def advanceRUnsafe(): Unit = {
         if (done || nextR != null) return
-        val first = readLineStream(tee)
+        // skip inter-record blank lines EXACTLY like parseStream does —
+        // a tool that pads records with an extra CRLF writes a readable
+        // archive, and the walk must not file a corruption sentinel for
+        // it. The skipped bytes stay in the tee, so they ride as a
+        // leading pad of the NEXT record's span: offsets still tile the
+        // file, and an isolated parse of the span skips them again.
+        var first = readLineStream(tee)
+        while (first != null && first.isEmpty) first = readLineStream(tee)
         if (first == null) { done = true; return } // clean EOF
         if (!first.startsWith("WARC/")) { dirty(); return }
         var contentLength = -1L
@@ -1411,36 +1418,75 @@ object Warc {
 
   private val CdxjManifestDir = "_graft_cdxj_manifest"
 
+  /** [[writeCdxj]]'s line-key whitespace encoding as a driver-side
+    * kernel. Per-character injective substitution, so it preserves
+    * the prefix relation — `k.startsWith(p)` implies
+    * `enc(k).startsWith(enc(p))` — which is what lets the pruner
+    * compare an encoded prefix against encoded manifest keys without
+    * ever missing a shard (the reverse direction can only ever
+    * SELECT an extra shard; the verbatim-urlkey filter downstream
+    * discards its rows). */
+  private def encodeLineKey(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    s.foreach {
+      case ' '      => b.append("%20")
+      case '\t'     => b.append("%09")
+      case '\n'     => b.append("%0A")
+      case '\u000B' => b.append("%0B")
+      case '\f'     => b.append("%0C")
+      case '\r'     => b.append("%0D")
+      case c        => b.append(c)
+    }
+    b.toString
+  }
+
+  /** UTF-8 binary order — the order Spark's string min/max (and thus
+    * the manifest bounds, and the shards' sort) use. Java's
+    * String.compareTo is UTF-16 code-unit order, which DISAGREES for
+    * supplementary-plane characters, so the pruner must not use it. */
+  private def utf8Lte(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0
+
   /** The shard files of a [[writeCdxj]] directory a `urlkey`-prefix
     * query must read — the shard-skipping half of [[readCdxjPrefix]],
     * exposed so callers (and the spec) can assert the pruning.
-    * A shard's `[min, max]` line-key range can contain a key with
-    * prefix `p` iff `max >= p` and (`min` starts with `p` or
-    * `min <= p`) — exact string-order logic, no lexicographic
-    * successor construction. Files absent from the manifest (a
-    * third-party CDXJ dir, a torn manifest) are ALWAYS read: pruning
-    * may only ever skip what the manifest proves empty of the
-    * prefix. Driver-side |shards| work. */
+    * The prefix is compared in the manifest's own key space: LINE
+    * keys (whitespace-encoded) under UTF-8 binary order — so a
+    * whitespace-bearing prefix or a supplementary-plane character can
+    * never cause a wrong skip. A shard's `[min, max]` range can
+    * contain a key with encoded prefix `p` iff `max >= p` and (`min`
+    * starts with `p` or `min <= p`) — exact order logic, no
+    * lexicographic successor construction. Every non-hidden file is a
+    * candidate (the same set [[readCdxj]] scans — a third party's
+    * shard naming must not shrink the result set), and files absent
+    * from the manifest are ALWAYS read: pruning may only ever skip
+    * what the manifest proves empty of the prefix. Driver-side
+    * |shards| work. */
   def cdxjShardsForPrefix(spark: SparkSession, path: String,
                           prefix: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(root).toSeq.map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.startsWith("part-") && !n.startsWith("_") && !n.startsWith(".")
-      }
+    // the same visibility rule FileInputFormat applies for readCdxj:
+    // everything except underscore/dot-prefixed names participates
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }).map(_.getPath)
     val mPath = new org.apache.hadoop.fs.Path(root, CdxjManifestDir)
     if (!fs.exists(mPath)) return parts.map(_.toString).sorted
     val manifest = spark.read.parquet(mPath.toString)
       .select("file", "min_urlkey", "max_urlkey")
       .collect().map(r => r.getString(0) ->
         (r.getString(1), r.getString(2))).toMap
+    val ep = encodeLineKey(prefix)
     parts.filter { p =>
       manifest.get(p.getName) match {
         case None => true // unmanifested: must read
         case Some((mn, mx)) =>
-          mx >= prefix && (mn.startsWith(prefix) || mn <= prefix)
+          utf8Lte(ep, mx) && (mn.startsWith(ep) || utf8Lte(mn, ep))
       }
     }.map(_.toString).sorted
   }

@@ -704,9 +704,10 @@ class WarcSpec extends SparkSpec {
     assert(viaRange.except(viaFull).count() == 0L &&
       viaFull.except(viaRange).count() == 0L)
     // a file the manifest does not know (a third party dropped lines
-    // in) is ALWAYS read — pruning may only skip proven-empty shards
+    // in — with a NON-part name, which the reader scans and the
+    // pruner therefore must too) is ALWAYS read
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(cdxjDir, "part-extra.txt"),
+      java.nio.file.Paths.get(cdxjDir, "cdx-extra.txt"),
       ("com,example,site2)/injected 20260101000000 " +
         "{\"url\":\"https://site2.example.com/injected\"}\n").getBytes("UTF-8"))
     val sel2 = Warc.cdxjShardsForPrefix(spark, cdxjDir, prefix)
@@ -715,8 +716,54 @@ class WarcSpec extends SparkSpec {
     // a prefix outside every shard range selects nothing and returns
     // an empty (but well-schemed) frame
     assert(Warc.cdxjShardsForPrefix(spark, cdxjDir, "zz,nowhere)")
-      .count(f => !f.endsWith("part-extra.txt")) == 0)
+      .count(f => !f.endsWith("cdx-extra.txt")) == 0)
     assert(Warc.readCdxjPrefix(spark, cdxjDir, "zz,nowhere)").count() == 0L)
+  }
+
+  test("readCdxjPrefix: a whitespace-bearing prefix prunes in the ENCODED key space, never wrongly skipping") {
+    import spark.implicits._
+    // the manifest holds whitespace-ENCODED line keys ("com,a)/x%20y");
+    // a verbatim prefix "com,a)/x y" compared raw would sort ABOVE the
+    // encoded min ('%'=0x25 > ' '=0x20) and the shard would be skipped
+    // — the pruner must encode the prefix first
+    val rows = Seq(
+      ("s.warc", 0L, 10L, 0, 0, "response", "http://a.com/x y",
+        "2026-01-01T00:00:00Z", Some("text/html"), Some(200),
+        None: Option[String], "com,a)/x y"),
+      ("s.warc", 10L, 10L, 1, 0, "response", "http://a.com/z",
+        "2026-01-01T00:00:00Z", Some("text/html"), Some(200),
+        None: Option[String], "com,a)/z"))
+      .toDF("filename", "offset", "comp_length", "member_index",
+        "member_record_index", "warc_type", "url", "warc_date",
+        "mime", "status", "digest", "urlkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxjwsp")
+      .toString + "/idx"
+    Warc.writeCdxj(rows, dir)
+    val got = Warc.readCdxjPrefix(spark, dir, "com,a)/x y")
+      .select("urlkey").as[String].collect().toSeq
+    assert(got == Seq("com,a)/x y"),
+      s"whitespace prefix must find its record, got $got")
+  }
+
+  test("cdx: inter-record blank-line padding indexes fully — readable archives never file a sentinel") {
+    // parseStream tolerates a stray CRLF between records; the walk
+    // must index every record and stay sentinel-free (it used to stop
+    // AND file corruption for a readable archive)
+    val r1 = Warc.buildSegment(Seq(("response", "http://a.com/1",
+      Warc.httpResponse(ascii("b1")))))
+    val r2 = Warc.buildSegment(Seq(("response", "http://a.com/2",
+      Warc.httpResponse(ascii("b2")))))
+    val padded = r1 ++ ascii("\r\n") ++ r2 ++ ascii("\r\n")
+    val rows = Warc.indexSegment("d/padded.warc",
+      new java.io.ByteArrayInputStream(padded)).toSeq
+    assert(rows.map(_.url) == Seq("http://a.com/1", "http://a.com/2"),
+      rows.map(r => (r.warc_type, r.url)).mkString(","))
+    assert(!rows.exists(_.warc_type == Warc.WalkTruncatedType))
+    // and the spans still fetch in isolation (offset tiling holds —
+    // the pad rides as a leading skip of the next record's span)
+    assert(rows.map(r => (r.offset, r.comp_length)) ==
+      Seq((0L, r1.length.toLong), (r1.length.toLong, (r2.length + 2).toLong)),
+      rows.map(r => (r.offset, r.comp_length)).toString)
   }
 
   test("writeWatSegments: metadata-type records roundtrip and audit clean") {
