@@ -278,7 +278,7 @@ object Bench {
     val explain = sys.env.get("BENCH_EXPLAIN").contains("1")
     val pool = Executors.newCachedThreadPool()
 
-    // Calibrated on this machine idle (see BenchSpec); override per-host.
+    // Calibrated on this machine idle; override per-host.
     val canaryRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_REF_SEC", "0.90").toDouble
     canarySec(itersPerThread = 50000000L) // untimed JIT warm-up of the canary loop
     val canaryBefore = canarySec()

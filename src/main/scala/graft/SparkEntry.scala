@@ -1766,6 +1766,42 @@ object SparkEntry {
         .orderBy("host_slot")
     }),
 
+    // Cross-crawl index MERGE (the CommonCrawl consumption pattern:
+    // every crawl publishes its own sorted CDXJ; a consumer unions
+    // them and dedups): each of the q148 fixture's three crawl
+    // batches publishes a SEPARATE CDXJ index; the consumer reads all
+    // three back, re-publishes ONE merged sorted index (global order
+    // + manifest via writeCdxj), range-reads it, and latest-capture
+    // dedups — and the winners must equal the single-catalog build's
+    // EXACTLY: the q148 oracle verbatim. A locator lost in any
+    // publish/merge hop, a mis-sorted shard, or a date mangled in
+    // interchange breaks the hash.
+    "q151_crawl_merge" -> ((s, dir) => {
+      val wdir = ensureMultiCaptureWarcDir(s, dir)
+      val W = graft.sources.Warc
+      val base = java.nio.file.Files.createTempDirectory("graft_q151").toString
+      Seq("a", "b", "c").foreach { tag =>
+        W.writeCdxj(W.cdxIndex(s, s"$wdir/crawl-$tag-*"),
+          s"$base/cdxj-$tag", shards = 2)
+      }
+      val merged = Seq("a", "b", "c")
+        .map(tag => W.readCdxj(s, s"$base/cdxj-$tag"))
+        .reduce(_ unionByName _)
+      W.writeCdxj(merged, s"$base/cdxj-merged", shards = 3)
+      val winners = W.latestCaptures(
+        W.readCdxjPrefix(s, s"$base/cdxj-merged", "com,"))
+      W.fetchByCdx(winners, wdir)
+        .join(winners.select("filename", "offset", "member_record_index",
+          "warc_date", "n_captures"),
+          Seq("filename", "offset", "member_record_index"))
+        .select(
+          regexp_extract(col("url"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          col("warc_date"), col("n_captures"), col("digest_ok"),
+          col("body").cast("string").as("text"))
+        .orderBy("doc_id")
+    }),
+
     // The WAT family's STREAMING leg (Maintenance.streamingWatSegments
     // — completing the batch/audit/streaming triad the WET export
     // already has): the q146 WAT rows DELIVERED AS A STREAM in 3
@@ -5492,6 +5528,21 @@ object SparkEntry {
          SELECT 'example.com' AS host, CAST(rn - 1 AS INT) AS host_slot,
                 url, CAST(score AS BIGINT) AS score
          FROM r WHERE rn <= 5 ORDER BY host_slot""",
+
+    // q151: the q148 oracle verbatim — three separately published
+    // per-crawl indexes, merged and re-published in interchange form,
+    // must dedup to the same winners as one catalog built directly.
+    "q151_crawl_merge" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN '2026-01-03T00:00:00Z'
+                     ELSE '2026-01-02T00:00:00Z' END AS warc_date,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT)
+                  AS n_captures,
+                TRUE AS digest_ok,
+                'version ' ||
+                  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS VARCHAR)
+                  || ' of page ' || CAST(doc_id AS VARCHAR) AS text
+         FROM documents ORDER BY doc_id""",
 
     // q150: the q146 oracle verbatim — streamed WAT arrival must not
     // change one byte of any metadata field.
