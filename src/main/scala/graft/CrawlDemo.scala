@@ -12,6 +12,8 @@ import graft.sources.{Warc, Warehouse}
   *
   *   WARC segments ([[Warc.readWarc]]: framing, gzip, HTTP split with
   *   transfer/content decoding)
+  *   → robots META directives ([[Html.robotsDirectives]] — noindex
+  *     pages lose their content, nofollow pages lose their outlinks)
   *   → main-content extraction ([[Html.extractMainText]]) over the
   *     200-status pages
   *   → redirect resolution over the 3xx records
@@ -54,6 +56,7 @@ import graft.sources.{Warc, Warehouse}
 object CrawlDemo {
 
   final case class Result(records: Long, pages: Long, extracted: Long,
+                          noindexPages: Long, nofollowPages: Long,
                           redirects: Long, redirectTerminals: Long,
                           redirectLoops: Long,
                           hostEdges: Long, rankedHosts: Long,
@@ -121,14 +124,29 @@ object CrawlDemo {
       .select(col("terminal_url").as("url")).distinct()
     val nTerminals = redirectTargets.count()
 
-    // 2. text side: main-content extraction, then the refine gates
+    // 1c. robots META directives — the in-page counterpart of the
+    //     robots.txt gate below: noindex pages keep their links but
+    //     lose their CONTENT; nofollow pages keep their content but
+    //     their outlinks vanish from the graph and the frontier
+    val directives = Html.robotsDirectives(pages, "doc_id", "html")
+    val noindexIds = directives.filter(col("noindex")).select("doc_id")
+    val nofollowIds = directives.filter(col("nofollow")).select("doc_id")
+    val nNoindex = noindexIds.count()
+    val nNofollow = nofollowIds.count()
+
+    // 2. text side: main-content extraction (noindex pages excluded —
+    //    a directive-honoring corpus never indexes their content),
+    //    then the refine gates
     val extracted = Html.extractMainText(pages, "doc_id", "html")
+      .join(noindexIds, Seq("doc_id"), "left_anti")
       .filter(length(col("main_text")) > 0)
     val nExtracted = extracted.count()
 
-    // 3. graph side: outlinks → canonical host edges → integer
-    //    PageRank (the host-quality signal)
+    // 3. graph side: outlinks (minus nofollow pages' — their edges
+    //    exist neither in the graph nor in discovery) → canonical
+    //    host edges → integer PageRank (the host-quality signal)
     val links = Html.extractLinks(pages, "doc_id", "html")
+      .join(nofollowIds, Seq("doc_id"), "left_anti")
       .join(pages.select(col("doc_id"), col("url")), "doc_id")
       // a page that declares <base href> resolves its relative links
       // against it, not the page URL
@@ -296,7 +314,8 @@ object CrawlDemo {
 
     records.unpersist(); pages.unpersist(); frontier.unpersist()
     ranks.unpersist(); refined.unpersist(); chains.unpersist()
-    Result(nRecords, nPages, nExtracted, nRedirects, nTerminals, nLoops,
+    Result(nRecords, nPages, nExtracted, nNoindex, nNofollow,
+      nRedirects, nTerminals, nLoops,
       nEdges, nHosts, nSitemaps, smCount,
       nAllowed, nDenied, nScheduled, delayedSlots,
       nSurvivors, auditOk, wetAuditOk, watRecords, watAuditOk,
@@ -317,7 +336,9 @@ object CrawlDemo {
       val robots = Seq.empty[(String, String)].toDF("host", "robots_txt")
       val r = run(spark, warcDir, robots, outDir)
       println(s"records=${r.records} pages=${r.pages} " +
-        s"extracted=${r.extracted} redirects=${r.redirects}" +
+        s"extracted=${r.extracted} " +
+        s"metaRobots=${r.noindexPages}noindex/${r.nofollowPages}nofollow " +
+        s"redirects=${r.redirects}" +
         s"(terminals=${r.redirectTerminals} loops=${r.redirectLoops}) " +
         s"edges=${r.hostEdges} hosts=${r.rankedHosts} " +
         s"sitemaps=${r.sitemapsDiscovered}/${r.sitemapUrls}urls " +

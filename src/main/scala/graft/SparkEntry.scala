@@ -1766,6 +1766,44 @@ object SparkEntry {
         .orderBy("host_slot")
     }),
 
+    // Robots META directives (Html.robotsDirectives — the in-page
+    // counterpart of robots.txt): four regimes by doc_id%4 — absent
+    // (default index,follow), noindex, a case/whitespace-mangled
+    // "NOFOLLOW, index" (tokens are case-insensitive and trimmed),
+    // and "none" (= both). Composed the way a pipeline acts on them:
+    // in_corpus = !noindex gates the content, and a nofollow page's
+    // outlinks vanish from the frontier feed (anti-join against
+    // extractLinks). Every verdict and surviving-link count is
+    // closed-form.
+    "q152_meta_robots" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head>"),
+          when(pmod(col("doc_id"), lit(4)) === 1,
+              lit("<meta name=\"robots\" content=\"noindex\">"))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              lit("<meta name=\"ROBOTS\" content=\" NOFOLLOW , index \">"))
+            .when(pmod(col("doc_id"), lit(4)) === 3,
+              lit("<meta name=robots content=none>"))
+            .otherwise(lit("")),
+          lit("<title>T</title></head><body><p>body</p>" +
+            "<a href=\"/l1\">a</a> <a href=\"/l2\">b</a></body></html>"))
+          .as("html"))
+      val d = graft.operators.Html.robotsDirectives(pages, "doc_id", "html")
+      val followedLinks = graft.operators.Html
+        .extractLinks(pages, "doc_id", "html")
+        .join(d.filter(col("nofollow")).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      d.join(followedLinks, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("meta_robots"), lit("-")).as("meta_robots"),
+          col("noindex"), col("nofollow"),
+          (!col("noindex")).as("in_corpus"),
+          coalesce(col("n"), lit(0L)).as("n_frontier_links"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-crawl index MERGE (the CommonCrawl consumption pattern:
     // every crawl publishes its own sorted CDXJ; a consumer unions
     // them and dedups): each of the q148 fixture's three crawl
@@ -5528,6 +5566,23 @@ object SparkEntry {
          SELECT 'example.com' AS host, CAST(rn - 1 AS INT) AS host_slot,
                 url, CAST(score AS BIGINT) AS score
          FROM r WHERE rn <= 5 ORDER BY host_slot""",
+
+    // q152: every directive verdict and surviving-link count stated
+    // closed-form per regime; the verbatim content roundtrips
+    // untouched (trim/case live only in the verdicts).
+    "q152_meta_robots" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 1 THEN 'noindex'
+                  WHEN 2 THEN ' NOFOLLOW , index '
+                  WHEN 3 THEN 'none'
+                  ELSE '-' END AS meta_robots,
+                (doc_id % 4 = 1 OR doc_id % 4 = 3) AS noindex,
+                (doc_id % 4 = 2 OR doc_id % 4 = 3) AS nofollow,
+                NOT (doc_id % 4 = 1 OR doc_id % 4 = 3) AS in_corpus,
+                CAST(CASE WHEN doc_id % 4 = 2 OR doc_id % 4 = 3
+                          THEN 0 ELSE 2 END AS BIGINT) AS n_frontier_links
+         FROM documents ORDER BY doc_id""",
 
     // q151: the q148 oracle verbatim — three separately published
     // per-crawl indexes, merged and re-published in interchange form,

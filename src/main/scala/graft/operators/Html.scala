@@ -115,7 +115,8 @@ object Html {
                                            links: Vector[Link],
                                            baseHref: String,
                                            title: String,
-                                           metaDescription: String)
+                                           metaDescription: String,
+                                           metaRobots: String)
 
   /** The single-pass extraction kernel: blocks in document order with
     * collapsed whitespace, linked-char counts, and chrome flags.
@@ -150,6 +151,7 @@ object Html {
     var aDepth = 0
     var baseHref: String = null
     var metaDescription: String = null
+    var metaRobots: String = null
     val titleSb = new java.lang.StringBuilder
     var titlePending = false
     var inTitle = false
@@ -264,6 +266,10 @@ object Html {
                     attrs.get("name").exists(_.equalsIgnoreCase("description")))
                   attrs.get("content").foreach(c =>
                     metaDescription = decodeEntities(c))
+                if (metaRobots == null &&
+                    attrs.get("name").exists(_.equalsIgnoreCase("robots")))
+                  attrs.get("content").foreach(c =>
+                    metaRobots = decodeEntities(c))
               case _ => ()
             }
           } else {
@@ -350,7 +356,8 @@ object Html {
     }
     flush()
     Scan(out.result(), links.result(), baseHref,
-      if (titleSb.length > 0) titleSb.toString else null, metaDescription)
+      if (titleSb.length > 0) titleSb.toString else null, metaDescription,
+      metaRobots)
   }
 
   /** Classify-and-assemble over [[extractBlocks]]: the public
@@ -447,6 +454,40 @@ object Html {
       .select(col("doc_id"), col("r._1").as("title"),
         col("r._2").as("meta_description"), col("r._3").as("base_href"),
         col("r._4").as("n_links"))
+  }
+
+  /** Robots META directives — the in-page counterpart of robots.txt
+    * (the Google/Bing `<meta name="robots">` convention every polite
+    * indexer honors): one row per document with the FIRST
+    * `<meta name=robots>` content verbatim (`meta_robots`, NULL when
+    * absent) and the two verdicts a pipeline acts on — `noindex`
+    * (drop the page's CONTENT from the corpus) and `nofollow` (drop
+    * the page's outlinks from the frontier/graph). Tokens are
+    * comma-separated, case-insensitive, whitespace-tolerant; `none`
+    * means both, and an absent or unrecognized directive defaults to
+    * allow (index,follow) — the standard's default. One kernel pass,
+    * no shuffle; compose as anti-joins against [[extractMainText]]
+    * output and [[extractLinks]] output (CrawlDemo wires both;
+    * battery q152 states every verdict closed-form). */
+  def robotsDirectives(docs: DataFrame, idCol: String,
+                       htmlCol: String): DataFrame = {
+    val k = udf { (html: String) =>
+      if (html == null) (null: String, false, false)
+      else {
+        val s = scanHtml(html)
+        val toks = Option(s.metaRobots).toSeq
+          .flatMap(_.split(","))
+          .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+          .filter(_.nonEmpty).toSet
+        val none = toks.contains("none")
+        (s.metaRobots,
+          none || toks.contains("noindex"),
+          none || toks.contains("nofollow"))
+      }
+    }
+    docs.select(col(idCol).as("doc_id"), k(col(htmlCol)).as("r"))
+      .select(col("doc_id"), col("r._1").as("meta_robots"),
+        col("r._2").as("noindex"), col("r._3").as("nofollow"))
   }
 
   /** WAT-style per-capture metadata (the third CommonCrawl artifact

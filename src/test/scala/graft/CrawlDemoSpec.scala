@@ -82,6 +82,8 @@ class CrawlDemoSpec extends SparkSpec {
       assert(r.records == 10,
         s"2 warcinfo + 4 pages + 4 redirects, got ${r.records}")
       assert(r.pages == 4 && r.extracted == 4)
+      // no page in this fixture carries a robots meta — both gates idle
+      assert(r.noindexPages == 0 && r.nofollowPages == 0)
       // redirect side: 4 sources (moved, l1, l2, oldq); l1/l2 loop;
       // terminals dedup to {a.com/fresh, a.com/z}
       assert(r.redirects == 4, s"redirect edges ${r.redirects}")
@@ -151,6 +153,49 @@ class CrawlDemoSpec extends SparkSpec {
       assert(fScores.nonEmpty && fScores.forall(_ == aRank * 1000L),
         s"frontier scores must be rank×quality: ${fScores.mkString(",")} " +
           s"vs ${aRank * 1000L}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("robots meta directives gate the demo: noindex drops content, nofollow drops outlinks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crawl_meta").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_crawl_mout").toString + "/export"
+    val tbl = "graft_crawldemo_meta_frontier"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.sources.Warehouse.clearOrphanLocation(spark, tbl)
+    def metaPage(path: String, robots: String, mark: Int,
+                 link: String): (String, String, Array[Byte]) = {
+      val meta = if (robots == null) ""
+        else s"""<meta name="robots" content="$robots">"""
+      val html = s"<html><head>$meta</head><body><p>the page about " +
+        s"careful study number $mark with detailed methods and data " +
+        s"item $mark</p><a href=\"$link\">l</a></body></html>"
+      ("response", s"https://c.com$path",
+        graft.sources.Warc.httpResponse(ascii(html)))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "seg-00000.warc"),
+      graft.sources.Warc.buildSegment(Seq(
+        metaPage("/p1", null, 1, "/l1"),        // plain: content + link
+        metaPage("/p2", "noindex", 2, "/l2"),   // content gone, link stays
+        metaPage("/p3", "nofollow", 3, "/l3")))) // content stays, link gone
+    val robots = Seq(("c.com", "User-agent: *\nAllow: /\n"))
+      .toDF("host", "robots_txt")
+    try {
+      val r = CrawlDemo.run(spark, dir, robots, out, frontierTable = tbl)
+      assert(r.pages == 3 && r.noindexPages == 1 && r.nofollowPages == 1,
+        s"pages=${r.pages} noindex=${r.noindexPages} nofollow=${r.nofollowPages}")
+      // content gate: p2's text never reaches extraction/refinement
+      assert(r.extracted == 2 && r.survivors == 2,
+        s"extracted=${r.extracted} survivors=${r.survivors}")
+      // link gate: /l3 never enters discovery — /l1 (p1) and /l2 (p2:
+      // noindex still FOLLOWS) do
+      assert(r.frontierAllowed == 2, s"allowed=${r.frontierAllowed}")
+      val frontierUrls = spark.table(tbl)
+        .select("url").as[String].collect().toSet
+      assert(frontierUrls == Set("https://c.com/l1", "https://c.com/l2"),
+        frontierUrls.toString)
+      // WAT still records every capture (metadata is not content)
+      assert(r.watRecords == 3)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }

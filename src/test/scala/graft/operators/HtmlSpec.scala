@@ -168,4 +168,32 @@ class HtmlSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Html.extractMainText(docs, "doc_id", "html", maxLinkDensity = 1.5))
   }
+
+  test("robotsDirectives: token parsing, none, case/space slop, absent default, first-meta-wins") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """<html><head><meta name="robots" content="noindex, nofollow"></head></html>"""),
+      (2L, """<html><head><meta name="ROBOTS" content=" NoIndex "></head></html>"""),
+      (3L, """<html><head><meta name=robots content=none></head></html>"""),
+      (4L, """<html><head><meta name="robots" content="index, follow"></head></html>"""),
+      (5L, "<html><head><title>no directive</title></head></html>"),
+      // first meta wins; a DIFFERENT meta name never matches
+      (6L, """<html><head><meta name="robots" content="nofollow"><meta name="robots" content="noindex"></head></html>"""),
+      (7L, """<html><head><meta name="googlebot" content="noindex"></head></html>"""),
+      (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "html")
+    val got = Html.robotsDirectives(docs, "doc_id", "html")
+      .orderBy("doc_id")
+      .select("meta_robots", "noindex", "nofollow")
+      .as[(String, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("noindex, nofollow", true, true),
+      (" NoIndex ", true, false),
+      ("none", true, true),
+      ("index, follow", false, false),
+      (null, false, false),
+      ("nofollow", false, true),
+      (null, false, false),
+      (null, false, false)), got.mkString("\n"))
+  }
 }
