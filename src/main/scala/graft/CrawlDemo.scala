@@ -91,7 +91,10 @@ object CrawlDemo {
         // charset-sniffed decode (BOM / header / meta / UTF-8 probe /
         // cp1252 fallback) — a raw cast would mojibake the legacy tail
         Charset.decodeText(col("body"), col("http_content_type"))
-          .getField("text").as("html"))
+          .getField("text").as("html"),
+        // small scalars the WAT export reuses off this cache instead
+        // of re-decoding every body at export time
+        col("warc_date"), col("payload_digest"))
       // full 64-bit ids: a mod-10⁹ fold collides at birthday scale
       // (hundreds of merged pages per million URLs, corrupting every
       // doc_id join downstream); the raw hash is collision-free in
@@ -127,8 +130,11 @@ object CrawlDemo {
     // 1c. robots META directives — the in-page counterpart of the
     //     robots.txt gate below: noindex pages keep their links but
     //     lose their CONTENT; nofollow pages keep their content but
-    //     their outlinks vanish from the graph and the frontier
-    val directives = Html.robotsDirectives(pages, "doc_id", "html")
+    //     their outlinks vanish from the graph and the frontier.
+    //     Cached: the two counts plus the extraction/link/quality
+    //     anti-joins would otherwise each re-run the scanHtml kernel
+    //     over every page body.
+    val directives = Html.robotsDirectives(pages, "doc_id", "html").cache()
     val noindexIds = directives.filter(col("noindex")).select("doc_id")
     val nofollowIds = directives.filter(col("nofollow")).select("doc_id")
     val nNoindex = noindexIds.count()
@@ -220,6 +226,12 @@ object CrawlDemo {
     //     new discoveries above every old row.
     val hostQuality = Frontier.hostQuality(
       pages.select(col("doc_id"), Url.host(col("url")).as("host"))
+        // noindex pages leave the DENOMINATOR too: "author asked us
+        // not to index" is a compliance directive, not a curation
+        // failure — a host half-full of legitimate noindex pages
+        // (search/login/print views) must not lose frontier budget
+        // for honoring it
+        .join(noindexIds, Seq("doc_id"), "left_anti")
         .join(refined.select(col("doc_id"), lit(true).as("__kept")),
           Seq("doc_id"), "left")
         .select(col("host"), coalesce(col("__kept"), lit(false)).as("kept")),
@@ -276,18 +288,13 @@ object CrawlDemo {
     //    scanHtml pass), written as metadata-type segments and
     //    re-audited under its record type
     val watDir = outDir + "_wat"
+    // the cached pages frame already holds the charset-sniffed decode
+    // (a raw binary→UTF-8 cast would mojibake legacy-charset titles/
+    // outlinks) plus the date/digest scalars — reuse it rather than
+    // re-decoding every body at export time
     Warc.writeWatSegments(
-      Html.watMetadata(
-        records.filter(col("warc_type") === "response" &&
-          col("http_status") === 200)
-          // charset-sniffed decode, same as the page pipeline above —
-          // watMetadata casts its html column, and a raw binary→UTF-8
-          // cast would mojibake legacy-charset titles/outlinks, making
-          // the WAT artifact disagree with the corpus on the same page
-          .withColumn("__html",
-            Charset.decodeText(col("body"), col("http_content_type"))
-              .getField("text")),
-        "target_uri", "__html", "warc_date", "payload_digest"),
+      Html.watMetadata(pages, "url", "html", "warc_date",
+        "payload_digest"),
       "uri", "wat_json", watDir)
     val watRecords = Warc.readWarc(spark, watDir)
       .filter(col("warc_type") === "metadata").count()
@@ -314,6 +321,7 @@ object CrawlDemo {
 
     records.unpersist(); pages.unpersist(); frontier.unpersist()
     ranks.unpersist(); refined.unpersist(); chains.unpersist()
+    directives.unpersist()
     Result(nRecords, nPages, nExtracted, nNoindex, nNofollow,
       nRedirects, nTerminals, nLoops,
       nEdges, nHosts, nSitemaps, smCount,

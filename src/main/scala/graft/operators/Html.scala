@@ -116,7 +116,7 @@ object Html {
                                            baseHref: String,
                                            title: String,
                                            metaDescription: String,
-                                           metaRobots: String)
+                                           robotsMetas: Vector[String])
 
   /** The single-pass extraction kernel: blocks in document order with
     * collapsed whitespace, linked-char counts, and chrome flags.
@@ -151,7 +151,7 @@ object Html {
     var aDepth = 0
     var baseHref: String = null
     var metaDescription: String = null
-    var metaRobots: String = null
+    val robotsMetas = Vector.newBuilder[String]
     val titleSb = new java.lang.StringBuilder
     var titlePending = false
     var inTitle = false
@@ -266,10 +266,12 @@ object Html {
                     attrs.get("name").exists(_.equalsIgnoreCase("description")))
                   attrs.get("content").foreach(c =>
                     metaDescription = decodeEntities(c))
-                if (metaRobots == null &&
-                    attrs.get("name").exists(_.equalsIgnoreCase("robots")))
+                // EVERY robots meta collects (a CMS and a plugin each
+                // injecting one is common); the most restrictive
+                // combination wins downstream, per the Google/Bing rule
+                if (attrs.get("name").exists(_.equalsIgnoreCase("robots")))
                   attrs.get("content").foreach(c =>
-                    metaRobots = decodeEntities(c))
+                    robotsMetas += decodeEntities(c))
               case _ => ()
             }
           } else {
@@ -357,7 +359,7 @@ object Html {
     flush()
     Scan(out.result(), links.result(), baseHref,
       if (titleSb.length > 0) titleSb.toString else null, metaDescription,
-      metaRobots)
+      robotsMetas.result())
   }
 
   /** Classify-and-assemble over [[extractBlocks]]: the public
@@ -458,29 +460,33 @@ object Html {
 
   /** Robots META directives — the in-page counterpart of robots.txt
     * (the Google/Bing `<meta name="robots">` convention every polite
-    * indexer honors): one row per document with the FIRST
-    * `<meta name=robots>` content verbatim (`meta_robots`, NULL when
-    * absent) and the two verdicts a pipeline acts on — `noindex`
-    * (drop the page's CONTENT from the corpus) and `nofollow` (drop
-    * the page's outlinks from the frontier/graph). Tokens are
-    * comma-separated, case-insensitive, whitespace-tolerant; `none`
-    * means both, and an absent or unrecognized directive defaults to
-    * allow (index,follow) — the standard's default. One kernel pass,
-    * no shuffle; compose as anti-joins against [[extractMainText]]
-    * output and [[extractLinks]] output (CrawlDemo wires both;
-    * battery q152 states every verdict closed-form). */
+    * indexer honors): one row per document with every
+    * `<meta name=robots>` content verbatim (`meta_robots`, multiple
+    * tags joined by `"; "` in document order, NULL when absent) and
+    * the two verdicts a pipeline acts on — `noindex` (drop the page's
+    * CONTENT from the corpus) and `nofollow` (drop the page's
+    * outlinks from the frontier/graph). Tokens are comma-separated,
+    * case-insensitive, whitespace-tolerant; `none` means both;
+    * MULTIPLE robots metas combine with the most restrictive winning
+    * (the documented search-engine rule — a CMS and a plugin each
+    * injecting one is common); an absent or unrecognized directive
+    * defaults to allow (index,follow) — the standard's default. One
+    * kernel pass, no shuffle; compose as anti-joins against
+    * [[extractMainText]] output and [[extractLinks]] output
+    * (CrawlDemo wires both; battery q152 states every verdict
+    * closed-form). */
   def robotsDirectives(docs: DataFrame, idCol: String,
                        htmlCol: String): DataFrame = {
     val k = udf { (html: String) =>
       if (html == null) (null: String, false, false)
       else {
         val s = scanHtml(html)
-        val toks = Option(s.metaRobots).toSeq
+        val toks = s.robotsMetas
           .flatMap(_.split(","))
           .map(_.trim.toLowerCase(java.util.Locale.ROOT))
           .filter(_.nonEmpty).toSet
         val none = toks.contains("none")
-        (s.metaRobots,
+        (if (s.robotsMetas.isEmpty) null else s.robotsMetas.mkString("; "),
           none || toks.contains("noindex"),
           none || toks.contains("nofollow"))
       }

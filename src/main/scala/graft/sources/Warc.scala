@@ -70,6 +70,12 @@ object Warc {
     * guarantee. */
   private[sources] val MaxRecordBytes: Long = 1L << 30
 
+  /** Cap on an inter-record blank-line padding run in a plain-segment
+    * walk — tolerated (readable archives pad), but bounded so a
+    * corrupt all-CRLF file degrades to the truncation sentinel
+    * instead of buffering O(file) into the walk's tee. */
+  private[sources] val MaxPadBytes: Long = 1L << 20
+
   /** Header/status lines beyond this are corruption (binary garbage
     * where text framing should be), not headers. */
   private val MaxLineBytes: Int = 1 << 20
@@ -961,8 +967,18 @@ object Warc {
         // it. The skipped bytes stay in the tee, so they ride as a
         // leading pad of the NEXT record's span: offsets still tile the
         // file, and an isolated parse of the span skips them again.
+        // BOUNDED: a gigabytes-long padding run (corrupt or adversarial
+        // input) would otherwise grow the tee O(file) until OOM — past
+        // MaxPadBytes the walk degrades to the dirty sentinel like any
+        // other framing corruption, and the cap also keeps a padded
+        // record's span safely under fetchByCdx's MaxRecordBytes guard.
+        var pad = 0L
         var first = readLineStream(tee)
-        while (first != null && first.isEmpty) first = readLineStream(tee)
+        while (first != null && first.isEmpty) {
+          pad += 2 // an empty line consumed at least its CRLF
+          if (pad > MaxPadBytes) { dirty(); return }
+          first = readLineStream(tee)
+        }
         if (first == null) { done = true; return } // clean EOF
         if (!first.startsWith("WARC/")) { dirty(); return }
         var contentLength = -1L
@@ -1366,10 +1382,9 @@ object Warc {
     // legitimately contain literal "%20" are never mis-decoded.
     val rawKey = coalesce(col("urlkey"), lit("-"))
     val wsPat = "[ \\t\\n\\x0B\\f\\r]"
-    val lineKey = Seq(" " -> "%20", "\t" -> "%09", "\n" -> "%0A",
-        "\u000B" -> "%0B", "\f" -> "%0C", "\r" -> "%0D")
+    val lineKey = LineKeyEncodings
       .foldLeft(rawKey) { case (c, (ch, enc)) =>
-        regexp_replace(c, java.util.regex.Pattern.quote(ch), enc)
+        regexp_replace(c, java.util.regex.Pattern.quote(ch.toString), enc)
       }
     val json = to_json(struct(
       col("url"),
@@ -1418,25 +1433,31 @@ object Warc {
 
   private val CdxjManifestDir = "_graft_cdxj_manifest"
 
+  /** The line-key whitespace encoding, defined ONCE for both its
+    * consumers — [[writeCdxj]]'s Column-side regexp chain and the
+    * pruner's scalar [[encodeLineKey]]. A character added to one side
+    * only would let manifests hold encodings the pruner no longer
+    * mirrors — the silent wrong-skip class the shared table forbids
+    * by construction. */
+  private val LineKeyEncodings: Seq[(Char, String)] = Seq(
+    ' ' -> "%20", '\t' -> "%09", '\n' -> "%0A",
+    '\u000B' -> "%0B", '\f' -> "%0C", '\r' -> "%0D")
+
   /** [[writeCdxj]]'s line-key whitespace encoding as a driver-side
-    * kernel. Per-character injective substitution, so it preserves
-    * the prefix relation — `k.startsWith(p)` implies
-    * `enc(k).startsWith(enc(p))` — which is what lets the pruner
-    * compare an encoded prefix against encoded manifest keys without
-    * ever missing a shard (the reverse direction can only ever
-    * SELECT an extra shard; the verbatim-urlkey filter downstream
-    * discards its rows). */
+    * kernel (same [[LineKeyEncodings]] table). Per-character injective
+    * substitution, so it preserves the prefix relation —
+    * `k.startsWith(p)` implies `enc(k).startsWith(enc(p))` — which is
+    * what lets the pruner compare an encoded prefix against encoded
+    * manifest keys without ever missing a shard (the reverse direction
+    * can only ever SELECT an extra shard; the verbatim-urlkey filter
+    * downstream discards its rows). */
   private def encodeLineKey(s: String): String = {
+    val enc = LineKeyEncodings.toMap
     val b = new java.lang.StringBuilder(s.length)
-    s.foreach {
-      case ' '      => b.append("%20")
-      case '\t'     => b.append("%09")
-      case '\n'     => b.append("%0A")
-      case '\u000B' => b.append("%0B")
-      case '\f'     => b.append("%0C")
-      case '\r'     => b.append("%0D")
-      case c        => b.append(c)
-    }
+    s.foreach(c => enc.get(c) match {
+      case Some(e) => b.append(e)
+      case None    => b.append(c)
+    })
     b.toString
   }
 

@@ -169,7 +169,7 @@ class HtmlSpec extends SparkSpec {
       Html.extractMainText(docs, "doc_id", "html", maxLinkDensity = 1.5))
   }
 
-  test("robotsDirectives: token parsing, none, case/space slop, absent default, first-meta-wins") {
+  test("robotsDirectives: token parsing, none, case/space slop, absent default, most-restrictive combine") {
     import spark.implicits._
     val docs = Seq(
       (1L, """<html><head><meta name="robots" content="noindex, nofollow"></head></html>"""),
@@ -177,7 +177,8 @@ class HtmlSpec extends SparkSpec {
       (3L, """<html><head><meta name=robots content=none></head></html>"""),
       (4L, """<html><head><meta name="robots" content="index, follow"></head></html>"""),
       (5L, "<html><head><title>no directive</title></head></html>"),
-      // first meta wins; a DIFFERENT meta name never matches
+      // multiple robots metas combine, most restrictive wins (the
+      // CMS-plus-plugin reality); a DIFFERENT meta name never matches
       (6L, """<html><head><meta name="robots" content="nofollow"><meta name="robots" content="noindex"></head></html>"""),
       (7L, """<html><head><meta name="googlebot" content="noindex"></head></html>"""),
       (8L, null.asInstanceOf[String]))
@@ -192,7 +193,7 @@ class HtmlSpec extends SparkSpec {
       ("none", true, true),
       ("index, follow", false, false),
       (null, false, false),
-      ("nofollow", false, true),
+      ("nofollow; noindex", true, true),
       (null, false, false),
       (null, false, false)), got.mkString("\n"))
   }

@@ -764,6 +764,17 @@ class WarcSpec extends SparkSpec {
     assert(rows.map(r => (r.offset, r.comp_length)) ==
       Seq((0L, r1.length.toLong), (r1.length.toLong, (r2.length + 2).toLong)),
       rows.map(r => (r.offset, r.comp_length)).toString)
+    // BOUNDED tolerance: a multi-MiB padding run (corrupt/adversarial
+    // input) degrades to the sentinel instead of buffering O(file)
+    val bigPad = Array.fill((2 << 20) / 2)('\r'.toByte, '\n'.toByte)
+      .flatMap(t => Array(t._1, t._2))
+    val flooded = r1 ++ bigPad ++ r2
+    val fRows = Warc.indexSegment("d/flooded.warc",
+      new java.io.ByteArrayInputStream(flooded)).toSeq
+    assert(fRows.map(_.url) == Seq("http://a.com/1", null),
+      fRows.map(r => (r.warc_type, r.url)).mkString(","))
+    assert(fRows.last.warc_type == Warc.WalkTruncatedType,
+      "an over-cap padding run must surface as truncation, not OOM")
   }
 
   test("writeWatSegments: metadata-type records roundtrip and audit clean") {
