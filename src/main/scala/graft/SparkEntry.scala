@@ -1804,6 +1804,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Declared-canonical collapse (Html.canonicalTargets — <link
+    // rel=canonical> resolved and canonicalized, the pre-dedup
+    // collapse every web corpus applies): groups of five URL variants
+    // — a leader with no declaration, one member declaring a RELATIVE
+    // canonical (resolution against the page URL is live), three
+    // declaring it absolute with mangled case (canonicalization is
+    // live) — must each fold to ONE canonical_url with the leader as
+    // keeper and exactly four declarations counted. Closed-form per
+    // group.
+    "q153_canonical_collapse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") - pmod(col("doc_id"), lit(5))).as("leader"))
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://site"),
+          pmod(col("leader"), lit(20)).cast("string"),
+          lit(".example.com/page"), col("doc_id").cast("string"),
+          lit(".html")).as("url"),
+        concat(lit("<html><head>"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(""))
+            .when(pmod(col("doc_id"), lit(5)) === 1,
+              concat(lit("<link rel=\"canonical\" href=\"page"),
+                col("leader").cast("string"), lit(".html\">")))
+            .otherwise(
+              concat(lit("<link rel=\"canonical\" href=\"HTTPS://Site"),
+                pmod(col("leader"), lit(20)).cast("string"),
+                lit(".Example.COM/page"), col("leader").cast("string"),
+                lit(".html\">"))),
+          lit("</head><body><p>x</p></body></html>")).as("html"))
+      graft.operators.Html.canonicalTargets(pages, "doc_id", "url", "html")
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_pages"), min("doc_id").as("keeper"),
+          count(col("canonical_href")).as("n_declared"))
+        .orderBy("keeper")
+    }),
+
     // Cross-crawl index MERGE (the CommonCrawl consumption pattern:
     // every crawl publishes its own sorted CDXJ; a consumer unions
     // them and dedups): each of the q148 fixture's three crawl
@@ -5583,6 +5618,20 @@ object SparkEntry {
                 CAST(CASE WHEN doc_id % 4 = 2 OR doc_id % 4 = 3
                           THEN 0 ELSE 2 END AS BIGINT) AS n_frontier_links
          FROM documents ORDER BY doc_id""",
+
+    // q153: groups are complete runs of 5 consecutive ids, so every
+    // collapse statistic is arithmetic on the leader id.
+    "q153_canonical_collapse" ->
+      """WITH g AS (
+           SELECT doc_id - doc_id % 5 AS leader FROM documents),
+         a AS (SELECT leader, count(1) AS n FROM g GROUP BY leader)
+         SELECT 'https://site' || CAST(leader % 20 AS VARCHAR) ||
+                  '.example.com/page' || CAST(leader AS VARCHAR) ||
+                  '.html' AS canonical_url,
+                CAST(n AS BIGINT) AS n_pages,
+                leader AS keeper,
+                CAST(n - 1 AS BIGINT) AS n_declared
+         FROM a ORDER BY keeper""",
 
     // q151: the q148 oracle verbatim — three separately published
     // per-crawl indexes, merged and re-published in interchange form,

@@ -116,7 +116,8 @@ object Html {
                                            baseHref: String,
                                            title: String,
                                            metaDescription: String,
-                                           robotsMetas: Vector[String])
+                                           robotsMetas: Vector[String],
+                                           canonicalHref: String)
 
   /** The single-pass extraction kernel: blocks in document order with
     * collapsed whitespace, linked-char counts, and chrome flags.
@@ -152,6 +153,7 @@ object Html {
     var baseHref: String = null
     var metaDescription: String = null
     val robotsMetas = Vector.newBuilder[String]
+    var canonicalHref: String = null
     val titleSb = new java.lang.StringBuilder
     var titlePending = false
     var inTitle = false
@@ -215,7 +217,8 @@ object Html {
           // quoted either style or bare) only for the tags that carry
           // data we extract; everything else takes the fast skip
           var attrs: scala.collection.mutable.Map[String, String] = null
-          if (!closing && (name == "a" || name == "base" || name == "meta")) {
+          if (!closing && (name == "a" || name == "base" || name == "meta" ||
+              name == "link")) {
             attrs = scala.collection.mutable.Map.empty[String, String]
             while (j < n && html.charAt(j) != '>') {
               val cj = html.charAt(j)
@@ -272,6 +275,13 @@ object Html {
                 if (attrs.get("name").exists(_.equalsIgnoreCase("robots")))
                   attrs.get("content").foreach(c =>
                     robotsMetas += decodeEntities(c))
+              case "link" =>
+                // first <link rel=canonical> wins (the convention:
+                // search engines ignore all but one canonical anyway)
+                if (canonicalHref == null &&
+                    attrs.get("rel").exists(_.equalsIgnoreCase("canonical")))
+                  attrs.get("href").foreach(h =>
+                    canonicalHref = decodeEntities(h))
               case _ => ()
             }
           } else {
@@ -359,7 +369,7 @@ object Html {
     flush()
     Scan(out.result(), links.result(), baseHref,
       if (titleSb.length > 0) titleSb.toString else null, metaDescription,
-      robotsMetas.result())
+      robotsMetas.result(), canonicalHref)
   }
 
   /** Classify-and-assemble over [[extractBlocks]]: the public
@@ -494,6 +504,40 @@ object Html {
     docs.select(col(idCol).as("doc_id"), k(col(htmlCol)).as("r"))
       .select(col("doc_id"), col("r._1").as("meta_robots"),
         col("r._2").as("noindex"), col("r._3").as("nofollow"))
+  }
+
+  /** `<link rel=canonical>` extraction + resolution — the
+    * declared-canonical collapse every web corpus applies ahead of
+    * content dedup (print views, tracking-parameter variants, and
+    * mobile mirrors of one article all declare the same canonical;
+    * indexing keeps ONE): per document, `canonical_href` (the first
+    * `rel=canonical` href verbatim, NULL when absent — search engines
+    * ignore all but one declaration anyway) and `canonical_url` — the
+    * href resolved against the page's `<base href>` (else the page
+    * URL) and canonicalized ([[Url.canonical]]). A page with no
+    * declaration, or an unresolvable one, canonicalizes to ITSELF, so
+    * the column is TOTAL and directly groupable:
+    * `groupBy(canonical_url) + keep-one` IS the collapse (battery
+    * q153 states every group closed-form). One kernel pass + scalar
+    * URL kernels, no shuffle. */
+  def canonicalTargets(docs: DataFrame, idCol: String, urlCol: String,
+                       htmlCol: String): DataFrame = {
+    val k = udf { (html: String) =>
+      if (html == null) (null: String, null: String)
+      else {
+        val s = scanHtml(html)
+        (s.canonicalHref, s.baseHref)
+      }
+    }
+    docs.select(col(idCol).as("doc_id"), col(urlCol).as("url"),
+        k(col(htmlCol)).as("r"))
+      .select(col("doc_id"), col("url"),
+        col("r._1").as("canonical_href"),
+        coalesce(
+          Url.canonical(Url.resolve(
+            coalesce(col("r._2"), col("url")), col("r._1"))),
+          Url.canonical(col("url")),
+          col("url")).as("canonical_url"))
   }
 
   /** WAT-style per-capture metadata (the third CommonCrawl artifact

@@ -183,7 +183,8 @@ class PlanSpec extends SparkSpec {
     // q146/q147/q148/q150: fixture-fed WARC/CDXJ compositions — the
     // scale-safety bar is the usual no-cartesian / no-per-group-window
     Seq("q146_wat_export", "q147_cdxj_rangescan", "q148_latest_capture",
-      "q150_wat_stream", "q151_crawl_merge", "q152_meta_robots").foreach { q =>
+      "q150_wat_stream", "q151_crawl_merge", "q152_meta_robots",
+      "q153_canonical_collapse").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")

@@ -197,4 +197,37 @@ class HtmlSpec extends SparkSpec {
       (null, false, false),
       (null, false, false)), got.mkString("\n"))
   }
+
+  test("canonicalTargets: relative/absolute/base-href resolution, self-canonical default, totality") {
+    import spark.implicits._
+    val docs = Seq(
+      // relative canonical resolves against the PAGE URL
+      (1L, "https://a.com/dir/v1.html",
+        """<html><head><link rel="canonical" href="main.html"></head></html>"""),
+      // absolute canonical with case slop canonicalizes
+      (2L, "https://a.com/v2.html",
+        """<html><head><link rel="CANONICAL" href="HTTPS://A.COM:443/main.html"></head></html>"""),
+      // a declared <base href> wins over the page URL for resolution
+      (3L, "https://a.com/v3.html",
+        """<html><head><base href="https://b.org/root/"><link rel="canonical" href="main.html"></head></html>"""),
+      // no declaration: the page is its own canonical
+      (4L, "https://a.com/solo.html", "<html><head></head></html>"),
+      // first rel=canonical wins; other rels never match
+      (5L, "https://a.com/v5.html",
+        """<html><head><link rel="stylesheet" href="s.css"><link rel="canonical" href="/one.html"><link rel="canonical" href="/two.html"></head></html>"""),
+      // NULL html: self-canonical, no declaration — the column is total
+      (6L, "https://a.com/vnull.html", null.asInstanceOf[String]))
+      .toDF("doc_id", "url", "html")
+    val got = Html.canonicalTargets(docs, "doc_id", "url", "html")
+      .orderBy("doc_id")
+      .select("canonical_href", "canonical_url")
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(
+      ("main.html", "https://a.com/dir/main.html"),
+      ("HTTPS://A.COM:443/main.html", "https://a.com/main.html"),
+      ("main.html", "https://b.org/root/main.html"),
+      (null, "https://a.com/solo.html"),
+      ("/one.html", "https://a.com/one.html"),
+      (null, "https://a.com/vnull.html")), got.mkString("\n"))
+  }
 }
