@@ -530,6 +530,54 @@ object SparkEntry {
     wdir
   }
 
+  /** Build-once WARC fixture for q154: responses carrying
+    * `X-Robots-Tag` headers by doc_id%4 — absent / `noindex` / an
+    * agent-scoped `googlebot: nofollow` / TWO headers whose second is
+    * `none` (repeats must list-join) — while every EVEN doc's HTML
+    * body declares `<meta name=robots content=nofollow>`, so the
+    * cross-layer most-restrictive combine is exercised in both
+    * directions. */
+  private def ensureXRobotsWarcDir(s: SparkSession, dir: String): String = {
+    val wdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q154_warc_${docsTag(s, dir)}").toString
+    val root = new java.io.File(wdir)
+    if (!root.exists()) {
+      val stage = new java.io.File(wdir + "_stage")
+      if (stage.exists()) stage.listFiles().foreach(_.delete())
+      stage.mkdirs()
+      val W = graft.sources.Warc
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0))
+      ids.groupBy(_ / 25).foreach { case (seg, docs) =>
+        val records = docs.sorted.map { id =>
+          val meta = if (id % 2 == 0)
+            "<meta name=\"robots\" content=\"nofollow\">" else ""
+          val html = s"<html><head>$meta</head><body><p>doc $id" +
+            "</p></body></html>"
+          val hdrs = (id % 4) match {
+            case 1 => Seq("X-Robots-Tag: noindex")
+            case 2 => Seq("X-Robots-Tag: googlebot: nofollow")
+            case 3 => Seq("X-Robots-Tag: unavailable_after: 1 Jan 2027",
+              "X-Robots-Tag: none")
+            case _ => Nil
+          }
+          ("response",
+            s"https://site${id % 20}.example.com/dir/page$id.html",
+            W.httpResponseWith(html.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8),
+              extraHeaders = hdrs))
+        }.toSeq
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stage.toString, f"seg-$seg%05d.warc"),
+          W.buildSegment(records))
+      }
+      if (!stage.renameTo(root)) {
+        require(root.exists(), s"WARC fixture rename failed for $wdir")
+      }
+    }
+    wdir
+  }
+
   /** The q56/q56b corpus: documents plus docs 0-4 cloned at id+300000
     * with a sub-k marker suffix (contributes no shared 30-gram of its
     * own, so each clone must pair with its source via surviving
@@ -1801,6 +1849,39 @@ object SparkEntry {
           col("noindex"), col("nofollow"),
           (!col("noindex")).as("in_corpus"),
           coalesce(col("n"), lit(0L)).as("n_frontier_links"))
+        .orderBy("doc_id")
+    }),
+
+    // X-Robots-Tag directives (Warc surfaces the header; the
+    // HTTP-layer counterpart of q152's meta robots — binary resources
+    // have no meta, so this is how PDFs/images get their noindex):
+    // four header regimes including an agent-scoped token and a
+    // REPEATED header that must list-join, combined with the meta
+    // layer by OR (most restrictive wins across layers). Every header
+    // echo and verdict closed-form.
+    "q154_xrobots_directives" -> ((s, dir) => {
+      val wdir = ensureXRobotsWarcDir(s, dir)
+      val W = graft.sources.Warc
+      val pages = W.readWarc(s, wdir)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "page(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"),
+          col("http_x_robots"),
+          col("body").cast("string").as("html"))
+      val meta = graft.operators.Html.robotsDirectives(
+        pages, "doc_id", "html")
+      pages.select(col("doc_id"),
+          coalesce(col("http_x_robots"), lit("-")).as("x_robots"),
+          W.xRobotsVerdicts(col("http_x_robots")).as("h"))
+        .join(meta.select(col("doc_id"),
+          col("noindex").as("m_noindex"),
+          col("nofollow").as("m_nofollow")), "doc_id")
+        .select(col("doc_id"), col("x_robots"),
+          col("h.noindex").as("hdr_noindex"),
+          col("h.nofollow").as("hdr_nofollow"),
+          (col("h.noindex") || col("m_noindex")).as("noindex"),
+          (col("h.nofollow") || col("m_nofollow")).as("nofollow"))
         .orderBy("doc_id")
     }),
 
@@ -5617,6 +5698,23 @@ object SparkEntry {
                 NOT (doc_id % 4 = 1 OR doc_id % 4 = 3) AS in_corpus,
                 CAST(CASE WHEN doc_id % 4 = 2 OR doc_id % 4 = 3
                           THEN 0 ELSE 2 END AS BIGINT) AS n_frontier_links
+         FROM documents ORDER BY doc_id""",
+
+    // q154: header echoes (repeats list-joined with ", ") and both
+    // verdict layers closed-form; the combined columns OR the
+    // header and meta layers.
+    "q154_xrobots_directives" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 1 THEN 'noindex'
+                  WHEN 2 THEN 'googlebot: nofollow'
+                  WHEN 3 THEN 'unavailable_after: 1 Jan 2027, none'
+                  ELSE '-' END AS x_robots,
+                (doc_id % 4 = 1 OR doc_id % 4 = 3) AS hdr_noindex,
+                (doc_id % 4 = 2 OR doc_id % 4 = 3) AS hdr_nofollow,
+                (doc_id % 4 = 1 OR doc_id % 4 = 3) AS noindex,
+                (doc_id % 4 = 2 OR doc_id % 4 = 3 OR doc_id % 2 = 0)
+                  AS nofollow
          FROM documents ORDER BY doc_id""",
 
     // q153: groups are complete runs of 5 consecutive ids, so every

@@ -61,6 +61,7 @@ object Warc {
                               http_status: Option[Int],
                               http_content_type: Option[String],
                               http_location: Option[String],
+                              http_x_robots: Option[String],
                               body: Array[Byte])
 
   /** Per-record payload ceiling (1 GiB). A Content-Length beyond it is
@@ -193,14 +194,14 @@ object Warc {
           }
           val payload = readFullyStream(in, clen.toInt)
           if (payload == null) { done = true; close(); return } // torn tail
-          val (status, ctype, loc, body, bodyStart) =
+          val (status, ctype, loc, xrobots, body, bodyStart) =
             if (wtype == "response") parseHttp(payload)
-            else (None, None, None, payload, 0)
+            else (None, None, None, None, payload, 0)
           val stored =
             if (!computeStoredDigest || bodyStart < 0) null
             else sha1Base32(payload, bodyStart, payload.length - bodyStart)
           nextRec = (WarcRecord(path, idx, wtype, uri, date, clen,
-            Option(digest), status, ctype, loc, body), stored)
+            Option(digest), status, ctype, loc, xrobots, body), stored)
           idx += 1
         } catch {
           case _: java.io.IOException => done = true; close()
@@ -238,8 +239,11 @@ object Warc {
   }
 
   /** Split an HTTP/1.x response payload into (status, content-type,
-    * location, body, bodyStart); (None, None, None, null, -1) when the
-    * message is torn. The body is TRANSFER- and CONTENT-decoded before
+    * location, x-robots-tag, body, bodyStart);
+    * (None, None, None, None, null, -1) when the message is torn.
+    * Repeated `X-Robots-Tag` headers (a proxy adds one next to the
+    * origin's) join with ", " — the RFC list-header combination, and
+    * exactly what the comma-token directive parser expects. The body is TRANSFER- and CONTENT-decoded before
     * it surfaces: `Transfer-Encoding: chunked` frames are stripped
     * ([[dechunk]]) and `Content-Encoding: gzip|x-gzip|deflate` bodies
     * decompressed ([[decompressBody]]) — a real crawl capture is full
@@ -251,16 +255,18 @@ object Warc {
     * covers in interchange archives (the digest is taken over the
     * payload as written, not over what a consumer decodes). */
   private[sources] def parseHttp(payload: Array[Byte])
-      : (Option[Int], Option[String], Option[String], Array[Byte], Int) = {
+      : (Option[Int], Option[String], Option[String], Option[String],
+         Array[Byte], Int) = {
     val (statusLine, p0) = readLine(payload, 0)
     if (statusLine == null || !statusLine.startsWith("HTTP/"))
-      return (None, None, None, null, -1)
+      return (None, None, None, None, null, -1)
     val parts = statusLine.split(" ")
     val status = if (parts.length >= 2)
       try Some(parts(1).toInt) catch { case _: NumberFormatException => None }
     else None
     var ctype: Option[String] = None
     var location: Option[String] = None
+    val xrobots = Vector.newBuilder[String]
     var tenc: Option[String] = None
     var cenc: Option[String] = None
     var h = readLine(payload, p0)
@@ -272,6 +278,7 @@ object Warc {
         k match {
           case "content-type" => ctype = Some(v)
           case "location" => location = Some(v)
+          case "x-robots-tag" => xrobots += v
           case "transfer-encoding" => tenc = Some(v)
           case "content-encoding" => cenc = Some(v)
           case _ => ()
@@ -290,7 +297,9 @@ object Warc {
       case Some(e) => decompressBody(dechunked, e)
       case None => dechunked
     }
-    (status, ctype, location, body, h._2)
+    val xr = xrobots.result()
+    (status, ctype, location,
+      if (xr.isEmpty) None else Some(xr.mkString(", ")), body, h._2)
   }
 
   /** Strip `Transfer-Encoding: chunked` framing: hex size line
@@ -1305,6 +1314,29 @@ object Warc {
           r.payload_digest.forall(d => stored != null && d == stored) })
     }.toDF("filename", "offset", "member_record_index", "warc_type",
       "url", "http_status", "http_content_type", "body", "digest_ok")
+  }
+
+  /** Directive verdicts from an `X-Robots-Tag` header value (the
+    * HTTP-layer counterpart of `<meta name=robots>` — binary
+    * resources have no meta, so PDFs/images get their noindex this
+    * way): a struct `(noindex, nofollow)` from comma-split,
+    * case-insensitive, whitespace-tolerant tokens; `none` means both;
+    * NULL or unrecognized values default to allow. An agent-scoped
+    * token (`googlebot: noindex`) counts its DIRECTIVE part — the
+    * conservative compliance read (any-scope applies); repeated
+    * headers arrive already ", "-joined from the reader. Combine with
+    * [[graft.operators.Html.robotsDirectives]] by OR — most
+    * restrictive wins across layers, the search-engine rule. Pure
+    * codegen-friendly expressions, no UDF. */
+  def xRobotsVerdicts(header: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val toks = transform(split(coalesce(header, lit("")), ","),
+      t => lower(trim(element_at(split(t, ":"), -1))))
+    struct(
+      (array_contains(toks, "noindex") || array_contains(toks, "none"))
+        .as("noindex"),
+      (array_contains(toks, "nofollow") || array_contains(toks, "none"))
+        .as("nofollow"))
   }
 
   /** Latest-capture-wins over a CDX catalog — the dedup every archive

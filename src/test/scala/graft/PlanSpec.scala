@@ -184,7 +184,7 @@ class PlanSpec extends SparkSpec {
     // scale-safety bar is the usual no-cartesian / no-per-group-window
     Seq("q146_wat_export", "q147_cdxj_rangescan", "q148_latest_capture",
       "q150_wat_stream", "q151_crawl_merge", "q152_meta_robots",
-      "q153_canonical_collapse").foreach { q =>
+      "q153_canonical_collapse", "q154_xrobots_directives").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("Window"), s"$q ranks through a window")

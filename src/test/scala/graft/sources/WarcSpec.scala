@@ -199,6 +199,31 @@ class WarcSpec extends SparkSpec {
       new String(text.take(80), "ISO-8859-1")))
   }
 
+  test("X-Robots-Tag surfaces (repeats list-join); verdicts parse tokens, scopes, none") {
+    import spark.implicits._
+    def parse(hdrs: Seq[String]) =
+      Warc.parseSegment("s", Warc.buildSegment(Seq(("response",
+        "http://a.com/x", Warc.httpResponseWith(ascii("b"),
+          extraHeaders = hdrs))))).head.http_x_robots
+    assert(parse(Nil).isEmpty, "absent header stays NULL")
+    assert(parse(Seq("X-Robots-Tag: noindex")).contains("noindex"))
+    // a proxy adding its header next to the origin's: list-join
+    assert(parse(Seq("X-Robots-Tag: noindex", "x-robots-tag: nofollow"))
+      .contains("noindex, nofollow"))
+    // verdicts: Column-level, codegen-only
+    val got = Seq(
+      ("noindex, nofollow"), (" NoIndex "), ("none"),
+      ("googlebot: nofollow"), ("unavailable_after: 1 Jan 2027"),
+      ("index, follow"), (null: String))
+      .toDF("h")
+      .select(Warc.xRobotsVerdicts(col("h")).as("v"))
+      .select("v.noindex", "v.nofollow")
+      .as[(Boolean, Boolean)].collect().toSeq
+    assert(got == Seq((true, true), (true, false), (true, true),
+      (false, true), (false, false), (false, false), (false, false)),
+      got.toString)
+  }
+
   test("redirects surface http_location; content pages leave it NULL") {
     val seg = Warc.buildSegment(Seq(
       ("response", "http://a.com/old", Warc.httpResponseWith(Array.empty[Byte],
