@@ -151,6 +151,7 @@ object Html {
     var headDepth = 0   // <head> nesting, separately recoverable
     var aDepth = 0
     var baseHref: String = null
+    var bodySeen = false
     var metaDescription: String = null
     val robotsMetas = Vector.newBuilder[String]
     var canonicalHref: String = null
@@ -218,7 +219,7 @@ object Html {
           // data we extract; everything else takes the fast skip
           var attrs: scala.collection.mutable.Map[String, String] = null
           if (!closing && (name == "a" || name == "base" || name == "meta" ||
-              name == "link")) {
+              (name == "link" && canonicalHref == null && !bodySeen))) {
             attrs = scala.collection.mutable.Map.empty[String, String]
             while (j < n && html.charAt(j) != '>') {
               val cj = html.charAt(j)
@@ -277,9 +278,15 @@ object Html {
                     robotsMetas += decodeEntities(c))
               case "link" =>
                 // first <link rel=canonical> wins (the convention:
-                // search engines ignore all but one canonical anyway)
+                // search engines ignore all but one canonical anyway);
+                // rel is a space-separated TOKEN LIST ("canonical
+                // alternate" declares both), matched tokenwise. Links
+                // after <body> opens never count — the SEO-injection
+                // vector where user content echoed into the body
+                // hijacks the page's canonical.
                 if (canonicalHref == null &&
-                    attrs.get("rel").exists(_.equalsIgnoreCase("canonical")))
+                    attrs.get("rel").exists(_.split("\\s+")
+                      .exists(_.equalsIgnoreCase("canonical"))))
                   attrs.get("href").foreach(h =>
                     canonicalHref = decodeEntities(h))
               case _ => ()
@@ -326,6 +333,7 @@ object Html {
               // </head> is optional: an opening <body> closes any
               // still-open head scope, and title text cannot continue
               headDepth = 0
+              bodySeen = true
               if (inTitle) { inTitle = false; titleDone = true }
             } else if (ChromeTags.contains(name)) {
               if (closing) { if (chromeDepth > 0) chromeDepth -= 1 }
@@ -534,8 +542,13 @@ object Html {
       .select(col("doc_id"), col("url"),
         col("r._1").as("canonical_href"),
         coalesce(
-          Url.canonical(Url.resolve(
-            coalesce(col("r._2"), col("url")), col("r._1"))),
+          // the effective base is the declared <base href> resolved
+          // against the page URL (a ROOT-RELATIVE base like "/en/" is
+          // valid HTML and must not discard the declaration); resolve
+          // already canonicalizes its result
+          Url.resolve(
+            coalesce(Url.resolve(col("url"), col("r._2")), col("url")),
+            col("r._1")),
           Url.canonical(col("url")),
           col("url")).as("canonical_url"))
   }

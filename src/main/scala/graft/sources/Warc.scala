@@ -544,7 +544,8 @@ object Warc {
 
   /** Read a directory (or glob) of WARC segments: one row per record,
     * `(segment_path, record_index, warc_type, target_uri, warc_date,
-    * content_length, http_status, http_content_type, body)`.
+    * content_length, payload_digest, http_status, http_content_type,
+    * http_location, http_x_robots, body)` — the [[WarcRecord]] shape.
     *
     * Each task opens its segment as a STREAM (never materializing the
     * file, its decompressed form, or the parsed record set at once —
@@ -1331,7 +1332,8 @@ object Warc {
   def xRobotsVerdicts(header: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val toks = transform(split(coalesce(header, lit("")), ","),
-      t => lower(trim(element_at(split(t, ":"), -1))))
+      t => lower(regexp_replace(element_at(split(t, ":"), -1),
+        "^\\s+|\\s+$", "")))
     struct(
       (array_contains(toks, "noindex") || array_contains(toks, "none"))
         .as("noindex"),

@@ -216,7 +216,18 @@ class HtmlSpec extends SparkSpec {
       (5L, "https://a.com/v5.html",
         """<html><head><link rel="stylesheet" href="s.css"><link rel="canonical" href="/one.html"><link rel="canonical" href="/two.html"></head></html>"""),
       // NULL html: self-canonical, no declaration — the column is total
-      (6L, "https://a.com/vnull.html", null.asInstanceOf[String]))
+      (6L, "https://a.com/vnull.html", null.asInstanceOf[String]),
+      // a ROOT-RELATIVE <base href> (valid HTML) resolves against the
+      // page URL first — it must not discard the declaration
+      (7L, "https://a.com/x/v7.html",
+        """<html><head><base href="/en/"><link rel="canonical" href="main.html"></head></html>"""),
+      // rel is a space-separated token list
+      (8L, "https://a.com/v8.html",
+        """<html><head><link rel="canonical alternate" href="/main.html"></head></html>"""),
+      // a canonical injected AFTER <body> opens (the SEO-injection
+      // vector: user content echoed into the page) never counts
+      (9L, "https://a.com/v9.html",
+        """<html><head></head><body><link rel="canonical" href="https://spam.example/"></body></html>"""))
       .toDF("doc_id", "url", "html")
     val got = Html.canonicalTargets(docs, "doc_id", "url", "html")
       .orderBy("doc_id")
@@ -228,6 +239,9 @@ class HtmlSpec extends SparkSpec {
       ("main.html", "https://b.org/root/main.html"),
       (null, "https://a.com/solo.html"),
       ("/one.html", "https://a.com/one.html"),
-      (null, "https://a.com/vnull.html")), got.mkString("\n"))
+      (null, "https://a.com/vnull.html"),
+      ("main.html", "https://a.com/en/main.html"),
+      ("/main.html", "https://a.com/main.html"),
+      (null, "https://a.com/v9.html")), got.mkString("\n"))
   }
 }

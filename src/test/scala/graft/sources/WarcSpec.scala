@@ -214,13 +214,16 @@ class WarcSpec extends SparkSpec {
     val got = Seq(
       ("noindex, nofollow"), (" NoIndex "), ("none"),
       ("googlebot: nofollow"), ("unavailable_after: 1 Jan 2027"),
-      ("index, follow"), (null: String))
+      ("index, follow"), (null: String),
+      // HTAB is legal RFC 9110 optional whitespace around list members
+      ("noindex,\tnofollow"))
       .toDF("h")
       .select(Warc.xRobotsVerdicts(col("h")).as("v"))
       .select("v.noindex", "v.nofollow")
       .as[(Boolean, Boolean)].collect().toSeq
     assert(got == Seq((true, true), (true, false), (true, true),
-      (false, true), (false, false), (false, false), (false, false)),
+      (false, true), (false, false), (false, false), (false, false),
+      (true, true)),
       got.toString)
   }
 
