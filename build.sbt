@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures only a stdout TAIL of `sbt run` and parses the
+// bench's final JSON line. sbt's default logger prefixes forked output
+// with "[info] " and appends a "[success] Total time" epilogue, which
+// defeated the parser three rounds running (BENCH_r11..r13 all shipped
+// "parsed": null despite the line being present). StdoutOutput passes
+// the forked JVM's stdout through verbatim — the JSON reaches the tail
+// as a bare line. (Bench ALSO writes BENCH_SUMMARY.json as the
+// belt-and-braces channel.)
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

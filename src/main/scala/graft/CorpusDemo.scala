@@ -94,12 +94,15 @@ object CorpusDemo {
     //     ids, token-budget packing, ONE integer sequence per bin with
     //     EOS separators and offset boundary arrays, exported as
     //     manifest-audited shards: the literal batch a trainer maps.
-    val fimmed = refined.select(col("doc_id"),
-      Text.fimTransform(col("doc_id"), col("text")).as("text"))
-    // one narrow pass over the cached frame — a fimmed⋈refined join
-    // would shuffle |survivors| rows both ways just to count changes
-    val fimTransformed = refined.filter(
-      Text.fimTransform(col("doc_id"), col("text")) =!= col("text")).count()
+    // the changed-flag derives from the already-transformed column —
+    // fimTransform runs ONCE per row per action, not once in the
+    // trainer path and again inside a counting filter
+    val fimmed = refined
+      .select(col("doc_id"), col("text").as("fim_orig"),
+        Text.fimTransform(col("doc_id"), col("text")).as("text"))
+      .withColumn("fim_changed", col("text") =!= col("fim_orig"))
+      .drop("fim_orig")
+    val fimTransformed = fimmed.filter(col("fim_changed")).count()
     val merges = Bpe.trainMerges(fimmed, "text", numMerges = 64,
       minCount = 2L)
     val tokenized = Bpe.tokenIds(fimmed, "doc_id", "text", merges)
@@ -126,7 +129,10 @@ object CorpusDemo {
     val tokenSequences = landedSeqs.count()
     // every survivor packs into exactly one bin — the e2e conservation
     // the spec reconciles against `survivors`
-    val tokenSeqDocs = landedSeqs.agg(sum("n_docs")).head.getLong(0)
+    // sum over an empty frame is NULL — an empty corpus is a zero, not
+    // a driver NPE (round-13 ADVICE)
+    val tokenSeqDocs = landedSeqs.agg(coalesce(sum("n_docs"), lit(0L)))
+      .head.getLong(0)
 
     refined.unpersist()
 

@@ -247,6 +247,37 @@ object SparkEntry {
           "<footer>(c) example corp all rights reserved</footer>" +
           "</body></html>")).as("html"))
 
+  /** Build-once DERIVED-ARTIFACT dir (round-13 ADVICE: q146/q147/q151
+    * created a fresh `createTempDirectory` per invocation, so the
+    * bench's warm-up + min-of-2 protocol re-ran each full WAT/CDXJ
+    * export three times per leg and accumulated unbounded temp-dir
+    * garbage). Keyed by query name + docsTag like the WARC fixtures;
+    * `build` populates a staging dir that is renamed into place, so
+    * timed attempts measure SERVE rather than re-export and a crashed
+    * build can never publish a half-written artifact. */
+  private def ensureDerivedDir(s: SparkSession, dir: String, name: String)
+                              (build: String => Unit): String = {
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${name}_${docsTag(s, dir)}").toString
+    val root = new java.io.File(out)
+    if (!root.exists()) {
+      val stage = new java.io.File(out + "_stage")
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rmTree)
+        }
+        f.delete()
+      }
+      if (stage.exists()) rmTree(stage)
+      stage.mkdirs()
+      build(stage.toString)
+      if (!stage.renameTo(root))
+        require(root.exists(), s"derived-dir rename failed for $out")
+    }
+    out
+  }
+
   /** Build-once WARC fixture for q115/q116: real `.warc` segment
     * files (every other one whole-file GZIPPED to keep that path
     * live), 25 docs per segment, each segment = one warcinfo record +
@@ -596,6 +627,21 @@ object SparkEntry {
     * [[graft.operators.Bpe.tokenizeWord]] on adversarial words. */
   private[graft] val CommittedBpeMerges: Seq[(String, String)] =
     Seq(("t", "h"), ("i", "n"), ("e", "</w>"))
+
+  /** q82c's committed CHAINED merge list: rank 1 consumes rank 0's
+    * output (`th`+`e`), so the greedy argmax apply loop's stage
+    * structure is LIVE — the one interior q82's non-chaining list
+    * collapsed away. Still closed-form: stage 0 is the q145
+    * left-to-right scan, and because `the`'s alternation-preferred
+    * regex match consumes exactly the (th, e) pairs stage 1 merges
+    * (the 'e' it takes can never belong to a later 'th'), the WHOLE
+    * two-stage trace equals ONE scan 'the|th|.'; the trailing
+    * end-of-word merge then applies iff the last symbol is a BARE 'e'
+    * (`LIKE '%e' AND NOT LIKE '%the'`). Rank ORDER is observable:
+    * (th,e) at rank 1 beats (e,</w>) at rank 2 on words ending in
+    * "the" — swapping them changes the output, which BpeSpec pins. */
+  private[graft] val CommittedChainedBpeMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("th", "e"), ("e", "</w>"))
 
   /** q87b's committed weak-label training set — a fixed literal corpus
     * (quality-prose vs spam boilerplate, the CCNet-style weak signal),
@@ -1700,10 +1746,10 @@ object SparkEntry {
       val resp = W.readWarc(s, wdir).filter(col("warc_type") === "response")
       val wat = graft.operators.Html.watMetadata(resp, "target_uri",
         "body", "warc_date", "payload_digest")
-      val watDir = new java.io.File(
-        java.nio.file.Files.createTempDirectory("graft_q146").toFile,
-        "wat").toString
-      W.writeWatSegments(wat, "uri", "wat_json", watDir)
+      // build-once: the export lands under a docsTag-keyed dir; bench
+      // re-invocations time the read-back serve, not a re-export
+      val watDir = ensureDerivedDir(s, dir, "q146_wat")(stage =>
+        W.writeWatSegments(wat, "uri", "wat_json", s"$stage/wat")) + "/wat"
       W.readWarc(s, watDir).filter(col("warc_type") === "metadata")
         .select(from_json(col("body").cast("string"),
           "url STRING, date STRING, digest STRING, title STRING, " +
@@ -1734,10 +1780,10 @@ object SparkEntry {
     "q147_cdxj_rangescan" -> ((s, dir) => {
       val wdir = ensureCdxWarcDir(s, dir)
       val W = graft.sources.Warc
-      val cdxjDir = new java.io.File(
-        java.nio.file.Files.createTempDirectory("graft_q147").toFile,
-        "cdxj").toString
-      W.writeCdxj(W.cdxIndex(s, wdir), cdxjDir, shards = 8)
+      // build-once publish; every invocation still runs the read-side
+      // pruning receipt below against the committed index
+      val cdxjDir = ensureDerivedDir(s, dir, "q147_cdxj")(stage =>
+        W.writeCdxj(W.cdxIndex(s, wdir), s"$stage/cdxj", shards = 8)) + "/cdxj"
       // site3's host subtree (SURT folds www. — the fixture's keys are
       // `com,example,site3)/…`; the `)` keeps the label boundary exact,
       // so site13/site30 could never ride along)
@@ -1920,6 +1966,80 @@ object SparkEntry {
         .orderBy("keeper")
     }),
 
+    // Image–text pairs (Html.imageTextPairs — the LAION slot: alt-text
+    // pairs mined from page markup are THE public multimodal
+    // training-data source): five regimes by doc_id%5 — relative src
+    // vs the page URL, base-href resolution with an explicit-empty
+    // alt (the decorative convention, distinct from ABSENT), figure/
+    // figcaption captioning, a chrome logo whose title attribute is
+    // the caption fallback, and an absolute src with canonicalization
+    // slop. A src-less img on every page proves no ghost rows. Every
+    // resolved URL, alt, caption, and chrome flag is closed-form.
+    "q155_image_text_pairs" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(5))
+      val ks = pmod(col("doc_id"), lit(20)).cast("string")
+      val ids = col("doc_id").cast("string")
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://site"), ks, lit(".example.com/dir/page"),
+          ids, lit(".html")).as("url"),
+        concat(
+          lit("<html><head><title>Page "), ids, lit("</title>"),
+          when(m === 1, lit("<base href=\"/media/\">")).otherwise(lit("")),
+          lit("</head><body>"),
+          when(m === 0, concat(lit("<img src=\"pics/img"), ids,
+              lit(".jpg\" alt=\"Alt &amp; text "), ids, lit("\">")))
+            .when(m === 1, concat(lit("<img src=\"i"), ids,
+              lit(".png\" alt=\"\">")))
+            .when(m === 2, concat(lit("<figure><img src=\"/abs/f"), ids,
+              lit(".jpg\"><figcaption>Cap "), ids,
+              lit(" &quot;q&quot;</figcaption></figure>")))
+            .when(m === 3, concat(
+              lit("<nav><img src=\"logo.svg\" title=\"Logo "), ids,
+              lit("\"></nav>")))
+            .otherwise(concat(
+              lit("<img src=\"HTTPS://CDN.Example.COM:443/x"), ids,
+              lit(".webp\" alt=\"x\">"))),
+          lit("<img alt=\"ghost\"></body></html>")).as("html"))
+      graft.operators.Html.imageTextPairs(pages, "doc_id", "url", "html")
+        .select(col("doc_id"), col("img_pos"), col("image_url"),
+          coalesce(col("alt_text"), lit("[absent]")).as("alt_text"),
+          coalesce(col("caption"), lit("-")).as("caption"),
+          col("in_chrome"), col("page_title"))
+        .orderBy("doc_id")
+    }),
+
+    // Anchor-text edges (Html.anchorTextEdges — the web's oldest
+    // relevance label: the text OTHER pages use to describe a
+    // target): four regimes by doc_id%4 — entity-decoded text,
+    // base-href destination resolution with nested inline markup
+    // stripped, a textless image anchor next to a chrome nav link,
+    // and a block boundary ending the anchor's text claim. Every
+    // edge, destination, and text is closed-form.
+    "q156_anchor_text_edges" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4))
+      val ks = pmod(col("doc_id"), lit(20)).cast("string")
+      val ids = col("doc_id").cast("string")
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://site"), ks, lit(".example.com/dir/page"),
+          ids, lit(".html")).as("url"),
+        when(m === 0, concat(lit("<a href=\"next"), ids,
+            lit(".html\">Go &amp; see "), ids, lit("</a>")))
+          .when(m === 1, concat(
+            lit("<head><base href=\"/en/\"></head><body><a href=\"deep"),
+            ids, lit(".html\">Deep <b>Bold</b> "), ids, lit("</a>")))
+          .when(m === 2, concat(lit("<a href=\"/img"), ids,
+            lit("\"><img src=\"i.png\"></a>"),
+            lit("<nav><a href=\"/nav\">Home</a></nav>")))
+          .otherwise(concat(lit("<a href=\"/cut"), ids,
+            lit("\">start "), ids, lit("<p>rest of page</p></a>")))
+          .as("html"))
+      graft.operators.Html.anchorTextEdges(pages, "doc_id", "url", "html")
+        .select(col("doc_id"), col("link_pos"), col("dst_url"),
+          coalesce(col("anchor_text"), lit("[none]")).as("anchor_text"),
+          col("in_chrome"))
+        .orderBy("doc_id", "link_pos")
+    }),
+
     // Cross-crawl index MERGE (the CommonCrawl consumption pattern:
     // every crawl publishes its own sorted CDXJ; a consumer unions
     // them and dedups): each of the q148 fixture's three crawl
@@ -1933,15 +2053,20 @@ object SparkEntry {
     "q151_crawl_merge" -> ((s, dir) => {
       val wdir = ensureMultiCaptureWarcDir(s, dir)
       val W = graft.sources.Warc
-      val base = java.nio.file.Files.createTempDirectory("graft_q151").toString
-      Seq("a", "b", "c").foreach { tag =>
-        W.writeCdxj(W.cdxIndex(s, s"$wdir/crawl-$tag-*"),
-          s"$base/cdxj-$tag", shards = 2)
+      // build-once: the three per-crawl publishes AND the merged
+      // re-publish are the producer side of the pattern — they land
+      // once per docsTag; every invocation times the CONSUMER side
+      // (range read + latest-capture dedup + ranged fetch)
+      val base = ensureDerivedDir(s, dir, "q151_merge") { stage =>
+        Seq("a", "b", "c").foreach { tag =>
+          W.writeCdxj(W.cdxIndex(s, s"$wdir/crawl-$tag-*"),
+            s"$stage/cdxj-$tag", shards = 2)
+        }
+        val merged = Seq("a", "b", "c")
+          .map(tag => W.readCdxj(s, s"$stage/cdxj-$tag"))
+          .reduce(_ unionByName _)
+        W.writeCdxj(merged, s"$stage/cdxj-merged", shards = 3)
       }
-      val merged = Seq("a", "b", "c")
-        .map(tag => W.readCdxj(s, s"$base/cdxj-$tag"))
-        .reduce(_ unionByName _)
-      W.writeCdxj(merged, s"$base/cdxj-merged", shards = 3)
       val winners = W.latestCaptures(
         W.readCdxjPrefix(s, s"$base/cdxj-merged", "com,"))
       W.fetchByCdx(winners, wdir)
@@ -2371,6 +2496,24 @@ object SparkEntry {
     "q82_bpe_tokens" -> ((s, dir) =>
       graft.operators.Bpe.tokenCount(t(s, dir, "documents"),
           "doc_id", "text", CommittedBpeMerges)
+        .orderBy("doc_id")),
+
+    // The GENERAL greedy BPE apply path under a CHAINED merge list
+    // (rank 1 consumes rank 0's output — the stage structure q82's
+    // character-disjoint list collapsed away, the battery's last
+    // spec-only interior): every token ID of every document under
+    // CommittedChainedBpeMerges, md5-pinned per doc. The oracle
+    // replays the full two-stage greedy trace closed-form — see the
+    // merge list's doc for why one 'the|th|.' scan equals it — so one
+    // id out of place, one rank misordered (priority between (th,e)
+    // and (e,</w>) is observable on words ending in "the"), breaks
+    // the hash.
+    "q82c_bpe_chained" -> ((s, dir) =>
+      graft.operators.Bpe.tokenIds(t(s, dir, "documents"),
+          "doc_id", "text", CommittedChainedBpeMerges)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(array_join(transform(col("token_ids"), _.cast("string")),
+            ",")).as("ids_md5"))
         .orderBy("doc_id")),
 
     // Streaming near-dup index maintenance e2e: the whole corpus
@@ -5731,6 +5874,71 @@ object SparkEntry {
                 CAST(n - 1 AS BIGINT) AS n_declared
          FROM a ORDER BY keeper""",
 
+    // q155: every pair restated closed-form from the five-regime
+    // template — resolved image URL (relative, base-href, absolute
+    // with canonicalization slop), alt semantics (absent vs
+    // explicitly empty), figcaption/title-attr captioning, chrome.
+    "q155_image_text_pairs" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(doc_id % 5 AS INT) AS m,
+                  CAST(doc_id % 20 AS VARCHAR) AS k,
+                  CAST(doc_id AS VARCHAR) AS i
+           FROM documents)
+         SELECT doc_id, CAST(0 AS INT) AS img_pos,
+                CASE m
+                  WHEN 0 THEN 'https://site' || k ||
+                    '.example.com/dir/pics/img' || i || '.jpg'
+                  WHEN 1 THEN 'https://site' || k ||
+                    '.example.com/media/i' || i || '.png'
+                  WHEN 2 THEN 'https://site' || k ||
+                    '.example.com/abs/f' || i || '.jpg'
+                  WHEN 3 THEN 'https://site' || k ||
+                    '.example.com/dir/logo.svg'
+                  ELSE 'https://cdn.example.com/x' || i || '.webp'
+                END AS image_url,
+                CASE m WHEN 0 THEN 'Alt & text ' || i
+                       WHEN 1 THEN ''
+                       WHEN 4 THEN 'x'
+                       ELSE '[absent]' END AS alt_text,
+                CASE m WHEN 2 THEN 'Cap ' || i || ' "q"'
+                       WHEN 3 THEN 'Logo ' || i
+                       ELSE '-' END AS caption,
+                (doc_id % 5 = 3) AS in_chrome,
+                'Page ' || i AS page_title
+         FROM b ORDER BY doc_id""",
+
+    // q156: edges restated closed-form — the m=2 regime contributes
+    // its second (chrome) edge via the union branch.
+    "q156_anchor_text_edges" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(doc_id % 4 AS INT) AS m,
+                  CAST(doc_id % 20 AS VARCHAR) AS k,
+                  CAST(doc_id AS VARCHAR) AS i
+           FROM documents),
+         e AS (
+           SELECT doc_id, CAST(0 AS INT) AS link_pos,
+                  CASE m
+                    WHEN 0 THEN 'https://site' || k ||
+                      '.example.com/dir/next' || i || '.html'
+                    WHEN 1 THEN 'https://site' || k ||
+                      '.example.com/en/deep' || i || '.html'
+                    WHEN 2 THEN 'https://site' || k ||
+                      '.example.com/img' || i
+                    ELSE 'https://site' || k || '.example.com/cut' || i
+                  END AS dst_url,
+                  CASE m WHEN 0 THEN 'Go & see ' || i
+                         WHEN 1 THEN 'Deep Bold ' || i
+                         WHEN 2 THEN '[none]'
+                         ELSE 'start ' || i END AS anchor_text,
+                  FALSE AS in_chrome
+           FROM b
+           UNION ALL
+           SELECT doc_id, CAST(1 AS INT),
+                  'https://site' || k || '.example.com/nav', 'Home', TRUE
+           FROM b WHERE m = 2)
+         SELECT doc_id, link_pos, dst_url, anchor_text, in_chrome
+         FROM e ORDER BY doc_id, link_pos""",
+
     // q151: the q148 oracle verbatim — three separately published
     // per-crawl indexes, merged and re-published in interchange form,
     // must dedup to the same winners as one catalog built directly.
@@ -6299,6 +6507,42 @@ object SparkEntry {
          SELECT d.doc_id, CAST(coalesce(sum(p.n), 0) AS BIGINT) AS n_bpe_tokens
          FROM documents d LEFT JOIN per p USING (doc_id)
          GROUP BY d.doc_id ORDER BY d.doc_id""",
+
+    // q82c: the chained two-stage greedy trace closed-form. Stage 0
+    // (t,h) is a left-to-right non-overlapping scan; stage 1 (th,e)
+    // consumes exactly the pairs the alternation-preferred 'the'
+    // match takes (its 'e' can never belong to a later 'th'), so both
+    // stages equal ONE scan 'the|th|.'; stage 2's end-of-word merge
+    // fires iff the last symbol is a BARE 'e' — a word ending "the"
+    // keeps '</w>' separate because rank 1 already took the 'e'
+    // (the rank-priority observable). Ids: 1='</w>', 2='th', 3='the',
+    // 4='e</w>', 5+codepoint=base.
+    "q82c_bpe_chained" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '),
+                  x -> length(x) > 0) AS ws
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+                  flatten(list_transform(ws, wd ->
+                    list_transform(
+                      CASE WHEN wd LIKE '%e' AND NOT wd LIKE '%the'
+                        THEN list_append(list_slice(
+                               regexp_extract_all(wd, 'the|th|.'), 1,
+                               len(regexp_extract_all(wd, 'the|th|.')) - 1),
+                             'e</w>')
+                        ELSE list_append(regexp_extract_all(wd, 'the|th|.'),
+                             '</w>')
+                      END,
+                      t -> CASE t WHEN '</w>' THEN 1 WHEN 'th' THEN 2
+                                  WHEN 'the' THEN 3 WHEN 'e</w>' THEN 4
+                                  ELSE 5 + unicode(t) END))) AS ids
+           FROM w)
+         SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+                md5(array_to_string(ids, ',')) AS ids_md5
+         FROM tok ORDER BY doc_id""",
 
     // q82b: DuckDB recomputes the BPE word histogram from the raw
     // corpus — normalizeText (lower, strip ASCII punct, collapse

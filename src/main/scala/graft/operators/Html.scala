@@ -66,8 +66,34 @@ object Html {
 
   /** One extracted hyperlink: decoded `href`, document order, chrome
     * flag (nav/footer links are usually boilerplate for CONTENT but
-    * are real edges for a WEB GRAPH — the caller chooses). */
-  private[operators] final case class Link(href: String, inChrome: Boolean)
+    * are real edges for a WEB GRAPH — the caller chooses), and the
+    * anchor's visible TEXT — entity-decoded, whitespace-collapsed,
+    * nested inline markup stripped; NULL when the anchor wraps no
+    * text (image links, icons). Text accrues to the OUTERMOST open
+    * anchor (invalid nested `<a href>` rows carry NULL text) and ends
+    * at a block boundary, the same recovery rule link-density counting
+    * uses — an unclosed `<a>` cannot claim the rest of the page. */
+  private[operators] final case class Link(href: String, inChrome: Boolean,
+                                           text: String)
+
+  /** One extracted image: decoded `src`, `alt`/`title` attribute text
+    * (entity-decoded, NULL when the attribute is absent), the nearest
+    * enclosing `<figure>`'s `<figcaption>` text (NULL outside figures
+    * or when the figure has no caption), and the chrome flag. */
+  private[operators] final case class Img(src: String, alt: String,
+                                          titleAttr: String, caption: String,
+                                          inChrome: Boolean)
+
+  /** Tags that live in the head: their appearance does NOT imply the
+    * body has opened. Everything else (a `<p>`, a `<div>`, bare text)
+    * implicitly opens the body per HTML5's omittable-tag rules — the
+    * guard that keeps body-injected `<meta name=robots>` /
+    * `<link rel=canonical>` (user content echoed into a page) from
+    * hijacking head-scoped signals even on templates that never write
+    * an explicit `<body>`. */
+  private val HeadScopedTags: Set[String] = Set(
+    "html", "head", "title", "base", "link", "meta", "style", "script",
+    "noscript", "template")
 
   /** Decode the five named entities + numeric references in an
     * attribute value (hrefs legally carry `&amp;`); unknown entities
@@ -117,7 +143,8 @@ object Html {
                                            title: String,
                                            metaDescription: String,
                                            robotsMetas: Vector[String],
-                                           canonicalHref: String)
+                                           canonicalHref: String,
+                                           images: Vector[Img])
 
   /** The single-pass extraction kernel: blocks in document order with
     * collapsed whitespace, linked-char counts, and chrome flags.
@@ -142,8 +169,20 @@ object Html {
     scanHtml(html).links
 
   private[operators] def scanHtml(html: String): Scan = {
+    // mutable holders: anchor text and figure captions attach AFTER
+    // the row is created (text follows the <a href>, a <figcaption>
+    // legally follows its <img>), so links/imgs build in ArrayBuffers
+    // and freeze to the immutable rows at the end of the single pass
+    final class LinkH(val href: String, val inChrome: Boolean) {
+      var text: String = null
+    }
+    final class ImgH(val src: String, val alt: String,
+                     val titleAttr: String, val inChrome: Boolean) {
+      var caption: String = null
+    }
     val out = Vector.newBuilder[Block]
-    val links = Vector.newBuilder[Link]
+    val links = scala.collection.mutable.ArrayBuffer.empty[LinkH]
+    val imgs = scala.collection.mutable.ArrayBuffer.empty[ImgH]
     val sb = new java.lang.StringBuilder
     var linkChars = 0
     var pendingSpace = false
@@ -159,8 +198,29 @@ object Html {
     var titlePending = false
     var inTitle = false
     var titleDone = false
+    // anchor-text accumulation: the OUTERMOST open anchor's link row
+    // (if it carried an href) receives the collapsed text
+    val anchorSb = new java.lang.StringBuilder
+    var anchorPending = false
+    var pendingLinkIdx = -1
+    // figure/figcaption tracking for image captions: the outermost
+    // figure scope owns one caption buffer; at its close every img the
+    // figure contained receives the caption
+    var figureDepth = 0
+    var figcapDepth = 0
+    var figStartImg = 0
+    val figCapSb = new java.lang.StringBuilder
+    var figPending = false
     val n = html.length
     var i = 0
+
+    def finalizeAnchor(): Unit = {
+      if (pendingLinkIdx >= 0 && anchorSb.length > 0)
+        links(pendingLinkIdx).text = anchorSb.toString
+      pendingLinkIdx = -1
+      anchorSb.setLength(0)
+      anchorPending = false
+    }
 
     def flush(): Unit = {
       val text = sb.toString
@@ -169,6 +229,7 @@ object Html {
       sb.setLength(0)
       linkChars = 0
       pendingSpace = false
+      finalizeAnchor() // anchor text ends where link-density credit ends
       aDepth = 0 // an unclosed <a> must not poison later blocks
     }
 
@@ -177,7 +238,15 @@ object Html {
           c == 0x0B.toChar || c == 0xA0.toChar) {
         if (sb.length > 0) pendingSpace = true
         if (titleSb.length > 0) titlePending = true
+        if (anchorSb.length > 0) anchorPending = true
+        if (figCapSb.length > 0) figPending = true
       } else {
+        // visible text outside an (explicit or implied) head opens the
+        // body: a canonical/robots declaration echoed into user
+        // content can then never pass the head-scope gate, even on
+        // templates that omit <body> (title text is head content and
+        // must not trip this)
+        if (headDepth == 0 && !inTitle) bodySeen = true
         if (pendingSpace) { sb.append(' '); if (aDepth > 0) linkChars += 1 }
         pendingSpace = false
         sb.append(c)
@@ -186,6 +255,16 @@ object Html {
           if (titlePending) titleSb.append(' ')
           titlePending = false
           titleSb.append(c)
+        }
+        if (aDepth > 0 && pendingLinkIdx >= 0) {
+          if (anchorPending) anchorSb.append(' ')
+          anchorPending = false
+          anchorSb.append(c)
+        }
+        if (figcapDepth > 0 && figureDepth > 0) {
+          if (figPending) figCapSb.append(' ')
+          figPending = false
+          figCapSb.append(c)
         }
       }
     }
@@ -218,7 +297,9 @@ object Html {
           // quoted either style or bare) only for the tags that carry
           // data we extract; everything else takes the fast skip
           var attrs: scala.collection.mutable.Map[String, String] = null
+          var openedLinkIdx = -1
           if (!closing && (name == "a" || name == "base" || name == "meta" ||
+              name == "img" ||
               (name == "link" && canonicalHref == null && !bodySeen))) {
             attrs = scala.collection.mutable.Map.empty[String, String]
             while (j < n && html.charAt(j) != '>') {
@@ -259,9 +340,21 @@ object Html {
             }
             name match {
               case "a" =>
-                attrs.get("href").foreach(h =>
-                  links += Link(decodeEntities(h),
-                    chromeDepth > 0 || headDepth > 0))
+                attrs.get("href").foreach { h =>
+                  links += new LinkH(decodeEntities(h),
+                    chromeDepth > 0 || headDepth > 0)
+                  openedLinkIdx = links.length - 1
+                }
+              case "img" =>
+                // src-less imgs are not images; alt/title decode like
+                // every attribute value, absent stays NULL (alt="" is
+                // a real value — the decorative-image convention)
+                attrs.get("src").foreach { src =>
+                  imgs += new ImgH(decodeEntities(src),
+                    attrs.get("alt").map(decodeEntities).orNull,
+                    attrs.get("title").map(decodeEntities).orNull,
+                    chromeDepth > 0 || headDepth > 0)
+                }
               case "base" =>
                 if (baseHref == null)
                   attrs.get("href").foreach(h => baseHref = decodeEntities(h))
@@ -273,7 +366,12 @@ object Html {
                 // EVERY robots meta collects (a CMS and a plugin each
                 // injecting one is common); the most restrictive
                 // combination wins downstream, per the Google/Bing rule
-                if (attrs.get("name").exists(_.equalsIgnoreCase("robots")))
+                // — but only HEAD-scoped metas count: once the body
+                // opens (explicitly or implicitly), a robots meta is
+                // echoed user content, the same injection vector the
+                // canonical gate already closes (round-13 ADVICE)
+                if (!bodySeen &&
+                    attrs.get("name").exists(_.equalsIgnoreCase("robots")))
                   attrs.get("content").foreach(c =>
                     robotsMetas += decodeEntities(c))
               case "link" =>
@@ -317,10 +415,55 @@ object Html {
               i = if (found < 0) n
                   else { val g = html.indexOf('>', found); if (g < 0) n else g + 1 }
             }
+            // any non-head-scoped tag implies the body has opened
+            // (HTML5 omits <body> freely) — checked BEFORE this tag's
+            // own scope bookkeeping so the tag that opens the body
+            // can't retro-gate signals it already placed in the head
+            if (!closing && headDepth == 0 && !HeadScopedTags.contains(name))
+              bodySeen = true
             if (BlockTags.contains(name)) flush()
             if (name == "a") {
-              if (closing) { if (aDepth > 0) aDepth -= 1 }
-              else if (!selfClosing) aDepth += 1
+              if (closing) {
+                if (aDepth > 0) aDepth -= 1
+                if (aDepth == 0) finalizeAnchor()
+              } else if (!selfClosing) {
+                if (aDepth == 0) {
+                  // outermost anchor: its (href-bearing) row collects
+                  // the text; nested anchors ride the outer buffer
+                  finalizeAnchor()
+                  pendingLinkIdx = openedLinkIdx
+                }
+                aDepth += 1
+              }
+            }
+            if (name == "figure") {
+              if (closing) {
+                if (figureDepth > 0) figureDepth -= 1
+                if (figureDepth == 0) {
+                  // assign the figure's caption to every img it held
+                  if (figCapSb.length > 0) {
+                    val cap = figCapSb.toString
+                    var k = figStartImg
+                    while (k < imgs.length) {
+                      if (imgs(k).caption == null) imgs(k).caption = cap
+                      k += 1
+                    }
+                  }
+                  figCapSb.setLength(0)
+                  figPending = false
+                  figcapDepth = 0
+                }
+              } else if (!selfClosing) {
+                if (figureDepth == 0) {
+                  figStartImg = imgs.length
+                  figCapSb.setLength(0)
+                  figPending = false
+                }
+                figureDepth += 1
+              }
+            } else if (name == "figcaption") {
+              if (closing) { if (figcapDepth > 0) figcapDepth -= 1 }
+              else if (!selfClosing && figureDepth > 0) figcapDepth += 1
             }
             if (name == "title") {
               if (closing) { inTitle = false; titleDone = true }
@@ -375,9 +518,13 @@ object Html {
       }
     }
     flush()
-    Scan(out.result(), links.result(), baseHref,
+    Scan(out.result(),
+      links.iterator.map(l => Link(l.href, l.inChrome, l.text)).toVector,
+      baseHref,
       if (titleSb.length > 0) titleSb.toString else null, metaDescription,
-      robotsMetas.result(), canonicalHref)
+      robotsMetas.result(), canonicalHref,
+      imgs.iterator.map(h =>
+        Img(h.src, h.alt, h.titleAttr, h.caption, h.inChrome)).toVector)
   }
 
   /** Classify-and-assemble over [[extractBlocks]]: the public
@@ -420,11 +567,15 @@ object Html {
   }
 
   /** Outlink extraction over a corpus:
-    * `(doc_id, link_pos, href, in_chrome, base_href)` — every anchor
-    * href in document order, entity-decoded, through the same state
-    * machine as [[extractMainText]] (links inside comments or
-    * script/style raw text do not exist; attribute values may be
-    * double-, single-, or un-quoted). `in_chrome` marks
+    * `(doc_id, link_pos, href, in_chrome, anchor_text, base_href)` —
+    * every anchor href in document order, entity-decoded, through the
+    * same state machine as [[extractMainText]] (links inside comments
+    * or script/style raw text do not exist; attribute values may be
+    * double-, single-, or un-quoted). `anchor_text` is the anchor's
+    * visible text — entity-decoded, whitespace-collapsed, nested
+    * inline markup stripped, NULL for textless anchors — the classic
+    * web-scale relevance/label signal (anchor-term profiles trained
+    * retrieval long before click logs existed). `in_chrome` marks
     * nav/header/footer/aside/head links so content-link analyses can
     * drop boilerplate edges while web-graph builds keep them.
     * `base_href` is the page's first `<base href>` (NULL when
@@ -437,10 +588,10 @@ object Html {
   def extractLinks(docs: DataFrame, idCol: String,
                    htmlCol: String): DataFrame = {
     val k = udf { (html: String) =>
-      if (html == null) (Array.empty[(String, Boolean)], null: String)
+      if (html == null) (Array.empty[(String, Boolean, String)], null: String)
       else {
         val s = scanHtml(html)
-        (s.links.map(l => (l.href, l.inChrome)).toArray, s.baseHref)
+        (s.links.map(l => (l.href, l.inChrome, l.text)).toArray, s.baseHref)
       }
     }
     docs.select(col(idCol).as("doc_id"), k(col(htmlCol)).as("r"))
@@ -448,6 +599,7 @@ object Html {
         posexplode(col("r._1")).as(Seq("link_pos", "l")))
       .select(col("doc_id"), col("link_pos"),
         col("l._1").as("href"), col("l._2").as("in_chrome"),
+        col("l._3").as("anchor_text"),
         col("base_href"))
   }
 
@@ -551,6 +703,108 @@ object Html {
             col("r._1")),
           Url.canonical(col("url")),
           col("url")).as("canonical_url"))
+  }
+
+  /** Image–text pair extraction — the LAION/CC-style multimodal
+    * training-data feed (Schuhmann et al. 2021, public: image URLs
+    * paired with their alt text, mined from CommonCrawl): one row per
+    * `<img src>` in document order with
+    * `(doc_id, page_url, img_pos, src, image_url, alt_text, caption,
+    * in_chrome, page_title)` —
+    *
+    *  - `src` verbatim (entity-decoded); `image_url` is src resolved
+    *    against the page's `<base href>` (else the page URL) and
+    *    canonicalized — the [[canonicalTargets]] base-resolution
+    *    composition, NULL only when unresolvable (a `data:` blob);
+    *  - `alt_text` is the alt attribute verbatim-decoded, NULL when
+    *    ABSENT but `""` when explicitly empty (the decorative-image
+    *    convention downstream filters key on);
+    *  - `caption` is the nearest enclosing `<figure>`'s
+    *    `<figcaption>` text, falling back to the img's `title`
+    *    attribute, NULL when neither exists — the page-context slot;
+    *  - `in_chrome` marks nav/header/footer/aside/head imgs (logos,
+    *    icons) so a pair-quality gate can drop them without losing
+    *    them for layout analyses; `page_title` rides along as the
+    *    page-level context field.
+    *
+    * src-less imgs yield no row; NULL html yields no rows. One
+    * [[scanHtml]] kernel pass + scalar URL kernels, no shuffle —
+    * corpus-linear like every extraction here. The DOWNLOAD of the
+    * image bytes is a crawl concern (the output's image_url column IS
+    * a fetch frontier); pairing, dedup ([[Multimodal]] fingerprints),
+    * and filtering all run on this frame. Battery q155 oracles every
+    * pair closed-form on template pages. */
+  def imageTextPairs(docs: DataFrame, idCol: String, urlCol: String,
+                     htmlCol: String): DataFrame = {
+    val k = udf { (html: String) =>
+      if (html == null)
+        (Array.empty[(String, String, String, Boolean)],
+          null: String, null: String)
+      else {
+        val s = scanHtml(html)
+        (s.images.map(m => (m.src, m.alt,
+          if (m.caption != null) m.caption else m.titleAttr,
+          m.inChrome)).toArray,
+          s.baseHref, s.title)
+      }
+    }
+    docs.select(col(idCol).as("doc_id"), col(urlCol).as("page_url"),
+        k(col(htmlCol)).as("r"))
+      .select(col("doc_id"), col("page_url"), col("r._2").as("base_href"),
+        col("r._3").as("page_title"),
+        posexplode(col("r._1")).as(Seq("img_pos", "m")))
+      .select(col("doc_id"), col("page_url"), col("img_pos"),
+        col("m._1").as("src"),
+        // effective base = declared <base href> resolved against the
+        // page URL (root-relative bases are legal), else the page URL
+        Url.resolve(
+          coalesce(Url.resolve(col("page_url"), col("base_href")),
+            col("page_url")),
+          col("m._1")).as("image_url"),
+        col("m._2").as("alt_text"),
+        col("m._3").as("caption"),
+        col("m._4").as("in_chrome"),
+        col("page_title"))
+  }
+
+  /** Anchor-text edges — `(doc_id, src_url, link_pos, dst_url,
+    * anchor_text, in_chrome)`: every outlink with its destination
+    * resolved base-href-aware and canonicalized (the
+    * [[canonicalTargets]] composition) plus the anchor's visible
+    * text. Anchor text is the web's oldest relevance label — the
+    * TEXT OTHER PAGES use to describe a target (Brin & Page 1998
+    * indexed it; anchor-term fields still carry web search) — and at
+    * training-data scale it labels retrieval pairs and scores crawl
+    * targets without a click log. Per-target profile = `groupBy
+    * (dst_url) + agg` over this frame (one shuffle keyed by target,
+    * map-side combinable); CrawlDemo aggregates it into an
+    * anchor-document BM25 field. Textless anchors keep their edge
+    * with NULL text (the graph must not thin), unresolvable hrefs
+    * keep NULL dst_url. One kernel pass + scalar URL kernels, no
+    * shuffle in the extraction itself (src_url rides the row — a
+    * re-join against the corpus for it would shuffle |links| rows for
+    * a column the kernel input already had). Battery q156 oracles
+    * edges closed-form (entity decode, nested-tag stripping, chrome
+    * and block-boundary scoping). */
+  def anchorTextEdges(docs: DataFrame, idCol: String, urlCol: String,
+                      htmlCol: String): DataFrame = {
+    val k = udf { (html: String) =>
+      if (html == null) (Array.empty[(String, Boolean, String)], null: String)
+      else {
+        val s = scanHtml(html)
+        (s.links.map(l => (l.href, l.inChrome, l.text)).toArray, s.baseHref)
+      }
+    }
+    docs.select(col(idCol).as("doc_id"), col(urlCol).as("src_url"),
+        k(col(htmlCol)).as("r"))
+      .select(col("doc_id"), col("src_url"), col("r._2").as("base_href"),
+        posexplode(col("r._1")).as(Seq("link_pos", "l")))
+      .select(col("doc_id"), col("src_url"), col("link_pos"),
+        Url.resolve(
+          coalesce(Url.resolve(col("src_url"), col("base_href")),
+            col("src_url")),
+          col("l._1")).as("dst_url"),
+        col("l._3").as("anchor_text"), col("l._2").as("in_chrome"))
   }
 
   /** WAT-style per-capture metadata (the third CommonCrawl artifact

@@ -1519,17 +1519,28 @@ object Warc {
     * from the manifest are ALWAYS read: pruning may only ever skip
     * what the manifest proves empty of the prefix. Driver-side
     * |shards| work. */
-  def cdxjShardsForPrefix(spark: SparkSession, path: String,
-                          prefix: String): Seq[String] = {
+  /** The CDXJ shard files of `path` — every non-hidden regular file,
+    * the visibility rule FileInputFormat applies. Shared by
+    * [[readCdxj]] and [[cdxjShardsForPrefix]] so a whole-directory
+    * read and a pruned read always start from the SAME candidate set.
+    * A `path` that is itself a file is its own one-element set. */
+  private def cdxjShardFiles(spark: SparkSession,
+                             path: String): Seq[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the same visibility rule FileInputFormat applies for readCdxj:
-    // everything except underscore/dot-prefixed names participates
-    val parts = fs.listStatus(root).toSeq
+    if (fs.getFileStatus(root).isFile) Seq(root)
+    else fs.listStatus(root).toSeq
       .filter(st => st.isFile && {
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       }).map(_.getPath)
+  }
+
+  def cdxjShardsForPrefix(spark: SparkSession, path: String,
+                          prefix: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = cdxjShardFiles(spark, path)
     val mPath = new org.apache.hadoop.fs.Path(root, CdxjManifestDir)
     if (!fs.exists(mPath)) return parts.map(_.toString).sorted
     val manifest = spark.read.parquet(mPath.toString)
@@ -1560,26 +1571,40 @@ object Warc {
   def readCdxjPrefix(spark: SparkSession, path: String,
                      prefix: String): DataFrame = {
     val files = cdxjShardsForPrefix(spark, path, prefix)
-    val lines =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("value",
-              org.apache.spark.sql.types.StringType))))
-      else spark.read.text(files: _*)
-    parseCdxjLines(lines)
+    parseCdxjLines(readTextFiles(spark, files))
       .filter(col("urlkey").startsWith(prefix))
   }
+
+  /** `spark.read.text` over an explicit file list, degrading to an
+    * empty one-string-column frame when the list is (a legal) empty. */
+  private def readTextFiles(spark: SparkSession,
+                            files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+    else spark.read.text(files: _*)
 
   /** Read CDXJ text back into the exact [[cdxIndex]] schema —
     * `warc_date` reconstructed from the 14-digit timestamp,
     * numerics re-cast, absent json fields NULL. Lines that do not
     * match the `urlkey ts {json}` frame are DROPPED (the degrade
     * philosophy: a torn line cannot poison the index). One scan,
-    * scan-side scalar kernels only. */
+    * scan-side scalar kernels only.
+    *
+    * The shard files are globbed EXPLICITLY (non-hidden regular files,
+    * via [[cdxjShardFiles]]) rather than handing the directory to the
+    * reader: FileInputFormat would hide the `_graft_cdxj_manifest`
+    * subdir anyway, but only after logging an "All paths were ignored"
+    * WARN on every read — and a consumer cloning this read through a
+    * path-filterless API would ingest manifest parquet bytes as CDXJ
+    * text. Listing first makes the manifest's invisibility a property
+    * of the public API, not of one input format's defaults. */
   def readCdxj(spark: SparkSession, path: String): DataFrame =
-    parseCdxjLines(spark.read.text(path))
+    parseCdxjLines(readTextFiles(spark,
+      cdxjShardFiles(spark, path).map(_.toString).sorted))
 
   /** The CDXJ line parse shared by [[readCdxj]] (whole directory) and
     * [[readCdxjPrefix]] (selected shards). */

@@ -135,4 +135,37 @@ class BpeSpec extends SparkSpec {
       .orderBy("doc_id").select("n_bpe_tokens").as[Long].collect().toSeq
     assert(viaCount == Seq(5L, 0L))
   }
+
+  test("chained merges: stage structure live, rank priority observable, q82c scan equivalence") {
+    val chained = graft.SparkEntry.CommittedChainedBpeMerges
+    val rank = chained.zipWithIndex.toMap
+    def toks(w: String) = Bpe.tokenizeWord(w, rank)
+    // chaining is LIVE: rank 1 consumes rank 0's output
+    assert(toks("the") == Vector("the", "</w>"))
+    // ...and rank ORDER decides: with (e,</w>) promoted ABOVE (th,e)
+    // the same word tokenizes differently — the greedy loop's
+    // priority structure is what q82c pins, not just the token set
+    val swapped = Seq(("t", "h"), ("e", "</w>"), ("th", "e"))
+      .zipWithIndex.toMap
+    assert(Bpe.tokenizeWord("the", swapped) == Vector("th", "e</w>"))
+    // adversarial words: every overlap/boundary shape the q82c oracle
+    // scan must agree on — verified against the regex-replay rule
+    // (one 'the|th|.' scan, then e</w> iff the last symbol is bare e)
+    def replay(w: String): Vector[String] = {
+      val syms = "the|th|.".r.findAllIn(w).toVector
+      if (syms.nonEmpty && syms.last == "e") syms.init :+ "e</w>"
+      else syms :+ "</w>"
+    }
+    val words = Seq("the", "tthe", "ththe", "thethe", "ethe", "thee",
+      "eth", "te", "t", "e", "h", "thte", "theth", "tht", "thhe",
+      "athexthe", "thethee")
+    words.foreach { w =>
+      assert(toks(w) == replay(w), s"$w: ${toks(w)} != ${replay(w)}")
+    }
+    // id scheme under the chained list: outputs take 2+rank
+    assert(Bpe.tokenId("th", chained) == 2L)
+    assert(Bpe.tokenId("the", chained) == 3L)
+    assert(Bpe.tokenId("e</w>", chained) == 4L)
+    assert(Bpe.tokenId("a", chained) == 5L + 'a'.toLong)
+  }
 }

@@ -157,8 +157,8 @@ class HtmlSpec extends SparkSpec {
     assert(rows(2L) == ((None, None, 0)))
     // extractLinks now carries base_href on every row
     val link = Html.extractLinks(docs.filter(col("doc_id") === 1L),
-        "doc_id", "html").head()
-    assert(link.getString(4) == "/b1?a=1&b=2")
+        "doc_id", "html").select("base_href").head()
+    assert(link.getString(0) == "/b1?a=1&b=2")
   }
 
   test("extractMainText rejects degenerate parameters at plan time") {
@@ -243,5 +243,137 @@ class HtmlSpec extends SparkSpec {
       ("main.html", "https://a.com/en/main.html"),
       ("/main.html", "https://a.com/main.html"),
       (null, "https://a.com/v9.html")), got.mkString("\n"))
+  }
+
+  test("implicit body open: content without <body> still gates head-scoped signals") {
+    // a body-less template whose user-content echo carries a canonical
+    // AND a robots meta — text content opened the body implicitly, so
+    // neither hijacks the page (round-13 ADVICE: the old guard flipped
+    // only on an explicit <body> tag)
+    val injected = Html.scanHtml(
+      "<html><head><title>T</title></head>" +
+        "<p>user content echoed here</p>" +
+        "<link rel=\"canonical\" href=\"https://spam.example/\">" +
+        "<meta name=\"robots\" content=\"noindex\">")
+    assert(injected.canonicalHref == null, "canonical after content must not count")
+    assert(injected.robotsMetas.isEmpty, "robots meta after content must not count")
+    // a content TAG (not just text) opens the body too
+    val tagOpened = Html.scanHtml(
+      "<div></div><meta name=robots content=noindex>" +
+        "<link rel=canonical href=/x>")
+    assert(tagOpened.robotsMetas.isEmpty && tagOpened.canonicalHref == null)
+    // head-scoped tags and title TEXT do not open the body: a page
+    // that omits <head> entirely keeps its legitimate declarations
+    val impliedHead = Html.scanHtml(
+      "<html><title>Only Title</title>" +
+        "<meta name=\"robots\" content=\"nofollow\">" +
+        "<link rel=\"canonical\" href=\"/real.html\">" +
+        "<body><p>text</p>")
+    assert(impliedHead.robotsMetas == Vector("nofollow"))
+    assert(impliedHead.canonicalHref == "/real.html")
+    // corpus form: the injected doc reads as allow/self-canonical
+    val docs = Seq((1L,
+      "<p>echo</p><meta name=robots content=\"noindex,nofollow\">"))
+      .toDF("doc_id", "html")
+    val rd = Html.robotsDirectives(docs, "doc_id", "html").head()
+    assert(rd.getString(1) == null && !rd.getBoolean(2) && !rd.getBoolean(3))
+  }
+
+  test("anchor text: entity decode, nested markup strips, block boundary ends credit, textless is NULL") {
+    val links = Html.extractLinksKernel(
+      "<p><a href=\"/a\">Big  <b>Bold</b>\n text &amp; more</a>" +
+        " <a href=\"/b\"><img src=\"i.png\"></a>" +
+        " <a href=\"/c\">start<p>after the boundary</p>more</a></p>" +
+        "<nav><a href=\"/n\">Nav Label</a></nav>")
+    assert(links.map(l => (l.href, l.text, l.inChrome)) == Vector(
+      ("/a", "Big Bold text & more", false),
+      ("/b", null, false),
+      ("/c", "start", false),
+      ("/n", "Nav Label", true)), links.mkString("\n"))
+    // invalid nested <a href>: the OUTERMOST anchor owns the text,
+    // the inner row keeps its edge with NULL text
+    val nested = Html.extractLinksKernel(
+      "<a href=\"/outer\">out <a href=\"/inner\">in</a> side</a>")
+    assert(nested.map(l => (l.href, l.text)) == Vector(
+      ("/outer", "out in side"), ("/inner", null)), nested.mkString("\n"))
+    // corpus form carries anchor_text next to href
+    val rows = Html.extractLinks(
+        Seq((1L, "<a href=/x>label</a><a href=/y></a>")).toDF("doc_id", "html"),
+        "doc_id", "html")
+      .orderBy("link_pos").select("href", "anchor_text")
+      .as[(String, String)].collect().toSeq
+    assert(rows == Seq(("/x", "label"), ("/y", null)))
+  }
+
+  test("imageTextPairs: src resolution, alt/caption semantics, figcaption association, chrome") {
+    val docs = Seq(
+      (1L, "https://a.com/dir/page.html",
+        "<html><head><title>Page &amp; Title</title></head><body>" +
+          // relative src resolves against the page URL
+          "<img src=\"pics/cat.jpg\" alt=\"A &quot;cat&quot; photo\">" +
+          // absolute src canonicalizes; explicit empty alt stays ""
+          "<img src=\"HTTPS://B.ORG:443/dog.png\" alt=\"\">" +
+          // no alt, title attribute becomes the caption fallback
+          "<img src=\"/bird.gif\" title=\"a bird\">" +
+          // src-less img yields no row
+          "<img alt=\"ghost\">" +
+          "</body></html>"),
+      // figure/figcaption: caption binds to imgs of the SAME figure,
+      // whether it precedes or follows them; title attr loses to it
+      (2L, "https://a.com/fig.html",
+        "<figure><img src=\"f1.jpg\" alt=\"one\" title=\"t1\">" +
+          "<figcaption>The  real &amp; caption</figcaption>" +
+          "<img src=\"f2.jpg\"></figure>" +
+          "<figure><img src=\"f3.jpg\"></figure>" +
+          "<img src=\"f4.jpg\">"),
+      // base-href-aware resolution + chrome flag
+      (3L, "https://a.com/x/b.html",
+        "<html><head><base href=\"/en/\"></head><body>" +
+          "<nav><img src=\"logo.svg\" alt=\"logo\"></nav>" +
+          "<img src=\"hero.jpg\" alt=\"hero\"></body></html>"),
+      (4L, "https://a.com/n.html", null.asInstanceOf[String]))
+      .toDF("doc_id", "url", "html")
+    val got = Html.imageTextPairs(docs, "doc_id", "url", "html")
+      .orderBy("doc_id", "img_pos")
+      .select("doc_id", "image_url", "alt_text", "caption", "in_chrome",
+        "page_title")
+      .as[(Long, String, String, String, Boolean, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "https://a.com/dir/pics/cat.jpg", "A \"cat\" photo", null, false,
+        "Page & Title"),
+      (1L, "https://b.org/dog.png", "", null, false, "Page & Title"),
+      (1L, "https://a.com/bird.gif", null, "a bird", false, "Page & Title"),
+      (2L, "https://a.com/f1.jpg", "one", "The real & caption", false, null),
+      (2L, "https://a.com/f2.jpg", null, "The real & caption", false, null),
+      (2L, "https://a.com/f3.jpg", null, null, false, null),
+      (2L, "https://a.com/f4.jpg", null, null, false, null),
+      (3L, "https://a.com/en/logo.svg", "logo", null, true, null),
+      (3L, "https://a.com/en/hero.jpg", "hero", null, false, null)),
+      got.mkString("\n"))
+  }
+
+  test("anchorTextEdges: base-aware canonical destinations with anchor text, shuffle-free") {
+    val docs = Seq(
+      (1L, "https://a.com/src.html",
+        "<a href=\"next.html\">Next &amp; Prev</a>" +
+          "<a href=\"HTTPS://B.ORG:443/x\"><img src=i.png></a>"),
+      (2L, "https://a.com/x/b.html",
+        "<head><base href=\"/en/\"></head><body>" +
+          "<a href=\"rel.html\">deep label</a>"))
+      .toDF("doc_id", "url", "html")
+    val got = Html.anchorTextEdges(docs, "doc_id", "url", "html")
+      .orderBy("doc_id", "link_pos")
+      .select("src_url", "dst_url", "anchor_text", "in_chrome")
+      .as[(String, String, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("https://a.com/src.html", "https://a.com/next.html", "Next & Prev", false),
+      ("https://a.com/src.html", "https://b.org/x", null, false),
+      ("https://a.com/x/b.html", "https://a.com/en/rel.html", "deep label", false)),
+      got.mkString("\n"))
+    // extraction is one kernel pass + scalar kernels: no exchange in
+    // the plan (the src_url column rides the row, never re-joined)
+    val plan = Html.anchorTextEdges(docs, "doc_id", "url", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 }

@@ -569,6 +569,36 @@ class WarcSpec extends SparkSpec {
     assert(Warc.readCdxj(spark, cdxjDir).count() == cdx.count())
   }
 
+  test("readCdxj: the published manifest is invisible to the public read — explicit shard glob, no path-filter dependence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxjm").toString + "/wet"
+    val df = (0 until 12)
+      .map(i => (s"https://www.m${i % 3}.example.com/p$i", s"text $i"))
+      .toDF("uri", "text").repartition(2)
+    Warc.writeTextSegments(df, "uri", "text", dir, gzip = true)
+    val cdx = Warc.cdxIndex(spark, dir)
+    val cdxjDir = java.nio.file.Files.createTempDirectory("graft_cdxjm2")
+      .toString + "/idx"
+    Warc.writeCdxj(cdx, cdxjDir, shards = 2)
+    // the manifest IS there — parquet bytes living inside the served dir
+    assert(new java.io.File(cdxjDir, "_graft_cdxj_manifest").isDirectory,
+      "writeCdxj publishes the per-shard manifest")
+    // ...and the public read never sees it: rows == index rows, no
+    // manifest parquet parsed as CDXJ text (would add garbage/dropped
+    // rows), no reliance on an input format's hidden-path defaults
+    assert(Warc.readCdxj(spark, cdxjDir).count() == cdx.count())
+    // dot-prefixed scratch files are equally invisible
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cdxjDir, ".scratch-junk"),
+      "not a cdxj line either\n".getBytes("UTF-8"))
+    assert(Warc.readCdxj(spark, cdxjDir).count() == cdx.count())
+    // a path that IS a shard file reads as its own one-element set
+    val one = new java.io.File(cdxjDir).listFiles()
+      .filter(_.getName.startsWith("part-")).minBy(_.getName)
+    val oneCount = Warc.readCdxj(spark, one.toString).count()
+    assert(oneCount > 0 && oneCount < cdx.count())
+  }
+
   test("cdxj: NULL/fractional dates and locator-less lines degrade, never crash the fetch") {
     import spark.implicits._
     // a record with NO WARC-Date header: ts column degrades to '-',
