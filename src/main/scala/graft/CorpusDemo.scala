@@ -38,6 +38,63 @@ object CorpusDemo {
                           fimTransformed: Long, tokenSequences: Long,
                           tokenSeqDocs: Long, tokenAuditOk: Boolean)
 
+  /** What one trainer-feed run landed. */
+  final case class TrainerFeed(fimTransformed: Long, tokenSequences: Long,
+                               tokenSeqDocs: Long, tokenAuditOk: Boolean)
+
+  /** The TRAINER FEED (q144+q145 composed in production order) over
+    * ANY refined `(doc_id, text)` corpus: fill-in-the-middle AHEAD of
+    * tokenization (FIM rewrites the TEXT — tokenizing first would
+    * orphan the sentinels), real BPE merges learned from this corpus,
+    * per-document token ids, token-budget packing, ONE integer
+    * sequence per bin with EOS separators and offset boundary arrays,
+    * exported as manifest-audited shards at `outDir/token_shards` —
+    * the literal batch a trainer maps. ONE implementation shared by
+    * [[run]] (the curation demo) and [[CrawlToTrainer]] (the
+    * crawl→corpus seam), so the two pipelines cannot drift. */
+  def trainerFeed(spark: SparkSession, refinedDocs: DataFrame,
+                  outDir: String, budgetTokens: Long = 2000L,
+                  shards: Int = 4, numMerges: Int = 64): TrainerFeed = {
+    // the changed-flag derives from the already-transformed column —
+    // fimTransform runs ONCE per row per action, not once in the
+    // trainer path and again inside a counting filter
+    val fimmed = refinedDocs
+      .select(col("doc_id"), col("text").as("fim_orig"),
+        Text.fimTransform(col("doc_id"), col("text")).as("text"))
+      .withColumn("fim_changed", col("text") =!= col("fim_orig"))
+      .drop("fim_orig")
+    val fimTransformed = fimmed.filter(col("fim_changed")).count()
+    val merges = Bpe.trainMerges(fimmed, "text", numMerges = numMerges,
+      minCount = 2L)
+    val tokenized = Bpe.tokenIds(fimmed, "doc_id", "text", merges)
+    val seqs = Packing.assembleTokenSequences(
+      Packing.packContiguous(tokenized, "doc_id", "n_tokens",
+        budget = budgetTokens, shards = shards),
+      "doc_id", "token_ids", orderCol = "doc_id")
+    // pack coordinates rename out of the way: the export's OWN shard
+    // assignment (writeSharded's deterministic draw) owns `shard`.
+    // seq_id = bin·|shards| + shard — collision-free for ANY bin depth
+    // (shard < shards by construction; a shard·K + bin scheme would
+    // alias once a shard accumulated K bins)
+    val seqRows = seqs.select(
+      (col("bin") * lit(shards.toLong) + col("shard")).as("seq_id"),
+      col("shard").as("pack_shard"), col("bin").as("pack_bin"),
+      col("doc_ids"), col("offsets"), col("sequence"),
+      col("n_docs"), col("seq_tokens"))
+    Sampling.writeShardedWithManifest(seqRows, "seq_id", shards,
+      s"$outDir/token_shards")
+    val tokenAuditOk = Sampling.verifyShardedExport(spark,
+        s"$outDir/token_shards", "seq_id")
+      .filter(!col("ok")).isEmpty
+    val landedSeqs = Sampling.readShardedExport(spark, s"$outDir/token_shards")
+    val tokenSequences = landedSeqs.count()
+    // sum over an empty frame is NULL — an empty corpus is a zero, not
+    // a driver NPE (round-13 ADVICE)
+    val tokenSeqDocs = landedSeqs.agg(coalesce(sum("n_docs"), lit(0L)))
+      .head.getLong(0)
+    TrainerFeed(fimTransformed, tokenSequences, tokenSeqDocs, tokenAuditOk)
+  }
+
   /** Run the full curation slice: read `documents` under `sfDir`,
     * write packed chunk shards under `outDir`. `chunkTokens`/`stride`
     * size the retrieval windows; `budgetTokens` is the per-bin packing
@@ -87,52 +144,14 @@ object CorpusDemo {
         "source", "chunk", "n_tokens")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/shards")
 
-    // 4b. the TRAINER FEED (q144+q145 composed in production order):
-    //     fill-in-the-middle AHEAD of tokenization — FIM rewrites the
-    //     TEXT, so tokenizing first would orphan the sentinels — then
-    //     real BPE merges learned from this corpus, per-document token
-    //     ids, token-budget packing, ONE integer sequence per bin with
-    //     EOS separators and offset boundary arrays, exported as
-    //     manifest-audited shards: the literal batch a trainer maps.
-    // the changed-flag derives from the already-transformed column —
-    // fimTransform runs ONCE per row per action, not once in the
-    // trainer path and again inside a counting filter
-    val fimmed = refined
-      .select(col("doc_id"), col("text").as("fim_orig"),
-        Text.fimTransform(col("doc_id"), col("text")).as("text"))
-      .withColumn("fim_changed", col("text") =!= col("fim_orig"))
-      .drop("fim_orig")
-    val fimTransformed = fimmed.filter(col("fim_changed")).count()
-    val merges = Bpe.trainMerges(fimmed, "text", numMerges = 64,
-      minCount = 2L)
-    val tokenized = Bpe.tokenIds(fimmed, "doc_id", "text", merges)
-    val seqs = Packing.assembleTokenSequences(
-      Packing.packContiguous(tokenized, "doc_id", "n_tokens",
-        budget = budgetTokens, shards = shards),
-      "doc_id", "token_ids", orderCol = "doc_id")
-    // pack coordinates rename out of the way: the export's OWN shard
-    // assignment (writeSharded's deterministic draw) owns `shard`.
-    // seq_id = bin·|shards| + shard — collision-free for ANY bin depth
-    // (shard < shards by construction; a shard·K + bin scheme would
-    // alias once a shard accumulated K bins)
-    val seqRows = seqs.select(
-      (col("bin") * lit(shards.toLong) + col("shard")).as("seq_id"),
-      col("shard").as("pack_shard"), col("bin").as("pack_bin"),
-      col("doc_ids"), col("offsets"), col("sequence"),
-      col("n_docs"), col("seq_tokens"))
-    Sampling.writeShardedWithManifest(seqRows, "seq_id", shards,
-      s"$outDir/token_shards")
-    val tokenAuditOk = Sampling.verifyShardedExport(spark,
-        s"$outDir/token_shards", "seq_id")
-      .filter(!col("ok")).isEmpty
-    val landedSeqs = spark.read.parquet(s"$outDir/token_shards")
-    val tokenSequences = landedSeqs.count()
-    // every survivor packs into exactly one bin — the e2e conservation
-    // the spec reconciles against `survivors`
-    // sum over an empty frame is NULL — an empty corpus is a zero, not
-    // a driver NPE (round-13 ADVICE)
-    val tokenSeqDocs = landedSeqs.agg(coalesce(sum("n_docs"), lit(0L)))
-      .head.getLong(0)
+    // 4b. the TRAINER FEED — the shared [[trainerFeed]] leg over the
+    //     refined corpus (see its doc: q144+q145 composed in
+    //     production order, FIM ahead of tokenization, corpus-learned
+    //     merges, manifest-audited integer sequence shards). Every
+    //     survivor packs into exactly one bin — the e2e conservation
+    //     the spec reconciles against `survivors`.
+    val feed = trainerFeed(spark, refined.select("doc_id", "text"),
+      outDir, budgetTokens = budgetTokens, shards = shards)
 
     refined.unpersist()
 
@@ -167,7 +186,8 @@ object CorpusDemo {
 
     Result(inputDocs, survivors, chunkCount, bins, report,
       takedownRemoved, cascaded.count(), receipts,
-      fimTransformed, tokenSequences, tokenSeqDocs, tokenAuditOk)
+      feed.fimTransformed, feed.tokenSequences, feed.tokenSeqDocs,
+      feed.tokenAuditOk)
   }
 
   def main(args: Array[String]): Unit = {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Charset, Corpus, Frontier, Graph, Html, Robots, Sampling, Sitemap, Url}
+import graft.operators.{Charset, Corpus, Frontier, Graph, Html, Retrieval, Robots, Sampling, Sitemap, Url}
 import graft.sources.{Warc, Warehouse}
 
 /** The runnable end-to-end slice for the CRAWL surface — the crawl
@@ -36,6 +36,10 @@ import graft.sources.{Warc, Warehouse}
   *     ([[Frontier.scheduleFromTable]] minus the fetched ledger) with
   *     crawl-delay fetch ETAs ([[Robots.crawlDelay]])
   *   → text refinement ([[Corpus.refine]]) joined with the host rank
+  *   → ANCHOR-TEXT field ([[Html.extractLinks]]' anchor_text
+  *     aggregated per canonical destination) joined onto the refined
+  *     corpus and demonstrated as a fused BM25 field
+  *     ([[Retrieval.bm25TopK]] over body + anchor, [[Retrieval.rrfFuse]])
   *   → audited sharded export ([[Sampling.writeShardedWithManifest]] +
   *     [[Sampling.verifyShardedExport]]), a WET interchange export
   *     ([[Warc.writeTextSegments]]), and a WAT metadata export
@@ -64,6 +68,8 @@ object CrawlDemo {
                           frontierAllowed: Long, frontierDenied: Long,
                           scheduled: Long, delayedSlots: Long,
                           survivors: Long,
+                          anchorTargets: Long, anchoredSurvivors: Long,
+                          anchorFusedHits: Long,
                           auditOk: Boolean, wetAuditOk: Boolean,
                           watRecords: Long, watAuditOk: Boolean,
                           cdxFetched: Long,
@@ -207,6 +213,60 @@ object CrawlDemo {
         Seq("host"), "left")
       .cache()
 
+    // 4b''. ANCHOR-TEXT relevance field (the web's oldest retrieval
+    //     label — the text OTHER pages use to describe a target):
+    //     content-link anchors aggregate per canonical destination in
+    //     one hash agg (|targets| rows; sort_array keeps the joined
+    //     field deterministic under shuffle order), the field rides
+    //     the refined export, and a BM25 ranking over the anchor
+    //     FIELD fused (RRF) with the body-text ranking demonstrates
+    //     the classic navigational win: anchor terms retrieve pages
+    //     whose own text never says them. Chrome anchors (nav/footer
+    //     labels — template noise, not descriptions) stay out.
+    val anchorField = links
+      .filter(col("anchor_text").isNotNull && !col("in_chrome"))
+      .select(Url.resolve(col("base_url"), col("href")).as("url"),
+        col("anchor_text"))
+      .filter(col("url").isNotNull)
+      .groupBy("url")
+      .agg(concat_ws(" ", sort_array(collect_list(col("anchor_text"))))
+          .as("anchor_terms"),
+        count(lit(1)).as("n_anchors"))
+    val nAnchorTargets = anchorField.count()
+    val refinedAnchored = refined
+      .join(pages.select(col("doc_id"),
+        Url.canonical(col("url")).as("__curl")), "doc_id")
+      .join(anchorField.select(col("url").as("__curl"),
+        col("anchor_terms")), Seq("__curl"), "left")
+      .drop("__curl")
+      .cache()
+    val nAnchored = refinedAnchored.filter(col("anchor_terms").isNotNull)
+      .count()
+    val anchorFusedHits =
+      if (nAnchorTargets == 0) 0L
+      else {
+        // probe = the most-anchored target's leading anchor term
+        // (ONE collected row — driver state bounded at a single probe)
+        val probe = anchorField
+          .orderBy(col("n_anchors").desc, col("url"))
+          .select("anchor_terms").head().getString(0)
+          .split(" ").head
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(round(col("score"), 9).desc, col("doc_id"))
+        def ranked(df: DataFrame) = df
+          .withColumn("rank", row_number().over(w))
+          .select("doc_id", "rank")
+        val bodyRank = ranked(Retrieval.bm25TopK(
+          refined.select("doc_id", "text"), "doc_id", "text",
+          Seq(probe), n = 10))
+        val anchorRank = ranked(Retrieval.bm25TopK(
+          refinedAnchored.filter(col("anchor_terms").isNotNull)
+            .select("doc_id", "anchor_terms"),
+          "doc_id", "anchor_terms", Seq(probe), n = 10))
+        Retrieval.rrfFuse(Seq(bodyRank, anchorRank), "doc_id", "rank")
+          .count()
+      }
+
     // 4b. persist the frontier (idempotent per URL — replays and
     //     re-discoveries append nothing) scored by the QUALITY LOOP:
     //     host PageRank × per-host refine keep-rate
@@ -270,7 +330,8 @@ object CrawlDemo {
     // 6. audited exports: parquet shards for training, WET segments
     //    for interchange — both manifest-audited
     Sampling.writeShardedWithManifest(
-      refined.select("doc_id", "host", "host_rank_micro", "text"),
+      refinedAnchored.select("doc_id", "host", "host_rank_micro",
+        "anchor_terms", "text"),
       "doc_id", shards, outDir)
     val auditOk = Sampling.verifyShardedExport(spark, outDir, "doc_id")
       .filter(!col("ok")).isEmpty
@@ -321,12 +382,13 @@ object CrawlDemo {
 
     records.unpersist(); pages.unpersist(); frontier.unpersist()
     ranks.unpersist(); refined.unpersist(); chains.unpersist()
-    directives.unpersist()
+    directives.unpersist(); refinedAnchored.unpersist()
     Result(nRecords, nPages, nExtracted, nNoindex, nNofollow,
       nRedirects, nTerminals, nLoops,
       nEdges, nHosts, nSitemaps, smCount,
       nAllowed, nDenied, nScheduled, delayedSlots,
-      nSurvivors, auditOk, wetAuditOk, watRecords, watAuditOk,
+      nSurvivors, nAnchorTargets, nAnchored, anchorFusedHits,
+      auditOk, wetAuditOk, watRecords, watAuditOk,
       nCdxFetched, census)
   }
 
@@ -352,7 +414,10 @@ object CrawlDemo {
         s"sitemaps=${r.sitemapsDiscovered}/${r.sitemapUrls}urls " +
         s"frontier=${r.frontierAllowed}+${r.frontierDenied} " +
         s"scheduled=${r.scheduled} delayedSlots=${r.delayedSlots} " +
-        s"survivors=${r.survivors} audit=${r.auditOk} wet=${r.wetAuditOk} " +
+        s"survivors=${r.survivors} " +
+        s"anchors=${r.anchorTargets}targets/${r.anchoredSurvivors}docs" +
+        s"/${r.anchorFusedHits}fused " +
+        s"audit=${r.auditOk} wet=${r.wetAuditOk} " +
         s"wat=${r.watRecords}/${r.watAuditOk} cdxFetched=${r.cdxFetched}")
       r.census.show(20, false)
     } finally spark.stop()

@@ -424,6 +424,26 @@ object Sampling {
         .cast("decimal(38,0)").as("id_sq_sum"))
   }
 
+  /** Read a [[writeShardedWithManifest]] export's SHARD subtrees
+    * explicitly (`basePath` keeps the `shard=` partition column): the
+    * manifest directory is invisible by API rather than by the parquet
+    * reader's hidden-path default — no "All paths were ignored" WARN
+    * per serve, and a consumer cloning the read through a
+    * path-filterless API can never ingest manifest rows as data (the
+    * [[graft.sources.Warc.readCdxj]] discipline). Degrades to the
+    * plain directory read when no shard subtree exists. */
+  def readShardedExport(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }).map(_.getPath.toString).sorted
+    if (parts.isEmpty) spark.read.parquet(path)
+    else spark.read.option("basePath", path).parquet(parts: _*)
+  }
+
   /** Re-audit an export against its manifest: one scan of the shard
     * directories, grouped per shard, full-outer joined to the
     * manifest — `(shard, n_rows, id_sum, id_sq_sum, ok)`. A missing
@@ -434,7 +454,7 @@ object Sampling {
     val manifest = spark.read.parquet(s"$path/_graft_export_manifest")
       .select(col("shard"), col("n_rows").as("__mn"),
         col("id_sum").as("__ms"), col("id_sq_sum").as("__mq"))
-    val actual = spark.read.parquet(path)
+    val actual = readShardedExport(spark, path)
       .groupBy("shard")
       .agg(momentAggs(idCol).head, momentAggs(idCol).tail: _*)
     actual.join(manifest, Seq("shard"), "full_outer")

@@ -109,6 +109,12 @@ class CrawlDemoSpec extends SparkSpec {
       // clean, and the WET leg reads back through the proven reader
       assert(r.survivors == 4 && r.auditOk, s"survivors ${r.survivors}")
       assert(r.wetAuditOk, "WET export must audit clean")
+      // anchor field: four content-link targets ({b/x, a/local1, b/y,
+      // a/z}, all labeled "out"; the chrome /nav labels stay out), none
+      // of them a crawled page — so the export's field is all-NULL and
+      // the probe ranking finds nothing (no body says "out" either)
+      assert(r.anchorTargets == 4, s"anchor targets ${r.anchorTargets}")
+      assert(r.anchoredSurvivors == 0 && r.anchorFusedHits == 0)
       // the WAT artifact: one metadata record per crawled 200-page,
       // audited under its own record type
       assert(r.watRecords == r.pages,
@@ -196,6 +202,54 @@ class CrawlDemoSpec extends SparkSpec {
         frontierUrls.toString)
       // WAT still records every capture (metadata is not content)
       assert(r.watRecords == 3)
+      // anchor targets: p1/p2's links carry text "l"; p3's nofollow
+      // edge never exists, so /l3 is no anchor target either
+      assert(r.anchorTargets == 2, s"anchor targets ${r.anchorTargets}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("anchor-text leg: per-target field joins the export and wins as a fused BM25 field") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crawl_anch").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_crawl_aout").toString + "/export"
+    val tbl = "graft_crawldemo_anchor_frontier"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.sources.Warehouse.clearOrphanLocation(spark, tbl)
+    // two pages that link to EACH OTHER with descriptive labels the
+    // target's own text never contains — the navigational case anchor
+    // fields exist for
+    def linkedPage(path: String, mark: String, href: String,
+                   label: String): (String, String, Array[Byte]) = {
+      val html = s"<html><body><p>the $mark page describes careful " +
+        s"methods and data in detail for the study item $mark</p>" +
+        s"""<a href="$href">$label</a></body></html>"""
+      ("response", s"https://d.com$path",
+        graft.sources.Warc.httpResponse(ascii(html)))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "seg-00000.warc"),
+      graft.sources.Warc.buildSegment(Seq(
+        linkedPage("/p1", "first", "/p2", "silver banana guide"),
+        linkedPage("/p2", "second", "/p1", "crimson kiwi manual"))))
+    val robots = Seq(("d.com", "User-agent: *\nAllow: /\n"))
+      .toDF("host", "robots_txt")
+    try {
+      val r = CrawlDemo.run(spark, dir, robots, out, frontierTable = tbl)
+      assert(r.survivors == 2 && r.auditOk)
+      // both crawled pages ARE anchor targets, so the field joins both
+      assert(r.anchorTargets == 2 && r.anchoredSurvivors == 2,
+        s"targets=${r.anchorTargets} anchored=${r.anchoredSurvivors}")
+      // the export carries each page's INBOUND description
+      val exported = spark.read.parquet(out)
+      val terms = exported.select("doc_id", "anchor_terms")
+        .as[(Long, String)].collect().toMap
+      assert(terms.values.toSet ==
+        Set("silver banana guide", "crimson kiwi manual"), terms.toString)
+      // the probe (tie on n_anchors=1 → url-asc picks /p1 → leading
+      // term "crimson") appears in NO body text, so the body ranking
+      // is empty and the fused ranking still finds p1 through its
+      // anchor field — the navigational win, observable as exactly
+      // one fused hit
+      assert(r.anchorFusedHits == 1, s"fused hits ${r.anchorFusedHits}")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }
