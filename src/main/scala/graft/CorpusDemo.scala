@@ -86,12 +86,18 @@ object CorpusDemo {
     val tokenAuditOk = Sampling.verifyShardedExport(spark,
         s"$outDir/token_shards", "seq_id")
       .filter(!col("ok")).isEmpty
-    val landedSeqs = Sampling.readShardedExport(spark, s"$outDir/token_shards")
-    val tokenSequences = landedSeqs.count()
-    // sum over an empty frame is NULL — an empty corpus is a zero, not
-    // a driver NPE (round-13 ADVICE)
-    val tokenSeqDocs = landedSeqs.agg(coalesce(sum("n_docs"), lit(0L)))
-      .head.getLong(0)
+    // an EMPTY corpus lands an empty export (no shard subtrees, so no
+    // schema to read back): zeros, not a crash — and the NULL-sum
+    // coalesce covers the empty-frame read (round-13 ADVICE, closed at
+    // BOTH layers)
+    val (tokenSequences, tokenSeqDocs) =
+      Sampling.readShardedExportOpt(spark, s"$outDir/token_shards") match {
+        case None => (0L, 0L)
+        case Some(landedSeqs) =>
+          (landedSeqs.count(),
+            landedSeqs.agg(coalesce(sum("n_docs"), lit(0L)))
+              .head.getLong(0))
+      }
     TrainerFeed(fimTransformed, tokenSequences, tokenSeqDocs, tokenAuditOk)
   }
 

@@ -161,8 +161,13 @@ object CrawlDemo {
       .join(nofollowIds, Seq("doc_id"), "left_anti")
       .join(pages.select(col("doc_id"), col("url")), "doc_id")
       // a page that declares <base href> resolves its relative links
-      // against it, not the page URL
-      .withColumn("base_url", coalesce(col("base_href"), col("url")))
+      // against it, not the page URL — and the declared base itself
+      // resolves against the page URL first (a root-relative base like
+      // "/en/" is valid HTML; the bare coalesce would hand Url.resolve
+      // a scheme-less base and every edge from the page would vanish —
+      // the same composition Html.anchorTextEdges/canonicalTargets use)
+      .withColumn("base_url",
+        coalesce(Url.resolve(col("url"), col("base_href")), col("url")))
     val edges = Url.hostEdges(links, "base_url", "href")
     val nEdges = edges.count()
     val ranks = Graph.pageRankMicro(edges, "src_host", "dst_host",
@@ -232,6 +237,10 @@ object CrawlDemo {
       .agg(concat_ws(" ", sort_array(collect_list(col("anchor_text"))))
           .as("anchor_terms"),
         count(lit(1)).as("n_anchors"))
+      // cached: the target count, the probe head() and the export join
+      // each consume it — uncached, every one re-runs the scanHtml
+      // kernel over all pages plus two joins (|targets| rows held)
+      .cache()
     val nAnchorTargets = anchorField.count()
     val refinedAnchored = refined
       .join(pages.select(col("doc_id"),
@@ -383,6 +392,7 @@ object CrawlDemo {
     records.unpersist(); pages.unpersist(); frontier.unpersist()
     ranks.unpersist(); refined.unpersist(); chains.unpersist()
     directives.unpersist(); refinedAnchored.unpersist()
+    anchorField.unpersist()
     Result(nRecords, nPages, nExtracted, nNoindex, nNofollow,
       nRedirects, nTerminals, nLoops,
       nEdges, nHosts, nSitemaps, smCount,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Sampling}
+import graft.operators.{Dedup, Html, Multimodal, Sampling}
 import graft.sources.Tables
 
 /** The runnable end-to-end slice for the MULTIMODAL surface: one
@@ -26,7 +26,9 @@ object MultimodalDemo {
 
   final case class Result(inputMedia: Long, images: Long, audio: Long,
                           dupPairs: Long, survivors: Long,
-                          auditOk: Boolean)
+                          auditOk: Boolean,
+                          imagePairs: Long, pairSurvivors: Long,
+                          pairAuditOk: Boolean)
 
   /** Run the slice: synthesize media rows off the `documents` ids in
     * `sfDir` (every `cloneEvery`-th id gets a perceptual near-clone at
@@ -96,8 +98,40 @@ object MultimodalDemo {
     val auditOk = Sampling.verifyShardedExport(spark, outDir, "media_id")
       .filter(!col("ok")).isEmpty
 
+    // 5. the LAION leg: synthesized pages EMBED the image media as
+    //    <img src alt> inside captioned figures; Html.imageTextPairs
+    //    mines the (image_url, alt, caption) pairs, the media id joins
+    //    back off the canonical URL (a production pipeline joins on
+    //    the FETCHED bytes' fingerprint — the URL embeds the id in
+    //    this fixture), and the perceptual dedup above prunes the
+    //    PAIRS: a pair whose image is a dropped near-clone follows its
+    //    image out of the export. The pair table is the multimodal
+    //    training artifact, manifest-audited like every export here.
+    val pages = imgSigs.select(col("doc_id").as("media_id"))
+      .select(col("media_id"),
+        concat(lit("https://img.example.com/g/page"), col("media_id"),
+          lit(".html")).as("url"),
+        concat(lit("<figure><img src=\"/media/m"), col("media_id"),
+          lit(".png\" alt=\"render "), col("media_id"),
+          lit("\"><figcaption>figure "), col("media_id"),
+          lit("</figcaption></figure>")).as("html"))
+    val pairRows = Html.imageTextPairs(pages, "media_id", "url", "html")
+      .select(regexp_extract(col("image_url"), "m(\\d+)\\.png", 1)
+          .cast("long").as("media_id"),
+        col("image_url"), col("alt_text"), col("caption"))
+    val imagePairs = pairRows.count()
+    val pairsKept = pairRows.join(kept.select("media_id"), Seq("media_id"))
+    val pairsDir = outDir + "_pairs"
+    Sampling.writeShardedWithManifest(pairsKept, "media_id", shards,
+      pairsDir)
+    val pairSurvivors = pairsKept.count()
+    val pairAuditOk = Sampling.verifyShardedExport(spark, pairsDir,
+        "media_id")
+      .filter(!col("ok")).isEmpty
+
     media.unpersist(); pairs.unpersist(); kept.unpersist()
-    Result(inputMedia, images, audio, dupPairs, survivors, auditOk)
+    Result(inputMedia, images, audio, dupPairs, survivors, auditOk,
+      imagePairs, pairSurvivors, pairAuditOk)
   }
 
   def main(args: Array[String]): Unit = {
@@ -114,7 +148,8 @@ object MultimodalDemo {
     val r = run(spark, sfDir, outDir)
     println(s"media=${r.inputMedia} images=${r.images} audio=${r.audio} " +
       s"dup_pairs=${r.dupPairs} survivors=${r.survivors} audit_ok=${r.auditOk} " +
-      s"out=$outDir")
+      s"image_pairs=${r.imagePairs}->${r.pairSurvivors} " +
+      s"pair_audit=${r.pairAuditOk} out=$outDir")
     spark.stop()
   }
 }

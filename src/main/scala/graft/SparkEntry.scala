@@ -255,10 +255,30 @@ object SparkEntry {
     * `build` populates a staging dir that is renamed into place, so
     * timed attempts measure SERVE rather than re-export and a crashed
     * build can never publish a half-written artifact. */
+  /** Hash of the compiled classfiles whose code SHAPES the derived
+    * artifacts — unlike the WARC fixture dirs (which cache INPUTS
+    * built from a frozen template), the derived dirs cache operator
+    * OUTPUTS, so a code change to the producing operators must
+    * invalidate them or the battery would keep validating artifacts an
+    * older build wrote. Classfile timestamps change on every
+    * recompile of the file; unchanged builds (bench child JVMs, the
+    * two bench passes, Verify) share the stamp and the cache. */
+  private lazy val derivedCodeStamp: String = {
+    val probes = Seq("/graft/SparkEntry$.class",
+      "/graft/sources/Warc$.class", "/graft/operators/Html$.class")
+    val h = probes.map { p =>
+      val u = getClass.getResource(p)
+      if (u == null) 0L
+      else if (u.getProtocol == "file") new java.io.File(u.toURI).lastModified
+      else u.openConnection().getLastModified
+    }.hashCode()
+    f"${h & 0xffffffffL}%08x"
+  }
+
   private def ensureDerivedDir(s: SparkSession, dir: String, name: String)
                               (build: String => Unit): String = {
     val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${name}_${docsTag(s, dir)}").toString
+      s"graft_${name}_${docsTag(s, dir)}_$derivedCodeStamp").toString
     val root = new java.io.File(out)
     if (!root.exists()) {
       val stage = new java.io.File(out + "_stage")
@@ -2038,6 +2058,64 @@ object SparkEntry {
           coalesce(col("anchor_text"), lit("[none]")).as("anchor_text"),
           col("in_chrome"))
         .orderBy("doc_id", "link_pos")
+    }),
+
+    // Per-TARGET anchor-term profile (the aggregate half of the
+    // anchor story — what retrieval training and crawl scoring
+    // actually consume): groups of 5 consecutive docs all link to one
+    // shared hub page with per-doc labels, and the profile — inbound
+    // count, distinct source pages, and the label bag in
+    // deterministic (sorted) order — is ONE hash aggregation keyed by
+    // destination, closed-form per hub.
+    "q157_anchor_profile" -> ((s, dir) => {
+      val ks = pmod(col("doc_id"), lit(20)).cast("string")
+      val ids = col("doc_id").cast("string")
+      val leader =
+        (col("doc_id") - pmod(col("doc_id"), lit(5))).cast("string")
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://site"), ks, lit(".example.com/page"),
+          ids, lit(".html")).as("url"),
+        concat(lit("<html><body><a href=\"https://hub.example.com/t"),
+          leader, lit(".html\">topic "), ids,
+          lit(" guide</a></body></html>")).as("html"))
+      graft.operators.Html.anchorTextEdges(pages, "doc_id", "url", "html")
+        .filter(!col("in_chrome") && col("anchor_text").isNotNull)
+        .groupBy("dst_url")
+        .agg(count(lit(1)).as("n_anchors"),
+          countDistinct(col("src_url")).as("n_src_pages"),
+          concat_ws(" ", sort_array(collect_list(col("anchor_text"))))
+            .as("anchor_terms"))
+        .orderBy("dst_url")
+    }),
+
+    // Anchor-field retrieval (the CONSUMPTION of q157's profiles —
+    // ranking targets by the text other pages use for them, the
+    // web-search move body-text BM25 can't make): the q157 hub
+    // profiles are the documents, the anchor term bag is the field,
+    // and a query carrying two rare per-doc tokens plus one uniform
+    // token must rank the two matching hubs first with every score
+    // replayed by the q54 BM25 arithmetic.
+    "q158_anchor_bm25" -> ((s, dir) => {
+      val ks = pmod(col("doc_id"), lit(20)).cast("string")
+      val ids = col("doc_id").cast("string")
+      val leader =
+        (col("doc_id") - pmod(col("doc_id"), lit(5))).cast("string")
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://site"), ks, lit(".example.com/page"),
+          ids, lit(".html")).as("url"),
+        concat(lit("<html><body><a href=\"https://hub.example.com/t"),
+          leader, lit(".html\">topic "), ids,
+          lit(" guide</a></body></html>")).as("html"))
+      val profiles = graft.operators.Html
+        .anchorTextEdges(pages, "doc_id", "url", "html")
+        .filter(!col("in_chrome") && col("anchor_text").isNotNull)
+        .groupBy("dst_url")
+        .agg(concat_ws(" ", sort_array(collect_list(col("anchor_text"))))
+          .as("anchor_terms"))
+      graft.operators.Retrieval.bm25TopK(profiles, "dst_url",
+          "anchor_terms", Seq("17", "42", "guide"), n = 10)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id"))
     }),
 
     // Cross-crawl index MERGE (the CommonCrawl consumption pattern:
@@ -5938,6 +6016,55 @@ object SparkEntry {
            FROM b WHERE m = 2)
          SELECT doc_id, link_pos, dst_url, anchor_text, in_chrome
          FROM e ORDER BY doc_id, link_pos""",
+
+    // q157: the per-hub profile is arithmetic on the leader id; the
+    // label bag re-sorts in the same binary string order sort_array
+    // uses.
+    "q157_anchor_profile" ->
+      """WITH g AS (
+           SELECT doc_id, doc_id - doc_id % 5 AS leader,
+                  'topic ' || CAST(doc_id AS VARCHAR) || ' guide' AS lbl
+           FROM documents)
+         SELECT 'https://hub.example.com/t' || CAST(leader AS VARCHAR) ||
+                  '.html' AS dst_url,
+                CAST(count(1) AS BIGINT) AS n_anchors,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_pages,
+                string_agg(lbl, ' ' ORDER BY lbl) AS anchor_terms
+         FROM g GROUP BY leader ORDER BY dst_url""",
+
+    // q158: the q157 profile rebuild feeding the q54 BM25 arithmetic —
+    // doc = hub, dl = 3 tokens per inbound label, tf over the three
+    // query terms only.
+    "q158_anchor_bm25" ->
+      """WITH g AS (
+           SELECT doc_id, doc_id - doc_id % 5 AS leader,
+                  'topic ' || CAST(doc_id AS VARCHAR) || ' guide' AS lbl
+           FROM documents),
+         prof AS (
+           SELECT 'https://hub.example.com/t' || CAST(leader AS VARCHAR) ||
+                    '.html' AS doc_id,
+                  string_agg(lbl, ' ' ORDER BY lbl) AS text
+           FROM g GROUP BY leader),
+         toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                      t -> len(t) > 0) AS ws
+           FROM prof),
+         dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+         stats AS (SELECT count(1) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tr AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+         tf AS (SELECT doc_id, term, count(1) AS tf FROM tr
+                WHERE term IN ('17', '42', 'guide') GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id,
+                  sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                      (tf.tf * 2.2) /
+                      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+           GROUP BY tf.doc_id)
+         SELECT doc_id, round(score, 4) AS score
+         FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+         ORDER BY score DESC, doc_id""",
 
     // q151: the q148 oracle verbatim — three separately published
     // per-crawl indexes, merged and re-published in interchange form,

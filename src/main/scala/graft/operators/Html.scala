@@ -203,14 +203,30 @@ object Html {
     val anchorSb = new java.lang.StringBuilder
     var anchorPending = false
     var pendingLinkIdx = -1
-    // figure/figcaption tracking for image captions: the outermost
-    // figure scope owns one caption buffer; at its close every img the
-    // figure contained receives the caption
-    var figureDepth = 0
-    var figcapDepth = 0
-    var figStartImg = 0
-    val figCapSb = new java.lang.StringBuilder
-    var figPending = false
+    // figure/figcaption tracking for image captions: a STACK of open
+    // figure frames, each with its own caption buffer and figcaption
+    // depth — so nested figures keep the documented nearest-enclosing
+    // rule (an inner figure's caption binds its own imgs first; the
+    // outer caption then fills only the still-uncaptioned remainder)
+    final class FigFrame(val startImg: Int) {
+      val capSb = new java.lang.StringBuilder
+      var pending = false
+      var capDepth = 0
+    }
+    val figStack = scala.collection.mutable.ArrayBuffer.empty[FigFrame]
+    def popFigure(): Unit = {
+      if (figStack.nonEmpty) {
+        val f = figStack.remove(figStack.length - 1)
+        if (f.capSb.length > 0) {
+          val cap = f.capSb.toString
+          var k = f.startImg
+          while (k < imgs.length) {
+            if (imgs(k).caption == null) imgs(k).caption = cap
+            k += 1
+          }
+        }
+      }
+    }
     val n = html.length
     var i = 0
 
@@ -234,12 +250,16 @@ object Html {
     }
 
     def emit(c: Char): Unit = {
+      // U+FEFF (BOM / zero-width no-break space) collapses like
+      // whitespace: it must neither enter block text nor count as the
+      // "visible content" that opens the body
       if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
-          c == 0x0B.toChar || c == 0xA0.toChar) {
+          c == 0x0B.toChar || c == 0xA0.toChar || c == 0xFEFF.toChar) {
         if (sb.length > 0) pendingSpace = true
         if (titleSb.length > 0) titlePending = true
         if (anchorSb.length > 0) anchorPending = true
-        if (figCapSb.length > 0) figPending = true
+        if (figStack.nonEmpty && figStack.last.capSb.length > 0)
+          figStack.last.pending = true
       } else {
         // visible text outside an (explicit or implied) head opens the
         // body: a canonical/robots declaration echoed into user
@@ -261,10 +281,11 @@ object Html {
           anchorPending = false
           anchorSb.append(c)
         }
-        if (figcapDepth > 0 && figureDepth > 0) {
-          if (figPending) figCapSb.append(' ')
-          figPending = false
-          figCapSb.append(c)
+        if (figStack.nonEmpty && figStack.last.capDepth > 0) {
+          val f = figStack.last
+          if (f.pending) f.capSb.append(' ')
+          f.pending = false
+          f.capSb.append(c)
         }
       }
     }
@@ -284,6 +305,13 @@ object Html {
           // comment: skip to -->
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && html.charAt(i + 1) == '?') {
+          // processing instruction (the XHTML '<?xml ...?>' prolog):
+          // skip to '>' — emitting the '<' as text would count as
+          // visible content and wrongly open the body, discarding
+          // every head-scoped declaration of an XHTML page
+          val e = html.indexOf('>', i + 2)
+          i = if (e < 0) n else e + 1
         } else if (i + 1 < n &&
             (Character.isLetter(html.charAt(i + 1)) ||
               html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!')) {
@@ -298,14 +326,22 @@ object Html {
           // data we extract; everything else takes the fast skip
           var attrs: scala.collection.mutable.Map[String, String] = null
           var openedLinkIdx = -1
+          // a '>'-preceding '/' self-closes only when it stands ALONE
+          // (not as the last character of an unquoted attribute value:
+          // '<a href=https://ex.com/>' opens a real anchor)
+          var attrSlashLast = false
           if (!closing && (name == "a" || name == "base" || name == "meta" ||
               name == "img" ||
               (name == "link" && canonicalHref == null && !bodySeen))) {
             attrs = scala.collection.mutable.Map.empty[String, String]
             while (j < n && html.charAt(j) != '>') {
               val cj = html.charAt(j)
-              if (cj == '/' || Character.isWhitespace(cj)) j += 1
+              if (cj == '/' || Character.isWhitespace(cj)) {
+                attrSlashLast = cj == '/'
+                j += 1
+              }
               else {
+                attrSlashLast = false
                 val as = j
                 while (j < n && {
                   val ch = html.charAt(j)
@@ -400,7 +436,9 @@ object Html {
               j += 1
             }
           }
-          val selfClosing = j <= n && j - 1 >= 0 && html.charAt(j - 1) == '/'
+          val selfClosing =
+            if (attrs != null) attrSlashLast
+            else j <= n && j - 1 >= 0 && html.charAt(j - 1) == '/'
           i = if (j < n) j + 1 else n
           if (name.nonEmpty) {
             if (!closing && !selfClosing && RawTextTags.contains(name)) {
@@ -437,33 +475,14 @@ object Html {
               }
             }
             if (name == "figure") {
-              if (closing) {
-                if (figureDepth > 0) figureDepth -= 1
-                if (figureDepth == 0) {
-                  // assign the figure's caption to every img it held
-                  if (figCapSb.length > 0) {
-                    val cap = figCapSb.toString
-                    var k = figStartImg
-                    while (k < imgs.length) {
-                      if (imgs(k).caption == null) imgs(k).caption = cap
-                      k += 1
-                    }
-                  }
-                  figCapSb.setLength(0)
-                  figPending = false
-                  figcapDepth = 0
-                }
-              } else if (!selfClosing) {
-                if (figureDepth == 0) {
-                  figStartImg = imgs.length
-                  figCapSb.setLength(0)
-                  figPending = false
-                }
-                figureDepth += 1
-              }
+              if (closing) popFigure()
+              else if (!selfClosing) figStack += new FigFrame(imgs.length)
             } else if (name == "figcaption") {
-              if (closing) { if (figcapDepth > 0) figcapDepth -= 1 }
-              else if (!selfClosing && figureDepth > 0) figcapDepth += 1
+              if (figStack.nonEmpty) {
+                val f = figStack.last
+                if (closing) { if (f.capDepth > 0) f.capDepth -= 1 }
+                else if (!selfClosing) f.capDepth += 1
+              }
             }
             if (name == "title") {
               if (closing) { inTitle = false; titleDone = true }
@@ -518,6 +537,9 @@ object Html {
       }
     }
     flush()
+    // unclosed figures close at end-of-document (browser recovery):
+    // their captions still bind their imgs, nearest frame first
+    while (figStack.nonEmpty) popFigure()
     Scan(out.result(),
       links.iterator.map(l => Link(l.href, l.inChrome, l.text)).toVector,
       baseHref,

@@ -432,7 +432,17 @@ object Sampling {
     * path-filterless API can never ingest manifest rows as data (the
     * [[graft.sources.Warc.readCdxj]] discipline). Degrades to the
     * plain directory read when no shard subtree exists. */
-  def readShardedExport(spark: SparkSession, path: String): DataFrame = {
+  def readShardedExport(spark: SparkSession, path: String): DataFrame =
+    readShardedExportOpt(spark, path)
+      .getOrElse(spark.read.parquet(path))
+
+  /** [[readShardedExport]] that admits the EMPTY export: an export of
+    * zero rows writes no `shard=` subtrees at all (partitioned writes
+    * emit no files for absent partitions), so there is nothing to
+    * infer a schema from — `None` lets the caller treat "no shard
+    * subtree" as zero rows instead of a schema-inference crash. */
+  def readShardedExportOpt(spark: SparkSession,
+                           path: String): Option[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(root).toSeq
@@ -440,8 +450,8 @@ object Sampling {
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
       }).map(_.getPath.toString).sorted
-    if (parts.isEmpty) spark.read.parquet(path)
-    else spark.read.option("basePath", path).parquet(parts: _*)
+    if (parts.isEmpty) None
+    else Some(spark.read.option("basePath", path).parquet(parts: _*))
   }
 
   /** Re-audit an export against its manifest: one scan of the shard
@@ -454,9 +464,15 @@ object Sampling {
     val manifest = spark.read.parquet(s"$path/_graft_export_manifest")
       .select(col("shard"), col("n_rows").as("__mn"),
         col("id_sum").as("__ms"), col("id_sq_sum").as("__mq"))
-    val actual = readShardedExport(spark, path)
-      .groupBy("shard")
-      .agg(momentAggs(idCol).head, momentAggs(idCol).tail: _*)
+    // an EMPTY export has no shard subtree: audit it as zero actual
+    // rows (the manifest of an empty export is itself empty, so the
+    // join below is vacuous and ok — a NON-empty manifest over a
+    // missing subtree still flips ok on every manifest shard)
+    val actual = readShardedExportOpt(spark, path)
+      .map(_.groupBy("shard")
+        .agg(momentAggs(idCol).head, momentAggs(idCol).tail: _*))
+      .getOrElse(manifest.select(col("shard"), col("__mn").as("n_rows"),
+        col("__ms").as("id_sum"), col("__mq").as("id_sq_sum")).limit(0))
     actual.join(manifest, Seq("shard"), "full_outer")
       .select(col("shard"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),

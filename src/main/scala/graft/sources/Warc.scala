@@ -1528,12 +1528,21 @@ object Warc {
                              path: String): Seq[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.getFileStatus(root).isFile) Seq(root)
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }).map(_.getPath)
+    // globStatus expands Hadoop glob patterns ('cdxj-*') exactly like
+    // the text reader this listing replaced — a plain path resolves to
+    // its single status, so non-glob callers behave identically
+    val matched = Option(fs.globStatus(root)).map(_.toSeq)
+      .getOrElse(Seq.empty)
+    if (matched.isEmpty)
+      throw new java.io.FileNotFoundException(s"no CDXJ input at $path")
+    matched.flatMap { st =>
+      if (st.isFile) Seq(st.getPath)
+      else fs.listStatus(st.getPath).toSeq
+        .filter(f => f.isFile && {
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }).map(_.getPath)
+    }
   }
 
   def cdxjShardsForPrefix(spark: SparkSession, path: String,

@@ -71,4 +71,16 @@ class CorpusDemoSpec extends SparkSpec {
       graft.operators.Bpe.SepId).count() == 0,
       "every packed sequence ends with the EOS separator")
   }
+
+  test("trainerFeed on an EMPTY corpus lands zeros and audits clean, never a crash") {
+    import spark.implicits._
+    // a corpus where every doc failed the refine gates: the export
+    // writes no shard subtrees at all (partitioned writes emit no
+    // files for absent partitions) — the round-13 ADVICE empty-corpus
+    // path, closed at the read-back layer, not just the NULL sum
+    val out = java.nio.file.Files.createTempDirectory("graft_cd_empty").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val feed = CorpusDemo.trainerFeed(spark, empty, out)
+    assert(feed == CorpusDemo.TrainerFeed(0L, 0L, 0L, true), feed.toString)
+  }
 }

@@ -25,5 +25,26 @@ class MultimodalDemoSpec extends SparkSpec {
     assert(r.survivors <= r.inputMedia - nClones, s"a clone survived: $r")
     assert(r.survivors > 0, s"everything dropped: $r")
     assert(r.auditOk, s"export audit failed: $r")
+    // the LAION leg: one pair mined per IMAGE (clones included — the
+    // pages embed them all), then the perceptual dedup prunes the
+    // pairs to EXACTLY the surviving images — tied against the landed
+    // media export itself (both modalities lose coincidental
+    // same-texture bases, so the image share must come from the
+    // export, not arithmetic on the totals)
+    assert(r.imagePairs == r.images, s"pair mining drifted: $r")
+    val keptImages = spark.read.parquet(out)
+      .filter(col("format") === "png").count()
+    assert(r.pairSurvivors == keptImages,
+      s"pair dedup must track image survivors ($keptImages): $r")
+    assert(r.pairSurvivors > 0 && r.pairSurvivors < r.imagePairs)
+    assert(r.pairAuditOk, s"pair export audit failed: $r")
+    // the landed pair table carries the alt and figcaption fields
+    val pairs = spark.read.parquet(out + "_pairs")
+    assert(pairs.filter(col("alt_text").isNull ||
+      col("caption").isNull).count() == 0,
+      "every mined pair must carry alt and caption")
+    assert(pairs.filter(!col("image_url")
+      .startsWith("https://img.example.com/media/m")).count() == 0,
+      "image URLs must resolve against the page URL")
   }
 }

@@ -279,6 +279,59 @@ class HtmlSpec extends SparkSpec {
     assert(rd.getString(1) == null && !rd.getBoolean(2) && !rd.getBoolean(3))
   }
 
+  test("implicit body open: XHTML prolog, BOM, and title text are NOT content — declarations survive") {
+    // the '<?xml?>' prolog is a processing instruction, not visible
+    // text: an XHTML page's head-scoped robots/canonical must survive
+    val xhtml = Html.scanHtml(
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+        "<html><head><meta name=\"robots\" content=\"noindex\">" +
+        "<link rel=\"canonical\" href=\"/real.html\"></head>" +
+        "<body><p>content</p></body></html>")
+    assert(xhtml.robotsMetas == Vector("noindex"), xhtml.robotsMetas)
+    assert(xhtml.canonicalHref == "/real.html")
+    // a leading BOM (html not routed through the charset decode)
+    // collapses like whitespace — neither body-opening nor block text
+    val bom = Html.scanHtml(
+      "\uFEFF<html><head><meta name=\"robots\" content=\"nofollow\">" +
+        "</head><body><p>x</p></body>")
+    assert(bom.robotsMetas == Vector("nofollow"), bom.robotsMetas)
+    assert(bom.blocks.map(_.text) == Vector("x"))
+  }
+
+  test("unquoted href ending in '/' opens a REAL anchor — text and density credited") {
+    // HTML5 ignores a '/' in a start tag; only a STANDALONE slash
+    // before '>' self-closes here — the last char of a bare attribute
+    // value must not
+    val links = Html.extractLinksKernel(
+      "<p><a href=https://ex.com/>click here</a> and " +
+        "<a href=/dir/ >trailing space</a></p>")
+    assert(links.map(l => (l.href, l.text)) == Vector(
+      ("https://ex.com/", "click here"),
+      ("/dir/", "trailing space")), links.mkString("\n"))
+    // density credit follows: the block's linked chars count the label
+    val b = Html.extractBlocks("<p><a href=https://ex.com/>click</a> x</p>")
+    assert(b == Vector(Html.Block("click x", 5, false)), b.toString)
+    // an explicit standalone slash still self-closes
+    val sc = Html.extractLinksKernel("<a href=\"/t\" />no label</a>")
+    assert(sc.map(l => (l.href, l.text)) == Vector(("/t", null)))
+  }
+
+  test("nested figures: captions bind nearest-enclosing, outer fills only the uncaptioned remainder") {
+    val docs = Seq((1L, "https://a.com/f.html",
+      "<figure><img src=\"a.jpg\">" +
+        "<figure><img src=\"b.jpg\"><figcaption>B cap</figcaption></figure>" +
+        "<img src=\"c.jpg\">" +
+        "<figcaption>A cap</figcaption></figure>" +
+        // unclosed figure: closes at end-of-document, caption binds
+        "<figure><img src=\"d.jpg\"><figcaption>D cap</figcaption>"))
+      .toDF("doc_id", "url", "html")
+    val got = Html.imageTextPairs(docs, "doc_id", "url", "html")
+      .orderBy("img_pos").select("src", "caption")
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("a.jpg", "A cap"), ("b.jpg", "B cap"),
+      ("c.jpg", "A cap"), ("d.jpg", "D cap")), got.mkString("\n"))
+  }
+
   test("anchor text: entity decode, nested markup strips, block boundary ends credit, textless is NULL") {
     val links = Html.extractLinksKernel(
       "<p><a href=\"/a\">Big  <b>Bold</b>\n text &amp; more</a>" +

@@ -597,6 +597,11 @@ class WarcSpec extends SparkSpec {
       .filter(_.getName.startsWith("part-")).minBy(_.getName)
     val oneCount = Warc.readCdxj(spark, one.toString).count()
     assert(oneCount > 0 && oneCount < cdx.count())
+    // glob paths still expand (the pre-round-14 text-reader contract):
+    // a 'dir/part-*' pattern reads the shards, manifests still skipped
+    assert(Warc.readCdxj(spark, s"$cdxjDir/part-*").count() == cdx.count())
+    val parent = new java.io.File(cdxjDir).getParent
+    assert(Warc.readCdxj(spark, s"$parent/id*").count() == cdx.count())
   }
 
   test("cdxj: NULL/fractional dates and locator-less lines degrade, never crash the fetch") {
