@@ -2118,6 +2118,32 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // Benchmark DECONTAMINATION (Dedup.contaminatedDocs — the GPT-3
+    // 13-gram eval-overlap recipe): three synthetic-vocabulary
+    // benchmark items (their words appear NOWHERE in the corpus's
+    // 31-word vocabulary, so nothing matches accidentally) are planted
+    // verbatim into every doc_id%7==3 document; exactly those docs
+    // flag, each with the planted item's 3 distinct 13-grams
+    // (15 words → 3 windows; boundary windows mixing corpus words are
+    // NOT benchmark grams) and one benchmark item hit.
+    "q159_decontamination" -> ((s, dir) => {
+      import s.implicits._
+      val sents = (0 until 3).map(b =>
+        (0 until 15).map(k => s"zq${('a' + b).toChar}$k").mkString(" "))
+      val bench = sents.zipWithIndex
+        .map { case (t, b) => (b.toLong, t) }.toDF("bench_id", "btext")
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(col("text"), lit(" "),
+            element_at(
+              array(sents.map(lit): _*),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int"))))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.contaminatedDocs(planted, "doc_id", "text",
+          bench, "bench_id", "btext", n = 13)
+        .orderBy("doc_id")
+    }),
+
     // Cross-crawl index MERGE (the CommonCrawl consumption pattern:
     // every crawl publishes its own sorted CDXJ; a consumer unions
     // them and dedups): each of the q148 fixture's three crawl
@@ -6065,6 +6091,15 @@ object SparkEntry {
          SELECT doc_id, round(score, 4) AS score
          FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
          ORDER BY score DESC, doc_id""",
+
+    // q159: contamination is exactly the planted set — 3 distinct
+    // 13-grams (one 15-word item appended whole; boundary windows mix
+    // corpus words and are not benchmark grams) and 1 benchmark item
+    // per flagged doc.
+    "q159_decontamination" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_hits,
+                CAST(1 AS BIGINT) AS n_bench_items
+         FROM documents WHERE doc_id % 7 = 3 ORDER BY doc_id""",
 
     // q151: the q148 oracle verbatim — three separately published
     // per-crawl indexes, merged and re-published in interchange form,

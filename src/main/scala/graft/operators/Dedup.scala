@@ -652,6 +652,42 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("gram_str")).as("gram"), col("sz"))
   }
 
+  /** Benchmark DECONTAMINATION (Brown et al. 2020, Appendix C — the
+    * public GPT-3 recipe; every serious LLM pipeline since runs a
+    * variant): flag every training document sharing at least one word
+    * n-gram (default n = 13, the GPT-3 choice) with an evaluation
+    * benchmark, so eval items are HELD OUT of the training corpus
+    * instead of leaking into it and inflating downstream scores. One
+    * row per CONTAMINATED doc: `(doc_id, n_hits, n_bench_items)` —
+    * distinct (matching gram, benchmark item) pairs and distinct
+    * benchmark items hit; compose as a left-anti join against the
+    * corpus to drop (the DedupSpec composition).
+    *
+    * Scale shape: the benchmark side is eval-sized (thousands of
+    * items, never corpus-sized), so its distinct gram hashes
+    * BROADCAST; the corpus side is one scan-side gram kernel + a
+    * broadcast semi-join + one |contaminated|-keyed hash aggregation —
+    * the 100 TB corpus never shuffles and never self-joins. Gram
+    * hashing is [[ngramIndex]]'s 64-bit xxhash64: a collision flags a
+    * doc spuriously at ~|grams|²/2⁶⁴ — the harmless direction
+    * (over-removal) at negligible rate. Docs or bench items shorter
+    * than n words contribute their whole normalized text as one gram
+    * ([[Sketches.wordNgrams]]), so a short eval item still catches its
+    * verbatim copies. Battery q159 oracles planted contamination
+    * closed-form. */
+  def contaminatedDocs(docs: DataFrame, idCol: String, textCol: String,
+                       bench: DataFrame, benchIdCol: String,
+                       benchTextCol: String, n: Int = 13): DataFrame = {
+    val docGrams = ngramIndex(docs, idCol, textCol, n)
+      .select(col("doc_id"), col("gram"))
+    val benchGrams = ngramIndex(bench, benchIdCol, benchTextCol, n)
+      .select(col("gram"), col("doc_id").as("bench_id")).distinct()
+    docGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("bench_id")).as("n_bench_items"))
+  }
+
   /** [[ngramJaccard]] over a pre-built (possibly persisted) inverted
     * index from [[ngramIndex]].
     *

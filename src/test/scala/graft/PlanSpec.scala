@@ -210,6 +210,43 @@ class PlanSpec extends SparkSpec {
       "bounded top-k aggregator missing:\n" + p149.take(1200))
   }
 
+  test("round-14 queries: extraction is exchange-free; aggregates combine map-side; BM25 top-k never sorts globally") {
+    // q155/q156: row-local kernel + scalar URL kernels — ZERO
+    // exchanges anywhere in the plan (the orderBy is the battery
+    // presentation sort; check below the Sort's child). q82c is one
+    // narrow pass + presentation sort.
+    Seq("q155_image_text_pairs", "q156_anchor_text_edges",
+      "q82c_bpe_chained").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+        s"$q:\n" + p.take(800))
+      // one Exchange at most — the rangepartitioning under the
+      // presentation orderBy; a second would mean the extraction
+      // itself shuffled
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"$q extraction must not shuffle:\n" + p.take(1200))
+    }
+    // q157: the profile is ONE hash aggregation keyed by destination
+    // (plus the presentation sort); map-side combine on the count
+    val p157 = plan("q157_anchor_profile")
+    assert(!p157.contains("CartesianProduct") && !p157.contains("Window"),
+      p157.take(800))
+    assert(p157.contains("partial_count") || p157.contains("partial_"),
+      "profile aggregation lost its map-side combine:\n" + p157.take(1200))
+    // q158: the ranking plans as TakeOrderedAndProject (per-partition
+    // top-n), never a global sort of all scored docs
+    val p158 = plan("q158_anchor_bm25")
+    assert(p158.contains("TakeOrderedAndProject"),
+      "anchor BM25 lost its top-k plan:\n" + p158.take(1200))
+    // q159: the benchmark side broadcasts — the corpus is scanned
+    // once, semi-joined without an exchange, aggregated with combine
+    val p159 = plan("q159_decontamination")
+    assert(p159.contains("BroadcastHashJoin"),
+      "benchmark grams must broadcast:\n" + p159.take(1200))
+    assert(!p159.contains("SortMergeJoin") &&
+      !p159.contains("CartesianProduct"), p159.take(800))
+  }
+
   test("q114: host PageRank from raw HTML keeps the q95 aggregation shape") {
     val p = plan("q114_host_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(800))

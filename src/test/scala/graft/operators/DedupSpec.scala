@@ -448,4 +448,46 @@ class DedupSpec extends SparkSpec {
       s"variants did not collapse: $digests")
     assert(digests(3)._3 != digests(0)._3)
   }
+
+  test("contaminatedDocs: 13-gram overlap flags, short bench items match verbatim copies, anti-join decontaminates") {
+    val w = (1 to 20).map(i => s"w$i") // 20 distinct corpus words
+    val benchSent = (1 to 15).map(i => s"b$i").mkString(" ") // 15 bench words
+    val benchSent2 = (1 to 15).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      // clean: shares no 13-gram with any bench item
+      (1L, w.mkString(" ")),
+      // contaminated: the 15-word bench item rides mid-document →
+      // its 3 distinct grams all hit (boundary grams mix w-words and
+      // are not bench grams)
+      (2L, (w.take(5) ++ benchSent.split(" ") ++ w.drop(5)).mkString(" ")),
+      // verbatim copy of a SHORT bench item (< 13 words → whole-text
+      // gram) with case/punct slop the normalization absorbs; a short
+      // item can only catch short verbatim docs — by design, the
+      // GPT-3 fallback
+      (3L, "The Secret Eval Answer!"),
+      // hits TWO long bench items back to back: 3 grams each, the
+      // boundary windows mixing b/c words match neither
+      (4L, benchSent + " " + benchSent2))
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, benchSent), (11L, "the secret eval answer"),
+      (12L, benchSent2)).toDF("bench_id", "btext")
+    val got = Dedup.contaminatedDocs(docs, "doc_id", "text",
+        bench, "bench_id", "btext", n = 13)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 3L, 1L), (3L, 1L, 1L), (4L, 6L, 2L)),
+      got.toString)
+    // the composition: left-anti drops exactly the contaminated docs
+    val kept = docs.join(
+        Dedup.contaminatedDocs(docs, "doc_id", "text", bench,
+          "bench_id", "btext", n = 13).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L), kept.toString)
+    // scale shape: the benchmark side broadcasts; the corpus side
+    // never exchanges (scan → broadcast join → one hash agg)
+    val p = Dedup.contaminatedDocs(docs, "doc_id", "text", bench,
+      "bench_id", "btext", n = 13).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
 }
