@@ -2144,6 +2144,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Split-leakage audit (Sampling.splitLeakage — the C4-style check
+    // that eval rows are not verbatim copies of training rows): exact
+    // clones planted at doc_id+100000 for every doc_id%11==0, splits
+    // assigned by ID (the naive keying), every clone group whose two
+    // members hash into different splits reported with its sorted
+    // split list. The oracle replays the md5-threshold split and the
+    // text-grouping exactly; any accidental corpus-native duplicate
+    // groups report identically on both sides.
+    "q160_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val all = docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val sp = graft.operators.Sampling.splitAssign(all, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      graft.operators.Sampling.splitLeakage(sp, "doc_id", "text", "split")
+        .orderBy("leader")
+    }),
+
     // Cross-crawl index MERGE (the CommonCrawl consumption pattern:
     // every crawl publishes its own sorted CDXJ; a consumer unions
     // them and dedups): each of the q148 fixture's three crawl
@@ -6100,6 +6119,38 @@ object SparkEntry {
       """SELECT doc_id, CAST(3 AS BIGINT) AS n_hits,
                 CAST(1 AS BIGINT) AS n_bench_items
          FROM documents WHERE doc_id % 7 = 3 ORDER BY doc_id""",
+
+    // q160: the md5-threshold split (q78's expression) over base +
+    // clone rows, then leaking groups by TEXT equality — the oracle
+    // tolerates corpus-native duplicates the same way the operator
+    // does (both group by text).
+    "q160_split_leakage" -> {
+      val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val t1 = graft.operators.Sampling.thresholdHex(cums(0))
+      val t2 = graft.operators.Sampling.thresholdHex(cums(1))
+      s"""WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 11 = 0),
+         sp AS (
+           SELECT doc_id, text,
+                  CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '$t1'
+                         THEN 'train'
+                       WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '$t2'
+                         THEN 'val'
+                       ELSE 'test' END AS split
+           FROM all_docs),
+         d AS (
+           SELECT text, split, min(doc_id) AS mn, count(1) AS c
+           FROM sp GROUP BY text, split),
+         g AS (
+           SELECT min(mn) AS leader, CAST(sum(c) AS BIGINT) AS n_docs,
+                  CAST(count(1) AS BIGINT) AS n_splits,
+                  string_agg(split, ',' ORDER BY split) AS splits_csv
+           FROM d GROUP BY text)
+         SELECT leader, n_docs, n_splits, splits_csv
+         FROM g WHERE n_splits > 1 ORDER BY leader"""
+    },
 
     // q151: the q148 oracle verbatim — three separately published
     // per-crawl indexes, merged and re-published in interchange form,

@@ -145,6 +145,35 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Split-leakage AUDIT — the check "Documenting Large Webtext
+    * Corpora" (Dodge et al. 2021, public) ran on C4, finding eval
+    * items duplicated into train: given per-row split labels, report
+    * every EXACT-duplicate group whose members span more than one
+    * split — the rows an id-keyed split scatters across the
+    * train/eval boundary. One row per leaking group:
+    * `(leader, n_docs, n_splits, splits_csv)` — smallest member id,
+    * group size, distinct splits, sorted split list. The group key is
+    * md5 of the text (the exact-dedup digest discipline: the shuffle
+    * key is 16 fixed bytes, never the document), so the whole audit
+    * is ONE digest-keyed hash aggregation with map-side combine and
+    * |groups| output rows. Composition: run after [[splitAssign]] to
+    * QUANTIFY what an id-keyed split leaks, or as the regression
+    * audit proving a cluster-keyed split (q78b's representative
+    * keying) leaks ZERO groups. Battery q160 oracles planted clones
+    * closed-form both ways. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   splitCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__digest"),
+        col(splitCol).as("__split"))
+      .groupBy("__digest")
+      .agg(min(col("doc_id")).as("leader"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__split")).as("n_splits"),
+        concat_ws(",", sort_array(collect_set(col("__split"))))
+          .as("splits_csv"))
+      .filter(col("n_splits") > 1)
+      .select("leader", "n_docs", "n_splits", "splits_csv")
+
   /** Deterministic global shuffle + shard assignment for training-data
     * export. Trainers need the corpus cut into N shards whose
     * membership AND intra-shard order are reproducible across reruns,

@@ -524,4 +524,39 @@ class SamplingSpec extends SparkSpec {
       assert(gated, "a window runs over ungated raw input:\n" + w.toString.take(600))
     }
   }
+
+  test("splitLeakage: duplicate groups spanning splits report; same-split and singleton groups do not; rep-keyed splits leak zero") {
+    import spark.implicits._
+    // explicit split labels pin the semantics without hash dependence
+    val labeled = Seq(
+      (1L, "same text", "train"), (2L, "same text", "test"),
+      (3L, "same text", "train"),
+      (4L, "unique text", "train"),
+      (5L, "other text", "val"), (6L, "other text", "val"))
+      .toDF("doc_id", "text", "split")
+    val got = Sampling.splitLeakage(labeled, "doc_id", "text", "split")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, "test,train")), got.toString)
+    // the regression composition: a CLUSTER-REPRESENTATIVE-keyed split
+    // (the q78b discipline) puts every duplicate in one split — the
+    // audit over it must report ZERO leaking groups, while the naive
+    // id-keyed split over the same clones leaks some
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val all = docs.unionByName(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val naive = Sampling.splitAssign(all, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(Sampling.splitLeakage(naive, "doc_id", "text", "split")
+      .count() > 0, "the naive split should leak on this fixture")
+    val withRep = all.withColumn("rep",
+      when(col("doc_id") >= 100000L, col("doc_id") - 100000L)
+        .otherwise(col("doc_id")))
+    val keyed = Sampling.splitAssign(withRep, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      keyCol = Some("rep"))
+    assert(Sampling.splitLeakage(keyed, "doc_id", "text", "split")
+      .isEmpty, "rep-keyed splits must never leak exact duplicates")
+  }
 }
