@@ -115,10 +115,14 @@ object MultimodalDemo {
           lit(".png\" alt=\"render "), col("media_id"),
           lit("\"><figcaption>figure "), col("media_id"),
           lit("</figcaption></figure>")).as("html"))
+    // cached: the count, the kept-join's build side, the sharded write
+    // (twice internally: data + manifest) and the survivor count would
+    // otherwise each re-run the pair-mining kernel over every page
     val pairRows = Html.imageTextPairs(pages, "media_id", "url", "html")
       .select(regexp_extract(col("image_url"), "m(\\d+)\\.png", 1)
           .cast("long").as("media_id"),
         col("image_url"), col("alt_text"), col("caption"))
+      .cache()
     val imagePairs = pairRows.count()
     val pairsKept = pairRows.join(kept.select("media_id"), Seq("media_id"))
     val pairsDir = outDir + "_pairs"
@@ -130,6 +134,7 @@ object MultimodalDemo {
       .filter(!col("ok")).isEmpty
 
     media.unpersist(); pairs.unpersist(); kept.unpersist()
+    pairRows.unpersist()
     Result(inputMedia, images, audio, dupPairs, survivors, auditOk,
       imagePairs, pairSurvivors, pairAuditOk)
   }

@@ -247,41 +247,77 @@ object SparkEntry {
           "<footer>(c) example corp all rights reserved</footer>" +
           "</body></html>")).as("html"))
 
-  /** Build-once DERIVED-ARTIFACT dir (round-13 ADVICE: q146/q147/q151
-    * created a fresh `createTempDirectory` per invocation, so the
-    * bench's warm-up + min-of-2 protocol re-ran each full WAT/CDXJ
-    * export three times per leg and accumulated unbounded temp-dir
-    * garbage). Keyed by query name + docsTag like the WARC fixtures;
-    * `build` populates a staging dir that is renamed into place, so
-    * timed attempts measure SERVE rather than re-export and a crashed
-    * build can never publish a half-written artifact. */
   /** Hash of the compiled classfiles whose code SHAPES the derived
     * artifacts — unlike the WARC fixture dirs (which cache INPUTS
     * built from a frozen template), the derived dirs cache operator
     * OUTPUTS, so a code change to the producing operators must
     * invalidate them or the battery would keep validating artifacts an
-    * older build wrote. Classfile timestamps change on every
-    * recompile of the file; unchanged builds (bench child JVMs, the
-    * two bench passes, Verify) share the stamp and the cache. */
+    * older build wrote. The stamp walks the WHOLE compiled `graft`
+    * package tree (names + mtimes): a body-only edit recompiles just
+    * its own file, so probing a fixed class list would miss e.g. a
+    * `Url.surt` change that reshapes every CDXJ key. Unchanged builds
+    * (bench child JVMs, the two bench passes, Verify) share the stamp
+    * and the cache; any recompile rebuilds once. When classes load
+    * from a JAR (sbt's forked runMain packages a fresh bg-jobs jar
+    * PER INVOCATION, so the jar's own mtime would rebuild every run),
+    * the stamp hashes the `graft/` entries' CRCs instead —
+    * content-derived, stable across repackaging, changed by any
+    * recompiled class. Fails LOUDLY if the probe is missing — a
+    * silently-constant stamp would quietly stop invalidating. */
   private lazy val derivedCodeStamp: String = {
-    val probes = Seq("/graft/SparkEntry$.class",
-      "/graft/sources/Warc$.class", "/graft/operators/Html$.class")
-    val h = probes.map { p =>
-      val u = getClass.getResource(p)
-      if (u == null) 0L
-      else if (u.getProtocol == "file") new java.io.File(u.toURI).lastModified
-      else u.openConnection().getLastModified
-    }.hashCode()
-    f"${h & 0xffffffffL}%08x"
+    val u = getClass.getResource("/graft/SparkEntry$.class")
+    require(u != null, "classfile probe failed; cannot stamp derived artifacts")
+    var acc = 1469598103934665603L // FNV-1a over sorted (name, version) pairs
+    def mix(name: String, v: Long): Unit = {
+      acc ^= name.hashCode.toLong; acc *= 1099511628211L
+      acc ^= v; acc *= 1099511628211L
+    }
+    if (u.getProtocol == "file") {
+      val root = new java.io.File(u.toURI).getParentFile // …/classes/graft
+      def walk(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.sortBy(_.getName).foreach { k =>
+          if (k.isDirectory) walk(k) else mix(k.getName, k.lastModified())
+        }
+      }
+      walk(root)
+    } else u.openConnection() match {
+      case juc: java.net.JarURLConnection =>
+        juc.setUseCaches(false)
+        val jf = juc.getJarFile
+        try {
+          val es = jf.entries()
+          val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          while (es.hasMoreElements) {
+            val e = es.nextElement()
+            if (e.getName.startsWith("graft/") && !e.isDirectory)
+              entries += ((e.getName, e.getCrc))
+          }
+          entries.sortBy(_._1).foreach { case (nm, crc) => mix(nm, crc) }
+        } finally jf.close()
+      case c => acc = c.getLastModified
+    }
+    f"${acc & 0xffffffffL}%08x"
   }
 
+  /** Build-once DERIVED-ARTIFACT dir (round-13 ADVICE: q146/q147/q151
+    * created a fresh `createTempDirectory` per invocation, so the
+    * bench's warm-up + min-of-2 protocol re-ran each full WAT/CDXJ
+    * export three times per leg and accumulated unbounded temp-dir
+    * garbage). Keyed by query name + docsTag + [[derivedCodeStamp]];
+    * `build` populates a staging dir that is renamed into place, so
+    * timed attempts measure SERVE rather than re-export and a crashed
+    * build can never publish a half-written artifact. Older-stamp
+    * siblings for the same (name, docsTag) are pruned before staging —
+    * iterative recompiles must not strand one corpus-sized export per
+    * build in the temp dir. */
   private def ensureDerivedDir(s: SparkSession, dir: String, name: String)
                               (build: String => Unit): String = {
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${name}_${docsTag(s, dir)}_$derivedCodeStamp").toString
+    val prefix = s"graft_${name}_${docsTag(s, dir)}"
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val out = new java.io.File(tmp, s"${prefix}_$derivedCodeStamp").toString
     val root = new java.io.File(out)
     if (!root.exists()) {
-      val stage = new java.io.File(out + "_stage")
       def rmTree(f: java.io.File): Unit = {
         if (f.isDirectory) {
           val kids = f.listFiles()
@@ -289,6 +325,13 @@ object SparkEntry {
         }
         f.delete()
       }
+      // prune stale-stamp siblings (and any pre-stamp-era dir/stage)
+      val stale = tmp.listFiles()
+      if (stale != null) stale
+        .filter(f => f.getName.startsWith(prefix) &&
+          !f.getName.startsWith(s"${prefix}_$derivedCodeStamp"))
+        .foreach(rmTree)
+      val stage = new java.io.File(out + "_stage")
       if (stage.exists()) rmTree(stage)
       stage.mkdirs()
       build(stage.toString)

@@ -258,8 +258,11 @@ object Html {
         if (sb.length > 0) pendingSpace = true
         if (titleSb.length > 0) titlePending = true
         if (anchorSb.length > 0) anchorPending = true
-        if (figStack.nonEmpty && figStack.last.capSb.length > 0)
-          figStack.last.pending = true
+        // EVERY open frame with buffered caption text marks pending,
+        // not just the top one: whitespace falling while a nested
+        // figure tops the stack must still separate the OUTER
+        // caption's words once that frame resumes receiving
+        figStack.foreach(f => if (f.capSb.length > 0) f.pending = true)
       } else {
         // visible text outside an (explicit or implied) head opens the
         // body: a canonical/robots declaration echoed into user
@@ -427,18 +430,25 @@ object Html {
             }
           } else {
             // skip attributes, honoring quoted values (a '>' in quotes
-            // does not end the tag)
+            // does not end the tag) — and track slash standalone-ness
+            // the same way the attrs branch does: a '/' that ends an
+            // unquoted value ('<nav data-x=https://ex.com/>') must not
+            // fake a self-close, or the depth-tracked tags (chrome,
+            // figure, raw-text) inherit the exact bug the anchor
+            // branch fixed
             var q: Char = 0
+            var inBare = false
             while (j < n && (q != 0 || html.charAt(j) != '>')) {
               val cj = html.charAt(j)
-              if (q == 0 && (cj == '"' || cj == '\'')) q = cj
-              else if (q != 0 && cj == q) q = 0
+              if (q != 0) { if (cj == q) q = 0 }
+              else if (cj == '"' || cj == '\'') { q = cj; inBare = false; attrSlashLast = false }
+              else if (Character.isWhitespace(cj)) { inBare = false; attrSlashLast = false }
+              else if (cj == '/' && !inBare) attrSlashLast = true
+              else { inBare = true; attrSlashLast = false }
               j += 1
             }
           }
-          val selfClosing =
-            if (attrs != null) attrSlashLast
-            else j <= n && j - 1 >= 0 && html.charAt(j - 1) == '/'
+          val selfClosing = attrSlashLast
           i = if (j < n) j + 1 else n
           if (name.nonEmpty) {
             if (!closing && !selfClosing && RawTextTags.contains(name)) {

@@ -1530,9 +1530,17 @@ object Warc {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // globStatus expands Hadoop glob patterns ('cdxj-*') exactly like
     // the text reader this listing replaced — a plain path resolves to
-    // its single status, so non-glob callers behave identically
+    // its single status, so non-glob callers behave identically. A
+    // GLOB must not match hidden names either ('$dir/*' would match
+    // the _graft_cdxj_manifest dir and ingest parquet bytes as CDXJ
+    // text); an exact path keeps resolving whatever the caller typed.
+    val isGlob = path.exists(c => "*?[{\\".indexOf(c.toInt) >= 0)
     val matched = Option(fs.globStatus(root)).map(_.toSeq)
       .getOrElse(Seq.empty)
+      .filter(st => !isGlob || {
+        val nm = st.getPath.getName
+        !nm.startsWith("_") && !nm.startsWith(".")
+      })
     if (matched.isEmpty)
       throw new java.io.FileNotFoundException(s"no CDXJ input at $path")
     matched.flatMap { st =>

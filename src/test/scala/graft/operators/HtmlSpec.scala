@@ -314,6 +314,32 @@ class HtmlSpec extends SparkSpec {
     // an explicit standalone slash still self-closes
     val sc = Html.extractLinksKernel("<a href=\"/t\" />no label</a>")
     assert(sc.map(l => (l.href, l.text)) == Vector(("/t", null)))
+    // the FAST-SKIP branch (depth-tracked tags that don't parse
+    // attributes) applies the same rule: a bare value ending in '/'
+    // must not collapse a chrome/figure scope
+    val chrome = blocks("<nav data-home=https://ex.com/>menu</nav>" +
+      "<p>content text</p>")
+    assert(chrome == Seq(("menu", 0, true), ("content text", 0, false)),
+      chrome.toString)
+    val figDocs = Seq((1L, "https://a.com/f.html",
+      "<figure data-src=/imgs/><img src=\"x.jpg\">" +
+        "<figcaption>the cap</figcaption></figure>"))
+      .toDF("doc_id", "url", "html")
+    val fig = Html.imageTextPairs(figDocs, "doc_id", "url", "html")
+      .select("caption").as[String].head()
+    assert(fig == "the cap", fig)
+    // ...while '<br/>' style self-closing syntax keeps working
+    assert(blocks("<p>a<br/>b</p>") == Seq(("a", 0, false), ("b", 0, false)))
+  }
+
+  test("nested figcaption whitespace: a space falling inside a nested figure still separates the outer caption's words") {
+    val docs = Seq((1L, "https://a.com/w.html",
+      "<figure><img src=\"a.jpg\"><figcaption>Hello" +
+        "<figure> </figure>world</figcaption></figure>"))
+      .toDF("doc_id", "url", "html")
+    val got = Html.imageTextPairs(docs, "doc_id", "url", "html")
+      .select("caption").as[String].head()
+    assert(got == "Hello world", got)
   }
 
   test("nested figures: captions bind nearest-enclosing, outer fills only the uncaptioned remainder") {

@@ -602,6 +602,10 @@ class WarcSpec extends SparkSpec {
     assert(Warc.readCdxj(spark, s"$cdxjDir/part-*").count() == cdx.count())
     val parent = new java.io.File(cdxjDir).getParent
     assert(Warc.readCdxj(spark, s"$parent/id*").count() == cdx.count())
+    // a glob that would MATCH the hidden manifest dir ('dir/*') must
+    // not ingest its parquet bytes as CDXJ text — hidden names are
+    // excluded from glob expansion, exact paths still resolve verbatim
+    assert(Warc.readCdxj(spark, s"$cdxjDir/*").count() == cdx.count())
   }
 
   test("cdxj: NULL/fractional dates and locator-less lines degrade, never crash the fetch") {
