@@ -674,19 +674,26 @@ object Dedup {
     * than n words contribute their whole normalized text as one gram
     * ([[Sketches.wordNgrams]]), so a short eval item still catches its
     * verbatim copies. Battery q159 oracles planted contamination
-    * closed-form. */
+    * closed-form.
+    *
+    * This is the DOC-LEVEL AGGREGATE view of the same machinery as
+    * [[contaminationMatches]] (the per-pair view, battery q69) and
+    * [[dropContaminated]] (the filter view) — one implementation,
+    * three consumption shapes: `n_hits` = Σ shared grams across
+    * benchmark items, `n_bench_items` = distinct items hit. */
   def contaminatedDocs(docs: DataFrame, idCol: String, textCol: String,
                        bench: DataFrame, benchIdCol: String,
-                       benchTextCol: String, n: Int = 13): DataFrame = {
-    val docGrams = ngramIndex(docs, idCol, textCol, n)
-      .select(col("doc_id"), col("gram"))
-    val benchGrams = ngramIndex(bench, benchIdCol, benchTextCol, n)
-      .select(col("gram"), col("doc_id").as("bench_id")).distinct()
-    docGrams.join(broadcast(benchGrams), Seq("gram"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"),
-        countDistinct(col("bench_id")).as("n_bench_items"))
-  }
+                       benchTextCol: String, n: Int = 13): DataFrame =
+    contaminationMatches(
+        docs.select(col(idCol), col(textCol)),
+        bench.select(col(benchIdCol).as(idCol),
+          col(benchTextCol).as(textCol)),
+        idCol, textCol, n)
+      .groupBy("train_id")
+      .agg(sum(col("n_shared")).as("n_hits"),
+        count(lit(1)).as("n_bench_items"))
+      .select(col("train_id").as("doc_id"), col("n_hits"),
+        col("n_bench_items"))
 
   /** [[ngramJaccard]] over a pre-built (possibly persisted) inverted
     * index from [[ngramIndex]].
