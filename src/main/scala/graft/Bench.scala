@@ -438,11 +438,19 @@ object Bench {
       Map.empty
     }
     val breaches = results.flatMap { case (name, best, _) =>
-      val eff = isolated.get(name).filter(_ >= 0).getOrElse(best)
-      if (eff < 0) None
-      else tolerances.get(name).collect {
-        case ceiling if eff * canaryScale > ceiling =>
-          (name, eff * canaryScale, ceiling)
+      // gate on the BEST evidence available: the minimum of the
+      // in-battery min and the isolated figure — either one under the
+      // ceiling proves the plan can still run at recorded speed
+      // (in-battery catches neighborhood-coupled queries, isolated
+      // catches a heavy whose battery slot happened to be kind)
+      val cands = (Seq(best) ++ isolated.get(name)).filter(_ >= 0)
+      if (cands.isEmpty) None
+      else {
+        val eff = cands.min
+        tolerances.get(name).collect {
+          case ceiling if eff * canaryScale > ceiling =>
+            (name, eff * canaryScale, ceiling)
+        }
       }
     }
     if (breaches.nonEmpty) System.err.println(
