@@ -247,6 +247,24 @@ object SparkEntry {
           "<footer>(c) example corp all rights reserved</footer>" +
           "</body></html>")).as("html"))
 
+  /** The shared-hub anchor fixture (q157/q158/q161): groups of 5
+    * consecutive docs all link to one hub page with per-doc labels —
+    * the profile aggregate and its ranking/streaming consumers all
+    * read the same template, and the oracle is arithmetic on the
+    * group leader id. */
+  private def anchorHubPages(s: SparkSession, dir: String): DataFrame = {
+    val ks = pmod(col("doc_id"), lit(20)).cast("string")
+    val ids = col("doc_id").cast("string")
+    val leader =
+      (col("doc_id") - pmod(col("doc_id"), lit(5))).cast("string")
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://site"), ks, lit(".example.com/page"),
+        ids, lit(".html")).as("url"),
+      concat(lit("<html><body><a href=\"https://hub.example.com/t"),
+        leader, lit(".html\">topic "), ids,
+        lit(" guide</a></body></html>")).as("html"))
+  }
+
   /** Hash of the compiled classfiles whose code SHAPES the derived
     * artifacts — unlike the WARC fixture dirs (which cache INPUTS
     * built from a frozen template), the derived dirs cache operator
@@ -2110,24 +2128,49 @@ object SparkEntry {
     // count, distinct source pages, and the label bag in
     // deterministic (sorted) order — is ONE hash aggregation keyed by
     // destination, closed-form per hub.
-    "q157_anchor_profile" -> ((s, dir) => {
-      val ks = pmod(col("doc_id"), lit(20)).cast("string")
-      val ids = col("doc_id").cast("string")
-      val leader =
-        (col("doc_id") - pmod(col("doc_id"), lit(5))).cast("string")
-      val pages = t(s, dir, "documents").select(col("doc_id"),
-        concat(lit("https://site"), ks, lit(".example.com/page"),
-          ids, lit(".html")).as("url"),
-        concat(lit("<html><body><a href=\"https://hub.example.com/t"),
-          leader, lit(".html\">topic "), ids,
-          lit(" guide</a></body></html>")).as("html"))
-      graft.operators.Html.anchorTextEdges(pages, "doc_id", "url", "html")
-        .filter(!col("in_chrome") && col("anchor_text").isNotNull)
-        .groupBy("dst_url")
-        .agg(count(lit(1)).as("n_anchors"),
-          countDistinct(col("src_url")).as("n_src_pages"),
-          concat_ws(" ", sort_array(collect_list(col("anchor_text"))))
-            .as("anchor_terms"))
+    "q157_anchor_profile" -> ((s, dir) =>
+      graft.operators.Html.anchorProfile(
+          graft.operators.Html.anchorTextEdges(
+            anchorHubPages(s, dir), "doc_id", "url", "html"))
+        .orderBy("dst_url")),
+
+    // The anchor family's STREAMING leg (Maintenance.streamingAnchorEdges
+    // → Html.appendToAnchorTable — closing its build/serve/stream triad
+    // like BM25/n-gram/MinHash/IVFADC/graph before it): the q157
+    // fixture pages DELIVERED AS A STREAM in 3 micro-batches, each
+    // absorbing per-source-page idempotently into the standing
+    // postings+markers pair; a whole-corpus replay must absorb ZERO
+    // pages (required in-entry), and the served profiles answer the
+    // q157 oracle VERBATIM — streamed arrival must not move one count
+    // or reorder one term bag. The driver-side collect feeds the
+    // MemoryStream test harness (the S5 situation), not the operator.
+    "q161_anchor_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tbl = s"graft_q161_anchor_${docsTag(s, dir)}"
+      val pages = anchorHubPages(s, dir)
+      if (!s.catalog.tableExists(tbl)) {
+        val rows = pages.select("doc_id", "url", "html")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q161_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingAnchorEdges(
+          mem.toDF().toDF("doc_id", "url", "html"),
+          "doc_id", "url", "html", tbl, ckpt)
+        try {
+          rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val replayed = graft.operators.Html.appendToAnchorTable(
+        s, pages, "doc_id", "url", "html", tbl)
+      require(replayed == 0L,
+        s"replay absorb must be a no-op, absorbed $replayed pages")
+      graft.operators.Html.anchorProfileFromTable(s, tbl)
         .orderBy("dst_url")
     }),
 
@@ -2139,22 +2182,9 @@ object SparkEntry {
     // token must rank the two matching hubs first with every score
     // replayed by the q54 BM25 arithmetic.
     "q158_anchor_bm25" -> ((s, dir) => {
-      val ks = pmod(col("doc_id"), lit(20)).cast("string")
-      val ids = col("doc_id").cast("string")
-      val leader =
-        (col("doc_id") - pmod(col("doc_id"), lit(5))).cast("string")
-      val pages = t(s, dir, "documents").select(col("doc_id"),
-        concat(lit("https://site"), ks, lit(".example.com/page"),
-          ids, lit(".html")).as("url"),
-        concat(lit("<html><body><a href=\"https://hub.example.com/t"),
-          leader, lit(".html\">topic "), ids,
-          lit(" guide</a></body></html>")).as("html"))
-      val profiles = graft.operators.Html
-        .anchorTextEdges(pages, "doc_id", "url", "html")
-        .filter(!col("in_chrome") && col("anchor_text").isNotNull)
-        .groupBy("dst_url")
-        .agg(concat_ws(" ", sort_array(collect_list(col("anchor_text"))))
-          .as("anchor_terms"))
+      val profiles = graft.operators.Html.anchorProfile(
+        graft.operators.Html.anchorTextEdges(
+          anchorHubPages(s, dir), "doc_id", "url", "html"))
       graft.operators.Retrieval.bm25TopK(profiles, "dst_url",
           "anchor_terms", Seq("17", "42", "guide"), n = 10)
         .withColumn("score", round(col("score"), 4))
@@ -6109,6 +6139,20 @@ object SparkEntry {
     // label bag re-sorts in the same binary string order sort_array
     // uses.
     "q157_anchor_profile" ->
+      """WITH g AS (
+           SELECT doc_id, doc_id - doc_id % 5 AS leader,
+                  'topic ' || CAST(doc_id AS VARCHAR) || ' guide' AS lbl
+           FROM documents)
+         SELECT 'https://hub.example.com/t' || CAST(leader AS VARCHAR) ||
+                  '.html' AS dst_url,
+                CAST(count(1) AS BIGINT) AS n_anchors,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_pages,
+                string_agg(lbl, ' ' ORDER BY lbl) AS anchor_terms
+         FROM g GROUP BY leader ORDER BY dst_url""",
+
+    // q161: the q157 oracle verbatim — streamed arrival through the
+    // postings+markers pair must not move one count or term.
+    "q161_anchor_stream" ->
       """WITH g AS (
            SELECT doc_id, doc_id - doc_id % 5 AS leader,
                   'topic ' || CAST(doc_id AS VARCHAR) || ' guide' AS lbl

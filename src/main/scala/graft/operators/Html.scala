@@ -839,6 +839,86 @@ object Html {
         col("l._3").as("anchor_text"), col("l._2").as("in_chrome"))
   }
 
+  /** The per-TARGET anchor profile over an [[anchorTextEdges]] frame —
+    * what retrieval training and crawl scoring consume: inbound count,
+    * distinct source pages, and the anchor-term bag in deterministic
+    * (sorted) order. Chrome labels and textless/unresolvable edges are
+    * excluded (template noise, not descriptions). ONE hash aggregation
+    * keyed by destination, map-side combinable; |targets| output rows.
+    * Shared verbatim by the one-shot build (battery q157), the
+    * anchor-field BM25 serve (q158) and the streaming table serve
+    * ([[anchorProfileFromTable]], q161) so the three lifecycles cannot
+    * drift. */
+  def anchorProfile(edges: DataFrame): DataFrame =
+    edges
+      .filter(!col("in_chrome") && col("anchor_text").isNotNull &&
+        col("dst_url").isNotNull)
+      .groupBy("dst_url")
+      .agg(count(lit(1)).as("n_anchors"),
+        countDistinct(col("src_url")).as("n_src_pages"),
+        concat_ws(" ", sort_array(collect_list(col("anchor_text"))))
+          .as("anchor_terms"))
+
+  /** Append one batch of PAGES' anchor edges into a standing postings
+    * table — the anchor family's STREAMING leg (build q157 / serve
+    * q158 / stream q161): `table` grows the [[anchorTextEdges]] rows,
+    * `<table>_pages` grows one marker per absorbed source page.
+    * Appends are per-SOURCE-PAGE idempotent: anchor postings are
+    * per-source FACTS (nothing already written changes when new pages
+    * arrive — the [[Retrieval.appendToBm25Tables]] situation, not the
+    * graph's out-degree), so replays anti-join away on the marker set
+    * before a byte of HTML scans, and markers land AFTER postings so
+    * a crash between the two re-extracts and row-level-dedups next
+    * absorb (the rows-first-markers-second discipline). Zero-link
+    * pages still mark — they must not re-scan on every replay.
+    * Returns newly absorbed pages. */
+  def appendToAnchorTable(spark: org.apache.spark.sql.SparkSession,
+                          pages: DataFrame, idCol: String, urlCol: String,
+                          htmlCol: String, table: String): Long = {
+    val markers = s"${table}_pages"
+    val incoming = pages
+      .select(col(idCol).as("doc_id"), col(urlCol).as("__url"),
+        col(htmlCol).as("__html"))
+      .groupBy("doc_id")
+      .agg(first(col("__url")).as("__url"), first(col("__html")).as("__html"))
+    val fresh =
+      (if (!spark.catalog.tableExists(markers)) incoming
+       else incoming.join(spark.table(markers).select(col("doc_id")),
+         Seq("doc_id"), "left_anti"))
+        .persist() // two consumers: the postings job + the marker job
+    try {
+      val n = fresh.count()
+      if (n == 0L) return 0L
+      val edges = anchorTextEdges(fresh, "doc_id", "__url", "__html")
+      if (!spark.catalog.tableExists(table)) {
+        graft.sources.Warehouse.clearOrphanLocation(spark, table)
+        edges.write.saveAsTable(table)
+      } else {
+        edges.join(spark.table(table).select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .write.mode("append").saveAsTable(table)
+      }
+      val marks = fresh.select(col("doc_id"))
+      if (!spark.catalog.tableExists(markers)) {
+        graft.sources.Warehouse.clearOrphanLocation(spark, markers)
+        marks.write.saveAsTable(markers)
+      } else {
+        marks.join(spark.table(markers).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .write.mode("append").saveAsTable(markers)
+      }
+      n
+    } finally fresh.unpersist()
+  }
+
+  /** The [[anchorProfile]] aggregate served off a standing
+    * [[appendToAnchorTable]] postings table — identical rows to the
+    * one-shot build over everything absorbed so far (battery q161
+    * answers the q157 oracle verbatim after streamed arrival). */
+  def anchorProfileFromTable(spark: org.apache.spark.sql.SparkSession,
+                             table: String): DataFrame =
+    anchorProfile(spark.table(table))
+
   /** WAT-style per-capture metadata (the third CommonCrawl artifact
     * family next to WARC segments and WET text): one row per capture
     * with `wat_json` — a JSON object of `url`, `date`, `digest`

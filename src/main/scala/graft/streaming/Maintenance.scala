@@ -479,6 +479,32 @@ object Maintenance {
       }
       .start()
 
+  /** Keep a standing anchor-postings table continuously absorbed from
+    * a PAGE stream — the anchor family's streaming-maintenance leg
+    * (build q157 / serve q158 / stream q161, the lifecycle triad every
+    * index family here carries): each micro-batch's pages append their
+    * [[graft.operators.Html.anchorTextEdges]] rows per-source-page
+    * idempotently ([[graft.operators.Html.appendToAnchorTable]] —
+    * replays anti-join away on the marker set before any HTML scans).
+    * Serve profiles any time with
+    * [[graft.operators.Html.anchorProfileFromTable]] (battery q161
+    * streams the q157 fixture in 3 batches and answers the q157
+    * oracle verbatim). */
+  def streamingAnchorEdges(stream: DataFrame, idCol: String,
+                           urlCol: String, htmlCol: String,
+                           table: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Html.appendToAnchorTable(
+            batch.sparkSession, batch.toDF(), idCol, urlCol, htmlCol,
+            table)
+          ()
+        }
+      }
+      .start()
+
   /** Keep a persisted component catalog
     * ([[graft.operators.Components.appendToComponentsTable]])
     * continuously absorbed from a near-duplicate PAIR stream — the

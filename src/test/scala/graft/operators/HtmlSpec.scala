@@ -431,6 +431,40 @@ class HtmlSpec extends SparkSpec {
       got.mkString("\n"))
   }
 
+  test("appendToAnchorTable: per-page idempotent; crash between postings and markers dedups on re-absorb") {
+    val tbl = "graft_anchor_spec_tbl"
+    Seq(tbl, s"${tbl}_pages").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Warehouse.clearOrphanLocation(spark, t)
+    }
+    def pages(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "url", "html")
+    val p12 = pages(
+      (1L, "https://a.com/1", "<a href=\"/x\">one label</a>"),
+      // a zero-link page must still MARK, or it re-scans every replay
+      (2L, "https://a.com/2", "<p>no links at all</p>"))
+    assert(Html.appendToAnchorTable(spark, p12, "doc_id", "url", "html", tbl) == 2L)
+    assert(Html.appendToAnchorTable(spark, p12, "doc_id", "url", "html", tbl) == 0L,
+      "replay must absorb nothing")
+    // crash window: doc 3's POSTINGS land but its marker does not —
+    // the next absorb re-extracts (marker missing) and the row-level
+    // anti-join against the postings' own doc ids drops the duplicates
+    val p3 = pages((3L, "https://a.com/3", "<a href=\"/x\">three label</a>"))
+    Html.anchorTextEdges(p3, "doc_id", "url", "html")
+      .write.mode("append").saveAsTable(tbl)
+    assert(Html.appendToAnchorTable(spark, p3, "doc_id", "url", "html", tbl) == 1L)
+    assert(spark.table(tbl).filter(col("doc_id") === 3L).count() == 1L,
+      "crash-window re-absorb must not duplicate postings")
+    // the served profile aggregates everything absorbed, exactly once
+    val prof = Html.anchorProfileFromTable(spark, tbl)
+      .orderBy("dst_url")
+      .select("dst_url", "n_anchors", "n_src_pages", "anchor_terms")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(prof == Seq(("https://a.com/x", 2L, 2L, "one label three label")),
+      prof.toString)
+    Seq(tbl, s"${tbl}_pages").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("anchorTextEdges: base-aware canonical destinations with anchor text, shuffle-free") {
     val docs = Seq(
       (1L, "https://a.com/src.html",
