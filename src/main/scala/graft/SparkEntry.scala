@@ -2191,6 +2191,95 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // CCNet perplexity bucketing — the head/middle/tail cut that
+    // decides which slice of a crawl a trainer ever sees: every
+    // document scores under the q70 corpus bigram LM, then each
+    // LANGUAGE's score distribution cuts into thirds. NOT a
+    // per-language ntile window (that serializes a 100 TB language
+    // through one task): the distribution collapses to the bounded
+    // (lang, 4-dp score) histogram, the cut is exact integer rank
+    // arithmetic (`div`, never a float quotient), and value blocks
+    // never split — ties land in one bucket on both engines. The
+    // oracle replays scoring, histogram, cumulative ranks, and the
+    // floor-div cut; one document in the wrong third breaks the hash.
+    "q162_ppl_buckets" -> ((s, dir) =>
+      graft.operators.LangModel.perplexityBuckets(
+          t(s, dir, "documents"), "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"), col("avg_logprob"),
+          when(col("bucket") === 0, lit("head"))
+            .when(col("bucket") === 1, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy("doc_id")),
+
+    // The bigram-LM family's STREAMING leg (q70 build / q70b
+    // persisted-serve / THIS — the triad discipline every index
+    // family carries): the corpus streams in 3 micro-batches into a
+    // standing (w1,w2,cnt) model table (additive merge under the
+    // batch-id ledger — counts are not idempotent) plus a
+    // distinct-token vocabulary table (anti-join appends — replay
+    // absorbs nothing); context marginals and the vocab stat DERIVE
+    // at serve time, so two tables are the whole state. Serving off
+    // the streamed model must answer the q70 oracle VERBATIM —
+    // streamed arrival must not move one micro-nat.
+    "q163_lm_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tag = docsTag(s, dir)
+      val (bigT, tokT) = (s"graft_q163_big_$tag", s"graft_q163_tok_$tag")
+      if (!s.catalog.tableExists(bigT) || !s.catalog.tableExists(tokT)) {
+        val rows = t(s, dir, "documents").select("doc_id", "text")
+          .as[(Long, String)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q163_ckpt").toString
+        val q = graft.streaming.Maintenance.streamingBigramModel(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          bigT, tokT, ckpt)
+        try {
+          rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.catalog.refreshTable(bigT)
+        s.catalog.refreshTable(tokT)
+      }
+      graft.operators.LangModel.scoreFromTables(s,
+          t(s, dir, "documents"), "doc_id", "text", bigT, tokT)
+        .orderBy("doc_id")
+    }),
+
+    // License-header gate for code corpora (The Stack / StarCoder
+    // keep-permissive step): five license regimes planted by
+    // doc_id%6 — MIT, Apache-2.0, GPL-3.0, BSD-3-Clause, a
+    // proprietary notice — and one left bare. Detection is pure
+    // codegen (lower + contains over a BOUNDED 1500-char header
+    // window), and the marker order is itself under test: the BSD
+    // header ENDS with the same "all rights reserved" sentence the
+    // proprietary notice leads with, so a detector that checks
+    // proprietary first mislabels every BSD file. The oracle replays
+    // the header synthesis and the full decision ladder.
+    "q164_license_filter" -> ((s, dir) => {
+      val hdrs = array(
+        lit("Permission is hereby granted, free of charge, to any person obtaining a copy of this software."),
+        lit("Licensed under the Apache License, Version 2.0; you may not use this file except in compliance."),
+        lit("This file is free software under the terms of the GNU General Public License as published."),
+        lit("Redistribution and use in source and binary forms, with or without modification, are permitted. All rights reserved."),
+        lit("Copyright 2026 MegaCorp. All rights reserved. Unauthorized copying is prohibited."))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(6)) < 5,
+          concat(
+            element_at(hdrs, pmod(col("doc_id"), lit(6)).cast("int") + 1),
+            lit("\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+      docs.select(col("doc_id"),
+          graft.functions.Text.licenseInfo(col("text")).as("li"))
+        .select(col("doc_id"), col("li.license").as("license"),
+          col("li.permissive").as("permissive"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark DECONTAMINATION (Dedup.contaminatedDocs — the GPT-3
     // 13-gram eval-overlap recipe): three synthetic-vocabulary
     // benchmark items (their words appear NOWHERE in the corpus's
@@ -4995,6 +5084,64 @@ object SparkEntry {
                     CAST(sum(occ) AS BIGINT), 4) AS avg_logprob
        FROM contrib GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q162: the q70 scoring chain, then the CCNet cut — cumulative
+    * counts over each language's (avg_logprob) histogram in
+    * DESCENDING score order, bucket = floor(rows_before · 3 / n) via
+    * DuckDB's integer `//` (the engine side uses `div` — no float
+    * quotient decides a boundary on either engine), whole value
+    * blocks landing in one bucket. */
+  private val PplBucketsOracleSql =
+    """WITH w AS (
+         SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+                  '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+         FROM documents),
+       pairs AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, len(ws)),
+                  i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS bg
+         FROM w WHERE len(ws) >= 2),
+       occ AS (
+         SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(1) AS occ
+         FROM pairs GROUP BY doc_id, bg.w1, bg.w2),
+       cnt AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS cnt
+               FROM occ GROUP BY w1, w2),
+       ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx
+               FROM cnt GROUP BY w1),
+       voc AS (SELECT count(DISTINCT t) AS v
+               FROM (SELECT unnest(ws) AS t FROM w)),
+       contrib AS (
+         SELECT o.doc_id, o.occ,
+                CAST(round(ln((c.cnt + 1.0) / (x.ctx + 1.0 * voc.v)) * 1e6)
+                     AS BIGINT) AS c
+         FROM occ o JOIN cnt c USING (w1, w2) JOIN ctx x USING (w1)
+              CROSS JOIN voc),
+       scored AS (
+         SELECT doc_id,
+                round(CAST(sum(occ * c) AS BIGINT) / 1e6 /
+                      CAST(sum(occ) AS BIGINT), 4) AS avg_logprob
+         FROM contrib GROUP BY doc_id),
+       sl AS (
+         SELECT s.doc_id, d.lang, s.avg_logprob
+         FROM scored s JOIN documents d USING (doc_id)),
+       hist AS (
+         SELECT lang, avg_logprob, count(1) AS hc FROM sl GROUP BY 1, 2),
+       cum AS (
+         SELECT lang, avg_logprob,
+                coalesce(sum(hc) OVER (PARTITION BY lang
+                  ORDER BY avg_logprob DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+                sum(hc) OVER (PARTITION BY lang) AS n
+         FROM hist),
+       bk AS (
+         SELECT lang, avg_logprob,
+                CASE CAST((lo * 3) // n AS INTEGER)
+                  WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+         FROM cum)
+       SELECT sl.doc_id, sl.lang, sl.avg_logprob, bk.bucket
+       FROM sl JOIN bk USING (lang, avg_logprob)
+       ORDER BY sl.doc_id"""
+
   /** Exact ANN ground truth under the injected-clone gap argument,
     * shared verbatim by q33/q33b/q35/q35b: the four plans (single-probe
     * LSH, multi-probe LSH, IVF, Lloyd-refined IVF) must all return the
@@ -6718,6 +6865,37 @@ object SparkEntry {
     // the final avg re-enters doubles. Integer sums CAST to BIGINT
     // (DuckDB sums BIGINT → HUGEINT → pandas float otherwise).
     "q70_lm_score" -> BigramLmOracleSql,
+    "q162_ppl_buckets" -> PplBucketsOracleSql,
+    // the streamed model must answer exactly as the one-shot train
+    "q163_lm_stream" -> BigramLmOracleSql,
+    "q164_license_filter" ->
+      """WITH hx AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id % 6 AS INTEGER)
+                    WHEN 0 THEN 'Permission is hereby granted, free of charge, to any person obtaining a copy of this software.' || chr(10) || text
+                    WHEN 1 THEN 'Licensed under the Apache License, Version 2.0; you may not use this file except in compliance.' || chr(10) || text
+                    WHEN 2 THEN 'This file is free software under the terms of the GNU General Public License as published.' || chr(10) || text
+                    WHEN 3 THEN 'Redistribution and use in source and binary forms, with or without modification, are permitted. All rights reserved.' || chr(10) || text
+                    WHEN 4 THEN 'Copyright 2026 MegaCorp. All rights reserved. Unauthorized copying is prohibited.' || chr(10) || text
+                    ELSE text END AS text
+           FROM documents),
+         h AS (SELECT doc_id, lower(substr(text, 1, 1500)) AS h FROM hx),
+         lic AS (
+           SELECT doc_id,
+                  CASE
+                    WHEN h LIKE '%apache license%' AND h LIKE '%version 2.0%'
+                      THEN 'apache-2.0'
+                    WHEN h LIKE '%gnu general public license%' THEN 'gpl-3.0'
+                    WHEN h LIKE '%permission is hereby granted, free of charge%'
+                      THEN 'mit'
+                    WHEN h LIKE '%redistribution and use in source and binary forms%'
+                      THEN 'bsd-3-clause'
+                    WHEN h LIKE '%all rights reserved%' THEN 'proprietary'
+                    ELSE 'none' END AS license
+           FROM h)
+         SELECT doc_id, license,
+                license IN ('mit', 'apache-2.0', 'bsd-3-clause') AS permissive
+         FROM lic ORDER BY doc_id""",
     "q70b_lm_persisted" -> BigramLmOracleSql,
 
     // q72: weights restated as (whole copies, fractional md5

@@ -526,6 +526,36 @@ object Text {
         .as("alnum_frac"))
   }
 
+  /** SPDX-style license-header classification for code corpora (The
+    * Stack / StarCoder keep-permissive gate). Detection scans only
+    * the first `headerChars` characters — license headers live at the
+    * top of a file, a deep accidental phrase hit must not relicense
+    * it, and the bound keeps the kernel O(header) per row no matter
+    * how large the file. Marker phrases are the license texts' own
+    * invariant sentences; ORDER MATTERS: BSD's header ends in the
+    * same "all rights reserved" sentence a proprietary notice leads
+    * with, so BSD must test first. Pure codegen'd column expressions
+    * (lower + contains), no UDF. Returns
+    * `struct(license string, permissive boolean)`; `none` (no marker
+    * found) is NOT permissive — the conservative default the Stack's
+    * gate uses for unlicensed files. */
+  def licenseInfo(text: Column, headerChars: Int = 1500): Column = {
+    val h = lower(substring(coalesce(text, lit("")), 1, headerChars))
+    val license =
+      when(h.contains("apache license") && h.contains("version 2.0"),
+        lit("apache-2.0"))
+      .when(h.contains("gnu general public license"), lit("gpl-3.0"))
+      .when(h.contains("permission is hereby granted, free of charge"),
+        lit("mit"))
+      .when(h.contains("redistribution and use in source and binary forms"),
+        lit("bsd-3-clause"))
+      .when(h.contains("all rights reserved"), lit("proprietary"))
+      .otherwise(lit("none"))
+    struct(
+      license.as("license"),
+      license.isin("mit", "apache-2.0", "bsd-3-clause").as("permissive"))
+  }
+
   def registerSqlFunctions(spark: SparkSession): Unit = {
     spark.udf.register("token_count", (s: String) =>
       if (s == null) null else Int.box(tokenCountScalar(s)))

@@ -113,6 +113,63 @@ object LangModel {
     scoreFromModel(occ, big, contextCounts(big), vocabStats(docs, textCol), k)
   }
 
+  /** CCNet's head/middle/tail selection: score every document with
+    * the corpus bigram LM, then cut each language's score
+    * distribution into `buckets` rank intervals — head = the
+    * best-scored (least perplex) third, tail = the worst. The cut is
+    * [[Sampling.valueRankBuckets]] over the 4-dp-quantized
+    * `avg_logprob` (ordered DESCENDING — higher average
+    * log-probability means lower perplexity), so no language ever
+    * sorts its documents through one task: the distribution collapses
+    * to a bounded (lang, score) histogram, cutoffs come from exact
+    * integer rank arithmetic on that histogram, and the assignment
+    * broadcasts back. Documents with fewer than two tokens have no
+    * bigrams and drop, exactly as they do from [[perplexityScore]].
+    *
+    * Output: `(doc_id, lang, n_bigrams, sum_scaled, avg_logprob,
+    * bucket)` with bucket ∈ [0, buckets). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, buckets: Int = 3,
+                        k: Double = 1.0): DataFrame = {
+    val scored = perplexityScore(docs, idCol, textCol, k)
+    val withLang = scored.join(
+      docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+      Seq("doc_id"))
+    Sampling.valueRankBuckets(withLang, "lang", "avg_logprob",
+        buckets, descending = true)
+      .select("doc_id", "lang", "n_bigrams", "sum_scaled", "avg_logprob",
+        "bucket")
+  }
+
+  /** Distinct normalized tokens of a corpus slice, one row per token —
+    * the mergeable form of the vocabulary stat: a distinct-token TABLE
+    * unions idempotently across increments (an anti-join append is a
+    * no-op on replay), where the one-row `countDistinct` of
+    * [[vocabStats]] cannot absorb a delta without re-reading the
+    * corpus. */
+  def distinctTokens(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokensUdf(col(textCol))).as("t")).distinct()
+
+  /** The one-row `(v)` vocab stat off a [[distinctTokens]]-shaped
+    * table. */
+  def vocabFromTokens(tokens: DataFrame): DataFrame =
+    tokens.agg(count(lit(1)).as("v"))
+
+  /** Score a corpus off the STREAMED model state
+    * ([[graft.streaming.Maintenance]]'s bigram-count + distinct-token
+    * tables): context counts are the bigram table's prefix marginal —
+    * derived here rather than persisted, so the streaming leg
+    * maintains two tables, not three, and the marginal can never
+    * drift out of sync with the counts it summarizes. Answers
+    * exactly as [[perplexityScore]] over everything absorbed so far. */
+  def scoreFromTables(spark: SparkSession, docs: DataFrame, idCol: String,
+                      textCol: String, bigramsTable: String,
+                      tokensTable: String, k: Double = 1.0): DataFrame = {
+    val big = spark.table(bigramsTable)
+    scoreFromModel(docBigramOcc(docs, idCol, textCol), big,
+      contextCounts(big), vocabFromTokens(spark.table(tokensTable)), k)
+  }
+
   /** Build-once/serve-many lifecycle: write bigram counts, context
     * counts and the vocab stat as catalog tables unless present
     * (idempotent; the [[Dedup.ensureNgramTables]] pattern — dataset

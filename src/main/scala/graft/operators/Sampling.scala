@@ -616,4 +616,48 @@ object Sampling {
       .drop("__g", "__d", "__p", "__take", "__cls", "__rn")
     whole.unionByName(boundary)
   }
+
+  /** Rank-interval buckets over a QUANTIZED score, per group — the
+    * scale-honest form of per-group `ntile`: instead of a window over
+    * every row of a group (which serializes a 100 TB language's
+    * documents through one task), the rows collapse to a
+    * (group, score) histogram first. The contract that bounds the
+    * histogram is that `scoreCol` is already quantized to a finite
+    * grid (e.g. a 4-dp-rounded log-probability spans ≤ a few hundred
+    * thousand distinct values no matter how many documents carry
+    * them) — so the per-group window here runs over a bounded frame
+    * and the assignment joins back as a broadcast.
+    *
+    * Bucket semantics are value-granular on purpose (the CCNet
+    * discipline): every row with the same score lands in the same
+    * bucket — the bucket of the VALUE BLOCK's first rank,
+    * `floor(rows_before · numBuckets / n)` in exact integer
+    * arithmetic — rather than ntile's arbitrary tie splitting. A
+    * value block straddling a boundary goes wholly to the earlier
+    * bucket, so bucket sizes are approximate exactly when ties are;
+    * assignment is a pure function of the score distribution,
+    * independent of partitioning, row order, and engine. */
+  def valueRankBuckets(df: DataFrame, groupCol: String, scoreCol: String,
+                       numBuckets: Int,
+                       descending: Boolean = true): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val ord = if (descending) col(scoreCol).desc else col(scoreCol).asc
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord)
+    val cum = hist.select(col(groupCol), col(scoreCol),
+      coalesce(sum(col("__cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__lo"),
+      sum(col("__cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .as("__n"))
+    // floor((lo · k) / n) stays in BIGINT end-to-end (`div`, not `/`):
+    // no float quotient ever decides a bucket boundary
+    val assigned = cum
+      .withColumn("bucket",
+        expr(s"__lo * ${numBuckets}L div __n").cast("int"))
+      .select(col(groupCol), col(scoreCol), col("bucket"))
+    df.join(broadcast(assigned), Seq(groupCol, scoreCol))
+  }
 }

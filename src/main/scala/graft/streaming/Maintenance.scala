@@ -176,6 +176,66 @@ object Maintenance {
       }
       .start()
 
+  /** Absorb one document batch into the streamed bigram-LM model
+    * state: the (w1, w2, cnt) table merges ADDITIVELY (counts are not
+    * idempotent, so the increment rides the batch-id ledger + staged
+    * swap), and the distinct-token vocabulary table appends via
+    * anti-join (idempotent per token, no ledger). Token append runs
+    * even when the ledger skips the bigram merge: a crash between the
+    * two leaves a stamped bigram table and missing tokens, and the
+    * redelivered batch completes exactly the token half. Context
+    * counts and the vocab stat are DERIVED at serve time
+    * ([[graft.operators.LangModel.scoreFromTables]]), so two tables
+    * are the whole state and no marginal can drift. */
+  def absorbBigramBatch(spark: SparkSession, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        bigramsTable: String, tokensTable: String,
+                        batchId: Long): Unit = {
+    import graft.operators.LangModel
+    val incr = LangModel.bigramCounts(
+      LangModel.docBigramOcc(batch, idCol, textCol))
+    refreshLedgered(spark, bigramsTable, incr, batchId) { (st, inc) =>
+      val s2 = st.select(col("w1"), col("w2"), col("cnt").as("__sc"))
+      val i2 = inc.select(col("w1"), col("w2"), col("cnt").as("__ic"))
+      s2.join(i2, Seq("w1", "w2"), "full_outer")
+        .select(col("w1"), col("w2"),
+          (coalesce(col("__sc"), lit(0L)) +
+            coalesce(col("__ic"), lit(0L))).as("cnt"))
+    }
+    val toks = LangModel.distinctTokens(batch, textCol)
+    if (!spark.catalog.tableExists(tokensTable)) {
+      Warehouse.clearOrphanLocation(spark, tokensTable)
+      toks.write.saveAsTable(tokensTable)
+    } else {
+      toks.join(spark.table(tokensTable), Seq("t"), "left_anti")
+        .write.mode("append").saveAsTable(tokensTable)
+    }
+  }
+
+  /** Keep the bigram-LM model continuously trained from a document
+    * stream — the streaming leg of the q70/q70b lifecycle: each
+    * micro-batch's bigram counts merge into the standing model and
+    * its novel tokens extend the vocabulary; the corpus is never
+    * re-read and state is |bigram vocab| + |token vocab| rows
+    * regardless of corpus size. Serving is concurrent and unchanged:
+    * `LangModel.scoreFromTables(spark, docs, …)` between (or during)
+    * batches answers exactly as a from-scratch train over everything
+    * delivered so far — battery q163 pins the streamed model against
+    * the q70 oracle verbatim. */
+  def streamingBigramModel(stream: DataFrame, idCol: String, textCol: String,
+                           bigramsTable: String, tokensTable: String,
+                           checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          absorbBigramBatch(batch.sparkSession, batch.toDF(), idCol, textCol,
+            bigramsTable, tokensTable, batchId)
+          ()
+        }
+      }
+      .start()
+
   /** Keep a persisted MinHash sketch table
     * ([[graft.operators.Dedup.appendToSketchTable]]) continuously
     * absorbed from a document stream — the streaming half of the q22b

@@ -247,6 +247,30 @@ class PlanSpec extends SparkSpec {
       !p159.contains("CartesianProduct"), p159.take(800))
   }
 
+  test("q162/q164: the CCNet cut windows the HISTOGRAM, not the corpus; the license gate is one narrow pass") {
+    // q162: exactly ONE Window — over the bounded (lang, score)
+    // histogram (its input is a HashAggregate, never the raw docs) —
+    // and the assignment joins back as a BROADCAST; a SortMergeJoin
+    // here would mean the corpus shuffled on the score
+    val p162 = plan("q162_ppl_buckets")
+    assert("Window".r.findAllIn(p162).size == 1, p162.take(1200))
+    assert(p162.contains("BroadcastHashJoin"),
+      "bucket assignment must broadcast back:\n" + p162.take(1200))
+    assert(!p162.contains("CartesianProduct"), p162.take(800))
+    // the Window's ordering key is the score — and it must sit above
+    // an aggregate (the histogram), which the plan shows as the
+    // window operating on the aggregated count column
+    assert(p162.contains("__cnt") || p162.contains("partial_count"),
+      "window lost its histogram input:\n" + p162.take(1600))
+    // q164: license detection is pure codegen over the scan — no
+    // UDF, no Window, at most the presentation sort's exchange
+    val p164 = plan("q164_license_filter")
+    assert(!p164.contains("BatchEvalPython") && !p164.contains("Window"),
+      p164.take(800))
+    assert("Exchange".r.findAllIn(p164).size <= 1,
+      "license gate must not shuffle:\n" + p164.take(1200))
+  }
+
   test("q114: host PageRank from raw HTML keeps the q95 aggregation shape") {
     val p = plan("q114_host_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(800))

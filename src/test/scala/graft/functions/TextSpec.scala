@@ -519,4 +519,26 @@ class TextSpec extends SparkSpec {
       .as[String].collect()
     assert(n.toSeq == Seq(null))
   }
+
+  test("licenseInfo: marker ladder, BSD-before-proprietary order, bounded header window") {
+    def lic(t: String): (String, Boolean) = {
+      val r = Seq(Tuple1(t)).toDF("text")
+        .select(Text.licenseInfo($"text").as("li"))
+        .select($"li.license", $"li.permissive").head()
+      (r.getString(0), r.getBoolean(1))
+    }
+    assert(lic("// Permission is hereby granted, free of charge, to anyone\ncode") == ("mit", true))
+    assert(lic("Licensed under the Apache License, Version 2.0\ncode") == ("apache-2.0", true))
+    assert(lic("terms of the GNU General Public License\ncode") == ("gpl-3.0", false))
+    // the BSD header ENDS with the proprietary notice's lead sentence
+    // — a proprietary-first ladder mislabels it
+    assert(lic("Redistribution and use in source and binary forms, with or without modification, are permitted. All rights reserved.") == ("bsd-3-clause", true))
+    assert(lic("Copyright 2026 X. All rights reserved.") == ("proprietary", false))
+    assert(lic("plain code, no header") == ("none", false))
+    assert(lic(null.asInstanceOf[String]) == ("none", false))
+    // a marker buried past the header window must not relicense
+    assert(lic(("x" * 2000) + " permission is hereby granted, free of charge") == ("none", false))
+    // and one just inside it does
+    assert(lic("   Permission is hereby granted, free of charge" + ("x" * 2000)) == ("mit", true))
+  }
 }

@@ -67,6 +67,45 @@ class LangModelSpec extends SparkSpec {
       Seq(bigT, ctxT, vocT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("perplexityBuckets: per-language head/middle/tail by rank, identical texts share a bucket") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 90).select("doc_id", "text", "lang")
+    val got = LangModel.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Double]("avg_logprob"), r.getAs[Int]("bucket")))
+    assert(got.nonEmpty)
+    // reference: per-lang rank cut on the same rounded score,
+    // value-block granular
+    val byLang = got.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val n = rows.length.toLong
+      val histo = rows.groupBy(_._3).map { case (s, rs) => s -> rs.length.toLong }
+      val orderedVals = histo.keys.toSeq.sortBy(-_)
+      var lo = 0L
+      val expected = orderedVals.map { v =>
+        val b = (lo * 3 / n).toInt; lo += histo(v); v -> b
+      }.toMap
+      rows.foreach { case (id, _, s, b) =>
+        assert(b == expected(s), s"doc $id lang $lang score $s: " +
+          s"bucket $b != ${expected(s)}")
+      }
+      // every doc with the same score shares the bucket by construction
+      assert(rows.groupBy(_._3).values.forall(_.map(_._4).distinct.size == 1))
+    }
+    // buckets are rank-ordered: no head doc scores below a tail doc
+    var sawTail = false
+    byLang.foreach { case (_, rows) =>
+      val head = rows.filter(_._4 == 0).map(_._3)
+      val tail = rows.filter(_._4 == 2).map(_._3)
+      if (head.nonEmpty && tail.nonEmpty) {
+        sawTail = true
+        assert(head.min >= tail.max)
+      }
+    }
+    assert(sawTail, "fixture too degenerate: no language produced a tail")
+  }
+
   test("degenerate smoothing rejected") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     val occ = LangModel.docBigramOcc(docs, "doc_id", "text")

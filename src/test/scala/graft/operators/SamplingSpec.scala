@@ -559,4 +559,28 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.splitLeakage(keyed, "doc_id", "text", "split")
       .isEmpty, "rep-keyed splits must never leak exact duplicates")
   }
+
+  test("valueRankBuckets: value-block rank intervals, ties never split") {
+    // group g, scores desc: 9.0×2, 7.0×1, 5.0×3, 3.0×1 → n=7
+    // lo: 9→0, 7→2, 5→3, 3→6; bucket = lo*3 div 7 → 0, 0, 1, 2
+    val df = Seq(
+      (1L, "g", 9.0), (2L, "g", 9.0), (3L, "g", 7.0), (4L, "g", 5.0),
+      (5L, "g", 5.0), (6L, "g", 5.0), (7L, "g", 3.0),
+      // second group: 2 values × 1 row → buckets 0 and 1 of 3
+      (8L, "h", 1.0), (9L, "h", 0.5)
+    ).toDF("id", "grp", "score")
+    val got = Sampling.valueRankBuckets(df, "grp", "score", 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 1,
+      7L -> 2, 8L -> 0, 9L -> 1), s"got $got")
+    // ascending flips the ends, ties still whole: 3.0→0, 5.0×3→0 ...
+    val asc = Sampling.valueRankBuckets(df.filter(col("grp") === "g"),
+        "grp", "score", 3, descending = false)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket")).toMap
+    assert(asc == Map(7L -> 0, 4L -> 0, 5L -> 0, 6L -> 0, 3L -> 1,
+      1L -> 2, 2L -> 2), s"got $asc")
+    // one bucket: everything is bucket 0
+    assert(Sampling.valueRankBuckets(df, "grp", "score", 1)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
 }

@@ -507,4 +507,84 @@ class MaintenanceSpec extends SparkSpec {
     served.unpersist()
     dropGraph(tbl)
   }
+
+  private def dropLm(bigT: String, tokT: String): Unit =
+    Seq(bigT, s"${bigT}_staging", tokT).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Warehouse.clearOrphanLocation(spark, t)
+    }
+
+  test("streamingBigramModel serves the one-shot LM score batch after batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val (bigT, tokT) = ("graft_maint_lm_big", "graft_maint_lm_tok")
+    dropLm(bigT, tokT)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 60).select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect()
+    val ckpt = Files.createTempDirectory("maint_lm_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Maintenance.streamingBigramModel(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", bigT, tokT, ckpt)
+    try {
+      var delivered = Seq.empty[(Long, String)]
+      for (batch <- rows.grouped(25)) {
+        mem.addData(batch.toSeq: _*)
+        q.processAllAvailable()
+        delivered = delivered ++ batch
+        spark.catalog.refreshTable(bigT)
+        spark.catalog.refreshTable(tokT)
+        val snapshot = delivered.toDF("doc_id", "text")
+        val served = graft.operators.LangModel.scoreFromTables(spark,
+            snapshot, "doc_id", "text", bigT, tokT)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val oneShot = graft.operators.LangModel.perplexityScore(
+            snapshot, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(served == oneShot,
+          s"streamed model diverged after ${delivered.size} docs")
+      }
+    } finally q.stop()
+    dropLm(bigT, tokT)
+  }
+
+  test("absorbBigramBatch: replayed batch id adds nothing; token half heals a crash between the two writes") {
+    val (bigT, tokT) = ("graft_maint_lm_replay_big", "graft_maint_lm_replay_tok")
+    dropLm(bigT, tokT)
+    val b1 = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "c d c"), (4L, "b d")).toDF("doc_id", "text")
+    Maintenance.absorbBigramBatch(spark, b1, "doc_id", "text", bigT, tokT, 0L)
+    Maintenance.absorbBigramBatch(spark, b2, "doc_id", "text", bigT, tokT, 1L)
+    def state() = (
+      spark.table(bigT).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet,
+      spark.table(tokT).collect().map(_.getString(0)).toSet)
+    val before = state()
+    // replay of an already-applied batch: ledger skips the merge,
+    // token anti-join appends nothing
+    Maintenance.absorbBigramBatch(spark, b2, "doc_id", "text", bigT, tokT, 1L)
+    assert(state() == before, "replayed batch mutated the model state")
+    // crash window: bigram merge applied (ledger stamped) but the
+    // process died before the token append — the redelivered batch
+    // must complete exactly the token half
+    val b3 = Seq((5L, "e f")).toDF("doc_id", "text")
+    val incr = graft.operators.LangModel.bigramCounts(
+      graft.operators.LangModel.docBigramOcc(b3, "doc_id", "text"))
+    Maintenance.refreshLedgered(spark, bigT, incr, 2L) { (st, inc) =>
+      val s2 = st.select(col("w1"), col("w2"), col("cnt").as("__sc"))
+      val i2 = inc.select(col("w1"), col("w2"), col("cnt").as("__ic"))
+      s2.join(i2, Seq("w1", "w2"), "full_outer")
+        .select(col("w1"), col("w2"),
+          (coalesce(col("__sc"), lit(0L)) +
+            coalesce(col("__ic"), lit(0L))).as("cnt"))
+    }
+    assert(!state()._2.contains("e"), "crash fixture already has the tokens")
+    Maintenance.absorbBigramBatch(spark, b3, "doc_id", "text", bigT, tokT, 2L)
+    val after = state()
+    assert(after._2.contains("e") && after._2.contains("f"),
+      "redelivery did not heal the missing token half")
+    assert(after._1.count(t => t._1 == "e" && t._2 == "f") == 1 &&
+        after._1.find(t => t._1 == "e" && t._2 == "f").get._3 == 1L,
+      "redelivery double-merged the stamped bigram batch")
+    dropLm(bigT, tokT)
+  }
 }
