@@ -15,6 +15,8 @@ import graft.sources.Tables
   *   repetition gates + exact dedup) → `Text.scrubPii` → sliding-window
   *   chunking (`Text.chunkByTokens`) → token-budget packing
   *   (`Packing.packContiguous`) → parquet shards partitioned by shard
+  *   → the CCNet gate (`LangModel.perplexityBuckets` — each
+  *     language's tail-perplexity third never reaches tokenization)
   *   → the TRAINER FEED: `Text.fimTransform` ahead of tokenization,
   *     corpus-learned BPE merges (`Bpe.trainMerges`), per-doc token
   *     ids (`Bpe.tokenIds`), packing, integer sequences with offset
@@ -36,7 +38,8 @@ object CorpusDemo {
                           chunksAfterTakedown: Long,
                           takedownReceipts: DataFrame,
                           fimTransformed: Long, tokenSequences: Long,
-                          tokenSeqDocs: Long, tokenAuditOk: Boolean)
+                          tokenSeqDocs: Long, tokenAuditOk: Boolean,
+                          pplTailDropped: Long)
 
   /** What one trainer-feed run landed. */
   final case class TrainerFeed(fimTransformed: Long, tokenSequences: Long,
@@ -109,7 +112,7 @@ object CorpusDemo {
           chunkTokens: Int = 50, stride: Int = 40,
           budgetTokens: Long = 2000L, shards: Int = 4): Result = {
     val docs = Tables.load(spark, sfDir, "documents")
-      .select("doc_id", "source", "text")
+      .select("doc_id", "source", "lang", "text")
     val inputDocs = docs.count()
 
     // 1. PII scrubbing FIRST, then gates + exact dedup (q61 shape):
@@ -150,13 +153,31 @@ object CorpusDemo {
         "source", "chunk", "n_tokens")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/shards")
 
-    // 4b. the TRAINER FEED — the shared [[trainerFeed]] leg over the
-    //     refined corpus (see its doc: q144+q145 composed in
+    // 4b. the CCNet gate ahead of the trainer feed (q162 shape): the
+    //     LM trains on the refined corpus itself, each language's
+    //     score distribution cuts into thirds over the bounded
+    //     histogram, and the TAIL (worst-perplexity) third never
+    //     reaches tokenization — the CCNet keep-head-and-middle
+    //     recipe. Docs too short to score (no bigrams) KEEP — the
+    //     neutral default for the unjudged, the Frontier.qualityScore
+    //     convention. The chunk shards above stay ungated: retrieval
+    //     windows serve search, the perplexity gate is an LM-training
+    //     concern.
+    val tailIds = graft.operators.LangModel.perplexityBuckets(
+        refined, "doc_id", "text", "lang")
+      .filter(col("bucket") === 2).select("doc_id")
+    val feedDocs = refined.select("doc_id", "text")
+      .join(tailIds, Seq("doc_id"), "left_anti")
+    val pplTailDropped = survivors - feedDocs.count()
+
+    // 4c. the TRAINER FEED — the shared [[trainerFeed]] leg over the
+    //     gated corpus (see its doc: q144+q145 composed in
     //     production order, FIM ahead of tokenization, corpus-learned
     //     merges, manifest-audited integer sequence shards). Every
-    //     survivor packs into exactly one bin — the e2e conservation
-    //     the spec reconciles against `survivors`.
-    val feed = trainerFeed(spark, refined.select("doc_id", "text"),
+    //     gated survivor packs into exactly one bin — the e2e
+    //     conservation the spec reconciles against
+    //     `survivors - pplTailDropped`.
+    val feed = trainerFeed(spark, feedDocs,
       outDir, budgetTokens = budgetTokens, shards = shards)
 
     refined.unpersist()
@@ -193,7 +214,7 @@ object CorpusDemo {
     Result(inputDocs, survivors, chunkCount, bins, report,
       takedownRemoved, cascaded.count(), receipts,
       feed.fimTransformed, feed.tokenSequences, feed.tokenSeqDocs,
-      feed.tokenAuditOk)
+      feed.tokenAuditOk, pplTailDropped)
   }
 
   def main(args: Array[String]): Unit = {
@@ -218,7 +239,8 @@ object CorpusDemo {
       println(s"takedown: ${r.takedownRemovedDocs} docs purged, " +
         s"${r.chunksAfterTakedown}/${r.chunks} chunks survive the cascade")
       r.takedownReceipts.show(truncate = false)
-      println(s"trainer feed: ${r.fimTransformed} docs FIM-transformed, " +
+      println(s"trainer feed: ${r.pplTailDropped} tail-perplexity docs " +
+        s"gated, ${r.fimTransformed} docs FIM-transformed, " +
         s"${r.tokenSequences} token sequences over ${r.tokenSeqDocs} docs, " +
         s"audit=${r.tokenAuditOk}")
       println(s"shards at: $outDir/shards; token shards at: " +

@@ -51,16 +51,21 @@ class CorpusDemoSpec extends SparkSpec {
     assert(r.chunksAfterTakedown == r.chunks - purgedChunks,
       "the cascade drops exactly the purged docs' chunks")
 
-    // the TRAINER FEED reconciles: FIM transformed a strict subset of
-    // survivors (the hash gate takes ~half, never all or none at this
-    // size), every survivor packed into exactly ONE token sequence
-    // (doc conservation through tokenize→pack→assemble), sequences
-    // landed and the manifest re-audit is clean
-    assert(r.fimTransformed > 0 && r.fimTransformed < r.survivors,
-      s"FIM gate: ${r.fimTransformed} of ${r.survivors}")
+    // the TRAINER FEED reconciles: the CCNet tail gate dropped a
+    // nonzero strict subset of survivors (each language loses ~its
+    // worst-scored third), FIM transformed a strict subset of the
+    // gated feed (the hash gate takes ~half, never all or none at
+    // this size), every GATED survivor packed into exactly ONE token
+    // sequence (doc conservation through gate→tokenize→pack→
+    // assemble), sequences landed and the manifest re-audit is clean
+    assert(r.pplTailDropped > 0 && r.pplTailDropped < r.survivors,
+      s"CCNet gate: ${r.pplTailDropped} of ${r.survivors}")
+    val gated = r.survivors - r.pplTailDropped
+    assert(r.fimTransformed > 0 && r.fimTransformed < gated,
+      s"FIM gate: ${r.fimTransformed} of $gated")
     assert(r.tokenSequences > 0 && r.tokenAuditOk)
-    assert(r.tokenSeqDocs == r.survivors,
-      s"token-shard docs ${r.tokenSeqDocs} must conserve survivors ${r.survivors}")
+    assert(r.tokenSeqDocs == gated,
+      s"token-shard docs ${r.tokenSeqDocs} must conserve the gated feed $gated")
     val seqDf = spark.read.parquet(s"$out/token_shards")
     // offsets align with n_docs, sequences are EOS-terminated integer
     // arrays sized seq_tokens, and every sequence row is recoverable
