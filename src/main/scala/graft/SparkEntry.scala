@@ -2280,6 +2280,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Cluster-balanced rebalance (the SemDeDup/DataComp "don't let
+    // the dominant cluster eat the token budget" step), made
+    // cross-engine EXACT end-to-end: label-seeded integer centroids
+    // (grid-quantized element means, floor-divided — a pure function
+    // of the member set), row-local integer-L2 argmin re-assignment
+    // (codebook rides the closure, no join, no float compare), then
+    // the q96 temperature machinery with the CLUSTER as the stratum
+    // (n^0.5 quotas flatten dominant clusters; md5-smallest draw).
+    // The per-cluster summary pins the kept SET through id checksums;
+    // the oracle re-derives quantization, centroids, every argmin,
+    // quotas, and membership from scratch.
+    "q165_cluster_balance" -> ((s, dir) =>
+      graft.operators.Similarity.clusterBalance(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+          totalTarget = 200L)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"),
+          sum(col("vec_id") * col("vec_id")).as("id_sq_sum"))
+        .orderBy("cluster")),
+
     // Benchmark DECONTAMINATION (Dedup.contaminatedDocs — the GPT-3
     // 13-gram eval-overlap recipe): three synthetic-vocabulary
     // benchmark items (their words appear NOWHERE in the corpus's
@@ -6868,6 +6888,70 @@ object SparkEntry {
     "q162_ppl_buckets" -> PplBucketsOracleSql,
     // the streamed model must answer exactly as the one-shot train
     "q163_lm_stream" -> BigramLmOracleSql,
+    // q165: quantization (round·1000), label-seeded integer
+    // centroids (floor of exact integer sums), every vector's
+    // integer-L2 argmin with (dist, cluster) tiebreak, then the q96
+    // quota/selection replay with the cluster as the stratum. The
+    // only float steps are the per-element round (house ulp risk)
+    // and the centroid floor-div (gap ≥ 1/n, ~11 orders above double
+    // rounding); everything else is exact integers. dim=64 pinned by
+    // the embeddings fixture.
+    "q165_cluster_balance" ->
+      """WITH q AS (
+           SELECT vec_id, label,
+                  list_transform(embedding,
+                    e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS gq
+           FROM embeddings),
+         px AS (SELECT unnest(range(1, 65)) AS pos),
+         cent AS (
+           SELECT label AS cluster, pos,
+                  CAST(floor(CAST(sum(gq[pos]) AS DOUBLE) / count(1))
+                       AS BIGINT) AS cv
+           FROM q CROSS JOIN px GROUP BY label, pos),
+         cvecs AS (
+           SELECT cluster, list(cv ORDER BY pos) AS cvec
+           FROM cent GROUP BY cluster),
+         dists AS (
+           SELECT q.vec_id, c.cluster,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> (q.gq[i] - c.cvec[i]) * (q.gq[i] - c.cvec[i])))
+                    AS BIGINT) AS dist
+           FROM q CROSS JOIN cvecs c),
+         assign AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dist, cluster) AS rk
+             FROM dists) WHERE rk = 1),
+         cnt AS (SELECT cluster, count(1) AS n FROM assign GROUP BY cluster),
+         w AS (SELECT cluster, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0 + 0.5)
+                      AS BIGINT) AS sw
+               FROM cnt),
+         tot AS (SELECT sum(sw) AS st FROM w),
+         raw AS (SELECT cluster, n, (200 * sw) // tot.st AS q0,
+                        (200 * sw) % tot.st AS rem
+                 FROM w CROSS JOIN tot),
+         lo AS (SELECT 200 - sum(q0) AS leftover FROM raw),
+         bump AS (SELECT cluster, n, q0, rem,
+                    row_number() OVER (ORDER BY rem DESC,
+                      CAST(cluster AS VARCHAR)) AS rk
+                  FROM raw),
+         quota AS (SELECT cluster,
+                     least(CASE WHEN rk <= (SELECT leftover FROM lo)
+                                THEN q0 + 1 ELSE q0 END, n) AS qq
+                   FROM bump),
+         sel AS (SELECT a.vec_id, a.cluster,
+                   row_number() OVER (PARTITION BY a.cluster
+                     ORDER BY md5('graft' || CAST(a.vec_id AS VARCHAR)),
+                       a.vec_id) AS rn
+                 FROM assign a),
+         kept AS (SELECT sel.vec_id, sel.cluster
+                  FROM sel JOIN quota USING (cluster) WHERE sel.rn <= quota.qq)
+         SELECT cluster, count(1) AS n_kept,
+                CAST(sum(vec_id) AS BIGINT) AS id_sum,
+                CAST(sum(vec_id * vec_id) AS BIGINT) AS id_sq_sum
+         FROM kept GROUP BY cluster ORDER BY cluster""",
     "q164_license_filter" ->
       """WITH hx AS (
            SELECT doc_id,

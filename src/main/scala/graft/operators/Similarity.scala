@@ -915,4 +915,85 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         expr("(__num * 1000) div __den").as("margin_milli"))
   }
+
+  /** Embedding quantized onto a fixed integer grid
+    * (`round(x·scale)` per element, as `array<long>`) — the
+    * cross-engine-exact coordinate system for cluster ASSIGNMENT:
+    * once coordinates are integers, squared L2 distances and their
+    * argmin are exact integer arithmetic on any engine, so an
+    * assignment never flips on a float-summation ulp the way raw
+    * float distances can. One rounding per element is the only float
+    * step (the same ≤1-ulp risk class every 4-dp oracle carries);
+    * everything downstream is integers. */
+  def gridQuantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, e => round(e.cast("double") * scale, 0).cast("long"))
+
+  /** Integer cluster centroids seeded by an existing grouping column
+    * (one Lloyd half-step: per-group element-wise MEAN of the
+    * grid-quantized vectors, floor-divided — all integer sums, so
+    * the centroid is a pure function of the group's member SET,
+    * independent of partitioning and aggregation order). Output
+    * `(cluster, centroid array<long>)`, |groups| rows. */
+  def integerCentroids(corpus: DataFrame, vecCol: String, byCol: String,
+                       scale: Int = 1000): DataFrame =
+    corpus.select(col(byCol).cast("int").as("cluster"),
+        posexplode(gridQuantize(col(vecCol), scale)))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      // floor(double) is exact here: |s/n - m| ≥ 1/n for integers,
+      // ~11 orders above the double quotient's rounding
+      .select(col("cluster"), col("pos"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("cv"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+        .as("pc"))
+      .select(col("cluster"),
+        transform(col("pc"), x => x.getField("cv")).as("centroid"))
+
+  /** Assign every vector to its nearest integer centroid — the IVF
+    * coarse-assign shape with the codebook riding the task closure
+    * as literals (|clusters|-bounded, the [[ivfTopK]] contract), so
+    * assignment is ONE row-local pass: grid-quantize, k exact
+    * integer squared-L2 distances, argmin by (dist, cluster) struct
+    * ordering (deterministic tiebreak). No join, no shuffle, no
+    * float compare anywhere. */
+  def assignIntClusters(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[(Int, Seq[Long])],
+                        scale: Int = 1000): DataFrame = {
+    require(centroids.nonEmpty, "assignIntClusters needs >= 1 centroid")
+    val gq = gridQuantize(col(vecCol), scale)
+    val entries = centroids.sortBy(_._1).map { case (cid, cv) =>
+      struct(
+        aggregate(
+          zip_with(col("__gq"), typedLit(cv), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        lit(cid).as("cluster"))
+    }
+    corpus.withColumn("__gq", gq)
+      .withColumn("__best", array_min(array(entries: _*)))
+      .select(col(idCol), col("__best.cluster").as("cluster"),
+        col("__best.dist").as("dist"))
+  }
+
+  /** Cluster-balanced corpus rebalance (the SemDeDup/DataComp
+    * pipeline's "don't let the dominant cluster eat the token
+    * budget" step): seed integer centroids from `byCol`, re-assign
+    * every vector to its nearest centroid, then draw a
+    * temperature-scaled mixture OVER THE CLUSTERS
+    * ([[Sampling.temperatureMixture]] with the cluster id as the
+    * stratum — n^α quotas flatten dominant clusters, the md5 draw
+    * keeps selection engine-exact). Driver state: the |clusters|-row
+    * centroid map + the mixture's |clusters|-row count map, both
+    * bounded; everything row-scale is scan-side. */
+  def clusterBalance(corpus: DataFrame, idCol: String, vecCol: String,
+                     byCol: String, totalTarget: Long, alpha: Double = 0.5,
+                     scale: Int = 1000): DataFrame = {
+    // bounded collect: |distinct byCol| centroid rows
+    val cents = integerCentroids(corpus, vecCol, byCol, scale)
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toSeq
+    val assigned = assignIntClusters(corpus, idCol, vecCol, cents, scale)
+    Sampling.temperatureMixture(assigned, idCol, "cluster", totalTarget,
+      alpha)
+  }
 }

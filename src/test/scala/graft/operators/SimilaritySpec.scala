@@ -695,4 +695,45 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(one == other, "margins moved under repartitioning")
   }
+
+  test("integer centroids, argmin assignment, and cluster-balanced rebalance") {
+    def v(xs: Float*) = xs.toArray
+    // two seeded groups; one vector (id 4) sits nearer group 1's
+    // centroid than its own label's — re-assignment must move it
+    val emb = Seq(
+      (0L, v(1.0f, 0.0f), 0), (1L, v(1.2f, 0.1f), 0),
+      (2L, v(-1.0f, 0.0f), 1), (3L, v(-1.2f, -0.1f), 1),
+      (4L, v(-0.9f, 0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    // centroids: label 0 mean of (1000,0),(1200,100),(-900,100) =
+    // (1300/3, 200/3) floored → (433, 66); label 1 mean of
+    // (-1000,0),(-1200,-100) = (-1100, -50) — floor on NEGATIVE sums
+    // must round toward -inf, not zero
+    val cents = Similarity.integerCentroids(emb, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(cents(0) == Seq(433L, 66L), s"got ${cents(0)}")
+    assert(cents(1) == Seq(-1100L, -50L), s"got ${cents(1)}")
+    val assigned = Similarity.assignIntClusters(emb, "vec_id", "embedding",
+        cents.toSeq.map { case (k, cv) => k -> cv })
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1),
+      s"got $assigned")
+    // equidistant vector: the (dist, cluster) struct ordering breaks
+    // the tie toward the smaller cluster id
+    val tie = Similarity.assignIntClusters(
+        Seq((9L, v(0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding",
+        Seq(0 -> Seq(500L, 0L), 1 -> Seq(-500L, 0L)))
+      .head()
+    assert(tie.getInt(1) == 0, s"tie must resolve to cluster 0: $tie")
+    // the composition caps per-cluster takes at quota AND at n, and
+    // is invariant under repartitioning (exact integers end-to-end)
+    val bal = Similarity.clusterBalance(emb, "vec_id", "embedding",
+        "label", totalTarget = 3L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val bal2 = Similarity.clusterBalance(emb.repartition(5), "vec_id",
+        "embedding", "label", totalTarget = 3L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(bal == bal2 && bal.size == 3, s"got $bal vs $bal2")
+  }
 }
