@@ -118,6 +118,40 @@ object SparkEntry {
     (s"graft_q70b_bigrams_$tag", s"graft_q70b_ctx_$tag", s"graft_q70b_vocab_$tag")
   }
 
+  /** Build-once STREAMED bigram-LM state (q163/q162b): the corpus
+    * delivered in 3 micro-batches through
+    * [[graft.streaming.Maintenance.streamingBigramModel]] into the
+    * standing (bigrams, tokens) table pair. The driver-side collect
+    * feeds the MemoryStream test harness (the S5 situation), not the
+    * operator. */
+  private def ensureStreamedLmTables(s: SparkSession,
+                                     dir: String): (String, String) = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val tag = docsTag(s, dir)
+    val (bigT, tokT) = (s"graft_q163_big_$tag", s"graft_q163_tok_$tag")
+    if (!s.catalog.tableExists(bigT) || !s.catalog.tableExists(tokT)) {
+      val rows = t(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q163_ckpt").toString
+      val q = graft.streaming.Maintenance.streamingBigramModel(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        bigT, tokT, ckpt)
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.catalog.refreshTable(bigT)
+      s.catalog.refreshTable(tokT)
+    }
+    (bigT, tokT)
+  }
+
   /** The docsTag scheme over the trade graph's raw inputs (q95b's
     * edge tables). */
   private val tradeTagCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2222,31 +2256,32 @@ object SparkEntry {
     // the streamed model must answer the q70 oracle VERBATIM —
     // streamed arrival must not move one micro-nat.
     "q163_lm_stream" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val tag = docsTag(s, dir)
-      val (bigT, tokT) = (s"graft_q163_big_$tag", s"graft_q163_tok_$tag")
-      if (!s.catalog.tableExists(bigT) || !s.catalog.tableExists(tokT)) {
-        val rows = t(s, dir, "documents").select("doc_id", "text")
-          .as[(Long, String)].collect()
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String)]
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_q163_ckpt").toString
-        val q = graft.streaming.Maintenance.streamingBigramModel(
-          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-          bigT, tokT, ckpt)
-        try {
-          rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
-            mem.addData(chunk.toSeq: _*)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
-        s.catalog.refreshTable(bigT)
-        s.catalog.refreshTable(tokT)
-      }
+      val (bigT, tokT) = ensureStreamedLmTables(s, dir)
       graft.operators.LangModel.scoreFromTables(s,
           t(s, dir, "documents"), "doc_id", "text", bigT, tokT)
+        .orderBy("doc_id")
+    }),
+
+    // The bucket cut SERVED OFF THE STREAMED MODEL (q162 through the
+    // q163 state): scoring reads the standing bigram/token tables,
+    // the histogram cut runs unchanged on top — and the answer must
+    // be the q162 oracle VERBATIM, because the streamed model scores
+    // exactly like the one-shot train (q163's guarantee) and the cut
+    // is a pure function of the scores. The head/middle/tail serve a
+    // growing corpus runs between micro-batches, no retrain.
+    "q162b_ppl_buckets_served" -> ((s, dir) => {
+      val (bigT, tokT) = ensureStreamedLmTables(s, dir)
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.LangModel.scoreFromTables(s,
+        docs, "doc_id", "text", bigT, tokT)
+      val withLang = scored.join(
+        docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.operators.Sampling.valueRankBuckets(withLang, "lang",
+          "avg_logprob", 3, descending = true)
+        .select(col("doc_id"), col("lang"), col("avg_logprob"),
+          when(col("bucket") === 0, lit("head"))
+            .when(col("bucket") === 1, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
         .orderBy("doc_id")
     }),
 
@@ -2299,6 +2334,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"),
           sum(col("vec_id") * col("vec_id")).as("id_sq_sum"))
         .orderBy("cluster")),
+
+    // Gate-attribution funnel (the curation stats page every real
+    // pipeline publishes — which stage dropped what): the q61-style
+    // corpus (plus 50 planted clones) runs the refine gates with
+    // FIRST-FAIL attribution in pipeline order (lang → quality →
+    // repetition → duplicate → kept), so counts sum to the input.
+    // Every class is POPULATED by construction: doc_id%9==5 becomes
+    // an English-but-punctuation-flooded text (langId still says en
+    // — one stopword — so the charge lands on QUALITY, the ordering
+    // subtlety), %9==7 a stopword-only repetition text that passes
+    // quality and fails the dup-token ceiling; the floor is 0.7
+    // because at the default 0.3 the quality gate is unreachable
+    // once language passes (comp1+comp3 ≥ 1.04, comp4 ≥ 0.5). The
+    // oracle replays every gate kernel (the q26/q27/q59 fragments),
+    // the keeper map, and the first-fail collapse.
+    "q166_gate_attribution" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(9)) === 5,
+          concat(lit("the "), repeat(lit("!? "), 40)))
+        .when(pmod(col("doc_id"), lit(9)) === 7,
+          repeat(lit("the "), 30))
+        .otherwise(col("text")).as("text"))
+      val u = base.unionByName(base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
+      graft.operators.Corpus.gateAttribution(u, "doc_id", "text",
+          minQuality = 0.7)
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("verdict")
+    }),
 
     // Benchmark DECONTAMINATION (Dedup.contaminatedDocs — the GPT-3
     // 13-gram eval-overlap recipe): three synthetic-vocabulary
@@ -6671,6 +6736,78 @@ object SparkEntry {
          FROM f JOIN k ON f.doc_id = k.keeper
          GROUP BY source ORDER BY source""",
 
+    // q166: the q61 gate chain replayed per-doc with FIRST-FAIL
+    // attribution (pipeline order), the keeper map on gate-passing
+    // docs only, and the funnel aggregate. Same planted clones, same
+    // kernels — `kept` here must equal q61's survivor total.
+    "q166_gate_attribution" ->
+      """WITH u0 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 9 = 5 THEN 'the ' || repeat('!? ', 40)
+                       WHEN doc_id % 9 = 7 THEN repeat('the ', 30)
+                       ELSE text END AS text
+           FROM documents),
+         u AS (
+           SELECT doc_id, text FROM u0
+           UNION ALL
+           SELECT doc_id + 400000, text FROM u0 WHERE doc_id < 50),
+         b AS (
+           SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(string_split_regex(trim(text), '\s+')) END AS tok,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS tk,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS norm
+           FROM u),
+         l AS (
+           SELECT *,
+             length(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS en,
+             length(list_filter(tk, x -> x IN ('le','la','les','de','des','du','et','ou','un','une','est','que','qui','dans','pour','sur','avec','au','ce','pas'))) AS fr,
+             length(list_filter(tk, x -> x IN ('der','die','das','und','oder','ein','eine','ist','zu','den','von','mit','auf','für','im','nicht','sich','dem','sie','werden'))) AS de,
+             length(list_filter(tk, x -> x IN ('el','la','los','las','de','y','o','un','una','es','que','en','por','para','con','no','se','del','al','como'))) AS es
+           FROM b),
+         p AS (
+           SELECT doc_id, text,
+             CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+                  WHEN en = greatest(en, fr, de, es) THEN 'en'
+                  WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+                  WHEN de = greatest(en, fr, de, es) THEN 'de'
+                  ELSE 'es' END AS lang,
+             CASE WHEN tok = 0 THEN 0.0
+                  ELSE round((
+                    least(CAST(tok AS DOUBLE) / 50.0, 1.0) +
+                    (CASE WHEN length(text) = 0 THEN 1.0
+                          ELSE greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text)) * 10.0) END) +
+                    least((CAST(en AS DOUBLE) / tok) * 50.0, 1.0) +
+                    (CASE WHEN len(tk) = 0 THEN 0.0
+                          WHEN CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk) >= 3.0
+                           AND CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk) <= 10.0 THEN 1.0
+                          WHEN CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk) > 0.0 THEN 0.5
+                          ELSE 0.0 END)) / 4.0, 4) END AS q,
+             CASE WHEN length(norm) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(string_split(norm, ' '))) AS DOUBLE)
+                           / len(string_split(norm, ' ')) END AS df
+           FROM l),
+         v AS (
+           SELECT doc_id, text,
+             CASE WHEN text IS NULL THEN 'null_text'
+                  WHEN lang != 'en' THEN 'lang'
+                  WHEN q < 0.7 THEN 'quality'
+                  WHEN df > 0.5 THEN 'repetition'
+                  ELSE NULL END AS fail
+           FROM p),
+         f AS (SELECT doc_id, text FROM v WHERE fail IS NULL),
+         k AS (SELECT md5(text) AS d, min(doc_id) AS keeper FROM f GROUP BY 1),
+         verd AS (
+           SELECT v.doc_id,
+             coalesce(v.fail,
+               CASE WHEN v.doc_id = k.keeper THEN 'kept'
+                    ELSE 'duplicate' END) AS verdict
+           FROM v LEFT JOIN k ON v.fail IS NULL AND md5(v.text) = k.d)
+         SELECT verdict, count(1) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM verd GROUP BY verdict ORDER BY verdict""",
+
     // q60: the per-doc signal definitions are verbatim fragments of the
     // q17 (tokens), q26 (langId), q27 (quality), and q59 (dup fraction)
     // oracles, aggregated jointly.
@@ -6888,6 +7025,9 @@ object SparkEntry {
     "q162_ppl_buckets" -> PplBucketsOracleSql,
     // the streamed model must answer exactly as the one-shot train
     "q163_lm_stream" -> BigramLmOracleSql,
+    // the streamed-model serve of the cut must answer as the
+    // one-shot q162 — same oracle, verbatim
+    "q162b_ppl_buckets_served" -> PplBucketsOracleSql,
     // q165: quantization (round·1000), label-seeded integer
     // centroids (floor of exact integer sums), every vector's
     // integer-L2 argmin with (dist, cluster) tiebreak, then the q96

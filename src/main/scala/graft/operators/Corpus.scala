@@ -61,6 +61,50 @@ object Corpus {
     gates.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
 
+  /** Gate-attribution funnel — the curation diagnostic every real
+    * pipeline publishes alongside its corpus (which stage dropped
+    * what): per document, each [[refine]] gate's verdict plus the
+    * exact-dedup outcome, collapsed to the FIRST failing stage in
+    * pipeline order (`null_text` → `lang` → `quality` → `repetition`
+    * → `duplicate` → `kept`). First-fail attribution matches what the
+    * sequential pipeline actually does — a doc failing two gates
+    * charges the one that fired — so funnel counts always sum to the
+    * input and `kept` equals [[refine]]'s survivor count by
+    * construction.
+    *
+    * Plan shape: the three signal kernels are ONE scan-side
+    * projection (no shuffle); the duplicate verdict needs the
+    * keeper-per-digest map, which is the q19 digest hash-agg
+    * restricted to gate-passing docs (identical semantics to
+    * [[refine]]'s dedup stage) joined back on the digest. Output is
+    * per-doc `(doc_id, verdict)`; aggregate downstream as needed. */
+  def gateAttribution(df: DataFrame, idCol: String, textCol: String,
+                      langs: Set[String] = Set("en"),
+                      minQuality: Double = 0.3,
+                      maxDupTokenFraction: Double = 0.5): DataFrame = {
+    val flagged = df.select(col(idCol), col(textCol),
+      col(textCol).isNotNull.as("__nn"),
+      Text.langId(col(textCol)).isin(langs.toSeq: _*).as("__lang"),
+      (Text.qualityScore(col(textCol)) >= minQuality).as("__q"),
+      (Text.dupTokenFraction(col(textCol)) <= maxDupTokenFraction)
+        .as("__rep"))
+    val passing = flagged
+      .filter(col("__nn") && col("__lang") && col("__q") && col("__rep"))
+      .select(col(idCol), md5(col(textCol)).as("__d"))
+    val keepers = passing.groupBy("__d")
+      .agg(min(col(idCol)).as("__keeper"))
+    val dupStatus = passing.join(keepers, "__d")
+      .select(col(idCol), (col(idCol) === col("__keeper")).as("__isKeeper"))
+    flagged.join(dupStatus, Seq(idCol), "left")
+      .select(col(idCol),
+        when(!col("__nn"), lit("null_text"))
+          .when(!col("__lang"), lit("lang"))
+          .when(!col("__q"), lit("quality"))
+          .when(!col("__rep"), lit("repetition"))
+          .when(!col("__isKeeper"), lit("duplicate"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+
   /** Streaming form of [[refine]] for ingestion-time curation: the
     * same per-row signal gates (they are stateless Column predicates,
     * so the plans are identical to batch), then watermark-bounded

@@ -245,4 +245,45 @@ class CorpusSpec extends SparkSpec {
       .filter(col("doc_id") === 6L).head()
     assert(chars.getInt(2) == 0 && chars.getInt(3) == "now text".length)
   }
+
+  test("gateAttribution: first-fail funnel sums to input and reconciles with refine") {
+    // quality must fail AFTER language passes, so the quality-class
+    // doc carries one English stopword and a punctuation flood (the
+    // punct-ratio quality component zeroes, langId still says en);
+    // an all-punct text would say 'und' and charge 'lang' instead —
+    // first-fail order is itself under test here. At the DEFAULT 0.3
+    // floor the quality class is unreachable once language passes
+    // (comp1+comp3 ≥ 1.04 and comp4 ≥ 0.5 on any en text), hence 0.7.
+    val docs = Seq(
+      (1L, "the cat sat on the mat and looked out the window for hours"),
+      (2L, "the cat sat on the mat and looked out the window for hours"), // dup of 1
+      (3L, "le chat est sur le tapis et il regarde par la fenetre"),      // lang
+      (4L, "the " + "!? " * 40),                                          // quality (en)
+      (5L, "the " * 30),                                                  // repetition (en)
+      (6L, null.asInstanceOf[String]),                                    // null text
+      (7L, "a different english sentence with the usual words in it for the test")
+    ).toDF("doc_id", "text")
+    val got = Corpus.gateAttribution(docs, "doc_id", "text",
+        minQuality = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(6L) == "null_text", s"got $got")
+    assert(got(3L) == "lang")
+    assert(got(4L) == "quality")
+    assert(got(5L) == "repetition")
+    assert(got(2L) == "duplicate" && got(1L) == "kept")
+    assert(got(7L) == "kept")
+    // funnel is total and `kept` equals refine's survivor count
+    assert(got.size == 7)
+    val kept = got.values.count(_ == "kept").toLong
+    assert(kept == Corpus.refine(docs, "doc_id", "text",
+        minQuality = Some(0.7)).count(),
+      "kept class must equal the refine survivor count")
+    // an all-punct text is charged to LANG (und), never quality —
+    // the ordering subtlety pinned explicitly
+    val und = Corpus.gateAttribution(
+        Seq((9L, "@@ ## $$ %% !! ??")).toDF("doc_id", "text"),
+        "doc_id", "text", minQuality = 0.7)
+      .head().getString(1)
+    assert(und == "lang", s"all-punct must charge lang, got $und")
+  }
 }
