@@ -490,7 +490,19 @@ object Sampling {
     * the wrong shard flips `ok` on every affected shard. */
   def verifyShardedExport(spark: SparkSession, path: String,
                           idCol: String): DataFrame = {
-    val manifest = spark.read.parquet(s"$path/_graft_export_manifest")
+    // read the manifest's part FILES explicitly: handing Spark the
+    // underscore-named dir itself trips DataSource's hidden-path
+    // filter (the "All paths were ignored" WARN — noise that reads
+    // like a fault in every audit log)
+    val mDir = new org.apache.hadoop.fs.Path(s"$path/_graft_export_manifest")
+    val mFs = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mFiles = mFs.listStatus(mDir).toSeq
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.toString).sorted
+    require(mFiles.nonEmpty, s"no manifest part files under $mDir")
+    val manifest = spark.read.parquet(mFiles: _*)
       .select(col("shard"), col("n_rows").as("__mn"),
         col("id_sum").as("__ms"), col("id_sq_sum").as("__mq"))
     // an EMPTY export has no shard subtree: audit it as zero actual

@@ -952,27 +952,55 @@ object Similarity {
 
   /** Assign every vector to its nearest integer centroid — the IVF
     * coarse-assign shape with the codebook riding the task closure
-    * as literals (|clusters|-bounded, the [[ivfTopK]] contract), so
-    * assignment is ONE row-local pass: grid-quantize, k exact
-    * integer squared-L2 distances, argmin by (dist, cluster) struct
-    * ordering (deterministic tiebreak). No join, no shuffle, no
-    * float compare anywhere. */
+    * (|clusters|-bounded, the [[ivfTopK]] contract), so assignment
+    * is ONE row-local JVM kernel pass: quantize once, k exact
+    * integer squared-L2 distances, argmin with a smaller-cluster-id
+    * tiebreak. No join, no shuffle, no float compare anywhere.
+    *
+    * A JVM kernel, not an HOF chain, deliberately: the quantized
+    * vector feeds every per-centroid distance, and Catalyst's
+    * projection collapse inlines a `withColumn` subtree into each of
+    * the k consumers — the repo's canonical HOF-recompute trap,
+    * measured here too (k× re-quantization took the sf0.1 assign to
+    * 4.3 s; the kernel is one pass). Rounding is half-away-from-zero
+    * to match [[gridQuantize]]'s column form and the DuckDB oracle
+    * (`math.round` floors negative halves — ties that exact are
+    * measure-zero on float·scale, but the two forms must not
+    * disagree by construction). */
   def assignIntClusters(corpus: DataFrame, idCol: String, vecCol: String,
                         centroids: Seq[(Int, Seq[Long])],
                         scale: Int = 1000): DataFrame = {
     require(centroids.nonEmpty, "assignIntClusters needs >= 1 centroid")
-    val gq = gridQuantize(col(vecCol), scale)
-    val entries = centroids.sortBy(_._1).map { case (cid, cv) =>
-      struct(
-        aggregate(
-          zip_with(col("__gq"), typedLit(cv), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist"),
-        lit(cid).as("cluster"))
+    val cents = centroids.sortBy(_._1).map { case (c, v) => (c, v.toArray) }
+      .toArray
+    val assignUdf = udf { (v: scala.collection.Seq[Float]) =>
+      if (v == null) null
+      else {
+        val q = new Array[Long](v.length)
+        var i = 0
+        while (i < v.length) {
+          val x = v(i).toDouble * scale
+          q(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+          i += 1
+        }
+        var bc = cents(0)._1
+        var bd = Long.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val cv = cents(c)._2
+          val n = math.min(q.length, cv.length)
+          var d = 0L
+          var j = 0
+          while (j < n) { val t = q(j) - cv(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; bc = cents(c)._1 } // id order ⇒ ties keep first
+          c += 1
+        }
+        (bc, bd)
+      }
     }
-    corpus.withColumn("__gq", gq)
-      .withColumn("__best", array_min(array(entries: _*)))
-      .select(col(idCol), col("__best.cluster").as("cluster"),
-        col("__best.dist").as("dist"))
+    corpus.withColumn("__a", assignUdf(col(vecCol)))
+      .select(col(idCol), col("__a._1").as("cluster"),
+        col("__a._2").as("dist"))
   }
 
   /** Cluster-balanced corpus rebalance (the SemDeDup/DataComp

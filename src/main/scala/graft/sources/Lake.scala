@@ -214,11 +214,21 @@ object Lake {
         val bytes = files.map(_.getLen).sum
         val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         val lineFormat = Set("json", "csv", "text")(format)
-        def read(p: Path): DataFrame =
-          if (lineFormat) spark.read.text(p.toString)
+        // read by explicit visible FILES: the tmp dir is dot-named
+        // (hidden from lake readers by design), and handing Spark a
+        // hidden path trips DataSource's filter — a noisy "All paths
+        // were ignored" WARN on every compaction verify read
+        def read(p: Path): DataFrame = {
+          val fls = fs.listStatus(p).filter(s => s.isFile && {
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }).map(_.getPath.toString).sorted
+          require(fls.nonEmpty, s"no data files under $p")
+          if (lineFormat) spark.read.text(fls: _*)
           else if (format == "parquet" || format == "orc")
-            spark.read.option("mergeSchema", "true").format(format).load(p.toString)
-          else spark.read.schema(schema).format(format).load(p.toString)
+            spark.read.option("mergeSchema", "true").format(format).load(fls: _*)
+          else spark.read.schema(schema).format(format).load(fls: _*)
+        }
         // content fingerprint the rewrite must reproduce: line formats
         // get count + CRC32-of-line sum (order-free, catches any byte
         // change); self-describing formats get the row count

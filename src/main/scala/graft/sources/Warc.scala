@@ -1553,17 +1553,42 @@ object Warc {
     }
   }
 
+  /** Parquet read of a hidden-named (underscore/dot) manifest
+    * directory by its visible part FILES: handing Spark the hidden
+    * dir path itself trips DataSource's hidden-path filter — an
+    * "All paths were ignored" WARN in every bench tail that reads
+    * like a fault (round-13 ADVICE). None when the dir is missing or
+    * holds no visible part files; callers treat that as an absent
+    * manifest, which every manifest consumer here already degrades
+    * on safely. */
+  private def readHiddenDirParquet(spark: SparkSession,
+                                   dirPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val files = fs.listStatus(p).toSeq
+        .filter(s => s.isFile && {
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        .map(_.getPath.toString).sorted
+      if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+    }
+  }
+
   def cdxjShardsForPrefix(spark: SparkSession, path: String,
                           prefix: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = cdxjShardFiles(spark, path)
     val mPath = new org.apache.hadoop.fs.Path(root, CdxjManifestDir)
-    if (!fs.exists(mPath)) return parts.map(_.toString).sorted
-    val manifest = spark.read.parquet(mPath.toString)
-      .select("file", "min_urlkey", "max_urlkey")
-      .collect().map(r => r.getString(0) ->
-        (r.getString(1), r.getString(2))).toMap
+    val manifest = readHiddenDirParquet(spark, mPath.toString) match {
+      case None => return parts.map(_.toString).sorted
+      case Some(df) => df.select("file", "min_urlkey", "max_urlkey")
+        .collect().map(r => r.getString(0) ->
+          (r.getString(1), r.getString(2))).toMap
+    }
     val ep = encodeLineKey(prefix)
     parts.filter { p =>
       manifest.get(p.getName) match {
@@ -1671,12 +1696,10 @@ object Warc {
   def auditTextSegments(spark: SparkSession, path: String,
                         recordType: String = "conversion"): DataFrame = {
     import spark.implicits._
-    val mPath = new org.apache.hadoop.fs.Path(s"$path/_graft_warc_manifest")
-    val mFs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest =
-      (if (mFs.exists(mPath)) spark.read.parquet(mPath.toString)
-       else Seq.empty[(String, Long, Long)]
-         .toDF("segment", "n_records", "payload_bytes"))
+      readHiddenDirParquet(spark, s"$path/_graft_warc_manifest")
+        .getOrElse(Seq.empty[(String, Long, Long)]
+          .toDF("segment", "n_records", "payload_bytes"))
       .select(col("segment"), col("n_records").as("__mn"),
         col("payload_bytes").as("__mb"))
     val actual = readWarc(spark, path)
