@@ -2365,6 +2365,28 @@ object SparkEntry {
         .orderBy("verdict")
     }),
 
+    // Detokenizer roundtrip (the q145 loop closed): every document
+    // tokenizes to ids under the committed merge list and DECODES
+    // BACK — and the decode must reproduce the normalized text
+    // byte-for-byte (BPE merging only concatenates adjacent symbols,
+    // so the id stream is lossless over normalized text by
+    // construction; this entry makes the claim an oracle, not a
+    // comment). The oracle recomputes n_tokens via the q145
+    // closed-form scan and the decoded md5 as md5(normalized text) —
+    // one swallowed character, doubled space, or mis-mapped id
+    // breaks the hash.
+    "q167_token_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = graft.operators.Bpe.tokenIds(docs, "doc_id", "text",
+        CommittedBpeMerges)
+      graft.operators.Bpe.decodeTokenIds(toks, "doc_id", "token_ids",
+          CommittedBpeMerges)
+        .join(toks.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          md5(col("decoded")).as("decoded_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark DECONTAMINATION (Dedup.contaminatedDocs — the GPT-3
     // 13-gram eval-overlap recipe): three synthetic-vocabulary
     // benchmark items (their words appear NOWHERE in the corpus's
@@ -6179,6 +6201,37 @@ object SparkEntry {
                 string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id)
                   AS offsets_csv
          FROM o GROUP BY shard, bin ORDER BY shard, bin""",
+
+    // q167: n_tokens via the q145 closed-form tokenizer scan;
+    // decoded_md5 is md5 of the NORMALIZED text itself — the
+    // roundtrip's losslessness stated as the oracle.
+    "q167_token_roundtrip" ->
+      """WITH n AS (
+           SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS norm
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+                  list_filter(string_split(norm, ' '),
+                    x -> length(x) > 0) AS ws,
+                  norm
+           FROM n),
+         tok AS (
+           SELECT doc_id, norm,
+                  flatten(list_transform(ws, wd ->
+                    CASE WHEN wd LIKE '%e'
+                      THEN list_append(list_slice(
+                             regexp_extract_all(wd, 'th|in|.'), 1,
+                             len(regexp_extract_all(wd, 'th|in|.')) - 1),
+                           'e</w>')
+                      ELSE list_append(regexp_extract_all(wd, 'th|in|.'),
+                           '</w>')
+                    END)) AS toks
+           FROM w)
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                md5(norm) AS decoded_md5
+         FROM tok ORDER BY doc_id""",
 
     // q146: every WAT field closed-form from the q115 page template —
     // title text, the four anchor hrefs in document order (two chrome

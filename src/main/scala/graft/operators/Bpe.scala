@@ -234,6 +234,58 @@ object Bpe {
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 
+  /** Inverse of [[tokenIds]] under the same merge list — the
+    * DETOKENIZER a trainer-side inspection/debug path needs (and the
+    * proof the id scheme loses nothing): id 0 ([[SepId]]) contributes
+    * no text (a document boundary), id 1 is a bare end-of-word
+    * (word boundary → space), merge-output ids look up their output
+    * string (a `</w>` SUFFIX — it can only ever be terminal, nothing
+    * merges past end-of-word — strips to a space), and codepoint-base
+    * ids decode to their character (out-of-range ids to U+FFFD rather
+    * than throwing — a corrupted shard should decode loudly-wrong,
+    * not kill the job). BPE merging only ever concatenates adjacent
+    * symbols, so decode(tokenIds(text)) == normalized text EXACTLY,
+    * for ANY merge list — BpeSpec pins the roundtrip under the
+    * committed, the chained, and a learned merge list. */
+  def decodeTokenIds(df: DataFrame, idCol: String, idsCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val mlist = merges.toIndexedSeq
+    val base = 2L + mlist.length
+    val bcTok = spark.sparkContext.broadcast(
+      mlist.map { case (a, b) => a + b }.toArray)
+    val decodeUdf = udf((ids: scala.collection.Seq[Long]) => {
+      if (ids == null) null
+      else {
+        val toks = bcTok.value
+        val sb = new StringBuilder
+        ids.foreach { id =>
+          if (id == SepId) ()
+          else if (id == 1L) sb.append(' ')
+          else if (id >= 2L && id < base) {
+            val t = toks((id - 2L).toInt)
+            if (t.endsWith(EndOfWord)) {
+              // substring, not append(t, 0, n): the scala
+              // StringBuilder lacks the 3-arg CharSequence overload
+              // and silently resolves it to append(Any) on a tuple
+              sb.append(t.substring(0, t.length - EndOfWord.length))
+              sb.append(' ')
+            } else sb.append(t)
+          } else {
+            val cp = id - base
+            if (cp >= 0L && cp <= Character.MAX_CODE_POINT.toLong)
+              sb.appendAll(Character.toChars(cp.toInt))
+            else sb.append('�')
+          }
+        }
+        if (sb.nonEmpty && sb.charAt(sb.length - 1) == ' ')
+          sb.setLength(sb.length - 1)
+        sb.toString
+      }
+    })
+    df.select(col(idCol), decodeUdf(col(idsCol)).as("decoded"))
+  }
+
   /** Per-document BPE token count under the learned merges: one
     * broadcast of the rank table, one narrow pass over the corpus. */
   def tokenCount(docs: DataFrame, idCol: String, textCol: String,

@@ -168,4 +168,36 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.tokenId("e</w>", chained) == 4L)
     assert(Bpe.tokenId("a", chained) == 5L + 'a'.toLong)
   }
+
+  test("decodeTokenIds inverts tokenIds for ANY merge list — committed, chained, learned") {
+    import spark.implicits._
+    val texts = Seq(
+      "the thin theme then in tin e the",      // adversarial boundary words
+      "a b c xyz the in inn thth ethe",
+      "  Doubled   Spaces   and CAPS, punct!! ",
+      "",                                       // empty
+      "e"                                       // single boundary char
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = texts.toDF("doc_id", "text")
+    val learned = Bpe.trainMerges(docs, "text", numMerges = 12)
+    for (merges <- Seq(graft.SparkEntry.CommittedBpeMerges,
+        graft.SparkEntry.CommittedChainedBpeMerges, learned)) {
+      val toks = Bpe.tokenIds(docs, "doc_id", "text", merges)
+      val got = Bpe.decodeTokenIds(toks, "doc_id", "token_ids", merges)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      texts.foreach { case (id, t) =>
+        val expect = graft.operators.Sketches.normalize(t)
+        assert(got(id) == expect,
+          s"merge list $merges doc $id: '${got(id)}' != '$expect'")
+      }
+    }
+    // null ids decode to null; a corrupt out-of-range id degrades to
+    // U+FFFD instead of throwing
+    val weird = Seq((1L, Array(5L + 'h'.toLong, 1L, Long.MaxValue - 3)))
+      .toDF("doc_id", "token_ids")
+    val d = Bpe.decodeTokenIds(weird, "doc_id", "token_ids",
+      graft.SparkEntry.CommittedBpeMerges)
+      .head().getString(1)
+    assert(d == "h �", s"got '$d'")
+  }
 }
