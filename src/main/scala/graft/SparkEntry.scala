@@ -2365,6 +2365,43 @@ object SparkEntry {
         .orderBy("verdict")
     }),
 
+    // Interleaved image–text documents (the MMC4/OBELICS training
+    // format — image placeholders IN the main-content flow plus an
+    // aligned, resolved image list): template pages carry a chrome
+    // logo (must never emit), an image BETWEEN two kept paragraphs
+    // (must splice exactly there), a dropped-short block, and a
+    // trailing figure whose caption block also drops while its image
+    // still emits — boilerplate TEXT dies, content images survive.
+    // Captions exercise the figcaption-then-title-then-alt ladder;
+    // URLs resolve relative and root-relative srcs against the page.
+    // The oracle states the full interleaved string (placeholders,
+    // newlines, block order) and both resolved URLs closed-form.
+    "q168_interleaved_docs" -> ((s, dir) => {
+      val ks = pmod(col("doc_id"), lit(20)).cast("string")
+      val ids = col("doc_id").cast("string")
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://site"), ks, lit(".example.com/dir/page"),
+          ids, lit(".html")).as("url"),
+        concat(
+          lit("<html><head><title>Page "), ids, lit("</title></head><body>"),
+          lit("<nav><a href=\"/\">Home sweet home navigation</a><img src=\"logo.png\"></nav>"),
+          lit("<p>First paragraph of page "), ids,
+          lit(" with enough characters to keep it.</p>"),
+          lit("<img src=\"pics/a"), ids, lit(".jpg\" alt=\"Alt "), ids,
+          lit("\">"),
+          lit("<p>Second paragraph of page "), ids,
+          lit(" is also long enough to keep around.</p>"),
+          lit("<div>tiny</div>"),
+          lit("<figure><img src=\"/f/b"), ids, lit(".png\"><figcaption>Cap "),
+          ids, lit("</figcaption></figure></body></html>")).as("html"))
+      graft.operators.Html.interleavedDocs(pages, "doc_id", "url", "html")
+        .select(col("doc_id"), col("interleaved_text"),
+          array_join(col("image_urls"), "|").as("image_urls_csv"),
+          array_join(col("image_captions"), "|").as("captions_csv"),
+          col("n_images"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // Detokenizer roundtrip (the q145 loop closed): every document
     // tokenizes to ids under the committed merge list and DECODES
     // BACK — and the decode must reproduce the normalized text
@@ -6201,6 +6238,29 @@ object SparkEntry {
                 string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id)
                   AS offsets_csv
          FROM o GROUP BY shard, bin ORDER BY shard, bin""",
+
+    // q168: the interleaved string, resolved URLs, caption ladder,
+    // and counts stated verbatim from the template — a placeholder
+    // out of position, a leaked chrome logo, or a dropped content
+    // image breaks the hash.
+    "q168_interleaved_docs" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k,
+                  CAST(doc_id AS VARCHAR) AS i
+           FROM documents)
+         SELECT doc_id,
+                'First paragraph of page ' || i ||
+                ' with enough characters to keep it.' || chr(10) ||
+                '<|image_0|>' || chr(10) ||
+                'Second paragraph of page ' || i ||
+                ' is also long enough to keep around.' || chr(10) ||
+                '<|image_1|>' AS interleaved_text,
+                'https://site' || k || '.example.com/dir/pics/a' || i ||
+                '.jpg|https://site' || k || '.example.com/f/b' || i ||
+                '.png' AS image_urls_csv,
+                'Alt ' || i || '|Cap ' || i AS captions_csv,
+                CAST(2 AS INT) AS n_images, CAST(2 AS INT) AS n_kept
+         FROM b ORDER BY doc_id""",
 
     // q167: n_tokens via the q145 closed-form tokenizer scan;
     // decoded_md5 is md5 of the NORMALIZED text itself — the

@@ -79,10 +79,16 @@ object Html {
   /** One extracted image: decoded `src`, `alt`/`title` attribute text
     * (entity-decoded, NULL when the attribute is absent), the nearest
     * enclosing `<figure>`'s `<figcaption>` text (NULL outside figures
-    * or when the figure has no caption), and the chrome flag. */
+    * or when the figure has no caption), the chrome flag, and
+    * `beforeBlock` — the index of the first block flushed AT OR AFTER
+    * the img tag (an image inside a still-open paragraph anchors
+    * before that paragraph's block; one between paragraphs anchors
+    * between their blocks) — the position [[interleavedDocs]] needs
+    * to put images back into the content flow. */
   private[operators] final case class Img(src: String, alt: String,
                                           titleAttr: String, caption: String,
-                                          inChrome: Boolean)
+                                          inChrome: Boolean,
+                                          beforeBlock: Int)
 
   /** Tags that live in the head: their appearance does NOT imply the
     * body has opened. Everything else (a `<p>`, a `<div>`, bare text)
@@ -177,10 +183,12 @@ object Html {
       var text: String = null
     }
     final class ImgH(val src: String, val alt: String,
-                     val titleAttr: String, val inChrome: Boolean) {
+                     val titleAttr: String, val inChrome: Boolean,
+                     val beforeBlock: Int) {
       var caption: String = null
     }
     val out = Vector.newBuilder[Block]
+    var nBlocks = 0 // Vector builders have no size; flush() counts
     val links = scala.collection.mutable.ArrayBuffer.empty[LinkH]
     val imgs = scala.collection.mutable.ArrayBuffer.empty[ImgH]
     val sb = new java.lang.StringBuilder
@@ -240,8 +248,10 @@ object Html {
 
     def flush(): Unit = {
       val text = sb.toString
-      if (text.nonEmpty)
+      if (text.nonEmpty) {
         out += Block(text, linkChars, chromeDepth > 0 || headDepth > 0)
+        nBlocks += 1
+      }
       sb.setLength(0)
       linkChars = 0
       pendingSpace = false
@@ -392,7 +402,8 @@ object Html {
                   imgs += new ImgH(decodeEntities(src),
                     attrs.get("alt").map(decodeEntities).orNull,
                     attrs.get("title").map(decodeEntities).orNull,
-                    chromeDepth > 0 || headDepth > 0)
+                    chromeDepth > 0 || headDepth > 0,
+                    nBlocks)
                 }
               case "base" =>
                 if (baseHref == null)
@@ -556,7 +567,8 @@ object Html {
       if (titleSb.length > 0) titleSb.toString else null, metaDescription,
       robotsMetas.result(), canonicalHref,
       imgs.iterator.map(h =>
-        Img(h.src, h.alt, h.titleAttr, h.caption, h.inChrome)).toVector)
+        Img(h.src, h.alt, h.titleAttr, h.caption, h.inChrome,
+          h.beforeBlock)).toVector)
   }
 
   /** Classify-and-assemble over [[extractBlocks]]: the public
@@ -797,6 +809,91 @@ object Html {
         col("m._3").as("caption"),
         col("m._4").as("in_chrome"),
         col("page_title"))
+  }
+
+  /** Interleave kernel: walk blocks under the [[extractMainKernel]]
+    * keep rule, splicing every content (non-chrome, src-bearing)
+    * image back into the flow at its `beforeBlock` anchor as a
+    * `<|image_N|>` placeholder line, N in emission order. Images
+    * anchored inside or after dropped blocks still emit (the TEXT was
+    * boilerplate, the image is not); chrome images (logos, nav
+    * icons) never do. Returns (interleaved text, images as
+    * (src, caption-else-title-else-alt), n_kept, n_dropped,
+    * baseHref) — the base rides along so the DataFrame layer never
+    * scans the markup twice. */
+  private[operators] def interleaveKernel(html: String, minChars: Int,
+                                          maxLinkDensity: Double)
+      : (String, Array[(String, String)], Int, Int, String) = {
+    val s = scanHtml(html)
+    val content = s.images.filter(!_.inChrome)
+    val sb = new java.lang.StringBuilder
+    val imgsOut = Array.newBuilder[(String, String)]
+    var emitted = 0
+    var kept = 0
+    var dropped = 0
+    var ip = 0
+    def place(m: Img): Unit = {
+      if (sb.length > 0) sb.append('\n')
+      sb.append("<|image_").append(emitted).append("|>")
+      emitted += 1
+      imgsOut += ((m.src,
+        if (m.caption != null) m.caption
+        else if (m.titleAttr != null) m.titleAttr
+        else m.alt))
+    }
+    s.blocks.zipWithIndex.foreach { case (b, k) =>
+      while (ip < content.length && content(ip).beforeBlock <= k) {
+        place(content(ip)); ip += 1
+      }
+      val keep = !b.inChrome && b.text.length >= minChars &&
+        b.linkChars.toDouble / b.text.length <= maxLinkDensity
+      if (keep) {
+        if (sb.length > 0) sb.append('\n')
+        sb.append(b.text)
+        kept += 1
+      } else dropped += 1
+    }
+    while (ip < content.length) { place(content(ip)); ip += 1 }
+    (sb.toString, imgsOut.result(), kept, dropped, s.baseHref)
+  }
+
+  /** Interleaved image–text documents — the MMC4 / OBELICS training
+    * format (image placeholders IN the text flow plus an aligned
+    * image list), assembled from the same single scanner pass as
+    * [[extractMainText]] and [[imageTextPairs]]:
+    * `(doc_id, page_url, interleaved_text, image_srcs, image_urls,
+    * image_captions, n_images, n_kept, n_dropped)`. Text keeps
+    * exactly what main-content extraction keeps; every content image
+    * splices in at its document position as `<|image_N|>`;
+    * `image_urls[N]` resolves src N against `<base href>`-else-page
+    * (the q155 composition, element-wise against the precomputed
+    * effective base so nothing re-evaluates per element); captions
+    * prefer figcaption, then the title attribute, then alt. One
+    * kernel pass + scalar URL kernels, no shuffle; NULL html yields
+    * an all-NULL text row with empty arrays. */
+  def interleavedDocs(docs: DataFrame, idCol: String, urlCol: String,
+                      htmlCol: String, minChars: Int = 25,
+                      maxLinkDensity: Double = 0.33): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      s"maxLinkDensity must be in [0, 1], got $maxLinkDensity")
+    val k = udf { (html: String) =>
+      if (html == null)
+        (null: String, Array.empty[(String, String)], 0, 0, null: String)
+      else interleaveKernel(html, minChars, maxLinkDensity)
+    }
+    docs.select(col(idCol).as("doc_id"), col(urlCol).as("page_url"),
+        k(col(htmlCol)).as("r"))
+      .withColumn("__base",
+        coalesce(Url.resolve(col("page_url"), col("r._5")), col("page_url")))
+      .select(col("doc_id"), col("page_url"),
+        col("r._1").as("interleaved_text"),
+        transform(col("r._2"), m => m.getField("_1")).as("image_srcs"),
+        transform(col("r._2"),
+          m => Url.resolve(col("__base"), m.getField("_1"))).as("image_urls"),
+        transform(col("r._2"), m => m.getField("_2")).as("image_captions"),
+        size(col("r._2")).as("n_images"),
+        col("r._3").as("n_kept"), col("r._4").as("n_dropped"))
   }
 
   /** Anchor-text edges — `(doc_id, src_url, link_pos, dst_url,

@@ -489,4 +489,44 @@ class HtmlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("interleaveKernel: placeholders at document positions, chrome imgs out, boilerplate text dies while its images live") {
+    val long1 = "This opening paragraph carries plenty of characters."
+    val long2 = "The second paragraph also easily clears the bar."
+    // mid-paragraph image anchors BEFORE its containing block
+    val (t1, i1, k1, _, _) = Html.interleaveKernel(
+      s"<p>half $long1<img src='mid.jpg' alt='m'> rest</p><p>$long2</p>",
+      25, 0.33)
+    assert(t1 == s"<|image_0|>\nhalf $long1 rest\n$long2", t1)
+    assert(i1.map(_._1).toSeq == Seq("mid.jpg") && k1 == 2)
+    // between-paragraph image lands between; trailing image trails;
+    // chrome logo never emits; a dropped block's image survives
+    val (t2, i2, _, _, _) = Html.interleaveKernel(
+      s"<nav>chrome<img src='logo.png'></nav><p>$long1</p>" +
+        s"<img src='a.jpg'><p>$long2</p><div>tiny<img src='b.png'></div>",
+      25, 0.33)
+    assert(t2 == s"$long1\n<|image_0|>\n$long2\n<|image_1|>", t2)
+    assert(i2.map(_._1).toSeq == Seq("a.jpg", "b.png"))
+    // all text dropped: images still emit, in order, text is only
+    // placeholders
+    val (t3, i3, k3, _, _) = Html.interleaveKernel(
+      "<p>tiny</p><img src='x.png'><p>wee</p><img src='y.png'>", 25, 0.33)
+    assert(t3 == "<|image_0|>\n<|image_1|>" && i3.length == 2 && k3 == 0, t3)
+    // caption ladder: figcaption beats title beats alt
+    val (_, i4, _, _, _) = Html.interleaveKernel(
+      "<figure><img src='f.png' title='T' alt='A'>" +
+        "<figcaption>FC</figcaption></figure>" +
+        "<img src='g.png' title='T2' alt='A2'><img src='h.png' alt='A3'>",
+      25, 0.33)
+    assert(i4.map(_._2).toSeq == Seq("FC", "T2", "A3"), i4.mkString(","))
+    // DataFrame surface: NULL html → NULL text, empty arrays; no
+    // exchange in the plan
+    val df = Seq((1L, "https://a.com/p.html", null: String))
+      .toDF("doc_id", "url", "html")
+    val row = Html.interleavedDocs(df, "doc_id", "url", "html").head()
+    assert(row.getString(2) == null && row.getInt(6) == 0)
+    val plan = Html.interleavedDocs(df, "doc_id", "url", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
