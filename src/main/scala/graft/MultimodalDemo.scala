@@ -28,7 +28,9 @@ object MultimodalDemo {
                           dupPairs: Long, survivors: Long,
                           auditOk: Boolean,
                           imagePairs: Long, pairSurvivors: Long,
-                          pairAuditOk: Boolean)
+                          pairAuditOk: Boolean,
+                          interleavedDocs: Long, interleavedKept: Long,
+                          interleavedAuditOk: Boolean)
 
   /** Run the slice: synthesize media rows off the `documents` ids in
     * `sfDir` (every `cloneEvery`-th id gets a perceptual near-clone at
@@ -133,10 +135,46 @@ object MultimodalDemo {
         "media_id")
       .filter(!col("ok")).isEmpty
 
+    // 6. the INTERLEAVED leg (the MMC4/OBELICS shape): the same image
+    //    media embedded in RUNNING TEXT — two content paragraphs
+    //    around the captioned figure — assembles to
+    //    text-with-placeholder documents whose aligned image list
+    //    follows the dedup verdicts exactly like the pairs above (a
+    //    document whose image dropped as a near-clone leaves the
+    //    export with it). Manifest-audited like every artifact here.
+    val iPages = imgSigs.select(col("doc_id").as("media_id"))
+      .select(col("media_id"),
+        concat(lit("https://img.example.com/g/page"), col("media_id"),
+          lit(".html")).as("url"),
+        concat(
+          lit("<p>Opening paragraph for media item "), col("media_id"),
+          lit(" with enough length to keep it.</p>"),
+          lit("<figure><img src=\"/media/m"), col("media_id"),
+          lit(".png\" alt=\"render "), col("media_id"),
+          lit("\"><figcaption>figure "), col("media_id"),
+          lit("</figcaption></figure>"),
+          lit("<p>Closing paragraph for media item "), col("media_id"),
+          lit(" is also long enough to keep.</p>")).as("html"))
+    val interRows = Html.interleavedDocs(iPages, "media_id", "url", "html")
+      .select(col("doc_id").as("media_id"), col("interleaved_text"),
+        col("image_urls"), col("image_captions"), col("n_images"),
+        col("n_kept"))
+      .cache()
+    val interleavedDocs = interRows.count()
+    val interKept = interRows.join(kept.select("media_id"), Seq("media_id"))
+    val interDir = outDir + "_interleaved"
+    Sampling.writeShardedWithManifest(interKept, "media_id", shards,
+      interDir)
+    val interleavedKept = interKept.count()
+    val interleavedAuditOk = Sampling.verifyShardedExport(spark, interDir,
+        "media_id")
+      .filter(!col("ok")).isEmpty
+
     media.unpersist(); pairs.unpersist(); kept.unpersist()
-    pairRows.unpersist()
+    pairRows.unpersist(); interRows.unpersist()
     Result(inputMedia, images, audio, dupPairs, survivors, auditOk,
-      imagePairs, pairSurvivors, pairAuditOk)
+      imagePairs, pairSurvivors, pairAuditOk,
+      interleavedDocs, interleavedKept, interleavedAuditOk)
   }
 
   def main(args: Array[String]): Unit = {
@@ -154,7 +192,9 @@ object MultimodalDemo {
     println(s"media=${r.inputMedia} images=${r.images} audio=${r.audio} " +
       s"dup_pairs=${r.dupPairs} survivors=${r.survivors} audit_ok=${r.auditOk} " +
       s"image_pairs=${r.imagePairs}->${r.pairSurvivors} " +
-      s"pair_audit=${r.pairAuditOk} out=$outDir")
+      s"pair_audit=${r.pairAuditOk} " +
+      s"interleaved=${r.interleavedDocs}->${r.interleavedKept} " +
+      s"interleaved_audit=${r.interleavedAuditOk} out=$outDir")
     spark.stop()
   }
 }

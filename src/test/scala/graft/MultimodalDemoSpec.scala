@@ -46,5 +46,23 @@ class MultimodalDemoSpec extends SparkSpec {
     assert(pairs.filter(!col("image_url")
       .startsWith("https://img.example.com/media/m")).count() == 0,
       "image URLs must resolve against the page URL")
+    // the interleaved leg: one document per image page, each holding
+    // exactly one placeholder between the two kept paragraphs, the
+    // kept set tracking the image survivors, and a clean audit
+    assert(r.interleavedDocs == r.images, s"interleaved synthesis drifted: $r")
+    val keptImages2 = spark.read.parquet(out)
+      .filter(col("format") === "png").count()
+    assert(r.interleavedKept == keptImages2,
+      s"interleaved kept must track image survivors ($keptImages2): $r")
+    assert(r.interleavedAuditOk, s"interleaved export audit failed: $r")
+    val inter = spark.read.parquet(out + "_interleaved")
+    assert(inter.filter(col("n_images") =!= 1 || col("n_kept") =!= 2)
+      .count() == 0, "every interleaved doc: 1 image, 2 kept paragraphs")
+    assert(inter.filter(!col("interleaved_text")
+      .contains("\n<|image_0|>\n")).count() == 0,
+      "the placeholder must sit between the paragraphs")
+    assert(inter.filter(element_at(col("image_captions"), 1)
+      .startsWith("figure ")).count() == inter.count(),
+      "figcaption must win the caption ladder")
   }
 }
