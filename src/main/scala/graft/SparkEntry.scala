@@ -2402,6 +2402,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Shard attribution ledger (the data-governance page: how many
+    // tokens did each SOURCE contribute to the training batch): the
+    // q145 shards' per-doc token shares are recovered from the landed
+    // offset geometry itself (offset deltas, separator included —
+    // never re-tokenized, so a corrupted offset array shows up as a
+    // wrong attribution) and aggregate per source. The oracle
+    // recomputes every share from the q145 closed-form scan +1 — the
+    // two derivations must meet exactly.
+    "q169_shard_attribution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = graft.operators.Bpe.tokenIds(
+        docs.select("doc_id", "text"), "doc_id", "text", CommittedBpeMerges)
+      val seqs = graft.operators.Packing.assembleTokenSequences(
+        graft.operators.Packing.packContiguous(toks, "doc_id", "n_tokens",
+          budget = 5000L, shards = 4),
+        "doc_id", "token_ids", orderCol = "doc_id")
+      graft.operators.Packing.sequenceAttribution(seqs,
+          docs.select("doc_id", "source"), "doc_id", "source")
+        .orderBy("source")
+    }),
+
     // Detokenizer roundtrip (the q145 loop closed): every document
     // tokenizes to ids under the committed merge list and DECODES
     // BACK — and the decode must reproduce the normalized text
@@ -6261,6 +6282,29 @@ object SparkEntry {
                 'Alt ' || i || '|Cap ' || i AS captions_csv,
                 CAST(2 AS INT) AS n_images, CAST(2 AS INT) AS n_kept
          FROM b ORDER BY doc_id""",
+
+    // q169: per-doc token counts via the q145 closed-form scan, +1
+    // separator each, grouped by source — the geometry-derived
+    // attribution must reproduce them exactly.
+    "q169_shard_attribution" ->
+      """WITH w AS (
+           SELECT doc_id, source,
+                  list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '),
+                  x -> length(x) > 0) AS ws
+           FROM documents),
+         tok AS (
+           SELECT doc_id, source,
+                  CAST(coalesce(list_sum(list_transform(ws, wd ->
+                    CASE WHEN wd LIKE '%e'
+                      THEN len(regexp_extract_all(wd, 'th|in|.'))
+                      ELSE len(regexp_extract_all(wd, 'th|in|.')) + 1
+                    END)), 0) AS BIGINT) AS n_tokens
+           FROM w)
+         SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens + 1) AS BIGINT) AS n_tokens_with_sep
+         FROM tok GROUP BY source ORDER BY source""",
 
     // q167: n_tokens via the q145 closed-form tokenizer scan;
     // decoded_md5 is md5 of the NORMALIZED text itself — the

@@ -133,4 +133,36 @@ object Packing {
       .withColumn("n_docs", size(col("doc_ids")))
       .withColumn("seq_tokens", size(col("sequence")).cast("long"))
   }
+
+  /** Per-group token attribution of assembled sequences — the data-
+    * governance ledger ("how many tokens did each source contribute
+    * to the training batch"), computed FROM THE LANDED SHARD GEOMETRY
+    * itself rather than by re-tokenizing: each document's token share
+    * is its offset delta (next offset, else `seq_tokens`, minus its
+    * own — which INCLUDES its separator, the token the trainer
+    * actually consumes for it), so the ledger audits the assembled
+    * artifact and a corrupted offset array shows up as a wrong
+    * attribution, not a silently re-derived right one. `docMeta`
+    * supplies the group column keyed by `idCol`. Output
+    * `(<groupCol>, n_docs, n_tokens_with_sep)`. Plan: one HOF pass
+    * per sequence row, explode to |docs| rows of (id, share), one
+    * join to the (narrow) meta frame, one hash agg. */
+  def sequenceAttribution(seqs: DataFrame, docMeta: DataFrame,
+                          idCol: String, groupCol: String): DataFrame = {
+    val n = size(col("doc_ids"))
+    val shares = zip_with(col("doc_ids"),
+      transform(sequence(lit(1), n), i =>
+        when(i < n, element_at(col("offsets"), i + 1))
+          .otherwise(col("seq_tokens")) -
+          element_at(col("offsets"), i)),
+      (id, tok) => struct(id.as("id"), tok.as("tok")))
+    // n == 0 guard: spark's sequence(1, 0) counts DOWN ([1, 0]), so
+    // an empty bin must not reach the share expression at all
+    seqs.filter(n > 0).select(explode(shares).as("z"))
+      .select(col("z.id").as(idCol), col("z.tok").as("doc_tokens"))
+      .join(docMeta.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_tokens")).as("n_tokens_with_sep"))
+  }
 }

@@ -145,4 +145,36 @@ class PackingSpec extends SparkSpec {
       .as[(Seq[Long], Seq[Long])].collect().toSeq
     assert(a == b)
   }
+
+  test("sequenceAttribution: offset-delta shares (sep included) reconcile per group; a corrupted offset misattributes") {
+    val toks = Seq(
+      (1L, Seq(10L, 11L, 12L)), // 3 tokens + sep = 4
+      (2L, Seq(20L)),           // 1 + 1 = 2
+      (3L, Seq(30L, 31L)),      // 2 + 1 = 3
+      (4L, null)                // NULL text: 0 + 1 = 1 (sep only)
+    ).toDF("doc_id", "token_ids")
+      .withColumn("n_tokens",
+        coalesce(size(col("token_ids")), lit(0)).cast("long"))
+    val meta = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("doc_id", "grp")
+    val seqs = Packing.assembleTokenSequences(
+      Packing.packContiguous(toks, "doc_id", "n_tokens",
+        budget = 100L, shards = 1),
+      "doc_id", "token_ids", orderCol = "doc_id")
+    val got = Packing.sequenceAttribution(seqs, meta, "doc_id", "grp")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map("a" -> ((2L, 6L)), "b" -> ((2L, 4L))), s"got $got")
+    // the ledger audits the GEOMETRY: shifting one interior offset
+    // moves a token between adjacent docs' shares (totals conserved)
+    // index 2 sits on the doc-2/doc-3 boundary — a cross-GROUP shift
+    // (an intra-group one would conserve the group totals and hide)
+    val corrupted = seqs.withColumn("offsets",
+      transform(col("offsets"),
+        (o, i) => when(i === 2, o + 1L).otherwise(o)))
+    val g2 = Packing.sequenceAttribution(corrupted, meta, "doc_id", "grp")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(g2.values.sum == 10L && g2 != got.map { case (k, v) => k -> v._2 },
+      s"corruption must shift attribution, got $g2")
+  }
 }
