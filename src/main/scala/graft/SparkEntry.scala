@@ -676,6 +676,67 @@ object SparkEntry {
     wdir
   }
 
+  /** Build-once WARC fixture for q170: crawl A captures every page
+    * with a body, an `ETag`, and a `Last-Modified`; crawl B (one day
+    * later) revalidates — every doc_id%3==0 page answers `304 Not
+    * Modified` (empty body, same ETag echoed), the rest ship fresh
+    * bodies under a NEW ETag. Per-record gzip members like the q148
+    * fixture so the resolved locators are ranged-fetchable. */
+  private def ensureRevalWarcDir(s: SparkSession, dir: String): String = {
+    val wdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q170_warc_${docsTag(s, dir)}").toString
+    val root = new java.io.File(wdir)
+    if (!root.exists()) {
+      val stage = new java.io.File(wdir + "_stage")
+      if (stage.exists()) stage.listFiles().foreach(_.delete())
+      stage.mkdirs()
+      val W = graft.sources.Warc
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0))
+      def seg(tag: String, date: String, docs: Seq[Long],
+              rec: Long => (Array[Byte], Seq[String])): Unit =
+        docs.groupBy(_ / 25).foreach { case (sg, ds) =>
+          val recs = ds.sorted.map { id =>
+            val (payload, hdrs) = rec(id)
+            ("response",
+              s"https://www.site${id % 20}.example.com/dir/page$id.html",
+              payload, hdrs)
+          }
+          val bytes = recs
+            .map(r => W.gzipBytes(W.buildSegmentWithHeaders(Seq(r), date)))
+            .reduce(_ ++ _)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(stage.toString,
+              f"reval-$tag-seg-$sg%05d.warc.gz"), bytes)
+        }
+      seg("a", "2026-02-01T00:00:00Z", ids.toSeq, { id =>
+        val body = s"cached content of page $id"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (W.httpResponseWith(body, "200 OK", "text/plain",
+          Seq(s"""ETag: "et-$id"""",
+            "Last-Modified: Sun, 01 Feb 2026 00:00:00 GMT")),
+          Seq(s"WARC-Payload-Digest: ${W.sha1Base32(body)}"))
+      })
+      seg("b", "2026-02-02T00:00:00Z", ids.toSeq, { id =>
+        if (id % 3 == 0)
+          (W.httpResponseWith(Array.empty[Byte], "304 Not Modified",
+            "text/plain", Seq(s"""ETag: "et-$id"""")), Nil)
+        else {
+          val body = s"fresh content of page $id"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (W.httpResponseWith(body, "200 OK", "text/plain",
+            Seq(s"""ETag: "et2-$id"""",
+              "Last-Modified: Mon, 02 Feb 2026 00:00:00 GMT")),
+            Seq(s"WARC-Payload-Digest: ${W.sha1Base32(body)}"))
+        }
+      })
+      if (!stage.renameTo(root)) {
+        require(root.exists(), s"WARC fixture rename failed for $wdir")
+      }
+    }
+    wdir
+  }
+
   /** Build-once WARC fixture for q154: responses carrying
     * `X-Robots-Tag` headers by doc_id%4 — absent / `noindex` / an
     * agent-scoped `googlebot: nofollow` / TWO headers whose second is
@@ -2399,6 +2460,37 @@ object SparkEntry {
           array_join(col("image_urls"), "|").as("image_urls_csv"),
           array_join(col("image_captions"), "|").as("captions_csv"),
           col("n_images"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Conditional revalidation (RFC 9110 §13 — the recrawl
+    // bandwidth-saver): crawl A captures every page with validators;
+    // crawl B gets `304 Not Modified` for every doc_id%3==0 page
+    // (empty body, ETag echoed) and fresh bodies elsewhere. The
+    // ledger (one latest-wins hash agg, never a window) carries the
+    // If-None-Match set; resolveNotModified unions fresh captures
+    // with 304s RESOLVED to crawl A's locators (content date frozen,
+    // observation date advanced); the ranged fetch then proves the
+    // resolved bytes are crawl A's verbatim. The oracle states
+    // source, both dates, body text, and the latest ETag closed-form
+    // for every page.
+    "q170_revalidation" -> ((s, dir) => {
+      val wdir = ensureRevalWarcDir(s, dir)
+      val W = graft.sources.Warc
+      val ledger = W.revalidationLedger(W.readWarc(s, s"$wdir/reval-*"))
+      val eff = W.resolveNotModified(
+        W.cdxIndex(s, s"$wdir/reval-b-*"), W.cdxIndex(s, s"$wdir/reval-a-*"))
+      val bodies = W.fetchByCdx(eff, wdir)
+        .select(col("filename"), col("offset"), col("member_record_index"),
+          col("body").cast("string").as("body_text"))
+      eff.join(bodies, Seq("filename", "offset", "member_record_index"))
+        .join(ledger.select(col("urlkey"),
+          col("http_etag").as("ledger_etag")), Seq("urlkey"))
+        .select(
+          regexp_extract(col("url"), "page(\\d+)\\.html", 1).cast("long")
+            .as("doc_id"),
+          col("source"), col("observed_date"), col("content_date"),
+          col("body_text"), col("ledger_etag"))
         .orderBy("doc_id")
     }),
 
@@ -6282,6 +6374,27 @@ object SparkEntry {
                 'Alt ' || i || '|Cap ' || i AS captions_csv,
                 CAST(2 AS INT) AS n_images, CAST(2 AS INT) AS n_kept
          FROM b ORDER BY doc_id""",
+
+    // q170: every page's effective capture closed-form from the
+    // two-crawl template — 304s keep crawl A's body and date under
+    // crawl B's observation date; the ledger's ETag is the latest
+    // validator observed (B's echo for 304s, B's new tag elsewhere).
+    "q170_revalidation" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'revalidated'
+                     ELSE 'fresh' END AS source,
+                '2026-02-02T00:00:00Z' AS observed_date,
+                CASE WHEN doc_id % 3 = 0 THEN '2026-02-01T00:00:00Z'
+                     ELSE '2026-02-02T00:00:00Z' END AS content_date,
+                CASE WHEN doc_id % 3 = 0
+                     THEN 'cached content of page ' || CAST(doc_id AS VARCHAR)
+                     ELSE 'fresh content of page ' || CAST(doc_id AS VARCHAR)
+                END AS body_text,
+                CASE WHEN doc_id % 3 = 0
+                     THEN '"et-' || CAST(doc_id AS VARCHAR) || '"'
+                     ELSE '"et2-' || CAST(doc_id AS VARCHAR) || '"'
+                END AS ledger_etag
+         FROM documents ORDER BY doc_id""",
 
     // q169: per-doc token counts via the q145 closed-form scan, +1
     // separator each, grouped by source — the geometry-derived

@@ -62,6 +62,8 @@ object Warc {
                               http_content_type: Option[String],
                               http_location: Option[String],
                               http_x_robots: Option[String],
+                              http_etag: Option[String],
+                              http_last_modified: Option[String],
                               body: Array[Byte])
 
   /** Per-record payload ceiling (1 GiB). A Content-Length beyond it is
@@ -194,14 +196,15 @@ object Warc {
           }
           val payload = readFullyStream(in, clen.toInt)
           if (payload == null) { done = true; close(); return } // torn tail
-          val (status, ctype, loc, xrobots, body, bodyStart) =
+          val (status, ctype, loc, xrobots, etag, lastMod, body, bodyStart) =
             if (wtype == "response") parseHttp(payload)
-            else (None, None, None, None, payload, 0)
+            else (None, None, None, None, None, None, payload, 0)
           val stored =
             if (!computeStoredDigest || bodyStart < 0) null
             else sha1Base32(payload, bodyStart, payload.length - bodyStart)
           nextRec = (WarcRecord(path, idx, wtype, uri, date, clen,
-            Option(digest), status, ctype, loc, xrobots, body), stored)
+            Option(digest), status, ctype, loc, xrobots, etag, lastMod,
+            body), stored)
           idx += 1
         } catch {
           case _: java.io.IOException => done = true; close()
@@ -256,10 +259,10 @@ object Warc {
     * payload as written, not over what a consumer decodes). */
   private[sources] def parseHttp(payload: Array[Byte])
       : (Option[Int], Option[String], Option[String], Option[String],
-         Array[Byte], Int) = {
+         Option[String], Option[String], Array[Byte], Int) = {
     val (statusLine, p0) = readLine(payload, 0)
     if (statusLine == null || !statusLine.startsWith("HTTP/"))
-      return (None, None, None, None, null, -1)
+      return (None, None, None, None, None, None, null, -1)
     val parts = statusLine.split(" ")
     val status = if (parts.length >= 2)
       try Some(parts(1).toInt) catch { case _: NumberFormatException => None }
@@ -269,6 +272,8 @@ object Warc {
     val xrobots = Vector.newBuilder[String]
     var tenc: Option[String] = None
     var cenc: Option[String] = None
+    var etag: Option[String] = None
+    var lastMod: Option[String] = None
     var h = readLine(payload, p0)
     while (h._1 != null && h._1.nonEmpty) {
       val ci = h._1.indexOf(':')
@@ -281,6 +286,10 @@ object Warc {
           case "x-robots-tag" => xrobots += v
           case "transfer-encoding" => tenc = Some(v)
           case "content-encoding" => cenc = Some(v)
+          // validators surface VERBATIM (quotes, W/ weak prefix and
+          // all): If-None-Match must echo the exact opaque tag back
+          case "etag" => etag = Some(v)
+          case "last-modified" => lastMod = Some(v)
           case _ => ()
         }
       }
@@ -299,7 +308,8 @@ object Warc {
     }
     val xr = xrobots.result()
     (status, ctype, location,
-      if (xr.isEmpty) None else Some(xr.mkString(", ")), body, h._2)
+      if (xr.isEmpty) None else Some(xr.mkString(", ")),
+      etag, lastMod, body, h._2)
   }
 
   /** Strip `Transfer-Encoding: chunked` framing: hex size line
@@ -1369,6 +1379,66 @@ object Warc {
         col("w.member_record_index"), col("w.warc_type"), col("w.url"),
         col("w.mime"), col("w.status"), col("w.digest"),
         col("n_captures"))
+
+  /** Conditional-revalidation ledger — the If-None-Match /
+    * If-Modified-Since request set the NEXT crawl sends (RFC 9110
+    * §13): per urlkey, the LATEST response's validators, verbatim
+    * (ETag stays the opaque quoted/W-prefixed token the server must
+    * see echoed back). One max-struct hash agg with map-side combine
+    * over the response frame — the [[latestCaptures]] shape, never a
+    * window — filtered to validator-bearing rows (a URL that never
+    * sent one has nothing to revalidate against and refetches
+    * unconditionally). Output
+    * `(urlkey, url, warc_date, http_etag, http_last_modified)`. */
+  def revalidationLedger(responses: DataFrame): DataFrame =
+    responses.filter(col("warc_type") === "response" &&
+        (col("http_etag").isNotNull || col("http_last_modified").isNotNull))
+      .select(graft.operators.Url.surt(col("target_uri")).as("urlkey"),
+        col("target_uri"), col("warc_date"), col("http_etag"),
+        col("http_last_modified"))
+      .filter(col("urlkey").isNotNull)
+      .groupBy(col("urlkey"))
+      .agg(max(struct(col("warc_date"), col("target_uri").as("url"),
+        col("http_etag"), col("http_last_modified"))).as("w"))
+      .select(col("urlkey"), col("w.url").as("url"), col("w.warc_date"),
+        col("w.http_etag"), col("w.http_last_modified"))
+
+  /** Resolve a conditional recrawl against the prior crawl's catalog
+    * — the `server-not-modified` half of the revisit story (q132
+    * resolves the identical-payload-digest half): rows of `newCdx`
+    * with any status but 304 are effective AS THEMSELVES
+    * (`source = fresh`, content date = own date); 304 rows carry no
+    * body by design, so each resolves to the prior catalog's
+    * LATEST capture of its urlkey ([[latestCaptures]] — one hash
+    * agg, locators only, bodies stay in the archive until a ranged
+    * [[fetchByCdx]]) and inherits that capture's locator, digest and
+    * mime while keeping its OWN date as the observation date — the
+    * revalidation semantics: content unchanged, freshness advanced.
+    * A 304 with no prior capture is a cache-coherence fault, not a
+    * resolvable capture; it surfaces with NULL locator fields (the
+    * fetch degrades to a NULL body downstream) rather than silently
+    * vanishing. Output: the locator columns plus
+    * `(urlkey, url, observed_date, content_date, source)`. */
+  def resolveNotModified(newCdx: DataFrame, priorCdx: DataFrame): DataFrame = {
+    val locator = Seq("filename", "offset", "comp_length", "member_index",
+      "member_record_index")
+    val fresh = newCdx.filter(coalesce(col("status"), lit(0)) =!= 304)
+      .select(Seq(col("urlkey"), col("url"),
+        col("warc_date").as("observed_date"),
+        col("warc_date").as("content_date"), col("mime"), col("digest")) ++
+        locator.map(col) :+ lit("fresh").as("source"): _*)
+    val prior = latestCaptures(priorCdx)
+      .select(Seq(col("urlkey"), col("warc_date").as("content_date"),
+        col("mime"), col("digest")) ++ locator.map(col): _*)
+    val reval = newCdx.filter(col("status") === 304)
+      .select(col("urlkey"), col("url"),
+        col("warc_date").as("observed_date"))
+      .join(prior, Seq("urlkey"), "left")
+      .select(Seq(col("urlkey"), col("url"), col("observed_date"),
+        col("content_date"), col("mime"), col("digest")) ++
+        locator.map(col) :+ lit("revalidated").as("source"): _*)
+    fresh.unionByName(reval)
+  }
 
   // ----------------------------------------------------------------
   // CDXJ interchange — the text form of the capture index. CommonCrawl

@@ -907,4 +907,64 @@ class WarcSpec extends SparkSpec {
       Set("com,a)/x y", "com,a)/x%20y"),
       "verbatim keys roundtrip; literal %20 text is never mis-decoded")
   }
+
+  test("validators surface verbatim; ledger takes the latest; 304s resolve to prior locators") {
+    import spark.implicits._
+    // parseHttp: ETag (weak tag included) and Last-Modified verbatim
+    val seg = Warc.buildSegment(Seq(
+      ("response", "http://a.com/x",
+        Warc.httpResponseWith("one".getBytes, "200 OK", "text/plain",
+          Seq("""ETag: W/"v1"""",
+            "Last-Modified: Sun, 01 Feb 2026 00:00:00 GMT")))))
+    val r = Warc.parseSegment("m.warc", seg).head
+    assert(r.http_etag.contains("""W/"v1"""") &&
+      r.http_last_modified.contains("Sun, 01 Feb 2026 00:00:00 GMT"), r)
+    // ledger: latest validator per urlkey wins; validator-less rows
+    // never ledger
+    val resp = Seq(
+      ("response", "https://a.com/p", "2026-02-01T00:00:00Z",
+        """"e1"""", null: String),
+      ("response", "https://a.com/p", "2026-02-02T00:00:00Z",
+        """"e2"""", null: String),
+      ("response", "https://a.com/naked", "2026-02-01T00:00:00Z",
+        null: String, null: String)
+    ).toDF("warc_type", "target_uri", "warc_date", "http_etag",
+      "http_last_modified")
+    val led = Warc.revalidationLedger(resp).collect()
+    assert(led.length == 1 && led(0).getAs[String]("http_etag") == "\"e2\"",
+      led.mkString(","))
+    // resolveNotModified: fresh rows keep themselves; 304s inherit
+    // the prior latest locator + digest with date split; an orphan
+    // 304 surfaces with NULL locator instead of vanishing
+    def cdx(rows: Seq[(String, String, Int, String, String, Long)]) =
+      rows.toDF("urlkey", "url", "status", "warc_date", "filename",
+          "offset")
+        .withColumn("comp_length", lit(10L))
+        .withColumn("member_index", lit(0))
+        .withColumn("member_record_index", lit(0))
+        .withColumn("mime", lit("text/plain"))
+        .withColumn("digest", concat(lit("d-"), col("filename")))
+        .withColumn("warc_type", lit("response"))
+    val prior = cdx(Seq(
+      ("k1", "https://a.com/1", 200, "2026-02-01T00:00:00Z", "a.warc", 0L),
+      ("k1", "https://a.com/1", 200, "2026-01-15T00:00:00Z", "old.warc", 0L),
+      ("k2", "https://a.com/2", 200, "2026-02-01T00:00:00Z", "a.warc", 9L)))
+    val next = cdx(Seq(
+      ("k1", "https://a.com/1", 304, "2026-02-02T00:00:00Z", "b.warc", 0L),
+      ("k2", "https://a.com/2", 200, "2026-02-02T00:00:00Z", "b.warc", 5L),
+      ("k9", "https://a.com/9", 304, "2026-02-02T00:00:00Z", "b.warc", 7L)))
+    val eff = Warc.resolveNotModified(next, prior).collect()
+      .map(x => x.getAs[String]("urlkey") -> x).toMap
+    assert(eff("k1").getAs[String]("source") == "revalidated" &&
+      eff("k1").getAs[String]("filename") == "a.warc" &&
+      eff("k1").getAs[String]("digest") == "d-a.warc" &&
+      eff("k1").getAs[String]("content_date") == "2026-02-01T00:00:00Z" &&
+      eff("k1").getAs[String]("observed_date") == "2026-02-02T00:00:00Z",
+      eff("k1").toString)
+    assert(eff("k2").getAs[String]("source") == "fresh" &&
+      eff("k2").getAs[String]("filename") == "b.warc", eff("k2").toString)
+    assert(eff("k9").getAs[String]("source") == "revalidated" &&
+      eff("k9").getAs[String]("filename") == null,
+      "an orphan 304 must surface, not vanish: " + eff("k9"))
+  }
 }
