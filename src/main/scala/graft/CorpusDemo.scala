@@ -163,11 +163,15 @@ object CorpusDemo {
     //     convention. The chunk shards above stay ungated: retrieval
     //     windows serve search, the perplexity gate is an LM-training
     //     concern.
+    // cached: the count here plus trainerFeed's ≥4 actions (FIM
+    // count, merge-training collect, tokenize→pack→write, audit)
+    // would otherwise each re-run the whole LM-scoring + cut chain
     val tailIds = graft.operators.LangModel.perplexityBuckets(
         refined, "doc_id", "text", "lang")
       .filter(col("bucket") === 2).select("doc_id")
     val feedDocs = refined.select("doc_id", "text")
       .join(tailIds, Seq("doc_id"), "left_anti")
+      .cache()
     val pplTailDropped = survivors - feedDocs.count()
 
     // 4c. the TRAINER FEED — the shared [[trainerFeed]] leg over the
@@ -180,6 +184,7 @@ object CorpusDemo {
     val feed = trainerFeed(spark, feedDocs,
       outDir, budgetTokens = budgetTokens, shards = shards)
 
+    feedDocs.unpersist()
     refined.unpersist()
 
     val out = spark.read.parquet(s"$outDir/shards")

@@ -2333,12 +2333,12 @@ object SparkEntry {
     "q162b_ppl_buckets_served" -> ((s, dir) => {
       val (bigT, tokT) = ensureStreamedLmTables(s, dir)
       val docs = t(s, dir, "documents")
-      val scored = graft.operators.LangModel.scoreFromTables(s,
-        docs, "doc_id", "text", bigT, tokT)
-      val withLang = scored.join(
-        docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      graft.operators.Sampling.valueRankBuckets(withLang, "lang",
-          "avg_logprob", 3, descending = true)
+      // the SAME cut implementation q162 runs (bucketsFromScores) —
+      // only the scoring source differs
+      graft.operators.LangModel.bucketsFromScores(
+          graft.operators.LangModel.scoreFromTables(s,
+            docs, "doc_id", "text", bigT, tokT),
+          docs, "doc_id", "lang")
         .select(col("doc_id"), col("lang"), col("avg_logprob"),
           when(col("bucket") === 0, lit("head"))
             .when(col("bucket") === 1, lit("middle"))

@@ -573,6 +573,15 @@ object Html {
 
   /** Classify-and-assemble over [[extractBlocks]]: the public
     * per-document kernel. Returns `(main_text, n_kept, n_dropped)`. */
+  /** THE content keep rule, shared by [[extractMainKernel]] and
+    * [[interleaveKernel]] — interleavedDocs' contract is "keeps
+    * exactly what main-content extraction keeps", which only holds
+    * while both read one predicate. */
+  private def keepBlock(b: Block, minChars: Int,
+                        maxLinkDensity: Double): Boolean =
+    !b.inChrome && b.text.length >= minChars &&
+      b.linkChars.toDouble / b.text.length <= maxLinkDensity
+
   private[operators] def extractMainKernel(html: String, minChars: Int,
                                            maxLinkDensity: Double)
       : (String, Int, Int) = {
@@ -581,8 +590,7 @@ object Html {
     var kept = 0
     var dropped = 0
     blocks.foreach { b =>
-      val keep = !b.inChrome && b.text.length >= minChars &&
-        b.linkChars.toDouble / b.text.length <= maxLinkDensity
+      val keep = keepBlock(b, minChars, maxLinkDensity)
       if (keep) {
         if (kept > 0) sb.append('\n')
         sb.append(b.text)
@@ -845,8 +853,7 @@ object Html {
       while (ip < content.length && content(ip).beforeBlock <= k) {
         place(content(ip)); ip += 1
       }
-      val keep = !b.inChrome && b.text.length >= minChars &&
-        b.linkChars.toDouble / b.text.length <= maxLinkDensity
+      val keep = keepBlock(b, minChars, maxLinkDensity)
       if (keep) {
         if (sb.length > 0) sb.append('\n')
         sb.append(b.text)

@@ -130,8 +130,18 @@ object LangModel {
     * bucket)` with bucket ∈ [0, buckets). */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String, buckets: Int = 3,
-                        k: Double = 1.0): DataFrame = {
-    val scored = perplexityScore(docs, idCol, textCol, k)
+                        k: Double = 1.0): DataFrame =
+    bucketsFromScores(perplexityScore(docs, idCol, textCol, k),
+      docs, idCol, langCol, buckets)
+
+  /** The cut half of [[perplexityBuckets]] applied to ANY
+    * already-scored frame (`(doc_id, n_bigrams, sum_scaled,
+    * avg_logprob)` — one-shot, persisted-table, or streamed-model
+    * scoring all produce it): ONE implementation of the lang join +
+    * histogram cut + column shape, so the q162/q162b serve paths
+    * cannot drift from each other. */
+  def bucketsFromScores(scored: DataFrame, docs: DataFrame, idCol: String,
+                        langCol: String, buckets: Int = 3): DataFrame = {
     val withLang = scored.join(
       docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
       Seq("doc_id"))

@@ -490,18 +490,12 @@ object Sampling {
     * the wrong shard flips `ok` on every affected shard. */
   def verifyShardedExport(spark: SparkSession, path: String,
                           idCol: String): DataFrame = {
-    // read the manifest's part FILES explicitly: handing Spark the
-    // underscore-named dir itself trips DataSource's hidden-path
-    // filter (the "All paths were ignored" WARN — noise that reads
-    // like a fault in every audit log)
-    val mDir = new org.apache.hadoop.fs.Path(s"$path/_graft_export_manifest")
-    val mFs = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mFiles = mFs.listStatus(mDir).toSeq
-      .filter(s => s.isFile && {
-        val n = s.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
-      })
-      .map(_.getPath.toString).sorted
-    require(mFiles.nonEmpty, s"no manifest part files under $mDir")
+    // hidden-named dir: read by explicit visible part files (the
+    // shared [[graft.sources.Warehouse.visibleFiles]] discipline)
+    val mFiles = graft.sources.Warehouse.visibleFiles(spark,
+      s"$path/_graft_export_manifest")
+    require(mFiles.nonEmpty, s"no manifest part files under " +
+      s"$path/_graft_export_manifest")
     val manifest = spark.read.parquet(mFiles: _*)
       .select(col("shard"), col("n_rows").as("__mn"),
         col("id_sum").as("__ms"), col("id_sq_sum").as("__mq"))
@@ -648,13 +642,19 @@ object Sampling {
     * value block straddling a boundary goes wholly to the earlier
     * bucket, so bucket sizes are approximate exactly when ties are;
     * assignment is a pure function of the score distribution,
-    * independent of partitioning, row order, and engine. */
+    * independent of partitioning, row order, and engine. Rows with a
+    * NULL group or score DROP (explicitly, not by join accident) —
+    * the [[temperatureMixture]] NULL-stratum contract; a caller that
+    * must keep unscored rows anti-joins them back under whatever
+    * neutral default its pipeline uses (the [[graft.CorpusDemo]]
+    * gate keeps them). */
   def valueRankBuckets(df: DataFrame, groupCol: String, scoreCol: String,
                        numBuckets: Int,
                        descending: Boolean = true): DataFrame = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     import org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(col(groupCol), col(scoreCol))
+    val in = df.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull)
+    val hist = in.groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).as("__cnt"))
     val ord = if (descending) col(scoreCol).desc else col(scoreCol).asc
     val w = Window.partitionBy(col(groupCol)).orderBy(ord)
@@ -670,6 +670,6 @@ object Sampling {
       .withColumn("bucket",
         expr(s"__lo * ${numBuckets}L div __n").cast("int"))
       .select(col(groupCol), col(scoreCol), col("bucket"))
-    df.join(broadcast(assigned), Seq(groupCol, scoreCol))
+    in.join(broadcast(assigned), Seq(groupCol, scoreCol))
   }
 }

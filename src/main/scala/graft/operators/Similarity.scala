@@ -988,10 +988,14 @@ object Similarity {
         var c = 0
         while (c < cents.length) {
           val cv = cents(c)._2
-          val n = math.min(q.length, cv.length)
+          // a dimension mismatch must FAIL, not silently score the
+          // common prefix — a wrong-dim codebook would otherwise
+          // mis-cluster every vector while looking valid
+          require(cv.length == q.length,
+            s"centroid ${cents(c)._1} has dim ${cv.length}, vector has ${q.length}")
           var d = 0L
           var j = 0
-          while (j < n) { val t = q(j) - cv(j); d += t * t; j += 1 }
+          while (j < q.length) { val t = q(j) - cv(j); d += t * t; j += 1 }
           if (d < bd) { bd = d; bc = cents(c)._1 } // id order ⇒ ties keep first
           c += 1
         }

@@ -215,14 +215,10 @@ object Lake {
         val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         val lineFormat = Set("json", "csv", "text")(format)
         // read by explicit visible FILES: the tmp dir is dot-named
-        // (hidden from lake readers by design), and handing Spark a
-        // hidden path trips DataSource's filter — a noisy "All paths
-        // were ignored" WARN on every compaction verify read
+        // (hidden from lake readers by design) — the shared
+        // [[Warehouse.visibleFiles]] discipline
         def read(p: Path): DataFrame = {
-          val fls = fs.listStatus(p).filter(s => s.isFile && {
-            val n = s.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
-          }).map(_.getPath.toString).sorted
+          val fls = Warehouse.visibleFiles(spark, p.toString)
           require(fls.nonEmpty, s"no data files under $p")
           if (lineFormat) spark.read.text(fls: _*)
           else if (format == "parquet" || format == "orc")

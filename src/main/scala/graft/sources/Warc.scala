@@ -1417,7 +1417,11 @@ object Warc {
     * A 304 with no prior capture is a cache-coherence fault, not a
     * resolvable capture; it surfaces with NULL locator fields (the
     * fetch degrades to a NULL body downstream) rather than silently
-    * vanishing. Output: the locator columns plus
+    * vanishing. The prior side keeps only BODY-BEARING captures
+    * (status ≠ 304) before latest-wins — a prior catalog that itself
+    * spans revalidation crawls must resolve to the newest capture
+    * that actually holds the bytes, never to an earlier crawl's
+    * bodyless 304 row. Output: the locator columns plus
     * `(urlkey, url, observed_date, content_date, source)`. */
   def resolveNotModified(newCdx: DataFrame, priorCdx: DataFrame): DataFrame = {
     val locator = Seq("filename", "offset", "comp_length", "member_index",
@@ -1427,7 +1431,8 @@ object Warc {
         col("warc_date").as("observed_date"),
         col("warc_date").as("content_date"), col("mime"), col("digest")) ++
         locator.map(col) :+ lit("fresh").as("source"): _*)
-    val prior = latestCaptures(priorCdx)
+    val prior = latestCaptures(
+        priorCdx.filter(coalesce(col("status"), lit(0)) =!= 304))
       .select(Seq(col("urlkey"), col("warc_date").as("content_date"),
         col("mime"), col("digest")) ++ locator.map(col): _*)
     val reval = newCdx.filter(col("status") === 304)
@@ -1633,18 +1638,8 @@ object Warc {
     * on safely. */
   private def readHiddenDirParquet(spark: SparkSession,
                                    dirPath: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(dirPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val files = fs.listStatus(p).toSeq
-        .filter(s => s.isFile && {
-          val n = s.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        })
-        .map(_.getPath.toString).sorted
-      if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
-    }
+    val files = Warehouse.visibleFiles(spark, dirPath)
+    if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
   }
 
   def cdxjShardsForPrefix(spark: SparkSession, path: String,

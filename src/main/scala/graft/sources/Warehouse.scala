@@ -11,6 +11,25 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   * an UNREGISTERED table must be cleared before writing. */
 object Warehouse {
 
+  /** The visible (non-underscore, non-dot) part FILES of a directory,
+    * sorted — the shared read path for HIDDEN-NAMED artifact dirs
+    * (`_graft_*_manifest`, compaction tmp dirs): handing Spark the
+    * hidden dir path itself trips DataSource's hidden-path filter (an
+    * "All paths were ignored" WARN that reads like a fault), so every
+    * such reader lists the files and passes them explicitly. Empty
+    * when the directory does not exist. */
+  def visibleFiles(spark: SparkSession, dirPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.toString).sorted
+  }
+
   /** Fail fast on qualified names: a qualified table lives at
     * `<warehouse>/<db>.db/<table>` and would dodge the orphan probe
     * (and backticked DROPs elsewhere would target the wrong table). */

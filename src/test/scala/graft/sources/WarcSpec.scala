@@ -948,10 +948,16 @@ class WarcSpec extends SparkSpec {
     val prior = cdx(Seq(
       ("k1", "https://a.com/1", 200, "2026-02-01T00:00:00Z", "a.warc", 0L),
       ("k1", "https://a.com/1", 200, "2026-01-15T00:00:00Z", "old.warc", 0L),
-      ("k2", "https://a.com/2", 200, "2026-02-01T00:00:00Z", "a.warc", 9L)))
+      ("k2", "https://a.com/2", 200, "2026-02-01T00:00:00Z", "a.warc", 9L),
+      // chained recrawls: the prior catalog itself holds a NEWER
+      // bodyless 304 for k3 — resolution must reach past it to the
+      // latest capture that actually holds bytes
+      ("k3", "https://a.com/3", 200, "2026-02-01T00:00:00Z", "a.warc", 3L),
+      ("k3", "https://a.com/3", 304, "2026-02-02T00:00:00Z", "b0.warc", 0L)))
     val next = cdx(Seq(
       ("k1", "https://a.com/1", 304, "2026-02-02T00:00:00Z", "b.warc", 0L),
       ("k2", "https://a.com/2", 200, "2026-02-02T00:00:00Z", "b.warc", 5L),
+      ("k3", "https://a.com/3", 304, "2026-02-03T00:00:00Z", "c.warc", 0L),
       ("k9", "https://a.com/9", 304, "2026-02-02T00:00:00Z", "b.warc", 7L)))
     val eff = Warc.resolveNotModified(next, prior).collect()
       .map(x => x.getAs[String]("urlkey") -> x).toMap
@@ -966,5 +972,10 @@ class WarcSpec extends SparkSpec {
     assert(eff("k9").getAs[String]("source") == "revalidated" &&
       eff("k9").getAs[String]("filename") == null,
       "an orphan 304 must surface, not vanish: " + eff("k9"))
+    assert(eff("k3").getAs[String]("filename") == "a.warc" &&
+      eff("k3").getAs[String]("content_date") == "2026-02-01T00:00:00Z" &&
+      eff("k3").getAs[String]("observed_date") == "2026-02-03T00:00:00Z",
+      "a chained 304 must resolve past the prior catalog's own 304 " +
+        "to the latest BODY capture: " + eff("k3"))
   }
 }
