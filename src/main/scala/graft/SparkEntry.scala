@@ -36,6 +36,15 @@ object SparkEntry {
     * which a count+max probe alone would serve a stale index for; it
     * is one narrow agg paid once per JVM (bit_xor keeps it overflow-
     * free under ANSI arithmetic). */
+  /** Best-effort recursive delete of a session temp dir (streaming
+    * checkpoints that are one-shot by design). */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+
   private val docsTagCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def docsTag(s: SparkSession, dir: String): String =
     docsTagCache.computeIfAbsent(dir, d => {
@@ -131,21 +140,40 @@ object SparkEntry {
     val tag = docsTag(s, dir)
     val (bigT, tokT) = (s"graft_q163_big_$tag", s"graft_q163_tok_$tag")
     if (!s.catalog.tableExists(bigT) || !s.catalog.tableExists(tokT)) {
+      // Rebuild FROM SCRATCH whenever either table is missing: a crash
+      // between creating bigT and tokT must not replay batches against
+      // a stamped ledger, because the skip's correctness would then
+      // hinge on the fresh collect() reproducing the old run's chunk
+      // boundaries — parquet read order guarantees no such thing, and
+      // a boundary shift silently under/over-counts bigrams. Dropping
+      // the surviving half (plus the staging/ledger state: the ledger
+      // is a table property on bigT, the swap uses a _staging sibling)
+      // makes the rebuild a first-ever run with batch ids aligned to
+      // THIS collect's chunks.
+      Seq(bigT, s"${bigT}_staging", tokT).foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.sources.Warehouse.clearOrphanLocation(s, tbl)
+      }
       val rows = t(s, dir, "documents").select("doc_id", "text")
         .as[(Long, String)].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_q163_ckpt").toString
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft_q163_ckpt")
       val q = graft.streaming.Maintenance.streamingBigramModel(
         mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-        bigT, tokT, ckpt)
+        bigT, tokT, ckptDir.toString)
       try {
         rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
           mem.addData(chunk.toSeq: _*)
           q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // one-shot checkpoint: the stream never restarts from it (a
+        // missing table forces a from-scratch rebuild above), so the
+        // temp dir is pure litter after stop
+        deleteRecursively(ckptDir)
+      }
       s.catalog.refreshTable(bigT)
       s.catalog.refreshTable(tokT)
     }

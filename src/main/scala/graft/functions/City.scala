@@ -219,6 +219,10 @@ object City {
     * args make Spark return NULL on NULL input without calling the UDF,
     * matching the Column forms' null guards. */
   def registerSqlFunctions(spark: SparkSession): Unit = {
+    // register-once per session: re-registration is harmless but each
+    // repeat logs a SimpleFunctionRegistry "replaced a previously
+    // registered function" WARN — four per bench battery entry
+    if (spark.catalog.functionExists("aqi_value")) return
     spark.udf.register("aqi_value", (pm: Double) => aqiValueScalar(pm))
     spark.udf.register("aqi_category", (pm: Double) => aqiCategoryScalar(pm))
     spark.udf.register("aqi_advisory", (pm: Double) => aqiAdvisoryScalar(pm))

@@ -936,7 +936,18 @@ object Similarity {
     * `(cluster, centroid array<long>)`, |groups| rows. */
   def integerCentroids(corpus: DataFrame, vecCol: String, byCol: String,
                        scale: Int = 1000): DataFrame =
-    corpus.select(col(byCol).cast("int").as("cluster"),
+    // byCol must be integral: the seed labels ARE the cluster ids and
+    // the driver-side centroid map reads them as Int. try_cast + an
+    // explicit raise_error (instead of a bare ANSI cast) so a NULL
+    // label fails the same loud way a malformed one does — a silent
+    // NULL cluster would NPE at the driver collect, or quietly merge
+    // every uncastable label into one null centroid group.
+    corpus.select(
+        when(col(byCol).try_cast("int").isNull,
+          raise_error(concat(lit(s"integerCentroids: $byCol label not " +
+            "integral (or NULL): "), coalesce(col(byCol).cast("string"),
+            lit("NULL")))).cast("int"))
+          .otherwise(col(byCol).try_cast("int")).as("cluster"),
         posexplode(gridQuantize(col(vecCol), scale)))
       .groupBy(col("cluster"), col("pos"))
       .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))

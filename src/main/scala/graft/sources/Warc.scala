@@ -1426,7 +1426,14 @@ object Warc {
   def resolveNotModified(newCdx: DataFrame, priorCdx: DataFrame): DataFrame = {
     val locator = Seq("filename", "offset", "comp_length", "member_index",
       "member_record_index")
-    val fresh = newCdx.filter(coalesce(col("status"), lit(0)) =!= 304)
+    // Only RESPONSE records are captures (the latestCaptures
+    // contract): request/metadata/warcinfo CDX rows carry a NULL
+    // status, so without this filter coalesce(status,0)=!=304 would
+    // route every one of them into the fresh leg as an effective
+    // capture with a bogus locator/digest.
+    val newResponses = newCdx.filter(col("warc_type") === "response" &&
+      col("urlkey").isNotNull)
+    val fresh = newResponses.filter(coalesce(col("status"), lit(0)) =!= 304)
       .select(Seq(col("urlkey"), col("url"),
         col("warc_date").as("observed_date"),
         col("warc_date").as("content_date"), col("mime"), col("digest")) ++
@@ -1435,7 +1442,7 @@ object Warc {
         priorCdx.filter(coalesce(col("status"), lit(0)) =!= 304))
       .select(Seq(col("urlkey"), col("warc_date").as("content_date"),
         col("mime"), col("digest")) ++ locator.map(col): _*)
-    val reval = newCdx.filter(col("status") === 304)
+    val reval = newResponses.filter(col("status") === 304)
       .select(col("urlkey"), col("url"),
         col("warc_date").as("observed_date"))
       .join(prior, Seq("urlkey"), "left")

@@ -207,8 +207,17 @@ object Maintenance {
       Warehouse.clearOrphanLocation(spark, tokensTable)
       toks.write.saveAsTable(tokensTable)
     } else {
-      toks.join(spark.table(tokensTable), Seq("t"), "left_anti")
-        .write.mode("append").saveAsTable(tokensTable)
+      // MATERIALIZE the novel-token delta before appending: the plan
+      // anti-joins against the very table it appends to, and while
+      // Spark lists the table's files before the commit in the happy
+      // path, a stage retry AFTER a partial commit could re-list and
+      // observe its own output (re-deriving an empty delta mid-write).
+      // localCheckpoint severs the lineage at a |batch vocab|-bounded
+      // frame, so the append's input is fixed before any file lands.
+      val delta = toks.join(spark.table(tokensTable), Seq("t"), "left_anti")
+        .localCheckpoint(true)
+      try delta.write.mode("append").saveAsTable(tokensTable)
+      finally delta.unpersist()
     }
   }
 

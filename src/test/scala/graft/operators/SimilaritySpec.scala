@@ -735,5 +735,16 @@ class SimilaritySpec extends SparkSpec {
         "embedding", "label", totalTarget = 3L)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(bal == bal2 && bal.size == 3, s"got $bal vs $bal2")
+    // a non-integral label column must FAIL at execution, not silently
+    // cast to NULL clusters (which would NPE the driver centroid map
+    // or quietly merge all uncastable labels into one null group)
+    val badLabels = Seq((0L, v(1.0f, 0.0f), "groupA"))
+      .toDF("vec_id", "embedding", "label")
+    val err = intercept[Exception] {
+      Similarity.integerCentroids(badLabels, "embedding", "label").collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("not integral"),
+      s"expected the fail-fast label error, got: ${err.getMessage}")
   }
 }

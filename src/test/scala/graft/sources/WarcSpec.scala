@@ -977,5 +977,28 @@ class WarcSpec extends SparkSpec {
       eff("k3").getAs[String]("observed_date") == "2026-02-03T00:00:00Z",
       "a chained 304 must resolve past the prior catalog's own 304 " +
         "to the latest BODY capture: " + eff("k3"))
+    // a real crawl's CDX also carries request/metadata/warcinfo rows
+    // (NULL status, NULL urlkey on warcinfo) — none of them are
+    // captures, and none may leak into either leg as "fresh" rows
+    // with bogus locators
+    val noisy = next.unionByName(
+      Seq(("k1", "https://a.com/1", "request", "2026-02-02T00:00:00Z",
+            "b.warc", 1L),
+          ("k2", "https://a.com/2", "metadata", "2026-02-02T00:00:00Z",
+            "b.warc", 6L),
+          (null: String, null: String, "warcinfo",
+            "2026-02-02T00:00:00Z", "b.warc", 0L))
+        .toDF("urlkey", "url", "warc_type", "warc_date", "filename",
+          "offset")
+        .withColumn("status", lit(null: Integer))
+        .withColumn("comp_length", lit(10L))
+        .withColumn("member_index", lit(0))
+        .withColumn("member_record_index", lit(0))
+        .withColumn("mime", lit(null: String))
+        .withColumn("digest", lit(null: String)))
+    val effNoisy = Warc.resolveNotModified(noisy, prior).collect()
+    assert(effNoisy.length == eff.size,
+      "non-response CDX rows must not become effective captures: " +
+        effNoisy.mkString(","))
   }
 }
