@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Derive bench_tolerances.json from the recorded bench_full*.json runs.
+
+Policy (round 15 — the drift-robust gate):
+
+  ceiling(q) = max(FLOOR, median_over_runs(normalized(q)) * MULT(q))
+
+where, per run, normalized(q) = min(in-battery time, isolated time if
+measured) * that run's canary_scale — exactly the figure Bench.scala
+gates on.  The MEDIAN replaces the round-14 best-ever-recorded basis:
+deriving from the minimum let one unusually fast run permanently arm a
+hair-trigger ceiling, which false-breached q95b_pagerank_serve on the
+round-14 driver run (4.32 > 3.97 with the plan untouched and
+round-over-round improving).  The median is robust to both lucky and
+unlucky outlier runs, so a real plan regression (which shifts EVERY
+future run) still lands far above it while one fast machine cannot
+arm the gate.
+
+  MULT = 1.8 for ordinary plans (sub-2s entries move up to ~2.4 s with
+         battery position and fixture/cache state alone; a real plan
+         regression lands far above 1.8x the median);
+       = 2.2 for the ITERATIVE family (q95*, q114 — multi-round joins
+         whose post-warmup JVM spread is documented at 1.3-1.7x across
+         machine classes; 1.8x the median leaves those plans only ~7%
+         headroom over the worst honest recorded run).
+  FLOOR = 2.5 s (unchanged from round 14).
+
+Only runs carrying canary_scale participate (r14+; older records
+predate normalization).  Queries present in some runs only (added
+mid-round) use the median of the runs that measured them; a query with
+no recorded run gets no ceiling (Bench.scala leaves it ungated until
+its first recorded run).
+
+Usage: python3 tools/derive_tolerances.py [--write]
+  default prints the derived table + a diff vs the committed file;
+  --write rewrites bench_tolerances.json.
+"""
+import collections
+import glob
+import json
+import statistics
+import sys
+
+FLOOR = 2.5
+BASE_MULT = 1.8
+ITER_MULT = 2.2
+ITERATIVE = {"q95_pagerank", "q95b_pagerank_serve", "q95c_pagerank_stream",
+             "q114_host_pagerank"}
+
+
+def derive(run_files):
+    samples = collections.defaultdict(list)
+    used = []
+    for f in sorted(run_files):
+        d = json.load(open(f))
+        if "canary_scale" not in d:
+            continue  # pre-normalization record; not comparable
+        if d.get("tainted"):
+            continue  # external load; not a code signal
+        used.append(f)
+        cs = d["canary_scale"]
+        iso = d.get("isolated", {})
+        for q, t in d["queries"].items():
+            cands = [x for x in (t, iso.get(q)) if x is not None and x >= 0]
+            if cands:
+                samples[q].append(min(cands) * cs)
+    ceilings = {}
+    for q, ss in samples.items():
+        mult = ITER_MULT if q in ITERATIVE else BASE_MULT
+        ceilings[q] = round(max(FLOOR, statistics.median(ss) * mult), 2)
+    return ceilings, samples, used
+
+
+def main():
+    ceilings, samples, used = derive(glob.glob("bench_full*.json"))
+    print(f"derived from {len(used)} runs: {used}", file=sys.stderr)
+    try:
+        old = json.load(open("bench_tolerances.json"))
+    except Exception:
+        old = {}
+    changed = {q: (old.get(q), c) for q, c in ceilings.items()
+               if old.get(q) != c}
+    for q in sorted(changed):
+        o, n = changed[q]
+        worst = max(samples[q])
+        print(f"  {q}: {o} -> {n}  (median "
+              f"{statistics.median(samples[q]):.2f}, worst recorded "
+              f"{worst:.2f}{' BREACHES NEW CEILING' if worst > n else ''})",
+              file=sys.stderr)
+    print(f"{len(changed)} of {len(ceilings)} ceilings changed",
+          file=sys.stderr)
+    if "--write" in sys.argv:
+        body = ",\n".join(f'"{q}":{c}' for q, c in sorted(ceilings.items()))
+        with open("bench_tolerances.json", "w") as f:
+            f.write("{\n" + body + "\n}\n")
+        print("wrote bench_tolerances.json", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
