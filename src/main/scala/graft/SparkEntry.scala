@@ -832,6 +832,82 @@ object SparkEntry {
   private[graft] val CommittedBpeMerges: Seq[(String, String)] =
     Seq(("t", "h"), ("i", "n"), ("e", "</w>"))
 
+  /** q171's 26 planted repetition fixtures — classes 2r (FIRE rule r)
+    * and 2r+1 (NEAR-MISS pass) for each of the 13 Gopher rules in
+    * [[graft.functions.Text.GopherRepetitionRules]] order. Every
+    * filler word is unique within its document (4-char `uNNN`), so a
+    * fixture carries EXACTLY its engineered repetition signal: the
+    * fire class trips its own rule first in ladder order, the pass
+    * class sits within a few permille UNDER every ceiling (e.g. the
+    * dup_10gram pass is a repeated 10-gram in a 200-word doc — 100
+    * permille, one word short of firing). Single-word repeated lines
+    * avoid accidental repeated word n-grams; long single WORDS (not
+    * word runs) push char fractions without touching gram stats. */
+  private[graft] lazy val GopherFixtures: Seq[String] = {
+    def u(i: Int) = f"u$i%03d"
+    // k occurrences of `gram` each followed by floor((n-k*|g|)/k)
+    // unique fillers, padded with fillers to exactly n words
+    def gramDocK(gram: Seq[String], k: Int, nTotal: Int): String = {
+      val ws = scala.collection.mutable.ArrayBuffer[String]()
+      var fi = 0
+      val gap = (nTotal - k * gram.size) / k
+      for (_ <- 0 until k) {
+        ws ++= gram
+        for (_ <- 0 until gap) { ws += u(fi); fi += 1 }
+      }
+      while (ws.size < nTotal) { ws += u(fi); fi += 1 }
+      ws.take(nTotal).mkString(" ")
+    }
+    val p = "p001"; val x = "x001"
+    val l20 = (0 until 20).map(i => f"l$i%03d").mkString(" ")
+    val w30 = "w" * 30
+    val y50 = "y" * 50
+    val g = Seq("a001", "b001", "c001", "d001", "e001", "f001", "g001",
+      "h001", "i001", "j001")
+    val top2Fire = {
+      val ws = scala.collection.mutable.ArrayBuffer[String]()
+      var fi = 0
+      for (_ <- 0 until 5) {
+        ws += g(0); ws += g(1)
+        for (_ <- 0 until 3) { ws += u(fi); fi += 1 }
+      }
+      ws.mkString(" ")
+    }
+    Seq(
+      Seq(p, u(1), p, u(2), p, u(3), p, u(4), u(5)).mkString("\n\n"),
+      Seq(p, u(1), p, u(2), p, u(3), u(4), u(5), u(6), u(7))
+        .mkString("\n\n"),
+      (1 to 4).map(i => x + "\n" + u(i)).mkString("\n\n"),
+      (Seq(x + "\n" + u(1), x + "\n" + u(2), x + "\n" + u(3),
+        u(4) + "\n" + u(5), u(6) + "\n" + u(7))).mkString("\n\n"),
+      Seq(l20, u(1), u(2), u(3), u(4), l20, u(5), u(6), u(7), u(8))
+        .mkString("\n\n"),
+      ((w30 +: (1 to 12).map(u)) ++ (w30 +: (13 to 24).map(u)))
+        .mkString("\n\n"),
+      (Seq(y50 + "\n" + u(1), y50 + "\n" + u(2)) ++ (3 to 8).map(u))
+        .mkString("\n\n"),
+      (Seq(w30 + "\n" + u(1), w30 + "\n" + u(2)) ++ (3 to 23).map(u))
+        .mkString("\n\n"),
+      top2Fire,
+      gramDocK(g.take(2), 2, 22),
+      gramDocK(g.take(3), 3, 33),
+      gramDocK(g.take(3), 2, 34),
+      gramDocK(g.take(4), 3, 60),
+      gramDocK(g.take(4), 2, 52),
+      gramDocK(g.take(5), 2, 55),
+      gramDocK(g.take(5), 2, 67),
+      gramDocK(g.take(6), 2, 82),
+      gramDocK(g.take(6), 2, 86),
+      gramDocK(g.take(7), 2, 103),
+      gramDocK(g.take(7), 2, 108),
+      gramDocK(g.take(8), 2, 128),
+      gramDocK(g.take(8), 2, 134),
+      gramDocK(g.take(9), 2, 156),
+      gramDocK(g.take(9), 2, 164),
+      gramDocK(g.take(10), 2, 190),
+      gramDocK(g.take(10), 2, 200))
+  }
+
   /** q82c's committed CHAINED merge list: rank 1 consumes rank 0's
     * output (`th`+`e`), so the greedy argmax apply loop's stage
     * structure is LIVE — the one interior q82's non-chaining list
@@ -2520,6 +2596,60 @@ object SparkEntry {
           col("source"), col("observed_date"), col("content_date"),
           col("body_text"), col("ledger_etag"))
         .orderBy("doc_id")
+    }),
+
+    // Gopher repetition-rule battery (Rae et al. 2021 Table A1 — the
+    // public repetition-filter recipe): 26 planted fixture classes,
+    // one FIRE and one NEAR-MISS PASS per rule, each engineered so
+    // exactly its own rule is the first to exceed its ceiling (fire)
+    // or so every stat sits within a few permille UNDER every ceiling
+    // (pass) — both directions of all 13 rules are live. Stats are
+    // exact integer permilles from one JVM kernel pass
+    // (Sketches.repetitionStats), so the oracle states every number
+    // as a closed-form constant per class; the fired rule is the
+    // shared Column ladder gateAttribution's named mode uses.
+    "q171_gopher_repetition" -> ((s, dir) => {
+      val fixtures = array(GopherFixtures.map(lit): _*)
+      val cls = pmod(col("doc_id"), lit(26)).cast("int")
+      t(s, dir, "documents")
+        .select(col("doc_id"), cls.as("cls"),
+          element_at(fixtures, cls + 1).as("text"))
+        .withColumn("st", graft.functions.Text.repetitionStats(col("text")))
+        .select(col("doc_id"), col("cls"),
+          coalesce(graft.functions.Text.gopherRepetitionRule(col("st")),
+            lit("none")).as("verdict"),
+          col("st.dup_para_pm"), col("st.dup_line_pm"),
+          col("st.dup_para_char_pm"), col("st.dup_line_char_pm"),
+          col("st.top2_pm"), col("st.top3_pm"), col("st.top4_pm"),
+          col("st.dup5_pm"), col("st.dup6_pm"), col("st.dup7_pm"),
+          col("st.dup8_pm"), col("st.dup9_pm"), col("st.dup10_pm"))
+        .groupBy("cls", "verdict", "dup_para_pm", "dup_line_pm",
+          "dup_para_char_pm", "dup_line_char_pm", "top2_pm", "top3_pm",
+          "top4_pm", "dup5_pm", "dup6_pm", "dup7_pm", "dup8_pm",
+          "dup9_pm", "dup10_pm")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("cls")
+    }),
+
+    // The same fixtures through the FULL curation funnel with named
+    // repetition rules (gateAttribution namedRepetition=true): fire
+    // classes land on `repetition:<rule>`, pass classes flow through
+    // to the exact-dedup stage (every doc of a class shares one text,
+    // so each pass class keeps its min-id doc and marks the rest
+    // duplicates). langs=und / minQuality=0 open the upstream gates —
+    // the fixture words are gibberish by design and this battery
+    // charges the repetition stage, not langId.
+    "q171b_gopher_gate" -> ((s, dir) => {
+      val fixtures = array(GopherFixtures.map(lit): _*)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(fixtures, pmod(col("doc_id"), lit(26)).cast("int") + 1)
+            .as("text"))
+      graft.operators.Corpus.gateAttribution(docs, "doc_id", "text",
+          langs = Set("und"), minQuality = 0.0, namedRepetition = true)
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("verdict")
     }),
 
     // Shard attribution ledger (the data-governance page: how many
@@ -6423,6 +6553,92 @@ object SparkEntry {
                      ELSE '"et2-' || CAST(doc_id AS VARCHAR) || '"'
                 END AS ledger_etag
          FROM documents ORDER BY doc_id""",
+
+    // q171: every fixture class's 13 repetition permilles and fired
+    // rule stated as CLOSED-FORM constants (hand-derived from the
+    // planted word geometry — e.g. class 0 is a one-word paragraph
+    // appearing 4x among 9: 3 dup occurrences of 9 = 333 permille on
+    // all four line/para stats); the corpus only contributes
+    // membership counts and id sums per class.
+    "q171_gopher_repetition" ->
+      """WITH fx(cls, verdict, dup_para_pm, dup_line_pm, dup_para_char_pm,
+                 dup_line_char_pm, top2_pm, top3_pm, top4_pm, dup5_pm,
+                 dup6_pm, dup7_pm, dup8_pm, dup9_pm, dup10_pm) AS (VALUES
+             (0,'dup_para',333,333,333,333,0,0,0,0,0,0,0,0,0),
+             (1,'none',200,200,200,200,0,0,0,0,0,0,0,0,0),
+             (2,'dup_line',0,375,0,375,0,0,0,0,0,0,0,0,0),
+             (3,'none',0,200,0,200,0,0,0,0,0,0,0,0,0),
+             (4,'dup_para_char',100,100,430,430,83,125,166,833,833,833,833,833,833),
+             (5,'none',38,38,192,192,0,0,0,0,0,0,0,0,0),
+             (6,'dup_line_char',0,100,0,378,0,0,0,0,0,0,0,0,0),
+             (7,'none',0,40,0,197,0,0,0,0,0,0,0,0,0),
+             (8,'top_2gram',0,0,0,0,400,0,0,0,0,0,0,0,0),
+             (9,'none',0,0,0,0,181,0,0,0,0,0,0,0,0),
+             (10,'top_3gram',0,0,0,0,181,272,0,0,0,0,0,0,0),
+             (11,'none',0,0,0,0,117,176,0,0,0,0,0,0,0),
+             (12,'top_4gram',0,0,0,0,100,150,200,0,0,0,0,0,0),
+             (13,'none',0,0,0,0,76,115,153,0,0,0,0,0,0),
+             (14,'dup_5gram',0,0,0,0,72,109,145,181,0,0,0,0,0),
+             (15,'none',0,0,0,0,59,89,119,149,0,0,0,0,0),
+             (16,'dup_6gram',0,0,0,0,48,73,97,146,146,0,0,0,0),
+             (17,'none',0,0,0,0,46,69,93,139,139,0,0,0,0),
+             (18,'dup_7gram',0,0,0,0,38,58,77,135,135,135,0,0,0),
+             (19,'none',0,0,0,0,37,55,74,129,129,129,0,0,0),
+             (20,'dup_8gram',0,0,0,0,31,46,62,125,125,125,125,0,0),
+             (21,'none',0,0,0,0,29,44,59,119,119,119,119,0,0),
+             (22,'dup_9gram',0,0,0,0,25,38,51,115,115,115,115,115,0),
+             (23,'none',0,0,0,0,24,36,48,109,109,109,109,109,0),
+             (24,'dup_10gram',0,0,0,0,21,31,42,105,105,105,105,105,105),
+             (25,'none',0,0,0,0,20,30,40,100,100,100,100,100,100)),
+         d AS (SELECT doc_id, CAST(doc_id % 26 AS INT) AS cls
+               FROM documents)
+         SELECT f.cls, f.verdict,
+                CAST(f.dup_para_pm AS BIGINT) AS dup_para_pm,
+                CAST(f.dup_line_pm AS BIGINT) AS dup_line_pm,
+                CAST(f.dup_para_char_pm AS BIGINT) AS dup_para_char_pm,
+                CAST(f.dup_line_char_pm AS BIGINT) AS dup_line_char_pm,
+                CAST(f.top2_pm AS BIGINT) AS top2_pm,
+                CAST(f.top3_pm AS BIGINT) AS top3_pm,
+                CAST(f.top4_pm AS BIGINT) AS top4_pm,
+                CAST(f.dup5_pm AS BIGINT) AS dup5_pm,
+                CAST(f.dup6_pm AS BIGINT) AS dup6_pm,
+                CAST(f.dup7_pm AS BIGINT) AS dup7_pm,
+                CAST(f.dup8_pm AS BIGINT) AS dup8_pm,
+                CAST(f.dup9_pm AS BIGINT) AS dup9_pm,
+                CAST(f.dup10_pm AS BIGINT) AS dup10_pm,
+                count(1) AS n_docs, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+         FROM d JOIN fx f USING (cls)
+         GROUP BY ALL ORDER BY f.cls""",
+
+    // q171b: the funnel — fire classes charge their named rule, pass
+    // classes flow to exact dedup where the class's min doc_id is the
+    // keeper (all docs of a class share one fixture text).
+    "q171b_gopher_gate" ->
+      """WITH fx(cls, fail) AS (VALUES
+             (0,'repetition:dup_para'), (1,NULL),
+             (2,'repetition:dup_line'), (3,NULL),
+             (4,'repetition:dup_para_char'), (5,NULL),
+             (6,'repetition:dup_line_char'), (7,NULL),
+             (8,'repetition:top_2gram'), (9,NULL),
+             (10,'repetition:top_3gram'), (11,NULL),
+             (12,'repetition:top_4gram'), (13,NULL),
+             (14,'repetition:dup_5gram'), (15,NULL),
+             (16,'repetition:dup_6gram'), (17,NULL),
+             (18,'repetition:dup_7gram'), (19,NULL),
+             (20,'repetition:dup_8gram'), (21,NULL),
+             (22,'repetition:dup_9gram'), (23,NULL),
+             (24,'repetition:dup_10gram'), (25,NULL)),
+         d AS (SELECT doc_id, CAST(doc_id % 26 AS INT) AS cls
+               FROM documents),
+         k AS (SELECT cls, min(doc_id) AS keeper FROM d GROUP BY 1),
+         v AS (SELECT d.doc_id,
+                      coalesce(f.fail,
+                        CASE WHEN d.doc_id = k.keeper THEN 'kept'
+                             ELSE 'duplicate' END) AS verdict
+               FROM d JOIN fx f USING (cls) JOIN k USING (cls))
+         SELECT verdict, count(1) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM v GROUP BY 1 ORDER BY 1""",
 
     // q169: per-doc token counts via the q145 closed-form scan, +1
     // separator each, grouped by source — the geometry-derived

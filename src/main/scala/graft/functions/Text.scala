@@ -324,6 +324,58 @@ object Text {
       lit(1.0d) - size(array_distinct(ts)).cast("double") / size(ts))
   }
 
+  /** The 13 Gopher repetition statistics of
+    * [[graft.operators.Sketches.repetitionStats]] as a named struct
+    * column — exact integer permille values, NULL for NULL text. */
+  case class RepStats(dup_para_pm: Long, dup_line_pm: Long,
+                      dup_para_char_pm: Long, dup_line_char_pm: Long,
+                      top2_pm: Long, top3_pm: Long, top4_pm: Long,
+                      dup5_pm: Long, dup6_pm: Long, dup7_pm: Long,
+                      dup8_pm: Long, dup9_pm: Long, dup10_pm: Long)
+
+  def repetitionStats(text: Column): Column =
+    udf { (s: String) =>
+      val a = graft.operators.Sketches.repetitionStats(s)
+      if (a == null) null
+      else RepStats(a(0), a(1), a(2), a(3), a(4), a(5), a(6), a(7), a(8),
+        a(9), a(10), a(11), a(12))
+    }.apply(text)
+
+  /** The Gopher repetition-rule ladder (Rae et al. 2021 Table A1 —
+    * public thresholds), in the paper's order: each entry is
+    * `(rule name, [[RepStats]] field, permille ceiling)`; a document
+    * is repetition-flagged when the stat EXCEEDS the ceiling. Order
+    * matters for first-fail attribution — paragraphs before lines
+    * (duplicate paragraphs duplicate their lines too, so the
+    * paragraph rule must get first claim), fractions before char
+    * fractions, top-grams before dup-grams. */
+  val GopherRepetitionRules: Seq[(String, String, Int)] = Seq(
+    ("dup_para", "dup_para_pm", 300),
+    ("dup_line", "dup_line_pm", 300),
+    ("dup_para_char", "dup_para_char_pm", 200),
+    ("dup_line_char", "dup_line_char_pm", 200),
+    ("top_2gram", "top2_pm", 200),
+    ("top_3gram", "top3_pm", 180),
+    ("top_4gram", "top4_pm", 160),
+    ("dup_5gram", "dup5_pm", 150),
+    ("dup_6gram", "dup6_pm", 140),
+    ("dup_7gram", "dup7_pm", 130),
+    ("dup_8gram", "dup8_pm", 120),
+    ("dup_9gram", "dup9_pm", 110),
+    ("dup_10gram", "dup10_pm", 100))
+
+  /** First fired Gopher repetition rule of a [[repetitionStats]]
+    * struct (NULL when none fires) — the "WHICH rule dropped this
+    * doc" column a curation funnel reports. Pure Column ladder over
+    * the struct's integer fields; shared by the q171 battery and
+    * [[graft.operators.Corpus.gateAttribution]]'s named-repetition
+    * mode so the two can never disagree on a threshold. */
+  def gopherRepetitionRule(stats: Column): Column =
+    GopherRepetitionRules.foldRight(lit(null).cast("string")) {
+      case ((name, field, thr), rest) =>
+        when(stats.getField(field) > thr, lit(name)).otherwise(rest)
+    }
+
   // --------------------------------------------------- PII scrubbing
 
   /** RE2-compatible PII patterns (no lookaround, no backreferences) so

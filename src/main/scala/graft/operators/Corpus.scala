@@ -77,17 +77,39 @@ object Corpus {
     * keeper-per-digest map, which is the q19 digest hash-agg
     * restricted to gate-passing docs (identical semantics to
     * [[refine]]'s dedup stage) joined back on the digest. Output is
-    * per-doc `(doc_id, verdict)`; aggregate downstream as needed. */
+    * per-doc `(doc_id, verdict)`; aggregate downstream as needed.
+    *
+    * With `namedRepetition` the single dup-token ceiling becomes the
+    * full Gopher rule ladder ([[Text.GopherRepetitionRules]] — the
+    * Rae et al. 2021 Table A1 set) followed by the dup-token ceiling
+    * as a final `dup_token` rule, and the repetition verdict names
+    * WHICH rule fired (`repetition:dup_para`, `repetition:top_2gram`,
+    * …) — the funnel detail a mixture-design dashboard needs. The
+    * stats ride the same scan-side projection (one JVM kernel pass;
+    * the 13 threshold consumers share the one struct through
+    * codegen's subexpression elimination). Default off: the verdict
+    * VOCABULARY changes under this flag, so existing funnels keep
+    * their plain `repetition` label unless they opt in. */
   def gateAttribution(df: DataFrame, idCol: String, textCol: String,
                       langs: Set[String] = Set("en"),
                       minQuality: Double = 0.3,
-                      maxDupTokenFraction: Double = 0.5): DataFrame = {
+                      maxDupTokenFraction: Double = 0.5,
+                      namedRepetition: Boolean = false): DataFrame = {
+    val firedRule =
+      if (namedRepetition)
+        coalesce(
+          Text.gopherRepetitionRule(Text.repetitionStats(col(textCol))),
+          when(Text.dupTokenFraction(col(textCol)) > maxDupTokenFraction,
+            lit("dup_token")))
+      else
+        when(Text.dupTokenFraction(col(textCol)) > maxDupTokenFraction,
+          lit("repetition"))
     val flagged = df.select(col(idCol), col(textCol),
       col(textCol).isNotNull.as("__nn"),
       Text.langId(col(textCol)).isin(langs.toSeq: _*).as("__lang"),
       (Text.qualityScore(col(textCol)) >= minQuality).as("__q"),
-      (Text.dupTokenFraction(col(textCol)) <= maxDupTokenFraction)
-        .as("__rep"))
+      firedRule.as("__rule"),
+      firedRule.isNull.as("__rep"))
     val passing = flagged
       .filter(col("__nn") && col("__lang") && col("__q") && col("__rep"))
       .select(col(idCol), md5(col(textCol)).as("__d"))
@@ -95,12 +117,15 @@ object Corpus {
       .agg(min(col(idCol)).as("__keeper"))
     val dupStatus = passing.join(keepers, "__d")
       .select(col(idCol), (col(idCol) === col("__keeper")).as("__isKeeper"))
+    val repVerdict =
+      if (namedRepetition) concat(lit("repetition:"), col("__rule"))
+      else col("__rule")
     flagged.join(dupStatus, Seq(idCol), "left")
       .select(col(idCol),
         when(!col("__nn"), lit("null_text"))
           .when(!col("__lang"), lit("lang"))
           .when(!col("__q"), lit("quality"))
-          .when(!col("__rep"), lit("repetition"))
+          .when(!col("__rep"), repVerdict)
           .when(!col("__isKeeper"), lit("duplicate"))
           .otherwise(lit("kept")).as("verdict"))
   }

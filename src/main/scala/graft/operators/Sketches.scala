@@ -367,6 +367,125 @@ object Sketches {
     max.toDouble / total
   }
 
+  /** Integer permille (`(1000*num) div den`, 0 when `den`=0) — the
+    * cross-engine-exact form every repetition fraction ships in. */
+  @inline private def pmill(num: Long, den: Long): Long =
+    if (den == 0L) 0L else 1000L * num / den
+
+  /** Gopher repetition statistics (Rae et al. 2021 Table A1, the
+    * public Gopher/Dolma repetition-rule recipe) for one document, as
+    * 13 exact integer PERMILLE values — fractions of integer counts
+    * emitted as `(1000*num) div den`, so the numbers are identical on
+    * any engine and never ride a float ulp:
+    *
+    *   [0] dup_para_pm       duplicate paragraph occurrences (beyond
+    *                         first, exact trimmed string) / paragraphs
+    *   [1] dup_line_pm       same over lines
+    *   [2] dup_para_char_pm  chars of those duplicate occurrences /
+    *                         total paragraph chars
+    *   [3] dup_line_char_pm  same over lines
+    *   [4..6] top2/3/4_pm    chars covered by occurrences of the MOST
+    *                         FREQUENT word n-gram (n=2,3,4; count ≥ 2,
+    *                         ties to the lexicographically smallest
+    *                         gram; overlapping occurrences count each
+    *                         position once) / total word chars
+    *   [7..12] dup5..10_pm   chars covered by ALL word n-grams that
+    *                         occur ≥ 2 times (n=5..10; positions
+    *                         counted once — the paper's "taking care
+    *                         not to count characters that occur in
+    *                         overlapping n-grams more than once") /
+    *                         total word chars
+    *
+    * Paragraphs split on `\n\n`, lines on `\n`, both trimmed with
+    * blanks dropped; words are the [[normalize]] tokens (lowercase,
+    * punctuation stripped), so n-grams cross line boundaries the way
+    * the paper's word-sequence statistics do. Word chars exclude the
+    * separating spaces. One JVM pass per n — the doc-local maps are
+    * bounded by the doc's own gram count; nothing leaves the row. */
+  def repetitionStats(text: String): Array[Long] = {
+    if (text == null) return null
+    def dupHalf(elems: Array[String]): (Long, Long) = {
+      val seen = new java.util.HashSet[String]()
+      var d = 0L; var dc = 0L; var tc = 0L
+      var i = 0
+      while (i < elems.length) {
+        val e = elems(i)
+        tc += e.length
+        if (!seen.add(e)) { d += 1; dc += e.length }
+        i += 1
+      }
+      (pmill(d, elems.length), pmill(dc, tc))
+    }
+    val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+    val paras = text.split("\n\n", -1).map(_.trim).filter(_.nonEmpty)
+    val (dlPm, dlcPm) = dupHalf(lines)
+    val (dpPm, dpcPm) = dupHalf(paras)
+    val norm = normalize(text)
+    val ws: Array[String] = if (norm.isEmpty) Array.empty else norm.split(" ")
+    var wchars = 0L
+    locally { var i = 0; while (i < ws.length) { wchars += ws(i).length; i += 1 } }
+    val out = new Array[Long](13)
+    out(0) = dpPm; out(1) = dlPm; out(2) = dpcPm; out(3) = dlcPm
+    val cover = new Array[Boolean](ws.length)
+    val sb = new java.lang.StringBuilder
+    def gramAt(i: Int, n: Int): String = {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      sb.toString
+    }
+    def coveredChars(): Long = {
+      var s = 0L; var i = 0
+      while (i < ws.length) { if (cover(i)) s += ws(i).length; i += 1 }
+      s
+    }
+    var n = 2
+    while (n <= 10) {
+      val total = ws.length - n + 1
+      val slot = n + 2 // top2->4, top3->5, top4->6, dup5->7 .. dup10->12
+      if (total >= 2) {
+        val counts = new java.util.HashMap[String, Int](total * 2)
+        var i = 0
+        while (i < total) { counts.merge(gramAt(i, n), 1, (a, b) => a + b); i += 1 }
+        java.util.Arrays.fill(cover, false)
+        if (n <= 4) {
+          // most frequent gram (count ≥ 2), lexicographically smallest on ties
+          var best: String = null; var bc = 1
+          val it = counts.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue > bc || (e.getValue == bc && best != null &&
+                e.getKey.compareTo(best) < 0)) { bc = e.getValue; best = e.getKey }
+          }
+          if (best != null) {
+            var i2 = 0
+            while (i2 < total) {
+              if (gramAt(i2, n) == best) {
+                var j = 0; while (j < n) { cover(i2 + j) = true; j += 1 }
+              }
+              i2 += 1
+            }
+          }
+        } else {
+          var i2 = 0
+          while (i2 < total) {
+            if (counts.get(gramAt(i2, n)) >= 2) {
+              var j = 0; while (j < n) { cover(i2 + j) = true; j += 1 }
+            }
+            i2 += 1
+          }
+        }
+        out(slot) = pmill(coveredChars(), wchars)
+      }
+      n += 1
+    }
+    out
+  }
+
   /** True for exactly the Java-regex `\s` set — the tokenizer split of
     * [[graft.functions.Text.tokens]] (NOT `Character.isWhitespace`,
     * which also matches U+2028/U+1680 etc. and would diverge). */

@@ -247,6 +247,22 @@ class PlanSpec extends SparkSpec {
       !p159.contains("CartesianProduct"), p159.take(800))
   }
 
+  test("q171: repetition stats are one scan-side kernel pass — no window, one agg shuffle plus the presentation sort") {
+    // the 13 permilles and the fired rule all derive from ONE struct
+    // column computed in the scan projection; the only exchanges are
+    // the funnel's hash aggregation and the presentation orderBy. A
+    // Window or a third exchange would mean the per-document kernel
+    // leaked into a corpus-wide operation.
+    val p = plan("q171_gopher_repetition")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(800))
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "repetition stats must stay row-local below the funnel agg:\n" +
+        p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "funnel aggregation lost its map-side combine:\n" + p.take(1200))
+  }
+
   test("q162/q164: the CCNet cut windows the HISTOGRAM, not the corpus; the license gate is one narrow pass") {
     // q162: exactly ONE Window — over the bounded (lang, score)
     // histogram (its input is a HashAggregate, never the raw docs) —

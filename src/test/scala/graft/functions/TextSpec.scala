@@ -541,4 +541,52 @@ class TextSpec extends SparkSpec {
     // and one just inside it does
     assert(lic("   Permission is hereby granted, free of charge" + ("x" * 2000)) == ("mit", true))
   }
+
+  test("repetitionStats: hand-derived permilles, overlap-once coverage, lexicographic ties, ladder order") {
+    def st(t: String): Seq[Long] = {
+      val r = Seq(Tuple1(t)).toDF("text")
+        .select(Text.repetitionStats($"text").as("st")).select("st.*").head()
+      (0 until 13).map(r.getLong)
+    }
+    def rule(t: String): String =
+      Seq(Tuple1(t)).toDF("text")
+        .select(Text.gopherRepetitionRule(Text.repetitionStats($"text")))
+        .head().getString(0)
+    // lines "aa bb","aa bb","cc dd": 1 dup of 3 = 333; dup chars 5 of
+    // 15 = 333; one paragraph (single \n only) so para stats 0; words
+    // aa bb aa bb cc dd: top 2-gram "aa bb" covers positions
+    // {0,1,2,3} = 8 chars of 12 = 666
+    assert(st("aa bb\naa bb\ncc dd") ==
+      Seq(0L, 333L, 0L, 333L, 666L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // ladder: dup_line (333 > 300) outranks top_2gram (666 > 200)
+    assert(rule("aa bb\naa bb\ncc dd") == "dup_line")
+    // overlapping occurrences cover each position ONCE: "a b a b a b"
+    // has "a b" at 0,2,4 covering all six words = 1000, and
+    // "a b a" at 0,2 covering five of six = 833
+    assert(st("a b a b a b").slice(4, 7) == Seq(1000L, 833L, 1000L))
+    // count tie ("a a" and "bb cc" both occur twice) resolves to the
+    // lexicographically SMALLEST gram: "a a" covers 3 chars of 11 =
+    // 272, not "bb cc"'s 8 of 11 = 727
+    assert(st("a a a bb cc bb cc")(4) == 272L)
+    // paragraphs split on \n\n: "one","two","one" = 333 everywhere
+    assert(st("one\n\ntwo\n\none").take(4) ==
+      Seq(333L, 333L, 333L, 333L))
+    assert(rule("one\n\ntwo\n\none") == "dup_para")
+    // words are NORMALIZED (case folded, punctuation stripped):
+    // "Stop! stop, STOP." is stop stop stop -> top 2-gram 1000
+    assert(st("Stop! stop, STOP.")(4) == 1000L)
+    // empty text: all zeros, no rule; NULL text: NULL struct
+    assert(st("") == Seq.fill(13)(0L))
+    assert(rule("") == null)
+    assert(Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(Text.repetitionStats($"text")).head().isNullAt(0))
+    // the q171 fixture battery end-to-end: every class's fired rule
+    // is exactly the engineered one (fire classes) or none (passes)
+    val expect = Text.GopherRepetitionRules.map(_._1)
+      .flatMap(n => Seq(n, null))
+    SparkEntry.GopherFixtures.zip(expect).zipWithIndex.foreach {
+      case ((fx, want), cls) =>
+        assert(rule(fx) == want, s"fixture class $cls")
+    }
+  }
 }

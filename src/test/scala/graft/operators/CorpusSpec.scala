@@ -286,4 +286,34 @@ class CorpusSpec extends SparkSpec {
       .head().getString(1)
     assert(und == "lang", s"all-punct must charge lang, got $und")
   }
+
+  test("gateAttribution namedRepetition: Gopher rules report by name, dup_token closes the ladder, default mode unchanged") {
+    // gibberish words keep langId at 'und'; langs=Set("und") +
+    // minQuality=0 open the upstream gates so the repetition stage
+    // gets the charge
+    val docs = Seq(
+      (1L, "qq1\n\nzz2\n\nqq1\n\nzz3\n\nqq1\n\nzz4\n\nqq1"), // dup_para 3/7
+      (2L, "aa1 bb1 uu1 uu2 aa1 bb1 uu3 uu4 aa1 bb1"),        // top_2gram
+      // no Gopher rule fires (repeats far apart, never the same
+      // neighbor, so every n-gram is unique) but dup-token fraction
+      // is 3/8 > 0.3 — the ladder's FINAL dup_token rule catches it
+      (3L, "pp1 qq2 pp1 rr3 pp1 ss4 pp1 tt5"),
+      (4L, "vv1 vv2 vv3 vv4 vv5 vv6"),                        // clean
+      (5L, "vv1 vv2 vv3 vv4 vv5 vv6")                         // exact dup of 4
+    ).toDF("doc_id", "text")
+    val named = Corpus.gateAttribution(docs, "doc_id", "text",
+        langs = Set("und"), minQuality = 0.0,
+        maxDupTokenFraction = 0.3, namedRepetition = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(named(1L) == "repetition:dup_para", s"got $named")
+    assert(named(2L) == "repetition:top_2gram", s"got $named")
+    assert(named(3L) == "repetition:dup_token", s"got $named")
+    assert(named(4L) == "kept" && named(5L) == "duplicate", s"got $named")
+    // default mode on the same frame keeps the legacy verdict label
+    val legacy = Corpus.gateAttribution(docs, "doc_id", "text",
+        langs = Set("und"), minQuality = 0.0, maxDupTokenFraction = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(legacy(3L) == "repetition" && !legacy.values.exists(_.contains(":")),
+      s"default mode must keep the plain 'repetition' label, got $legacy")
+  }
 }
