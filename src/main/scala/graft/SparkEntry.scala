@@ -2652,6 +2652,36 @@ object SparkEntry {
         .orderBy("verdict")
     }),
 
+    // FUZZY eval-set decontamination (the near-dup complement of
+    // q159's exact 13-gram gate — Lee/Dodge style): doc_id%7==4 docs
+    // are REPLACED by a lightly-edited benchmark item ("zz " prefix —
+    // shingle Jaccard 0.9565, a paraphrase-leak an exact-gram gate
+    // could miss), %7==5 docs EMBED a benchmark item diluted by their
+    // own text (Jaccard ≤ ~0.66, below the 0.8 bar — flagged by q159's
+    // exact gate, correctly NOT by this one). The bench side
+    // broadcasts; candidates verify inline against the exact
+    // hashed-shingle Jaccard; the oracle recomputes the BRUTE-FORCE
+    // char-5-gram Jaccard of every doc against every bench item, so
+    // an LSH recall miss is a correctness failure.
+    "q172_fuzzy_decontamination" -> ((s, dir) => {
+      import s.implicits._
+      val sents = (0 until 3).map(b =>
+        (0 until 15).map(k => s"zq${('a' + b).toChar}$k").mkString(" "))
+      val bench = sents.zipWithIndex
+        .map { case (t, b) => (b.toLong, t) }.toDF("bench_id", "btext")
+      val sentByMod3 = element_at(array(sents.map(lit): _*),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 4,
+          concat(lit("zz "), sentByMod3))
+        .when(pmod(col("doc_id"), lit(7)) === 5,
+          concat(sentByMod3, lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.fuzzyContaminatedDocs(planted, "doc_id",
+          "text", bench, "bench_id", "btext", threshold = 0.8)
+        .orderBy("doc_id")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -6639,6 +6669,52 @@ object SparkEntry {
          SELECT verdict, count(1) AS n_docs,
                 CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM v GROUP BY 1 ORDER BY 1""",
+
+    // q172: the BRUTE-FORCE pair truth (the q22 discipline, corpus x
+    // bench instead of corpus self-join): every doc's char-5-gram
+    // Jaccard against every bench item recomputed from scratch — the
+    // LSH path must reproduce it exactly, so a banding recall miss is
+    // a correctness failure, not a silent gap.
+    "q172_fuzzy_decontamination" ->
+      """WITH bench(bench_id, btext) AS (VALUES
+             (0, 'zqa0 zqa1 zqa2 zqa3 zqa4 zqa5 zqa6 zqa7 zqa8 zqa9 zqa10 zqa11 zqa12 zqa13 zqa14'),
+             (1, 'zqb0 zqb1 zqb2 zqb3 zqb4 zqb5 zqb6 zqb7 zqb8 zqb9 zqb10 zqb11 zqb12 zqb13 zqb14'),
+             (2, 'zqc0 zqc1 zqc2 zqc3 zqc4 zqc5 zqc6 zqc7 zqc8 zqc9 zqc10 zqc11 zqc12 zqc13 zqc14')),
+         u AS (
+           SELECT d.doc_id,
+                  CASE WHEN d.doc_id % 7 = 4 THEN 'zz ' || b.btext
+                       WHEN d.doc_id % 7 = 5 THEN b.btext || ' ' || d.text
+                       ELSE d.text END AS text
+           FROM documents d
+           JOIN bench b ON b.bench_id = d.doc_id % 3),
+         n AS (
+           SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS t
+           FROM u),
+         s AS (
+           SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(length(t) - 4, 1) + 1),
+                    i -> substr(t, i, 5))) AS sh
+           FROM n),
+         nb AS (
+           SELECT bench_id, trim(regexp_replace(regexp_replace(lower(btext),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS t
+           FROM bench),
+         sb AS (
+           SELECT bench_id, list_distinct(list_transform(
+                    range(1, greatest(length(t) - 4, 1) + 1),
+                    i -> substr(t, i, 5))) AS sh
+           FROM nb),
+         p AS (
+           SELECT a.doc_id, b.bench_id,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    AS j
+           FROM s a CROSS JOIN sb b)
+         SELECT doc_id, CAST(count(1) AS BIGINT) AS n_bench_hits,
+                round(max(j), 4) AS max_jaccard
+         FROM p WHERE j >= 0.8
+         GROUP BY doc_id ORDER BY doc_id""",
 
     // q169: per-doc token counts via the q145 closed-form scan, +1
     // separator each, grouped by source — the geometry-derived

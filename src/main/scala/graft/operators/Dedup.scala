@@ -538,6 +538,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** FUZZY benchmark decontamination (the near-duplicate complement
+    * of [[contaminatedDocs]]'s exact 13-gram recipe — Lee et al. 2021
+    * / Dodge et al. 2021 style): flag every training document whose
+    * shingle-set Jaccard against ANY benchmark item reaches
+    * `threshold`, catching paraphrased/lightly-edited eval leaks an
+    * exact gram match misses. One row per contaminated doc:
+    * `(doc_id, n_bench_hits, max_jaccard)`; compose as a left-anti
+    * join to drop (the DedupSpec composition).
+    *
+    * Scale shape — the [[contaminatedDocs]] asymmetry with the
+    * [[minhashSketches]] machinery: the benchmark side is eval-sized,
+    * so its banded sketch rows BROADCAST; the corpus side is one
+    * scan-side sketch kernel pass whose banded rows join the
+    * broadcast WITHOUT an exchange, and candidates verify INLINE with
+    * the exact hashed-shingle Jaccard (the [[graft.operators
+    * .Similarity.lshTopK]] rationale: a pair colliding in several
+    * bands re-scores a cheap set intersection rather than forcing a
+    * join-back — `countDistinct` dedups the hits). The only corpus
+    * shuffle is the final |contaminated|-keyed aggregation. Recall is
+    * the LSH collision curve 1-(1-s^r)^b — near-certain at the
+    * near-clone similarities this gate exists for (s=0.95: miss rate
+    * ~3e-8 at 128/16); the battery plants s≈0.956 clones and oracles
+    * against the BRUTE-FORCE pair truth, so a recall miss is a
+    * correctness failure, not a silent gap. */
+  def fuzzyContaminatedDocs(corpus: DataFrame, idCol: String,
+                            textCol: String, bench: DataFrame,
+                            benchIdCol: String, benchTextCol: String,
+                            threshold: Double = 0.8, numHashes: Int = 128,
+                            bands: Int = 16, shingleK: Int = 5): DataFrame = {
+    val cs = minhashSketches(corpus, idCol, textCol, numHashes, bands,
+        shingleK)
+      .select(col("doc_id"), col("mh.shingles").as("sh"),
+        posexplode(col("mh.bands")))
+      .toDF("doc_id", "sh", "band_id", "band_hash")
+    val bs = minhashSketches(bench, benchIdCol, benchTextCol, numHashes,
+        bands, shingleK)
+      .select(col("doc_id").as("bench_id"), col("mh.shingles").as("bsh"),
+        posexplode(col("mh.bands")))
+      .toDF("bench_id", "bsh", "band_id", "band_hash")
+    cs.join(broadcast(bs), Seq("band_id", "band_hash"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh"), col("bsh"))).cast("double") /
+          size(array_union(col("sh"), col("bsh"))))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
+        round(max(col("jaccard")), 4).as("max_jaccard"))
+  }
+
   // ---------------------------------------------------------- SimHash
 
   /** 64-bit SimHash fingerprint over whitespace tokens: per-bit

@@ -263,6 +263,14 @@ class PlanSpec extends SparkSpec {
       "funnel aggregation lost its map-side combine:\n" + p.take(1200))
   }
 
+  test("q172: the bench side broadcasts; the corpus never sort-merge-joins or self-joins") {
+    val p = plan("q172_fuzzy_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "bench banded sketches must broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("Window"), p.take(800))
+  }
+
   test("q162/q164: the CCNet cut windows the HISTOGRAM, not the corpus; the license gate is one narrow pass") {
     // q162: exactly ONE Window — over the bounded (lang, score)
     // histogram (its input is a HashAggregate, never the raw docs) —

@@ -490,4 +490,41 @@ class DedupSpec extends SparkSpec {
       "bench_id", "btext", n = 13).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
+
+  test("fuzzyContaminatedDocs: near-clones flag at their exact Jaccard, dilution passes, anti-join decontaminates, bench broadcasts") {
+    val benchSent = (0 until 15).map(i => s"zqa$i").mkString(" ")
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, filler),                       // clean, disjoint vocabulary
+      (2L, "zz " + benchSent),            // light edit: J = 0.9565
+      (3L, benchSent),                    // verbatim copy: J = 1.0
+      (4L, benchSent + " " + filler))     // diluted embed: J < 0.8
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, benchSent)).toDF("bench_id", "btext")
+    val got = Dedup.fuzzyContaminatedDocs(docs, "doc_id", "text",
+        bench, "bench_id", "btext", threshold = 0.8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // J(doc2) pinned against the brute-force char-5-gram truth: the
+    // bench sentence has 66 distinct 5-grams, the "zz " prefix adds
+    // exactly 3 seam grams -> 66/69 = 0.9565
+    assert(got.map(x => (x._1, x._2)) == Seq((2L, 1L), (3L, 1L)),
+      got.toString)
+    assert(got(0)._3 == 0.9565 && got(1)._3 == 1.0, got.toString)
+    // the composition: left-anti keeps the clean doc AND the diluted
+    // one (the exact 13-gram gate's job, not this one's)
+    val kept = docs.join(
+        Dedup.fuzzyContaminatedDocs(docs, "doc_id", "text", bench,
+          "bench_id", "btext", threshold = 0.8).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L, 4L), kept.toString)
+    // scale shape: the bench side broadcasts; no sort-merge join or
+    // cartesian product anywhere — the corpus verifies inline
+    val p = Dedup.fuzzyContaminatedDocs(docs, "doc_id", "text", bench,
+      "bench_id", "btext").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
 }
