@@ -210,7 +210,11 @@ object CrawlDemo {
     //     rows) so downstream gates can budget by host quality
     val refined = Corpus.refine(
         extracted.select(col("doc_id"), col("main_text").as("text")),
-        "doc_id", "text", minQuality = None)
+        "doc_id", "text", minQuality = None,
+        // the C4 blocklist gate rides the same scan-side filter; a
+        // spam page costs its host frontier budget through the
+        // quality loop below (keep-rate drops)
+        badwords = Some(graft.functions.Text.C4Badwords))
       .join(pages.select(col("doc_id"), Url.host(col("url")).as("host")),
         "doc_id")
       .join(broadcast(ranks.withColumnRenamed("node", "host")

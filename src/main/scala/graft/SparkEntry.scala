@@ -2682,6 +2682,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4 badwords/URL gate (Raffel et al. 2020 §2.2 — the public
+    // blocklist recipe): whole-WORD content matches flag (including
+    // across hyphen boundaries: "free-porn"), substring traps never
+    // do ("sussex"/"essex"/"classy"), and the URL gate flags blocked
+    // tokens in the source address. The funnel runs with every
+    // upstream gate opened (langs=all, quality 0, dupTok 1.0) so the
+    // blocklist is the only text gate: fire classes land on
+    // `badwords`, pass classes flow to the exact-dedup keeper logic.
+    "q173_c4_badwords" -> ((s, dir) => {
+      val cls = pmod(col("doc_id"), lit(6)).cast("int")
+      val docs = t(s, dir, "documents").select(col("doc_id"), cls.as("cls"),
+        when(cls === 0, concat(col("text"), lit(" viagra casino offers")))
+          .when(cls === 1, concat(col("text"), lit(" Hot PORN! site")))
+          .when(cls === 2, concat(col("text"), lit(" sussex essex classy")))
+          .when(cls === 3, concat(col("text"), lit(" free-porn links")))
+          .otherwise(col("text")).as("text"),
+        when(cls === 4, lit("https://best-casino.example.com/play"))
+          .otherwise(lit("https://news.example.com/page")).as("url"))
+      val verd = graft.operators.Corpus.gateAttribution(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        langs = Set("en", "fr", "de", "es", "und"), minQuality = 0.0,
+        maxDupTokenFraction = 1.0,
+        badwords = Some(graft.functions.Text.C4Badwords))
+      docs.select(col("doc_id"), col("cls"),
+          graft.functions.Text.blockedUrl(col("url")).as("url_blocked"))
+        .join(verd, "doc_id")
+        .groupBy("cls", "verdict", "url_blocked")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("cls", "verdict")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -6715,6 +6746,38 @@ object SparkEntry {
                 round(max(j), 4) AS max_jaccard
          FROM p WHERE j >= 0.8
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // q173: fire classes are closed-form ('badwords' for cls 0/1/3,
+    // url_blocked only for cls 4); the pass classes' kept/duplicate
+    // split replays the md5 keeper logic over the MODIFIED texts —
+    // the q166 oracle discipline.
+    "q173_c4_badwords" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id % 6 AS INT) AS cls,
+                  CASE CAST(doc_id % 6 AS INT)
+                    WHEN 0 THEN text || ' viagra casino offers'
+                    WHEN 1 THEN text || ' Hot PORN! site'
+                    WHEN 2 THEN text || ' sussex essex classy'
+                    WHEN 3 THEN text || ' free-porn links'
+                    ELSE text END AS text
+           FROM documents),
+         b AS (
+           SELECT doc_id, cls, text,
+                  cls IN (0, 1, 3) AS blocked,
+                  cls = 4 AS url_blocked
+           FROM d),
+         k AS (
+           SELECT md5(text) AS dk, min(doc_id) AS keeper
+           FROM b WHERE NOT blocked GROUP BY 1),
+         v AS (
+           SELECT b.doc_id, b.cls, b.url_blocked,
+                  CASE WHEN b.blocked THEN 'badwords'
+                       WHEN b.doc_id = k.keeper THEN 'kept'
+                       ELSE 'duplicate' END AS verdict
+           FROM b LEFT JOIN k ON NOT b.blocked AND md5(b.text) = k.dk)
+         SELECT cls, verdict, url_blocked, count(1) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM v GROUP BY ALL ORDER BY cls, verdict""",
 
     // q169: per-doc token counts via the q145 closed-form scan, +1
     // separator each, grouped by source — the geometry-derived

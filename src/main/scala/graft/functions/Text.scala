@@ -376,6 +376,33 @@ object Text {
         when(stats.getField(field) > thr, lit(name)).otherwise(rest)
     }
 
+  // ------------------------------------------------ C4 badwords gate
+
+  /** Committed blocklist for the C4 badwords gate (Raffel et al. 2020
+    * §2.2 — the public recipe filters pages containing any word from
+    * the public "bad words" blocklist; this commits the adult/spam
+    * staple subset, and both gates take the full list as a
+    * parameter). Committed as a literal so the gate's behavior is a
+    * repo fact, not an environment lookup. */
+  val C4Badwords: Seq[String] = Seq("sex", "porn", "porno", "xxx",
+    "viagra", "casino", "nude", "erotic", "escort", "gambling")
+
+  /** The C4 content gate: TRUE when any WHOLE word of `text` is on
+    * the blocklist. Words split on non-alphanumeric runs of the
+    * lowercased text — so `free-porn` flags (hyphen is a word
+    * boundary, as in C4) while `sussex`/`classy` never do (substring
+    * hits are not words). Pure codegen Columns (lower + split +
+    * arrays_overlap), no UDF; at 100 TB this fuses into the scan. */
+  def containsBlockedWord(text: Column,
+                          words: Seq[String] = C4Badwords): Column =
+    arrays_overlap(split(lower(text), "[^a-z0-9]+"), typedlit(words))
+
+  /** The C4 URL gate: same whole-token test over the URL's
+    * alphanumeric tokens (`best-casino.example.com` flags on its
+    * `casino` token — C4 drops by source URL as well as content). */
+  def blockedUrl(url: Column, words: Seq[String] = C4Badwords): Column =
+    arrays_overlap(split(lower(url), "[^a-z0-9]+"), typedlit(words))
+
   // --------------------------------------------------- PII scrubbing
 
   /** RE2-compatible PII patterns (no lookaround, no backreferences) so

@@ -37,8 +37,10 @@ object Corpus {
              minQuality: Option[Double] = Some(0.3),
              maxDupTokenFraction: Option[Double] = Some(0.5),
              dropNearDups: Boolean = false,
-             nearDupThreshold: Double = 0.8): DataFrame = {
-    val filtered = signalGates(df, textCol, langs, minQuality, maxDupTokenFraction)
+             nearDupThreshold: Double = 0.8,
+             badwords: Option[Seq[String]] = None): DataFrame = {
+    val filtered = signalGates(df, textCol, langs, minQuality,
+      maxDupTokenFraction, badwords)
     val exact = Dedup.dropExactDuplicates(filtered, idCol, textCol)
     if (dropNearDups)
       Dedup.dropNearDuplicates(exact, idCol, textCol, nearDupThreshold)
@@ -47,15 +49,19 @@ object Corpus {
 
   /** The per-row gate filter shared by [[refine]] and
     * [[refineStream]] — stateless, so it applies identically to batch
-    * frames and streams. */
+    * frames and streams. `badwords` adds the C4 blocklist gate
+    * ([[Text.containsBlockedWord]] — whole-word match, Raffel et al.
+    * 2020 §2.2); off by default, like near-dup dedup. */
   private def signalGates(df: DataFrame, textCol: String, langs: Set[String],
                           minQuality: Option[Double],
-                          maxDupTokenFraction: Option[Double]): DataFrame = {
+                          maxDupTokenFraction: Option[Double],
+                          badwords: Option[Seq[String]] = None): DataFrame = {
     val gates = Seq(
       Some(col(textCol).isNotNull),
       if (langs.nonEmpty)
         Some(Text.langId(col(textCol)).isin(langs.toSeq: _*)) else None,
       minQuality.map(Text.qualityScore(col(textCol)) >= _),
+      badwords.map(w => !Text.containsBlockedWord(col(textCol), w)),
       maxDupTokenFraction.map(Text.dupTokenFraction(col(textCol)) <= _)
     ).flatten
     gates.reduceOption(_ && _).map(df.filter).getOrElse(df)
@@ -65,8 +71,9 @@ object Corpus {
     * pipeline publishes alongside its corpus (which stage dropped
     * what): per document, each [[refine]] gate's verdict plus the
     * exact-dedup outcome, collapsed to the FIRST failing stage in
-    * pipeline order (`null_text` → `lang` → `quality` → `repetition`
-    * → `duplicate` → `kept`). First-fail attribution matches what the
+    * pipeline order (`null_text` → `lang` → `quality` → `badwords`
+    * (when enabled) → `repetition` → `duplicate` → `kept`).
+    * First-fail attribution matches what the
     * sequential pipeline actually does — a doc failing two gates
     * charges the one that fired — so funnel counts always sum to the
     * input and `kept` equals [[refine]]'s survivor count by
@@ -94,7 +101,8 @@ object Corpus {
                       langs: Set[String] = Set("en"),
                       minQuality: Double = 0.3,
                       maxDupTokenFraction: Double = 0.5,
-                      namedRepetition: Boolean = false): DataFrame = {
+                      namedRepetition: Boolean = false,
+                      badwords: Option[Seq[String]] = None): DataFrame = {
     val firedRule =
       if (namedRepetition)
         coalesce(
@@ -104,14 +112,22 @@ object Corpus {
       else
         when(Text.dupTokenFraction(col(textCol)) > maxDupTokenFraction,
           lit("repetition"))
+    // the C4 blocklist sits between quality and repetition in the
+    // funnel — the refine pipeline's gate order (signalGates);
+    // disabled it is a constant TRUE and the verdict never appears
+    val bwPass = badwords
+      .map(w => !Text.containsBlockedWord(col(textCol), w))
+      .getOrElse(lit(true))
     val flagged = df.select(col(idCol), col(textCol),
       col(textCol).isNotNull.as("__nn"),
       Text.langId(col(textCol)).isin(langs.toSeq: _*).as("__lang"),
       (Text.qualityScore(col(textCol)) >= minQuality).as("__q"),
+      bwPass.as("__bw"),
       firedRule.as("__rule"),
       firedRule.isNull.as("__rep"))
     val passing = flagged
-      .filter(col("__nn") && col("__lang") && col("__q") && col("__rep"))
+      .filter(col("__nn") && col("__lang") && col("__q") && col("__bw") &&
+        col("__rep"))
       .select(col(idCol), md5(col(textCol)).as("__d"))
     val keepers = passing.groupBy("__d")
       .agg(min(col(idCol)).as("__keeper"))
@@ -125,6 +141,7 @@ object Corpus {
         when(!col("__nn"), lit("null_text"))
           .when(!col("__lang"), lit("lang"))
           .when(!col("__q"), lit("quality"))
+          .when(!col("__bw"), lit("badwords"))
           .when(!col("__rep"), repVerdict)
           .when(!col("__isKeeper"), lit("duplicate"))
           .otherwise(lit("kept")).as("verdict"))
@@ -142,9 +159,11 @@ object Corpus {
                    langs: Set[String] = Set("en"),
                    minQuality: Option[Double] = Some(0.3),
                    maxDupTokenFraction: Option[Double] = Some(0.5),
-                   watermark: String = "10 minutes"): DataFrame =
+                   watermark: String = "10 minutes",
+                   badwords: Option[Seq[String]] = None): DataFrame =
     Dedup.streamingExact(
-      signalGates(df, textCol, langs, minQuality, maxDupTokenFraction),
+      signalGates(df, textCol, langs, minQuality, maxDupTokenFraction,
+        badwords),
       textCol, tsCol, watermark)
 
   /** Per-document diff between two corpus snapshots — the audit pass a

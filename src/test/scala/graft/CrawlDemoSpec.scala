@@ -41,6 +41,12 @@ class CrawlDemoSpec extends SparkSpec {
         ("warcinfo", null: String, ascii("software: graft\r\n")),
         page("a.com", "/p1", body(1), Seq("https://b.com/x", "/local1")),
         page("a.com", "/p2", body(2), Seq("https://b.com/y")),
+        // spam page: English (passes the lang gate) but carries a C4
+        // blocklist word — the badwords gate must drop it AND charge
+        // a.com's keep-rate in the quality loop; no outlinks, so the
+        // discovery pool and host graph are untouched
+        page("a.com", "/spam", "the casino site offers the games and " +
+          "the best of the chances for the win", Seq()),
         // redirect chain to an UNCRAWLED target → frontier discovery
         redirect("a.com", "/moved", "/fresh"),
         // 2-cycle: must cap out as looped, never enter the frontier
@@ -79,9 +85,9 @@ class CrawlDemoSpec extends SparkSpec {
     try {
       val r = CrawlDemo.run(spark, dir, robots, out,
         sitemaps = Some(sitemaps), frontierTable = tbl)
-      assert(r.records == 10,
-        s"2 warcinfo + 4 pages + 4 redirects, got ${r.records}")
-      assert(r.pages == 4 && r.extracted == 4)
+      assert(r.records == 11,
+        s"2 warcinfo + 5 pages + 4 redirects, got ${r.records}")
+      assert(r.pages == 5 && r.extracted == 5)
       // no page in this fixture carries a robots meta — both gates idle
       assert(r.noindexPages == 0 && r.nofollowPages == 0)
       // redirect side: 4 sources (moved, l1, l2, oldq); l1/l2 loop;
@@ -105,8 +111,9 @@ class CrawlDemoSpec extends SparkSpec {
       assert(r.scheduled == 4, s"scheduled ${r.scheduled}")
       // a.com's 7 s delay: slots 1-3 wait (slot 0 fetches now)
       assert(r.delayedSlots == 3, s"delayedSlots ${r.delayedSlots}")
-      // all four unique texts survive refinement; both exports audit
-      // clean, and the WET leg reads back through the proven reader
+      // four of the five unique texts survive refinement (the spam
+      // page fails the C4 badwords gate); both exports audit clean,
+      // and the WET leg reads back through the proven reader
       assert(r.survivors == 4 && r.auditOk, s"survivors ${r.survivors}")
       assert(r.wetAuditOk, "WET export must audit clean")
       // anchor field: four content-link targets ({b/x, a/local1, b/y,
@@ -146,19 +153,20 @@ class CrawlDemoSpec extends SparkSpec {
         "every exported doc must carry its host's rank")
       // rank sanity: both hosts received mass (positive micro-units)
       assert(exported.select("host_rank_micro").as[Long].collect().forall(_ > 0))
-      // the QUALITY LOOP fed the frontier: every page survives
-      // refinement here, so both hosts' keep-rate is the full 1000
-      // milli and each frontier row's score must be exactly its
-      // host's rank × 1000 (rank-only scoring would store the bare
-      // rank; a broken join would store 0 or the neutral default)
+      // the QUALITY LOOP fed the frontier — and the badwords gate
+      // charges it: a.com yielded 2 keepers of 3 pages (the spam page
+      // fell), so its keep-rate is floor(2000/3) = 666 milli and each
+      // a.com frontier row's score must be exactly rank × 666 (a
+      // rank-only score would store the bare rank; a gate that didn't
+      // reach the quality loop would store rank × 1000)
       val aRank = exported.filter(col("host") === "a.com")
         .select("host_rank_micro").as[Long].head()
       val fScores = spark.table(tbl)
         .filter(col("url").startsWith("https://a.com/"))
         .select("score").as[Long].collect()
-      assert(fScores.nonEmpty && fScores.forall(_ == aRank * 1000L),
+      assert(fScores.nonEmpty && fScores.forall(_ == aRank * 666L),
         s"frontier scores must be rank×quality: ${fScores.mkString(",")} " +
-          s"vs ${aRank * 1000L}")
+          s"vs ${aRank * 666L}")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 

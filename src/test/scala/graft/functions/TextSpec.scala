@@ -542,6 +542,27 @@ class TextSpec extends SparkSpec {
     assert(lic("   Permission is hereby granted, free of charge" + ("x" * 2000)) == ("mit", true))
   }
 
+  test("C4 badwords gate: whole-word matches only, hyphen boundaries, URL tokens, NULL") {
+    def blocked(t: String): Boolean =
+      Seq(Tuple1(t)).toDF("t").select(Text.containsBlockedWord($"t"))
+        .head().getBoolean(0)
+    assert(blocked("win big at the casino tonight"))
+    assert(blocked("Hot PORN! site"))          // case + punctuation
+    assert(blocked("free-porn links"))         // hyphen is a boundary
+    assert(!blocked("sussex and essex are classy counties")) // substrings
+    assert(!blocked("a perfectly clean sentence"))
+    assert(!blocked(""))
+    // NULL text: gate is NULL (refine's isNotNull base gate owns it)
+    assert(Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(Text.containsBlockedWord($"t")).head().isNullAt(0))
+    def urlBlocked(u: String): Boolean =
+      Seq(Tuple1(u)).toDF("u").select(Text.blockedUrl($"u"))
+        .head().getBoolean(0)
+    assert(urlBlocked("https://best-casino.example.com/play"))
+    assert(urlBlocked("https://news.example.com/viagra-study"))
+    assert(!urlBlocked("https://sussex.example.com/news"))
+  }
+
   test("repetitionStats: hand-derived permilles, overlap-once coverage, lexicographic ties, ladder order") {
     def st(t: String): Seq[Long] = {
       val r = Seq(Tuple1(t)).toDF("text")
