@@ -30,7 +30,9 @@ object MultimodalDemo {
                           imagePairs: Long, pairSurvivors: Long,
                           pairAuditOk: Boolean,
                           interleavedDocs: Long, interleavedKept: Long,
-                          interleavedAuditOk: Boolean)
+                          interleavedAuditOk: Boolean,
+                          trainerSequences: Long, trainerImageSlots: Long,
+                          slotsReconcileOk: Boolean)
 
   /** Run the slice: synthesize media rows off the `documents` ids in
     * `sfDir` (every `cloneEvery`-th id gets a perceptual near-clone at
@@ -170,11 +172,43 @@ object MultimodalDemo {
         "media_id")
       .filter(!col("ok")).isEmpty
 
+    // 7. the TRAINER SEAM: the kept interleaved docs tokenize
+    //    (placeholder lines -> one reserved id each), pack, and
+    //    assemble into multimodal sequences with the image LOOKASIDE
+    //    table — and the slot ledger must reconcile with the docs it
+    //    came from: total slots == the kept docs' total image count,
+    //    per-source slot attribution sums to the same figure.
+    val interToks = graft.operators.Multimodal.tokenizeInterleaved(
+      interKept.select(col("media_id"), col("interleaved_text"),
+        col("image_urls")),
+      "media_id", "interleaved_text", "image_urls",
+      Seq(("t", "h"), ("i", "n"), ("e", "</w>")))
+    val interSeqs = graft.operators.Packing.assembleMultimodalSequences(
+      graft.operators.Packing.packContiguous(interToks, "media_id",
+        "n_tokens", budget = 256L, shards = 2),
+      "media_id", "token_ids", "image_refs", orderCol = "media_id")
+      .cache()
+    val slotTable = graft.operators.Packing.imageSlotTable(interSeqs)
+    val trainerSequences = interSeqs.count()
+    val trainerImageSlots = slotTable.count()
+    val keptImages = interKept.agg(coalesce(sum(col("n_images")), lit(0L)))
+      .head().getLong(0)
+    val attributedSlots = graft.operators.Packing.sequenceAttribution(
+        interSeqs, interToks.select(col("media_id"),
+          lit("media").as("src")), "media_id", "src",
+        imageId = Some(graft.operators.Multimodal.ImagePlaceholderId))
+      .agg(coalesce(sum(col("n_image_slots")), lit(0L))).head().getLong(0)
+    val slotsReconcileOk = trainerImageSlots == keptImages &&
+      attributedSlots == keptImages &&
+      slotTable.filter(col("image_ref").isNull).isEmpty
+    interSeqs.unpersist()
+
     media.unpersist(); pairs.unpersist(); kept.unpersist()
     pairRows.unpersist(); interRows.unpersist()
     Result(inputMedia, images, audio, dupPairs, survivors, auditOk,
       imagePairs, pairSurvivors, pairAuditOk,
-      interleavedDocs, interleavedKept, interleavedAuditOk)
+      interleavedDocs, interleavedKept, interleavedAuditOk,
+      trainerSequences, trainerImageSlots, slotsReconcileOk)
   }
 
   def main(args: Array[String]): Unit = {
@@ -194,7 +228,10 @@ object MultimodalDemo {
       s"image_pairs=${r.imagePairs}->${r.pairSurvivors} " +
       s"pair_audit=${r.pairAuditOk} " +
       s"interleaved=${r.interleavedDocs}->${r.interleavedKept} " +
-      s"interleaved_audit=${r.interleavedAuditOk} out=$outDir")
+      s"interleaved_audit=${r.interleavedAuditOk} " +
+      s"trainer_seqs=${r.trainerSequences} " +
+      s"image_slots=${r.trainerImageSlots} " +
+      s"slots_reconcile=${r.slotsReconcileOk} out=$outDir")
     spark.stop()
   }
 }

@@ -2713,6 +2713,94 @@ object SparkEntry {
         .orderBy("cls", "verdict")
     }),
 
+    // Multimodal trainer seam (q168's interleaved docs carried all
+    // the way to the packed-shard form): placeholder LINES tokenize
+    // to ONE reserved negative id each (text runs never merge across
+    // an image boundary), the multimodal assembler flattens each
+    // bin's refs in pack order, and the image LOOKASIDE table maps
+    // every slot ordinal to its 0-based position in the landed
+    // sequence + its ref — the ordinal contract a trainer's embedding
+    // swap relies on. Three planted classes: no-image, trailing
+    // image + caption run, and image-bracketed text. The oracle
+    // rebuilds ids (q145 chain + [-2] splices), shard/bin arithmetic,
+    // offsets, every slot position (per-doc placeholder index + doc
+    // offset), and the ref order from scratch.
+    "q174_multimodal_shards" -> ((s, dir) => {
+      val cls = pmod(col("doc_id"), lit(3)).cast("int")
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(cls === 1,
+          concat(col("text"), lit("\n<|image_0|>\nthe small table")))
+        .when(cls === 2,
+          concat(lit("<|image_0|>\n"), col("text"), lit("\n<|image_1|>")))
+        .otherwise(col("text")).as("itext"),
+        when(cls === 1, array(concat(lit("https://img.example.com/a"),
+          col("doc_id").cast("string"), lit(".jpg"))))
+        .when(cls === 2, array(
+          concat(lit("https://img.example.com/b"),
+            col("doc_id").cast("string"), lit(".png")),
+          concat(lit("https://img.example.com/c"),
+            col("doc_id").cast("string"), lit(".png"))))
+        .otherwise(array().cast("array<string>")).as("urls"))
+      val toks = graft.operators.Multimodal.tokenizeInterleaved(docs,
+        "doc_id", "itext", "urls", CommittedBpeMerges)
+      val packed = graft.operators.Packing.packContiguous(toks, "doc_id",
+        "n_tokens", budget = 5000L, shards = 4)
+      val seqs = graft.operators.Packing.assembleMultimodalSequences(
+        packed, "doc_id", "token_ids", "image_refs", orderCol = "doc_id")
+      val slots = graft.operators.Packing.imageSlotTable(seqs)
+      val slotAgg = slots.groupBy("shard", "bin").agg(
+        count(lit(1)).as("n_slots"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("slot"), col("position")))),
+          x => x.getField("position").cast("string")), ",")
+          .as("positions_csv"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("slot"), col("image_ref")))),
+          x => x.getField("image_ref")), "|").as("refs_csv"))
+      seqs.select(col("shard"), col("bin"), col("n_docs"),
+          col("seq_tokens"),
+          md5(array_join(transform(col("sequence"), _.cast("string")), ","))
+            .as("seq_md5"),
+          array_join(transform(col("offsets"), _.cast("string")), ",")
+            .as("offsets_csv"))
+        .join(slotAgg, Seq("shard", "bin"), "left")
+        .select(col("shard"), col("bin"), col("n_docs"), col("seq_tokens"),
+          col("seq_md5"), col("offsets_csv"),
+          coalesce(col("n_slots"), lit(0L)).as("n_slots"),
+          coalesce(col("positions_csv"), lit("")).as("positions_csv"),
+          coalesce(col("refs_csv"), lit("")).as("refs_csv"))
+        .orderBy("shard", "bin")
+    }),
+
+    // The multimodal attribution ledger: per-source token AND image-
+    // slot contributions, both recovered from the landed shard
+    // geometry (offset spans scanned for placeholder ids — never
+    // re-tokenized). The oracle restates tokens via the q145 chain
+    // (+placeholders +sep) and slots from the planted class shape.
+    "q174b_image_attribution" -> ((s, dir) => {
+      val cls = pmod(col("doc_id"), lit(3)).cast("int")
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        when(cls === 1,
+          concat(col("text"), lit("\n<|image_0|>\nthe small table")))
+        .when(cls === 2,
+          concat(lit("<|image_0|>\n"), col("text"), lit("\n<|image_1|>")))
+        .otherwise(col("text")).as("itext"),
+        when(cls === 1, array(lit("a.jpg")))
+        .when(cls === 2, array(lit("b.png"), lit("c.png")))
+        .otherwise(array().cast("array<string>")).as("urls"))
+      val toks = graft.operators.Multimodal.tokenizeInterleaved(docs,
+        "doc_id", "itext", "urls", CommittedBpeMerges)
+      val packed = graft.operators.Packing.packContiguous(toks, "doc_id",
+        "n_tokens", budget = 5000L, shards = 4)
+      val seqs = graft.operators.Packing.assembleMultimodalSequences(
+        packed, "doc_id", "token_ids", "image_refs", orderCol = "doc_id")
+      graft.operators.Packing.sequenceAttribution(seqs,
+          docs.select("doc_id", "source"), "doc_id", "source",
+          imageId = Some(graft.operators.Multimodal.ImagePlaceholderId))
+        .orderBy("source")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -6778,6 +6866,131 @@ object SparkEntry {
          SELECT cls, verdict, url_blocked, count(1) AS n_docs,
                 CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM v GROUP BY ALL ORDER BY cls, verdict""",
+
+    // q174: the q145 closed-form chain with the interleaved splices —
+    // per-doc ids gain [-2] placeholders (cls1 also the fixed
+    // "the small table" run: [2,4 | 120,114,102,113,113,1 |
+    // 121,102,103,113,4] under the committed scheme), then shard/bin
+    // arithmetic, offsets, global slot positions (per-doc placeholder
+    // index + doc offset) and pack-order refs all rebuild from
+    // scratch.
+    "q174_multimodal_shards" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '),
+                  x -> length(x) > 0) AS ws
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+                  flatten(list_transform(ws, wd ->
+                    list_transform(
+                      CASE WHEN wd LIKE '%e'
+                        THEN list_append(list_slice(
+                               regexp_extract_all(wd, 'th|in|.'), 1,
+                               len(regexp_extract_all(wd, 'th|in|.')) - 1),
+                             'e</w>')
+                        ELSE list_append(regexp_extract_all(wd, 'th|in|.'),
+                             '</w>')
+                      END,
+                      t -> CASE t WHEN '</w>' THEN 1 WHEN 'th' THEN 2
+                                  WHEN 'in' THEN 3 WHEN 'e</w>' THEN 4
+                                  ELSE 5 + unicode(t) END))) AS tids
+           FROM w),
+         mm AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id % 3 AS INT)
+                    WHEN 1 THEN list_concat(tids,
+                      [-2, 2, 4, 120, 114, 102, 113, 113, 1,
+                       121, 102, 103, 113, 4])
+                    WHEN 2 THEN list_concat(list_prepend(-2, tids), [-2])
+                    ELSE tids END AS ids,
+                  CASE CAST(doc_id % 3 AS INT)
+                    WHEN 1 THEN ['https://img.example.com/a' ||
+                                 CAST(doc_id AS VARCHAR) || '.jpg']
+                    WHEN 2 THEN ['https://img.example.com/b' ||
+                                   CAST(doc_id AS VARCHAR) || '.png',
+                                 'https://img.example.com/c' ||
+                                   CAST(doc_id AS VARCHAR) || '.png']
+                    ELSE CAST([] AS VARCHAR[]) END AS refs
+           FROM tok),
+         p AS (
+           SELECT doc_id, ids, refs, CAST(len(ids) AS BIGINT) AS n_tokens,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 4 AS INT) AS shard
+           FROM mm),
+         b AS (
+           SELECT shard, doc_id, ids, refs,
+                  CAST(floor(coalesce(sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 5000.0) AS BIGINT) AS bin
+           FROM p),
+         o AS (
+           SELECT shard, bin, doc_id, ids, refs,
+                  coalesce(sum(len(ids) + 1) OVER (
+                    PARTITION BY shard, bin ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS off
+           FROM b),
+         sl AS (
+           SELECT shard, bin, doc_id, ids, refs, off,
+                  list_transform(
+                    list_filter(range(1, len(ids) + 1), i -> ids[i] = -2),
+                    i -> i - 1 + off) AS poss
+           FROM o)
+         SELECT shard, bin, CAST(count(1) AS INT) AS n_docs,
+                CAST(sum(len(ids) + 1) AS BIGINT) AS seq_tokens,
+                md5(string_agg(array_to_string(list_append(ids, 0), ','),
+                    ',' ORDER BY doc_id)) AS seq_md5,
+                string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id)
+                  AS offsets_csv,
+                CAST(coalesce(sum(len(poss)), 0) AS BIGINT) AS n_slots,
+                coalesce(string_agg(array_to_string(poss, ','), ','
+                    ORDER BY doc_id) FILTER (len(poss) > 0), '')
+                  AS positions_csv,
+                coalesce(string_agg(array_to_string(refs, '|'), '|'
+                    ORDER BY doc_id) FILTER (len(refs) > 0), '')
+                  AS refs_csv
+         FROM sl GROUP BY shard, bin ORDER BY shard, bin""",
+
+    // q174b: tokens restated via the same chain (+placeholders +sep),
+    // image slots from the planted class shape (cls1 one, cls2 two).
+    "q174b_image_attribution" ->
+      """WITH w AS (
+           SELECT doc_id, source, list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '),
+                  x -> length(x) > 0) AS ws
+           FROM documents),
+         tok AS (
+           SELECT doc_id, source,
+                  flatten(list_transform(ws, wd ->
+                    list_transform(
+                      CASE WHEN wd LIKE '%e'
+                        THEN list_append(list_slice(
+                               regexp_extract_all(wd, 'th|in|.'), 1,
+                               len(regexp_extract_all(wd, 'th|in|.')) - 1),
+                             'e</w>')
+                        ELSE list_append(regexp_extract_all(wd, 'th|in|.'),
+                             '</w>')
+                      END,
+                      t -> CASE t WHEN '</w>' THEN 1 WHEN 'th' THEN 2
+                                  WHEN 'in' THEN 3 WHEN 'e</w>' THEN 4
+                                  ELSE 5 + unicode(t) END))) AS tids
+           FROM w),
+         mm AS (
+           SELECT doc_id, source, CAST(doc_id % 3 AS INT) AS cls,
+                  CASE CAST(doc_id % 3 AS INT)
+                    WHEN 1 THEN len(tids) + 14
+                    WHEN 2 THEN len(tids) + 2
+                    ELSE len(tids) END AS n_tok
+           FROM tok)
+         SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok + 1) AS BIGINT) AS n_tokens_with_sep,
+                CAST(sum(CASE cls WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END)
+                  AS BIGINT) AS n_image_slots
+         FROM mm GROUP BY source ORDER BY source""",
 
     // q169: per-doc token counts via the q145 closed-form scan, +1
     // separator each, grouped by source — the geometry-derived

@@ -507,4 +507,72 @@ object Multimodal {
         .map { case (_, samples) => (r.media_id, Codec.audioFp(samples)) })
       .toDF("media_id", "afp")
   }
+
+  // ------------------------------------- interleaved-doc trainer seam
+
+  /** Reserved token id for an image slot in a multimodal token
+    * sequence — NEGATIVE, so it provably never collides with
+    * [[Bpe.tokenId]]'s id space (0 = separator, everything text is
+    * ≥ 1). One id for every slot (the LLaVA-style convention): the
+    * trainer swaps each occurrence for the image embedding at the
+    * same ordinal in the sequence's lookaside list. */
+  val ImagePlaceholderId: Long = -2L
+
+  /** Tokenize INTERLEAVED documents ([[Html.interleavedDocs]]' q168
+    * format: `<|image_N|>` placeholder LINES in the text flow plus an
+    * aligned resolved-URL array) into the multimodal trainer's id
+    * form: each text run between placeholders tokenizes under the
+    * merge list with EXACTLY [[Bpe.tokenIds]]' semantics (normalize,
+    * then per-word greedy BPE), and each placeholder line becomes ONE
+    * [[ImagePlaceholderId]] token at its position in the flow — text
+    * runs never merge across an image boundary. The refs array rides
+    * through untouched (`image_refs`), ordinal-aligned with the
+    * placeholder tokens. Output: `(id, token_ids, image_refs,
+    * n_tokens, n_images)`; same scale shape as [[Bpe.tokenIds]] (rank
+    * table broadcast via closure, one narrow pass, no shuffle). */
+  def tokenizeInterleaved(docs: DataFrame, idCol: String, textCol: String,
+                          urlsCol: String, merges: Seq[(String, String)],
+                          imageId: Long = ImagePlaceholderId): DataFrame = {
+    val mlist = merges.toIndexedSeq
+    val rank = mlist.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    // first-rank-wins on output-string collisions (the Bpe.tokenIds
+    // contract)
+    val mergeId = mlist.zipWithIndex.reverse
+      .map { case ((a, b), i) => (a + b) -> (2L + i) }.toMap
+    val base = 2L + mlist.length
+    val Placeholder = "<\\|image_\\d+\\|>".r
+    val idsUdf = udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val out = Array.newBuilder[Long]
+        val run = new java.lang.StringBuilder
+        def flushRun(): Unit = {
+          val norm = Sketches.normalize(run.toString)
+          if (norm.nonEmpty) norm.split(" ").foreach { w =>
+            if (w.nonEmpty) Bpe.tokenizeWord(w, rank).foreach { t =>
+              out += (if (t == "</w>") 1L
+                      else mergeId.getOrElse(t, base + t.codePointAt(0)))
+            }
+          }
+          run.setLength(0)
+        }
+        text.split("\n", -1).foreach { ln =>
+          if (Placeholder.pattern.matcher(ln).matches()) {
+            flushRun(); out += imageId
+          } else {
+            if (run.length > 0) run.append('\n')
+            run.append(ln)
+          }
+        }
+        flushRun()
+        out.result()
+      }
+    }
+    docs.select(col(idCol), idsUdf(col(textCol)).as("token_ids"),
+        coalesce(col(urlsCol), array().cast("array<string>"))
+          .as("image_refs"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .withColumn("n_images",
+        size(filter(col("token_ids"), t => t === imageId)).cast("long"))
+  }
 }

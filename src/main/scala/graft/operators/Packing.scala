@@ -134,6 +134,69 @@ object Packing {
       .withColumn("seq_tokens", size(col("sequence")).cast("long"))
   }
 
+  /** The MULTIMODAL form of [[assembleTokenSequences]] — the
+    * interleaved trainer feed ([[Multimodal.tokenizeInterleaved]]'s
+    * output run through [[packContiguous]] on `n_tokens`): identical
+    * sequence/offsets/ids assembly, plus the bin's `image_refs`
+    * flattened in the SAME pack order — so the k-th
+    * [[Multimodal.ImagePlaceholderId]] token in `sequence` refers to
+    * `image_refs[k]`, the ordinal contract the trainer's embedding
+    * lookaside relies on ([[imageSlotTable]] materializes it). Same
+    * plan shape: ONE hash aggregation, sort-in-aggregate, HOF prefix
+    * sums; per-task memory one bin. */
+  def assembleMultimodalSequences(packed: DataFrame, idCol: String,
+                                  tokensCol: String, refsCol: String,
+                                  orderCol: String,
+                                  sepId: Long = 0L): DataFrame = {
+    val items = array_sort(collect_list(struct(
+      col(orderCol).as("o"), col(idCol).as("id"),
+      coalesce(col(tokensCol), array().cast("array<long>")).as("t"),
+      coalesce(col(refsCol), array().cast("array<string>")).as("r"))))
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(items.as("__items"))
+      .select(col("shard"), col("bin"),
+        transform(col("__items"), x => x.getField("id")).as("doc_ids"),
+        aggregate(
+          transform(col("__items"),
+            x => size(x.getField("t")).cast("long")),
+          struct(lit(0L).as("acc"),
+            array().cast("array<long>").as("offs")),
+          (s, l) => struct(
+            (s.getField("acc") + l + lit(1L)).as("acc"),
+            concat(s.getField("offs"), array(s.getField("acc"))).as("offs")),
+          s => s.getField("offs")).as("offsets"),
+        flatten(transform(col("__items"),
+          x => concat(x.getField("t"), array(lit(sepId))))).as("sequence"),
+        flatten(transform(col("__items"), x => x.getField("r")))
+          .as("image_refs"))
+      .withColumn("n_docs", size(col("doc_ids")))
+      .withColumn("seq_tokens", size(col("sequence")).cast("long"))
+  }
+
+  /** The image LOOKASIDE table of assembled multimodal sequences —
+    * one row per image slot: `(shard, bin, slot, position,
+    * image_ref)` where `position` is the 0-based index of the slot's
+    * placeholder token in `sequence` and `slot` its ordinal among the
+    * sequence's placeholders. Derived FROM THE LANDED SEQUENCE (the
+    * [[sequenceAttribution]] geometry discipline): positions come
+    * from scanning the assembled ids, refs from the aligned flattened
+    * list — a slot/ref count mismatch surfaces as NULL fields in the
+    * zip rather than silently truncating. Pure HOF pass + explode; no
+    * shuffle beyond the input's. */
+  def imageSlotTable(seqs: DataFrame,
+                     imageId: Long =
+                       Multimodal.ImagePlaceholderId): DataFrame = {
+    val positions = filter(
+      transform(col("sequence"), (t, i) => when(t === imageId, i)
+        .otherwise(lit(-1))), p => p >= 0)
+    seqs.select(col("shard"), col("bin"),
+        posexplode(zip_with(positions, col("image_refs"),
+          (p, r) => struct(p.as("position"), r.as("image_ref")))))
+      .select(col("shard"), col("bin"), col("pos").as("slot"),
+        col("col.position").as("position"),
+        col("col.image_ref").as("image_ref"))
+  }
+
   /** Per-group token attribution of assembled sequences — the data-
     * governance ledger ("how many tokens did each source contribute
     * to the training batch"), computed FROM THE LANDED SHARD GEOMETRY
@@ -146,23 +209,40 @@ object Packing {
     * supplies the group column keyed by `idCol`. Output
     * `(<groupCol>, n_docs, n_tokens_with_sep)`. Plan: one HOF pass
     * per sequence row, explode to |docs| rows of (id, share), one
-    * join to the (narrow) meta frame, one hash agg. */
+    * join to the (narrow) meta frame, one hash agg.
+    *
+    * With `imageId` (the multimodal ledger), each document's IMAGE
+    * SLOT count is also recovered from the landed geometry — the
+    * placeholder tokens inside the doc's own offset span — and the
+    * output gains `n_image_slots`; the base two columns are unchanged
+    * so unimodal ledgers (q169) keep their schema. */
   def sequenceAttribution(seqs: DataFrame, docMeta: DataFrame,
-                          idCol: String, groupCol: String): DataFrame = {
+                          idCol: String, groupCol: String,
+                          imageId: Option[Long] = None): DataFrame = {
     val n = size(col("doc_ids"))
     val shares = zip_with(col("doc_ids"),
-      transform(sequence(lit(1), n), i =>
-        when(i < n, element_at(col("offsets"), i + 1))
-          .otherwise(col("seq_tokens")) -
-          element_at(col("offsets"), i)),
-      (id, tok) => struct(id.as("id"), tok.as("tok")))
+      transform(sequence(lit(1), n), i => {
+        val st = element_at(col("offsets"), i)
+        val en = when(i < n, element_at(col("offsets"), i + 1))
+          .otherwise(col("seq_tokens"))
+        struct((Seq((en - st).as("tok")) ++ imageId.map(iid =>
+          size(filter(slice(col("sequence"), (st + 1).cast("int"),
+              (en - st).cast("int")), t => t === iid))
+            .cast("long").as("img"))): _*)
+      }),
+      (id, s) => struct((Seq(id.as("id"), s.getField("tok").as("tok")) ++
+        imageId.map(_ => s.getField("img").as("img"))): _*))
     // n == 0 guard: spark's sequence(1, 0) counts DOWN ([1, 0]), so
     // an empty bin must not reach the share expression at all
-    seqs.filter(n > 0).select(explode(shares).as("z"))
-      .select(col("z.id").as(idCol), col("z.tok").as("doc_tokens"))
+    val exploded = seqs.filter(n > 0).select(explode(shares).as("z"))
+      .select(Seq(col("z.id").as(idCol), col("z.tok").as("doc_tokens")) ++
+        imageId.map(_ => col("z.img").as("doc_image_slots")): _*)
+    exploded
       .join(docMeta.select(col(idCol), col(groupCol)), Seq(idCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("doc_tokens")).as("n_tokens_with_sep"))
+        (Seq(sum(col("doc_tokens")).as("n_tokens_with_sep")) ++
+          imageId.map(_ =>
+            sum(col("doc_image_slots")).as("n_image_slots"))): _*)
   }
 }

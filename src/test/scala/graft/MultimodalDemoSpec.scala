@@ -64,5 +64,12 @@ class MultimodalDemoSpec extends SparkSpec {
     assert(inter.filter(element_at(col("image_captions"), 1)
       .startsWith("figure ")).count() == inter.count(),
       "figcaption must win the caption ladder")
+    // the trainer seam: one image slot per kept doc, every slot ref
+    // resolved, per-source attribution agreeing — reconciled inside
+    // the demo against the kept docs' own image counts
+    assert(r.trainerSequences > 0, s"no trainer sequences assembled: $r")
+    assert(r.trainerImageSlots == r.interleavedKept,
+      s"one slot per kept single-image doc: $r")
+    assert(r.slotsReconcileOk, s"slot ledger failed to reconcile: $r")
   }
 }

@@ -357,4 +357,46 @@ class MultimodalSpec extends SparkSpec {
       MediaRow(2L, Array[Byte](9, 9, 9), "wav")).toDS()
     assert(audioFingerprint(media).count() == 1L)
   }
+
+  test("tokenizeInterleaved: runs tokenize exactly like Bpe.tokenIds, placeholders become one reserved id, boundaries never merge") {
+    import spark.implicits._
+    val merges = Seq(("t", "h"), ("i", "n"), ("e", "</w>"))
+    val IM = Multimodal.ImagePlaceholderId
+    def ids(t: String, urls: Seq[String] = Seq.empty): Seq[Long] =
+      Multimodal.tokenizeInterleaved(
+          Seq((1L, t, urls)).toDF("doc_id", "itext", "urls"),
+          "doc_id", "itext", "urls", merges)
+        .select("token_ids").as[Seq[Long]].head()
+    // a placeholder-free doc tokenizes IDENTICALLY to Bpe.tokenIds
+    val plain = "the thin line"
+    val viaBpe = Bpe.tokenIds(Seq((1L, plain)).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .select("token_ids").as[Seq[Long]].head()
+    assert(ids(plain) == viaBpe, s"${ids(plain)} != $viaBpe")
+    // placeholder LINES become exactly one reserved id at position
+    assert(ids("the\n<|image_0|>\nthe", Seq("u")) ==
+      Seq(2L, 4L, IM, 2L, 4L))
+    // runs do NOT merge across an image boundary: "th" split by a
+    // placeholder stays t + h base ids, never the th merge
+    val split = ids("t\n<|image_0|>\nh", Seq("u"))
+    assert(split == Seq(5L + 't'.toInt, 1L, IM, 5L + 'h'.toInt, 1L),
+      split.toString)
+    // a line CONTAINING but not EQUAL to a placeholder is text (the
+    // normalize pass strips the punctuation shell)
+    assert(!ids("x <|image_0|> y").contains(IM))
+    // n_images counts placeholders; refs ride through; NULL text is
+    // the empty doc
+    val r = Multimodal.tokenizeInterleaved(
+        Seq((1L, "<|image_0|>\nthe\n<|image_1|>", Seq("a", "b")))
+          .toDF("doc_id", "itext", "urls"),
+        "doc_id", "itext", "urls", merges)
+      .select("n_tokens", "n_images", "image_refs")
+      .as[(Long, Long, Seq[String])].head()
+    assert(r == ((4L, 2L, Seq("a", "b"))), r.toString)
+    assert(Multimodal.tokenizeInterleaved(
+        Seq((1L, null.asInstanceOf[String], Seq.empty[String]))
+          .toDF("doc_id", "itext", "urls"),
+        "doc_id", "itext", "urls", merges)
+      .select("n_tokens").as[Long].head() == 0L)
+  }
 }

@@ -177,4 +177,54 @@ class PackingSpec extends SparkSpec {
     assert(g2.values.sum == 10L && g2 != got.map { case (k, v) => k -> v._2 },
       s"corruption must shift attribution, got $g2")
   }
+
+  test("multimodal assembly: pack-order refs, slot table positions, image attribution from geometry") {
+    import spark.implicits._
+    val IM = Multimodal.ImagePlaceholderId
+    // doc1: [7, IM, 8] with one ref; doc2: [IM, 5, IM] with two refs;
+    // doc3: text-only — same bin, pack order 1,2,3
+    val packed = Seq(
+      (1L, Seq(7L, IM, 8L), Seq("r1a"), 0, 0L),
+      (2L, Seq(IM, 5L, IM), Seq("r2a", "r2b"), 0, 0L),
+      (3L, Seq(9L), Seq.empty[String], 0, 0L))
+      .toDF("doc_id", "token_ids", "image_refs", "shard", "bin")
+    val seqs = Packing.assembleMultimodalSequences(packed, "doc_id",
+      "token_ids", "image_refs", orderCol = "doc_id")
+    val r = seqs.select("sequence", "offsets", "image_refs")
+      .as[(Seq[Long], Seq[Long], Seq[String])].head()
+    // sequence: 7 IM 8 0 | IM 5 IM 0 | 9 0 — refs flatten in pack order
+    assert(r._1 == Seq(7L, IM, 8L, 0L, IM, 5L, IM, 0L, 9L, 0L), r._1)
+    assert(r._2 == Seq(0L, 4L, 8L) && r._3 == Seq("r1a", "r2a", "r2b"))
+    // the lookaside table: slot ordinal -> 0-based sequence position
+    // -> ref, exactly aligned
+    val slots = Packing.imageSlotTable(seqs)
+      .select("slot", "position", "image_ref")
+      .as[(Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(slots == Seq((0, 1, "r1a"), (1, 4, "r2a"), (2, 6, "r2b")),
+      slots.toString)
+    // a slot/ref count MISMATCH surfaces as a NULL field, never a
+    // silent truncation
+    val bad = Packing.assembleMultimodalSequences(
+      Seq((1L, Seq(IM, IM), Seq("only_one"), 0, 0L))
+        .toDF("doc_id", "token_ids", "image_refs", "shard", "bin"),
+      "doc_id", "token_ids", "image_refs", orderCol = "doc_id")
+    val badSlots = Packing.imageSlotTable(bad)
+      .select("position", "image_ref").collect()
+    assert(badSlots.length == 2 && badSlots.count(_.isNullAt(1)) == 1,
+      badSlots.mkString(","))
+    // image attribution from the landed geometry: slots count within
+    // each doc's own offset span
+    val meta = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "grp")
+    val att = Packing.sequenceAttribution(seqs, meta, "doc_id", "grp",
+        imageId = Some(IM))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // a: docs 1 (3 ids + sep, 1 slot) + 3 (1 id + sep, 0 slots);
+    // b: doc 2 (3 ids + sep, 2 slots)
+    assert(att == Map("a" -> (2L, 6L, 1L), "b" -> (1L, 4L, 2L)),
+      att.toString)
+    // without imageId the ledger keeps its unimodal 3-column schema
+    assert(Packing.sequenceAttribution(seqs, meta, "doc_id", "grp")
+      .columns.toSeq == Seq("grp", "n_docs", "n_tokens_with_sep"))
+  }
 }
