@@ -2801,6 +2801,34 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Tokenizer fertility telemetry (tokens/char, tokens/word,
+    // bytes/token per source — the mixture-design dashboard numbers):
+    // token counts recovered from the LANDED q145 shard geometry
+    // (offset deltas minus the separator — fertility describes the
+    // tokenizer, not the packing convention), denominators from the
+    // normalized text that fed it; every ratio an exact integer floor
+    // division. The oracle restates tokens via the q145 closed-form
+    // chain and the denominators from the same normalize expression.
+    "q175_fertility_telemetry" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = graft.operators.Bpe.tokenIds(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        CommittedBpeMerges)
+      val seqs = graft.operators.Packing.assembleTokenSequences(
+        graft.operators.Packing.packContiguous(toks, "doc_id", "n_tokens",
+          budget = 5000L, shards = 4),
+        "doc_id", "token_ids", orderCol = "doc_id")
+      val norm = graft.functions.Text.normalizeText(col("text"))
+      val meta = docs.select(col("doc_id"), col("source"),
+        length(norm).cast("long").as("n_chars"),
+        when(length(norm) === 0, lit(0L))
+          .otherwise(size(split(norm, " ")).cast("long")).as("n_words"),
+        octet_length(norm).cast("long").as("n_bytes"))
+      graft.operators.Packing.fertilityTelemetry(seqs, meta, "doc_id",
+          "source", "n_chars", "n_words", "n_bytes")
+        .orderBy("source")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -6991,6 +7019,56 @@ object SparkEntry {
                 CAST(sum(CASE cls WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END)
                   AS BIGINT) AS n_image_slots
          FROM mm GROUP BY source ORDER BY source""",
+
+    // q175: tokens via the q145 chain (no separator), denominators
+    // from the same normalize, ratios exact integer floor divisions.
+    "q175_fertility_telemetry" ->
+      """WITH nw AS (
+           SELECT doc_id, source,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS norm
+           FROM documents),
+         w AS (
+           SELECT doc_id, source, norm,
+                  list_filter(string_split(norm, ' '),
+                    x -> length(x) > 0) AS ws
+           FROM nw),
+         tok AS (
+           SELECT doc_id, source, norm,
+                  flatten(list_transform(ws, wd ->
+                    list_transform(
+                      CASE WHEN wd LIKE '%e'
+                        THEN list_append(list_slice(
+                               regexp_extract_all(wd, 'th|in|.'), 1,
+                               len(regexp_extract_all(wd, 'th|in|.')) - 1),
+                             'e</w>')
+                        ELSE list_append(regexp_extract_all(wd, 'th|in|.'),
+                             '</w>')
+                      END,
+                      t -> CASE t WHEN '</w>' THEN 1 WHEN 'th' THEN 2
+                                  WHEN 'in' THEN 3 WHEN 'e</w>' THEN 4
+                                  ELSE 5 + unicode(t) END))) AS tids
+           FROM w),
+         a AS (
+           SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+                  CAST(sum(len(tids)) AS BIGINT) AS n_tokens,
+                  CAST(sum(length(norm)) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN length(norm) = 0 THEN 0
+                                ELSE len(string_split(norm, ' ')) END)
+                    AS BIGINT) AS wd,
+                  CAST(sum(strlen(norm)) AS BIGINT) AS b
+           FROM tok GROUP BY source)
+         SELECT source, n_docs, n_tokens,
+                CAST(CASE WHEN c = 0 THEN NULL
+                     ELSE (n_tokens * 1000) // c END AS BIGINT)
+                  AS tokens_per_kchar,
+                CAST(CASE WHEN wd = 0 THEN NULL
+                     ELSE (n_tokens * 1000) // wd END AS BIGINT)
+                  AS tokens_per_kword,
+                CAST(CASE WHEN n_tokens = 0 THEN NULL
+                     ELSE (b * 1000) // n_tokens END AS BIGINT)
+                  AS bytes_per_token_milli
+         FROM a ORDER BY source""",
 
     // q169: per-doc token counts via the q145 closed-form scan, +1
     // separator each, grouped by source — the geometry-derived

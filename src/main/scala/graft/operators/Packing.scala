@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sequence packing: assign documents to fixed-token-budget bins for
@@ -216,6 +216,54 @@ object Packing {
     * placeholder tokens inside the doc's own offset span — and the
     * output gains `n_image_slots`; the base two columns are unchanged
     * so unimodal ledgers (q169) keep their schema. */
+  /** Tokenizer FERTILITY telemetry per group — the mixture-design
+    * dashboard numbers (tokens per 1000 chars, tokens per 1000 words,
+    * bytes per token in milli-units), computed from the LANDED shard
+    * geometry exactly like [[sequenceAttribution]]: each document's
+    * token count is its offset delta MINUS its separator (fertility
+    * describes the tokenizer, not the packing convention), never
+    * re-tokenized — a corrupted shard shows up as a wrong fertility,
+    * not a silently re-derived right one. `docMeta` supplies the
+    * group plus the text-side denominators (chars/words/bytes of
+    * whatever form fed the tokenizer — the caller pins the
+    * convention). Ratios are exact integer floor-divisions
+    * (engine-identical); a zero denominator yields NULL rather than
+    * an ANSI divide error. Output `(<groupCol>, n_docs, n_tokens,
+    * tokens_per_kchar, tokens_per_kword, bytes_per_token_milli)`.
+    * Plan: one HOF pass per sequence row, explode, one join to the
+    * narrow meta frame, ONE hash agg. */
+  def fertilityTelemetry(seqs: DataFrame, docMeta: DataFrame,
+                         idCol: String, groupCol: String,
+                         charsCol: String, wordsCol: String,
+                         bytesCol: String): DataFrame = {
+    val n = size(col("doc_ids"))
+    val shares = zip_with(col("doc_ids"),
+      transform(sequence(lit(1), n), i =>
+        when(i < n, element_at(col("offsets"), i + 1))
+          .otherwise(col("seq_tokens")) -
+          element_at(col("offsets"), i) - lit(1L)),
+      (id, tok) => struct(id.as("id"), tok.as("tok")))
+    // exact integer floor division (`div`), NULL on a zero denominator
+    // (ANSI would throw)
+    def ratio(numSql: String, denSql: String): Column =
+      expr(s"CASE WHEN $denSql = 0 THEN NULL " +
+        s"ELSE ($numSql) div ($denSql) END")
+    seqs.filter(n > 0).select(explode(shares).as("z"))
+      .select(col("z.id").as(idCol), col("z.tok").as("doc_tokens"))
+      .join(docMeta.select(col(idCol), col(groupCol), col(charsCol),
+        col(wordsCol), col(bytesCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_tokens")).as("n_tokens"),
+        sum(col(charsCol).cast("long")).as("__c"),
+        sum(col(wordsCol).cast("long")).as("__w"),
+        sum(col(bytesCol).cast("long")).as("__b"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        ratio("n_tokens * 1000", "__c").as("tokens_per_kchar"),
+        ratio("n_tokens * 1000", "__w").as("tokens_per_kword"),
+        ratio("__b * 1000", "n_tokens").as("bytes_per_token_milli"))
+  }
+
   def sequenceAttribution(seqs: DataFrame, docMeta: DataFrame,
                           idCol: String, groupCol: String,
                           imageId: Option[Long] = None): DataFrame = {

@@ -178,6 +178,52 @@ class PackingSpec extends SparkSpec {
       s"corruption must shift attribution, got $g2")
   }
 
+  test("fertilityTelemetry: geometry-derived tokens (sep excluded), exact floor ratios, NULL on zero denominators") {
+    import spark.implicits._
+    val packed = Seq(
+      (1L, Seq(7L, 8L, 9L), 0, 0L),   // 3 tokens
+      (2L, Seq(5L), 0, 0L),           // 1 token
+      (3L, Seq(4L, 4L), 0, 1L))       // 2 tokens
+      .toDF("doc_id", "token_ids", "shard", "bin")
+    val seqs = Packing.assembleTokenSequences(packed, "doc_id",
+      "token_ids", orderCol = "doc_id")
+    val meta = Seq(
+      (1L, "a", 10L, 2L, 12L),
+      (2L, "a", 5L, 1L, 5L),
+      (3L, "b", 0L, 0L, 0L)) // zero denominators -> NULL ratios
+      .toDF("doc_id", "src", "n_chars", "n_words", "n_bytes")
+    val got = Packing.fertilityTelemetry(seqs, meta, "doc_id", "src",
+        "n_chars", "n_words", "n_bytes")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    // a: 4 tokens (sep excluded), 15 chars, 3 words, 17 bytes:
+    // 4000 div 15 = 266, 4000 div 3 = 1333, 17000 div 4 = 4250
+    assert(a.getLong(1) == 2L && a.getLong(2) == 4L, a.toString)
+    assert(a.getLong(3) == 266L && a.getLong(4) == 1333L &&
+      a.getLong(5) == 4250L, a.toString)
+    val b = got("b")
+    assert(b.getLong(2) == 2L && b.isNullAt(3) && b.isNullAt(4) &&
+      b.getLong(5) == 0L, b.toString)
+    // geometry, not re-tokenization: corrupting an offset shifts the
+    // per-doc split but conserves the group totals only if the docs
+    // stay in one group — across groups the fertility MOVES
+    val corrupted = seqs.withColumn("offsets",
+      transform(col("offsets"), (o, i) => when(i === 1, o + 1L).otherwise(o)))
+    val g2 = Packing.fertilityTelemetry(corrupted, meta, "doc_id", "src",
+        "n_chars", "n_words", "n_bytes")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(g2("a") == 4L, s"single-group corruption conserves: $g2")
+    val meta2 = meta.withColumn("src",
+      when(col("doc_id") === 2L, lit("c")).otherwise(col("src")))
+    val g3 = Packing.fertilityTelemetry(corrupted, meta2, "doc_id", "src",
+        "n_chars", "n_words", "n_bytes")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // doc1's true count is 3; the corrupted offset hands it doc2's
+    // stolen token — the ledger reports the artifact, not the truth
+    assert(g3("a") == 4L && g3("c") == 0L,
+      s"cross-group corruption must shift fertility: $g3")
+  }
+
   test("multimodal assembly: pack-order refs, slot table positions, image attribution from geometry") {
     import spark.implicits._
     val IM = Multimodal.ImagePlaceholderId
