@@ -2829,6 +2829,49 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Best-fit-decreasing packing (Krell et al. 2021's histogram
+    // formulation): sizes planted 70/50/25 (doc 0 the lone 70) so
+    // every BFD move is arithmetic the oracle can restate — the 70-bin
+    // absorbs exactly one 25 (best-fit chooses the TIGHTEST gap), the
+    // 50s pair into full bins, the remaining 25s pack 4-to-a-bin with
+    // a tail. The solver runs on the (shard, size) histogram and
+    // emits run-length allocations; rows only pay a rank window.
+    "q176_bestfit_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") === 0, lit(70L))
+          .when(pmod(col("doc_id"), lit(2)) === 1, lit(50L))
+          .otherwise(lit(25L)).as("n_tokens"))
+      graft.operators.Packing.packBestFit(docs, "doc_id", "n_tokens",
+          budget = 100L, shards = 1)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sz_sum"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("bin")
+    }),
+
+    // The packing-efficiency report, best-fit vs contiguous on the
+    // SAME fixture: BFD fills the gaps contiguous pays for in
+    // straddle/padding — both rows exact integers, the contiguous row
+    // replayed via the q53 window arithmetic.
+    "q176b_packing_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") === 0, lit(70L))
+          .when(pmod(col("doc_id"), lit(2)) === 1, lit(50L))
+          .otherwise(lit(25L)).as("n_tokens"))
+      val bfd = graft.operators.Packing.packingReport(
+          graft.operators.Packing.packBestFit(docs, "doc_id", "n_tokens",
+            budget = 100L, shards = 1), "n_tokens", 100L)
+        .withColumn("method", lit("best_fit"))
+      val ff = graft.operators.Packing.packingReport(
+          graft.operators.Packing.packContiguous(docs, "doc_id",
+            "n_tokens", budget = 100L, shards = 1), "n_tokens", 100L)
+        .withColumn("method", lit("contiguous"))
+      bfd.unionByName(ff)
+        .select("method", "n_bins", "n_items", "packed_size",
+          "fill_milli", "padding_waste")
+        .orderBy("method")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -7019,6 +7062,77 @@ object SparkEntry {
                 CAST(sum(CASE cls WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END)
                   AS BIGINT) AS n_image_slots
          FROM mm GROUP BY source ORDER BY source""",
+
+    // q176: the BFD assignment restated as pure rank arithmetic —
+    // the 70-doc is bin 0; 50-rank r is bin 1 + r div 2 (n50 is even
+    // at both battery SFs, so no 50-tail bin exists); the first
+    // 25-doc joins bin 0 (the tightest gap), the rest open bins of 4
+    // after the 50 bins.
+    "q176_bestfit_packing" ->
+      """WITH s AS (
+           SELECT doc_id, CASE WHEN doc_id = 0 THEN 70
+                               WHEN doc_id % 2 = 1 THEN 50
+                               ELSE 25 END AS sz
+           FROM documents),
+         c AS (SELECT CAST(sum(CASE WHEN sz = 50 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n50 FROM s),
+         r AS (SELECT doc_id, sz,
+                 row_number() OVER (PARTITION BY sz ORDER BY doc_id) - 1
+                   AS rk
+               FROM s),
+         a AS (SELECT doc_id, sz,
+                 CASE WHEN sz = 70 THEN 0
+                      WHEN sz = 50 THEN 1 + rk // 2
+                      WHEN rk = 0 THEN 0
+                      ELSE 1 + (SELECT n50 FROM c) // 2 + (rk - 1) // 4
+                 END AS bin
+               FROM r)
+         SELECT CAST(0 AS INT) AS shard, CAST(bin AS BIGINT) AS bin,
+                count(1) AS n_docs, CAST(sum(sz) AS BIGINT) AS sz_sum,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM a GROUP BY bin ORDER BY bin""",
+
+    // q176b: the BFD row from the same arithmetic (bins = 1 + n50/2 +
+    // ceil((n25-1)/4)), the contiguous row replayed via the window
+    // cumsum bin cut.
+    "q176b_packing_report" ->
+      """WITH s AS (
+           SELECT doc_id, CASE WHEN doc_id = 0 THEN 70
+                               WHEN doc_id % 2 = 1 THEN 50
+                               ELSE 25 END AS sz
+           FROM documents),
+         tot AS (
+           SELECT CAST(count(1) AS BIGINT) AS n_items,
+                  CAST(sum(sz) AS BIGINT) AS packed,
+                  CAST(sum(CASE WHEN sz = 50 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n50,
+                  CAST(sum(CASE WHEN sz = 25 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n25
+           FROM s),
+         bfd AS (
+           SELECT 'best_fit' AS method,
+                  1 + n50 // 2 + (n25 - 1 + 3) // 4 AS n_bins,
+                  n_items, packed
+           FROM tot),
+         ffb AS (
+           SELECT doc_id, sz,
+                  CAST(floor(coalesce(sum(sz) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / 100.0) AS BIGINT) AS bin
+           FROM s),
+         ff AS (
+           SELECT 'contiguous' AS method,
+                  CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+                  (SELECT n_items FROM tot) AS n_items,
+                  (SELECT packed FROM tot) AS packed
+           FROM ffb),
+         u AS (SELECT * FROM bfd UNION ALL SELECT * FROM ff)
+         SELECT method, CAST(n_bins AS BIGINT) AS n_bins, n_items,
+                packed AS packed_size,
+                CAST((packed * 1000) // (n_bins * 100) AS BIGINT)
+                  AS fill_milli,
+                CAST(n_bins * 100 - packed AS BIGINT) AS padding_waste
+         FROM u ORDER BY method""",
 
     // q175: tokens via the q145 chain (no separator), denominators
     // from the same normalize, ratios exact integer floor divisions.

@@ -134,6 +134,158 @@ object Packing {
       .withColumn("seq_tokens", size(col("sequence")).cast("long"))
   }
 
+  /** One run-length allocation of best-fit-decreasing packing:
+    * items of one size class with ranks `[r0, r0 + nBins·perBin)`
+    * (tail run: the LAST bin may take fewer — `lastBinItems`) land in
+    * bins `startBin + (rank - r0) div perBin`. */
+  private[operators] final case class BfdRun(r0: Long, startBin: Long,
+                                             nBins: Long, perBin: Long)
+
+  /** Best-fit-decreasing packing (Krell et al. 2021's histogram
+    * formulation — the public "Efficient Sequence Packing" recipe) —
+    * the tighter alternative to [[packContiguous]] when padding waste
+    * matters more than a streaming-friendly order: sizes sort
+    * DESCENDING and each item goes to the fullest bin that still fits
+    * (the bin with the SMALLEST remaining ≥ size; ties to the lowest
+    * bin id), opening a new bin when none fits. Items larger than the
+    * budget get a dedicated bin each; sizes ≤ 0 place as size 1.
+    *
+    * Scale shape — the histogram trick: the solver never sees rows.
+    * It runs on the `(shard, size) → count` HISTOGRAM (bounded driver
+    * state: sizes are token lengths ≤ max-sequence-length, so the
+    * collect is ≤ shards × budget rows no matter the corpus), tracks
+    * bins as (remaining → id-range) GROUPS (≤ budget distinct
+    * remainings), and emits RUN-LENGTH allocations (rank interval →
+    * bin arithmetic, [[BfdRun]]) whose total count is bounded by
+    * groups × sizes — so the broadcast assignment table stays small
+    * while the bins themselves can number in the billions. Row-side
+    * work is one rank window per (shard, size) class plus a closure
+    * lookup. Output = input columns + (shard, bin), the
+    * [[packContiguous]] contract, so the assemblers compose
+    * unchanged. Deterministic by construction: ranks order by id,
+    * groups by bin id, so any engine replays the exact assignment
+    * (battery q176 states it closed-form). */
+  def packBestFit(df: DataFrame, idCol: String, sizeCol: String,
+                  budget: Long, shards: Int = 1): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val shard = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long"), lit(shards.toLong)).cast("int")
+    val sharded = df.withColumn("shard", shard)
+    // bounded collect: the (shard, size) histogram — ≤ shards ×
+    // |distinct sizes| rows (token lengths, not documents)
+    val hist = sharded.groupBy(col("shard"),
+        col(sizeCol).cast("long").as("__sz"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val allocs: Map[(Int, Long), Array[BfdRun]] =
+      hist.groupBy(_._1).flatMap { case (sh, rows) =>
+        // bin groups: remaining → (startBinId → nBins), both ordered
+        val groups = new java.util.TreeMap[Long,
+          java.util.TreeMap[Long, Long]]()
+        var nextBin = 0L
+        def addGroup(rem: Long, startBin: Long, n: Long): Unit =
+          if (n > 0 && rem > 0) {
+            val m = groups.computeIfAbsent(rem,
+              _ => new java.util.TreeMap[Long, Long]())
+            m.put(startBin, n)
+          }
+        rows.toSeq.sortBy(-_._2).map { case (_, size, count) =>
+          val runs = Array.newBuilder[BfdRun]
+          var rank = 0L
+          var c = count
+          if (size > budget) {
+            // oversize: one dedicated bin per item
+            runs += BfdRun(0L, nextBin, c, 1L)
+            nextBin += c
+            c = 0
+          }
+          val s = math.max(size, 1L)
+          while (c > 0) {
+            val e = groups.ceilingEntry(s)
+            if (e == null) {
+              // no bin fits: open new bins, perBin items each
+              val perBin = budget / s
+              val nFull = c / perBin
+              if (nFull > 0) {
+                runs += BfdRun(rank, nextBin, nFull, perBin)
+                addGroup(budget - perBin * s, nextBin, nFull)
+                nextBin += nFull; rank += nFull * perBin
+                c -= nFull * perBin
+              }
+              if (c > 0) { // tail bin with the leftovers
+                runs += BfdRun(rank, nextBin, 1L, c)
+                addGroup(budget - c * s, nextBin, 1L)
+                nextBin += 1; rank += c
+                c = 0
+              }
+            } else {
+              val rem = e.getKey
+              val range = e.getValue.firstEntry() // lowest bin ids first
+              val startBin = range.getKey
+              val nAvail = range.getValue
+              val perBin = rem / s // ≥ 1 (rem ≥ s by ceilingEntry)
+              // retire the whole range; surviving pieces re-add below
+              e.getValue.remove(startBin)
+              if (e.getValue.isEmpty) groups.remove(rem)
+              val nFull = math.min(nAvail, c / perBin)
+              if (nFull > 0) {
+                runs += BfdRun(rank, startBin, nFull, perBin)
+                rank += nFull * perBin; c -= nFull * perBin
+                addGroup(rem - perBin * s, startBin, nFull)
+              }
+              val partial = c > 0 && nFull < nAvail
+              if (partial) {
+                // the class ran out mid-bin: one bin takes the rest
+                runs += BfdRun(rank, startBin + nFull, 1L, c)
+                addGroup(rem - c * s, startBin + nFull, 1L)
+                rank += c; c = 0
+              }
+              // untouched bins of the range keep their remaining
+              val touched = nFull + (if (partial) 1L else 0L)
+              addGroup(rem, startBin + touched, nAvail - touched)
+            }
+          }
+          (sh, size) -> runs.result()
+        }
+      }
+    val bcAllocs = df.sparkSession.sparkContext.broadcast(allocs)
+    val binUdf = udf { (sh: Int, size: Long, rank: Long) =>
+      val runs = bcAllocs.value((sh, size))
+      // runs are rank-ordered; linear scan (≤ groups-touched entries)
+      var i = runs.length - 1
+      while (i > 0 && runs(i).r0 > rank) i -= 1
+      val r = runs(i)
+      r.startBin + (rank - r.r0) / r.perBin
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col(sizeCol)).orderBy(col(idCol))
+    sharded
+      .withColumn("__rank", row_number().over(w).cast("long") - 1L)
+      .withColumn("bin",
+        binUdf(col("shard"), col(sizeCol).cast("long"), col("__rank")))
+      .drop("__rank")
+  }
+
+  /** Packing-efficiency report per shard — fill rate (permille of
+    * bin capacity actually holding payload) and padding waste
+    * (capacity the trainer pads over), for ANY (shard, bin)-shaped
+    * packing so best-fit and contiguous compare on equal terms.
+    * Oversize items can push a bin past its budget, so `fill_milli`
+    * may exceed 1000 and waste floors at the per-bin level's truth.
+    * Exact integers throughout. */
+  def packingReport(packed: DataFrame, sizeCol: String,
+                    budget: Long): DataFrame =
+    packed.groupBy(col("shard"))
+      .agg(countDistinct(col("bin")).as("n_bins"),
+        sum(col(sizeCol).cast("long")).as("packed_size"),
+        count(lit(1)).as("n_items"))
+      .select(col("shard"), col("n_bins"), col("n_items"),
+        col("packed_size"),
+        expr(s"(packed_size * 1000) div (n_bins * $budget)")
+          .as("fill_milli"),
+        (col("n_bins") * budget - col("packed_size")).as("padding_waste"))
+
   /** The MULTIMODAL form of [[assembleTokenSequences]] — the
     * interleaved trainer feed ([[Multimodal.tokenizeInterleaved]]'s
     * output run through [[packContiguous]] on `n_tokens`): identical

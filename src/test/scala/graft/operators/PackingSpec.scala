@@ -178,6 +178,60 @@ class PackingSpec extends SparkSpec {
       s"corruption must shift attribution, got $g2")
   }
 
+  test("packBestFit: deterministic BFD assignment, oversize/zero-size legs, tighter than first-fit on a skewed fixture") {
+    import spark.implicits._
+    // budget 100, sizes 70 + 50x4 + 25x6: BFD fills the 70-bin's gap
+    // with a 25, pairs the 50s, and packs the rest 4-to-a-bin
+    val docs = (Seq((1L, 70L)) ++ (2L to 5L).map(_ -> 50L) ++
+      (6L to 11L).map(_ -> 25L)).toDF("doc_id", "n_tokens")
+    val got = Packing.packBestFit(docs, "doc_id", "n_tokens", budget = 100L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
+      6L -> 0L, 7L -> 3L, 8L -> 3L, 9L -> 3L, 10L -> 3L, 11L -> 4L)
+    assert(got == want, s"got $got")
+    // deterministic under repartitioning
+    val got2 = Packing.packBestFit(docs.repartition(5), "doc_id",
+        "n_tokens", budget = 100L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(got2 == want)
+    // report: 5 bins, 420 of 500 capacity filled
+    val rep = Packing.packingReport(
+        Packing.packBestFit(docs, "doc_id", "n_tokens", 100L),
+        "n_tokens", 100L)
+      .select("n_bins", "n_items", "packed_size", "fill_milli",
+        "padding_waste")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(rep == ((5L, 11L, 420L, 840L, 80L)), rep.toString)
+    // oversize items take a dedicated bin each; zero-size items place
+    // as size 1 (never an infinite loop, never dropped)
+    val odd = Seq((1L, 150L), (2L, 150L), (3L, 0L), (4L, 30L))
+      .toDF("doc_id", "n_tokens")
+    val gotOdd = Packing.packBestFit(odd, "doc_id", "n_tokens", 100L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(gotOdd.values.toSeq.sorted.distinct.size >= 3 &&
+      gotOdd(1L) != gotOdd(2L), s"oversize must not share: $gotOdd")
+    assert(gotOdd.contains(3L), s"zero-size doc must land: $gotOdd")
+    // the classic FF-vs-BFD separation: sizes 40,40,60,60 in id order.
+    // first-fit (id order, no straddle) opens 3 bins; BFD pairs 60+40
+    // twice and fills both bins completely
+    val skew = Seq((1L, 40L), (2L, 40L), (3L, 60L), (4L, 60L))
+      .toDF("doc_id", "n_tokens")
+    val bfdFill = Packing.packingReport(
+        Packing.packBestFit(skew, "doc_id", "n_tokens", 100L),
+        "n_tokens", 100L)
+      .select("fill_milli").as[Long].head()
+    // inline first-fit reference (first bin that fits, id order)
+    val sizes = Seq(40L, 40L, 60L, 60L)
+    val ffBins = scala.collection.mutable.ArrayBuffer[Long]()
+    sizes.foreach { s =>
+      val i = ffBins.indexWhere(_ + s <= 100L)
+      if (i >= 0) ffBins(i) += s else ffBins += s
+    }
+    val ffFill = ffBins.sum * 1000L / (ffBins.length * 100L)
+    assert(bfdFill == 1000L && ffFill == 666L && bfdFill > ffFill,
+      s"bfd $bfdFill vs ff $ffFill")
+  }
+
   test("fertilityTelemetry: geometry-derived tokens (sep excluded), exact floor ratios, NULL on zero denominators") {
     import spark.implicits._
     val packed = Seq(
