@@ -1069,15 +1069,18 @@ object SparkEntry {
 
     // A7: hourly rollup with peak (max) — the declared-but-never-written
     // hourly_traffic_stats job.
-    "q08_hourly_rollup" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("event_type"))
-        .agg(round(sum("value"), 4).as("total_value"),
-          round(avg("value"), 4).as("avg_value"),
-          round(max("value"), 4).as("peak_value"))
-        .orderBy("hour", "event_type")
-    }),
+    // The hourly rollup IS Rollup.hourlyState + Rollup.report (the
+    // q76 machinery): decimal sums and an integer-unit exact half-up
+    // average — regenerated sf0.1 data lands real hours exactly on
+    // the 4-dp tie (1236.27/24 = 51.51125), where round-on-double
+    // flips between engines (caught by the round-15 full sweep).
+    "q08_hourly_rollup" -> ((s, dir) =>
+      graft.operators.Rollup.report(
+          graft.operators.Rollup.hourlyState(t(s, dir, "events"),
+            "ts", "value", Seq("event_type")))
+        .select("hour", "event_type", "total_value", "avg_value",
+          "peak_value")
+        .orderBy("hour", "event_type")),
 
     // A8/O1: the README SQL report through the spark.sql surface.
     "q09_sql_report" -> ((s, dir) => {
@@ -5959,10 +5962,19 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
 
     "q08_hourly_rollup" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-                event_type, round(sum(value), 4) AS total_value,
-                round(avg(value), 4) AS avg_value, round(max(value), 4) AS peak_value
-         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+      """WITH h AS (
+           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                  event_type, count(1) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(20,4))) * 10000 AS BIGINT)
+                    AS su,
+                  round(max(value), 4) AS peak_value
+           FROM events GROUP BY 1, 2)
+         SELECT hour, event_type,
+                CAST(su AS DOUBLE) / 10000.0 AS total_value,
+                CAST((su * 2 + n) // (2 * n) AS DOUBLE) / 10000.0
+                  AS avg_value,
+                peak_value
+         FROM h ORDER BY hour, event_type""",
 
     "q09_sql_report" ->
       """SELECT event_type, round(avg(value), 4) AS avg_value, count(1) AS n
@@ -8424,15 +8436,20 @@ object SparkEntry {
     // q76: the oracle is the from-scratch rollup — the incremental
     // merge must be indistinguishable from a full recompute.
     "q76_incr_rollup" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-                event_type, count(1) AS n,
-                round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 4)
-                  AS total_value,
-                round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(1), 4)
+      """WITH h AS (
+           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                  event_type, count(1) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(20,4))) * 10000 AS BIGINT)
+                    AS su,
+                  round(min(value), 4) AS min_value,
+                  round(max(value), 4) AS peak_value
+           FROM events GROUP BY 1, 2)
+         SELECT hour, event_type, n,
+                CAST(su AS DOUBLE) / 10000.0 AS total_value,
+                CAST((su * 2 + n) // (2 * n) AS DOUBLE) / 10000.0
                   AS avg_value,
-                round(min(value), 4) AS min_value,
-                round(max(value), 4) AS peak_value
-         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+                min_value, peak_value
+         FROM h ORDER BY hour, event_type""",
 
     // q75: shard = (32-bit digest prefix) mod 16 = the prefix's LOW
     // hex digit (char 8), read as its digit value via strpos; position

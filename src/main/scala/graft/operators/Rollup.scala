@@ -60,16 +60,29 @@ object Rollup {
   }
 
   /** Derive the user-facing rollup from the state: the non-mergeable
-    * avg comes from s/n here, never stored. The exact decimal state
-    * drops to double only at this edge (one cast + one division —
-    * the same IEEE steps in any engine, so the q76 oracle can mirror
-    * them). */
-  def report(state: DataFrame): DataFrame =
-    state.select(
-      state.columns.filterNot(StateCols.contains).toIndexedSeq.map(col) ++ Seq(
+    * avg comes from s/n here, never stored.
+    *
+    * The 4-dp average is computed in INTEGER 1e-4 UNITS with an exact
+    * half-up division — `(2·su + n) div (2n)` for the non-negative
+    * sums an events rollup carries — and only then divided by 10⁴ as
+    * ONE IEEE double division any engine reproduces bit-for-bit.
+    * `round(s/n, 4)` on doubles is NOT that: Spark's round works on
+    * the double's shortest decimal representation while other engines
+    * round the binary value, and real regenerated data lands averages
+    * exactly on the 4-dp tie (1236.27/24 = 51.51125 — Spark said
+    * 51.5113, DuckDB 51.5112; caught by the round-15 full-battery
+    * sweep, 4 of 3600 hours). Integer units make the tie-break a
+    * stated rule instead of a representation accident. */
+  def report(state: DataFrame): DataFrame = {
+    val keys = state.columns.filterNot(StateCols.contains).toIndexedSeq
+    state
+      .withColumn("__su", (col("s") * 10000).cast("long"))
+      .withColumn("__au", expr("(__su * 2 + n) div (2 * n)"))
+      .select(keys.map(col) ++ Seq(
         col("n"),
-        round(col("s").cast("double"), 4).as("total_value"),
-        round(col("s").cast("double") / col("n"), 4).as("avg_value"),
+        (col("__su").cast("double") / 10000.0).as("total_value"),
+        (col("__au").cast("double") / 10000.0).as("avg_value"),
         round(col("mn"), 4).as("min_value"),
         round(col("mx"), 4).as("peak_value")): _*)
+  }
 }
