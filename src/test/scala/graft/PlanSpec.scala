@@ -271,6 +271,31 @@ class PlanSpec extends SparkSpec {
       !p.contains("Window"), p.take(800))
   }
 
+  test("q174/q175/q176: trainer-seam plans — one assembly agg, geometry-only ledgers, histogram-solved packing") {
+    // q174: the multimodal assembly is ONE hash aggregation over the
+    // packed rows; no cartesian product anywhere, and the only Window
+    // is packContiguous's per-shard prefix sum
+    val p174 = plan("q174_multimodal_shards")
+    assert(!p174.contains("CartesianProduct"), p174.take(800))
+    // the slot-table branch re-derives the assembly, so the pack
+    // prefix-sum window appears once per branch — two, never more
+    assert("Window".r.findAllIn(p174).size <= 2,
+      "only the pack prefix-sum windows may appear:\n" + p174.take(1200))
+    // q175: the fertility ledger never re-tokenizes — the doc meta
+    // joins the exploded geometry shares; one hash agg with combine
+    val p175 = plan("q175_fertility_telemetry")
+    assert(!p175.contains("CartesianProduct"), p175.take(800))
+    assert(p175.contains("partial_count") || p175.contains("partial_"),
+      "ledger aggregation lost its map-side combine:\n" + p175.take(1200))
+    // q176: best-fit packing pays one rank window per (shard, size)
+    // class and the funnel agg — never a join against a bin table
+    val p176 = plan("q176_bestfit_packing")
+    assert(!p176.contains("CartesianProduct") &&
+      !p176.contains("SortMergeJoin"), p176.take(800))
+    assert("Window".r.findAllIn(p176).size == 1,
+      "exactly the rank window:\n" + p176.take(1200))
+  }
+
   test("q162/q164: the CCNet cut windows the HISTOGRAM, not the corpus; the license gate is one narrow pass") {
     // q162: exactly ONE Window — over the bounded (lang, score)
     // histogram (its input is a HashAggregate, never the raw docs) —
