@@ -1033,7 +1033,9 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          sum(col("l_extendedprice").cast("decimal(20,2)") *
+            (lit(1.0).cast("decimal(4,2)") -
+              col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"),
           round(avg("l_extendedprice"), 4).as("avg_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -1124,7 +1126,9 @@ object SparkEntry {
       val l = t(s, dir, "lineitem")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)") *
+            (lit(1.0).cast("decimal(4,2)") -
+              col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
@@ -1670,7 +1674,9 @@ object SparkEntry {
         .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .groupBy("p_brand", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)") *
+            (lit(1.0).cast("decimal(4,2)") -
+              col("l_discount").cast("decimal(4,2)"))).cast("double")
           .as("revenue"), count(lit(1)).as("n"))
         .orderBy("p_brand", "n_name")
     }),
@@ -1693,7 +1699,9 @@ object SparkEntry {
       graft.sources.Bucketed
         .cojoin(s, "graft_q40_lineitem", "graft_q40_orders", "orderkey")
         .groupBy("o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)") *
+            (lit(1.0).cast("decimal(4,2)") -
+              col("l_discount").cast("decimal(4,2)"))).cast("double")
           .as("revenue"), count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
@@ -1719,7 +1727,9 @@ object SparkEntry {
           col("o_orderpriority")), ot, "orderkey")
       graft.sources.Bucketed.cojoin(s, lt, ot, "orderkey")
         .groupBy("o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)") *
+            (lit(1.0).cast("decimal(4,2)") -
+              col("l_discount").cast("decimal(4,2)"))).cast("double")
           .as("revenue"), count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
@@ -1735,7 +1745,9 @@ object SparkEntry {
         col("s_nationkey"))
       graft.operators.Skew.saltedJoin(l, su, "suppkey", salt = 8)
         .groupBy("s_nationkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)") *
+            (lit(1.0).cast("decimal(4,2)") -
+              col("l_discount").cast("decimal(4,2)"))).cast("double")
           .as("revenue"), count(lit(1)).as("n"))
         .orderBy("s_nationkey")
     }),
@@ -3150,7 +3162,9 @@ object SparkEntry {
     "q46_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)") *
+            (lit(1.0).cast("decimal(4,2)") -
+              col("l_discount").cast("decimal(4,2)"))).cast("double")
           .as("revenue"), count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("ret_flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("line_status"),
@@ -3894,7 +3908,9 @@ object SparkEntry {
       graft.operators.RuntimeFilter
         .bloomPrunedJoin(li, urgent, "l_orderkey", "o_orderkey")
         .groupBy("o_orderstatus")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)") *
+            (lit(1.0).cast("decimal(4,2)") -
+              col("l_discount").cast("decimal(4,2)"))).cast("double")
                .as("revenue"),
              count(lit(1)).as("n"))
         .orderBy("o_orderstatus")
@@ -5941,7 +5957,9 @@ object SparkEntry {
 
     "q04_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) *
+                  (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) AS revenue,
                 round(avg(l_extendedprice), 4) AS avg_price, count(1) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -5999,7 +6017,9 @@ object SparkEntry {
 
     "q12_join_revenue" ->
       """SELECT o_orderpriority,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) *
+                  (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) AS revenue,
                 count(1) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
@@ -6410,7 +6430,9 @@ object SparkEntry {
 
     "q39_star_join" ->
       """SELECT p_brand, n_name,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) *
+                  (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) AS revenue,
                 count(1) AS n
          FROM lineitem
            JOIN part ON l_partkey = p_partkey
@@ -6422,7 +6444,9 @@ object SparkEntry {
     // oracle is the plain join, proving layout changes nothing.
     "q40_bucketed_cojoin" ->
       """SELECT o_orderpriority,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) *
+                  (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) AS revenue,
                 count(1) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
@@ -6431,7 +6455,9 @@ object SparkEntry {
     // identical oracle: the build/serve split must change nothing.
     "q40b_bucketed_serve" ->
       """SELECT o_orderpriority,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) *
+                  (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) AS revenue,
                 count(1) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
@@ -6440,7 +6466,9 @@ object SparkEntry {
     // the result.
     "q41_salted_join" ->
       """SELECT s_nationkey,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) *
+                  (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) AS revenue,
                 count(1) AS n
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_nationkey ORDER BY s_nationkey""",
@@ -7685,7 +7713,9 @@ object SparkEntry {
     "q46_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS ret_flag,
                 coalesce(l_linestatus, 'ALL') AS line_status,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) *
+                  (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) AS revenue,
                 count(1) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY ret_flag, line_status""",
@@ -8473,7 +8503,9 @@ object SparkEntry {
     // removed by the exact join).
     "q74_bloom_join" ->
       """SELECT o_orderstatus,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) *
+                  (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) AS revenue,
                 count(1) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'

@@ -16,6 +16,9 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 fails = 0
+# identical oracle SQL strings (the lifecycle families: q22/q22b/q109
+# bind ONE brute-force statement three times) evaluate once
+sql_cache = {}
 for name, sql in sorted(oracle.items()):
     files = glob.glob(os.path.join(outdir, name, "*.parquet"))
     if not files:
@@ -24,7 +27,11 @@ for name, sql in sorted(oracle.items()):
         continue
     try:
         got = con.sql(f"SELECT * FROM '{files[0]}'").df()
-        want = con.sql(sql).df()
+        if sql in sql_cache:
+            want = sql_cache[sql]
+        else:
+            want = con.sql(sql).df()
+            sql_cache[sql] = want
     except Exception as e:
         print(f"FAIL {name}: {e}")
         fails += 1
