@@ -376,6 +376,44 @@ object Text {
         when(stats.getField(field) > thr, lit(name)).otherwise(rest)
     }
 
+  /** [[RepStats]] field names in kernel-array order — the one place
+    * that states the struct-field ↔ array-slot correspondence, so
+    * [[gopherFiredRule]] and the Column ladder can never drift. */
+  private val RepStatsFields: Seq[String] = Seq(
+    "dup_para_pm", "dup_line_pm", "dup_para_char_pm", "dup_line_char_pm",
+    "top2_pm", "top3_pm", "top4_pm", "dup5_pm", "dup6_pm", "dup7_pm",
+    "dup8_pm", "dup9_pm", "dup10_pm")
+
+  /** Single-kernel form of
+    * `gopherRepetitionRule(repetitionStats(text))`: ONE JVM pass
+    * computes the 13 stats and walks the same
+    * [[GopherRepetitionRules]] ladder in-process, returning the first
+    * fired rule name (NULL when none fires, NULL text → NULL).
+    *
+    * This exists because the Column composition evaluates the stats
+    * UDF once per threshold consumer — codegen subexpression
+    * elimination does not hoist a common subtree across nested
+    * CaseWhen branches, so the 13-`when` ladder re-ran the kernel up
+    * to 13× per row (the round-15 q171b defect). Funnel callers
+    * ([[graft.operators.Corpus.gateAttribution]]) use this form; the
+    * struct form stays for stat REPORTING (q171) where every field is
+    * a real output. TextSpec pins the two forms equal over all 26
+    * fire/near-miss fixture classes. */
+  def gopherFiredRule(text: Column): Column = {
+    val ladder = GopherRepetitionRules.map { case (name, field, thr) =>
+      val idx = RepStatsFields.indexOf(field)
+      require(idx >= 0, s"unknown RepStats field $field")
+      (name, idx, thr.toLong)
+    }
+    udf { (s: String) =>
+      val a = graft.operators.Sketches.repetitionStats(s)
+      if (a == null) null
+      else ladder.collectFirst {
+        case (name, idx, thr) if a(idx) > thr => name
+      }.orNull
+    }.withName("gopher_fired_rule").apply(text)
+  }
+
   // ------------------------------------------------ C4 badwords gate
 
   /** Committed blocklist for the C4 badwords gate (Raffel et al. 2020
@@ -636,6 +674,11 @@ object Text {
   }
 
   def registerSqlFunctions(spark: SparkSession): Unit = {
+    // register-once per session (mirrors City.registerSqlFunctions):
+    // re-registration is harmless but each repeat logs a
+    // SimpleFunctionRegistry "replaced a previously registered
+    // function" WARN — one per function per battery entry
+    if (spark.catalog.functionExists("token_count")) return
     spark.udf.register("token_count", (s: String) =>
       if (s == null) null else Int.box(tokenCountScalar(s)))
     spark.udf.register("lang_id", (s: String) =>

@@ -38,9 +38,10 @@ object Corpus {
              maxDupTokenFraction: Option[Double] = Some(0.5),
              dropNearDups: Boolean = false,
              nearDupThreshold: Double = 0.8,
-             badwords: Option[Seq[String]] = None): DataFrame = {
+             badwords: Option[Seq[String]] = None,
+             gopherRepetition: Boolean = false): DataFrame = {
     val filtered = signalGates(df, textCol, langs, minQuality,
-      maxDupTokenFraction, badwords)
+      maxDupTokenFraction, badwords, gopherRepetition)
     val exact = Dedup.dropExactDuplicates(filtered, idCol, textCol)
     if (dropNearDups)
       Dedup.dropNearDuplicates(exact, idCol, textCol, nearDupThreshold)
@@ -51,17 +52,26 @@ object Corpus {
     * [[refineStream]] — stateless, so it applies identically to batch
     * frames and streams. `badwords` adds the C4 blocklist gate
     * ([[Text.containsBlockedWord]] — whole-word match, Raffel et al.
-    * 2020 §2.2); off by default, like near-dup dedup. */
+    * 2020 §2.2); off by default, like near-dup dedup. `gopherRepetition`
+    * adds the full Rae et al. 2021 Table A1 rule ladder
+    * ([[Text.gopherFiredRule]] — one kernel pass) ahead of the
+    * dup-token ceiling, matching [[gateAttribution]]'s
+    * `namedRepetition` mode gate-for-gate so the funnel's `kept`
+    * count equals [[refine]]'s survivor count under EITHER flag
+    * setting, provided the flags agree. */
   private def signalGates(df: DataFrame, textCol: String, langs: Set[String],
                           minQuality: Option[Double],
                           maxDupTokenFraction: Option[Double],
-                          badwords: Option[Seq[String]] = None): DataFrame = {
+                          badwords: Option[Seq[String]] = None,
+                          gopherRepetition: Boolean = false): DataFrame = {
     val gates = Seq(
       Some(col(textCol).isNotNull),
       if (langs.nonEmpty)
         Some(Text.langId(col(textCol)).isin(langs.toSeq: _*)) else None,
       minQuality.map(Text.qualityScore(col(textCol)) >= _),
       badwords.map(w => !Text.containsBlockedWord(col(textCol), w)),
+      if (gopherRepetition)
+        Some(Text.gopherFiredRule(col(textCol)).isNull) else None,
       maxDupTokenFraction.map(Text.dupTokenFraction(col(textCol)) <= _)
     ).flatten
     gates.reduceOption(_ && _).map(df.filter).getOrElse(df)
@@ -79,12 +89,22 @@ object Corpus {
     * input and `kept` equals [[refine]]'s survivor count by
     * construction.
     *
-    * Plan shape: the three signal kernels are ONE scan-side
-    * projection (no shuffle); the duplicate verdict needs the
-    * keeper-per-digest map, which is the q19 digest hash-agg
-    * restricted to gate-passing docs (identical semantics to
-    * [[refine]]'s dedup stage) joined back on the digest. Output is
-    * per-doc `(doc_id, verdict)`; aggregate downstream as needed.
+    * Plan shape: the per-row signal kernels are ONE scan-side
+    * projection, each kernel appearing at exactly ONE plan site
+    * (PlanSpec-pinned), and that projection is `localCheckpoint`ed
+    * before the funnel fans out — the duplicate verdict needs the
+    * keeper-per-digest map (the q19 digest hash-agg restricted to
+    * gate-passing docs, identical semantics to [[refine]]'s dedup
+    * stage) joined back on the digest, which makes the verdict plan
+    * reference the flagged frame from THREE arms (outer left join +
+    * both sides of the keeper join). Without the checkpoint each arm
+    * re-runs every kernel — with the Gopher ladder that was a ~30×
+    * kernel multiplication (the round-15 q171b defect, 26.5 s for a
+    * 1 s kernel). The checkpoint also means this call is EAGER: the
+    * gate kernels run when [[gateAttribution]] is invoked, and the
+    * materialized frame carries only `(id, digest, flags, rule)` —
+    * document text never persists. Output is per-doc
+    * `(doc_id, verdict)`; aggregate downstream as needed.
     *
     * With `namedRepetition` the single dup-token ceiling becomes the
     * full Gopher rule ladder ([[Text.GopherRepetitionRules]] — the
@@ -92,43 +112,27 @@ object Corpus {
     * as a final `dup_token` rule, and the repetition verdict names
     * WHICH rule fired (`repetition:dup_para`, `repetition:top_2gram`,
     * …) — the funnel detail a mixture-design dashboard needs. The
-    * stats ride the same scan-side projection (one JVM kernel pass;
-    * the 13 threshold consumers share the one struct through
-    * codegen's subexpression elimination). Default off: the verdict
+    * ladder runs as ONE kernel call ([[Text.gopherFiredRule]] — the
+    * Column composition of 13 `when`s over the stats struct re-ran
+    * the kernel per branch; codegen subexpression elimination does
+    * not hoist across nested CaseWhen arms). Default off: the verdict
     * VOCABULARY changes under this flag, so existing funnels keep
-    * their plain `repetition` label unless they opt in. */
+    * their plain `repetition` label unless they opt in. The `kept`
+    * count equals [[refine]]'s survivor count when refine's
+    * `gopherRepetition` flag matches `namedRepetition` (CorpusSpec
+    * pins both pairings). */
   def gateAttribution(df: DataFrame, idCol: String, textCol: String,
                       langs: Set[String] = Set("en"),
                       minQuality: Double = 0.3,
                       maxDupTokenFraction: Double = 0.5,
                       namedRepetition: Boolean = false,
                       badwords: Option[Seq[String]] = None): DataFrame = {
-    val firedRule =
-      if (namedRepetition)
-        coalesce(
-          Text.gopherRepetitionRule(Text.repetitionStats(col(textCol))),
-          when(Text.dupTokenFraction(col(textCol)) > maxDupTokenFraction,
-            lit("dup_token")))
-      else
-        when(Text.dupTokenFraction(col(textCol)) > maxDupTokenFraction,
-          lit("repetition"))
-    // the C4 blocklist sits between quality and repetition in the
-    // funnel — the refine pipeline's gate order (signalGates);
-    // disabled it is a constant TRUE and the verdict never appears
-    val bwPass = badwords
-      .map(w => !Text.containsBlockedWord(col(textCol), w))
-      .getOrElse(lit(true))
-    val flagged = df.select(col(idCol), col(textCol),
-      col(textCol).isNotNull.as("__nn"),
-      Text.langId(col(textCol)).isin(langs.toSeq: _*).as("__lang"),
-      (Text.qualityScore(col(textCol)) >= minQuality).as("__q"),
-      bwPass.as("__bw"),
-      firedRule.as("__rule"),
-      firedRule.isNull.as("__rep"))
+    val flagged = gateFlagged(df, idCol, textCol, langs, minQuality,
+      maxDupTokenFraction, namedRepetition, badwords).localCheckpoint()
     val passing = flagged
       .filter(col("__nn") && col("__lang") && col("__q") && col("__bw") &&
-        col("__rep"))
-      .select(col(idCol), md5(col(textCol)).as("__d"))
+        col("__rule").isNull)
+      .select(col(idCol), col("__d"))
     val keepers = passing.groupBy("__d")
       .agg(min(col(idCol)).as("__keeper"))
     val dupStatus = passing.join(keepers, "__d")
@@ -142,9 +146,49 @@ object Corpus {
           .when(!col("__lang"), lit("lang"))
           .when(!col("__q"), lit("quality"))
           .when(!col("__bw"), lit("badwords"))
-          .when(!col("__rep"), repVerdict)
+          .when(col("__rule").isNotNull, repVerdict)
           .when(!col("__isKeeper"), lit("duplicate"))
           .otherwise(lit("kept")).as("verdict"))
+  }
+
+  /** The one-pass gate projection behind [[gateAttribution]] —
+    * un-checkpointed, exposed for the PlanSpec pin that every gate
+    * kernel (langId, quality, the repetition rule) occurs at exactly
+    * ONE site in the plan. Carries the dedup digest instead of the
+    * text so the checkpointed frame is small: `(id, __d, __nn,
+    * __lang, __q, __bw, __rule)`. `__rule` is referenced (never
+    * recomputed) downstream; deriving `isNull` flags here would put a
+    * second kernel reference in the projection, which CollapseProject
+    * happily duplicates. */
+  private[graft] def gateFlagged(df: DataFrame, idCol: String,
+                                 textCol: String, langs: Set[String],
+                                 minQuality: Double,
+                                 maxDupTokenFraction: Double,
+                                 namedRepetition: Boolean,
+                                 badwords: Option[Seq[String]]): DataFrame = {
+    // coalesce evaluates lazily left-to-right, so the dup-token
+    // Column only runs for docs the ladder passes
+    val firedRule =
+      if (namedRepetition)
+        coalesce(
+          Text.gopherFiredRule(col(textCol)),
+          when(Text.dupTokenFraction(col(textCol)) > maxDupTokenFraction,
+            lit("dup_token")))
+      else
+        when(Text.dupTokenFraction(col(textCol)) > maxDupTokenFraction,
+          lit("repetition"))
+    // the C4 blocklist sits between quality and repetition in the
+    // funnel — the refine pipeline's gate order (signalGates);
+    // disabled it is a constant TRUE and the verdict never appears
+    val bwPass = badwords
+      .map(w => !Text.containsBlockedWord(col(textCol), w))
+      .getOrElse(lit(true))
+    df.select(col(idCol), md5(col(textCol)).as("__d"),
+      col(textCol).isNotNull.as("__nn"),
+      Text.langId(col(textCol)).isin(langs.toSeq: _*).as("__lang"),
+      (Text.qualityScore(col(textCol)) >= minQuality).as("__q"),
+      bwPass.as("__bw"),
+      firedRule.as("__rule"))
   }
 
   /** Streaming form of [[refine]] for ingestion-time curation: the

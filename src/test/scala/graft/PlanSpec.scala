@@ -514,6 +514,30 @@ class PlanSpec extends SparkSpec {
         p.take(1200))
   }
 
+  test("q171b: the repetition kernel sits at exactly ONE plan site, checkpointed before the funnel arms") {
+    // parquet-backed, not a local Seq — ConvertToLocalRelation folds
+    // a LocalRelation projection at optimize time, hiding the kernel
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // the gate projection invokes the one-pass kernel exactly once —
+    // the round-15 defect was the 13-branch Column ladder re-running
+    // the stats UDF per threshold consumer
+    val fp = graft.operators.Corpus.gateFlagged(docs, "doc_id", "text",
+        Set("und"), 0.0, 0.5, namedRepetition = true, badwords = None)
+      .queryExecution.executedPlan.toString
+    assert("gopher_fired_rule".r.findAllIn(fp).size == 1,
+      "kernel must appear at exactly one site in the gate projection:\n" + fp.take(1500))
+    // the funnel output reads the localCheckpointed frame from all
+    // three arms — no gate kernel survives into the verdict plan
+    val vp = graft.operators.Corpus.gateAttribution(docs, "doc_id", "text",
+        langs = Set("und"), minQuality = 0.0, namedRepetition = true)
+      .queryExecution.executedPlan.toString
+    assert(!vp.contains("gopher_fired_rule"),
+      "verdict plan re-invokes the repetition kernel:\n" + vp.take(1500))
+    assert(vp.contains("ExistingRDD"),
+      "funnel arms must scan the checkpointed frame:\n" + vp.take(1500))
+  }
+
   test("q85: classifier scoring is one narrow pass — no shuffle, no join") {
     val p = plan("q85_classifier_score")
     // scoring = scan + project(kernel) + sort for the battery's

@@ -610,4 +610,24 @@ class TextSpec extends SparkSpec {
         assert(rule(fx) == want, s"fixture class $cls")
     }
   }
+
+  test("gopherFiredRule: the single-kernel form equals the Column ladder on every fixture class") {
+    // the funnel uses the one-pass kernel (gopherFiredRule); the q171
+    // battery uses the struct + Column ladder — pin them equal over
+    // all 26 fire/near-miss classes so a threshold or field-order
+    // drift between the two forms can never ship
+    val df = SparkEntry.GopherFixtures.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("cls", "text")
+    df.select($"cls",
+        Text.gopherFiredRule($"text").as("kernel"),
+        Text.gopherRepetitionRule(Text.repetitionStats($"text")).as("ladder"))
+      .collect().foreach { r =>
+        assert(r.getString(1) == r.getString(2),
+          s"class ${r.getLong(0)}: kernel=${r.getString(1)} ladder=${r.getString(2)}")
+      }
+    // NULL text → NULL rule; empty text → no rule
+    val edge = Seq(Tuple1(null.asInstanceOf[String]), Tuple1(""))
+      .toDF("text").select(Text.gopherFiredRule($"text")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
 }

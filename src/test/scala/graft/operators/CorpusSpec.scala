@@ -309,6 +309,14 @@ class CorpusSpec extends SparkSpec {
     assert(named(2L) == "repetition:top_2gram", s"got $named")
     assert(named(3L) == "repetition:dup_token", s"got $named")
     assert(named(4L) == "kept" && named(5L) == "duplicate", s"got $named")
+    // the kept-count invariant holds under the ladder too: refine's
+    // gopherRepetition flag is the pipeline-side mirror of
+    // namedRepetition, gate for gate
+    assert(named.values.count(_ == "kept").toLong ==
+      Corpus.refine(docs, "doc_id", "text", langs = Set("und"),
+        minQuality = Some(0.0), maxDupTokenFraction = Some(0.3),
+        gopherRepetition = true).count(),
+      "named funnel 'kept' must equal refine(gopherRepetition=true) survivors")
     // default mode on the same frame keeps the legacy verdict label
     val legacy = Corpus.gateAttribution(docs, "doc_id", "text",
         langs = Set("und"), minQuality = 0.0, maxDupTokenFraction = 0.3)
