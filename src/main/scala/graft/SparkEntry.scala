@@ -7104,10 +7104,13 @@ object SparkEntry {
          FROM mm GROUP BY source ORDER BY source""",
 
     // q176: the BFD assignment restated as pure rank arithmetic —
-    // the 70-doc is bin 0; 50-rank r is bin 1 + r div 2 (n50 is even
-    // at both battery SFs, so no 50-tail bin exists); the first
-    // 25-doc joins bin 0 (the tightest gap), the rest open bins of 4
-    // after the 50 bins.
+    // the 70-doc is bin 0; 50-rank r is bin 1 + r div 2 (an odd n50
+    // leaves a half-filled 50-TAIL bin, remaining 50); the first
+    // 25-doc joins bin 0 (the tightest gap, remaining 30), with an
+    // odd n50 the next TWO 25s fill the 50-tail bin, and the rest
+    // open bins of 4 after the 50 bins. Both n50 parities are stated
+    // so the oracle expresses the ALGORITHM, not the battery data's
+    // even-n50 accident.
     "q176_bestfit_packing" ->
       """WITH s AS (
            SELECT doc_id, CASE WHEN doc_id = 0 THEN 70
@@ -7124,6 +7127,11 @@ object SparkEntry {
                  CASE WHEN sz = 70 THEN 0
                       WHEN sz = 50 THEN 1 + rk // 2
                       WHEN rk = 0 THEN 0
+                      WHEN (SELECT n50 FROM c) % 2 = 1 AND rk <= 2
+                        THEN 1 + ((SELECT n50 FROM c) - 1) // 2
+                      WHEN (SELECT n50 FROM c) % 2 = 1
+                        THEN 1 + ((SELECT n50 FROM c) + 1) // 2
+                               + (rk - 3) // 4
                       ELSE 1 + (SELECT n50 FROM c) // 2 + (rk - 1) // 4
                  END AS bin
                FROM r)
@@ -7150,8 +7158,13 @@ object SparkEntry {
                     AS BIGINT) AS n25
            FROM s),
          bfd AS (
+           -- odd n50: the half-filled 50-tail bin absorbs 25-ranks
+           -- 1..2, so only n25-3 open fresh 4-packs; even n50: n25-1
            SELECT 'best_fit' AS method,
-                  1 + n50 // 2 + (n25 - 1 + 3) // 4 AS n_bins,
+                  CASE WHEN n50 % 2 = 1
+                    THEN 1 + (n50 + 1) // 2 + (n25 - 3 + 3) // 4
+                    ELSE 1 + n50 // 2 + (n25 - 1 + 3) // 4
+                  END AS n_bins,
                   n_items, packed
            FROM tot),
          ffb AS (

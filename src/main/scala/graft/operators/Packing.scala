@@ -159,12 +159,28 @@ object Packing {
     * bin arithmetic, [[BfdRun]]) whose total count is bounded by
     * groups × sizes — so the broadcast assignment table stays small
     * while the bins themselves can number in the billions. Row-side
-    * work is one rank window per (shard, size) class plus a closure
+    * work is the per-class rank plus a broadcast binary-search
     * lookup. Output = input columns + (shard, bin), the
     * [[packContiguous]] contract, so the assemblers compose
     * unchanged. Deterministic by construction: ranks order by id,
     * groups by bin id, so any engine replays the exact assignment
-    * (battery q176 states it closed-form). */
+    * (battery q176 states it closed-form).
+    *
+    * The rank itself is skew-safe for numeric ids: LLM packing input
+    * is dominated by ONE size class (every long doc truncates to the
+    * max sequence length), so a rank window partitioned by
+    * (shard, size) would serialize |class|/shards rows through single
+    * tasks. Instead the [[Sampling.topFractionBy]] discipline: ids
+    * bucket into ≤ 2^24 order-preserving classes (sortable double
+    * bits), a (shard, size, idClass) COUNT histogram prefix-sums into
+    * per-bucket rank offsets — a window over HISTOGRAM rows, never
+    * data rows — and the exact `row_number` only runs within each
+    * bucket (for a dominant size class, a ~2^-24 slice of it).
+    * Non-numeric ids keep the direct per-class window (no
+    * order-preserving bounded bucketing exists for arbitrary
+    * strings); sizes always rank by their LONG value — the histogram
+    * key — so fractional size columns cannot produce overlapping
+    * ranks within a class. */
   def packBestFit(df: DataFrame, idCol: String, sizeCol: String,
                   budget: Long, shards: Int = 1): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -251,19 +267,63 @@ object Packing {
       }
     val bcAllocs = df.sparkSession.sparkContext.broadcast(allocs)
     val binUdf = udf { (sh: Int, size: Long, rank: Long) =>
-      val runs = bcAllocs.value((sh, size))
-      // runs are rank-ordered; linear scan (≤ groups-touched entries)
-      var i = runs.length - 1
-      while (i > 0 && runs(i).r0 > rank) i -= 1
-      val r = runs(i)
+      // fail loud: a missing key means the input re-evaluated
+      // non-deterministically between the histogram collect and the
+      // assignment pass (same contract as integerCentroids)
+      val runs = bcAllocs.value.getOrElse((sh, size),
+        throw new IllegalStateException(
+          s"packBestFit: no allocation for (shard=$sh, size=$size) — " +
+            "the input frame or size column re-evaluated " +
+            "non-deterministically between the histogram and " +
+            "assignment passes"))
+      // runs are rank-ordered; binary search for the last r0 ≤ rank
+      var lo = 0
+      var hi = runs.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (runs(mid).r0 <= rank) lo = mid else hi = mid - 1
+      }
+      val r = runs(lo)
       r.startBin + (rank - r.r0) / r.perBin
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard"), col(sizeCol)).orderBy(col(idCol))
-    sharded
-      .withColumn("__rank", row_number().over(w).cast("long") - 1L)
-      .withColumn("bin",
-        binUdf(col("shard"), col(sizeCol).cast("long"), col("__rank")))
+    import org.apache.spark.sql.expressions.Window
+    val szl = col(sizeCol).cast("long")
+    val ranked = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        // two-pass skew-safe rank (see scaladoc): bucket ids into
+        // order-preserving classes, offset per bucket from the
+        // histogram, exact row_number only within a bucket. NULL
+        // keys coalesce to Long.MinValue so they keep their row
+        // through the equi-join and still sort FIRST (the window
+        // form's null-first order): the shifted id classes span
+        // ±2^23, far above the sentinel, and a real Long.MinValue
+        // size is out of any token-length domain.
+        val cls = coalesce(
+          shiftright(graft.expressions.ScalarExpressions
+            .sortableBits(col(idCol).cast("double")), 40),
+          lit(Long.MinValue))
+        val szlKey = coalesce(szl, lit(Long.MinValue))
+        val offs = sharded
+          .groupBy(col("shard"), szlKey.as("__szl"), cls.as("__cls"))
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__off",
+            coalesce(sum(col("__c")).over(Window
+              .partitionBy("shard", "__szl").orderBy("__cls")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .drop("__c")
+        val wIn = Window.partitionBy(col("shard"), col("__szl"),
+          col("__cls")).orderBy(col(idCol))
+        sharded.withColumn("__szl", szlKey).withColumn("__cls", cls)
+          .join(offs, Seq("shard", "__szl", "__cls"))
+          .withColumn("__rank",
+            col("__off") + row_number().over(wIn).cast("long") - 1L)
+          .drop("__szl", "__cls", "__off")
+      case _ =>
+        val w = Window.partitionBy(col("shard"), szl).orderBy(col(idCol))
+        sharded.withColumn("__rank", row_number().over(w).cast("long") - 1L)
+    }
+    ranked
+      .withColumn("bin", binUdf(col("shard"), szl, col("__rank")))
       .drop("__rank")
   }
 

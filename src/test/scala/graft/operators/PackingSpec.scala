@@ -232,6 +232,64 @@ class PackingSpec extends SparkSpec {
       s"bfd $bfdFill vs ff $ffFill")
   }
 
+  test("packBestFit: skew-safe rank — no window over the raw (shard,size) class; fractional sizes rank by their long value") {
+    import spark.implicits._
+    // 90%-one-size fixture: the typical LLM packing input (max-seq-len
+    // truncation makes one size class dominate). The rank must come
+    // from the two-pass id-class histogram, never a row_number window
+    // partitioned by (shard, size) alone — that serializes the
+    // dominant class through one task.
+    val dom = ((1L to 90L).map(_ -> 50L) ++ (91L to 100L).map(_ -> 30L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Packing.packBestFit(dom, "doc_id", "n_tokens", 100L)
+    val plan = packed.queryExecution.executedPlan.toString
+    val windows = plan.split("\n").filter(_.contains("Window"))
+      .filterNot(_.contains("WindowGroupLimit")).toSeq
+    assert(windows.nonEmpty, "expected the within-bucket rank window")
+    windows.foreach(w => assert(w.contains("__cls"),
+      s"a window runs over the raw size class (single-task on the dominant size):\n$w"))
+    // assignment identical to the naive single-window reference
+    val got = packed.select("doc_id", "bin").as[(Long, Long)]
+      .collect().toMap
+    val naive = {
+      val ranks = (1L to 90L).zipWithIndex.map { case (id, r) =>
+        id -> (0L, r.toLong) } ++
+        (91L to 100L).zipWithIndex.map { case (id, r) =>
+          id -> (1L, r.toLong) }
+      // BFD by hand: 45 bins of 50+50, then 30s best-fit 3-to-a-bin
+      ranks.toMap.map { case (id, (cls, r)) =>
+        id -> (if (cls == 0L) r / 2 else 45L + r / 3)
+      }
+    }
+    assert(got == naive, s"got $got")
+    // every bin respects the budget
+    val fills = packed.groupBy("bin").agg(sum("n_tokens").as("s"))
+      .select("s").as[Long].collect()
+    assert(fills.forall(_ <= 100L), fills.mkString(","))
+    // odd-n50 tail bin (the q176 oracle's other parity leg): 70 + 3
+    // fifties + 7 twentyfives — the lone half-filled 50-bin absorbs
+    // 25-ranks 1..2, ranks 3+ open a fresh 4-pack
+    val oddN50 = (Seq((0L, 70L)) ++ Seq(1L, 3L, 5L).map(_ -> 50L) ++
+      Seq(2L, 4L, 6L, 8L, 10L, 12L, 14L).map(_ -> 25L))
+      .toDF("doc_id", "n_tokens")
+    val gotOddN50 = Packing.packBestFit(oddN50, "doc_id", "n_tokens", 100L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    val wantOddN50 = Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 2L,
+      2L -> 0L, 4L -> 2L, 6L -> 2L, 8L -> 3L, 10L -> 3L, 12L -> 3L,
+      14L -> 3L)
+    assert(gotOddN50 == wantOddN50, s"got $gotOddN50")
+    // fractional size column (ADVICE round 15): 3.0 and 3.4 share the
+    // long class 3 — ranks must be computed on the CAST value, so the
+    // class packs budget/3 items per bin, never overlapping ranks
+    val frac = (1L to 12L).map(i => (i, if (i % 2 == 0) 3.0 else 3.4))
+      .toDF("doc_id", "sz")
+    val fracPacked = Packing.packBestFit(frac, "doc_id", "sz", 9L)
+    val fracFills = fracPacked.groupBy("bin")
+      .agg(count(lit(1)).as("n")).select("n").as[Long].collect()
+    assert(fracFills.forall(_ <= 3L) && fracFills.sum == 12L,
+      s"overlapping ranks overfilled a bin: ${fracFills.mkString(",")}")
+  }
+
   test("fertilityTelemetry: geometry-derived tokens (sep excluded), exact floor ratios, NULL on zero denominators") {
     import spark.implicits._
     val packed = Seq(
