@@ -2887,6 +2887,40 @@ object SparkEntry {
         .orderBy("method")
     }),
 
+    // SFT loss-mask seam (train-on-completions — the q144 FIM / q174
+    // slot-table sibling): the q145 token chain gets a planted
+    // prompt/completion boundary — doc_id%5==0 all-completion, ==1
+    // all-prompt (empty span, separator untrained), ==2 NULL
+    // (unlabeled pretraining doc -> trains in full), else half — and
+    // the assembler emits per-doc [mask_start, mask_end) spans over
+    // the packed sequence. The oracle rebuilds every span from the
+    // closed-form chain geometry: a wrong offset, clamp, or
+    // separator rule breaks the CSV hash.
+    "q177_sft_loss_mask" -> ((s, dir) => {
+      val toks = graft.operators.Bpe.tokenIds(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", CommittedBpeMerges)
+      val m = pmod(col("doc_id"), lit(5))
+      val withB = toks.withColumn("prompt_tokens",
+        when(m === 0, lit(0L))
+          .when(m === 1, col("n_tokens").cast("long"))
+          .when(m === 2, lit(null).cast("long"))
+          .otherwise(expr("CAST(n_tokens AS BIGINT) div 2")))
+      val packed = graft.operators.Packing.packContiguous(
+        withB, "doc_id", "n_tokens", budget = 5000L, shards = 4)
+      graft.operators.Packing.assembleSftSequences(packed,
+          "doc_id", "token_ids", "prompt_tokens", orderCol = "doc_id")
+        .select(col("shard"), col("bin"), col("n_docs"), col("seq_tokens"),
+          aggregate(zip_with(col("mask_ends"), col("mask_starts"),
+            (e, st) => e - st), lit(0L), (a, x) => a + x)
+            .as("masked_tokens"),
+          array_join(transform(col("mask_starts"), _.cast("string")), ",")
+            .as("mask_starts_csv"),
+          array_join(transform(col("mask_ends"), _.cast("string")), ",")
+            .as("mask_ends_csv"))
+        .orderBy("shard", "bin")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -7186,6 +7220,73 @@ object SparkEntry {
                   AS fill_milli,
                 CAST(n_bins * 100 - packed AS BIGINT) AS padding_waste
          FROM u ORDER BY method""",
+
+    // q177: the q145 chain (tokens, shard, contiguous bin, offsets)
+    // plus the planted boundary ladder; spans restated closed-form —
+    // clamp to the doc length, +1 separator only when the completion
+    // is non-empty, NULL boundary trains in full.
+    "q177_sft_loss_mask" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '),
+                  x -> length(x) > 0) AS ws
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+                  flatten(list_transform(ws, wd ->
+                    list_transform(
+                      CASE WHEN wd LIKE '%e'
+                        THEN list_append(list_slice(
+                               regexp_extract_all(wd, 'th|in|.'), 1,
+                               len(regexp_extract_all(wd, 'th|in|.')) - 1),
+                             'e</w>')
+                        ELSE list_append(regexp_extract_all(wd, 'th|in|.'),
+                             '</w>')
+                      END,
+                      t -> CASE t WHEN '</w>' THEN 1 WHEN 'th' THEN 2
+                                  WHEN 'in' THEN 3 WHEN 'e</w>' THEN 4
+                                  ELSE 5 + unicode(t) END))) AS ids
+           FROM w),
+         p AS (
+           SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n_tokens,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 4 AS INT) AS shard
+           FROM tok),
+         b AS (
+           SELECT shard, doc_id, n_tokens,
+                  CAST(floor(coalesce(sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 5000.0) AS BIGINT) AS bin
+           FROM p),
+         o AS (
+           SELECT shard, bin, doc_id, n_tokens AS l,
+                  coalesce(sum(n_tokens + 1) OVER (
+                    PARTITION BY shard, bin ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS off
+           FROM b),
+         sp AS (
+           SELECT shard, bin, doc_id, off, l,
+                  least(CASE WHEN doc_id % 5 = 0 THEN 0
+                             WHEN doc_id % 5 = 1 THEN l
+                             WHEN doc_id % 5 = 2 THEN 0
+                             ELSE l // 2 END, l) AS cb
+           FROM o),
+         m AS (
+           SELECT shard, bin, doc_id, l,
+                  off + cb AS ms,
+                  CASE WHEN cb < l THEN off + l + 1 ELSE off + cb END AS me
+           FROM sp)
+         SELECT shard, bin, CAST(count(1) AS INT) AS n_docs,
+                CAST(sum(l + 1) AS BIGINT) AS seq_tokens,
+                CAST(sum(me - ms) AS BIGINT) AS masked_tokens,
+                string_agg(CAST(ms AS VARCHAR), ',' ORDER BY doc_id)
+                  AS mask_starts_csv,
+                string_agg(CAST(me AS VARCHAR), ',' ORDER BY doc_id)
+                  AS mask_ends_csv
+         FROM m GROUP BY shard, bin ORDER BY shard, bin""",
 
     // q175: tokens via the q145 chain (no separator), denominators
     // from the same normalize, ratios exact integer floor divisions.

@@ -550,13 +550,14 @@ object Dedup {
     * Scale shape — the [[contaminatedDocs]] asymmetry with the
     * [[minhashSketches]] machinery: the benchmark side is eval-sized,
     * so its banded sketch rows BROADCAST; the corpus side is one
-    * scan-side sketch kernel pass whose banded rows join the
-    * broadcast WITHOUT an exchange, and candidates verify INLINE with
-    * the exact hashed-shingle Jaccard (the [[graft.operators
-    * .Similarity.lshTopK]] rationale: a pair colliding in several
-    * bands re-scores a cheap set intersection rather than forcing a
-    * join-back — `countDistinct` dedups the hits). The only corpus
-    * shuffle is the final |contaminated|-keyed aggregation. Recall is
+    * scan-side sketch kernel pass whose NARROW banded rows (no
+    * shingle payload) join the broadcast WITHOUT an exchange.
+    * Candidate (doc, bench) pairs then DEDUP before the exact
+    * hashed-shingle Jaccard verify — shingle arrays attach once per
+    * candidate pair via a semi-joined kernel re-run over just the
+    * candidate docs, never riding ×`bands` exploded rows through the
+    * join projection. The only corpus shuffle is the final
+    * |contaminated|-keyed aggregation. Recall is
     * the LSH collision curve 1-(1-s^r)^b — near-certain at the
     * near-clone similarities this gate exists for (s=0.95: miss rate
     * ~3e-8 at 128/16); the battery plants s≈0.956 clones and oracles
@@ -567,17 +568,41 @@ object Dedup {
                             benchIdCol: String, benchTextCol: String,
                             threshold: Double = 0.8, numHashes: Int = 128,
                             bands: Int = 16, shingleK: Int = 5): DataFrame = {
-    val cs = minhashSketches(corpus, idCol, textCol, numHashes, bands,
+    // candidate pass: NARROW banded rows only — (doc_id, band_id,
+    // band_hash), never the shingle array, which would otherwise ride
+    // every one of its doc's `bands` exploded rows through the join
+    // projection (the round-15 ADVICE). Candidates dedup to distinct
+    // (doc, bench) pairs and localCheckpoint — the frame is bounded
+    // by true contamination + the LSH false-positive tail, and
+    // materializing it keeps the band-join subtree from re-executing
+    // under the verify pass's semi-join (this makes the call EAGER).
+    val cBands = minhashSketches(corpus, idCol, textCol, numHashes, bands,
         shingleK)
-      .select(col("doc_id"), col("mh.shingles").as("sh"),
-        posexplode(col("mh.bands")))
-      .toDF("doc_id", "sh", "band_id", "band_hash")
-    val bs = minhashSketches(bench, benchIdCol, benchTextCol, numHashes,
+      .select(col("doc_id"), posexplode(col("mh.bands")))
+      .toDF("doc_id", "band_id", "band_hash")
+    val bBands = minhashSketches(bench, benchIdCol, benchTextCol, numHashes,
         bands, shingleK)
-      .select(col("doc_id").as("bench_id"), col("mh.shingles").as("bsh"),
-        posexplode(col("mh.bands")))
-      .toDF("bench_id", "bsh", "band_id", "band_hash")
-    cs.join(broadcast(bs), Seq("band_id", "band_hash"))
+      .select(col("doc_id").as("bench_id"), posexplode(col("mh.bands")))
+      .toDF("bench_id", "band_id", "band_hash")
+    val cand = cBands.join(broadcast(bBands), Seq("band_id", "band_hash"))
+      .select("doc_id", "bench_id").distinct()
+      .localCheckpoint()
+    // verify pass: shingles attach to the DEDUPED candidate set — the
+    // kernel re-runs only on semi-joined candidate docs (the corpus
+    // scan repeats, the sketch work does not), and both small sides
+    // broadcast so the corpus never exchanges; the only shuffle is
+    // the |contaminated|-keyed aggregation
+    val candIds = broadcast(
+      cand.select(col("doc_id").as("__cand_id")).distinct())
+    val candSh = minhashSketches(
+        corpus.join(candIds, col(idCol) === col("__cand_id"), "left_semi"),
+        idCol, textCol, numHashes, bands, shingleK)
+      .select(col("doc_id"), col("mh.shingles").as("sh"))
+    val bSh = minhashSketches(bench, benchIdCol, benchTextCol, numHashes,
+        bands, shingleK)
+      .select(col("doc_id").as("bench_id"), col("mh.shingles").as("bsh"))
+    cand.join(broadcast(candSh), "doc_id")
+      .join(broadcast(bSh), "bench_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh"), col("bsh"))).cast("double") /
           size(array_union(col("sh"), col("bsh"))))

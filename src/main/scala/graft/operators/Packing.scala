@@ -346,6 +346,67 @@ object Packing {
           .as("fill_milli"),
         (col("n_bins") * budget - col("packed_size")).as("padding_waste"))
 
+  /** The SFT loss-mask form of [[assembleTokenSequences]] — the
+    * instruction-tuning trainer seam (the public recipe: train on
+    * completions only, prompt tokens contribute no loss): each doc
+    * carries a prompt/completion BOUNDARY column (its prompt token
+    * count), and the assembly emits, alongside the usual geometry,
+    * the per-doc half-open span `[mask_start, mask_end)` over the
+    * packed `sequence` that the loss applies to:
+    *
+    *   mask_start = offset + clamp(boundary, 0, len)
+    *   mask_end   = offset + len + 1  when the completion is
+    *                non-empty (the doc's separator/EOS trains too —
+    *                the model must learn to STOP after a completion);
+    *                = mask_start otherwise (an all-prompt or empty
+    *                doc contributes nothing, not even its separator).
+    *
+    * A NULL boundary is an unlabeled (pretraining) document mixed
+    * into the SFT batch: it trains in full (boundary 0). Spans derive
+    * purely from the LANDED geometry — offsets, lengths, boundary —
+    * the [[sequenceAttribution]] discipline, so a corrupted offset
+    * surfaces as a wrong span, never silently. Same plan shape as
+    * the base assembler: ONE hash aggregation, sort-in-aggregate,
+    * HOF prefix sums, per-task memory one bin (battery q177 states
+    * every span closed-form off the q145 chain). */
+  def assembleSftSequences(packed: DataFrame, idCol: String,
+                           tokensCol: String, boundaryCol: String,
+                           orderCol: String, sepId: Long = 0L): DataFrame = {
+    val items = array_sort(collect_list(struct(
+      col(orderCol).as("o"), col(idCol).as("id"),
+      coalesce(col(tokensCol), array().cast("array<long>")).as("t"),
+      coalesce(col(boundaryCol).cast("long"), lit(0L)).as("b"))))
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(items.as("__items"))
+      .select(col("shard"), col("bin"),
+        transform(col("__items"), x => x.getField("id")).as("doc_ids"),
+        aggregate(
+          transform(col("__items"),
+            x => size(x.getField("t")).cast("long")),
+          struct(lit(0L).as("acc"),
+            array().cast("array<long>").as("offs")),
+          (s, l) => struct(
+            (s.getField("acc") + l + lit(1L)).as("acc"),
+            concat(s.getField("offs"), array(s.getField("acc"))).as("offs")),
+          s => s.getField("offs")).as("offsets"),
+        flatten(transform(col("__items"),
+          x => concat(x.getField("t"), array(lit(sepId))))).as("sequence"),
+        transform(col("__items"),
+          x => size(x.getField("t")).cast("long")).as("__lens"),
+        transform(col("__items"),
+          x => least(greatest(x.getField("b"), lit(0L)),
+            size(x.getField("t")).cast("long"))).as("__cb"))
+      .withColumn("mask_starts",
+        zip_with(col("offsets"), col("__cb"), (o, c) => o + c))
+      .withColumn("mask_ends",
+        zip_with(col("mask_starts"),
+          zip_with(col("offsets"), col("__lens"), (o, l) => o + l),
+          (s, ol) => when(s < ol, ol + lit(1L)).otherwise(s)))
+      .drop("__lens", "__cb")
+      .withColumn("n_docs", size(col("doc_ids")))
+      .withColumn("seq_tokens", size(col("sequence")).cast("long"))
+  }
+
   /** The MULTIMODAL form of [[assembleTokenSequences]] — the
     * interleaved trainer feed ([[Multimodal.tokenizeInterleaved]]'s
     * output run through [[packContiguous]] on `n_tokens`): identical

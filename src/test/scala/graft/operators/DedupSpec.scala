@@ -519,11 +519,14 @@ class DedupSpec extends SparkSpec {
         Seq("doc_id"), "left_anti")
       .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(1L, 4L), kept.toString)
-    // scale shape: the bench side broadcasts; no sort-merge join or
-    // cartesian product anywhere — the corpus verifies inline
+    // scale shape: the shingle columns join onto the DEDUPED candidate
+    // set (an ExistingRDD scan — the checkpointed distinct pairs), all
+    // sides broadcast; no sort-merge join or cartesian product
     val p = Dedup.fuzzyContaminatedDocs(docs, "doc_id", "text", bench,
       "bench_id", "btext").queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(p.contains("ExistingRDD"),
+      "verify must read the checkpointed candidate pairs:\n" + p.take(800))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       p.take(600))
   }

@@ -290,6 +290,37 @@ class PackingSpec extends SparkSpec {
       s"overlapping ranks overfilled a bin: ${fracFills.mkString(",")}")
   }
 
+  test("assembleSftSequences: completion-only spans, sep trains iff completion non-empty, clamps, NULL boundary trains in full") {
+    import spark.implicits._
+    // one bin, seven boundary classes: full-completion, all-prompt,
+    // NULL (unlabeled -> full), half, empty doc, boundary > len
+    // (clamps to all-prompt), negative boundary (clamps to 0)
+    val packed = Seq(
+      (1L, Seq(10L, 11L, 12L), Some(0L)),   // all completion
+      (2L, Seq(20L, 21L), Some(2L)),        // all prompt -> empty span
+      (3L, Seq(30L, 31L), None),            // NULL -> trains in full
+      (4L, Seq(40L, 41L, 42L, 43L), Some(2L)), // half
+      (5L, Seq.empty[Long], None),          // empty doc -> empty span
+      (6L, Seq(60L), Some(9L)),             // boundary > len -> clamp
+      (7L, Seq(70L), Some(-3L)))            // negative -> clamp to 0
+      .map { case (id, t, b) => (id, t, b, 0, 0L) }
+      .toDF("doc_id", "token_ids", "prompt_tokens", "shard", "bin")
+    val got = Packing.assembleSftSequences(packed, "doc_id", "token_ids",
+        "prompt_tokens", orderCol = "doc_id")
+      .select("offsets", "mask_starts", "mask_ends", "seq_tokens")
+      .as[(Seq[Long], Seq[Long], Seq[Long], Long)].head()
+    assert(got._1 == Seq(0L, 4L, 7L, 10L, 15L, 16L, 18L), got.toString)
+    assert(got._2 == Seq(0L, 6L, 7L, 12L, 15L, 17L, 18L), got.toString)
+    assert(got._3 == Seq(4L, 6L, 10L, 15L, 15L, 17L, 20L), got.toString)
+    assert(got._4 == 20L, got.toString)
+    // geometry consistency: every span sits inside the sequence and
+    // empty spans are exactly the all-prompt/empty docs
+    got._2.zip(got._3).foreach { case (s, e) =>
+      assert(s <= e && e <= got._4, s"span [$s,$e) out of range")
+    }
+    assert(got._2.zip(got._3).count { case (s, e) => s == e } == 3)
+  }
+
   test("fertilityTelemetry: geometry-derived tokens (sep excluded), exact floor ratios, NULL on zero denominators") {
     import spark.implicits._
     val packed = Seq(
