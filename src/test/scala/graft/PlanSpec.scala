@@ -287,13 +287,20 @@ class PlanSpec extends SparkSpec {
     assert(!p175.contains("CartesianProduct"), p175.take(800))
     assert(p175.contains("partial_count") || p175.contains("partial_"),
       "ledger aggregation lost its map-side combine:\n" + p175.take(1200))
-    // q176: best-fit packing pays one rank window per (shard, size)
-    // class and the funnel agg — never a join against a bin table
+    // q176: best-fit packing pays exactly TWO windows — the offset
+    // prefix-sum over the bounded id-class HISTOGRAM and the exact
+    // rank WITHIN a bucket (keyed on __cls, so no single-task window
+    // over a dominant size class) — never a join against a bin table
     val p176 = plan("q176_bestfit_packing")
     assert(!p176.contains("CartesianProduct") &&
       !p176.contains("SortMergeJoin"), p176.take(800))
-    assert("Window".r.findAllIn(p176).size == 1,
-      "exactly the rank window:\n" + p176.take(1200))
+    val w176 = p176.split("\n").filter(_.contains("Window"))
+      .filterNot(_.contains("WindowGroupLimit")).toSeq
+    assert(w176.size == 2,
+      "exactly the histogram-offset + within-bucket rank windows:\n" +
+        p176.take(1200))
+    w176.foreach(w => assert(w.contains("__cls"),
+      "a window lost its id-class key (single-task skew):\n" + w))
   }
 
   test("q162/q164: the CCNet cut windows the HISTOGRAM, not the corpus; the license gate is one narrow pass") {
