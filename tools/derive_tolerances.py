@@ -55,6 +55,7 @@ Usage: python3 tools/derive_tolerances.py [--write]
   --write rewrites bench_tolerances.json.
 """
 import collections
+import os
 import glob
 import json
 import statistics
@@ -71,12 +72,21 @@ ITERATIVE = {"q95_pagerank", "q95b_pagerank_serve", "q95c_pagerank_stream",
 def derive(run_files):
     samples = collections.defaultdict(list)
     used = []
-    for f in sorted(run_files):
+    seen = set()
+    # mtime order, not name order: the live bench_full.json is the
+    # NEWEST record but sorts first by name, which would invert the
+    # stale-sample rule; its archival copy (bench_full_rNN.json) has
+    # identical content, so fingerprint-dedupe keeps each run once
+    for f in sorted(run_files, key=os.path.getmtime):
         d = json.load(open(f))
         if "canary_scale" not in d:
             continue  # pre-normalization record; not comparable
         if d.get("tainted"):
             continue  # external load; not a code signal
+        fp = (d.get("value"), d["canary_scale"], len(d["queries"]))
+        if fp in seen:
+            continue
+        seen.add(fp)
         used.append(f)
         cs = d["canary_scale"]
         iso = d.get("isolated", {})
