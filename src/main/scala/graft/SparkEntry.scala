@@ -2921,6 +2921,48 @@ object SparkEntry {
         .orderBy("shard", "bin")
     }),
 
+    // DPO preference-pair seam + length-bucketed dynamic batching
+    // (Rafailov 2023 pairs; fairseq/HF group_by_length batches):
+    // planted token geometry — prompt always 10 ids, chosen 59 (odd
+    // doc_id) / 39 (even), rejected EMPTY for doc_id%3==0 (degenerate
+    // pair: sep lands, mask empty) else 39 — so every pair's padded
+    // size is 70 (odd) or 50 (even) and the batch walk is closed-form
+    // rank arithmetic: 70s pair into budget-150 batches of 2, an odd
+    // 70-count leaves an open slot the FIRST 50 fills (padded to 70),
+    // the rest batch 3-to-a-batch. The oracle restates sequences,
+    // masks, batch ids, and pad lengths from scratch.
+    "q178_dpo_batches" -> ((s, dir) => {
+      val clen = when(pmod(col("doc_id"), lit(2)) === 1, lit(59L))
+        .otherwise(lit(39L))
+      val rlen = when(pmod(col("doc_id"), lit(3)) === 0, lit(0L))
+        .otherwise(lit(39L))
+      val pairs0 = t(s, dir, "documents").select(col("doc_id"),
+        sequence(lit(1L), lit(10L)).as("prompt"),
+        sequence(lit(101L), lit(100L) + clen).as("chosen"),
+        when(rlen > 0, sequence(lit(201L), lit(200L) + rlen))
+          .otherwise(array().cast("array<long>")).as("rejected"))
+      val asm = graft.operators.Packing.assemblePreferencePairs(
+        pairs0, "doc_id", "prompt", "chosen", "rejected")
+      val sized = asm.withColumn("pair_tokens",
+        greatest(col("n_tokens_chosen"), col("n_tokens_rejected")))
+      graft.operators.Packing.batchByLength(sized, "doc_id",
+          "pair_tokens", budget = 150L, shards = 1)
+        .groupBy("shard", "batch", "pad_len")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("pair_tokens").as("payload_tokens"),
+          sum("doc_id").as("id_sum"),
+          sum("mask_start").as("mask_start_sum"),
+          sum("mask_end_chosen").as("mask_end_chosen_sum"),
+          sum("mask_end_rejected").as("mask_end_rejected_sum"),
+          md5(array_join(array_sort(collect_list(concat_ws("|",
+            format_string("%010d", col("doc_id")),
+            array_join(transform(col("seq_chosen"), _.cast("string")), ","),
+            array_join(transform(col("seq_rejected"), _.cast("string")),
+              ",")))), ";")).as("pairs_md5"))
+        .withColumn("padded_tokens", col("pad_len") * col("n_pairs"))
+        .orderBy("batch")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -7287,6 +7329,58 @@ object SparkEntry {
                 string_agg(CAST(me AS VARCHAR), ',' ORDER BY doc_id)
                   AS mask_ends_csv
          FROM m GROUP BY shard, bin ORDER BY shard, bin""",
+
+    // q178: pairs and batches restated from scratch — sequences via
+    // range() off the planted lengths, masks via the completion rule,
+    // batch ids as pure rank arithmetic over the 70/50 size classes
+    // (both n70 parities stated: an odd 70-count leaves an open slot
+    // the first 50 fills, padded to 70).
+    "q178_dpo_batches" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 1 THEN 59 ELSE 39 END AS clen,
+                  CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 39 END AS rlen,
+                  CASE WHEN doc_id % 2 = 1 THEN 70 ELSE 50 END AS sz
+           FROM documents),
+         c AS (SELECT CAST(sum(CASE WHEN sz = 70 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n70 FROM s),
+         r AS (SELECT doc_id, clen, rlen, sz,
+                 row_number() OVER (PARTITION BY sz ORDER BY doc_id) - 1
+                   AS rk
+               FROM s),
+         a AS (SELECT doc_id, clen, rlen, sz,
+                 CASE WHEN sz = 70 THEN rk // 2
+                      WHEN (SELECT n70 FROM c) % 2 = 1 AND rk = 0
+                        THEN ((SELECT n70 FROM c) - 1) // 2
+                      WHEN (SELECT n70 FROM c) % 2 = 1
+                        THEN ((SELECT n70 FROM c) + 1) // 2 + (rk - 1) // 3
+                      ELSE (SELECT n70 FROM c) // 2 + rk // 3
+                 END AS batch,
+                 CASE WHEN sz = 70 OR
+                        ((SELECT n70 FROM c) % 2 = 1 AND rk = 0)
+                   THEN 70 ELSE 50 END AS pad_len
+               FROM r),
+         p AS (SELECT doc_id, batch, pad_len, sz,
+                 printf('%010d', doc_id) || '|' ||
+                 array_to_string(list_append(
+                   range(1, 11) || range(101, 101 + clen), 0), ',')
+                 || '|' ||
+                 array_to_string(list_append(
+                   range(1, 11) || range(201, 201 + rlen), 0), ',') AS pr,
+                 10 + clen + 1 AS mec,
+                 CASE WHEN rlen > 0 THEN 10 + rlen + 1 ELSE 10 END AS mer
+               FROM a)
+         SELECT CAST(0 AS INT) AS shard, CAST(batch AS BIGINT) AS batch,
+                CAST(pad_len AS BIGINT) AS pad_len,
+                count(1) AS n_pairs,
+                CAST(sum(sz) AS BIGINT) AS payload_tokens,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                CAST(sum(10) AS BIGINT) AS mask_start_sum,
+                CAST(sum(mec) AS BIGINT) AS mask_end_chosen_sum,
+                CAST(sum(mer) AS BIGINT) AS mask_end_rejected_sum,
+                md5(string_agg(pr, ';' ORDER BY doc_id)) AS pairs_md5,
+                CAST(pad_len * count(1) AS BIGINT) AS padded_tokens
+         FROM p GROUP BY batch, pad_len ORDER BY batch""",
 
     // q175: tokens via the q145 chain (no separator), denominators
     // from the same normalize, ratios exact integer floor divisions.

@@ -286,18 +286,30 @@ object Packing {
       val r = runs(lo)
       r.startBin + (rank - r.r0) / r.perBin
     }
-    import org.apache.spark.sql.expressions.Window
     val szl = col(sizeCol).cast("long")
-    val ranked = df.schema(idCol).dataType match {
+    withClassRank(df, sharded, idCol, szl)
+      .withColumn("bin", binUdf(col("shard"), szl, col("__rank")))
+      .drop("__rank")
+  }
+
+  /** Skew-safe 0-based rank by `idCol` within each (shard, long-cast
+    * size) class — the row side of both histogram solvers
+    * ([[packBestFit]], [[batchByLength]]): bucket ids into ≤ 2^24
+    * order-preserving classes (sortable double bits), offset per
+    * bucket from a histogram prefix sum (a window over HISTOGRAM
+    * rows, never data rows), exact `row_number` only within a
+    * bucket. NULL keys coalesce to Long.MinValue so they keep their
+    * row through the equi-join and still sort FIRST (the window
+    * form's null-first order): the shifted id classes span ±2^23,
+    * far above the sentinel, and a real Long.MinValue size is out of
+    * any token-length domain. Non-numeric ids keep the direct
+    * per-class window (no order-preserving bounded bucketing exists
+    * for arbitrary strings). */
+  private def withClassRank(df: DataFrame, sharded: DataFrame,
+                            idCol: String, szl: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.schema(idCol).dataType match {
       case _: org.apache.spark.sql.types.NumericType =>
-        // two-pass skew-safe rank (see scaladoc): bucket ids into
-        // order-preserving classes, offset per bucket from the
-        // histogram, exact row_number only within a bucket. NULL
-        // keys coalesce to Long.MinValue so they keep their row
-        // through the equi-join and still sort FIRST (the window
-        // form's null-first order): the shifted id classes span
-        // ±2^23, far above the sentinel, and a real Long.MinValue
-        // size is out of any token-length domain.
         val cls = coalesce(
           shiftright(graft.expressions.ScalarExpressions
             .sortableBits(col(idCol).cast("double")), 40),
@@ -322,9 +334,6 @@ object Packing {
         val w = Window.partitionBy(col("shard"), szl).orderBy(col(idCol))
         sharded.withColumn("__rank", row_number().over(w).cast("long") - 1L)
     }
-    ranked
-      .withColumn("bin", binUdf(col("shard"), szl, col("__rank")))
-      .drop("__rank")
   }
 
   /** Packing-efficiency report per shard — fill rate (permille of
@@ -565,5 +574,154 @@ object Packing {
         (Seq(sum(col("doc_tokens")).as("n_tokens_with_sep")) ++
           imageId.map(_ =>
             sum(col("doc_image_slots")).as("n_image_slots"))): _*)
+  }
+
+  /** Preference-pair assembly — the DPO/RLHF post-training data seam
+    * (Rafailov et al. 2023's public recipe: each example is a prompt
+    * with a CHOSEN and a REJECTED completion; the loss compares the
+    * policy's completion log-probs, so both sequences need the same
+    * completion-only mask discipline as [[assembleSftSequences]]):
+    * per pair,
+    *
+    *   seq_chosen   = prompt ++ chosen   ++ sep
+    *   seq_rejected = prompt ++ rejected ++ sep
+    *   mask_start   = |prompt|            (shared — same prompt)
+    *   mask_end_*   = |prompt| + |completion| + 1 when the completion
+    *                  is non-empty (the separator/EOS trains), else
+    *                  mask_start (a degenerate empty completion
+    *                  contributes nothing)
+    *
+    * NULL arrays assemble as empty, like the base assembler — a pair
+    * with a NULL prompt is a bare completion pair, a NULL completion
+    * is degenerate but never drops the row (the audit sees it).
+    * Row-local, shuffle-free, pure codegen array ops: at 100 TB this
+    * is a map-only projection that fuses into the scan. Feed the
+    * result to [[batchByLength]] on
+    * `greatest(n_tokens_chosen, n_tokens_rejected)` for
+    * padding-efficient trainer batches (battery q178 chains both). */
+  def assemblePreferencePairs(df: DataFrame, idCol: String,
+                              promptCol: String, chosenCol: String,
+                              rejectedCol: String,
+                              sepId: Long = 0L): DataFrame = {
+    val empty = array().cast("array<long>")
+    val p = coalesce(col(promptCol), empty)
+    def leg(c: String, tag: String) = {
+      val comp = coalesce(col(c), empty)
+      Seq(
+        concat(p, comp, array(lit(sepId))).as(s"seq_$tag"),
+        (size(p) + size(comp) + 1).cast("long").as(s"n_tokens_$tag"),
+        when(size(comp) > 0, (size(p) + size(comp) + 1).cast("long"))
+          .otherwise(size(p).cast("long")).as(s"mask_end_$tag"))
+    }
+    df.select(Seq(col(idCol), size(p).cast("long").as("mask_start")) ++
+      leg(chosenCol, "chosen") ++ leg(rejectedCol, "rejected"): _*)
+  }
+
+  /** One run-length batch allocation of [[batchByLength]]: ranks
+    * `[r0, r0 + nBatches·perBatch)` of a shard's DESCENDING size
+    * order land in batches `startBatch + (rank - r0) div perBatch`,
+    * each padded to `padLen` (the tail batch may hold fewer). */
+  private[operators] final case class LenRun(r0: Long, startBatch: Long,
+                                             perBatch: Long, padLen: Long)
+
+  /** Length-bucketed dynamic batching — the padding-waste answer for
+    * sequences that CANNOT concatenate (SFT/DPO pairs, reward-model
+    * inputs: each example keeps its own attention span, so bins pad
+    * to their longest member instead of packing). The public
+    * dynamic-batching recipe (fairseq/HF `group_by_length`): sizes
+    * sort DESCENDING within a shard and fill batches under a padded
+    * token budget — a batch's cost is `max_len × count`, and since
+    * the walk is descending, `max_len` is the batch's FIRST item, so
+    * its capacity is `budget div first_len`, fixed at open time.
+    * Items larger than the budget get a dedicated batch each; sizes
+    * ≤ 0 place as 1.
+    *
+    * Scale shape — [[packBestFit]]'s histogram discipline end to end:
+    * the solver walks the bounded (shard, size) histogram descending
+    * and emits RUN-LENGTH allocations ([[LenRun]]); the only open
+    * state is the current batch (its pad length and remaining slots),
+    * so driver state is O(distinct sizes). Rows pay the same
+    * skew-safe two-pass rank as packBestFit — descending this time —
+    * and a broadcast binary-search lookup. Output = input + (shard,
+    * batch, pad_len); `pad_len` is the batch's padded width, so
+    * `sum(pad_len)` grouped by batch states the trainer's real cost
+    * (battery q178b reports fill/waste closed-form). Deterministic:
+    * batches fill in (size DESC, id ASC) order. */
+  def batchByLength(df: DataFrame, idCol: String, sizeCol: String,
+                    budget: Long, shards: Int = 1): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val shard = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long"), lit(shards.toLong)).cast("int")
+    val sharded = df.withColumn("shard", shard)
+    val szl = col(sizeCol).cast("long")
+    val hist = sharded.groupBy(col("shard"), szl.as("__sz"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val allocs: Map[(Int, Long), Array[LenRun]] =
+      hist.groupBy(_._1).flatMap { case (_, rows) =>
+        var nextBatch = 0L
+        // the one piece of open state: the current batch's pad
+        // length and how many more items it takes
+        var openPad = 0L
+        var openLeft = 0L
+        rows.toSeq.sortBy(r => (-r._2, r._3)).map { case (sh, size, count) =>
+          val runs = Array.newBuilder[LenRun]
+          var rank = 0L
+          var c = count
+          val s = math.max(size, 1L)
+          if (s > budget) {
+            runs += LenRun(0L, nextBatch, 1L, s)
+            nextBatch += c; rank += c; c = 0
+          }
+          if (c > 0 && openLeft > 0) {
+            val take = math.min(openLeft, c)
+            runs += LenRun(rank, nextBatch - 1L, take, openPad)
+            openLeft -= take; rank += take; c -= take
+          }
+          if (c > 0) {
+            val cap = budget / s // ≥ 1 (s ≤ budget here)
+            val nFull = c / cap
+            if (nFull > 0) {
+              runs += LenRun(rank, nextBatch, cap, s)
+              nextBatch += nFull; rank += nFull * cap; c -= nFull * cap
+            }
+            if (c > 0) { // tail batch stays OPEN for smaller classes
+              runs += LenRun(rank, nextBatch, cap, s)
+              nextBatch += 1
+              openPad = s; openLeft = cap - c
+              rank += c; c = 0
+            } else if (nFull > 0) {
+              openLeft = 0 // full batches close
+            }
+          }
+          (sh, size) -> runs.result()
+        }
+      }
+    val bcAllocs = df.sparkSession.sparkContext.broadcast(allocs)
+    val batchUdf = udf { (sh: Int, size: Long, rank: Long) =>
+      val runs = bcAllocs.value.getOrElse((sh, size),
+        throw new IllegalStateException(
+          s"batchByLength: no allocation for (shard=$sh, size=$size) — " +
+            "the input frame or size column re-evaluated " +
+            "non-deterministically between the histogram and " +
+            "assignment passes"))
+      var lo = 0
+      var hi = runs.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (runs(mid).r0 <= rank) lo = mid else hi = mid - 1
+      }
+      val r = runs(lo)
+      (r.startBatch + (rank - r.r0) / r.perBatch, r.padLen)
+    }
+    // the packBestFit two-pass rank verbatim: the rank is WITHIN a
+    // (shard, size) class ordered by id — the descending size walk
+    // lives entirely in the histogram solver above
+    withClassRank(df, sharded, idCol, szl)
+      .withColumn("__b", batchUdf(col("shard"), szl, col("__rank")))
+      .withColumn("batch", col("__b._1"))
+      .withColumn("pad_len", col("__b._2"))
+      .drop("__rank", "__b")
   }
 }

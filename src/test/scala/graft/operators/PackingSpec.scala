@@ -321,6 +321,75 @@ class PackingSpec extends SparkSpec {
     assert(got._2.zip(got._3).count { case (s, e) => s == e } == 3)
   }
 
+  test("assemblePreferencePairs: shared prompt mask, sep trains iff completion non-empty, NULL arrays as empty") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, Some(Seq(1L, 2L)), Some(Seq(10L, 11L, 12L)), Some(Seq(20L))),
+      (2L, Some(Seq(1L, 2L)), Some(Seq(10L)), Some(Seq.empty[Long])), // degenerate rejected
+      (3L, None, Some(Seq(10L, 11L)), Some(Seq(20L, 21L))),           // NULL prompt
+      (4L, Some(Seq(1L)), None, Some(Seq(20L))))                      // NULL chosen
+      .toDF("doc_id", "prompt", "chosen", "rejected")
+    val got = Packing.assemblePreferencePairs(pairs, "doc_id",
+        "prompt", "chosen", "rejected", sepId = 9L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Seq[Long], Long, Long, Seq[Long], Long, Long)]
+      .collect().toSeq
+    // (id, mask_start, seq_c, n_c, end_c, seq_r, n_r, end_r)
+    assert(got(0) == ((1L, 2L, Seq(1L, 2L, 10L, 11L, 12L, 9L), 6L, 6L,
+      Seq(1L, 2L, 20L, 9L), 4L, 4L)), got(0).toString)
+    // empty rejected: sep still lands (geometry aligned) but the
+    // mask is empty — end == start
+    assert(got(1) == ((2L, 2L, Seq(1L, 2L, 10L, 9L), 4L, 4L,
+      Seq(1L, 2L, 9L), 3L, 2L)), got(1).toString)
+    // NULL prompt: bare completion pair, mask from position 0
+    assert(got(2) == ((3L, 0L, Seq(10L, 11L, 9L), 3L, 3L,
+      Seq(20L, 21L, 9L), 3L, 3L)), got(2).toString)
+    // NULL chosen: degenerate but the row survives for the audit
+    assert(got(3) == ((4L, 1L, Seq(1L, 9L), 2L, 1L,
+      Seq(1L, 20L, 9L), 3L, 3L)), got(3).toString)
+  }
+
+  test("batchByLength: descending fill, open-batch handoff across size classes, oversize dedicated, pad_len states the cost") {
+    import spark.implicits._
+    // budget 150: the 200 is oversize (dedicated, pad 200); 70s cap 2
+    // -> one full batch + an open tail; the first 50 fills that open
+    // batch (padded to 70); remaining 50s cap 3; 25s cap 6
+    val docs = (Seq((1L, 200L)) ++ (2L to 4L).map(_ -> 70L) ++
+      (5L to 8L).map(_ -> 50L) ++ (9L to 13L).map(_ -> 25L))
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.batchByLength(docs, "doc_id", "n_tokens", 150L)
+      .select("doc_id", "batch", "pad_len").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = Map(
+      1L -> ((0L, 200L)),
+      2L -> ((1L, 70L)), 3L -> ((1L, 70L)), 4L -> ((2L, 70L)),
+      5L -> ((2L, 70L)), 6L -> ((3L, 50L)), 7L -> ((3L, 50L)),
+      8L -> ((3L, 50L)),
+      9L -> ((4L, 25L)), 10L -> ((4L, 25L)), 11L -> ((4L, 25L)),
+      12L -> ((4L, 25L)), 13L -> ((4L, 25L)))
+    assert(got == want, s"got $got")
+    // every batch's padded cost respects the budget (oversize aside)
+    val costs = got.values.groupBy(_._1)
+      .map { case (b, xs) => b -> xs.head._2 * xs.size }
+    assert(costs.filter(_._1 != 0L).values.forall(_ <= 150L), costs.toString)
+    // deterministic under repartitioning
+    val got2 = Packing.batchByLength(docs.repartition(5), "doc_id",
+        "n_tokens", 150L)
+      .select("doc_id", "batch", "pad_len").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got2 == want)
+    // the skew-safe rank machinery is shared with packBestFit: every
+    // plan window carries the id-class key
+    val plan = Packing.batchByLength(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select(col("doc_id"), (length(col("text")) % 64).as("sz")),
+        "doc_id", "sz", 128L)
+      .queryExecution.executedPlan.toString
+    plan.split("\n").filter(_.contains("Window"))
+      .filterNot(_.contains("WindowGroupLimit"))
+      .foreach(w => assert(w.contains("__cls"), w))
+  }
+
   test("fertilityTelemetry: geometry-derived tokens (sep excluded), exact floor ratios, NULL on zero denominators") {
     import spark.implicits._
     val packed = Seq(
