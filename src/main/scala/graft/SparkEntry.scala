@@ -2963,6 +2963,33 @@ object SparkEntry {
         .orderBy("batch")
     }),
 
+    // Packed-sequence position ids (positions reset at every doc
+    // boundary — the rotary/absolute-embedding contract for packed
+    // training): derived purely from the landed offsets of the q145
+    // shards, never re-tokenized. The oracle rebuilds every position
+    // from the closed-form chain — an off-by-one at a boundary, a
+    // separator outside its doc's span, or a length/geometry drift
+    // breaks the CSV hash; the invariant columns (sum = Σ l(l+1)/2,
+    // max = longest doc span - 1) cross-check the same geometry a
+    // second way.
+    "q179_position_ids" -> ((s, dir) => {
+      val toks = graft.operators.Bpe.tokenIds(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", CommittedBpeMerges)
+      val packed = graft.operators.Packing.packContiguous(
+        toks, "doc_id", "n_tokens", budget = 5000L, shards = 4)
+      val seqs = graft.operators.Packing.assembleTokenSequences(packed,
+        "doc_id", "token_ids", orderCol = "doc_id")
+      graft.operators.Packing.positionIds(seqs)
+        .select(col("shard"), col("bin"), col("seq_tokens"),
+          aggregate(col("position_ids"), lit(0L), (a, x) => a + x)
+            .as("pos_sum"),
+          array_max(col("position_ids")).as("pos_max"),
+          md5(array_join(transform(col("position_ids"), _.cast("string")),
+            ",")).as("pos_md5"))
+        .orderBy("shard", "bin")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -7381,6 +7408,52 @@ object SparkEntry {
                 md5(string_agg(pr, ';' ORDER BY doc_id)) AS pairs_md5,
                 CAST(pad_len * count(1) AS BIGINT) AS padded_tokens
          FROM p GROUP BY batch, pad_len ORDER BY batch""",
+
+    // q179: positions restated per doc as range(0, len+1) in doc_id
+    // order off the q145 chain; sum/max invariants from the same
+    // lengths.
+    "q179_position_ids" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '),
+                  x -> length(x) > 0) AS ws
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+                  flatten(list_transform(ws, wd ->
+                    list_transform(
+                      CASE WHEN wd LIKE '%e'
+                        THEN list_append(list_slice(
+                               regexp_extract_all(wd, 'th|in|.'), 1,
+                               len(regexp_extract_all(wd, 'th|in|.')) - 1),
+                             'e</w>')
+                        ELSE list_append(regexp_extract_all(wd, 'th|in|.'),
+                             '</w>')
+                      END,
+                      t -> CASE t WHEN '</w>' THEN 1 WHEN 'th' THEN 2
+                                  WHEN 'in' THEN 3 WHEN 'e</w>' THEN 4
+                                  ELSE 5 + unicode(t) END))) AS ids
+           FROM w),
+         p AS (
+           SELECT doc_id, CAST(len(ids) AS BIGINT) AS l,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 4 AS INT) AS shard
+           FROM tok),
+         b AS (
+           SELECT shard, doc_id, l,
+                  CAST(floor(coalesce(sum(l) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 5000.0) AS BIGINT) AS bin
+           FROM p)
+         SELECT shard, bin,
+                CAST(sum(l + 1) AS BIGINT) AS seq_tokens,
+                CAST(sum(l * (l + 1) // 2) AS BIGINT) AS pos_sum,
+                CAST(max(l) AS BIGINT) AS pos_max,
+                md5(string_agg(array_to_string(range(0, l + 1), ','),
+                    ',' ORDER BY doc_id)) AS pos_md5
+         FROM b GROUP BY shard, bin ORDER BY shard, bin""",
 
     // q175: tokens via the q145 chain (no separator), denominators
     // from the same normalize, ratios exact integer floor divisions.

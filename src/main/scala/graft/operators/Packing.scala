@@ -576,6 +576,32 @@ object Packing {
             sum(col("doc_image_slots")).as("n_image_slots"))): _*)
   }
 
+  /** Per-token POSITION IDS for a packed sequence — the third column
+    * of the trainer contract next to `sequence` and `offsets`
+    * (public packed-training practice: positions RESET at every
+    * document boundary so rotary/absolute embeddings treat each doc
+    * as its own context, and the doc-causal attention block mask is
+    * derived from the same offsets): for the doc spanning
+    * `[offset_k, offset_{k+1})` the positions are `0..span-1`, the
+    * separator taking the last position of ITS OWN doc. Pure
+    * geometry — one HOF pass over the offsets, no re-tokenization,
+    * O(bin) per row; an empty bin yields an empty array (the
+    * [[sequenceAttribution]] `sequence(1, 0)` guard). Works on any
+    * assembler output carrying `doc_ids`/`offsets`/`seq_tokens`
+    * (battery q179 restates every position closed-form off the q145
+    * chain). */
+  def positionIds(seqs: DataFrame): DataFrame = {
+    val n = size(col("doc_ids"))
+    val spans = transform(sequence(lit(1), n), i => {
+      val st = element_at(col("offsets"), i)
+      val en = when(i < n, element_at(col("offsets"), i + 1))
+        .otherwise(col("seq_tokens"))
+      sequence(lit(0L), en - st - 1L)
+    })
+    seqs.withColumn("position_ids",
+      when(n > 0, flatten(spans)).otherwise(array().cast("array<long>")))
+  }
+
   /** Preference-pair assembly — the DPO/RLHF post-training data seam
     * (Rafailov et al. 2023's public recipe: each example is a prompt
     * with a CHOSEN and a REJECTED completion; the loss compares the

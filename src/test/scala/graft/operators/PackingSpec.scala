@@ -390,6 +390,22 @@ class PackingSpec extends SparkSpec {
       .foreach(w => assert(w.contains("__cls"), w))
   }
 
+  test("positionIds: positions reset at every doc boundary, separator takes its own doc's last slot, empty-array docs span 1") {
+    import spark.implicits._
+    val packed = Seq(
+      (1L, Seq(10L, 11L, 12L), 0, 0L),
+      (2L, Seq.empty[Long], 0, 0L),      // empty doc -> just its sep, span 1
+      (3L, Seq(30L, 31L), 0, 0L))
+      .toDF("doc_id", "token_ids", "shard", "bin")
+    val seqs = Packing.assembleTokenSequences(packed, "doc_id",
+      "token_ids", orderCol = "doc_id")
+    val got = Packing.positionIds(seqs)
+      .select("position_ids", "sequence").as[(Seq[Long], Seq[Long])].head()
+    // docs span 4, 1, 3: positions restart at each boundary
+    assert(got._1 == Seq(0L, 1L, 2L, 3L, 0L, 0L, 1L, 2L), got.toString)
+    assert(got._1.size == got._2.size, "positions must cover the sequence")
+  }
+
   test("fertilityTelemetry: geometry-derived tokens (sep excluded), exact floor ratios, NULL on zero denominators") {
     import spark.implicits._
     val packed = Seq(
