@@ -2990,6 +2990,35 @@ object SparkEntry {
         .orderBy("shard", "bin")
     }),
 
+    // Chat-template render + SFT boundary (the ChatML-shape contract:
+    // messages -> one training string with committed turn markers,
+    // and the prompt/completion boundary in TOKENS feeds q177's mask
+    // seam): a three-turn conversation per doc, the prefix ending at
+    // the final assistant header. The oracle rebuilds the exact
+    // rendered bytes (md5) and both BPE token counts through the
+    // q145 chain over the rendered strings — a marker byte, a
+    // newline, or a non-prefix-stable tokenization breaks it.
+    "q180_chat_render" -> ((s, dir) => {
+      val msgs = array(
+        struct(lit("system").as("role"), lit("be helpful").as("content")),
+        struct(lit("user").as("role"), col("text").as("content")),
+        struct(lit("assistant").as("role"), col("text").as("content")))
+      val df = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) === 1)
+        .select(col("doc_id"),
+          graft.functions.Text.renderChatMessages(msgs).as("rendered"),
+          graft.functions.Text.chatPromptPrefix(msgs).as("prefix"))
+      val tot = graft.operators.Bpe.tokenCount(df, "doc_id", "rendered",
+          CommittedBpeMerges)
+        .withColumnRenamed("n_bpe_tokens", "total_tokens")
+      val pre = graft.operators.Bpe.tokenCount(df, "doc_id", "prefix",
+          CommittedBpeMerges)
+        .withColumnRenamed("n_bpe_tokens", "prompt_tokens")
+      df.select(col("doc_id"), md5(col("rendered")).as("rendered_md5"))
+        .join(tot, "doc_id").join(pre, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -7454,6 +7483,49 @@ object SparkEntry {
                 md5(string_agg(array_to_string(range(0, l + 1), ','),
                     ',' ORDER BY doc_id)) AS pos_md5
          FROM b GROUP BY shard, bin ORDER BY shard, bin""",
+
+    // q180: the rendered bytes restated verbatim (md5) and both BPE
+    // counts via the q145 chain over the rendered/prefix strings —
+    // per word, token count = |th|in|.-pieces| plus one for the
+    // appended </w> (zero when the word ends in 'e': the last piece
+    // folds into e</w>).
+    "q180_chat_render" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  '<|im_start|>system' || chr(10) || 'be helpful<|im_end|>'
+                    || chr(10) || '<|im_start|>user' || chr(10)
+                    || coalesce(text, '') || '<|im_end|>' || chr(10)
+                    || '<|im_start|>assistant' || chr(10)
+                    || coalesce(text, '') || '<|im_end|>' || chr(10)
+                    AS rendered,
+                  '<|im_start|>system' || chr(10) || 'be helpful<|im_end|>'
+                    || chr(10) || '<|im_start|>user' || chr(10)
+                    || coalesce(text, '') || '<|im_end|>' || chr(10)
+                    || '<|im_start|>assistant' || chr(10) AS prefix
+           FROM documents WHERE doc_id % 7 = 1),
+         tc AS (
+           SELECT doc_id, rendered,
+                  coalesce(list_sum(list_transform(
+                    list_filter(string_split(trim(regexp_replace(
+                      regexp_replace(lower(rendered), '[!-/:-@\[-`{-~]', '',
+                        'g'), '\s+', ' ', 'g')), ' '),
+                      x -> length(x) > 0),
+                    wd -> len(regexp_extract_all(wd, 'th|in|.'))
+                          + CASE WHEN wd LIKE '%e' THEN 0 ELSE 1 END)), 0)
+                    AS total_tokens,
+                  coalesce(list_sum(list_transform(
+                    list_filter(string_split(trim(regexp_replace(
+                      regexp_replace(lower(prefix), '[!-/:-@\[-`{-~]', '',
+                        'g'), '\s+', ' ', 'g')), ' '),
+                      x -> length(x) > 0),
+                    wd -> len(regexp_extract_all(wd, 'th|in|.'))
+                          + CASE WHEN wd LIKE '%e' THEN 0 ELSE 1 END)), 0)
+                    AS prompt_tokens
+           FROM r)
+         SELECT doc_id, md5(rendered) AS rendered_md5,
+                CAST(total_tokens AS BIGINT) AS total_tokens,
+                CAST(prompt_tokens AS BIGINT) AS prompt_tokens
+         FROM tc ORDER BY doc_id""",
 
     // q175: tokens via the q145 chain (no separator), denominators
     // from the same normalize, ratios exact integer floor divisions.

@@ -414,6 +414,47 @@ object Text {
     }.withName("gopher_fired_rule").apply(text)
   }
 
+  // --------------------------------------------- chat-template render
+
+  /** Committed chat-template markers (the public ChatML shape — every
+    * serving stack renders messages to one token stream with turn
+    * delimiters; committing them as literals makes the rendering a
+    * repo fact, not a tokenizer-config lookup). */
+  val ChatTurnStart = "<|im_start|>"
+  val ChatTurnEnd = "<|im_end|>"
+
+  /** Render a `array<struct<role string, content string>>` message
+    * list to the single training/serving string:
+    * `<|im_start|>role\ncontent<|im_end|>\n` per turn, in order.
+    * NULL roles/contents render as empty rather than nulling the
+    * whole conversation (one malformed turn must not erase the
+    * document). Pure `aggregate` HOF over the array — codegen,
+    * row-local, fuses into the scan. */
+  def renderChatMessages(msgs: Column): Column =
+    aggregate(msgs, lit(""), (acc, m) =>
+      concat(acc, lit(ChatTurnStart),
+        coalesce(m.getField("role"), lit("")), lit("\n"),
+        coalesce(m.getField("content"), lit("")), lit(ChatTurnEnd),
+        lit("\n")))
+
+  /** The PROMPT PREFIX of a rendered conversation — everything up to
+    * and including the final turn's `<|im_start|>role\n` header, i.e.
+    * the part an SFT mask treats as prompt (train on the final
+    * completion only; the q177 recipe). The prefix ends at a
+    * WHITESPACE boundary, so a word-bounded tokenizer's ids for the
+    * full rendering extend the prefix's ids exactly — tokenizing both
+    * and taking `n_tokens(prefix)` as the [[graft.operators.Packing
+    * .assembleSftSequences]] boundary is geometry-exact (battery q180
+    * pins the chain; TextSpec pins prefix-stability itself). Empty
+    * message lists render as an empty prefix. */
+  def chatPromptPrefix(msgs: Column): Column =
+    when(size(msgs) <= 0, lit(""))
+      .otherwise(concat(
+        renderChatMessages(slice(msgs, lit(1), size(msgs) - 1)),
+        lit(ChatTurnStart),
+        coalesce(element_at(msgs, -1).getField("role"), lit("")),
+        lit("\n")))
+
   // ------------------------------------------------ C4 badwords gate
 
   /** Committed blocklist for the C4 badwords gate (Raffel et al. 2020

@@ -630,4 +630,54 @@ class TextSpec extends SparkSpec {
       .toDF("text").select(Text.gopherFiredRule($"text")).collect()
     assert(edge.forall(_.isNullAt(0)))
   }
+
+  test("chat template: exact ChatML bytes, NULL-turn resilience, token-level prefix stability of the SFT boundary") {
+    val msgs = array(
+      struct(lit("system").as("role"), lit("be brief").as("content")),
+      struct(lit("user").as("role"), lit("the weather?").as("content")),
+      struct(lit("assistant").as("role"), lit("rainy then fine")
+        .as("content")))
+    val df = Seq(Tuple1(1L)).toDF("doc_id").select($"doc_id",
+      Text.renderChatMessages(msgs).as("rendered"),
+      Text.chatPromptPrefix(msgs).as("prefix"))
+    val r = df.head()
+    assert(r.getString(1) ==
+      "<|im_start|>system\nbe brief<|im_end|>\n" +
+        "<|im_start|>user\nthe weather?<|im_end|>\n" +
+        "<|im_start|>assistant\nrainy then fine<|im_end|>\n",
+      r.getString(1))
+    assert(r.getString(2) ==
+      "<|im_start|>system\nbe brief<|im_end|>\n" +
+        "<|im_start|>user\nthe weather?<|im_end|>\n" +
+        "<|im_start|>assistant\n", r.getString(2))
+    // a NULL content/role renders empty, never nulls the conversation
+    val withNull = Seq(Tuple1(1L)).toDF("doc_id").select(
+      Text.renderChatMessages(array(
+        struct(lit(null).cast("string").as("role"),
+          lit(null).cast("string").as("content")))).as("x"))
+      .head().getString(0)
+    assert(withNull == "<|im_start|>\n<|im_end|>\n", withNull)
+    // prefix stability: the full rendering's BPE ids EXTEND the
+    // prefix's ids exactly (the prefix ends at whitespace, and the
+    // tokenizer is word-bounded) — the property that makes
+    // n_tokens(prefix) a geometry-exact assembleSftSequences boundary
+    val ids = graft.operators.Bpe.tokenIds(
+        df.select($"doc_id", $"rendered"), "doc_id", "rendered",
+        SparkEntry.CommittedBpeMerges)
+      .select("token_ids").as[Seq[Long]].head()
+    val pIds = graft.operators.Bpe.tokenIds(
+        df.select($"doc_id", $"prefix"), "doc_id", "prefix",
+        SparkEntry.CommittedBpeMerges)
+      .select("token_ids").as[Seq[Long]].head()
+    assert(ids.startsWith(pIds) && ids.size > pIds.size,
+      s"prefix ids must be a strict prefix: $pIds vs $ids")
+    // empty conversation: empty render, empty prefix
+    val empty = Seq(Tuple1(1L)).toDF("doc_id").select(
+      Text.renderChatMessages(array().cast(
+        "array<struct<role string, content string>>")).as("a"),
+      Text.chatPromptPrefix(array().cast(
+        "array<struct<role string, content string>>")).as("b"))
+      .head()
+    assert(empty.getString(0) == "" && empty.getString(1) == "")
+  }
 }
