@@ -70,10 +70,12 @@ object CorpusDemo {
     val merges = Bpe.trainMerges(fimmed, "text", numMerges = numMerges,
       minCount = 2L)
     val tokenized = Bpe.tokenIds(fimmed, "doc_id", "text", merges)
-    val seqs = Packing.assembleTokenSequences(
+    // position_ids ride the export too — the trainer contract's third
+    // column (boundary-reset positions, pure geometry off the offsets)
+    val seqs = Packing.positionIds(Packing.assembleTokenSequences(
       Packing.packContiguous(tokenized, "doc_id", "n_tokens",
         budget = budgetTokens, shards = shards),
-      "doc_id", "token_ids", orderCol = "doc_id")
+      "doc_id", "token_ids", orderCol = "doc_id"))
     // pack coordinates rename out of the way: the export's OWN shard
     // assignment (writeSharded's deterministic draw) owns `shard`.
     // seq_id = bin·|shards| + shard — collision-free for ANY bin depth
@@ -83,7 +85,7 @@ object CorpusDemo {
       (col("bin") * lit(shards.toLong) + col("shard")).as("seq_id"),
       col("shard").as("pack_shard"), col("bin").as("pack_bin"),
       col("doc_ids"), col("offsets"), col("sequence"),
-      col("n_docs"), col("seq_tokens"))
+      col("position_ids"), col("n_docs"), col("seq_tokens"))
     Sampling.writeShardedWithManifest(seqRows, "seq_id", shards,
       s"$outDir/token_shards")
     val tokenAuditOk = Sampling.verifyShardedExport(spark,

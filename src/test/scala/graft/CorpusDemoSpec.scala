@@ -75,6 +75,14 @@ class CorpusDemoSpec extends SparkSpec {
     assert(seqDf.filter(element_at(col("sequence"), -1) =!=
       graft.operators.Bpe.SepId).count() == 0,
       "every packed sequence ends with the EOS separator")
+    // position_ids ride the export: same length as the sequence, and
+    // they reset to 0 exactly at each doc's landed offset
+    assert(seqDf.filter(size(col("position_ids")) =!= col("seq_tokens"))
+      .count() == 0)
+    assert(seqDf.filter(not(forall(col("offsets"), o =>
+      element_at(col("position_ids"), (o + 1).cast("int")) === 0L)))
+      .count() == 0,
+      "positions must reset to 0 at every landed doc offset")
   }
 
   test("trainerFeed on an EMPTY corpus lands zeros and audits clean, never a crash") {
