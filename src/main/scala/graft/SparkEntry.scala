@@ -3019,6 +3019,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Rejection sampling / best-of-n (the Llama 2 RLHF candidate
+    // filter): 8-candidate groups (prompt_id = doc_id div 8) with a
+    // deterministic integer LCG reward both engines compute exactly;
+    // the winner is the reward argmax (ties by id) and the margin —
+    // winner minus runner-up — is NULL only for singleton groups
+    // (the last, short group when |documents| % 8 == 1). One window
+    // over bounded candidate sets.
+    "q181_rejection_sample" -> ((s, dir) => {
+      val cands = t(s, dir, "documents").select(col("doc_id"),
+        expr("doc_id div 8").as("prompt_id"),
+        ((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(1000003L))
+          .as("reward"))
+      graft.operators.Sampling.rejectionSample(cands, "prompt_id",
+          "reward", "doc_id", keep = 1)
+        .select("prompt_id", "doc_id", "reward", "margin")
+        .orderBy("prompt_id")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -7526,6 +7544,25 @@ object SparkEntry {
                 CAST(total_tokens AS BIGINT) AS total_tokens,
                 CAST(prompt_tokens AS BIGINT) AS prompt_tokens
          FROM tc ORDER BY doc_id""",
+
+    // q181: winner + margin restated with the same LCG reward and the
+    // same (reward DESC, id) order.
+    "q181_rejection_sample" ->
+      """WITH c AS (
+           SELECT doc_id, doc_id // 8 AS prompt_id,
+                  (doc_id * 1103515245 + 12345) % 1000003 AS reward
+           FROM documents),
+         r AS (
+           SELECT doc_id, prompt_id, reward,
+                  row_number() OVER (PARTITION BY prompt_id
+                    ORDER BY reward DESC, doc_id) AS rn,
+                  lead(reward) OVER (PARTITION BY prompt_id
+                    ORDER BY reward DESC, doc_id) AS nxt
+           FROM c)
+         SELECT CAST(prompt_id AS BIGINT) AS prompt_id, doc_id,
+                CAST(reward AS BIGINT) AS reward,
+                CAST(reward - nxt AS BIGINT) AS margin
+         FROM r WHERE rn = 1 ORDER BY prompt_id""",
 
     // q175: tokens via the q145 chain (no separator), denominators
     // from the same normalize, ratios exact integer floor divisions.

@@ -672,4 +672,34 @@ object Sampling {
       .select(col(groupCol), col(scoreCol), col("bucket"))
     in.join(broadcast(assigned), Seq(groupCol, scoreCol))
   }
+
+  /** Rejection sampling / best-of-n — the RLHF candidate filter
+    * (public recipe, e.g. Llama 2's rejection-sampling stage: sample
+    * n completions per prompt, keep the reward-model argmax): per
+    * `groupCol` keep the top `keep` rows by `(scoreCol DESC, idCol)`
+    * — ties resolve by id, so selection is deterministic — with two
+    * audit columns the curation dashboard wants:
+    * `pick_rank` (0 = winner) and `margin` = this pick's score minus
+    * the NEXT candidate's (NULL when no candidate follows — a
+    * singleton group's winner has no margin; a near-zero margin flags
+    * prompts where the reward model couldn't separate candidates).
+    *
+    * One window, ONE pass. Unlike the corpus-wide groups
+    * [[topFractionBy]]'s histogram discipline exists for, the
+    * partition here is a prompt's CANDIDATE SET — bounded by the
+    * generator's fan-out (n is 4..64 in practice), not by the corpus
+    * — so the direct window is the scale-correct plan and the
+    * histogram two-pass would only add shuffles. */
+  def rejectionSample(df: DataFrame, groupCol: String, scoreCol: String,
+                      idCol: String, keep: Int = 1): DataFrame = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("margin", col(scoreCol) - lead(col(scoreCol), 1).over(w))
+      .filter(col("__rn") <= keep)
+      .withColumn("pick_rank", (col("__rn") - 1).cast("int"))
+      .drop("__rn")
+  }
 }

@@ -583,4 +583,28 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.valueRankBuckets(df, "grp", "score", 1)
       .select("bucket").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
   }
+
+  test("rejectionSample: deterministic argmax with id ties, per-pick margin, NULL margin on singletons") {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, 10L, 5L), (2L, 10L, 9L), (3L, 10L, 9L), (4L, 10L, 1L),
+      (5L, 20L, 7L)) // singleton group
+      .toDF("doc_id", "prompt_id", "reward")
+    val top1 = Sampling.rejectionSample(cands, "prompt_id", "reward",
+        "doc_id")
+      .select("prompt_id", "doc_id", "reward", "margin", "pick_rank")
+      .as[(Long, Long, Long, Option[Long], Int)].collect().toSet
+    // the 9-reward tie resolves to the smaller id; its margin vs the
+    // other 9 is ZERO — the "reward model couldn't separate" flag —
+    // and the singleton's winner has no margin at all
+    assert(top1 == Set((10L, 2L, 9L, Some(0L), 0),
+      (20L, 5L, 7L, None, 0)), top1.toString)
+    // best-of-2: pick ranks in order, each margin the gap to the NEXT
+    // candidate (id3's runner-up is the 5)
+    val top2 = Sampling.rejectionSample(cands, "prompt_id", "reward",
+        "doc_id", keep = 2)
+      .filter($"prompt_id" === 10L).orderBy("pick_rank")
+      .select("doc_id", "margin").as[(Long, Option[Long])].collect().toSeq
+    assert(top2 == Seq((2L, Some(0L)), (3L, Some(4L))), top2.toString)
+  }
 }
