@@ -390,6 +390,49 @@ class PackingSpec extends SparkSpec {
       .foreach(w => assert(w.contains("__cls"), w))
   }
 
+  test("batchByLength: run-length solver equals an independent item-walk greedy on cross-class handoff chains") {
+    import spark.implicits._
+    // reference implementation: the literal greedy the solver's
+    // histogram run-length form must reproduce — walk items in
+    // (size DESC, id) order, fill the single open batch to its
+    // capacity (fixed at open time: budget div first-item size),
+    // dedicated batches for oversize
+    def refBatch(items: Seq[(Long, Long)],
+                 budget: Long): Map[Long, (Long, Long)] = {
+      val sorted = items.sortBy { case (id, sz) => (-sz, id) }
+      var nb = -1L; var cap = 0L; var used = 0L; var pad = 0L
+      val out = scala.collection.mutable.Map[Long, (Long, Long)]()
+      sorted.foreach { case (id, sz) =>
+        val s = math.max(sz, 1L)
+        if (s > budget) { nb += 1; out(id) = (nb, s); cap = 0; used = 0 }
+        else if (used < cap) { used += 1; out(id) = (nb, pad) }
+        else { nb += 1; pad = s; cap = budget / s; used = 1
+               out(id) = (nb, pad) }
+      }
+      out.toMap
+    }
+    val fixtures: Seq[(Long, Seq[Long])] = Seq(
+      // cross-class handoff CHAIN: the 30-batch takes two 10s
+      100L -> (Seq(60L, 30L) ++ Seq.fill(5)(10L)),
+      // single dominant class with an open tail
+      100L -> Seq.fill(23)(10L),
+      // oversize ahead of everything; exact-fit classes
+      7L -> (Seq(9L, 9L) ++ Seq.fill(4)(3L) ++ Seq.fill(3)(2L)),
+      // handoff into a class that itself reopens twice
+      100L -> (Seq(40L) ++ Seq.fill(2)(35L) ++ Seq.fill(3)(20L)),
+      // zero/negative sizes place as 1 and sort after positives
+      10L -> Seq(5L, 0L, -2L, 3L, 3L, 3L))
+    fixtures.zipWithIndex.foreach { case ((budget, sizes), fi) =>
+      val items = sizes.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) }
+      val got = Packing.batchByLength(items.toDF("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", budget)
+        .select("doc_id", "batch", "pad_len").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == refBatch(items, budget),
+        s"fixture $fi (budget $budget): $got vs ${refBatch(items, budget)}")
+    }
+  }
+
   test("positionIds: positions reset at every doc boundary, separator takes its own doc's last slot, empty-array docs span 1") {
     import spark.implicits._
     val packed = Seq(
