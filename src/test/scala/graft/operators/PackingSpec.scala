@@ -390,6 +390,52 @@ class PackingSpec extends SparkSpec {
       .foreach(w => assert(w.contains("__cls"), w))
   }
 
+  test("packBestFit: run-length solver equals an independent per-item best-fit greedy") {
+    import spark.implicits._
+    // reference: the literal BFD walk — items in (size DESC, id)
+    // order, each to the bin with the SMALLEST remaining >= size
+    // (ties to the lowest bin id), else a new bin; oversize items a
+    // dedicated (never-reused) bin
+    def refBfd(items: Seq[(Long, Long)], budget: Long): Map[Long, Long] = {
+      val sorted = items.sortBy { case (id, sz) => (-sz, id) }
+      val rem = scala.collection.mutable.ArrayBuffer[Long]()
+      val out = scala.collection.mutable.Map[Long, Long]()
+      sorted.foreach { case (id, sz) =>
+        val s = math.max(sz, 1L)
+        if (sz > budget) { rem += -1L; out(id) = rem.size - 1L }
+        else {
+          val fits = rem.zipWithIndex.filter(_._1 >= s)
+          if (fits.isEmpty) { rem += (budget - s); out(id) = rem.size - 1L }
+          else {
+            val best = fits.map(_._1).min
+            val i = fits.filter(_._1 == best).map(_._2).min
+            rem(i) -= s
+            out(id) = i.toLong
+          }
+        }
+      }
+      out.toMap
+    }
+    val fixtures: Seq[(Long, Seq[Long])] = Seq(
+      // consecutive same-bin placements vs a tighter third bin
+      100L -> Seq(70L, 60L, 40L, 30L, 30L, 25L, 25L, 25L, 10L, 10L,
+        10L, 10L, 10L, 10L),
+      // ties across equal remainings, exact fits
+      10L -> Seq(7L, 7L, 3L, 3L, 3L, 2L, 2L, 1L, 1L, 1L),
+      // oversize + zero-size in one walk
+      12L -> Seq(13L, 11L, 11L, 6L, 6L, 6L, 5L, 4L, 0L, 1L, 1L),
+      // dominant one-size class
+      100L -> Seq.fill(17)(30L))
+    fixtures.zipWithIndex.foreach { case ((budget, sizes), fi) =>
+      val items = sizes.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) }
+      val got = Packing.packBestFit(items.toDF("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", budget)
+        .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+      assert(got == refBfd(items, budget),
+        s"fixture $fi (budget $budget): $got vs ${refBfd(items, budget)}")
+    }
+  }
+
   test("batchByLength: run-length solver equals an independent item-walk greedy on cross-class handoff chains") {
     import spark.implicits._
     // reference implementation: the literal greedy the solver's
