@@ -2963,6 +2963,30 @@ object SparkEntry {
         .orderBy("batch")
     }),
 
+    // The batching-efficiency report over the q178 chain: group-by-
+    // length pads NOTHING inside single-size batches, so the whole
+    // corpus's padding waste is the one cross-class handoff batch
+    // (20 tokens, odd n70) or zero (even n70) — the closed-form the
+    // oracle states for both parities.
+    "q178b_batching_report" -> ((s, dir) => {
+      val clen = when(pmod(col("doc_id"), lit(2)) === 1, lit(59L))
+        .otherwise(lit(39L))
+      val rlen = when(pmod(col("doc_id"), lit(3)) === 0, lit(0L))
+        .otherwise(lit(39L))
+      val pairs0 = t(s, dir, "documents").select(col("doc_id"),
+        sequence(lit(1L), lit(10L)).as("prompt"),
+        sequence(lit(101L), lit(100L) + clen).as("chosen"),
+        when(rlen > 0, sequence(lit(201L), lit(200L) + rlen))
+          .otherwise(array().cast("array<long>")).as("rejected"))
+      val sized = graft.operators.Packing.assemblePreferencePairs(
+          pairs0, "doc_id", "prompt", "chosen", "rejected")
+        .withColumn("pair_tokens",
+          greatest(col("n_tokens_chosen"), col("n_tokens_rejected")))
+      graft.operators.Packing.batchingReport(
+        graft.operators.Packing.batchByLength(sized, "doc_id",
+          "pair_tokens", budget = 150L, shards = 1), "pair_tokens")
+    }),
+
     // Packed-sequence position ids (positions reset at every doc
     // boundary — the rotary/absolute-embedding contract for packed
     // training): derived purely from the landed offsets of the q145
@@ -7563,6 +7587,38 @@ object SparkEntry {
                 CAST(reward AS BIGINT) AS reward,
                 CAST(reward - nxt AS BIGINT) AS margin
          FROM r WHERE rn = 1 ORDER BY prompt_id""",
+
+    // q178b: the padded cost closed-form — 70s pair (ceil(n70/2)
+    // batches), 50s triple, and the ONLY waste is the odd-n70
+    // handoff batch's 20 tokens.
+    "q178b_batching_report" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 1 THEN 70 ELSE 50 END AS sz
+           FROM documents),
+         tot AS (
+           SELECT CAST(sum(CASE WHEN sz = 70 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n70,
+                  CAST(sum(CASE WHEN sz = 50 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n50,
+                  CAST(count(1) AS BIGINT) AS n_items,
+                  CAST(sum(sz) AS BIGINT) AS payload
+           FROM s),
+         r AS (
+           SELECT (n70 + 1) // 2 +
+                  CASE WHEN n70 % 2 = 1 THEN (n50 + 1) // 3
+                       ELSE (n50 + 2) // 3 END AS n_batches,
+                  n_items, payload,
+                  payload + CASE WHEN n70 % 2 = 1 THEN 20 ELSE 0 END
+                    AS padded
+           FROM tot)
+         SELECT CAST(0 AS INT) AS shard,
+                CAST(n_batches AS BIGINT) AS n_batches, n_items,
+                payload AS payload_tokens,
+                CAST(padded AS BIGINT) AS padded_tokens,
+                CAST(payload * 1000 // padded AS BIGINT) AS fill_milli,
+                CAST(padded - payload AS BIGINT) AS padding_waste
+         FROM r""",
 
     // q175: tokens via the q145 chain (no separator), denominators
     // from the same normalize, ratios exact integer floor divisions.

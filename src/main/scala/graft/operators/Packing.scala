@@ -576,6 +576,28 @@ object Packing {
             sum(col("doc_image_slots")).as("n_image_slots"))): _*)
   }
 
+  /** Batching-efficiency report per shard for a [[batchByLength]]
+    * output — the [[packingReport]] counterpart for padded batches:
+    * `padded_tokens` is the trainer's REAL cost (Σ pad_len × batch
+    * size), `padding_waste` what it pads over, `fill_milli` the
+    * payload permille of that cost. Group-by-length batching pads
+    * NOTHING inside a single-size batch (pad_len == every member), so
+    * waste comes only from cross-class handoff batches — the report
+    * states exactly that (battery q178b pins it closed-form). Exact
+    * integers throughout. */
+  def batchingReport(batched: DataFrame, sizeCol: String): DataFrame =
+    batched.groupBy(col("shard"), col("batch"), col("pad_len"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(sizeCol).cast("long")).as("__p"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_batches"), sum(col("__n")).as("n_items"),
+        sum(col("__p")).as("payload_tokens"),
+        sum(col("pad_len") * col("__n")).as("padded_tokens"))
+      .select(col("shard"), col("n_batches"), col("n_items"),
+        col("payload_tokens"), col("padded_tokens"),
+        expr("payload_tokens * 1000 div padded_tokens").as("fill_milli"),
+        (col("padded_tokens") - col("payload_tokens")).as("padding_waste"))
+
   /** Per-token POSITION IDS for a packed sequence — the third column
     * of the trainer contract next to `sequence` and `offsets`
     * (public packed-training practice: positions RESET at every
