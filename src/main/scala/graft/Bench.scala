@@ -468,7 +468,7 @@ object Bench {
       f""""$n":{"normalized":$v%.3f,"ceiling":$c%.3f}"""
     }.mkString("{", ",", "}")
 
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"value_normalized":$valueNormalized%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gc":$gcs,"isolated":$isoJson,"isolated_total":$isolatedTotal%.3f,"isolated_total_normalized":$isolatedTotalNormalized%.3f,"canary_scale":$canaryScale%.4f,"breaches":$breachJson,"io_before":$ioBefore%.3f,"io_after":$ioAfter%.3f,"canary_before":$canaryBefore%.3f,"canary_after":$canaryAfter%.3f,"canary_ref":$canaryRef%.3f,"tainted":$tainted}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"value_normalized":$valueNormalized%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","gc":$gcs,"isolated":$isoJson,"isolated_total":$isolatedTotal%.3f,"isolated_total_normalized":$isolatedTotalNormalized%.3f,"canary_scale":$canaryScale%.4f,"breaches":$breachJson,"io_before":$ioBefore%.3f,"io_after":$ioAfter%.3f,"canary_before":$canaryBefore%.3f,"canary_after":$canaryAfter%.3f,"canary_ref":$canaryRef%.3f,"tainted":$tainted,"run_ts":${System.currentTimeMillis / 1000}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -7590,7 +7590,9 @@ object SparkEntry {
 
     // q178b: the padded cost closed-form — 70s pair (ceil(n70/2)
     // batches), 50s triple, and the ONLY waste is the odd-n70
-    // handoff batch's 20 tokens.
+    // handoff batch's 20 tokens — which exists only when a 50 is
+    // there to take the handoff slot (n50 >= 1; with n50 = 0 the
+    // open 70-batch holds a single item at pad 70, waste 0).
     "q178b_batching_report" ->
       """WITH s AS (
            SELECT doc_id,
@@ -7609,8 +7611,8 @@ object SparkEntry {
                   CASE WHEN n70 % 2 = 1 THEN (n50 + 1) // 3
                        ELSE (n50 + 2) // 3 END AS n_batches,
                   n_items, payload,
-                  payload + CASE WHEN n70 % 2 = 1 THEN 20 ELSE 0 END
-                    AS padded
+                  payload + CASE WHEN n70 % 2 = 1 AND n50 >= 1
+                            THEN 20 ELSE 0 END AS padded
            FROM tot)
          SELECT CAST(0 AS INT) AS shard,
                 CAST(n_batches AS BIGINT) AS n_batches, n_items,

@@ -715,51 +715,63 @@ object Text {
   }
 
   def registerSqlFunctions(spark: SparkSession): Unit = {
-    // register-once per session (mirrors City.registerSqlFunctions):
-    // re-registration is harmless but each repeat logs a
+    // guard PER FUNCTION, not on one proxy name: a long-lived session
+    // that registered an older set must still pick up functions added
+    // to this method later, and a partially-registered session must
+    // complete the set (round-16 ADVICE; the old token_count proxy
+    // masked both).  Skipping present functions avoids the
     // SimpleFunctionRegistry "replaced a previously registered
-    // function" WARN — one per function per battery entry
-    if (spark.catalog.functionExists("token_count")) return
-    spark.udf.register("token_count", (s: String) =>
-      if (s == null) null else Int.box(tokenCountScalar(s)))
-    spark.udf.register("lang_id", (s: String) =>
-      if (s == null) null else langIdScalar(s))
-    spark.udf.register("quality_score", (s: String) =>
-      if (s == null) null else Double.box(qualityScoreScalar(s)))
-    spark.udf.register("normalize_text", (s: String) =>
-      if (s == null) null else graft.operators.Sketches.normalize(s))
-    spark.udf.register("fingerprint_md5", (s: String) =>
-      if (s == null) null else fingerprintMd5Scalar(s))
-    spark.udf.register("stopword_ratio", (s: String) =>
-      if (s == null) null
-      else {
-        val n = tokenCountScalar(s)
-        Double.box(if (n == 0) 0.0
-        else stopwordHitsScalar(tokensScalar(s), "en").toDouble / n)
-      })
-    spark.udf.register("mean_word_length", (s: String) =>
-      if (s == null) null
-      else {
-        val toks = tokensScalar(s)
-        Double.box(if (toks.isEmpty) 0.0
-        else toks.map(_.length.toLong).sum.toDouble / toks.length)
-      })
-    spark.udf.register("winnow_fingerprints", (s: String) =>
-      if (s == null) null else graft.operators.Sketches.winnow(s, 5, 4))
-    spark.udf.register("minhash_similarity", (a: Seq[Long], b: Seq[Long]) =>
-      if (a == null || b == null) null
-      else {
-        val n = math.min(a.length, b.length)
-        var m = 0
-        var i = 0
-        while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
-        Double.box(m.toDouble / a.length)
-      })
-    spark.udf.register("normalize_unicode", (s: String, form: String) =>
-      normalizeUnicodeScalar(s, form, fold = true))
-    spark.udf.register("scrub_pii", (s: String) =>
+    // function" WARN each repeat would log per battery entry.
+    def ifAbsent(name: String)(reg: => Unit): Unit =
+      if (!spark.catalog.functionExists(name)) reg
+    ifAbsent("token_count")(spark.udf.register("token_count", (s: String) =>
+      if (s == null) null else Int.box(tokenCountScalar(s))))
+    ifAbsent("lang_id")(spark.udf.register("lang_id", (s: String) =>
+      if (s == null) null else langIdScalar(s)))
+    ifAbsent("quality_score")(spark.udf.register("quality_score",
+      (s: String) =>
+        if (s == null) null else Double.box(qualityScoreScalar(s))))
+    ifAbsent("normalize_text")(spark.udf.register("normalize_text",
+      (s: String) =>
+        if (s == null) null else graft.operators.Sketches.normalize(s)))
+    ifAbsent("fingerprint_md5")(spark.udf.register("fingerprint_md5",
+      (s: String) =>
+        if (s == null) null else fingerprintMd5Scalar(s)))
+    ifAbsent("stopword_ratio")(spark.udf.register("stopword_ratio",
+      (s: String) =>
+        if (s == null) null
+        else {
+          val n = tokenCountScalar(s)
+          Double.box(if (n == 0) 0.0
+          else stopwordHitsScalar(tokensScalar(s), "en").toDouble / n)
+        }))
+    ifAbsent("mean_word_length")(spark.udf.register("mean_word_length",
+      (s: String) =>
+        if (s == null) null
+        else {
+          val toks = tokensScalar(s)
+          Double.box(if (toks.isEmpty) 0.0
+          else toks.map(_.length.toLong).sum.toDouble / toks.length)
+        }))
+    ifAbsent("winnow_fingerprints")(spark.udf.register(
+      "winnow_fingerprints", (s: String) =>
+        if (s == null) null else graft.operators.Sketches.winnow(s, 5, 4)))
+    ifAbsent("minhash_similarity")(spark.udf.register("minhash_similarity",
+      (a: Seq[Long], b: Seq[Long]) =>
+        if (a == null || b == null) null
+        else {
+          val n = math.min(a.length, b.length)
+          var m = 0
+          var i = 0
+          while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
+          Double.box(m.toDouble / a.length)
+        }))
+    ifAbsent("normalize_unicode")(spark.udf.register("normalize_unicode",
+      (s: String, form: String) =>
+        normalizeUnicodeScalar(s, form, fold = true)))
+    ifAbsent("scrub_pii")(spark.udf.register("scrub_pii", (s: String) =>
       if (s == null) null
       else s.replaceAll(EmailRe, "[PII]").replaceAll(Ipv4Re, "[PII]")
-        .replaceAll(PhoneRe, "[PII]"))
+        .replaceAll(PhoneRe, "[PII]")))
   }
 }

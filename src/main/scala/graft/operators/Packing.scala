@@ -193,7 +193,17 @@ object Packing {
     val hist = sharded.groupBy(col("shard"),
         col(sizeCol).cast("long").as("__sz"))
       .agg(count(lit(1)).as("__n")).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .map { r =>
+        // fail loud on NULL sizes (binUdf's discipline): a bare
+        // getLong would NPE without naming the cause, and the
+        // allocation key (0 default) would diverge from the row-side
+        // lookup key (NULL)
+        require(!r.isNullAt(1),
+          s"packBestFit: size column '$sizeCol' has NULLs " +
+            s"(${r.getLong(2)} rows in shard ${r.getInt(0)}) — " +
+            "sizes must be non-null token lengths")
+        (r.getInt(0), r.getLong(1), r.getLong(2))
+      }
     val allocs: Map[(Int, Long), Array[BfdRun]] =
       hist.groupBy(_._1).flatMap { case (sh, rows) =>
         // bin groups: remaining → (startBinId → nBins), both ordered
@@ -705,7 +715,15 @@ object Packing {
     val szl = col(sizeCol).cast("long")
     val hist = sharded.groupBy(col("shard"), szl.as("__sz"))
       .agg(count(lit(1)).as("__n")).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .map { r =>
+        // fail loud on NULL sizes (batchUdf's discipline; see
+        // packBestFit's histogram for the key-divergence rationale)
+        require(!r.isNullAt(1),
+          s"batchByLength: size column '$sizeCol' has NULLs " +
+            s"(${r.getLong(2)} rows in shard ${r.getInt(0)}) — " +
+            "sizes must be non-null token lengths")
+        (r.getInt(0), r.getLong(1), r.getLong(2))
+      }
     val allocs: Map[(Int, Long), Array[LenRun]] =
       hist.groupBy(_._1).flatMap { case (_, rows) =>
         var nextBatch = 0L

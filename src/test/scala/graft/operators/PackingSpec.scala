@@ -390,6 +390,24 @@ class PackingSpec extends SparkSpec {
       .foreach(w => assert(w.contains("__cls"), w))
   }
 
+  test("histogram solvers fail loud on NULL sizes, naming the column") {
+    import spark.implicits._
+    // a NULL size would land in the histogram as getLong's 0 default
+    // while the row-side lookup receives NULL — allocation key and
+    // lookup key diverge, so the histogram pass rejects NULLs with
+    // the column name instead (round-16 ADVICE)
+    val docs = Seq((1L, Some(70L)), (2L, None), (3L, Some(50L)))
+      .toDF("doc_id", "n_tokens")
+    val e1 = intercept[IllegalArgumentException](
+      Packing.packBestFit(docs, "doc_id", "n_tokens", 150L))
+    assert(e1.getMessage.contains("n_tokens") &&
+      e1.getMessage.contains("NULL"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Packing.batchByLength(docs, "doc_id", "n_tokens", 150L))
+    assert(e2.getMessage.contains("n_tokens") &&
+      e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
   test("packBestFit: run-length solver equals an independent per-item best-fit greedy") {
     import spark.implicits._
     // reference: the literal BFD walk — items in (size DESC, id)

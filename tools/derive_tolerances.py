@@ -55,9 +55,9 @@ Usage: python3 tools/derive_tolerances.py [--write]
   --write rewrites bench_tolerances.json.
 """
 import collections
-import os
 import glob
 import json
+import re
 import statistics
 import sys
 
@@ -69,15 +69,37 @@ ITERATIVE = {"q95_pagerank", "q95b_pagerank_serve", "q95c_pagerank_stream",
              "q114_host_pagerank"}
 
 
+def run_order_key(f):
+    """Chronological key from fields RECORDED in the file, never mtime.
+
+    git does not preserve mtimes — after a fresh clone every record
+    shares one timestamp and mtime order is arbitrary, which could let
+    a stale since-fixed sample re-anchor the stale-sample rule
+    (round-16 ADVICE).  Primary key: the run_ts field Bench.scala
+    stamps into records (round 17+).  Fallback for older records: the
+    archive suffix bench_full_r<NN><letter>.json, which is assigned in
+    strictly chronological order; the live bench_full.json is always
+    the newest record (it is re-archived with a suffix before the next
+    run overwrites it).
+    """
+    d = json.load(open(f))
+    ts = d.get("run_ts", 0)
+    m = re.search(r"bench_full_r(\d+)([a-z]?)\.json$", f)
+    if m:
+        suffix = (int(m.group(1)), m.group(2))
+    else:  # the live bench_full.json: newest among suffix-ordered files
+        suffix = (10**9, "")
+    return (ts, suffix)
+
+
 def derive(run_files):
     samples = collections.defaultdict(list)
     used = []
     seen = set()
-    # mtime order, not name order: the live bench_full.json is the
-    # NEWEST record but sorts first by name, which would invert the
-    # stale-sample rule; its archival copy (bench_full_rNN.json) has
-    # identical content, so fingerprint-dedupe keeps each run once
-    for f in sorted(run_files, key=os.path.getmtime):
+    # chronological order from recorded fields (see run_order_key);
+    # the live bench_full.json's archival copy (bench_full_rNN.json)
+    # has identical content, so fingerprint-dedupe keeps each run once
+    for f in sorted(run_files, key=run_order_key):
         d = json.load(open(f))
         if "canary_scale" not in d:
             continue  # pre-normalization record; not comparable
