@@ -105,6 +105,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match the parent session's cache sizing (see main) so the
+      // isolated protocol measures the same compile regime
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.get("q04_lineitem_agg").foreach(f => f(spark, sfDir).count())
@@ -266,6 +269,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
+    // Round-17 root-cause of the in-battery premium on the iterative
+    // family (q95* 1.7-2.1x over isolated): Spark's codegen cache is a
+    // STATIC conf defaulting to 100 entries, and the battery's ~200
+    // structurally distinct queries compile thousands of distinct
+    // fragments (measured: 50 battery queries = 1,256 compiles), so a
+    // query's generated classes are always evicted between its two
+    // passes — every in-battery attempt re-paid janino compilation +
+    // fresh-class JIT for each fragment (q95: 82 fragments x ~26 ms,
+    // plus the first-execution interpreter penalty), which the
+    // isolated child's warm-up attempt absorbs. 4096 entries retains
+    // the whole battery's fragments (measured: q95 post-50-query-churn
+    // 9.9 s -> 7.2 s, recompiles 80 -> 0, and the churn itself
+    // compiled 33% fewer fragments from cross-query sharing). Heap
+    // cost is bounded: entries hold source text + class refs,
+    // ~100-200 MB at 4096 against the 8 GB bench JVM.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -273,10 +291,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val explain = sys.env.get("BENCH_EXPLAIN").contains("1")
     val pool = Executors.newCachedThreadPool()
+
+    // Disk-state half of the round-17 aging fix: clear graft scratch
+    // litter (checkpoints, tmp lakes) that finished or crashed JVMs
+    // left in /tmp — measured ~600 MB / 2,500 entries accumulated
+    // across rounds, aging every later run's I/O neighborhood. The
+    // 2 h age guard keeps any concurrently-running JVM's state safe.
+    val swept = graft.sources.Scratch.sweepStale()
+    if (swept > 0) System.err.println(s"[bench] swept $swept stale graft scratch dirs from tmp")
 
     // Calibrated on this machine idle; override per-host.
     val canaryRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_REF_SEC", "0.90").toDouble

@@ -227,7 +227,7 @@ object CorpusDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1)
-      else java.nio.file.Files.createTempDirectory("graft-corpus-demo").toString
+      else graft.sources.Scratch.dir("graft-corpus-demo").toString
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .appName("graft-corpus-demo")

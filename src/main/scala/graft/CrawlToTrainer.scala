@@ -68,7 +68,7 @@ object CrawlToTrainer {
     val warcDir = if (args.length > 0) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_WARC_DIR", "/tmp/graft_crawl_warc")
     val outDir = if (args.length > 1) args(1)
-      else java.nio.file.Files.createTempDirectory("graft-c2t").toString
+      else graft.sources.Scratch.dir("graft-c2t").toString
     val spark = SparkSession.builder()
       .appName("graft-crawl-to-trainer").master("local[4]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -100,7 +100,7 @@ object LakeOpsDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1)
-      else java.nio.file.Files.createTempDirectory("graft_lakeops").toString
+      else graft.sources.Scratch.dir("graft_lakeops").toString
     val spark = SparkSession.builder()
       .appName("graft-lakeops-demo").master("local[4]")
       .config("spark.sql.shuffle.partitions", 32)

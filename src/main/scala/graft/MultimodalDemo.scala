@@ -214,7 +214,7 @@ object MultimodalDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1)
-      else java.nio.file.Files.createTempDirectory("graft_mm_demo").toString
+      else graft.sources.Scratch.dir("graft_mm_demo").toString
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")

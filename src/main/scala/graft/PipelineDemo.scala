@@ -93,7 +93,7 @@ object PipelineDemo {
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-pipeline-demo").toString)
+      graft.sources.Scratch.dir("graft-pipeline-demo").toString)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .appName("graft-pipeline-demo")

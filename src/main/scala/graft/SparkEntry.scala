@@ -158,7 +158,7 @@ object SparkEntry {
         .as[(Long, String)].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
-      val ckptDir = java.nio.file.Files.createTempDirectory("graft_q163_ckpt")
+      val ckptDir = graft.sources.Scratch.dir("graft_q163_ckpt")
       val q = graft.streaming.Maintenance.streamingBigramModel(
         mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
         bigT, tokT, ckptDir.toString)
@@ -1483,7 +1483,7 @@ object SparkEntry {
         val all = emb.union(annClones(emb)).as[(Long, Seq[Float])].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Seq[Float])]
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_q88c_ckpt").toString
+        val ckpt = graft.sources.Scratch.dir("graft_q88c_ckpt").toString
         val q = graft.streaming.Maintenance.streamingIvfPqIndex(
           mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
           tbl, centT, cbT, ckpt)
@@ -1901,8 +1901,8 @@ object SparkEntry {
           .as[(Long, String)].collect().sortBy(_._1)
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String)]
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_q139_ckpt").toString
+        val ckpt = graft.sources.Scratch
+          .dir("graft_q139_ckpt").toString
         val q = graft.streaming.Maintenance.streamingBm25(
           mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
           statsT, dlT, ckpt)
@@ -2368,8 +2368,8 @@ object SparkEntry {
           .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String, String)]
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_q161_ckpt").toString
+        val ckpt = graft.sources.Scratch
+          .dir("graft_q161_ckpt").toString
         val q = graft.streaming.Maintenance.streamingAnchorEdges(
           mem.toDF().toDF("doc_id", "url", "html"),
           "doc_id", "url", "html", tbl, ckpt)
@@ -3214,8 +3214,8 @@ object SparkEntry {
           .as[(String, String)].collect().sortBy(_._1)
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(String, String)]
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_q150_ckpt").toString
+        val ckpt = graft.sources.Scratch
+          .dir("graft_q150_ckpt").toString
         val q = graft.streaming.Maintenance.streamingWatSegments(
           mem.toDF().toDF("uri", "wat_json"), "uri", "wat_json", root, ckpt)
         try {
@@ -3650,7 +3650,7 @@ object SparkEntry {
           .as[(Long, String)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String)]
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_q83_ckpt").toString
+        val ckpt = graft.sources.Scratch.dir("graft_q83_ckpt").toString
         val q = graft.streaming.Maintenance.streamingNgramIndex(
           mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl, ckpt)
         try {
@@ -3685,7 +3685,7 @@ object SparkEntry {
           .as[(Long, String, String)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String, String)]
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_q93_ckpt").toString
+        val ckpt = graft.sources.Scratch.dir("graft_q93_ckpt").toString
         val q = graft.streaming.Maintenance.streamingTelemetry(
           mem.toDF().toDF("doc_id", "source", "text"), "source", "text",
           state, ckpt)
@@ -4256,8 +4256,8 @@ object SparkEntry {
         val base = mem.toDF().toDF("cn", "sn")
         val edges = base.select(col("cn").as("src"), col("sn").as("dst"))
           .unionByName(base.select(col("sn").as("src"), col("cn").as("dst")))
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_q95c_ckpt").toString
+        val ckpt = graft.sources.Scratch
+          .dir("graft_q95c_ckpt").toString
         val q = graft.streaming.Maintenance.streamingGraphEdges(
           edges, "src", "dst", tbl, ckpt)
         try {
@@ -4336,7 +4336,7 @@ object SparkEntry {
           .as[(Long, String, String)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String, String)]
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_q99_ckpt").toString
+        val ckpt = graft.sources.Scratch.dir("graft_q99_ckpt").toString
         val q = graft.streaming.Maintenance.streamingDriftCounts(
           mem.toDF().toDF("doc_id", "lang", "text"), "lang", "text",
           state, ckpt, dim = 4096)
@@ -4592,7 +4592,7 @@ object SparkEntry {
         val all = docs.union(clones).as[(Long, String)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String)]
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_q109_ckpt").toString
+        val ckpt = graft.sources.Scratch.dir("graft_q109_ckpt").toString
         val q = graft.streaming.Maintenance.streamingMinhashSketches(
           mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tbl, ckpt)
         try {
@@ -4989,8 +4989,8 @@ object SparkEntry {
           .as[(String, Long)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(String, Long)]
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_q124_ckpt").toString
+        val ckpt = graft.sources.Scratch
+          .dir("graft_q124_ckpt").toString
         val q = graft.streaming.Maintenance.streamingFrontier(
           mem.toDF().toDF("url", "score"), "url", "score", tbl, ckpt)
         try {
@@ -5052,8 +5052,8 @@ object SparkEntry {
           .as[(Long, Long)].collect()
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Long)]
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_q126_ckpt").toString
+        val ckpt = graft.sources.Scratch
+          .dir("graft_q126_ckpt").toString
         val q = graft.streaming.Maintenance.streamingComponents(
           mem.toDF().toDF("a", "b"), "a", "b", tbl, ckpt)
         try {
@@ -5330,8 +5330,8 @@ object SparkEntry {
           .map(_.toString).sorted.toSeq
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[String]
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_q138_ckpt").toString
+        val ckpt = graft.sources.Scratch
+          .dir("graft_q138_ckpt").toString
         val q = graft.streaming.Maintenance.streamingCdx(
           mem.toDF().toDF("path"), "path", tbl, ckpt)
         try {
@@ -5367,7 +5367,7 @@ object SparkEntry {
       val wdir = ensureCdxWarcDir(s, dir)
       val W = graft.sources.Warc
       val cdxjDir = new java.io.File(
-        java.nio.file.Files.createTempDirectory("graft_q140").toFile,
+        graft.sources.Scratch.dir("graft_q140").toFile,
         "cdxj").toString
       W.writeCdxj(W.cdxIndex(s, wdir), cdxjDir, shards = 3)
       val back = W.readCdxj(s, cdxjDir)
@@ -5425,8 +5425,8 @@ object SparkEntry {
       if (!s.catalog.tableExists(tbl)) {
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(String, String)]
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_q141_ckpt").toString
+        val ckpt = graft.sources.Scratch
+          .dir("graft_q141_ckpt").toString
         val q = graft.streaming.Maintenance.streamingTakedowns(
           mem.toDF().toDF("kind", "value"), "kind", "value", tbl, ckpt)
         try {
@@ -5472,7 +5472,7 @@ object SparkEntry {
       val fetched = W.fetchByCdx(kept, wdir)
         .select(col("url"), col("body").cast("string").as("text"))
       val outDir = new java.io.File(
-        java.nio.file.Files.createTempDirectory("graft_q142").toFile,
+        graft.sources.Scratch.dir("graft_q142").toFile,
         "redacted").toString
       W.writeTextSegments(fetched, "url", "text", outDir)
       W.readWarc(s, outDir)
@@ -5507,8 +5507,8 @@ object SparkEntry {
           .as[(String, String)].collect().sortBy(_._1)
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(String, String)]
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_q133_ckpt").toString
+        val ckpt = graft.sources.Scratch
+          .dir("graft_q133_ckpt").toString
         val q = graft.streaming.Maintenance.streamingTextSegments(
           mem.toDF().toDF("uri", "text"), "uri", "text", root, ckpt)
         try {

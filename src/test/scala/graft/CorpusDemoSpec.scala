@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class CorpusDemoSpec extends SparkSpec {
 
   test("corpus demo: curation slice lands shards with consistent invariants") {
-    val out = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    val out = graft.sources.Scratch.dir("graft-curate").toString
     val r = CorpusDemo.run(spark, "/root/testdata/sf0.001", out,
       chunkTokens = 50, stride = 40, budgetTokens = 2000L, shards = 4)
 
@@ -91,7 +91,7 @@ class CorpusDemoSpec extends SparkSpec {
     // writes no shard subtrees at all (partitioned writes emit no
     // files for absent partitions) — the round-13 ADVICE empty-corpus
     // path, closed at the read-back layer, not just the NULL sum
-    val out = java.nio.file.Files.createTempDirectory("graft_cd_empty").toString
+    val out = graft.sources.Scratch.dir("graft_cd_empty").toString
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val feed = CorpusDemo.trainerFeed(spark, empty, out)
     assert(feed == CorpusDemo.TrainerFeed(0L, 0L, 0L, true), feed.toString)

@@ -26,8 +26,8 @@ class CrawlDemoSpec extends SparkSpec {
       extraHeaders = Seq(s"Location: $location")))
 
   test("crawl demo: every stage count reconciles on a two-host fixture") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_crawl_fix").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_crawl_out").toString + "/export"
+    val dir = graft.sources.Scratch.dir("graft_crawl_fix").toString
+    val out = graft.sources.Scratch.dir("graft_crawl_out").toString + "/export"
     val tbl = "graft_crawldemo_frontier"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     graft.sources.Warehouse.clearOrphanLocation(spark, tbl)
@@ -171,8 +171,8 @@ class CrawlDemoSpec extends SparkSpec {
   }
 
   test("robots meta directives gate the demo: noindex drops content, nofollow drops outlinks") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_crawl_meta").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_crawl_mout").toString + "/export"
+    val dir = graft.sources.Scratch.dir("graft_crawl_meta").toString
+    val out = graft.sources.Scratch.dir("graft_crawl_mout").toString + "/export"
     val tbl = "graft_crawldemo_meta_frontier"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     graft.sources.Warehouse.clearOrphanLocation(spark, tbl)
@@ -217,8 +217,8 @@ class CrawlDemoSpec extends SparkSpec {
   }
 
   test("anchor-text leg: per-target field joins the export and wins as a fused BM25 field") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_crawl_anch").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_crawl_aout").toString + "/export"
+    val dir = graft.sources.Scratch.dir("graft_crawl_anch").toString
+    val out = graft.sources.Scratch.dir("graft_crawl_aout").toString + "/export"
     val tbl = "graft_crawldemo_anchor_frontier"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     graft.sources.Warehouse.clearOrphanLocation(spark, tbl)

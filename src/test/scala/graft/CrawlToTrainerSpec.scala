@@ -12,8 +12,8 @@ class CrawlToTrainerSpec extends SparkSpec {
     s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
 
   test("crawl survivors and token-shard docs tie out row-for-row across the seam") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_c2t_fix").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_c2t_out").toString
+    val dir = graft.sources.Scratch.dir("graft_c2t_fix").toString
+    val out = graft.sources.Scratch.dir("graft_c2t_out").toString
     val tbl = "graft_c2t_spec_frontier"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     graft.sources.Warehouse.clearOrphanLocation(spark, tbl)

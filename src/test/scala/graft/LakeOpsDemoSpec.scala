@@ -12,7 +12,7 @@ class LakeOpsDemoSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("lake-ops demo: upsert, incremental rollup, pruned scan, and profile reconcile") {
-    val outDir = Files.createTempDirectory("graft_lakeops_spec").toString
+    val outDir = graft.sources.Scratch.dir("graft_lakeops_spec").toString
     val r = LakeOpsDemo.run(spark, sfDir, outDir)
 
     val merged = spark.read.parquet(s"$outDir/events_lake")

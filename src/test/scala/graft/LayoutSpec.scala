@@ -60,7 +60,7 @@ class LayoutSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
 
   test("a 2-D box query prunes more files under Z-order than under a 1-D sort") {
-    val tmp = Files.createTempDirectory("graft_layout").toString
+    val tmp = graft.sources.Scratch.dir("graft_layout").toString
     val zPath = s"$tmp/zorder"
     val linPath = s"$tmp/linear"
     // Files must be finer-grained than the query boxes for layout to
@@ -157,7 +157,7 @@ class LayoutSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
 
     // --- the Lake.upsert hook: flat part=X lake ---
-    val dir = Files.createTempDirectory("graft_mlake").toString + "/lake"
+    val dir = graft.sources.Scratch.dir("graft_mlake").toString + "/lake"
     Seq((1L, 10L, 0, "a"), (2L, 20L, 0, "a"), (3L, 30L, 0, "b"), (4L, 40L, 0, "c"))
       .toDF("id", "v", "rev", "part")
       .write.partitionBy("part").parquet(dir)
@@ -182,7 +182,7 @@ class LayoutSpec extends SparkSpec {
     assert(pruned == plain && pruned.nonEmpty)
 
     // --- the Lake.compact hook: bronze-shaped parquet tree ---
-    val bdir = Files.createTempDirectory("graft_mbronze").toString + "/lake"
+    val bdir = graft.sources.Scratch.dir("graft_mbronze").toString + "/lake"
     (0 until 3).foreach { i =>
       Seq((i.toLong, 100L + i, 2026, 1, 1, 5), (i + 10L, 200L + i, 2026, 1, 1, 6))
         .toDF("id", "v", "year", "month", "day", "hour")
@@ -217,7 +217,7 @@ class LayoutSpec extends SparkSpec {
     // partition columns only exist via directory inference; the fresh-
     // file re-stat must read with basePath or the refresh throws AFTER
     // Lake.upsert already swapped data (stale manifest vs committed data)
-    val dir = Files.createTempDirectory("graft_mpart").toString + "/lake"
+    val dir = graft.sources.Scratch.dir("graft_mpart").toString + "/lake"
     Seq((1L, 10L, 0, 7L), (2L, 20L, 0, 8L), (3L, 30L, 0, 9L))
       .toDF("id", "v", "rev", "part")
       .write.partitionBy("part").parquet(dir)

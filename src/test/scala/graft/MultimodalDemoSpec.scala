@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class MultimodalDemoSpec extends SparkSpec {
 
   test("media in == fingerprinted; clones all pair; export audits ok") {
-    val out = java.nio.file.Files.createTempDirectory("graft_mm_spec").toString
+    val out = graft.sources.Scratch.dir("graft_mm_spec").toString
     val r = MultimodalDemo.run(spark, "/root/testdata/sf0.001", out,
       cloneEvery = 10)
     val nDocs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class PipelineDemoSpec extends SparkSpec {
 
   test("pipeline demo: all layers land and reconcile end to end") {
-    val base = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val base = graft.sources.Scratch.dir("graft-e2e").toString
     try {
       val r = PipelineDemo.run(spark, base, nEvents = 64)
 

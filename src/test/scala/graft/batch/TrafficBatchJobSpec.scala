@@ -68,10 +68,10 @@ class TrafficBatchJobSpec extends SparkSpec {
 
   test("JDBC sink (S3): real append + read-back through embedded Derby") {
     val url = "jdbc:derby:memory:graft_batch;create=true"
-    val in = Files.createTempDirectory("graft_jdbc_in").toString
+    val in = graft.sources.Scratch.dir("graft_jdbc_in").toString
     graft.generator.Generator.trafficEvents(spark, 100).write.mode("overwrite").json(in)
     TrafficBatchJob.run(spark, in,
-      Files.createTempDirectory("graft_jdbc_out").toString, jdbcUrl = Some(url))
+      graft.sources.Scratch.dir("graft_jdbc_out").toString, jdbcUrl = Some(url))
     val back = spark.read.format("jdbc")
       .option("url", url).option("dbtable", "traffic_analytics").load()
     assert(back.count() == 100)
@@ -80,14 +80,14 @@ class TrafficBatchJobSpec extends SparkSpec {
     assert(back.filter(col("created_at").isNull).count() == 0)
     // append mode appends (second run doubles the rows)
     TrafficBatchJob.run(spark, in,
-      Files.createTempDirectory("graft_jdbc_out2").toString, jdbcUrl = Some(url))
+      graft.sources.Scratch.dir("graft_jdbc_out2").toString, jdbcUrl = Some(url))
     assert(spark.read.format("jdbc").option("url", url)
       .option("dbtable", "traffic_analytics").load().count() == 200)
   }
 
   test("end-to-end run: jsonl in, zone-partitioned parquet out") {
-    val in = Files.createTempDirectory("graft_batch_in").toString
-    val out = Files.createTempDirectory("graft_batch_out").toString
+    val in = graft.sources.Scratch.dir("graft_batch_in").toString
+    val out = graft.sources.Scratch.dir("graft_batch_out").toString
     raw.write.mode("overwrite").json(in)
     val t = TrafficBatchJob.run(spark, in, out)
     assert(t.count() == 400)
@@ -99,7 +99,7 @@ class TrafficBatchJobSpec extends SparkSpec {
     assert(back.count() == 400)
     // reference-compat inference mode reads the same data
     val t2 = TrafficBatchJob.run(spark, in,
-      Files.createTempDirectory("graft_batch_out2").toString, inferSchema = true)
+      graft.sources.Scratch.dir("graft_batch_out2").toString, inferSchema = true)
     assert(t2.count() == 400)
   }
 }

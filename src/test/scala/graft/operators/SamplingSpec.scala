@@ -169,7 +169,7 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("writeSharded: one file per shard directory, rows in pos order inside each file") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val tmp = graft.sources.Scratch.dir("graft_shards").toString
     Sampling.writeSharded(docs, "doc_id", 16, tmp)
     val dirs = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("shard="))
     assert(dirs.length == 16, s"expected 16 shard dirs, got ${dirs.length}")
@@ -403,7 +403,7 @@ class SamplingSpec extends SparkSpec {
 
   test("export manifest: clean audit passes; a tampered shard is flagged precisely") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_export_spec").toString
+    val dir = graft.sources.Scratch.dir("graft_export_spec").toString
     val df = (0L until 400L).map(i => (i, s"doc $i")).toDF("id", "text")
     Sampling.writeShardedWithManifest(df, "id", 8, dir)
     val clean = Sampling.verifyShardedExport(spark, dir, "id")
@@ -424,7 +424,7 @@ class SamplingSpec extends SparkSpec {
     // ids at the extremes of Long: unfolded Σid² would overflow ANSI
     // Long arithmetic on the very first row — the mod-P fold + decimal
     // sums must stay exact, audit clean, and still catch a lost row
-    val dir = java.nio.file.Files.createTempDirectory("graft_export_hash").toString
+    val dir = graft.sources.Scratch.dir("graft_export_hash").toString
     val ids = Seq(Long.MaxValue, Long.MinValue + 1, -1L, 0L,
       7450580853294637803L, -8122186245280505352L) ++
       (1L to 200L).map(i => i * 40499421617L - 4000000000000L)

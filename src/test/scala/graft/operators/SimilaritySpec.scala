@@ -614,7 +614,7 @@ class SimilaritySpec extends SparkSpec {
       model.codebooks.flatten.flatten.toSeq,
       "PQ codebooks must survive the storable-frame round trip")
     val cm2 = Similarity.centroidsFromDF(Similarity.centroidsToDF(spark, cm))
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+    val dir = graft.sources.Scratch.dir("graft_ivfpq")
       .toString + "/index"
     Similarity.ivfPqEncode(emb, "vec_id", "embedding", cm, model)
       .write.partitionBy("cell").parquet(dir)

@@ -69,7 +69,7 @@ class TelemetrySpec extends SparkSpec {
     val rows = docs.as[(Long, String, String)].collect()
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String, String)]
-    val ckpt = java.nio.file.Files.createTempDirectory("telemetry_ckpt").toString
+    val ckpt = graft.sources.Scratch.dir("telemetry_ckpt").toString
     val q = graft.streaming.Maintenance.streamingTelemetry(
       mem.toDF().toDF("doc_id", "source", "text"), "source", "text",
       state, ckpt)

@@ -9,7 +9,7 @@ import java.nio.file.Files
 class LakeSpec extends SparkSpec {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft_lake").toString
+    graft.sources.Scratch.dir("graft_lake").toString
 
   test("bronze write partitions by zero-padded event-time keys") {
     val dir = tmp()
@@ -296,7 +296,7 @@ class LakeSpec extends SparkSpec {
   }
 
   test("quarantine read conserves every line and hands back bad lines verbatim") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_quar").toString
+    val dir = graft.sources.Scratch.dir("graft_quar").toString
     val lines = Seq(
       """{"doc_id": 1, "text": "good one"}""",
       """{"doc_id": 2""",                         // truncated
@@ -323,8 +323,8 @@ class LakeSpec extends SparkSpec {
   }
 
   test("dead-letter round trip: bad lines land verbatim, append accumulates, count returned") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dl_src").toString
-    val dl = java.nio.file.Files.createTempDirectory("graft_dl_out").toString + "/letters"
+    val dir = graft.sources.Scratch.dir("graft_dl_src").toString
+    val dl = graft.sources.Scratch.dir("graft_dl_out").toString + "/letters"
     val badLines = Seq(
       """{"doc_id": 7""",
       """garbage with "quotes" and \ backslashes and {braces}""",

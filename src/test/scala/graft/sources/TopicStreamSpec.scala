@@ -10,7 +10,7 @@ import java.nio.file.Files
 class TopicStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmp(): String = Files.createTempDirectory("graft_topic").toString
+  private def tmp(): String = graft.sources.Scratch.dir("graft_topic").toString
 
   private def produceThreeTopics(base: String): Unit = {
     // the bridge's routing: mqtt prefix → kafka topic (F15), then keyed send

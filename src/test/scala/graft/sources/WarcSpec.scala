@@ -115,7 +115,7 @@ class WarcSpec extends SparkSpec {
 
   test("writeTextSegments: streamed WET export roundtrips byte-exactly and audits clean") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_wet").toString + "/wet"
+    val dir = graft.sources.Scratch.dir("graft_wet").toString + "/wet"
     val docs = (0 until 50).map(i =>
       (s"https://h${i % 3}.com/d$i", s"text body $i with ā unicode"))
       .toDF("uri", "text").repartition(4)
@@ -241,7 +241,7 @@ class WarcSpec extends SparkSpec {
 
   test("WET gzip segments are per-record members — any record boundary decompresses in isolation") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_wetm").toString + "/wet"
+    val dir = graft.sources.Scratch.dir("graft_wetm").toString + "/wet"
     val docs = (0 until 10).map(i => (s"https://h.com/d$i", s"member body $i"))
       .toDF("uri", "text").repartition(1)
     Warc.writeTextSegments(docs, "uri", "text", dir)
@@ -288,7 +288,7 @@ class WarcSpec extends SparkSpec {
   }
 
   test("readWarc: one row per record over real segment files") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_warc").toString
+    val dir = graft.sources.Scratch.dir("graft_warc").toString
     (0 until 3).foreach { i =>
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, f"seg-$i%05d.warc"),
@@ -339,7 +339,7 @@ class WarcSpec extends SparkSpec {
 
   test("cdx: per-record gzip members tile the file and ranged fetch round-trips") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdx").toString + "/wet"
+    val dir = graft.sources.Scratch.dir("graft_cdx").toString + "/wet"
     val df = (0 until 40)
       .map(i => (s"https://www.site${i % 4}.example.com/p$i", s"text number $i"))
       .toDF("uri", "text").repartition(3)
@@ -392,7 +392,7 @@ class WarcSpec extends SparkSpec {
     assert(rows.forall(r => r.offset == 0L && r.comp_length == gz.length.toLong))
     assert(rows.map(_.member_record_index) == Seq(0, 1))
     // fetch the SECOND record out of the shared member by index
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdx1").toString
+    val dir = graft.sources.Scratch.dir("graft_cdx1").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s.warc.gz"), gz)
     val cdxDf = spark.createDataFrame(rows.filter(_.member_record_index == 1))
     val f = Warc.fetchByCdx(cdxDf, dir).collect().head
@@ -402,7 +402,7 @@ class WarcSpec extends SparkSpec {
 
   test("appendToCdxTable: filename-keyed skip — new segments index, replays no-op") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdxt").toString
+    val dir = graft.sources.Scratch.dir("graft_cdxt").toString
     def writeSeg(i: Int): Unit = java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, f"seg-$i%03d.warc"),
       Warc.buildSegment(Seq(("response", s"http://a.com/$i",
@@ -432,7 +432,7 @@ class WarcSpec extends SparkSpec {
   }
 
   test("appendToCdxTable: a zero-row segment is remembered, not re-read forever") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdxz").toString
+    val dir = graft.sources.Scratch.dir("graft_cdxz").toString
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "seg-001.warc"),
       Warc.buildSegment(Seq(("response", "http://a.com/1",
@@ -470,7 +470,7 @@ class WarcSpec extends SparkSpec {
 
   test("fetchByCdx: bad locators and missing segments degrade to NULL rows, never a task failure") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdxb").toString
+    val dir = graft.sources.Scratch.dir("graft_cdxb").toString
     val gz = Warc.gzipBytes(Warc.buildSegment(Seq(
       ("response", "http://a.com/1", Warc.httpResponse(ascii("one"))))))
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s.warc.gz"), gz)
@@ -502,7 +502,7 @@ class WarcSpec extends SparkSpec {
     val seg = Warc.buildSegmentWithHeaders(Seq(("response",
       "http://a.com/enc", payload,
       Seq(s"WARC-Payload-Digest: ${Warc.sha1Base32(storedBody)}"))))
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdxd").toString
+    val dir = graft.sources.Scratch.dir("graft_cdxd").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s.warc"), seg)
     val cdx = Warc.cdxIndex(spark, dir)
     // the surfaced body is DECODED, yet digest_ok verifies the stamp
@@ -522,7 +522,7 @@ class WarcSpec extends SparkSpec {
 
   test("auditTextSegments: a missing manifest flips ok instead of throwing") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_wetm").toString + "/wet"
+    val dir = graft.sources.Scratch.dir("graft_wetm").toString + "/wet"
     val df = (0 until 6).map(i => (s"https://a.com/p$i", s"t$i"))
       .toDF("uri", "text").repartition(2)
     Warc.writeTextSegments(df, "uri", "text", dir)
@@ -537,13 +537,13 @@ class WarcSpec extends SparkSpec {
 
   test("cdxj: sorted-text roundtrip reconstructs the index exactly; torn lines drop") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdxj").toString + "/wet"
+    val dir = graft.sources.Scratch.dir("graft_cdxj").toString + "/wet"
     val df = (0 until 30)
       .map(i => (s"https://www.site${i % 5}.example.com/p$i", s"text $i"))
       .toDF("uri", "text").repartition(3)
     Warc.writeTextSegments(df, "uri", "text", dir, gzip = true)
     val cdx = Warc.cdxIndex(spark, dir)
-    val cdxjDir = java.nio.file.Files.createTempDirectory("graft_cdxj_t")
+    val cdxjDir = graft.sources.Scratch.dir("graft_cdxj_t")
       .toString + "/idx"
     Warc.writeCdxj(cdx, cdxjDir, shards = 2)
     // GLOBAL sort: shard files concatenated in name order stay sorted
@@ -571,13 +571,13 @@ class WarcSpec extends SparkSpec {
 
   test("readCdxj: the published manifest is invisible to the public read — explicit shard glob, no path-filter dependence") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdxjm").toString + "/wet"
+    val dir = graft.sources.Scratch.dir("graft_cdxjm").toString + "/wet"
     val df = (0 until 12)
       .map(i => (s"https://www.m${i % 3}.example.com/p$i", s"text $i"))
       .toDF("uri", "text").repartition(2)
     Warc.writeTextSegments(df, "uri", "text", dir, gzip = true)
     val cdx = Warc.cdxIndex(spark, dir)
-    val cdxjDir = java.nio.file.Files.createTempDirectory("graft_cdxjm2")
+    val cdxjDir = graft.sources.Scratch.dir("graft_cdxjm2")
       .toString + "/idx"
     Warc.writeCdxj(cdx, cdxjDir, shards = 2)
     // the manifest IS there — parquet bytes living inside the served dir
@@ -621,7 +621,7 @@ class WarcSpec extends SparkSpec {
     // and one with a WARC 1.1 fractional date that must NOT truncate
     val fracDate = noDate.withColumn("warc_date",
       lit("2026-01-01T00:00:00.123Z"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdxjn")
+    val dir = graft.sources.Scratch.dir("graft_cdxjn")
       .toString + "/idx"
     Warc.writeCdxj(noDate.unionByName(fracDate), dir)
     val back = Warc.readCdxj(spark, dir)
@@ -641,7 +641,7 @@ class WarcSpec extends SparkSpec {
         .getBytes("UTF-8"))
     val reread = Warc.readCdxj(spark, dir)
     assert(reread.count() == 4, "the '-' locator line reads, with NULLs")
-    val segDir = java.nio.file.Files.createTempDirectory("graft_cdxjn2")
+    val segDir = graft.sources.Scratch.dir("graft_cdxjn2")
       .toString
     val fetched = Warc.fetchByCdx(reread, segDir)
     assert(fetched.count() == 4, "every row surfaces, degraded included")
@@ -655,8 +655,8 @@ class WarcSpec extends SparkSpec {
   }
 
   test("appendToCdxTable: same basename in two announced paths collapses to one insert") {
-    val dirA = java.nio.file.Files.createTempDirectory("graft_cdxa").toString
-    val dirB = java.nio.file.Files.createTempDirectory("graft_cdxb2").toString
+    val dirA = graft.sources.Scratch.dir("graft_cdxa").toString
+    val dirB = graft.sources.Scratch.dir("graft_cdxb2").toString
     val seg = Warc.buildSegment(Seq(("response", "http://a.com/1",
       Warc.httpResponse(ascii("b1")))))
     java.nio.file.Files.write(java.nio.file.Paths.get(dirA, "seg-001.warc"), seg)
@@ -748,14 +748,14 @@ class WarcSpec extends SparkSpec {
 
   test("readCdxjPrefix: manifest prunes shards, results equal the full-scan filter, unmanifested files always read") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdxjrs")
+    val dir = graft.sources.Scratch.dir("graft_cdxjrs")
       .toString + "/wet"
     val df = (0 until 40)
       .map(i => (s"https://www.site${i % 4}.example.com/p$i", s"text $i"))
       .toDF("uri", "text").repartition(3)
     Warc.writeTextSegments(df, "uri", "text", dir, gzip = true)
     val cdx = Warc.cdxIndex(spark, dir)
-    val cdxjDir = java.nio.file.Files.createTempDirectory("graft_cdxjrs2")
+    val cdxjDir = graft.sources.Scratch.dir("graft_cdxjrs2")
       .toString + "/idx"
     Warc.writeCdxj(cdx, cdxjDir, shards = 4)
     val prefix = "com,example,site2)"
@@ -803,7 +803,7 @@ class WarcSpec extends SparkSpec {
       .toDF("filename", "offset", "comp_length", "member_index",
         "member_record_index", "warc_type", "url", "warc_date",
         "mime", "status", "digest", "urlkey")
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdxjwsp")
+    val dir = graft.sources.Scratch.dir("graft_cdxjwsp")
       .toString + "/idx"
     Warc.writeCdxj(rows, dir)
     val got = Warc.readCdxjPrefix(spark, dir, "com,a)/x y")
@@ -846,7 +846,7 @@ class WarcSpec extends SparkSpec {
 
   test("writeWatSegments: metadata-type records roundtrip and audit clean") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_wat").toString + "/wat"
+    val dir = graft.sources.Scratch.dir("graft_wat").toString + "/wat"
     val wat = Seq(
       ("https://a.example.com/x", """{"url":"https://a.example.com/x","n_links":2}"""),
       ("https://b.example.com/y", """{"url":"https://b.example.com/y","n_links":0}"""))
@@ -888,7 +888,7 @@ class WarcSpec extends SparkSpec {
       .toDF("filename", "offset", "comp_length", "member_index",
         "member_record_index", "warc_type", "url", "warc_date",
         "mime", "status", "digest", "urlkey")
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdxjws")
+    val dir = graft.sources.Scratch.dir("graft_cdxjws")
       .toString + "/idx"
     Warc.writeCdxj(rows, dir)
     // every written line still frames (no whitespace inside field 1)

@@ -26,7 +26,7 @@ class MaintenanceSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${stateTable}_staging")
     graft.sources.Warehouse.clearOrphanLocation(spark, stateTable)
     graft.sources.Warehouse.clearOrphanLocation(spark, s"${stateTable}_staging")
-    val ckpt = Files.createTempDirectory("maint_ckpt").toString
+    val ckpt = graft.sources.Scratch.dir("maint_ckpt").toString
     val mem = MemoryStream[Tick]
     val q = Maintenance.streamingRollup(mem.toDF(), "ts", "value",
       Seq("kind"), stateTable, ckpt)
@@ -130,7 +130,7 @@ class MaintenanceSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${stateTable}_staging")
     graft.sources.Warehouse.clearOrphanLocation(spark, stateTable)
     graft.sources.Warehouse.clearOrphanLocation(spark, s"${stateTable}_staging")
-    val ckpt = Files.createTempDirectory("maint_restart").toString
+    val ckpt = graft.sources.Scratch.dir("maint_restart").toString
     val mem = MemoryStream[Tick]
     val run1 = (1 to 10).map(i => Tick(i, ts(i), "a", i * 1.0, 0))
     val run2 = (11 to 15).map(i => Tick(i, ts(i), "b", i * 1.0, 0))
@@ -196,7 +196,7 @@ class MaintenanceSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val tbl = ngramTbl("graft_maint_ngram")
     dropNgram(tbl)
-    val ckpt = Files.createTempDirectory("maint_ngram").toString
+    val ckpt = graft.sources.Scratch.dir("maint_ngram").toString
     val all = ngramDocs.as[(Long, String)].collect().sortBy(_._1)
     val batches = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
     val mem = MemoryStream[(Long, String)]
@@ -224,7 +224,7 @@ class MaintenanceSpec extends SparkSpec {
     val tbl = ngramTbl("graft_maint_ngram_rs")
     val ref = ngramTbl("graft_maint_ngram_rs_ref")
     dropNgram(tbl); dropNgram(ref)
-    val ckpt = Files.createTempDirectory("maint_ngram_rs").toString
+    val ckpt = graft.sources.Scratch.dir("maint_ngram_rs").toString
     val all = ngramDocs.as[(Long, String)].collect().sortBy(_._1)
     val (run1, run2) = all.splitAt(all.length / 2)
     val mem = MemoryStream[(Long, String)]
@@ -296,7 +296,7 @@ class MaintenanceSpec extends SparkSpec {
 
   test("streamingUpsert applies CDC batches to the lake, latest version winning") {
     implicit val sqlCtx = spark.sqlContext
-    val root = Files.createTempDirectory("maint_lake").toString
+    val root = graft.sources.Scratch.dir("maint_lake").toString
     val lake = s"$root/lake"
     Seq(Tick(1, ts(0), "a", 1.0, 0), Tick(2, ts(0), "b", 2.0, 0))
       .toDF().write.partitionBy("kind").parquet(lake)
@@ -319,8 +319,8 @@ class MaintenanceSpec extends SparkSpec {
 
   test("streamingTextSegments archives batch subtrees; replay leaves the record set unchanged") {
     implicit val sqlCtx = spark.sqlContext
-    val root = Files.createTempDirectory("maint_wet").toString + "/archive"
-    val ckpt = Files.createTempDirectory("maint_wet_ckpt").toString
+    val root = graft.sources.Scratch.dir("maint_wet").toString + "/archive"
+    val ckpt = graft.sources.Scratch.dir("maint_wet_ckpt").toString
     val all = (0 until 30).map(i => (s"https://h.com/d$i", s"streamed text $i ā"))
     val mem = MemoryStream[(String, String)]
     val q = Maintenance.streamingTextSegments(
@@ -384,7 +384,7 @@ class MaintenanceSpec extends SparkSpec {
     val tbl = "graft_maint_graph"
     val ref = "graft_maint_graph_ref"
     dropGraph(tbl); dropGraph(ref)
-    val ckpt = Files.createTempDirectory("maint_graph").toString
+    val ckpt = graft.sources.Scratch.dir("maint_graph").toString
     val all = graphFixture
     val mem = MemoryStream[(Long, Long)]
     val q = Maintenance.streamingGraphEdges(
@@ -447,7 +447,7 @@ class MaintenanceSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val tbl = "graft_maint_graph_rs"
     dropGraph(tbl)
-    val ckpt = Files.createTempDirectory("maint_graph_rs").toString
+    val ckpt = graft.sources.Scratch.dir("maint_graph_rs").toString
     val all = graphFixture
     val (run1, run2) = all.splitAt(all.size / 2)
     val mem = MemoryStream[(Long, Long)]
@@ -480,7 +480,7 @@ class MaintenanceSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val tbl = "graft_maint_graph_bkt"
     dropGraph(tbl)
-    val ckpt = Files.createTempDirectory("maint_graph_bkt").toString
+    val ckpt = graft.sources.Scratch.dir("maint_graph_bkt").toString
     val mem = MemoryStream[(Long, Long)]
     val q = Maintenance.streamingGraphEdges(
       mem.toDF().toDF("src", "dst"), "src", "dst", tbl, ckpt, buckets = 4)
@@ -521,7 +521,7 @@ class MaintenanceSpec extends SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter($"doc_id" < 60).select("doc_id", "text")
     val rows = docs.as[(Long, String)].collect()
-    val ckpt = Files.createTempDirectory("maint_lm_ckpt").toString
+    val ckpt = graft.sources.Scratch.dir("maint_lm_ckpt").toString
     val mem = MemoryStream[(Long, String)]
     val q = Maintenance.streamingBigramModel(
       mem.toDF().toDF("doc_id", "text"), "doc_id", "text", bigT, tokT, ckpt)

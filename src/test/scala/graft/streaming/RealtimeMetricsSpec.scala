@@ -33,7 +33,7 @@ class RealtimeMetricsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val metrics = new CollectorMetrics()
     spark.streams.addListener(metrics)
-    val root = Files.createTempDirectory("rtm").toString
+    val root = graft.sources.Scratch.dir("rtm").toString
     val mem = MemoryStream[FrameDets]
     val q = DualSink.start(VisionStreamJob.track(mem.toDS()),
       s"$root/ckpt", s"$root/warehouse", s"$root/lake", triggerMs = 100)

@@ -125,7 +125,7 @@ class VisionStreamSpec extends SparkSpec {
     val mem = MemoryStream[VisionOut]
     val q = DualSink.startAggToJdbc(
       VisionStreamJob.continuousAgg(mem.toDS()), url, "traffic_1min",
-      Files.createTempDirectory("agg_jdbc_ckpt").toString, triggerMs = 100)
+      graft.sources.Scratch.dir("agg_jdbc_ckpt").toString, triggerMs = 100)
     try {
       mem.addData(vo(base), vo(base + 1000), vo(base + 2000))
       q.processAllAvailable()
@@ -144,7 +144,7 @@ class VisionStreamSpec extends SparkSpec {
   test("dual sink JDBC leg (S8): vision detections land in embedded Derby") {
     implicit val sqlCtx = spark.sqlContext
     val url = "jdbc:derby:memory:graft_vision;create=true"
-    val root = Files.createTempDirectory("dualsink_jdbc").toString
+    val root = graft.sources.Scratch.dir("dualsink_jdbc").toString
     val tracked = VisionStreamJob.track(mkFrames(6).toDS()).toDF()
     DualSink.writeBatch(tracked, batchId = 7L, warehousePath = s"$root/wh",
       lakePath = s"$root/lake", jdbcUrl = Some(url))
@@ -158,7 +158,7 @@ class VisionStreamSpec extends SparkSpec {
 
   test("W7 checkpoint restart: tracker state recovers, no replayed duplicates") {
     implicit val sqlCtx = spark.sqlContext
-    val root = Files.createTempDirectory("dualsink_restart").toString
+    val root = graft.sources.Scratch.dir("dualsink_restart").toString
     val frames = mkFrames(10)
     val mem = MemoryStream[FrameDets]
     // run 1: first 4 frames per camera, then stop
@@ -224,7 +224,7 @@ class VisionStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val metrics = new CollectorMetrics()
     spark.streams.addListener(metrics)
-    val root = Files.createTempDirectory("dualsink_metrics").toString
+    val root = graft.sources.Scratch.dir("dualsink_metrics").toString
     val mem = MemoryStream[FrameDets]
     val q = DualSink.start(VisionStreamJob.track(mem.toDS()),
       s"$root/ckpt", s"$root/warehouse", s"$root/lake", triggerMs = 100)
@@ -243,7 +243,7 @@ class VisionStreamSpec extends SparkSpec {
 
   test("dual sink: warehouse parquet + y/m/d lake from one stream") {
     implicit val sqlCtx = spark.sqlContext
-    val root = Files.createTempDirectory("dualsink").toString
+    val root = graft.sources.Scratch.dir("dualsink").toString
     val mem = MemoryStream[FrameDets]
     val q = DualSink.start(VisionStreamJob.track(mem.toDS()),
       s"$root/ckpt", s"$root/warehouse", s"$root/lake", triggerMs = 100)
