@@ -3061,6 +3061,56 @@ object SparkEntry {
         .orderBy("prompt_id")
     }),
 
+    // Multi-turn chat SFT masks (the standard chat recipe: every
+    // ASSISTANT turn's body — content + end marker — trains; user/
+    // system turns and all role headers mask): a 5-turn conversation
+    // per doc (system / user / assistant / user / assistant) where
+    // the MIDDLE assistant turn is the main trainable span, planted
+    // empty for doc_id%4==0 (trains just its <|im_end|>) and the
+    // FINAL assistant turn empty for doc_id%3==0 — the final span
+    // runs to the doc end, so it trains the packing separator too
+    // (+1), which interior spans never do. Spans derive from
+    // per-turn token counts (segment additivity; never re-tokenized),
+    // re-based onto the q145-style packed sequence. The oracle
+    // rebuilds every segment string, token count, cumulative
+    // position, packing offset, and global span from scratch.
+    "q182_multiturn_sft" -> ((s, dir) => {
+      val txt = coalesce(col("text"), lit(""))
+      val midC = when(pmod(col("doc_id"), lit(4)) === 0, lit(""))
+        .otherwise(txt)
+      val finC = when(pmod(col("doc_id"), lit(3)) === 0, lit(""))
+        .otherwise(txt)
+      val msgs = array(
+        struct(lit("system").as("role"), lit("be helpful").as("content")),
+        struct(lit("user").as("role"), txt.as("content")),
+        struct(lit("assistant").as("role"), midC.as("content")),
+        struct(lit("user").as("role"), lit("continue").as("content")),
+        struct(lit("assistant").as("role"), finC.as("content")))
+      val base = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) < 2)
+        .select(col("doc_id"),
+          graft.functions.Text.renderChatMessages(msgs).as("rendered"),
+          graft.functions.Text.chatTurnUnits(msgs).as("units"))
+      val withSpans = graft.operators.Bpe.turnTokenCounts(base, "units",
+          CommittedBpeMerges)
+        .withColumn("spans", graft.functions.Text.turnMaskSpans(
+          col("units"), col("turn_counts")))
+        .withColumn("token_ids", graft.operators.Bpe.tokenIdsCol(s,
+          col("rendered"), CommittedBpeMerges))
+        .select(col("doc_id"), col("token_ids"),
+          size(col("token_ids")).cast("long").as("n_tokens"), col("spans"))
+      val packed = graft.operators.Packing.packContiguous(withSpans,
+        "doc_id", "n_tokens", budget = 5000L, shards = 4)
+      graft.operators.Packing.assembleSftSequencesMultiTurn(packed,
+          "doc_id", "token_ids", "spans", orderCol = "doc_id")
+        .select(col("shard"), col("bin"), col("n_docs"), col("seq_tokens"),
+          col("n_spans"), col("masked_tokens"),
+          array_join(transform(col("mask_spans"),
+            z => concat_ws("-", z.getField("start").cast("string"),
+              z.getField("end").cast("string"))), ",").as("spans_csv"))
+        .orderBy("shard", "bin")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -7587,6 +7637,110 @@ object SparkEntry {
                 CAST(reward AS BIGINT) AS reward,
                 CAST(reward - nxt AS BIGINT) AS margin
          FROM r WHERE rn = 1 ORDER BY prompt_id""",
+
+    // q182: every segment string, per-segment token count, cumulative
+    // position, packing offset (q177's closed form), and global span
+    // rebuilt from scratch — assistant bodies only, the final span
+    // (== doc end) +1 for the separator, interior spans untouched.
+    "q182_multiturn_sft" ->
+      """WITH d AS (
+           SELECT doc_id, coalesce(text, '') AS txt,
+                  CASE WHEN doc_id % 4 = 0 THEN ''
+                       ELSE coalesce(text, '') END AS midc,
+                  CASE WHEN doc_id % 3 = 0 THEN ''
+                       ELSE coalesce(text, '') END AS finc
+           FROM documents WHERE doc_id % 7 < 2),
+         seg AS (
+           SELECT doc_id, u.turn AS turn, u.part AS part,
+                  u.role AS role, u.seg_txt AS seg_txt
+           FROM d, UNNEST([
+             {'turn': 0, 'part': 0, 'role': 'system',
+              'seg_txt': '<|im_start|>system' || chr(10)},
+             {'turn': 0, 'part': 1, 'role': 'system',
+              'seg_txt': 'be helpful<|im_end|>' || chr(10)},
+             {'turn': 1, 'part': 0, 'role': 'user',
+              'seg_txt': '<|im_start|>user' || chr(10)},
+             {'turn': 1, 'part': 1, 'role': 'user',
+              'seg_txt': txt || '<|im_end|>' || chr(10)},
+             {'turn': 2, 'part': 0, 'role': 'assistant',
+              'seg_txt': '<|im_start|>assistant' || chr(10)},
+             {'turn': 2, 'part': 1, 'role': 'assistant',
+              'seg_txt': midc || '<|im_end|>' || chr(10)},
+             {'turn': 3, 'part': 0, 'role': 'user',
+              'seg_txt': '<|im_start|>user' || chr(10)},
+             {'turn': 3, 'part': 1, 'role': 'user',
+              'seg_txt': 'continue<|im_end|>' || chr(10)},
+             {'turn': 4, 'part': 0, 'role': 'assistant',
+              'seg_txt': '<|im_start|>assistant' || chr(10)},
+             {'turn': 4, 'part': 1, 'role': 'assistant',
+              'seg_txt': finc || '<|im_end|>' || chr(10)}
+           ]) AS t(u)),
+         cnt AS (
+           SELECT doc_id, turn, part, role,
+                  CAST(coalesce(list_sum(list_transform(
+                    list_filter(string_split(trim(regexp_replace(
+                      regexp_replace(lower(seg_txt),
+                        '[!-/:-@\[-`{-~]', '', 'g'),
+                      '\s+', ' ', 'g')), ' '), x -> length(x) > 0),
+                    wd -> len(regexp_extract_all(wd, 'th|in|.'))
+                          + CASE WHEN wd LIKE '%e' THEN 0 ELSE 1 END)),
+                    0) AS BIGINT) AS c
+           FROM seg),
+         pos AS (
+           SELECT doc_id, turn, part, role, c,
+                  coalesce(sum(c) OVER (PARTITION BY doc_id
+                    ORDER BY turn, part
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS p0
+           FROM cnt),
+         tot AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+           FROM cnt GROUP BY doc_id),
+         p AS (
+           SELECT doc_id, n,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 4 AS INT) AS shard
+           FROM tot),
+         b AS (
+           SELECT shard, doc_id, n,
+                  CAST(floor(coalesce(sum(n) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 5000.0) AS BIGINT) AS bin
+           FROM p),
+         o AS (
+           SELECT shard, bin, doc_id, n,
+                  coalesce(sum(n + 1) OVER (
+                    PARTITION BY shard, bin ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS off
+           FROM b),
+         sp AS (
+           SELECT doc_id, turn, p0 AS s, p0 + c AS e
+           FROM pos WHERE part = 1 AND role = 'assistant' AND c > 0),
+         g AS (
+           SELECT o.shard, o.bin, sp.doc_id, sp.turn,
+                  o.off + sp.s AS gs,
+                  o.off + CASE WHEN sp.e = o.n AND sp.e > sp.s
+                               THEN sp.e + 1 ELSE sp.e END AS ge
+           FROM sp JOIN o USING (doc_id)),
+         binstat AS (
+           SELECT shard, bin, CAST(count(1) AS INT) AS n_docs,
+                  CAST(sum(n + 1) AS BIGINT) AS seq_tokens
+           FROM o GROUP BY shard, bin),
+         spanstat AS (
+           SELECT shard, bin, CAST(count(1) AS INT) AS n_spans,
+                  CAST(sum(ge - gs) AS BIGINT) AS masked_tokens,
+                  string_agg(CAST(gs AS VARCHAR) || '-' || CAST(ge AS VARCHAR),
+                    ',' ORDER BY doc_id, turn) AS spans_csv
+           FROM g GROUP BY shard, bin)
+         SELECT bs.shard, bs.bin, bs.n_docs, bs.seq_tokens,
+                CAST(coalesce(ss.n_spans, 0) AS INT) AS n_spans,
+                CAST(coalesce(ss.masked_tokens, 0) AS BIGINT)
+                  AS masked_tokens,
+                coalesce(ss.spans_csv, '') AS spans_csv
+         FROM binstat bs LEFT JOIN spanstat ss USING (shard, bin)
+         ORDER BY shard, bin""",
 
     // q178b: the padded cost closed-form — 70s pair (ceil(n70/2)
     // batches), 50s triple, and the ONLY waste is the odd-n70

@@ -455,6 +455,64 @@ object Text {
         coalesce(element_at(msgs, -1).getField("role"), lit("")),
         lit("\n")))
 
+  /** The per-turn SEGMENTS of [[renderChatMessages]] — for each turn,
+    * `header` = `<|im_start|>role\n` and `body` = `content<|im_end|>\n`
+    * (plus the role for masking decisions). Concatenating every
+    * turn's header+body reproduces the rendering exactly (TextSpec
+    * pins it), and every segment boundary falls on the `\n` a segment
+    * ends with — WHITESPACE — so a word-bounded tokenizer's ids for
+    * the full rendering are the concatenation of each segment's ids
+    * (the [[chatPromptPrefix]] prefix-stability argument, applied at
+    * every boundary). That additivity is what lets multi-turn loss
+    * masks derive from per-segment token COUNTS alone
+    * ([[turnMaskSpans]]) without re-tokenizing prefixes. Pure
+    * `transform` HOF: row-local, codegen, fuses into the scan. */
+  def chatTurnUnits(msgs: Column): Column =
+    transform(msgs, m => struct(
+      coalesce(m.getField("role"), lit("")).as("role"),
+      concat(lit(ChatTurnStart), coalesce(m.getField("role"), lit("")),
+        lit("\n")).as("header"),
+      concat(coalesce(m.getField("content"), lit("")), lit(ChatTurnEnd),
+        lit("\n")).as("body")))
+
+  /** Multi-turn SFT loss-mask spans in TOKEN units — the standard
+    * multi-turn recipe (public practice in every chat-SFT stack:
+    * train on every ASSISTANT turn's content + its end-of-turn
+    * marker; mask system/user turns and all role headers): given
+    * [[chatTurnUnits]] and the aligned per-turn token counts
+    * (`array<struct<header_tokens, body_tokens>>`, from
+    * [[graft.operators.Bpe.turnTokenCounts]]), emits
+    * `array<struct<start, end>>` half-open spans over the rendered
+    * document's token ids — span k covers assistant turn k's body
+    * (content + `<|im_end|>`), positioned by prefix-summing the
+    * counts (exact by segment additivity; never re-tokenized).
+    * Non-assistant turns and empty message lists contribute no
+    * spans; NULL inputs yield NULL (the span assembler's
+    * unlabeled-document convention). One `aggregate` HOF — row-local,
+    * no shuffle. Feed to
+    * [[graft.operators.Packing.assembleSftSequencesMultiTurn]]. */
+  def turnMaskSpans(units: Column, counts: Column): Column = {
+    val emptySpans = array().cast("array<struct<start:bigint,end:bigint>>")
+    aggregate(
+      zip_with(units, counts, (u, c) => struct(
+        u.getField("role").as("role"),
+        coalesce(c.getField("header_tokens"), lit(0L)).as("h"),
+        coalesce(c.getField("body_tokens"), lit(0L)).as("b"))),
+      struct(lit(0L).as("pos"), emptySpans.as("spans")),
+      (acc, x) => {
+        val pos = acc.getField("pos")
+        val s = pos + x.getField("h")
+        val e = s + x.getField("b")
+        struct(
+          e.as("pos"),
+          when(x.getField("role") === lit("assistant") && e > s,
+            concat(acc.getField("spans"),
+              array(struct(s.as("start"), e.as("end")))))
+            .otherwise(acc.getField("spans")).as("spans"))
+      },
+      acc => acc.getField("spans"))
+  }
+
   // ------------------------------------------------ C4 badwords gate
 
   /** Committed blocklist for the C4 badwords gate (Raffel et al. 2020

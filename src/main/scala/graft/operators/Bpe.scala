@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -204,8 +204,17 @@ object Bpe {
     * tables broadcast, one narrow pass, no shuffle; NULL text
     * tokenizes to the empty array so packing offsets stay aligned. */
   def tokenIds(docs: DataFrame, idCol: String, textCol: String,
-               merges: Seq[(String, String)]): DataFrame = {
-    val spark = docs.sparkSession
+               merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol),
+        tokenIdsCol(docs.sparkSession, col(textCol), merges).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+
+  /** Column form of [[tokenIds]] — for row-local chains that must
+    * carry other columns alongside the ids without a re-join on the
+    * id (the q182 chat chain renders, span-derives, and tokenizes in
+    * ONE projection). Same normalize + broadcast-rank kernel. */
+  def tokenIdsCol(spark: SparkSession, text: Column,
+                  merges: Seq[(String, String)]): Column = {
     val mlist = merges.toIndexedSeq
     val bcRank = spark.sparkContext.broadcast(
       mlist.zipWithIndex.map { case (p, i) => p -> i }.toMap)
@@ -229,9 +238,49 @@ object Bpe {
         out.result()
       }
     })
-    docs.select(col(idCol),
-        idsUdf(Text.normalizeText(col(textCol))).as("token_ids"))
-      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+    idsUdf(Text.normalizeText(text))
+  }
+
+  /** One (header_tokens, body_tokens) pair per chat turn. */
+  case class TurnCounts(header_tokens: Long, body_tokens: Long)
+
+  /** Per-turn BPE token counts for a [[graft.functions.Text
+    * .chatTurnUnits]] array — the geometry a multi-turn SFT mask
+    * needs ([[graft.functions.Text.turnMaskSpans]]): each turn's
+    * header and body segment is normalized and counted with the SAME
+    * kernel as [[tokenCount]], and because every segment boundary is
+    * whitespace, the counts sum EXACTLY to the full rendering's token
+    * count (BpeSpec pins the additivity; the q182 oracle re-derives
+    * every packing offset from these counts, so a violation breaks
+    * the hash). Adds `turn_counts array<struct<header_tokens,
+    * body_tokens>>` aligned with the units. One broadcast rank table,
+    * row-local, no shuffle. */
+  def turnTokenCounts(df: DataFrame, unitsCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap)
+    val countsUdf = udf(
+      (headers: scala.collection.Seq[String],
+       bodies: scala.collection.Seq[String]) => {
+        if (headers == null || bodies == null) null
+        else {
+          val rank = bc.value
+          def cnt(s: String): Long = {
+            var total = 0L
+            if (s != null) s.split(" ").foreach { w =>
+              if (w.nonEmpty) total += tokenizeWord(w, rank).length
+            }
+            total
+          }
+          headers.zip(bodies).map { case (h, b) =>
+            TurnCounts(cnt(h), cnt(b))
+          }.toSeq
+        }
+      })
+    df.withColumn("turn_counts", countsUdf(
+      transform(col(unitsCol), u => Text.normalizeText(u.getField("header"))),
+      transform(col(unitsCol), u => Text.normalizeText(u.getField("body")))))
   }
 
   /** Inverse of [[tokenIds]] under the same merge list — the

@@ -426,6 +426,86 @@ object Packing {
       .withColumn("seq_tokens", size(col("sequence")).cast("long"))
   }
 
+  /** The MULTI-TURN form of [[assembleSftSequences]] — the chat-SFT
+    * trainer seam (public recipe in every chat-SFT stack: train on
+    * every assistant turn, mask user/system turns and role headers):
+    * each doc carries a SPAN LIST `array<struct<start, end>>` in its
+    * own token coordinates (from [[graft.functions.Text
+    * .turnMaskSpans]]), and the assembly emits `mask_spans` — the
+    * spans re-based onto the packed `sequence`, flattened in pack
+    * order. Per span, with `len` the doc's token count:
+    *
+    *   start' = offset + clamp(start, 0, len)
+    *   end'   = offset + clamp(end, start, len), PLUS 1 when the
+    *            clamped end reaches `len` on a non-empty span — the
+    *            doc's separator/EOS trains with a completion that
+    *            runs to the end of the doc (the model must learn to
+    *            STOP), exactly [[assembleSftSequences]]'s rule;
+    *            interior spans never touch the separator.
+    *
+    * Empty spans (after clamping) are dropped; a NULL span list is an
+    * unlabeled pretraining document mixed into the batch and trains
+    * in full including its separator (the NULL-boundary convention);
+    * an EMPTY list contributes nothing. Spans derive purely from the
+    * LANDED geometry — offsets, lengths, the span list — so a
+    * corrupted offset surfaces as a wrong span, never silently. Same
+    * plan shape as the base assembler: ONE hash aggregation,
+    * sort-in-aggregate, HOF prefix sums, per-task memory one bin
+    * (battery q182 states every span closed-form off per-turn token
+    * counts; PackingSpec pins the clamp/extend/NULL edges). */
+  def assembleSftSequencesMultiTurn(packed: DataFrame, idCol: String,
+                                    tokensCol: String, spansCol: String,
+                                    orderCol: String,
+                                    sepId: Long = 0L): DataFrame = {
+    val emptySpans = array().cast("array<struct<start:bigint,end:bigint>>")
+    val items = array_sort(collect_list(struct(
+      col(orderCol).as("o"), col(idCol).as("id"),
+      coalesce(col(tokensCol), array().cast("array<long>")).as("t"),
+      col(spansCol).as("sp"))))
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(items.as("__items"))
+      .select(col("shard"), col("bin"),
+        transform(col("__items"), x => x.getField("id")).as("doc_ids"),
+        aggregate(
+          transform(col("__items"),
+            x => size(x.getField("t")).cast("long")),
+          struct(lit(0L).as("acc"),
+            array().cast("array<long>").as("offs")),
+          (s, l) => struct(
+            (s.getField("acc") + l + lit(1L)).as("acc"),
+            concat(s.getField("offs"), array(s.getField("acc"))).as("offs")),
+          s => s.getField("offs")).as("offsets"),
+        flatten(transform(col("__items"),
+          x => concat(x.getField("t"), array(lit(sepId))))).as("sequence"),
+        col("__items"))
+      .withColumn("mask_spans",
+        flatten(zip_with(col("__items"), col("offsets"), (x, off) => {
+          val len = size(x.getField("t")).cast("long")
+          val sp = x.getField("sp")
+          val full = when(len > 0,
+              array(struct(off.as("start"), (off + len + 1L).as("end"))))
+            .otherwise(emptySpans)
+          val rebased = transform(coalesce(sp, emptySpans), s0 => {
+            val cs = least(greatest(coalesce(s0.getField("start"), lit(0L)),
+              lit(0L)), len)
+            val ce0 = least(greatest(coalesce(s0.getField("end"), lit(0L)),
+              cs), len)
+            val ce = when(ce0 === len && ce0 > cs, ce0 + lit(1L))
+              .otherwise(ce0)
+            struct((off + cs).as("start"), (off + ce).as("end"))
+          })
+          when(sp.isNull, full)
+            .otherwise(filter(rebased,
+              z => z.getField("end") > z.getField("start")))
+        })))
+      .drop("__items")
+      .withColumn("n_docs", size(col("doc_ids")))
+      .withColumn("seq_tokens", size(col("sequence")).cast("long"))
+      .withColumn("n_spans", size(col("mask_spans")))
+      .withColumn("masked_tokens", aggregate(col("mask_spans"), lit(0L),
+        (a, z) => a + z.getField("end") - z.getField("start")))
+  }
+
   /** The MULTIMODAL form of [[assembleTokenSequences]] — the
     * interleaved trainer feed ([[Multimodal.tokenizeInterleaved]]'s
     * output run through [[packContiguous]] on `n_tokens`): identical

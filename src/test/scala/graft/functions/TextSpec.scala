@@ -680,4 +680,78 @@ class TextSpec extends SparkSpec {
       .head()
     assert(empty.getString(0) == "" && empty.getString(1) == "")
   }
+
+  test("chatTurnUnits + turnMaskSpans: segment concat reproduces the render, counts are additive, spans index the real token array") {
+    val msgs = array(
+      struct(lit("system").as("role"), lit("be brief!").as("content")),
+      struct(lit("user").as("role"), lit("what's the weather, now?")
+        .as("content")),
+      struct(lit("assistant").as("role"), lit("rainy then fine")
+        .as("content")),
+      struct(lit("assistant").as("role"), lit("").as("content")),
+      struct(lit("user").as("role"), lit("thanks").as("content")))
+    val df = Seq(Tuple1(1L)).toDF("doc_id").select($"doc_id",
+      Text.renderChatMessages(msgs).as("rendered"),
+      Text.chatTurnUnits(msgs).as("units"))
+    // 1. concatenating every unit's header+body IS the rendering
+    val rebuilt = df.select(aggregate($"units", lit(""), (acc, u) =>
+      concat(acc, u.getField("header"), u.getField("body"))).as("x"))
+      .head().getString(0)
+    assert(rebuilt == df.head().getString(1), rebuilt)
+    // 2. per-turn counts sum to the full rendering's token count
+    //    (segment additivity — every boundary is whitespace)
+    val counted = graft.operators.Bpe.turnTokenCounts(df, "units",
+      SparkEntry.CommittedBpeMerges)
+    val counts = counted.selectExpr(
+        "transform(turn_counts, c -> array(c.header_tokens, c.body_tokens))")
+      .as[Seq[Seq[Long]]].head().map(a => (a(0), a(1)))
+    val fullIds = graft.operators.Bpe.tokenIds(
+        df.select($"doc_id", $"rendered"), "doc_id", "rendered",
+        SparkEntry.CommittedBpeMerges)
+      .select("token_ids").as[Seq[Long]].head()
+    assert(counts.map(c => c._1 + c._2).sum == fullIds.size,
+      s"$counts vs ${fullIds.size}")
+    // 3. spans cover exactly the assistant bodies, positioned where
+    //    tokenizing the literal prefixes says they are
+    val spans = counted.select(Text.turnMaskSpans($"units",
+        $"turn_counts").as("sp"))
+      .selectExpr("transform(sp, z -> array(z.start, z.end))")
+      .as[Seq[Seq[Long]]].head().map(a => (a(0), a(1)))
+    def nTok(s: String): Long = {
+      val d = Seq((1L, s)).toDF("id", "t")
+      graft.operators.Bpe.tokenIds(d, "id", "t",
+        SparkEntry.CommittedBpeMerges).select("n_tokens").as[Long].head()
+    }
+    val render = df.head().getString(1)
+    // turn 2 (first assistant): [after its header, end of its body)
+    val pre2 = "<|im_start|>system\nbe brief!<|im_end|>\n" +
+      "<|im_start|>user\nwhat's the weather, now?<|im_end|>\n"
+    val hdr = "<|im_start|>assistant\n"
+    val body2 = "rainy then fine<|im_end|>\n"
+    // turn 3 (empty assistant): trains just its <|im_end|> marker
+    val pre3 = pre2 + hdr + body2
+    val body3 = "<|im_end|>\n"
+    assert(spans == Seq(
+      (nTok(pre2 + hdr), nTok(pre2 + hdr + body2)),
+      (nTok(pre3 + hdr), nTok(pre3 + hdr + body3))), spans)
+    // adjacent assistant turns produce DISTINCT spans separated by
+    // the second turn's header width
+    assert(spans(1)._1 - spans(0)._2 == nTok(hdr), spans)
+    assert(spans.last._2 < nTok(render)) // trailing user turn masked
+    // 4. no assistant turns -> no spans; empty conversation -> none
+    val noA = array(
+      struct(lit("user").as("role"), lit("hi").as("content")))
+    def spansOf(m: org.apache.spark.sql.Column): Seq[(Long, Long)] = {
+      val d0 = Seq(Tuple1(1L)).toDF("doc_id")
+        .select(Text.chatTurnUnits(m).as("units"))
+      graft.operators.Bpe.turnTokenCounts(d0, "units",
+          SparkEntry.CommittedBpeMerges)
+        .select(Text.turnMaskSpans($"units", $"turn_counts").as("sp"))
+        .selectExpr("transform(sp, z -> array(z.start, z.end))")
+        .as[Seq[Seq[Long]]].head().map(a => (a(0), a(1)))
+    }
+    assert(spansOf(noA).isEmpty)
+    assert(spansOf(array().cast(
+      "array<struct<role string, content string>>")).isEmpty)
+  }
 }

@@ -390,6 +390,50 @@ class PackingSpec extends SparkSpec {
       .foreach(w => assert(w.contains("__cls"), w))
   }
 
+  test("assembleSftSequencesMultiTurn: clamp/extend/NULL/empty span edges, adjacent spans stay distinct") {
+    import spark.implicits._
+    // hand-computed geometry: one shard, one bin (budget >> total),
+    // offsets off(d_i) = sum of (len_j + 1) over earlier docs
+    val docs = Seq(
+      // d1 len 5 off 0: interior span, no separator extension
+      (1L, Seq(1L, 2L, 3L, 4L, 5L), Option(Seq((1L, 3L)))),
+      // d2 len 4 off 6: terminal span -> +1 covers the separator
+      (2L, Seq(6L, 7L, 8L, 9L), Option(Seq((0L, 4L)))),
+      // d3 len 3 off 11: NULL spans = pretraining doc, full + sep
+      (3L, Seq(10L, 11L, 12L), Option.empty[Seq[(Long, Long)]]),
+      // d4 len 2 off 15: EMPTY span list contributes nothing
+      (4L, Seq(13L, 14L), Option(Seq.empty[(Long, Long)])),
+      // d5 len 0 off 18: empty doc, NULL spans -> still nothing
+      (5L, Seq.empty[Long], Option.empty[Seq[(Long, Long)]]),
+      // d6 len 3 off 19: wild span clamps to [0,len] then extends
+      (6L, Seq(15L, 16L, 17L), Option(Seq((-2L, 99L)))),
+      // d7 len 4 off 23: zero-width and inverted spans both drop
+      (7L, Seq(18L, 19L, 20L, 21L), Option(Seq((2L, 2L), (3L, 2L)))),
+      // d8 len 3 off 28: adjacent spans stay distinct; the second
+      // reaches len and extends, the first does not
+      (8L, Seq(22L, 23L, 24L), Option(Seq((1L, 2L), (2L, 3L)))))
+      .toDF("doc_id", "token_ids", "spans0")
+      .withColumn("spans", expr(
+        "transform(spans0, z -> struct(z._1 as start, z._2 as end))"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+    val packed = Packing.packContiguous(docs, "doc_id", "n_tokens",
+      budget = 1000L, shards = 1)
+    val out = Packing.assembleSftSequencesMultiTurn(packed, "doc_id",
+      "token_ids", "spans", orderCol = "doc_id")
+    assert(out.count() == 1)
+    val r = out.selectExpr("n_docs", "seq_tokens", "n_spans",
+        "masked_tokens",
+        "transform(mask_spans, z -> array(z.start, z.end)) as sp",
+        "offsets")
+      .as[(Int, Long, Int, Long, Seq[Seq[Long]], Seq[Long])].head()
+    assert(r._1 == 8 && r._2 == 32, r)
+    assert(r._6 == Seq(0L, 6L, 11L, 15L, 18L, 19L, 23L, 28L), r._6)
+    val want = Seq(Seq(1L, 3L), Seq(6L, 11L), Seq(11L, 15L),
+      Seq(19L, 23L), Seq(29L, 30L), Seq(30L, 32L))
+    assert(r._5 == want, r._5)
+    assert(r._3 == 6 && r._4 == want.map(s => s(1) - s(0)).sum, r)
+  }
+
   test("histogram solvers fail loud on NULL sizes, naming the column") {
     import spark.implicits._
     // a NULL size would land in the histogram as getLong's 0 default
