@@ -923,6 +923,22 @@ object SparkEntry {
   private[graft] val CommittedChainedBpeMerges: Seq[(String, String)] =
     Seq(("t", "h"), ("th", "e"), ("e", "</w>"))
 
+  /** q183's committed BYTE-level merge list (symbols in byte-char
+    * space; ids: th=256, the=257, " t"=258, in=259, ing=260). Chained
+    * ((th,e) consumes (t,h)'s output) AND space-crossing ((" ","t")
+    * is live — the byte-level signature a word model cannot express):
+    * on ` the` the rank-0 (t,h) consumes the `t` first so the space
+    * stays bare, while on ` tin` rank-2 fires and the space lands
+    * INSIDE the token — swap those ranks and ` the` tokenizes
+    * differently, which ByteBpeSpec pins. Closed-form replay: within
+    * a letter pre-token the greedy trace equals ONE `'the|th|ing|in|.'`
+    * scan (the q82c alternation argument: no merge output feeds a
+    * pattern that starts differently — `e`/`g`/`n`/`h` start
+    * nothing), and the space rule is `[258] ++ scan(rest)` iff the
+    * word starts `t` not followed by `h`, else `[32] ++ scan(word)`. */
+  private[graft] val CommittedByteBpeMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("th", "e"), (" ", "t"), ("i", "n"), ("in", "g"))
+
   /** q87b's committed weak-label training set — a fixed literal corpus
     * (quality-prose vs spam boilerplate, the CCNet-style weak signal),
     * so the trained weights are a pure function of committed code and
@@ -3672,6 +3688,26 @@ object SparkEntry {
     "q82c_bpe_chained" -> ((s, dir) =>
       graft.operators.Bpe.tokenIds(t(s, dir, "documents"),
           "doc_id", "text", CommittedChainedBpeMerges)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(array_join(transform(col("token_ids"), _.cast("string")),
+            ",")).as("ids_md5"))
+        .orderBy("doc_id")),
+
+    // BYTE-level BPE apply (GPT-2: regex pre-tokenization + greedy
+    // byte-pair merges; no normalize, no end-of-word, spaces inside
+    // tokens): every id of every document md5-pinned under the
+    // committed space-crossing chained merges. A constant planted
+    // suffix exercises the regex branches the [a-z ] corpus lacks —
+    // contraction, digit run, multi-byte UTF-8 (café), the/tin/thing
+    // merge interplay, trailing whitespace run — and contributes
+    // FIXED ids the oracle states literally; the corpus part is the
+    // closed-form scan + space rule (see CommittedByteBpeMerges).
+    "q183_byte_bpe" -> ((s, dir) =>
+      graft.operators.ByteBpe.byteTokenIds(
+          t(s, dir, "documents").select(col("doc_id"),
+            concat(col("text"), lit(" it's 42 café the tin thing  "))
+              .as("text")),
+          "doc_id", "text", CommittedByteBpeMerges)
         .select(col("doc_id"), col("n_tokens"),
           md5(array_join(transform(col("token_ids"), _.cast("string")),
             ",")).as("ids_md5"))
@@ -8947,6 +8983,56 @@ object SparkEntry {
          SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
                 md5(array_to_string(ids, ',')) AS ids_md5
          FROM tok ORDER BY doc_id""",
+
+    // q183: the byte-level greedy trace closed-form over the [a-z ]
+    // corpus — GPT-2 pre-tokens are the first word bare + ' word'
+    // for the rest; within a letter pre-token the merge trace equals
+    // one 'the|th|ing|in|.' scan (no merge output feeds another
+    // pattern's start), and the (space,t) merge fires iff the word
+    // starts 't' NOT followed by 'h' (rank 0 takes the t first
+    // otherwise). The planted constant suffix contributes its fixed
+    // ids verbatim: ' it'(32,105,116) ''s'(39,115) ' 42'(32,52,50)
+    // ' café'(32,99,97,102,195,169 — é is two bytes) ' the'(32,257)
+    // ' tin'(258,259) ' thing'(32,256,260) trailing '  '(32,32).
+    "q183_byte_bpe" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         t1 AS (
+           SELECT doc_id, ws[1] AS w0,
+                  list_slice(ws, 2, len(ws)) AS rest
+           FROM w),
+         ids AS (
+           SELECT doc_id,
+                  list_transform(regexp_extract_all(w0, 'the|th|ing|in|.'),
+                    s -> CASE s WHEN 'the' THEN 257 WHEN 'th' THEN 256
+                                WHEN 'ing' THEN 260 WHEN 'in' THEN 259
+                                ELSE ascii(s) END)
+                  || flatten(list_transform(rest, wd ->
+                       CASE WHEN substr(wd, 1, 1) = 't'
+                                 AND substr(wd, 2, 1) != 'h'
+                         THEN [258] || list_transform(
+                                regexp_extract_all(substr(wd, 2),
+                                  'the|th|ing|in|.'),
+                                s -> CASE s WHEN 'the' THEN 257
+                                            WHEN 'th' THEN 256
+                                            WHEN 'ing' THEN 260
+                                            WHEN 'in' THEN 259
+                                            ELSE ascii(s) END)
+                         ELSE [32] || list_transform(
+                                regexp_extract_all(wd, 'the|th|ing|in|.'),
+                                s -> CASE s WHEN 'the' THEN 257
+                                            WHEN 'th' THEN 256
+                                            WHEN 'ing' THEN 260
+                                            WHEN 'in' THEN 259
+                                            ELSE ascii(s) END)
+                       END))
+                  || [32,105,116,39,115,32,52,50,32,99,97,102,195,169,
+                      32,257,258,259,32,256,260,32,32]
+                    AS ids
+           FROM t1)
+         SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+                md5(array_to_string(ids, ',')) AS ids_md5
+         FROM ids ORDER BY doc_id""",
 
     // q82b: DuckDB recomputes the BPE word histogram from the raw
     // corpus — normalizeText (lower, strip ASCII punct, collapse
