@@ -3127,6 +3127,43 @@ object SparkEntry {
         .orderBy("shard", "bin")
     }),
 
+    // In-context pretraining packing (Shi et al. 2023: order docs by
+    // semantic similarity before packing so training sequences hold
+    // RELATED documents): planted geometry — 50 clusters keyed
+    // doc_id%50 (members FAR APART in id space, so id-order packing
+    // scatters them), each on its own one-hot axis (the IVF model is
+    // COSINE, so clusters separate by direction: dim c = 10000, all
+    // other centroids score exactly 0), and within a cluster the
+    // dim-50 position is the PERMUTATION ((doc_id div 50) * 7) % m,
+    // m the cluster size — the greedy path (seed = smallest id, at
+    // position 0) sweeps positions ascending, so ctx_rank IS that
+    // permutation and an implementation that secretly ordered by id
+    // would produce different ranks AND different bins. Cells shard
+    // by cell % 2 (locality-preserving, never the md5-of-id draw).
+    // The oracle restates cell, rank, shard, and every bin cut.
+    "q184_incontext_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs0 = t(s, dir, "documents").select(col("doc_id"),
+          (lit(100L) + pmod(col("doc_id"), lit(3)) * 10L).as("n_tokens"),
+          pmod(col("doc_id"), lit(50)).as("__c"),
+          expr("doc_id div 50").as("__u0"))
+        .withColumn("__m",
+          count(lit(1)).over(Window.partitionBy(col("__c"))))
+        .withColumn("emb", transform(sequence(lit(0), lit(50)), i =>
+          when(i === col("__c").cast("int"), lit(10000f))
+            .when(i === lit(50),
+              (pmod(col("__u0") * 7L, col("__m")) * 10L).cast("float"))
+            .otherwise(lit(0f))))
+        .select("doc_id", "n_tokens", "emb")
+      val centroids = (0 until 50)
+        .map(c => Array.tabulate(51)(d => if (d == c) 1f else 0f)).toArray
+      graft.operators.Packing.packInContext(docs0, "doc_id", "n_tokens",
+          "emb", centroids, budget = 500L, shards = 2)
+        .select(col("doc_id"), col("cell"), col("ctx_rank"), col("shard"),
+          col("bin"))
+        .orderBy("doc_id")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -7777,6 +7814,28 @@ object SparkEntry {
                 coalesce(ss.spans_csv, '') AS spans_csv
          FROM binstat bs LEFT JOIN spanstat ss USING (shard, bin)
          ORDER BY shard, bin""",
+
+    // q184: the planted permutation restated — cell = id%50, rank =
+    // ((id div 50) * 7) % |cell|, shard = cell%2, bins from the
+    // (cell, rank, id)-ordered running size sum.
+    "q184_incontext_pack" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id % 50 AS INT) AS cell,
+                  doc_id // 50 AS u0,
+                  CAST(100 + (doc_id % 3) * 10 AS BIGINT) AS sz
+           FROM documents),
+         m AS (SELECT cell, count(1) AS mm FROM d GROUP BY cell),
+         r AS (
+           SELECT d.doc_id, d.cell, d.sz,
+                  CAST((d.u0 * 7) % m.mm AS BIGINT) AS ctx_rank,
+                  CAST(d.cell % 2 AS INT) AS shard
+           FROM d JOIN m USING (cell))
+         SELECT doc_id, cell, ctx_rank, shard,
+                CAST(floor(coalesce(sum(sz) OVER (PARTITION BY shard
+                       ORDER BY cell, ctx_rank, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 500.0) AS BIGINT) AS bin
+         FROM r ORDER BY doc_id""",
 
     // q178b: the padded cost closed-form — 70s pair (ceil(n70/2)
     // batches), 50s triple, and the ONLY waste is the odd-n70

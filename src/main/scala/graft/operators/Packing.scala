@@ -346,6 +346,105 @@ object Packing {
     }
   }
 
+  /** In-context pretraining ORDER (Shi et al. 2023, public: packing
+    * semantically RELATED documents into the same training sequence
+    * beats random packing — the model learns to use cross-document
+    * context): per IVF cell (frozen centroid model, the
+    * [[Similarity.ivfAssign]] composition), a greedy
+    * nearest-neighbor PATH — seed at the cell's smallest id, then
+    * repeatedly hop to the nearest unvisited member (squared L2,
+    * ties to the smaller id) — the paper's traveling-neighbor
+    * heuristic, run cell-locally. Emits `(id, cell, ctx_rank)`;
+    * cell-major `(cell, ctx_rank)` is the pack order
+    * ([[packInContext]] feeds it to the contiguous packer).
+    *
+    * Scale shape: the path is inherently sequential, so it runs PER
+    * CELL (`flatMapGroups`), never globally — cell sizes are bounded
+    * by the centroid model's nlist design (the IVF discipline; the
+    * O(m²) hop scan is the standard in-memory kNN-chain cost on a
+    * bounded cell). The centroid matrix broadcasts; nothing else
+    * exchanges beyond the one cell shuffle. Ids must be numeric
+    * (cast to long — the [[packBestFit]] class-rank situation);
+    * NULL vectors are the caller's to filter. */
+  def contextOrder(docs: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[Array[Float]]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val assigned = Similarity.ivfAssign(
+      docs.select(col(idCol).cast("long"), col(vecCol)), idCol, vecCol,
+      centroids)
+    assigned.select(col("corpus_id"), col("cvec").cast("array<double>"),
+        col("cell"))
+      .as[(Long, Seq[Double], Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (cell, it) =>
+        val a = it.toArray.sortBy(_._1)
+        val n = a.length
+        val vecs = a.map(_._2.toArray)
+        def d2(x: Array[Double], y: Array[Double]): Double = {
+          var s = 0.0
+          var i = 0
+          val m = math.min(x.length, y.length)
+          while (i < m) { val d = x(i) - y(i); s += d * d; i += 1 }
+          s
+        }
+        val rank = new Array[Int](n)
+        val visited = new Array[Boolean](n)
+        var cur = 0 // seed: the cell's smallest id
+        visited(0) = true
+        var step = 1
+        while (step < n) {
+          var best = -1
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < n) {
+            // strict <: j ascends in id order, so ties keep the
+            // smaller id
+            if (!visited(j)) {
+              val d = d2(vecs(cur), vecs(j))
+              if (d < bestD) { bestD = d; best = j }
+            }
+            j += 1
+          }
+          visited(best) = true
+          rank(best) = step
+          cur = best
+          step += 1
+        }
+        a.indices.iterator.map(i => (a(i)._1, cell, rank(i).toLong))
+      }
+      .toDF(idCol, "cell", "ctx_rank")
+  }
+
+  /** [[packContiguous]] under the [[contextOrder]] — the in-context
+    * pretraining packer: bins fill in `(cell, ctx_rank)` order, so a
+    * training sequence holds a RUN of the similarity path instead of
+    * an id-adjacent slice, and shards split BY CELL (`cell % shards`)
+    * so co-located documents never scatter (the md5-of-id draw would
+    * break exactly the locality this packer exists to create).
+    * Output = input columns + (cell, ctx_rank, shard, bin) — the
+    * assemblers compose unchanged on (shard, bin). Battery q184
+    * states cell, rank, shard, and bin closed-form on a planted
+    * permutation fixture; PackingSpec shows the same-cluster co-bin
+    * rate beating id-order packing on a clustered corpus. */
+  def packInContext(docs: DataFrame, idCol: String, sizeCol: String,
+                    vecCol: String, centroids: Array[Array[Float]],
+                    budget: Long, shards: Int = 1): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val ord = contextOrder(docs, idCol, vecCol, centroids)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard")
+      .orderBy(col("cell"), col("ctx_rank"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    docs.join(ord, idCol)
+      .withColumn("shard", pmod(col("cell").cast("long"),
+        lit(shards.toLong)).cast("int"))
+      .withColumn("bin",
+        floor(coalesce(sum(col(sizeCol)).over(w), lit(0L)) / budget))
+  }
+
   /** Packing-efficiency report per shard — fill rate (permille of
     * bin capacity actually holding payload) and padding waste
     * (capacity the trainer pads over), for ANY (shard, bin)-shaped

@@ -434,6 +434,60 @@ class PackingSpec extends SparkSpec {
     assert(r._3 == 6 && r._4 == want.map(s => s(1) - s(0)).sum, r)
   }
 
+  test("contextOrder: greedy nearest-neighbor path from the smallest-id seed, hand-derived zigzag") {
+    import spark.implicits._
+    // one cluster, positions (id: pos) 0:5 1:9 2:2 3:12 4:0 5:7 6:14
+    // 7:3 — from the interior seed (id 0 at pos 5) the greedy walk
+    // zigzags: 0 -> 5(d2, id-tie over 7) -> 1 -> 3 -> 6 -> 7 -> 2 -> 4
+    val pos = Map(0L -> 5f, 1L -> 9f, 2L -> 2f, 3L -> 12f, 4L -> 0f,
+      5L -> 7f, 6L -> 14f, 7L -> 3f)
+    val docs = pos.toSeq.map { case (id, p) => (id, Seq(1000f, p)) }
+      .toDF("doc_id", "emb")
+    val got = Packing.contextOrder(docs, "doc_id", "emb",
+        Array(Array(1f, 0f)))
+      .select("doc_id", "ctx_rank").as[(Long, Long)].collect().toMap
+    val want = Map(0L -> 0L, 5L -> 1L, 1L -> 2L, 3L -> 3L, 6L -> 4L,
+      7L -> 5L, 2L -> 6L, 4L -> 7L)
+    assert(got == want, got.toString)
+  }
+
+  test("packInContext: same-cluster co-bin rate beats id-order packing on an interleaved clustered corpus") {
+    import spark.implicits._
+    // 4 clusters of 25 docs with ids INTERLEAVED (id % 4 = cluster):
+    // id-order packing scatters every cluster across bins; in-context
+    // packing reunites them
+    // directional clusters (the IVF model is cosine): cluster c on
+    // one-hot axis c, the within-cluster position on a 5th dim
+    val docs = (0L until 100L).map { id =>
+      val c = (id % 4).toInt
+      val emb = Seq.tabulate(5)(d =>
+        if (d == c) 1000f else if (d == 4) (id / 4).toFloat else 0f)
+      (id, 50L, emb, c)
+    }.toDF("doc_id", "n_tokens", "emb", "truth")
+    val centroids = (0 until 4)
+      .map(c => Array.tabulate(5)(d => if (d == c) 1f else 0f)).toArray
+    def purity(packed: org.apache.spark.sql.DataFrame): Double = {
+      val bins = packed.groupBy("shard", "bin")
+        .agg(collect_list("truth").as("ts"))
+        .select("ts").as[Seq[Int]].collect()
+      bins.map(ts => ts.groupBy(identity).values.map(_.size).max.toDouble /
+        ts.size).sum / bins.size
+    }
+    val ctx = purity(Packing.packInContext(docs, "doc_id", "n_tokens",
+      "emb", centroids, budget = 250L))
+    val byId = purity(Packing.packContiguous(docs, "doc_id", "n_tokens",
+      budget = 250L))
+    // 25 docs x 50 tokens = 1250 per cluster = exactly 5 pure bins
+    assert(ctx == 1.0, s"in-context purity $ctx")
+    assert(byId <= 0.5, s"id-order purity $byId")
+    // sharding splits BY CELL: a cluster never straddles shards
+    val sharded = Packing.packInContext(docs, "doc_id", "n_tokens",
+        "emb", centroids, budget = 250L, shards = 2)
+      .groupBy("truth").agg(countDistinct("shard").as("n"))
+      .select("n").as[Long].collect()
+    assert(sharded.forall(_ == 1L), sharded.toSeq.toString)
+  }
+
   test("histogram solvers fail loud on NULL sizes, naming the column") {
     import spark.implicits._
     // a NULL size would land in the histogram as getLong's 0 default
