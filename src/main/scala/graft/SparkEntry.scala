@@ -3164,6 +3164,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // T5 span corruption (Raffel 2020 §3.1.4) over the q145 token
+    // chain: spans placed DETERMINISTICALLY (equal segments, LCG
+    // offset per (doc, k) — the q181 discipline), sentinels count up
+    // from 1,000,000, target ends with the terminal sentinel. The
+    // oracle rebuilds every input and target id closed-form — span
+    // count, lengths, LCG starts, slices, sentinels — so one id out
+    // of place breaks both md5s.
+    "q185_span_corrupt" -> ((s, dir) => {
+      val toks = graft.operators.Bpe.tokenIds(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", CommittedBpeMerges)
+      graft.operators.Denoising.spanCorrupt(toks, "doc_id", "token_ids",
+          sentinelBase = 1000000L)
+        .select(col("doc_id"), col("n_tokens"), col("n_input"),
+          col("n_target"),
+          md5(array_join(transform(col("input_ids"), _.cast("string")),
+            ",")).as("input_md5"),
+          md5(array_join(transform(col("target_ids"), _.cast("string")),
+            ",")).as("target_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Shard attribution ledger (the data-governance page: how many
     // tokens did each SOURCE contribute to the training batch): the
     // q145 shards' per-doc token shares are recovered from the landed
@@ -7878,6 +7900,87 @@ object SparkEntry {
                 coalesce(ss.spans_csv, '') AS spans_csv
          FROM binstat bs LEFT JOIN spanstat ss USING (shard, bin)
          ORDER BY shard, bin""",
+
+    // q185: the q145 id chain + the span arithmetic restated — noise
+    // budget, span count, per-span lengths, LCG starts, inter-span
+    // slices, sentinels, terminal sentinel.
+    "q185_span_corrupt" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '),
+                  x -> length(x) > 0) AS ws
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+                  flatten(list_transform(ws, wd ->
+                    list_transform(
+                      CASE WHEN wd LIKE '%e'
+                        THEN list_append(list_slice(
+                               regexp_extract_all(wd, 'th|in|.'), 1,
+                               len(regexp_extract_all(wd, 'th|in|.')) - 1),
+                             'e</w>')
+                        ELSE list_append(regexp_extract_all(wd, 'th|in|.'),
+                             '</w>')
+                      END,
+                      t -> CASE t WHEN '</w>' THEN 1 WHEN 'th' THEN 2
+                                  WHEN 'in' THEN 3 WHEN 'e</w>' THEN 4
+                                  ELSE 5 + unicode(t) END))) AS ids
+           FROM w),
+         p AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM tok),
+         c AS (
+           SELECT doc_id, ids, n,
+                  least((n * 15 + 50) // 100, n) AS n_noise
+           FROM p),
+         c2 AS (
+           SELECT *, CASE WHEN n_noise > 0
+                  THEN greatest((n_noise * 2 + 3) // 6, 1)
+                  ELSE 0 END AS n_spans
+           FROM c),
+         c3 AS (
+           SELECT *, CASE WHEN n_spans > 0 THEN n // n_spans ELSE 0 END AS seg,
+                  CASE WHEN n_spans > 0 THEN n_noise // n_spans ELSE 0 END AS base,
+                  CASE WHEN n_spans > 0 THEN n_noise % n_spans ELSE 0 END AS rem
+           FROM c2),
+         sp AS (
+           SELECT doc_id, u.k AS k,
+                  least(base + CASE WHEN u.k < rem THEN 1 ELSE 0 END,
+                        seg) AS len0,
+                  u.k * seg + ((doc_id * 1103515245 + 12345
+                                + u.k * 2654435761) % 2147483647)
+                    % (seg - least(base + CASE WHEN u.k < rem THEN 1
+                                        ELSE 0 END, seg) + 1) AS start
+           FROM c3, UNNEST(range(0, n_spans)) AS u(k)),
+         sp2 AS (
+           SELECT doc_id, k, start, len0,
+                  coalesce(lag(start + len0) OVER (PARTITION BY doc_id
+                    ORDER BY k), 0) AS pos
+           FROM sp),
+         agg AS (
+           SELECT s.doc_id,
+                  flatten(list(list_slice(c.ids, s.pos + 1, s.start)
+                    || [1000000 + s.k] ORDER BY s.k)) AS in0,
+                  max(s.start + s.len0) AS last_end,
+                  flatten(list([1000000 + s.k]
+                    || list_slice(c.ids, s.start + 1, s.start + s.len0)
+                    ORDER BY s.k)) AS tgt0
+           FROM sp2 s JOIN c3 c USING (doc_id)
+           GROUP BY s.doc_id),
+         outp AS (
+           SELECT c.doc_id, c.n,
+                  CASE WHEN c.n_spans > 0
+                    THEN a.in0 || list_slice(c.ids, a.last_end + 1, c.n)
+                    ELSE c.ids END AS input_ids,
+                  CASE WHEN c.n_spans > 0
+                    THEN a.tgt0 || [1000000 + c.n_spans]
+                    ELSE CAST([] AS BIGINT[]) END AS target_ids
+           FROM c3 c LEFT JOIN agg a USING (doc_id))
+         SELECT doc_id, n AS n_tokens,
+                CAST(len(input_ids) AS BIGINT) AS n_input,
+                CAST(len(target_ids) AS BIGINT) AS n_target,
+                md5(array_to_string(input_ids, ',')) AS input_md5,
+                md5(array_to_string(target_ids, ',')) AS target_md5
+         FROM outp ORDER BY doc_id""",
 
     // q184: the planted permutation restated — cell = id%50, rank =
     // ((id div 50) * 7) % |cell|, shard = cell%2, bins from the
