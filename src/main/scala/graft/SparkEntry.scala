@@ -3752,6 +3752,28 @@ object SparkEntry {
             ",")).as("ids_md5"))
         .orderBy("doc_id")),
 
+    // The byte-level tokenizer feeding the UNCHANGED trainer chain
+    // (the q145 contract): ByteBpe ids -> contiguous pack ->
+    // assembled sequences with offsets — the packing geometry under
+    // the byte model, restated closed-form end to end (byte ids via
+    // the q183 scan + space rule, then the q145 shard/bin/offset
+    // forms verbatim).
+    "q183b_byte_token_shards" -> ((s, dir) => {
+      val toks = graft.operators.ByteBpe.byteTokenIds(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", CommittedByteBpeMerges)
+      val packed = graft.operators.Packing.packContiguous(
+        toks, "doc_id", "n_tokens", budget = 5000L, shards = 4)
+      graft.operators.Packing.assembleTokenSequences(packed,
+          "doc_id", "token_ids", orderCol = "doc_id")
+        .select(col("shard"), col("bin"), col("n_docs"), col("seq_tokens"),
+          md5(array_join(transform(col("sequence"), _.cast("string")), ","))
+            .as("seq_md5"),
+          array_join(transform(col("offsets"), _.cast("string")), ",")
+            .as("offsets_csv"))
+        .orderBy("shard", "bin")
+    }),
+
     // BYTE-level BPE apply (GPT-2: regex pre-tokenization + greedy
     // byte-pair merges; no normalize, no end-of-word, spaces inside
     // tokens): every id of every document md5-pinned under the
@@ -9259,6 +9281,68 @@ object SparkEntry {
          SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
                 md5(array_to_string(ids, ',')) AS ids_md5
          FROM ids ORDER BY doc_id""",
+
+    // q183b: the q183 corpus-side byte ids (no planted suffix)
+    // through the q145 shard/bin/offset forms verbatim.
+    "q183b_byte_token_shards" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         t1 AS (
+           SELECT doc_id, ws[1] AS w0,
+                  list_slice(ws, 2, len(ws)) AS rest
+           FROM w),
+         tok AS (
+           SELECT doc_id,
+                  list_transform(regexp_extract_all(w0, 'the|th|ing|in|.'),
+                    s -> CASE s WHEN 'the' THEN 257 WHEN 'th' THEN 256
+                                WHEN 'ing' THEN 260 WHEN 'in' THEN 259
+                                ELSE ascii(s) END)
+                  || flatten(list_transform(rest, wd ->
+                       CASE WHEN substr(wd, 1, 1) = 't'
+                                 AND substr(wd, 2, 1) != 'h'
+                         THEN [258] || list_transform(
+                                regexp_extract_all(substr(wd, 2),
+                                  'the|th|ing|in|.'),
+                                s -> CASE s WHEN 'the' THEN 257
+                                            WHEN 'th' THEN 256
+                                            WHEN 'ing' THEN 260
+                                            WHEN 'in' THEN 259
+                                            ELSE ascii(s) END)
+                         ELSE [32] || list_transform(
+                                regexp_extract_all(wd, 'the|th|ing|in|.'),
+                                s -> CASE s WHEN 'the' THEN 257
+                                            WHEN 'th' THEN 256
+                                            WHEN 'ing' THEN 260
+                                            WHEN 'in' THEN 259
+                                            ELSE ascii(s) END)
+                       END)) AS ids
+           FROM t1),
+         p AS (
+           SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n_tokens,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 4 AS INT) AS shard
+           FROM tok),
+         b AS (
+           SELECT shard, doc_id, ids,
+                  CAST(floor(coalesce(sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 5000.0) AS BIGINT) AS bin
+           FROM p),
+         o AS (
+           SELECT shard, bin, doc_id, ids,
+                  coalesce(sum(len(ids) + 1) OVER (
+                    PARTITION BY shard, bin ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS off
+           FROM b)
+         SELECT shard, bin, CAST(count(1) AS INT) AS n_docs,
+                CAST(sum(len(ids) + 1) AS BIGINT) AS seq_tokens,
+                md5(string_agg(array_to_string(list_append(ids, 0), ','),
+                    ',' ORDER BY doc_id)) AS seq_md5,
+                string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id)
+                  AS offsets_csv
+         FROM o GROUP BY shard, bin ORDER BY shard, bin""",
 
     // q82b: DuckDB recomputes the BPE word histogram from the raw
     // corpus — normalizeText (lower, strip ASCII punct, collapse

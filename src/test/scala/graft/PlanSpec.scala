@@ -556,4 +556,38 @@ class PlanSpec extends SparkSpec {
       s"scoring shuffles $exchanges times (expected only the orderBy range exchange):\n" +
         p.take(1200))
   }
+
+  // ------------------------------------------------------- round 17
+
+  test("q182: the chat chain is row-local to the packer — no join anywhere") {
+    // render, per-turn counts, spans, and token ids all live in ONE
+    // projection (tokenIdsCol exists for exactly this); a re-join on
+    // doc_id sneaking back in is the regression this pins against
+    val p = plan("q182_multiturn_sft")
+    assert(!p.contains("Join"), "chat chain grew a join:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q183/q185: byte tokenization and span corruption are pure narrow passes") {
+    Seq("q183_byte_bpe", "q185_span_corrupt").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n" + p.take(800))
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1,
+        s"$q shuffles $exchanges times (expected only the orderBy range " +
+          "exchange):\n" + p.take(1200))
+    }
+  }
+
+  test("q184: one MapGroups for the per-cell path, no cartesian, windows bounded") {
+    val p = plan("q184_incontext_pack")
+    // the greedy path runs per cell exactly once; everything else is
+    // the id join-back, the pack window, and the fixture's count
+    // window
+    assert("MapGroups".r.findAllIn(p).size == 1,
+      "expected exactly one per-cell path operator:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    assert("Window".r.findAllIn(p).size <= 2,
+      "unexpected extra windows:\n" + p.take(1500))
+  }
 }
