@@ -3774,6 +3774,62 @@ object SparkEntry {
         .orderBy("shard", "bin")
     }),
 
+    // Byte-level detokenize roundtrip — q167's sibling with the
+    // STRONGER claim: no normalization anywhere, so decode∘encode is
+    // the identity on the RAW text and the oracle is simply
+    // md5(text) (n_tokens still restated via the byte scan — a
+    // wrong id count can't hide behind the identity).
+    "q183c_byte_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = graft.operators.ByteBpe.byteTokenIds(docs, "doc_id",
+        "text", CommittedByteBpeMerges)
+      graft.operators.ByteBpe.decodeByteTokenIds(toks, "doc_id",
+          "token_ids", CommittedByteBpeMerges)
+        .join(toks.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          md5(col("decoded")).as("decoded_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // UL2 mixture-of-denoisers (Tay et al. 2022, public): one batch
+    // mixes the R-denoiser (the q185 short-span corruption), the
+    // X-denoiser (extreme: half the tokens in long spans), and the
+    // S-denoiser (PrefixLM: continue the final quarter), selected by
+    // doc_id%3, each input prefixed with its mode token (2000000+m)
+    // and all three sharing the q185 sentinel grammar so one decoder
+    // contract serves the mixture. Every id restated closed-form per
+    // mode.
+    "q185b_ul2_mixture" -> ((s, dir) => {
+      val toks = graft.operators.Bpe.tokenIds(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", CommittedBpeMerges)
+      val m = pmod(col("doc_id"), lit(3))
+      def shape(df: org.apache.spark.sql.DataFrame, modeId: Long,
+                tag: String) =
+        df.select(col("doc_id"), lit(tag).as("mode"), col("n_tokens"),
+          concat(array(lit(2000000L + modeId)), col("input_ids"))
+            .as("input_ids"),
+          col("target_ids"))
+      val r = shape(graft.operators.Denoising.spanCorrupt(
+        toks.filter(m === 0), "doc_id", "token_ids",
+        sentinelBase = 1000000L, densityPct = 15, meanSpan = 3), 0, "R")
+      val x = shape(graft.operators.Denoising.spanCorrupt(
+        toks.filter(m === 1), "doc_id", "token_ids",
+        sentinelBase = 1000000L, densityPct = 50, meanSpan = 8), 1, "X")
+      val sd = shape(graft.operators.Denoising.prefixLmSplit(
+        toks.filter(m === 2), "doc_id", "token_ids",
+        sentinelBase = 1000000L), 2, "S")
+      r.unionByName(x).unionByName(sd)
+        .select(col("doc_id"), col("mode"), col("n_tokens"),
+          size(col("input_ids")).cast("long").as("n_input"),
+          size(col("target_ids")).cast("long").as("n_target"),
+          md5(array_join(transform(col("input_ids"), _.cast("string")),
+            ",")).as("input_md5"),
+          md5(array_join(transform(col("target_ids"), _.cast("string")),
+            ",")).as("target_md5"))
+        .orderBy("doc_id")
+    }),
+
     // BYTE-level BPE apply (GPT-2: regex pre-tokenization + greedy
     // byte-pair merges; no normalize, no end-of-word, spaces inside
     // tokens): every id of every document md5-pinned under the
@@ -8004,6 +8060,112 @@ object SparkEntry {
                 md5(array_to_string(target_ids, ',')) AS target_md5
          FROM outp ORDER BY doc_id""",
 
+    // q185b: the q185 span arithmetic per mode (R: 15%/3, X: 50%/8),
+    // the S mode's quarter split, mode tokens 2000000+m prepended,
+    // shared sentinel grammar.
+    "q185b_ul2_mixture" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '),
+                  x -> length(x) > 0) AS ws
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+                  flatten(list_transform(ws, wd ->
+                    list_transform(
+                      CASE WHEN wd LIKE '%e'
+                        THEN list_append(list_slice(
+                               regexp_extract_all(wd, 'th|in|.'), 1,
+                               len(regexp_extract_all(wd, 'th|in|.')) - 1),
+                             'e</w>')
+                        ELSE list_append(regexp_extract_all(wd, 'th|in|.'),
+                             '</w>')
+                      END,
+                      t -> CASE t WHEN '</w>' THEN 1 WHEN 'th' THEN 2
+                                  WHEN 'in' THEN 3 WHEN 'e</w>' THEN 4
+                                  ELSE 5 + unicode(t) END))) AS ids
+           FROM w),
+         p AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n,
+                      doc_id % 3 AS md
+               FROM tok),
+         c AS (
+           SELECT doc_id, ids, n, md,
+                  CASE md WHEN 0 THEN least((n * 15 + 50) // 100, n)
+                          WHEN 1 THEN least((n * 50 + 50) // 100, n)
+                  END AS n_noise
+           FROM p),
+         c2 AS (
+           SELECT *, CASE WHEN md = 2 THEN NULL
+                  WHEN n_noise > 0 THEN
+                    CASE md WHEN 0 THEN greatest((n_noise * 2 + 3) // 6, 1)
+                            WHEN 1 THEN greatest((n_noise * 2 + 8) // 16, 1)
+                    END
+                  ELSE 0 END AS n_spans
+           FROM c),
+         c3 AS (
+           SELECT *, CASE WHEN n_spans > 0 THEN n // n_spans ELSE 0 END AS seg,
+                  CASE WHEN n_spans > 0 THEN n_noise // n_spans ELSE 0 END AS base,
+                  CASE WHEN n_spans > 0 THEN n_noise % n_spans ELSE 0 END AS rem
+           FROM c2 WHERE md IN (0, 1)),
+         sp AS (
+           SELECT doc_id, u.k AS k,
+                  least(base + CASE WHEN u.k < rem THEN 1 ELSE 0 END,
+                        seg) AS len0,
+                  u.k * seg + ((doc_id * 1103515245 + 12345
+                                + u.k * 2654435761) % 2147483647)
+                    % (seg - least(base + CASE WHEN u.k < rem THEN 1
+                                        ELSE 0 END, seg) + 1) AS start
+           FROM c3, UNNEST(range(0, n_spans)) AS u(k)),
+         sp2 AS (
+           SELECT doc_id, k, start, len0,
+                  coalesce(lag(start + len0) OVER (PARTITION BY doc_id
+                    ORDER BY k), 0) AS pos
+           FROM sp),
+         agg AS (
+           SELECT s.doc_id,
+                  flatten(list(list_slice(c.ids, s.pos + 1, s.start)
+                    || [1000000 + s.k] ORDER BY s.k)) AS in0,
+                  max(s.start + s.len0) AS last_end,
+                  flatten(list([1000000 + s.k]
+                    || list_slice(c.ids, s.start + 1, s.start + s.len0)
+                    ORDER BY s.k)) AS tgt0
+           FROM sp2 s JOIN c3 c USING (doc_id)
+           GROUP BY s.doc_id),
+         outrx AS (
+           SELECT c.doc_id, CASE c.md WHEN 0 THEN 'R' ELSE 'X' END AS mode,
+                  c.n,
+                  CASE WHEN c.n_spans > 0
+                    THEN [2000000 + c.md] || a.in0
+                         || list_slice(c.ids, a.last_end + 1, c.n)
+                    ELSE [2000000 + c.md] || c.ids END AS input_ids,
+                  CASE WHEN c.n_spans > 0
+                    THEN a.tgt0 || [1000000 + c.n_spans]
+                    ELSE CAST([] AS BIGINT[]) END AS target_ids
+           FROM c3 c LEFT JOIN agg a USING (doc_id)),
+         s2 AS (
+           SELECT doc_id, n, ids,
+                  n - greatest(n // 4, 1) AS spl
+           FROM p WHERE md = 2 AND n > 0),
+         outs AS (
+           SELECT doc_id, 'S' AS mode, n,
+                  [2000002] || list_slice(ids, 1, spl) || [1000000]
+                    AS input_ids,
+                  [1000000] || list_slice(ids, spl + 1, n) || [1000001]
+                    AS target_ids
+           FROM s2
+           UNION ALL
+           SELECT doc_id, 'S', n, [2000002], CAST([] AS BIGINT[])
+           FROM p WHERE md = 2 AND n = 0),
+         unioned AS (
+           SELECT * FROM outrx UNION ALL SELECT * FROM outs)
+         SELECT doc_id, mode, n AS n_tokens,
+                CAST(len(input_ids) AS BIGINT) AS n_input,
+                CAST(len(target_ids) AS BIGINT) AS n_target,
+                md5(array_to_string(input_ids, ',')) AS input_md5,
+                md5(array_to_string(target_ids, ',')) AS target_md5
+         FROM unioned ORDER BY doc_id""",
+
     // q184: the planted permutation restated — cell = id%50, rank =
     // ((id div 50) * 7) % |cell|, shard = cell%2, bins from the
     // (cell, rank, id)-ordered running size sum.
@@ -9343,6 +9505,33 @@ object SparkEntry {
                 string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id)
                   AS offsets_csv
          FROM o GROUP BY shard, bin ORDER BY shard, bin""",
+
+    // q183c: decode∘encode is the IDENTITY on raw text (no
+    // normalization in the byte model), so decoded_md5 is literally
+    // md5(text); n_tokens restated via the byte scan + space rule.
+    "q183c_byte_roundtrip" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         t1 AS (
+           SELECT doc_id, ws[1] AS w0,
+                  list_slice(ws, 2, len(ws)) AS rest
+           FROM w),
+         tok AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(w0, 'the|th|ing|in|.'))
+                       AS BIGINT)
+                  + CAST(coalesce(list_sum(list_transform(rest, wd ->
+                      CASE WHEN substr(wd, 1, 1) = 't'
+                                AND substr(wd, 2, 1) != 'h'
+                        THEN 1 + len(regexp_extract_all(substr(wd, 2),
+                               'the|th|ing|in|.'))
+                        ELSE 1 + len(regexp_extract_all(wd,
+                               'the|th|ing|in|.'))
+                      END)), 0) AS BIGINT) AS n_tokens
+           FROM t1)
+         SELECT t.doc_id, t.n_tokens, md5(d.text) AS decoded_md5
+         FROM tok t JOIN documents d USING (doc_id)
+         ORDER BY t.doc_id""",
 
     // q82b: DuckDB recomputes the BPE word histogram from the raw
     // corpus — normalizeText (lower, strip ASCII punct, collapse

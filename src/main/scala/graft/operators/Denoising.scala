@@ -103,4 +103,35 @@ object Denoising {
       .withColumn("n_input", size(col("input_ids")).cast("long"))
       .withColumn("n_target", size(col("target_ids")).cast("long"))
   }
+
+  /** The PrefixLM / UL2 S-denoiser split (Raffel 2020 §3.1.2's
+    * prefix-LM objective; Tay et al. 2022's S-denoiser, public):
+    * the decoder learns to CONTINUE — target = the document's final
+    * quarter (always at least one token on non-empty docs), input =
+    * the prefix plus the sentinel, target = sentinel + suffix +
+    * terminal sentinel (the q185 sentinel grammar, so R/X/S modes
+    * mix in one batch with one decoder contract). Deterministic —
+    * the split point is pure arithmetic, no sampling at all. Same
+    * degenerate behavior as [[spanCorrupt]]: empty/NULL docs pass
+    * through empty. Pure Column ops, row-local. */
+  def prefixLmSplit(df: DataFrame, idCol: String, tokensCol: String,
+                    sentinelBase: Long): DataFrame = {
+    val emptyL = array().cast("array<long>")
+    val t = coalesce(col(tokensCol), emptyL)
+    val n = size(t).cast("long")
+    val split = when(n > 0, n - greatest(idiv(n, lit(4L)), lit(1L)))
+      .otherwise(lit(0L))
+    val input = when(n > 0,
+      concat(slice(t, lit(1), split.cast("int")), array(lit(sentinelBase))))
+      .otherwise(emptyL)
+    val target = when(n > 0,
+      concat(array(lit(sentinelBase)),
+        slice(t, (split + 1L).cast("int"), (n - split).cast("int")),
+        array(lit(sentinelBase + 1L))))
+      .otherwise(emptyL)
+    df.withColumn("input_ids", input)
+      .withColumn("target_ids", target)
+      .withColumn("n_input", size(col("input_ids")).cast("long"))
+      .withColumn("n_target", size(col("target_ids")).cast("long"))
+  }
 }

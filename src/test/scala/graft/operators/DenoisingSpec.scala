@@ -96,6 +96,29 @@ class DenoisingSpec extends SparkSpec {
     assert(n == ((Seq.empty, Seq.empty, 0L, 0L)))
   }
 
+  test("prefixLmSplit: final-quarter target, at-least-one-token floor, sentinel grammar, degenerate docs") {
+    def runP(rows: Seq[(Long, Seq[Long])]) =
+      Denoising.prefixLmSplit(rows.toDF("doc_id", "token_ids"),
+          "doc_id", "token_ids", sentinelBase = S)
+        .select("doc_id", "input_ids", "target_ids")
+        .as[(Long, Seq[Long], Seq[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = runP(Seq(
+      (1L, (1L to 8L).toSeq),   // n=8: target = last 2
+      (2L, Seq(5L)),            // n=1: floor -> the whole doc is target
+      (3L, (1L to 5L).toSeq),   // n=5: 5//4 = 1 -> target last 1
+      (4L, Seq.empty[Long])))
+    assert(got(1L) == (((1L to 6L) :+ S, Seq(S, 7L, 8L, S + 1))))
+    assert(got(2L) == ((Seq(S), Seq(S, 5L, S + 1))))
+    assert(got(3L) == (((1L to 4L) :+ S, Seq(S, 5L, S + 1))))
+    assert(got(4L) == ((Seq.empty, Seq.empty)))
+    // splice invariant holds for the prefix-LM grammar too
+    got.filter(_._2._1.nonEmpty).foreach { case (id, (in, tgt)) =>
+      assert(splice(in, tgt) == (in.dropRight(1) ++
+        tgt.drop(1).dropRight(1)), s"doc $id")
+    }
+  }
+
   test("corruption is a pure function of (id, tokens): repartitioning changes nothing; ids diverge corruption") {
     val toks = (1L to 50L).toSeq
     val a = run(Seq((10L, toks), (11L, toks)))
