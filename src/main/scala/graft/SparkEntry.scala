@@ -3164,6 +3164,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Conflict-free contrastive batches (the DPR/GTR/E5 in-batch-
+    // negative constraint: no two pairs in a batch may share a
+    // passage): pairs keyed by passage_id = doc_id%40 — 40 passages
+    // with many pairs each, the collision-heavy regime — striped by
+    // per-passage rank and batched 8 at a time within (shard,
+    // stripe), passages sharded by md5 so a passage never splits.
+    // The oracle restates shard, stripe, and batch with the same
+    // windows; PackingSpec pins the no-collision property itself.
+    "q186_contrastive_batches" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        pmod(col("doc_id"), lit(40)).as("passage_id"))
+      graft.operators.Packing.batchDistinctBy(pairs, "doc_id",
+          "passage_id", batchSize = 8, shards = 2)
+        .select("doc_id", "passage_id", "shard", "stripe", "batch")
+        .orderBy("doc_id")
+    }),
+
     // T5 span corruption (Raffel 2020 §3.1.4) over the q145 token
     // chain: spans placed DETERMINISTICALLY (equal segments, LCG
     // offset per (doc, k) — the q181 discipline), sentinels count up
@@ -3773,6 +3790,18 @@ object SparkEntry {
             .as("offsets_csv"))
         .orderBy("shard", "bin")
     }),
+
+    // The byte trainer's distributed half (q82b's sibling): the
+    // pre-token histogram GPT-2 trains on — first word bare, every
+    // later word with its leading space (this corpus's pre-token
+    // shape) — tail-pruned at minCount=2. The greedy merge loop
+    // itself (shared with the word trainer, end-of-word disabled)
+    // stays spec-pinned, the q82 treatment.
+    "q183d_byte_histogram" -> ((s, dir) =>
+      graft.operators.ByteBpe.pretokenHistogram(
+          t(s, dir, "documents").select("doc_id", "text"), "text",
+          minCount = 2L)
+        .orderBy("pretoken")),
 
     // Byte-level detokenize roundtrip — q167's sibling with the
     // STRONGER claim: no normalization anywhere, so decode∘encode is
@@ -7979,6 +8008,25 @@ object SparkEntry {
          FROM binstat bs LEFT JOIN spanstat ss USING (shard, bin)
          ORDER BY shard, bin""",
 
+    // q186: shard (md5 of passage), per-passage stripe rank, and the
+    // within-(shard,stripe) batch walk restated with the same
+    // windows.
+    "q186_contrastive_batches" ->
+      """WITH p AS (
+           SELECT doc_id, CAST(doc_id % 40 AS BIGINT) AS passage_id
+           FROM documents),
+         r AS (
+           SELECT doc_id, passage_id,
+                  CAST(('0x' || substr(md5(CAST(passage_id AS VARCHAR)),
+                        1, 8))::BIGINT % 2 AS INT) AS shard,
+                  CAST(row_number() OVER (PARTITION BY passage_id
+                        ORDER BY doc_id) - 1 AS BIGINT) AS stripe
+           FROM p)
+         SELECT doc_id, passage_id, shard, stripe,
+                CAST((row_number() OVER (PARTITION BY shard, stripe
+                      ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch
+         FROM r ORDER BY doc_id""",
+
     // q185: the q145 id chain + the span arithmetic restated — noise
     // budget, span count, per-span lengths, LCG starts, inter-span
     // slices, sentinels, terminal sentinel.
@@ -9505,6 +9553,20 @@ object SparkEntry {
                 string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id)
                   AS offsets_csv
          FROM o GROUP BY shard, bin ORDER BY shard, bin""",
+
+    // q183d: the pre-token histogram restated — first word bare,
+    // the rest ' '-prefixed, counted, minCount=2 prune.
+    "q183d_byte_histogram" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         seg AS (
+           SELECT ws[1] AS p FROM w
+           UNION ALL
+           SELECT ' ' || u.wd
+           FROM w, UNNEST(list_slice(ws, 2, len(ws))) AS u(wd))
+         SELECT p AS pretoken, CAST(count(1) AS BIGINT) AS n
+         FROM seg WHERE length(p) > 0
+         GROUP BY p HAVING count(1) >= 2 ORDER BY pretoken""",
 
     // q183c: decode∘encode is the IDENTITY on raw text (no
     // normalization in the byte model), so decoded_md5 is literally

@@ -58,9 +58,16 @@ object Bpe {
     * (max count, ties broken lexicographically) is unchanged, so the
     * merge list is bit-identical to the rescan form's. */
   private[operators] def trainOnHistogram(hist: Seq[(String, Long)],
-                                          numMerges: Int): Seq[(String, String)] = {
+                                          numMerges: Int,
+                                          appendEow: Boolean = true)
+      : Seq[(String, String)] = {
+    // appendEow=false is the BYTE-level trainer ([[ByteBpe]]): no
+    // end-of-word symbol, items are pre-tokens, the loop is identical
     val words: Array[(Vector[String], Long)] =
-      hist.map { case (w, n) => (w.map(_.toString).toVector :+ EndOfWord, n) }.toArray
+      hist.map { case (w, n) =>
+        (w.map(_.toString).toVector ++
+          (if (appendEow) Vector(EndOfWord) else Vector.empty), n)
+      }.toArray
     val stats = scala.collection.mutable.Map.empty[(String, String), Long]
     // pair -> indices of words that contained the pair when last
     // rewritten (a superset of current holders; re-verified at use)

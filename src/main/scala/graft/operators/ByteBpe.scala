@@ -108,6 +108,38 @@ object ByteBpe {
       256L + i
     }
 
+  /** The distributed half of byte-level training — the [[Bpe
+    * .wordHistogram]] analogue over PRE-TOKENS (GPT-2 trains on the
+    * pre-token histogram, not raw text): one narrow pass explodes
+    * each document's pre-tokens (byte-char space) and counts.
+    * Histogram-sized, never corpus-sized; `minCount` prunes the
+    * hapax tail before any collect. */
+  def pretokenHistogram(docs: DataFrame, textCol: String,
+                        minCount: Long = 1L): DataFrame = {
+    val preUdf = udf((s: String) =>
+      if (s == null) Array.empty[String]
+      else pretokenize(s).map(toByteChars).toArray)
+    docs.select(explode(preUdf(col(textCol))).as("pretoken"))
+      .groupBy("pretoken").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** Learn `numMerges` BYTE merges from the corpus — the same greedy
+    * max-count loop as the word trainer ([[Bpe.trainOnHistogram]],
+    * shared code) run over the pre-token histogram WITHOUT an
+    * end-of-word symbol: pairs merge across the space a pre-token
+    * carries, which is how space-crossing merges like `(" ", "t")`
+    * arise in real GPT-2 vocabularies. Deterministic (count ties
+    * break lexicographically on byte-chars); the merge loop itself is
+    * driver-side over the bounded histogram, the scale story
+    * unchanged from the word trainer. */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  minCount: Long = 1L): Seq[(String, String)] = {
+    val hist = pretokenHistogram(docs, textCol, minCount)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Bpe.trainOnHistogram(hist, numMerges, appendEow = false)
+  }
+
   /** Column form — token ids of `text` under `merges` as
     * `array<long>`: pre-tokenize, byte-map, greedy-merge, id-map.
     * One broadcast of the rank/id tables, row-local. */

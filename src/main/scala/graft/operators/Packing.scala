@@ -445,6 +445,42 @@ object Packing {
         floor(coalesce(sum(col(sizeCol)).over(w), lit(0L)) / budget))
   }
 
+  /** Conflict-free batch assembly for in-batch negatives — the
+    * contrastive-training constraint (public practice in every
+    * dual-encoder stack, DPR/GTR/E5: a batch's OTHER passages serve
+    * as negatives, so a batch must never contain two pairs sharing a
+    * passage or the "negative" is a false negative): rows sharing a
+    * `groupCol` value (the passage) spread across STRIPES — stripe r
+    * holds each group's r-th row (rank by id within group) — and
+    * batches fill WITHIN a stripe in id order, `batchSize` at a time.
+    * Since a stripe holds at most one row per group, no batch can
+    * collide BY CONSTRUCTION; only each (shard, stripe)'s tail batch
+    * runs short.
+    *
+    * Scale shape: groups shard FIRST by md5(group) (a group never
+    * splits across shards, so distinctness survives), the per-group
+    * rank window is bounded by the mining fan-out (pairs per passage
+    * are capped at mining time — the q181 bounded-partition
+    * argument), and the per-(shard, stripe) window is bounded by
+    * |groups| / shards. Output = input + (shard, stripe, batch);
+    * a batch is identified by the (shard, stripe, batch) triple. */
+  def batchDistinctBy(df: DataFrame, idCol: String, groupCol: String,
+                      batchSize: Int, shards: Int = 1): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(shards > 0, s"shards must be positive, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(conv(substring(md5(col(groupCol).cast("string")), 1, 8),
+      16, 10).cast("long"), lit(shards.toLong)).cast("int")
+    val wG = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val wS = Window.partitionBy(col("shard"), col("stripe"))
+      .orderBy(col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("stripe", row_number().over(wG).cast("long") - 1L)
+      .withColumn("__seq", row_number().over(wS).cast("long") - 1L)
+      .withColumn("batch", expr(s"__seq div $batchSize"))
+      .drop("__seq")
+  }
+
   /** Packing-efficiency report per shard — fill rate (permille of
     * bin capacity actually holding payload) and padding waste
     * (capacity the trainer pads over), for ANY (shard, bin)-shaped

@@ -84,6 +84,26 @@ class ByteBpeSpec extends SparkSpec {
     assert(d == "t�h", d.toList.map(_.toInt).toString)
   }
 
+  test("byte trainer: hand-derived merges from a tiny corpus, space-crossing merge learned, roundtrip under learned merges") {
+    val docs = Seq((1L, "aa aa aa"), (2L, "aa ab"))
+      .toDF("doc_id", "text")
+    // pre-token histogram: 'aa':2 (first words), ' aa':2, ' ab':1
+    val hist = ByteBpe.pretokenHistogram(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(hist == Map("aa" -> 2L, " aa" -> 2L, " ab" -> 1L), hist)
+    // greedy trace: (a,a)=4 wins; then the SPACE-CROSSING (' ','aa')=2;
+    // then the count-1 tie (' ','a') vs ('a','b') resolves to the
+    // lexicographically smaller pair — the space
+    val merges = ByteBpe.trainMerges(docs, "text", numMerges = 3)
+    assert(merges == Seq(("a", "a"), (" ", "aa"), (" ", "a")), merges)
+    // decode∘encode is still the identity under LEARNED merges
+    val uni = Seq((1L, "aa aab héllo 🎉")).toDF("doc_id", "text")
+    val enc = ByteBpe.byteTokenIds(uni, "doc_id", "text", merges)
+    val dec = ByteBpe.decodeByteTokenIds(enc, "doc_id", "token_ids", merges)
+      .select("decoded").as[String].head()
+    assert(dec == "aa aab héllo 🎉", dec)
+  }
+
   test("tokenizePretoken equals an independent brute-force greedy on random [a-z ] strings") {
     // reference: recompute with an O(n^3) obvious implementation
     def ref(p: String): Vector[String] = {

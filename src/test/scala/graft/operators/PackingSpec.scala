@@ -488,6 +488,39 @@ class PackingSpec extends SparkSpec {
     assert(sharded.forall(_ == 1L), sharded.toSeq.toString)
   }
 
+  test("batchDistinctBy: no batch holds a group twice, groups never split shards, batches balanced, deterministic") {
+    import spark.implicits._
+    // skewed fixture: group sizes 1..25 with interleaved ids
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 400L).map(id => (id, (rnd.nextInt(30) + 1).toLong))
+      .toDF("pair_id", "grp")
+    val out = Packing.batchDistinctBy(rows, "pair_id", "grp",
+        batchSize = 4, shards = 3)
+      .select("pair_id", "grp", "shard", "stripe", "batch")
+      .as[(Long, Long, Int, Long, Long)].collect()
+    // the in-batch-negative property: a (shard, stripe, batch) triple
+    // never contains the same group twice
+    out.groupBy(r => (r._3, r._4, r._5)).foreach { case (b, rs) =>
+      val gs = rs.map(_._2)
+      assert(gs.distinct.length == gs.length, s"batch $b collides: $gs")
+    }
+    // a group lives in exactly one shard
+    out.groupBy(_._2).foreach { case (g, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"group $g split shards")
+    }
+    // balance: within a (shard, stripe), only the LAST batch is short
+    out.groupBy(r => (r._3, r._4)).foreach { case (_, rs) =>
+      val sizes = rs.groupBy(_._5).toSeq.sortBy(_._1).map(_._2.length)
+      assert(sizes.dropRight(1).forall(_ == 4), sizes.toString)
+    }
+    // deterministic under repartitioning
+    val out2 = Packing.batchDistinctBy(rows.repartition(7), "pair_id",
+        "grp", batchSize = 4, shards = 3)
+      .select("pair_id", "grp", "shard", "stripe", "batch")
+      .as[(Long, Long, Int, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+  }
+
   test("histogram solvers fail loud on NULL sizes, naming the column") {
     import spark.implicits._
     // a NULL size would land in the histogram as getLong's 0 default
