@@ -3164,6 +3164,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Partition-scoped token shards (the q145 chain under
+    // packContiguousBy): snapshot = doc_id div 150, two local shards
+    // — the incremental-maintenance layout where appending a
+    // snapshot can never move an earlier snapshot's bins (PackingSpec
+    // pins the invariance; here the oracle restates the part-folded
+    // shard ids and every bin cut).
+    "q187_partitioned_shards" -> ((s, dir) => {
+      val toks = graft.operators.Bpe.tokenIds(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", CommittedBpeMerges)
+        .withColumn("snapshot", expr("doc_id div 150"))
+      val packed = graft.operators.Packing.packContiguousBy(toks,
+        "doc_id", "n_tokens", "snapshot", budget = 5000L, shards = 2)
+      graft.operators.Packing.assembleTokenSequences(packed,
+          "doc_id", "token_ids", orderCol = "doc_id")
+        .select(col("shard"), col("bin"), col("n_docs"), col("seq_tokens"),
+          md5(array_join(transform(col("sequence"), _.cast("string")), ","))
+            .as("seq_md5"),
+          array_join(transform(col("offsets"), _.cast("string")), ",")
+            .as("offsets_csv"))
+        .orderBy("shard", "bin")
+    }),
+
     // Conflict-free contrastive batches (the DPR/GTR/E5 in-batch-
     // negative constraint: no two pairs in a batch may share a
     // passage): pairs keyed by passage_id = doc_id%40 — 40 passages
@@ -8007,6 +8030,60 @@ object SparkEntry {
                 coalesce(ss.spans_csv, '') AS spans_csv
          FROM binstat bs LEFT JOIN spanstat ss USING (shard, bin)
          ORDER BY shard, bin""",
+
+    // q187: the q145 forms with the part-folded shard —
+    // (id div 150)*2 + md5(id)%2 — and bins cut per shard.
+    "q187_partitioned_shards" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                    '\s+', ' ', 'g')), ' '),
+                  x -> length(x) > 0) AS ws
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+                  flatten(list_transform(ws, wd ->
+                    list_transform(
+                      CASE WHEN wd LIKE '%e'
+                        THEN list_append(list_slice(
+                               regexp_extract_all(wd, 'th|in|.'), 1,
+                               len(regexp_extract_all(wd, 'th|in|.')) - 1),
+                             'e</w>')
+                        ELSE list_append(regexp_extract_all(wd, 'th|in|.'),
+                             '</w>')
+                      END,
+                      t -> CASE t WHEN '</w>' THEN 1 WHEN 'th' THEN 2
+                                  WHEN 'in' THEN 3 WHEN 'e</w>' THEN 4
+                                  ELSE 5 + unicode(t) END))) AS ids
+           FROM w),
+         p AS (
+           SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n_tokens,
+                  (doc_id // 150) * 2 +
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 AS BIGINT) AS shard
+           FROM tok),
+         b AS (
+           SELECT shard, doc_id, ids,
+                  CAST(floor(coalesce(sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 5000.0) AS BIGINT) AS bin
+           FROM p),
+         o AS (
+           SELECT shard, bin, doc_id, ids,
+                  coalesce(sum(len(ids) + 1) OVER (
+                    PARTITION BY shard, bin ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS off
+           FROM b)
+         SELECT CAST(shard AS BIGINT) AS shard, bin,
+                CAST(count(1) AS INT) AS n_docs,
+                CAST(sum(len(ids) + 1) AS BIGINT) AS seq_tokens,
+                md5(string_agg(array_to_string(list_append(ids, 0), ','),
+                    ',' ORDER BY doc_id)) AS seq_md5,
+                string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id)
+                  AS offsets_csv
+         FROM o GROUP BY shard, bin ORDER BY shard, bin""",
 
     // q186: shard (md5 of passage), per-passage stripe rank, and the
     // within-(shard,stripe) batch walk restated with the same

@@ -445,6 +445,39 @@ object Packing {
         floor(coalesce(sum(col(sizeCol)).over(w), lit(0L)) / budget))
   }
 
+  /** Partition-scoped contiguous packing — the INCREMENTAL
+    * trainer-shard maintenance story. [[packContiguous]]'s bin
+    * boundaries are a running sum, so ONE inserted document shifts
+    * every later bin in its shard (the avalanche): at 100 TB a daily
+    * corpus append would force a full repack. Packing WITHIN a
+    * partition (a snapshot/date/epoch key) contains the avalanche —
+    * appending partition P touches only P's bins, and every earlier
+    * partition's shard/bin assignment is BYTE-IDENTICAL to what it
+    * was (PackingSpec pins exactly that; the public practice in every
+    * sharded-dataset layout that packs per input shard).
+    *
+    * The partition index folds into the emitted `shard` column
+    * (`part · shards + localShard`), so the assemblers' `(shard,
+    * bin)` contract — and everything downstream — composes
+    * unchanged. `partCol` must be a non-negative integral key (cast
+    * to long; date partitions map to epoch days upstream). */
+  def packContiguousBy(df: DataFrame, idCol: String, sizeCol: String,
+                       partCol: String, budget: Long,
+                       shards: Int = 1): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val localShard = pmod(conv(substring(md5(col(idCol).cast("string")),
+      1, 8), 16, 10).cast("long"), lit(shards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    df.withColumn("shard",
+        col(partCol).cast("long") * shards + localShard)
+      .withColumn("bin",
+        floor(coalesce(sum(col(sizeCol)).over(w), lit(0L)) / budget))
+  }
+
   /** Conflict-free batch assembly for in-batch negatives — the
     * contrastive-training constraint (public practice in every
     * dual-encoder stack, DPR/GTR/E5: a batch's OTHER passages serve

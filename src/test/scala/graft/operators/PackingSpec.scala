@@ -488,6 +488,35 @@ class PackingSpec extends SparkSpec {
     assert(sharded.forall(_ == 1L), sharded.toSeq.toString)
   }
 
+  test("packContiguousBy: appending a partition never moves earlier partitions' bins; the plain packer avalanches") {
+    import spark.implicits._
+    def assignments(df: org.apache.spark.sql.DataFrame) =
+      Packing.packContiguousBy(df, "id", "toks", "part",
+          budget = 300L, shards = 2)
+        .select("id", "shard", "bin").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def mk(maxId: Long) = (0L until maxId)
+      .map(id => (id, 40L + (id % 5) * 13L, id / 50L))
+      .toDF("id", "toks", "part")
+    val before = assignments(mk(100))   // parts 0, 1
+    val after = assignments(mk(150))    // part 2 appended
+    // the incremental-maintenance property: every pre-existing doc
+    // keeps its exact (shard, bin)
+    assert(before.forall { case (id, sb) => after(id) == sb })
+    // contrast: the PLAIN packer's running sum avalanches — inserting
+    // one mid-corpus doc moves someone later in the same shard
+    def plain(extra: Boolean) = {
+      val ids = (0L until 200L by 2L) ++ (if (extra) Seq(99L) else Nil)
+      Packing.packContiguous(ids.map(id => (id, 50L)).toDF("id", "toks"),
+          "id", "toks", budget = 300L, shards = 1)
+        .select("id", "bin").as[(Long, Long)].collect().toMap
+    }
+    val p0 = plain(false)
+    val p1 = plain(true)
+    assert((100L until 200L by 2L).exists(id => p0(id) != p1(id)),
+      "expected the running-sum avalanche on the plain packer")
+  }
+
   test("batchDistinctBy: no batch holds a group twice, groups never split shards, batches balanced, deterministic") {
     import spark.implicits._
     // skewed fixture: group sizes 1..25 with interleaved ids
