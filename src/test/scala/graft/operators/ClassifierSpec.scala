@@ -72,6 +72,27 @@ class ClassifierSpec extends SparkSpec {
         "the separable presence rule was not learned")
   }
 
+  test("small-set local fast path equals the distributed gradient loop bit-for-bit") {
+    // round-17 optimization: training sets under localTrainMax rows
+    // run the iteration loop in-JVM (one collect, zero per-iteration
+    // jobs). The exact-decimal gradient argument says grouping cannot
+    // change a single bit — this pins it by running the SAME set
+    // through both paths (localTrainMax = 0 forces the Spark loop).
+    val train = graft.SparkEntry.GateTrainingSet.toDF("text", "label")
+    val (wl, bl) = Classifier.trainLogistic(train, "text", "label",
+      dim = graft.SparkEntry.GateDim, iters = graft.SparkEntry.GateIters,
+      lr = graft.SparkEntry.GateLr)
+    val (wd, bd) = Classifier.trainLogistic(train, "text", "label",
+      dim = graft.SparkEntry.GateDim, iters = graft.SparkEntry.GateIters,
+      lr = graft.SparkEntry.GateLr, localTrainMax = 0L)
+    assert(bl == bd, s"bias diverged: local $bl vs distributed $bd")
+    assert(wl.toSeq == wd.toSeq,
+      "weights diverged between the local and distributed paths: " +
+        wl.zip(wd).zipWithIndex.filter { case ((a, c), _) => a != c }
+          .take(8).map { case ((a, c), j) => s"j=$j local=$a dist=$c" }
+          .mkString(", "))
+  }
+
   test("q87b gate training reproduces the committed milli-weight snapshot") {
     // the q87b oracle scores under SparkEntry.CommittedGateWeightsMilli
     // while the battery entry trains fresh — this pin is what makes
