@@ -557,12 +557,18 @@ object Warc {
     * content_length, payload_digest, http_status, http_content_type,
     * http_location, http_x_robots, body)` — the [[WarcRecord]] shape.
     *
-    * Each task opens its segment as a STREAM (never materializing the
+    * Each task opens its segments as STREAMS (never materializing a
     * file, its decompressed form, or the parsed record set at once —
-    * see [[parseStream]]), one task per segment so a 1000-file
-    * CommonCrawl listing fans out across the cluster. The file
-    * listing itself is driver-side and |files|-sized — the same
-    * enumeration any file source performs. */
+    * see [[parseStream]]), files packed into at most
+    * `4 × defaultParallelism` slices (round-17, guide §6 small-files
+    * rule): a 1000-file CommonCrawl listing of ~1 GB segments still
+    * fans out one-file-per-task on any real cluster, while a fixture
+    * or spill directory of hundreds of TINY segments no longer pays
+    * one task launch per file — the q148/q170 archive fixtures
+    * (200-467 small segments each) spent more wall-clock on task
+    * scheduling than on parsing. The file listing itself is
+    * driver-side and |files|-sized — the same enumeration any file
+    * source performs. */
   def readWarc(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -575,12 +581,14 @@ object Warc {
     }.map(_.getPath.toString).sorted
     val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
     val rdd = spark.sparkContext
-      .parallelize(files, math.max(files.length, 1))
+      .parallelize(files, segmentSlices(spark, files.length))
       .flatMap { f =>
         val fp = new org.apache.hadoop.fs.Path(f)
         val stream = fp.getFileSystem(confB.value.conf).open(fp)
         // a downstream limit() can drop the iterator mid-file: close
-        // at task end regardless of how far parsing got
+        // at task end regardless of how far parsing got (a multi-file
+        // slice holds its handles until task end — bounded by
+        // files-per-slice, each one buffered stream)
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
           try stream.close() catch { case _: java.io.IOException => () })
@@ -588,6 +596,14 @@ object Warc {
       }
     spark.createDataset(rdd).toDF()
   }
+
+  /** Slice count for a |files|-element segment walk: one file per
+    * task up to `4 × defaultParallelism`, then files pack into
+    * slices. Keeps cluster-scale archives (few big segments per
+    * core) at full fan-out and stops tiny-segment directories from
+    * paying a task launch per file. */
+  private def segmentSlices(spark: SparkSession, nFiles: Int): Int =
+    math.max(1, math.min(nFiles, 4 * spark.sparkContext.defaultParallelism))
 
   /** Distributed WET-style text export — the ARCHIVAL/INTERCHANGE sink
     * closing the WARC loop (read with [[readWarc]], write here): each
@@ -1119,7 +1135,7 @@ object Warc {
     val hconf = spark.sparkContext.hadoopConfiguration
     val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
     val rdd = spark.sparkContext
-      .parallelize(files, math.max(files.length, 1))
+      .parallelize(files, segmentSlices(spark, files.length))
       .flatMap { f =>
         val fp = new org.apache.hadoop.fs.Path(f)
         val stream = fp.getFileSystem(confB.value.conf).open(fp)
