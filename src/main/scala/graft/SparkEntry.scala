@@ -3993,8 +3993,18 @@ object SparkEntry {
         invT, candT, n = 3, threshold = 0.5)
       val pairs = graft.operators.Dedup.ngramVerifiedPairs(
         s.table(invT), s.table(candT), threshold = 0.5)
-      val rel = pairs.select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"))
-        .union(pairs.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
+      // round-17: the relevance set is referenced from several plan
+      // branches (query derivation + the eval join) and its old
+      // self-union form evaluated the verify join once PER DIRECTION
+      // PER BRANCH; the explode mirrors in one pass and the persist
+      // pins the |near-dup pairs|-bounded frame (truth-set-sized,
+      // never corpus-sized) so the verify join runs once per attempt.
+      val rel = pairs.select(explode(array(
+          struct(col("doc_a").as("query_id"), col("doc_b").as("doc_id")),
+          struct(col("doc_b").as("query_id"), col("doc_a").as("doc_id"))))
+          .as("p"))
+        .select(col("p.query_id"), col("p.doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val queries = docs.join(
         rel.select(col("query_id").as("doc_id")).distinct(), Seq("doc_id"))
       // df-cap disabled HERE only: the synthetic corpus draws from a
@@ -4023,8 +4033,15 @@ object SparkEntry {
         invT, candT, n = 3, threshold = 0.5)
       val pairs = graft.operators.Dedup.ngramVerifiedPairs(
         s.table(invT), s.table(candT), threshold = 0.5)
-      val rel = pairs.select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"))
-        .union(pairs.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
+      // round-17: explode-mirror + persist — same rationale as q86
+      // (the old self-union re-ran the verify join per direction per
+      // consuming branch; rel is truth-set-sized)
+      val rel = pairs.select(explode(array(
+          struct(col("doc_a").as("query_id"), col("doc_b").as("doc_id")),
+          struct(col("doc_b").as("query_id"), col("doc_a").as("doc_id"))))
+          .as("p"))
+        .select(col("p.query_id"), col("p.doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Round-17 de-noise (r16 VERDICT #5): the raw 31-term vocabulary
       // made EVERY query match EVERY doc, so the candidate join was
       // |queries|×|docs| no matter the plan and the bench figure was

@@ -521,8 +521,20 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numHashes: Int = 128,
                    bands: Int = 16, shingleK: Int = 5): DataFrame =
+    // Round-17: pin the sketch frame. [[minhashDedupFromSketches]]
+    // references its input from three plan branches (band pairs + both
+    // shingle join-backs), and Spark re-executes common subplans per
+    // branch — the one-shot form re-ran the 128-hash shingle kernel
+    // over the corpus three times (measured 2.2 s -> 1.1 s at sf0.1
+    // with the pin). The serve lifecycles (sketch TABLE, q22b/q109)
+    // already amortize across calls; this pins the within-call fan-out
+    // for the ad-hoc form. The pinned frame is released with the
+    // session's cache (the battery clears per attempt); long-lived
+    // sessions should prefer the table lifecycle anyway.
     minhashDedupFromSketches(
-      minhashSketches(df, idCol, textCol, numHashes, bands, shingleK), threshold)
+      minhashSketches(df, idCol, textCol, numHashes, bands, shingleK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold)
 
   /** [[minhashDedup]] over a pre-built (possibly persisted) sketch frame
     * from [[minhashSketches]]. */
@@ -657,11 +669,18 @@ object Dedup {
     // exists to stop; a full-width chunk needs the all-ones mask
     val mask = if (width == 64) -1L else (1L << width) - 1
     val withSig = sigs.select(col("doc_id"), col("sig"))
+    // Round-17: pin the banded frame — the chunk self-join references
+    // it from BOTH sides, and Spark re-executes the common subplan per
+    // side, which re-ran whatever kernel produced `sigs` (a SimHash
+    // text pass, a PNG/WAV/MJPEG decode) twice per call. The pinned
+    // frame is (radius+1)·|docs| narrow rows; released with the
+    // session cache (battery clears per attempt).
     val banded = withSig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("sig"), c * lit(width))
           .bitwiseAND(lit(mask)))))
       .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("chunk_id"), col("chunk"),

@@ -470,7 +470,13 @@ object Multimodal {
                         minMatchMilli: Long = 600): DataFrame = {
     require(minMatchMilli >= 0 && minMatchMilli <= 1000,
       s"minMatchMilli must be in [0, 1000], got $minMatchMilli")
+    // Round-17: pin the keyframe-hash frame — it feeds the banding
+    // plus BOTH per-video count join-backs, and without the pin the
+    // MJPEG demux + JPEG decode + dHash kernel re-ran once per branch
+    // (4× per call measured at sf0.1). Narrow (id, index, hash) rows;
+    // released with the session cache.
     val fh = videoKeyframeHashes(media, everyN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("__nf"))
     // (video, frame) struct ids order lexicographically, so the
     // banding's doc_a < doc_b already yields video_a <= video_b

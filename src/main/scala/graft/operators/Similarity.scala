@@ -894,6 +894,11 @@ object Similarity {
     // can never flip between engines — the float form lost 2 of 374
     // battery rows to exactly that.
     val micro = round(col("cosine") * 1e6).cast("long").as("__c")
+    // Round-17 note: pinning these two k-NN legs (each is referenced
+    // by a neighborhood-mean aggregate and the pair union) was tried
+    // and MEASURED SLOWER at sf0.1 (2.2 s -> 4.2 s isolated) — the
+    // cache materialization barrier costs more than the per-branch
+    // re-execution of the bounded k-NN join here. Left recomputing.
     val fwd = knnJoin(b, a, idCol, idCol, vecCol, k)
       .select(col("query_id").as("id_a"), col("corpus_id").as("id_b"), micro)
     val bwd = knnJoin(a, b, idCol, idCol, vecCol, k)
