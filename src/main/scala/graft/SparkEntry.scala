@@ -2122,7 +2122,12 @@ object SparkEntry {
     "q148_latest_capture" -> ((s, dir) => {
       val wdir = ensureMultiCaptureWarcDir(s, dir)
       val W = graft.sources.Warc
+      // round-17: pin the winner set — it feeds both the ranged fetch
+      // and the metadata join-back; unpinned, each branch re-walked
+      // all ~467 segments through the CDX indexer. |urlkeys|-row
+      // narrow frame; released with the session cache.
       val winners = W.latestCaptures(W.cdxIndex(s, wdir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       W.fetchByCdx(winners, wdir)
         .join(winners.select("filename", "offset", "member_record_index",
           "warc_date", "n_captures"),
@@ -2613,8 +2618,13 @@ object SparkEntry {
       val wdir = ensureRevalWarcDir(s, dir)
       val W = graft.sources.Warc
       val ledger = W.revalidationLedger(W.readWarc(s, s"$wdir/reval-*"))
+      // round-17: pin the resolved locator set — it feeds both the
+      // ranged fetch and the metadata join-back, and each branch
+      // re-ran BOTH segment-walking CDX index passes without the pin.
+      // |captures|-row narrow frame; released with the session cache.
       val eff = W.resolveNotModified(
         W.cdxIndex(s, s"$wdir/reval-b-*"), W.cdxIndex(s, s"$wdir/reval-a-*"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bodies = W.fetchByCdx(eff, wdir)
         .select(col("filename"), col("offset"), col("member_record_index"),
           col("body").cast("string").as("body_text"))
@@ -3341,8 +3351,10 @@ object SparkEntry {
           .reduce(_ unionByName _)
         W.writeCdxj(merged, s"$stage/cdxj-merged", shards = 3)
       }
+      // round-17: pin — same two-consumer shape as q148's winner set
       val winners = W.latestCaptures(
         W.readCdxjPrefix(s, s"$base/cdxj-merged", "com,"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       W.fetchByCdx(winners, wdir)
         .join(winners.select("filename", "offset", "member_record_index",
           "warc_date", "n_captures"),

@@ -142,6 +142,15 @@ object LangModel {
     * cannot drift from each other. */
   def bucketsFromScores(scored: DataFrame, docs: DataFrame, idCol: String,
                         langCol: String, buckets: Int = 3): DataFrame = {
+    // Round-17 note: the histogram cut references this frame from two
+    // branches (per-lang distinct-score histogram + row-side bucket
+    // assignment), so the scoring subtree executes twice per call —
+    // but pinning it here MEASURED a wash for the one-shot path
+    // (1.95 s -> 1.90 at sf0.1) and a regression for the table-served
+    // path (q162b 1.23 s -> 1.66: the recompute is two cheap table
+    // scans, the cache build is a barrier). Left recomputing; at
+    // corpus scale callers should materialize scores to a table and
+    // serve the cut from it (the q162b lifecycle), not pin in-memory.
     val withLang = scored.join(
       docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
       Seq("doc_id"))
