@@ -4524,17 +4524,19 @@ object SparkEntry {
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("cn"),
           (col("l_suppkey") * 2 + 1).as("sn"))
-        .distinct()
       // round-17: mirror via a single-pass explode instead of a
       // self-union — Spark does not deduplicate common subplans, so
       // the union form computed the join+distinct subtree TWICE (once
-      // per direction, ~0.9 s each at sf0.1). Same edge multiset.
+      // per direction, ~0.9 s each at sf0.1). The multi-edge collapse
+      // also moves INTO the operator (assumeDistinct = false): its
+      // dedup runs under the same src partitioning as everything
+      // else, so the standalone (cn, sn) distinct exchange this query
+      // used to pay disappears. Same collapsed edge set, same ranks.
       val edges = pairs.select(explode(array(
           struct(col("cn").as("src"), col("sn").as("dst")),
           struct(col("sn").as("src"), col("cn").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      graft.operators.Graph.pageRankMicro(edges, "src", "dst", iterations = 4,
-          assumeDistinct = true)
+      graft.operators.Graph.pageRankMicro(edges, "src", "dst", iterations = 4)
         .orderBy("node")
     }),
 
