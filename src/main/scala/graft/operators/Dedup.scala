@@ -806,7 +806,23 @@ object Dedup {
     *   finally { cands.unpersist(); inv.unpersist() }
     * }}} */
   def ngramJaccardFromIndex(inv: DataFrame, threshold: Double = 0.5): DataFrame =
-    ngramVerifiedPairs(inv, ngramCandidates(inv, threshold), threshold)
+    // Round-18 (guide §3.3/§5 — truncate re-executed subtrees without
+    // the in-memory-cache barrier that measured SLOWER here in rounds
+    // 3/4/17): the candidate frame is referenced three times
+    // downstream (candDocs ×2 + the verification join) and each
+    // reference re-ran the prefix self-join AND its whole inv subtree
+    // (gram kernel included; the one-shot plan ran the index subtree
+    // ~22×). localCheckpoint materializes each branch point once as
+    // raw partitions — no columnar cache encode/decode, which is what
+    // made persist() lose to recompute here in rounds 3/4/17 — so the
+    // gram kernel and the candidate self-join execute exactly once per
+    // call (the [[contaminatedDocs]] cand-frame discipline). Measured
+    // at sf0.1: 3.5-3.7 s → 2.3-3.1 s isolated; checkpointing
+    // ngramVerifiedPairs' restricted index as well was a wash and is
+    // left out (it would also tax the table-served lifecycle).
+    { val inv0 = inv.localCheckpoint()
+      ngramVerifiedPairs(inv0,
+        ngramCandidates(inv0, threshold).localCheckpoint(), threshold) }
 
   /** Build-once/serve-many lifecycle for the n-gram index: write the
     * inverted index ([[ngramIndex]]) and its PPJoin candidate pair set

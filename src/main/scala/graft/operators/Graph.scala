@@ -173,15 +173,70 @@ object Graph {
     // distinct). Old build: 3 edge-list exchanges + 2 edge-list cache
     // writes, 5.4 s at sf0.1; new: 1 exchange + 1 cache write, the
     // derivation itself ~0.9 s.
-    val e = edgesWithOutDegree(edges, srcCol, dstCol, assumeDistinct)
+    val spark = edges.sparkSession
+    val e0 = edgesWithOutDegree(edges, srcCol, dstCol, assumeDistinct)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count() // materialize before deriving nodes from the cache
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count()
-    iterateAndRelease(e, nodes, iterations, dampNum, dampDen, scale,
-      checkpointEvery, epsilonMicro = 0L)
+    val edgeCount = e0.count() // materialize before deriving nodes from the cache
+    // Round-18 (guide §2.1/§2.2 — fewer, larger partitions; derive the
+    // count from the DATA, not the session constant): the iteration
+    // loop runs `iterations × 3` stages whose exchanges all inherit
+    // spark.sql.shuffle.partitions, a constant sized for the session's
+    // scan parallelism. For a small graph that is pure per-task
+    // overhead — the round-17 scaling block measured q95 running ~3×
+    // FASTER at 8 cores/8 partitions than at 32 (same plan, same
+    // data), because 32 partitions × 4 iterations × 3 frames of
+    // KB-sized shuffle blocks is scheduling cost, not compute. The
+    // partition count below is derived from the measured edge count:
+    // parallelism ramps one task per ~1M edges up to the session's
+    // core count, then partition COUNT grows past the core count only
+    // when partitions would exceed ~4M edges (~128 MB) each — the same
+    // number a 100 TB graph needs so per-task hash state stays bounded
+    // (the old conf-driven behavior, restored exactly where it
+    // matters). The AQE coalescing that would normally fix the small
+    // case cannot: the loop's frames are persisted, and AQE does not
+    // re-partition cached plans (canChangeCachedPlanOutputPartitioning
+    // defaults false).
+    val p = iterationPartitions(edgeCount,
+      spark.sparkContext.defaultParallelism)
+    val prevConf = spark.conf.get("spark.sql.shuffle.partitions")
+    val e = if (p == prevConf.toInt) e0 else {
+      // one extra |edges|-sized exchange at build time (read from the
+      // cache, written once) buys every iteration join/aggregate the
+      // adaptive layout — the SHUFFLE_HASH joins need e's partitioning
+      // to MATCH the iteration exchanges' count or they re-exchange
+      // the edge list every step
+      val r = e0.repartition(p, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      e0.unpersist()
+      r
+    }
+    // The session conf steers every exchange the iteration plan makes
+    // (contribution aggregate, node distinct); restored in the finally
+    // after the final ranks are MATERIALIZED inside iterateAndRelease,
+    // so no plan of this build executes under the caller's conf.
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nodes.count()
+      iterateAndRelease(e, nodes, iterations, dampNum, dampDen, scale,
+        checkpointEvery, epsilonMicro = 0L)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevConf)
+  }
+
+  /** Partition count for the iteration loop's exchanges, derived from
+    * the measured edge count (guide §2.2): one task per ~1M edges up
+    * to `cores` (a local fixture's 4-step loop must not pay cores×
+    * task launches per stage to shuffle kilobytes), then one partition
+    * per ~4M edges (~128 MB — the guide's partition-size band) so a
+    * web-scale graph's per-task join/aggregate state stays bounded no
+    * matter how far past the core count it grows. */
+  private[graft] def iterationPartitions(edgeCount: Long, cores: Int): Int = {
+    val floor = math.min(cores.toLong, 1L + (edgeCount - 1L).max(0L) / 1000000L)
+    val byBytes = 1L + (edgeCount - 1L).max(0L) / 4000000L
+    math.max(1L, math.max(floor, byBytes)).toInt
   }
 
   /** PageRank served off a prebuilt [[ensureEdgeTable]] pair: reads

@@ -292,9 +292,17 @@ object Similarity {
       .filter(col("cnt") > 0)
       .groupBy("cell", "pos")
       .agg((sum(col("s")) / sum(col("cnt"))).cast("double").as("m"))
-      .groupBy("cell")
-      .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("dims"))
-      .collect().map(r => r.getInt(0) -> r.getMap[Int, Double](1).toMap).toMap
+      // round-18: the per-cell map is assembled on the DRIVER from the
+      // ≤ nlist×dim collected rows — the old second groupBy(cell) was
+      // one more exchange + stage per Lloyd round for a regrouping of
+      // ~1k rows (guide §2.4). The division (the only rounding-
+      // sensitive step) stays in Spark, so refined centroids are
+      // bit-identical to the two-aggregate form.
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+      }
   }
 
   /** Distributed half of an IVF index: `(corpus_id, cvec, cell)` — every

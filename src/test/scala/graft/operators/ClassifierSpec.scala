@@ -126,4 +126,20 @@ class ClassifierSpec extends SparkSpec {
     assert(sep.getLong(0) > sep.getLong(1),
       s"quantized gate no longer separates: minPos=${sep.getLong(0)} maxNeg=${sep.getLong(1)}")
   }
+
+  test("byte bound forces the distributed loop and the result is unchanged") {
+    // round-18: the local fast path is row-AND-byte bounded — 65k rows
+    // of raw document text can be driver-killing gigabytes. Zero byte
+    // budget pushes even the tiny gate set down the distributed loop;
+    // exact-decimal gradients keep the two paths bit-identical.
+    val train = graft.SparkEntry.GateTrainingSet.toDF("text", "label")
+    val (wl, bl) = Classifier.trainLogistic(train, "text", "label",
+      dim = graft.SparkEntry.GateDim, iters = 3, lr = graft.SparkEntry.GateLr)
+    val (wd, bd) = Classifier.trainLogistic(train, "text", "label",
+      dim = graft.SparkEntry.GateDim, iters = 3, lr = graft.SparkEntry.GateLr,
+      localTrainMaxBytes = 0L)
+    assert(bl == bd, s"bias diverged under the byte-bound fallback: $bl vs $bd")
+    assert(wl.toSeq == wd.toSeq,
+      "weights diverged between the byte-bounded and local paths")
+  }
 }

@@ -141,4 +141,24 @@ class GraphSpec extends SparkSpec {
     Seq(tbl, tbl + "_nodes", tbl2, tbl2 + "_nodes")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("iterationPartitions ramps with edge count (round-18 adaptive layout)") {
+    // floor: one task per ~1M edges up to cores; past the core count
+    // one partition per ~4M edges so per-task state stays bounded
+    assert(Graph.iterationPartitions(0L, 32) == 1)
+    assert(Graph.iterationPartitions(60L, 32) == 1)            // q114 scale
+    assert(Graph.iterationPartitions(1200000L, 32) == 2)       // q95 scale
+    assert(Graph.iterationPartitions(20000000L, 32) == 20)
+    assert(Graph.iterationPartitions(128000000L, 32) == 32)
+    assert(Graph.iterationPartitions(10000000000L, 32) == 2500)
+    assert(Graph.iterationPartitions(10000000L, 4) == 4)
+  }
+
+  test("pageRankMicro restores the session shuffle-partition conf") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val e = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
+    Graph.pageRankMicro(e, "src", "dst", iterations = 2).collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "the adaptive iteration layout must not leak into the session conf")
+  }
 }

@@ -1001,4 +1001,23 @@ class WarcSpec extends SparkSpec {
       "non-response CDX rows must not become effective captures: " +
         effNoisy.mkString(","))
   }
+
+  test("segment slices pack by cumulative bytes, not file count (round-18)") {
+    val cap = 4 * spark.sparkContext.defaultParallelism
+    // one huge file among tiny ones: count-based packing clumped the
+    // big file together with a full count-share of tiny ones (a
+    // straggler slice); byte packing closes a slice as soon as it
+    // reaches the byte target
+    val files = (1 to cap * 2).map(i =>
+      (f"seg$i%04d", if (i == 1) 1000000L else 1L))
+    val slices = Warc.segmentSlices(spark, files)
+    assert(slices.length <= cap, s"${slices.length} slices > cap $cap")
+    assert(slices.flatten == files.map(_._1),
+      "slices must be contiguous and order-preserving")
+    assert(slices.head == Seq("seg0001"),
+      "a file at/above the byte target closes its slice alone")
+    // at or below the cap: one file per slice (full fan-out preserved)
+    val small = (1 to cap).map(i => (s"s$i", 5L))
+    assert(Warc.segmentSlices(spark, small) == small.map(f => Seq(f._1)))
+  }
 }
