@@ -5532,18 +5532,19 @@ object SparkEntry {
             .as("dst"))
       val chains = graft.operators.Url.resolveRedirectChains(
         redirects, "src", "dst", maxHops = 4)
-      val result = chains.filter(col("url").contains("/start"))
+      // round-18: the chains frame stays persisted through the consume
+      // (the Url.scala contract hands its unpersist to the caller; the
+      // bench clears the session cache after every attempt). The old
+      // eager unpersist-before-return made the TIMED count recompute
+      // the whole maxHops join cascade — including one full WARC-walk
+      // edge derivation per hop reference, five segment walks per call
+      // — after the operator had already materialized it once.
+      chains.filter(col("url").contains("/start"))
         .select(
           regexp_extract(col("url"), "start(\\d+)\\.html", 1)
             .cast("long").as("doc_id"),
           col("terminal_url"), col("hops"), col("looped"))
         .orderBy("doc_id")
-      // the caller owns the returned frame's unpersist (Url.scala
-      // contract) — a battery entry consumes once, so releasing here
-      // trades a fixture-scale recompute for zero cache residue in the
-      // block manager across the 160-query run
-      chains.unpersist()
-      result
     }),
 
     // Unicode normalization COMPOSED into the dedup path (q125 proves

@@ -40,8 +40,15 @@ object Corpus {
              nearDupThreshold: Double = 0.8,
              badwords: Option[Seq[String]] = None,
              gopherRepetition: Boolean = false): DataFrame = {
+    // round-18: dropExactDuplicates references its input twice (the
+    // keeper aggregate and the semi-join's left side) and Spark
+    // re-executes common subplans per branch — every enabled gate
+    // kernel (langId, qualityScore, dupTokenFraction, …) ran twice
+    // over the corpus. localCheckpoint materializes the gated rows
+    // once (raw partitions, no columnar-cache barrier — the q31
+    // discipline), so each kernel runs exactly once per call.
     val filtered = signalGates(df, textCol, langs, minQuality,
-      maxDupTokenFraction, badwords, gopherRepetition)
+      maxDupTokenFraction, badwords, gopherRepetition).localCheckpoint()
     val exact = Dedup.dropExactDuplicates(filtered, idCol, textCol)
     if (dropNearDups)
       Dedup.dropNearDuplicates(exact, idCol, textCol, nearDupThreshold)

@@ -863,7 +863,12 @@ object Similarity {
                          nlist: Int = 16, lloydIters: Int = 0,
                          threshold: Double = 0.95): DataFrame = {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, lloydIters)
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    // round-18: the cell self-join references the assigned frame from
+    // both sides and Spark re-executes the common subplan per side —
+    // the corpus scan + nearest-cell kernel ran twice per call.
+    // localCheckpoint materializes it once (raw partitions, no columnar
+    // cache barrier — the q31 discipline).
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids).localCheckpoint()
     val a = assigned.select(col("cell"), col("corpus_id").as("id_a"),
       col("cvec").as("vec_a"))
     val b = assigned.select(col("cell"), col("corpus_id").as("id_b"),

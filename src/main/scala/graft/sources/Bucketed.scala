@@ -21,7 +21,18 @@ object Bucketed {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     Warehouse.clearOrphanLocation(spark, table)
-    df.write.mode("overwrite")
+    // Round-18 (guide §2/§6): cluster rows onto their bucket BEFORE the
+    // bucketed write. Spark's writer does not shuffle for bucketBy — an
+    // unclustered input makes EVERY task write a file per bucket it
+    // touches (n_tasks × buckets small files at scale; at sf0.1 the
+    // single-task scan serialized the whole sort+encode on one core).
+    // repartition(buckets, key) is exactly the bucket function
+    // (pmod(murmur3(key), buckets) — HashPartitioning and the bucket
+    // spec share the hash), so each task holds exactly one bucket:
+    // `buckets`-way parallel write, one sized file per bucket, same
+    // table contents.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table) // managed: spark.sql.warehouse.dir
   }
