@@ -988,6 +988,29 @@ object SparkEntry {
     1135, 0, 395, 0, 146, -384, -191, 0, 0, 0, -495, 455, -491, 118, 5,
     -495, 0, -431, 186, -270, -3, -558, 0, -270)
 
+  /** Fan a kernel-heavy pipeline out across cores when the scan cannot
+    * (round-18, guide §2.5 "input skew — repartition immediately after
+    * the read" / §1.2 "fix the distributed algorithm first"): the
+    * fixture parquet files are SINGLE-ROW-GROUP, so every scan is one
+    * task no matter the split size and every scan-side kernel (JSON
+    * parse, shingle sketch, text stats) ran serial on one core while
+    * 31 idled — the round-17 scaling block's "nothing parallelizes at
+    * this SF" was this, not scheduling overhead. Condition: the
+    * relation's estimated bytes yield fewer scan splits than the
+    * session has cores. At warehouse scale a real table has many
+    * splits, the condition is false, and the frame passes through
+    * untouched — a 100 TB table is never shuffled just to parse it.
+    * Hash-repartition on the row key (keyless round-robin would pay
+    * the sort-before-repartition pass on the full rows). */
+  private[graft] def fanOut(df: org.apache.spark.sql.DataFrame,
+                            key: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val split = spark.sessionState.conf.filesMaxPartitionBytes
+    val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sz < BigInt(split) * cores) df.repartition(cores, col(key)) else df
+  }
+
   private[graft] def annClones(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding"),
@@ -1113,7 +1136,7 @@ object SparkEntry {
     // A9/F12: per-group breakdown keyed by a JSON-extracted property
     // (vehicle_breakdown analog: map modeled as rows, merged by re-agg).
     "q10_breakdown" -> ((s, dir) => {
-      t(s, dir, "events")
+      fanOut(t(s, dir, "events"), "event_id")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .withColumn("vclass",
           when(col("k") % 4 === 0, "car").when(col("k") % 4 === 1, "truck")
@@ -1633,7 +1656,9 @@ object SparkEntry {
     // per-row 2-entry maps merged per day; canonical sorted k:v string
     // output for cross-engine comparison.
     "q29_map_merge" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      // fanOut: the JSON parse + map build measured ~3 s single-task
+      // on the one-row-group fixture scan (30 us/row on one core)
+      val ev = fanOut(t(s, dir, "events"), "event_id")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .withColumn("vclass",
           when(col("k") % 4 === 0, "car").when(col("k") % 4 === 1, "truck")
@@ -2438,8 +2463,9 @@ object SparkEntry {
     // oracle replays scoring, histogram, cumulative ranks, and the
     // floor-div cut; one document in the wrong third breaks the hash.
     "q162_ppl_buckets" -> ((s, dir) =>
+      // fanOut: LM scoring kernel off the single-task scan
       graft.operators.LangModel.perplexityBuckets(
-          t(s, dir, "documents"), "doc_id", "text", "lang")
+          fanOut(t(s, dir, "documents"), "doc_id"), "doc_id", "text", "lang")
         .select(col("doc_id"), col("lang"), col("avg_logprob"),
           when(col("bucket") === 0, lit("head"))
             .when(col("bucket") === 1, lit("middle"))
@@ -2682,7 +2708,8 @@ object SparkEntry {
     // charges the repetition stage, not langId.
     "q171b_gopher_gate" -> ((s, dir) => {
       val fixtures = array(GopherFixtures.map(lit): _*)
-      val docs = t(s, dir, "documents")
+      // fanOut: the Gopher stats kernel off the single-task scan
+      val docs = fanOut(t(s, dir, "documents"), "doc_id")
         .select(col("doc_id"),
           element_at(fixtures, pmod(col("doc_id"), lit(26)).cast("int") + 1)
             .as("text"))
@@ -2712,7 +2739,7 @@ object SparkEntry {
         .map { case (t, b) => (b.toLong, t) }.toDF("bench_id", "btext")
       val sentByMod3 = element_at(array(sents.map(lit): _*),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
-      val planted = t(s, dir, "documents").select(col("doc_id"),
+      val planted = fanOut(t(s, dir, "documents"), "doc_id").select(col("doc_id"),
         when(pmod(col("doc_id"), lit(7)) === 4,
           concat(lit("zz "), sentByMod3))
         .when(pmod(col("doc_id"), lit(7)) === 5,
@@ -2733,7 +2760,8 @@ object SparkEntry {
     // `badwords`, pass classes flow to the exact-dedup keeper logic.
     "q173_c4_badwords" -> ((s, dir) => {
       val cls = pmod(col("doc_id"), lit(6)).cast("int")
-      val docs = t(s, dir, "documents").select(col("doc_id"), cls.as("cls"),
+      val docs = fanOut(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), cls.as("cls"),
         when(cls === 0, concat(col("text"), lit(" viagra casino offers")))
           .when(cls === 1, concat(col("text"), lit(" Hot PORN! site")))
           .when(cls === 2, concat(col("text"), lit(" sussex essex classy")))
@@ -3293,7 +3321,7 @@ object SparkEntry {
         (0 until 15).map(k => s"zq${('a' + b).toChar}$k").mkString(" "))
       val bench = sents.zipWithIndex
         .map { case (t, b) => (b.toLong, t) }.toDF("bench_id", "btext")
-      val planted = t(s, dir, "documents").select(col("doc_id"),
+      val planted = fanOut(t(s, dir, "documents"), "doc_id").select(col("doc_id"),
         when(pmod(col("doc_id"), lit(7)) === 3,
           concat(col("text"), lit(" "),
             element_at(
@@ -3581,7 +3609,9 @@ object SparkEntry {
     // restates the whole composition, and the id checksum pins the
     // exact survivor set.
     "q61_corpus_refine" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      // fanOut: the gate kernels off the single-task scan
+      val docs = fanOut(t(s, dir, "documents"), "doc_id")
+        .select("doc_id", "source", "text")
       val copies = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 400000).as("doc_id"), col("source"), col("text"))
       graft.operators.Corpus.refine(docs.union(copies), "doc_id", "text",
@@ -3999,7 +4029,9 @@ object SparkEntry {
     // score far above organic docs — rank boundaries are not
     // float-tie sensitive.
     "q86_retrieval_eval" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // fanOut: same single-task-scan story as q94
+      val docs = fanOut(t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id")
       val (invT, candT) = ngramIndexTables(s, dir)
       graft.operators.Dedup.ensureNgramTables(s, docs, "doc_id", "text",
         invT, candT, n = 3, threshold = 0.5)
@@ -4039,6 +4071,9 @@ object SparkEntry {
     // already-bounded run; integer-only output so the oracle
     // hash-matches with no float exposure.
     "q94_hard_negatives" -> ((s, dir) => {
+      // fanOut on docs measured a wash here (2.4-3.1 s vs 2.6 s — the
+      // enriched bm25 side re-derives and exchanges early anyway);
+      // left on the plain scan
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val (invT, candT) = ngramIndexTables(s, dir)
       graft.operators.Dedup.ensureNgramTables(s, docs, "doc_id", "text",
@@ -4732,7 +4767,10 @@ object SparkEntry {
     // grid, bit construction, and Hamming filter closed-form.
     "q102_image_dhash" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      // fanOut: the PNG encode + decode kernels ran inside the
+      // one-row-group scan's single task (see fanOut scaladoc)
+      val media = fanOut(t(s, dir, "documents").select(col("doc_id")),
+          "doc_id").as[Long]
         .flatMap { id =>
           val w = 16 + (id % 8).toInt
           val h = 12 + (id % 5).toInt
@@ -4782,6 +4820,11 @@ object SparkEntry {
     // waveform, frame energies, bit order, and the Hamming filter.
     "q104_audio_fingerprint" -> ((s, dir) => {
       import s.implicits._
+      // fanOut measured SLOWER here (1.6 -> 2.2 s isolated): the WAV
+      // synth/codec kernel is cheap per row and the exchange +
+      // 32-partition cache build cost more than the serial kernel —
+      // left on the single-task scan (the q102/q112 image/video
+      // kernels ARE heavy enough; see their fanOut)
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .flatMap { id =>
           val n = 800 + (id % 13).toInt * 16
@@ -4966,7 +5009,10 @@ object SparkEntry {
     // for this data (the q33/q102 gap-argument discipline).
     "q112_video_neardup" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      // fanOut: the MJPEG encode -> re-encode clone -> decode+dHash
+      // pipeline ran inside the one-row-group scan's single task
+      val media = fanOut(t(s, dir, "documents").select(col("doc_id")),
+          "doc_id").as[Long]
         .flatMap { id =>
           def frame(f: Int) = graft.operators.Multimodal.Codec.encodeJpeg(
             graft.operators.Multimodal.Codec.grayImage(36, 16) { (x, y) =>

@@ -1009,15 +1009,23 @@ class WarcSpec extends SparkSpec {
     // straggler slice); byte packing closes a slice as soon as it
     // reaches the byte target
     val files = (1 to cap * 2).map(i =>
-      (f"seg$i%04d", if (i == 1) 1000000L else 1L))
+      (f"seg$i%04d", if (i == 1) 64L << 20 else 1L))
     val slices = Warc.segmentSlices(spark, files)
     assert(slices.length <= cap, s"${slices.length} slices > cap $cap")
     assert(slices.flatten == files.map(_._1),
       "slices must be contiguous and order-preserving")
     assert(slices.head == Seq("seg0001"),
       "a file at/above the byte target closes its slice alone")
-    // at or below the cap: one file per slice (full fan-out preserved)
-    val small = (1 to cap).map(i => (s"s$i", 5L))
-    assert(Warc.segmentSlices(spark, small) == small.map(f => Seq(f._1)))
+    // big segments (cluster-scale archives) keep one file per task
+    val big = (1 to cap).map(i => (f"b$i%03d", 512L << 20))
+    assert(Warc.segmentSlices(spark, big) == big.map(f => Seq(f._1)))
+    // a tiny-fixture directory collapses to a few sizeful slices
+    // instead of one task launch per file (or per count-share)
+    val tiny = (1 to 500).map(i => (f"t$i%03d", 10L << 10))
+    val tinySlices = Warc.segmentSlices(spark, tiny)
+    assert(tinySlices.length < 30 && tinySlices.length > 1,
+      s"500 tiny segments should pack to a handful of ~4MB slices, " +
+        s"got ${tinySlices.length}")
+    assert(tinySlices.flatten == tiny.map(_._1))
   }
 }
